@@ -1,0 +1,107 @@
+"""Op E1 — georegister / ingest (SURVEY §2.2).
+
+Derives geo-metadata columns deterministically from ``image_id`` and
+widens the input images table (BASELINE.json.input_hint shape) into the
+working ``tiles`` schema (SURVEY §1.2):
+
+    tiles = images + (gt_x0, gt_y0, gt_xres, gt_yres, crs, nodata,
+                      nbands, xmin, xmax, ymin, ymax,
+                      cell_r, cell_id, cover_cells)
+
+Everything is pure Column arithmetic (whole-stage codegen, zero UDFs,
+zero shuffles — a map-only stage even at 10^12 rows).  The identical
+formulas live in oracle.georegister (NumPy) and in the DuckDB oracle SQL,
+which is what makes tile ids bit-for-bit checkable across engines
+(north_rule requirement).
+
+Reference analog: the georeferencing georaster reads from GDAL at open
+(georaster/georaster.py :: __Raster._load_ds ≈L120-220 ⚠ UNVERIFIED,
+SURVEY §0) — here synthesized instead of read, per FIXTURES.md §3.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from ..constants import (
+    BASE_OFF,
+    DEFAULT_RES,
+    HOT_ANCHORS,
+    HOT_EVERY,
+    HOT_PHASE,
+    JITTER_AX,
+    JITTER_AY,
+    JITTER_HALF,
+    JITTER_MOD,
+    TILE_SPAN,
+    GRID_W,
+)
+from ..functions import cells
+
+
+def image_idx(image_id=None):
+    """'img00001234' -> 1234 (bigint)."""
+    if image_id is None:
+        image_id = F.col("image_id")
+    return F.substring(image_id, 4, 10).cast("long")
+
+
+def georegister(images: DataFrame, r: int = DEFAULT_RES) -> DataFrame:
+    idx = image_idx()
+    gx = idx % GRID_W
+    gy = F.floor(idx / GRID_W)
+    jx = (idx * JITTER_AX) % JITTER_MOD - JITTER_HALF
+    jy = (idx * JITTER_AY) % JITTER_MOD - JITTER_HALF
+    hot = (idx % HOT_EVERY) == HOT_PHASE
+    hk = F.floor(idx / HOT_EVERY) % 3
+    ax = F.element_at(F.array(*[F.lit(float(a[0])) for a in HOT_ANCHORS]), (hk + 1).cast("int"))
+    ay = F.element_at(F.array(*[F.lit(float(a[1])) for a in HOT_ANCHORS]), (hk + 1).cast("int"))
+    gt_x0 = F.when(hot, ax + (idx % 97)).otherwise(
+        F.lit(TILE_SPAN) * gx + jx + F.lit(BASE_OFF)
+    ).cast("double")
+    gt_y0 = F.when(hot, ay + (idx % 89)).otherwise(
+        F.lit(TILE_SPAN) * (gy + 1) + jy + F.lit(BASE_OFF)
+    ).cast("double")
+
+    df = (
+        images.withColumn("gt_x0", gt_x0)
+        .withColumn("gt_y0", gt_y0)
+        .withColumn("gt_xres", F.lit(TILE_SPAN) / F.col("w"))
+        .withColumn("gt_yres", F.lit(TILE_SPAN) / F.col("h"))
+        .withColumn("crs", F.lit("EPSG:3857"))
+        .withColumn("nodata", F.lit(None).cast("double"))
+        .withColumn("nbands", F.lit(1))
+    )
+    df = (
+        df.withColumn("xmin", F.col("gt_x0"))
+        .withColumn("xmax", F.col("gt_x0") + F.col("w") * F.col("gt_xres"))
+        .withColumn("ymin", F.col("gt_y0") - F.col("h") * F.col("gt_yres"))
+        .withColumn("ymax", F.col("gt_y0"))
+    )
+    return (
+        df.withColumn("cell_r", F.lit(r))
+        .withColumn("cell_id", cells.cell_encode(F.col("gt_x0"), F.col("gt_y0"), r))
+        .withColumn(
+            "cover_cells",
+            cells.cell_cover(F.col("xmin"), F.col("xmax"), F.col("ymin"), F.col("ymax"), r),
+        )
+    )
+
+
+def tile_assignments(tiles: DataFrame) -> DataFrame:
+    """Op E4 — one row per (image, covering cell); the north-rule
+    bit-for-bit surface.  Determinism by construction: integer math only."""
+    return tiles.select(
+        "image_id", F.explode("cover_cells").alias("cell_id")
+    )
+
+
+def centroid_x(df_or_prefix=""):
+    p = df_or_prefix
+    return F.col(f"{p}gt_x0") + F.col(f"{p}w") * F.col(f"{p}gt_xres") / 2.0
+
+
+def centroid_y(df_or_prefix=""):
+    p = df_or_prefix
+    return F.col(f"{p}gt_y0") - F.col(f"{p}h") * F.col(f"{p}gt_yres") / 2.0

@@ -1,0 +1,85 @@
+"""Op E5 — broadcast point-in-polygon join (SURVEY §2.2).
+
+Filter-refine, Sedona-style but library-level (SURVEY §4.3):
+
+  1. COARSE: each zone's bbox is covered by res-r cells (cell_cover,
+     higher-order fns); `explode` yields the small broadcast side
+     (zone_id, cell_id, ring).  Each point computes its single res-r
+     cell — so the candidate equi-join emits every (point, zone) pair at
+     most once (no dedup pass needed).
+  2. REFINE: exact convex half-plane test as a pure Column expression
+     (zip_with over ring edges — stays in whole-stage codegen, no UDF).
+     Boundary counts as inside (cross >= 0 on every CCW edge), matching
+     oracle.pip_halfplane and the DuckDB oracle verbatim.
+
+Scale notes (100 TB posture): the zones side is dims-sized -> broadcast;
+if zones ever outgrow the broadcast threshold the same plan degrades
+gracefully to a shuffled hash join on cell_id. The big side is map-only
+up to the join.  Skew from hot cells is handled upstream by op E8
+(operators/skew.py) plus AQE skew-join as backstop.
+
+General non-convex rings: use operators.zonal's pandas-UDF ray-cast path
+(oracle.pip_raycast) — the fixtures' rings are all convex by
+construction so joins keep the codegen fast path.
+
+Reference analog: georaster has no vector joins; this is the distributed
+machinery mandated by BASELINE.json.north_rule.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from ..constants import DEFAULT_RES
+from ..functions import cells
+
+
+def convex_pip(ring: Column, px: Column, py: Column) -> Column:
+    """True iff (px, py) is inside/on the convex CCW closed ring.
+    Pure Column: cross-product >= 0 for every edge."""
+    n = F.size(ring)
+    p1 = F.slice(ring, 1, n - 1)
+    p2 = F.slice(ring, 2, n - 1)
+    crosses = F.zip_with(
+        p1,
+        p2,
+        lambda a, b: (b["x"] - a["x"]) * (py - a["y"]) - (b["y"] - a["y"]) * (px - a["x"]),
+    )
+    return ~F.exists(crosses, lambda c: c < 0)
+
+
+def zone_cells(zones: DataFrame, r: int = DEFAULT_RES) -> DataFrame:
+    """(zone_id, ring, cell_id) — one row per covering cell of the bbox."""
+    return zones.select(
+        "zone_id",
+        "ring",
+        F.explode(
+            cells.cell_cover(F.col("xmin"), F.col("xmax"), F.col("ymin"), F.col("ymax"), r)
+        ).alias("cell_id"),
+    )
+
+
+def pip_join(
+    points: DataFrame,
+    zones: DataFrame,
+    x: Column,
+    y: Column,
+    r: int = DEFAULT_RES,
+    broadcast_zones: bool = True,
+) -> DataFrame:
+    """All (point-row, zone_id) containment pairs.
+
+    `points` is any DataFrame; `x`/`y` are Column expressions over it.
+    Result = points columns + zone_id (ring/cell_id dropped).
+    """
+    zc = zone_cells(zones, r)
+    if broadcast_zones:
+        zc = F.broadcast(zc)
+    pts = points.withColumn("_px", x).withColumn("_py", y).withColumn(
+        "cell_id", cells.cell_encode(F.col("_px"), F.col("_py"), r)
+    )
+    joined = pts.join(zc, "cell_id").where(
+        convex_pip(F.col("ring"), F.col("_px"), F.col("_py"))
+    )
+    return joined.drop("ring", "cell_id", "_px", "_py")

@@ -1,0 +1,378 @@
+"""NumPy executable spec ("the oracle") for every engine primitive.
+
+Written FIRST, per SURVEY.md §7.1 M0: this module is the normative
+single-node semantics that the distributed Spark operators and the
+DuckDB oracle SQL must both reproduce.  Reference semantics lifted from
+the public GeoUtils/georaster API (georaster/georaster.py ::
+__Raster.coord_to_px / value_at_coords / interp / _load_ds — citations
+are ≈line-band UNVERIFIED, /root/reference was empty at survey time;
+see SURVEY.md §0).  Normative deviations (documented there):
+
+* coord_to_px uses floor of the corner-relative fraction + clamp to
+  [0, n-1]  (upstream np.round is a flagged parity risk).
+* interp is pixel-center bilinear with edge clamp (upstream scipy
+  map_coordinates constant-0 out-of-range is a flagged parity risk).
+
+Everything here is pure NumPy / stdlib — no Spark, no GDAL, no scipy.
+"""
+
+from __future__ import annotations
+
+import math
+
+import numpy as np
+
+from .constants import (
+    BASE_OFF,
+    DOMAIN,
+    GRID_W,
+    HOT_ANCHORS,
+    HOT_EVERY,
+    HOT_PHASE,
+    JITTER_AX,
+    JITTER_AY,
+    JITTER_HALF,
+    JITTER_MOD,
+    MAX_RES,
+    QNT_STEP,
+    RES_SHIFT,
+    TILE_SPAN,
+)
+
+# ---------------------------------------------------------------------------
+# GQK cell index (SURVEY.md §1.2) — hierarchical quadkey over the fixed
+# engine domain.  Row-major packing keeps it plain-SQL-expressible.
+# ---------------------------------------------------------------------------
+
+
+def cell_encode(x, y, r: int):
+    """World (x, y) -> cell id at resolution r.  Vectorized.
+
+    ix = clamp(floor(x / s), 0, 2^r - 1), s = DOMAIN / 2^r
+    iy = clamp(floor((DOMAIN - y) / s), 0, 2^r - 1)   (v axis points down)
+    cell = r * 2^58 + iy * 2^r + ix
+    """
+    s = float(DOMAIN >> r) if r <= MAX_RES else DOMAIN / (1 << r)
+    n = (1 << r) - 1
+    ix = np.clip(np.floor(np.asarray(x, dtype=np.float64) / s), 0, n).astype(np.int64)
+    iy = np.clip(np.floor((DOMAIN - np.asarray(y, dtype=np.float64)) / s), 0, n).astype(np.int64)
+    return (np.int64(r) << RES_SHIFT) + (iy << r) + ix
+
+
+def cell_decode(cell):
+    """cell id -> (r, ix, iy).  Vectorized."""
+    cell = np.asarray(cell, dtype=np.int64)
+    r = (cell >> RES_SHIFT).astype(np.int64)
+    rest = cell - (r << RES_SHIFT)
+    ix = rest & ((np.int64(1) << r) - 1)
+    iy = rest >> r
+    return r, ix, iy
+
+
+def cell_bounds(cell):
+    """cell id -> (xmin, xmax, ymin, ymax) world box."""
+    r, ix, iy = cell_decode(cell)
+    s = DOMAIN / np.power(2.0, r)
+    xmin = ix * s
+    ymax = DOMAIN - iy * s
+    return xmin, xmin + s, ymax - s, ymax
+
+
+def cell_parent(cell):
+    r, ix, iy = cell_decode(cell)
+    rp = r - 1
+    return (rp << RES_SHIFT) + ((iy >> 1) << rp) + (ix >> 1)
+
+
+def cell_children(cell) -> np.ndarray:
+    r, ix, iy = cell_decode(np.asarray(cell).reshape(())[()])
+    rc = int(r) + 1
+    out = []
+    for dy in (0, 1):
+        for dx in (0, 1):
+            out.append((rc << RES_SHIFT) + ((int(iy) * 2 + dy) << rc) + (int(ix) * 2 + dx))
+    return np.asarray(out, dtype=np.int64)
+
+
+def cell_neighbors(cell, ring: int = 1) -> np.ndarray:
+    """All cells within Chebyshev distance `ring` (incl. self), clamped at
+    the domain edge; sorted ascending (deterministic)."""
+    r, ix, iy = cell_decode(np.asarray(cell).reshape(())[()])
+    r, ix, iy = int(r), int(ix), int(iy)
+    n = (1 << r) - 1
+    out = set()
+    for dy in range(-ring, ring + 1):
+        for dx in range(-ring, ring + 1):
+            jx, jy = ix + dx, iy + dy
+            if 0 <= jx <= n and 0 <= jy <= n:
+                out.add((r << RES_SHIFT) + (jy << r) + jx)
+    return np.asarray(sorted(out), dtype=np.int64)
+
+
+def cell_cover(xmin, xmax, ymin, ymax, r: int):
+    """All cells at res r touched by the closed-open box
+    [xmin, xmax) x (ymin, ymax] — row-major, ascending (deterministic).
+
+    Vectorized over rows; returns a list of int64 arrays.
+    """
+    s = float(DOMAIN >> r)
+    n = (1 << r) - 1
+    xmin = np.atleast_1d(np.asarray(xmin, dtype=np.float64))
+    xmax = np.atleast_1d(np.asarray(xmax, dtype=np.float64))
+    ymin = np.atleast_1d(np.asarray(ymin, dtype=np.float64))
+    ymax = np.atleast_1d(np.asarray(ymax, dtype=np.float64))
+    ix0 = np.clip(np.floor(xmin / s), 0, n).astype(np.int64)
+    # open upper edge: a box ending exactly on a cell boundary does not
+    # touch the next cell -> use nextafter-style epsilon-free rule:
+    ix1 = np.clip(np.ceil(xmax / s) - 1, 0, n).astype(np.int64)
+    iy0 = np.clip(np.floor((DOMAIN - ymax) / s), 0, n).astype(np.int64)
+    iy1 = np.clip(np.ceil((DOMAIN - ymin) / s) - 1, 0, n).astype(np.int64)
+    ix1 = np.maximum(ix1, ix0)
+    iy1 = np.maximum(iy1, iy0)
+    out = []
+    base = np.int64(r) << RES_SHIFT
+    for a0, a1, b0, b1 in zip(ix0, ix1, iy0, iy1):
+        iys, ixs = np.meshgrid(np.arange(b0, b1 + 1), np.arange(a0, a1 + 1), indexing="ij")
+        out.append((base + (iys.ravel() << r) + ixs.ravel()).astype(np.int64))
+    return out
+
+
+def morton_key(cell):
+    """Z-order interleave of (ix, iy) — a derived SORT key for range
+    partitioning only, never a correctness surface (SURVEY.md §1.2)."""
+    r, ix, iy = cell_decode(cell)
+    ix = np.asarray(ix, dtype=np.uint64)
+    iy = np.asarray(iy, dtype=np.uint64)
+    out = np.zeros_like(ix)
+    for b in range(26):
+        out |= ((ix >> np.uint64(b)) & np.uint64(1)) << np.uint64(2 * b)
+        out |= ((iy >> np.uint64(b)) & np.uint64(1)) << np.uint64(2 * b + 1)
+    return out.astype(np.int64)
+
+
+# ---------------------------------------------------------------------------
+# Deterministic fixture synthesis (FIXTURES.md) — georegistration E1.
+# Pure integer arithmetic in idx so DuckDB SQL reproduces it exactly.
+# ---------------------------------------------------------------------------
+
+
+def georegister(idx, w):
+    """idx (int array), w (pixel width array) -> dict of geo columns.
+
+    gt_yres is stored POSITIVE; ymax = gt_y0, ymin = gt_y0 - h*gt_yres
+    (north-up convention, SURVEY.md §1.1 R7).
+    """
+    idx = np.asarray(idx, dtype=np.int64)
+    w = np.asarray(w, dtype=np.int64)
+    gx = idx % GRID_W
+    gy = idx // GRID_W
+    jx = (idx * JITTER_AX) % JITTER_MOD - JITTER_HALF
+    jy = (idx * JITTER_AY) % JITTER_MOD - JITTER_HALF
+    x0 = (TILE_SPAN * gx + jx + BASE_OFF).astype(np.float64)
+    y0 = (TILE_SPAN * (gy + 1) + jy + BASE_OFF).astype(np.float64)
+    hot = (idx % HOT_EVERY) == HOT_PHASE
+    hk = (idx // HOT_EVERY) % 3
+    ax = np.asarray([a[0] for a in HOT_ANCHORS], dtype=np.float64)
+    ay = np.asarray([a[1] for a in HOT_ANCHORS], dtype=np.float64)
+    x0 = np.where(hot, ax[hk] + (idx % 97), x0)
+    y0 = np.where(hot, ay[hk] + (idx % 89), y0)
+    xres = TILE_SPAN / w
+    return {
+        "gt_x0": x0,
+        "gt_y0": y0,
+        "gt_xres": xres,
+        "gt_yres": xres,  # square pixels in the fixture
+    }
+
+
+def ramp_coeffs(idx):
+    """Per-image pixel-ramp coefficients, arithmetic in idx (FIXTURES.md §1)."""
+    idx = np.asarray(idx, dtype=np.int64)
+    a = (idx * 7) % 13 + 1
+    b = (idx * 11) % 17 + 1
+    c = idx % 251
+    return a, b, c
+
+
+def ramp_tile(idx: int, w: int, h: int) -> np.ndarray:
+    """v[i, j] = (a*i + b*j + c) % 256 as uint8 (h rows x w cols)."""
+    a, b, c = ramp_coeffs(idx)
+    i = np.arange(h, dtype=np.int64)[:, None]
+    j = np.arange(w, dtype=np.int64)[None, :]
+    return ((a * i + b * j + c) % 256).astype(np.uint8)
+
+
+def quantize(arr: np.ndarray, step: int = QNT_STEP) -> np.ndarray:
+    """Mid-tread quantizer for the 'qnt' lossy codec (FIXTURES.md §2)."""
+    return ((arr.astype(np.int64) // step) * step + step // 2).astype(arr.dtype)
+
+
+# ---------------------------------------------------------------------------
+# Pixel codecs (fmt column) — self-defined, no PIL/GDAL in sandbox.
+# 'raw'  : uint8 row-major h*w          (lossless)
+# 'raw16': uint16 little-endian h*w     (lossless; landsat_like parity tile)
+# 'qnt'  : uint8 but values pre-quantized at encode (defined-lossy)
+# ---------------------------------------------------------------------------
+
+
+def encode_pixels(arr: np.ndarray, fmt: str) -> bytes:
+    if fmt == "raw":
+        return arr.astype(np.uint8).tobytes()
+    if fmt == "raw16":
+        return arr.astype("<u2").tobytes()
+    if fmt == "qnt":
+        return quantize(arr.astype(np.uint8)).tobytes()
+    raise ValueError(f"unknown fmt {fmt!r}")
+
+
+def decode_pixels(data: bytes, w: int, h: int, fmt: str, nbands: int = 1) -> np.ndarray:
+    if fmt in ("raw", "qnt"):
+        a = np.frombuffer(data, dtype=np.uint8)
+    elif fmt == "raw16":
+        a = np.frombuffer(data, dtype="<u2")
+    else:
+        raise ValueError(f"unknown fmt {fmt!r}")
+    if nbands == 1:
+        return a.reshape(h, w)
+    return a.reshape(nbands, h, w)
+
+
+def psnr(ref: np.ndarray, test: np.ndarray, peak: float = 255.0) -> float:
+    """Peak signal-to-noise ratio in dB; inf for identical arrays."""
+    mse = float(np.mean((ref.astype(np.float64) - test.astype(np.float64)) ** 2))
+    if mse == 0.0:
+        return float("inf")
+    return 10.0 * math.log10(peak * peak / mse)
+
+
+# ---------------------------------------------------------------------------
+# Geotransform math — reference ops R7/R9/R11/R12/R13/R14
+# (georaster/georaster.py :: __Raster extent/coord_to_px/value_at_coords/
+#  coordinates/interp, ≈L180-660 ⚠ UNVERIFIED — SURVEY.md §2.1).
+# ---------------------------------------------------------------------------
+
+
+def extent(gt_x0, gt_y0, gt_xres, gt_yres, w, h):
+    """(left, right, bottom, top) — R7."""
+    gt_x0 = np.asarray(gt_x0, dtype=np.float64)
+    gt_y0 = np.asarray(gt_y0, dtype=np.float64)
+    return (
+        gt_x0,
+        gt_x0 + np.asarray(w) * np.asarray(gt_xres),
+        gt_y0 - np.asarray(h) * np.asarray(gt_yres),
+        gt_y0,
+    )
+
+
+def coord_to_px(x, y, gt_x0, gt_y0, gt_xres, gt_yres, w, h):
+    """World -> integer pixel indices (col j, row i) — R9.
+
+    Engine semantics (normative): floor of the corner-relative fraction,
+    clamped to [0, n-1].
+    """
+    j = np.floor((np.asarray(x, dtype=np.float64) - gt_x0) / gt_xres)
+    i = np.floor((gt_y0 - np.asarray(y, dtype=np.float64)) / gt_yres)
+    j = np.clip(j, 0, np.asarray(w) - 1).astype(np.int64)
+    i = np.clip(i, 0, np.asarray(h) - 1).astype(np.int64)
+    return j, i
+
+
+def pixel_centers(gt_x0, gt_y0, gt_xres, gt_yres, w: int, h: int):
+    """Per-pixel world coordinates of pixel CENTERS — R13 (meshgrids x, y)."""
+    xs = gt_x0 + (np.arange(w, dtype=np.float64) + 0.5) * gt_xres
+    ys = gt_y0 - (np.arange(h, dtype=np.float64) + 0.5) * gt_yres
+    return np.meshgrid(xs, ys)
+
+
+def value_at(arr: np.ndarray, x, y, gt_x0, gt_y0, gt_xres, gt_yres):
+    """Pixel value containing world (x, y) — R12 point sample."""
+    h, w = arr.shape
+    j, i = coord_to_px(x, y, gt_x0, gt_y0, gt_xres, gt_yres, w, h)
+    return arr[i, j]
+
+
+def interp_bilinear(arr: np.ndarray, x, y, gt_x0, gt_y0, gt_xres, gt_yres):
+    """Pixel-center bilinear interpolation, edge-clamped — R14 (order=1).
+
+    Exact expression order matters: the DuckDB oracle repeats it verbatim
+    so float64 results are bit-identical.
+    """
+    h, w = arr.shape
+    fx = (np.asarray(x, dtype=np.float64) - gt_x0) / gt_xres - 0.5
+    fy = (gt_y0 - np.asarray(y, dtype=np.float64)) / gt_yres - 0.5
+    j0 = np.floor(fx)
+    i0 = np.floor(fy)
+    t = fx - j0
+    u = fy - i0
+    j0c = np.clip(j0, 0, w - 1).astype(np.int64)
+    j1c = np.clip(j0 + 1, 0, w - 1).astype(np.int64)
+    i0c = np.clip(i0, 0, h - 1).astype(np.int64)
+    i1c = np.clip(i0 + 1, 0, h - 1).astype(np.int64)
+    v00 = arr[i0c, j0c].astype(np.float64)
+    v10 = arr[i0c, j1c].astype(np.float64)
+    v01 = arr[i1c, j0c].astype(np.float64)
+    v11 = arr[i1c, j1c].astype(np.float64)
+    return ((1 - t) * (1 - u)) * v00 + (t * (1 - u)) * v10 + ((1 - t) * u) * v01 + (t * u) * v11
+
+
+def interp_nearest(arr: np.ndarray, x, y, gt_x0, gt_y0, gt_xres, gt_yres):
+    """order=0 nearest == value_at (floor-gather) — R14/R9 equivalence."""
+    return value_at(arr, x, y, gt_x0, gt_y0, gt_xres, gt_yres)
+
+
+# ---------------------------------------------------------------------------
+# Point-in-polygon — E5 refine kernels.
+# ---------------------------------------------------------------------------
+
+
+def pip_halfplane(ring_x: np.ndarray, ring_y: np.ndarray, px, py):
+    """Convex CCW closed ring: inside iff every edge cross-product >= 0
+    (boundary counts as inside).  Vectorized over points."""
+    px = np.asarray(px, dtype=np.float64)[:, None]
+    py = np.asarray(py, dtype=np.float64)[:, None]
+    x1 = ring_x[:-1][None, :]
+    y1 = ring_y[:-1][None, :]
+    x2 = ring_x[1:][None, :]
+    y2 = ring_y[1:][None, :]
+    cross = (x2 - x1) * (py - y1) - (y2 - y1) * (px - x1)
+    return np.all(cross >= 0.0, axis=1)
+
+
+def pip_raycast(ring_x: np.ndarray, ring_y: np.ndarray, px, py):
+    """General (possibly non-convex) even-odd ray cast; half-open edge rule.
+    Boundary behavior is NOT normative here — joins use pip_halfplane on the
+    convex fixture rings; this is the general-geometry fallback."""
+    px = np.asarray(px, dtype=np.float64)[:, None]
+    py = np.asarray(py, dtype=np.float64)[:, None]
+    x1 = ring_x[:-1][None, :]
+    y1 = ring_y[:-1][None, :]
+    x2 = ring_x[1:][None, :]
+    y2 = ring_y[1:][None, :]
+    cond = (y1 > py) != (y2 > py)
+    with np.errstate(divide="ignore", invalid="ignore"):
+        xint = x1 + (py - y1) * (x2 - x1) / (y2 - y1)
+    hits = cond & (px < xint)
+    return (np.sum(hits, axis=1) % 2) == 1
+
+
+# ---------------------------------------------------------------------------
+# CRS — closed-form WGS84 <-> WebMercator (no pyproj in sandbox, §7.5).
+# ---------------------------------------------------------------------------
+
+_R_EARTH = 6378137.0
+
+
+def lonlat_to_mercator(lon, lat):
+    lon = np.asarray(lon, dtype=np.float64)
+    lat = np.asarray(lat, dtype=np.float64)
+    x = _R_EARTH * np.radians(lon)
+    y = _R_EARTH * np.log(np.tan(np.pi / 4.0 + np.radians(lat) / 2.0))
+    return x, y
+
+
+def mercator_to_lonlat(x, y):
+    x = np.asarray(x, dtype=np.float64)
+    y = np.asarray(y, dtype=np.float64)
+    lon = np.degrees(x / _R_EARTH)
+    lat = np.degrees(2.0 * np.arctan(np.exp(y / _R_EARTH)) - np.pi / 2.0)
+    return lon, lat

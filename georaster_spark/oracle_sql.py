@@ -1,0 +1,126 @@
+"""DuckDB oracle-SQL builders (SURVEY §5.2 layer 2).
+
+Each function returns an ANSI-SQL string that DuckDB 1.0 can run to
+reproduce the corresponding Spark operator's output *independently* —
+georegistration is re-derived from idx arithmetic (constants.py), pixel
+values from the ramp formula (FIXTURES.md §1), cells from the GQK packing
+(SURVEY §1.2).  Column aliases match the Spark side exactly (the driver's
+compare hashes values after sorting columns by name).
+
+These templates take explicit fixture-file paths so the same SQL serves
+tests (sf0.001) and the driver contract (sf0.01).
+"""
+
+from __future__ import annotations
+
+from .constants import (
+    BASE_OFF,
+    DOMAIN,
+    GRID_W,
+    HOT_ANCHORS,
+    HOT_EVERY,
+    HOT_PHASE,
+    JITTER_AX,
+    JITTER_AY,
+    JITTER_HALF,
+    JITTER_MOD,
+    RES_SHIFT,
+    TILE_SPAN,
+)
+
+AX = [a[0] for a in HOT_ANCHORS]
+AY = [a[1] for a in HOT_ANCHORS]
+
+
+def georegister_cte(images_path: str) -> str:
+    """CTE `tiles`: the DuckDB twin of operators/georegister.py (op E1)."""
+    return f"""
+img AS (
+  SELECT *, CAST(substr(image_id, 4, 10) AS BIGINT) AS idx
+  FROM read_parquet('{images_path}')
+),
+tiles AS (
+  SELECT *,
+    CASE WHEN (idx % {HOT_EVERY}) = {HOT_PHASE} THEN
+      CASE (idx // {HOT_EVERY}) % 3
+        WHEN 0 THEN {AX[0]}.0 WHEN 1 THEN {AX[1]}.0 ELSE {AX[2]}.0 END + (idx % 97)
+    ELSE {TILE_SPAN} * (idx % {GRID_W})
+         + ((idx * {JITTER_AX}) % {JITTER_MOD} - {JITTER_HALF}) + {BASE_OFF} END AS gt_x0,
+    CASE WHEN (idx % {HOT_EVERY}) = {HOT_PHASE} THEN
+      CASE (idx // {HOT_EVERY}) % 3
+        WHEN 0 THEN {AY[0]}.0 WHEN 1 THEN {AY[1]}.0 ELSE {AY[2]}.0 END + (idx % 89)
+    ELSE {TILE_SPAN} * ((idx // {GRID_W}) + 1)
+         + ((idx * {JITTER_AY}) % {JITTER_MOD} - {JITTER_HALF}) + {BASE_OFF} END AS gt_y0,
+    {TILE_SPAN} / w AS gt_xres,
+    {TILE_SPAN} / h AS gt_yres
+  FROM img
+)"""
+
+
+def cell_expr(x: str, y: str, r: int) -> str:
+    """Inline GQK cell-encode (op E2) — twin of functions/cells.cell_encode."""
+    s = float(DOMAIN >> r)
+    n = (1 << r) - 1
+    return (
+        f"(({r}::BIGINT << {RES_SHIFT})"
+        f" + least(greatest(CAST(floor(({DOMAIN} - ({y})) / {s}) AS BIGINT), 0), {n}) * {1 << r}"
+        f" + least(greatest(CAST(floor(({x}) / {s}) AS BIGINT), 0), {n}))"
+    )
+
+
+def ramp_value_expr(i: str, j: str) -> str:
+    """Pixel value of tile `idx` at row i, col j incl. qnt quantization —
+    twin of oracle.ramp_tile + oracle.quantize.  Needs idx & fmt in scope."""
+    v = f"(((idx*7) % 13 + 1) * ({i}) + ((idx*11) % 17 + 1) * ({j}) + idx % 251) % 256"
+    return f"(CASE WHEN fmt = 'qnt' THEN (({v}) // 4) * 4 + 2 ELSE {v} END)"
+
+
+def tile_mean_cte(w: int, h: int) -> str:
+    """CTE `tmean`: per-image mean pixel value from the ramp formula.
+    sum is exact integer; division by w*h (power of two) is exact float."""
+    return f"""
+tmean AS (
+  SELECT idx,
+         SUM({ramp_value_expr('gi.i', 'gj.j')})::DOUBLE / {w * h} AS tile_mean
+  FROM tiles,
+       generate_series(0, {h - 1}) AS gi(i),
+       generate_series(0, {w - 1}) AS gj(j)
+  GROUP BY idx
+)"""
+
+
+PIP_WHERE = """
+  len(list_filter(generate_series(1, len(z.ring) - 1),
+      k -> (z.ring[k+1].x - z.ring[k].x) * ({py} - z.ring[k].y)
+         - (z.ring[k+1].y - z.ring[k].y) * ({px} - z.ring[k].x) < 0)) = 0
+"""
+
+
+def pip_where(px: str, py: str) -> str:
+    """Convex half-plane containment (boundary inside) — twin of
+    operators/pip.convex_pip.  Bbox prefilter must accompany it in the
+    join ON (polygon ⊆ bbox ⊆ covered cells, so sets match the engine)."""
+    return PIP_WHERE.format(px=px, py=py)
+
+
+def flagship_sql(images_path: str, zones_path: str, w: int, h: int) -> str:
+    """Oracle for plans/pipeline.zone_image_stats (M1 flagship)."""
+    return f"""
+WITH {georegister_cte(images_path)},
+{tile_mean_cte(w, h)},
+cent AS (
+  SELECT t.image_id, m.tile_mean,
+         t.gt_x0 + t.w * t.gt_xres / 2 AS cx,
+         t.gt_y0 - t.h * t.gt_yres / 2 AS cy
+  FROM tiles t JOIN tmean m USING (idx)
+),
+pairs AS (
+  SELECT c.image_id, c.tile_mean, z.zone_id
+  FROM cent c
+  JOIN read_parquet('{zones_path}') z
+    ON c.cx >= z.xmin AND c.cx <= z.xmax AND c.cy >= z.ymin AND c.cy <= z.ymax
+  WHERE {pip_where('c.cx', 'c.cy')}
+)
+SELECT zone_id, count(*) AS n_images, round(avg(tile_mean), 6) AS avg_tile_mean
+FROM pairs GROUP BY zone_id ORDER BY zone_id
+"""
