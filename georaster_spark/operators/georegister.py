@@ -89,6 +89,26 @@ def georegister(images: DataFrame, r: int = DEFAULT_RES) -> DataFrame:
     )
 
 
+def with_cells(tiles: DataFrame, r: int = DEFAULT_RES) -> DataFrame:
+    """Attach extent + cell columns to a table that already carries a
+    geotransform (gt_x0/gt_y0/gt_xres/gt_yres, w, h) — the ingest path for
+    pre-georeferenced tiles (e.g. the landsat parity fixture)."""
+    df = (
+        tiles.withColumn("xmin", F.col("gt_x0"))
+        .withColumn("xmax", F.col("gt_x0") + F.col("w") * F.col("gt_xres"))
+        .withColumn("ymin", F.col("gt_y0") - F.col("h") * F.col("gt_yres"))
+        .withColumn("ymax", F.col("gt_y0"))
+    )
+    return (
+        df.withColumn("cell_r", F.lit(r))
+        .withColumn("cell_id", cells.cell_encode(F.col("gt_x0"), F.col("gt_y0"), r))
+        .withColumn(
+            "cover_cells",
+            cells.cell_cover(F.col("xmin"), F.col("xmax"), F.col("ymin"), F.col("ymax"), r),
+        )
+    )
+
+
 def tile_assignments(tiles: DataFrame) -> DataFrame:
     """Op E4 — one row per (image, covering cell); the north-rule
     bit-for-bit surface.  Determinism by construction: integer math only."""

@@ -1,0 +1,206 @@
+"""Ops R12/R14/R17 — distributed point sampling and interpolated lookup.
+
+Reference semantics: georaster/georaster.py :: __Raster.value_at_coords
+(≈L480-560 ⚠), __Raster.interp (≈L600-660 ⚠), find_value_at_coords alias
+(≈L770 ⚠) — UNVERIFIED bands, see SURVEY §0; normative engine semantics
+(floor+clamp gather; pixel-center bilinear, edge-clamped) are defined by
+georaster_spark.oracle and SURVEY §2.1.
+
+Distributed shape (SURVEY §2.1 R12):
+
+  1. CANDIDATES — points compute their res-r cell (pure Column); tiles
+     explode cover_cells; equi-join on cell_id.  The points side is
+     broadcast by default (point sets are usually query-sized), so the
+     tile side — which carries `bytes` — NEVER shuffles; at 10^12 rows
+     this stays a map-only stage over the tiles scan.  Flip
+     broadcast_points=False for point sets too big to broadcast: same
+     plan, shuffled hash join on cell_id.
+  2. EXACT containment filter: xmin <= x < xmax AND ymin < y <= ymax
+     (closed-open so a point on a shared tile edge hits exactly one
+     side; y edge is open at the bottom per the north-up convention).
+  3. GATHER — mapInPandas (fused decode + gather, one Arrow hop, no
+     per-row Python at the batch level).  No groupBy: each candidate
+     row is independent, so there is zero extra shuffle here.
+  4. DEDUP — overlapping tiles can both contain a point; the normative
+     answer is the lowest image_id (deterministic).  Only the slim
+     (point_id, image_id, value) rows reach this shuffle.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import Window
+
+from .. import oracle
+from ..constants import DEFAULT_RES
+from ..functions import cells
+
+_GATHER_SCHEMA = "point_id long, image_id string, val double"
+
+
+def _candidates(
+    points: DataFrame,
+    tiles: DataFrame,
+    r: int,
+    broadcast_points: bool,
+) -> DataFrame:
+    pts = points.select(
+        "point_id",
+        "x",
+        "y",
+        cells.cell_encode(F.col("x"), F.col("y"), r).alias("cell_id"),
+    )
+    if broadcast_points:
+        pts = F.broadcast(pts)
+    tl = tiles.select(
+        "image_id",
+        "bytes",
+        "w",
+        "h",
+        "fmt",
+        "gt_x0",
+        "gt_y0",
+        "gt_xres",
+        "gt_yres",
+        "xmin",
+        "xmax",
+        "ymin",
+        "ymax",
+        F.explode("cover_cells").alias("cell_id"),
+    )
+    return tl.join(pts, "cell_id").where(
+        (F.col("x") >= F.col("xmin"))
+        & (F.col("x") < F.col("xmax"))
+        & (F.col("y") > F.col("ymin"))
+        & (F.col("y") <= F.col("ymax"))
+    )
+
+
+def _gather_fn(mode: str, window: int | None, reducer: str):
+    def gather(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        # Batched NumPy: each distinct tile in the Arrow batch is decoded
+        # ONCE, then all its points gather via vectorized fancy indexing.
+        for pdf in batches:
+            out = np.empty(len(pdf), dtype=np.float64)
+            for _, idx in pdf.groupby("image_id", sort=False).indices.items():
+                r0 = pdf.iloc[idx[0]]
+                arr = oracle.decode_pixels(r0["bytes"], int(r0["w"]), int(r0["h"]), r0["fmt"])
+                g = (r0["gt_x0"], r0["gt_y0"], r0["gt_xres"], r0["gt_yres"])
+                xs = pdf["x"].to_numpy()[idx]
+                ys = pdf["y"].to_numpy()[idx]
+                if mode == "interp":
+                    out[idx] = oracle.interp_bilinear(arr, xs, ys, *g)
+                elif window:
+                    h, w = arr.shape
+                    js, iis = oracle.coord_to_px(xs, ys, *g, w, h)
+                    half = window // 2
+                    for t, (j, i) in enumerate(zip(js, iis)):
+                        patch = arr[
+                            max(0, int(i) - half) : min(h, int(i) + half + 1),
+                            max(0, int(j) - half) : min(w, int(j) + half + 1),
+                        ].astype(np.float64)
+                        out[idx[t]] = float(
+                            patch.mean() if reducer == "mean" else getattr(np, reducer)(patch)
+                        )
+                else:
+                    out[idx] = oracle.value_at(arr, xs, ys, *g).astype(np.float64)
+            yield pd.DataFrame(
+                {
+                    "point_id": pdf["point_id"].to_numpy(),
+                    "image_id": pdf["image_id"].to_numpy(),
+                    "val": out,
+                }
+            )
+
+    return gather
+
+
+def _sample(
+    points: DataFrame,
+    tiles: DataFrame,
+    mode: str,
+    r: int = DEFAULT_RES,
+    window: int | None = None,
+    reducer: str = "mean",
+    broadcast_points: bool = True,
+    value_name: str = "val",
+) -> DataFrame:
+    cand = _candidates(points, tiles, r, broadcast_points)
+    vals = cand.mapInPandas(_gather_fn(mode, window, reducer), schema=_GATHER_SCHEMA)
+    win = Window.partitionBy("point_id").orderBy("image_id")
+    return (
+        vals.withColumn("_rn", F.row_number().over(win))
+        .where(F.col("_rn") == 1)
+        .select("point_id", "image_id", F.col("val").alias(value_name))
+    )
+
+
+def value_at_coords(
+    points: DataFrame,
+    tiles: DataFrame,
+    r: int = DEFAULT_RES,
+    window: int | None = None,
+    reducer: str = "mean",
+    broadcast_points: bool = True,
+) -> DataFrame:
+    """R12: (point_id, image_id, val) — value of the pixel containing each
+    point, from the lowest-image_id containing tile.  `window=k` averages
+    (or `reducer`s) the clipped k x k neighborhood, matching upstream's
+    `window=` argument."""
+    return _sample(
+        points, tiles, "value", r=r, window=window, reducer=reducer,
+        broadcast_points=broadcast_points,
+    )
+
+
+def interp(
+    points: DataFrame,
+    tiles: DataFrame,
+    order: int = 1,
+    r: int = DEFAULT_RES,
+    broadcast_points: bool = True,
+) -> DataFrame:
+    """R14: bilinear (order=1) or nearest (order=0) interpolated sample."""
+    if order == 0:
+        return value_at_coords(points, tiles, r=r, broadcast_points=broadcast_points)
+    if order != 1:
+        raise NotImplementedError("only order 0 (nearest) and 1 (bilinear) are supported")
+    return _sample(points, tiles, "interp", r=r, broadcast_points=broadcast_points)
+
+
+def coord_to_px(points: DataFrame, tiles: DataFrame, r: int = DEFAULT_RES) -> DataFrame:
+    """R9 as a join: (point_id, image_id, px, py) integer pixel indices in
+    the lowest-image_id containing tile — pure Column math, no UDF."""
+    pts = F.broadcast(
+        points.select(
+            "point_id", "x", "y", cells.cell_encode(F.col("x"), F.col("y"), r).alias("cell_id")
+        )
+    )
+    tl = tiles.select(
+        "image_id", "w", "h", "gt_x0", "gt_y0", "gt_xres", "gt_yres",
+        "xmin", "xmax", "ymin", "ymax", F.explode("cover_cells").alias("cell_id"),
+    )
+    cand = tl.join(pts, "cell_id").where(
+        (F.col("x") >= F.col("xmin")) & (F.col("x") < F.col("xmax"))
+        & (F.col("y") > F.col("ymin")) & (F.col("y") <= F.col("ymax"))
+    )
+    px = F.least(
+        F.greatest(F.floor((F.col("x") - F.col("gt_x0")) / F.col("gt_xres")), F.lit(0)),
+        F.col("w").cast("long") - 1,
+    )
+    py = F.least(
+        F.greatest(F.floor((F.col("gt_y0") - F.col("y")) / F.col("gt_yres")), F.lit(0)),
+        F.col("h").cast("long") - 1,
+    )
+    win = Window.partitionBy("point_id").orderBy("image_id")
+    return (
+        cand.select("point_id", "image_id", px.alias("px"), py.alias("py"))
+        .withColumn("_rn", F.row_number().over(win))
+        .where(F.col("_rn") == 1)
+        .drop("_rn")
+    )

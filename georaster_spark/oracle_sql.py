@@ -103,6 +103,95 @@ def pip_where(px: str, py: str) -> str:
     return PIP_WHERE.format(px=px, py=py)
 
 
+def candidates_cte(points_path: str) -> str:
+    """CTEs `pts`/`cand`/`best`: points joined to their lowest-image_id
+    containing tile (closed-open edges, matching operators/sampling.py)."""
+    return f"""
+pts AS (SELECT * FROM read_parquet('{points_path}')),
+cand AS (
+  SELECT p.point_id, p.x, p.y, t.image_id, t.idx, t.fmt, t.w, t.h,
+         t.gt_x0, t.gt_y0, t.gt_xres, t.gt_yres
+  FROM pts p JOIN tiles t
+    ON p.x >= t.gt_x0 AND p.x < t.gt_x0 + t.w * t.gt_xres
+   AND p.y > t.gt_y0 - t.h * t.gt_yres AND p.y <= t.gt_y0
+),
+best AS (
+  SELECT * FROM (
+    SELECT *, row_number() OVER (PARTITION BY point_id ORDER BY image_id) AS rn
+    FROM cand) WHERE rn = 1
+)"""
+
+
+def value_at_coords_sql(images_path: str, points_path: str) -> str:
+    """Oracle for operators/sampling.value_at_coords: pixel value from the
+    ramp formula (engine decodes real bytes — match is by construction)."""
+    return f"""
+WITH {georegister_cte(images_path)},
+{candidates_cte(points_path)},
+px AS (
+  SELECT point_id, image_id, idx, fmt,
+    least(greatest(CAST(floor((x - gt_x0) / gt_xres) AS BIGINT), 0), w - 1) AS jx,
+    least(greatest(CAST(floor((gt_y0 - y) / gt_yres) AS BIGINT), 0), h - 1) AS iy
+  FROM best
+)
+SELECT point_id, image_id, CAST({ramp_value_expr('iy', 'jx')} AS DOUBLE) AS val
+FROM px ORDER BY point_id
+"""
+
+
+def interp_sql(images_path: str, points_path: str) -> str:
+    """Oracle for operators/sampling.interp(order=1): pixel-center bilinear,
+    edge-clamped — expression order mirrors oracle.interp_bilinear exactly."""
+    v00 = ramp_value_expr("i0c", "j0c")
+    v10 = ramp_value_expr("i0c", "j1c")
+    v01 = ramp_value_expr("i1c", "j0c")
+    v11 = ramp_value_expr("i1c", "j1c")
+    return f"""
+WITH {georegister_cte(images_path)},
+{candidates_cte(points_path)},
+frac AS (
+  SELECT point_id, image_id, idx, fmt, w, h,
+         (x - gt_x0) / gt_xres - 0.5 AS fx,
+         (gt_y0 - y) / gt_yres - 0.5 AS fy
+  FROM best
+),
+corners AS (
+  SELECT point_id, image_id, idx, fmt,
+         fx - floor(fx) AS t, fy - floor(fy) AS u,
+         least(greatest(CAST(floor(fx) AS BIGINT), 0), w - 1) AS j0c,
+         least(greatest(CAST(floor(fx) AS BIGINT) + 1, 0), w - 1) AS j1c,
+         least(greatest(CAST(floor(fy) AS BIGINT), 0), h - 1) AS i0c,
+         least(greatest(CAST(floor(fy) AS BIGINT) + 1, 0), h - 1) AS i1c
+  FROM frac
+)
+SELECT point_id, image_id,
+  round(((1 - t) * (1 - u)) * ({v00}) + (t * (1 - u)) * ({v10})
+      + ((1 - t) * u) * ({v01}) + (t * u) * ({v11}), 6) AS val
+FROM corners ORDER BY point_id
+"""
+
+
+def psnr_gate_sql(images_path: str, w: int, h: int) -> str:
+    """Oracle for the E10 PSNR verification aggregate: raw tiles
+    re-quantized with the qnt codec; MSE is exact integer arithmetic."""
+    v = "(((idx*7) % 13 + 1) * gi.i + ((idx*11) % 17 + 1) * gj.j + idx % 251) % 256"
+    vq = f"(({v}) // 4) * 4 + 2"
+    return f"""
+WITH {georegister_cte(images_path)},
+mse AS (
+  SELECT image_id,
+         SUM(pow(CAST(({v}) - ({vq}) AS DOUBLE), 2)) / {w * h} AS m
+  FROM tiles, generate_series(0, {h - 1}) AS gi(i), generate_series(0, {w - 1}) AS gj(j)
+  WHERE fmt = 'raw'
+  GROUP BY image_id
+)
+SELECT image_id,
+       CASE WHEN m = 0 THEN 99.0  -- identical arrays: engine maps inf -> 99.0
+            ELSE round(10.0 * log10(255.0 * 255.0 / m), 6) END AS psnr
+FROM mse ORDER BY image_id
+"""
+
+
 def flagship_sql(images_path: str, zones_path: str, w: int, h: int) -> str:
     """Oracle for plans/pipeline.zone_image_stats (M1 flagship)."""
     return f"""

@@ -77,6 +77,93 @@ def q_extent(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("image_id")
 
 
+def q_value_at_coords(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Op R12: pixel value at each point from its containing tile."""
+    from ..operators import sampling
+
+    tiles = geo.georegister(_images(spark, sf_dir))
+    return sampling.value_at_coords(_points(spark, sf_dir), tiles).orderBy("point_id")
+
+
+def q_interp_bilinear(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Op R14 order=1: pixel-center bilinear, edge-clamped."""
+    from ..operators import sampling
+
+    tiles = geo.georegister(_images(spark, sf_dir))
+    out = sampling.interp(_points(spark, sf_dir), tiles, order=1)
+    return out.withColumn("val", F.round("val", 6)).orderBy("point_id")
+
+
+def q_coord_to_px(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Op R9: world -> integer pixel indices (floor + clamp)."""
+    from ..operators import sampling
+
+    tiles = geo.georegister(_images(spark, sf_dir))
+    return sampling.coord_to_px(_points(spark, sf_dir), tiles).orderBy("point_id")
+
+
+def _q_pip_kind(kind: str):
+    def q(spark: SparkSession, sf_dir: str) -> DataFrame:
+        from ..operators.pip import pip_join
+
+        zones = _zones(spark, sf_dir).where(F.col("kind") == kind)
+        pairs = pip_join(_points(spark, sf_dir), zones, x=F.col("x"), y=F.col("y"))
+        return pairs.select("point_id", "zone_id").orderBy("point_id", "zone_id")
+
+    return q
+
+
+def q_extent_latlon(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Op R8: extent corners reprojected EPSG:3857 -> WGS84 lon/lat."""
+    from ..operators import extent as ext
+
+    tiles = geo.georegister(_images(spark, sf_dir))
+    out = ext.extent_latlon(tiles)
+    return out.select(
+        "image_id",
+        *[F.round(c, 9).alias(c) for c in ("lon_min", "lon_max", "lat_min", "lat_max")],
+    ).orderBy("image_id")
+
+
+def q_psnr_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Op E10: PSNR verification aggregate — raw tiles re-encoded with the
+    lossy qnt codec; per-image PSNR (gate: min >= 40 dB)."""
+    from ..functions.codecs import pixel_psnr, reencode
+
+    imgs = _images(spark, sf_dir).where(F.col("fmt") == "raw")
+    re = imgs.withColumn("qbytes", reencode("qnt")(F.col("bytes"), F.col("w"), F.col("h"), F.col("fmt")))
+    out = re.withColumn(
+        "psnr",
+        F.round(
+            pixel_psnr(
+                F.col("bytes"), F.col("qbytes"), F.col("w"), F.col("h"),
+                F.lit("raw"), F.lit("qnt"),
+            ),
+            6,
+        ),
+    )
+    return out.select("image_id", "psnr").orderBy("image_id")
+
+
+_SUBSET_BOUNDS = (5000.0, 15000.0, 3000.0, 9000.0)
+
+
+def q_subset_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Op R11 metadata surface: pixel window + updated geotransform for a
+    fixed query box (pixel payload checked in the pytest parity suite)."""
+    from ..operators import subset
+
+    tiles = geo.georegister(_images(spark, sf_dir))
+    win = subset.window_columns(tiles, _SUBSET_BOUNDS)
+    return win.select(
+        "image_id", "px0", "px1", "py0", "py1",
+        (F.col("gt_x0") + F.col("px0") * F.col("gt_xres")).alias("sub_x0"),
+        (F.col("gt_y0") - F.col("py0") * F.col("gt_yres")).alias("sub_y0"),
+        (F.col("px1") - F.col("px0")).alias("sub_w"),
+        (F.col("py1") - F.col("py0")).alias("sub_h"),
+    ).orderBy("image_id")
+
+
 # --- Oracle SQL sides ------------------------------------------------------
 
 
@@ -133,6 +220,66 @@ FROM tiles ORDER BY image_id
 """
 
 
+def _sql_pip_kind(fx: Path, kind: str) -> str:
+    return f"""
+SELECT p.point_id, z.zone_id
+FROM read_parquet('{fx / 'points.parquet'}') p
+JOIN read_parquet('{fx / 'zones.parquet'}') z
+  ON z.kind = '{kind}'
+ AND p.x >= z.xmin AND p.x <= z.xmax AND p.y >= z.ymin AND p.y <= z.ymax
+WHERE {osql.pip_where('p.x', 'p.y')}
+ORDER BY p.point_id, z.zone_id
+"""
+
+
+def _sql_extent_latlon(fx: Path) -> str:
+    r_e = 6378137.0
+    return f"""
+WITH {osql.georegister_cte(str(fx / 'images.parquet'))}
+SELECT image_id,
+  round(degrees(gt_x0 / {r_e}), 9) AS lon_min,
+  round(degrees((gt_x0 + w * gt_xres) / {r_e}), 9) AS lon_max,
+  round(degrees(2.0 * atan(exp((gt_y0 - h * gt_yres) / {r_e})) - pi() / 2.0), 9) AS lat_min,
+  round(degrees(2.0 * atan(exp(gt_y0 / {r_e})) - pi() / 2.0), 9) AS lat_max
+FROM tiles ORDER BY image_id
+"""
+
+
+def _sql_subset_window(fx: Path) -> str:
+    bxmin, bxmax, bymin, bymax = _SUBSET_BOUNDS
+    return f"""
+WITH {osql.georegister_cte(str(fx / 'images.parquet'))},
+win AS (
+  SELECT image_id, gt_x0, gt_y0, gt_xres, gt_yres,
+    greatest(0, CAST(floor(({bxmin} - gt_x0) / gt_xres) AS BIGINT)) AS px0,
+    least(CAST(w AS BIGINT), CAST(ceil(({bxmax} - gt_x0) / gt_xres) AS BIGINT)) AS px1,
+    greatest(0, CAST(floor((gt_y0 - {bymax}) / gt_yres) AS BIGINT)) AS py0,
+    least(CAST(h AS BIGINT), CAST(ceil((gt_y0 - {bymin}) / gt_yres) AS BIGINT)) AS py1
+  FROM tiles
+  WHERE gt_x0 < {bxmax} AND gt_x0 + w * gt_xres > {bxmin}
+    AND gt_y0 - h * gt_yres < {bymax} AND gt_y0 > {bymin}
+)
+SELECT image_id, px0, px1, py0, py1,
+       gt_x0 + px0 * gt_xres AS sub_x0,
+       gt_y0 - py0 * gt_yres AS sub_y0,
+       px1 - px0 AS sub_w,
+       py1 - py0 AS sub_h
+FROM win WHERE px1 > px0 AND py1 > py0
+ORDER BY image_id
+"""
+
+
+def _sql_coord_to_px(fx: Path) -> str:
+    return f"""
+WITH {osql.georegister_cte(str(fx / 'images.parquet'))},
+{osql.candidates_cte(str(fx / 'points.parquet'))}
+SELECT point_id, image_id,
+  least(greatest(CAST(floor((x - gt_x0) / gt_xres) AS BIGINT), 0), w - 1) AS px,
+  least(greatest(CAST(floor((gt_y0 - y) / gt_yres) AS BIGINT), 0), h - 1) AS py
+FROM best ORDER BY point_id
+"""
+
+
 # --- Registry --------------------------------------------------------------
 
 
@@ -142,15 +289,33 @@ def spatial_queries() -> dict[str, QueryFn]:
         "cell_anchor": q_cell_anchor,
         "tile_assign": q_tile_assign,
         "extent": q_extent,
+        "extent_latlon": q_extent_latlon,
+        "coord_to_px": q_coord_to_px,
+        "value_at_coords": q_value_at_coords,
+        "interp_bilinear": q_interp_bilinear,
+        "pip_rect": _q_pip_kind("rect"),
+        "pip_convex": _q_pip_kind("convex"),
+        "subset_window": q_subset_window,
+        "psnr_gate": q_psnr_gate,
     }
 
 
 def spatial_oracles(sf: str = "sf0.01") -> dict[str, str]:
     fx = fixtures_for_sf_dir(f"/root/testdata/{sf}")
     w = _TILE_W[sf]
+    img = str(fx / "images.parquet")
+    pts = str(fx / "points.parquet")
     return {
         "zone_image_stats": _sql_zone_image_stats(fx, w),
         "cell_anchor": _sql_cell_anchor(fx),
         "tile_assign": _sql_tile_assign(fx),
         "extent": _sql_extent(fx),
+        "extent_latlon": _sql_extent_latlon(fx),
+        "coord_to_px": _sql_coord_to_px(fx),
+        "value_at_coords": osql.value_at_coords_sql(img, pts),
+        "interp_bilinear": osql.interp_sql(img, pts),
+        "pip_rect": _sql_pip_kind(fx, "rect"),
+        "pip_convex": _sql_pip_kind(fx, "convex"),
+        "subset_window": _sql_subset_window(fx),
+        "psnr_gate": osql.psnr_gate_sql(img, w, w),
     }

@@ -114,11 +114,14 @@ def _zone_ring(z: int, cx: float, cy: float, hx: float, hy: float) -> tuple[str,
     if z % 2 == 0:
         pts = [(cx - hx, cy - hy), (cx + hx, cy - hy), (cx + hx, cy + hy), (cx - hx, cy + hy)]
     else:
+        # vertices on an ELLIPSE (constant per-zone radii) at jitter-spaced
+        # increasing angles: points on a convex curve in angle order are
+        # guaranteed convex + CCW.  (Per-vertex radii would NOT be convex.)
         nv = 5 + z % 4
+        rad = 0.6 + 0.4 * ((z * 11) % 10) / 10.0
         pts = []
         for i in range(nv):
             ang = 2.0 * math.pi * (i + 0.3 * ((z * 7 + i * 13) % 10) / 10.0) / nv
-            rad = 0.6 + 0.4 * ((z * 11 + i * 17) % 10) / 10.0
             pts.append((cx + hx * rad * math.cos(ang), cy + hy * rad * math.sin(ang)))
     pts.append(pts[0])
     return ("rect" if z % 2 == 0 else "convex", pts)
