@@ -1,0 +1,183 @@
+"""Relational operator demos over the driver's TPC-H-ish tables
+(SURVEY §2.3 category checklist: hash/broadcast joins, partial+final
+aggregation, window top-k, sorts, semi/anti joins, date + JSON scalar
+functions).  The reference has none of these (it is a raster library);
+the engine gets them from stock Spark — these queries prove the wiring
+and are oracle-checked against DuckDB.
+
+Float determinism pattern: money sums go through exact integer cents
+(`round(x*100)::bigint` summed, divided by 100.0 once at the end) so
+results are bit-identical regardless of summation order / parallelism —
+the same trick the spatial aggregates use (SURVEY §7.3 hard-part 1).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import Window
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+
+
+def cents(col: F.Column) -> F.Column:
+    return F.round(col * 100).cast("long")
+
+
+def q1_pricing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q1 analog: partial+final hash aggregation with exact-integer
+    money sums."""
+    li = _t(spark, sf_dir, "lineitem")
+    disc_cents = F.round(cents(F.col("l_extendedprice")) * (1.0 - F.col("l_discount"))).cast("long")
+    return (
+        li.where(F.col("l_shipdate") <= F.lit("1998-09-02"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.sum(F.col("l_quantity").cast("long")).alias("sum_qty"),
+            (F.sum(cents(F.col("l_extendedprice"))) / 100.0).alias("sum_base_price"),
+            (F.sum(disc_cents) / 100.0).alias("sum_disc_price"),
+            F.count(F.lit(1)).alias("count_order"),
+            F.round(F.sum(F.col("l_quantity").cast("long")) / F.count(F.lit(1)), 6).alias("avg_qty"),
+        )
+        .orderBy("l_returnflag", "l_linestatus")
+    )
+
+
+def q1_pricing_sql() -> str:
+    return """
+SELECT l_returnflag, l_linestatus,
+  SUM(CAST(l_quantity AS BIGINT)) AS sum_qty,
+  SUM(CAST(round(l_extendedprice * 100) AS BIGINT)) / 100.0 AS sum_base_price,
+  SUM(CAST(round(CAST(round(l_extendedprice * 100) AS BIGINT) * (1.0 - l_discount)) AS BIGINT)) / 100.0
+    AS sum_disc_price,
+  COUNT(*) AS count_order,
+  round(SUM(CAST(l_quantity AS BIGINT)) / COUNT(*), 6) AS avg_qty
+FROM lineitem
+WHERE l_shipdate <= TIMESTAMP '1998-09-02'
+GROUP BY l_returnflag, l_linestatus
+ORDER BY l_returnflag, l_linestatus
+"""
+
+
+def top_orders_per_segment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Broadcast join + window top-k (rank <= 3 per market segment)."""
+    orders = _t(spark, sf_dir, "orders")
+    cust = _t(spark, sf_dir, "customer")
+    j = orders.join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+    win = Window.partitionBy("c_mktsegment").orderBy(
+        F.col("o_totalprice").desc(), F.col("o_orderkey").asc()
+    )
+    return (
+        j.withColumn("rnk", F.row_number().over(win))
+        .where(F.col("rnk") <= 3)
+        .select("c_mktsegment", "rnk", "o_orderkey", "o_totalprice")
+        .orderBy("c_mktsegment", "rnk")
+    )
+
+
+def top_orders_per_segment_sql() -> str:
+    return """
+SELECT c_mktsegment, rnk, o_orderkey, o_totalprice FROM (
+  SELECT c_mktsegment, o_orderkey, o_totalprice,
+         row_number() OVER (PARTITION BY c_mktsegment
+                            ORDER BY o_totalprice DESC, o_orderkey ASC) AS rnk
+  FROM orders JOIN customer ON o_custkey = c_custkey)
+WHERE rnk <= 3 ORDER BY c_mktsegment, rnk
+"""
+
+
+def orders_by_month(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Date scalar functions + aggregation: monthly order count/revenue."""
+    orders = _t(spark, sf_dir, "orders")
+    return (
+        orders.groupBy(F.date_format("o_orderdate", "yyyy-MM").alias("month"))
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            (F.sum(cents(F.col("o_totalprice"))) / 100.0).alias("revenue"),
+        )
+        .orderBy("month")
+    )
+
+
+def orders_by_month_sql() -> str:
+    return """
+SELECT strftime(o_orderdate, '%Y-%m') AS month,
+       COUNT(*) AS n_orders,
+       SUM(CAST(round(o_totalprice * 100) AS BIGINT)) / 100.0 AS revenue
+FROM orders GROUP BY 1 ORDER BY month
+"""
+
+
+def events_json_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """JSON scalar extraction (props is a JSON string) + aggregation."""
+    ev = _t(spark, sf_dir, "events")
+    k = F.get_json_object("props", "$.k").cast("long")
+    return (
+        ev.groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(k).alias("sum_k"),
+            (F.sum(cents(F.col("value"))) / 100.0).alias("sum_value"),
+        )
+        .orderBy("event_type")
+    )
+
+
+def events_json_stats_sql() -> str:
+    return """
+SELECT event_type, COUNT(*) AS n,
+       SUM(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS sum_k,
+       SUM(CAST(round(value * 100) AS BIGINT)) / 100.0 AS sum_value
+FROM events GROUP BY event_type ORDER BY event_type
+"""
+
+
+def customers_without_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Anti-join (the op E9 resume primitive) + broadcast dim join."""
+    cust = _t(spark, sf_dir, "customer")
+    orders = _t(spark, sf_dir, "orders")
+    nation = _t(spark, sf_dir, "nation")
+    no_orders = cust.join(orders, cust.c_custkey == orders.o_custkey, "left_anti")
+    return (
+        no_orders.join(F.broadcast(nation), no_orders.c_nationkey == nation.n_nationkey)
+        .groupBy("n_name")
+        .agg(F.count(F.lit(1)).alias("n_customers"))
+        .orderBy("n_name")
+    )
+
+
+def customers_without_orders_sql() -> str:
+    return """
+SELECT n_name, COUNT(*) AS n_customers
+FROM customer JOIN nation ON c_nationkey = n_nationkey
+WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+GROUP BY n_name ORDER BY n_name
+"""
+
+
+def revenue_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ROLLUP grouping-sets demo: revenue by (returnflag, linestatus) with
+    subtotals; NULL group keys rendered as 'ALL' for a stable contract."""
+    li = _t(spark, sf_dir, "lineitem")
+    return (
+        li.rollup("l_returnflag", "l_linestatus")
+        .agg((F.sum(cents(F.col("l_extendedprice"))) / 100.0).alias("revenue"))
+        .select(
+            F.coalesce("l_returnflag", F.lit("ALL")).alias("returnflag"),
+            F.coalesce("l_linestatus", F.lit("ALL")).alias("linestatus"),
+            "revenue",
+        )
+        .orderBy("returnflag", "linestatus")
+    )
+
+
+def revenue_rollup_sql() -> str:
+    return """
+SELECT coalesce(l_returnflag, 'ALL') AS returnflag,
+       coalesce(l_linestatus, 'ALL') AS linestatus,
+       SUM(CAST(round(l_extendedprice * 100) AS BIGINT)) / 100.0 AS revenue
+FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)
+ORDER BY returnflag, linestatus
+"""

@@ -1,0 +1,90 @@
+"""Op E7 — zonal extraction (raster <-> vector) (SURVEY §2.2).
+
+Per (tile, zone) overlap: mask the pixels whose CENTERS fall inside the
+zone ring (convex half-plane test, boundary inside — same rule as op E5),
+reduce to partial stats per pair, then a final per-zone hash aggregation.
+Classic partial+final: only tiny partial rows (zone_id + 5 numbers) reach
+the one shuffle; pixel bytes never move.
+
+Candidate generation: zones are dims-sized -> broadcast JOIN on bbox
+overlap (BroadcastNestedLoopJoin).  That emits each (tile, zone) pair
+exactly once — no explode, no dedup pass, and the tile side stays a
+map-only scan.  (For zone tables too large to broadcast, switch to the
+cell-key equi-join path of op E5 and dedup pairs partition-locally;
+pairs born from one tile row never cross partitions.)
+
+All pixel work is batched NumPy inside mapInPandas; partial sums are
+integer-exact (uint8 pixels, int64 accumulators) so the final per-zone
+stats are bit-for-bit reproducible across parallelism levels and match
+the DuckDB oracle exactly.
+
+Reference analog: none (georaster is raster-only); this is the
+raster<->vector extraction mandated by BASELINE.json.north_rule.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from .. import oracle
+
+_PARTIAL_SCHEMA = "zone_id long, cnt long, s long, mn long, mx long, ss long"
+
+
+def _partial_stats(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    for pdf in batches:
+        out = {k: [] for k in ("zone_id", "cnt", "s", "mn", "mx", "ss")}
+        for k in range(len(pdf)):
+            row = pdf.iloc[k]
+            arr = oracle.decode_pixels(row["bytes"], int(row["w"]), int(row["h"]), row["fmt"])
+            h, w = arr.shape
+            xs, ys = oracle.pixel_centers(
+                row["gt_x0"], row["gt_y0"], row["gt_xres"], row["gt_yres"], w, h
+            )
+            ring = row["ring"]
+            rx = np.asarray([p["x"] for p in ring], dtype=np.float64)
+            ry = np.asarray([p["y"] for p in ring], dtype=np.float64)
+            inside = oracle.pip_halfplane(rx, ry, xs.ravel(), ys.ravel())
+            vals = arr.ravel()[inside].astype(np.int64)
+            if vals.size == 0:
+                continue
+            out["zone_id"].append(int(row["zone_id"]))
+            out["cnt"].append(int(vals.size))
+            out["s"].append(int(vals.sum()))
+            out["mn"].append(int(vals.min()))
+            out["mx"].append(int(vals.max()))
+            out["ss"].append(int((vals * vals).sum()))
+        yield pd.DataFrame(out)
+
+
+def zonal_stats(tiles: DataFrame, zones: DataFrame) -> DataFrame:
+    """(zone_id, n_pixels, sum_val, min_val, max_val, mean_val) over all
+    pixels whose centers fall inside each zone."""
+    z = F.broadcast(zones.select("zone_id", "ring", "xmin", "xmax", "ymin", "ymax"))
+    t = tiles.select(
+        "bytes", "w", "h", "fmt", "gt_x0", "gt_y0", "gt_xres", "gt_yres",
+        F.col("xmin").alias("t_xmin"), F.col("xmax").alias("t_xmax"),
+        F.col("ymin").alias("t_ymin"), F.col("ymax").alias("t_ymax"),
+    )
+    pairs = t.join(
+        z,
+        (F.col("t_xmin") < F.col("xmax")) & (F.col("t_xmax") > F.col("xmin"))
+        & (F.col("t_ymin") < F.col("ymax")) & (F.col("t_ymax") > F.col("ymin")),
+    )
+    partials = pairs.mapInPandas(_partial_stats, schema=_PARTIAL_SCHEMA)
+    return (
+        partials.groupBy("zone_id")
+        .agg(
+            F.sum("cnt").alias("n_pixels"),
+            F.sum("s").alias("sum_val"),
+            F.min("mn").alias("min_val"),
+            F.max("mx").alias("max_val"),
+            F.round(F.sum("s") / F.sum("cnt"), 6).alias("mean_val"),
+        )
+        .orderBy("zone_id")
+    )

@@ -21,6 +21,7 @@ from .. import oracle_sql as osql
 from ..constants import DEFAULT_RES, DOMAIN, RES_SHIFT
 from ..functions import cells
 from ..operators import georegister as geo
+from ..operators import relational as rel
 from ..sources.fixtures import fixtures_for_sf_dir
 from .pipeline import zone_image_stats
 
@@ -164,6 +165,30 @@ def q_subset_window(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("image_id")
 
 
+def q_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Op E6: exact 4-NN zone centroids per point via cell-keyed ring
+    expansion (oracle = brute-force cross join + window)."""
+    from ..operators.knn import knn_join
+
+    out = knn_join(_points(spark, sf_dir), _zones(spark, sf_dir), k=4, r=10)
+    return out.select("point_id", "rank", "zone_id").orderBy("point_id", "rank")
+
+
+def q_zonal_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Op E7: per-zone pixel stats (centers-in-zone mask, integer-exact)."""
+    from ..operators.zonal import zonal_stats
+
+    tiles = geo.georegister(_images(spark, sf_dir))
+    return zonal_stats(tiles, _zones(spark, sf_dir))
+
+
+def q_phash_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Op E11: banded-LSH hamming<=4 self-join on the phash column."""
+    from ..operators.phash import phash_near_dup
+
+    return phash_near_dup(_images(spark, sf_dir), t=4)
+
+
 # --- Oracle SQL sides ------------------------------------------------------
 
 
@@ -269,6 +294,67 @@ ORDER BY image_id
 """
 
 
+def _sql_knn(fx: Path) -> str:
+    return f"""
+SELECT point_id, rank, zone_id FROM (
+  SELECT p.point_id, z.zone_id,
+         row_number() OVER (
+           PARTITION BY p.point_id
+           ORDER BY (p.x - z.cx) * (p.x - z.cx) + (p.y - z.cy) * (p.y - z.cy) ASC,
+                    z.zone_id ASC) AS rank
+  FROM read_parquet('{fx / 'points.parquet'}') p
+  CROSS JOIN read_parquet('{fx / 'zones.parquet'}') z)
+WHERE rank <= 4 ORDER BY point_id, rank
+"""
+
+
+def _sql_zonal_stats(fx: Path, w: int) -> str:
+    ramp = osql.ramp_value_expr("gi.i", "gj.j")
+    return f"""
+WITH {osql.georegister_cte(str(fx / 'images.parquet'))},
+pairs AS (
+  SELECT t.idx, t.fmt, t.gt_x0, t.gt_y0, t.gt_xres, t.gt_yres, z.zone_id, z.ring
+  FROM tiles t JOIN read_parquet('{fx / 'zones.parquet'}') z
+    ON t.gt_x0 < z.xmax AND t.gt_x0 + t.w * t.gt_xres > z.xmin
+   AND t.gt_y0 - t.h * t.gt_yres < z.ymax AND t.gt_y0 > z.ymin
+),
+pix AS (
+  SELECT zone_id, {ramp} AS v,
+         gt_x0 + (gj.j + 0.5) * gt_xres AS px,
+         gt_y0 - (gi.i + 0.5) * gt_yres AS py,
+         ring
+  FROM pairs, generate_series(0, {w - 1}) AS gi(i), generate_series(0, {w - 1}) AS gj(j)
+),
+inz AS (
+  SELECT zone_id, v FROM pix z WHERE {osql.pip_where('z.px', 'z.py')}
+)
+SELECT zone_id, COUNT(*) AS n_pixels,
+       CAST(SUM(v) AS BIGINT) AS sum_val,
+       MIN(v) AS min_val, MAX(v) AS max_val,
+       round(CAST(SUM(v) AS DOUBLE) / COUNT(*), 6) AS mean_val
+FROM inz GROUP BY zone_id ORDER BY zone_id
+"""
+
+
+def _sql_phash(fx: Path) -> str:
+    from ..operators.phash import BANDS
+
+    bands_union = "\nUNION ALL\n".join(
+        f"SELECT image_id, phash, {i} AS band_id, (phash >> {sh}) & {(1 << wd) - 1} AS band_val FROM h"
+        for i, (sh, wd) in enumerate(BANDS)
+    )
+    return f"""
+WITH h AS (SELECT image_id, phash FROM read_parquet('{fx / 'images.parquet'}')),
+bands AS ({bands_union})
+SELECT DISTINCT a.image_id AS a_id, b.image_id AS b_id,
+       bit_count(xor(a.phash, b.phash)) AS hamming
+FROM bands a JOIN bands b
+  ON a.band_id = b.band_id AND a.band_val = b.band_val AND a.image_id < b.image_id
+WHERE bit_count(xor(a.phash, b.phash)) <= 4
+ORDER BY a_id, b_id
+"""
+
+
 def _sql_coord_to_px(fx: Path) -> str:
     return f"""
 WITH {osql.georegister_cte(str(fx / 'images.parquet'))},
@@ -297,6 +383,15 @@ def spatial_queries() -> dict[str, QueryFn]:
         "pip_convex": _q_pip_kind("convex"),
         "subset_window": q_subset_window,
         "psnr_gate": q_psnr_gate,
+        "knn_zones": q_knn,
+        "zonal_stats": q_zonal_stats,
+        "phash_near_dup": q_phash_near_dup,
+        "q1_pricing": rel.q1_pricing,
+        "top_orders_segment": rel.top_orders_per_segment,
+        "orders_by_month": rel.orders_by_month,
+        "events_json": rel.events_json_stats,
+        "customers_no_orders": rel.customers_without_orders,
+        "revenue_rollup": rel.revenue_rollup,
     }
 
 
@@ -318,4 +413,13 @@ def spatial_oracles(sf: str = "sf0.01") -> dict[str, str]:
         "pip_convex": _sql_pip_kind(fx, "convex"),
         "subset_window": _sql_subset_window(fx),
         "psnr_gate": osql.psnr_gate_sql(img, w, w),
+        "knn_zones": _sql_knn(fx),
+        "zonal_stats": _sql_zonal_stats(fx, w),
+        "phash_near_dup": _sql_phash(fx),
+        "q1_pricing": rel.q1_pricing_sql(),
+        "top_orders_segment": rel.top_orders_per_segment_sql(),
+        "orders_by_month": rel.orders_by_month_sql(),
+        "events_json": rel.events_json_stats_sql(),
+        "customers_no_orders": rel.customers_without_orders_sql(),
+        "revenue_rollup": rel.revenue_rollup_sql(),
     }

@@ -44,25 +44,27 @@ SCALES: dict[str, tuple[int, int, int, int]] = {
 _NEAR_DUP_MASK = (1 << 5) | (1 << 17) | (1 << 41)  # 3 bits -> hamming 3 <= 4
 
 
+def _scramble(idx: np.ndarray) -> np.ndarray:
+    """splitmix64-ish scramble -> ~uniform positive 63-bit hash.  Uniform
+    bits keep the LSH band keys balanced (operators/phash.py); a spatial
+    prefix would collapse all tiles into a handful of bands."""
+    h = idx.astype(np.uint64) * np.uint64(0x9E3779B97F4A7C15)
+    h ^= h >> np.uint64(33)
+    h *= np.uint64(0xFF51AFD7ED558CCD)
+    h ^= h >> np.uint64(29)
+    return (h >> np.uint64(1)).astype(np.int64)
+
+
 def _phash(idx: np.ndarray) -> np.ndarray:
-    """top 16 bits = coarse (r=8) cell index of the tile anchor;
-    low 48 bits = multiplicative scramble.  1% planted near-dup pairs."""
-    geo = oracle.georegister(idx, np.full_like(idx, 32))
-    c8 = oracle.cell_encode(geo["gt_x0"], geo["gt_y0"], 8)
-    _, ix8, iy8 = oracle.cell_decode(c8)
-    coarse = ((iy8 & 0xFF) << 8) | (ix8 & 0xFF)
-    base = (idx * np.int64(2654435761)) % (np.int64(1) << 48)
-    ph = (coarse << 48) | base
+    """64-bit perceptual-hash stand-in: scrambled bits, with planted
+    near-duplicate pairs (hamming 3 <= 4) for 1% of rows (idx%100==99
+    pairs with idx-1)."""
+    ph = _scramble(idx)
     dup = (idx % 100) == 99
     if dup.any():
         prev = np.where(dup, idx - 1, idx)
-        geo_p = oracle.georegister(prev, np.full_like(prev, 32))
-        c8p = oracle.cell_encode(geo_p["gt_x0"], geo_p["gt_y0"], 8)
-        _, ix8p, iy8p = oracle.cell_decode(c8p)
-        coarse_p = ((iy8p & 0xFF) << 8) | (ix8p & 0xFF)
-        base_p = (prev * np.int64(2654435761)) % (np.int64(1) << 48)
-        ph = np.where(dup, ((coarse_p << 48) | base_p) ^ np.int64(_NEAR_DUP_MASK), ph)
-    return ph.astype(np.int64)
+        ph = np.where(dup, _scramble(prev) ^ np.int64(_NEAR_DUP_MASK), ph)
+    return ph
 
 
 def _write_images(out: Path, n: int, w: int, chunk: int = 10_000) -> None:
