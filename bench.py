@@ -1,0 +1,184 @@
+#!/usr/bin/env python
+"""Benchmark runner (driver contract + BASELINE.md scaling protocol).
+
+Default mode: run the headline queries at ``$SPARK_GRAFT_SF_DIR``
+(default /root/testdata/sf0.1) on ``local[$SPARK_GRAFT_CPUS]`` and print
+ONE JSON line::
+
+    {"metric": "...", "value": N, "unit": "sec",
+     "queries": {"q": sec, ...}, "sf": ..., "images_per_sec": ...}
+
+``value`` is the wall-seconds of the headline job — the BASELINE.json
+metric surface: spatial-join + tile-assignment (georegister -> explode
+cover_cells -> broadcast PIP join of image centroids to zones), with
+``images_per_sec`` the derived throughput.
+
+``--scaling`` mode additionally re-runs the headline job in TWO fresh
+JVMs at local[N] and local[4N] (the sandbox stand-in for N vs 4N
+executor clusters, SURVEY §6) and reports scaling efficiency
+eff = T_N / (4 * T_4N); ``--write-md`` appends the evidence table to
+BENCH/BASELINE.md.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import subprocess
+import sys
+import time
+from pathlib import Path
+
+REPO = Path(__file__).resolve().parent
+DEFAULT_SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+
+
+def _spark(cpus: int):
+    sys.path.insert(0, str(REPO))
+    from georaster_spark.session import get_spark
+
+    return get_spark(master=f"local[{cpus}]", app_name=f"bench-{cpus}")
+
+
+def headline_job(spark, sf_dir: str) -> dict:
+    """Spatial-join + tile-assignment pipeline (the BASELINE.json metric).
+
+    georegister (map-only Column math) -> E4 tile assignment (explode
+    cover_cells) -> E5 broadcast PIP join of image centroids into zones
+    -> counts.  Forces full execution of both branches.
+    """
+    from pyspark.sql import functions as F
+
+    from georaster_spark.operators import georegister as geo
+    from georaster_spark.operators.pip import pip_join
+    from georaster_spark.plans.pipeline import load_fixture
+
+    images = load_fixture(spark, sf_dir, "images").select(
+        "image_id", "w", "h"
+    )  # pixel bytes pruned: the metric is the join+assignment, not decode
+    zones = load_fixture(spark, sf_dir, "zones")
+    n_images = images.count()
+
+    t0 = time.perf_counter()
+    tiles = geo.georegister(images)
+    n_assign = geo.tile_assignments(tiles).count()
+    pairs = pip_join(tiles, zones, x=geo.centroid_x(), y=geo.centroid_y())
+    n_pairs = pairs.count()
+    dt = time.perf_counter() - t0
+    return {
+        "sec": dt,
+        "n_images": n_images,
+        "n_assignments": n_assign,
+        "n_pip_pairs": n_pairs,
+        "images_per_sec": n_images / dt if dt > 0 else None,
+    }
+
+
+def bench_queries(spark, sf_dir: str) -> dict[str, float]:
+    """Per-query wall seconds over the full contract-relevant suite."""
+    from georaster_spark.plans import contract
+
+    skip = set()  # all queries run at sf0.1
+    out: dict[str, float] = {}
+    for name, fn in contract.spatial_queries().items():
+        if name in skip:
+            continue
+        t0 = time.perf_counter()
+        try:
+            fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
+        except Exception as exc:  # keep the bench line intact if one op breaks
+            out[name] = -1.0
+            print(f"[bench] {name} FAILED: {exc}", file=sys.stderr)
+            continue
+        out[name] = round(time.perf_counter() - t0, 3)
+    return out
+
+
+def run_once(cpus: int, sf_dir: str, with_queries: bool) -> dict:
+    spark = _spark(cpus)
+    try:
+        head = headline_job(spark, sf_dir)
+        res = {
+            "metric": "spatial-join + tile-assignment wall time (headline); "
+            "throughput in images_per_sec",
+            "value": round(head["sec"], 3),
+            "unit": "sec",
+            "sf": Path(sf_dir).name,
+            "cpus": cpus,
+            "images_per_sec": round(head["images_per_sec"], 1),
+            "n_images": head["n_images"],
+            "n_assignments": head["n_assignments"],
+            "n_pip_pairs": head["n_pip_pairs"],
+        }
+        if with_queries:
+            res["queries"] = bench_queries(spark, sf_dir)
+        return res
+    finally:
+        spark.stop()
+
+
+def run_scaling(sf_dir: str, n: int, sf_cpus: int) -> dict:
+    """Fresh JVM per parallelism level via subprocess (clean measurement)."""
+    results = {}
+    for cpus in (n, 4 * n):
+        cmd = [
+            sys.executable,
+            str(REPO / "bench.py"),
+            "--cpus",
+            str(cpus),
+            "--sf-dir",
+            sf_dir,
+            "--headline-only",
+        ]
+        proc = subprocess.run(cmd, capture_output=True, text=True, cwd=str(REPO))
+        line = [l for l in proc.stdout.splitlines() if l.startswith("{")][-1]
+        results[cpus] = json.loads(line)
+    t_n = results[n]["value"]
+    t_4n = results[4 * n]["value"]
+    return {
+        "N": n,
+        "t_N_sec": t_n,
+        "t_4N_sec": t_4n,
+        "thr_N": results[n]["images_per_sec"],
+        "thr_4N": results[4 * n]["images_per_sec"],
+        "efficiency": round(t_n / (4.0 * t_4n), 3),
+    }
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--sf-dir", default=DEFAULT_SF_DIR)
+    ap.add_argument("--cpus", type=int, default=int(os.environ.get("SPARK_GRAFT_CPUS", "32")))
+    ap.add_argument("--headline-only", action="store_true")
+    ap.add_argument("--scaling", action="store_true", help="N vs 4N evidence run")
+    ap.add_argument("--scaling-n", type=int, default=8)
+    ap.add_argument("--write-md", action="store_true")
+    args = ap.parse_args()
+
+    # Fixture generation (cached) happens outside the timed region.
+    from georaster_spark.sources.fixtures import fixtures_for_sf_dir
+
+    fixtures_for_sf_dir(args.sf_dir)
+
+    if args.scaling:
+        sc = run_scaling(args.sf_dir, args.scaling_n, args.cpus)
+        if args.write_md:
+            md = REPO / "BENCH" / "BASELINE.md"
+            md.parent.mkdir(exist_ok=True)
+            with md.open("a") as f:
+                f.write(
+                    f"\n| {Path(args.sf_dir).name} | local[{sc['N']}] vs local[{4*sc['N']}] "
+                    f"| {sc['t_N_sec']:.2f}s vs {sc['t_4N_sec']:.2f}s "
+                    f"| {sc['thr_N']:.0f} vs {sc['thr_4N']:.0f} img/s "
+                    f"| **{sc['efficiency']:.3f}** |\n"
+                )
+        print(json.dumps({"metric": "scaling efficiency N->4N", "unit": "ratio", **sc}))
+        return
+
+    res = run_once(args.cpus, args.sf_dir, with_queries=not args.headline_only)
+    print(json.dumps(res))
+
+
+if __name__ == "__main__":
+    main()
