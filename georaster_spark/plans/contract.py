@@ -22,6 +22,7 @@ from ..constants import DEFAULT_RES, DOMAIN, RES_SHIFT
 from ..functions import cells
 from ..operators import georegister as geo
 from ..operators import relational as rel
+from ..operators import textops, vectors
 from ..sources.fixtures import fixtures_for_sf_dir
 from .pipeline import zone_image_stats
 
@@ -392,6 +393,8 @@ def spatial_queries() -> dict[str, QueryFn]:
         "events_json": rel.events_json_stats,
         "customers_no_orders": rel.customers_without_orders,
         "revenue_rollup": rel.revenue_rollup,
+        **textops.text_queries(),
+        **vectors.vector_queries(),
     }
 
 
@@ -422,4 +425,6 @@ def spatial_oracles(sf: str = "sf0.01") -> dict[str, str]:
         "events_json": rel.events_json_stats_sql(),
         "customers_no_orders": rel.customers_without_orders_sql(),
         "revenue_rollup": rel.revenue_rollup_sql(),
+        **textops.text_oracles(),
+        **vectors.vector_oracles(),
     }

@@ -1,0 +1,56 @@
+"""Cross-engine parity for the training-data-pipeline ops (textops /
+vectors) at sf0.001 — the same compare the driver runs at sf0.01
+(tests/driver_sim.py logic, subset for speed)."""
+
+from __future__ import annotations
+
+import duckdb
+import pytest
+
+from georaster_spark.operators import textops, vectors
+from tests.driver_sim import table_hash
+
+SF_DIR = "/root/testdata/sf0.001"
+
+CASES = [
+    ("text_stats", textops.text_stats, textops.text_stats_sql()),
+    ("text_quality", textops.text_quality, textops.text_quality_sql()),
+    ("lang_id", textops.lang_id, textops.lang_id_sql()),
+    ("doc_fingerprint", textops.doc_fingerprint, textops.doc_fingerprint_sql()),
+    ("dedup_exact", textops.dedup_exact, textops.dedup_exact_sql()),
+    ("jaccard_pairs", textops.jaccard_pairs, textops.jaccard_pairs_sql()),
+    ("minhash_lsh", textops.minhash_lsh_pairs, textops.minhash_lsh_pairs_sql()),
+    ("simhash", textops.simhash_pairs, textops.simhash_pairs_sql()),
+    ("cosine_near_dup", vectors.cosine_near_dup, vectors.cosine_near_dup_sql()),
+    ("ann_topk_brute", vectors.ann_topk_brute, vectors.ann_topk_brute_sql()),
+    ("ann_lsh", vectors.ann_lsh, vectors.ann_lsh_sql()),
+]
+
+
+@pytest.fixture(scope="module")
+def duck():
+    con = duckdb.connect()
+    for t in ("documents", "embeddings"):
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{SF_DIR}/{t}.parquet')"
+        )
+    return con
+
+
+@pytest.mark.parametrize("name,fn,sql", CASES, ids=[c[0] for c in CASES])
+def test_parity(spark, duck, name, fn, sql):
+    sdf = fn(spark, SF_DIR)
+    srows = [tuple(r) for r in sdf.collect()]
+    orows = duck.execute(sql).fetchall()
+    ocols = [d[0] for d in duck.description]
+    assert sorted(sdf.columns) == sorted(ocols)
+    assert len(srows) == len(orows)
+    assert table_hash(sdf.columns, srows) == table_hash(ocols, orows)
+
+
+def test_nontrivial_outputs(spark, duck):
+    """Guard against trivially-empty comparisons: the planted structure
+    must actually produce pairs/dups at sf0.001."""
+    assert textops.jaccard_pairs(spark, SF_DIR).count() > 0
+    assert textops.dedup_exact(spark, SF_DIR).count() > 0
+    assert vectors.ann_topk_brute(spark, SF_DIR).count() > 0
