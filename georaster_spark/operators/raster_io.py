@@ -1,0 +1,222 @@
+"""Raster sources/sinks + load-variant operators.
+
+Reference analogs (georaster/georaster.py ⚠ UNVERIFIED bands, SURVEY
+§0/§2.1): R5 `SingleBandRaster.from_array` (≈L700-760), R6
+`simple_write_geotiff` (≈L950-1060), R2's `downsampl=k` decimated read
+(≈L620-700), R3/R4 `MultiBandRaster` band selection + `gdal_band`
+(≈L780-880).  GeoTIFF-the-format is out of scope (no GDAL in sandbox);
+sinks write the engine's parquet/icelite tables with the self-defined
+codecs (FIXTURES.md §2), which carry the same information content
+(pixels + geotransform + CRS + nodata).
+
+All pixel paths are batched NumPy inside Arrow UDFs (input_hint
+mandate); metadata-only paths are pure Column math.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.types import BinaryType
+
+from .. import oracle
+
+
+# ---------------------------------------------------------------------------
+# R5 — from_array source
+# ---------------------------------------------------------------------------
+
+
+def from_arrays(
+    spark: SparkSession,
+    items: list[tuple[str, np.ndarray, tuple[float, float, float, float]]],
+    fmt: str = "raw",
+    crs: str = "EPSG:3857",
+    nodata: float | None = None,
+) -> DataFrame:
+    """Build an engine tile table from in-memory NumPy arrays —
+    (image_id, array[h,w] or [nbands,h,w], (gt_x0, gt_y0, gt_xres,
+    gt_yres)).  Inverse of the decode path; geo columns attached so the
+    result composes with every operator (georegister.with_cells adds
+    extent/cell columns)."""
+    rows = []
+    for image_id, arr, (gx0, gy0, xres, yres) in items:
+        nb = 1 if arr.ndim == 2 else arr.shape[0]
+        h, w = arr.shape[-2], arr.shape[-1]
+        rows.append(
+            {
+                "image_id": image_id,
+                "bytes": oracle.encode_pixels(arr, fmt),
+                "w": w,
+                "h": h,
+                "fmt": fmt,
+                "nbands": nb,
+                "gt_x0": float(gx0),
+                "gt_y0": float(gy0),
+                "gt_xres": float(xres),
+                "gt_yres": float(yres),
+                "crs": crs,
+                "nodata": nodata,
+            }
+        )
+    schema = (
+        "image_id string, bytes binary, w int, h int, fmt string, nbands int,"
+        " gt_x0 double, gt_y0 double, gt_xres double, gt_yres double,"
+        " crs string, nodata double"
+    )
+    return spark.createDataFrame(rows, schema)
+
+
+# ---------------------------------------------------------------------------
+# R6 — sink (write with optional mask -> nodata fill + re-encode)
+# ---------------------------------------------------------------------------
+
+
+def write_raster(
+    df: DataFrame,
+    table_dir,
+    fmt_to: str | None = None,
+    nodata_fill: float | None = None,
+    mask_col: str | None = None,
+    mode: str = "append",
+) -> int:
+    """simple_write_geotiff analog: optional mask (binary column, 0x01 =
+    masked) fills pixels with `nodata_fill` before encode; optional
+    re-encode to `fmt_to`; commits an icelite snapshot (atomic, pinned
+    file list) and returns its version."""
+    from ..sources import icelite
+
+    out = df
+    if mask_col is not None or fmt_to is not None:
+        fill = 0.0 if nodata_fill is None else float(nodata_fill)
+        target_fmt = fmt_to
+
+        @F.pandas_udf(BinaryType())
+        def _rewrite(
+            data: pd.Series, w: pd.Series, h: pd.Series, fmt: pd.Series, mask: pd.Series
+        ) -> pd.Series:
+            res = []
+            for k in range(len(data)):
+                arr = oracle.decode_pixels(data.iat[k], int(w.iat[k]), int(h.iat[k]), fmt.iat[k])
+                if mask.iat[k] is not None:
+                    m = np.frombuffer(mask.iat[k], dtype=np.uint8).reshape(arr.shape) != 0
+                    arr = np.where(m, np.asarray(fill, dtype=arr.dtype), arr)
+                res.append(oracle.encode_pixels(arr, target_fmt or fmt.iat[k]))
+            return pd.Series(res)
+
+        mask_arg = F.col(mask_col) if mask_col else F.lit(None).cast("binary")
+        out = df.withColumn(
+            "bytes", _rewrite(F.col("bytes"), F.col("w"), F.col("h"), F.col("fmt"), mask_arg)
+        )
+        if fmt_to is not None:
+            out = out.withColumn("fmt", F.lit(fmt_to))
+        if mask_col:
+            out = out.drop(mask_col)
+    return icelite.write_snapshot(out, table_dir, mode=mode)
+
+
+# ---------------------------------------------------------------------------
+# R2 — decimated read (downsampl=k)
+# ---------------------------------------------------------------------------
+
+
+def downsample(tiles: DataFrame, k: int) -> DataFrame:
+    """GDAL buf_xsize-style decimation: arr[::k, ::k]; pixel size grows
+    k-fold, origin unchanged (matches reading with downsampl=k)."""
+    if k <= 1:
+        return tiles
+
+    @F.pandas_udf(BinaryType())
+    def _dec(data: pd.Series, w: pd.Series, h: pd.Series, fmt: pd.Series) -> pd.Series:
+        res = []
+        for i in range(len(data)):
+            arr = oracle.decode_pixels(data.iat[i], int(w.iat[i]), int(h.iat[i]), fmt.iat[i])
+            res.append(oracle.encode_pixels(arr[::k, ::k], fmt.iat[i]))
+        return pd.Series(res)
+
+    new_w = F.floor((F.col("w") + k - 1) / k).cast("int")
+    new_h = F.floor((F.col("h") + k - 1) / k).cast("int")
+    return (
+        tiles.withColumn("bytes", _dec(F.col("bytes"), F.col("w"), F.col("h"), F.col("fmt")))
+        .withColumn("w", new_w)
+        .withColumn("h", new_h)
+        .withColumn("gt_xres", F.col("gt_xres") * k)
+        .withColumn("gt_yres", F.col("gt_yres") * k)
+    )
+
+
+# ---------------------------------------------------------------------------
+# R3/R4 — multi-band load + band selection
+# ---------------------------------------------------------------------------
+
+
+def gdal_band_index(bands: list[int], b: int) -> int:
+    """R4 `MultiBandRaster.gdal_band`: band id -> plane axis index."""
+    return bands.index(b)
+
+
+def band_select(tiles: DataFrame, bands: list[int]) -> DataFrame:
+    """R3's `bands=` selection re-expressed over stored multi-band tiles:
+    keep the chosen 1-based band planes (order preserved).  Metadata
+    (`nbands`) updates via Column math; pixels via one Arrow UDF."""
+    keep = [b - 1 for b in bands]
+
+    @F.pandas_udf(BinaryType())
+    def _sel(
+        data: pd.Series, w: pd.Series, h: pd.Series, fmt: pd.Series, nb: pd.Series
+    ) -> pd.Series:
+        res = []
+        for i in range(len(data)):
+            arr = oracle.decode_pixels(
+                data.iat[i], int(w.iat[i]), int(h.iat[i]), fmt.iat[i], nbands=int(nb.iat[i])
+            )
+            res.append(oracle.encode_pixels(arr[keep], fmt.iat[i]))
+        return pd.Series(res)
+
+    return tiles.withColumn(
+        "bytes", _sel(F.col("bytes"), F.col("w"), F.col("h"), F.col("fmt"), F.col("nbands"))
+    ).withColumn("nbands", F.lit(len(bands)))
+
+
+def band_stats(tiles: DataFrame) -> DataFrame:
+    """Per-(image, band) mean/min/max — the multi-band reduce demo
+    (fused decode + per-plane stats, one Arrow hop)."""
+    from pyspark.sql.types import (
+        DoubleType,
+        IntegerType,
+        StringType,
+        StructField,
+        StructType,
+    )
+
+    schema = StructType(
+        [
+            StructField("image_id", StringType()),
+            StructField("band", IntegerType()),
+            StructField("mean_val", DoubleType()),
+            StructField("min_val", DoubleType()),
+            StructField("max_val", DoubleType()),
+        ]
+    )
+
+    def gen(batches):
+        for pdf in batches:
+            out = {"image_id": [], "band": [], "mean_val": [], "min_val": [], "max_val": []}
+            for _, r in pdf.iterrows():
+                arr = oracle.decode_pixels(
+                    r["bytes"], int(r["w"]), int(r["h"]), r["fmt"], nbands=int(r["nbands"])
+                )
+                if arr.ndim == 2:
+                    arr = arr[None, :, :]
+                for b in range(arr.shape[0]):
+                    out["image_id"].append(r["image_id"])
+                    out["band"].append(b + 1)
+                    out["mean_val"].append(float(arr[b].mean(dtype=np.float64)))
+                    out["min_val"].append(float(arr[b].min()))
+                    out["max_val"].append(float(arr[b].max()))
+            yield pd.DataFrame(out)
+
+    cols = ["image_id", "bytes", "w", "h", "fmt", "nbands"]
+    return tiles.select(*cols).mapInPandas(gen, schema=schema)

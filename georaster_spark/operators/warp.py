@@ -1,0 +1,210 @@
+"""Op R15 — distributed reproject / warp + mosaic.
+
+Reference analog: georaster/georaster.py :: __Raster.reproject
+(≈L660-760 ⚠ UNVERIFIED — SURVEY §0/§2.1 R15): GDAL builds a target
+grid in memory and `gdal.ReprojectImage` inverse-maps every target
+pixel into the source.  Distributed re-expression (SURVEY §2.1):
+
+  1. ENUMERATE the target tile grid (spark.range — no data motion).
+  2. Each target tile's extent is transformed to the source CRS
+     (closed-form 4326<->3857, axis-separable + monotonic, so the
+     corner box is exact) — pure Column math.
+  3. RANGE-JOIN source tiles whose extents intersect the target tile's
+     source-CRS box, accelerated by the GQK cell equi-prefilter (the
+     join IS the warp's data movement; broadcast the *target grid* side
+     — it is metadata-only and tiny relative to the pixel side).
+  4. One `applyInPandas` per target tile: inverse-map its pixel
+     centers -> source CRS (NumPy), gather nearest/bilinear from each
+     contributing source tile, mosaic deterministic first-valid in
+     ascending image_id order (north-rule bit-for-bit posture), emit
+     encoded bytes + the target geotransform columns.
+
+Pixels no source covers get `nodata` (default 0).  Output rows follow
+the engine tile schema so warps compose (a warped table can be warped,
+zonal'd, sampled, written via raster_io.write_raster).
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.types import (
+    BinaryType,
+    DoubleType,
+    IntegerType,
+    LongType,
+    StringType,
+    StructField,
+    StructType,
+)
+
+from .. import oracle
+from ..constants import DEFAULT_RES
+from ..functions import cells
+
+_MERC = "EPSG:3857"
+_LL = "EPSG:4326"
+
+
+@dataclass(frozen=True)
+class TargetGrid:
+    """R15's (target_srs, nx, ny, xmin, ymax, xres, yres) argument set."""
+
+    crs: str
+    x0: float  # left edge
+    y0: float  # TOP edge (north-up)
+    xres: float
+    yres: float  # positive
+    nx: int  # total pixels
+    ny: int
+    tile_w: int = 64
+    tile_h: int = 64
+
+
+def _to_source_xy(crs_from: str, crs_to: str, x: np.ndarray, y: np.ndarray):
+    if crs_from == crs_to:
+        return x, y
+    if crs_from == _LL and crs_to == _MERC:
+        return oracle.lonlat_to_mercator(x, y)
+    if crs_from == _MERC and crs_to == _LL:
+        return oracle.mercator_to_lonlat(x, y)
+    raise ValueError(f"unsupported CRS pair {crs_from} -> {crs_to}")
+
+
+def _grid_df(spark: SparkSession, g: TargetGrid, src_crs: str) -> DataFrame:
+    """Target tile grid with extents in BOTH target and source CRS."""
+    ntx = -(-g.nx // g.tile_w)
+    nty = -(-g.ny // g.tile_h)
+    rows = []
+    for ty in range(nty):
+        for tx in range(ntx):
+            w = min(g.tile_w, g.nx - tx * g.tile_w)
+            h = min(g.tile_h, g.ny - ty * g.tile_h)
+            gx0 = g.x0 + tx * g.tile_w * g.xres
+            gy0 = g.y0 - ty * g.tile_h * g.yres
+            # extent corners in target crs
+            cx = np.array([gx0, gx0 + w * g.xres])
+            cy = np.array([gy0 - h * g.yres, gy0])
+            sx, sy = _to_source_xy(g.crs, src_crs, cx, cy)
+            rows.append(
+                (
+                    ty * ntx + tx, tx, ty, w, h, gx0, gy0,
+                    float(min(sx)), float(max(sx)), float(min(sy)), float(max(sy)),
+                )
+            )
+    schema = (
+        "tid long, tx int, ty int, w int, h int, gt_x0 double, gt_y0 double,"
+        " s_xmin double, s_xmax double, s_ymin double, s_ymax double"
+    )
+    return spark.createDataFrame(rows, schema)
+
+
+def reproject(
+    tiles: DataFrame,
+    grid: TargetGrid,
+    method: str = "nearest",
+    nodata: float = 0.0,
+    r: int = DEFAULT_RES,
+) -> DataFrame:
+    """Warp `tiles` (engine tile schema incl. extent + cover_cells) onto
+    `grid`.  method: 'nearest' (floor-gather) | 'bilinear' (pixel-center,
+    edge-clamped inside each source tile)."""
+    if method not in ("nearest", "bilinear"):
+        raise ValueError(method)
+    spark = tiles.sparkSession
+    src_crs = tiles.select("crs").first()[0]
+    g = _grid_df(spark, grid, src_crs)
+
+    # cell prefilter: target tile source-box cover cells vs source cover_cells
+    gx = g.withColumn(
+        "cell_id",
+        F.explode(cells.cell_cover(F.col("s_xmin"), F.col("s_xmax"), F.col("s_ymin"), F.col("s_ymax"), r)),
+    )
+    src = tiles.select(
+        F.col("image_id"), F.col("bytes"), F.col("w").alias("sw"), F.col("h").alias("sh"),
+        F.col("fmt"), F.col("gt_x0").alias("s_gx0"), F.col("gt_y0").alias("s_gy0"),
+        F.col("gt_xres").alias("s_xres"), F.col("gt_yres").alias("s_yres"),
+        F.col("xmin"), F.col("xmax"), F.col("ymin"), F.col("ymax"),
+        F.explode("cover_cells").alias("cell_id"),
+    )
+    pairs = (
+        src.join(F.broadcast(gx), "cell_id")
+        .where(
+            (F.col("xmin") < F.col("s_xmax")) & (F.col("xmax") > F.col("s_xmin"))
+            & (F.col("ymin") < F.col("s_ymax")) & (F.col("ymax") > F.col("s_ymin"))
+        )
+        .drop("cell_id", "xmin", "xmax", "ymin", "ymax", "s_xmin", "s_xmax", "s_ymin", "s_ymax")
+        .dropDuplicates(["tid", "image_id"])
+    )
+
+    out_schema = StructType(
+        [
+            StructField("tile_id", LongType()),
+            StructField("bytes", BinaryType()),
+            StructField("w", IntegerType()),
+            StructField("h", IntegerType()),
+            StructField("fmt", StringType()),
+            StructField("gt_x0", DoubleType()),
+            StructField("gt_y0", DoubleType()),
+            StructField("gt_xres", DoubleType()),
+            StructField("gt_yres", DoubleType()),
+            StructField("crs", StringType()),
+            StructField("n_filled", LongType()),
+            StructField("n_sources", IntegerType()),
+        ]
+    )
+    tgt_crs, txres, tyres = grid.crs, grid.xres, grid.yres
+    bilinear = method == "bilinear"
+
+    def warp_tile(key, pdf: pd.DataFrame):
+        row0 = pdf.iloc[0]
+        w, h = int(row0["w"]), int(row0["h"])
+        gx0, gy0 = float(row0["gt_x0"]), float(row0["gt_y0"])
+        # target pixel centers -> source CRS
+        cx = gx0 + (np.arange(w, dtype=np.float64) + 0.5) * txres
+        cy = gy0 - (np.arange(h, dtype=np.float64) + 0.5) * tyres
+        X, Y = np.meshgrid(cx, cy)
+        SX, SY = _to_source_xy(tgt_crs, src_crs, X, Y)
+        out = np.full((h, w), np.float64(nodata))
+        filled = np.zeros((h, w), dtype=bool)
+        for _, s in pdf.sort_values("image_id").iterrows():
+            arr = oracle.decode_pixels(s["bytes"], int(s["sw"]), int(s["sh"]), s["fmt"])
+            sx0, sy0 = float(s["s_gx0"]), float(s["s_gy0"])
+            xr, yr = float(s["s_xres"]), float(s["s_yres"])
+            inside = (
+                (SX >= sx0) & (SX < sx0 + int(s["sw"]) * xr)
+                & (SY > sy0 - int(s["sh"]) * yr) & (SY <= sy0)
+                & ~filled
+            )
+            if not inside.any():
+                continue
+            px, py = SX[inside], SY[inside]
+            if bilinear:
+                vals = oracle.interp_bilinear(arr, px, py, sx0, sy0, xr, yr)
+            else:
+                vals = oracle.value_at(arr, px, py, sx0, sy0, xr, yr).astype(np.float64)
+            out[inside] = vals
+            filled |= inside
+        enc = oracle.encode_pixels(np.clip(np.rint(out), 0, 255).astype(np.uint8), "raw")
+        return pd.DataFrame(
+            {
+                "tile_id": [int(row0["tid"])],
+                "bytes": [enc],
+                "w": [w],
+                "h": [h],
+                "fmt": ["raw"],
+                "gt_x0": [gx0],
+                "gt_y0": [gy0],
+                "gt_xres": [txres],
+                "gt_yres": [tyres],
+                "crs": [tgt_crs],
+                "n_filled": [int(filled.sum())],
+                "n_sources": [len(pdf)],
+            }
+        )
+
+    return pairs.groupBy("tid").applyInPandas(warp_tile, schema=out_schema)

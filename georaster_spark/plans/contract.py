@@ -14,6 +14,7 @@ from __future__ import annotations
 from collections.abc import Callable
 from pathlib import Path
 
+import pandas as pd
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
@@ -181,6 +182,89 @@ def q_zonal_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     tiles = geo.georegister(_images(spark, sf_dir))
     return zonal_stats(tiles, _zones(spark, sf_dir))
+
+
+def q_extent_intersection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Op R16 as a distributed range join: overlapping tile pairs + the
+    overlap box, cell-prefiltered (operators/extent.intersection)."""
+    from ..operators import extent as ext
+
+    tiles = geo.georegister(_images(spark, sf_dir))
+    out = ext.intersection(tiles, tiles, same_table=True)
+    return out.orderBy("a_id", "b_id")
+
+
+_CENTERS_MOD = 997
+
+
+def q_pixel_centers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Op R13 (SQL-expressible surface): per-pixel center coordinates for
+    the idx % 997 == 0 tile subset (explode is opt-in by design)."""
+    from ..operators import extent as ext
+
+    tiles = geo.georegister(_images(spark, sf_dir)).where(
+        geo.image_idx() % _CENTERS_MOD == 0
+    )
+    return ext.coordinates_demo(tiles).orderBy("image_id", "i", "j")
+
+
+def q_reproject(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Op R15: distributed warp of the idx < 1000 tile strip onto a
+    256x256 EPSG:4326 grid (nearest).  Pixel payloads are verified in
+    tests/test_warp_io.py against the NumPy oracle; the driver records a
+    rows-only check (non-SQL-expressible — SURVEY §5.2 layer 2 note)."""
+    from .. import oracle as orc
+    from ..operators import warp
+
+    tiles = geo.georegister(_images(spark, sf_dir)).where(geo.image_idx() < 1000)
+    lon0, lat0 = orc.mercator_to_lonlat(0.0, 0.0)
+    lon1, lat1 = orc.mercator_to_lonlat(514_000.0, 2_300.0)
+    n = 256
+    grid = warp.TargetGrid(
+        crs="EPSG:4326", x0=float(lon0), y0=float(lat1),
+        xres=float(lon1 - lon0) / n, yres=float(lat1 - lat0) / n,
+        nx=n, ny=n, tile_w=64, tile_h=64,
+    )
+    out = warp.reproject(tiles, grid, method="nearest")
+    return out.select(
+        "tile_id", "w", "h", "n_filled", "n_sources", F.crc32("bytes").alias("crc")
+    ).orderBy("tile_id")
+
+
+_DS_MOD = 101
+_DS_K = 2
+
+
+def q_downsample_checksum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Op R2 downsampl=k surface: decimate idx % 101 == 0 tiles by k=2
+    and emit an exact integer pixel checksum sum(v[i,j] * (i*w'+j+1)) —
+    reproducible in SQL from the ramp formula, so the driver value-hash
+    checks the decimated PIXELS, not just metadata."""
+    from pyspark.sql.types import LongType
+
+    from .. import oracle as orc
+    from ..operators import raster_io
+
+    tiles = geo.georegister(_images(spark, sf_dir)).where(
+        geo.image_idx() % _DS_MOD == 0
+    )
+    ds = raster_io.downsample(tiles, _DS_K)
+
+    @F.pandas_udf(LongType())
+    def _checksum(data: pd.Series, w: pd.Series, h: pd.Series, fmt: pd.Series) -> pd.Series:
+        import numpy as np
+
+        out = []
+        for i in range(len(data)):
+            arr = orc.decode_pixels(data.iat[i], int(w.iat[i]), int(h.iat[i]), fmt.iat[i])
+            wt = np.arange(arr.size, dtype=np.int64).reshape(arr.shape) + 1
+            out.append(int((arr.astype(np.int64) * wt).sum()))
+        return pd.Series(out)
+
+    return ds.select(
+        "image_id", "w", "h",
+        _checksum(F.col("bytes"), F.col("w"), F.col("h"), F.col("fmt")).alias("checksum"),
+    ).orderBy("image_id")
 
 
 def q_phash_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -367,6 +451,54 @@ FROM best ORDER BY point_id
 """
 
 
+def _sql_extent_intersection(fx: Path) -> str:
+    return f"""
+WITH {osql.georegister_cte(str(fx / 'images.parquet'))},
+ext AS (
+  SELECT image_id, gt_x0 AS xmin, gt_x0 + w * gt_xres AS xmax,
+         gt_y0 - h * gt_yres AS ymin, gt_y0 AS ymax
+  FROM tiles
+)
+SELECT a.image_id AS a_id, b.image_id AS b_id,
+       greatest(a.xmin, b.xmin) AS ixmin, least(a.xmax, b.xmax) AS ixmax,
+       greatest(a.ymin, b.ymin) AS iymin, least(a.ymax, b.ymax) AS iymax
+FROM ext a JOIN ext b
+  ON a.image_id < b.image_id
+ AND a.xmin < b.xmax AND a.xmax > b.xmin
+ AND a.ymin < b.ymax AND a.ymax > b.ymin
+ORDER BY a_id, b_id
+"""
+
+
+def _sql_pixel_centers(fx: Path, w: int) -> str:
+    return f"""
+WITH {osql.georegister_cte(str(fx / 'images.parquet'))}
+SELECT image_id, gi.i AS i, gj.j AS j,
+       gt_x0 + (gj.j + 0.5) * gt_xres AS cx,
+       gt_y0 - (gi.i + 0.5) * gt_yres AS cy
+FROM tiles,
+     generate_series(0, {w - 1}) AS gi(i),
+     generate_series(0, {w - 1}) AS gj(j)
+WHERE idx % {_CENTERS_MOD} = 0
+ORDER BY image_id, i, j
+"""
+
+
+def _sql_downsample_checksum(fx: Path, w: int) -> str:
+    dw = (w + _DS_K - 1) // _DS_K
+    ramp = osql.ramp_value_expr(f"gi.i * {_DS_K}", f"gj.j * {_DS_K}")
+    return f"""
+WITH {osql.georegister_cte(str(fx / 'images.parquet'))}
+SELECT image_id, {dw} AS w, {dw} AS h,
+       SUM(CAST({ramp} AS BIGINT) * (gi.i * {dw} + gj.j + 1)) AS checksum
+FROM tiles,
+     generate_series(0, {dw - 1}) AS gi(i),
+     generate_series(0, {dw - 1}) AS gj(j)
+WHERE idx % {_DS_MOD} = 0
+GROUP BY image_id ORDER BY image_id
+"""
+
+
 # --- Registry --------------------------------------------------------------
 
 
@@ -383,6 +515,10 @@ def spatial_queries() -> dict[str, QueryFn]:
         "pip_rect": _q_pip_kind("rect"),
         "pip_convex": _q_pip_kind("convex"),
         "subset_window": q_subset_window,
+        "extent_intersection": q_extent_intersection,
+        "pixel_centers": q_pixel_centers,
+        "reproject_mosaic": q_reproject,
+        "downsample_checksum": q_downsample_checksum,
         "psnr_gate": q_psnr_gate,
         "knn_zones": q_knn,
         "zonal_stats": q_zonal_stats,
@@ -415,6 +551,9 @@ def spatial_oracles(sf: str = "sf0.01") -> dict[str, str]:
         "pip_rect": _sql_pip_kind(fx, "rect"),
         "pip_convex": _sql_pip_kind(fx, "convex"),
         "subset_window": _sql_subset_window(fx),
+        "extent_intersection": _sql_extent_intersection(fx),
+        "pixel_centers": _sql_pixel_centers(fx, w),
+        "downsample_checksum": _sql_downsample_checksum(fx, w),
         "psnr_gate": osql.psnr_gate_sql(img, w, w),
         "knn_zones": _sql_knn(fx),
         "zonal_stats": _sql_zonal_stats(fx, w),
