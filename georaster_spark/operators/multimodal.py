@@ -1,0 +1,262 @@
+"""Multimodal column plumbing: image / audio / video payloads as opaque
+`binary` columns with typed metadata, processed by batched-NumPy Arrow
+UDFs (mapInPandas) — the media layer of a 10^12-row training-data
+pipeline.
+
+Media table shape (composes with the tiles schema — an image row IS a
+tile row when kind='image'):
+
+    media(media_id string, kind string,            -- image|audio|video
+          bytes binary,                            -- opaque payload
+          fmt string,                              -- codec tag
+          w int, h int,                            -- image/video frames
+          sample_rate int, n_samples int,          -- audio
+          n_frames int)                            -- video
+
+Codec policy (sandbox has no PIL/ffmpeg/libsndfile): the self-defined
+deterministic codecs are REAL end-to-end ('raw'/'qnt' uint8 images,
+'pcm16' s16-LE audio, 'rawv' frame-major uint8 video); industry codecs
+('jpeg', 'png', 'mp4', 'flac', ...) are STUBS that raise
+NotImplementedError with a clear message — the Spark-side plumbing
+(schema, batching, partitioning, UDF signatures) is identical either
+way, so swapping a real decoder in is a one-function change in
+`decode_media` and nothing upstream moves.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.types import (
+    BinaryType,
+    DoubleType,
+    IntegerType,
+    LongType,
+    StringType,
+    StructField,
+    StructType,
+)
+
+from .. import oracle
+
+REAL_IMAGE_FMTS = ("raw", "qnt", "raw16")
+REAL_AUDIO_FMTS = ("pcm16",)
+REAL_VIDEO_FMTS = ("rawv",)
+STUB_FMTS = ("jpeg", "png", "webp", "mp4", "webm", "flac", "mp3", "ogg")
+
+
+def decode_media(kind: str, data: bytes, fmt: str, **meta) -> np.ndarray:
+    """Single-payload decoder (called from inside Arrow batches only —
+    never per-row from the driver).  Stub formats raise."""
+    if fmt in STUB_FMTS:
+        raise NotImplementedError(
+            f"codec '{fmt}' needs an external library not present in this "
+            "environment; plug a real decoder into decode_media — all "
+            "Spark-side plumbing is codec-agnostic."
+        )
+    if kind == "image":
+        return oracle.decode_pixels(data, meta["w"], meta["h"], fmt)
+    if kind == "audio":
+        if fmt not in REAL_AUDIO_FMTS:
+            raise ValueError(f"unknown audio fmt {fmt!r}")
+        return np.frombuffer(data, dtype="<i2").astype(np.float64) / 32768.0
+    if kind == "video":
+        if fmt not in REAL_VIDEO_FMTS:
+            raise ValueError(f"unknown video fmt {fmt!r}")
+        return np.frombuffer(data, dtype=np.uint8).reshape(
+            meta["n_frames"], meta["h"], meta["w"]
+        )
+    raise ValueError(f"unknown media kind {kind!r}")
+
+
+def media_table(spark: SparkSession, rows: list[dict]) -> DataFrame:
+    schema = StructType(
+        [
+            StructField("media_id", StringType()),
+            StructField("kind", StringType()),
+            StructField("bytes", BinaryType()),
+            StructField("fmt", StringType()),
+            StructField("w", IntegerType()),
+            StructField("h", IntegerType()),
+            StructField("sample_rate", IntegerType()),
+            StructField("n_samples", IntegerType()),
+            StructField("n_frames", IntegerType()),
+        ]
+    )
+    defaults = {"w": None, "h": None, "sample_rate": None, "n_samples": None, "n_frames": None}
+    return spark.createDataFrame([{**defaults, **r} for r in rows], schema)
+
+
+# ---------------------------------------------------------------------------
+# image ops
+# ---------------------------------------------------------------------------
+
+
+def _resize_nearest(arr: np.ndarray, ow: int, oh: int) -> np.ndarray:
+    h, w = arr.shape
+    ri = (np.arange(oh) * h // oh).astype(np.int64)
+    rj = (np.arange(ow) * w // ow).astype(np.int64)
+    return arr[ri][:, rj]
+
+
+def image_resize(df: DataFrame, out_w: int, out_h: int) -> DataFrame:
+    """Nearest-neighbor resize; one Arrow hop, fused decode+resize+encode."""
+
+    @F.pandas_udf(BinaryType())
+    def _rs(data: pd.Series, w: pd.Series, h: pd.Series, fmt: pd.Series) -> pd.Series:
+        out = []
+        for k in range(len(data)):
+            arr = decode_media("image", data.iat[k], fmt.iat[k], w=int(w.iat[k]), h=int(h.iat[k]))
+            out.append(oracle.encode_pixels(_resize_nearest(arr, out_w, out_h), "raw"))
+        return pd.Series(out)
+
+    return (
+        df.withColumn("bytes", _rs(F.col("bytes"), F.col("w"), F.col("h"), F.col("fmt")))
+        .withColumn("w", F.lit(out_w))
+        .withColumn("h", F.lit(out_h))
+        .withColumn("fmt", F.lit("raw"))
+    )
+
+
+def image_features(df: DataFrame, n_bins: int = 16) -> DataFrame:
+    """Per-image feature extraction: mean/std + n_bins histogram —
+    the embedding-ish stage of a curation pipeline."""
+    fields = [
+        StructField("media_id", StringType()),
+        StructField("mean_val", DoubleType()),
+        StructField("std_val", DoubleType()),
+    ] + [StructField(f"hist_{b}", LongType()) for b in range(n_bins)]
+    schema = StructType(fields)
+
+    def gen(batches):
+        for pdf in batches:
+            rows = []
+            for _, r in pdf.iterrows():
+                arr = decode_media("image", r["bytes"], r["fmt"], w=int(r["w"]), h=int(r["h"]))
+                hist = np.bincount(
+                    ((arr.astype(np.int64) * n_bins) // 256).ravel(), minlength=n_bins
+                )[:n_bins]
+                rows.append(
+                    {
+                        "media_id": r["media_id"],
+                        "mean_val": float(arr.mean(dtype=np.float64)),
+                        "std_val": float(arr.std(dtype=np.float64)),
+                        **{f"hist_{b}": int(hist[b]) for b in range(n_bins)},
+                    }
+                )
+            yield pd.DataFrame(rows, columns=[f.name for f in fields])
+
+    return df.select("media_id", "bytes", "fmt", "w", "h").mapInPandas(gen, schema=schema)
+
+
+def compute_phash(tiles: DataFrame, grid: int = 8) -> DataFrame:
+    """Pixel-derived 64-bit perceptual hash: block-mean 8x8 downsample,
+    threshold at the global pixel mean (strict >), bits packed row-major
+    (bit k = block (k//8, k%8)).  Integer-exact given integer pixels ->
+    SQL-reproducible (the contract oracle re-derives it from the ramp
+    formula).  Input: engine tile schema (image fixtures)."""
+
+    @F.pandas_udf(LongType())
+    def _ph(data: pd.Series, w: pd.Series, h: pd.Series, fmt: pd.Series) -> pd.Series:
+        out = []
+        for k in range(len(data)):
+            arr = oracle.decode_pixels(data.iat[k], int(w.iat[k]), int(h.iat[k]), fmt.iat[k])
+            hh, ww = arr.shape
+            bh, bw = hh // grid, ww // grid
+            blocks = (
+                arr[: bh * grid, : bw * grid]
+                .reshape(grid, bh, grid, bw)
+                .sum(axis=(1, 3), dtype=np.int64)
+            )  # integer block sums — exact
+            total = int(arr.astype(np.int64).sum())
+            # strict >: block_sum * (h*w) > total * (bh*bw)  (all-integer)
+            bits = (blocks * (hh * ww)) > (total * bh * bw)
+            val = 0
+            for i in range(grid):
+                for j in range(grid):
+                    if bits[i, j]:
+                        val |= 1 << (i * grid + j)
+            out.append(val - (1 << 64) if val >= (1 << 63) else val)
+        return pd.Series(out)
+
+    return tiles.withColumn(
+        "phash_px", _ph(F.col("bytes"), F.col("w"), F.col("h"), F.col("fmt"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# audio / video ops
+# ---------------------------------------------------------------------------
+
+
+def audio_features(df: DataFrame, frame: int = 256) -> DataFrame:
+    """Frame-level RMS energy + zero-crossing stats per clip (pcm16)."""
+    schema = StructType(
+        [
+            StructField("media_id", StringType()),
+            StructField("n_frames", IntegerType()),
+            StructField("rms", DoubleType()),
+            StructField("peak", DoubleType()),
+            StructField("zero_crossings", LongType()),
+        ]
+    )
+
+    def gen(batches):
+        for pdf in batches:
+            rows = []
+            for _, r in pdf.iterrows():
+                sig = decode_media("audio", r["bytes"], r["fmt"])
+                rows.append(
+                    {
+                        "media_id": r["media_id"],
+                        "n_frames": int(len(sig) // frame),
+                        "rms": float(np.sqrt(np.mean(sig**2))),
+                        "peak": float(np.abs(sig).max()) if len(sig) else 0.0,
+                        "zero_crossings": int(np.sum(np.signbit(sig[1:]) != np.signbit(sig[:-1]))),
+                    }
+                )
+            yield pd.DataFrame(rows, columns=[f.name for f in schema.fields])
+
+    return df.select("media_id", "bytes", "fmt").mapInPandas(gen, schema=schema)
+
+
+def video_frame_sample(df: DataFrame, every_k: int) -> DataFrame:
+    """Every k-th frame of each clip as an image row (media_id#f<N>) —
+    the frame-extraction stage; output composes with the image ops."""
+    schema = StructType(
+        [
+            StructField("media_id", StringType()),
+            StructField("frame_no", IntegerType()),
+            StructField("bytes", BinaryType()),
+            StructField("fmt", StringType()),
+            StructField("w", IntegerType()),
+            StructField("h", IntegerType()),
+        ]
+    )
+
+    def gen(batches):
+        for pdf in batches:
+            rows = []
+            for _, r in pdf.iterrows():
+                vid = decode_media(
+                    "video", r["bytes"], r["fmt"],
+                    n_frames=int(r["n_frames"]), w=int(r["w"]), h=int(r["h"]),
+                )
+                for fno in range(0, vid.shape[0], every_k):
+                    rows.append(
+                        {
+                            "media_id": f"{r['media_id']}#f{fno}",
+                            "frame_no": fno,
+                            "bytes": oracle.encode_pixels(vid[fno], "raw"),
+                            "fmt": "raw",
+                            "w": int(r["w"]),
+                            "h": int(r["h"]),
+                        }
+                    )
+            yield pd.DataFrame(rows, columns=[f.name for f in schema.fields])
+
+    return df.select("media_id", "bytes", "fmt", "w", "h", "n_frames").mapInPandas(
+        gen, schema=schema
+    )

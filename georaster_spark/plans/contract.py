@@ -267,6 +267,21 @@ def q_downsample_checksum(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("image_id")
 
 
+_PHASH_MOD = 43
+
+
+def q_phash_compute(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pixel-derived perceptual hash (multimodal.compute_phash): 8x8
+    block-mean threshold bits — integer-exact, so the oracle re-derives
+    the full 64-bit value from the ramp formula."""
+    from ..operators.multimodal import compute_phash
+
+    tiles = geo.georegister(_images(spark, sf_dir)).where(
+        geo.image_idx() % _PHASH_MOD == 0
+    )
+    return compute_phash(tiles).select("image_id", "phash_px").orderBy("image_id")
+
+
 def q_phash_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Op E11: banded-LSH hamming<=4 self-join on the phash column."""
     from ..operators.phash import phash_near_dup
@@ -484,6 +499,36 @@ ORDER BY image_id, i, j
 """
 
 
+def _sql_phash_compute(fx: Path, w: int) -> str:
+    grid = 8
+    b = w // grid  # block edge in pixels
+    ramp = osql.ramp_value_expr("gi.i", "gj.j")
+    return f"""
+WITH {osql.georegister_cte(str(fx / 'images.parquet'))},
+px AS (
+  SELECT image_id, gi.i // {b} AS bi, gj.j // {b} AS bj,
+         CAST({ramp} AS BIGINT) AS v
+  FROM tiles,
+       generate_series(0, {w - 1}) AS gi(i),
+       generate_series(0, {w - 1}) AS gj(j)
+  WHERE idx % {_PHASH_MOD} = 0
+),
+blocks AS (
+  SELECT image_id, bi, bj, SUM(v) AS bs FROM px GROUP BY image_id, bi, bj
+),
+tot AS (SELECT image_id, SUM(v) AS t FROM px GROUP BY image_id),
+bits AS (
+  SELECT b.image_id, b.bi * {grid} + b.bj AS k,
+         (b.bs * {w * w} > tot.t * {b * b}) AS bit
+  FROM blocks b JOIN tot USING (image_id)
+)
+SELECT image_id,
+       SUM(CASE WHEN bit AND k < 63 THEN (1::BIGINT << k) ELSE 0 END)
+       + SUM(CASE WHEN bit AND k = 63 THEN -9223372036854775808 ELSE 0 END) AS phash_px
+FROM bits GROUP BY image_id ORDER BY image_id
+"""
+
+
 def _sql_downsample_checksum(fx: Path, w: int) -> str:
     dw = (w + _DS_K - 1) // _DS_K
     ramp = osql.ramp_value_expr(f"gi.i * {_DS_K}", f"gj.j * {_DS_K}")
@@ -523,6 +568,7 @@ def spatial_queries() -> dict[str, QueryFn]:
         "knn_zones": q_knn,
         "zonal_stats": q_zonal_stats,
         "phash_near_dup": q_phash_near_dup,
+        "phash_compute": q_phash_compute,
         "q1_pricing": rel.q1_pricing,
         "top_orders_segment": rel.top_orders_per_segment,
         "orders_by_month": rel.orders_by_month,
@@ -558,6 +604,7 @@ def spatial_oracles(sf: str = "sf0.01") -> dict[str, str]:
         "knn_zones": _sql_knn(fx),
         "zonal_stats": _sql_zonal_stats(fx, w),
         "phash_near_dup": _sql_phash(fx),
+        "phash_compute": _sql_phash_compute(fx, w),
         "q1_pricing": rel.q1_pricing_sql(),
         "top_orders_segment": rel.top_orders_per_segment_sql(),
         "orders_by_month": rel.orders_by_month_sql(),

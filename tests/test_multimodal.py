@@ -1,0 +1,84 @@
+"""Multimodal column plumbing: real self-defined codecs end-to-end,
+stubbed industry codecs failing loudly through the same Spark path."""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+
+from georaster_spark import oracle
+from georaster_spark.operators import multimodal as mm
+
+
+def _sine_pcm16(n=2048, freq=5.0):
+    t = np.arange(n) / n
+    return (np.sin(2 * np.pi * freq * t) * 20000).astype("<i2")
+
+
+def test_image_resize_and_features(spark):
+    arr = oracle.ramp_tile(9, 32, 32)
+    df = mm.media_table(
+        spark,
+        [{"media_id": "a", "kind": "image", "bytes": arr.tobytes(), "fmt": "raw", "w": 32, "h": 32}],
+    )
+    out = mm.image_resize(df, 8, 8).collect()[0]
+    got = oracle.decode_pixels(out["bytes"], 8, 8, "raw")
+    assert np.array_equal(got, mm._resize_nearest(arr, 8, 8))
+
+    feat = mm.image_features(df).collect()[0]
+    assert feat["mean_val"] == float(arr.mean(dtype=np.float64))
+    hist = np.bincount(((arr.astype(np.int64) * 16) // 256).ravel(), minlength=16)
+    assert [feat[f"hist_{b}"] for b in range(16)] == hist.tolist()
+
+
+def test_compute_phash_matches_numpy(spark, sf0001_dir):
+    from georaster_spark.operators.georegister import georegister
+
+    imgs = spark.read.parquet(str(sf0001_dir / "images.parquet")).limit(20)
+    rows = georegister(imgs)
+    got = {r["image_id"]: r["phash_px"] for r in mm.compute_phash(rows).collect()}
+    for r in imgs.collect():
+        arr = oracle.decode_pixels(r["bytes"], r["w"], r["h"], r["fmt"])
+        blocks = arr.reshape(8, 4, 8, 4).sum(axis=(1, 3), dtype=np.int64)
+        bits = blocks * arr.size > arr.sum(dtype=np.int64) * 16
+        val = sum(1 << (i * 8 + j) for i in range(8) for j in range(8) if bits[i, j])
+        if val >= 1 << 63:
+            val -= 1 << 64
+        assert got[r["image_id"]] == val
+
+
+def test_audio_features(spark):
+    sig = _sine_pcm16()
+    df = mm.media_table(
+        spark,
+        [{"media_id": "s", "kind": "audio", "bytes": sig.tobytes(), "fmt": "pcm16",
+          "sample_rate": 16000, "n_samples": len(sig)}],
+    )
+    out = mm.audio_features(df).collect()[0]
+    f = sig.astype(np.float64) / 32768.0
+    assert out["rms"] == pytest.approx(float(np.sqrt(np.mean(f**2))))
+    assert out["zero_crossings"] == int(np.sum(np.signbit(f[1:]) != np.signbit(f[:-1])))
+
+
+def test_video_frame_sample(spark):
+    frames = np.stack([oracle.ramp_tile(i, 16, 16) for i in range(6)])
+    df = mm.media_table(
+        spark,
+        [{"media_id": "v", "kind": "video", "bytes": frames.tobytes(), "fmt": "rawv",
+          "w": 16, "h": 16, "n_frames": 6}],
+    )
+    out = sorted(mm.video_frame_sample(df, every_k=2).collect(), key=lambda r: r["frame_no"])
+    assert [r["frame_no"] for r in out] == [0, 2, 4]
+    for r in out:
+        got = oracle.decode_pixels(r["bytes"], 16, 16, "raw")
+        assert np.array_equal(got, frames[r["frame_no"]])
+
+
+def test_stub_codec_fails_loudly(spark):
+    df = mm.media_table(
+        spark,
+        [{"media_id": "j", "kind": "image", "bytes": b"\xff\xd8\xff", "fmt": "jpeg",
+          "w": 1, "h": 1}],
+    )
+    with pytest.raises(Exception, match="codec 'jpeg'"):
+        mm.image_features(df).collect()
