@@ -41,7 +41,7 @@ def q1_pricing(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count(F.lit(1)).alias("count_order"),
             F.round(F.sum(F.col("l_quantity").cast("long")) / F.count(F.lit(1)), 6).alias("avg_qty"),
         )
-        .orderBy("l_returnflag", "l_linestatus")
+        .repartition(1).sortWithinPartitions("l_returnflag", "l_linestatus")
     )
 
 
@@ -73,7 +73,7 @@ def top_orders_per_segment(spark: SparkSession, sf_dir: str) -> DataFrame:
         j.withColumn("rnk", F.row_number().over(win))
         .where(F.col("rnk") <= 3)
         .select("c_mktsegment", "rnk", "o_orderkey", "o_totalprice")
-        .orderBy("c_mktsegment", "rnk")
+        .repartition(1).sortWithinPartitions("c_mktsegment", "rnk")
     )
 
 
@@ -97,7 +97,7 @@ def orders_by_month(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count(F.lit(1)).alias("n_orders"),
             (F.sum(cents(F.col("o_totalprice"))) / 100.0).alias("revenue"),
         )
-        .orderBy("month")
+        .repartition(1).sortWithinPartitions("month")
     )
 
 
@@ -121,7 +121,7 @@ def events_json_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum(k).alias("sum_k"),
             (F.sum(cents(F.col("value"))) / 100.0).alias("sum_value"),
         )
-        .orderBy("event_type")
+        .repartition(1).sortWithinPartitions("event_type")
     )
 
 
@@ -144,7 +144,7 @@ def customers_without_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
         no_orders.join(F.broadcast(nation), no_orders.c_nationkey == nation.n_nationkey)
         .groupBy("n_name")
         .agg(F.count(F.lit(1)).alias("n_customers"))
-        .orderBy("n_name")
+        .repartition(1).sortWithinPartitions("n_name")
     )
 
 
@@ -169,7 +169,7 @@ def revenue_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.coalesce("l_linestatus", F.lit("ALL")).alias("linestatus"),
             "revenue",
         )
-        .orderBy("returnflag", "linestatus")
+        .repartition(1).sortWithinPartitions("returnflag", "linestatus")
     )
 
 

@@ -8,22 +8,25 @@ georaster_spark.oracle and SURVEY §2.1.
 
 Distributed shape (SURVEY §2.1 R12):
 
-  1. CANDIDATES — points compute their res-r cell (pure Column); tiles
-     explode cover_cells; equi-join on cell_id.  The points side is
-     broadcast by default (point sets are usually query-sized), so the
-     tile side — which carries `bytes` — NEVER shuffles; at 10^12 rows
-     this stays a map-only stage over the tiles scan.  Flip
+  1. CANDIDATES (slim) — points compute their res-r cell (pure
+     Column); tiles project METADATA ONLY (no `bytes`) and explode
+     cover_cells; equi-join on cell_id.  The points side is broadcast
+     by default (query-sized), so the tile side never shuffles.  Flip
      broadcast_points=False for point sets too big to broadcast: same
      plan, shuffled hash join on cell_id.
   2. EXACT containment filter: xmin <= x < xmax AND ymin < y <= ymax
      (closed-open so a point on a shared tile edge hits exactly one
      side; y edge is open at the bottom per the north-up convention).
-  3. GATHER — mapInPandas (fused decode + gather, one Arrow hop, no
-     per-row Python at the batch level).  No groupBy: each candidate
-     row is independent, so there is zero extra shuffle here.
-  4. DEDUP — overlapping tiles can both contain a point; the normative
-     answer is the lowest image_id (deterministic).  Only the slim
-     (point_id, image_id, value) rows reach this shuffle.
+  3. DEDUP FIRST — overlapping tiles can both contain a point; the
+     normative winner is the lowest image_id (deterministic window).
+     Doing this on slim rows BEFORE touching pixels is the load-bearing
+     choice: the fixtures' hot anchors stack hundreds of tiles, so
+     candidates outnumber points ~16x — carrying `bytes` through that
+     fan-out cost ~7 GB of Arrow traffic at sf0.1 (measured) vs ~100 MB
+     after the dedup.
+  4. GATHER — winners broadcast back onto the tiles scan (equi-join on
+     image_id; tiles stay map-only), then one fused decode+gather
+     mapInPandas hop over exactly one row per (point, winning tile).
 """
 
 from __future__ import annotations
@@ -59,14 +62,6 @@ def _candidates(
         pts = F.broadcast(pts)
     tl = tiles.select(
         "image_id",
-        "bytes",
-        "w",
-        "h",
-        "fmt",
-        "gt_x0",
-        "gt_y0",
-        "gt_xres",
-        "gt_yres",
         "xmin",
         "xmax",
         "ymin",
@@ -131,13 +126,18 @@ def _sample(
     value_name: str = "val",
 ) -> DataFrame:
     cand = _candidates(points, tiles, r, broadcast_points)
-    vals = cand.mapInPandas(_gather_fn(mode, window, reducer), schema=_GATHER_SCHEMA)
     win = Window.partitionBy("point_id").orderBy("image_id")
-    return (
-        vals.withColumn("_rn", F.row_number().over(win))
+    winners = (
+        cand.select("point_id", "x", "y", "image_id")
+        .withColumn("_rn", F.row_number().over(win))
         .where(F.col("_rn") == 1)
-        .select("point_id", "image_id", F.col("val").alias(value_name))
+        .drop("_rn")
     )
+    gather_in = tiles.select(
+        "image_id", "bytes", "w", "h", "fmt", "gt_x0", "gt_y0", "gt_xres", "gt_yres"
+    ).join(F.broadcast(winners) if broadcast_points else winners, "image_id")
+    vals = gather_in.mapInPandas(_gather_fn(mode, window, reducer), schema=_GATHER_SCHEMA)
+    return vals.select("point_id", "image_id", F.col("val").alias(value_name))
 
 
 def value_at_coords(

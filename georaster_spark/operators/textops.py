@@ -135,7 +135,7 @@ def text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.regexp_count(norm_text(), F.lit(_TOKEN_RE)).alias("n_regex_tokens"),
             F.length(norm_text()).alias("n_chars_norm"),
         )
-        .orderBy("doc_id")
+        .repartition(1).sortWithinPartitions("doc_id")
     )
 
 
@@ -177,7 +177,7 @@ def text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(stop_ratio, 6).alias("stopword_ratio"),
             quality.alias("quality"),
         )
-        .orderBy("doc_id")
+        .repartition(1).sortWithinPartitions("doc_id")
     )
 
 
@@ -225,7 +225,7 @@ def lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
         pred = F.when(scores[lang] > best, F.lit(lang)).otherwise(pred)
         best = F.when(scores[lang] > best, scores[lang]).otherwise(best)
     cols = [scores[lang].alias(f"score_{lang}") for lang in LANG_PROFILES]
-    return d.select("doc_id", *cols, pred.alias("pred_lang")).orderBy("doc_id")
+    return d.select("doc_id", *cols, pred.alias("pred_lang")).repartition(1).sortWithinPartitions("doc_id")
 
 
 def lang_id_sql() -> str:
@@ -271,7 +271,7 @@ def doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.conv(F.substring(F.md5(canon), 1, 15), 16, 10).cast("long").alias("fp60"),
             F.array_min(F.transform(F.col("sh"), h40)).alias("min_shingle_h40"),
         )
-        .orderBy("doc_id")
+        .repartition(1).sortWithinPartitions("doc_id")
     )
 
 
@@ -314,7 +314,7 @@ def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.min("doc_id").alias("canonical_doc_id"),
         )
         .where(F.col("n_docs") > 1)
-        .orderBy("canonical_doc_id")
+        .repartition(1).sortWithinPartitions("canonical_doc_id")
     )
 
 
@@ -359,7 +359,7 @@ def jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         inter.where(jac >= JACCARD_TAU)
         .select("a_id", "b_id", F.round(jac, 6).alias("jac"))
-        .orderBy("a_id", "b_id")
+        .repartition(1).sortWithinPartitions("a_id", "b_id")
     )
 
 
@@ -434,7 +434,7 @@ def minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         ver.where(jac >= MH_VERIFY_TAU)
         .select("a_id", "b_id", F.round(jac, 6).alias("jac"))
-        .orderBy("a_id", "b_id")
+        .repartition(1).sortWithinPartitions("a_id", "b_id")
     )
 
 
@@ -524,7 +524,7 @@ def simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
             ham.alias("hamming"),
         )
         .distinct()
-        .orderBy("a_id", "b_id")
+        .repartition(1).sortWithinPartitions("a_id", "b_id")
     )
 
 

@@ -129,7 +129,7 @@ def cosine_near_dup(spark: SparkSession, sf_dir: str, block: int = BLOCK) -> Dat
     return (
         both.groupBy("bi", "bj")
         .applyInPandas(score, schema=out_schema)
-        .orderBy("a_id", "b_id")
+        .repartition(1).sortWithinPartitions("a_id", "b_id")
     )
 
 
@@ -199,7 +199,7 @@ def ann_topk_brute(spark: SparkSession, sf_dir: str) -> DataFrame:
         scored.withColumn("rank", F.row_number().over(win))
         .where(F.col("rank") <= TOPK)
         .select("query_id", "rank", "vec_id")
-        .orderBy("query_id", "rank")
+        .repartition(1).sortWithinPartitions("query_id", "rank")
     )
 
 
@@ -302,7 +302,7 @@ def ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
         scored.withColumn("rank", F.row_number().over(win))
         .where(F.col("rank") <= LSH_TOPK)
         .select("query_id", "rank", "vec_id")
-        .orderBy("query_id", "rank")
+        .repartition(1).sortWithinPartitions("query_id", "rank")
     )
 
 

@@ -59,13 +59,13 @@ def q_zone_image_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_cell_anchor(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Op E1/E2: anchor cell id of every tile (bit-for-bit surface)."""
     tiles = geo.georegister(_images(spark, sf_dir))
-    return tiles.select("image_id", "cell_id").orderBy("image_id")
+    return tiles.select("image_id", "cell_id").repartition(1).sortWithinPartitions("image_id")
 
 
 def q_tile_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Op E3/E4: exploded (image_id, cell_id) covering assignments."""
     tiles = geo.georegister(_images(spark, sf_dir))
-    return geo.tile_assignments(tiles).orderBy("image_id", "cell_id")
+    return geo.tile_assignments(tiles).repartition(1).sortWithinPartitions("image_id", "cell_id")
 
 
 def q_extent(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -77,7 +77,7 @@ def q_extent(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("xmax").alias("right"),
         F.col("ymin").alias("bottom"),
         F.col("ymax").alias("top"),
-    ).orderBy("image_id")
+    ).repartition(1).sortWithinPartitions("image_id")
 
 
 def q_value_at_coords(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -85,7 +85,7 @@ def q_value_at_coords(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..operators import sampling
 
     tiles = geo.georegister(_images(spark, sf_dir))
-    return sampling.value_at_coords(_points(spark, sf_dir), tiles).orderBy("point_id")
+    return sampling.value_at_coords(_points(spark, sf_dir), tiles).repartition(1).sortWithinPartitions("point_id")
 
 
 def q_interp_bilinear(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -94,7 +94,7 @@ def q_interp_bilinear(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     tiles = geo.georegister(_images(spark, sf_dir))
     out = sampling.interp(_points(spark, sf_dir), tiles, order=1)
-    return out.withColumn("val", F.round("val", 6)).orderBy("point_id")
+    return out.withColumn("val", F.round("val", 6)).repartition(1).sortWithinPartitions("point_id")
 
 
 def q_coord_to_px(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -102,7 +102,7 @@ def q_coord_to_px(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..operators import sampling
 
     tiles = geo.georegister(_images(spark, sf_dir))
-    return sampling.coord_to_px(_points(spark, sf_dir), tiles).orderBy("point_id")
+    return sampling.coord_to_px(_points(spark, sf_dir), tiles).repartition(1).sortWithinPartitions("point_id")
 
 
 def _q_pip_kind(kind: str):
@@ -111,7 +111,7 @@ def _q_pip_kind(kind: str):
 
         zones = _zones(spark, sf_dir).where(F.col("kind") == kind)
         pairs = pip_join(_points(spark, sf_dir), zones, x=F.col("x"), y=F.col("y"))
-        return pairs.select("point_id", "zone_id").orderBy("point_id", "zone_id")
+        return pairs.select("point_id", "zone_id").repartition(1).sortWithinPartitions("point_id", "zone_id")
 
     return q
 
@@ -125,7 +125,7 @@ def q_extent_latlon(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select(
         "image_id",
         *[F.round(c, 9).alias(c) for c in ("lon_min", "lon_max", "lat_min", "lat_max")],
-    ).orderBy("image_id")
+    ).repartition(1).sortWithinPartitions("image_id")
 
 
 def q_psnr_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -145,7 +145,7 @@ def q_psnr_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ),
     )
-    return out.select("image_id", "psnr").orderBy("image_id")
+    return out.select("image_id", "psnr").repartition(1).sortWithinPartitions("image_id")
 
 
 _SUBSET_BOUNDS = (5000.0, 15000.0, 3000.0, 9000.0)
@@ -164,7 +164,7 @@ def q_subset_window(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("gt_y0") - F.col("py0") * F.col("gt_yres")).alias("sub_y0"),
         (F.col("px1") - F.col("px0")).alias("sub_w"),
         (F.col("py1") - F.col("py0")).alias("sub_h"),
-    ).orderBy("image_id")
+    ).repartition(1).sortWithinPartitions("image_id")
 
 
 def q_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -173,7 +173,7 @@ def q_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..operators.knn import knn_join
 
     out = knn_join(_points(spark, sf_dir), _zones(spark, sf_dir), k=4, r=10)
-    return out.select("point_id", "rank", "zone_id").orderBy("point_id", "rank")
+    return out.select("point_id", "rank", "zone_id").repartition(1).sortWithinPartitions("point_id", "rank")
 
 
 def q_zonal_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -191,7 +191,7 @@ def q_extent_intersection(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     tiles = geo.georegister(_images(spark, sf_dir))
     out = ext.intersection(tiles, tiles, same_table=True)
-    return out.orderBy("a_id", "b_id")
+    return out.repartition(1).sortWithinPartitions("a_id", "b_id")
 
 
 _CENTERS_MOD = 997
@@ -205,7 +205,7 @@ def q_pixel_centers(spark: SparkSession, sf_dir: str) -> DataFrame:
     tiles = geo.georegister(_images(spark, sf_dir)).where(
         geo.image_idx() % _CENTERS_MOD == 0
     )
-    return ext.coordinates_demo(tiles).orderBy("image_id", "i", "j")
+    return ext.coordinates_demo(tiles).repartition(1).sortWithinPartitions("image_id", "i", "j")
 
 
 def q_reproject(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -228,7 +228,7 @@ def q_reproject(spark: SparkSession, sf_dir: str) -> DataFrame:
     out = warp.reproject(tiles, grid, method="nearest")
     return out.select(
         "tile_id", "w", "h", "n_filled", "n_sources", F.crc32("bytes").alias("crc")
-    ).orderBy("tile_id")
+    ).repartition(1).sortWithinPartitions("tile_id")
 
 
 _DS_MOD = 101
@@ -264,7 +264,7 @@ def q_downsample_checksum(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ds.select(
         "image_id", "w", "h",
         _checksum(F.col("bytes"), F.col("w"), F.col("h"), F.col("fmt")).alias("checksum"),
-    ).orderBy("image_id")
+    ).repartition(1).sortWithinPartitions("image_id")
 
 
 _PHASH_MOD = 43
@@ -279,7 +279,7 @@ def q_phash_compute(spark: SparkSession, sf_dir: str) -> DataFrame:
     tiles = geo.georegister(_images(spark, sf_dir)).where(
         geo.image_idx() % _PHASH_MOD == 0
     )
-    return compute_phash(tiles).select("image_id", "phash_px").orderBy("image_id")
+    return compute_phash(tiles).select("image_id", "phash_px").repartition(1).sortWithinPartitions("image_id")
 
 
 def q_phash_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -46,7 +46,7 @@ def zone_image_stats(
     aggs = [F.count(F.lit(1)).alias("n_images")]
     if with_pixels:
         aggs.append(F.round(F.avg("tile_mean"), 6).alias("avg_tile_mean"))
-    return pairs.groupBy("zone_id").agg(*aggs).orderBy("zone_id")
+    return pairs.groupBy("zone_id").agg(*aggs).repartition(1).sortWithinPartitions("zone_id")
 
 
 def flagship(spark: SparkSession, sf_dir: str = "/root/testdata/sf0.001") -> DataFrame:
