@@ -105,7 +105,11 @@ def _write_images(out: Path, n: int, w: int, chunk: int = 10_000) -> None:
             ],
             schema=schema,
         )
-        writer.write_batch(batch)
+        # Small row groups (2048 rows ~ 8 MB raw pixels): parquet scan
+        # splits cannot subdivide a row group, so group count bounds the
+        # whole engine's scan parallelism — 10k-row groups capped every
+        # pixel pipeline at 10 concurrent tasks regardless of cores.
+        writer.write_batch(batch, row_group_size=2048)
     writer.close()
 
 

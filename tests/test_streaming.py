@@ -1,0 +1,98 @@
+"""Structured Streaming ingest tier: availableNow runs must equal the
+batch computation (same georegister Column math, shared code path)."""
+
+from __future__ import annotations
+
+import shutil
+
+import pytest
+from pyspark.sql import functions as F
+
+from georaster_spark.streaming import tile_stream as ts
+
+
+@pytest.fixture()
+def stream_dir(spark, sf0001_dir, tmp_path):
+    """Split the fixture images into several files (multiple triggers)."""
+    src = spark.read.parquet(str(sf0001_dir / "images.parquet"))
+    d = tmp_path / "incoming"
+    src.repartition(4).write.mode("overwrite").parquet(str(d))
+    for extra in d.glob("_SUCCESS*"):
+        extra.unlink()
+    return d
+
+
+def test_cell_window_stats_matches_batch(spark, stream_dir, tmp_path):
+    stream = ts.read_image_stream(spark, str(stream_dir))
+    out = ts.cell_window_stats(stream, window="1 minute", watermark="30 seconds")
+    ts.run_to_memory(out, "cells_stream", str(tmp_path / "ck1"))
+
+    got = {
+        (r["win_start"], r["cell_id"]): (r["n_images"], r["avg_w"])
+        for r in spark.sql("SELECT * FROM cells_stream").collect()
+    }
+
+    batch = spark.read.parquet(str(stream_dir))
+    exp_df = ts.cell_window_stats(batch)  # same builder works on batch DF
+    exp = {
+        (r["win_start"], r["cell_id"]): (r["n_images"], r["avg_w"])
+        for r in exp_df.collect()
+    }
+    # append-mode emits only watermark-finalized windows; every emitted
+    # window must match batch exactly, and most windows must have closed
+    # (fixture spans ~17 minutes of event time vs 30 s watermark).
+    assert got
+    # windows still open when the stream drains (watermark never passes
+    # the last events) are withheld by append mode — a bounded tail
+    assert len(got) >= 0.9 * len(exp)
+    for k, v in got.items():
+        assert exp[k] == v
+
+
+def test_streaming_near_dup_drop(spark, stream_dir, tmp_path):
+    stream = ts.read_image_stream(spark, str(stream_dir))
+    out = ts.streaming_near_dup_drop(stream).select("image_id", "phash")
+    ts.run_to_memory(out, "dedup_stream", str(tmp_path / "ck2"))
+    rows = spark.sql("SELECT * FROM dedup_stream").collect()
+    batch = spark.read.parquet(str(stream_dir))
+    n_distinct = batch.select("phash").distinct().count()
+    # exactly one survivor per phash value inside the watermark horizon
+    assert len(rows) == n_distinct
+    assert len({r["phash"] for r in rows}) == n_distinct
+
+
+def test_resume_from_checkpoint(spark, stream_dir, tmp_path):
+    """New files after a finished availableNow run are picked up by a
+    restart from the same checkpoint — exactly-once file tracking."""
+    ck = str(tmp_path / "ck3")
+    sink = str(tmp_path / "sink")
+
+    def run_once():
+        stream = ts.read_image_stream(spark, str(stream_dir))
+        out = ts.streaming_near_dup_drop(stream).select("image_id", "phash")
+        q = (
+            out.writeStream.format("parquet")
+            .option("path", sink)
+            .option("checkpointLocation", ck)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+
+    run_once()
+    n1 = spark.read.parquet(sink).count()
+
+    # land one more file (copy of an existing part with shifted ids)
+    more = (
+        spark.read.parquet(str(stream_dir))
+        .limit(50)
+        .withColumn("image_id", F.concat(F.lit("img0099"), F.substring("image_id", 8, 4)))
+        .withColumn("phash", F.col("phash") + 999_999)
+    )
+    more.coalesce(1).write.mode("append").parquet(str(stream_dir))
+
+    run_once()
+    n2 = spark.read.parquet(sink).count()
+    # restart processed ONLY the new file's rows (no re-emission of old)
+    assert n1 < n2 <= n1 + 50
