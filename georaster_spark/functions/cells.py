@@ -55,6 +55,22 @@ def cell_parent(cell: Column, r: int) -> Column:
     ).cast("long")
 
 
+def cell_parent_chain(cell: Column, r_from: int, r_to: int) -> Column:
+    """Ancestor of a res-r_from cell at coarser res r_to (one expression,
+    no iteration — used for work-unit keys in op E9)."""
+    if not 0 <= r_to <= r_from:
+        raise ValueError(f"need 0 <= r_to <= r_from, got {r_from}->{r_to}")
+    rest = cell - F.lit(r_from << RES_SHIFT)
+    ix = rest % F.lit(1 << r_from)
+    iy = F.floor(rest / F.lit(1 << r_from))
+    shift = 1 << (r_from - r_to)
+    return (
+        F.lit(r_to << RES_SHIFT)
+        + F.floor(iy / F.lit(shift)) * F.lit(1 << r_to)
+        + F.floor(ix / F.lit(shift))
+    ).cast("long")
+
+
 def cell_cover(
     xmin: Column, xmax: Column, ymin: Column, ymax: Column, r: int
 ) -> Column:

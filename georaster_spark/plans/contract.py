@@ -282,6 +282,57 @@ def q_phash_compute(spark: SparkSession, sf_dir: str) -> DataFrame:
     return compute_phash(tiles).select("image_id", "phash_px").repartition(1).sortWithinPartitions("image_id")
 
 
+def q_cell_join_salted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Op E8 live: hot-cell census -> deterministic salting -> the
+    tile-cell x zone-cell equi-join.  Output (distinct candidate pairs)
+    must equal the plain join — the oracle computes it unsalted, so the
+    driver hash-checks that salting changes layout, never results."""
+    from ..operators import skew
+    from ..operators.pip import zone_cells
+
+    tiles = geo.georegister(_images(spark, sf_dir))
+    assign = geo.tile_assignments(tiles)
+    zc = zone_cells(_zones(spark, sf_dir)).select("cell_id", "zone_id")
+    hot = skew.hot_key_census(assign, "cell_id", sample_fraction=0.2)
+    pairs = skew.salted_equi_join(assign, zc, key="cell_id", hot_keys=hot, row_key="image_id")
+    return (
+        pairs.select("image_id", "zone_id").distinct()
+        .repartition(1).sortWithinPartitions("image_id", "zone_id")
+    )
+
+
+def q_verification_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Op E10: corpus-level verification aggregates — per fmt: row count,
+    caption equality vs the deterministic expectation, and the min-PSNR
+    gate for the lossy codec (>= 40 dB)."""
+    from ..functions.codecs import pixel_psnr, reencode
+
+    tiles = geo.georegister(_images(spark, sf_dir))
+    expected_caption = F.format_string(
+        "synthetic tile %d over cell %d", geo.image_idx(), F.col("cell_id")
+    )
+    re = tiles.withColumn(
+        "qbytes", reencode("qnt")(F.col("bytes"), F.col("w"), F.col("h"), F.col("fmt"))
+    ).withColumn(
+        "psnr",
+        pixel_psnr(
+            F.col("bytes"), F.col("qbytes"), F.col("w"), F.col("h"),
+            F.col("fmt"), F.lit("qnt"),
+        ),
+    )
+    return (
+        re.groupBy("fmt")
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.sum(F.when(F.col("caption") == expected_caption, 1).otherwise(0)).alias(
+                "n_caption_ok"
+            ),
+            F.round(F.min("psnr"), 6).alias("min_psnr"),
+        )
+        .repartition(1).sortWithinPartitions("fmt")
+    )
+
+
 def q_phash_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Op E11: banded-LSH hamming<=4 self-join on the phash column."""
     from ..operators.phash import phash_near_dup
@@ -499,6 +550,95 @@ ORDER BY image_id, i, j
 """
 
 
+def _sql_cell_join_salted(fx: Path) -> str:
+    r = DEFAULT_RES
+    s = float(DOMAIN >> r)
+    n = (1 << r) - 1
+    zcells = f"""
+zboxes AS (
+  SELECT zone_id,
+    least(greatest(CAST(floor(xmin / {s}) AS BIGINT), 0), {n}) AS ix0,
+    least(greatest(CAST(floor(({DOMAIN} - ymax) / {s}) AS BIGINT), 0), {n}) AS iy0,
+    CAST(ceil(xmax / {s}) AS BIGINT) - 1 AS rx1,
+    CAST(ceil(({DOMAIN} - ymin) / {s}) AS BIGINT) - 1 AS ry1
+  FROM read_parquet('{fx / 'zones.parquet'}')
+),
+zboxes2 AS (
+  SELECT zone_id, ix0, iy0,
+    greatest(least(greatest(rx1, 0), {n}), ix0) AS ix1,
+    greatest(least(greatest(ry1, 0), {n}), iy0) AS iy1
+  FROM zboxes
+),
+zcells AS (
+  SELECT zone_id,
+         ({r}::BIGINT << {RES_SHIFT}) + iy.iy * {1 << r} + ix.ix AS cell_id
+  FROM zboxes2,
+       unnest(generate_series(iy0, iy1)) AS iy(iy),
+       unnest(generate_series(ix0, ix1)) AS ix(ix)
+)"""
+    return f"""
+WITH {osql.georegister_cte(str(fx / 'images.parquet'))},
+boxes AS (
+  SELECT image_id,
+    least(greatest(CAST(floor(gt_x0 / {s}) AS BIGINT), 0), {n}) AS ix0,
+    least(greatest(CAST(floor(({DOMAIN} - gt_y0) / {s}) AS BIGINT), 0), {n}) AS iy0,
+    CAST(ceil((gt_x0 + w * gt_xres) / {s}) AS BIGINT) - 1 AS rx1,
+    CAST(ceil(({DOMAIN} - (gt_y0 - h * gt_yres)) / {s}) AS BIGINT) - 1 AS ry1
+  FROM tiles
+),
+boxes2 AS (
+  SELECT image_id, ix0, iy0,
+    greatest(least(greatest(rx1, 0), {n}), ix0) AS ix1,
+    greatest(least(greatest(ry1, 0), {n}), iy0) AS iy1
+  FROM boxes
+),
+tcells AS (
+  SELECT image_id,
+         ({r}::BIGINT << {RES_SHIFT}) + iy.iy * {1 << r} + ix.ix AS cell_id
+  FROM boxes2,
+       unnest(generate_series(iy0, iy1)) AS iy(iy),
+       unnest(generate_series(ix0, ix1)) AS ix(ix)
+),
+{zcells}
+SELECT DISTINCT t.image_id, z.zone_id
+FROM tcells t JOIN zcells z USING (cell_id)
+ORDER BY image_id, zone_id
+"""
+
+
+def _sql_verification_report(fx: Path, w: int) -> str:
+    r = DEFAULT_RES
+    cell = osql.cell_expr("gt_x0", "gt_y0", r)
+    v_raw = "(((idx*7) % 13 + 1) * gi.i + ((idx*11) % 17 + 1) * gj.j + idx % 251) % 256"
+    return f"""
+WITH {osql.georegister_cte(str(fx / 'images.parquet'))},
+mse AS (
+  SELECT idx,
+         SUM(CAST((({v_raw}) % 4 - 2) * (({v_raw}) % 4 - 2) AS BIGINT))::DOUBLE
+           / {w * w} AS m
+  FROM tiles,
+       generate_series(0, {w - 1}) AS gi(i),
+       generate_series(0, {w - 1}) AS gj(j)
+  WHERE fmt = 'raw'
+  GROUP BY idx
+),
+psnr AS (
+  SELECT idx, CASE WHEN m = 0 THEN 99.0 ELSE 10.0 * log10(65025.0 / m) END AS p
+  FROM mse
+),
+caption_ok AS (
+  SELECT fmt, COUNT(*) AS n_rows,
+         SUM(CASE WHEN caption = 'synthetic tile ' || idx || ' over cell ' || {cell}
+             THEN 1 ELSE 0 END) AS n_caption_ok
+  FROM tiles GROUP BY fmt
+)
+SELECT c.fmt, c.n_rows, c.n_caption_ok,
+       round(CASE WHEN c.fmt = 'raw' THEN (SELECT min(p) FROM psnr) ELSE 99.0 END, 6)
+         AS min_psnr
+FROM caption_ok c ORDER BY fmt
+"""
+
+
 def _sql_phash_compute(fx: Path, w: int) -> str:
     grid = 8
     b = w // grid  # block edge in pixels
@@ -569,6 +709,8 @@ def spatial_queries() -> dict[str, QueryFn]:
         "zonal_stats": q_zonal_stats,
         "phash_near_dup": q_phash_near_dup,
         "phash_compute": q_phash_compute,
+        "cell_join_salted": q_cell_join_salted,
+        "verification_report": q_verification_report,
         "q1_pricing": rel.q1_pricing,
         "top_orders_segment": rel.top_orders_per_segment,
         "orders_by_month": rel.orders_by_month,
@@ -605,6 +747,8 @@ def spatial_oracles(sf: str = "sf0.01") -> dict[str, str]:
         "zonal_stats": _sql_zonal_stats(fx, w),
         "phash_near_dup": _sql_phash(fx),
         "phash_compute": _sql_phash_compute(fx, w),
+        "cell_join_salted": _sql_cell_join_salted(fx),
+        "verification_report": _sql_verification_report(fx, w),
         "q1_pricing": rel.q1_pricing_sql(),
         "top_orders_segment": rel.top_orders_per_segment_sql(),
         "orders_by_month": rel.orders_by_month_sql(),

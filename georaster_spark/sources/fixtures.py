@@ -32,6 +32,8 @@ from .. import oracle
 from ..constants import DEFAULT_RES
 
 REPO_ROOT = Path(__file__).resolve().parent.parent.parent
+if not REPO_ROOT.is_dir():  # running from a --py-files zip: __file__ is inside it
+    REPO_ROOT = Path.cwd()
 FIXTURE_ROOT = Path(os.environ.get("SPARK_GRAFT_FIXTURES", REPO_ROOT / "fixtures"))
 
 # sf -> (n_images, tile_w, n_zones, n_points)   (FIXTURES.md §5)
