@@ -105,6 +105,54 @@ def q_coord_to_px(spark: SparkSession, sf_dir: str) -> DataFrame:
     return sampling.coord_to_px(_points(spark, sf_dir), tiles).repartition(1).sortWithinPartitions("point_id")
 
 
+def q_value_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Op R12 window=3: mean of the clipped 3x3 neighborhood around the
+    pixel containing each point (upstream's `window=` reducer)."""
+    from ..operators import sampling
+
+    tiles = geo.georegister(_images(spark, sf_dir))
+    out = sampling.value_at_coords(_points(spark, sf_dir), tiles, window=3)
+    return (
+        out.select("point_id", "image_id", F.round("val", 6).alias("wmean"))
+        .repartition(1).sortWithinPartitions("point_id")
+    )
+
+
+def q_subset_checksum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Op R11 pixel payload: the windowed subset's decoded pixels as an
+    exact integer checksum sum(v * (rel_i * sub_w + rel_j + 1)) — the
+    driver value-hash checks the actual sliced PIXELS (metadata surface
+    is q_subset_window)."""
+    from pyspark.sql.types import LongType
+
+    from .. import oracle as orc
+    from ..operators import subset
+
+    tiles = geo.georegister(_images(spark, sf_dir))
+    sub = subset.read_subset(tiles, _SUBSET_BOUNDS)
+
+    @F.pandas_udf(LongType())
+    def _checksum(data: pd.Series, w: pd.Series, h: pd.Series, fmt: pd.Series) -> pd.Series:
+        import numpy as np
+
+        out = []
+        for i in range(len(data)):
+            arr = orc.decode_pixels(data.iat[i], int(w.iat[i]), int(h.iat[i]), fmt.iat[i])
+            wt = np.arange(arr.size, dtype=np.int64).reshape(arr.shape) + 1
+            out.append(int((arr.astype(np.int64) * wt).sum()))
+        return pd.Series(out)
+
+    return (
+        sub.select(
+            "image_id",
+            F.col("w").alias("sub_w"),
+            F.col("h").alias("sub_h"),
+            _checksum(F.col("bytes"), F.col("w"), F.col("h"), F.col("fmt")).alias("checksum"),
+        )
+        .repartition(1).sortWithinPartitions("image_id")
+    )
+
+
 def _q_pip_kind(kind: str):
     def q(spark: SparkSession, sf_dir: str) -> DataFrame:
         from ..operators.pip import pip_join
@@ -550,6 +598,57 @@ ORDER BY image_id, i, j
 """
 
 
+def _sql_value_window(fx: Path) -> str:
+    ramp = osql.ramp_value_expr("px.iy + di.di", "px.jx + dj.dj")
+    return f"""
+WITH {osql.georegister_cte(str(fx / 'images.parquet'))},
+{osql.candidates_cte(str(fx / 'points.parquet'))},
+px AS (
+  SELECT point_id, image_id, idx, fmt, w, h,
+    least(greatest(CAST(floor((x - gt_x0) / gt_xres) AS BIGINT), 0), w - 1) AS jx,
+    least(greatest(CAST(floor((gt_y0 - y) / gt_yres) AS BIGINT), 0), h - 1) AS iy
+  FROM best
+)
+SELECT point_id, image_id, round(AVG(CAST({ramp} AS DOUBLE)), 6) AS wmean
+FROM px,
+     generate_series(-1, 1) AS di(di),
+     generate_series(-1, 1) AS dj(dj)
+WHERE px.iy + di.di BETWEEN 0 AND h - 1
+  AND px.jx + dj.dj BETWEEN 0 AND w - 1
+GROUP BY point_id, image_id
+ORDER BY point_id
+"""
+
+
+def _sql_subset_checksum(fx: Path) -> str:
+    bxmin, bxmax, bymin, bymax = _SUBSET_BOUNDS
+    ramp = osql.ramp_value_expr("win.py0 + ri.i", "win.px0 + rj.j")
+    return f"""
+WITH {osql.georegister_cte(str(fx / 'images.parquet'))},
+win AS (
+  SELECT image_id, idx, fmt, gt_x0, gt_y0, gt_xres, gt_yres,
+    greatest(0, CAST(floor(({bxmin} - gt_x0) / gt_xres) AS BIGINT)) AS px0,
+    least(CAST(w AS BIGINT), CAST(ceil(({bxmax} - gt_x0) / gt_xres) AS BIGINT)) AS px1,
+    greatest(0, CAST(floor((gt_y0 - {bymax}) / gt_yres) AS BIGINT)) AS py0,
+    least(CAST(h AS BIGINT), CAST(ceil((gt_y0 - {bymin}) / gt_yres) AS BIGINT)) AS py1
+  FROM tiles
+  WHERE gt_x0 < {bxmax} AND gt_x0 + w * gt_xres > {bxmin}
+    AND gt_y0 - h * gt_yres < {bymax} AND gt_y0 > {bymin}
+),
+win2 AS (SELECT * FROM win WHERE px1 > px0 AND py1 > py0)
+SELECT image_id,
+       CAST(px1 - px0 AS INT) AS sub_w,
+       CAST(py1 - py0 AS INT) AS sub_h,
+       SUM(CAST({ramp} AS BIGINT) * (ri.i * (px1 - px0) + rj.j + 1)) AS checksum
+FROM win2 AS win,
+     generate_series(0, 63) AS ri(i),
+     generate_series(0, 63) AS rj(j)
+WHERE ri.i < win.py1 - win.py0 AND rj.j < win.px1 - win.px0
+GROUP BY image_id, px1 - px0, py1 - py0
+ORDER BY image_id
+"""
+
+
 def _sql_cell_join_salted(fx: Path) -> str:
     r = DEFAULT_RES
     s = float(DOMAIN >> r)
@@ -696,7 +795,9 @@ def spatial_queries() -> dict[str, QueryFn]:
         "extent_latlon": q_extent_latlon,
         "coord_to_px": q_coord_to_px,
         "value_at_coords": q_value_at_coords,
+        "value_window": q_value_window,
         "interp_bilinear": q_interp_bilinear,
+        "subset_checksum": q_subset_checksum,
         "pip_rect": _q_pip_kind("rect"),
         "pip_convex": _q_pip_kind("convex"),
         "subset_window": q_subset_window,
@@ -735,7 +836,9 @@ def spatial_oracles(sf: str = "sf0.01") -> dict[str, str]:
         "extent_latlon": _sql_extent_latlon(fx),
         "coord_to_px": _sql_coord_to_px(fx),
         "value_at_coords": osql.value_at_coords_sql(img, pts),
+        "value_window": _sql_value_window(fx),
         "interp_bilinear": osql.interp_sql(img, pts),
+        "subset_checksum": _sql_subset_checksum(fx),
         "pip_rect": _sql_pip_kind(fx, "rect"),
         "pip_convex": _sql_pip_kind(fx, "convex"),
         "subset_window": _sql_subset_window(fx),
