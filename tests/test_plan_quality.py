@@ -1,0 +1,73 @@
+"""Physical-plan quality gates (SURVEY §4): the optimizations we rely
+on must be visible in `explain` output, so a regression that silently
+drops pushdown / pruning / broadcast fails CI, not a 100 TB run."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from georaster_spark.operators import georegister as geo
+from georaster_spark.operators.pip import pip_join
+
+
+def _explain(df, mode: str = "formatted") -> str:
+    jvm = df.sparkSession._jvm
+    return jvm.PythonSQLUtils.explainString(df._jdf.queryExecution(), mode)
+
+
+def _plan(df) -> str:
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+def _scan_schemas(df) -> list[str]:
+    import re
+
+    return re.findall(r"ReadSchema: (\S+)", _explain(df))
+
+
+def test_metadata_query_prunes_pixels(spark, sf0001_dir):
+    """Extent math must never deserialize `bytes` (the lazy-load analog,
+    SURVEY §2.1 R1: column pruning IS load_data=False)."""
+    imgs = spark.read.parquet(str(sf0001_dir / "images.parquet"))
+    q = geo.georegister(imgs).select("image_id", "xmin", "xmax", "ymin", "ymax")
+    schemas = _scan_schemas(q)
+    assert schemas and all("bytes" not in s for s in schemas)
+    assert all("caption" not in s for s in schemas)
+
+
+def test_pip_join_is_broadcast(spark, sf0001_dir):
+    """E5's zone side must broadcast — the big tile side never shuffles."""
+    imgs = spark.read.parquet(str(sf0001_dir / "images.parquet"))
+    zones = spark.read.parquet(str(sf0001_dir / "zones.parquet"))
+    tiles = geo.georegister(imgs.select("image_id", "w", "h"))
+    q = pip_join(tiles, zones, x=geo.centroid_x(), y=geo.centroid_y())
+    plan = _plan(q)
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_filter_pushdown_reaches_scan(spark, sf0001_dir):
+    """A fmt filter must appear in PushedFilters at the parquet scan."""
+    imgs = spark.read.parquet(str(sf0001_dir / "images.parquet"))
+    q = imgs.where(F.col("fmt") == "raw").select("image_id")
+    ex = _explain(q)
+    assert "PushedFilters: [IsNotNull(fmt), EqualTo(fmt,raw)]" in ex
+
+
+def test_no_generate_inferred_filter(spark, sf0001_dir):
+    """The InferFiltersFromGenerate exclusion (session.py) must hold:
+    explode(cover_cells) may not grow a size(...)>0 filter that
+    re-evaluates the cover expression per row (measured ~10x)."""
+    imgs = spark.read.parquet(str(sf0001_dir / "images.parquet"))
+    q = geo.tile_assignments(geo.georegister(imgs.select("image_id", "w", "h")))
+    plan = q._jdf.queryExecution().optimizedPlan().toString()
+    assert "Filter (size(" not in plan
+
+
+def test_whole_stage_codegen_on_cell_math(spark, sf0001_dir):
+    """Cell encode / extent math must stay inside WholeStageCodegen."""
+    imgs = spark.read.parquet(str(sf0001_dir / "images.parquet"))
+    q = geo.georegister(imgs.select("image_id", "w", "h")).select("image_id", "cell_id")
+    # codegen'd operators carry a '*' prefix in formatted explain
+    assert "\n* Project" in _explain(q) or "*(1) Project" in _plan(q)
