@@ -35,9 +35,40 @@ from ..constants import DEFAULT_RES
 from ..functions import cells
 
 
-def convex_pip(ring: Column, px: Column, py: Column) -> Column:
+# Rings with at most this many edges take the unrolled codegen fast path.
+MAX_UNROLL_EDGES = 16
+
+
+def convex_pip(ring: Column, px: Column, py: Column, max_edges: int = MAX_UNROLL_EDGES) -> Column:
     """True iff (px, py) is inside/on the convex CCW closed ring.
-    Pure Column: cross-product >= 0 for every edge."""
+
+    Unrolled edge tests over plain Column primitives (`get` + struct field
+    + arithmetic) so the whole refine predicate stays inside whole-stage
+    codegen.  The higher-order-function variant (convex_pip_hof) is
+    CodegenFallback in Spark 4 — interpreted per row, allocating two
+    `slice` copies of the ring plus a `zip_with` array per candidate —
+    measured several-fold slower on the candidate stream of the broadcast
+    PIP join.  ONLY correct for rings with size(ring)-1 <= max_edges
+    edges; pip_join dispatches on the zones side's actual max ring size.
+
+    Out-of-range `get` returns NULL (never errors, ANSI-safe): for edge
+    index k >= size-1 the guard `k >= size-1` is true, so `true OR NULL`
+    keeps the conjunction exact.
+    """
+    n = F.size(ring)
+    out = F.lit(True)
+    for k in range(max_edges):
+        a = F.get(ring, k)
+        b = F.get(ring, k + 1)
+        cross = (b["x"] - a["x"]) * (py - a["y"]) - (b["y"] - a["y"]) * (px - a["x"])
+        out = out & ((F.lit(k) >= n - 1) | (cross >= 0))
+    return out
+
+
+def convex_pip_hof(ring: Column, px: Column, py: Column) -> Column:
+    """Higher-order-function variant for arbitrary ring sizes (interpreted:
+    zip_with/exists are CodegenFallback) — the general-case fallback and
+    the differential-test twin of the unrolled fast path."""
     n = F.size(ring)
     p1 = F.slice(ring, 1, n - 1)
     p2 = F.slice(ring, 2, n - 1)
@@ -67,11 +98,15 @@ def pip_join(
     y: Column,
     r: int = DEFAULT_RES,
     broadcast_zones: bool = True,
+    max_ring: int | None = None,
 ) -> DataFrame:
     """All (point-row, zone_id) containment pairs.
 
     `points` is any DataFrame; `x`/`y` are Column expressions over it.
     Result = points columns + zone_id (ring/cell_id dropped).
+    `max_ring` is an optional caller-supplied bound on size(ring) over the
+    zones side; passing it skips the dispatch agg below (callers issuing
+    several pip_joins against the same zones table should compute it once).
     """
     zc = zone_cells(zones, r)
     if broadcast_zones:
@@ -79,7 +114,16 @@ def pip_join(
     pts = points.withColumn("_px", x).withColumn("_py", y).withColumn(
         "cell_id", cells.cell_encode(F.col("_px"), F.col("_py"), r)
     )
-    joined = pts.join(zc, "cell_id").where(
-        convex_pip(F.col("ring"), F.col("_px"), F.col("_py"))
-    )
+    # Dispatch the refine predicate on the zones side's actual max ring
+    # size: one tiny driver-side agg over the dim table (broadcast-small
+    # by definition) buys the codegen fast path for the candidate stream.
+    if max_ring is None:
+        max_ring = zones.agg(F.max(F.size("ring"))).first()[0]
+    if max_ring is not None and max_ring - 1 <= MAX_UNROLL_EDGES:
+        refine = convex_pip(
+            F.col("ring"), F.col("_px"), F.col("_py"), max_edges=max_ring - 1
+        )
+    else:
+        refine = convex_pip_hof(F.col("ring"), F.col("_px"), F.col("_py"))
+    joined = pts.join(zc, "cell_id").where(refine)
     return joined.drop("ring", "cell_id", "_px", "_py")

@@ -28,7 +28,11 @@ def load_fixture(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
 
 
 def zone_image_stats(
-    images: DataFrame, zones: DataFrame, r: int = DEFAULT_RES, with_pixels: bool = True
+    images: DataFrame,
+    zones: DataFrame,
+    r: int = DEFAULT_RES,
+    with_pixels: bool = True,
+    max_ring: int | None = None,
 ) -> DataFrame:
     """Per-zone image count (+ mean of per-tile mean pixel value)."""
     tiles = geo.georegister(images, r)
@@ -42,6 +46,7 @@ def zone_image_stats(
         x=geo.centroid_x(),
         y=geo.centroid_y(),
         r=r,
+        max_ring=max_ring,
     )
     aggs = [F.count(F.lit(1)).alias("n_images")]
     if with_pixels:

@@ -107,11 +107,15 @@ def _write_images(out: Path, n: int, w: int, chunk: int = 10_000) -> None:
             ],
             schema=schema,
         )
-        # Small row groups (2048 rows ~ 8 MB raw pixels): parquet scan
+        # Small row groups (512 rows ~ 2 MB raw pixels): parquet scan
         # splits cannot subdivide a row group, so group count bounds the
         # whole engine's scan parallelism — 10k-row groups capped every
-        # pixel pipeline at 10 concurrent tasks regardless of cores.
-        writer.write_batch(batch, row_group_size=2048)
+        # pixel pipeline at 10 concurrent tasks regardless of cores, and
+        # 2048-row groups left the bench's 128x-amplified scan tasks so
+        # coarse (49 tasks) that wave quantization alone cost ~20% at 16
+        # cores.  A 100 TB table has thousands of files; this knob only
+        # matters for the single-file sandbox fixtures.
+        writer.write_batch(batch, row_group_size=512)
     writer.close()
 
 
