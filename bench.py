@@ -34,9 +34,15 @@ REPO = Path(__file__).resolve().parent
 DEFAULT_SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 
 
-def _spark(cpus: int):
+def _spark(cpus: int, gc: str = "default"):
     sys.path.insert(0, str(REPO))
     from georaster_spark.session import get_spark
+
+    extra = {}
+    if gc == "parallel":
+        # Throughput-batch posture: ParallelGC can beat G1 on allocation-
+        # heavy codegen stages (UTF8String churn) at high thread counts.
+        extra["spark.driver.extraJavaOptions"] = "-XX:+UseParallelGC"
 
     # Fine input splits: the sandbox fixture is ONE ~26 MB parquet file
     # (zstd compresses the synthetic ramps ~15x); 128 KB splits over
@@ -50,11 +56,12 @@ def _spark(cpus: int):
         extra_conf={
             "spark.sql.files.maxPartitionBytes": "128k",
             "spark.sql.files.openCostInBytes": "16k",
+            **extra,
         },
     )
 
 
-def headline_job(spark, sf_dir: str, repl: int = 1) -> dict:
+def headline_job(spark, sf_dir: str, repl: int = 1, concurrent: bool = False) -> dict:
     """Spatial-join + tile-assignment pipeline (the BASELINE.json metric).
 
     georegister (map-only Column math) -> E4 tile assignment (explode
@@ -101,13 +108,29 @@ def headline_job(spark, sf_dir: str, repl: int = 1) -> dict:
 
     t0 = time.perf_counter()
     tiles = geo.georegister(images.select("image_id", "w", "h"))  # bytes pruned
-    n_assign = geo.tile_assignments(tiles).count()
-    pairs = pip_join(
-        tiles, zones, x=geo.centroid_x(), y=geo.centroid_y(), max_ring=max_ring
-    )
-    n_pairs = pairs.count()
-    # pixel leg: decode + per-tile mean + PIP + per-zone agg (the flagship)
-    zone_image_stats(images, zones, max_ring=max_ring).count()
+    legs = {
+        "assign": lambda: geo.tile_assignments(tiles).count(),
+        "pairs": lambda: pip_join(
+            tiles, zones, x=geo.centroid_x(), y=geo.centroid_y(), max_ring=max_ring
+        ).count(),
+        # pixel leg: decode + per-tile mean + PIP + per-zone agg (flagship)
+        "pixel": lambda: zone_image_stats(images, zones, max_ring=max_ring).count(),
+    }
+    if concurrent:
+        # Submit the three actions concurrently (what a real pipeline
+        # driver does): stage barriers and ramp-down waves of one job are
+        # hidden by runnable tasks of the others, keeping the executor
+        # pool saturated.  Outputs are identical — only scheduling
+        # overlaps.
+        from concurrent.futures import ThreadPoolExecutor
+
+        with ThreadPoolExecutor(3) as ex:
+            futs = {k: ex.submit(fn) for k, fn in legs.items()}
+            counts = {k: f.result() for k, f in futs.items()}
+    else:
+        counts = {k: fn() for k, fn in legs.items()}
+    n_assign = counts["assign"]
+    n_pairs = counts["pairs"]
     dt = time.perf_counter() - t0
     return {
         "sec": dt,
@@ -138,15 +161,15 @@ def bench_queries(spark, sf_dir: str) -> dict[str, float]:
     return out
 
 
-def run_once(cpus: int, sf_dir: str, with_queries: bool, warmup: int = 0, repl: int = 1) -> dict:
-    spark = _spark(cpus)
+def run_once(cpus: int, sf_dir: str, with_queries: bool, warmup: int = 0, repl: int = 1, concurrent: bool = False, gc: str = "default") -> dict:
+    spark = _spark(cpus, gc=gc)
     try:
         for _ in range(warmup):
             # JVM/codegen/python-worker warmup; the north-rule scaling
             # protocol times steady-state throughput, not cold start
             # (documented in BENCH/BASELINE.md).
-            headline_job(spark, sf_dir)
-        head = headline_job(spark, sf_dir, repl=repl)
+            headline_job(spark, sf_dir, concurrent=concurrent)
+        head = headline_job(spark, sf_dir, repl=repl, concurrent=concurrent)
         res = {
             "metric": "spatial-join + tile-assignment wall time (headline); "
             "throughput in images_per_sec",
@@ -166,19 +189,55 @@ def run_once(cpus: int, sf_dir: str, with_queries: bool, warmup: int = 0, repl: 
         spark.stop()
 
 
-def run_scaling(sf_dir: str, n: int, sf_cpus: int, repeats: int = 3) -> dict:
-    """Fresh JVM per parallelism level via subprocess; best-of-`repeats`
-    per level (the box carries ~3.5 load of background noise — min wall
-    time measures capability, the standard protocol under noisy
-    neighbors)."""
-    results = {}
-    # Interleave the two levels (A B A B ...) rather than finishing one
-    # level before the other: the sandbox VM's available throughput
-    # drifts by multiples over minutes (hypervisor neighbors), and
-    # interleaving exposes both levels to the same drift so the best-of
-    # pair is comparable.
+def _control_worker(_i: int) -> int:
+    acc = 0
+    for k in range(2_000_000):
+        acc = (acc * 1103515245 + k) & 0xFFFFFFFF
+    return acc
+
+
+def parallel_control(nproc: int = 16) -> float:
+    """Machine-health control: wall seconds for `nproc` processes each
+    running a fixed arithmetic loop (~0.4 s on a quiet core).  Job-
+    independent — it measures what parallelism the hypervisor is
+    actually delivering RIGHT NOW, nothing about the engine."""
+    from multiprocessing import get_context
+
+    t0 = time.perf_counter()
+    with get_context("fork").Pool(nproc) as pool:
+        pool.map(_control_worker, range(nproc))
+    return time.perf_counter() - t0
+
+
+# A measurement is CLEAN iff its bracketing controls ran within this
+# factor of the session's best control (i.e. the hypervisor was
+# delivering ~full parallelism during the run).
+CONTROL_TOLERANCE = 1.3
+
+
+def run_scaling(sf_dir: str, n: int, sf_cpus: int, repeats: int = 6) -> dict:
+    """N-vs-4N evidence under heavy hypervisor noise.
+
+    This VM's deliverable throughput collapses by ~10-20x for windows of
+    minutes-to-tens-of-minutes (identical runs measured 13.6 s and 267 s
+    an hour apart), so a plain best-of-3 can land every run of one level
+    inside a noise window and report garbage in either direction.
+    Protocol:
+
+    * fresh JVM per run (subprocess), 1 warmup iteration inside each;
+    * levels interleaved (A B A B ...) so drift hits both equally;
+    * each run bracketed by `parallel_control()` (a fixed 16-process
+      arithmetic loop).  A run is CLEAN iff min(before, after) control
+      is within CONTROL_TOLERANCE of the session-best control;
+    * per level keep the min wall time over clean runs (min is the right
+      estimator under one-sided noise); stop early once both levels have
+      >= 2 clean runs — a noise-model criterion, not an outcome one.
+    """
+    runs: list[dict] = []
+    best_control = None
     for rep in range(repeats):
         for cpus in (n, 4 * n):
+            c_before = parallel_control()
             cmd = [
                 sys.executable,
                 str(REPO / "bench.py"),
@@ -199,19 +258,67 @@ def run_scaling(sf_dir: str, n: int, sf_cpus: int, repeats: int = 3) -> dict:
                 "256",
             ]
             proc = subprocess.run(cmd, capture_output=True, text=True, cwd=str(REPO))
-            line = [l for l in proc.stdout.splitlines() if l.startswith("{")][-1]
-            r = json.loads(line)
-            if cpus not in results or r["value"] < results[cpus]["value"]:
-                results[cpus] = r
-    t_n = results[n]["value"]
-    t_4n = results[4 * n]["value"]
+            c_after = parallel_control()
+            control = min(c_before, c_after)
+            if best_control is None or control < best_control:
+                best_control = control
+            lines = [l for l in proc.stdout.splitlines() if l.startswith("{")]
+            if not lines:
+                print(
+                    f"[scaling] cpus={cpus} rep={rep} produced no result "
+                    f"(control {control:.2f}s) — skipped",
+                    file=sys.stderr,
+                )
+                continue
+            r = json.loads(lines[-1])
+            r["control_sec"] = round(control, 3)
+            runs.append(r)
+            print(
+                f"[scaling] cpus={cpus} rep={rep} wall={r['value']}s "
+                f"control={control:.2f}s (session best {best_control:.2f}s)",
+                file=sys.stderr,
+            )
+        # Cleanliness vs the best control seen SO FAR — only used for the
+        # early stop; the final classification below re-evaluates against
+        # the whole session's best so an early lucky threshold can't
+        # grandfather a noisy run in.
+        n_clean = {
+            c: sum(
+                1
+                for r in runs
+                if r["cpus"] == c
+                and r["control_sec"] <= CONTROL_TOLERANCE * best_control
+            )
+            for c in (n, 4 * n)
+        }
+        if all(v >= 2 for v in n_clean.values()):
+            break
+
+    def pick(cpus: int) -> dict:
+        mine = [r for r in runs if r["cpus"] == cpus]
+        clean = [
+            r for r in mine if r["control_sec"] <= CONTROL_TOLERANCE * best_control
+        ]
+        pool = clean or mine  # fall back to all runs if none were clean
+        best = min(pool, key=lambda r: r["value"])
+        best["clean"] = bool(clean)
+        return best
+
+    r_n, r_4n = pick(n), pick(4 * n)
+    t_n, t_4n = r_n["value"], r_4n["value"]
     return {
         "N": n,
         "t_N_sec": t_n,
         "t_4N_sec": t_4n,
-        "thr_N": results[n]["images_per_sec"],
-        "thr_4N": results[4 * n]["images_per_sec"],
+        "thr_N": r_n["images_per_sec"],
+        "thr_4N": r_4n["images_per_sec"],
         "efficiency": round(t_n / (4.0 * t_4n), 3),
+        "control_N_sec": r_n["control_sec"],
+        "control_4N_sec": r_4n["control_sec"],
+        "clean_N": r_n["clean"],
+        "clean_4N": r_4n["clean"],
+        "best_control_sec": round(best_control, 3) if best_control else None,
+        "n_runs": len(runs),
     }
 
 
@@ -220,6 +327,9 @@ def main() -> None:
     ap.add_argument("--sf-dir", default=DEFAULT_SF_DIR)
     ap.add_argument("--cpus", type=int, default=int(os.environ.get("SPARK_GRAFT_CPUS", "32")))
     ap.add_argument("--headline-only", action="store_true")
+    ap.add_argument("--concurrent", action="store_true",
+                    help="submit the three headline actions concurrently")
+    ap.add_argument("--gc", default="default", choices=["default", "parallel"])
     ap.add_argument("--warmup", type=int, default=0)
     ap.add_argument("--repl", type=int, default=1)
     ap.add_argument("--scaling", action="store_true", help="N vs 4N evidence run")
@@ -247,14 +357,17 @@ def main() -> None:
                     f"\n| {Path(args.sf_dir).name} | local[{sc['N']}] vs local[{4*sc['N']}] "
                     f"| {sc['t_N_sec']:.2f}s vs {sc['t_4N_sec']:.2f}s "
                     f"| {sc['thr_N']:.0f} vs {sc['thr_4N']:.0f} img/s "
-                    f"| **{sc['efficiency']:.3f}** |\n"
+                    f"| **{sc['efficiency']:.3f}** "
+                    f"| {sc['control_N_sec']}/{sc['control_4N_sec']}s vs best "
+                    f"{sc['best_control_sec']}s, clean={sc['clean_N']}/{sc['clean_4N']}, "
+                    f"{sc['n_runs']} runs |\n"
                 )
         print(json.dumps({"metric": "scaling efficiency N->4N", "unit": "ratio", **sc}))
         return
 
     res = run_once(
         args.cpus, args.sf_dir, with_queries=not args.headline_only,
-        warmup=args.warmup, repl=args.repl,
+        warmup=args.warmup, repl=args.repl, concurrent=args.concurrent, gc=args.gc,
     )
     print(json.dumps(res))
 

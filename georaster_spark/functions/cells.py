@@ -95,6 +95,42 @@ def cell_cover(
     )
 
 
+def cell_cover2(
+    xmin: Column, xmax: Column, ymin: Column, ymax: Column, r: int
+) -> Column:
+    """Codegen fast path of cell_cover for boxes spanning at most 2 cells
+    per axis (box edge <= cell edge, e.g. georegistered tiles at the
+    ingest resolution).  Bit-identical output to cell_cover — row-major
+    ascending distinct cells — but built from 4 corner-cell ids with
+    CaseWhen/CreateArray (whole-stage codegen) instead of the
+    sequence/transform/flatten higher-order functions, which are
+    CodegenFallback in Spark 4: interpreted per row, allocating several
+    boxed arrays each — the dominant cost (and GC pressure) of the E4
+    tile-assignment leg at high parallelism.  Callers MUST guarantee the
+    span bound; georegister dispatches on (DOMAIN >> r) >= TILE_SPAN.
+    """
+    s = float(DOMAIN >> r)
+    n = (1 << r) - 1
+    ix0 = _clamp(F.floor(xmin / F.lit(s)), 0, n)
+    ix1 = F.greatest(_clamp(F.ceil(xmax / F.lit(s)) - 1, 0, n), ix0)
+    iy0 = _clamp(F.floor((F.lit(float(DOMAIN)) - ymax) / F.lit(s)), 0, n)
+    iy1 = F.greatest(_clamp(F.ceil((F.lit(float(DOMAIN)) - ymin) / F.lit(s)) - 1, 0, n), iy0)
+    base = F.lit(r << RES_SHIFT)
+
+    def cid(iy: Column, ix: Column) -> Column:
+        return (base + iy * F.lit(1 << r) + ix).cast("long")
+
+    c00, c01 = cid(iy0, ix0), cid(iy0, ix1)
+    c10, c11 = cid(iy1, ix0), cid(iy1, ix1)
+    dx, dy = ix1 > ix0, iy1 > iy0
+    return (
+        F.when(dx & dy, F.array(c00, c01, c10, c11))
+        .when(dx, F.array(c00, c01))
+        .when(dy, F.array(c00, c10))
+        .otherwise(F.array(c00))
+    )
+
+
 def cell_neighbors(cell: Column, r: int, ring: int = 1) -> Column:
     """array<bigint> of cells within Chebyshev distance `ring` (incl. self),
     clamped at the domain edge; ascending by construction (row-major scan)."""

@@ -99,12 +99,19 @@ def with_cells(tiles: DataFrame, r: int = DEFAULT_RES) -> DataFrame:
         .withColumn("ymin", F.col("gt_y0") - F.col("h") * F.col("gt_yres"))
         .withColumn("ymax", F.col("gt_y0"))
     )
+    # Tiles are TILE_SPAN wide by construction, so whenever the cell edge
+    # at r is >= TILE_SPAN the footprint spans at most 2 cells per axis
+    # and the codegen corner-enumeration cover applies (cell_cover2);
+    # finer resolutions fall back to the general higher-order-fn cover.
+    from ..constants import DOMAIN
+
+    cover_fn = cells.cell_cover2 if (DOMAIN >> r) >= TILE_SPAN else cells.cell_cover
     return (
         df.withColumn("cell_r", F.lit(r))
         .withColumn("cell_id", cells.cell_encode(F.col("gt_x0"), F.col("gt_y0"), r))
         .withColumn(
             "cover_cells",
-            cells.cell_cover(F.col("xmin"), F.col("xmax"), F.col("ymin"), F.col("ymax"), r),
+            cover_fn(F.col("xmin"), F.col("xmax"), F.col("ymin"), F.col("ymax"), r),
         )
     )
 

@@ -113,6 +113,31 @@ def test_spark_cover_matches_numpy(spark):
         assert list(g) == list(e)
 
 
+def test_cover2_fast_path_matches_general(spark):
+    """cell_cover2 (codegen corner enumeration) must be bit-identical to
+    cell_cover wherever its <=2-cells-per-axis precondition holds — the
+    georegister ingest dispatches between the two on TILE_SPAN vs cell
+    edge, so any divergence would silently corrupt E4 tile assignments."""
+    rng = np.random.default_rng(7)
+    n = 500
+    edge = float(DOMAIN >> 13)
+    x0 = rng.uniform(0, DOMAIN - 2 * edge, n)
+    y1 = rng.uniform(2 * edge, DOMAIN, n)
+    # spans up to exactly one cell edge, including boundary-straddling
+    w = rng.uniform(1.0, edge, n)
+    df = spark.createDataFrame(
+        [(float(a), float(a + c), float(b - c), float(b)) for a, b, c in zip(x0, y1, w)],
+        "xmin double, xmax double, ymin double, ymax double",
+    )
+    args = (F.col("xmin"), F.col("xmax"), F.col("ymin"), F.col("ymax"))
+    rows = df.select(
+        cells.cell_cover(*args, 13).alias("general"),
+        cells.cell_cover2(*args, 13).alias("fast"),
+    ).collect()
+    for row in rows:
+        assert list(row["fast"]) == list(row["general"])
+
+
 def test_morton_key_spark_matches_numpy(spark):
     rng = np.random.default_rng(13)
     x = rng.uniform(0, DOMAIN, 500)
