@@ -34,7 +34,8 @@ REPO = Path(__file__).resolve().parent
 DEFAULT_SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 
 
-def _spark(cpus: int, gc: str = "default"):
+def _spark(cpus: int, gc: str = "default", executors: int | None = None,
+           exec_cores: int = 1):
     sys.path.insert(0, str(REPO))
     from georaster_spark.session import get_spark
 
@@ -43,6 +44,21 @@ def _spark(cpus: int, gc: str = "default"):
         # Throughput-batch posture: ParallelGC can beat G1 on allocation-
         # heavy codegen stages (UTF8String churn) at high thread counts.
         extra["spark.driver.extraJavaOptions"] = "-XX:+UseParallelGC"
+    if executors:
+        # local-cluster[E,C,mem]: E separate executor JVMs x C cores — the
+        # faithful sandbox analog of an E-executor cluster (each executor
+        # has its own heap/allocator, exactly like a real scale-out).
+        # Python workers on executors need the repo on their path.
+        extra["spark.executorEnv.PYTHONPATH"] = str(REPO)
+        return get_spark(
+            master=f"local-cluster[{executors},{exec_cores},8192]",
+            app_name=f"bench-lc-{executors}x{exec_cores}",
+            extra_conf={
+                "spark.sql.files.maxPartitionBytes": "128k",
+                "spark.sql.files.openCostInBytes": "16k",
+                **extra,
+            },
+        )
 
     # Fine input splits: the sandbox fixture is ONE ~26 MB parquet file
     # (zstd compresses the synthetic ramps ~15x); 128 KB splits over
@@ -161,8 +177,8 @@ def bench_queries(spark, sf_dir: str) -> dict[str, float]:
     return out
 
 
-def run_once(cpus: int, sf_dir: str, with_queries: bool, warmup: int = 0, repl: int = 1, concurrent: bool = False, gc: str = "default") -> dict:
-    spark = _spark(cpus, gc=gc)
+def run_once(cpus: int, sf_dir: str, with_queries: bool, warmup: int = 0, repl: int = 1, concurrent: bool = False, gc: str = "default", executors: int | None = None, exec_cores: int = 1) -> dict:
+    spark = _spark(cpus, gc=gc, executors=executors, exec_cores=exec_cores)
     try:
         for _ in range(warmup):
             # JVM/codegen/python-worker warmup; the north-rule scaling
@@ -176,7 +192,9 @@ def run_once(cpus: int, sf_dir: str, with_queries: bool, warmup: int = 0, repl: 
             "value": round(head["sec"], 3),
             "unit": "sec",
             "sf": Path(sf_dir).name,
-            "cpus": cpus,
+            "cpus": executors * exec_cores if executors else cpus,
+            "executors": executors,
+            "exec_cores": exec_cores if executors else None,
             "images_per_sec": round(head["images_per_sec"], 1),
             "n_images": head["n_images"],
             "n_assignments": head["n_assignments"],
@@ -215,7 +233,8 @@ def parallel_control(nproc: int = 16) -> float:
 CONTROL_TOLERANCE = 1.3
 
 
-def run_scaling(sf_dir: str, n: int, sf_cpus: int, repeats: int = 6) -> dict:
+def run_scaling(sf_dir: str, n: int, sf_cpus: int, repeats: int = 6,
+                mode: str = "threads", exec_cores: int = 1) -> dict:
     """N-vs-4N evidence under heavy hypervisor noise.
 
     This VM's deliverable throughput collapses by ~10-20x for windows of
@@ -238,11 +257,18 @@ def run_scaling(sf_dir: str, n: int, sf_cpus: int, repeats: int = 6) -> dict:
     for rep in range(repeats):
         for cpus in (n, 4 * n):
             c_before = parallel_control()
+            # mode="executors": local-cluster[cpus,exec_cores] — `cpus`
+            # is the EXECUTOR count, the literal N->4N executor scale-out
+            # of the north rule, each executor a separate JVM.
+            level_args = (
+                ["--executors", str(cpus), "--exec-cores", str(exec_cores)]
+                if mode == "executors"
+                else ["--cpus", str(cpus)]
+            )
             cmd = [
                 sys.executable,
                 str(REPO / "bench.py"),
-                "--cpus",
-                str(cpus),
+                *level_args,
                 "--sf-dir",
                 sf_dir,
                 "--headline-only",
@@ -313,6 +339,8 @@ def run_scaling(sf_dir: str, n: int, sf_cpus: int, repeats: int = 6) -> dict:
         "thr_N": r_n["images_per_sec"],
         "thr_4N": r_4n["images_per_sec"],
         "efficiency": round(t_n / (4.0 * t_4n), 3),
+        "mode": mode,
+        "exec_cores": exec_cores if mode == "executors" else None,
         "control_N_sec": r_n["control_sec"],
         "control_4N_sec": r_4n["control_sec"],
         "clean_N": r_n["clean"],
@@ -330,6 +358,9 @@ def main() -> None:
     ap.add_argument("--concurrent", action="store_true",
                     help="submit the three headline actions concurrently")
     ap.add_argument("--gc", default="default", choices=["default", "parallel"])
+    ap.add_argument("--executors", type=int, default=None,
+                    help="run on local-cluster[E,exec-cores,8192] instead of local[cpus]")
+    ap.add_argument("--exec-cores", type=int, default=1)
     ap.add_argument("--warmup", type=int, default=0)
     ap.add_argument("--repl", type=int, default=1)
     ap.add_argument("--scaling", action="store_true", help="N vs 4N evidence run")
@@ -338,7 +369,13 @@ def main() -> None:
     # hypervisor oversubscribes above ~16 threads (lscpu reports 32
     # cores; sustained background load ~3.5).  Scaling evidence uses the
     # range where hardware parallelism is real; see BENCH/BASELINE.md.
-    ap.add_argument("--scaling-n", type=int, default=4)
+    ap.add_argument("--scaling-n", type=int, default=1)
+    ap.add_argument(
+        "--scaling-mode", default="executors", choices=["threads", "executors"],
+        help="executors: N vs 4N separate executor JVMs via local-cluster "
+        "(the north rule's literal cluster-size axis); threads: local[N] "
+        "vs local[4N]",
+    )
     ap.add_argument("--write-md", action="store_true")
     args = ap.parse_args()
 
@@ -348,13 +385,17 @@ def main() -> None:
     fixtures_for_sf_dir(args.sf_dir)
 
     if args.scaling:
-        sc = run_scaling(args.sf_dir, args.scaling_n, args.cpus)
+        sc = run_scaling(args.sf_dir, args.scaling_n, args.cpus,
+                         mode=args.scaling_mode, exec_cores=args.exec_cores)
         if args.write_md:
             md = REPO / "BENCH" / "BASELINE.md"
             md.parent.mkdir(exist_ok=True)
             with md.open("a") as f:
                 f.write(
-                    f"\n| {Path(args.sf_dir).name} | local[{sc['N']}] vs local[{4*sc['N']}] "
+                    f"\n| {Path(args.sf_dir).name} "
+                    f"| {'executors ' if sc['mode'] == 'executors' else 'local'}"
+                    f"{sc['N']}{'x' + str(sc['exec_cores']) if sc['mode'] == 'executors' else ''} vs "
+                    f"{4*sc['N']}{'x' + str(sc['exec_cores']) if sc['mode'] == 'executors' else ''} "
                     f"| {sc['t_N_sec']:.2f}s vs {sc['t_4N_sec']:.2f}s "
                     f"| {sc['thr_N']:.0f} vs {sc['thr_4N']:.0f} img/s "
                     f"| **{sc['efficiency']:.3f}** "
@@ -368,6 +409,7 @@ def main() -> None:
     res = run_once(
         args.cpus, args.sf_dir, with_queries=not args.headline_only,
         warmup=args.warmup, repl=args.repl, concurrent=args.concurrent, gc=args.gc,
+        executors=args.executors, exec_cores=args.exec_cores,
     )
     print(json.dumps(res))
 

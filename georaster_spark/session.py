@@ -22,7 +22,17 @@ def get_spark(
 ) -> SparkSession:
     cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
     master = master or f"local[{cpus}]"
-    cores = cpus if "*" in master else int(master.split("[")[1].rstrip("]")) if "[" in master else cpus
+    if "local-cluster[" in master:
+        # local-cluster[E,C,mem]: E executor JVMs x C cores — the faithful
+        # sandbox analog of an E-executor cluster (separate heaps).
+        execs, cores_per, _mem = master.split("[")[1].rstrip("]").split(",")
+        cores = int(execs) * int(cores_per)
+    elif "*" in master:
+        cores = cpus
+    elif "[" in master:
+        cores = int(master.split("[")[1].rstrip("]"))
+    else:
+        cores = cpus
     if shuffle_partitions is None:
         shuffle_partitions = 4 * cores  # BASELINE.md protocol: 4x cores
     b = (
