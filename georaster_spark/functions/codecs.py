@@ -57,19 +57,42 @@ def pixel_mean(data: pd.Series, w: pd.Series, h: pd.Series, fmt: pd.Series) -> p
     return pd.Series(out)
 
 
+def _dtype_of(fmt: str):
+    return "<u2" if fmt == "raw16" else np.uint8
+
+
 @F.pandas_udf(DoubleType())
 def pixel_psnr(
     data_a: pd.Series, data_b: pd.Series, w: pd.Series, h: pd.Series,
     fmt_a: pd.Series, fmt_b: pd.Series,
 ) -> pd.Series:
     """Per-row PSNR(dB) between two encodings of a tile (op E10).
-    inf (identical) is mapped to 99.0 so SQL aggregation stays finite."""
-    out = np.empty(len(data_a), dtype=np.float64)
-    for k in range(len(data_a)):
-        a = oracle.decode_pixels(data_a.iat[k], int(w.iat[k]), int(h.iat[k]), fmt_a.iat[k])
-        b = oracle.decode_pixels(data_b.iat[k], int(w.iat[k]), int(h.iat[k]), fmt_b.iat[k])
-        p = oracle.psnr(a, b)
-        out[k] = 99.0 if p == float("inf") else p
+    inf (identical) is mapped to 99.0 so SQL aggregation stays finite.
+
+    Vectorized by (pixel-count, dtype-pair) group: equal-shaped rows
+    decode as two (n, npix) blocks and reduce with one vectorized MSE
+    (exact — squared integer diffs sum exactly in float64), matching
+    oracle.psnr bit-for-bit.
+    """
+    n = len(data_a)
+    out = np.empty(n, dtype=np.float64)
+    keys = [
+        (len(data_a.iat[k]), fmt_a.iat[k] == "raw16", fmt_b.iat[k] == "raw16")
+        for k in range(n)
+    ]
+    groups: dict[tuple, list[int]] = {}
+    for k, key in enumerate(keys):
+        groups.setdefault(key, []).append(k)
+    for (nbytes_a, a16, b16), idx in groups.items():
+        dt_a = "<u2" if a16 else np.uint8
+        dt_b = "<u2" if b16 else np.uint8
+        a = np.frombuffer(b"".join(data_a.iat[k] for k in idx), dtype=dt_a).reshape(len(idx), -1)
+        b = np.frombuffer(b"".join(data_b.iat[k] for k in idx), dtype=dt_b).reshape(len(idx), -1)
+        diff = a.astype(np.float64) - b.astype(np.float64)
+        mse = np.mean(diff * diff, axis=1)
+        with np.errstate(divide="ignore"):
+            p = 10.0 * np.log10((255.0 * 255.0) / mse)
+        out[np.asarray(idx)] = np.where(mse == 0.0, 99.0, p)
     return pd.Series(out)
 
 
@@ -78,10 +101,26 @@ def reencode(fmt_to: str) -> Column:
 
     @F.pandas_udf(BinaryType())
     def _reenc(data: pd.Series, w: pd.Series, h: pd.Series, fmt: pd.Series) -> pd.Series:
-        out = []
-        for k in range(len(data)):
-            arr = oracle.decode_pixels(data.iat[k], int(w.iat[k]), int(h.iat[k]), fmt.iat[k])
-            out.append(oracle.encode_pixels(arr, fmt_to))
+        # Codecs are elementwise, so a batch re-encodes as ONE NumPy op
+        # over the concatenated buffer per source-dtype group, then is
+        # split back on the (byte-precise) row offsets.
+        n = len(data)
+        out: list[bytes | None] = [None] * n
+        is16 = np.fromiter((f == "raw16" for f in fmt), dtype=bool, count=n)
+        for dtype, mask in ((np.uint8, ~is16), ("<u2", is16)):
+            idx = np.nonzero(mask)[0]
+            if len(idx) == 0:
+                continue
+            bufs = [data.iat[int(k)] for k in idx]
+            arr = np.frombuffer(b"".join(bufs), dtype=dtype)
+            enc = oracle.encode_pixels(arr, fmt_to)
+            itemsize = np.dtype(_dtype_of(fmt_to)).itemsize
+            src_itemsize = np.dtype(dtype).itemsize
+            off = 0
+            for k, buf in zip(idx, bufs):
+                npix = len(buf) // src_itemsize
+                out[int(k)] = enc[off * itemsize:(off + npix) * itemsize]
+                off += npix
         return pd.Series(out)
 
     return _reenc
