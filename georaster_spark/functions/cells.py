@@ -107,7 +107,11 @@ def cell_cover2(
     CodegenFallback in Spark 4: interpreted per row, allocating several
     boxed arrays each — the dominant cost (and GC pressure) of the E4
     tile-assignment leg at high parallelism.  Callers MUST guarantee the
-    span bound; georegister dispatches on (DOMAIN >> r) >= TILE_SPAN.
+    span bound: georegister() dispatches statically on
+    (DOMAIN >> r) >= TILE_SPAN (its tiles are exactly TILE_SPAN wide by
+    construction); with_cells() guards per row with
+    F.when(span <= cell_edge, cover2).otherwise(cover) because its
+    callers bring arbitrary footprints.
     """
     s = float(DOMAIN >> r)
     n = (1 << r) - 1

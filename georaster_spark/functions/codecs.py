@@ -28,6 +28,19 @@ from pyspark.sql.types import BinaryType, DoubleType
 
 from .. import oracle
 
+_KNOWN_FMTS = frozenset({"raw", "raw16", "qnt"})
+
+
+def _raw16_mask(fmt: pd.Series) -> np.ndarray:
+    """bool mask of raw16 rows; raises on fmt values outside the codec set
+    (an unknown fmt would otherwise silently decode as uint8 and produce a
+    wrong-but-plausible result)."""
+    vals = fmt.to_numpy(dtype=object)
+    bad = sorted({v for v in vals if v not in _KNOWN_FMTS})
+    if bad:
+        raise ValueError(f"unknown pixel fmt(s) {bad!r}; expected one of {sorted(_KNOWN_FMTS)}")
+    return np.fromiter((v == "raw16" for v in vals), dtype=bool, count=len(vals))
+
 
 @F.pandas_udf(DoubleType())
 def pixel_mean(data: pd.Series, w: pd.Series, h: pd.Series, fmt: pd.Series) -> pd.Series:
@@ -40,7 +53,7 @@ def pixel_mean(data: pd.Series, w: pd.Series, h: pd.Series, fmt: pd.Series) -> p
     """
     out = np.empty(len(data), dtype=np.float64)
     lens = np.fromiter((len(b) for b in data), dtype=np.int64, count=len(data))
-    is16 = np.fromiter((f == "raw16" for f in fmt), dtype=bool, count=len(data))
+    is16 = _raw16_mask(fmt)
     for dtype, mask16 in ((np.uint8, ~is16), ("<u2", is16)):
         for n_bytes in np.unique(lens[mask16]):
             idx = np.nonzero(mask16 & (lens == n_bytes))[0]
@@ -76,10 +89,8 @@ def pixel_psnr(
     """
     n = len(data_a)
     out = np.empty(n, dtype=np.float64)
-    keys = [
-        (len(data_a.iat[k]), fmt_a.iat[k] == "raw16", fmt_b.iat[k] == "raw16")
-        for k in range(n)
-    ]
+    a16, b16 = _raw16_mask(fmt_a), _raw16_mask(fmt_b)
+    keys = [(len(data_a.iat[k]), bool(a16[k]), bool(b16[k])) for k in range(n)]
     groups: dict[tuple, list[int]] = {}
     for k, key in enumerate(keys):
         groups.setdefault(key, []).append(k)
@@ -96,6 +107,41 @@ def pixel_psnr(
     return pd.Series(out)
 
 
+@F.pandas_udf(DoubleType())
+def psnr_after_qnt(data: pd.Series, w: pd.Series, h: pd.Series, fmt: pd.Series) -> pd.Series:
+    """Fused quantize+PSNR (op E10 hot path): PSNR(dB) between a tile and
+    its 'qnt' re-encoding, computed from `bytes` ALONE — the quantizer is
+    elementwise, so the quantized payload is never materialized and pixel
+    bytes cross the JVM->Python Arrow boundary ONCE.  Bit-identical to
+    pixel_psnr(bytes, reencode('qnt')(bytes, ...), ...), which shipped the
+    pixels across Arrow three times (re-encode out, then both payloads
+    back in) and was the dominant cost of q_verification_report.
+
+    Vectorized by (byte-length, dtype) group like pixel_psnr; identical
+    tiles (already-quantized 'qnt' input — the quantizer is idempotent)
+    map inf -> 99.0 so SQL aggregation stays finite.
+    """
+    n = len(data)
+    out = np.empty(n, dtype=np.float64)
+    is16 = _raw16_mask(fmt)
+    lens = np.fromiter((len(b) for b in data), dtype=np.int64, count=n)
+    for dtype, mask in ((np.uint8, ~is16), ("<u2", is16)):
+        for n_bytes in np.unique(lens[mask]):
+            idx = np.nonzero(mask & (lens == n_bytes))[0]
+            block = np.frombuffer(
+                b"".join(data.iat[int(k)] for k in idx), dtype=dtype
+            ).reshape(len(idx), -1)
+            # encode_pixels(arr, 'qnt') casts to uint8 first, then the
+            # mid-tread quantizer — replicate exactly (oracle.encode_pixels).
+            q = oracle.quantize(block.astype(np.uint8))
+            diff = block.astype(np.float64) - q.astype(np.float64)
+            mse = np.mean(diff * diff, axis=1)
+            with np.errstate(divide="ignore"):
+                p = 10.0 * np.log10((255.0 * 255.0) / mse)
+            out[np.asarray(idx)] = np.where(mse == 0.0, 99.0, p)
+    return pd.Series(out)
+
+
 def reencode(fmt_to: str) -> Column:
     """Factory: returns a pandas-UDF Column re-encoding `bytes` to fmt_to."""
 
@@ -106,7 +152,7 @@ def reencode(fmt_to: str) -> Column:
         # split back on the (byte-precise) row offsets.
         n = len(data)
         out: list[bytes | None] = [None] * n
-        is16 = np.fromiter((f == "raw16" for f in fmt), dtype=bool, count=n)
+        is16 = _raw16_mask(fmt)
         for dtype, mask in ((np.uint8, ~is16), ("<u2", is16)):
             idx = np.nonzero(mask)[0]
             if len(idx) == 0:

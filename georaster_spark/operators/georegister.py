@@ -79,12 +79,23 @@ def georegister(images: DataFrame, r: int = DEFAULT_RES) -> DataFrame:
         .withColumn("ymin", F.col("gt_y0") - F.col("h") * F.col("gt_yres"))
         .withColumn("ymax", F.col("gt_y0"))
     )
+    # Tiles here are exactly TILE_SPAN wide/tall by construction
+    # (gt_xres = TILE_SPAN / w), so whenever the cell edge at r is
+    # >= TILE_SPAN the footprint spans at most 2 cells per axis and the
+    # codegen corner-enumeration cover (cell_cover2) is bit-identical to
+    # the general higher-order-fn cover — which is CodegenFallback in
+    # Spark 4 and was the dominant cost of the E4 ingest leg.  Static
+    # dispatch is safe ONLY here, where the span bound holds by
+    # construction; with_cells (arbitrary footprints) guards per row.
+    from ..constants import DOMAIN
+
+    cover_fn = cells.cell_cover2 if (DOMAIN >> r) >= TILE_SPAN else cells.cell_cover
     return (
         df.withColumn("cell_r", F.lit(r))
         .withColumn("cell_id", cells.cell_encode(F.col("gt_x0"), F.col("gt_y0"), r))
         .withColumn(
             "cover_cells",
-            cells.cell_cover(F.col("xmin"), F.col("xmax"), F.col("ymin"), F.col("ymax"), r),
+            cover_fn(F.col("xmin"), F.col("xmax"), F.col("ymin"), F.col("ymax"), r),
         )
     )
 
@@ -99,19 +110,24 @@ def with_cells(tiles: DataFrame, r: int = DEFAULT_RES) -> DataFrame:
         .withColumn("ymin", F.col("gt_y0") - F.col("h") * F.col("gt_yres"))
         .withColumn("ymax", F.col("gt_y0"))
     )
-    # Tiles are TILE_SPAN wide by construction, so whenever the cell edge
-    # at r is >= TILE_SPAN the footprint spans at most 2 cells per axis
-    # and the codegen corner-enumeration cover applies (cell_cover2);
-    # finer resolutions fall back to the general higher-order-fn cover.
+    # Unlike georegister(), footprints here are UNBOUNDED (callers bring
+    # their own geotransform — the landsat fixture already spans 1920 m),
+    # so cell_cover2's <=2-cells-per-axis precondition must be checked
+    # PER ROW: take the codegen corner cover only when the box edge fits
+    # inside one cell edge on both axes, else the general cover.
     from ..constants import DOMAIN
 
-    cover_fn = cells.cell_cover2 if (DOMAIN >> r) >= TILE_SPAN else cells.cell_cover
+    s = float(DOMAIN >> r)
+    span_ok = ((F.col("xmax") - F.col("xmin")) <= F.lit(s)) & (
+        (F.col("ymax") - F.col("ymin")) <= F.lit(s)
+    )
+    args = (F.col("xmin"), F.col("xmax"), F.col("ymin"), F.col("ymax"), r)
     return (
         df.withColumn("cell_r", F.lit(r))
         .withColumn("cell_id", cells.cell_encode(F.col("gt_x0"), F.col("gt_y0"), r))
         .withColumn(
             "cover_cells",
-            cover_fn(F.col("xmin"), F.col("xmax"), F.col("ymin"), F.col("ymax"), r),
+            F.when(span_ok, cells.cell_cover2(*args)).otherwise(cells.cell_cover(*args)),
         )
     )
 

@@ -77,6 +77,7 @@ def knn_join(
 
     finished = []
     radius = 1
+    persisted: list[DataFrame] = []  # frontier cache handles, released as superseded
     for _ in range(max_rounds):
         ring = cells.cell_neighbors(F.col("_pcell"), r, ring=radius)
         cand = (
@@ -97,13 +98,28 @@ def knn_join(
             top.join(F.broadcast(done_ids), id_col).select(id_col, "rank", center_id, "d2")
         )
         # materialize the shrinking frontier so each round's lineage doesn't
-        # re-execute all previous rounds (driver-loop posture, SURVEY §3.2)
+        # re-execute all previous rounds (driver-loop posture, SURVEY §3.2);
+        # isEmpty() forces it, after which the superseded round's cache is
+        # released — a long-lived session never accumulates frontier blocks.
         remaining = remaining.join(done_ids, id_col, "left_anti").persist()
-        if remaining.isEmpty():
+        is_empty = remaining.isEmpty()
+        for p in persisted:
+            p.unpersist()
+        persisted = [remaining]
+        if is_empty:
+            # common exit: swap the (empty, still-cached) frontier for a
+            # trivially-empty plan so the brute fallback below costs nothing
+            # and no cache blocks outlive the call.
+            remaining.unpersist()
+            persisted = []
+            remaining = remaining.sparkSession.createDataFrame([], remaining.schema)
             break
         radius *= 2
         if radius * s >= DOMAIN:
             break
+    # NOTE: on the rare non-empty exit (max_rounds / domain-radius bound) one
+    # frontier stays cached because the brute fallback still reads it; it is
+    # the terminal frontier only, never a per-round accumulation.
 
     # brute-force remainder (rare: starved corners / k > total centers)
     brute = remaining.crossJoin(cen).withColumn("d2", d2)

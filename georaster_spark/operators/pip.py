@@ -39,17 +39,37 @@ from ..functions import cells
 MAX_UNROLL_EDGES = 16
 
 
-def convex_pip(ring: Column, px: Column, py: Column, max_edges: int = MAX_UNROLL_EDGES) -> Column:
-    """True iff (px, py) is inside/on the convex CCW closed ring.
+def convex_pip(ring: Column, px: Column, py: Column, max_edges: int | None = None) -> Column:
+    """True iff (px, py) is inside/on the convex CCW closed ring — the
+    GENERAL entry point (any ring size), and the engine twin of
+    oracle_sql.pip_where.
 
-    Unrolled edge tests over plain Column primitives (`get` + struct field
-    + arithmetic) so the whole refine predicate stays inside whole-stage
+    Dispatch: with a caller-supplied `max_edges` bound it takes the
+    unrolled whole-stage-codegen fast path (runtime-guarded — a ring
+    exceeding the bound raises rather than silently passing untested
+    edges); without a bound it takes the interpreted higher-order-function
+    path, correct for arbitrary convex rings.  pip_join computes the bound
+    from the zones side once and passes it down.
+    """
+    if max_edges is None:
+        return convex_pip_hof(ring, px, py)
+    return convex_pip_unrolled(ring, px, py, max_edges=max_edges)
+
+
+def convex_pip_unrolled(
+    ring: Column, px: Column, py: Column, max_edges: int = MAX_UNROLL_EDGES
+) -> Column:
+    """Unrolled codegen fast path of convex_pip.
+
+    Edge tests over plain Column primitives (`get` + struct field +
+    arithmetic) so the whole refine predicate stays inside whole-stage
     codegen.  The higher-order-function variant (convex_pip_hof) is
     CodegenFallback in Spark 4 — interpreted per row, allocating two
     `slice` copies of the ring plus a `zip_with` array per candidate —
     measured several-fold slower on the candidate stream of the broadcast
     PIP join.  ONLY correct for rings with size(ring)-1 <= max_edges
-    edges; pip_join dispatches on the zones side's actual max ring size.
+    edges; a runtime assert raises on any wider ring instead of silently
+    returning containment with untested edges.
 
     Out-of-range `get` returns NULL (never errors, ANSI-safe): for edge
     index k >= size-1 the guard `k >= size-1` is true, so `true OR NULL`
@@ -62,7 +82,19 @@ def convex_pip(ring: Column, px: Column, py: Column, max_edges: int = MAX_UNROLL
         b = F.get(ring, k + 1)
         cross = (b["x"] - a["x"]) * (py - a["y"]) - (b["y"] - a["y"]) * (px - a["x"])
         out = out & ((F.lit(k) >= n - 1) | (cross >= 0))
-    return out
+    # assert_true -> NULL when the bound holds (coalesce restores TRUE),
+    # raises when a ring exceeds it — never a silent wrong answer.
+    guard = F.coalesce(
+        F.assert_true(
+            n - 1 <= F.lit(max_edges),
+            F.concat(
+                F.lit(f"convex_pip_unrolled: ring edges exceed max_edges={max_edges}: "),
+                (n - 1).cast("string"),
+            ),
+        ).cast("boolean"),
+        F.lit(True),
+    )
+    return out & guard
 
 
 def convex_pip_hof(ring: Column, px: Column, py: Column) -> Column:
@@ -105,8 +137,11 @@ def pip_join(
     `points` is any DataFrame; `x`/`y` are Column expressions over it.
     Result = points columns + zone_id (ring/cell_id dropped).
     `max_ring` is an optional caller-supplied bound on size(ring) over the
-    zones side; passing it skips the dispatch agg below (callers issuing
-    several pip_joins against the same zones table should compute it once).
+    zones side.  NOTE: when max_ring is None this function EAGERLY runs a
+    tiny Spark job (max(size(ring)) over the dim table) at plan-construction
+    time to pick the refine fast path; callers building plans lazily, or
+    issuing several pip_joins against the same zones table, should compute
+    the bound once and pass it (zone_image_stats does).
     """
     zc = zone_cells(zones, r)
     if broadcast_zones:
@@ -120,7 +155,7 @@ def pip_join(
     if max_ring is None:
         max_ring = zones.agg(F.max(F.size("ring"))).first()[0]
     if max_ring is not None and max_ring - 1 <= MAX_UNROLL_EDGES:
-        refine = convex_pip(
+        refine = convex_pip_unrolled(
             F.col("ring"), F.col("_px"), F.col("_py"), max_edges=max_ring - 1
         )
     else:

@@ -48,7 +48,7 @@ def q1_pricing(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q1_pricing_sql() -> str:
     return """
 SELECT l_returnflag, l_linestatus,
-  SUM(CAST(l_quantity AS BIGINT)) AS sum_qty,
+  CAST(SUM(CAST(l_quantity AS BIGINT)) AS BIGINT) AS sum_qty,
   SUM(CAST(round(l_extendedprice * 100) AS BIGINT)) / 100.0 AS sum_base_price,
   SUM(CAST(round(CAST(round(l_extendedprice * 100) AS BIGINT) * (1.0 - l_discount)) AS BIGINT)) / 100.0
     AS sum_disc_price,
@@ -128,7 +128,7 @@ def events_json_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 def events_json_stats_sql() -> str:
     return """
 SELECT event_type, COUNT(*) AS n,
-       SUM(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS sum_k,
+       CAST(SUM(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS sum_k,
        SUM(CAST(round(value * 100) AS BIGINT)) / 100.0 AS sum_value
 FROM events GROUP BY event_type ORDER BY event_type
 """

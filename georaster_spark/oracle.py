@@ -315,6 +315,30 @@ def interp_bilinear(arr: np.ndarray, x, y, gt_x0, gt_y0, gt_xres, gt_yres):
     return ((1 - t) * (1 - u)) * v00 + (t * (1 - u)) * v10 + ((1 - t) * u) * v01 + (t * u) * v11
 
 
+def interp_corner_nodata_mask(
+    arr: np.ndarray, x, y, gt_x0, gt_y0, gt_xres, gt_yres, nodata: float
+):
+    """True where ANY of the 4 bilinear corner pixels equals `nodata` —
+    the normative masked-interp rule (R14 + nodata): a sample touching a
+    nodata pixel is NULL rather than blending a fill value into the
+    result.  Corner selection replicates interp_bilinear exactly."""
+    h, w = arr.shape
+    fx = (np.asarray(x, dtype=np.float64) - gt_x0) / gt_xres - 0.5
+    fy = (gt_y0 - np.asarray(y, dtype=np.float64)) / gt_yres - 0.5
+    j0 = np.floor(fx)
+    i0 = np.floor(fy)
+    j0c = np.clip(j0, 0, w - 1).astype(np.int64)
+    j1c = np.clip(j0 + 1, 0, w - 1).astype(np.int64)
+    i0c = np.clip(i0, 0, h - 1).astype(np.int64)
+    i1c = np.clip(i0 + 1, 0, h - 1).astype(np.int64)
+    nd = np.float64(nodata)
+    a = arr.astype(np.float64)
+    return (
+        (a[i0c, j0c] == nd) | (a[i0c, j1c] == nd)
+        | (a[i1c, j0c] == nd) | (a[i1c, j1c] == nd)
+    )
+
+
 def interp_nearest(arr: np.ndarray, x, y, gt_x0, gt_y0, gt_xres, gt_yres):
     """order=0 nearest == value_at (floor-gather) — R14/R9 equivalence."""
     return value_at(arr, x, y, gt_x0, gt_y0, gt_xres, gt_yres)

@@ -118,18 +118,13 @@ def q_value_window(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def q_subset_checksum(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Op R11 pixel payload: the windowed subset's decoded pixels as an
-    exact integer checksum sum(v * (rel_i * sub_w + rel_j + 1)) — the
-    driver value-hash checks the actual sliced PIXELS (metadata surface
-    is q_subset_window)."""
+def _pixel_checksum_udf():
+    """pandas UDF: exact integer pixel checksum sum(v * (i*w + j + 1))
+    over a whole decoded tile — the driver value-hash surface for pixel
+    payloads (shared by downsample_checksum / reproject_mosaic)."""
     from pyspark.sql.types import LongType
 
     from .. import oracle as orc
-    from ..operators import subset
-
-    tiles = geo.georegister(_images(spark, sf_dir))
-    sub = subset.read_subset(tiles, _SUBSET_BOUNDS)
 
     @F.pandas_udf(LongType())
     def _checksum(data: pd.Series, w: pd.Series, h: pd.Series, fmt: pd.Series) -> pd.Series:
@@ -142,12 +137,51 @@ def q_subset_checksum(spark: SparkSession, sf_dir: str) -> DataFrame:
             out.append(int((arr.astype(np.int64) * wt).sum()))
         return pd.Series(out)
 
+    return _checksum
+
+
+def q_subset_checksum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Op R11 pixel payload: the windowed subset's decoded pixels as an
+    exact integer checksum sum(v * (rel_i * sub_w + rel_j + 1)) — the
+    driver value-hash checks the actual sliced PIXELS (metadata surface
+    is q_subset_window).  FUSED decode+slice+checksum: one pandas UDF
+    over the window columns, so pixel bytes cross Arrow once (the prior
+    shape ran read_subset's decode->slice->re-encode UDF and then a
+    second decode+checksum UDF — two full Arrow round trips).  The
+    materializing subset operator (subset.read_subset) keeps its own
+    pixel-exact pytest coverage in tests/test_warp_io.py."""
+    from pyspark.sql.types import LongType
+
+    from .. import oracle as orc
+    from ..operators import subset
+
+    tiles = geo.georegister(_images(spark, sf_dir))
+    win = subset.window_columns(tiles, _SUBSET_BOUNDS)
+
+    @F.pandas_udf(LongType())
+    def _win_checksum(
+        data: pd.Series, w: pd.Series, h: pd.Series, fmt: pd.Series,
+        px0: pd.Series, px1: pd.Series, py0: pd.Series, py1: pd.Series,
+    ) -> pd.Series:
+        import numpy as np
+
+        out = []
+        for i in range(len(data)):
+            arr = orc.decode_pixels(data.iat[i], int(w.iat[i]), int(h.iat[i]), fmt.iat[i])
+            sub = arr[int(py0.iat[i]):int(py1.iat[i]), int(px0.iat[i]):int(px1.iat[i])]
+            wt = np.arange(sub.size, dtype=np.int64).reshape(sub.shape) + 1
+            out.append(int((sub.astype(np.int64) * wt).sum()))
+        return pd.Series(out)
+
     return (
-        sub.select(
+        win.select(
             "image_id",
-            F.col("w").alias("sub_w"),
-            F.col("h").alias("sub_h"),
-            _checksum(F.col("bytes"), F.col("w"), F.col("h"), F.col("fmt")).alias("checksum"),
+            (F.col("px1") - F.col("px0")).cast("int").alias("sub_w"),
+            (F.col("py1") - F.col("py0")).cast("int").alias("sub_h"),
+            _win_checksum(
+                F.col("bytes"), F.col("w"), F.col("h"), F.col("fmt"),
+                F.col("px0"), F.col("px1"), F.col("py0"), F.col("py1"),
+            ).alias("checksum"),
         )
         .repartition(1).sortWithinPartitions("image_id")
     )
@@ -177,21 +211,16 @@ def q_extent_latlon(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_psnr_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Op E10: PSNR verification aggregate — raw tiles re-encoded with the
-    lossy qnt codec; per-image PSNR (gate: min >= 40 dB)."""
-    from ..functions.codecs import pixel_psnr, reencode
+    """Op E10: PSNR verification aggregate — raw tiles vs their lossy qnt
+    re-encoding; per-image PSNR (gate: min >= 40 dB).  Uses the fused
+    quantize+PSNR kernel: pixel bytes cross Arrow once (was 3x via
+    reencode + pixel_psnr)."""
+    from ..functions.codecs import psnr_after_qnt
 
     imgs = _images(spark, sf_dir).where(F.col("fmt") == "raw")
-    re = imgs.withColumn("qbytes", reencode("qnt")(F.col("bytes"), F.col("w"), F.col("h"), F.col("fmt")))
-    out = re.withColumn(
+    out = imgs.withColumn(
         "psnr",
-        F.round(
-            pixel_psnr(
-                F.col("bytes"), F.col("qbytes"), F.col("w"), F.col("h"),
-                F.lit("raw"), F.lit("qnt"),
-            ),
-            6,
-        ),
+        F.round(psnr_after_qnt(F.col("bytes"), F.col("w"), F.col("h"), F.col("fmt")), 6),
     )
     return out.select("image_id", "psnr").repartition(1).sortWithinPartitions("image_id")
 
@@ -258,9 +287,12 @@ def q_pixel_centers(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def q_reproject(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Op R15: distributed warp of the idx < 1000 tile strip onto a
-    256x256 EPSG:4326 grid (nearest).  Pixel payloads are verified in
-    tests/test_warp_io.py against the NumPy oracle; the driver records a
-    rows-only check (non-SQL-expressible — SURVEY §5.2 layer 2 note)."""
+    256x256 EPSG:4326 grid (nearest).  The nearest-neighbor warp of
+    ramp-formula tiles IS SQL-expressible (gather the ramp value at the
+    floor-mapped source pixel of each inverse-transformed target center,
+    first-valid mosaic by min image_id), so the driver value-hash checks
+    the warped PIXELS via the exact integer checksum; pixel arrays are
+    additionally verified in tests/test_warp_io.py vs the NumPy oracle."""
     from .. import oracle as orc
     from ..operators import warp
 
@@ -274,8 +306,10 @@ def q_reproject(spark: SparkSession, sf_dir: str) -> DataFrame:
         nx=n, ny=n, tile_w=64, tile_h=64,
     )
     out = warp.reproject(tiles, grid, method="nearest")
+    _checksum = _pixel_checksum_udf()
     return out.select(
-        "tile_id", "w", "h", "n_filled", "n_sources", F.crc32("bytes").alias("crc")
+        "tile_id", "w", "h", "n_filled", "n_sources",
+        _checksum(F.col("bytes"), F.col("w"), F.col("h"), F.col("fmt")).alias("checksum"),
     ).repartition(1).sortWithinPartitions("tile_id")
 
 
@@ -288,26 +322,13 @@ def q_downsample_checksum(spark: SparkSession, sf_dir: str) -> DataFrame:
     and emit an exact integer pixel checksum sum(v[i,j] * (i*w'+j+1)) —
     reproducible in SQL from the ramp formula, so the driver value-hash
     checks the decimated PIXELS, not just metadata."""
-    from pyspark.sql.types import LongType
-
-    from .. import oracle as orc
     from ..operators import raster_io
 
     tiles = geo.georegister(_images(spark, sf_dir)).where(
         geo.image_idx() % _DS_MOD == 0
     )
     ds = raster_io.downsample(tiles, _DS_K)
-
-    @F.pandas_udf(LongType())
-    def _checksum(data: pd.Series, w: pd.Series, h: pd.Series, fmt: pd.Series) -> pd.Series:
-        import numpy as np
-
-        out = []
-        for i in range(len(data)):
-            arr = orc.decode_pixels(data.iat[i], int(w.iat[i]), int(h.iat[i]), fmt.iat[i])
-            wt = np.arange(arr.size, dtype=np.int64).reshape(arr.shape) + 1
-            out.append(int((arr.astype(np.int64) * wt).sum()))
-        return pd.Series(out)
+    _checksum = _pixel_checksum_udf()
 
     return ds.select(
         "image_id", "w", "h",
@@ -352,21 +373,17 @@ def q_cell_join_salted(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_verification_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Op E10: corpus-level verification aggregates — per fmt: row count,
     caption equality vs the deterministic expectation, and the min-PSNR
-    gate for the lossy codec (>= 40 dB)."""
-    from ..functions.codecs import pixel_psnr, reencode
+    gate for the lossy codec (>= 40 dB).  PSNR comes from the fused
+    quantize+PSNR kernel (one Arrow hop; the quantized payload is never
+    materialized)."""
+    from ..functions.codecs import psnr_after_qnt
 
     tiles = geo.georegister(_images(spark, sf_dir))
     expected_caption = F.format_string(
         "synthetic tile %d over cell %d", geo.image_idx(), F.col("cell_id")
     )
     re = tiles.withColumn(
-        "qbytes", reencode("qnt")(F.col("bytes"), F.col("w"), F.col("h"), F.col("fmt"))
-    ).withColumn(
-        "psnr",
-        pixel_psnr(
-            F.col("bytes"), F.col("qbytes"), F.col("w"), F.col("h"),
-            F.col("fmt"), F.lit("qnt"),
-        ),
+        "psnr", psnr_after_qnt(F.col("bytes"), F.col("w"), F.col("h"), F.col("fmt"))
     )
     return (
         re.groupBy("fmt")
@@ -639,13 +656,96 @@ win2 AS (SELECT * FROM win WHERE px1 > px0 AND py1 > py0)
 SELECT image_id,
        CAST(px1 - px0 AS INT) AS sub_w,
        CAST(py1 - py0 AS INT) AS sub_h,
-       SUM(CAST({ramp} AS BIGINT) * (ri.i * (px1 - px0) + rj.j + 1)) AS checksum
+       CAST(SUM(CAST({ramp} AS BIGINT) * (ri.i * (px1 - px0) + rj.j + 1)) AS BIGINT) AS checksum
 FROM win2 AS win,
      generate_series(0, 63) AS ri(i),
      generate_series(0, 63) AS rj(j)
 WHERE ri.i < win.py1 - win.py0 AND rj.j < win.px1 - win.px0
 GROUP BY image_id, px1 - px0, py1 - py0
 ORDER BY image_id
+"""
+
+
+def _sql_reproject(fx: Path) -> str:
+    """DuckDB twin of q_reproject: inverse-map every target pixel center
+    (EPSG:4326 grid -> mercator via the closed-form forward transform),
+    pick the first containing source tile by ascending image_id (the
+    deterministic mosaic rule), gather the ramp value at the floor-mapped
+    source pixel, and reduce to the same exact integer checksum the Spark
+    side computes from the warped bytes.  Grid constants are computed
+    with the same float64 expressions as q_reproject and embedded via
+    repr() for bit-exact round-trip."""
+    from .. import oracle as orc
+
+    r_e = 6378137.0
+    lon0, lat0 = orc.mercator_to_lonlat(0.0, 0.0)
+    lon1, lat1 = orc.mercator_to_lonlat(514_000.0, 2_300.0)
+    n = 256
+    x0 = float(lon0)
+    y0 = float(lat1)
+    xres = float(lon1 - lon0) / n
+    yres = float(lat1 - lat0) / n
+    ramp = osql.ramp_value_expr("iy", "jx")
+    return f"""
+WITH {osql.georegister_cte(str(fx / 'images.parquet'))},
+src AS (SELECT * FROM tiles WHERE idx < 1000),
+grid AS (
+  SELECT ty.ty * 4 + tx.tx AS tid,
+         {x0!r} + (tx.tx * 64) * {xres!r} AS gx0,
+         {y0!r} - (ty.ty * 64) * {yres!r} AS gy0
+  FROM generate_series(0, 3) AS tx(tx), generate_series(0, 3) AS ty(ty)
+),
+gbox AS (
+  SELECT tid,
+    {r_e!r} * radians(gx0) AS s_xmin,
+    {r_e!r} * radians(gx0 + 64 * {xres!r}) AS s_xmax,
+    {r_e!r} * ln(tan(pi() / 4.0 + radians(gy0 - 64 * {yres!r}) / 2.0)) AS s_ymin,
+    {r_e!r} * ln(tan(pi() / 4.0 + radians(gy0) / 2.0)) AS s_ymax
+  FROM grid
+),
+nsrc AS (
+  SELECT g.tid, COUNT(*) AS n_sources
+  FROM gbox g JOIN src t
+    ON t.gt_x0 < g.s_xmax AND t.gt_x0 + t.w * t.gt_xres > g.s_xmin
+   AND t.gt_y0 - t.h * t.gt_yres < g.s_ymax AND t.gt_y0 > g.s_ymin
+  GROUP BY g.tid
+),
+px AS (
+  SELECT tid, gi.i AS i, gj.j AS j,
+         {r_e!r} * radians(gx0 + (gj.j + 0.5) * {xres!r}) AS sx,
+         {r_e!r} * ln(tan(pi() / 4.0 + radians(gy0 - (gi.i + 0.5) * {yres!r}) / 2.0)) AS sy
+  FROM grid,
+       generate_series(0, 63) AS gi(i),
+       generate_series(0, 63) AS gj(j)
+),
+hit AS (
+  SELECT p.tid, p.i, p.j, p.sx, p.sy, t.idx, t.fmt,
+         t.w AS sw, t.h AS sh, t.gt_x0 AS sx0, t.gt_y0 AS sy0,
+         t.gt_xres AS xr, t.gt_yres AS yr,
+         row_number() OVER (PARTITION BY p.tid, p.i, p.j ORDER BY t.image_id) AS rn
+  FROM px p JOIN src t
+    ON p.sx >= t.gt_x0 AND p.sx < t.gt_x0 + t.w * t.gt_xres
+   AND p.sy > t.gt_y0 - t.h * t.gt_yres AND p.sy <= t.gt_y0
+),
+val AS (
+  SELECT tid, i, j, CAST({ramp} AS BIGINT) AS v
+  FROM (
+    SELECT tid, i, j, idx, fmt,
+      least(greatest(CAST(floor((sx - sx0) / xr) AS BIGINT), 0), sw - 1) AS jx,
+      least(greatest(CAST(floor((sy0 - sy) / yr) AS BIGINT), 0), sh - 1) AS iy
+    FROM hit WHERE rn = 1)
+),
+agg AS (
+  SELECT p.tid,
+         CAST(SUM(coalesce(v.v, 0) * (p.i * 64 + p.j + 1)) AS BIGINT) AS checksum,
+         CAST(COUNT(v.v) AS BIGINT) AS n_filled
+  FROM px p LEFT JOIN val v ON v.tid = p.tid AND v.i = p.i AND v.j = p.j
+  GROUP BY p.tid
+)
+SELECT a.tid AS tile_id, 64 AS w, 64 AS h, a.n_filled,
+       CAST(s.n_sources AS INT) AS n_sources, a.checksum
+FROM agg a JOIN nsrc s ON s.tid = a.tid
+ORDER BY tile_id
 """
 
 
@@ -727,8 +827,8 @@ psnr AS (
 ),
 caption_ok AS (
   SELECT fmt, COUNT(*) AS n_rows,
-         SUM(CASE WHEN caption = 'synthetic tile ' || idx || ' over cell ' || {cell}
-             THEN 1 ELSE 0 END) AS n_caption_ok
+         CAST(SUM(CASE WHEN caption = 'synthetic tile ' || idx || ' over cell ' || {cell}
+             THEN 1 ELSE 0 END) AS BIGINT) AS n_caption_ok
   FROM tiles GROUP BY fmt
 )
 SELECT c.fmt, c.n_rows, c.n_caption_ok,
@@ -762,8 +862,9 @@ bits AS (
   FROM blocks b JOIN tot USING (image_id)
 )
 SELECT image_id,
-       SUM(CASE WHEN bit AND k < 63 THEN (1::BIGINT << k) ELSE 0 END)
-       + SUM(CASE WHEN bit AND k = 63 THEN -9223372036854775808 ELSE 0 END) AS phash_px
+       CAST(SUM(CASE WHEN bit AND k < 63 THEN (1::BIGINT << k) ELSE 0 END)
+            + SUM(CASE WHEN bit AND k = 63 THEN -9223372036854775808 ELSE 0 END)
+            AS BIGINT) AS phash_px
 FROM bits GROUP BY image_id ORDER BY image_id
 """
 
@@ -774,7 +875,7 @@ def _sql_downsample_checksum(fx: Path, w: int) -> str:
     return f"""
 WITH {osql.georegister_cte(str(fx / 'images.parquet'))}
 SELECT image_id, {dw} AS w, {dw} AS h,
-       SUM(CAST({ramp} AS BIGINT) * (gi.i * {dw} + gj.j + 1)) AS checksum
+       CAST(SUM(CAST({ramp} AS BIGINT) * (gi.i * {dw} + gj.j + 1)) AS BIGINT) AS checksum
 FROM tiles,
      generate_series(0, {dw - 1}) AS gi(i),
      generate_series(0, {dw - 1}) AS gj(j)
@@ -844,6 +945,7 @@ def spatial_oracles(sf: str = "sf0.01") -> dict[str, str]:
         "subset_window": _sql_subset_window(fx),
         "extent_intersection": _sql_extent_intersection(fx),
         "pixel_centers": _sql_pixel_centers(fx, w),
+        "reproject_mosaic": _sql_reproject(fx),
         "downsample_checksum": _sql_downsample_checksum(fx, w),
         "psnr_gate": osql.psnr_gate_sql(img, w, w),
         "knn_zones": _sql_knn(fx),
