@@ -115,11 +115,17 @@ class SingleBandRaster:
         lon1, lat1 = oracle.mercator_to_lonlat(xmax, ymax)
         return (float(lon0), float(lon1), float(lat0), float(lat1))
 
-    def coord_to_px(self, x, y, latlon: bool = False, rounded: bool = True, check_valid: bool = True):
+    def coord_to_px(self, x, y, latlon: bool = False, rounded: bool = False, check_valid: bool = True):
+        """World -> pixel indices.  Engine-normative defaults: floor +
+        clamp (rounded=False, check_valid=True).  NOTE the deliberate
+        default deviation from upstream (rounded=True there — np.round
+        half-even): pass rounded=True / check_valid=False explicitly for
+        upstream parity; the switches are honored all the way down
+        (oracle.coord_to_px)."""
         px, py = _to_xy(latlon, x, y)
         j, i = oracle.coord_to_px(
             px, py, self.trans[0], self.trans[3], self.trans[1], -self.trans[5],
-            self.nx, self.ny,
+            self.nx, self.ny, rounded=rounded, check_valid=check_valid,
         )
         return j, i
 

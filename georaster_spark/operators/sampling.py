@@ -80,16 +80,31 @@ def _gather_fn(mode: str, window: int | None, reducer: str):
     def gather(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         # Batched NumPy: each distinct tile in the Arrow batch is decoded
         # ONCE, then all its points gather via vectorized fancy indexing.
+        # Nodata semantics (masked-read parity, SURVEY §1.1): when the
+        # tile carries a non-null `nodata`, a sample that touches a
+        # nodata pixel yields NULL — value mode masks the gathered pixel,
+        # interp masks if ANY of the 4 corners is nodata, window reducers
+        # exclude nodata pixels from the patch (all-nodata patch -> NULL).
         for pdf in batches:
             out = np.empty(len(pdf), dtype=np.float64)
+            masked = np.zeros(len(pdf), dtype=bool)
             for _, idx in pdf.groupby("image_id", sort=False).indices.items():
                 r0 = pdf.iloc[idx[0]]
                 arr = oracle.decode_pixels(r0["bytes"], int(r0["w"]), int(r0["h"]), r0["fmt"])
                 g = (r0["gt_x0"], r0["gt_y0"], r0["gt_xres"], r0["gt_yres"])
+                nd = r0["nodata"] if "nodata" in pdf.columns else None
+                nd = None if nd is None or (isinstance(nd, float) and np.isnan(nd)) else float(nd)
                 xs = pdf["x"].to_numpy()[idx]
                 ys = pdf["y"].to_numpy()[idx]
                 if mode == "interp":
                     out[idx] = oracle.interp_bilinear(arr, xs, ys, *g)
+                    if nd is not None:
+                        masked[idx] = oracle.interp_corner_nodata_mask(arr, xs, ys, *g, nd)
+                elif mode == "interp3":
+                    if nd is not None:
+                        out[idx], masked[idx] = oracle.interp_bicubic(arr, xs, ys, *g, nodata=nd)
+                    else:
+                        out[idx] = oracle.interp_bicubic(arr, xs, ys, *g)
                 elif window:
                     h, w = arr.shape
                     js, iis = oracle.coord_to_px(xs, ys, *g, w, h)
@@ -99,16 +114,28 @@ def _gather_fn(mode: str, window: int | None, reducer: str):
                             max(0, int(i) - half) : min(h, int(i) + half + 1),
                             max(0, int(j) - half) : min(w, int(j) + half + 1),
                         ].astype(np.float64)
-                        out[idx[t]] = float(
-                            patch.mean() if reducer == "mean" else getattr(np, reducer)(patch)
-                        )
+                        if nd is not None:
+                            patch = patch[patch != nd]
+                        if patch.size == 0:
+                            masked[idx[t]] = True
+                            out[idx[t]] = 0.0
+                        else:
+                            out[idx[t]] = float(
+                                patch.mean() if reducer == "mean" else getattr(np, reducer)(patch)
+                            )
                 else:
-                    out[idx] = oracle.value_at(arr, xs, ys, *g).astype(np.float64)
+                    vals = oracle.value_at(arr, xs, ys, *g).astype(np.float64)
+                    out[idx] = vals
+                    if nd is not None:
+                        masked[idx] = vals == nd
+            val = pd.Series(out).astype("Float64")
+            if masked.any():
+                val[masked] = pd.NA
             yield pd.DataFrame(
                 {
                     "point_id": pdf["point_id"].to_numpy(),
                     "image_id": pdf["image_id"].to_numpy(),
-                    "val": out,
+                    "val": val,
                 }
             )
 
@@ -133,8 +160,13 @@ def _sample(
         .where(F.col("_rn") == 1)
         .drop("_rn")
     )
+    nodata_col = (
+        F.col("nodata").cast("double") if "nodata" in tiles.columns
+        else F.lit(None).cast("double")
+    )
     gather_in = tiles.select(
-        "image_id", "bytes", "w", "h", "fmt", "gt_x0", "gt_y0", "gt_xres", "gt_yres"
+        "image_id", "bytes", "w", "h", "fmt", "gt_x0", "gt_y0", "gt_xres", "gt_yres",
+        nodata_col.alias("nodata"),
     ).join(F.broadcast(winners) if broadcast_points else winners, "image_id")
     vals = gather_in.mapInPandas(_gather_fn(mode, window, reducer), schema=_GATHER_SCHEMA)
     return vals.select("point_id", "image_id", F.col("val").alias(value_name))
@@ -165,11 +197,14 @@ def interp(
     r: int = DEFAULT_RES,
     broadcast_points: bool = True,
 ) -> DataFrame:
-    """R14: bilinear (order=1) or nearest (order=0) interpolated sample."""
+    """R14: nearest (order=0), bilinear (order=1) or bicubic Keys a=-0.5
+    (order=3) interpolated sample."""
     if order == 0:
         return value_at_coords(points, tiles, r=r, broadcast_points=broadcast_points)
+    if order == 3:
+        return _sample(points, tiles, "interp3", r=r, broadcast_points=broadcast_points)
     if order != 1:
-        raise NotImplementedError("only order 0 (nearest) and 1 (bilinear) are supported")
+        raise NotImplementedError("only orders 0 (nearest), 1 (bilinear), 3 (bicubic) are supported")
     return _sample(points, tiles, "interp", r=r, broadcast_points=broadcast_points)
 
 

@@ -20,14 +20,23 @@ Scale shapes (10^12 rows):
   ~(B x dim) matrices in one `applyInPandas`.  O(n^2/B^2) evenly-sized
   tasks, no hot keys; B tunes task granularity vs replication (each
   vector ships to n/B block-pairs).
-* `ann_topk_brute` — broadcast the query matrix; each corpus Arrow
-  batch emits only its per-batch top-K per query (mapInPandas), and one
-  final window over (n_batches x Q x K) rows finishes the exact top-K.
-  The corpus never shuffles.
+* `ann_topk_brute` — exact top-K, FULLY DISTRIBUTED block-GEMM: queries
+  and corpus split into value-derived blocks (no counting job, no driver
+  collect), every (query-block, corpus-block) grid cell multiplies two
+  bounded matrices in one applyInPandas task and emits its per-cell
+  top-K per query; a final window finishes the exact global top-K.
+  Corpus replication = #query-blocks — the knob that bounds task size;
+  nothing is ever gathered to the driver.
 * `ann_lsh` — the sublinear path: random-hyperplane bucketing (one
   GEMM against a constant plane matrix, map-only), hamming-1 multiprobe
   on the query side, bucket equi-join, exact rescoring of candidates
-  only.  An IVF variant would swap `_bucket` for k-means assignment.
+  only.
+* `ann_ivf` — the production ANN: IVF-flat with a deterministic integer
+  coarse quantizer (LCG centroids).  Assignment dots are computed on
+  floor(1000*x) integer embeddings — exact int64 arithmetic in both
+  engines, so cell assignment is bit-for-bit reproducible (no float
+  argmax ties across engines).  Queries probe their NPROBE best cells;
+  exact cosine rescoring of candidates only.
 """
 
 from __future__ import annotations
@@ -150,11 +159,41 @@ ORDER BY a_id, b_id
 # ---------------------------------------------------------------------------
 
 
-def _scored_candidates(
-    e: DataFrame, q_ids: np.ndarray, Qn: np.ndarray, k: int
+CBLOCK = 2048  # corpus rows per GEMM grid cell
+QBLOCK = 4096  # query rows per GEMM grid cell
+
+
+def ann_topk_brute(
+    spark: SparkSession, sf_dir: str, cblock: int = CBLOCK, qblock: int = QBLOCK
 ) -> DataFrame:
-    """mapInPandas: per Arrow batch, GEMM against the (broadcast) query
-    matrix and emit only the per-batch top-k per query."""
+    """Exact top-K cosine neighbors for the query subset (vec_id %
+    QUERY_MOD == 0), self excluded; ties broken by vec_id.
+
+    Distributed block-GEMM (module header): block ids derive from vec_id
+    (pure Column math — no counting job); each side is replicated across
+    the other side's blocks via a broadcast of the distinct block ids,
+    every (qb, cb) grid cell GEMMs a (<=qblock, DIM) x (DIM, <=cblock)
+    pair in one applyInPandas task and emits only its per-cell top-K per
+    query, and one final window finishes the exact global top-K.  No
+    driver-side collect anywhere — the prior shape toPandas()'d the
+    query subset (corpus/QUERY_MOD rows: linear driver OOM at 10^12)."""
+    e = _emb(spark, sf_dir).select("vec_id", "embedding")
+    q = e.where(F.col("vec_id") % QUERY_MOD == 0).select(
+        F.col("vec_id"),
+        F.col("embedding"),
+        (F.col("vec_id") / (QUERY_MOD * qblock)).cast("int").alias("qb"),
+    )
+    c = e.withColumn("cb", (F.col("vec_id") / cblock).cast("int"))
+    qblks = q.select("qb").distinct()
+    cblks = c.select("cb").distinct()
+    left = c.crossJoin(F.broadcast(qblks)).select(
+        "qb", "cb", F.lit(0).alias("side"), "vec_id", "embedding"
+    )
+    right = q.crossJoin(F.broadcast(cblks)).select(
+        "qb", "cb", F.lit(1).alias("side"), "vec_id", "embedding"
+    )
+    both = left.unionByName(right)
+
     schema = StructType(
         [
             StructField("query_id", LongType()),
@@ -162,38 +201,34 @@ def _scored_candidates(
             StructField("cos", DoubleType()),
         ]
     )
+    k = TOPK
 
-    def gen(batches):
-        for pdf in batches:
-            if len(pdf) == 0:
-                continue
-            M = _mat(pdf["embedding"])
-            Mn = M / np.linalg.norm(M, axis=1, keepdims=True)
-            cos = Qn @ Mn.T  # (Q, batch)
-            ids = pdf["vec_id"].to_numpy()
-            kk = min(k + 1, cos.shape[1])  # +1: self may be in batch
-            top = np.argpartition(-cos, kk - 1, axis=1)[:, :kk]
-            rows_q = np.repeat(q_ids, kk)
-            rows_v = ids[top.ravel()]
-            rows_c = np.take_along_axis(cos, top, axis=1).ravel()
-            keep = rows_q != rows_v  # exclude self
-            yield pd.DataFrame(
-                {"query_id": rows_q[keep], "vec_id": rows_v[keep], "cos": rows_c[keep]}
+    def score(key, pdf: pd.DataFrame):
+        cp = pdf[pdf["side"] == 0]
+        qp = pdf[pdf["side"] == 1]
+        if len(cp) == 0 or len(qp) == 0:
+            return pd.DataFrame({"query_id": [], "vec_id": [], "cos": []}).astype(
+                {"query_id": "int64", "vec_id": "int64", "cos": "float64"}
             )
+        C = _mat(cp["embedding"])
+        Q = _mat(qp["embedding"])
+        Cn = C / np.linalg.norm(C, axis=1, keepdims=True)
+        Qn = Q / np.linalg.norm(Q, axis=1, keepdims=True)
+        cos = Qn @ Cn.T  # (q, c)
+        cids = cp["vec_id"].to_numpy()
+        qids = qp["vec_id"].to_numpy()
+        cos[qids[:, None] == cids[None, :]] = -np.inf  # exclude self
+        kk = min(k, cos.shape[1])
+        top = np.argpartition(-cos, kk - 1, axis=1)[:, :kk]
+        rows_q = np.repeat(qids, kk)
+        rows_v = cids[top.ravel()]
+        rows_c = np.take_along_axis(cos, top, axis=1).ravel()
+        keep = np.isfinite(rows_c)
+        return pd.DataFrame(
+            {"query_id": rows_q[keep], "vec_id": rows_v[keep], "cos": rows_c[keep]}
+        )
 
-    return e.mapInPandas(gen, schema=schema)
-
-
-def ann_topk_brute(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Exact top-K cosine neighbors for the query subset (vec_id %
-    QUERY_MOD == 0), self excluded; ties broken by vec_id."""
-    e = _emb(spark, sf_dir).select("vec_id", "embedding")
-    qpd = e.where(F.col("vec_id") % QUERY_MOD == 0).toPandas()
-    q_ids = qpd["vec_id"].to_numpy()
-    Q = _mat(qpd["embedding"])
-    Qn = Q / np.linalg.norm(Q, axis=1, keepdims=True)
-
-    scored = _scored_candidates(e, q_ids, Qn, TOPK)
+    scored = both.groupBy("qb", "cb").applyInPandas(score, schema=schema)
     win = Window.partitionBy("query_id").orderBy(F.col("cos").desc(), F.col("vec_id").asc())
     return (
         scored.withColumn("rank", F.row_number().over(win))
@@ -344,6 +379,156 @@ WHERE rank <= {LSH_TOPK} ORDER BY query_id, rank
 
 
 # ---------------------------------------------------------------------------
+# V4 — IVF-flat ANN with a deterministic integer coarse quantizer
+# ---------------------------------------------------------------------------
+
+N_CELLS = 16
+NPROBE = 2
+IVF_TOPK = 5
+IVF_SCALE = 1000.0  # embeddings quantize as floor(x * 1000) for assignment
+
+
+def _centroids() -> np.ndarray:
+    """(N_CELLS, DIM) integer-valued centroids (LCG; identical literal in
+    SQL).  Integer centroids x floor-quantized embeddings keep assignment
+    dots EXACT int64 — a float argmax could tie-flip across engines."""
+    c = np.arange(N_CELLS)[:, None]
+    d = np.arange(DIM)[None, :]
+    return (((1103515245 * (c * DIM + d + 7919) + 54321) % 2001) - 1000).astype(np.float64)
+
+
+def _with_ivf_cell(e: DataFrame, nprobe: int = 1) -> DataFrame:
+    """Map-only IVF assignment: (vec_id, embedding, cell) with one row per
+    probed cell — nprobe=1 for the corpus (its home cell), nprobe>1 for
+    queries (ranked by assignment score desc, cell asc)."""
+    cents = _centroids()
+    schema = StructType(
+        [
+            StructField("vec_id", LongType()),
+            StructField("embedding", e.schema["embedding"].dataType),
+            StructField("cell", IntegerType()),
+        ]
+    )
+
+    def gen(batches):
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            M = _mat(pdf["embedding"])
+            Mq = np.floor(M * IVF_SCALE)  # exact: same float64 op + floor in SQL
+            scores = Mq @ cents.T  # integer-valued float64, exact (< 2^53)
+            # stable argsort: ties rank by ascending cell id (matches the
+            # oracle's ORDER BY score DESC, cell ASC)
+            order = np.argsort(-scores, axis=1, kind="stable")[:, :nprobe]
+            n = len(pdf)
+            out = pdf[["vec_id", "embedding"]].iloc[
+                np.repeat(np.arange(n), nprobe)
+            ].copy()
+            out["cell"] = order.ravel().astype(np.int32)
+            yield out
+
+    return e.mapInPandas(gen, schema=schema)
+
+
+def ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Approximate top-K via IVF-flat: corpus assigned to its home cell
+    (map-only), queries probe their NPROBE best cells, candidates equi-join
+    on cell, exact cosine rescoring + window top-K.  Sublinear like
+    ann_lsh but with data-independent deterministic centroids; swap
+    _centroids() for trained k-means means to tune recall — the plan
+    shape (map-only assign, bucket equi-join, rescore-candidates-only)
+    is the 10^12-row production path."""
+    e = _emb(spark, sf_dir).select("vec_id", "embedding")
+    corpus = _with_ivf_cell(e, nprobe=1)
+    probes = _with_ivf_cell(e.where(F.col("vec_id") % QUERY_MOD == 0), nprobe=NPROBE).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("eq"), "cell"
+    )
+    cand = (
+        corpus.join(F.broadcast(probes), "cell")
+        .where(F.col("vec_id") != F.col("query_id"))
+        .select("query_id", "vec_id", "eq", "embedding")
+    )
+
+    schema = StructType(
+        [
+            StructField("query_id", LongType()),
+            StructField("vec_id", LongType()),
+            StructField("cos", DoubleType()),
+        ]
+    )
+
+    def rescore(batches):
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            A = _mat(pdf["eq"])
+            B = _mat(pdf["embedding"])
+            cos = np.einsum("ij,ij->i", A, B) / (
+                np.linalg.norm(A, axis=1) * np.linalg.norm(B, axis=1)
+            )
+            yield pd.DataFrame(
+                {"query_id": pdf["query_id"], "vec_id": pdf["vec_id"], "cos": cos}
+            )
+
+    scored = cand.mapInPandas(rescore, schema=schema)
+    win = Window.partitionBy("query_id").orderBy(F.col("cos").desc(), F.col("vec_id").asc())
+    return (
+        scored.withColumn("rank", F.row_number().over(win))
+        .where(F.col("rank") <= IVF_TOPK)
+        .select("query_id", "rank", "vec_id")
+        .repartition(1).sortWithinPartitions("query_id", "rank")
+    )
+
+
+def ann_ivf_sql() -> str:
+    cents = _centroids().astype(int)
+    cent_lits = ", ".join(
+        "[" + ", ".join(str(v) for v in row) + "]" for row in cents
+    )
+    int_dot = (
+        "list_sum(list_transform(range(1, len({a}) + 1),"
+        " i -> CAST(floor(CAST({a}[i] AS DOUBLE) * 1000.0) AS BIGINT) * cents[{c}][i]))"
+    )
+    score_exprs = ", ".join(
+        "CAST(" + int_dot.format(a="embedding", c=c + 1) + " AS BIGINT)"
+        for c in range(N_CELLS)
+    )
+    dot = _sql_dot("q.eq", "e.embedding")
+    return f"""
+WITH ct AS (SELECT [{cent_lits}] AS cents),
+sc AS (
+  SELECT vec_id, embedding, [{score_exprs}] AS s
+  FROM embeddings, ct
+),
+corpus AS (
+  SELECT vec_id, embedding, list_position(s, list_max(s)) - 1 AS cell FROM sc
+),
+qsc AS (
+  SELECT vec_id AS query_id, embedding AS eq, g.c AS cell, s[g.c + 1] AS score
+  FROM sc, generate_series(0, {N_CELLS - 1}) AS g(c)
+  WHERE vec_id % {QUERY_MOD} = 0
+),
+probes AS (
+  SELECT query_id, eq, cell FROM (
+    SELECT query_id, eq, cell,
+           row_number() OVER (PARTITION BY query_id
+                              ORDER BY score DESC, cell ASC) AS pr
+    FROM qsc) WHERE pr <= {NPROBE}
+),
+scored AS (
+  SELECT q.query_id, e.vec_id,
+         {dot} / sqrt(({_sql_dot('q.eq', 'q.eq')}) * ({_sql_dot('e.embedding', 'e.embedding')})) AS cos
+  FROM probes q JOIN corpus e ON e.cell = q.cell AND e.vec_id <> q.query_id
+)
+SELECT query_id, rank, vec_id FROM (
+  SELECT query_id, vec_id,
+         row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, vec_id ASC) AS rank
+  FROM scored)
+WHERE rank <= {IVF_TOPK} ORDER BY query_id, rank
+"""
+
+
+# ---------------------------------------------------------------------------
 # registry
 # ---------------------------------------------------------------------------
 
@@ -353,6 +538,7 @@ def vector_queries():
         "cosine_near_dup": cosine_near_dup,
         "ann_topk_brute": ann_topk_brute,
         "ann_lsh": ann_lsh,
+        "ann_ivf": ann_ivf,
     }
 
 
@@ -361,4 +547,5 @@ def vector_oracles() -> dict[str, str]:
         "cosine_near_dup": cosine_near_dup_sql(),
         "ann_topk_brute": ann_topk_brute_sql(),
         "ann_lsh": ann_lsh_sql(),
+        "ann_ivf": ann_ivf_sql(),
     }

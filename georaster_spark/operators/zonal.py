@@ -51,6 +51,11 @@ def _partial_stats(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
             ry = np.asarray([p["y"] for p in ring], dtype=np.float64)
             inside = oracle.pip_halfplane(rx, ry, xs.ravel(), ys.ravel())
             vals = arr.ravel()[inside].astype(np.int64)
+            nd = row["nodata"] if "nodata" in pdf.columns else None
+            if nd is not None and not (isinstance(nd, float) and np.isnan(nd)):
+                # masked-read parity: nodata pixels never enter the stats
+                # (compare in float64 — a fractional nodata matches nothing)
+                vals = vals[vals.astype(np.float64) != float(nd)]
             if vals.size == 0:
                 continue
             out["zone_id"].append(int(row["zone_id"]))
@@ -64,10 +69,17 @@ def _partial_stats(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
 
 def zonal_stats(tiles: DataFrame, zones: DataFrame) -> DataFrame:
     """(zone_id, n_pixels, sum_val, min_val, max_val, mean_val) over all
-    pixels whose centers fall inside each zone."""
+    pixels whose centers fall inside each zone.  Tiles carrying a non-null
+    `nodata` get masked-read semantics: nodata pixels are excluded from
+    every stat (GDAL masked-array parity, SURVEY §1.1)."""
+    nodata_col = (
+        F.col("nodata").cast("double") if "nodata" in tiles.columns
+        else F.lit(None).cast("double")
+    )
     z = F.broadcast(zones.select("zone_id", "ring", "xmin", "xmax", "ymin", "ymax"))
     t = tiles.select(
         "bytes", "w", "h", "fmt", "gt_x0", "gt_y0", "gt_xres", "gt_yres",
+        nodata_col.alias("nodata"),
         F.col("xmin").alias("t_xmin"), F.col("xmax").alias("t_xmax"),
         F.col("ymin").alias("t_ymin"), F.col("ymax").alias("t_ymax"),
     )

@@ -264,17 +264,28 @@ def extent(gt_x0, gt_y0, gt_xres, gt_yres, w, h):
     )
 
 
-def coord_to_px(x, y, gt_x0, gt_y0, gt_xres, gt_yres, w, h):
+def coord_to_px(x, y, gt_x0, gt_y0, gt_xres, gt_yres, w, h,
+                rounded: bool = False, check_valid: bool = True):
     """World -> integer pixel indices (col j, row i) — R9.
 
-    Engine semantics (normative): floor of the corner-relative fraction,
-    clamped to [0, n-1].
+    Engine semantics (normative, the defaults): floor of the
+    corner-relative fraction, clamped to [0, n-1].
+
+    Upstream-parity switches (SURVEY §2.1 R9 VERIFY items — flip these to
+    match a populated reference without touching any operator):
+    * rounded=True  -> np.round half-even of the fraction (upstream
+      coord_to_px's `rounded=` posture) instead of floor.
+    * check_valid=False -> raw indices, no clamp (upstream warns on
+      out-of-bounds; the engine clamps by default).
     """
-    j = np.floor((np.asarray(x, dtype=np.float64) - gt_x0) / gt_xres)
-    i = np.floor((gt_y0 - np.asarray(y, dtype=np.float64)) / gt_yres)
-    j = np.clip(j, 0, np.asarray(w) - 1).astype(np.int64)
-    i = np.clip(i, 0, np.asarray(h) - 1).astype(np.int64)
-    return j, i
+    fj = (np.asarray(x, dtype=np.float64) - gt_x0) / gt_xres
+    fi = (gt_y0 - np.asarray(y, dtype=np.float64)) / gt_yres
+    j = np.round(fj) if rounded else np.floor(fj)
+    i = np.round(fi) if rounded else np.floor(fi)
+    if check_valid:
+        j = np.clip(j, 0, np.asarray(w) - 1)
+        i = np.clip(i, 0, np.asarray(h) - 1)
+    return j.astype(np.int64), i.astype(np.int64)
 
 
 def pixel_centers(gt_x0, gt_y0, gt_xres, gt_yres, w: int, h: int):
@@ -291,12 +302,22 @@ def value_at(arr: np.ndarray, x, y, gt_x0, gt_y0, gt_xres, gt_yres):
     return arr[i, j]
 
 
-def interp_bilinear(arr: np.ndarray, x, y, gt_x0, gt_y0, gt_xres, gt_yres):
-    """Pixel-center bilinear interpolation, edge-clamped — R14 (order=1).
+def interp_bilinear(arr: np.ndarray, x, y, gt_x0, gt_y0, gt_xres, gt_yres,
+                    edge: str = "clamp"):
+    """Pixel-center bilinear interpolation — R14 (order=1).
 
     Exact expression order matters: the DuckDB oracle repeats it verbatim
     so float64 results are bit-identical.
+
+    edge='clamp' (normative default): corner indices clamp to the array.
+    edge='zero' (upstream-parity switch, SURVEY §2.1 R14 VERIFY): corner
+    pixels falling outside the array contribute 0 to the blend — the
+    scipy map_coordinates(mode='constant', cval=0) posture of upstream
+    interp.  Flip to match a populated reference without touching any
+    operator.
     """
+    if edge not in ("clamp", "zero"):
+        raise ValueError(f"edge must be 'clamp' or 'zero', got {edge!r}")
     h, w = arr.shape
     fx = (np.asarray(x, dtype=np.float64) - gt_x0) / gt_xres - 0.5
     fy = (gt_y0 - np.asarray(y, dtype=np.float64)) / gt_yres - 0.5
@@ -312,7 +333,69 @@ def interp_bilinear(arr: np.ndarray, x, y, gt_x0, gt_y0, gt_xres, gt_yres):
     v10 = arr[i0c, j1c].astype(np.float64)
     v01 = arr[i1c, j0c].astype(np.float64)
     v11 = arr[i1c, j1c].astype(np.float64)
+    if edge == "zero":
+        j_in = lambda jj: (jj >= 0) & (jj <= w - 1)  # noqa: E731
+        i_in = lambda ii: (ii >= 0) & (ii <= h - 1)  # noqa: E731
+        v00 = np.where(i_in(i0) & j_in(j0), v00, 0.0)
+        v10 = np.where(i_in(i0) & j_in(j0 + 1), v10, 0.0)
+        v01 = np.where(i_in(i0 + 1) & j_in(j0), v01, 0.0)
+        v11 = np.where(i_in(i0 + 1) & j_in(j0 + 1), v11, 0.0)
     return ((1 - t) * (1 - u)) * v00 + (t * (1 - u)) * v10 + ((1 - t) * u) * v01 + (t * u) * v11
+
+
+def _catmull_rom_weights(t):
+    """Keys a=-0.5 (Catmull-Rom) cubic-convolution weights for source
+    offsets (-1, 0, 1, 2) at fractional position t in [0, 1).  Expression
+    order is normative — the DuckDB oracle repeats it verbatim so float64
+    results are bit-identical (same posture as interp_bilinear)."""
+    w0 = ((-0.5 * t + 1.0) * t - 0.5) * t
+    w1 = (1.5 * t - 2.5) * t * t + 1.0
+    w2 = ((-1.5 * t + 2.0) * t + 0.5) * t
+    w3 = (0.5 * t - 0.5) * t * t
+    return w0, w1, w2, w3
+
+
+def interp_bicubic(arr: np.ndarray, x, y, gt_x0, gt_y0, gt_xres, gt_yres, nodata=None):
+    """Pixel-center bicubic (Keys a=-0.5), edge-clamped — R14 (order=3).
+
+    Separable 4x4 cubic convolution: row sums first (left-associative
+    adds), then the column sum — the exact order the DuckDB oracle
+    replicates.  Upstream analog: scipy map_coordinates(order=3) in
+    __Raster.interp (≈L600-660 ⚠ UNVERIFIED); normative deviation
+    (SURVEY §2.1 R14): cubic CONVOLUTION with the Keys kernel, not
+    scipy's B-spline prefilter, and edge clamp instead of constant-0.
+
+    With `nodata`, returns (vals, mask) where mask is True for samples
+    whose 4x4 support touches a nodata pixel (masked-read parity).
+    """
+    h, w = arr.shape
+    fx = (np.asarray(x, dtype=np.float64) - gt_x0) / gt_xres - 0.5
+    fy = (gt_y0 - np.asarray(y, dtype=np.float64)) / gt_yres - 0.5
+    j0 = np.floor(fx)
+    i0 = np.floor(fy)
+    t = fx - j0
+    u = fy - i0
+    wx = _catmull_rom_weights(t)
+    wy = _catmull_rom_weights(u)
+    jc = [np.clip(j0 + off, 0, w - 1).astype(np.int64) for off in (-1, 0, 1, 2)]
+    ic = [np.clip(i0 + off, 0, h - 1).astype(np.int64) for off in (-1, 0, 1, 2)]
+    a = arr.astype(np.float64)
+    nd = None if nodata is None else np.float64(nodata)
+    mask = np.zeros(np.shape(fx), dtype=bool)
+    acc = None
+    for ki in range(4):
+        row = None
+        for kj in range(4):
+            v = a[ic[ki], jc[kj]]
+            if nd is not None:
+                mask |= v == nd
+            term = wx[kj] * v
+            row = term if row is None else row + term
+        term = wy[ki] * row
+        acc = term if acc is None else acc + term
+    if nodata is None:
+        return acc
+    return acc, mask
 
 
 def interp_corner_nodata_mask(

@@ -122,9 +122,14 @@ best AS (
 )"""
 
 
-def value_at_coords_sql(images_path: str, points_path: str) -> str:
+def value_at_coords_sql(images_path: str, points_path: str, nodata: float | None = None) -> str:
     """Oracle for operators/sampling.value_at_coords: pixel value from the
-    ramp formula (engine decodes real bytes — match is by construction)."""
+    ramp formula (engine decodes real bytes — match is by construction).
+    With `nodata`, a gathered pixel equal to it yields NULL (masked-read
+    parity — twin of the engine's nodata column semantics)."""
+    v = f"CAST({ramp_value_expr('iy', 'jx')} AS DOUBLE)"
+    if nodata is not None:
+        v = f"CASE WHEN {v} = {nodata!r} THEN NULL ELSE {v} END"
     return f"""
 WITH {georegister_cte(images_path)},
 {candidates_cte(points_path)},
@@ -134,7 +139,7 @@ px AS (
     least(greatest(CAST(floor((gt_y0 - y) / gt_yres) AS BIGINT), 0), h - 1) AS iy
   FROM best
 )
-SELECT point_id, image_id, CAST({ramp_value_expr('iy', 'jx')} AS DOUBLE) AS val
+SELECT point_id, image_id, {v} AS val
 FROM px ORDER BY point_id
 """
 
@@ -167,6 +172,59 @@ corners AS (
 SELECT point_id, image_id,
   round(((1 - t) * (1 - u)) * ({v00}) + (t * (1 - u)) * ({v10})
       + ((1 - t) * u) * ({v01}) + (t * u) * ({v11}), 6) AS val
+FROM corners ORDER BY point_id
+"""
+
+
+def interp_bicubic_sql(images_path: str, points_path: str) -> str:
+    """Oracle for operators/sampling.interp(order=3): pixel-center bicubic
+    cubic-convolution (Keys a=-0.5), edge-clamped — weight expressions and
+    the left-associative 4x4 summation mirror oracle.interp_bicubic
+    verbatim so float64 results are bit-identical."""
+    # Catmull-Rom weights, same literal arithmetic as oracle._catmull_rom_weights
+    def wts(t: str) -> list[str]:
+        return [
+            f"(((-0.5 * {t} + 1.0) * {t} - 0.5) * {t})",
+            f"((1.5 * {t} - 2.5) * {t} * {t} + 1.0)",
+            f"(((-1.5 * {t} + 2.0) * {t} + 0.5) * {t})",
+            f"((0.5 * {t} - 0.5) * {t} * {t})",
+        ]
+
+    offs = (-1, 0, 1, 2)
+    jcols = ",\n         ".join(
+        f"least(greatest(CAST(floor(fx) AS BIGINT) + {o}, 0), w - 1) AS j{k}"
+        for k, o in enumerate(offs)
+    )
+    icols = ",\n         ".join(
+        f"least(greatest(CAST(floor(fy) AS BIGINT) + {o}, 0), h - 1) AS i{k}"
+        for k, o in enumerate(offs)
+    )
+    wx = wts("t")
+    wy = wts("u")
+    rows = [
+        "(" + " + ".join(
+            f"{wx[kj]} * ({ramp_value_expr(f'i{ki}', f'j{kj}')})" for kj in range(4)
+        ) + ")"
+        for ki in range(4)
+    ]
+    val = " + ".join(f"{wy[ki]} * {rows[ki]}" for ki in range(4))
+    return f"""
+WITH {georegister_cte(images_path)},
+{candidates_cte(points_path)},
+frac AS (
+  SELECT point_id, image_id, idx, fmt, w, h,
+         (x - gt_x0) / gt_xres - 0.5 AS fx,
+         (gt_y0 - y) / gt_yres - 0.5 AS fy
+  FROM best
+),
+corners AS (
+  SELECT point_id, image_id, idx, fmt,
+         fx - floor(fx) AS t, fy - floor(fy) AS u,
+         {jcols},
+         {icols}
+  FROM frac
+)
+SELECT point_id, image_id, round({val}, 6) AS val
 FROM corners ORDER BY point_id
 """
 

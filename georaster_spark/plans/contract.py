@@ -97,6 +97,15 @@ def q_interp_bilinear(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.withColumn("val", F.round("val", 6)).repartition(1).sortWithinPartitions("point_id")
 
 
+def q_interp_bicubic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Op R14 order=3: pixel-center bicubic (Keys a=-0.5), edge-clamped."""
+    from ..operators import sampling
+
+    tiles = geo.georegister(_images(spark, sf_dir))
+    out = sampling.interp(_points(spark, sf_dir), tiles, order=3)
+    return out.withColumn("val", F.round("val", 6)).repartition(1).sortWithinPartitions("point_id")
+
+
 def q_coord_to_px(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Op R9: world -> integer pixel indices (floor + clamp)."""
     from ..operators import sampling
@@ -259,6 +268,33 @@ def q_zonal_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     tiles = geo.georegister(_images(spark, sf_dir))
     return zonal_stats(tiles, _zones(spark, sf_dir))
+
+
+_NODATA_VAL = 77.0  # occurs in raw/raw16 ramp tiles; never in qnt (77 % 4 != 2)
+
+
+def q_zonal_stats_nodata(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Op E7 + nodata: zonal stats over tiles declaring nodata=77 —
+    masked-read semantics, pixels equal to nodata excluded from every
+    stat (count/sum/min/max/mean all shift vs plain zonal_stats)."""
+    from ..operators.zonal import zonal_stats
+
+    tiles = geo.georegister(_images(spark, sf_dir)).withColumn(
+        "nodata", F.lit(_NODATA_VAL)
+    )
+    return zonal_stats(tiles, _zones(spark, sf_dir))
+
+
+def q_value_at_nodata(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Op R12 + nodata: point samples over tiles declaring nodata=77 —
+    a gathered pixel equal to nodata returns NULL (masked), matching
+    upstream GDAL masked reads."""
+    from ..operators import sampling
+
+    tiles = geo.georegister(_images(spark, sf_dir)).withColumn(
+        "nodata", F.lit(_NODATA_VAL)
+    )
+    return sampling.value_at_coords(_points(spark, sf_dir), tiles).repartition(1).sortWithinPartitions("point_id")
 
 
 def q_extent_intersection(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -524,8 +560,9 @@ WHERE rank <= 4 ORDER BY point_id, rank
 """
 
 
-def _sql_zonal_stats(fx: Path, w: int) -> str:
+def _sql_zonal_stats(fx: Path, w: int, nodata: float | None = None) -> str:
     ramp = osql.ramp_value_expr("gi.i", "gj.j")
+    nd_filter = f" AND v != {nodata!r}" if nodata is not None else ""
     return f"""
 WITH {osql.georegister_cte(str(fx / 'images.parquet'))},
 pairs AS (
@@ -542,7 +579,7 @@ pix AS (
   FROM pairs, generate_series(0, {w - 1}) AS gi(i), generate_series(0, {w - 1}) AS gj(j)
 ),
 inz AS (
-  SELECT zone_id, v FROM pix z WHERE {osql.pip_where('z.px', 'z.py')}
+  SELECT zone_id, v FROM pix z WHERE {osql.pip_where('z.px', 'z.py')}{nd_filter}
 )
 SELECT zone_id, COUNT(*) AS n_pixels,
        CAST(SUM(v) AS BIGINT) AS sum_val,
@@ -898,6 +935,7 @@ def spatial_queries() -> dict[str, QueryFn]:
         "value_at_coords": q_value_at_coords,
         "value_window": q_value_window,
         "interp_bilinear": q_interp_bilinear,
+        "interp_bicubic": q_interp_bicubic,
         "subset_checksum": q_subset_checksum,
         "pip_rect": _q_pip_kind("rect"),
         "pip_convex": _q_pip_kind("convex"),
@@ -909,6 +947,8 @@ def spatial_queries() -> dict[str, QueryFn]:
         "psnr_gate": q_psnr_gate,
         "knn_zones": q_knn,
         "zonal_stats": q_zonal_stats,
+        "zonal_stats_nodata": q_zonal_stats_nodata,
+        "value_at_nodata": q_value_at_nodata,
         "phash_near_dup": q_phash_near_dup,
         "phash_compute": q_phash_compute,
         "cell_join_salted": q_cell_join_salted,
@@ -939,6 +979,7 @@ def spatial_oracles(sf: str = "sf0.01") -> dict[str, str]:
         "value_at_coords": osql.value_at_coords_sql(img, pts),
         "value_window": _sql_value_window(fx),
         "interp_bilinear": osql.interp_sql(img, pts),
+        "interp_bicubic": osql.interp_bicubic_sql(img, pts),
         "subset_checksum": _sql_subset_checksum(fx),
         "pip_rect": _sql_pip_kind(fx, "rect"),
         "pip_convex": _sql_pip_kind(fx, "convex"),
@@ -950,6 +991,8 @@ def spatial_oracles(sf: str = "sf0.01") -> dict[str, str]:
         "psnr_gate": osql.psnr_gate_sql(img, w, w),
         "knn_zones": _sql_knn(fx),
         "zonal_stats": _sql_zonal_stats(fx, w),
+        "zonal_stats_nodata": _sql_zonal_stats(fx, w, nodata=_NODATA_VAL),
+        "value_at_nodata": osql.value_at_coords_sql(img, pts, nodata=_NODATA_VAL),
         "phash_near_dup": _sql_phash(fx),
         "phash_compute": _sql_phash_compute(fx, w),
         "cell_join_salted": _sql_cell_join_salted(fx),
