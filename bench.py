@@ -377,6 +377,10 @@ def main() -> None:
         "vs local[4N]",
     )
     ap.add_argument("--write-md", action="store_true")
+    ap.add_argument(
+        "--no-exec-queries", action="store_true",
+        help="skip the default executor-mode re-run of the 5 slowest queries",
+    )
     args = ap.parse_args()
 
     # Fixture generation (cached) happens outside the timed region.
@@ -411,6 +415,35 @@ def main() -> None:
         warmup=args.warmup, repl=args.repl, concurrent=args.concurrent, gc=args.gc,
         executors=args.executors, exec_cores=args.exec_cores,
     )
+    if "queries" in res and not args.no_exec_queries and args.executors is None:
+        # Executor-mode probe: re-run the 5 slowest queries under 8
+        # separate executor JVMs (local-cluster).  Single-JVM allocation
+        # contention pathologies (BENCH/BASELINE.md) show up as
+        # queries_exec8 << queries for the same query — keeping that
+        # visible every round so thread-mode numbers are never mistaken
+        # for the engine's cluster behavior.
+        slow = sorted(
+            (n for n, v in res["queries"].items() if v > 0),
+            key=res["queries"].get, reverse=True,
+        )[:5]
+        spark = _spark(0, executors=8, exec_cores=1)
+        try:
+            from georaster_spark.plans import contract
+
+            qmap = contract.spatial_queries()
+            qe: dict[str, float] = {}
+            for name in slow:
+                t0 = time.perf_counter()
+                try:
+                    qmap[name](spark, args.sf_dir).write.format("noop").mode("overwrite").save()
+                    qe[name] = round(time.perf_counter() - t0, 3)
+                except Exception as exc:
+                    qe[name] = -1.0
+                    print(f"[bench] exec8 {name} FAILED: {exc}", file=sys.stderr)
+            res["queries_exec8"] = qe
+            res["exec_topology"] = "local-cluster[8,1,8192]"
+        finally:
+            spark.stop()
     print(json.dumps(res))
 
 

@@ -115,6 +115,21 @@ class SingleBandRaster:
         lon1, lat1 = oracle.mercator_to_lonlat(xmax, ymax)
         return (float(lon0), float(lon1), float(lat0), float(lat1))
 
+    def get_extent_projected(self, crs: str):
+        """R8 analog of upstream get_extent_projected(pyproj_obj): extent
+        envelope reprojected to `crs` — any of EPSG:4326 / EPSG:3857 /
+        UTM EPSG:326xx/327xx (closed-form transforms; the sandbox has no
+        pyproj, so a CRS string replaces the projection object).  The
+        envelope samples a 3x3 grid of the extent because UTM legs are
+        not axis-separable (transformed edges bow)."""
+        from .operators.warp import _to_source_xy
+
+        ex = np.linspace(self.extent[0], self.extent[1], 3)
+        ey = np.linspace(self.extent[2], self.extent[3], 3)
+        gx, gy = np.meshgrid(ex, ey)
+        px, py = _to_source_xy(self.crs, crs, gx.ravel(), gy.ravel())
+        return (float(np.min(px)), float(np.max(px)), float(np.min(py)), float(np.max(py)))
+
     def coord_to_px(self, x, y, latlon: bool = False, rounded: bool = False, check_valid: bool = True):
         """World -> pixel indices.  Engine-normative defaults: floor +
         clamp (rounded=False, check_valid=True).  NOTE the deliberate

@@ -65,18 +65,50 @@ class TargetGrid:
     tile_h: int = 64
 
 
+def _to_lonlat(crs: str, x: np.ndarray, y: np.ndarray):
+    if crs == _LL:
+        return np.asarray(x, dtype=np.float64), np.asarray(y, dtype=np.float64)
+    if crs == _MERC:
+        return oracle.mercator_to_lonlat(x, y)
+    utm = oracle.parse_utm_crs(crs)
+    if utm is not None:
+        return oracle.utm_to_lonlat(x, y, utm[0], north=utm[1])
+    raise ValueError(f"unsupported CRS {crs}")
+
+
+def _from_lonlat(crs: str, lon: np.ndarray, lat: np.ndarray):
+    if crs == _LL:
+        return np.asarray(lon, dtype=np.float64), np.asarray(lat, dtype=np.float64)
+    if crs == _MERC:
+        return oracle.lonlat_to_mercator(lon, lat)
+    utm = oracle.parse_utm_crs(crs)
+    if utm is not None:
+        return oracle.lonlat_to_utm(lon, lat, utm[0], north=utm[1])
+    raise ValueError(f"unsupported CRS {crs}")
+
+
 def _to_source_xy(crs_from: str, crs_to: str, x: np.ndarray, y: np.ndarray):
+    """Any pair among EPSG:4326 / EPSG:3857 / UTM (EPSG:326xx, 327xx) via
+    the lon/lat hop — all legs closed-form (no pyproj in sandbox)."""
     if crs_from == crs_to:
         return x, y
-    if crs_from == _LL and crs_to == _MERC:
-        return oracle.lonlat_to_mercator(x, y)
-    if crs_from == _MERC and crs_to == _LL:
-        return oracle.mercator_to_lonlat(x, y)
-    raise ValueError(f"unsupported CRS pair {crs_from} -> {crs_to}")
+    return _from_lonlat(crs_to, *_to_lonlat(crs_from, x, y))
 
 
 def _grid_df(spark: SparkSession, g: TargetGrid, src_crs: str) -> DataFrame:
-    """Target tile grid with extents in BOTH target and source CRS."""
+    """Target tile grid with extents in BOTH target and source CRS.
+
+    4326<->3857 is axis-separable + monotonic, so the 2-corner box is
+    exact.  Pairs involving UTM are NOT separable (meridian convergence
+    bows transformed edges), so the source box samples a 3x3 grid of the
+    tile extent and pads by 0.1% of the span — the box only PREFILTERS
+    candidate sources (each pixel still passes the exact containment
+    test), so over-covering is safe and under-covering is the only bug.
+    """
+    utm_leg = (
+        oracle.parse_utm_crs(g.crs) is not None
+        or oracle.parse_utm_crs(src_crs) is not None
+    )
     ntx = -(-g.nx // g.tile_w)
     nty = -(-g.ny // g.tile_h)
     rows = []
@@ -86,15 +118,23 @@ def _grid_df(spark: SparkSession, g: TargetGrid, src_crs: str) -> DataFrame:
             h = min(g.tile_h, g.ny - ty * g.tile_h)
             gx0 = g.x0 + tx * g.tile_w * g.xres
             gy0 = g.y0 - ty * g.tile_h * g.yres
-            # extent corners in target crs
-            cx = np.array([gx0, gx0 + w * g.xres])
-            cy = np.array([gy0 - h * g.yres, gy0])
+            if utm_leg:
+                ex = np.linspace(gx0, gx0 + w * g.xres, 3)
+                ey = np.linspace(gy0 - h * g.yres, gy0, 3)
+                cx, cy = (m.ravel() for m in np.meshgrid(ex, ey))
+            else:
+                # extent corners in target crs (separable pair: exact)
+                cx = np.array([gx0, gx0 + w * g.xres])
+                cy = np.array([gy0 - h * g.yres, gy0])
             sx, sy = _to_source_xy(g.crs, src_crs, cx, cy)
+            sx0, sx1 = float(np.min(sx)), float(np.max(sx))
+            sy0, sy1 = float(np.min(sy)), float(np.max(sy))
+            if utm_leg:
+                pad_x = 1e-3 * (sx1 - sx0) + 1e-9
+                pad_y = 1e-3 * (sy1 - sy0) + 1e-9
+                sx0, sx1, sy0, sy1 = sx0 - pad_x, sx1 + pad_x, sy0 - pad_y, sy1 + pad_y
             rows.append(
-                (
-                    ty * ntx + tx, tx, ty, w, h, gx0, gy0,
-                    float(min(sx)), float(max(sx)), float(min(sy)), float(max(sy)),
-                )
+                (ty * ntx + tx, tx, ty, w, h, gx0, gy0, sx0, sx1, sy0, sy1)
             )
     schema = (
         "tid long, tx int, ty int, w int, h int, gt_x0 double, gt_y0 double,"

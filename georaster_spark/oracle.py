@@ -483,3 +483,99 @@ def mercator_to_lonlat(x, y):
     lon = np.degrees(x / _R_EARTH)
     lat = np.degrees(2.0 * np.arctan(np.exp(y / _R_EARTH)) - np.pi / 2.0)
     return lon, lat
+
+
+# ---------------------------------------------------------------------------
+# Transverse Mercator / UTM (closed-form Krüger series — public formulas,
+# cf. Karney 2011 "Transverse Mercator with an accuracy of a few
+# nanometers" §2 / the standard Krüger-n series).  Third-order in
+# n = f/(2-f): ~1 mm accuracy inside a UTM zone — the upstream golden
+# tile's CRS (UTM) becomes representable without pyproj (SURVEY §2.1 R8
+# gap; upstream get_extent_projected takes an arbitrary projection).
+# ---------------------------------------------------------------------------
+
+_WGS84_A = 6378137.0
+_WGS84_F = 1.0 / 298.257223563
+_UTM_K0 = 0.9996
+_UTM_FE = 500000.0
+_UTM_FN_SOUTH = 10000000.0
+
+_TM_N = _WGS84_F / (2.0 - _WGS84_F)
+_TM_A = _WGS84_A / (1.0 + _TM_N) * (1.0 + _TM_N**2 / 4.0 + _TM_N**4 / 64.0)
+_TM_E = math.sqrt(_WGS84_F * (2.0 - _WGS84_F))  # first eccentricity
+# alpha (forward) / beta (inverse) / delta (conformal->geodetic) series
+_TM_ALPHA = (
+    _TM_N / 2.0 - 2.0 * _TM_N**2 / 3.0 + 5.0 * _TM_N**3 / 16.0,
+    13.0 * _TM_N**2 / 48.0 - 3.0 * _TM_N**3 / 5.0,
+    61.0 * _TM_N**3 / 240.0,
+)
+_TM_BETA = (
+    _TM_N / 2.0 - 2.0 * _TM_N**2 / 3.0 + 37.0 * _TM_N**3 / 96.0,
+    _TM_N**2 / 48.0 + _TM_N**3 / 15.0,
+    17.0 * _TM_N**3 / 480.0,
+)
+_TM_DELTA = (
+    2.0 * _TM_N - 2.0 * _TM_N**2 / 3.0 - 2.0 * _TM_N**3,
+    7.0 * _TM_N**2 / 3.0 - 8.0 * _TM_N**3 / 5.0,
+    56.0 * _TM_N**3 / 15.0,
+)
+
+
+def utm_zone_lon0(zone: int) -> float:
+    """Central meridian (degrees) of UTM zone 1..60."""
+    if not 1 <= zone <= 60:
+        raise ValueError(f"UTM zone {zone} outside [1, 60]")
+    return -183.0 + 6.0 * zone
+
+
+def lonlat_to_utm(lon, lat, zone: int, north: bool = True):
+    """WGS84 lon/lat (deg) -> UTM easting/northing (m) for a fixed zone."""
+    lam = np.radians(np.asarray(lon, dtype=np.float64) - utm_zone_lon0(zone))
+    phi = np.radians(np.asarray(lat, dtype=np.float64))
+    s = np.sin(phi)
+    # conformal latitude tau' = sinh(asinh(tan) - e*atanh(e*sin))
+    t = np.sinh(np.arctanh(s) - _TM_E * np.arctanh(_TM_E * s))
+    xi_p = np.arctan2(t, np.cos(lam))
+    eta_p = np.arcsinh(np.sin(lam) / np.sqrt(t * t + np.cos(lam) ** 2))
+    xi = xi_p
+    eta = eta_p
+    for j, aj in enumerate(_TM_ALPHA, start=1):
+        xi = xi + aj * np.sin(2.0 * j * xi_p) * np.cosh(2.0 * j * eta_p)
+        eta = eta + aj * np.cos(2.0 * j * xi_p) * np.sinh(2.0 * j * eta_p)
+    x = _UTM_K0 * _TM_A * eta + _UTM_FE
+    y = _UTM_K0 * _TM_A * xi + (0.0 if north else _UTM_FN_SOUTH)
+    return x, y
+
+
+def utm_to_lonlat(x, y, zone: int, north: bool = True):
+    """UTM easting/northing (m) -> WGS84 lon/lat (deg) for a fixed zone."""
+    eta = (np.asarray(x, dtype=np.float64) - _UTM_FE) / (_UTM_K0 * _TM_A)
+    xi = (np.asarray(y, dtype=np.float64) - (0.0 if north else _UTM_FN_SOUTH)) / (
+        _UTM_K0 * _TM_A
+    )
+    xi_p = xi
+    eta_p = eta
+    for j, bj in enumerate(_TM_BETA, start=1):
+        xi_p = xi_p - bj * np.sin(2.0 * j * xi) * np.cosh(2.0 * j * eta)
+        eta_p = eta_p - bj * np.cos(2.0 * j * xi) * np.sinh(2.0 * j * eta)
+    lam = np.arctan2(np.sinh(eta_p), np.cos(xi_p))
+    chi = np.arcsin(np.sin(xi_p) / np.cosh(eta_p))  # conformal latitude
+    phi = chi
+    for j, dj in enumerate(_TM_DELTA, start=1):
+        phi = phi + dj * np.sin(2.0 * j * chi)
+    return np.degrees(lam) + utm_zone_lon0(zone), np.degrees(phi)
+
+
+def parse_utm_crs(crs: str):
+    """'EPSG:326xx'/'EPSG:327xx' -> (zone, north) or None if not UTM."""
+    if not crs.upper().startswith("EPSG:"):
+        return None
+    try:
+        code = int(crs.split(":", 1)[1])
+    except ValueError:
+        return None
+    if 32601 <= code <= 32660:
+        return code - 32600, True
+    if 32701 <= code <= 32760:
+        return code - 32700, False
+    return None
