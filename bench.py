@@ -282,6 +282,13 @@ def run_scaling(sf_dir: str, n: int, sf_cpus: int, repeats: int = 6,
                 # build, AQE planning, worker spawn — identical at both
                 # levels) don't masquerade as scaling loss.
                 "256",
+                # Concurrent submission of the three independent headline
+                # actions (what a real pipeline driver does): sequential
+                # submission leaves per-job scheduling gaps + ramp-down
+                # waves that are pure serial time — measured ~11 s of the
+                # 4-executor repl=1 run — and serial time at both levels
+                # reads as scaling loss that isn't in the engine's plans.
+                "--concurrent",
             ]
             proc = subprocess.run(cmd, capture_output=True, text=True, cwd=str(REPO))
             c_after = parallel_control()

@@ -11,6 +11,7 @@ own tables, which come pre-registered as DuckDB views.
 
 from __future__ import annotations
 
+import os
 from collections.abc import Callable
 from pathlib import Path
 
@@ -434,6 +435,65 @@ def q_verification_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_stream_cell_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Op S1 (streaming ingest) surfaced to the oracle gate: run the
+    watermarked per-cell tumbling-window aggregation as a real Structured
+    Streaming job (file source -> availableNow -> memory sink) and return
+    the sink as a batch DataFrame.  Event time is idx seconds after T0
+    (deterministic), so append-mode finalization is SQL-expressible: a
+    window is emitted iff win_end <= max(ts) - watermark.  The fixture is
+    one parquet file -> one micro-batch -> no cross-batch late drops.
+    Input is capped at the first hour of events (idx < 3600) so the
+    contract probe is constant-cost across sf."""
+    import tempfile
+    import uuid
+
+    from ..streaming import tile_stream as ts
+
+    fx = _fx(sf_dir)
+    tmp = Path(tempfile.mkdtemp(prefix="gs_stream_"))
+    (tmp / "in").mkdir()
+    os.symlink(fx / "images.parquet", tmp / "in" / "images.parquet")
+    name = f"s1_{uuid.uuid4().hex[:8]}"
+    stream = ts.read_image_stream(spark, str(tmp / "in")).where(geo.image_idx() < 3600)
+    agg = ts.cell_window_stats(stream, window="1 minute", watermark="30 seconds")
+    ts.run_to_memory(agg, name, str(tmp / "ckpt"))
+    return (
+        spark.table(name)
+        .select("win_start", "cell_id", "n_images", F.round("avg_w", 6).alias("avg_w"))
+        .repartition(1).sortWithinPartitions("win_start", "cell_id")
+    )
+
+
+def q_checkpoint_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Op E9 surfaced to the oracle gate: checkpointed partitioned write
+    (per-unit manifests, dynamic overwrite) of a slim tile projection
+    keyed by the res-6 parent cell, read back through the
+    manifest-committed filter, and rolled up — the oracle computes the
+    same rollup straight from the georegister formulas, so the driver
+    hash proves the checkpoint round-trip loses/duplicates nothing.
+    (Kill/resume behavior itself is pinned in tests/test_scale_machinery.)"""
+    import tempfile
+
+    from ..functions.cells import cell_parent_chain
+    from .checkpoint import checkpointed_write, read_checkpointed
+
+    out = Path(tempfile.mkdtemp(prefix="gs_ckpt_")) / "run"
+    tiles = geo.georegister(_images(spark, sf_dir))
+    slim = tiles.select(
+        "image_id",
+        "w",
+        cell_parent_chain(F.col("cell_id"), DEFAULT_RES, _CKPT_RES).alias("unit"),
+    )
+    checkpointed_write(slim, out, "unit", input_snapshot="contract")
+    back = read_checkpointed(spark, out)
+    return (
+        back.groupBy("unit")
+        .agg(F.count(F.lit(1)).alias("n_tiles"), F.sum(F.col("w").cast("long")).alias("sum_w"))
+        .repartition(1).sortWithinPartitions("unit")
+    )
+
+
 def q_phash_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Op E11: banded-LSH hamming<=4 self-join on the phash column."""
     from ..operators.phash import phash_near_dup
@@ -786,6 +846,48 @@ ORDER BY tile_id
 """
 
 
+def _sql_stream_cell_window(fx: Path) -> str:
+    """DuckDB twin of q_stream_cell_window: the same tumbling-window agg
+    from the event-time rule ts = T0 + idx seconds, keeping only windows
+    append-mode finalizes (win_end <= max(ts) - watermark)."""
+    from ..streaming.tile_stream import T0
+
+    cell = osql.cell_expr("gt_x0", "gt_y0", DEFAULT_RES)
+    return f"""
+WITH {osql.georegister_cte(str(fx / 'images.parquet'))},
+ev AS (
+  SELECT idx, w, {cell} AS cell_id, (idx // 60) * 60 AS win_sec
+  FROM tiles WHERE idx < 3600
+),
+mx AS (SELECT MAX(idx) AS max_idx FROM tiles WHERE idx < 3600)
+SELECT TIMESTAMP '{T0}' + to_seconds(win_sec) AS win_start,
+       cell_id,
+       COUNT(*) AS n_images,
+       round(AVG(CAST(w AS DOUBLE)), 6) AS avg_w
+FROM ev, mx
+WHERE win_sec + 60 <= max_idx - 30
+GROUP BY win_sec, cell_id
+ORDER BY win_start, cell_id
+"""
+
+
+_CKPT_RES = 11  # work-unit resolution: ~dozens of units across the sf grid
+
+
+def _sql_checkpoint_rollup(fx: Path) -> str:
+    """DuckDB twin of q_checkpoint_rollup: straight rollup by the coarse
+    anchor cell (parent-chain of the res-13 anchor == direct coarse
+    encode: floor(floor(x/s13)/2^(13-r)) = floor(x/s_r), clamps compose)."""
+    cell6 = osql.cell_expr("gt_x0", "gt_y0", _CKPT_RES)
+    return f"""
+WITH {osql.georegister_cte(str(fx / 'images.parquet'))}
+SELECT {cell6} AS unit,
+       COUNT(*) AS n_tiles,
+       CAST(SUM(CAST(w AS BIGINT)) AS BIGINT) AS sum_w
+FROM tiles GROUP BY 1 ORDER BY unit
+"""
+
+
 def _sql_cell_join_salted(fx: Path) -> str:
     r = DEFAULT_RES
     s = float(DOMAIN >> r)
@@ -953,6 +1055,8 @@ def spatial_queries() -> dict[str, QueryFn]:
         "phash_compute": q_phash_compute,
         "cell_join_salted": q_cell_join_salted,
         "verification_report": q_verification_report,
+        "stream_cell_window": q_stream_cell_window,
+        "checkpoint_rollup": q_checkpoint_rollup,
         "q1_pricing": rel.q1_pricing,
         "top_orders_segment": rel.top_orders_per_segment,
         "orders_by_month": rel.orders_by_month,
@@ -997,6 +1101,8 @@ def spatial_oracles(sf: str = "sf0.01") -> dict[str, str]:
         "phash_compute": _sql_phash_compute(fx, w),
         "cell_join_salted": _sql_cell_join_salted(fx),
         "verification_report": _sql_verification_report(fx, w),
+        "stream_cell_window": _sql_stream_cell_window(fx),
+        "checkpoint_rollup": _sql_checkpoint_rollup(fx),
         "q1_pricing": rel.q1_pricing_sql(),
         "top_orders_segment": rel.top_orders_per_segment_sql(),
         "orders_by_month": rel.orders_by_month_sql(),
