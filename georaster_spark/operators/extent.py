@@ -71,9 +71,18 @@ def intersection(
 
     Accelerated by the cell-key equi-prefilter (SURVEY §2.3 'range/theta
     joins'): both sides explode cover_cells, equi-join on cell_id, exact
-    overlap predicate refines, and multi-cell duplicate pairs collapse
-    with a groupBy on the pair key (cheap: only ids + 4 doubles shuffle).
-    With same_table=True only (a_id < b_id) pairs emit."""
+    overlap predicate refines.  Pairs sharing several cells are deduped
+    with the REFERENCE-POINT rule (spatial-join literature, PAPERS.md):
+    a pair emits only in the cell containing the overlap box's top-left
+    corner (greatest(xmin), least(ymax)) — that corner lies inside both
+    tiles' closed-open boxes, so its cell is in both covers and is
+    unique per pair.  Each pair therefore materializes EXACTLY once and
+    the whole dedup is one codegen'd predicate inside the join — the
+    previous groupBy(a_id, b_id) + first() dedup re-shuffled the entire
+    duplicated pair stream a second time, which was the dominant cost
+    under separate executor JVMs (queries_exec8 probe: 3.5x the
+    single-JVM wall).  With same_table=True only (a_id < b_id) pairs
+    emit."""
     ae = a.select(
         F.col("image_id").alias("a_id"),
         F.col("xmin").alias("a_xmin"), F.col("xmax").alias("a_xmax"),
@@ -86,18 +95,26 @@ def intersection(
         F.col("ymin").alias("b_ymin"), F.col("ymax").alias("b_ymax"),
         F.explode("cover_cells").alias("cell_id"),
     )
+    ixmin = F.greatest(F.col("a_xmin"), F.col("b_xmin"))
+    ixmax = F.least(F.col("a_xmax"), F.col("b_xmax"))
+    iymin = F.greatest(F.col("a_ymin"), F.col("b_ymin"))
+    iymax = F.least(F.col("a_ymax"), F.col("b_ymax"))
     pred = (
         (F.col("a_xmin") < F.col("b_xmax")) & (F.col("a_xmax") > F.col("b_xmin"))
         & (F.col("a_ymin") < F.col("b_ymax")) & (F.col("a_ymax") > F.col("b_ymin"))
+        # reference-point dedup: emit only in the overlap corner's cell
+        & (F.col("cell_id") == cells.cell_encode(ixmin, iymax, r))
     )
     if same_table:
         pred = pred & (F.col("a_id") < F.col("b_id"))
-    pairs = ae.join(be, "cell_id").where(pred)
-    return pairs.groupBy("a_id", "b_id").agg(
-        F.greatest(F.first("a_xmin"), F.first("b_xmin")).alias("ixmin"),
-        F.least(F.first("a_xmax"), F.first("b_xmax")).alias("ixmax"),
-        F.greatest(F.first("a_ymin"), F.first("b_ymin")).alias("iymin"),
-        F.least(F.first("a_ymax"), F.first("b_ymax")).alias("iymax"),
+    return (
+        ae.join(be, "cell_id")
+        .where(pred)
+        .select(
+            "a_id", "b_id",
+            ixmin.alias("ixmin"), ixmax.alias("ixmax"),
+            iymin.alias("iymin"), iymax.alias("iymax"),
+        )
     )
 
 

@@ -88,14 +88,28 @@ def _gather_fn(mode: str, window: int | None, reducer: str):
         for pdf in batches:
             out = np.empty(len(pdf), dtype=np.float64)
             masked = np.zeros(len(pdf), dtype=bool)
+            # column arrays extracted ONCE per batch: per-group pandas
+            # .iloc row access was the dominant Python cost when most
+            # tiles contain a single point (one group per row)
+            byts = pdf["bytes"].to_numpy(dtype=object)
+            ws = pdf["w"].to_numpy()
+            hs = pdf["h"].to_numpy()
+            fmts = pdf["fmt"].to_numpy(dtype=object)
+            gx0 = pdf["gt_x0"].to_numpy()
+            gy0 = pdf["gt_y0"].to_numpy()
+            gxr = pdf["gt_xres"].to_numpy()
+            gyr = pdf["gt_yres"].to_numpy()
+            nds = pdf["nodata"].to_numpy() if "nodata" in pdf.columns else None
+            xs_all = pdf["x"].to_numpy()
+            ys_all = pdf["y"].to_numpy()
             for _, idx in pdf.groupby("image_id", sort=False).indices.items():
-                r0 = pdf.iloc[idx[0]]
-                arr = oracle.decode_pixels(r0["bytes"], int(r0["w"]), int(r0["h"]), r0["fmt"])
-                g = (r0["gt_x0"], r0["gt_y0"], r0["gt_xres"], r0["gt_yres"])
-                nd = r0["nodata"] if "nodata" in pdf.columns else None
+                k0 = int(idx[0])
+                arr = oracle.decode_pixels(byts[k0], int(ws[k0]), int(hs[k0]), fmts[k0])
+                g = (gx0[k0], gy0[k0], gxr[k0], gyr[k0])
+                nd = None if nds is None else nds[k0]
                 nd = None if nd is None or (isinstance(nd, float) and np.isnan(nd)) else float(nd)
-                xs = pdf["x"].to_numpy()[idx]
-                ys = pdf["y"].to_numpy()[idx]
+                xs = xs_all[idx]
+                ys = ys_all[idx]
                 if mode == "interp":
                     out[idx] = oracle.interp_bilinear(arr, xs, ys, *g)
                     if nd is not None:
