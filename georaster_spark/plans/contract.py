@@ -501,6 +501,102 @@ def q_phash_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return phash_near_dup(_images(spark, sf_dir), t=4)
 
 
+_BAND_OFF = 60  # multiple of QNT_STEP=4, so the qnt re-encode is a no-op
+
+
+def _band_stack(tiles: DataFrame, nbands: int) -> DataFrame:
+    """Contract plumbing (NOT an engine op): synthesize an nbands-plane
+    tile from each single-band fixture tile — plane p = (v + 60*p) % 256.
+    Offsets are ≡ 0 (mod QNT_STEP) and 256 % QNT_STEP == 0, so values
+    stay on the qnt lattice and encode_pixels('qnt')'s re-quantization
+    is the identity; the DuckDB oracle reproduces planes with the same
+    modular formula."""
+    from pyspark.sql.types import BinaryType
+
+    from .. import oracle as orc
+
+    @F.pandas_udf(BinaryType())
+    def _stk(data: pd.Series, w: pd.Series, h: pd.Series, fmt: pd.Series) -> pd.Series:
+        import numpy as np
+
+        out = []
+        for i in range(len(data)):
+            arr = orc.decode_pixels(
+                data.iat[i], int(w.iat[i]), int(h.iat[i]), fmt.iat[i]
+            ).astype(np.int64)
+            planes = np.stack([(arr + _BAND_OFF * p) % 256 for p in range(nbands)])
+            out.append(orc.encode_pixels(planes.astype(np.uint8), fmt.iat[i]))
+        return pd.Series(out)
+
+    return tiles.withColumn(
+        "bytes", _stk(F.col("bytes"), F.col("w"), F.col("h"), F.col("fmt"))
+    ).withColumn("nbands", F.lit(nbands))
+
+
+def q_multiband_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ops R3/R4 (MultiBandRaster load + `bands=` selection + gdal_band
+    plane mapping) surfaced to the oracle gate: synthesize 3-band tiles,
+    select bands [3, 1] (order-preserving — output plane 1 is original
+    band 3, plane 2 is original band 1, exactly R4's gdal_band index
+    semantics), then reduce per (image, band) in one Arrow hop.
+    Reference: georaster MultiBandRaster ≈L780-880 ⚠ (SURVEY §2.1 R3/R4)."""
+    from ..operators import raster_io
+
+    tiles = geo.georegister(_images(spark, sf_dir)).where(geo.image_idx() < 2000)
+    sel = raster_io.band_select(_band_stack(tiles, 3), [3, 1])
+    return (
+        raster_io.band_stats(sel)
+        .repartition(1)
+        .sortWithinPartitions("image_id", "band")
+    )
+
+
+def q_sink_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Op R6 (`simple_write_geotiff` analog) end-to-end: mask pixels
+    where v % 5 == 0, fill with nodata 250 (a qnt-lattice point, so the
+    re-encode is exact for both codecs), commit an icelite snapshot,
+    read it back through the pinned file list, and checksum the decoded
+    pixels.  The oracle recomputes the masked checksum straight from the
+    ramp formula, so a hash match proves the whole mask→fill→encode→
+    commit→read path loses nothing.  Reference: simple_write_geotiff
+    ≈L950-1060 ⚠ (SURVEY §2.1 R6)."""
+    import tempfile
+
+    from pyspark.sql.types import BinaryType
+
+    from .. import oracle as orc
+    from ..operators import raster_io
+    from ..sources import icelite
+
+    tiles = geo.georegister(_images(spark, sf_dir)).where(geo.image_idx() < 2000)
+
+    @F.pandas_udf(BinaryType())
+    def _mask(data: pd.Series, w: pd.Series, h: pd.Series, fmt: pd.Series) -> pd.Series:
+        import numpy as np
+
+        out = []
+        for i in range(len(data)):
+            arr = orc.decode_pixels(data.iat[i], int(w.iat[i]), int(h.iat[i]), fmt.iat[i])
+            out.append(((arr % 5) == 0).astype(np.uint8).tobytes())
+        return pd.Series(out)
+
+    masked = tiles.select("image_id", "bytes", "w", "h", "fmt").withColumn(
+        "mask", _mask(F.col("bytes"), F.col("w"), F.col("h"), F.col("fmt"))
+    )
+    out_dir = Path(tempfile.mkdtemp(prefix="gs_sink_")) / "tbl"
+    raster_io.write_raster(masked, out_dir, nodata_fill=250, mask_col="mask")
+    back = icelite.read_snapshot(spark, out_dir)
+    cs = _pixel_checksum_udf()
+    return (
+        back.select(
+            "image_id",
+            cs(F.col("bytes"), F.col("w"), F.col("h"), F.col("fmt")).alias("checksum"),
+        )
+        .repartition(1)
+        .sortWithinPartitions("image_id")
+    )
+
+
 # --- Oracle SQL sides ------------------------------------------------------
 
 
@@ -1026,6 +1122,43 @@ GROUP BY image_id ORDER BY image_id
 # --- Registry --------------------------------------------------------------
 
 
+def _sql_multiband_stats(fx: Path, w: int) -> str:
+    """DuckDB twin of q_multiband_stats: selected band 1 = original
+    plane 2 (offset 2*_BAND_OFF), band 2 = plane 0 (offset 0)."""
+    v = osql.ramp_value_expr("gi.i", "gj.j")
+    return f"""
+WITH {osql.georegister_cte(str(fx / 'images.parquet'))},
+lim AS (SELECT * FROM tiles WHERE idx < 2000),
+bands(band, off) AS (VALUES (1, {2 * _BAND_OFF}), (2, 0)),
+px AS (
+  SELECT image_id, band, (({v}) + off) % 256 AS v
+  FROM lim, bands,
+       generate_series(0, {w - 1}) AS gi(i), generate_series(0, {w - 1}) AS gj(j)
+)
+SELECT image_id, CAST(band AS INTEGER) AS band,
+       CAST(SUM(v) AS DOUBLE) / {w * w} AS mean_val,
+       CAST(MIN(v) AS DOUBLE) AS min_val,
+       CAST(MAX(v) AS DOUBLE) AS max_val
+FROM px GROUP BY image_id, band ORDER BY image_id, band
+"""
+
+
+def _sql_sink_roundtrip(fx: Path, w: int) -> str:
+    """DuckDB twin of q_sink_roundtrip: pixel checksum after the
+    mask(v%5==0)->fill(250) rewrite, straight from the ramp formula."""
+    v = osql.ramp_value_expr("gi.i", "gj.j")
+    return f"""
+WITH {osql.georegister_cte(str(fx / 'images.parquet'))},
+lim AS (SELECT * FROM tiles WHERE idx < 2000)
+SELECT image_id,
+       CAST(SUM((CASE WHEN ({v}) % 5 = 0 THEN 250 ELSE ({v}) END)
+                * (gi.i * {w} + gj.j + 1)) AS BIGINT) AS checksum
+FROM lim,
+     generate_series(0, {w - 1}) AS gi(i), generate_series(0, {w - 1}) AS gj(j)
+GROUP BY image_id ORDER BY image_id
+"""
+
+
 def spatial_queries() -> dict[str, QueryFn]:
     return {
         "zone_image_stats": q_zone_image_stats,
@@ -1057,6 +1190,8 @@ def spatial_queries() -> dict[str, QueryFn]:
         "verification_report": q_verification_report,
         "stream_cell_window": q_stream_cell_window,
         "checkpoint_rollup": q_checkpoint_rollup,
+        "multiband_stats": q_multiband_stats,
+        "sink_roundtrip": q_sink_roundtrip,
         "q1_pricing": rel.q1_pricing,
         "top_orders_segment": rel.top_orders_per_segment,
         "orders_by_month": rel.orders_by_month,
@@ -1103,6 +1238,8 @@ def spatial_oracles(sf: str = "sf0.01") -> dict[str, str]:
         "verification_report": _sql_verification_report(fx, w),
         "stream_cell_window": _sql_stream_cell_window(fx),
         "checkpoint_rollup": _sql_checkpoint_rollup(fx),
+        "multiband_stats": _sql_multiband_stats(fx, w),
+        "sink_roundtrip": _sql_sink_roundtrip(fx, w),
         "q1_pricing": rel.q1_pricing_sql(),
         "top_orders_segment": rel.top_orders_per_segment_sql(),
         "orders_by_month": rel.orders_by_month_sql(),
