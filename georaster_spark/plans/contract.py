@@ -501,6 +501,72 @@ def q_phash_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return phash_near_dup(_images(spark, sf_dir), t=4)
 
 
+def q_stream_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Op S2 (streaming near-dup drop) surfaced to the oracle gate: run
+    dropDuplicatesWithinWatermark(['phash']) as a real streaming job over
+    the first hour of images and emit the SURVIVING KEY SET — which row
+    survives per key is batch-order-dependent (any-first semantics), but
+    the key set itself is deterministic, so the oracle pins exactly the
+    dedup invariant: one survivor per phash, none lost, none invented."""
+    import tempfile
+    import uuid
+
+    from ..streaming import tile_stream as ts
+
+    fx = _fx(sf_dir)
+    tmp = Path(tempfile.mkdtemp(prefix="gs_sdedup_"))
+    (tmp / "in").mkdir()
+    os.symlink(fx / "images.parquet", tmp / "in" / "images.parquet")
+    name = f"s2_{uuid.uuid4().hex[:8]}"
+    stream = (
+        ts.read_image_stream(spark, str(tmp / "in"))
+        .where(geo.image_idx() < 3600)
+        # slim the stateful path: dropDuplicatesWithinWatermark keeps the
+        # whole row in the state store and the sink — never the pixels
+        .select("image_id", "phash")
+    )
+    kept = ts.streaming_near_dup_drop(stream)
+    ts.run_to_memory(kept, name, str(tmp / "ckpt"))
+    return (
+        spark.table(name)
+        .groupBy("phash")
+        .agg(F.count(F.lit(1)).alias("n_kept"))
+        .repartition(1)
+        .sortWithinPartitions("phash")
+    )
+
+
+def q_image_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Op M2 (image resize + feature extract) surfaced to the oracle
+    gate: fixture images as media rows -> nearest-neighbor resize to
+    16x16 -> mean/std/4-bin histogram.  The nearest gather (src index
+    i*h//16) and integer bin counts are SQL-expressible; mean/std round
+    to 6 dp (std crosses float paths: NumPy two-pass vs DuckDB Welford)."""
+    from ..operators import multimodal as mm
+
+    n = 16
+    imgs = (
+        _images(spark, sf_dir)
+        .where(geo.image_idx() < 2000)
+        .select(
+            F.col("image_id").alias("media_id"),
+            F.lit("image").alias("kind"),
+            "bytes", "fmt", "w", "h",
+        )
+    )
+    feats = mm.image_features(mm.image_resize(imgs, n, n), n_bins=4)
+    return (
+        feats.select(
+            "media_id",
+            F.round("mean_val", 6).alias("mean_val"),
+            F.round("std_val", 6).alias("std_val"),
+            "hist_0", "hist_1", "hist_2", "hist_3",
+        )
+        .repartition(1)
+        .sortWithinPartitions("media_id")
+    )
+
+
 _BAND_OFF = 60  # multiple of QNT_STEP=4, so the qnt re-encode is a no-op
 
 
@@ -1159,6 +1225,47 @@ GROUP BY image_id ORDER BY image_id
 """
 
 
+def _sql_stream_dedup(fx: Path) -> str:
+    """DuckDB twin of q_stream_dedup: the surviving key set is exactly
+    the distinct phashes of the input horizon, one survivor each."""
+    return f"""
+WITH img AS (
+  SELECT *, CAST(substr(image_id, 4, 10) AS BIGINT) AS idx
+  FROM read_parquet('{fx / 'images.parquet'}')
+)
+SELECT DISTINCT phash, CAST(1 AS BIGINT) AS n_kept
+FROM img WHERE idx < 3600 ORDER BY phash
+"""
+
+
+def _sql_image_pipeline(fx: Path, w: int) -> str:
+    """DuckDB twin of q_image_pipeline: nearest-resize source index
+    i*h//16, then mean/std (explicit two-moment formula, exact integer
+    sums) and 4-bin histogram straight from the ramp formula."""
+    n = 16
+    v = osql.ramp_value_expr(f"(gi.oi * {w}) // {n}", f"(gj.oj * {w}) // {n}")
+    npx = n * n
+    return f"""
+WITH {osql.georegister_cte(str(fx / 'images.parquet'))},
+lim AS (SELECT * FROM tiles WHERE idx < 2000),
+px AS (
+  SELECT image_id AS media_id, ({v}) AS v
+  FROM lim,
+       generate_series(0, {n - 1}) AS gi(oi), generate_series(0, {n - 1}) AS gj(oj)
+)
+SELECT media_id,
+       round(CAST(SUM(v) AS DOUBLE) / {npx}, 6) AS mean_val,
+       round(sqrt(CAST(SUM(v * v) AS DOUBLE) / {npx}
+                  - (CAST(SUM(v) AS DOUBLE) / {npx}) * (CAST(SUM(v) AS DOUBLE) / {npx})), 6)
+         AS std_val,
+       CAST(SUM(CASE WHEN (v * 4) // 256 = 0 THEN 1 ELSE 0 END) AS BIGINT) AS hist_0,
+       CAST(SUM(CASE WHEN (v * 4) // 256 = 1 THEN 1 ELSE 0 END) AS BIGINT) AS hist_1,
+       CAST(SUM(CASE WHEN (v * 4) // 256 = 2 THEN 1 ELSE 0 END) AS BIGINT) AS hist_2,
+       CAST(SUM(CASE WHEN (v * 4) // 256 = 3 THEN 1 ELSE 0 END) AS BIGINT) AS hist_3
+FROM px GROUP BY media_id ORDER BY media_id
+"""
+
+
 def spatial_queries() -> dict[str, QueryFn]:
     return {
         "zone_image_stats": q_zone_image_stats,
@@ -1192,6 +1299,8 @@ def spatial_queries() -> dict[str, QueryFn]:
         "checkpoint_rollup": q_checkpoint_rollup,
         "multiband_stats": q_multiband_stats,
         "sink_roundtrip": q_sink_roundtrip,
+        "stream_dedup": q_stream_dedup,
+        "image_pipeline": q_image_pipeline,
         "q1_pricing": rel.q1_pricing,
         "top_orders_segment": rel.top_orders_per_segment,
         "orders_by_month": rel.orders_by_month,
@@ -1240,6 +1349,8 @@ def spatial_oracles(sf: str = "sf0.01") -> dict[str, str]:
         "checkpoint_rollup": _sql_checkpoint_rollup(fx),
         "multiband_stats": _sql_multiband_stats(fx, w),
         "sink_roundtrip": _sql_sink_roundtrip(fx, w),
+        "stream_dedup": _sql_stream_dedup(fx),
+        "image_pipeline": _sql_image_pipeline(fx, w),
         "q1_pricing": rel.q1_pricing_sql(),
         "top_orders_segment": rel.top_orders_per_segment_sql(),
         "orders_by_month": rel.orders_by_month_sql(),
