@@ -1,0 +1,106 @@
+"""Distributed connected components — the clustering stage of near-dup
+deduplication (pairs -> clusters -> canonical doc election).
+
+The reference has no graph operators (it is a raster library); this is
+part of the LLM-training-data-pipeline tier the task mandates: LSH
+near-dup joins (textops D2-D4, vectors V1-V4) emit PAIRS, but dedup
+needs per-document CLUSTER ids so exactly one canonical survives per
+duplicate group.
+
+Algorithm: iterative min-label propagation over the undirected pair
+graph.  Each round is one shuffle (groupBy-min over the symmetric edge
+list joined to current labels); a round strictly lowers labels, and the
+fixpoint assigns every vertex the minimum vertex id reachable from it
+(= a deterministic component id).  Rounds needed = graph diameter.
+
+Scale posture (10^12 rows): near-dup clusters produced by
+verified-LSH are DENSE (a duplicate group is close to a clique — every
+member pairs with most others), so diameters are tiny (2-4) and this
+converges in a handful of shuffles over an edge list that is itself
+bounded by the LSH band fan-out.  The pathological case — long chains,
+e.g. transitive drift across a similarity threshold — is bounded by
+``max_iter``; for adversarial graphs swap the round body for the
+alternating large-star/small-star contraction (Kiveris et al.,
+"Connected Components in MapReduce and Beyond", SoCC'14 — PAPERS.md),
+which the per-round join shape here already accommodates.
+
+The per-round convergence check is a driver-side aggregate (one scalar
+per round, no data collected) — acceptable: it gates loop exit exactly
+like knn.py's frontier census.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def connected_components(
+    edges: DataFrame,
+    vertices: DataFrame,
+    vertex_col: str = "doc_id",
+    src_col: str = "a_id",
+    dst_col: str = "b_id",
+    max_iter: int = 25,
+) -> DataFrame:
+    """(vertex, component) with component = min vertex id in the
+    connected component.  Vertices with no incident edge keep their own
+    id.  Deterministic for any input order (min is order-free)."""
+    sym = (
+        edges.select(F.col(src_col).alias("u"), F.col(dst_col).alias("v"))
+        .union(edges.select(F.col(dst_col).alias("u"), F.col(src_col).alias("v")))
+        .distinct()
+    )
+    sym.persist()
+    labels = vertices.select(
+        F.col(vertex_col).alias("vid"), F.col(vertex_col).alias("label")
+    )
+    labels.persist()
+    try:
+        for _ in range(max_iter):
+            # neighbor-min pass: each vertex pulls the smallest label in
+            # its closed neighborhood (one shuffle: groupBy(v).min)
+            neigh = (
+                sym.join(labels, sym["u"] == labels["vid"])
+                .groupBy(F.col("v").alias("vid"))
+                .agg(F.min("label").alias("nlabel"))
+            )
+            new = (
+                labels.join(neigh, "vid", "left")
+                .select(
+                    "vid",
+                    F.least(F.col("label"), F.coalesce("nlabel", F.col("label"))).alias(
+                        "label"
+                    ),
+                )
+            )
+            new.persist()
+            changed = (
+                new.alias("n")
+                .join(labels.alias("o"), "vid")
+                .where(F.col("n.label") != F.col("o.label"))
+                .count()
+            )
+            labels.unpersist()
+            labels = new
+            if changed == 0:
+                break
+        else:
+            raise RuntimeError(
+                f"connected_components did not converge in {max_iter} rounds "
+                "(long-chain graph? switch to large-star/small-star)"
+            )
+        return labels.select(
+            F.col("vid").alias(vertex_col), F.col("label").alias("component")
+        )
+    finally:
+        sym.unpersist()
+
+
+def canonical_docs(components: DataFrame, vertex_col: str = "doc_id") -> DataFrame:
+    """Dedup election: the canonical survivor of each cluster is the
+    minimum doc id — which IS the component id, so this is a map-only
+    flag, no extra shuffle."""
+    return components.withColumn(
+        "is_canonical", (F.col(vertex_col) == F.col("component")).cast("boolean")
+    )

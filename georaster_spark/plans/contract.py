@@ -567,6 +567,21 @@ def q_image_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_dedup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dedup clustering (pairs -> components -> canonical election):
+    MinHash-LSH verified pairs (the 10^12-row near-dup path) fed to
+    distributed min-label connected components; every document gets its
+    cluster id (= min doc id reachable) and a canonical flag.  Oracle:
+    DuckDB recursive-CTE transitive closure over the exact-Jaccard pair
+    set (identical to the minhash pair set — D3 is exact-verified)."""
+    from ..operators import graph, textops
+
+    pairs = textops.minhash_lsh_pairs(spark, sf_dir).select("a_id", "b_id")
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select("doc_id")
+    comp = graph.canonical_docs(graph.connected_components(pairs, docs))
+    return comp.repartition(1).sortWithinPartitions("doc_id")
+
+
 _BAND_OFF = 60  # multiple of QNT_STEP=4, so the qnt re-encode is a no-op
 
 
@@ -1225,6 +1240,33 @@ GROUP BY image_id ORDER BY image_id
 """
 
 
+def _sql_dedup_components() -> str:
+    """DuckDB twin of q_dedup_components: recursive transitive closure
+    over the exact-Jaccard pair set, component = min reachable doc id."""
+    from ..operators.textops import _SQL_SHINGLES, _SQL_WS, JACCARD_TAU
+
+    return f"""
+WITH RECURSIVE
+w AS (SELECT doc_id, {_SQL_WS} AS ws FROM documents),
+s AS (SELECT doc_id, {_SQL_SHINGLES} AS sh FROM w WHERE len(ws) >= 3),
+pairs AS (
+  SELECT a.doc_id AS u, b.doc_id AS v
+  FROM s a JOIN s b ON a.doc_id < b.doc_id
+  WHERE len(list_intersect(a.sh, b.sh))
+        / (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh))) >= {JACCARD_TAU}
+),
+edges AS (SELECT u, v FROM pairs UNION SELECT v, u FROM pairs),
+reach(doc, r) AS (
+  SELECT doc_id, doc_id FROM documents
+  UNION
+  SELECT e.v, reach.r FROM reach JOIN edges e ON e.u = reach.doc
+)
+SELECT doc AS doc_id, MIN(r) AS component,
+       (doc = MIN(r)) AS is_canonical
+FROM reach GROUP BY doc ORDER BY doc_id
+"""
+
+
 def _sql_stream_dedup(fx: Path) -> str:
     """DuckDB twin of q_stream_dedup: the surviving key set is exactly
     the distinct phashes of the input horizon, one survivor each."""
@@ -1301,6 +1343,7 @@ def spatial_queries() -> dict[str, QueryFn]:
         "sink_roundtrip": q_sink_roundtrip,
         "stream_dedup": q_stream_dedup,
         "image_pipeline": q_image_pipeline,
+        "dedup_components": q_dedup_components,
         "q1_pricing": rel.q1_pricing,
         "top_orders_segment": rel.top_orders_per_segment,
         "orders_by_month": rel.orders_by_month,
@@ -1351,6 +1394,7 @@ def spatial_oracles(sf: str = "sf0.01") -> dict[str, str]:
         "sink_roundtrip": _sql_sink_roundtrip(fx, w),
         "stream_dedup": _sql_stream_dedup(fx),
         "image_pipeline": _sql_image_pipeline(fx, w),
+        "dedup_components": _sql_dedup_components(),
         "q1_pricing": rel.q1_pricing_sql(),
         "top_orders_segment": rel.top_orders_per_segment_sql(),
         "orders_by_month": rel.orders_by_month_sql(),

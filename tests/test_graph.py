@@ -1,0 +1,49 @@
+"""Connected-components unit tests (operators/graph.py — dedup
+clustering tier).  Chain graphs exercise multi-round convergence (the
+contract query's LSH clusters are dense and converge in ~2 rounds)."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from georaster_spark.operators import graph
+
+
+def _cc(spark, edges, vertices):
+    e = spark.createDataFrame(edges or [(None, None)], "a_id long, b_id long")
+    if not edges:
+        e = e.where(F.lit(False))
+    v = spark.createDataFrame([(x,) for x in vertices], "doc_id long")
+    out = graph.connected_components(e, v)
+    return {r["doc_id"]: r["component"] for r in out.collect()}
+
+
+def test_chain_and_isolated(spark):
+    # 1-2-3-4 chain (diameter 3) + isolated 9
+    got = _cc(spark, [(1, 2), (2, 3), (3, 4)], [1, 2, 3, 4, 9])
+    assert got == {1: 1, 2: 1, 3: 1, 4: 1, 9: 9}
+
+
+def test_two_clusters_and_canonical(spark):
+    got = _cc(spark, [(5, 7), (7, 6), (10, 11)], [5, 6, 7, 10, 11, 12])
+    assert got == {5: 5, 6: 5, 7: 5, 10: 10, 11: 10, 12: 12}
+    e = spark.createDataFrame([(5, 7)], "a_id long, b_id long")
+    v = spark.createDataFrame([(5,), (7,)], "doc_id long")
+    flags = {
+        r["doc_id"]: r["is_canonical"]
+        for r in graph.canonical_docs(graph.connected_components(e, v)).collect()
+    }
+    assert flags == {5: True, 7: False}
+
+
+def test_no_edges(spark):
+    got = _cc(spark, [], [1, 2, 3])
+    assert got == {1: 1, 2: 2, 3: 3}
+
+
+def test_nonconvergence_raises(spark):
+    e = spark.createDataFrame([(1, 2), (2, 3), (3, 4)], "a_id long, b_id long")
+    v = spark.createDataFrame([(x,) for x in (1, 2, 3, 4)], "doc_id long")
+    with pytest.raises(RuntimeError, match="did not converge"):
+        graph.connected_components(e, v, max_iter=1)
