@@ -57,6 +57,18 @@ def connected_components(
     )
     labels.persist()
     try:
+        # labels only ever DECREASE, so for numeric ids sum(label) is a
+        # strictly decreasing convergence witness — one scalar aggregate
+        # per round instead of a changed-rows join+count.  decimal(38,0):
+        # 10^12 vertices x 64-bit ids overflows a BIGINT sum.  For
+        # non-numeric ids fall back to counting distinct labels (also
+        # monotone: merges only ever reduce the label set).
+        numeric = dict(labels.dtypes)["label"] not in ("string", "binary")
+
+        def _sum(df: DataFrame):
+            return df.agg(F.sum(F.col("label").cast("decimal(38,0)"))).first()[0]
+
+        prev_sum = _sum(labels) if numeric else None
         for _ in range(max_iter):
             # neighbor-min pass: each vertex pulls the smallest label in
             # its closed neighborhood (one shuffle: groupBy(v).min)
@@ -75,15 +87,23 @@ def connected_components(
                 )
             )
             new.persist()
-            changed = (
-                new.alias("n")
-                .join(labels.alias("o"), "vid")
-                .where(F.col("n.label") != F.col("o.label"))
-                .count()
-            )
+            if numeric:
+                new_sum = _sum(new)
+                converged = new_sum == prev_sum
+                prev_sum = new_sum
+            else:
+                # exact changed-rows check (sound for any id type; the
+                # distinct-label count is NOT a valid witness — a label
+                # can move between vertices without leaving the set)
+                converged = (
+                    new.alias("n")
+                    .join(labels.alias("o"), "vid")
+                    .where(F.col("n.label") != F.col("o.label"))
+                    .count()
+                ) == 0
             labels.unpersist()
             labels = new
-            if changed == 0:
+            if converged:
                 break
         else:
             raise RuntimeError(

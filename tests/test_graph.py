@@ -42,6 +42,18 @@ def test_no_edges(spark):
     assert got == {1: 1, 2: 2, 3: 3}
 
 
+def test_string_ids(spark):
+    # non-numeric ids take the changed-rows convergence path
+    e = spark.createDataFrame(
+        [("a", "b"), ("b", "c"), ("x", "z")], "a_id string, b_id string"
+    )
+    v = spark.createDataFrame(
+        [(s,) for s in ("a", "b", "c", "x", "z", "q")], "doc_id string"
+    )
+    got = {r["doc_id"]: r["component"] for r in graph.connected_components(e, v).collect()}
+    assert got == {"a": "a", "b": "a", "c": "a", "x": "x", "z": "x", "q": "q"}
+
+
 def test_nonconvergence_raises(spark):
     e = spark.createDataFrame([(1, 2), (2, 3), (3, 4)], "a_id long, b_id long")
     v = spark.createDataFrame([(x,) for x in (1, 2, 3, 4)], "doc_id long")
