@@ -567,6 +567,30 @@ def q_image_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_cell_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Op S4 (dynamic-gap sessionization, batch tier) surfaced to the
+    oracle gate: per-cell session windows (gap 200 s) over the first
+    hour of events — the lag->flag->running-sum window idiom, one
+    shuffle on cell_id.  Times emitted as seconds relative to T0 (tz
+    cancels).  The applyInPandasWithState streaming twin is pinned
+    equal to this in tests/test_streaming.py."""
+    from ..streaming import tile_stream as ts
+
+    imgs = _images(spark, sf_dir).where(geo.image_idx() < 3600)
+    t0 = F.to_timestamp(F.lit(ts.T0)).cast("long")
+    sess = ts.batch_sessionize(imgs, gap_s=200)
+    return (
+        sess.select(
+            "cell_id",
+            (F.col("session_start").cast("long") - t0).alias("start_s"),
+            (F.col("session_end").cast("long") - t0).alias("end_s"),
+            "n_images",
+        )
+        .repartition(1)
+        .sortWithinPartitions("cell_id", "start_s")
+    )
+
+
 def q_dedup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Dedup clustering (pairs -> components -> canonical election):
     MinHash-LSH verified pairs (the 10^12-row near-dup path) fed to
@@ -1240,6 +1264,32 @@ GROUP BY image_id ORDER BY image_id
 """
 
 
+def _sql_cell_sessions(fx: Path) -> str:
+    """DuckDB twin of q_cell_sessions: identical lag/cumsum session
+    assignment; event seconds ARE idx (ts = T0 + idx s), so times are
+    emitted relative to T0 on both sides."""
+    cell = osql.cell_expr("gt_x0", "gt_y0", DEFAULT_RES)
+    return f"""
+WITH {osql.georegister_cte(str(fx / 'images.parquet'))},
+ev AS (SELECT idx, {cell} AS cell_id FROM tiles WHERE idx < 3600),
+lagged AS (
+  SELECT cell_id, idx,
+         CASE WHEN idx - lag(idx) OVER (PARTITION BY cell_id ORDER BY idx) > 200
+              THEN 1 ELSE 0 END AS new_sess
+  FROM ev
+),
+sess AS (
+  SELECT cell_id, idx,
+         SUM(new_sess) OVER (PARTITION BY cell_id ORDER BY idx
+                             ROWS UNBOUNDED PRECEDING) AS sno
+  FROM lagged
+)
+SELECT cell_id, MIN(idx) AS start_s, MAX(idx) AS end_s,
+       COUNT(*) AS n_images
+FROM sess GROUP BY cell_id, sno ORDER BY cell_id, start_s
+"""
+
+
 def _sql_dedup_components() -> str:
     """DuckDB twin of q_dedup_components: recursive transitive closure
     over the exact-Jaccard pair set, component = min reachable doc id."""
@@ -1344,6 +1394,7 @@ def spatial_queries() -> dict[str, QueryFn]:
         "stream_dedup": q_stream_dedup,
         "image_pipeline": q_image_pipeline,
         "dedup_components": q_dedup_components,
+        "cell_sessions": q_cell_sessions,
         "q1_pricing": rel.q1_pricing,
         "top_orders_segment": rel.top_orders_per_segment,
         "orders_by_month": rel.orders_by_month,
@@ -1395,6 +1446,7 @@ def spatial_oracles(sf: str = "sf0.01") -> dict[str, str]:
         "stream_dedup": _sql_stream_dedup(fx),
         "image_pipeline": _sql_image_pipeline(fx, w),
         "dedup_components": _sql_dedup_components(),
+        "cell_sessions": _sql_cell_sessions(fx),
         "q1_pricing": rel.q1_pricing_sql(),
         "top_orders_segment": rel.top_orders_per_segment_sql(),
         "orders_by_month": rel.orders_by_month_sql(),

@@ -80,6 +80,116 @@ def streaming_near_dup_drop(images: DataFrame, watermark: str = "2 minutes") -> 
     )
 
 
+def batch_sessionize(images: DataFrame, gap_s: int = 200, r: int = DEFAULT_RES) -> DataFrame:
+    """Per-cell session windows over event time (batch tier): a session
+    is a maximal run of same-cell images with inter-arrival <= gap_s.
+    Classic dynamic-gap windows — NOT expressible as tumbling windows;
+    batch shape is the window-function idiom (lag -> gap flag -> running
+    sum = session id), one shuffle on cell_id.  The streaming twin is
+    stream_sessionize (applyInPandasWithState); both emit identical
+    closed sessions (tests/test_streaming.py)."""
+    from pyspark.sql.window import Window
+
+    tiles = geo.georegister(with_event_time(images), r).select("cell_id", "ts")
+    w_ord = Window.partitionBy("cell_id").orderBy("ts")
+    flagged = tiles.withColumn(
+        "new_sess",
+        F.when(
+            F.col("ts").cast("long") - F.lag(F.col("ts").cast("long")).over(w_ord)
+            > gap_s,
+            1,
+        )
+        .otherwise(0)
+        .cast("long"),
+    ).withColumn(
+        "session_no",
+        F.sum("new_sess").over(w_ord.rowsBetween(Window.unboundedPreceding, 0)),
+    )
+    return (
+        flagged.groupBy("cell_id", "session_no")
+        .agg(
+            F.min("ts").alias("session_start"),
+            F.max("ts").alias("session_end"),
+            F.count(F.lit(1)).alias("n_images"),
+        )
+    )
+
+
+def stream_sessionize(
+    images: DataFrame,
+    gap_s: int = 200,
+    r: int = DEFAULT_RES,
+    watermark: str = "30 seconds",
+) -> DataFrame:
+    """Streaming twin of batch_sessionize: custom stateful operator via
+    applyInPandasWithState.  State per cell = the open session
+    (start, last_ts, n); a batch's rows extend or close it; sessions
+    close either inline (a later same-batch event exceeds the gap) or by
+    event-time timeout once the watermark passes last_ts + gap_s.  Only
+    CLOSED sessions are emitted (append semantics) — the final open
+    session per cell is withheld until a timeout fires, exactly like
+    append-mode window finalization.  State is bounded: one open session
+    per active cell, timed out and freed once the cell goes quiet."""
+    import pandas as pd
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    out_schema = (
+        "cell_id long, session_start timestamp, session_end timestamp, n_images long"
+    )
+    state_schema = "start long, last long, n long"
+
+    def fn(key, pdfs, state: GroupState):
+        (cell_id,) = key
+        closed: list[tuple[int, int, int]] = []
+        if state.hasTimedOut:
+            s0, s1, n = state.get
+            closed.append((s0, s1, n))
+            state.remove()
+        else:
+            if state.exists:
+                cur = list(state.get)
+            else:
+                cur = None
+            for pdf in pdfs:
+                ts = (pdf["ts"].astype("int64") // 1_000_000_000).to_numpy()
+                ts.sort()
+                for t in ts:
+                    t = int(t)
+                    if cur is None:
+                        cur = [t, t, 1]
+                    elif t - cur[1] > gap_s:
+                        closed.append((cur[0], cur[1], cur[2]))
+                        cur = [t, t, 1]
+                    else:
+                        cur[1] = t
+                        cur[2] += 1
+            if cur is not None:
+                state.update(tuple(cur))
+                # close once the watermark passes last_ts + gap
+                state.setTimeoutTimestamp((cur[1] + gap_s) * 1000 + 1)
+        yield pd.DataFrame(
+            {
+                "cell_id": [cell_id] * len(closed),
+                "session_start": pd.to_datetime([c[0] for c in closed], unit="s"),
+                "session_end": pd.to_datetime([c[1] for c in closed], unit="s"),
+                "n_images": [c[2] for c in closed],
+            }
+        )
+
+    tiles = geo.georegister(with_event_time(images), r).select("cell_id", "ts")
+    return (
+        tiles.withWatermark("ts", watermark)
+        .groupBy("cell_id")
+        .applyInPandasWithState(
+            fn,
+            outputStructType=out_schema,
+            stateStructType=state_schema,
+            outputMode="append",
+            timeoutConf=GroupStateTimeout.EventTimeTimeout,
+        )
+    )
+
+
 def run_to_memory(stream_df: DataFrame, name: str, checkpoint: str):
     """availableNow trigger -> memory sink; returns the finished query.
     (Production: writeStream.format('parquet'/'iceberg') with the same

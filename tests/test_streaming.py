@@ -61,6 +61,41 @@ def test_streaming_near_dup_drop(spark, stream_dir, tmp_path):
     assert len({r["phash"] for r in rows}) == n_distinct
 
 
+def _sess_key(r):
+    return (
+        r["cell_id"],
+        int(r["session_start"].timestamp()),
+        int(r["session_end"].timestamp()),
+        r["n_images"],
+    )
+
+
+def test_stream_sessionize_matches_batch(spark, stream_dir, tmp_path):
+    """applyInPandasWithState sessionizer == window-function batch
+    sessionizer on the closed sessions; the final open session per cell
+    is withheld (no timeout fires after the last availableNow batch),
+    exactly like append-mode window finalization."""
+    stream = ts.read_image_stream(spark, str(stream_dir))
+    out = ts.stream_sessionize(stream, gap_s=200)
+    ts.run_to_memory(out, "sess_stream", str(tmp_path / "ck_sess"))
+    got = {_sess_key(r) for r in spark.sql("SELECT * FROM sess_stream").collect()}
+
+    batch = spark.read.parquet(str(stream_dir))
+    exp_rows = ts.batch_sessionize(batch, gap_s=200).collect()
+    exp = {_sess_key(r) for r in exp_rows}
+    # every emitted session is exactly a batch session
+    assert got <= exp
+    # what's withheld is at most the LAST session of each cell
+    last_per_cell = {}
+    for r in exp_rows:
+        k = _sess_key(r)
+        prev = last_per_cell.get(r["cell_id"])
+        if prev is None or k[1] > prev[1]:
+            last_per_cell[r["cell_id"]] = k
+    assert exp - got <= set(last_per_cell.values())
+    assert got  # fixture has multi-session cells, so some must close inline
+
+
 def test_resume_from_checkpoint(spark, stream_dir, tmp_path):
     """New files after a finished availableNow run are picked up by a
     restart from the same checkpoint — exactly-once file tracking."""
