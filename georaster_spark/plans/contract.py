@@ -591,6 +591,41 @@ def q_cell_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_time_travel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Op E9/§7.5 snapshot isolation surfaced to the oracle gate: commit
+    v0 (idx < 1500), append v1 (1500 <= idx < 3000), then read BOTH
+    pinned versions back and aggregate per version — v0's readback must
+    not see v1's files (time travel), v1 must see both commits'.  The
+    oracle recomputes both horizons from the idx rule, so the hash
+    proves version pinning loses/leaks nothing."""
+    import tempfile
+
+    from ..sources import icelite
+
+    out_dir = Path(tempfile.mkdtemp(prefix="gs_tt_")) / "tbl"
+    tiles = geo.georegister(_images(spark, sf_dir)).select(
+        "image_id", "w", geo.image_idx().alias("idx")
+    )
+    v0 = icelite.write_snapshot(tiles.where(F.col("idx") < 1500), out_dir)
+    v1 = icelite.write_snapshot(
+        tiles.where((F.col("idx") >= 1500) & (F.col("idx") < 3000)), out_dir
+    )
+
+    def _agg(version: int) -> DataFrame:
+        return (
+            icelite.read_snapshot(spark, out_dir, version)
+            .agg(
+                F.count(F.lit(1)).alias("n_rows"),
+                F.sum(F.col("w").cast("long")).alias("sum_w"),
+                F.min("image_id").alias("min_id"),
+                F.max("image_id").alias("max_id"),
+            )
+            .select(F.lit(version).alias("version"), "n_rows", "sum_w", "min_id", "max_id")
+        )
+
+    return _agg(v0).union(_agg(v1)).repartition(1).sortWithinPartitions("version")
+
+
 def q_dedup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Dedup clustering (pairs -> components -> canonical election):
     MinHash-LSH verified pairs (the 10^12-row near-dup path) fed to
@@ -1290,6 +1325,21 @@ FROM sess GROUP BY cell_id, sno ORDER BY cell_id, start_s
 """
 
 
+def _sql_time_travel(fx: Path) -> str:
+    """DuckDB twin of q_time_travel: per-version horizons from the idx
+    rule (v0 = idx<1500, v1 = idx<3000 after append)."""
+    img = str(fx / "images.parquet")
+    legs = []
+    for version, hi in ((0, 1500), (1, 3000)):
+        legs.append(f"""
+SELECT {version} AS version, COUNT(*) AS n_rows,
+       CAST(SUM(w) AS BIGINT) AS sum_w,
+       MIN(image_id) AS min_id, MAX(image_id) AS max_id
+FROM read_parquet('{img}')
+WHERE CAST(substr(image_id, 4, 10) AS BIGINT) < {hi}""")
+    return " UNION ALL ".join(legs) + " ORDER BY version"
+
+
 def _sql_dedup_components() -> str:
     """DuckDB twin of q_dedup_components: recursive transitive closure
     over the exact-Jaccard pair set, component = min reachable doc id."""
@@ -1395,6 +1445,7 @@ def spatial_queries() -> dict[str, QueryFn]:
         "image_pipeline": q_image_pipeline,
         "dedup_components": q_dedup_components,
         "cell_sessions": q_cell_sessions,
+        "time_travel": q_time_travel,
         "q1_pricing": rel.q1_pricing,
         "top_orders_segment": rel.top_orders_per_segment,
         "orders_by_month": rel.orders_by_month,
@@ -1447,6 +1498,7 @@ def spatial_oracles(sf: str = "sf0.01") -> dict[str, str]:
         "image_pipeline": _sql_image_pipeline(fx, w),
         "dedup_components": _sql_dedup_components(),
         "cell_sessions": _sql_cell_sessions(fx),
+        "time_travel": _sql_time_travel(fx),
         "q1_pricing": rel.q1_pricing_sql(),
         "top_orders_segment": rel.top_orders_per_segment_sql(),
         "orders_by_month": rel.orders_by_month_sql(),
