@@ -173,6 +173,80 @@ def revenue_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q3 analog: 3-way join (customer ⋈ orders ⋈ lineitem) with
+    date predicates on both fact legs, exact-cents revenue agg, global
+    top-10 — compiled by Spark to TakeOrderedAndProject (per-partition
+    top-k + driver merge, no full global sort)."""
+    cust = _t(spark, sf_dir, "customer").where(F.col("c_mktsegment") == "BUILDING")
+    orders = _t(spark, sf_dir, "orders").where(F.col("o_orderdate") < F.lit("1995-03-15"))
+    li = _t(spark, sf_dir, "lineitem").where(F.col("l_shipdate") > F.lit("1995-03-15"))
+    disc_cents = F.round(
+        cents(F.col("l_extendedprice")) * (1.0 - F.col("l_discount"))
+    ).cast("long")
+    return (
+        li.join(orders, li["l_orderkey"] == orders["o_orderkey"])
+        .join(F.broadcast(cust), orders["o_custkey"] == cust["c_custkey"])
+        .groupBy("l_orderkey", "o_orderdate", "o_orderpriority")
+        .agg((F.sum(disc_cents) / 100.0).alias("revenue"))
+        .orderBy(F.col("revenue").desc(), F.col("l_orderkey"))
+        .limit(10)
+        .select(
+            "l_orderkey",
+            F.date_format("o_orderdate", "yyyy-MM-dd").alias("orderdate"),
+            "o_orderpriority",
+            "revenue",
+        )
+        .repartition(1)
+        .sortWithinPartitions(F.col("revenue").desc(), F.col("l_orderkey"))
+    )
+
+
+def shipping_priority_sql() -> str:
+    return """
+SELECT l_orderkey,
+       strftime(o_orderdate, '%Y-%m-%d') AS orderdate,
+       o_orderpriority,
+       SUM(CAST(round(CAST(round(l_extendedprice * 100) AS BIGINT)
+                      * (1.0 - l_discount)) AS BIGINT)) / 100.0 AS revenue
+FROM lineitem
+JOIN orders ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+WHERE c_mktsegment = 'BUILDING'
+  AND o_orderdate < TIMESTAMP '1995-03-15'
+  AND l_shipdate > TIMESTAMP '1995-03-15'
+GROUP BY l_orderkey, o_orderdate, o_orderpriority
+ORDER BY revenue DESC, l_orderkey
+LIMIT 10
+"""
+
+
+def revenue_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUBE grouping-sets demo (all four grouping combinations of
+    returnflag x linestatus), NULL keys rendered 'ALL'."""
+    li = _t(spark, sf_dir, "lineitem")
+    return (
+        li.cube("l_returnflag", "l_linestatus")
+        .agg((F.sum(cents(F.col("l_extendedprice"))) / 100.0).alias("revenue"))
+        .select(
+            F.coalesce("l_returnflag", F.lit("ALL")).alias("returnflag"),
+            F.coalesce("l_linestatus", F.lit("ALL")).alias("linestatus"),
+            "revenue",
+        )
+        .repartition(1).sortWithinPartitions("returnflag", "linestatus")
+    )
+
+
+def revenue_cube_sql() -> str:
+    return """
+SELECT coalesce(l_returnflag, 'ALL') AS returnflag,
+       coalesce(l_linestatus, 'ALL') AS linestatus,
+       SUM(CAST(round(l_extendedprice * 100) AS BIGINT)) / 100.0 AS revenue
+FROM lineitem GROUP BY CUBE (l_returnflag, l_linestatus)
+ORDER BY returnflag, linestatus
+"""
+
+
 def revenue_rollup_sql() -> str:
     return """
 SELECT coalesce(l_returnflag, 'ALL') AS returnflag,

@@ -1452,6 +1452,8 @@ def spatial_queries() -> dict[str, QueryFn]:
         "events_json": rel.events_json_stats,
         "customers_no_orders": rel.customers_without_orders,
         "revenue_rollup": rel.revenue_rollup,
+        "revenue_cube": rel.revenue_cube,
+        "shipping_priority": rel.shipping_priority,
         **textops.text_queries(),
         **vectors.vector_queries(),
     }
@@ -1505,6 +1507,8 @@ def spatial_oracles(sf: str = "sf0.01") -> dict[str, str]:
         "events_json": rel.events_json_stats_sql(),
         "customers_no_orders": rel.customers_without_orders_sql(),
         "revenue_rollup": rel.revenue_rollup_sql(),
+        "revenue_cube": rel.revenue_cube_sql(),
+        "shipping_priority": rel.shipping_priority_sql(),
         **textops.text_oracles(),
         **vectors.vector_oracles(),
     }
