@@ -71,3 +71,44 @@ def test_whole_stage_codegen_on_cell_math(spark, sf0001_dir):
     q = geo.georegister(imgs.select("image_id", "w", "h")).select("image_id", "cell_id")
     # codegen'd operators carry a '*' prefix in formatted explain
     assert "\n* Project" in _explain(q) or "*(1) Project" in _plan(q)
+
+
+def test_bucketed_join_has_no_shuffle(spark, sf0001_dir, tmp_path):
+    """Two tables bucketed on cell_id with equal bucket counts must
+    sort-merge-join with NO Exchange on either side — the write-time
+    shuffle replaces every repeated join shuffle at 100 TB (the parquet
+    analog of Iceberg bucket partitioning)."""
+    from georaster_spark.sources import bucketed
+
+    tiles = geo.georegister(
+        spark.read.parquet(str(sf0001_dir / "images.parquet"))
+    ).select("image_id", "cell_id", "w")
+    old_thresh = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try:
+        # force a real SMJ (tiny test tables would otherwise broadcast)
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        bucketed.write_bucketed(
+            tiles, "bq_a", str(tmp_path / "bq_a"), n_buckets=8
+        )
+        bucketed.write_bucketed(
+            tiles.withColumnRenamed("image_id", "other_id").drop("w"),
+            "bq_b", str(tmp_path / "bq_b"), n_buckets=8,
+        )
+        a = bucketed.read_bucketed(spark, "bq_a")
+        b = bucketed.read_bucketed(spark, "bq_b")
+        joined = a.join(b, "cell_id")
+        plan = _plan(joined)
+        assert "SortMergeJoin" in plan
+        assert "Exchange" not in plan, plan
+        # and it actually computes the right thing
+        n = joined.count()
+        expect = (
+            tiles.alias("x")
+            .join(tiles.alias("y"), "cell_id")
+            .count()
+        )
+        assert n == expect
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old_thresh)
+        spark.sql("DROP TABLE IF EXISTS bq_a")
+        spark.sql("DROP TABLE IF EXISTS bq_b")
