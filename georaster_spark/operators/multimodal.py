@@ -191,6 +191,53 @@ def compute_phash(tiles: DataFrame, grid: int = 8) -> DataFrame:
 # ---------------------------------------------------------------------------
 
 
+def synth_audio_media(images: DataFrame) -> DataFrame:
+    """Deterministic pcm16 clips keyed off the images table (media rows
+    for the M4 contract query).  The payload is real s16-LE bytes built
+    in one Arrow batch per partition — audio_features then genuinely
+    decodes them; the DuckDB oracle re-derives the same closed form
+    (oracle.audio_samples) without ever touching bytes."""
+    from ..operators.georegister import image_idx
+
+    @F.pandas_udf(BinaryType())
+    def _enc(idx: pd.Series) -> pd.Series:
+        return pd.Series([oracle.audio_samples(int(i)).tobytes() for i in idx])
+
+    idx = image_idx()
+    return images.select(
+        F.col("image_id").alias("media_id"),
+        F.lit("audio").alias("kind"),
+        _enc(idx).alias("bytes"),
+        F.lit("pcm16").alias("fmt"),
+        F.lit(16000).alias("sample_rate"),
+        (F.lit(2048) + (idx % 7) * 256).cast("int").alias("n_samples"),
+    )
+
+
+def synth_video_media(images: DataFrame, w: int = 16, h: int = 16) -> DataFrame:
+    """Deterministic 'rawv' clips keyed off the images table (media rows
+    for the M5 contract query) — frame-major uint8 payloads, n_frames
+    varying 6..10 per clip (oracle.video_frames_synth)."""
+    from ..operators.georegister import image_idx
+
+    @F.pandas_udf(BinaryType())
+    def _enc(idx: pd.Series) -> pd.Series:
+        return pd.Series(
+            [oracle.video_frames_synth(int(i), w=w, h=h).tobytes() for i in idx]
+        )
+
+    idx = image_idx()
+    return images.select(
+        F.col("image_id").alias("media_id"),
+        F.lit("video").alias("kind"),
+        _enc(idx).alias("bytes"),
+        F.lit("rawv").alias("fmt"),
+        F.lit(w).alias("w"),
+        F.lit(h).alias("h"),
+        (F.lit(6) + (idx % 5)).cast("int").alias("n_frames"),
+    )
+
+
 def audio_features(df: DataFrame, frame: int = 256) -> DataFrame:
     """Frame-level RMS energy + zero-crossing stats per clip (pcm16)."""
     schema = StructType(

@@ -202,6 +202,27 @@ def ramp_tile(idx: int, w: int, h: int) -> np.ndarray:
     return ((a * i + b * j + c) % 256).astype(np.uint8)
 
 
+def audio_samples(idx: int, base: int = 2048, frame: int = 256) -> np.ndarray:
+    """int16 samples of the synthetic pcm16 clip for image row ``idx``:
+    n = base + (idx % 7) * frame, s_t = ((idx*31 + t*17) % 65536) - 32768.
+    Normative twin of the DuckDB expression in plans/contract._sql_audio
+    (same closed form, re-derived independently on the oracle side)."""
+    n = base + (idx % 7) * frame
+    t = np.arange(n, dtype=np.int64)
+    return (((idx * 31 + t * 17) % 65536) - 32768).astype("<i2")
+
+
+def video_frames_synth(idx: int, w: int = 16, h: int = 16) -> np.ndarray:
+    """uint8 frame stack (n_frames, h, w) of the synthetic 'rawv' clip for
+    image row ``idx``: n_frames = 6 + idx % 5,
+    v[f, i, j] = (idx*7 + f*13 + i*5 + j*3) % 256."""
+    nf = 6 + idx % 5
+    f = np.arange(nf, dtype=np.int64)[:, None, None]
+    i = np.arange(h, dtype=np.int64)[None, :, None]
+    j = np.arange(w, dtype=np.int64)[None, None, :]
+    return ((idx * 7 + f * 13 + i * 5 + j * 3) % 256).astype(np.uint8)
+
+
 def quantize(arr: np.ndarray, step: int = QNT_STEP) -> np.ndarray:
     """Mid-tread quantizer for the 'qnt' lossy codec (FIXTURES.md §2)."""
     return ((arr.astype(np.int64) // step) * step + step // 2).astype(arr.dtype)

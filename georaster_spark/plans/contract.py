@@ -567,6 +567,91 @@ def q_image_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_audio_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Op M4 (audio features) surfaced to the oracle gate: deterministic
+    pcm16 clips (oracle.audio_samples closed form) -> real s16-LE bytes
+    -> mapInPandas decode + RMS/peak/zero-crossing stats.  Every output
+    column is bit-exact across engines: sum(s^2) < 2^42 so the double
+    sums are exact in any order; peak = max|s| / 2^15 is an exact binary
+    scale; crossings/frames are integers."""
+    from ..operators import multimodal as mm
+
+    clips = mm.synth_audio_media(_images(spark, sf_dir).where(geo.image_idx() < 1200))
+    return (
+        mm.audio_features(clips)
+        .select("media_id", "n_frames", "rms", "peak", "zero_crossings")
+        .repartition(1)
+        .sortWithinPartitions("media_id")
+    )
+
+
+def _sql_audio_features(fx: Path) -> str:
+    img = str(fx / "images.parquet")
+    return f"""
+WITH img AS (SELECT image_id, CAST(substr(image_id, 4, 10) AS BIGINT) AS idx
+             FROM read_parquet('{img}')),
+clips AS (SELECT image_id AS media_id, idx, 2048 + (idx % 7) * 256 AS n
+          FROM img WHERE idx < 1200),
+samp AS (
+  SELECT media_id, n, t.t AS t,
+         ((idx * 31 + t.t * 17) % 65536) - 32768 AS s,
+         ((idx * 31 + (t.t - 1) * 17) % 65536) - 32768 AS sp
+  FROM clips, generate_series(0, 3583) AS t(t)
+  WHERE t.t < n
+)
+SELECT media_id,
+       CAST(MAX(n) // 256 AS INTEGER) AS n_frames,
+       sqrt(CAST(SUM(s * s) AS DOUBLE) / 1073741824.0 / MAX(n)) AS rms,
+       CAST(MAX(abs(s)) AS DOUBLE) / 32768.0 AS peak,
+       CAST(SUM(CASE WHEN t > 0 AND ((s < 0) != (sp < 0)) THEN 1 ELSE 0 END)
+            AS BIGINT) AS zero_crossings
+FROM samp GROUP BY media_id ORDER BY media_id
+"""
+
+
+def q_video_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Op M5 (video frame sampling) surfaced to the oracle gate:
+    deterministic 'rawv' clips (oracle.video_frames_synth) -> real
+    frame-major uint8 payloads -> every-2nd-frame extraction as image
+    rows -> exact integer pixel checksum per sampled frame.  Exercises
+    the full decode -> sample -> re-encode -> image-op composition."""
+    from ..operators import multimodal as mm
+
+    clips = mm.synth_video_media(_images(spark, sf_dir).where(geo.image_idx() < 600))
+    frames = mm.video_frame_sample(clips, every_k=2)
+    _checksum = _pixel_checksum_udf()
+    return (
+        frames.select(
+            "media_id",
+            "frame_no",
+            _checksum(F.col("bytes"), F.col("w"), F.col("h"), F.col("fmt")).alias(
+                "checksum"
+            ),
+        )
+        .repartition(1)
+        .sortWithinPartitions("media_id")
+    )
+
+
+def _sql_video_frames(fx: Path) -> str:
+    img = str(fx / "images.parquet")
+    return f"""
+WITH img AS (SELECT image_id, CAST(substr(image_id, 4, 10) AS BIGINT) AS idx
+             FROM read_parquet('{img}')),
+clips AS (SELECT image_id, idx, 6 + idx % 5 AS nf FROM img WHERE idx < 600),
+fr AS (SELECT image_id, idx, f.f AS fno
+       FROM clips, generate_series(0, 9) AS f(f)
+       WHERE f.f < nf AND f.f % 2 = 0)
+SELECT image_id || '#f' || fno AS media_id,
+       CAST(fno AS INTEGER) AS frame_no,
+       CAST(SUM(((idx * 7 + fno * 13 + i.i * 5 + j.j * 3) % 256)
+                * (i.i * 16 + j.j + 1)) AS BIGINT) AS checksum
+FROM fr, generate_series(0, 15) AS i(i), generate_series(0, 15) AS j(j)
+GROUP BY image_id, fno
+ORDER BY media_id
+"""
+
+
 def q_cell_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Op S4 (dynamic-gap sessionization, batch tier) surfaced to the
     oracle gate: per-cell session windows (gap 200 s) over the first
@@ -1443,6 +1528,8 @@ def spatial_queries() -> dict[str, QueryFn]:
         "sink_roundtrip": q_sink_roundtrip,
         "stream_dedup": q_stream_dedup,
         "image_pipeline": q_image_pipeline,
+        "audio_features": q_audio_features,
+        "video_frames": q_video_frames,
         "dedup_components": q_dedup_components,
         "cell_sessions": q_cell_sessions,
         "time_travel": q_time_travel,
@@ -1498,6 +1585,8 @@ def spatial_oracles(sf: str = "sf0.01") -> dict[str, str]:
         "sink_roundtrip": _sql_sink_roundtrip(fx, w),
         "stream_dedup": _sql_stream_dedup(fx),
         "image_pipeline": _sql_image_pipeline(fx, w),
+        "audio_features": _sql_audio_features(fx),
+        "video_frames": _sql_video_frames(fx),
         "dedup_components": _sql_dedup_components(),
         "cell_sessions": _sql_cell_sessions(fx),
         "time_travel": _sql_time_travel(fx),

@@ -82,3 +82,28 @@ def test_stub_codec_fails_loudly(spark):
     )
     with pytest.raises(Exception, match="codec 'jpeg'"):
         mm.image_features(df).collect()
+
+
+def test_audio_video_contract_vs_duckdb(spark):
+    """The M4/M5 contract queries against their DuckDB oracles at
+    sf0.001 — same compare the driver runs at sf0.01 (matching-sf
+    oracle SQL built locally, since oracle_sql() pins sf0.01 paths)."""
+    import duckdb
+
+    from georaster_spark.plans import contract as ct
+    from tests.driver_sim import table_hash
+
+    sf_dir = "/root/testdata/sf0.001"
+    fx = ct._fx(sf_dir)
+    con = duckdb.connect()
+    for name, qfn, sql in [
+        ("audio", ct.q_audio_features, ct._sql_audio_features(fx)),
+        ("video", ct.q_video_frames, ct._sql_video_frames(fx)),
+    ]:
+        sdf = qfn(spark, sf_dir)
+        srows = [tuple(r) for r in sdf.collect()]
+        orows = con.execute(sql).fetchall()
+        ocols = [d[0] for d in con.description]
+        assert len(srows) == len(orows), name
+        assert sorted(sdf.columns) == sorted(ocols), name
+        assert table_hash(sdf.columns, srows) == table_hash(ocols, orows), name
