@@ -102,7 +102,12 @@ def checkpointed_write(
     if not pending:
         return report
 
-    pend_df = df.where(F.col(unit_col).isin(pending))
+    # Cluster rows by unit before the partitioned write: without this,
+    # every input partition opens a writer for every unit it touches
+    # (input_partitions x units small files — a metadata bomb at 10^12
+    # rows); after, files-per-unit == tasks that own the unit (1 here).
+    # Production variant with jumbo units: repartition(n, unit, salt).
+    pend_df = df.where(F.col(unit_col).isin(pending)).repartition(F.col(unit_col))
     prev_mode = spark.conf.get("spark.sql.sources.partitionOverwriteMode", "static")
     spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
     try:

@@ -457,7 +457,9 @@ def q_stream_cell_window(spark: SparkSession, sf_dir: str) -> DataFrame:
     name = f"s1_{uuid.uuid4().hex[:8]}"
     stream = ts.read_image_stream(spark, str(tmp / "in")).where(geo.image_idx() < 3600)
     agg = ts.cell_window_stats(stream, window="1 minute", watermark="30 seconds")
-    ts.run_to_memory(agg, name, str(tmp / "ckpt"))
+    # constant-row probe (idx < 3600): 8 state partitions, not the batch
+    # shuffle width — see run_to_memory docstring
+    ts.run_to_memory(agg, name, str(tmp / "ckpt"), state_partitions=8)
     return (
         spark.table(name)
         .select("win_start", "cell_id", "n_images", F.round("avg_w", 6).alias("avg_w"))
@@ -526,7 +528,7 @@ def q_stream_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("image_id", "phash")
     )
     kept = ts.streaming_near_dup_drop(stream)
-    ts.run_to_memory(kept, name, str(tmp / "ckpt"))
+    ts.run_to_memory(kept, name, str(tmp / "ckpt"), state_partitions=8)
     return (
         spark.table(name)
         .groupBy("phash")

@@ -190,17 +190,38 @@ def stream_sessionize(
     )
 
 
-def run_to_memory(stream_df: DataFrame, name: str, checkpoint: str):
+def run_to_memory(
+    stream_df: DataFrame,
+    name: str,
+    checkpoint: str,
+    state_partitions: int | None = None,
+):
     """availableNow trigger -> memory sink; returns the finished query.
     (Production: writeStream.format('parquet'/'iceberg') with the same
-    checkpointLocation giving exactly-once file output.)"""
-    q = (
-        stream_df.writeStream.format("memory")
-        .queryName(name)
-        .outputMode("append")
-        .option("checkpointLocation", checkpoint)
-        .trigger(availableNow=True)
-        .start()
-    )
-    q.awaitTermination(120)
+    checkpointLocation giving exactly-once file output.)
+
+    `state_partitions` pins spark.sql.shuffle.partitions for the
+    query's lifetime (restored after).  Stateful streaming ops fix
+    their state-store partition count from that conf at checkpoint
+    creation and AQE never coalesces it, so every micro-batch pays
+    store-init + commit per partition: size it to STATE volume (small
+    for the constant-row contract probes; large for a 10^12-row
+    production stream), not to the batch shuffle width."""
+    spark = stream_df.sparkSession
+    prev = spark.conf.get("spark.sql.shuffle.partitions")
+    if state_partitions is not None:
+        spark.conf.set("spark.sql.shuffle.partitions", str(state_partitions))
+    try:
+        q = (
+            stream_df.writeStream.format("memory")
+            .queryName(name)
+            .outputMode("append")
+            .option("checkpointLocation", checkpoint)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+    finally:
+        if state_partitions is not None:
+            spark.conf.set("spark.sql.shuffle.partitions", prev)
     return q
