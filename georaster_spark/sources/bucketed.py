@@ -46,3 +46,29 @@ def read_bucketed(spark: SparkSession, name: str) -> DataFrame:
     catalog — `spark.read.parquet(path)` would forget the bucketing and
     reintroduce the shuffle)."""
     return spark.table(name)
+
+
+def write_cell_partitioned(
+    df: DataFrame,
+    path: str,
+    r_from: int,
+    r_part: int = 6,
+) -> None:
+    """Directory-partitioned spatial layout: tiles written under
+    `p_cell=<coarse cell>/` where p_cell is the res-`r_part` parent of
+    each tile's anchor cell.  A spatial box query that constrains
+    p_cell (the coarse cover of the box) then PRUNES whole directories
+    at planning time — `PartitionFilters` in the scan node, zero I/O
+    for non-matching regions.  This is the listing-level complement to
+    bucketing: buckets kill the join shuffle, partitions kill the scan.
+    (Iceberg analog: `truncate`/custom transform partition spec;
+    res-6 = 4096 dirs max, bounded listing.)  Rows are clustered by
+    p_cell before the write for one file per (task, partition-dir)."""
+    from pyspark.sql import functions as F
+
+    from ..functions.cells import cell_parent_chain
+
+    part = df.withColumn("p_cell", cell_parent_chain(F.col("cell_id"), r_from, r_part))
+    part.repartition(F.col("p_cell")).write.partitionBy("p_cell").mode(
+        "overwrite"
+    ).parquet(path)
