@@ -1,0 +1,89 @@
+"""Corpus-level pixel statistics: histogram + exact histogram-derived
+quantiles (SURVEY §2.2b extension; reference analog: NumPy reductions a
+georaster user runs on `self.r` after a full read — `georaster/
+georaster.py :: read_single_band` ≈L370-390 ⚠ UNVERIFIED, SURVEY §0 —
+here lifted to the whole 10^12-tile corpus).
+
+Scale shape (the reason this is an operator and not `flatMap(explode
+pixels)`): the histogram is a partial+final aggregate where the map-side
+partial is ONE vectorized ``np.bincount`` per (dtype-group, Arrow batch)
+inside ``mapInPandas``.  Each batch emits at most 256 slim
+(fmt, bin, cnt) rows, so shuffle volume is O(n_batches * 256) — never
+O(pixels) — and pixel bytes cross the JVM->Python Arrow boundary exactly
+once.  The final reduce is a built-in hash ``groupBy(fmt, bin).sum`` that
+Catalyst keeps whole-stage-codegen'd.  Quantiles then derive exactly from
+the (tiny) histogram with window cumsums — no second pass over pixels,
+unlike ``approx_percentile`` which would re-scan and still be
+approximate.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+_HIST_SCHEMA = "fmt string, bin int, cnt long"
+
+
+def pixel_histogram(tiles: DataFrame) -> DataFrame:
+    """256-bin per-fmt histogram over every pixel of every tile.
+
+    uint8 codecs ('raw', 'qnt') bin by value; 'raw16' bins by high byte
+    (v >> 8) so a single 256-bin surface covers both dtypes (documented
+    coarse binning — a 65536-bin uint16 histogram is the same code with
+    ``minlength=65536``).  Only nonzero bins are emitted (matches a SQL
+    GROUP BY, which has no empty groups).
+    """
+    slim = tiles.select("bytes", "fmt")
+
+    def _partials(batches):
+        from .. import oracle  # noqa: F401  (import check: codec set lives there)
+
+        for pdf in batches:
+            fmts = pdf["fmt"].to_numpy(dtype=object)
+            for fmt in pd.unique(pdf["fmt"]):
+                if fmt not in ("raw", "qnt", "raw16"):
+                    raise ValueError(f"unknown pixel fmt {fmt!r}")
+                mask = fmts == fmt
+                buf = b"".join(pdf["bytes"].iloc[k] for k in np.nonzero(mask)[0])
+                v = np.frombuffer(buf, dtype="<u2" if fmt == "raw16" else np.uint8)
+                if fmt == "raw16":
+                    v = v >> 8
+                cnt = np.bincount(v, minlength=256)
+                nz = np.nonzero(cnt)[0]
+                yield pd.DataFrame(
+                    {"fmt": fmt, "bin": nz.astype(np.int32), "cnt": cnt[nz]}
+                )
+
+    partial = slim.mapInPandas(_partials, schema=_HIST_SCHEMA)
+    return partial.groupBy("fmt", "bin").agg(F.sum("cnt").alias("cnt"))
+
+
+def histogram_quantiles(hist: DataFrame, qs: tuple[float, ...] = (0.25, 0.5, 0.95)) -> DataFrame:
+    """Exact quantile bins from a (fmt, bin, cnt) histogram.
+
+    Definition (normative, integer-exact): quantile q = the smallest bin
+    whose per-fmt cumulative count reaches ``ceil(q * total)``.  Pure
+    window math over the 256-row histogram — negligible data, and the
+    whole derivation is SQL-expressible, so the DuckDB oracle runs the
+    verbatim twin (plans/contract._sql_pixel_quantiles).
+    """
+    w_cum = Window.partitionBy("fmt").orderBy("bin").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    w_tot = Window.partitionBy("fmt")
+    cum = hist.withColumn("cum", F.sum("cnt").over(w_cum)).withColumn(
+        "total", F.sum("cnt").over(w_tot)
+    )
+    qdf = cum.crossJoin(
+        F.broadcast(
+            cum.sparkSession.createDataFrame([(q,) for q in qs], "q double")
+        )
+    )
+    return (
+        qdf.where(F.col("cum") >= F.ceil(F.col("q") * F.col("total")))
+        .groupBy("fmt", "q")
+        .agg(F.min("bin").alias("qbin"))
+    )

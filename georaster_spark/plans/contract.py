@@ -373,6 +373,35 @@ def q_downsample_checksum(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).repartition(1).sortWithinPartitions("image_id")
 
 
+_HIST_QS = (0.25, 0.5, 0.95)
+
+
+def q_pixel_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-level 256-bin per-fmt pixel histogram (raster_stats):
+    map-side np.bincount partials -> built-in final hash agg; shuffle is
+    O(batches*256), never O(pixels).  No georegister needed — the scan
+    prunes to (bytes, fmt)."""
+    from ..operators.raster_stats import pixel_histogram
+
+    return (
+        pixel_histogram(_images(spark, sf_dir))
+        .repartition(1).sortWithinPartitions("fmt", "bin")
+    )
+
+
+def q_pixel_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact per-fmt quantile bins derived from the histogram by window
+    cumsum (smallest bin with cum >= ceil(q*total)) — integer-exact, the
+    DuckDB oracle runs the verbatim twin."""
+    from ..operators.raster_stats import histogram_quantiles, pixel_histogram
+
+    hist = pixel_histogram(_images(spark, sf_dir))
+    return (
+        histogram_quantiles(hist, _HIST_QS)
+        .repartition(1).sortWithinPartitions("fmt", "q")
+    )
+
+
 _PHASH_MOD = 43
 
 
@@ -1346,6 +1375,49 @@ GROUP BY image_id ORDER BY image_id
 """
 
 
+def _hist_px_ctes(fx: Path, w: int) -> str:
+    """Shared CTEs img/px: every pixel value of every tile from the ramp
+    formula (incl. qnt quantization).  `w` is the fixture tile edge —
+    DuckDB's generate_series takes no lateral column args."""
+    v = osql.ramp_value_expr("gi.i", "gj.j")
+    return f"""
+img AS (
+  SELECT CAST(substr(image_id, 4, 10) AS BIGINT) AS idx, fmt
+  FROM read_parquet('{fx / 'images.parquet'}')
+),
+px AS (
+  SELECT fmt, {v} AS v
+  FROM img,
+       generate_series(0, {w - 1}) AS gi(i), generate_series(0, {w - 1}) AS gj(j)
+)"""
+
+
+def _sql_pixel_histogram(fx: Path, w: int) -> str:
+    return f"""
+WITH {_hist_px_ctes(fx, w)}
+SELECT fmt, CAST(v AS INTEGER) AS bin, CAST(COUNT(*) AS BIGINT) AS cnt
+FROM px GROUP BY fmt, v ORDER BY fmt, bin
+"""
+
+
+def _sql_pixel_quantiles(fx: Path, w: int) -> str:
+    vals = ", ".join(f"({q})" for q in _HIST_QS)
+    return f"""
+WITH {_hist_px_ctes(fx, w)},
+hist AS (SELECT fmt, CAST(v AS INTEGER) AS bin, COUNT(*) AS cnt FROM px GROUP BY fmt, v),
+cum AS (
+  SELECT fmt, bin,
+         SUM(cnt) OVER (PARTITION BY fmt ORDER BY bin) AS cum,
+         SUM(cnt) OVER (PARTITION BY fmt) AS total
+  FROM hist
+),
+qs(q) AS (VALUES {vals})
+SELECT fmt, CAST(q AS DOUBLE) AS q, CAST(MIN(bin) AS INTEGER) AS qbin
+FROM cum, qs WHERE cum >= ceil(q * total)
+GROUP BY fmt, q ORDER BY fmt, q
+"""
+
+
 # --- Registry --------------------------------------------------------------
 
 
@@ -1515,6 +1587,8 @@ def spatial_queries() -> dict[str, QueryFn]:
         "pixel_centers": q_pixel_centers,
         "reproject_mosaic": q_reproject,
         "downsample_checksum": q_downsample_checksum,
+        "pixel_histogram": q_pixel_histogram,
+        "pixel_quantiles": q_pixel_quantiles,
         "psnr_gate": q_psnr_gate,
         "knn_zones": q_knn,
         "zonal_stats": q_zonal_stats,
@@ -1572,6 +1646,8 @@ def spatial_oracles(sf: str = "sf0.01") -> dict[str, str]:
         "pixel_centers": _sql_pixel_centers(fx, w),
         "reproject_mosaic": _sql_reproject(fx),
         "downsample_checksum": _sql_downsample_checksum(fx, w),
+        "pixel_histogram": _sql_pixel_histogram(fx, w),
+        "pixel_quantiles": _sql_pixel_quantiles(fx, w),
         "psnr_gate": osql.psnr_gate_sql(img, w, w),
         "knn_zones": _sql_knn(fx),
         "zonal_stats": _sql_zonal_stats(fx, w),
