@@ -68,11 +68,15 @@ def cell_expr(x: str, y: str, r: int) -> str:
     )
 
 
-def ramp_value_expr(i: str, j: str) -> str:
+def ramp_value_expr(i: str, j: str, idx: str = "idx", fmt: str = "fmt") -> str:
     """Pixel value of tile `idx` at row i, col j incl. qnt quantization —
-    twin of oracle.ramp_tile + oracle.quantize.  Needs idx & fmt in scope."""
-    v = f"(((idx*7) % 13 + 1) * ({i}) + ((idx*11) % 17 + 1) * ({j}) + idx % 251) % 256"
-    return f"(CASE WHEN fmt = 'qnt' THEN (({v}) // 4) * 4 + 2 ELSE {v} END)"
+    twin of oracle.ramp_tile + oracle.quantize.  `idx`/`fmt` name the
+    columns in scope (overridable so pair joins can evaluate both sides)."""
+    v = (
+        f"((({idx})*7 % 13 + 1) * ({i}) + (({idx})*11 % 17 + 1) * ({j})"
+        f" + ({idx}) % 251) % 256"
+    )
+    return f"(CASE WHEN {fmt} = 'qnt' THEN (({v}) // 4) * 4 + 2 ELSE {v} END)"
 
 
 def tile_mean_cte(w: int, h: int) -> str:

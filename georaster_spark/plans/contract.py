@@ -402,6 +402,27 @@ def q_pixel_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_DIFF_LIM = 2048
+
+
+def q_change_detect(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Raster map algebra / change detection (operators/algebra): pair
+    consecutive scenes (idx 2p vs 2p+1) as two co-registered epochs,
+    equi-join on pair key, ONE fused Arrow hop for integer-exact diff
+    stats.  At scale both corpora would be bucketed on the key
+    (sources/bucketed.py) making the join shuffle-free."""
+    from ..operators import algebra
+
+    im = _images(spark, sf_dir).where(geo.image_idx() < _DIFF_LIM)
+    pair = F.shiftright(geo.image_idx(), 1).alias("pair_id")
+    a = im.where(geo.image_idx() % 2 == 0).select(pair, "bytes", "fmt")
+    b = im.where(geo.image_idx() % 2 == 1).select(pair, "bytes", "fmt")
+    return (
+        algebra.change_detect(a, b, key="pair_id")
+        .repartition(1).sortWithinPartitions("pair_id")
+    )
+
+
 _PHASH_MOD = 43
 
 
@@ -1400,6 +1421,35 @@ FROM px GROUP BY fmt, v ORDER BY fmt, bin
 """
 
 
+def _sql_change_detect(fx: Path, w: int) -> str:
+    """DuckDB twin of q_change_detect: both sides' pixels re-derived from
+    their own ramp formulas, diffed as BIGINTs."""
+    va = osql.ramp_value_expr("gi.i", "gj.j", idx="ia", fmt="fmt_a")
+    vb = osql.ramp_value_expr("gi.i", "gj.j", idx="ib", fmt="fmt_b")
+    return f"""
+WITH img AS (
+  SELECT CAST(substr(image_id, 4, 10) AS BIGINT) AS idx, fmt
+  FROM read_parquet('{fx / 'images.parquet'}')
+),
+pairs AS (
+  SELECT a.idx // 2 AS pair_id, a.idx AS ia, b.idx AS ib,
+         a.fmt AS fmt_a, b.fmt AS fmt_b
+  FROM img a JOIN img b ON b.idx = a.idx + 1
+  WHERE a.idx % 2 = 0 AND a.idx < {_DIFF_LIM}
+),
+px AS (
+  SELECT pair_id, abs(CAST({va} AS BIGINT) - CAST({vb} AS BIGINT)) AS d
+  FROM pairs,
+       generate_series(0, {w - 1}) AS gi(i), generate_series(0, {w - 1}) AS gj(j)
+)
+SELECT pair_id,
+       CAST(SUM(CASE WHEN d <> 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_changed,
+       CAST(MAX(d) AS BIGINT) AS max_abs,
+       CAST(SUM(d) AS BIGINT) AS sum_abs
+FROM px GROUP BY pair_id ORDER BY pair_id
+"""
+
+
 def _sql_pixel_quantiles(fx: Path, w: int) -> str:
     vals = ", ".join(f"({q})" for q in _HIST_QS)
     return f"""
@@ -1589,6 +1639,7 @@ def spatial_queries() -> dict[str, QueryFn]:
         "downsample_checksum": q_downsample_checksum,
         "pixel_histogram": q_pixel_histogram,
         "pixel_quantiles": q_pixel_quantiles,
+        "change_detect": q_change_detect,
         "psnr_gate": q_psnr_gate,
         "knn_zones": q_knn,
         "zonal_stats": q_zonal_stats,
@@ -1648,6 +1699,7 @@ def spatial_oracles(sf: str = "sf0.01") -> dict[str, str]:
         "downsample_checksum": _sql_downsample_checksum(fx, w),
         "pixel_histogram": _sql_pixel_histogram(fx, w),
         "pixel_quantiles": _sql_pixel_quantiles(fx, w),
+        "change_detect": _sql_change_detect(fx, w),
         "psnr_gate": osql.psnr_gate_sql(img, w, w),
         "knn_zones": _sql_knn(fx),
         "zonal_stats": _sql_zonal_stats(fx, w),

@@ -1,0 +1,58 @@
+"""Raster map algebra / change detection (operators/algebra)."""
+
+from __future__ import annotations
+
+import numpy as np
+from pyspark.sql import functions as F
+
+from georaster_spark import oracle
+from georaster_spark.operators import algebra
+from georaster_spark.operators import georegister as geo
+
+
+def _pairs(spark, sf0001_dir, lim=64):
+    im = spark.read.parquet(str(sf0001_dir / "images.parquet")).where(
+        geo.image_idx() < lim
+    )
+    pair = F.shiftright(geo.image_idx(), 1).alias("pair_id")
+    a = im.where(geo.image_idx() % 2 == 0).select(pair, "bytes", "fmt")
+    b = im.where(geo.image_idx() % 2 == 1).select(pair, "bytes", "fmt")
+    return algebra.change_detect(a, b, key="pair_id")
+
+
+def test_change_detect_matches_numpy(spark, sf0001_dir):
+    got = {r["pair_id"]: r for r in _pairs(spark, sf0001_dir).collect()}
+    assert len(got) == 32
+    for p in range(32):
+        va = oracle.ramp_tile(2 * p, 32, 32).astype(np.int64)
+        vb = oracle.ramp_tile(2 * p + 1, 32, 32).astype(np.int64)
+        if (2 * p) % 10 == 3:
+            va = oracle.quantize(va)
+        if (2 * p + 1) % 10 == 3:
+            vb = oracle.quantize(vb)
+        d = np.abs(va - vb)
+        r = got[p]
+        assert r["n_changed"] == int((d != 0).sum())
+        assert r["max_abs"] == int(d.max())
+        assert r["sum_abs"] == int(d.sum())
+
+
+def test_change_detect_single_arrow_hop(spark, sf0001_dir):
+    """Both payloads must cross Arrow exactly once: one ArrowEvalPython
+    node, and the scans read only (image_id-derived key, bytes, fmt)."""
+    plan = _pairs(spark, sf0001_dir)._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("ArrowEvalPython") == 1, plan
+    assert "ReadSchema: struct<image_id:string,bytes:binary,fmt:string>" in plan, plan
+
+
+def test_diff_stats_raises_on_shape_mismatch(spark):
+    df = spark.createDataFrame(
+        [(b"\x00\x01", b"\x00", "raw", "raw")], "a binary, b binary, fa string, fb string"
+    )
+    out = df.select(
+        algebra.diff_stats(F.col("a"), F.col("b"), F.col("fa"), F.col("fb")).alias("d")
+    )
+    import pytest
+
+    with pytest.raises(Exception, match="payload shapes differ"):
+        out.collect()
