@@ -72,6 +72,80 @@ def diff_stats(
     return _diff(bytes_a, bytes_b, fmt_a, fmt_b)
 
 
+_FOCAL_SCHEMA = (
+    "image_id string, n_interior long, focal_checksum long, "
+    "grad_l1_sum long, grad_max long"
+)
+
+
+def focal_stats(tiles: DataFrame) -> DataFrame:
+    """Per-tile 3x3 focal map algebra (the neighborhood ops — focal sum /
+    gradient — a georaster user writes over ``self.r`` with scipy
+    ``uniform_filter``/``np.gradient``; upstream georaster is a
+    single-raster library, so focal semantics are per-tile with interior
+    pixels only — no cross-tile halo is defined for its jittered tiles).
+
+    One fused mapInPandas pass: pixels cross Arrow once per tile, all
+    levels of reduction happen in NumPy, output is 5 slim columns.
+    Integer-exact surfaces so the DuckDB oracle re-derives them from the
+    ramp formula:
+      n_interior     — (h-2)*(w-2)
+      focal_checksum — sum over interior of box3x3_sum(i,j) * ((i-1)*(w-2)+(j-1)+1)
+      grad_l1_sum    — sum over interior of |v[i,j+1]-v[i,j-1]| + |v[i+1,j]-v[i-1,j]|
+      grad_max       — max of that central-difference L1 gradient
+
+    Scale shape: map-only (no shuffle, no join); vectorized per
+    (byte-length, fmt-class) group as one (n, h, w) int64 block, so the
+    interior slicing + reductions are whole-block NumPy ops, never
+    per-pixel Python."""
+    slim = tiles.select("image_id", "bytes", "w", "h", "fmt")
+
+    def _focal(batches):
+        dt = {"raw": np.uint8, "qnt": np.uint8, "raw16": "<u2"}
+        for pdf in batches:
+            n = len(pdf)
+            out = {
+                "image_id": pdf["image_id"].to_numpy(dtype=object),
+                "n_interior": np.zeros(n, dtype=np.int64),
+                "focal_checksum": np.zeros(n, dtype=np.int64),
+                "grad_l1_sum": np.zeros(n, dtype=np.int64),
+                "grad_max": np.zeros(n, dtype=np.int64),
+            }
+            groups: dict[tuple, list[int]] = {}
+            for k in range(n):
+                key = (int(pdf["w"].iat[k]), int(pdf["h"].iat[k]), pdf["fmt"].iat[k])
+                groups.setdefault(key, []).append(k)
+            for (w, h, fmt), idx in groups.items():
+                if w < 3 or h < 3:
+                    continue  # no interior; stats stay 0
+                blk = (
+                    np.frombuffer(
+                        b"".join(pdf["bytes"].iat[k] for k in idx), dtype=dt[fmt]
+                    )
+                    .reshape(len(idx), h, w)
+                    .astype(np.int64)
+                )
+                box = sum(
+                    blk[:, 1 + di : h - 1 + di, 1 + dj : w - 1 + dj]
+                    for di in (-1, 0, 1)
+                    for dj in (-1, 0, 1)
+                )
+                grad = np.abs(blk[:, 1:-1, 2:] - blk[:, 1:-1, :-2]) + np.abs(
+                    blk[:, 2:, 1:-1] - blk[:, :-2, 1:-1]
+                )
+                wt = np.arange(1, (h - 2) * (w - 2) + 1, dtype=np.int64).reshape(
+                    h - 2, w - 2
+                )
+                ii = np.asarray(idx)
+                out["n_interior"][ii] = (h - 2) * (w - 2)
+                out["focal_checksum"][ii] = (box * wt).sum(axis=(1, 2))
+                out["grad_l1_sum"][ii] = grad.sum(axis=(1, 2))
+                out["grad_max"][ii] = grad.max(axis=(1, 2))
+            yield pd.DataFrame(out)
+
+    return slim.mapInPandas(_focal, schema=_FOCAL_SCHEMA)
+
+
 def change_detect(a: DataFrame, b: DataFrame, key: str = "image_id") -> DataFrame:
     """Join two co-registered tile corpora on `key` and emit per-tile
     change statistics.  Columns taken from each side: bytes, fmt (plus

@@ -147,6 +147,60 @@ def downsample(tiles: DataFrame, k: int) -> DataFrame:
     )
 
 
+def build_pyramid(tiles: DataFrame, levels: int, k: int = 2) -> list[DataFrame]:
+    """Overview pyramid (GDAL `BuildOverviews` analog): level L is the
+    k-fold decimation of level L-1, so per-level cost drops k^2-fold —
+    the rollup pattern, not L independent full-resolution reads.
+
+    Returns [level1, ..., levelN] (level 0 is the input).  At scale each
+    level is WRITTEN as its own table before deriving the next (that
+    write is the overview file; it also breaks lineage so level L-1 is
+    decoded once, not once per downstream level) — the caller owns the
+    writes; chaining the returned frames without persisting recomputes
+    ancestors per branch.  Decimation composes exactly
+    (arr[::k][::k] == arr[::k*k]), which is what pyramid_checksums and
+    the DuckDB oracle exploit for closed-form verification."""
+    out = []
+    cur = tiles
+    for _ in range(levels):
+        cur = downsample(cur, k)
+        out.append(cur)
+    return out
+
+
+def pyramid_checksums(tiles: DataFrame, levels: int, k: int = 2) -> DataFrame:
+    """Verification surface for the pyramid: per (tile, level) integer
+    checksum sum(v[i,j] * (i*w_L + j + 1)) for levels 0..N, computed in
+    ONE fused mapInPandas pass — each tile decodes once and all levels'
+    decimations reduce in NumPy, so pixel bytes cross Arrow once for the
+    whole pyramid instead of once per level."""
+    slim = tiles.select("image_id", "bytes", "w", "h", "fmt")
+
+    def _sums(batches):
+        for pdf in batches:
+            ids, lvls, ws, hs, cks = [], [], [], [], []
+            for t in pdf.itertuples(index=False):
+                arr = oracle.decode_pixels(t.bytes, int(t.w), int(t.h), t.fmt).astype(
+                    np.int64
+                )
+                for lv in range(levels + 1):
+                    d = arr[:: k**lv, :: k**lv] if lv else arr
+                    dh, dw = d.shape
+                    wt = np.arange(1, dh * dw + 1, dtype=np.int64).reshape(dh, dw)
+                    ids.append(t.image_id)
+                    lvls.append(lv)
+                    ws.append(dw)
+                    hs.append(dh)
+                    cks.append(int((d * wt).sum()))
+            yield pd.DataFrame(
+                {"image_id": ids, "level": lvls, "w": ws, "h": hs, "checksum": cks}
+            )
+
+    return slim.mapInPandas(
+        _sums, schema="image_id string, level int, w int, h int, checksum long"
+    )
+
+
 # ---------------------------------------------------------------------------
 # R3/R4 — multi-band load + band selection
 # ---------------------------------------------------------------------------

@@ -373,6 +373,24 @@ def q_downsample_checksum(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).repartition(1).sortWithinPartitions("image_id")
 
 
+_PYR_LEVELS = 3
+
+
+def q_pyramid_checksums(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Overview-pyramid rollup (raster_io.build_pyramid verification
+    surface): levels 0..3 at k=2, all checksummed in ONE fused Arrow
+    pass (decode once per tile, decimations compose exactly)."""
+    from ..operators import raster_io
+
+    tiles = geo.georegister(_images(spark, sf_dir)).where(
+        geo.image_idx() % _DS_MOD == 0
+    )
+    return (
+        raster_io.pyramid_checksums(tiles, levels=_PYR_LEVELS, k=_DS_K)
+        .repartition(1).sortWithinPartitions("image_id", "level")
+    )
+
+
 _HIST_QS = (0.25, 0.5, 0.95)
 
 
@@ -420,6 +438,25 @@ def q_change_detect(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         algebra.change_detect(a, b, key="pair_id")
         .repartition(1).sortWithinPartitions("pair_id")
+    )
+
+
+_FOCAL_MOD = 101
+
+
+def q_focal_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """3x3 focal map algebra (operators/algebra.focal_stats): interior
+    box-sum checksum + central-difference L1 gradient per tile, one fused
+    Arrow pass, map-only plan (no shuffle).  Integer-exact, so the DuckDB
+    oracle re-derives every value from the ramp formula."""
+    from ..operators import algebra
+
+    tiles = geo.georegister(_images(spark, sf_dir)).where(
+        geo.image_idx() % _FOCAL_MOD == 0
+    )
+    return (
+        algebra.focal_stats(tiles)
+        .repartition(1).sortWithinPartitions("image_id")
     )
 
 
@@ -1421,6 +1458,63 @@ FROM px GROUP BY fmt, v ORDER BY fmt, bin
 """
 
 
+def _sql_pyramid_checksums(fx: Path, w: int) -> str:
+    """DuckDB twin of q_pyramid_checksums: stride-composition closed form
+    (level L decimation = ramp at (i*k^L, j*k^L))."""
+    parts = []
+    for lv in range(_PYR_LEVELS + 1):
+        s = _DS_K**lv
+        dw = (w + s - 1) // s
+        ramp = osql.ramp_value_expr(f"gi.i * {s}", f"gj.j * {s}")
+        parts.append(f"""
+SELECT image_id, {lv} AS level, {dw} AS w, {dw} AS h,
+       CAST(SUM(CAST({ramp} AS BIGINT) * (gi.i * {dw} + gj.j + 1)) AS BIGINT) AS checksum
+FROM tiles,
+     generate_series(0, {dw - 1}) AS gi(i), generate_series(0, {dw - 1}) AS gj(j)
+WHERE idx % {_DS_MOD} = 0
+GROUP BY image_id""")
+    union = "\nUNION ALL\n".join(parts)
+    return f"""
+WITH {osql.georegister_cte(str(fx / 'images.parquet'))}
+{union}
+ORDER BY image_id, level
+"""
+
+
+def _sql_focal_stats(fx: Path, w: int) -> str:
+    """DuckDB twin of q_focal_stats: the 9-point box sum and 4-point
+    central-difference gradient evaluated directly from the ramp formula
+    at each interior pixel."""
+    box = " + ".join(
+        f"CAST({osql.ramp_value_expr(f'gi.i + {di}', f'gj.j + {dj}')} AS BIGINT)"
+        for di in (-1, 0, 1)
+        for dj in (-1, 0, 1)
+    )
+    grad = (
+        f"ABS(CAST({osql.ramp_value_expr('gi.i', 'gj.j + 1')} AS BIGINT)"
+        f" - CAST({osql.ramp_value_expr('gi.i', 'gj.j - 1')} AS BIGINT))"
+        f" + ABS(CAST({osql.ramp_value_expr('gi.i + 1', 'gj.j')} AS BIGINT)"
+        f" - CAST({osql.ramp_value_expr('gi.i - 1', 'gj.j')} AS BIGINT))"
+    )
+    iw = w - 2
+    return f"""
+WITH {osql.georegister_cte(str(fx / 'images.parquet'))},
+px AS (
+  SELECT image_id, gi.i AS i, gj.j AS j,
+         ({box}) AS fsum, ({grad}) AS grad
+  FROM tiles,
+       generate_series(1, {w - 2}) AS gi(i), generate_series(1, {w - 2}) AS gj(j)
+  WHERE idx % {_FOCAL_MOD} = 0
+)
+SELECT image_id,
+       CAST(COUNT(*) AS BIGINT) AS n_interior,
+       CAST(SUM(fsum * ((i - 1) * {iw} + (j - 1) + 1)) AS BIGINT) AS focal_checksum,
+       CAST(SUM(grad) AS BIGINT) AS grad_l1_sum,
+       CAST(MAX(grad) AS BIGINT) AS grad_max
+FROM px GROUP BY image_id ORDER BY image_id
+"""
+
+
 def _sql_change_detect(fx: Path, w: int) -> str:
     """DuckDB twin of q_change_detect: both sides' pixels re-derived from
     their own ramp formulas, diffed as BIGINTs."""
@@ -1640,6 +1734,8 @@ def spatial_queries() -> dict[str, QueryFn]:
         "pixel_histogram": q_pixel_histogram,
         "pixel_quantiles": q_pixel_quantiles,
         "change_detect": q_change_detect,
+        "pyramid_checksums": q_pyramid_checksums,
+        "focal_stats": q_focal_stats,
         "psnr_gate": q_psnr_gate,
         "knn_zones": q_knn,
         "zonal_stats": q_zonal_stats,
@@ -1700,6 +1796,8 @@ def spatial_oracles(sf: str = "sf0.01") -> dict[str, str]:
         "pixel_histogram": _sql_pixel_histogram(fx, w),
         "pixel_quantiles": _sql_pixel_quantiles(fx, w),
         "change_detect": _sql_change_detect(fx, w),
+        "pyramid_checksums": _sql_pyramid_checksums(fx, w),
+        "focal_stats": _sql_focal_stats(fx, w),
         "psnr_gate": osql.psnr_gate_sql(img, w, w),
         "knn_zones": _sql_knn(fx),
         "zonal_stats": _sql_zonal_stats(fx, w),
