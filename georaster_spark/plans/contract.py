@@ -460,6 +460,25 @@ def q_focal_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_BURN_MOD = 17
+
+
+def q_rasterize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Polygon rasterization (operators/rasterize): burn zone_id+1 of the
+    lowest-id containing zone into each pixel center, summarized per tile
+    as n_burned + weighted checksum.  Map-only plan — zones broadcast,
+    bytes pruned from the scan, no shuffle."""
+    from ..operators import rasterize
+
+    tiles = geo.georegister(_images(spark, sf_dir)).where(
+        geo.image_idx() % _BURN_MOD == 0
+    )
+    return (
+        rasterize.rasterize_summary(tiles, _zones(spark, sf_dir))
+        .repartition(1).sortWithinPartitions("image_id")
+    )
+
+
 _PHASH_MOD = 43
 
 
@@ -1481,6 +1500,44 @@ ORDER BY image_id, level
 """
 
 
+def _sql_rasterize(fx: Path, w: int) -> str:
+    """DuckDB twin of q_rasterize: per pixel center the MIN containing
+    zone_id + 1 (convex half-plane containment, boundary inside), reduced
+    to the same per-tile n_burned + weighted checksum; unburned tiles kept
+    via LEFT JOIN with zero stats."""
+    return f"""
+WITH {osql.georegister_cte(str(fx / 'images.parquet'))},
+sel AS (
+  SELECT image_id, w, gt_x0, gt_y0, gt_xres, gt_yres
+  FROM tiles WHERE idx % {_BURN_MOD} = 0
+),
+pix AS (
+  SELECT image_id, w, gi.i AS i, gj.j AS j,
+         gt_x0 + (gj.j + 0.5) * gt_xres AS px,
+         gt_y0 - (gi.i + 0.5) * gt_yres AS py
+  FROM sel,
+       generate_series(0, {w - 1}) AS gi(i), generate_series(0, {w - 1}) AS gj(j)
+),
+lab AS (
+  SELECT p.image_id, p.i, p.j, p.w, MIN(z.zone_id) + 1 AS label
+  FROM pix p JOIN read_parquet('{fx / 'zones.parquet'}') z
+    ON p.px >= z.xmin AND p.px <= z.xmax AND p.py >= z.ymin AND p.py <= z.ymax
+   AND {osql.pip_where('p.px', 'p.py')}
+  GROUP BY p.image_id, p.i, p.j, p.w
+),
+agg AS (
+  SELECT image_id, CAST(COUNT(*) AS BIGINT) AS n_burned,
+         CAST(SUM(CAST(label AS BIGINT) * (i * w + j + 1)) AS BIGINT) AS burn_checksum
+  FROM lab GROUP BY image_id
+)
+SELECT s.image_id,
+       COALESCE(a.n_burned, CAST(0 AS BIGINT)) AS n_burned,
+       COALESCE(a.burn_checksum, CAST(0 AS BIGINT)) AS burn_checksum
+FROM (SELECT DISTINCT image_id FROM sel) s LEFT JOIN agg a USING (image_id)
+ORDER BY s.image_id
+"""
+
+
 def _sql_focal_stats(fx: Path, w: int) -> str:
     """DuckDB twin of q_focal_stats: the 9-point box sum and 4-point
     central-difference gradient evaluated directly from the ramp formula
@@ -1736,6 +1793,7 @@ def spatial_queries() -> dict[str, QueryFn]:
         "change_detect": q_change_detect,
         "pyramid_checksums": q_pyramid_checksums,
         "focal_stats": q_focal_stats,
+        "rasterize_burn": q_rasterize,
         "psnr_gate": q_psnr_gate,
         "knn_zones": q_knn,
         "zonal_stats": q_zonal_stats,
@@ -1798,6 +1856,7 @@ def spatial_oracles(sf: str = "sf0.01") -> dict[str, str]:
         "change_detect": _sql_change_detect(fx, w),
         "pyramid_checksums": _sql_pyramid_checksums(fx, w),
         "focal_stats": _sql_focal_stats(fx, w),
+        "rasterize_burn": _sql_rasterize(fx, w),
         "psnr_gate": osql.psnr_gate_sql(img, w, w),
         "knn_zones": _sql_knn(fx),
         "zonal_stats": _sql_zonal_stats(fx, w),
