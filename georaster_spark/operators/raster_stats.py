@@ -87,3 +87,71 @@ def histogram_quantiles(hist: DataFrame, qs: tuple[float, ...] = (0.25, 0.5, 0.9
         .groupBy("fmt", "q")
         .agg(F.min("bin").alias("qbin"))
     )
+
+
+def equalization_lut(hist: DataFrame) -> DataFrame:
+    """Histogram-equalization lookup table from a (fmt, bin, cnt)
+    histogram: per fmt, ``lut[v] = (255 * (cdf(v) - cdf_min)) DIV
+    (total - cdf_min)`` (the classic equalization transfer function with
+    INTEGER floor division — exact at any corpus size, where a float
+    divide would misround above ~2^53 pixels), ``cdf_min`` = count of the
+    first occupied bin; degenerate single-bin corpora map to 0.
+
+    Pure window math over the <=256-row-per-fmt histogram; the whole
+    derivation is SQL-expressible so the DuckDB oracle runs the verbatim
+    twin."""
+    w_cum = Window.partitionBy("fmt").orderBy("bin").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    w_tot = Window.partitionBy("fmt")
+    cum = (
+        hist.withColumn("cum", F.sum("cnt").over(w_cum))
+        .withColumn("total", F.sum("cnt").over(w_tot))
+        .withColumn("cdf_min", F.min("cum").over(w_tot))
+    )
+    lut = F.when(F.col("total") == F.col("cdf_min"), F.lit(0)).otherwise(
+        F.expr("(255 * (cum - cdf_min)) DIV (total - cdf_min)")
+    )
+    return cum.select("fmt", "bin", lut.cast("long").alias("lut"))
+
+
+def equalize_checksum(tiles: DataFrame, lut: DataFrame) -> DataFrame:
+    """Second pass of the two-pass equalization: apply the (tiny) LUT to
+    each tile's pixels and reduce in the SAME fused Arrow pass to
+    (image_id, eq_sum, eq_checksum) — the remapped pixels never leave
+    NumPy.  The LUT is collected driver-side (bounded: <=256 rows per
+    fmt) and shipped as a plain broadcast; the pass itself is map-only.
+
+    raw16 payloads remap by high byte (v >> 8), matching
+    pixel_histogram's binning rule."""
+    rows = lut.collect()
+    tables: dict[str, np.ndarray] = {}
+    for r in rows:
+        tables.setdefault(r["fmt"], np.zeros(256, dtype=np.int64))[
+            int(r["bin"])
+        ] = int(r["lut"])
+    bc = tiles.sparkSession.sparkContext.broadcast(tables)
+    slim = tiles.select("image_id", "bytes", "fmt")
+
+    def _remap(batches):
+        luts = bc.value
+        for pdf in batches:
+            out = {"image_id": [], "eq_sum": [], "eq_checksum": []}
+            fmts = pdf["fmt"].to_numpy(dtype=object)
+            for fmt in pd.unique(pdf["fmt"]):
+                t = luts[fmt]
+                idx = np.nonzero(fmts == fmt)[0]
+                for k in idx:
+                    v = np.frombuffer(
+                        pdf["bytes"].iat[k], dtype="<u2" if fmt == "raw16" else np.uint8
+                    )
+                    eq = t[(v >> 8) if fmt == "raw16" else v]
+                    wt = np.arange(1, eq.size + 1, dtype=np.int64)
+                    out["image_id"].append(pdf["image_id"].iat[k])
+                    out["eq_sum"].append(int(eq.sum()))
+                    out["eq_checksum"].append(int((eq * wt).sum()))
+            yield pd.DataFrame(out)
+
+    return slim.mapInPandas(
+        _remap, schema="image_id string, eq_sum long, eq_checksum long"
+    )

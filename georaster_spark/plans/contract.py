@@ -460,6 +460,26 @@ def q_focal_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_EQ_MOD = 101
+
+
+def q_equalize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-pass histogram equalization (operators/raster_stats): pass 1
+    reduces the WHOLE corpus to a <=256-row-per-fmt histogram (bincount
+    partials, O(batches*256) shuffle) and derives the integer-exact LUT;
+    pass 2 broadcasts the LUT and remaps a tile sample map-only, reducing
+    to slim checksums in the same fused Arrow hop."""
+    from ..operators import raster_stats
+
+    tiles = geo.georegister(_images(spark, sf_dir))
+    lut = raster_stats.equalization_lut(raster_stats.pixel_histogram(tiles))
+    sample = tiles.where(geo.image_idx() % _EQ_MOD == 0)
+    return (
+        raster_stats.equalize_checksum(sample, lut)
+        .repartition(1).sortWithinPartitions("image_id")
+    )
+
+
 _BURN_MOD = 17
 
 
@@ -1500,6 +1520,47 @@ ORDER BY image_id, level
 """
 
 
+def _sql_equalize(fx: Path, w: int) -> str:
+    """DuckDB twin of q_equalize: histogram -> cdf -> integer-division LUT
+    -> remap of the sampled tiles' ramp pixels, all in one statement."""
+    v = osql.ramp_value_expr("gi.i", "gj.j")
+    return f"""
+WITH {osql.georegister_cte(str(fx / 'images.parquet'))},
+px AS (
+  SELECT fmt, {v} AS v
+  FROM tiles,
+       generate_series(0, {w - 1}) AS gi(i), generate_series(0, {w - 1}) AS gj(j)
+),
+hist AS (SELECT fmt, v AS bin, COUNT(*) AS cnt FROM px GROUP BY fmt, v),
+cum AS (
+  SELECT fmt, bin,
+         SUM(cnt) OVER (PARTITION BY fmt ORDER BY bin) AS cum,
+         SUM(cnt) OVER (PARTITION BY fmt) AS total
+  FROM hist
+),
+cdf AS (
+  SELECT *, MIN(cum) OVER (PARTITION BY fmt) AS cdf_min FROM cum
+),
+lut AS (
+  SELECT fmt, bin,
+         CASE WHEN total = cdf_min THEN 0
+              ELSE (255 * (cum - cdf_min)) // (total - cdf_min) END AS lut
+  FROM cdf
+),
+spx AS (
+  SELECT image_id, fmt, gi.i AS i, gj.j AS j, {v} AS v
+  FROM tiles,
+       generate_series(0, {w - 1}) AS gi(i), generate_series(0, {w - 1}) AS gj(j)
+  WHERE idx % {_EQ_MOD} = 0
+)
+SELECT s.image_id,
+       CAST(SUM(l.lut) AS BIGINT) AS eq_sum,
+       CAST(SUM(l.lut * (s.i * {w} + s.j + 1)) AS BIGINT) AS eq_checksum
+FROM spx s JOIN lut l ON l.fmt = s.fmt AND l.bin = s.v
+GROUP BY s.image_id ORDER BY s.image_id
+"""
+
+
 def _sql_rasterize(fx: Path, w: int) -> str:
     """DuckDB twin of q_rasterize: per pixel center the MIN containing
     zone_id + 1 (convex half-plane containment, boundary inside), reduced
@@ -1794,6 +1855,7 @@ def spatial_queries() -> dict[str, QueryFn]:
         "pyramid_checksums": q_pyramid_checksums,
         "focal_stats": q_focal_stats,
         "rasterize_burn": q_rasterize,
+        "equalize": q_equalize,
         "psnr_gate": q_psnr_gate,
         "knn_zones": q_knn,
         "zonal_stats": q_zonal_stats,
@@ -1857,6 +1919,7 @@ def spatial_oracles(sf: str = "sf0.01") -> dict[str, str]:
         "pyramid_checksums": _sql_pyramid_checksums(fx, w),
         "focal_stats": _sql_focal_stats(fx, w),
         "rasterize_burn": _sql_rasterize(fx, w),
+        "equalize": _sql_equalize(fx, w),
         "psnr_gate": osql.psnr_gate_sql(img, w, w),
         "knn_zones": _sql_knn(fx),
         "zonal_stats": _sql_zonal_stats(fx, w),
