@@ -255,3 +255,88 @@ SELECT coalesce(l_returnflag, 'ALL') AS returnflag,
 FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)
 ORDER BY returnflag, linestatus
 """
+
+
+def asof_join(
+    left: DataFrame,
+    right: DataFrame,
+    key: str,
+    ts: str,
+    payload: tuple[str, ...],
+) -> DataFrame:
+    """As-of join (Spark has no native one): each left row picks the
+    single right row with the same `key` and the greatest `ts` <= the
+    left row's `ts`; unmatched left rows keep NULL payload (LEFT ASOF —
+    the DuckDB `ASOF LEFT JOIN` semantics, which the oracle runs
+    verbatim).
+
+    Plan: the union-and-carry idiom — tag both sides, union, ONE window
+    per key ordered by (ts, side) with right rows sorting before left at
+    equal ts (<= semantics), then `last(payload, ignorenulls=True)` over
+    the cumulative frame carries the latest prior right payload onto
+    every left row.  Exactly one shuffle (the window partition) — the
+    minimum any keyed as-of needs; a hot key salts the same way op E8
+    salts hot cells (split the key's timeline, overlap-carry the last
+    right row of the prior slice).
+
+    Equal right timestamps within a key tie-break by the first payload
+    column (greatest wins) so the result is deterministic under any
+    partitioning."""
+    lext = [c for c in left.columns if c not in (key, ts)]
+    l = left.select(
+        key, ts, F.lit(0).alias("_side"),
+        *[F.col(c) for c in lext],
+        *[
+            F.lit(None).cast(right.schema[p].dataType).alias(f"r_{p}")
+            for p in payload
+        ],
+    )
+    r = right.select(
+        key, ts, F.lit(1).alias("_side"),
+        *[F.lit(None).cast(left.schema[c].dataType).alias(c) for c in lext],
+        *[F.col(p).alias(f"r_{p}") for p in payload],
+    )
+    w = (
+        Window.partitionBy(key)
+        .orderBy(F.col(ts).asc(), F.col("_side").desc(), F.col(f"r_{payload[0]}").asc())
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    filled = l.unionByName(r).select(
+        key, ts, "_side", *lext,
+        *[
+            F.last(f"r_{p}", ignorenulls=True).over(w).alias(f"r_{p}")
+            for p in payload
+        ],
+    )
+    return filled.where(F.col("_side") == 0).drop("_side")
+
+
+def clicks_prior_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of demo: every click event joined to the same user's most
+    recent prior-or-simultaneous purchase."""
+    ev = _t(spark, sf_dir, "events")
+    clicks = ev.where(F.col("event_type") == "click").select(
+        "user_id", "ts", "event_id"
+    )
+    purchases = ev.where(F.col("event_type") == "purchase").select(
+        "user_id", "ts", "event_id", "value"
+    )
+    out = asof_join(clicks, purchases, key="user_id", ts="ts",
+                    payload=("event_id", "value"))
+    return out.select(
+        "event_id",
+        F.col("r_event_id").alias("prior_purchase_id"),
+        F.col("r_value").alias("prior_value"),
+    ).repartition(1).sortWithinPartitions("event_id")
+
+
+def clicks_prior_purchase_sql() -> str:
+    return """
+WITH l AS (SELECT * FROM events WHERE event_type = 'click'),
+     r AS (SELECT * FROM events WHERE event_type = 'purchase')
+SELECT l.event_id,
+       r.event_id AS prior_purchase_id,
+       r.value AS prior_value
+FROM l ASOF LEFT JOIN r ON l.user_id = r.user_id AND l.ts >= r.ts
+ORDER BY l.event_id
+"""

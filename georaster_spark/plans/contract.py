@@ -1884,6 +1884,7 @@ def spatial_queries() -> dict[str, QueryFn]:
         "revenue_rollup": rel.revenue_rollup,
         "revenue_cube": rel.revenue_cube,
         "shipping_priority": rel.shipping_priority,
+        "asof_clicks": rel.clicks_prior_purchase,
         **textops.text_queries(),
         **vectors.vector_queries(),
     }
@@ -1948,6 +1949,7 @@ def spatial_oracles(sf: str = "sf0.01") -> dict[str, str]:
         "revenue_rollup": rel.revenue_rollup_sql(),
         "revenue_cube": rel.revenue_cube_sql(),
         "shipping_priority": rel.shipping_priority_sql(),
+        "asof_clicks": rel.clicks_prior_purchase_sql(),
         **textops.text_oracles(),
         **vectors.vector_oracles(),
     }

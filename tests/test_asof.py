@@ -1,0 +1,50 @@
+"""As-of join (operators/relational.asof_join)."""
+
+from __future__ import annotations
+
+import datetime as dt
+
+from georaster_spark.operators import relational as rel
+
+
+def _ts(s):
+    return dt.datetime(2024, 1, 1) + dt.timedelta(seconds=s)
+
+
+def test_asof_semantics(spark):
+    left = spark.createDataFrame(
+        [(1, _ts(10), 100), (1, _ts(5), 101), (2, _ts(7), 102), (3, _ts(1), 103)],
+        "k long, ts timestamp, lid long",
+    )
+    right = spark.createDataFrame(
+        [
+            (1, _ts(5), 900, 1.5),   # simultaneous with lid=101 -> matches (<=)
+            (1, _ts(9), 901, 2.5),   # latest prior for lid=100
+            (1, _ts(11), 902, 3.5),  # future: never matches
+            (2, _ts(7), 903, 4.0),   # equal-ts tie with 904
+            (2, _ts(7), 904, 5.0),   # tiebreak: greatest first-payload wins
+        ],
+        "k long, ts timestamp, rid long, v double",
+    )
+    out = {
+        r["lid"]: (r["r_rid"], r["r_v"])
+        for r in rel.asof_join(left, right, key="k", ts="ts",
+                               payload=("rid", "v")).collect()
+    }
+    assert out[100] == (901, 2.5)
+    assert out[101] == (900, 1.5)
+    assert out[102] == (904, 5.0)
+    assert out[103] == (None, None)  # key 3 has no right rows at all
+
+
+def test_asof_deterministic_across_parallelism(spark):
+    td = "/root/testdata/sf0.001"
+    a = rel.clicks_prior_purchase(spark, td).collect()
+    b = (
+        rel.clicks_prior_purchase(spark, td)
+        .repartition(7)
+        .repartition(1)
+        .sortWithinPartitions("event_id")
+        .collect()
+    )
+    assert sorted(map(tuple, a)) == sorted(map(tuple, b))
