@@ -340,3 +340,67 @@ SELECT l.event_id,
 FROM l ASOF LEFT JOIN r ON l.user_id = r.user_id AND l.ts >= r.ts
 ORDER BY l.event_id
 """
+
+
+def events_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pivot (categorical -> columns): per user_id bucket, one column per
+    event_type with the event count.  `groupBy().pivot(values=...)` with
+    explicit pivot values keeps the plan a single partial+final agg (no
+    extra distinct-values job)."""
+    ev = _t(spark, sf_dir, "events")
+    bucket = (F.col("user_id") % 10).alias("user_bucket")
+    types = ["click", "error", "purchase", "signup", "view"]
+    out = (
+        ev.groupBy(bucket)
+        .pivot("event_type", types)
+        .agg(F.count(F.lit(1)))
+        .na.fill(0, types)
+    )
+    return out.select(
+        "user_bucket", *[F.col(t).cast("long").alias(f"n_{t}") for t in types]
+    ).repartition(1).sortWithinPartitions("user_bucket")
+
+
+def events_pivot_sql() -> str:
+    types = ["click", "error", "purchase", "signup", "view"]
+    cols = ",\n       ".join(
+        f"CAST(COUNT(*) FILTER (WHERE event_type = '{t}') AS BIGINT) AS n_{t}"
+        for t in types
+    )
+    return f"""
+SELECT user_id % 10 AS user_bucket,
+       {cols}
+FROM events GROUP BY 1 ORDER BY 1
+"""
+
+
+def rolling_user_value(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Range-frame window (time-based rolling aggregate): per event, the
+    count and cents-exact sum of the same user's events in the preceding
+    hour (inclusive).  RANGE frames bound by the timestamp VALUE — a
+    different mechanism from the ROWS frames used elsewhere — and the
+    money column is summed in integer cents so the hash is exact."""
+    ev = _t(spark, sf_dir, "events").where(F.col("event_id") % 7 == 0)
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy(F.unix_micros(F.col("ts").cast("timestamp")))  # microsecond-exact: a cast to long
+        .rangeBetween(-3_600_000_000, 0)  # would floor-truncate and admit
+    )  # rows the oracle's INTERVAL arithmetic excludes
+    return ev.select(
+        "event_id",
+        F.count(F.lit(1)).over(w).alias("n_hour"),
+        F.sum(cents(F.col("value"))).over(w).alias("sum_cents_hour"),
+    ).repartition(1).sortWithinPartitions("event_id")
+
+
+def rolling_user_value_sql() -> str:
+    return """
+WITH ev AS (SELECT * FROM events WHERE event_id % 7 = 0)
+SELECT event_id,
+       COUNT(*) OVER w AS n_hour,
+       CAST(SUM(CAST(round(value * 100) AS BIGINT)) OVER w AS BIGINT) AS sum_cents_hour
+FROM ev
+WINDOW w AS (PARTITION BY user_id ORDER BY ts
+             RANGE BETWEEN INTERVAL 1 HOUR PRECEDING AND CURRENT ROW)
+ORDER BY event_id
+"""

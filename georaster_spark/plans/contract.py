@@ -460,6 +460,36 @@ def q_focal_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_STRATA_RATES = {"en": 250, "de": 600, "zh": 400}
+_STRATA_DEFAULT = 500
+
+
+def q_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic stratified corpus sampling (operators/sample):
+    per-language per-mille rates on a stable md5-prefix bucket — map-only
+    filter, membership reproducible across runs and cluster sizes (the
+    property Spark's seeded df.sample() lacks)."""
+    from ..operators import sample
+
+    docs = spark.read.parquet(str(Path(sf_dir) / "documents.parquet"))
+    kept = sample.stratified_sample(
+        docs, key="doc_id", strata="lang",
+        rates=_STRATA_RATES, default_per_mille=_STRATA_DEFAULT,
+    )
+    return kept.select("doc_id", "lang").repartition(1).sortWithinPartitions("doc_id")
+
+
+def _sql_stratified_sample() -> str:
+    from ..operators import sample
+
+    where = sample.sample_sql_where(
+        "doc_id", "lang", _STRATA_RATES, default_per_mille=_STRATA_DEFAULT
+    )
+    return f"""
+SELECT doc_id, lang FROM documents WHERE {where} ORDER BY doc_id
+"""
+
+
 _EQ_MOD = 101
 
 
@@ -1856,6 +1886,7 @@ def spatial_queries() -> dict[str, QueryFn]:
         "focal_stats": q_focal_stats,
         "rasterize_burn": q_rasterize,
         "equalize": q_equalize,
+        "stratified_sample": q_stratified_sample,
         "psnr_gate": q_psnr_gate,
         "knn_zones": q_knn,
         "zonal_stats": q_zonal_stats,
@@ -1885,6 +1916,8 @@ def spatial_queries() -> dict[str, QueryFn]:
         "revenue_cube": rel.revenue_cube,
         "shipping_priority": rel.shipping_priority,
         "asof_clicks": rel.clicks_prior_purchase,
+        "events_pivot": rel.events_pivot,
+        "rolling_hour": rel.rolling_user_value,
         **textops.text_queries(),
         **vectors.vector_queries(),
     }
@@ -1921,6 +1954,7 @@ def spatial_oracles(sf: str = "sf0.01") -> dict[str, str]:
         "focal_stats": _sql_focal_stats(fx, w),
         "rasterize_burn": _sql_rasterize(fx, w),
         "equalize": _sql_equalize(fx, w),
+        "stratified_sample": _sql_stratified_sample(),
         "psnr_gate": osql.psnr_gate_sql(img, w, w),
         "knn_zones": _sql_knn(fx),
         "zonal_stats": _sql_zonal_stats(fx, w),
@@ -1950,6 +1984,8 @@ def spatial_oracles(sf: str = "sf0.01") -> dict[str, str]:
         "revenue_cube": rel.revenue_cube_sql(),
         "shipping_priority": rel.shipping_priority_sql(),
         "asof_clicks": rel.clicks_prior_purchase_sql(),
+        "events_pivot": rel.events_pivot_sql(),
+        "rolling_hour": rel.rolling_user_value_sql(),
         **textops.text_oracles(),
         **vectors.vector_oracles(),
     }
