@@ -157,3 +157,43 @@ def test_cell_partitioned_scan_prunes_directories(spark, sf0001_dir, tmp_path):
         .count()
     )
     assert q.count() == expect
+
+
+def test_rasterize_prunes_bytes_and_has_no_shuffle(spark, sf0001_dir):
+    """Burning needs only geotransforms: the scan must not read `bytes`,
+    and the zone broadcast keeps the whole plan exchange-free."""
+    from georaster_spark.operators import rasterize
+
+    tiles = geo.georegister(spark.read.parquet(str(sf0001_dir / "images.parquet")))
+    zones = spark.read.parquet(str(sf0001_dir / "zones.parquet"))
+    q = rasterize.rasterize_summary(tiles, zones)
+    schemas = _scan_schemas(q)
+    assert schemas and all("bytes" not in s for s in schemas)
+    assert "Exchange" not in _plan(q)
+
+
+def test_focal_stats_is_map_only(spark, sf0001_dir):
+    """The focal pass is per-tile: no Exchange anywhere in the plan."""
+    from georaster_spark.operators import algebra
+
+    tiles = geo.georegister(spark.read.parquet(str(sf0001_dir / "images.parquet")))
+    assert "Exchange" not in _plan(algebra.focal_stats(tiles))
+
+
+def test_asof_join_single_shuffle(spark):
+    """The union-and-carry as-of plan must shuffle exactly once (the
+    window partition) — one Exchange node, keyed on the join key."""
+    import datetime as dt
+
+    from georaster_spark.operators import relational as rel
+
+    left = spark.createDataFrame(
+        [(1, dt.datetime(2024, 1, 1), 1)], "k long, ts timestamp, lid long"
+    )
+    right = spark.createDataFrame(
+        [(1, dt.datetime(2024, 1, 1), 2, 0.5)],
+        "k long, ts timestamp, rid long, v double",
+    )
+    plan = _plan(rel.asof_join(left, right, key="k", ts="ts", payload=("rid", "v")))
+    n_exchange = plan.count("Exchange hashpartitioning")
+    assert n_exchange == 1, plan
