@@ -23,6 +23,8 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.types import LongType, StructField, StructType
 
+from .. import oracle
+
 _DIFF_SCHEMA = StructType(
     [
         StructField("n_changed", LongType()),
@@ -157,3 +159,122 @@ def change_detect(a: DataFrame, b: DataFrame, key: str = "image_id") -> DataFram
     return joined.withColumn("_d", d).select(
         key, "_d.n_changed", "_d.max_abs", "_d.sum_abs"
     )
+
+
+_STRIP_SCHEMA = (
+    "tid long, own int, di int, dj int, w int, h int, fmt string, data binary"
+)
+_FOCAL_M_SCHEMA = (
+    "tile_id long, n_interior long, focal_checksum long, "
+    "grad_l1_sum long, grad_max long"
+)
+
+
+def focal_mosaic(mosaic: DataFrame, ntx: int, nty: int) -> DataFrame:
+    """3x3 focal map algebra over a TILED COMMON-GRID mosaic with
+    inter-tile HALO EXCHANGE — the distributed focal case per-tile ops
+    can't express: pixels on interior tile seams need their neighbors'
+    edge pixels, so each tile ships 1-px strips (edges + corners, ~2% of
+    its payload) to its 8 neighbors, and the focal window is evaluated
+    over the (h+2, w+2) halo-padded array.  Seam pixels come out
+    bit-identical to a single-array evaluation of the whole mosaic (the
+    DuckDB oracle computes exactly that, via separable 3-row + 3-col
+    window sums over the global pixel relation).
+
+    Input: warp.reproject output (tile_id = ty*ntx + tx, uniform w/h,
+    north-up common grid).  Mosaic-boundary pixels are excluded (global
+    interior only), matching the per-tile focal_stats interior rule
+    lifted to the mosaic level.
+
+    Scale shape: ONE shuffle of strip rows (keyed to the receiving tile)
+    plus the co-partitioning pass of the tiles themselves — and the tile
+    side arrives already hash-partitioned on tile_id from the warp's
+    groupBy, so in the composed reproject->focal plan only the strips
+    move.  Stats: same integer-exact surfaces as focal_stats, with
+    GLOBAL pixel weights (gi * W_mosaic + gj + 1)."""
+    slim = mosaic.select("tile_id", "bytes", "w", "h", "fmt")
+
+    def _emit(batches):
+        for pdf in batches:
+            out = {k: [] for k in
+                   ("tid", "own", "di", "dj", "w", "h", "fmt", "data")}
+
+            def put(tid, own, di, dj, w, h, fmt, data):
+                out["tid"].append(int(tid)); out["own"].append(own)
+                out["di"].append(di); out["dj"].append(dj)
+                out["w"].append(w); out["h"].append(h)
+                out["fmt"].append(fmt); out["data"].append(data)
+
+            for t in pdf.itertuples(index=False):
+                w, h = int(t.w), int(t.h)
+                tx, ty = int(t.tile_id) % ntx, int(t.tile_id) // ntx
+                put(t.tile_id, 1, 0, 0, w, h, t.fmt, t.bytes)
+                arr = None
+                for dy in (-1, 0, 1):
+                    for dx in (-1, 0, 1):
+                        if (dx, dy) == (0, 0):
+                            continue
+                        nx_, ny_ = tx + dx, ty + dy
+                        if not (0 <= nx_ < ntx and 0 <= ny_ < nty):
+                            continue
+                        if arr is None:
+                            arr = oracle.decode_pixels(t.bytes, w, h, t.fmt)
+                        rs = (slice(h - 1, h) if dy == 1
+                              else slice(0, 1) if dy == -1 else slice(None))
+                        cs = (slice(w - 1, w) if dx == 1
+                              else slice(0, 1) if dx == -1 else slice(None))
+                        strip = np.ascontiguousarray(arr[rs, cs])
+                        put(ny_ * ntx + nx_, 0, dy, dx,
+                            strip.shape[1], strip.shape[0], t.fmt,
+                            strip.tobytes())
+            yield pd.DataFrame(out)
+
+    parts = slim.mapInPandas(_emit, schema=_STRIP_SCHEMA)
+
+    def _assemble(key, pdf: pd.DataFrame):
+        tid = int(key[0])
+        own = pdf[pdf["own"] == 1]
+        if len(own) != 1:
+            raise ValueError(f"focal_mosaic: tile {tid} has {len(own)} payload rows")
+        o = own.iloc[0]
+        w, h = int(o["w"]), int(o["h"])
+        dt = {"raw": np.uint8, "qnt": np.uint8, "raw16": "<u2"}[o["fmt"]]
+        arr = np.frombuffer(o["data"], dtype=dt).reshape(h, w)
+        pad = np.zeros((h + 2, w + 2), dtype=np.int64)
+        pad[1 : h + 1, 1 : w + 1] = arr
+        for s in pdf[pdf["own"] == 0].itertuples(index=False):
+            sd = {"raw": np.uint8, "qnt": np.uint8, "raw16": "<u2"}[s.fmt]
+            sa = np.frombuffer(s.data, dtype=sd).reshape(int(s.h), int(s.w))
+            # sender direction (di=dy, dj=dx); it sits on our (-dy,-dx) side
+            rs = (slice(0, 1) if s.di == 1 else slice(h + 1, h + 2)
+                  if s.di == -1 else slice(1, h + 1))
+            cs = (slice(0, 1) if s.dj == 1 else slice(w + 1, w + 2)
+                  if s.dj == -1 else slice(1, w + 1))
+            pad[rs, cs] = sa
+        box = sum(
+            pad[1 + di : h + 1 + di, 1 + dj : w + 1 + dj]
+            for di in (-1, 0, 1)
+            for dj in (-1, 0, 1)
+        )
+        grad = np.abs(pad[1 : h + 1, 2 : w + 2] - pad[1 : h + 1, 0:w]) + np.abs(
+            pad[2 : h + 2, 1 : w + 1] - pad[0:h, 1 : w + 1]
+        )
+        # global-interior mask + global weights
+        tx, ty = tid % ntx, tid // ntx
+        GW, GH = w * ntx, h * nty
+        gi = ty * h + np.arange(h, dtype=np.int64)[:, None]
+        gj = tx * w + np.arange(w, dtype=np.int64)[None, :]
+        interior = (gi >= 1) & (gi <= GH - 2) & (gj >= 1) & (gj <= GW - 2)
+        wt = gi * GW + gj + 1
+        n_int = int(interior.sum())
+        return pd.DataFrame(
+            {
+                "tile_id": [tid],
+                "n_interior": [n_int],
+                "focal_checksum": [int((box * wt * interior).sum())],
+                "grad_l1_sum": [int((grad * interior).sum())],
+                "grad_max": [int(grad[interior].max()) if n_int else 0],
+            }
+        )
+
+    return parts.groupBy("tid").applyInPandas(_assemble, schema=_FOCAL_M_SCHEMA)

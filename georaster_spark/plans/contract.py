@@ -350,6 +350,30 @@ def q_reproject(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).repartition(1).sortWithinPartitions("tile_id")
 
 
+def q_focal_mosaic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distributed focal over the warped mosaic (algebra.focal_mosaic):
+    q_reproject's 4x4 target grid, then 3x3 box-sum + gradient with
+    1-px HALO EXCHANGE between mosaic tiles — seam pixels must equal the
+    oracle's single-array evaluation of the whole mosaic."""
+    from .. import oracle as orc
+    from ..operators import algebra, warp
+
+    tiles = geo.georegister(_images(spark, sf_dir)).where(geo.image_idx() < 1000)
+    lon0, lat0 = orc.mercator_to_lonlat(0.0, 0.0)
+    lon1, lat1 = orc.mercator_to_lonlat(514_000.0, 2_300.0)
+    n = 256
+    grid = warp.TargetGrid(
+        crs="EPSG:4326", x0=float(lon0), y0=float(lat1),
+        xres=float(lon1 - lon0) / n, yres=float(lat1 - lat0) / n,
+        nx=n, ny=n, tile_w=64, tile_h=64,
+    )
+    mosaic = warp.reproject(tiles, grid, method="nearest")
+    return (
+        algebra.focal_mosaic(mosaic, ntx=4, nty=4)
+        .repartition(1).sortWithinPartitions("tile_id")
+    )
+
+
 _DS_MOD = 101
 _DS_K = 2
 
@@ -1242,15 +1266,11 @@ ORDER BY image_id
 """
 
 
-def _sql_reproject(fx: Path) -> str:
-    """DuckDB twin of q_reproject: inverse-map every target pixel center
-    (EPSG:4326 grid -> mercator via the closed-form forward transform),
-    pick the first containing source tile by ascending image_id (the
-    deterministic mosaic rule), gather the ramp value at the floor-mapped
-    source pixel, and reduce to the same exact integer checksum the Spark
-    side computes from the warped bytes.  Grid constants are computed
-    with the same float64 expressions as q_reproject and embedded via
-    repr() for bit-exact round-trip."""
+def _warp_mosaic_ctes(fx: Path) -> tuple[str, dict]:
+    """Shared CTE prefix for the warped-mosaic oracles (_sql_reproject and
+    _sql_focal_mosaic): grid enumeration, inverse-mapped pixel centers,
+    first-valid source hit, and the gathered ramp value per target pixel.
+    Returns (cte_text, grid_constants)."""
     from .. import oracle as orc
 
     r_e = 6378137.0
@@ -1262,7 +1282,8 @@ def _sql_reproject(fx: Path) -> str:
     xres = float(lon1 - lon0) / n
     yres = float(lat1 - lat0) / n
     ramp = osql.ramp_value_expr("iy", "jx")
-    return f"""
+    consts = dict(r_e=r_e, x0=x0, y0=y0, xres=xres, yres=yres, n=n)
+    ctes = f"""
 WITH {osql.georegister_cte(str(fx / 'images.parquet'))},
 src AS (SELECT * FROM tiles WHERE idx < 1000),
 grid AS (
@@ -1310,7 +1331,21 @@ val AS (
       least(greatest(CAST(floor((sx - sx0) / xr) AS BIGINT), 0), sw - 1) AS jx,
       least(greatest(CAST(floor((sy0 - sy) / yr) AS BIGINT), 0), sh - 1) AS iy
     FROM hit WHERE rn = 1)
-),
+)"""
+    return ctes, consts
+
+
+def _sql_reproject(fx: Path) -> str:
+    """DuckDB twin of q_reproject: inverse-map every target pixel center
+    (EPSG:4326 grid -> mercator via the closed-form forward transform),
+    pick the first containing source tile by ascending image_id (the
+    deterministic mosaic rule), gather the ramp value at the floor-mapped
+    source pixel, and reduce to the same exact integer checksum the Spark
+    side computes from the warped bytes.  Grid constants are computed
+    with the same float64 expressions as q_reproject and embedded via
+    repr() for bit-exact round-trip."""
+    ctes, _ = _warp_mosaic_ctes(fx)
+    return ctes + """,
 agg AS (
   SELECT p.tid,
          CAST(SUM(coalesce(v.v, 0) * (p.i * 64 + p.j + 1)) AS BIGINT) AS checksum,
@@ -1322,6 +1357,51 @@ SELECT a.tid AS tile_id, 64 AS w, 64 AS h, a.n_filled,
        CAST(s.n_sources AS INT) AS n_sources, a.checksum
 FROM agg a JOIN nsrc s ON s.tid = a.tid
 ORDER BY tile_id
+"""
+
+
+def _sql_focal_mosaic(fx: Path) -> str:
+    """DuckDB twin of q_focal_mosaic: materialize the whole warped mosaic
+    as ONE global pixel relation (the same val CTE the reproject oracle
+    gathers from, unfilled pixels = 0 exactly as the engine encodes them),
+    then evaluate the 3x3 box sum SEPARABLY (3-row window sum, then 3-col
+    window sum of that) and the central-difference gradient via lag/lead —
+    i.e., the seam-free single-array evaluation the engine's halo exchange
+    must reproduce bit-for-bit."""
+    ctes, _ = _warp_mosaic_ctes(fx)
+    return ctes + """,
+mos AS (
+  SELECT (p.tid // 4) * 64 + p.i AS gi, (p.tid % 4) * 64 + p.j AS gj,
+         COALESCE(v.v, 0) AS v
+  FROM px p LEFT JOIN val v ON v.tid = p.tid AND v.i = p.i AND v.j = p.j
+),
+h3 AS (
+  SELECT gi, gj, v,
+         SUM(v) OVER (PARTITION BY gi ORDER BY gj
+                      ROWS BETWEEN 1 PRECEDING AND 1 FOLLOWING) AS s3h,
+         ABS(LEAD(v) OVER (PARTITION BY gi ORDER BY gj)
+             - LAG(v) OVER (PARTITION BY gi ORDER BY gj)) AS gx
+  FROM mos
+),
+v3 AS (
+  SELECT gi, gj, gx,
+         SUM(s3h) OVER (PARTITION BY gj ORDER BY gi
+                        ROWS BETWEEN 1 PRECEDING AND 1 FOLLOWING) AS fsum,
+         ABS(LEAD(v) OVER (PARTITION BY gj ORDER BY gi)
+             - LAG(v) OVER (PARTITION BY gj ORDER BY gi)) AS gy
+  FROM h3
+),
+inter AS (
+  SELECT (gi // 64) * 4 + (gj // 64) AS tile_id, gi, gj,
+         fsum, gx + gy AS grad
+  FROM v3 WHERE gi BETWEEN 1 AND 254 AND gj BETWEEN 1 AND 254
+)
+SELECT tile_id,
+       CAST(COUNT(*) AS BIGINT) AS n_interior,
+       CAST(SUM(fsum * (gi * 256 + gj + 1)) AS BIGINT) AS focal_checksum,
+       CAST(SUM(grad) AS BIGINT) AS grad_l1_sum,
+       CAST(MAX(grad) AS BIGINT) AS grad_max
+FROM inter GROUP BY tile_id ORDER BY tile_id
 """
 
 
@@ -1884,6 +1964,7 @@ def spatial_queries() -> dict[str, QueryFn]:
         "change_detect": q_change_detect,
         "pyramid_checksums": q_pyramid_checksums,
         "focal_stats": q_focal_stats,
+        "focal_mosaic": q_focal_mosaic,
         "rasterize_burn": q_rasterize,
         "equalize": q_equalize,
         "stratified_sample": q_stratified_sample,
@@ -1952,6 +2033,7 @@ def spatial_oracles(sf: str = "sf0.01") -> dict[str, str]:
         "change_detect": _sql_change_detect(fx, w),
         "pyramid_checksums": _sql_pyramid_checksums(fx, w),
         "focal_stats": _sql_focal_stats(fx, w),
+        "focal_mosaic": _sql_focal_mosaic(fx),
         "rasterize_burn": _sql_rasterize(fx, w),
         "equalize": _sql_equalize(fx, w),
         "stratified_sample": _sql_stratified_sample(),
