@@ -858,6 +858,51 @@ def q_cell_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_merge_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MERGE INTO emulation (icelite.merge_upsert, copy-on-write): commit
+    idx < 2000 as v0, merge an update batch (idx%5==0 captions rewritten)
+    + an insert batch (2000 <= idx < 2100), read the merged snapshot back
+    and emit per-row membership + updated flag.  The oracle recomputes
+    the merged relation from the idx rule, so the hash proves the merge
+    dropped, duplicated, and rewrote nothing."""
+    import tempfile
+
+    from ..sources import icelite
+
+    out_dir = Path(tempfile.mkdtemp(prefix="gs_mrg_")) / "tbl"
+    base = _images(spark, sf_dir).select(
+        "image_id", "caption", "w", geo.image_idx().alias("idx")
+    )
+    icelite.write_snapshot(base.where(F.col("idx") < 2000), out_dir)
+    upd = base.where((F.col("idx") < 2000) & (F.col("idx") % 5 == 0)).withColumn(
+        "caption", F.concat(F.lit("upd:"), F.col("image_id"))
+    )
+    ins = base.where((F.col("idx") >= 2000) & (F.col("idx") < 2100))
+    icelite.merge_upsert(spark, out_dir, upd.unionByName(ins), key="image_id")
+    merged = icelite.read_snapshot(spark, out_dir)
+    return merged.select(
+        "image_id",
+        (F.col("caption") == F.concat(F.lit("upd:"), F.col("image_id"))).alias(
+            "updated"
+        ),
+        F.col("w").cast("long").alias("w"),
+    ).repartition(1).sortWithinPartitions("image_id")
+
+
+def _sql_merge_upsert(fx: Path) -> str:
+    return f"""
+WITH img AS (
+  SELECT *, CAST(substr(image_id, 4, 10) AS BIGINT) AS idx
+  FROM read_parquet('{fx / 'images.parquet'}')
+)
+SELECT image_id,
+       (idx % 5 = 0 AND idx < 2000) AS updated,
+       CAST(w AS BIGINT) AS w
+FROM img WHERE idx < 2100
+ORDER BY image_id
+"""
+
+
 def q_time_travel(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Op E9/§7.5 snapshot isolation surfaced to the oracle gate: commit
     v0 (idx < 1500), append v1 (1500 <= idx < 3000), then read BOTH
@@ -1988,6 +2033,7 @@ def spatial_queries() -> dict[str, QueryFn]:
         "dedup_components": q_dedup_components,
         "cell_sessions": q_cell_sessions,
         "time_travel": q_time_travel,
+        "merge_upsert": q_merge_upsert,
         "q1_pricing": rel.q1_pricing,
         "top_orders_segment": rel.top_orders_per_segment,
         "orders_by_month": rel.orders_by_month,
@@ -2057,6 +2103,7 @@ def spatial_oracles(sf: str = "sf0.01") -> dict[str, str]:
         "dedup_components": _sql_dedup_components(),
         "cell_sessions": _sql_cell_sessions(fx),
         "time_travel": _sql_time_travel(fx),
+        "merge_upsert": _sql_merge_upsert(fx),
         "q1_pricing": rel.q1_pricing_sql(),
         "top_orders_segment": rel.top_orders_per_segment_sql(),
         "orders_by_month": rel.orders_by_month_sql(),

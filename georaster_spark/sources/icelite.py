@@ -109,3 +109,32 @@ def read_snapshot(
 
         return spark.createDataFrame([], StructType.fromJson(info["schema"]))
     return spark.read.parquet(*paths)
+
+
+def merge_upsert(
+    spark: SparkSession, table: str | Path, updates: DataFrame, key: str
+) -> int:
+    """MERGE INTO emulation (Iceberg copy-on-write merge): rows of
+    `updates` REPLACE current rows with a matching `key`, unmatched
+    update rows INSERT, every other current row carries over unchanged.
+    Commits the merged relation as a new overwrite snapshot — prior
+    versions stay readable (time travel), and a killed merge leaves the
+    table at its previous CURRENT (the tmp+rename commit is the atom).
+
+    Plan shape: `current LEFT ANTI updates-keys` + `UNION updates` — one
+    anti-join shuffle on the key (broadcastable when the update batch is
+    dim-sized, the common CDC case) and one write.  At 100 TB the anti
+    join prunes to only the partitions updates touch when both sides are
+    bucketed on the key (sources/bucketed.py); this module keeps the
+    parquet emulation simple instead.
+
+    Swap-in note (real cluster): `spark.sql("MERGE INTO t USING u ON
+    t.key = u.key WHEN MATCHED THEN UPDATE SET * WHEN NOT MATCHED THEN
+    INSERT *")` over an Iceberg catalog — call sites only go through
+    this function."""
+    cur = read_snapshot(spark, table)
+    from pyspark.sql import functions as F
+
+    kept = cur.join(updates.select(F.col(key)).distinct(), key, "left_anti")
+    merged = kept.unionByName(updates.select(*cur.columns))
+    return write_snapshot(merged, table, mode="overwrite")
