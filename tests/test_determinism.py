@@ -13,7 +13,10 @@ from pathlib import Path
 
 REPO = Path(__file__).resolve().parent.parent
 
-QUERIES = ["tile_assign", "knn_zones", "zonal_stats", "minhash_lsh_pairs", "cell_join_salted"]
+QUERIES = [
+    "tile_assign", "knn_zones", "zonal_stats", "minhash_lsh_pairs",
+    "cell_join_salted", "focal_mosaic", "asof_clicks",
+]
 
 
 def _hashes(master: str) -> dict[str, str]:
