@@ -148,6 +148,95 @@ def focal_stats(tiles: DataFrame) -> DataFrame:
     return slim.mapInPandas(_focal, schema=_FOCAL_SCHEMA)
 
 
+_TERRAIN_SCHEMA = (
+    "image_id string, n_interior long, slope_sq_sum long, slope_sq_max long, "
+    "slope_checksum long, n_flat long, n_east long, n_north long, "
+    "n_west long, n_south long"
+)
+
+
+def terrain_stats(tiles: DataFrame) -> DataFrame:
+    """Per-tile terrain analysis over the interior pixels: Horn (1981)
+    3x3 slope/aspect — the DEM derivative a georaster user computes over
+    ``self.r`` with `gdaldem slope/aspect` or `np.gradient` (upstream
+    georaster exposes the raw array; `georaster/georaster.py ::
+    SingleBandRaster.r` ≈L600-780 ⚠ UNVERIFIED, SURVEY §0) — here as a
+    distributed map-only pass with integer-exact surfaces so the DuckDB
+    oracle re-derives every value from the ramp formula.
+
+    Horn kernel (integer, unnormalized — the 1/(8*cellsize) factor is a
+    constant scale that only matters for degrees conversion):
+      gx = (z[-1,+1] + 2 z[0,+1] + z[+1,+1]) - (z[-1,-1] + 2 z[0,-1] + z[+1,-1])
+      gy = (z[+1,-1] + 2 z[+1,0] + z[+1,+1]) - (z[-1,-1] + 2 z[-1,0] + z[-1,+1])
+
+    Surfaces (all int64-exact):
+      slope_sq_sum / slope_sq_max — sum/max of gx^2 + gy^2
+      slope_checksum — sum of (gx^2+gy^2) * ((i-1)*(w-2)+(j-1)+1)
+      n_flat  — gx = 0 AND gy = 0
+      n_east  — gx >  |gy| (steepest ascent due +x)
+      n_west  — -gx > |gy|
+      n_north — -gy > |gx| (row index grows southward)
+      n_south — gy >  |gx|
+    Strict comparisons make the compass classes exact and unambiguous;
+    exact diagonals fall in none (recoverable as interior - others).
+
+    Scale shape: map-only fused mapInPandas (no shuffle, no join);
+    vectorized per (w,h,fmt) group as one (n,h,w) int64 block."""
+    slim = tiles.select("image_id", "bytes", "w", "h", "fmt")
+
+    def _terrain(batches):
+        dt = {"raw": np.uint8, "qnt": np.uint8, "raw16": "<u2"}
+        cols = (
+            "n_interior", "slope_sq_sum", "slope_sq_max", "slope_checksum",
+            "n_flat", "n_east", "n_north", "n_west", "n_south",
+        )
+        for pdf in batches:
+            n = len(pdf)
+            out = {"image_id": pdf["image_id"].to_numpy(dtype=object)}
+            for c in cols:
+                out[c] = np.zeros(n, dtype=np.int64)
+            groups: dict[tuple, list[int]] = {}
+            for k in range(n):
+                key = (int(pdf["w"].iat[k]), int(pdf["h"].iat[k]), pdf["fmt"].iat[k])
+                groups.setdefault(key, []).append(k)
+            for (w, h, fmt), idx in groups.items():
+                if w < 3 or h < 3:
+                    continue
+                z = (
+                    np.frombuffer(
+                        b"".join(pdf["bytes"].iat[k] for k in idx), dtype=dt[fmt]
+                    )
+                    .reshape(len(idx), h, w)
+                    .astype(np.int64)
+                )
+                gx = (
+                    z[:, :-2, 2:] + 2 * z[:, 1:-1, 2:] + z[:, 2:, 2:]
+                    - z[:, :-2, :-2] - 2 * z[:, 1:-1, :-2] - z[:, 2:, :-2]
+                )
+                gy = (
+                    z[:, 2:, :-2] + 2 * z[:, 2:, 1:-1] + z[:, 2:, 2:]
+                    - z[:, :-2, :-2] - 2 * z[:, :-2, 1:-1] - z[:, :-2, 2:]
+                )
+                s2 = gx * gx + gy * gy
+                ax, ay = np.abs(gx), np.abs(gy)
+                wt = np.arange(1, (h - 2) * (w - 2) + 1, dtype=np.int64).reshape(
+                    h - 2, w - 2
+                )
+                ii = np.asarray(idx)
+                out["n_interior"][ii] = (h - 2) * (w - 2)
+                out["slope_sq_sum"][ii] = s2.sum(axis=(1, 2))
+                out["slope_sq_max"][ii] = s2.max(axis=(1, 2))
+                out["slope_checksum"][ii] = (s2 * wt).sum(axis=(1, 2))
+                out["n_flat"][ii] = ((gx == 0) & (gy == 0)).sum(axis=(1, 2))
+                out["n_east"][ii] = (gx > ay).sum(axis=(1, 2))
+                out["n_west"][ii] = (-gx > ay).sum(axis=(1, 2))
+                out["n_north"][ii] = (-gy > ax).sum(axis=(1, 2))
+                out["n_south"][ii] = (gy > ax).sum(axis=(1, 2))
+            yield pd.DataFrame(out)
+
+    return slim.mapInPandas(_terrain, schema=_TERRAIN_SCHEMA)
+
+
 def change_detect(a: DataFrame, b: DataFrame, key: str = "image_id") -> DataFrame:
     """Join two co-registered tile corpora on `key` and emit per-tile
     change statistics.  Columns taken from each side: bytes, fmt (plus

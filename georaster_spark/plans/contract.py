@@ -484,6 +484,134 @@ def q_focal_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_TERRAIN_MOD = 97
+
+
+def q_terrain_slope(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Horn 3x3 slope/aspect terrain analysis (operators/algebra.
+    terrain_stats — `gdaldem slope/aspect` analog): integer-exact
+    slope-squared stats + strict-compare compass classes per tile, one
+    fused map-only Arrow pass, oracle re-derived from the ramp formula."""
+    from ..operators import algebra
+
+    tiles = geo.georegister(_images(spark, sf_dir)).where(
+        geo.image_idx() % _TERRAIN_MOD == 0
+    )
+    return (
+        algebra.terrain_stats(tiles)
+        .repartition(1).sortWithinPartitions("image_id")
+    )
+
+
+def _sql_terrain_slope(fx: Path, w: int) -> str:
+    """DuckDB twin of q_terrain_slope: Horn gx/gy evaluated directly from
+    the ramp formula at each interior pixel."""
+
+    def rv(di: int, dj: int) -> str:
+        return f"CAST({osql.ramp_value_expr(f'gi.i + {di}', f'gj.j + {dj}')} AS BIGINT)"
+
+    gx = (
+        f"({rv(-1, 1)} + 2*{rv(0, 1)} + {rv(1, 1)}"
+        f" - {rv(-1, -1)} - 2*{rv(0, -1)} - {rv(1, -1)})"
+    )
+    gy = (
+        f"({rv(1, -1)} + 2*{rv(1, 0)} + {rv(1, 1)}"
+        f" - {rv(-1, -1)} - 2*{rv(-1, 0)} - {rv(-1, 1)})"
+    )
+    iw = w - 2
+    return f"""
+WITH {osql.georegister_cte(str(fx / 'images.parquet'))},
+px AS (
+  SELECT image_id, gi.i AS i, gj.j AS j, {gx} AS gx, {gy} AS gy
+  FROM tiles,
+       generate_series(1, {w - 2}) AS gi(i), generate_series(1, {w - 2}) AS gj(j)
+  WHERE idx % {_TERRAIN_MOD} = 0
+)
+SELECT image_id,
+       CAST(COUNT(*) AS BIGINT) AS n_interior,
+       CAST(SUM(gx*gx + gy*gy) AS BIGINT) AS slope_sq_sum,
+       CAST(MAX(gx*gx + gy*gy) AS BIGINT) AS slope_sq_max,
+       CAST(SUM((gx*gx + gy*gy) * ((i - 1) * {iw} + (j - 1) + 1)) AS BIGINT) AS slope_checksum,
+       CAST(SUM(CASE WHEN gx = 0 AND gy = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_flat,
+       CAST(SUM(CASE WHEN gx > abs(gy) THEN 1 ELSE 0 END) AS BIGINT) AS n_east,
+       CAST(SUM(CASE WHEN -gy > abs(gx) THEN 1 ELSE 0 END) AS BIGINT) AS n_north,
+       CAST(SUM(CASE WHEN -gx > abs(gy) THEN 1 ELSE 0 END) AS BIGINT) AS n_west,
+       CAST(SUM(CASE WHEN gy > abs(gx) THEN 1 ELSE 0 END) AS BIGINT) AS n_south
+FROM px GROUP BY image_id ORDER BY image_id
+"""
+
+
+_REGION_MOD = 997
+
+
+def q_raster_regions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Connected-component region labeling of the >=128 threshold mask
+    (operators/regions — gdal_sieve / ConnectedComponents analog):
+    run-based union-find per tile, map-only fused Arrow pass.  Labels are
+    content-derived (min linear pixel index), so the DuckDB oracle can
+    re-derive every surface via a recursive-CTE transitive closure over
+    the ramp-formula pixel graph."""
+    from ..operators import regions
+
+    tiles = geo.georegister(_images(spark, sf_dir)).where(
+        geo.image_idx() % _REGION_MOD == 0
+    )
+    return (
+        regions.region_stats(tiles)
+        .repartition(1).sortWithinPartitions("image_id")
+    )
+
+
+def _sql_raster_regions(fx: Path, w: int) -> str:
+    """DuckDB twin of q_raster_regions: foreground pixels from the ramp
+    formula, 4-adjacency edges, min-label via recursive closure (the
+    pixel-granularity version of the _sql_dedup_components idiom)."""
+    from ..operators.regions import DEFAULT_THRESHOLD
+
+    ramp = osql.ramp_value_expr("gi.i", "gj.j")
+    return f"""
+WITH RECURSIVE {osql.georegister_cte(str(fx / 'images.parquet'))},
+px AS (
+  SELECT image_id, gi.i * {w} + gj.j AS pid
+  FROM tiles,
+       generate_series(0, {w - 1}) AS gi(i), generate_series(0, {w - 1}) AS gj(j)
+  WHERE idx % {_REGION_MOD} = 0 AND CAST({ramp} AS BIGINT) >= {DEFAULT_THRESHOLD}
+),
+edges AS (
+  SELECT a.image_id, a.pid AS u, b.pid AS v
+  FROM px a JOIN px b ON b.image_id = a.image_id
+   AND (b.pid = a.pid + {w}
+        OR (b.pid = a.pid + 1 AND a.pid % {w} <> {w - 1}))
+),
+sym AS (SELECT image_id, u, v FROM edges
+        UNION SELECT image_id, v, u FROM edges),
+reach(image_id, pid, r) AS (
+  SELECT image_id, pid, pid FROM px
+  UNION
+  SELECT e.image_id, e.v, reach.r
+  FROM reach JOIN sym e ON e.image_id = reach.image_id AND e.u = reach.pid
+),
+labels AS (
+  SELECT image_id, pid, MIN(r) AS comp FROM reach GROUP BY image_id, pid
+),
+comps AS (
+  SELECT image_id, comp, COUNT(*) AS sz FROM labels GROUP BY image_id, comp
+),
+agg AS (
+  SELECT image_id, SUM(sz) AS n_fg, COUNT(*) AS n_regions,
+         MAX(sz) AS max_region, SUM((comp + 1) * sz) AS region_checksum
+  FROM comps GROUP BY image_id
+)
+SELECT t.image_id,
+       CAST(COALESCE(a.n_fg, 0) AS BIGINT) AS n_fg,
+       CAST(COALESCE(a.n_regions, 0) AS BIGINT) AS n_regions,
+       CAST(COALESCE(a.max_region, 0) AS BIGINT) AS max_region,
+       CAST(COALESCE(a.region_checksum, 0) AS BIGINT) AS region_checksum
+FROM (SELECT image_id FROM tiles WHERE idx % {_REGION_MOD} = 0) t
+LEFT JOIN agg a USING (image_id) ORDER BY t.image_id
+"""
+
+
 _STRATA_RATES = {"en": 250, "de": 600, "zh": 400}
 _STRATA_DEFAULT = 500
 
@@ -2010,6 +2138,8 @@ def spatial_queries() -> dict[str, QueryFn]:
         "pyramid_checksums": q_pyramid_checksums,
         "focal_stats": q_focal_stats,
         "focal_mosaic": q_focal_mosaic,
+        "terrain_slope": q_terrain_slope,
+        "raster_regions": q_raster_regions,
         "rasterize_burn": q_rasterize,
         "equalize": q_equalize,
         "stratified_sample": q_stratified_sample,
@@ -2080,6 +2210,8 @@ def spatial_oracles(sf: str = "sf0.01") -> dict[str, str]:
         "pyramid_checksums": _sql_pyramid_checksums(fx, w),
         "focal_stats": _sql_focal_stats(fx, w),
         "focal_mosaic": _sql_focal_mosaic(fx),
+        "terrain_slope": _sql_terrain_slope(fx, w),
+        "raster_regions": _sql_raster_regions(fx, w),
         "rasterize_burn": _sql_rasterize(fx, w),
         "equalize": _sql_equalize(fx, w),
         "stratified_sample": _sql_stratified_sample(),

@@ -45,6 +45,51 @@ def test_change_detect_single_arrow_hop(spark, sf0001_dir):
     assert "ReadSchema: struct<image_id:string,bytes:binary,fmt:string>" in plan, plan
 
 
+def _horn(z: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
+    gx = (
+        z[:-2, 2:] + 2 * z[1:-1, 2:] + z[2:, 2:]
+        - z[:-2, :-2] - 2 * z[1:-1, :-2] - z[2:, :-2]
+    )
+    gy = (
+        z[2:, :-2] + 2 * z[2:, 1:-1] + z[2:, 2:]
+        - z[:-2, :-2] - 2 * z[:-2, 1:-1] - z[:-2, 2:]
+    )
+    return gx, gy
+
+
+def test_terrain_stats_matches_numpy(spark, sf0001_dir):
+    lim = 48
+    tiles = geo.georegister(
+        spark.read.parquet(str(sf0001_dir / "images.parquet"))
+    ).where(geo.image_idx() < lim)
+    got = {r["image_id"]: r for r in algebra.terrain_stats(tiles).collect()}
+    assert len(got) == lim
+    for idx in range(lim):
+        z = oracle.ramp_tile(idx, 32, 32).astype(np.int64)
+        if idx % 10 == 3:
+            z = oracle.quantize(z)
+        gx, gy = _horn(z)
+        s2 = gx * gx + gy * gy
+        wt = np.arange(1, 30 * 30 + 1, dtype=np.int64).reshape(30, 30)
+        r = got[f"img{idx:08d}"]
+        assert r["n_interior"] == 900
+        assert r["slope_sq_sum"] == int(s2.sum())
+        assert r["slope_sq_max"] == int(s2.max())
+        assert r["slope_checksum"] == int((s2 * wt).sum())
+        assert r["n_flat"] == int(((gx == 0) & (gy == 0)).sum())
+        assert r["n_east"] == int((gx > np.abs(gy)).sum())
+        assert r["n_west"] == int((-gx > np.abs(gy)).sum())
+        assert r["n_north"] == int((-gy > np.abs(gx)).sum())
+        assert r["n_south"] == int((gy > np.abs(gx)).sum())
+
+
+def test_terrain_stats_map_only_plan(spark, sf0001_dir):
+    tiles = geo.georegister(spark.read.parquet(str(sf0001_dir / "images.parquet")))
+    plan = algebra.terrain_stats(tiles)._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan, plan
+    assert plan.count("ArrowEvalPython") + plan.count("MapInPandas") == 1, plan
+
+
 def test_diff_stats_raises_on_shape_mismatch(spark):
     df = spark.createDataFrame(
         [(b"\x00\x01", b"\x00", "raw", "raw")], "a binary, b binary, fa string, fb string"
