@@ -404,3 +404,134 @@ WINDOW w AS (PARTITION BY user_id ORDER BY ts
              RANGE BETWEEN INTERVAL 1 HOUR PRECEDING AND CURRENT ROW)
 ORDER BY event_id
 """
+
+
+def revenue_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GROUPING SETS — the general form rollup/cube specialize: exactly
+    three aggregation grains ((nation), (segment), ()) in one pass, with
+    GROUPING() disambiguating the all-rows grain from real values.
+    Catalyst expands this to a single Expand + hash-aggregate plan (one
+    scan, no self-union)."""
+    _t(spark, sf_dir, "customer").createOrReplaceTempView("customer")
+    _t(spark, sf_dir, "nation").createOrReplaceTempView("nation")
+    return spark.sql(
+        """
+        SELECT COALESCE(n_name, '') AS nation,
+               COALESCE(c_mktsegment, '') AS segment,
+               GROUPING(n_name) + 2 * GROUPING(c_mktsegment) AS grain,
+               COUNT(*) AS n_cust,
+               SUM(CAST(round(c_acctbal * 100) AS BIGINT)) AS acctbal_cents
+        FROM customer JOIN nation ON c_nationkey = n_nationkey
+        GROUP BY GROUPING SETS ((n_name), (c_mktsegment), ())
+        """
+    ).repartition(1).sortWithinPartitions("grain", "nation", "segment")
+
+
+def revenue_grouping_sets_sql() -> str:
+    return """
+SELECT COALESCE(n_name, '') AS nation,
+       COALESCE(c_mktsegment, '') AS segment,
+       GROUPING(n_name) + 2 * GROUPING(c_mktsegment) AS grain,
+       COUNT(*) AS n_cust,
+       CAST(SUM(CAST(round(c_acctbal * 100) AS BIGINT)) AS BIGINT) AS acctbal_cents
+FROM customer JOIN nation ON c_nationkey = n_nationkey
+GROUP BY GROUPING SETS ((n_name), (c_mktsegment), ())
+ORDER BY grain, nation, segment
+"""
+
+
+def nation_set_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """INTERSECT / EXCEPT set operators (the one §2.3 set-op row no
+    other query exercised head-on): nations that have both customers and
+    suppliers, vs customer-only nations.  Both set ops are DISTINCT
+    semantics -> Catalyst plans them as left-semi / left-anti hash joins
+    over the deduped children."""
+    cust = _t(spark, sf_dir, "customer")
+    supp = _t(spark, sf_dir, "supplier")
+    nation = _t(spark, sf_dir, "nation")
+    cn = cust.join(nation, cust.c_nationkey == nation.n_nationkey).select("n_name")
+    sn = supp.join(nation, supp.s_nationkey == nation.n_nationkey).select("n_name")
+    both = cn.intersect(sn).select("n_name", F.lit("both").alias("tag"))
+    only = cn.distinct().subtract(sn.distinct()).select(
+        "n_name", F.lit("cust_only").alias("tag")
+    )
+    return both.unionByName(only).repartition(1).sortWithinPartitions("tag", "n_name")
+
+
+def nation_set_ops_sql() -> str:
+    return """
+WITH cn AS (SELECT n_name FROM customer JOIN nation ON c_nationkey = n_nationkey),
+     sn AS (SELECT n_name FROM supplier JOIN nation ON s_nationkey = n_nationkey)
+SELECT n_name, 'both' AS tag FROM (SELECT * FROM cn INTERSECT SELECT * FROM sn)
+UNION ALL
+SELECT n_name, 'cust_only' AS tag FROM (SELECT * FROM cn EXCEPT SELECT * FROM sn)
+ORDER BY tag, n_name
+"""
+
+
+def orders_above_cust_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Correlated scalar subqueries (Catalyst decorrelates them into
+    aggregate + join under the hood): per customer, how many of their
+    orders are strictly above their own average order value.  The
+    comparison is done as cents * count > sum_cents — integer-exact, no
+    float average ever materializes."""
+    _t(spark, sf_dir, "orders").createOrReplaceTempView("orders")
+    return spark.sql(
+        """
+        SELECT o.o_custkey AS c_custkey, COUNT(*) AS n_above
+        FROM orders o
+        WHERE CAST(round(o.o_totalprice * 100) AS BIGINT)
+              * (SELECT COUNT(*) FROM orders i WHERE i.o_custkey = o.o_custkey)
+              > (SELECT SUM(CAST(round(i2.o_totalprice * 100) AS BIGINT))
+                 FROM orders i2 WHERE i2.o_custkey = o.o_custkey)
+        GROUP BY o.o_custkey
+        """
+    ).repartition(1).sortWithinPartitions("c_custkey")
+
+
+def orders_above_cust_avg_sql() -> str:
+    return """
+SELECT o.o_custkey AS c_custkey, COUNT(*) AS n_above
+FROM orders o
+WHERE CAST(round(o.o_totalprice * 100) AS BIGINT)
+      * (SELECT COUNT(*) FROM orders i WHERE i.o_custkey = o.o_custkey)
+      > (SELECT SUM(CAST(round(i2.o_totalprice * 100) AS BIGINT))
+         FROM orders i2 WHERE i2.o_custkey = o.o_custkey)
+GROUP BY o.o_custkey
+ORDER BY c_custkey
+"""
+
+
+def order_date_string_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scalar-function suite (date + string categories of §2.3) over one
+    aggregation: year/month/day extraction, date difference from an
+    epoch, substring/upper parsing of the priority code — all JVM-side
+    Column functions, integer-exact outputs."""
+    o = _t(spark, sf_dir, "orders")
+    d = F.col("o_orderdate").cast("date")
+    return (
+        o.groupBy(F.year(d).alias("yr"))
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.sum(F.when(F.month(d) <= 3, 1).otherwise(0)).alias("n_q1"),
+            F.max(F.dayofmonth(d)).alias("max_dom"),
+            F.sum(F.datediff(d, F.lit("1995-01-01").cast("date")).cast("long")).alias("sum_days"),
+            F.sum(F.substring("o_orderpriority", 1, 1).cast("long")).alias("sum_prio"),
+            F.min(F.upper(F.substring("o_orderpriority", 3, 20))).alias("first_prio"),
+        )
+        .repartition(1).sortWithinPartitions("yr")
+    )
+
+
+def order_date_string_stats_sql() -> str:
+    return """
+SELECT EXTRACT(year FROM o_orderdate) AS yr,
+       COUNT(*) AS n_orders,
+       CAST(SUM(CASE WHEN EXTRACT(month FROM o_orderdate) <= 3 THEN 1 ELSE 0 END) AS BIGINT) AS n_q1,
+       CAST(MAX(EXTRACT(day FROM o_orderdate)) AS INTEGER) AS max_dom,
+       CAST(SUM(datediff('day', DATE '1995-01-01', CAST(o_orderdate AS DATE))) AS BIGINT) AS sum_days,
+       CAST(SUM(CAST(substr(o_orderpriority, 1, 1) AS BIGINT)) AS BIGINT) AS sum_prio,
+       MIN(upper(substr(o_orderpriority, 3, 20))) AS first_prio
+FROM orders
+GROUP BY 1 ORDER BY yr
+"""

@@ -2175,6 +2175,10 @@ def spatial_queries() -> dict[str, QueryFn]:
         "asof_clicks": rel.clicks_prior_purchase,
         "events_pivot": rel.events_pivot,
         "rolling_hour": rel.rolling_user_value,
+        "revenue_grouping_sets": rel.revenue_grouping_sets,
+        "nation_set_ops": rel.nation_set_ops,
+        "orders_above_avg": rel.orders_above_cust_avg,
+        "order_date_strings": rel.order_date_string_stats,
         **textops.text_queries(),
         **vectors.vector_queries(),
     }
@@ -2247,6 +2251,10 @@ def spatial_oracles(sf: str = "sf0.01") -> dict[str, str]:
         "asof_clicks": rel.clicks_prior_purchase_sql(),
         "events_pivot": rel.events_pivot_sql(),
         "rolling_hour": rel.rolling_user_value_sql(),
+        "revenue_grouping_sets": rel.revenue_grouping_sets_sql(),
+        "nation_set_ops": rel.nation_set_ops_sql(),
+        "orders_above_avg": rel.orders_above_cust_avg_sql(),
+        "order_date_strings": rel.order_date_string_stats_sql(),
         **textops.text_oracles(),
         **vectors.vector_oracles(),
     }
