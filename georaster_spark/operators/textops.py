@@ -33,6 +33,7 @@ from __future__ import annotations
 
 from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
+from pyspark.sql import Window as W
 
 # ---------------------------------------------------------------------------
 # shared constants (mirrored into the SQL strings below)
@@ -562,6 +563,59 @@ ORDER BY a_id, b_id
 # ---------------------------------------------------------------------------
 
 
+
+
+TFIDF_TOPK = 3
+
+
+def tfidf_topterms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TF-IDF term salience, integer-exact: per document the top-3 terms
+    ranked by (tf DESC, df ASC, term ASC) — monotone in tf/df exactly as
+    tf*idf orders them for fixed corpus size, with a total tie-break, so
+    no float logarithm enters the hash surface.
+
+    Plan shape: explode -> two partial+final hash aggs (tf on
+    (doc, term), df on term) -> equi-join on term -> per-doc window
+    top-k.  Scale note (10^12 docs): the df side's hot keys are
+    stopwords — exactly the D2 hot-shingle profile — so at scale the
+    join wants a min-df/stopword cap or salting (operators/skew.py);
+    the tf agg itself is skew-free (doc_id is the dominant key)."""
+    tf = (
+        _docs(spark, sf_dir)
+        .select("doc_id", F.explode(words_col()).alias("term"))
+        .where(F.col("term") != "")
+        .groupBy("doc_id", "term")
+        .agg(F.count(F.lit(1)).alias("tf"))
+    )
+    dfq = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    w = W.partitionBy("doc_id").orderBy(
+        F.col("tf").desc(), F.col("df").asc(), F.col("term").asc()
+    )
+    return (
+        tf.join(dfq, "term")
+        .withColumn("rnk", F.row_number().over(w))
+        .where(F.col("rnk") <= TFIDF_TOPK)
+        .select("doc_id", "rnk", "term", "tf", "df")
+        .repartition(1).sortWithinPartitions("doc_id", "rnk")
+    )
+
+
+def tfidf_topterms_sql() -> str:
+    return f"""
+WITH w AS (SELECT doc_id, unnest({_SQL_WS}) AS term FROM documents),
+tf AS (SELECT doc_id, term, COUNT(*) AS tf FROM w WHERE term <> '' GROUP BY doc_id, term),
+dfq AS (SELECT term, COUNT(*) AS df FROM tf GROUP BY term),
+ranked AS (
+  SELECT tf.doc_id, tf.term, tf.tf, dfq.df,
+         ROW_NUMBER() OVER (PARTITION BY tf.doc_id
+                            ORDER BY tf.tf DESC, dfq.df ASC, tf.term ASC) AS rnk
+  FROM tf JOIN dfq USING (term)
+)
+SELECT doc_id, rnk, term, tf, df FROM ranked
+WHERE rnk <= {TFIDF_TOPK} ORDER BY doc_id, rnk
+"""
+
+
 def text_queries():
     return {
         "text_stats": text_stats,
@@ -572,6 +626,7 @@ def text_queries():
         "jaccard_pairs": jaccard_pairs,
         "minhash_lsh_pairs": minhash_lsh_pairs,
         "simhash_pairs": simhash_pairs,
+        "tfidf_topterms": tfidf_topterms,
     }
 
 
@@ -585,4 +640,5 @@ def text_oracles() -> dict[str, str]:
         "jaccard_pairs": jaccard_pairs_sql(),
         "minhash_lsh_pairs": minhash_lsh_pairs_sql(),
         "simhash_pairs": simhash_pairs_sql(),
+        "tfidf_topterms": tfidf_topterms_sql(),
     }

@@ -846,6 +846,59 @@ def q_stream_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_SJOIN_LIM = 1800
+_SJOIN_HORIZON = 120
+
+
+def q_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Op S5 (stream-stream interval join) surfaced to the oracle gate:
+    split the image stream by index parity into two live streams and run
+    the watermarked same-cell revisit join (tile_stream.
+    stream_revisit_join) availableNow.  Inner-join append semantics emit
+    every pair in the single micro-batch, so the oracle is a plain SQL
+    self-join over the georegister + event-time rules."""
+    import tempfile
+    import uuid
+
+    from ..streaming import tile_stream as ts
+
+    fx = _fx(sf_dir)
+    tmp = Path(tempfile.mkdtemp(prefix="gs_sjoin_"))
+    (tmp / "in").mkdir()
+    os.symlink(fx / "images.parquet", tmp / "in" / "images.parquet")
+    name = f"s5_{uuid.uuid4().hex[:8]}"
+    base = lambda: ts.read_image_stream(spark, str(tmp / "in")).where(  # noqa: E731
+        geo.image_idx() < _SJOIN_LIM
+    )
+    a = base().where(geo.image_idx() % 2 == 0)
+    b = base().where(geo.image_idx() % 2 == 1)
+    joined = ts.stream_revisit_join(a, b, horizon_s=_SJOIN_HORIZON)
+    ts.run_to_memory(joined, name, str(tmp / "ckpt"), state_partitions=8)
+    return (
+        spark.table(name)
+        .repartition(1).sortWithinPartitions("a_id", "b_id")
+    )
+
+
+def _sql_stream_join(fx: Path) -> str:
+    """DuckDB twin of q_stream_join: the same same-cell interval join
+    from ts = idx seconds (parity split, 0 < dt <= horizon)."""
+    cell = osql.cell_expr("gt_x0", "gt_y0", DEFAULT_RES)
+    return f"""
+WITH {osql.georegister_cte(str(fx / 'images.parquet'))},
+ev AS (
+  SELECT image_id, idx, {cell} AS cell_id FROM tiles WHERE idx < {_SJOIN_LIM}
+)
+SELECT a.image_id AS a_id, b.image_id AS b_id, a.cell_id,
+       CAST(b.idx - a.idx AS BIGINT) AS dt_s
+FROM ev a JOIN ev b
+  ON b.cell_id = a.cell_id
+ AND b.idx > a.idx AND b.idx <= a.idx + {_SJOIN_HORIZON}
+WHERE a.idx % 2 = 0 AND b.idx % 2 = 1
+ORDER BY a_id, b_id
+"""
+
+
 def q_image_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Op M2 (image resize + feature extract) surfaced to the oracle
     gate: fixture images as media rows -> nearest-neighbor resize to
@@ -2157,6 +2210,7 @@ def spatial_queries() -> dict[str, QueryFn]:
         "multiband_stats": q_multiband_stats,
         "sink_roundtrip": q_sink_roundtrip,
         "stream_dedup": q_stream_dedup,
+        "stream_join": q_stream_join,
         "image_pipeline": q_image_pipeline,
         "audio_features": q_audio_features,
         "video_frames": q_video_frames,
@@ -2233,6 +2287,7 @@ def spatial_oracles(sf: str = "sf0.01") -> dict[str, str]:
         "multiband_stats": _sql_multiband_stats(fx, w),
         "sink_roundtrip": _sql_sink_roundtrip(fx, w),
         "stream_dedup": _sql_stream_dedup(fx),
+        "stream_join": _sql_stream_join(fx),
         "image_pipeline": _sql_image_pipeline(fx, w),
         "audio_features": _sql_audio_features(fx),
         "video_frames": _sql_video_frames(fx),

@@ -190,6 +190,63 @@ def stream_sessionize(
     )
 
 
+def stream_revisit_join(
+    a: DataFrame,
+    b: DataFrame,
+    r: int = DEFAULT_RES,
+    horizon_s: int = 120,
+    watermark: str = "1 minute",
+) -> DataFrame:
+    """STREAM-STREAM inner join with an event-time range condition (op
+    S5): for every tile on stream A, the tiles on stream B that land in
+    the SAME anchor cell within `horizon_s` seconds after it — the
+    streaming form of a spatial revisit/co-observation query.
+
+    Both sides carry watermarks and the join condition bounds ts_b
+    relative to ts_a, which is exactly what Spark requires to bound
+    stream-stream join state: each side's buffered rows are dropped once
+    the other side's watermark passes the range horizon.  Inner-join
+    results are emitted as soon as both rows have arrived (append mode,
+    no finalization delay), so the availableNow run over a single
+    micro-batch is batch-equivalent and SQL-expressible.
+
+    Both sides share the georegister code path with batch (the point of
+    DataFrame-first design); the join key is (cell_id) + the time bound,
+    so state is partitioned by cell — the same skew posture as E8 (hot
+    anchor cells would get salted the same way)."""
+    ta = (
+        geo.georegister(with_event_time(a), r)
+        .select(
+            F.col("image_id").alias("a_id"),
+            "cell_id",
+            F.col("ts").alias("ts_a"),
+        )
+        .withWatermark("ts_a", watermark)
+    )
+    tb = (
+        geo.georegister(with_event_time(b), r)
+        .select(
+            F.col("image_id").alias("b_id"),
+            F.col("cell_id").alias("cell_b"),
+            F.col("ts").alias("ts_b"),
+        )
+        .withWatermark("ts_b", watermark)
+    )
+    joined = ta.join(
+        tb,
+        (F.col("cell_id") == F.col("cell_b"))
+        & (F.col("ts_b") > F.col("ts_a"))
+        & (F.col("ts_b") <= F.col("ts_a") + F.make_interval(secs=F.lit(horizon_s))),
+        "inner",
+    )
+    return joined.select(
+        "a_id",
+        "b_id",
+        "cell_id",
+        (F.col("ts_b").cast("long") - F.col("ts_a").cast("long")).alias("dt_s"),
+    )
+
+
 def run_to_memory(
     stream_df: DataFrame,
     name: str,

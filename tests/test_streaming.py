@@ -131,3 +131,44 @@ def test_resume_from_checkpoint(spark, stream_dir, tmp_path):
     n2 = spark.read.parquet(sink).count()
     # restart processed ONLY the new file's rows (no re-emission of old)
     assert n1 < n2 <= n1 + 50
+
+
+def test_stream_revisit_join_matches_batch(spark, stream_dir, tmp_path):
+    """Stream-stream interval join (multi-file source, so both sides see
+    several micro-batches) must equal the batch equi+range join."""
+    from georaster_spark.operators import georegister as geo
+
+    a = ts.read_image_stream(spark, str(stream_dir)).where(geo.image_idx() % 2 == 0)
+    b = ts.read_image_stream(spark, str(stream_dir)).where(geo.image_idx() % 2 == 1)
+    out = ts.stream_revisit_join(a, b, horizon_s=120)
+    ts.run_to_memory(out, "sjoin_stream", str(tmp_path / "ck_sjoin"), state_partitions=8)
+    got = sorted(
+        (r["a_id"], r["b_id"], r["cell_id"], r["dt_s"])
+        for r in spark.table("sjoin_stream").collect()
+    )
+
+    batch_src = spark.read.parquet(str(stream_dir))
+    ta = (
+        geo.georegister(ts.with_event_time(batch_src.where(geo.image_idx() % 2 == 0)))
+        .select(F.col("image_id").alias("a_id"), "cell_id", F.col("ts").alias("ts_a"))
+    )
+    tb = (
+        geo.georegister(ts.with_event_time(batch_src.where(geo.image_idx() % 2 == 1)))
+        .select(F.col("image_id").alias("b_id"), F.col("cell_id").alias("cell_b"),
+                F.col("ts").alias("ts_b"))
+    )
+    want = sorted(
+        (r["a_id"], r["b_id"], r["cell_id"], r["dt_s"])
+        for r in ta.join(
+            tb,
+            (F.col("cell_id") == F.col("cell_b"))
+            & (F.col("ts_b") > F.col("ts_a"))
+            & (F.col("ts_b") <= F.col("ts_a") + F.make_interval(secs=F.lit(120))),
+        )
+        .select(
+            "a_id", "b_id", "cell_id",
+            (F.col("ts_b").cast("long") - F.col("ts_a").cast("long")).alias("dt_s"),
+        )
+        .collect()
+    )
+    assert got == want and len(got) > 0
