@@ -374,6 +374,81 @@ def q_focal_mosaic(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_mosaic_regions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distributed connected components over the warped mosaic
+    (regions.mosaic_region_components): per-tile run-based union-find,
+    then seam label strips + min-label propagation merge fragments
+    across tile boundaries.  Components must be identical to labeling
+    the 256x256 mosaic as one array — the oracle recomputes both levels
+    with recursive-CTE closures over the global pixel graph."""
+    from .. import oracle as orc
+    from ..operators import regions, warp
+
+    tiles = geo.georegister(_images(spark, sf_dir)).where(geo.image_idx() < 1000)
+    lon0, lat0 = orc.mercator_to_lonlat(0.0, 0.0)
+    lon1, lat1 = orc.mercator_to_lonlat(514_000.0, 2_300.0)
+    n = 256
+    grid = warp.TargetGrid(
+        crs="EPSG:4326", x0=float(lon0), y0=float(lat1),
+        xres=float(lon1 - lon0) / n, yres=float(lat1 - lat0) / n,
+        nx=n, ny=n, tile_w=64, tile_h=64,
+    )
+    mosaic = warp.reproject(tiles, grid, method="nearest")
+    return (
+        regions.mosaic_region_components(mosaic, ntx=4, nty=4)
+        .repartition(1).sortWithinPartitions("component")
+    )
+
+
+def _sql_mosaic_regions(fx: Path) -> str:
+    """DuckDB twin of q_mosaic_regions: the warped mosaic as one global
+    pixel relation, then TWO recursive min-label closures — one over all
+    4-adjacency edges (global components) and one over same-tile edges
+    only (tile-local fragments) — so n_frags checks the seam-merge
+    bookkeeping, not just the final partition."""
+    from ..operators.regions import MOSAIC_THRESHOLD
+
+    ctes, _ = _warp_mosaic_ctes(fx)
+    return ctes.replace("WITH ", "WITH RECURSIVE ", 1) + f""",
+mos AS (
+  SELECT (p.tid // 4) * 64 + p.i AS gi, (p.tid % 4) * 64 + p.j AS gj,
+         COALESCE(v.v, 0) AS v
+  FROM px p LEFT JOIN val v ON v.tid = p.tid AND v.i = p.i AND v.j = p.j
+),
+fg AS (
+  SELECT gi * 256 + gj AS pid, (gi // 64) * 4 + (gj // 64) AS tid
+  FROM mos WHERE v >= {MOSAIC_THRESHOLD}
+),
+eg AS (
+  SELECT a.pid AS u, b.pid AS v, a.tid AS ta, b.tid AS tb
+  FROM fg a JOIN fg b ON b.pid = a.pid + 1 AND a.pid % 256 <> 255
+  UNION ALL
+  SELECT a.pid, b.pid, a.tid, b.tid
+  FROM fg a JOIN fg b ON b.pid = a.pid + 256
+),
+symg AS (SELECT u, v FROM eg UNION SELECT v, u FROM eg),
+syml AS (SELECT u, v FROM eg WHERE ta = tb
+         UNION SELECT v, u FROM eg WHERE ta = tb),
+reachg(pid, r) AS (
+  SELECT pid, pid FROM fg
+  UNION
+  SELECT e.v, reachg.r FROM reachg JOIN symg e ON e.u = reachg.pid
+),
+reachl(pid, r) AS (
+  SELECT pid, pid FROM fg
+  UNION
+  SELECT e.v, reachl.r FROM reachl JOIN syml e ON e.u = reachl.pid
+),
+gl AS (SELECT pid, MIN(r) AS gcomp FROM reachg GROUP BY pid),
+ll AS (SELECT pid, MIN(r) AS lcomp FROM reachl GROUP BY pid)
+SELECT gcomp AS component,
+       CAST(COUNT(*) AS BIGINT) AS n_px,
+       CAST(COUNT(DISTINCT lcomp) AS BIGINT) AS n_frags
+FROM gl JOIN ll USING (pid)
+GROUP BY gcomp ORDER BY component
+"""
+
+
 _DS_MOD = 101
 _DS_K = 2
 
@@ -2193,6 +2268,7 @@ def spatial_queries() -> dict[str, QueryFn]:
         "focal_mosaic": q_focal_mosaic,
         "terrain_slope": q_terrain_slope,
         "raster_regions": q_raster_regions,
+        "mosaic_regions": q_mosaic_regions,
         "rasterize_burn": q_rasterize,
         "equalize": q_equalize,
         "stratified_sample": q_stratified_sample,
@@ -2270,6 +2346,7 @@ def spatial_oracles(sf: str = "sf0.01") -> dict[str, str]:
         "focal_mosaic": _sql_focal_mosaic(fx),
         "terrain_slope": _sql_terrain_slope(fx, w),
         "raster_regions": _sql_raster_regions(fx, w),
+        "mosaic_regions": _sql_mosaic_regions(fx),
         "rasterize_burn": _sql_rasterize(fx, w),
         "equalize": _sql_equalize(fx, w),
         "stratified_sample": _sql_stratified_sample(),

@@ -79,3 +79,47 @@ def test_region_stats_map_only_plan(spark, sf0001_dir):
     tiles = geo.georegister(spark.read.parquet(str(sf0001_dir / "images.parquet")))
     plan = regions.region_stats(tiles)._jdf.queryExecution().executedPlan().toString()
     assert "Exchange" not in plan, plan
+
+
+def test_mosaic_region_components_seam_exact(spark):
+    """2x2 synthetic mosaic: distributed two-level union-find must equal
+    single-array labeling of the stitched mosaic (seam merges exact)."""
+    rng = np.random.default_rng(11)
+    th, tw, ntx, nty = 16, 16, 2, 2
+    GW, GH = tw * ntx, th * nty
+    mosaic_arr = (rng.random((GH, GW)) * 256).astype(np.uint8)
+    rows = []
+    for ty in range(nty):
+        for tx in range(ntx):
+            sub = mosaic_arr[ty * th:(ty + 1) * th, tx * tw:(tx + 1) * tw]
+            rows.append((ty * ntx + tx, sub.tobytes(), tw, th, "raw"))
+    mosaic = spark.createDataFrame(
+        rows, "tile_id long, bytes binary, w int, h int, fmt string"
+    )
+    got = sorted(
+        (r["component"], r["n_px"], r["n_frags"])
+        for r in regions.mosaic_region_components(
+            mosaic, ntx=ntx, nty=nty, threshold=128
+        ).collect()
+    )
+
+    # reference: single-array labeling of the stitched mosaic
+    lbl = regions._label_image(mosaic_arr >= 128, GW)
+    labels, sizes = np.unique(lbl[lbl >= 0], return_counts=True)
+    # fragment count per component: label each tile separately, count
+    # distinct (tile, local label) pairs mapping into each global comp
+    frags: dict[int, set] = {}
+    for ty in range(nty):
+        for tx in range(ntx):
+            sub = mosaic_arr[ty * th:(ty + 1) * th, tx * tw:(tx + 1) * tw]
+            ll = regions._label_image(sub >= 128, tw)
+            for loc in np.unique(ll[ll >= 0]):
+                i, j = divmod(int(loc), tw)
+                gi, gj = ty * th + i, tx * tw + j
+                comp = int(lbl[gi, gj])
+                frags.setdefault(comp, set()).add((ty, tx, int(loc)))
+    want = sorted(
+        (int(lab), int(sz), len(frags[int(lab)]))
+        for lab, sz in zip(labels, sizes)
+    )
+    assert got == want and len(got) > 0
