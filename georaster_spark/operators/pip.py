@@ -162,3 +162,48 @@ def pip_join(
         refine = convex_pip_hof(F.col("ring"), F.col("_px"), F.col("_py"))
     joined = pts.join(zc, "cell_id").where(refine)
     return joined.drop("ring", "cell_id", "_px", "_py")
+
+
+def zone_geometry(zones: DataFrame) -> DataFrame:
+    """Vector-geometry analytics over zone rings: shoelace area, centroid
+    numerators, and edge-length statistics — the polygon measures a
+    vector layer carries alongside the PIP/zonal joins (no upstream
+    analog: georaster is raster-only; this is the vector half of the
+    raster<->vector tier).
+
+    All surfaces are int64-exact: ring coordinates are first snapped to
+    the unit lattice (floor(x + 0.5) — exact on doubles, identical in
+    any engine), then
+      area2    = signed shoelace sum  (= 2*area),
+      cx_num6 / cy_num6 = centroid numerators (= 6*area*cx, 6*area*cy),
+      perim_sq = sum of squared edge lengths
+    are pure integer folds over the edges (array higher-order functions;
+    JVM-side, no UDF, map-only — at 10^12 zones this is a scan)."""
+    n = F.size("ring")
+
+    def xi(k):
+        return F.floor(F.element_at("ring", k).getField("x") + 0.5).cast("long")
+
+    def yi(k):
+        return F.floor(F.element_at("ring", k).getField("y") + 0.5).cast("long")
+
+    def edge_fold(term):
+        return F.aggregate(
+            F.sequence(F.lit(1), n - 1),
+            F.lit(0).cast("long"),
+            lambda acc, k: acc + term(k),
+        )
+
+    cross = lambda k: xi(k) * yi(k + 1) - xi(k + 1) * yi(k)  # noqa: E731
+    return zones.select(
+        "zone_id",
+        "kind",
+        (n - 1).cast("long").alias("n_edges"),
+        edge_fold(cross).alias("area2"),
+        edge_fold(lambda k: (xi(k) + xi(k + 1)) * cross(k)).alias("cx_num6"),
+        edge_fold(lambda k: (yi(k) + yi(k + 1)) * cross(k)).alias("cy_num6"),
+        edge_fold(
+            lambda k: (xi(k + 1) - xi(k)) * (xi(k + 1) - xi(k))
+            + (yi(k + 1) - yi(k)) * (yi(k + 1) - yi(k))
+        ).alias("perim_sq"),
+    )

@@ -756,6 +756,42 @@ def q_rasterize(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_zone_geometry(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Vector-geometry analytics (pip.zone_geometry): unit-snapped
+    shoelace area, centroid numerators, squared-perimeter — integer
+    folds over the ring arrays, no UDF, map-only."""
+    from ..operators.pip import zone_geometry
+
+    return (
+        zone_geometry(_zones(spark, sf_dir))
+        .repartition(1).sortWithinPartitions("zone_id")
+    )
+
+
+def _sql_zone_geometry(fx: Path) -> str:
+    """DuckDB twin of q_zone_geometry: same integer folds via list
+    higher-order functions (1-indexed on both engines)."""
+    x = "CAST(floor(ring[{k}].x + 0.5) AS BIGINT)"
+    y = "CAST(floor(ring[{k}].y + 0.5) AS BIGINT)"
+    xk, xk1 = x.format(k="k"), x.format(k="k+1")
+    yk, yk1 = y.format(k="k"), y.format(k="k+1")
+    cross = f"({xk} * {yk1} - {xk1} * {yk})"
+    return f"""
+SELECT zone_id, kind,
+  CAST(len(ring) - 1 AS BIGINT) AS n_edges,
+  CAST(list_sum(list_transform(range(1, len(ring)), k -> {cross})) AS BIGINT) AS area2,
+  CAST(list_sum(list_transform(range(1, len(ring)),
+       k -> ({xk} + {xk1}) * {cross})) AS BIGINT) AS cx_num6,
+  CAST(list_sum(list_transform(range(1, len(ring)),
+       k -> ({yk} + {yk1}) * {cross})) AS BIGINT) AS cy_num6,
+  CAST(list_sum(list_transform(range(1, len(ring)),
+       k -> ({xk1} - {xk}) * ({xk1} - {xk}) + ({yk1} - {yk}) * ({yk1} - {yk})))
+       AS BIGINT) AS perim_sq
+FROM read_parquet('{fx / 'zones.parquet'}')
+ORDER BY zone_id
+"""
+
+
 _PHASH_MOD = 43
 
 
@@ -2257,6 +2293,7 @@ def spatial_queries() -> dict[str, QueryFn]:
         "pip_convex": _q_pip_kind("convex"),
         "subset_window": q_subset_window,
         "extent_intersection": q_extent_intersection,
+        "zone_geometry": q_zone_geometry,
         "pixel_centers": q_pixel_centers,
         "reproject_mosaic": q_reproject,
         "downsample_checksum": q_downsample_checksum,
@@ -2335,6 +2372,7 @@ def spatial_oracles(sf: str = "sf0.01") -> dict[str, str]:
         "pip_convex": _sql_pip_kind(fx, "convex"),
         "subset_window": _sql_subset_window(fx),
         "extent_intersection": _sql_extent_intersection(fx),
+        "zone_geometry": _sql_zone_geometry(fx),
         "pixel_centers": _sql_pixel_centers(fx, w),
         "reproject_mosaic": _sql_reproject(fx),
         "downsample_checksum": _sql_downsample_checksum(fx, w),

@@ -57,3 +57,30 @@ def test_rasterize_summary_consistent_with_mask(spark, sf0001_dir):
         wt = np.arange(1, lab.size + 1, dtype=np.int64)
         assert r["n_burned"] == int((lab > 0).sum())
         assert r["burn_checksum"] == int((lab * wt).sum())
+
+
+def test_zone_geometry_rect_exact(spark, sf0001_dir):
+    """Rect zones: shoelace must equal 2*w*h exactly (CCW positive), and
+    the plan must stay UDF-free (pure array higher-order functions)."""
+    from georaster_spark.operators.pip import zone_geometry
+
+    zones = spark.read.parquet(str(sf0001_dir / "zones.parquet"))
+    out = zone_geometry(zones)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "ArrowEvalPython" not in plan and "BatchEvalPython" not in plan, plan
+    rows = {r["zone_id"]: r for r in out.collect()}
+    import math
+
+    for z in zones.collect():
+        r = rows[z["zone_id"]]
+        ring = [(math.floor(p["x"] + 0.5), math.floor(p["y"] + 0.5)) for p in z["ring"]]
+        area2 = sum(
+            ring[k][0] * ring[k + 1][1] - ring[k + 1][0] * ring[k][1]
+            for k in range(len(ring) - 1)
+        )
+        assert r["area2"] == area2
+        assert r["n_edges"] == len(ring) - 1
+        if z["kind"] == "rect":
+            w = round(z["xmax"] - z["xmin"])
+            h = round(z["ymax"] - z["ymin"])
+            assert abs(r["area2"]) == 2 * w * h
