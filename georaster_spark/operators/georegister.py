@@ -148,3 +148,43 @@ def centroid_x(df_or_prefix=""):
 def centroid_y(df_or_prefix=""):
     p = df_or_prefix
     return F.col(f"{p}gt_y0") - F.col(f"{p}h") * F.col(f"{p}gt_yres") / 2.0
+
+
+def cell_rollup(
+    tiles: DataFrame, r_from: int = DEFAULT_RES, levels: tuple = (11, 9, 7)
+) -> DataFrame:
+    """Hierarchical multi-resolution cell rollup (the hypertable /
+    overview-catalog pattern): per-cell tile counts + width sums at the
+    ingest resolution, then each coarser level re-aggregates the PREVIOUS
+    level's aggregates via cell_parent_chain — never re-scanning the
+    base table.  One slim shuffle at r_from; every coarser shuffle moves
+    only ~4x-shrinking aggregate rows.  Output: (res, cell, n_tiles,
+    sum_w) across all levels — the materialized-rollup a 10^12-tile
+    catalog serves zoom queries from."""
+    base = (
+        tiles.groupBy(F.col("cell_id").alias("cell"))
+        .agg(
+            F.count(F.lit(1)).alias("n_tiles"),
+            F.sum(F.col("w").cast("long")).alias("sum_w"),
+        )
+    )
+    out = base.select(
+        F.lit(r_from).alias("res"), "cell", "n_tiles", "sum_w"
+    )
+    cur = base
+    r_prev = r_from
+    for r_to in levels:
+        cur = (
+            cur.select(
+                cells.cell_parent_chain(F.col("cell"), r_prev, r_to).alias("cell"),
+                "n_tiles",
+                "sum_w",
+            )
+            .groupBy("cell")
+            .agg(F.sum("n_tiles").alias("n_tiles"), F.sum("sum_w").alias("sum_w"))
+        )
+        out = out.unionByName(
+            cur.select(F.lit(r_to).alias("res"), "cell", "n_tiles", "sum_w")
+        )
+        r_prev = r_to
+    return out

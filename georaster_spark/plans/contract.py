@@ -756,6 +756,53 @@ def q_rasterize(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_ROLLUP_LEVELS = (11, 9, 7)
+
+
+def q_cell_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hierarchical cell rollup (georegister.cell_rollup): counts/sums
+    at r13 re-aggregated level-by-level to r11/r9/r7 — aggregates of
+    aggregates, one slim shuffle per level, base scanned once."""
+    tiles = geo.georegister(_images(spark, sf_dir))
+    return (
+        geo.cell_rollup(tiles, DEFAULT_RES, _ROLLUP_LEVELS)
+        .repartition(1).sortWithinPartitions("res", "cell")
+    )
+
+
+def _sql_cell_rollup(fx: Path) -> str:
+    """DuckDB twin of q_cell_rollup: each level grouped directly from the
+    r13 anchor cell via the integer parent formula (equivalent to the
+    engine's level-chained re-aggregation)."""
+    cell = osql.cell_expr("gt_x0", "gt_y0", DEFAULT_RES)
+
+    def parent(r_to: int) -> str:
+        shift = 1 << (DEFAULT_RES - r_to)
+        return (
+            f"({r_to}::BIGINT << {RES_SHIFT}) + "
+            f"((c.cell - ({DEFAULT_RES}::BIGINT << {RES_SHIFT})) // {1 << DEFAULT_RES} // {shift}) * {1 << r_to} + "
+            f"((c.cell - ({DEFAULT_RES}::BIGINT << {RES_SHIFT})) % {1 << DEFAULT_RES} // {shift})"
+        )
+
+    arms = "\nUNION ALL\n".join(
+        f"SELECT {r} AS res, {parent(r)} AS cell, COUNT(*) AS n_tiles,"
+        f" SUM(w) AS sum_w FROM c GROUP BY 2"
+        for r in _ROLLUP_LEVELS
+    )
+    return f"""
+WITH {osql.georegister_cte(str(fx / 'images.parquet'))},
+c AS (SELECT {cell} AS cell, CAST(w AS BIGINT) AS w FROM tiles)
+SELECT res, cell, CAST(n_tiles AS BIGINT) AS n_tiles, CAST(sum_w AS BIGINT) AS sum_w
+FROM (
+  SELECT {DEFAULT_RES} AS res, c.cell AS cell, COUNT(*) AS n_tiles, SUM(w) AS sum_w
+  FROM c GROUP BY 2
+  UNION ALL
+  {arms}
+)
+ORDER BY res, cell
+"""
+
+
 def q_zone_geometry(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Vector-geometry analytics (pip.zone_geometry): unit-snapped
     shoelace area, centroid numerators, squared-perimeter — integer
@@ -2294,6 +2341,7 @@ def spatial_queries() -> dict[str, QueryFn]:
         "subset_window": q_subset_window,
         "extent_intersection": q_extent_intersection,
         "zone_geometry": q_zone_geometry,
+        "cell_rollup": q_cell_rollup,
         "pixel_centers": q_pixel_centers,
         "reproject_mosaic": q_reproject,
         "downsample_checksum": q_downsample_checksum,
@@ -2373,6 +2421,7 @@ def spatial_oracles(sf: str = "sf0.01") -> dict[str, str]:
         "subset_window": _sql_subset_window(fx),
         "extent_intersection": _sql_extent_intersection(fx),
         "zone_geometry": _sql_zone_geometry(fx),
+        "cell_rollup": _sql_cell_rollup(fx),
         "pixel_centers": _sql_pixel_centers(fx, w),
         "reproject_mosaic": _sql_reproject(fx),
         "downsample_checksum": _sql_downsample_checksum(fx, w),
