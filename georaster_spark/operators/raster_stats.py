@@ -61,8 +61,12 @@ def pixel_histogram(tiles: DataFrame) -> DataFrame:
     return partial.groupBy("fmt", "bin").agg(F.sum("cnt").alias("cnt"))
 
 
-def histogram_quantiles(hist: DataFrame, qs: tuple[float, ...] = (0.25, 0.5, 0.95)) -> DataFrame:
-    """Exact quantile bins from a (fmt, bin, cnt) histogram.
+def histogram_quantiles(
+    hist: DataFrame,
+    qs: tuple[float, ...] = (0.25, 0.5, 0.95),
+    key: str = "fmt",
+) -> DataFrame:
+    """Exact quantile bins from a (key, bin, cnt) histogram.
 
     Definition (normative, integer-exact): quantile q = the smallest bin
     whose per-fmt cumulative count reaches ``ceil(q * total)``.  Pure
@@ -70,10 +74,10 @@ def histogram_quantiles(hist: DataFrame, qs: tuple[float, ...] = (0.25, 0.5, 0.9
     whole derivation is SQL-expressible, so the DuckDB oracle runs the
     verbatim twin (plans/contract._sql_pixel_quantiles).
     """
-    w_cum = Window.partitionBy("fmt").orderBy("bin").rowsBetween(
+    w_cum = Window.partitionBy(key).orderBy("bin").rowsBetween(
         Window.unboundedPreceding, Window.currentRow
     )
-    w_tot = Window.partitionBy("fmt")
+    w_tot = Window.partitionBy(key)
     cum = hist.withColumn("cum", F.sum("cnt").over(w_cum)).withColumn(
         "total", F.sum("cnt").over(w_tot)
     )
@@ -84,7 +88,7 @@ def histogram_quantiles(hist: DataFrame, qs: tuple[float, ...] = (0.25, 0.5, 0.9
     )
     return (
         qdf.where(F.col("cum") >= F.ceil(F.col("q") * F.col("total")))
-        .groupBy("fmt", "q")
+        .groupBy(key, "q")
         .agg(F.min("bin").alias("qbin"))
     )
 
@@ -100,10 +104,10 @@ def equalization_lut(hist: DataFrame) -> DataFrame:
     Pure window math over the <=256-row-per-fmt histogram; the whole
     derivation is SQL-expressible so the DuckDB oracle runs the verbatim
     twin."""
-    w_cum = Window.partitionBy("fmt").orderBy("bin").rowsBetween(
+    w_cum = Window.partitionBy(key).orderBy("bin").rowsBetween(
         Window.unboundedPreceding, Window.currentRow
     )
-    w_tot = Window.partitionBy("fmt")
+    w_tot = Window.partitionBy(key)
     cum = (
         hist.withColumn("cum", F.sum("cnt").over(w_cum))
         .withColumn("total", F.sum("cnt").over(w_tot))
@@ -155,3 +159,64 @@ def equalize_checksum(tiles: DataFrame, lut: DataFrame) -> DataFrame:
     return slim.mapInPandas(
         _remap, schema="image_id string, eq_sum long, eq_checksum long"
     )
+
+
+_POOL_SCHEMA = (
+    "image_id string, n_blocks long, block_checksum long, "
+    "sum_all long, max_block long"
+)
+
+
+def avg_pool_checksum(tiles: DataFrame, k: int) -> DataFrame:
+    """GDAL BuildOverviews 'AVERAGE' resampling surface (vs the 'NEAREST'
+    decimation of raster_io.downsample/build_pyramid): k x k block SUMS
+    over each tile — the average is sum/k^2, reported as the integer sum
+    so every value is int64-exact and order-free.  Tiles are cropped to
+    k-multiples (GDAL's partial-edge averaging is a documented deviation).
+
+    Map-only fused mapInPandas; the (n, h//k, k, w//k, k) reshape makes
+    the pooling one whole-block NumPy reduction per (w,h,fmt) group."""
+    import numpy as np
+    import pandas as pd
+
+    slim = tiles.select("image_id", "bytes", "w", "h", "fmt")
+
+    def _pool(batches):
+        dt = {"raw": np.uint8, "qnt": np.uint8, "raw16": "<u2"}
+        for pdf in batches:
+            n = len(pdf)
+            out = {
+                "image_id": pdf["image_id"].to_numpy(dtype=object),
+                "n_blocks": np.zeros(n, dtype=np.int64),
+                "block_checksum": np.zeros(n, dtype=np.int64),
+                "sum_all": np.zeros(n, dtype=np.int64),
+                "max_block": np.zeros(n, dtype=np.int64),
+            }
+            groups: dict[tuple, list[int]] = {}
+            for i in range(n):
+                key = (int(pdf["w"].iat[i]), int(pdf["h"].iat[i]), pdf["fmt"].iat[i])
+                groups.setdefault(key, []).append(i)
+            for (w, h, fmt), idx in groups.items():
+                h2, w2 = (h // k) * k, (w // k) * k
+                if h2 == 0 or w2 == 0:
+                    continue
+                blk = (
+                    np.frombuffer(
+                        b"".join(pdf["bytes"].iat[i] for i in idx), dtype=dt[fmt]
+                    )
+                    .reshape(len(idx), h, w)[:, :h2, :w2]
+                    .astype(np.int64)
+                )
+                s = blk.reshape(len(idx), h2 // k, k, w2 // k, k).sum(axis=(2, 4))
+                bw = w2 // k
+                wt = np.arange(1, (h2 // k) * bw + 1, dtype=np.int64).reshape(
+                    h2 // k, bw
+                )
+                ii = np.asarray(idx)
+                out["n_blocks"][ii] = (h2 // k) * bw
+                out["block_checksum"][ii] = (s * wt).sum(axis=(1, 2))
+                out["sum_all"][ii] = s.sum(axis=(1, 2))
+                out["max_block"][ii] = s.max(axis=(1, 2))
+            yield pd.DataFrame(out)
+
+    return slim.mapInPandas(_pool, schema=_POOL_SCHEMA)

@@ -100,3 +100,70 @@ def zonal_stats(tiles: DataFrame, zones: DataFrame) -> DataFrame:
         )
         .orderBy("zone_id")
     )
+
+
+_HIST_PARTIAL_SCHEMA = "zone_id long, bin long, cnt long"
+
+
+def _partial_hist(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    for pdf in batches:
+        out = {k: [] for k in ("zone_id", "bin", "cnt")}
+        for k in range(len(pdf)):
+            row = pdf.iloc[k]
+            arr = oracle.decode_pixels(row["bytes"], int(row["w"]), int(row["h"]), row["fmt"])
+            h, w = arr.shape
+            xs, ys = oracle.pixel_centers(
+                row["gt_x0"], row["gt_y0"], row["gt_xres"], row["gt_yres"], w, h
+            )
+            ring = row["ring"]
+            rx = np.asarray([p["x"] for p in ring], dtype=np.float64)
+            ry = np.asarray([p["y"] for p in ring], dtype=np.float64)
+            inside = oracle.pip_halfplane(rx, ry, xs.ravel(), ys.ravel())
+            vals = arr.ravel()[inside].astype(np.int64)
+            nd = row["nodata"] if "nodata" in pdf.columns else None
+            if nd is not None and not (isinstance(nd, float) and np.isnan(nd)):
+                vals = vals[vals.astype(np.float64) != float(nd)]
+            if vals.size == 0:
+                continue
+            bins, cnts = np.unique(vals, return_counts=True)
+            out["zone_id"].extend([int(row["zone_id"])] * len(bins))
+            out["bin"].extend(int(b) for b in bins)
+            out["cnt"].extend(int(c) for c in cnts)
+        yield pd.DataFrame(out)
+
+
+def zonal_histogram(tiles: DataFrame, zones: DataFrame) -> DataFrame:
+    """(zone_id, bin, cnt) value histogram of the in-zone pixels — same
+    pair generation and masked-read semantics as zonal_stats, but the
+    partial rows are per-value counts (<=256/pair for uint8), so the one
+    shuffle stays O(pairs * distinct-values), never O(pixels)."""
+    nodata_col = (
+        F.col("nodata").cast("double") if "nodata" in tiles.columns
+        else F.lit(None).cast("double")
+    )
+    z = F.broadcast(zones.select("zone_id", "ring", "xmin", "xmax", "ymin", "ymax"))
+    t = tiles.select(
+        "bytes", "w", "h", "fmt", "gt_x0", "gt_y0", "gt_xres", "gt_yres",
+        nodata_col.alias("nodata"),
+        F.col("xmin").alias("t_xmin"), F.col("xmax").alias("t_xmax"),
+        F.col("ymin").alias("t_ymin"), F.col("ymax").alias("t_ymax"),
+    )
+    pairs = t.join(
+        z,
+        (F.col("t_xmin") < F.col("xmax")) & (F.col("t_xmax") > F.col("xmin"))
+        & (F.col("t_ymin") < F.col("ymax")) & (F.col("t_ymax") > F.col("ymin")),
+    )
+    partials = pairs.mapInPandas(_partial_hist, schema=_HIST_PARTIAL_SCHEMA)
+    return partials.groupBy("zone_id", "bin").agg(F.sum("cnt").alias("cnt"))
+
+
+def zonal_quantiles(
+    tiles: DataFrame, zones: DataFrame, qs: tuple[float, ...] = (0.25, 0.5, 0.95)
+) -> DataFrame:
+    """Exact per-zone quantiles derived from the zonal histogram by the
+    same integer cumulative rule as the corpus quantiles (smallest bin
+    whose per-zone cumulative count reaches ceil(q * total)) — the GIS
+    'zonal percentile' op, exact because the value domain is discrete."""
+    from .raster_stats import histogram_quantiles
+
+    return histogram_quantiles(zonal_histogram(tiles, zones), qs, key="zone_id")

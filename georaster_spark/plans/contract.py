@@ -756,6 +756,101 @@ def q_rasterize(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_ZQ_QS = (0.25, 0.5, 0.95)
+
+
+def q_zonal_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact per-zone quantiles (zonal.zonal_quantiles): per-pair value
+    histograms (shuffle O(pairs*values), never O(pixels)) -> per-zone
+    window cumsum -> smallest bin reaching ceil(q*total)."""
+    from ..operators import zonal
+
+    tiles = geo.georegister(_images(spark, sf_dir))
+    out = zonal.zonal_quantiles(tiles, _zones(spark, sf_dir), _ZQ_QS)
+    return out.repartition(1).sortWithinPartitions("zone_id", "q")
+
+
+def _sql_zonal_quantiles(fx: Path, w: int) -> str:
+    """DuckDB twin of q_zonal_quantiles: same in-zone pixel relation as
+    _sql_zonal_stats, histogrammed and cum-summed per zone."""
+    ramp = osql.ramp_value_expr("gi.i", "gj.j")
+    vals = ", ".join(f"({q})" for q in _ZQ_QS)
+    return f"""
+WITH {osql.georegister_cte(str(fx / 'images.parquet'))},
+pairs AS (
+  SELECT t.idx, t.fmt, t.gt_x0, t.gt_y0, t.gt_xres, t.gt_yres, z.zone_id, z.ring
+  FROM tiles t JOIN read_parquet('{fx / 'zones.parquet'}') z
+    ON t.gt_x0 < z.xmax AND t.gt_x0 + t.w * t.gt_xres > z.xmin
+   AND t.gt_y0 - t.h * t.gt_yres < z.ymax AND t.gt_y0 > z.ymin
+),
+pix AS (
+  SELECT zone_id, {ramp} AS v,
+         gt_x0 + (gj.j + 0.5) * gt_xres AS px,
+         gt_y0 - (gi.i + 0.5) * gt_yres AS py,
+         ring
+  FROM pairs, generate_series(0, {w - 1}) AS gi(i), generate_series(0, {w - 1}) AS gj(j)
+),
+hist AS (
+  SELECT zone_id, CAST(v AS BIGINT) AS bin, COUNT(*) AS cnt
+  FROM pix z WHERE {osql.pip_where('z.px', 'z.py')}
+  GROUP BY zone_id, v
+),
+cum AS (
+  SELECT zone_id, bin,
+         SUM(cnt) OVER (PARTITION BY zone_id ORDER BY bin) AS cum,
+         SUM(cnt) OVER (PARTITION BY zone_id) AS total
+  FROM hist
+),
+qs(q) AS (VALUES {vals})
+SELECT zone_id, CAST(q AS DOUBLE) AS q, CAST(MIN(bin) AS BIGINT) AS qbin
+FROM cum, qs WHERE cum >= ceil(q * total)
+GROUP BY zone_id, q ORDER BY zone_id, q
+"""
+
+
+_POOL_MOD = 89
+_POOL_K = 4
+
+
+def q_avg_pool(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GDAL AVERAGE-overview surface (raster_stats.avg_pool_checksum):
+    4x4 block sums, integer-exact, map-only fused Arrow pass."""
+    from ..operators import raster_stats
+
+    tiles = geo.georegister(_images(spark, sf_dir)).where(
+        geo.image_idx() % _POOL_MOD == 0
+    )
+    return (
+        raster_stats.avg_pool_checksum(tiles, _POOL_K)
+        .repartition(1).sortWithinPartitions("image_id")
+    )
+
+
+def _sql_avg_pool(fx: Path, w: int) -> str:
+    k = _POOL_K
+    bw = w // k
+    ramp = osql.ramp_value_expr("gi.i", "gj.j")
+    return f"""
+WITH {osql.georegister_cte(str(fx / 'images.parquet'))},
+px AS (
+  SELECT image_id, gi.i // {k} AS bi, gj.j // {k} AS bj, CAST({ramp} AS BIGINT) AS v
+  FROM tiles,
+       generate_series(0, {(w // k) * k - 1}) AS gi(i),
+       generate_series(0, {(w // k) * k - 1}) AS gj(j)
+  WHERE idx % {_POOL_MOD} = 0
+),
+blocks AS (
+  SELECT image_id, bi, bj, SUM(v) AS s FROM px GROUP BY image_id, bi, bj
+)
+SELECT image_id,
+       CAST(COUNT(*) AS BIGINT) AS n_blocks,
+       CAST(SUM(s * (bi * {bw} + bj + 1)) AS BIGINT) AS block_checksum,
+       CAST(SUM(s) AS BIGINT) AS sum_all,
+       CAST(MAX(s) AS BIGINT) AS max_block
+FROM blocks GROUP BY image_id ORDER BY image_id
+"""
+
+
 _ROLLUP_LEVELS = (11, 9, 7)
 
 
@@ -2361,6 +2456,8 @@ def spatial_queries() -> dict[str, QueryFn]:
         "knn_zones": q_knn,
         "zonal_stats": q_zonal_stats,
         "zonal_stats_nodata": q_zonal_stats_nodata,
+        "zonal_quantiles": q_zonal_quantiles,
+        "avg_pool": q_avg_pool,
         "value_at_nodata": q_value_at_nodata,
         "phash_near_dup": q_phash_near_dup,
         "phash_compute": q_phash_compute,
@@ -2441,6 +2538,8 @@ def spatial_oracles(sf: str = "sf0.01") -> dict[str, str]:
         "knn_zones": _sql_knn(fx),
         "zonal_stats": _sql_zonal_stats(fx, w),
         "zonal_stats_nodata": _sql_zonal_stats(fx, w, nodata=_NODATA_VAL),
+        "zonal_quantiles": _sql_zonal_quantiles(fx, w),
+        "avg_pool": _sql_avg_pool(fx, w),
         "value_at_nodata": osql.value_at_coords_sql(img, pts, nodata=_NODATA_VAL),
         "phash_near_dup": _sql_phash(fx),
         "phash_compute": _sql_phash_compute(fx, w),
