@@ -282,3 +282,33 @@ def run_to_memory(
         if state_partitions is not None:
             spark.conf.set("spark.sql.shuffle.partitions", prev)
     return q
+
+
+def stream_merge_to_icelite(
+    stream_df: DataFrame, table, key: str, checkpoint: str
+):
+    """Streaming CDC sink (op S6): every micro-batch MERGEs into an
+    icelite table via foreachBatch — upserts by `key`, each batch one
+    copy-on-write snapshot commit, prior versions stay time-travelable.
+
+    Exactly-once posture: the streaming checkpoint makes batch REPLAY
+    the only failure mode, and merge_upsert is idempotent for a replayed
+    batch (same keys, same rows -> same merged relation), so the table
+    converges to the same state regardless of where a crash lands.  This
+    is the parquet-emulation twin of `foreachBatch + MERGE INTO` on an
+    Iceberg catalog (sources/icelite.merge_upsert swap-in note)."""
+    from ..sources import icelite
+
+    def _merge(batch_df: DataFrame, batch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        icelite.merge_upsert(batch_df.sparkSession, table, batch_df, key)
+
+    q = (
+        stream_df.writeStream.foreachBatch(_merge)
+        .option("checkpointLocation", checkpoint)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    return q

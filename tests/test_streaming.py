@@ -172,3 +172,42 @@ def test_stream_revisit_join_matches_batch(spark, stream_dir, tmp_path):
         .collect()
     )
     assert got == want and len(got) > 0
+
+
+def test_stream_merge_to_icelite(spark, stream_dir, tmp_path):
+    """foreachBatch CDC merge: per-batch snapshot commits, final state ==
+    batch upsert of all rows, and a checkpointed re-run is a no-op."""
+    from georaster_spark.sources import icelite
+
+    table = tmp_path / "tbl"
+    src = spark.read.parquet(str(stream_dir)).select("image_id", "w")
+    seeded = src.withColumn("w", F.lit(-1))
+    icelite.write_snapshot(seeded, table)
+    v0 = icelite.snapshot_info(table)["version"]
+
+    stream = (
+        spark.readStream.schema("image_id string, w int")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(stream_dir))
+        .select("image_id", "w")
+    )
+    ts.stream_merge_to_icelite(stream, table, "image_id", str(tmp_path / "ck_cdc"))
+    v1 = icelite.snapshot_info(table)["version"]
+    assert v1 >= v0 + 2  # several micro-batches, one commit each
+
+    got = {r["image_id"]: r["w"] for r in icelite.read_snapshot(spark, table).collect()}
+    want = {r["image_id"]: r["w"] for r in src.collect()}
+    assert got == want  # every seeded -1 overwritten by the true width
+    # seeded version still time-travelable
+    old = icelite.read_snapshot(spark, table, v0)
+    assert old.where(F.col("w") != -1).count() == 0
+
+    # replay with the same checkpoint: stream fully consumed -> no-op
+    stream2 = (
+        spark.readStream.schema("image_id string, w int")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(stream_dir))
+        .select("image_id", "w")
+    )
+    ts.stream_merge_to_icelite(stream2, table, "image_id", str(tmp_path / "ck_cdc"))
+    assert icelite.snapshot_info(table)["version"] == v1
