@@ -245,6 +245,13 @@ def mosaic_region_components(
             yield pd.DataFrame(rows)
 
     parts = slim.mapInPandas(_emit, schema=_PART_SCHEMA)
+    # Pass 1 feeds four consumers (fragments, both seam sides, the final
+    # join) and the CC loop's jobs — localCheckpoint materializes the
+    # slim label/strip relation ONCE on first use and truncates the
+    # lineage so the upstream pixel pipeline (e.g. a warp) never re-runs.
+    # Production twin: a reliable checkpoint (plans/checkpoint) between
+    # pass 1 and the label-graph rounds.
+    parts = parts.localCheckpoint(eager=False)
     frags = parts.where(F.col("rtype") == 0).select("label", "size")
     s0 = parts.where((F.col("rtype") == 1) & (F.col("side") == 0)).select(
         "seam_id", "pos", F.col("label").alias("a_id")
