@@ -104,10 +104,10 @@ def equalization_lut(hist: DataFrame) -> DataFrame:
     Pure window math over the <=256-row-per-fmt histogram; the whole
     derivation is SQL-expressible so the DuckDB oracle runs the verbatim
     twin."""
-    w_cum = Window.partitionBy(key).orderBy("bin").rowsBetween(
+    w_cum = Window.partitionBy("fmt").orderBy("bin").rowsBetween(
         Window.unboundedPreceding, Window.currentRow
     )
-    w_tot = Window.partitionBy(key)
+    w_tot = Window.partitionBy("fmt")
     cum = (
         hist.withColumn("cum", F.sum("cnt").over(w_cum))
         .withColumn("total", F.sum("cnt").over(w_tot))
