@@ -167,6 +167,14 @@ def cell_rollup(
             F.count(F.lit(1)).alias("n_tiles"),
             F.sum(F.col("w").cast("long")).alias("sum_w"),
         )
+        # Materialize each level before the next consumes it — without
+        # this, Spark's lazy DAG duplicates the WHOLE lineage into every
+        # union arm (level r_min would re-scan parquet and re-run every
+        # intermediate agg; caught by test_plan_quality's scan-count
+        # gate).  Production twin: each level written as a catalog table
+        # (that is what an overview catalog is); localCheckpoint is the
+        # in-session equivalent.
+        .localCheckpoint(eager=False)
     )
     out = base.select(
         F.lit(r_from).alias("res"), "cell", "n_tiles", "sum_w"
@@ -182,6 +190,7 @@ def cell_rollup(
             )
             .groupBy("cell")
             .agg(F.sum("n_tiles").alias("n_tiles"), F.sum("sum_w").alias("sum_w"))
+            .localCheckpoint(eager=False)
         )
         out = out.unionByName(
             cur.select(F.lit(r_to).alias("res"), "cell", "n_tiles", "sum_w")

@@ -197,3 +197,40 @@ def test_asof_join_single_shuffle(spark):
     plan = _plan(rel.asof_join(left, right, key="k", ts="ts", payload=("rid", "v")))
     n_exchange = plan.count("Exchange hashpartitioning")
     assert n_exchange == 1, plan
+
+
+def test_cell_rollup_reaggregates_not_rescans(spark, sf0001_dir):
+    """A19: one scan of the base table feeds ALL rollup levels — the
+    coarser levels must re-aggregate aggregates, not re-read parquet."""
+    imgs = spark.read.parquet(str(sf0001_dir / "images.parquet"))
+    out = geo.cell_rollup(geo.georegister(imgs), levels=(11, 9, 7))
+    plan = _explain(out)
+    # every union arm must read a MATERIALIZED level (ExistingRDD from
+    # the level checkpoints), never re-scan parquet and re-run the
+    # aggregation chain (the lazy-DAG duplication this gate caught)
+    assert plan.count("Scan parquet") <= 1, plan
+    assert plan.count("Scan ExistingRDD") >= 3, plan
+
+
+def test_zonal_histogram_partials_are_slim(spark, sf0001_dir):
+    """A23: the only exchange carries (zone_id, bin, cnt) partial rows —
+    pixel bytes stay inside the map stage."""
+    from georaster_spark.operators import zonal
+
+    imgs = geo.georegister(spark.read.parquet(str(sf0001_dir / "images.parquet")))
+    zones = spark.read.parquet(str(sf0001_dir / "zones.parquet"))
+    plan = _plan(zonal.zonal_histogram(imgs, zones))
+    import re
+
+    for m in re.finditer(r"Exchange hashpartitioning\(([^)]*)\)", plan):
+        assert "bytes" not in m.group(1)
+    assert "BroadcastExchange" in plan  # zones side broadcast
+
+
+def test_terrain_stats_single_arrow_pass(spark, sf0001_dir):
+    from georaster_spark.operators import algebra
+
+    imgs = geo.georegister(spark.read.parquet(str(sf0001_dir / "images.parquet")))
+    plan = _plan(algebra.terrain_stats(imgs))
+    assert "Exchange" not in plan
+    assert plan.count("MapInPandas") + plan.count("ArrowEvalPython") == 1
