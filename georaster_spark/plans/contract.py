@@ -208,6 +208,24 @@ def _q_pip_kind(kind: str):
     return q
 
 
+def q_pip_celljoin(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Op E5's LARGE-ZONES degradation path surfaced to the gate: the
+    same PIP semantics with broadcast_zones=False — a plain shuffled
+    equi-join on cell keys, the plan a 10^12-zone table (too big to
+    broadcast) falls back to.  Must be row-identical to the broadcast
+    plan (`pip_convex`), so its oracle is the same SQL."""
+    from ..operators.pip import pip_join
+
+    zones = _zones(spark, sf_dir).where(F.col("kind") == "convex")
+    pairs = pip_join(
+        _points(spark, sf_dir), zones,
+        x=F.col("x"), y=F.col("y"), broadcast_zones=False,
+    )
+    return pairs.select("point_id", "zone_id").repartition(1).sortWithinPartitions(
+        "point_id", "zone_id"
+    )
+
+
 def q_extent_latlon(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Op R8: extent corners reprojected EPSG:3857 -> WGS84 lon/lat."""
     from ..operators import extent as ext
@@ -2433,6 +2451,7 @@ def spatial_queries() -> dict[str, QueryFn]:
         "subset_checksum": q_subset_checksum,
         "pip_rect": _q_pip_kind("rect"),
         "pip_convex": _q_pip_kind("convex"),
+        "pip_celljoin": q_pip_celljoin,
         "subset_window": q_subset_window,
         "extent_intersection": q_extent_intersection,
         "zone_geometry": q_zone_geometry,
@@ -2515,6 +2534,7 @@ def spatial_oracles(sf: str = "sf0.01") -> dict[str, str]:
         "subset_checksum": _sql_subset_checksum(fx),
         "pip_rect": _sql_pip_kind(fx, "rect"),
         "pip_convex": _sql_pip_kind(fx, "convex"),
+        "pip_celljoin": _sql_pip_kind(fx, "convex"),
         "subset_window": _sql_subset_window(fx),
         "extent_intersection": _sql_extent_intersection(fx),
         "zone_geometry": _sql_zone_geometry(fx),
