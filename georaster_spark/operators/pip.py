@@ -207,3 +207,55 @@ def zone_geometry(zones: DataFrame) -> DataFrame:
             + (yi(k + 1) - yi(k)) * (yi(k + 1) - yi(k))
         ).alias("perim_sq"),
     )
+
+
+def zone_overlap(
+    zones: DataFrame, r: int = DEFAULT_RES, buffer: float = 0.0
+) -> DataFrame:
+    """Vector-vector overlay broad phase: every pair of zones whose
+    ``buffer``-dilated bounding boxes intersect — i.e. pairs within
+    L-inf distance ``2*buffer`` of each other — with the unit-snapped
+    intersection box of the dilated footprints and its integer area.
+    With ``buffer=0`` and ``kind='rect'`` zones the pair row is the
+    exact rect-rect overlay; for convex rings it is the candidate set a
+    narrow-phase clip (Sutherland-Hodgman) would refine.
+
+    Plan: zone rings fold to bboxes map-side (array higher-order
+    functions, no UDF), each dilated bbox is covered by res-``r`` cells,
+    and the pair join is `extent.intersection`'s cell-prefiltered range
+    join with reference-point dedup — NOT an O(Z^2) cross join, so the
+    same plan holds when the vector layer itself is table-sized (10^9
+    zones), the case where a broadcast nested-loop would die.
+    Intersection bounds snap to the unit lattice (floor(x+0.5), exact on
+    doubles) so the emitted box and area are int64 and bit-stable across
+    engines."""
+    from . import extent as ext
+
+    xs = F.transform("ring", lambda p: p.getField("x"))
+    ys = F.transform("ring", lambda p: p.getField("y"))
+    buf = F.lit(float(buffer))
+    bb = zones.select(
+        F.col("zone_id").alias("image_id"),
+        (F.array_min(xs) - buf).alias("xmin"), (F.array_max(xs) + buf).alias("xmax"),
+        (F.array_min(ys) - buf).alias("ymin"), (F.array_max(ys) + buf).alias("ymax"),
+    ).withColumn(
+        "cover_cells",
+        cells.cell_cover(F.col("xmin"), F.col("xmax"), F.col("ymin"), F.col("ymax"), r),
+    )
+    pairs = ext.intersection(bb, bb, r=r, same_table=True)
+
+    def snap(c: Column) -> Column:
+        return F.floor(c + 0.5).cast("long")
+
+    zero = F.lit(0).cast("long")
+    w_u = F.greatest(snap(F.col("ixmax")) - snap(F.col("ixmin")), zero)
+    h_u = F.greatest(snap(F.col("iymax")) - snap(F.col("iymin")), zero)
+    return pairs.select(
+        F.col("a_id").alias("zone_a"),
+        F.col("b_id").alias("zone_b"),
+        snap(F.col("ixmin")).alias("ixmin_u"),
+        snap(F.col("ixmax")).alias("ixmax_u"),
+        snap(F.col("iymin")).alias("iymin_u"),
+        snap(F.col("iymax")).alias("iymax_u"),
+        (w_u * h_u).alias("area_u"),
+    )

@@ -535,3 +535,75 @@ SELECT EXTRACT(year FROM o_orderdate) AS yr,
 FROM orders
 GROUP BY 1 ORDER BY yr
 """
+
+SESSION_GAP_US = 6 * 3600 * 1_000_000  # 6h inactivity closes a session
+
+
+def user_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gap-based sessionization — the log-analytics operator Spark batch
+    has no native primitive for (Structured Streaming's session_window
+    is stream-only): per user, events ordered by timestamp start a new
+    session when the inactivity gap exceeds SESSION_GAP_US, via the
+    classic lag -> boundary flag -> cumulative-sum-as-session-index
+    window idiom, then one partial+final aggregation per session.
+
+    Exactly ONE shuffle: the lag window and the cumulative-sum window
+    share (partitionBy user_id, orderBy ts) so Catalyst plans a single
+    exchange + sort and evaluates both Window operators on it; the
+    closing groupBy(user_id, sess_idx) is a prefix of the same
+    partitioning, so it reuses the exchange too.  At 10^12 events the
+    per-user timeline is the only data movement — the same minimum any
+    keyed sessionization needs.  Timestamps compare as unix
+    microseconds (exact int64, no float truncation); the money column
+    sums in integer cents."""
+    ev = _t(spark, sf_dir, "events")
+    base = ev.select(
+        "user_id",
+        "event_id",
+        F.unix_micros(F.col("ts").cast("timestamp")).alias("ts_us"),
+        cents(F.col("value")).alias("v_cents"),
+    )
+    w = Window.partitionBy("user_id").orderBy("ts_us", "event_id")
+    gapped = base.withColumn(
+        "new_sess",
+        F.when(
+            F.col("ts_us") - F.lag("ts_us").over(w) > SESSION_GAP_US, 1
+        ).otherwise(0),  # first event per user: lag is NULL -> 0
+    )
+    sess = gapped.withColumn(
+        "sess_idx",
+        F.sum("new_sess").over(w.rowsBetween(Window.unboundedPreceding, 0)),
+    )
+    return (
+        sess.groupBy("user_id", "sess_idx")
+        .agg(
+            F.min("ts_us").alias("start_us"),
+            F.max("ts_us").alias("end_us"),
+            F.count(F.lit(1)).alias("n_events"),
+            (F.sum("v_cents") / 100.0).alias("sum_value"),
+        )
+        .repartition(1).sortWithinPartitions("user_id", "sess_idx")
+    )
+
+
+def user_sessions_sql() -> str:
+    return f"""
+WITH e AS (
+  SELECT user_id, event_id, epoch_us(ts) AS ts_us,
+         CAST(round(value * 100) AS BIGINT) AS v_cents
+  FROM events
+), g AS (
+  SELECT *, CASE WHEN ts_us - lag(ts_us) OVER w > {SESSION_GAP_US}
+                 THEN 1 ELSE 0 END AS new_sess
+  FROM e WINDOW w AS (PARTITION BY user_id ORDER BY ts_us, event_id)
+), s AS (
+  SELECT *, CAST(SUM(new_sess) OVER (PARTITION BY user_id ORDER BY ts_us, event_id
+            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS sess_idx
+  FROM g
+)
+SELECT user_id, sess_idx,
+       MIN(ts_us) AS start_us, MAX(ts_us) AS end_us,
+       COUNT(*) AS n_events,
+       CAST(SUM(v_cents) AS BIGINT) / 100.0 AS sum_value
+FROM s GROUP BY user_id, sess_idx ORDER BY user_id, sess_idx
+"""

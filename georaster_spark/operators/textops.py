@@ -616,6 +616,147 @@ WHERE rnk <= {TFIDF_TOPK} ORDER BY doc_id, rnk
 """
 
 
+# ---------------------------------------------------------------------------
+# D5 — benchmark decontamination (n-gram overlap vs a held-out set)
+# ---------------------------------------------------------------------------
+
+DECON_N = 5  # word n-gram length (long enough that random text never collides)
+DECON_BENCH_MOD = 37  # benchmark membership: doc_id % 37 == 0
+
+
+def _ngrams_col(ws: Column, n: int) -> Column:
+    """Distinct word n-grams joined by one space (size(ws) >= n)."""
+    return F.array_distinct(
+        F.transform(
+            F.sequence(F.lit(1), F.size(ws) - (n - 1)),
+            lambda i: F.concat_ws(
+                " ", *[F.element_at(ws, i + j) for j in range(n)]
+            ),
+        )
+    )
+
+
+def decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark decontamination — the eval-leakage scan every LLM
+    training pipeline runs before a corpus ships: for each corpus
+    document, the number of distinct word-5-grams it shares with each
+    document of a held-out benchmark set (here the deterministic
+    doc_id % 37 == 0 subset standing in for an eval suite).  A non-empty
+    result names the (corpus, benchmark) pairs to drop.
+
+    Plan: both sides shingle map-side (array HOFs, distinct per doc),
+    the benchmark side — tiny by construction, as real benchmark suites
+    are — broadcasts, and the overlap count is one partial+final agg on
+    (doc_id, bench_id).  At 10^12 corpus rows the corpus side never
+    shuffles: shingle explode, broadcast-hash probe, and the pair agg's
+    map-side combine all happen in the scan stage; only the (rare) hits
+    move."""
+    d = _docs(spark, sf_dir).withColumn("ws", words_col()).where(
+        F.size("ws") >= DECON_N
+    )
+    sh = d.select(
+        "doc_id", F.explode(_ngrams_col(F.col("ws"), DECON_N)).alias("sh")
+    )
+    bench = sh.where(F.col("doc_id") % DECON_BENCH_MOD == 0).select(
+        F.col("doc_id").alias("bench_id"), "sh"
+    )
+    corpus = sh.where(F.col("doc_id") % DECON_BENCH_MOD != 0)
+    return (
+        corpus.join(F.broadcast(bench), "sh")
+        .groupBy("doc_id", "bench_id")
+        .agg(F.count(F.lit(1)).alias("n_shared"))
+        .repartition(1).sortWithinPartitions("doc_id", "bench_id")
+    )
+
+
+def decontaminate_sql() -> str:
+    n = DECON_N
+    return f"""
+WITH w AS (SELECT doc_id, {_SQL_WS} AS ws FROM documents),
+s AS (
+  SELECT doc_id, unnest(list_distinct(list_transform(
+           range(1, len(ws) - {n - 2}),
+           i -> array_to_string(ws[i:i+{n - 1}], ' ')))) AS sh
+  FROM w WHERE len(ws) >= {n}
+)
+SELECT c.doc_id AS doc_id, b.doc_id AS bench_id, COUNT(*) AS n_shared
+FROM s c JOIN s b USING (sh)
+WHERE b.doc_id % {DECON_BENCH_MOD} = 0 AND c.doc_id % {DECON_BENCH_MOD} <> 0
+GROUP BY 1, 2 ORDER BY doc_id, bench_id
+"""
+
+
+# ---------------------------------------------------------------------------
+# D6 — passage-level dedup (fixed-width chunk fingerprints)
+# ---------------------------------------------------------------------------
+
+PASSAGE_W = 16  # words per passage chunk
+
+
+def passage_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Passage-level exact dedup — the sub-document granularity
+    (boilerplate headers, repeated paragraphs) document-level dedup
+    misses: each document splits into fixed 16-word passages, each
+    passage fingerprints to a 40-bit hash, global passage multiplicity
+    counts once, and every document reports its duplicated-passage
+    ratio.
+
+    Plan: chunking is map-side (sequence + slice HOFs, no UDF); the
+    multiplicity count and the count-back join both key on the SLIM
+    40-bit fingerprint — passage text never shuffles — then one final
+    per-doc agg.  Hot fingerprints (the corpus's most-repeated
+    boilerplate) are the E8 skew profile; AQE skew-join is the
+    backstop."""
+    d = _docs(spark, sf_dir).withColumn("ws", words_col()).where(F.size("ws") >= 1)
+    n_chunks = F.ceil(F.size("ws") / F.lit(PASSAGE_W)).cast("long")
+    chunks = d.select(
+        "doc_id",
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(0).cast("long"), n_chunks - 1),
+                lambda c: F.concat_ws(
+                    " ", F.slice("ws", (c * PASSAGE_W + 1).cast("int"), PASSAGE_W)
+                ),
+            )
+        ).alias("passage"),
+    ).select("doc_id", h40(F.col("passage")).alias("ph"))
+    counts = chunks.groupBy("ph").agg(F.count(F.lit(1)).alias("m"))
+    dup = F.when(F.col("m") > 1, 1).otherwise(0)
+    return (
+        chunks.join(counts, "ph")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_passages"),
+            F.sum(dup).alias("n_dup_passages"),
+            F.round(F.sum(dup) / F.count(F.lit(1)), 6).alias("dup_ratio"),
+        )
+        .repartition(1).sortWithinPartitions("doc_id")
+    )
+
+
+def passage_dedup_sql() -> str:
+    w = PASSAGE_W
+    return f"""
+WITH wd AS (SELECT doc_id, {_SQL_WS} AS ws FROM documents WHERE len(trim(text)) >= 0),
+c AS (
+  SELECT doc_id,
+         unnest(list_transform(range(0, CAST(ceil(len(ws) / {w}.0) AS BIGINT)),
+                c -> array_to_string(ws[c*{w}+1:c*{w}+{w}], ' '))) AS passage
+  FROM wd WHERE len(ws) >= 1
+), h AS (
+  SELECT doc_id, {_SQL_H40.format(s='passage')} AS ph FROM c
+), m AS (
+  SELECT ph, COUNT(*) AS m FROM h GROUP BY ph
+)
+SELECT doc_id,
+       COUNT(*) AS n_passages,
+       CAST(SUM(CASE WHEN m.m > 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_dup_passages,
+       round(SUM(CASE WHEN m.m > 1 THEN 1 ELSE 0 END) / COUNT(*), 6) AS dup_ratio
+FROM h JOIN m USING (ph)
+GROUP BY doc_id ORDER BY doc_id
+"""
+
+
 def text_queries():
     return {
         "text_stats": text_stats,
@@ -627,6 +768,8 @@ def text_queries():
         "minhash_lsh_pairs": minhash_lsh_pairs,
         "simhash_pairs": simhash_pairs,
         "tfidf_topterms": tfidf_topterms,
+        "decontaminate": decontaminate,
+        "passage_dedup": passage_dedup,
     }
 
 
@@ -641,4 +784,6 @@ def text_oracles() -> dict[str, str]:
         "minhash_lsh_pairs": minhash_lsh_pairs_sql(),
         "simhash_pairs": simhash_pairs_sql(),
         "tfidf_topterms": tfidf_topterms_sql(),
+        "decontaminate": decontaminate_sql(),
+        "passage_dedup": passage_dedup_sql(),
     }

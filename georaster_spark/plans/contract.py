@@ -952,6 +952,51 @@ ORDER BY zone_id
 """
 
 
+_OVERLAP_BUFFER = 2000.0  # zones within L-inf distance 4000 pair up
+
+
+def q_zone_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Vector-vector overlay (pip.zone_overlap): pairs of zones whose
+    2000-unit-buffered bboxes intersect, via the cell-prefiltered range
+    join — unit-snapped integer intersection boxes + areas."""
+    from ..operators.pip import zone_overlap
+
+    return (
+        zone_overlap(_zones(spark, sf_dir), buffer=_OVERLAP_BUFFER)
+        .repartition(1).sortWithinPartitions("zone_a", "zone_b")
+    )
+
+
+def _sql_zone_overlap(fx: Path) -> str:
+    """DuckDB twin of q_zone_overlap: brute-force pair join over the
+    (dim-sized) zones fixture with the identical buffered-double overlap
+    predicate and unit-snap arithmetic."""
+    snap = "CAST(floor({e} + 0.5) AS BIGINT)"
+    ixmin = snap.format(e="greatest(a.xmin, c.xmin)")
+    ixmax = snap.format(e="least(a.xmax, c.xmax)")
+    iymin = snap.format(e="greatest(a.ymin, c.ymin)")
+    iymax = snap.format(e="least(a.ymax, c.ymax)")
+    return f"""
+WITH b AS (
+  SELECT zone_id,
+         list_min(list_transform(ring, p -> p.x)) - {_OVERLAP_BUFFER} AS xmin,
+         list_max(list_transform(ring, p -> p.x)) + {_OVERLAP_BUFFER} AS xmax,
+         list_min(list_transform(ring, p -> p.y)) - {_OVERLAP_BUFFER} AS ymin,
+         list_max(list_transform(ring, p -> p.y)) + {_OVERLAP_BUFFER} AS ymax
+  FROM read_parquet('{fx / 'zones.parquet'}')
+)
+SELECT a.zone_id AS zone_a, c.zone_id AS zone_b,
+       {ixmin} AS ixmin_u, {ixmax} AS ixmax_u,
+       {iymin} AS iymin_u, {iymax} AS iymax_u,
+       greatest({ixmax} - {ixmin}, 0) * greatest({iymax} - {iymin}, 0) AS area_u
+FROM b a JOIN b c
+  ON a.zone_id < c.zone_id
+ AND a.xmin < c.xmax AND a.xmax > c.xmin
+ AND a.ymin < c.ymax AND a.ymax > c.ymin
+ORDER BY zone_a, zone_b
+"""
+
+
 _PHASH_MOD = 43
 
 
@@ -2455,6 +2500,7 @@ def spatial_queries() -> dict[str, QueryFn]:
         "subset_window": q_subset_window,
         "extent_intersection": q_extent_intersection,
         "zone_geometry": q_zone_geometry,
+        "zone_overlap": q_zone_overlap,
         "cell_rollup": q_cell_rollup,
         "pixel_centers": q_pixel_centers,
         "reproject_mosaic": q_reproject,
@@ -2510,6 +2556,7 @@ def spatial_queries() -> dict[str, QueryFn]:
         "nation_set_ops": rel.nation_set_ops,
         "orders_above_avg": rel.orders_above_cust_avg,
         "order_date_strings": rel.order_date_string_stats,
+        "user_sessions": rel.user_sessions,
         **textops.text_queries(),
         **vectors.vector_queries(),
     }
@@ -2538,6 +2585,7 @@ def spatial_oracles(sf: str = "sf0.01") -> dict[str, str]:
         "subset_window": _sql_subset_window(fx),
         "extent_intersection": _sql_extent_intersection(fx),
         "zone_geometry": _sql_zone_geometry(fx),
+        "zone_overlap": _sql_zone_overlap(fx),
         "cell_rollup": _sql_cell_rollup(fx),
         "pixel_centers": _sql_pixel_centers(fx, w),
         "reproject_mosaic": _sql_reproject(fx),
@@ -2593,6 +2641,7 @@ def spatial_oracles(sf: str = "sf0.01") -> dict[str, str]:
         "nation_set_ops": rel.nation_set_ops_sql(),
         "orders_above_avg": rel.orders_above_cust_avg_sql(),
         "order_date_strings": rel.order_date_string_stats_sql(),
+        "user_sessions": rel.user_sessions_sql(),
         **textops.text_oracles(),
         **vectors.vector_oracles(),
     }

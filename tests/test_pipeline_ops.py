@@ -1,0 +1,128 @@
+"""Behavioral gates for the round-2 pipeline additions — planted
+synthetic inputs with hand-computed expectations, independent of the
+driver fixtures (which exercise the same ops against DuckDB oracles):
+
+* decontaminate  — n-gram leakage scan finds exactly the planted overlap
+* passage_dedup  — chunk-level dup ratios on planted repeated passages
+* user_sessions  — gap-based session boundaries at the 6h threshold
+* zone_overlap   — exact rect-rect overlay areas, buffered + unbuffered
+"""
+
+from __future__ import annotations
+
+import datetime
+
+from pyspark.sql import Row
+from pyspark.sql import functions as F
+
+from georaster_spark.operators import relational, textops
+from georaster_spark.operators.pip import zone_overlap
+
+DOC_SCHEMA = "doc_id long, text string, lang string, source string, n_chars int"
+
+
+def _write_docs(spark, tmp_path, texts):
+    rows = [
+        Row(doc_id=i, text=t, lang="en", source="t", n_chars=len(t))
+        for i, t in enumerate(texts)
+    ]
+    spark.createDataFrame(rows, DOC_SCHEMA).write.mode("overwrite").parquet(
+        f"{tmp_path}/documents.parquet"
+    )
+    return str(tmp_path)
+
+
+def test_decontaminate_planted(spark, tmp_path):
+    # doc 0 (0 % 37 == 0) is the benchmark doc; doc 1 copies a 6-word
+    # run from it -> exactly two distinct shared 5-grams; doc 2 shares
+    # nothing 5 words long.
+    bench = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    leaked = "xx yy beta gamma delta epsilon zeta eta zz ww"
+    clean = "one two three four five six seven eight nine ten"
+    sf = _write_docs(spark, tmp_path, [bench, leaked, clean])
+    out = {(r.doc_id, r.bench_id): r.n_shared
+           for r in textops.decontaminate(spark, sf).collect()}
+    assert out == {(1, 0): 2}
+
+
+def test_passage_dedup_planted(spark, tmp_path):
+    # 16-word passages: doc 0 = P Q, doc 1 = P R  ->  each doc has one
+    # duplicated passage out of two; doc 2 = S (unique single chunk).
+    p = " ".join(f"p{i}" for i in range(16))
+    q = " ".join(f"q{i}" for i in range(16))
+    r = " ".join(f"r{i}" for i in range(16))
+    sf = _write_docs(spark, tmp_path, [f"{p} {q}", f"{p} {r}", "lonely words"])
+    rows = {r_.doc_id: r_ for r_ in textops.passage_dedup(spark, sf).collect()}
+    assert rows[0].n_passages == 2 and rows[0].n_dup_passages == 1
+    assert rows[1].n_passages == 2 and rows[1].n_dup_passages == 1
+    assert rows[0].dup_ratio == 0.5
+    assert rows[2].n_passages == 1 and rows[2].n_dup_passages == 0
+
+
+def test_user_sessions_gap_boundary(spark, tmp_path):
+    t0 = datetime.datetime(2024, 1, 1, 0, 0, 0)
+
+    def ev(i, user, minutes, value):
+        return Row(
+            event_id=i, ts=t0 + datetime.timedelta(minutes=minutes),
+            user_id=user, event_type="click", value=float(value), props="{}",
+        )
+
+    # user 7: gaps of 1h (same session), exactly 6h (same: strict >),
+    # then 6h + 1us would split — use 361 min (> 6h) to split.
+    rows = [
+        ev(1, 7, 0, 1.0), ev(2, 7, 60, 2.0), ev(3, 7, 60 + 360, 3.0),
+        ev(4, 7, 60 + 360 + 361, 4.0),
+        ev(5, 9, 0, 5.0),
+    ]
+    schema = ("event_id long, ts timestamp, user_id long, event_type string, "
+              "value double, props string")
+    spark.createDataFrame(rows, schema).write.mode("overwrite").parquet(
+        f"{tmp_path}/events.parquet"
+    )
+    out = relational.user_sessions(spark, str(tmp_path)).collect()
+    sess = {(r.user_id, r.sess_idx): r for r in out}
+    assert len(sess) == 3
+    assert sess[(7, 0)].n_events == 3  # 1h and exactly-6h gaps both keep
+    assert sess[(7, 1)].n_events == 1
+    assert sess[(7, 0)].sum_value == 6.0
+    assert sess[(9, 0)].n_events == 1
+
+
+def _ring(x0, y0, x1, y1):
+    return [
+        Row(x=float(x0), y=float(y0)), Row(x=float(x1), y=float(y0)),
+        Row(x=float(x1), y=float(y1)), Row(x=float(x0), y=float(y1)),
+        Row(x=float(x0), y=float(y0)),
+    ]
+
+
+def test_zone_overlap_exact_area(spark):
+    zones = spark.createDataFrame(
+        [
+            Row(zone_id=1, kind="rect", ring=_ring(1000, 1000, 2000, 2000)),
+            Row(zone_id=2, kind="rect", ring=_ring(1500, 1500, 2500, 2500)),
+            Row(zone_id=3, kind="rect", ring=_ring(9000, 9000, 9100, 9100)),
+        ],
+        "zone_id long, kind string, ring array<struct<x double, y double>>",
+    )
+    out = zone_overlap(zones).collect()
+    assert len(out) == 1
+    r = out[0]
+    assert (r.zone_a, r.zone_b) == (1, 2)
+    assert (r.ixmin_u, r.ixmax_u, r.iymin_u, r.iymax_u) == (1500, 2000, 1500, 2000)
+    assert r.area_u == 500 * 500
+
+
+def test_zone_overlap_buffer_pairs_disjoint_zones(spark):
+    zones = spark.createDataFrame(
+        [
+            Row(zone_id=1, kind="rect", ring=_ring(1000, 1000, 2000, 2000)),
+            Row(zone_id=3, kind="rect", ring=_ring(2400, 1000, 3000, 2000)),
+        ],
+        "zone_id long, kind string, ring array<struct<x double, y double>>",
+    )
+    assert zone_overlap(zones).count() == 0  # gap of 400: no contact
+    buffered = zone_overlap(zones, buffer=300.0).collect()  # dilated by 300
+    # dilated boxes: A x[700,2300], B x[2100,3300], y both [700,2300]
+    assert len(buffered) == 1 and buffered[0].area_u == (2300 - 2100) * (2300 - 700)

@@ -234,3 +234,51 @@ def test_terrain_stats_single_arrow_pass(spark, sf0001_dir):
     plan = _plan(algebra.terrain_stats(imgs))
     assert "Exchange" not in plan
     assert plan.count("MapInPandas") + plan.count("ArrowEvalPython") == 1
+
+
+def test_user_sessions_single_shuffle(spark, tmp_path):
+    """A27: the lag window, the cumsum window, and the session agg must
+    all reuse ONE user_id exchange; the scan must prune to the 4 used
+    columns."""
+    import datetime as dt
+
+    from georaster_spark.operators import relational as rel
+
+    spark.createDataFrame(
+        [(1, dt.datetime(2024, 1, 1), 7, "click", 1.0, "{}")],
+        "event_id long, ts timestamp, user_id long, event_type string, "
+        "value double, props string",
+    ).write.mode("overwrite").parquet(f"{tmp_path}/events.parquet")
+    q = rel.user_sessions(spark, str(tmp_path))
+    plan = _plan(q)
+    assert plan.count("Exchange hashpartitioning") == 1, plan
+    schemas = _scan_schemas(q)
+    assert schemas and all("props" not in s and "event_type" not in s for s in schemas)
+
+
+def test_decontaminate_broadcasts_benchmark(spark, tmp_path):
+    """A28: the benchmark side must broadcast — the corpus side never
+    shuffles before the (rare) hit aggregation."""
+    from pyspark.sql import Row
+
+    from georaster_spark.operators import textops
+
+    rows = [Row(doc_id=i, text="a b c d e f g", lang="en", source="t", n_chars=13)
+            for i in range(3)]
+    spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string, n_chars int"
+    ).write.mode("overwrite").parquet(f"{tmp_path}/documents.parquet")
+    plan = _plan(textops.decontaminate(spark, str(tmp_path)))
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+
+
+def test_zone_overlap_no_cartesian(spark, sf0001_dir):
+    """A26: the overlay pair join must go through the cell-prefiltered
+    equi-join — no CartesianProduct / BroadcastNestedLoopJoin."""
+    from georaster_spark.operators.pip import zone_overlap
+
+    zones = spark.read.parquet(str(sf0001_dir / "zones.parquet"))
+    plan = _plan(zone_overlap(zones, buffer=2000.0))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan

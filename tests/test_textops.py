@@ -21,6 +21,8 @@ CASES = [
     ("jaccard_pairs", textops.jaccard_pairs, textops.jaccard_pairs_sql()),
     ("minhash_lsh", textops.minhash_lsh_pairs, textops.minhash_lsh_pairs_sql()),
     ("simhash", textops.simhash_pairs, textops.simhash_pairs_sql()),
+    ("decontaminate", textops.decontaminate, textops.decontaminate_sql()),
+    ("passage_dedup", textops.passage_dedup, textops.passage_dedup_sql()),
     ("cosine_near_dup", vectors.cosine_near_dup, vectors.cosine_near_dup_sql()),
     ("ann_topk_brute", vectors.ann_topk_brute, vectors.ann_topk_brute_sql()),
     ("ann_lsh", vectors.ann_lsh, vectors.ann_lsh_sql()),
