@@ -124,3 +124,59 @@ def canonical_docs(components: DataFrame, vertex_col: str = "doc_id") -> DataFra
     return components.withColumn(
         "is_canonical", (F.col(vertex_col) == F.col("component")).cast("boolean")
     )
+
+
+def pagerank_int(
+    edges: DataFrame,
+    iters: int = 3,
+    scale: int = 1_000_000,
+    damp_pct: int = 85,
+) -> DataFrame:
+    """Damped PageRank with ALL-INTEGER arithmetic — the iterative graph
+    algorithm of the pipeline tier (link/influence analysis over the
+    near-dup, citation, or interaction graph).
+
+    ``edges`` is a directed (src:long, dst:long) list in which every
+    node occurs at least once as a src (symmetrize first for undirected
+    graphs — that also removes dangling-node mass loss).  Per iteration:
+
+        contrib(u->v) = rank(u) div outdeg(u)           (int64)
+        rank'(v)      = (100-damp_pct)*scale div 100
+                        + (damp_pct * sum(contrib)) div 100
+
+    Integer division and int64 sums make every iteration
+    order-independent, so the fixpoint trajectory is bit-identical on
+    any partitioning and any engine — floating-point PageRank cannot
+    cross-check this way (shuffle order perturbs the sums).
+
+    Plan shape: the (edges ⋈ outdeg) relation is localCheckpoint'ed ONCE
+    and re-probed each iteration; each round is one equi-join on src
+    (the rank side is nodes-sized — broadcastable when nodes ≪ edges)
+    plus one partial+final agg on dst, and each rank frame is
+    localCheckpoint'ed so the lineage stays one round deep (the
+    cell_rollup lesson: lazy DAGs duplicate upstream work into every
+    consumer).  At 10^12 edges the per-round cost is the two shuffles
+    any synchronous PageRank round needs; convergence-free fixed
+    ``iters`` keeps the job a static DAG."""
+    deg = edges.groupBy("src").agg(F.count(F.lit(1)).alias("deg"))
+    e = edges.join(deg, "src").localCheckpoint(eager=False)
+    base = int((100 - damp_pct) * scale // 100)
+    ranks = deg.select(
+        F.col("src").alias("node"), F.lit(int(scale)).cast("long").alias("rank")
+    )
+    for _ in range(iters):
+        contrib = e.join(ranks, e["src"] == ranks["node"]).select(
+            F.col("dst"), F.expr("rank div deg").alias("c")
+        )
+        ranks = (
+            contrib.groupBy(F.col("dst").alias("node"))
+            .agg(F.sum("c").alias("insum"))
+            .select(
+                "node",
+                (F.lit(base) + F.expr(f"({damp_pct} * insum) div 100"))
+                .cast("long")
+                .alias("rank"),
+            )
+            .localCheckpoint(eager=False)
+        )
+    return ranks

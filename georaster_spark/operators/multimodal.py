@@ -186,6 +186,70 @@ def compute_phash(tiles: DataFrame, grid: int = 8) -> DataFrame:
     )
 
 
+def _augment_chain(arr: np.ndarray) -> np.ndarray:
+    """Deterministic augmentation chain: hflip -> rot90 clockwise ->
+    center crop to half size.  Pure index permutation + subset — the
+    composite is out[i, j] = arr[H-1-o_h-j, W-1-o_w-i] (o = quarter
+    offsets), so every output pixel is an exact integer copy and the
+    whole chain is SQL-reproducible from the ramp formula."""
+    a = np.rot90(arr[:, ::-1], k=-1)
+    h, w = a.shape
+    ch, cw = h // 2, w // 2
+    oh, ow = h // 4, w // 4
+    return a[oh : oh + ch, ow : ow + cw]
+
+
+def image_augment(df: DataFrame) -> DataFrame:
+    """Training-data augmentation over the tiles/media schema: the
+    _augment_chain permutation applied in ONE fused Arrow hop
+    (decode -> transform -> encode); emits the augmented row with
+    updated w/h.  Map-only — at 10^12 images this is a scan."""
+
+    @F.pandas_udf(BinaryType())
+    def _ag(data: pd.Series, w: pd.Series, h: pd.Series, fmt: pd.Series) -> pd.Series:
+        out = []
+        for k in range(len(data)):
+            arr = oracle.decode_pixels(
+                data.iat[k], int(w.iat[k]), int(h.iat[k]), fmt.iat[k]
+            )
+            out.append(oracle.encode_pixels(_augment_chain(arr), "raw"))
+        return pd.Series(out)
+
+    return (
+        df.withColumn("bytes", _ag(F.col("bytes"), F.col("w"), F.col("h"), F.col("fmt")))
+        .withColumn("w", (F.col("w") / 2).cast("int"))
+        .withColumn("h", (F.col("h") / 2).cast("int"))
+        .withColumn("fmt", F.lit("raw"))
+    )
+
+
+def augment_checksum(tiles: DataFrame) -> DataFrame:
+    """Contract surface for image_augment: decode -> augment -> weighted
+    checksum (sum of v * (i*w' + j + 1)) fused into ONE Arrow hop — the
+    augmented bytes never cross the Python/JVM boundary (the E10
+    verification_report lesson)."""
+
+    @F.pandas_udf(LongType())
+    def _ac(data: pd.Series, w: pd.Series, h: pd.Series, fmt: pd.Series) -> pd.Series:
+        out = []
+        for k in range(len(data)):
+            arr = oracle.decode_pixels(
+                data.iat[k], int(w.iat[k]), int(h.iat[k]), fmt.iat[k]
+            )
+            a = _augment_chain(arr).astype(np.int64)
+            ch, cw = a.shape
+            weights = np.arange(1, ch * cw + 1, dtype=np.int64).reshape(ch, cw)
+            out.append(int((a * weights).sum()))
+        return pd.Series(out)
+
+    return tiles.select(
+        "image_id",
+        (F.col("w") / 2).cast("int").alias("aug_w"),
+        (F.col("h") / 2).cast("int").alias("aug_h"),
+        _ac(F.col("bytes"), F.col("w"), F.col("h"), F.col("fmt")).alias("checksum"),
+    )
+
+
 # ---------------------------------------------------------------------------
 # audio / video ops
 # ---------------------------------------------------------------------------

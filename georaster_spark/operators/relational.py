@@ -607,3 +607,58 @@ SELECT user_id, sess_idx,
        CAST(SUM(v_cents) AS BIGINT) / 100.0 AS sum_value
 FROM s GROUP BY user_id, sess_idx ORDER BY user_id, sess_idx
 """
+
+SKETCH_TOL = 0.05  # both sketches must land within 5% of their exact twin
+
+
+def sketch_accuracy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Approximate aggregates with an honest accuracy gate: HLL++
+    distinct counts (approx_count_distinct) and an approximate median
+    (percentile_approx, the GK/KLL-family sketch) computed ALONGSIDE
+    their exact twins in one aggregation; the emitted booleans assert
+    the sketch error is within SKETCH_TOL and the oracle emits literal
+    TRUE — a sketch regression (or a tolerance breach at a new data
+    scale) turns the driver row red.  Only exact integers + booleans
+    reach the hash surface; the raw sketch estimates are engine-
+    specific by nature and deliberately do not.
+
+    Scale note: this is the pattern that makes sketches USABLE at
+    10^12 rows — the exact twin runs at audit scale (sf0.01 here, a
+    sampled partition in production) to certify the sketch, then the
+    sketch alone (one pass, mergeable partials, bounded memory) serves
+    the full corpus where COUNT(DISTINCT) would need a giant shuffle."""
+    ev = _t(spark, sf_dir, "events")
+    v_cents = cents(F.col("value"))
+    agg = ev.groupBy("event_type").agg(
+        F.countDistinct("user_id").alias("n_users_exact"),
+        F.approx_count_distinct("user_id", rsd=0.02).alias("_hll"),
+        F.expr(
+            "percentile(CAST(round(value * 100) AS BIGINT), 0.5D)"
+        ).alias("_p50_exact"),
+        F.expr(
+            "percentile_approx(CAST(round(value * 100) AS BIGINT), 0.5D, 10000)"
+        ).alias("_p50_approx"),
+    )
+    tol = F.lit(float(SKETCH_TOL))
+    return agg.select(
+        "event_type",
+        "n_users_exact",
+        (
+            F.abs(F.col("_hll") - F.col("n_users_exact"))
+            <= tol * F.col("n_users_exact")
+        ).alias("hll_ok"),
+        (
+            F.abs(F.col("_p50_approx") - F.col("_p50_exact"))
+            <= tol * F.abs(F.col("_p50_exact"))
+        ).alias("p50_ok"),
+    ).repartition(1).sortWithinPartitions("event_type")
+
+
+def sketch_accuracy_sql() -> str:
+    return """
+SELECT event_type,
+       COUNT(DISTINCT user_id) AS n_users_exact,
+       TRUE AS hll_ok,
+       TRUE AS p50_ok
+FROM events GROUP BY event_type ORDER BY event_type
+"""

@@ -1012,6 +1012,42 @@ def q_phash_compute(spark: SparkSession, sf_dir: str) -> DataFrame:
     return compute_phash(tiles).select("image_id", "phash_px").repartition(1).sortWithinPartitions("image_id")
 
 
+_AUGMENT_MOD = 47
+
+
+def q_image_augment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Training-data augmentation (multimodal.augment_checksum): the
+    hflip -> rot90 -> center-crop permutation chain verified via the
+    position-weighted checksum of the augmented pixels, fused into one
+    Arrow hop.  The oracle evaluates the ramp formula at the composite
+    inverse indices (orig[H-1-o-j, W-1-o-i])."""
+    from ..operators.multimodal import augment_checksum
+
+    tiles = geo.georegister(_images(spark, sf_dir)).where(
+        geo.image_idx() % _AUGMENT_MOD == 0
+    )
+    return augment_checksum(tiles).repartition(1).sortWithinPartitions("image_id")
+
+
+def _sql_image_augment(fx: Path, w: int) -> str:
+    c = w // 2
+    o = w // 4
+    # aug[i, j] = orig[H-1-o-j, W-1-o-i]  (ri.i = aug row, rj.j = aug col)
+    ramp = osql.ramp_value_expr(f"({w - 1 - o} - rj.j)", f"({w - 1 - o} - ri.i)")
+    return f"""
+WITH {osql.georegister_cte(str(fx / 'images.parquet'))}
+SELECT image_id,
+       {c} AS aug_w, {c} AS aug_h,
+       CAST(SUM(CAST({ramp} AS BIGINT) * (ri.i * {c} + rj.j + 1)) AS BIGINT) AS checksum
+FROM tiles,
+     generate_series(0, {c - 1}) AS ri(i),
+     generate_series(0, {c - 1}) AS rj(j)
+WHERE idx % {_AUGMENT_MOD} = 0
+GROUP BY image_id
+ORDER BY image_id
+"""
+
+
 def q_cell_join_salted(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Op E8 live: hot-cell census -> deterministic salting -> the
     tile-cell x zone-cell equi-join.  Output (distinct candidate pairs)
@@ -1448,6 +1484,71 @@ def q_dedup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select("doc_id")
     comp = graph.canonical_docs(graph.connected_components(pairs, docs))
     return comp.repartition(1).sortWithinPartitions("doc_id")
+
+
+_PR_ITERS = 3
+
+
+def q_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Iterative graph analytics (graph.pagerank_int): integer-exact
+    damped PageRank over the supplier<->customer interaction graph
+    (distinct (l_suppkey, o_custkey) pairs, symmetrized; suppliers are
+    even node ids, customers odd).  The all-integer arithmetic makes 3
+    iterations bit-comparable to the oracle's unrolled CTEs."""
+    from ..operators.graph import pagerank_int
+
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet").select(
+        "l_suppkey", "l_orderkey"
+    )
+    o = spark.read.parquet(f"{sf_dir}/orders.parquet").select(
+        "o_orderkey", "o_custkey"
+    )
+    pairs = (
+        li.join(o, li["l_orderkey"] == o["o_orderkey"])
+        .select(
+            (F.col("l_suppkey").cast("long") * 2).alias("s"),
+            (F.col("o_custkey").cast("long") * 2 + 1).alias("c"),
+        )
+        .distinct()
+    )
+    edges = pairs.select(F.col("s").alias("src"), F.col("c").alias("dst")).unionByName(
+        pairs.select(F.col("c").alias("src"), F.col("s").alias("dst"))
+    )
+    return (
+        pagerank_int(edges, iters=_PR_ITERS)
+        .repartition(1).sortWithinPartitions("node")
+    )
+
+
+def _sql_pagerank() -> str:
+    """DuckDB twin: the same 3 PageRank rounds unrolled as CTEs, all
+    arithmetic in integer division so the trajectory is bit-identical."""
+    rounds = []
+    prev = "r0"
+    for i in range(1, _PR_ITERS + 1):
+        rounds.append(f"""
+i{i} AS (
+  SELECT e.dst AS node, SUM(r.rank // d.deg) AS insum
+  FROM edges e JOIN deg d ON e.src = d.src JOIN {prev} r ON r.node = e.src
+  GROUP BY e.dst
+), r{i} AS (
+  SELECT node, 150000 + (85 * insum) // 100 AS rank FROM i{i}
+)""")
+        prev = f"r{i}"
+    return f"""
+WITH pairs AS (
+  SELECT DISTINCT l_suppkey * 2 AS s, o_custkey * 2 + 1 AS c
+  FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+), edges AS (
+  SELECT s AS src, c AS dst FROM pairs
+  UNION ALL SELECT c AS src, s AS dst FROM pairs
+), deg AS (
+  SELECT src, COUNT(*) AS deg FROM edges GROUP BY src
+), r0 AS (
+  SELECT src AS node, CAST(1000000 AS BIGINT) AS rank FROM deg
+),{",".join(rounds)}
+SELECT node, CAST(rank AS BIGINT) AS rank FROM {prev} ORDER BY node
+"""
 
 
 _BAND_OFF = 60  # multiple of QNT_STEP=4, so the qnt re-encode is a no-op
@@ -2526,6 +2627,7 @@ def spatial_queries() -> dict[str, QueryFn]:
         "value_at_nodata": q_value_at_nodata,
         "phash_near_dup": q_phash_near_dup,
         "phash_compute": q_phash_compute,
+        "image_augment": q_image_augment,
         "cell_join_salted": q_cell_join_salted,
         "verification_report": q_verification_report,
         "stream_cell_window": q_stream_cell_window,
@@ -2538,6 +2640,7 @@ def spatial_queries() -> dict[str, QueryFn]:
         "audio_features": q_audio_features,
         "video_frames": q_video_frames,
         "dedup_components": q_dedup_components,
+        "pagerank_graph": q_pagerank,
         "cell_sessions": q_cell_sessions,
         "time_travel": q_time_travel,
         "merge_upsert": q_merge_upsert,
@@ -2557,6 +2660,7 @@ def spatial_queries() -> dict[str, QueryFn]:
         "orders_above_avg": rel.orders_above_cust_avg,
         "order_date_strings": rel.order_date_string_stats,
         "user_sessions": rel.user_sessions,
+        "sketch_accuracy": rel.sketch_accuracy,
         **textops.text_queries(),
         **vectors.vector_queries(),
     }
@@ -2611,6 +2715,7 @@ def spatial_oracles(sf: str = "sf0.01") -> dict[str, str]:
         "value_at_nodata": osql.value_at_coords_sql(img, pts, nodata=_NODATA_VAL),
         "phash_near_dup": _sql_phash(fx),
         "phash_compute": _sql_phash_compute(fx, w),
+        "image_augment": _sql_image_augment(fx, w),
         "cell_join_salted": _sql_cell_join_salted(fx),
         "verification_report": _sql_verification_report(fx, w),
         "stream_cell_window": _sql_stream_cell_window(fx),
@@ -2623,6 +2728,7 @@ def spatial_oracles(sf: str = "sf0.01") -> dict[str, str]:
         "audio_features": _sql_audio_features(fx),
         "video_frames": _sql_video_frames(fx),
         "dedup_components": _sql_dedup_components(),
+        "pagerank_graph": _sql_pagerank(),
         "cell_sessions": _sql_cell_sessions(fx),
         "time_travel": _sql_time_travel(fx),
         "merge_upsert": _sql_merge_upsert(fx),
@@ -2642,6 +2748,7 @@ def spatial_oracles(sf: str = "sf0.01") -> dict[str, str]:
         "orders_above_avg": rel.orders_above_cust_avg_sql(),
         "order_date_strings": rel.order_date_string_stats_sql(),
         "user_sessions": rel.user_sessions_sql(),
+        "sketch_accuracy": rel.sketch_accuracy_sql(),
         **textops.text_oracles(),
         **vectors.vector_oracles(),
     }

@@ -107,3 +107,32 @@ def test_audio_video_contract_vs_duckdb(spark):
         assert len(srows) == len(orows), name
         assert sorted(sdf.columns) == sorted(ocols), name
         assert table_hash(sdf.columns, srows) == table_hash(ocols, orows), name
+
+
+def test_image_augment_matches_numpy(spark, sf0001_dir):
+    """The fused-bytes path, the fused-checksum path, and a direct NumPy
+    evaluation of the hflip->rot90->crop chain must all agree."""
+    imgs = spark.read.parquet(str(sf0001_dir / "images.parquet")).limit(12)
+    out = {r["image_id"]: r for r in mm.image_augment(imgs).collect()}
+    chk = {
+        r["image_id"]: r
+        for r in mm.augment_checksum(
+            imgs.select("image_id", "bytes", "w", "h", "fmt")
+        ).collect()
+    }
+    for r in imgs.collect():
+        arr = oracle.decode_pixels(r["bytes"], r["w"], r["h"], r["fmt"])
+        exp = mm._augment_chain(arr)
+        # composite index identity: out[i,j] == arr[H-1-o-j, W-1-o-i]
+        h, w = arr.shape
+        o = h // 4
+        assert exp[1, 2] == arr[h - 1 - o - 2, w - 1 - o - 1]
+        got = out[r["image_id"]]
+        assert (got["w"], got["h"]) == exp.shape[::-1]
+        assert oracle.decode_pixels(
+            got["bytes"], got["w"], got["h"], "raw"
+        ).tolist() == exp.tolist()
+        weights = np.arange(1, exp.size + 1, dtype=np.int64).reshape(exp.shape)
+        assert chk[r["image_id"]]["checksum"] == int(
+            (exp.astype(np.int64) * weights).sum()
+        )
