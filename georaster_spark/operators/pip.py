@@ -146,6 +146,12 @@ def pip_join(
     zc = zone_cells(zones, r)
     if broadcast_zones:
         zc = F.broadcast(zc)
+    else:
+        # The LARGE-ZONES degradation path: force the shuffled hash join
+        # a table-sized zones side would get — without the hint, Catalyst
+        # statistics (or AQE) re-broadcast a dim-sized test fixture and
+        # the fallback plan is never actually exercised.
+        zc = zc.hint("shuffle_hash")
     pts = points.withColumn("_px", x).withColumn("_py", y).withColumn(
         "cell_id", cells.cell_encode(F.col("_px"), F.col("_py"), r)
     )

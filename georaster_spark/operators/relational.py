@@ -662,3 +662,36 @@ SELECT event_type,
        TRUE AS p50_ok
 FROM events GROUP BY event_type ORDER BY event_type
 """
+
+BIG_QTY = 45  # an order "has a big item" if any lineitem quantity >= this
+
+
+def orders_exists_semi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXISTS-subquery / LEFT SEMI join (the complement of
+    customers_without_orders' anti join): orders having at least one
+    big-quantity lineitem, rolled up per month.  The semi join keeps the
+    probe side's row multiplicity (no dedup shuffle) and Catalyst pushes
+    the quantity filter into the lineitem scan."""
+    o = _t(spark, sf_dir, "orders")
+    li = _t(spark, sf_dir, "lineitem").where(F.col("l_quantity") >= BIG_QTY)
+    hits = o.join(li, o["o_orderkey"] == li["l_orderkey"], "left_semi")
+    return (
+        hits.groupBy(F.date_format("o_orderdate", "yyyy-MM").alias("month"))
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            (F.sum(cents(F.col("o_totalprice"))) / 100.0).alias("revenue"),
+        )
+        .repartition(1).sortWithinPartitions("month")
+    )
+
+
+def orders_exists_semi_sql() -> str:
+    return f"""
+SELECT strftime(o_orderdate, '%Y-%m') AS month,
+       COUNT(*) AS n_orders,
+       SUM(CAST(round(o_totalprice * 100) AS BIGINT)) / 100.0 AS revenue
+FROM orders o
+WHERE EXISTS (SELECT 1 FROM lineitem l
+              WHERE l.l_orderkey = o.o_orderkey AND l.l_quantity >= {BIG_QTY})
+GROUP BY 1 ORDER BY month
+"""

@@ -655,10 +655,10 @@ def q_raster_regions(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _sql_raster_regions(fx: Path, w: int) -> str:
-    """DuckDB twin of q_raster_regions: foreground pixels from the ramp
-    formula, 4-adjacency edges, min-label via recursive closure (the
-    pixel-granularity version of the _sql_dedup_components idiom)."""
+def _region_label_ctes(fx: Path, w: int) -> str:
+    """Shared CTE prefix for the per-tile region oracles: foreground
+    pixels from the ramp formula, directed 4-adjacency edges (right +
+    down, each once), min-label via recursive closure."""
     from ..operators.regions import DEFAULT_THRESHOLD
 
     ramp = osql.ramp_value_expr("gi.i", "gj.j")
@@ -686,7 +686,14 @@ reach(image_id, pid, r) AS (
 ),
 labels AS (
   SELECT image_id, pid, MIN(r) AS comp FROM reach GROUP BY image_id, pid
-),
+)"""
+
+
+def _sql_raster_regions(fx: Path, w: int) -> str:
+    """DuckDB twin of q_raster_regions: per-image rollup of the shared
+    region-label closure (the pixel-granularity version of the
+    _sql_dedup_components idiom)."""
+    return f"""{_region_label_ctes(fx, w)},
 comps AS (
   SELECT image_id, comp, COUNT(*) AS sz FROM labels GROUP BY image_id, comp
 ),
@@ -702,6 +709,48 @@ SELECT t.image_id,
        CAST(COALESCE(a.region_checksum, 0) AS BIGINT) AS region_checksum
 FROM (SELECT image_id FROM tiles WHERE idx % {_REGION_MOD} = 0) t
 LEFT JOIN agg a USING (image_id) ORDER BY t.image_id
+"""
+
+
+def q_region_geometry(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Polygonize-lite (regions.region_geometry): one row per connected
+    region with integer bbox, size, and exposed-boundary perimeter."""
+    from ..operators import regions
+
+    tiles = geo.georegister(_images(spark, sf_dir)).where(
+        geo.image_idx() % _REGION_MOD == 0
+    )
+    return (
+        regions.region_geometry(tiles)
+        .repartition(1).sortWithinPartitions("image_id", "label")
+    )
+
+
+def _sql_region_geometry(fx: Path, w: int) -> str:
+    """DuckDB twin of q_region_geometry: per-region aggregates over the
+    shared label closure; perimeter = 4*size - 2*internal adjacencies
+    (each directed right/down edge counted once)."""
+    return f"""{_region_label_ctes(fx, w)},
+geom AS (
+  SELECT image_id, comp AS label, COUNT(*) AS n_px,
+         MIN(pid // {w}) AS imin, MAX(pid // {w}) AS imax,
+         MIN(pid % {w}) AS jmin, MAX(pid % {w}) AS jmax
+  FROM labels GROUP BY image_id, comp
+),
+adj AS (
+  SELECT e.image_id, lu.comp AS label, COUNT(*) AS n_adj
+  FROM edges e
+  JOIN labels lu ON lu.image_id = e.image_id AND lu.pid = e.u
+  GROUP BY e.image_id, lu.comp
+)
+SELECT g.image_id,
+       CAST(g.label AS BIGINT) AS label,
+       CAST(g.n_px AS BIGINT) AS n_px,
+       CAST(g.imin AS BIGINT) AS imin, CAST(g.imax AS BIGINT) AS imax,
+       CAST(g.jmin AS BIGINT) AS jmin, CAST(g.jmax AS BIGINT) AS jmax,
+       CAST(4 * g.n_px - 2 * COALESCE(a.n_adj, 0) AS BIGINT) AS perimeter
+FROM geom g LEFT JOIN adj a ON a.image_id = g.image_id AND a.label = g.label
+ORDER BY g.image_id, g.label
 """
 
 
@@ -2614,6 +2663,7 @@ def spatial_queries() -> dict[str, QueryFn]:
         "focal_mosaic": q_focal_mosaic,
         "terrain_slope": q_terrain_slope,
         "raster_regions": q_raster_regions,
+        "region_geometry": q_region_geometry,
         "mosaic_regions": q_mosaic_regions,
         "rasterize_burn": q_rasterize,
         "equalize": q_equalize,
@@ -2661,6 +2711,7 @@ def spatial_queries() -> dict[str, QueryFn]:
         "order_date_strings": rel.order_date_string_stats,
         "user_sessions": rel.user_sessions,
         "sketch_accuracy": rel.sketch_accuracy,
+        "orders_exists_semi": rel.orders_exists_semi,
         **textops.text_queries(),
         **vectors.vector_queries(),
     }
@@ -2702,6 +2753,7 @@ def spatial_oracles(sf: str = "sf0.01") -> dict[str, str]:
         "focal_mosaic": _sql_focal_mosaic(fx),
         "terrain_slope": _sql_terrain_slope(fx, w),
         "raster_regions": _sql_raster_regions(fx, w),
+        "region_geometry": _sql_region_geometry(fx, w),
         "mosaic_regions": _sql_mosaic_regions(fx),
         "rasterize_burn": _sql_rasterize(fx, w),
         "equalize": _sql_equalize(fx, w),
@@ -2749,6 +2801,7 @@ def spatial_oracles(sf: str = "sf0.01") -> dict[str, str]:
         "order_date_strings": rel.order_date_string_stats_sql(),
         "user_sessions": rel.user_sessions_sql(),
         "sketch_accuracy": rel.sketch_accuracy_sql(),
+        "orders_exists_semi": rel.orders_exists_semi_sql(),
         **textops.text_oracles(),
         **vectors.vector_oracles(),
     }

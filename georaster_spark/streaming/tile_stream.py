@@ -190,6 +190,39 @@ def stream_sessionize(
     )
 
 
+def stream_sessionize_native(
+    images: DataFrame,
+    gap_s: int = 200,
+    r: int = DEFAULT_RES,
+    watermark: str = "30 seconds",
+) -> DataFrame:
+    """Built-in twin of stream_sessionize: the same dynamic-gap sessions
+    expressed with Spark's native ``session_window`` merging aggregation
+    (state-store-backed window merge) instead of the custom
+    applyInPandasWithState operator — the two bound the design space for
+    S4 (use the engine primitive when it fits; drop to custom state only
+    for semantics it can't express, e.g. per-session payloads beyond
+    aggregates).
+
+    Boundary alignment: batch_sessionize keeps events with gap <= gap_s
+    together (strict > splits), while session_window merges an event iff
+    it lands strictly before last_ts + gap.  Fixture timestamps are
+    whole seconds, so a native gap of ``gap_s + 1`` seconds makes
+    "< last + gap_s + 1" ≡ "<= last + gap_s" — the two operators emit
+    identical sessions (pinned in tests/test_streaming.py)."""
+    tiles = geo.georegister(with_event_time(images), r).select("cell_id", "ts")
+    return (
+        tiles.withWatermark("ts", watermark)
+        .groupBy("cell_id", F.session_window("ts", f"{gap_s + 1} seconds"))
+        .agg(
+            F.min("ts").alias("session_start"),
+            F.max("ts").alias("session_end"),
+            F.count(F.lit(1)).alias("n_images"),
+        )
+        .select("cell_id", "session_start", "session_end", "n_images")
+    )
+
+
 def stream_revisit_join(
     a: DataFrame,
     b: DataFrame,

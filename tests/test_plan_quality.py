@@ -273,6 +273,22 @@ def test_decontaminate_broadcasts_benchmark(spark, tmp_path):
     assert "SortMergeJoin" not in plan
 
 
+def test_pip_nonbroadcast_path_is_shuffled(spark, sf0001_dir):
+    """A25: broadcast_zones=False must actually exercise the large-zones
+    degradation plan — a shuffled hash join on cell_id — not get
+    re-broadcast by statistics/AQE on a dim-sized fixture."""
+    imgs = spark.read.parquet(str(sf0001_dir / "images.parquet"))
+    zones = spark.read.parquet(str(sf0001_dir / "zones.parquet"))
+    tiles = geo.georegister(imgs.select("image_id", "w", "h"))
+    q = pip_join(
+        tiles, zones, x=geo.centroid_x(), y=geo.centroid_y(),
+        broadcast_zones=False,
+    )
+    plan = _plan(q)
+    assert "ShuffledHashJoin" in plan
+    assert "BroadcastHashJoin" not in plan
+
+
 def test_zone_overlap_no_cartesian(spark, sf0001_dir):
     """A26: the overlay pair join must go through the cell-prefiltered
     equi-join — no CartesianProduct / BroadcastNestedLoopJoin."""

@@ -211,3 +211,28 @@ def test_stream_merge_to_icelite(spark, stream_dir, tmp_path):
     )
     ts.stream_merge_to_icelite(stream2, table, "image_id", str(tmp_path / "ck_cdc"))
     assert icelite.snapshot_info(table)["version"] == v1
+
+
+def test_stream_sessionize_native_matches_custom(spark, stream_dir, tmp_path):
+    """Spark's built-in session_window aggregation must emit exactly the
+    sessions the custom applyInPandasWithState operator (and therefore
+    the batch window idiom) defines: every emitted session is a batch
+    session, and only per-cell tail sessions (unfinalized at the final
+    watermark) may be withheld."""
+    stream = ts.read_image_stream(spark, str(stream_dir))
+    out = ts.stream_sessionize_native(stream, gap_s=200)
+    ts.run_to_memory(out, "sess_native", str(tmp_path / "ck_sess_nat"))
+    got = {_sess_key(r) for r in spark.sql("SELECT * FROM sess_native").collect()}
+
+    batch = spark.read.parquet(str(stream_dir))
+    exp_rows = ts.batch_sessionize(batch, gap_s=200).collect()
+    exp = {_sess_key(r) for r in exp_rows}
+    assert got <= exp
+    last_per_cell = {}
+    for r in exp_rows:
+        k = _sess_key(r)
+        prev = last_per_cell.get(r["cell_id"])
+        if prev is None or k[1] > prev[1]:
+            last_per_cell[r["cell_id"]] = k
+    assert exp - got <= set(last_per_cell.values())
+    assert got  # some sessions must finalize under the fixture cadence
