@@ -237,6 +237,86 @@ def terrain_stats(tiles: DataFrame) -> DataFrame:
     return slim.mapInPandas(_terrain, schema=_TERRAIN_SCHEMA)
 
 
+_HILLSHADE_SCHEMA = (
+    "image_id string, n_interior long, shade_sum long, shade_min long, "
+    "shade_max long, n_shadow long, shade_checksum long"
+)
+
+
+def hillshade_stats(
+    tiles: DataFrame, lx: int = -3, ly: int = 4, lz: int = 12
+) -> DataFrame:
+    """Integer-exact hillshade (`gdaldem hillshade` analog, A37): the
+    Lambertian illumination NUMERATOR over interior pixels.
+
+    With the Horn gradients gx, gy of terrain_stats, the (unnormalized)
+    surface normal is n = (-gx, -gy, 8) (unit cell, z up; 8 = Horn kernel
+    weight sum).  For an integer light vector L = (lx, ly, lz) the shade
+    numerator is
+
+        shade = L . n = -lx*gx - ly*gy + 8*lz            (int64-exact)
+
+    True hillshade is shade / (|L| |n|); the positive scale |L||n| never
+    changes the SIGN, so lit-vs-shadow classification (n_shadow: shade
+    <= 0) matches the normalized value exactly, and the raw numerator
+    stats are bit-reproducible across engines — the same
+    integer-surface discipline as terrain_stats (which a float
+    cos/sin hillshade could not satisfy cross-engine).  Default L =
+    (-3, 4, 12) (|L| = 13): light from the ESE at ~67 deg elevation.
+
+    Scale shape: identical to terrain_stats — map-only fused
+    mapInPandas, vectorized per (w,h,fmt) group, no shuffle."""
+    slim = tiles.select("image_id", "bytes", "w", "h", "fmt")
+
+    def _shade(batches):
+        dt = {"raw": np.uint8, "qnt": np.uint8, "raw16": "<u2"}
+        cols = (
+            "n_interior", "shade_sum", "shade_min", "shade_max",
+            "n_shadow", "shade_checksum",
+        )
+        for pdf in batches:
+            n = len(pdf)
+            out = {"image_id": pdf["image_id"].to_numpy(dtype=object)}
+            for c in cols:
+                out[c] = np.zeros(n, dtype=np.int64)
+            groups: dict[tuple, list[int]] = {}
+            for k in range(n):
+                key = (int(pdf["w"].iat[k]), int(pdf["h"].iat[k]), pdf["fmt"].iat[k])
+                groups.setdefault(key, []).append(k)
+            for (w, h, fmt), idx in groups.items():
+                if w < 3 or h < 3:
+                    continue
+                z = (
+                    np.frombuffer(
+                        b"".join(pdf["bytes"].iat[k] for k in idx), dtype=dt[fmt]
+                    )
+                    .reshape(len(idx), h, w)
+                    .astype(np.int64)
+                )
+                gx = (
+                    z[:, :-2, 2:] + 2 * z[:, 1:-1, 2:] + z[:, 2:, 2:]
+                    - z[:, :-2, :-2] - 2 * z[:, 1:-1, :-2] - z[:, 2:, :-2]
+                )
+                gy = (
+                    z[:, 2:, :-2] + 2 * z[:, 2:, 1:-1] + z[:, 2:, 2:]
+                    - z[:, :-2, :-2] - 2 * z[:, :-2, 1:-1] - z[:, :-2, 2:]
+                )
+                shade = -lx * gx - ly * gy + 8 * lz
+                wt = np.arange(1, (h - 2) * (w - 2) + 1, dtype=np.int64).reshape(
+                    h - 2, w - 2
+                )
+                ii = np.asarray(idx)
+                out["n_interior"][ii] = (h - 2) * (w - 2)
+                out["shade_sum"][ii] = shade.sum(axis=(1, 2))
+                out["shade_min"][ii] = shade.min(axis=(1, 2))
+                out["shade_max"][ii] = shade.max(axis=(1, 2))
+                out["n_shadow"][ii] = (shade <= 0).sum(axis=(1, 2))
+                out["shade_checksum"][ii] = (shade * wt).sum(axis=(1, 2))
+            yield pd.DataFrame(out)
+
+    return slim.mapInPandas(_shade, schema=_HILLSHADE_SCHEMA)
+
+
 def change_detect(a: DataFrame, b: DataFrame, key: str = "image_id") -> DataFrame:
     """Join two co-registered tile corpora on `key` and emit per-tile
     change statistics.  Columns taken from each side: bytes, fmt (plus

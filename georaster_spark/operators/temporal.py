@@ -1,0 +1,97 @@
+"""Temporal stack composite (A35) — per-pixel reduction across revisit
+epochs of the same tile footprint.
+
+The Earth-observation workhorse: given T co-registered snapshots of each
+tile (revisit epochs), reduce pixel-wise across the time axis — min/max
+composites, range (change envelope), and the epoch-of-minimum band
+(`argmin` composite, e.g. "date of greenest pixel").  Upstream georaster
+has no multi-temporal surface (one `SingleBandRaster` per file,
+`georaster/georaster.py :: SingleBandRaster` ≈L600-780 ⚠ UNVERIFIED,
+SURVEY §0); a user stacks arrays by hand.  Here the stack is a relation
+of (image_id, epoch) rows and the reduction is a grouped Arrow pass.
+
+Epoch synthesis: the sandbox fixture corpus has one snapshot per tile,
+so epoch e's pixels are derived deterministically as
+``v_e = (v0 + delta * e) mod 256`` — a rotation of the value ramp that
+keeps every per-pixel reduction integer-exact and lets the DuckDB oracle
+re-derive the composite from the ramp formula alone.  The *shape* of the
+operator is the real one: epoch rows are independent relation rows that
+must meet in a per-tile group, exactly as T distinct ingest batches
+would.
+
+Scale shape: ONE shuffle of pixel payloads keyed by image_id (the
+unavoidable data movement when epochs arrive in separate batches); with
+the tiles table bucketed by image_id (sources/bucketed tables op) the
+exchange disappears and the grouped reduce runs map-side.  The reduction
+itself is vectorized NumPy over an (E, h*w) int64 block per tile; output
+rows are slim per-tile stats — pixel bytes never leave the executor
+after the group forms.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from .. import oracle
+
+_STACK_SCHEMA = (
+    "image_id string, n_epochs int, n_px long, min_sum long, max_sum long, "
+    "range_sum long, range_max long, argmin_checksum long"
+)
+
+
+def epoch_rows(tiles: DataFrame, n_epochs: int) -> DataFrame:
+    """Explode each tile row into `n_epochs` (image_id, epoch, bytes...)
+    rows — the stand-in for T real revisit batches.  The epoch pixel
+    transform happens inside the reducer so the synthetic bytes are never
+    materialized in the shuffle (each epoch row ships the base payload
+    exactly once, as a real ingest would ship its own snapshot)."""
+    return tiles.select(
+        "image_id", "bytes", "w", "h", "fmt",
+        F.explode(F.sequence(F.lit(0), F.lit(n_epochs - 1))).alias("epoch"),
+    )
+
+
+def temporal_stack(tiles: DataFrame, n_epochs: int = 4, delta: int = 17) -> DataFrame:
+    """Per-tile temporal composite over `n_epochs` epochs:
+
+      n_px             pixels per tile
+      min_sum/max_sum  sum over pixels of the per-pixel min/max across epochs
+      range_sum/range_max  sum/max of per-pixel (max - min) — change envelope
+      argmin_checksum  sum of min_epoch(p) * (pixel_idx + 1), where
+                       min_epoch(p) is the SMALLEST epoch attaining the
+                       per-pixel min (deterministic tie rule)
+
+    All int64-exact: uint8/uint16 pixels, integer epoch shift mod 256.
+    """
+
+    def _reduce(key, pdf: pd.DataFrame) -> pd.DataFrame:
+        row0 = pdf.iloc[0]
+        w, h = int(row0["w"]), int(row0["h"])
+        base = oracle.decode_pixels(row0["bytes"], w, h, row0["fmt"]).astype(np.int64)
+        eps = np.sort(pdf["epoch"].to_numpy(dtype=np.int64))
+        # epoch snapshots: (E, h*w) int64
+        stack = (base.ravel()[None, :] + delta * eps[:, None]) % 256
+        mn = stack.min(axis=0)
+        mx = stack.max(axis=0)
+        # smallest epoch attaining the min: argmax over a reversed mask
+        min_epoch = eps[np.argmax(stack == mn[None, :], axis=0)]
+        wt = np.arange(1, mn.size + 1, dtype=np.int64)
+        return pd.DataFrame(
+            {
+                "image_id": [key[0]],
+                "n_epochs": [int(len(eps))],
+                "n_px": [int(mn.size)],
+                "min_sum": [int(mn.sum())],
+                "max_sum": [int(mx.sum())],
+                "range_sum": [int((mx - mn).sum())],
+                "range_max": [int((mx - mn).max())],
+                "argmin_checksum": [int((min_epoch * wt).sum())],
+            }
+        )
+
+    rows = epoch_rows(tiles, n_epochs)
+    return rows.groupBy("image_id").applyInPandas(_reduce, schema=_STACK_SCHEMA)

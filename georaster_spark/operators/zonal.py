@@ -167,3 +167,32 @@ def zonal_quantiles(
     from .raster_stats import histogram_quantiles
 
     return histogram_quantiles(zonal_histogram(tiles, zones), qs, key="zone_id")
+
+
+def zonal_majority(tiles: DataFrame, zones: DataFrame) -> DataFrame:
+    """Zonal MAJORITY/mode (the categorical zonal statistic — GIS
+    'zonal majority/variety'): per zone, the most frequent in-zone pixel
+    value, its count, the variety (distinct value count), and the total.
+
+    Tie rule: highest count, then LOWEST value — deterministic across
+    engines.  Implemented as a single hash aggregation over the zonal
+    histogram using lexicographic struct-max (cnt, -bin): no window, no
+    second shuffle beyond the tiny (zone, bin) -> zone agg; pixel bytes
+    never move (the histogram partials are <=256 rows per pair)."""
+    hist = zonal_histogram(tiles, zones)
+    top = F.max(F.struct(F.col("cnt"), (-F.col("bin")).alias("negbin"))).alias("top")
+    return (
+        hist.groupBy("zone_id")
+        .agg(
+            top,
+            F.count(F.lit(1)).alias("n_variety"),
+            F.sum("cnt").alias("n_pixels"),
+        )
+        .select(
+            "zone_id",
+            (-F.col("top.negbin")).alias("majority_val"),
+            F.col("top.cnt").alias("majority_cnt"),
+            "n_variety",
+            "n_pixels",
+        )
+    )

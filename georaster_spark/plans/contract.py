@@ -918,6 +918,210 @@ FROM blocks GROUP BY image_id ORDER BY image_id
 """
 
 
+def q_zonal_majority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Zonal MAJORITY/variety (zonal.zonal_majority — the categorical
+    zonal statistic): per zone the modal pixel value (tie -> lowest
+    value), its count, the variety and the total, via one struct-max hash
+    agg over the zonal histogram — no window, pixels never shuffle."""
+    from ..operators import zonal
+
+    tiles = geo.georegister(_images(spark, sf_dir))
+    out = zonal.zonal_majority(tiles, _zones(spark, sf_dir))
+    return out.repartition(1).sortWithinPartitions("zone_id")
+
+
+def _sql_zonal_majority(fx: Path, w: int) -> str:
+    """DuckDB twin of q_zonal_majority: same in-zone pixel relation as
+    _sql_zonal_quantiles, ranked per zone by (cnt DESC, bin ASC)."""
+    ramp = osql.ramp_value_expr("gi.i", "gj.j")
+    return f"""
+WITH {osql.georegister_cte(str(fx / 'images.parquet'))},
+pairs AS (
+  SELECT t.idx, t.fmt, t.gt_x0, t.gt_y0, t.gt_xres, t.gt_yres, z.zone_id, z.ring
+  FROM tiles t JOIN read_parquet('{fx / 'zones.parquet'}') z
+    ON t.gt_x0 < z.xmax AND t.gt_x0 + t.w * t.gt_xres > z.xmin
+   AND t.gt_y0 - t.h * t.gt_yres < z.ymax AND t.gt_y0 > z.ymin
+),
+pix AS (
+  SELECT zone_id, {ramp} AS v,
+         gt_x0 + (gj.j + 0.5) * gt_xres AS px,
+         gt_y0 - (gi.i + 0.5) * gt_yres AS py,
+         ring
+  FROM pairs, generate_series(0, {w - 1}) AS gi(i), generate_series(0, {w - 1}) AS gj(j)
+),
+hist AS (
+  SELECT zone_id, CAST(v AS BIGINT) AS bin, COUNT(*) AS cnt
+  FROM pix z WHERE {osql.pip_where('z.px', 'z.py')}
+  GROUP BY zone_id, v
+),
+ranked AS (
+  SELECT zone_id, bin, cnt,
+         ROW_NUMBER() OVER (PARTITION BY zone_id ORDER BY cnt DESC, bin ASC) AS rn,
+         COUNT(*) OVER (PARTITION BY zone_id) AS n_variety,
+         SUM(cnt) OVER (PARTITION BY zone_id) AS n_pixels
+  FROM hist
+)
+SELECT zone_id, CAST(bin AS BIGINT) AS majority_val, CAST(cnt AS BIGINT) AS majority_cnt,
+       CAST(n_variety AS BIGINT) AS n_variety, CAST(n_pixels AS BIGINT) AS n_pixels
+FROM ranked WHERE rn = 1 ORDER BY zone_id
+"""
+
+
+def q_hillshade(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Integer-exact hillshade (algebra.hillshade_stats — `gdaldem
+    hillshade` analog): Lambertian illumination numerator L.n over Horn
+    normals, integer light vector L=(-3,4,12); lit-vs-shadow counts and
+    numerator stats are bit-reproducible (same map-only fused shape as
+    terrain_slope)."""
+    from ..operators import algebra
+
+    tiles = geo.georegister(_images(spark, sf_dir)).where(
+        geo.image_idx() % _TERRAIN_MOD == 0
+    )
+    return (
+        algebra.hillshade_stats(tiles)
+        .repartition(1).sortWithinPartitions("image_id")
+    )
+
+
+def _sql_hillshade(fx: Path, w: int) -> str:
+    """DuckDB twin of q_hillshade: Horn gx/gy from the ramp formula,
+    shade = -lx*gx - ly*gy + 8*lz with L=(-3,4,12) -> 3*gx - 4*gy + 96."""
+
+    def rv(di: int, dj: int) -> str:
+        return f"CAST({osql.ramp_value_expr(f'gi.i + {di}', f'gj.j + {dj}')} AS BIGINT)"
+
+    gx = (
+        f"({rv(-1, 1)} + 2*{rv(0, 1)} + {rv(1, 1)}"
+        f" - {rv(-1, -1)} - 2*{rv(0, -1)} - {rv(1, -1)})"
+    )
+    gy = (
+        f"({rv(1, -1)} + 2*{rv(1, 0)} + {rv(1, 1)}"
+        f" - {rv(-1, -1)} - 2*{rv(-1, 0)} - {rv(-1, 1)})"
+    )
+    iw = w - 2
+    return f"""
+WITH {osql.georegister_cte(str(fx / 'images.parquet'))},
+px AS (
+  SELECT image_id, gi.i AS i, gj.j AS j,
+         3 * {gx} - 4 * {gy} + 96 AS shade
+  FROM tiles,
+       generate_series(1, {w - 2}) AS gi(i), generate_series(1, {w - 2}) AS gj(j)
+  WHERE idx % {_TERRAIN_MOD} = 0
+)
+SELECT image_id,
+       CAST(COUNT(*) AS BIGINT) AS n_interior,
+       CAST(SUM(shade) AS BIGINT) AS shade_sum,
+       CAST(MIN(shade) AS BIGINT) AS shade_min,
+       CAST(MAX(shade) AS BIGINT) AS shade_max,
+       CAST(SUM(CASE WHEN shade <= 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_shadow,
+       CAST(SUM(shade * ((i - 1) * {iw} + (j - 1) + 1)) AS BIGINT) AS shade_checksum
+FROM px GROUP BY image_id ORDER BY image_id
+"""
+
+
+_STACK_MOD = 83
+_STACK_EPOCHS = 4
+_STACK_DELTA = 17
+
+
+def q_temporal_stack(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temporal stack composite (temporal.temporal_stack): per-pixel
+    min/max/range and smallest-epoch-of-min across 4 revisit epochs —
+    epoch rows meet in a grouped Arrow reduce (ONE pixel shuffle keyed by
+    image_id; zero with image_id-bucketed layout)."""
+    from ..operators import temporal
+
+    tiles = geo.georegister(_images(spark, sf_dir)).where(
+        geo.image_idx() % _STACK_MOD == 0
+    )
+    return (
+        temporal.temporal_stack(tiles, _STACK_EPOCHS, _STACK_DELTA)
+        .repartition(1).sortWithinPartitions("image_id")
+    )
+
+
+def _sql_temporal_stack(fx: Path, w: int) -> str:
+    """DuckDB twin of q_temporal_stack: epoch e pixel = (ramp + 17e) mod
+    256 over generate_series epochs, reduced per pixel then per tile."""
+    ramp = osql.ramp_value_expr("gi.i", "gj.j")
+    e = _STACK_EPOCHS
+    return f"""
+WITH {osql.georegister_cte(str(fx / 'images.parquet'))},
+px AS (
+  SELECT image_id, gi.i AS i, gj.j AS j, CAST({ramp} AS BIGINT) AS v
+  FROM tiles, generate_series(0, {w - 1}) AS gi(i), generate_series(0, {w - 1}) AS gj(j)
+  WHERE idx % {_STACK_MOD} = 0
+),
+ep AS (
+  SELECT image_id, i, j, ge.e AS e, (v + {_STACK_DELTA} * ge.e) % 256 AS ve
+  FROM px, generate_series(0, {e - 1}) AS ge(e)
+),
+red AS (
+  SELECT image_id, i, j, MIN(ve) AS mn, MAX(ve) AS mx
+  FROM ep GROUP BY image_id, i, j
+),
+am AS (
+  SELECT e.image_id, e.i, e.j, MIN(e.e) AS min_epoch
+  FROM ep e JOIN red r ON r.image_id = e.image_id AND r.i = e.i AND r.j = e.j
+                       AND e.ve = r.mn
+  GROUP BY e.image_id, e.i, e.j
+)
+SELECT r.image_id,
+       CAST({e} AS INT) AS n_epochs,
+       CAST(COUNT(*) AS BIGINT) AS n_px,
+       CAST(SUM(r.mn) AS BIGINT) AS min_sum,
+       CAST(SUM(r.mx) AS BIGINT) AS max_sum,
+       CAST(SUM(r.mx - r.mn) AS BIGINT) AS range_sum,
+       CAST(MAX(r.mx - r.mn) AS BIGINT) AS range_max,
+       CAST(SUM(a.min_epoch * (r.i * {w} + r.j + 1)) AS BIGINT) AS argmin_checksum
+FROM red r JOIN am a ON a.image_id = r.image_id AND a.i = r.i AND a.j = r.j
+GROUP BY r.image_id ORDER BY r.image_id
+"""
+
+
+_PATCH_MOD = 79
+_PATCH_P = 8
+
+
+def q_patch_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ViT-style training-patch extraction (patches.patch_summaries):
+    each tile -> non-overlapping 8x8 patch rows with position-pinning
+    integer checksums — map-only exploding pass, no shuffle; the
+    full-bytes sink variant (patches.extract_patches) shares the grid."""
+    from ..operators import patches
+
+    tiles = geo.georegister(_images(spark, sf_dir)).where(
+        geo.image_idx() % _PATCH_MOD == 0
+    )
+    return (
+        patches.patch_summaries(tiles, _PATCH_P)
+        .repartition(1).sortWithinPartitions("image_id", "pi", "pj")
+    )
+
+
+def _sql_patch_extract(fx: Path, w: int) -> str:
+    """DuckDB twin of q_patch_extract: the ramp pixel relation grouped by
+    the (i//P, j//P) patch grid with the row-major in-patch weight."""
+    p = _PATCH_P
+    ramp = osql.ramp_value_expr("gi.i", "gj.j")
+    return f"""
+WITH {osql.georegister_cte(str(fx / 'images.parquet'))},
+px AS (
+  SELECT image_id, gi.i AS i, gj.j AS j, CAST({ramp} AS BIGINT) AS v
+  FROM tiles, generate_series(0, {(w // p) * p - 1}) AS gi(i),
+       generate_series(0, {(w // p) * p - 1}) AS gj(j)
+  WHERE idx % {_PATCH_MOD} = 0
+)
+SELECT image_id, CAST(i // {p} AS INT) AS pi, CAST(j // {p} AS INT) AS pj,
+       CAST(SUM(v) AS BIGINT) AS patch_sum,
+       CAST(SUM(v * ((i % {p}) * {p} + (j % {p}) + 1)) AS BIGINT) AS patch_checksum,
+       CAST(MIN(v) AS INT) AS patch_min,
+       CAST(MAX(v) AS INT) AS patch_max
+FROM px GROUP BY image_id, pi, pj ORDER BY image_id, pi, pj
+"""
+
+
 _ROLLUP_LEVELS = (11, 9, 7)
 
 
@@ -2673,6 +2877,10 @@ def spatial_queries() -> dict[str, QueryFn]:
         "zonal_stats": q_zonal_stats,
         "zonal_stats_nodata": q_zonal_stats_nodata,
         "zonal_quantiles": q_zonal_quantiles,
+        "zonal_majority": q_zonal_majority,
+        "hillshade": q_hillshade,
+        "temporal_stack": q_temporal_stack,
+        "patch_extract": q_patch_extract,
         "avg_pool": q_avg_pool,
         "value_at_nodata": q_value_at_nodata,
         "phash_near_dup": q_phash_near_dup,
@@ -2763,6 +2971,10 @@ def spatial_oracles(sf: str = "sf0.01") -> dict[str, str]:
         "zonal_stats": _sql_zonal_stats(fx, w),
         "zonal_stats_nodata": _sql_zonal_stats(fx, w, nodata=_NODATA_VAL),
         "zonal_quantiles": _sql_zonal_quantiles(fx, w),
+        "zonal_majority": _sql_zonal_majority(fx, w),
+        "hillshade": _sql_hillshade(fx, w),
+        "temporal_stack": _sql_temporal_stack(fx, w),
+        "patch_extract": _sql_patch_extract(fx, w),
         "avg_pool": _sql_avg_pool(fx, w),
         "value_at_nodata": osql.value_at_coords_sql(img, pts, nodata=_NODATA_VAL),
         "phash_near_dup": _sql_phash(fx),
