@@ -757,6 +757,210 @@ GROUP BY doc_id ORDER BY doc_id
 """
 
 
+# ---------------------------------------------------------------------------
+# T5 — document repetition metrics (Gopher-style quality rules)
+# ---------------------------------------------------------------------------
+
+
+def _clean_words() -> Column:
+    """Tokenized text with empties dropped — position-stable on both
+    engines (filter AFTER split so bigram adjacency matches the oracle's
+    list_filter)."""
+    return F.filter(words_col(), lambda t: t != "")
+
+
+def doc_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document repetition metrics — the Gopher/C4 'repetitious
+    text' quality rules (Rae et al. 2021 §A1.1, PAPERS.md): fraction of
+    tokens/characters in repeated words and the top word/bigram
+    multiplicities.  A filter pipeline thresholds these columns; here
+    they are emitted exactly so the oracle pins every count.
+
+      n_words / n_distinct     total and distinct token counts
+      top_word_cnt             multiplicity of the most repeated word
+      dup_tokens               tokens whose word occurs > 1 time
+      dup_chars                characters (space-free) in those tokens
+      top_bigram_cnt           multiplicity of the most repeated
+                               adjacent word pair
+      n_distinct_bigrams       distinct adjacent pairs
+
+    Plan shape: two doc-keyed explode->count aggs (words, bigrams)
+    joined on doc_id — every shuffle is keyed by doc_id or
+    (doc_id, term), so there is no corpus-global hot key at any scale
+    (unlike df/stopword-keyed joins); a doc's rows stay one group."""
+    ws = _clean_words()
+    bigrams = F.when(
+        F.size(ws) >= 2,
+        F.transform(
+            F.sequence(F.lit(1), F.size(ws) - 1),
+            lambda i: F.concat_ws(" ", F.element_at(ws, i), F.element_at(ws, i + 1)),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    docs = _docs(spark, sf_dir)
+    uni = (
+        docs.select("doc_id", F.explode(ws).alias("term"))
+        .groupBy("doc_id", "term")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .groupBy("doc_id")
+        .agg(
+            F.sum("cnt").cast("long").alias("n_words"),
+            F.count(F.lit(1)).alias("n_distinct"),
+            F.max("cnt").cast("long").alias("top_word_cnt"),
+            F.sum(F.when(F.col("cnt") > 1, F.col("cnt")).otherwise(0))
+            .cast("long").alias("dup_tokens"),
+            F.sum(
+                F.when(F.col("cnt") > 1, F.col("cnt") * F.length("term")).otherwise(0)
+            ).cast("long").alias("dup_chars"),
+        )
+    )
+    bi = (
+        docs.select("doc_id", F.explode(bigrams).alias("big"))
+        .groupBy("doc_id", "big")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .groupBy("doc_id")
+        .agg(
+            F.max("cnt").cast("long").alias("top_bigram_cnt"),
+            F.count(F.lit(1)).alias("n_distinct_bigrams"),
+        )
+    )
+    return (
+        uni.join(bi, "doc_id")
+        .repartition(1).sortWithinPartitions("doc_id")
+    )
+
+
+def doc_repetition_sql() -> str:
+    return f"""
+WITH d AS (SELECT doc_id, list_filter({_SQL_WS}, t -> t <> '') AS l FROM documents),
+w AS (SELECT doc_id, unnest(l) AS term FROM d),
+uni AS (SELECT doc_id, term, COUNT(*) AS cnt FROM w GROUP BY doc_id, term),
+um AS (
+  SELECT doc_id,
+         CAST(SUM(cnt) AS BIGINT) AS n_words,
+         CAST(COUNT(*) AS BIGINT) AS n_distinct,
+         CAST(MAX(cnt) AS BIGINT) AS top_word_cnt,
+         CAST(SUM(CASE WHEN cnt > 1 THEN cnt ELSE 0 END) AS BIGINT) AS dup_tokens,
+         CAST(SUM(CASE WHEN cnt > 1 THEN cnt * length(term) ELSE 0 END) AS BIGINT)
+           AS dup_chars
+  FROM uni GROUP BY doc_id
+),
+bg AS (
+  SELECT doc_id,
+         unnest(list_transform(range(1, len(l)), i -> l[i] || ' ' || l[i + 1])) AS big
+  FROM d
+),
+bic AS (SELECT doc_id, big, COUNT(*) AS cnt FROM bg GROUP BY doc_id, big),
+bm AS (
+  SELECT doc_id, CAST(MAX(cnt) AS BIGINT) AS top_bigram_cnt,
+         CAST(COUNT(*) AS BIGINT) AS n_distinct_bigrams
+  FROM bic GROUP BY doc_id
+)
+SELECT um.doc_id, um.n_words, um.n_distinct, um.top_word_cnt, um.dup_tokens,
+       um.dup_chars, bm.top_bigram_cnt, bm.n_distinct_bigrams
+FROM um JOIN bm USING (doc_id) ORDER BY doc_id
+"""
+
+
+# ---------------------------------------------------------------------------
+# T6 — corpus collocations (integer-exact PMI-lift bigram ranking)
+# ---------------------------------------------------------------------------
+
+COLLOC_TOPK = 20
+
+
+def collocations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-level collocation mining: the top-20 adjacent word pairs by
+    corpus frequency, each carrying its component unigram counts and an
+    integer-exact pointwise-mutual-information sign —
+
+        lift_pos  <=>  P(w1 w2) > P(w1) P(w2)
+                  <=>  bc * n_tokens > uc1 * uc2      (all int64)
+
+    (the standard PMI > 0 association test, cross-multiplied so no float
+    log/ratio reaches the hash surface).
+
+    Plan shape: one bigram explode -> partial+final count -> global
+    top-k via TakeOrderedAndProject (orderBy+limit, never a full sort);
+    the 20 survivors then BROADCAST-join the unigram counts twice — the
+    big side of each join is 20 rows, so the stopword-hot unigram
+    relation never shuffles for this query."""
+    ws = _clean_words()
+    bigrams = F.when(
+        F.size(ws) >= 2,
+        F.transform(
+            F.sequence(F.lit(1), F.size(ws) - 1),
+            lambda i: F.concat_ws(" ", F.element_at(ws, i), F.element_at(ws, i + 1)),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    docs = _docs(spark, sf_dir)
+    uni = (
+        docs.select(F.explode(ws).alias("term"))
+        .groupBy("term")
+        .agg(F.count(F.lit(1)).alias("uc"))
+    )
+    n_tokens = docs.select(F.sum(F.size(ws)).cast("long").alias("n_tokens"))
+    top = (
+        docs.select(F.explode(bigrams).alias("big"))
+        .groupBy("big")
+        .agg(F.count(F.lit(1)).alias("bc"))
+        .orderBy(F.col("bc").desc(), F.col("big").asc())
+        .limit(COLLOC_TOPK)
+        .withColumn("w1", F.split_part(F.col("big"), F.lit(" "), F.lit(1)))
+        .withColumn("w2", F.split_part(F.col("big"), F.lit(" "), F.lit(2)))
+    )
+    u1 = uni.select(F.col("term").alias("w1"), F.col("uc").alias("uc1"))
+    u2 = uni.select(F.col("term").alias("w2"), F.col("uc").alias("uc2"))
+    out = (
+        u1.join(F.broadcast(top), "w1")
+        .join(F.broadcast(u2), "w2", "inner")
+        .crossJoin(F.broadcast(n_tokens))
+    )
+    rnk = W.orderBy(F.col("bc").desc(), F.col("big").asc())
+    return (
+        out.withColumn("rnk", F.row_number().over(rnk))
+        .select(
+            "rnk", "big", F.col("bc").cast("long").alias("bc"),
+            F.col("uc1").cast("long").alias("uc1"),
+            F.col("uc2").cast("long").alias("uc2"),
+            (F.col("bc") * F.col("n_tokens") > F.col("uc1") * F.col("uc2"))
+            .alias("lift_pos"),
+        )
+        .repartition(1).sortWithinPartitions("rnk")
+    )
+
+
+def collocations_sql() -> str:
+    return f"""
+WITH d AS (SELECT doc_id, list_filter({_SQL_WS}, t -> t <> '') AS l FROM documents),
+w AS (SELECT unnest(l) AS term FROM d),
+uni AS (SELECT term, COUNT(*) AS uc FROM w GROUP BY term),
+tot AS (SELECT COUNT(*) AS n_tokens FROM w),
+bg AS (
+  SELECT doc_id,
+         unnest(list_transform(range(1, len(l)), i -> l[i] || ' ' || l[i + 1])) AS big
+  FROM d
+),
+bc AS (
+  SELECT big, string_split(big, ' ')[1] AS w1, string_split(big, ' ')[2] AS w2,
+         COUNT(*) AS bc
+  FROM bg GROUP BY big
+  ORDER BY bc DESC, big ASC LIMIT {COLLOC_TOPK}
+),
+ranked AS (
+  SELECT ROW_NUMBER() OVER (ORDER BY bc DESC, big ASC) AS rnk, *
+  FROM bc
+)
+SELECT CAST(r.rnk AS INT) AS rnk, r.big, CAST(r.bc AS BIGINT) AS bc,
+       CAST(u1.uc AS BIGINT) AS uc1, CAST(u2.uc AS BIGINT) AS uc2,
+       r.bc * t.n_tokens > u1.uc * u2.uc AS lift_pos
+FROM ranked r
+JOIN uni u1 ON u1.term = r.w1
+JOIN uni u2 ON u2.term = r.w2
+CROSS JOIN tot t
+ORDER BY rnk
+"""
+
+
 def text_queries():
     return {
         "text_stats": text_stats,
@@ -770,6 +974,8 @@ def text_queries():
         "tfidf_topterms": tfidf_topterms,
         "decontaminate": decontaminate,
         "passage_dedup": passage_dedup,
+        "doc_repetition": doc_repetition,
+        "collocations": collocations,
     }
 
 
@@ -786,4 +992,6 @@ def text_oracles() -> dict[str, str]:
         "tfidf_topterms": tfidf_topterms_sql(),
         "decontaminate": decontaminate_sql(),
         "passage_dedup": passage_dedup_sql(),
+        "doc_repetition": doc_repetition_sql(),
+        "collocations": collocations_sql(),
     }

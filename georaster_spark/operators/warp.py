@@ -229,7 +229,12 @@ def reproject(
                 vals = oracle.value_at(arr, px, py, sx0, sy0, xr, yr).astype(np.float64)
             out[inside] = vals
             filled |= inside
-        enc = oracle.encode_pixels(np.clip(np.rint(out), 0, 255).astype(np.uint8), "raw")
+        # Half-up quantization (floor(v + 0.5)) — normative engine rule:
+        # identical to rint for the integer-valued nearest path, and for
+        # bilinear it is reproducible in plain SQL (FLOOR(v + 0.5)), so
+        # the warped PIXELS stay oracle-checkable.  (np.rint's half-even
+        # rule has no DuckDB twin.)
+        enc = oracle.encode_pixels(np.clip(np.floor(out + 0.5), 0, 255).astype(np.uint8), "raw")
         return pd.DataFrame(
             {
                 "tile_id": [int(row0["tid"])],

@@ -340,14 +340,7 @@ def q_pixel_centers(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ext.coordinates_demo(tiles).repartition(1).sortWithinPartitions("image_id", "i", "j")
 
 
-def q_reproject(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Op R15: distributed warp of the idx < 1000 tile strip onto a
-    256x256 EPSG:4326 grid (nearest).  The nearest-neighbor warp of
-    ramp-formula tiles IS SQL-expressible (gather the ramp value at the
-    floor-mapped source pixel of each inverse-transformed target center,
-    first-valid mosaic by min image_id), so the driver value-hash checks
-    the warped PIXELS via the exact integer checksum; pixel arrays are
-    additionally verified in tests/test_warp_io.py vs the NumPy oracle."""
+def _reproject_df(spark: SparkSession, sf_dir: str, method: str) -> DataFrame:
     from .. import oracle as orc
     from ..operators import warp
 
@@ -360,12 +353,35 @@ def q_reproject(spark: SparkSession, sf_dir: str) -> DataFrame:
         xres=float(lon1 - lon0) / n, yres=float(lat1 - lat0) / n,
         nx=n, ny=n, tile_w=64, tile_h=64,
     )
-    out = warp.reproject(tiles, grid, method="nearest")
+    out = warp.reproject(tiles, grid, method=method)
     _checksum = _pixel_checksum_udf()
     return out.select(
         "tile_id", "w", "h", "n_filled", "n_sources",
         _checksum(F.col("bytes"), F.col("w"), F.col("h"), F.col("fmt")).alias("checksum"),
     ).repartition(1).sortWithinPartitions("tile_id")
+
+
+def q_reproject(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Op R15: distributed warp of the idx < 1000 tile strip onto a
+    256x256 EPSG:4326 grid (nearest).  The nearest-neighbor warp of
+    ramp-formula tiles IS SQL-expressible (gather the ramp value at the
+    floor-mapped source pixel of each inverse-transformed target center,
+    first-valid mosaic by min image_id), so the driver value-hash checks
+    the warped PIXELS via the exact integer checksum; pixel arrays are
+    additionally verified in tests/test_warp_io.py vs the NumPy oracle."""
+    return _reproject_df(spark, sf_dir, "nearest")
+
+
+def q_reproject_bilinear(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Op R15 with interp_type=GRA_Bilinear (the reference EP3 warp's
+    common non-default mode, `georaster/georaster.py :: __Raster.
+    reproject` ≈L660-760 ⚠): same distributed warp join, pixel-center
+    bilinear gather (oracle.interp_bilinear), half-up quantize — so the
+    warped PIXELS stay integer-oracle-checkable (FLOOR(v+0.5) has an
+    exact DuckDB twin; the float64 blend arithmetic is the same
+    expression the green interp_bilinear contract row already proves
+    bit-identical across engines)."""
+    return _reproject_df(spark, sf_dir, "bilinear")
 
 
 def q_focal_mosaic(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -2162,7 +2178,7 @@ ORDER BY image_id
 """
 
 
-def _warp_mosaic_ctes(fx: Path) -> tuple[str, dict]:
+def _warp_mosaic_ctes(fx: Path, method: str = "nearest") -> tuple[str, dict]:
     """Shared CTE prefix for the warped-mosaic oracles (_sql_reproject and
     _sql_focal_mosaic): grid enumeration, inverse-mapped pixel centers,
     first-valid source hit, and the gathered ramp value per target pixel.
@@ -2228,6 +2244,33 @@ val AS (
       least(greatest(CAST(floor((sy0 - sy) / yr) AS BIGINT), 0), sh - 1) AS iy
     FROM hit WHERE rn = 1)
 )"""
+    if method == "bilinear":
+        # Pixel-center bilinear gather + the engine's half-up quantize —
+        # weight/corner expressions mirror oracle.interp_bilinear (same
+        # proven-bit-identical arithmetic as osql.interp_sql), then
+        # FLOOR(v + 0.5) mirrors warp.py's encode rule.
+        v00 = osql.ramp_value_expr("i0c", "j0c")
+        v10 = osql.ramp_value_expr("i0c", "j1c")
+        v01 = osql.ramp_value_expr("i1c", "j0c")
+        v11 = osql.ramp_value_expr("i1c", "j1c")
+        bil = (
+            f"((1 - t) * (1 - u)) * ({v00}) + (t * (1 - u)) * ({v10})"
+            f" + ((1 - t) * u) * ({v01}) + (t * u) * ({v11})"
+        )
+        ctes = ctes[: ctes.rindex("val AS (")] + f"""val AS (
+  SELECT tid, i, j, CAST(floor(({bil}) + 0.5) AS BIGINT) AS v
+  FROM (
+    SELECT tid, i, j, idx, fmt,
+      fx - floor(fx) AS t, fy - floor(fy) AS u,
+      least(greatest(CAST(floor(fx) AS BIGINT), 0), sw - 1) AS j0c,
+      least(greatest(CAST(floor(fx) AS BIGINT) + 1, 0), sw - 1) AS j1c,
+      least(greatest(CAST(floor(fy) AS BIGINT), 0), sh - 1) AS i0c,
+      least(greatest(CAST(floor(fy) AS BIGINT) + 1, 0), sh - 1) AS i1c
+    FROM (
+      SELECT tid, i, j, idx, fmt, sw, sh,
+             (sx - sx0) / xr - 0.5 AS fx, (sy0 - sy) / yr - 0.5 AS fy
+      FROM hit WHERE rn = 1))
+)"""
     return ctes, consts
 
 
@@ -2241,6 +2284,27 @@ def _sql_reproject(fx: Path) -> str:
     with the same float64 expressions as q_reproject and embedded via
     repr() for bit-exact round-trip."""
     ctes, _ = _warp_mosaic_ctes(fx)
+    return ctes + """,
+agg AS (
+  SELECT p.tid,
+         CAST(SUM(coalesce(v.v, 0) * (p.i * 64 + p.j + 1)) AS BIGINT) AS checksum,
+         CAST(COUNT(v.v) AS BIGINT) AS n_filled
+  FROM px p LEFT JOIN val v ON v.tid = p.tid AND v.i = p.i AND v.j = p.j
+  GROUP BY p.tid
+)
+SELECT a.tid AS tile_id, 64 AS w, 64 AS h, a.n_filled,
+       CAST(s.n_sources AS INT) AS n_sources, a.checksum
+FROM agg a JOIN nsrc s ON s.tid = a.tid
+ORDER BY tile_id
+"""
+
+
+def _sql_reproject_bilinear(fx: Path) -> str:
+    """DuckDB twin of q_reproject_bilinear: the bilinear val CTE variant
+    of _warp_mosaic_ctes (corner/weight expressions verbatim from
+    oracle.interp_bilinear, FLOOR(v+0.5) quantize), reduced to the same
+    integer pixel checksum."""
+    ctes, _ = _warp_mosaic_ctes(fx, method="bilinear")
     return ctes + """,
 agg AS (
   SELECT p.tid,
@@ -2858,6 +2922,7 @@ def spatial_queries() -> dict[str, QueryFn]:
         "cell_rollup": q_cell_rollup,
         "pixel_centers": q_pixel_centers,
         "reproject_mosaic": q_reproject,
+        "reproject_bilinear": q_reproject_bilinear,
         "downsample_checksum": q_downsample_checksum,
         "pixel_histogram": q_pixel_histogram,
         "pixel_quantiles": q_pixel_quantiles,
@@ -2952,6 +3017,7 @@ def spatial_oracles(sf: str = "sf0.01") -> dict[str, str]:
         "cell_rollup": _sql_cell_rollup(fx),
         "pixel_centers": _sql_pixel_centers(fx, w),
         "reproject_mosaic": _sql_reproject(fx),
+        "reproject_bilinear": _sql_reproject_bilinear(fx),
         "downsample_checksum": _sql_downsample_checksum(fx, w),
         "pixel_histogram": _sql_pixel_histogram(fx, w),
         "pixel_quantiles": _sql_pixel_quantiles(fx, w),

@@ -89,7 +89,7 @@ def test_reproject_shifted_grid_bilinear(spark):
         if inside.any():
             exp[inside] = oracle.interp_bilinear(arr, X[inside], Y[inside], gx0, gy0, xr, yr)
             filled |= inside
-    assert np.array_equal(got, np.clip(np.rint(exp), 0, 255).astype(np.uint8))
+    assert np.array_equal(got, np.clip(np.floor(exp + 0.5), 0, 255).astype(np.uint8))
 
 
 def test_reproject_crs_roundtrip_cell(spark):
