@@ -1,0 +1,177 @@
+"""Image-quality metrics for training-data curation (blur scoring,
+information content).  Reference analog: the per-raster NumPy statistics
+a georaster user computes on ``self.r`` after an eager load
+(`georaster/georaster.py :: SingleBandRaster` eager-load ≈L620-700 ⚠
+UNVERIFIED, SURVEY §0) — here the two standard data-curation filters a
+10^12-image pipeline runs before training:
+
+* **variance of Laplacian** (blur / flat-image detection — the classic
+  OpenCV ``cv2.Laplacian(img).var()`` sharpness test, public knowledge):
+  a blurry or constant tile has near-zero high-frequency response, so
+  its Laplacian variance collapses.  We keep the INTEGER variance
+  numerator ``n*Σx² − (Σx)²`` instead of the float variance, so the
+  metric is bit-reproducible across engines (same integer-surface
+  discipline as algebra.terrain_stats).
+* **Shannon entropy** of the 256-bin pixel histogram (information
+  content — near-zero entropy means a synthetic/empty/single-color
+  tile).  Entropy is the one float here; it is reduced over ≤256
+  histogram terms and rounded to 6 decimals, the same cross-engine
+  tolerance convention the multiband std uses.
+
+Scale shape: both are MAP-ONLY fused mapInPandas passes — pixel bytes
+cross the JVM→Python Arrow boundary exactly once, all math is
+vectorized per (w,h,fmt) group, nothing pixel-sized is ever shuffled.
+At 10^12 rows the cost is one scan; the slim metric rows (5 int64s) are
+what any downstream filter/join consumes.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql.types import (
+    DoubleType,
+    LongType,
+    StringType,
+    StructField,
+    StructType,
+)
+
+_DT = {"raw": np.uint8, "qnt": np.uint8, "raw16": "<u2"}
+
+_LAP_SCHEMA = StructType(
+    [
+        StructField("image_id", StringType()),
+        StructField("n_interior", LongType()),
+        StructField("lap_sum", LongType()),
+        StructField("lap_abs_sum", LongType()),
+        StructField("lap_var_num", LongType()),
+        StructField("lap_checksum", LongType()),
+    ]
+)
+
+_ENTROPY_SCHEMA = StructType(
+    [
+        StructField("image_id", StringType()),
+        StructField("n_pixels", LongType()),
+        StructField("n_distinct", LongType()),
+        StructField("mode_val", LongType()),
+        StructField("mode_cnt", LongType()),
+        StructField("entropy", DoubleType()),
+    ]
+)
+
+
+def laplacian_stats(tiles: DataFrame) -> DataFrame:
+    """Integer-exact variance-of-Laplacian sharpness statistics.
+
+    4-neighbour Laplacian over interior pixels
+    ``lap = z[i-1,j] + z[i+1,j] + z[i,j-1] + z[i,j+1] - 4*z[i,j]``;
+    emits, per tile, the interior count n, Σlap, Σ|lap|, the exact
+    variance numerator ``n·Σlap² − (Σlap)²`` (variance = num / n², so
+    thresholding num vs T·n² is the float test, exactly), and the
+    position-weighted checksum Σ lap·w pinning every interior value.
+
+    Overflow audit: |lap| ≤ 4·65535 for raw16, lap² ≤ 6.9e10,
+    n ≤ 4096 ⇒ n·Σlap² ≤ 1.2e18 < 2^63.  uint8 formats are far below.
+    """
+    slim = tiles.select("image_id", "bytes", "w", "h", "fmt")
+
+    def _lap(batches):
+        cols = ("n_interior", "lap_sum", "lap_abs_sum", "lap_var_num", "lap_checksum")
+        for pdf in batches:
+            n = len(pdf)
+            out = {"image_id": pdf["image_id"].to_numpy(dtype=object)}
+            for c in cols:
+                out[c] = np.zeros(n, dtype=np.int64)
+            groups: dict[tuple, list[int]] = {}
+            for k in range(n):
+                key = (int(pdf["w"].iat[k]), int(pdf["h"].iat[k]), pdf["fmt"].iat[k])
+                groups.setdefault(key, []).append(k)
+            for (w, h, fmt), idx in groups.items():
+                if w < 3 or h < 3:
+                    continue
+                z = (
+                    np.frombuffer(
+                        b"".join(pdf["bytes"].iat[k] for k in idx), dtype=_DT[fmt]
+                    )
+                    .reshape(len(idx), h, w)
+                    .astype(np.int64)
+                )
+                lap = (
+                    z[:, :-2, 1:-1] + z[:, 2:, 1:-1]
+                    + z[:, 1:-1, :-2] + z[:, 1:-1, 2:]
+                    - 4 * z[:, 1:-1, 1:-1]
+                )
+                npx = (h - 2) * (w - 2)
+                wt = np.arange(1, npx + 1, dtype=np.int64).reshape(h - 2, w - 2)
+                ii = np.asarray(idx)
+                s = lap.sum(axis=(1, 2))
+                sq = (lap * lap).sum(axis=(1, 2))
+                out["n_interior"][ii] = npx
+                out["lap_sum"][ii] = s
+                out["lap_abs_sum"][ii] = np.abs(lap).sum(axis=(1, 2))
+                out["lap_var_num"][ii] = npx * sq - s * s
+                out["lap_checksum"][ii] = (lap * wt).sum(axis=(1, 2))
+            yield pd.DataFrame(out)
+
+    return slim.mapInPandas(_lap, schema=_LAP_SCHEMA)
+
+
+def entropy_stats(tiles: DataFrame) -> DataFrame:
+    """Per-tile 256-bin histogram entropy + exact histogram integers.
+
+    Emits n_pixels, n_distinct (bins hit), the modal value and its count
+    (ties broken toward the SMALLEST value, matching the SQL
+    ``ORDER BY cnt DESC, v ASC`` idiom), and the Shannon entropy in nats
+    ``ln(N) − (Σ c·ln c)/N`` rounded to 6 decimals.  raw16 inputs are
+    right-shifted 8 bits so the histogram is always 256 bins.
+
+    All-integer columns are bit-exact; entropy's ≤256-term float reduce
+    rounds to 6 decimals (the multiband-std cross-engine convention).
+    """
+    slim = tiles.select("image_id", "bytes", "w", "h", "fmt")
+
+    def _ent(batches):
+        for pdf in batches:
+            n = len(pdf)
+            out = {
+                "image_id": pdf["image_id"].to_numpy(dtype=object),
+                "n_pixels": np.zeros(n, dtype=np.int64),
+                "n_distinct": np.zeros(n, dtype=np.int64),
+                "mode_val": np.zeros(n, dtype=np.int64),
+                "mode_cnt": np.zeros(n, dtype=np.int64),
+                "entropy": np.zeros(n, dtype=np.float64),
+            }
+            groups: dict[tuple, list[int]] = {}
+            for k in range(n):
+                key = (int(pdf["w"].iat[k]), int(pdf["h"].iat[k]), pdf["fmt"].iat[k])
+                groups.setdefault(key, []).append(k)
+            for (w, h, fmt), idx in groups.items():
+                z = np.frombuffer(
+                    b"".join(pdf["bytes"].iat[k] for k in idx), dtype=_DT[fmt]
+                ).reshape(len(idx), h * w)
+                if fmt == "raw16":
+                    z = (z >> 8).astype(np.uint8)
+                npx = h * w
+                # vectorized per-row bincount: offset row r's values by 256*r
+                offs = (np.arange(len(idx)) * 256)[:, None]
+                hist = np.bincount(
+                    (z.astype(np.int64) + offs).ravel(), minlength=len(idx) * 256
+                ).reshape(len(idx), 256)
+                cnt = hist.astype(np.float64)
+                with np.errstate(divide="ignore", invalid="ignore"):
+                    clogc = np.where(hist > 0, cnt * np.log(np.maximum(cnt, 1)), 0.0)
+                ent = np.round(np.log(npx) - clogc.sum(axis=1) / npx, 6)
+                # smallest-value tie-break: argmax returns the FIRST max index
+                mode_val = hist.argmax(axis=1)
+                ii = np.asarray(idx)
+                out["n_pixels"][ii] = npx
+                out["n_distinct"][ii] = (hist > 0).sum(axis=1)
+                out["mode_val"][ii] = mode_val
+                out["mode_cnt"][ii] = hist[np.arange(len(idx)), mode_val]
+                out["entropy"][ii] = ent
+            yield pd.DataFrame(out)
+
+    return slim.mapInPandas(_ent, schema=_ENTROPY_SCHEMA)

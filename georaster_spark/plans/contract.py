@@ -1037,6 +1037,295 @@ FROM px GROUP BY image_id ORDER BY image_id
 
 
 _STACK_MOD = 83
+_QUALITY_MOD = 89
+_ENTROPY_MOD = 61
+_CONFLICT_MOD = 101
+
+
+def q_image_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Blur/flat-image curation filter (quality.laplacian_stats): exact
+    integer variance-of-Laplacian numerator n·Σlap²−(Σlap)² plus
+    position-weighted checksum — the cv2.Laplacian(img).var() sharpness
+    test with a bit-reproducible surface.  Map-only fused Arrow pass."""
+    from ..operators import quality
+
+    tiles = geo.georegister(_images(spark, sf_dir)).where(
+        geo.image_idx() % _QUALITY_MOD == 0
+    )
+    return (
+        quality.laplacian_stats(tiles)
+        .repartition(1).sortWithinPartitions("image_id")
+    )
+
+
+def _sql_image_quality(fx: Path, w: int) -> str:
+    """DuckDB twin of q_image_quality: 4-neighbour Laplacian of the ramp
+    formula over interior pixels, exact integer variance numerator."""
+
+    def rv(di: int, dj: int) -> str:
+        return f"CAST({osql.ramp_value_expr(f'gi.i + {di}', f'gj.j + {dj}')} AS BIGINT)"
+
+    lap = f"({rv(-1, 0)} + {rv(1, 0)} + {rv(0, -1)} + {rv(0, 1)} - 4*{rv(0, 0)})"
+    iw = w - 2
+    npx = iw * iw
+    return f"""
+WITH {osql.georegister_cte(str(fx / 'images.parquet'))},
+px AS (
+  SELECT image_id, gi.i AS i, gj.j AS j, {lap} AS lap
+  FROM tiles,
+       generate_series(1, {w - 2}) AS gi(i), generate_series(1, {w - 2}) AS gj(j)
+  WHERE idx % {_QUALITY_MOD} = 0
+)
+SELECT image_id,
+       CAST(COUNT(*) AS BIGINT) AS n_interior,
+       CAST(SUM(lap) AS BIGINT) AS lap_sum,
+       CAST(SUM(abs(lap)) AS BIGINT) AS lap_abs_sum,
+       CAST({npx} * SUM(lap * lap) - SUM(lap) * SUM(lap) AS BIGINT) AS lap_var_num,
+       CAST(SUM(lap * ((i - 1) * {iw} + (j - 1) + 1)) AS BIGINT) AS lap_checksum
+FROM px GROUP BY image_id ORDER BY image_id
+"""
+
+
+def q_tile_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Information-content curation filter (quality.entropy_stats):
+    256-bin histogram Shannon entropy (nats, round-6) + exact histogram
+    integers (n_distinct, smallest-value mode).  Map-only fused pass."""
+    from ..operators import quality
+
+    tiles = geo.georegister(_images(spark, sf_dir)).where(
+        geo.image_idx() % _ENTROPY_MOD == 0
+    )
+    return (
+        quality.entropy_stats(tiles)
+        .repartition(1).sortWithinPartitions("image_id")
+    )
+
+
+def _sql_tile_entropy(fx: Path, w: int) -> str:
+    """DuckDB twin of q_tile_entropy: histogram of the ramp values, then
+    entropy = ln(N) − Σc·ln(c)/N rounded to 6 decimals."""
+    npx = w * w
+    return f"""
+WITH {osql.georegister_cte(str(fx / 'images.parquet'))},
+px AS (
+  SELECT image_id, {osql.ramp_value_expr('gi.i', 'gj.j')} AS v
+  FROM tiles,
+       generate_series(0, {w - 1}) AS gi(i), generate_series(0, {w - 1}) AS gj(j)
+  WHERE idx % {_ENTROPY_MOD} = 0
+),
+hist AS (
+  SELECT image_id, v, COUNT(*) AS cnt FROM px GROUP BY image_id, v
+),
+ranked AS (
+  SELECT image_id, v, cnt,
+         ROW_NUMBER() OVER (PARTITION BY image_id ORDER BY cnt DESC, v ASC) AS rn,
+         COUNT(*) OVER (PARTITION BY image_id) AS n_distinct,
+         SUM(cnt * ln(cnt)) OVER (PARTITION BY image_id) AS clogc
+  FROM hist
+)
+SELECT image_id,
+       CAST({npx} AS BIGINT) AS n_pixels,
+       CAST(n_distinct AS BIGINT) AS n_distinct,
+       CAST(v AS BIGINT) AS mode_val,
+       CAST(cnt AS BIGINT) AS mode_cnt,
+       round(ln({npx}) - clogc / {npx}, 6) AS entropy
+FROM ranked WHERE rn = 1 ORDER BY image_id
+"""
+
+
+def q_caption_conflict(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-crawl caption-disagreement detector: union the corpus with
+    a deterministic 're-crawl' epoch (every 101st image gets
+    an alternate caption, same pixels ⇒ same phash), group on phash, and
+    surface groups whose captions disagree — the label-noise audit a
+    multi-crawl 10^12-image ingest runs before training.
+
+    Scale shape: one map-only projection builds the second epoch, then
+    ONE shuffle on phash (slim columns only — pixels never move); the
+    HAVING prunes agreeing groups before anything wide is emitted."""
+    img = _images(spark, sf_dir).select(
+        "image_id", "phash", "caption", geo.image_idx().alias("idx")
+    )
+    recrawl = img.select(
+        F.concat(F.lit("rc"), F.col("image_id")).alias("image_id"),
+        "phash",
+        F.when(
+            F.col("idx") % _CONFLICT_MOD == 0,
+            F.concat(F.lit("ALT: "), F.col("caption")),
+        ).otherwise(F.col("caption")).alias("caption"),
+        "idx",
+    )
+    both = img.unionByName(recrawl)
+    return (
+        both.groupBy("phash")
+        .agg(
+            F.count("*").alias("n_rows"),
+            F.countDistinct("caption").alias("n_captions"),
+            F.min("caption").alias("caption_canonical"),
+        )
+        .where(F.col("n_captions") > 1)
+        .repartition(1).sortWithinPartitions("phash")
+    )
+
+
+def _sql_caption_conflict(fx: Path) -> str:
+    return f"""
+WITH img AS (
+  SELECT image_id, phash, caption,
+         CAST(substr(image_id, 4, 10) AS BIGINT) AS idx
+  FROM read_parquet('{fx / 'images.parquet'}')
+),
+recrawl AS (
+  SELECT 'rc' || image_id AS image_id, phash,
+         CASE WHEN idx % {_CONFLICT_MOD} = 0 THEN 'ALT: ' || caption
+              ELSE caption END AS caption, idx
+  FROM img
+),
+both_epochs AS (
+  SELECT * FROM img UNION ALL SELECT * FROM recrawl
+)
+SELECT phash,
+       CAST(COUNT(*) AS BIGINT) AS n_rows,
+       CAST(COUNT(DISTINCT caption) AS BIGINT) AS n_captions,
+       MIN(caption) AS caption_canonical
+FROM both_epochs GROUP BY phash HAVING COUNT(DISTINCT caption) > 1
+ORDER BY phash
+"""
+
+
+_XYZ_ZOOM = 10
+_STR_SLICES = 8
+_RADIUS = 12000.0
+_RADIUS_RES = 12
+
+
+def q_xyz_quadkey(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Slippy-map XYZ tile + Bing quadkey addressing
+    (spatial_index.xyz_quadkey_rollup): per-tile image count + idx
+    checksum at zoom 10.  Pure codegen Column math, one group shuffle."""
+    from ..operators import spatial_index as si
+
+    tiles = geo.georegister(_images(spark, sf_dir))
+    return (
+        si.xyz_quadkey_rollup(tiles, _XYZ_ZOOM)
+        .repartition(1).sortWithinPartitions("tx", "ty")
+    )
+
+
+def _sql_xyz_quadkey(fx: Path) -> str:
+    z, n = _XYZ_ZOOM, 1 << _XYZ_ZOOM
+    digits = []
+    for k in range(1, z + 1):
+        shift = 1 << (z - k)
+        digits.append(
+            f"CAST(CAST(CAST(floor(tx / {shift}) AS BIGINT) % 2"
+            f" + 2 * (CAST(floor(ty / {shift}) AS BIGINT) % 2) AS INT) AS VARCHAR)"
+        )
+    qk = " || ".join(digits)
+    return f"""
+WITH {osql.georegister_cte(str(fx / 'images.parquet'))},
+addr AS (
+  SELECT idx,
+    least(greatest(CAST(floor((CAST(gt_x0 + 500.0 AS BIGINT) * {n}) / {DOMAIN}) AS BIGINT), 0), {n - 1}) AS tx,
+    least(greatest(CAST(floor((({DOMAIN} - CAST(gt_y0 - 500.0 AS BIGINT)) * {n}) / {DOMAIN}) AS BIGINT), 0), {n - 1}) AS ty
+  FROM tiles
+)
+SELECT tx, ty,
+       CAST(COUNT(*) AS BIGINT) AS n_images,
+       CAST(SUM(idx) AS BIGINT) AS idx_checksum,
+       {qk} AS qk
+FROM addr GROUP BY tx, ty ORDER BY tx, ty
+"""
+
+
+def q_str_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """STR R-tree bulk-load packing (spatial_index.str_pack): 8×8 leaf
+    grid via distributed global rank (repartitionByRange + broadcast
+    offsets — NO unpartitioned ntile window); exact leaf MBRs and
+    membership checksums."""
+    from ..operators import spatial_index as si
+
+    tiles = geo.georegister(_images(spark, sf_dir))
+    return (
+        si.str_pack(tiles, _STR_SLICES)
+        .repartition(1).sortWithinPartitions("leaf_id")
+    )
+
+
+def _sql_str_pack(fx: Path) -> str:
+    s = _STR_SLICES
+    return f"""
+WITH {osql.georegister_cte(str(fx / 'images.parquet'))},
+slim AS (
+  SELECT image_id, idx,
+         gt_x0 + 500.0 AS cx, gt_y0 - 500.0 AS cy,
+         gt_x0 AS xmin, gt_x0 + 1000.0 AS xmax,
+         gt_y0 - 1000.0 AS ymin, gt_y0 AS ymax
+  FROM tiles
+),
+sliced AS (
+  SELECT *, CAST(ntile({s}) OVER (ORDER BY cx, image_id) AS INT) AS x_slice
+  FROM slim
+),
+leaves AS (
+  SELECT *, CAST(ntile({s}) OVER (PARTITION BY x_slice ORDER BY cy, image_id) AS INT) AS y_cell
+  FROM sliced
+)
+SELECT x_slice, y_cell,
+       CAST(COUNT(*) AS BIGINT) AS n_items,
+       CAST(SUM(idx) AS BIGINT) AS idx_checksum,
+       MIN(xmin) AS leaf_xmin, MAX(xmax) AS leaf_xmax,
+       MIN(ymin) AS leaf_ymin, MAX(ymax) AS leaf_ymax,
+       CAST((x_slice - 1) * {s} + y_cell - 1 AS BIGINT) AS leaf_id
+FROM leaves GROUP BY x_slice, y_cell ORDER BY leaf_id
+"""
+
+
+def q_radius_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Within-radius spatial range join (spatial_index.radius_join):
+    cell filter-refine, never the O(N·Z) cross join the oracle runs —
+    per zone: count, exact Σidx membership checksum, min dist², closest
+    image."""
+    from ..operators import spatial_index as si
+
+    tiles = geo.georegister(_images(spark, sf_dir))
+    return (
+        si.radius_join(tiles, _zones(spark, sf_dir), _RADIUS, r=_RADIUS_RES)
+        .repartition(1).sortWithinPartitions("zone_id")
+    )
+
+
+def _sql_radius_join(fx: Path) -> str:
+    r2 = _RADIUS * _RADIUS
+    return f"""
+WITH {osql.georegister_cte(str(fx / 'images.parquet'))},
+cent AS (
+  SELECT image_id, idx, gt_x0 + 500.0 AS cx, gt_y0 - 500.0 AS cy FROM tiles
+),
+pairs AS (
+  SELECT z.zone_id, i.image_id, i.idx,
+         (i.cx - z.cx) * (i.cx - z.cx) + (i.cy - z.cy) * (i.cy - z.cy) AS dist2
+  FROM cent i, read_parquet('{fx / 'zones.parquet'}') z
+  WHERE (i.cx - z.cx) * (i.cx - z.cx) + (i.cy - z.cy) * (i.cy - z.cy) <= {r2}
+),
+agg AS (
+  SELECT zone_id, CAST(COUNT(*) AS BIGINT) AS n_within,
+         CAST(SUM(idx) AS BIGINT) AS member_checksum,
+         MIN(dist2) AS min_dist2
+  FROM pairs GROUP BY zone_id
+),
+closest AS (
+  SELECT zone_id, image_id AS closest_img
+  FROM (SELECT zone_id, image_id,
+               ROW_NUMBER() OVER (PARTITION BY zone_id ORDER BY dist2, image_id) AS rn
+        FROM pairs)
+  WHERE rn = 1
+)
+SELECT a.zone_id, a.n_within, a.member_checksum, a.min_dist2, c.closest_img
+FROM agg a JOIN closest c USING (zone_id) ORDER BY a.zone_id
+"""
+
+
 _STACK_EPOCHS = 4
 _STACK_DELTA = 17
 
@@ -2944,6 +3233,12 @@ def spatial_queries() -> dict[str, QueryFn]:
         "zonal_quantiles": q_zonal_quantiles,
         "zonal_majority": q_zonal_majority,
         "hillshade": q_hillshade,
+        "image_quality": q_image_quality,
+        "tile_entropy": q_tile_entropy,
+        "caption_conflict": q_caption_conflict,
+        "xyz_quadkey": q_xyz_quadkey,
+        "str_pack": q_str_pack,
+        "radius_join": q_radius_join,
         "temporal_stack": q_temporal_stack,
         "patch_extract": q_patch_extract,
         "avg_pool": q_avg_pool,
@@ -3039,6 +3334,12 @@ def spatial_oracles(sf: str = "sf0.01") -> dict[str, str]:
         "zonal_quantiles": _sql_zonal_quantiles(fx, w),
         "zonal_majority": _sql_zonal_majority(fx, w),
         "hillshade": _sql_hillshade(fx, w),
+        "image_quality": _sql_image_quality(fx, w),
+        "tile_entropy": _sql_tile_entropy(fx, w),
+        "caption_conflict": _sql_caption_conflict(fx),
+        "xyz_quadkey": _sql_xyz_quadkey(fx),
+        "str_pack": _sql_str_pack(fx),
+        "radius_join": _sql_radius_join(fx),
         "temporal_stack": _sql_temporal_stack(fx, w),
         "patch_extract": _sql_patch_extract(fx, w),
         "avg_pool": _sql_avg_pool(fx, w),

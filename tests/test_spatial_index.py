@@ -1,0 +1,92 @@
+"""Spatial-indexing ops (operators/spatial_index.py): ntile-formula
+equivalence, DuckDB contract parity at sf0.001, and plan shape."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from georaster_spark.operators import georegister as geo
+from georaster_spark.operators import spatial_index as si
+
+
+@pytest.fixture(scope="module")
+def tiles(spark, sf0001_dir):
+    return geo.georegister(
+        spark.read.parquet(str(sf0001_dir / "images.parquet"))
+    )
+
+
+def test_ntile_formula_matches_spark_ntile(spark):
+    """_ntile_from_rank must reproduce SQL-standard NTILE exactly for
+    awkward (n_rows, n_buckets) combos."""
+    from pyspark.sql import Window
+
+    for n, s in [(19, 8), (64, 8), (7, 8), (100, 7)]:
+        df = spark.range(1, n + 1).withColumn("r", F.col("id"))
+        w = Window.orderBy("id")
+        got = df.select(
+            "id",
+            F.ntile(s).over(w).alias("nt"),
+            si._ntile_from_rank(F.col("r"), n, s).alias("f"),
+        ).collect()
+        assert all(r["nt"] == r["f"] for r in got), (n, s)
+
+
+def test_global_rank_is_dense_and_ordered(tiles):
+    slim = tiles.select("image_id", (F.col("gt_x0") + 500.0).alias("cx"))
+    ranked_df, total = si.global_rank(slim, ["cx", "image_id"], n_parts=7)
+    ranked = ranked_df.collect()
+    n = len(ranked)
+    assert total == n
+    assert sorted(r["rank"] for r in ranked) == list(range(1, n + 1))
+    by_rank = sorted(ranked, key=lambda r: r["rank"])
+    keys = [(r["cx"], r["image_id"]) for r in by_rank]
+    assert keys == sorted(keys)
+
+
+def test_quadkey_digits(spark):
+    """Quadkey of (tx=3, ty=5) at zoom 3: bits x=011, y=101 ->
+    digits (1*2+0),(0*2+1),(1*2+1) = '213'."""
+    df = spark.range(1).select(F.lit(3).alias("tx"), F.lit(5).alias("ty"))
+    got = df.select(si.quadkey(F.col("tx"), F.col("ty"), 3).alias("qk")).first()
+    assert got["qk"] == "213"
+
+
+def test_spatial_index_contract_vs_duckdb(spark):
+    import duckdb
+
+    from georaster_spark.plans import contract as ct
+    from tests.driver_sim import table_hash
+
+    sf_dir = "/root/testdata/sf0.001"
+    fx = ct._fx(sf_dir)
+    con = duckdb.connect()
+    for name, qfn, sql in [
+        ("xyz_quadkey", ct.q_xyz_quadkey, ct._sql_xyz_quadkey(fx)),
+        ("str_pack", ct.q_str_pack, ct._sql_str_pack(fx)),
+        ("radius_join", ct.q_radius_join, ct._sql_radius_join(fx)),
+    ]:
+        sdf = qfn(spark, sf_dir)
+        srows = [tuple(r) for r in sdf.collect()]
+        orows = con.execute(sql).fetchall()
+        ocols = [d[0] for d in con.description]
+        assert len(srows) > 0, name
+        assert len(srows) == len(orows), name
+        assert sorted(sdf.columns) == sorted(ocols), name
+        assert table_hash(sdf.columns, srows) == table_hash(ocols, orows), name
+
+
+def test_radius_join_candidates_bounded(tiles, spark, sf0001_dir):
+    """The filter-refine candidate set must stay a small multiple of the
+    true result (the point of the cell prefilter vs the cross join)."""
+    zones = spark.read.parquet(str(sf0001_dir / "zones.parquet"))
+    out = si.radius_join(tiles, zones, 12000.0, r=12)
+    total = out.agg(F.sum("n_within")).first()[0]
+    n_img = tiles.count()
+    n_zones = zones.count()
+    assert total > 0
+    # cross join would be n_img * n_zones; candidates are bounded by
+    # cover cells (<=9 per zone) * per-cell occupancy — assert the
+    # result is far below the cross-join size as a sanity anchor
+    assert total < n_img * n_zones / 10
