@@ -274,3 +274,73 @@ def band_stats(tiles: DataFrame) -> DataFrame:
 
     cols = ["image_id", "bytes", "w", "h", "fmt", "nbands"]
     return tiles.select(*cols).mapInPandas(gen, schema=schema)
+
+
+def normalized_diff_stats(tiles: DataFrame, band_a: int, band_b: int) -> DataFrame:
+    """NDVI-style normalized-difference band index over multi-band tiles
+    — the canonical remote-sensing map-algebra op ((NIR−Red)/(NIR+Red)).
+
+    Per pixel the index is kept on an INTEGER surface:
+    ``nd = ((a − b) · 1000) // (a + b)`` (floor division; 0 where the
+    denominator is 0) — the per-mille-quantized index, bit-reproducible
+    across engines (a float division would not hash-match), with floor
+    semantics identical in NumPy and SQL.  Emits per-image n_pixels,
+    Σnd, min/max, positive/negative counts, and the position-weighted
+    checksum pinning every pixel's index.
+
+    Scale shape: map-only fused mapInPandas — one Arrow hop, vectorized
+    per (w,h,fmt,nbands) group, zero shuffle."""
+    from pyspark.sql.types import LongType, StringType, StructField, StructType
+
+    pa, pb = band_a - 1, band_b - 1
+    schema = StructType(
+        [StructField("image_id", StringType())]
+        + [
+            StructField(c, LongType())
+            for c in (
+                "n_pixels", "nd_sum", "nd_min", "nd_max",
+                "n_pos", "n_neg", "nd_checksum",
+            )
+        ]
+    )
+
+    def gen(batches):
+        dt = {"raw": np.uint8, "qnt": np.uint8, "raw16": "<u2"}
+        for pdf in batches:
+            n = len(pdf)
+            out = {"image_id": pdf["image_id"].to_numpy(dtype=object)}
+            for c in ("n_pixels", "nd_sum", "nd_min", "nd_max", "n_pos", "n_neg", "nd_checksum"):
+                out[c] = np.zeros(n, dtype=np.int64)
+            groups: dict[tuple, list[int]] = {}
+            for k in range(n):
+                key = (
+                    int(pdf["w"].iat[k]), int(pdf["h"].iat[k]),
+                    pdf["fmt"].iat[k], int(pdf["nbands"].iat[k]),
+                )
+                groups.setdefault(key, []).append(k)
+            for (w, h, fmt, nb), idx in groups.items():
+                z = (
+                    np.frombuffer(
+                        b"".join(pdf["bytes"].iat[k] for k in idx), dtype=dt[fmt]
+                    )
+                    .reshape(len(idx), nb, h, w)
+                    .astype(np.int64)
+                )
+                a, b = z[:, pa], z[:, pb]
+                den = a + b
+                nd = np.zeros_like(a)
+                nz = den > 0
+                np.floor_divide((a - b) * 1000, den, out=nd, where=nz)
+                wt = np.arange(1, h * w + 1, dtype=np.int64).reshape(h, w)
+                ii = np.asarray(idx)
+                out["n_pixels"][ii] = h * w
+                out["nd_sum"][ii] = nd.sum(axis=(1, 2))
+                out["nd_min"][ii] = nd.min(axis=(1, 2))
+                out["nd_max"][ii] = nd.max(axis=(1, 2))
+                out["n_pos"][ii] = (nd > 0).sum(axis=(1, 2))
+                out["n_neg"][ii] = (nd < 0).sum(axis=(1, 2))
+                out["nd_checksum"][ii] = (nd * wt).sum(axis=(1, 2))
+            yield pd.DataFrame(out)
+
+    cols = ["image_id", "bytes", "w", "h", "fmt", "nbands"]
+    return tiles.select(*cols).mapInPandas(gen, schema=schema)

@@ -151,9 +151,13 @@ def reproject(
     r: int = DEFAULT_RES,
 ) -> DataFrame:
     """Warp `tiles` (engine tile schema incl. extent + cover_cells) onto
-    `grid`.  method: 'nearest' (floor-gather) | 'bilinear' (pixel-center,
-    edge-clamped inside each source tile)."""
-    if method not in ("nearest", "bilinear"):
+    `grid`.  method: 'nearest' (floor-gather, first-valid mosaic) |
+    'bilinear' (pixel-center, edge-clamped inside each source tile) |
+    'average' (gdalwarp -r average seam-blend analog: the nearest gather
+    from EVERY covering source, blended per pixel with the integer-exact
+    half-up mean (2·Σv + n) // (2n) — overlap seams average instead of
+    first-source-wins, and the blended pixels stay oracle-checkable)."""
+    if method not in ("nearest", "bilinear", "average"):
         raise ValueError(method)
     spark = tiles.sparkSession
     src_crs = tiles.select("crs").first()[0]
@@ -199,6 +203,7 @@ def reproject(
     )
     tgt_crs, txres, tyres = grid.crs, grid.xres, grid.yres
     bilinear = method == "bilinear"
+    average = method == "average"
 
     def warp_tile(key, pdf: pd.DataFrame):
         row0 = pdf.iloc[0]
@@ -211,6 +216,8 @@ def reproject(
         SX, SY = _to_source_xy(tgt_crs, src_crs, X, Y)
         out = np.full((h, w), np.float64(nodata))
         filled = np.zeros((h, w), dtype=bool)
+        acc = np.zeros((h, w), dtype=np.int64)
+        cnt = np.zeros((h, w), dtype=np.int64)
         for _, s in pdf.sort_values("image_id").iterrows():
             arr = oracle.decode_pixels(s["bytes"], int(s["sw"]), int(s["sh"]), s["fmt"])
             sx0, sy0 = float(s["s_gx0"]), float(s["s_gy0"])
@@ -218,17 +225,28 @@ def reproject(
             inside = (
                 (SX >= sx0) & (SX < sx0 + int(s["sw"]) * xr)
                 & (SY > sy0 - int(s["sh"]) * yr) & (SY <= sy0)
-                & ~filled
             )
+            if not average:
+                inside &= ~filled
             if not inside.any():
                 continue
             px, py = SX[inside], SY[inside]
             if bilinear:
                 vals = oracle.interp_bilinear(arr, px, py, sx0, sy0, xr, yr)
+            elif average:
+                acc[inside] += oracle.value_at(arr, px, py, sx0, sy0, xr, yr).astype(np.int64)
+                cnt[inside] += 1
+                continue
             else:
                 vals = oracle.value_at(arr, px, py, sx0, sy0, xr, yr).astype(np.float64)
             out[inside] = vals
             filled |= inside
+        if average:
+            filled = cnt > 0
+            # integer-exact half-up mean: (2Σv + n) // (2n) == floor(Σv/n + .5)
+            out[filled] = ((2 * acc[filled] + cnt[filled]) // (2 * cnt[filled])).astype(
+                np.float64
+            )
         # Half-up quantization (floor(v + 0.5)) — normative engine rule:
         # identical to rint for the integer-valued nearest path, and for
         # bilinear it is reproducible in plain SQL (FLOOR(v + 0.5)), so

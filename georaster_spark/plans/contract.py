@@ -384,6 +384,15 @@ def q_reproject_bilinear(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _reproject_df(spark, sf_dir, "bilinear")
 
 
+def q_mosaic_blend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Op R15 with resample='average' (gdalwarp -r average seam-blend
+    analog): same distributed warp join, but overlap pixels BLEND — the
+    nearest gather from every covering source, integer-exact half-up
+    mean (2Σv + n) // (2n), so seams average instead of first-source-
+    wins and the blended pixels keep an exact integer checksum."""
+    return _reproject_df(spark, sf_dir, "average")
+
+
 def q_focal_mosaic(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Distributed focal over the warped mosaic (algebra.focal_mosaic):
     q_reproject's 4x4 target grid, then 3x3 box-sum + gradient with
@@ -2159,6 +2168,54 @@ def q_multiband_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_band_ndvi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """NDVI-style normalized-difference band math over the synthetic
+    3-band stack (raster_io.normalized_diff_stats): per-mille-quantized
+    (NIR−Red)/(NIR+Red) on an integer surface — band 3 as NIR (plane
+    offset 2·_BAND_OFF), band 1 as Red.  Map-only fused Arrow pass."""
+    from ..operators import raster_io
+
+    tiles = geo.georegister(_images(spark, sf_dir)).where(geo.image_idx() < 2000)
+    return (
+        raster_io.normalized_diff_stats(_band_stack(tiles, 3), 3, 1)
+        .repartition(1).sortWithinPartitions("image_id")
+    )
+
+
+def _sql_band_ndvi(fx: Path, w: int) -> str:
+    """DuckDB twin of q_band_ndvi: plane values from the ramp formula +
+    modular band offsets, nd = floor((a−b)·1000 / (a+b)) (floor via
+    double division — DuckDB's // truncates toward zero on negatives,
+    NumPy floors; the double ratio of these small ints floors exactly)."""
+    v = osql.ramp_value_expr("gi.i", "gj.j")
+    a = f"(({v}) + {2 * _BAND_OFF}) % 256"
+    b = f"({v})"
+    nd = (
+        f"(CASE WHEN ({a}) + ({b}) = 0 THEN 0"
+        f" ELSE CAST(floor(CAST((({a}) - ({b})) * 1000 AS DOUBLE)"
+        f" / (({a}) + ({b}))) AS BIGINT) END)"
+    )
+    npx = w * w
+    return f"""
+WITH {osql.georegister_cte(str(fx / 'images.parquet'))},
+px AS (
+  SELECT image_id, gi.i AS i, gj.j AS j, {nd} AS nd
+  FROM tiles,
+       generate_series(0, {w - 1}) AS gi(i), generate_series(0, {w - 1}) AS gj(j)
+  WHERE idx < 2000
+)
+SELECT image_id,
+       CAST({npx} AS BIGINT) AS n_pixels,
+       CAST(SUM(nd) AS BIGINT) AS nd_sum,
+       CAST(MIN(nd) AS BIGINT) AS nd_min,
+       CAST(MAX(nd) AS BIGINT) AS nd_max,
+       CAST(SUM(CASE WHEN nd > 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_pos,
+       CAST(SUM(CASE WHEN nd < 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_neg,
+       CAST(SUM(nd * (i * {w} + j + 1)) AS BIGINT) AS nd_checksum
+FROM px GROUP BY image_id ORDER BY image_id
+"""
+
+
 def q_sink_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Op R6 (`simple_write_geotiff` analog) end-to-end: mask pixels
     where v % 5 == 0, fill with nodata 250 (a qnt-lattice point, so the
@@ -2533,6 +2590,20 @@ val AS (
       least(greatest(CAST(floor((sy0 - sy) / yr) AS BIGINT), 0), sh - 1) AS iy
     FROM hit WHERE rn = 1)
 )"""
+    if method == "average":
+        # gdalwarp -r average blend: gather from EVERY hit (no rn=1),
+        # integer-exact half-up mean (2Σv + n) // (2n) per target pixel.
+        ctes = ctes[: ctes.rindex("val AS (")] + f"""val AS (
+  SELECT tid, i, j,
+         (2 * SUM(CAST({ramp} AS BIGINT)) + COUNT(*)) // (2 * COUNT(*)) AS v
+  FROM (
+    SELECT tid, i, j, idx, fmt,
+      least(greatest(CAST(floor((sx - sx0) / xr) AS BIGINT), 0), sw - 1) AS jx,
+      least(greatest(CAST(floor((sy0 - sy) / yr) AS BIGINT), 0), sh - 1) AS iy
+    FROM hit)
+  GROUP BY tid, i, j
+)"""
+        return ctes, consts
     if method == "bilinear":
         # Pixel-center bilinear gather + the engine's half-up quantize —
         # weight/corner expressions mirror oracle.interp_bilinear (same
@@ -2594,6 +2665,25 @@ def _sql_reproject_bilinear(fx: Path) -> str:
     oracle.interp_bilinear, FLOOR(v+0.5) quantize), reduced to the same
     integer pixel checksum."""
     ctes, _ = _warp_mosaic_ctes(fx, method="bilinear")
+    return ctes + """,
+agg AS (
+  SELECT p.tid,
+         CAST(SUM(coalesce(v.v, 0) * (p.i * 64 + p.j + 1)) AS BIGINT) AS checksum,
+         CAST(COUNT(v.v) AS BIGINT) AS n_filled
+  FROM px p LEFT JOIN val v ON v.tid = p.tid AND v.i = p.i AND v.j = p.j
+  GROUP BY p.tid
+)
+SELECT a.tid AS tile_id, 64 AS w, 64 AS h, a.n_filled,
+       CAST(s.n_sources AS INT) AS n_sources, a.checksum
+FROM agg a JOIN nsrc s ON s.tid = a.tid
+ORDER BY tile_id
+"""
+
+
+def _sql_mosaic_blend(fx: Path) -> str:
+    """DuckDB twin of q_mosaic_blend: the all-hits average val CTE,
+    reduced to the same integer pixel checksum."""
+    ctes, _ = _warp_mosaic_ctes(fx, method="average")
     return ctes + """,
 agg AS (
   SELECT p.tid,
@@ -3212,6 +3302,8 @@ def spatial_queries() -> dict[str, QueryFn]:
         "pixel_centers": q_pixel_centers,
         "reproject_mosaic": q_reproject,
         "reproject_bilinear": q_reproject_bilinear,
+        "mosaic_blend": q_mosaic_blend,
+        "band_ndvi": q_band_ndvi,
         "downsample_checksum": q_downsample_checksum,
         "pixel_histogram": q_pixel_histogram,
         "pixel_quantiles": q_pixel_quantiles,
@@ -3313,6 +3405,8 @@ def spatial_oracles(sf: str = "sf0.01") -> dict[str, str]:
         "pixel_centers": _sql_pixel_centers(fx, w),
         "reproject_mosaic": _sql_reproject(fx),
         "reproject_bilinear": _sql_reproject_bilinear(fx),
+        "mosaic_blend": _sql_mosaic_blend(fx),
+        "band_ndvi": _sql_band_ndvi(fx, w),
         "downsample_checksum": _sql_downsample_checksum(fx, w),
         "pixel_histogram": _sql_pixel_histogram(fx, w),
         "pixel_quantiles": _sql_pixel_quantiles(fx, w),
