@@ -235,3 +235,62 @@ def radius_join(
         F.min("dist2").alias("min_dist2"),
         F.min(F.struct("dist2", "image_id"))["image_id"].alias("closest_img"),
     )
+
+
+_GEOHASH_ALPHABET = "0123456789bcdefghjkmnpqrstuvwxyz"
+
+
+def geohash(cx: Column, cy: Column, precision: int = 8) -> Column:
+    """Base-32 geohash string of a domain point — the REAL public
+    geohash bit layout (x/y bits interleaved MSB-first, x first, 5 bits
+    per character against the standard '0-9b-z' alphabet), with the
+    engine's planar [0, DOMAIN)² domain standing in for (lon, lat)
+    ranges.  Pure Column math: two floor-scaled fixed-point ints, a
+    40-term shift/mask interleave, and an element_at character lookup —
+    all codegen, no UDF."""
+    nbits = (5 * precision + 1) // 2  # bits per axis (x gets the extra)
+    xb = 5 * precision - nbits
+    bx = F.least(
+        F.greatest(F.floor((cx.cast("long") * (1 << nbits)) / F.lit(DOMAIN)), F.lit(0)),
+        F.lit((1 << nbits) - 1),
+    ).cast("long")
+    by = F.least(
+        F.greatest(F.floor((cy.cast("long") * (1 << xb)) / F.lit(DOMAIN)), F.lit(0)),
+        F.lit((1 << xb) - 1),
+    ).cast("long")
+    # interleaved stream s_0 = x_msb, s_1 = y_msb, ... ; V = sum s_t << (T-1-t)
+    total = 5 * precision
+    v = F.lit(0).cast("long")
+    for t in range(total):
+        axis_bit = t // 2
+        if t % 2 == 0:  # x bit
+            bit = F.floor(bx / F.lit(1 << (nbits - 1 - axis_bit))) % 2
+        else:  # y bit
+            bit = F.floor(by / F.lit(1 << (xb - 1 - axis_bit))) % 2
+        v = v + bit.cast("long") * F.lit(1 << (total - 1 - t))
+    alpha = F.array(*[F.lit(c) for c in _GEOHASH_ALPHABET])
+    chars = []
+    for k in range(precision):
+        digit = F.floor(v / F.lit(1 << (total - 5 * (k + 1)))) % 32
+        chars.append(F.element_at(alpha, (digit + 1).cast("int")))
+    return F.concat(*chars)
+
+
+def geohash_rollup(tiles: DataFrame, precision: int = 8, prefix: int = 4) -> DataFrame:
+    """Per-geohash-prefix rollup of a georegistered corpus: image count,
+    idx checksum, and the lexicographically-smallest full geohash in the
+    bucket.  Map-only encode + ONE group shuffle on the prefix."""
+    cx = F.col("gt_x0") + F.lit(TILE_SPAN / 2)
+    cy = F.col("gt_y0") - F.lit(TILE_SPAN / 2)
+    idx = F.substring("image_id", 4, 10).cast("long")
+    d = tiles.select(
+        geohash(cx, cy, precision).alias("gh"), idx.alias("idx")
+    )
+    return (
+        d.groupBy(F.substring("gh", 1, prefix).alias("gh_prefix"))
+        .agg(
+            F.count("*").alias("n_images"),
+            F.sum("idx").alias("idx_checksum"),
+            F.min("gh").alias("min_geohash"),
+        )
+    )

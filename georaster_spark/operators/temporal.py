@@ -95,3 +95,55 @@ def temporal_stack(tiles: DataFrame, n_epochs: int = 4, delta: int = 17) -> Data
 
     rows = epoch_rows(tiles, n_epochs)
     return rows.groupBy("image_id").applyInPandas(_reduce, schema=_STACK_SCHEMA)
+
+
+_TREND_SCHEMA = (
+    "image_id string, n_epochs int, n_px long, trend_sum long, trend_min long, "
+    "trend_max long, n_rising long, n_falling long, trend_checksum long"
+)
+
+
+def temporal_trend(tiles: DataFrame, n_epochs: int = 4, delta: int = 17) -> DataFrame:
+    """Per-pixel least-squares TREND across revisit epochs (the
+    NDVI-trend / land-change detector): for pixel p with epoch values
+    v_e, the regression slope of v on e is  num(p) / den  with the
+    integer numerator
+
+        num(p) = E * sum(e * v_e) - (sum e) * (sum v_e)
+
+    and a constant positive denominator den = E * sum(e^2) - (sum e)^2 —
+    so the SIGN and ORDERING of slopes are exact on the int64 surface
+    (rising/falling counts classify exactly; a float slope would not
+    hash-match across engines).  Emits per-tile sum/min/max of num,
+    rising/falling pixel counts, and the position-weighted checksum.
+
+    Same plan shape as temporal_stack: ONE pixel shuffle keyed by
+    image_id (zero when bucketed), vectorized (E, h*w) reduce."""
+
+    def _reduce(key, pdf: pd.DataFrame) -> pd.DataFrame:
+        row0 = pdf.iloc[0]
+        w, h = int(row0["w"]), int(row0["h"])
+        base = oracle.decode_pixels(row0["bytes"], w, h, row0["fmt"]).astype(np.int64)
+        eps = np.sort(pdf["epoch"].to_numpy(dtype=np.int64))
+        stack = (base.ravel()[None, :] + delta * eps[:, None]) % 256
+        e_cnt = len(eps)
+        sum_v = stack.sum(axis=0)
+        sum_ev = (eps[:, None] * stack).sum(axis=0)
+        num = e_cnt * sum_ev - int(eps.sum()) * sum_v
+        wt = np.arange(1, num.size + 1, dtype=np.int64)
+        return pd.DataFrame(
+            {
+                "image_id": [key[0]],
+                "n_epochs": [e_cnt],
+                "n_px": [int(num.size)],
+                "trend_sum": [int(num.sum())],
+                "trend_min": [int(num.min())],
+                "trend_max": [int(num.max())],
+                "n_rising": [int((num > 0).sum())],
+                "n_falling": [int((num < 0).sum())],
+                "trend_checksum": [int((num * wt).sum())],
+            }
+        )
+
+    rows = epoch_rows(tiles, n_epochs)
+    return rows.groupBy("image_id").applyInPandas(_reduce, schema=_TREND_SCHEMA)

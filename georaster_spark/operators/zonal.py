@@ -169,6 +169,84 @@ def zonal_quantiles(
     return histogram_quantiles(zonal_histogram(tiles, zones), qs, key="zone_id")
 
 
+_ARGMAX_PARTIAL_SCHEMA = (
+    "zone_id long, mx long, image_id string, pidx long, px double, py double"
+)
+
+
+def _partial_argmax(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    for pdf in batches:
+        out = {k: [] for k in ("zone_id", "mx", "image_id", "pidx", "px", "py")}
+        for k in range(len(pdf)):
+            row = pdf.iloc[k]
+            arr = oracle.decode_pixels(row["bytes"], int(row["w"]), int(row["h"]), row["fmt"])
+            h, w = arr.shape
+            xs, ys = oracle.pixel_centers(
+                row["gt_x0"], row["gt_y0"], row["gt_xres"], row["gt_yres"], w, h
+            )
+            ring = row["ring"]
+            rx = np.asarray([p["x"] for p in ring], dtype=np.float64)
+            ry = np.asarray([p["y"] for p in ring], dtype=np.float64)
+            inside = oracle.pip_halfplane(rx, ry, xs.ravel(), ys.ravel())
+            if not inside.any():
+                continue
+            flat = arr.ravel()
+            in_idx = np.nonzero(inside)[0]
+            vals = flat[in_idx].astype(np.int64)
+            vmax = int(vals.max())
+            # smallest pixel index attaining the max (deterministic tie)
+            pidx = int(in_idx[vals == vmax].min())
+            out["zone_id"].append(int(row["zone_id"]))
+            out["mx"].append(vmax)
+            out["image_id"].append(row["image_id"])
+            out["pidx"].append(pidx)
+            out["px"].append(float(xs.ravel()[pidx]))
+            out["py"].append(float(ys.ravel()[pidx]))
+        yield pd.DataFrame(out)
+
+
+def zonal_argmax(tiles: DataFrame, zones: DataFrame) -> DataFrame:
+    """Zonal MAXIMUM-LOCATION (ArcGIS 'Zonal Statistics: MAXIMUM' +
+    max-location): per zone, the max in-zone pixel value and WHERE it
+    is — source image, pixel index, and world coordinates of the pixel
+    center.  Tie rule: highest value, then smallest (image_id, pidx) —
+    deterministic across engines and parallelism.
+
+    Same partial+final shape as zonal_stats: each (tile, zone) pair
+    reduces to ONE slim candidate row map-side (pixels never shuffle);
+    the final per-zone pick is a lexicographic struct-min over
+    (-value, image_id, pidx)."""
+    z = F.broadcast(zones.select("zone_id", "ring", "xmin", "xmax", "ymin", "ymax"))
+    t = tiles.select(
+        "image_id", "bytes", "w", "h", "fmt", "gt_x0", "gt_y0", "gt_xres", "gt_yres",
+        F.col("xmin").alias("t_xmin"), F.col("xmax").alias("t_xmax"),
+        F.col("ymin").alias("t_ymin"), F.col("ymax").alias("t_ymax"),
+    )
+    pairs = t.join(
+        z,
+        (F.col("t_xmin") < F.col("xmax")) & (F.col("t_xmax") > F.col("xmin"))
+        & (F.col("t_ymin") < F.col("ymax")) & (F.col("t_ymax") > F.col("ymin")),
+    )
+    partials = pairs.mapInPandas(_partial_argmax, schema=_ARGMAX_PARTIAL_SCHEMA)
+    best = F.min(
+        F.struct(
+            (-F.col("mx")).alias("negv"), "image_id", "pidx", "px", "py"
+        )
+    ).alias("best")
+    return (
+        partials.groupBy("zone_id")
+        .agg(best)
+        .select(
+            "zone_id",
+            (-F.col("best.negv")).alias("max_val"),
+            F.col("best.image_id").alias("max_image"),
+            F.col("best.pidx").alias("max_pidx"),
+            F.col("best.px").alias("max_px"),
+            F.col("best.py").alias("max_py"),
+        )
+    )
+
+
 def zonal_majority(tiles: DataFrame, zones: DataFrame) -> DataFrame:
     """Zonal MAJORITY/mode (the categorical zonal statistic — GIS
     'zonal majority/variety'): per zone, the most frequent in-zone pixel

@@ -1335,6 +1335,164 @@ FROM agg a JOIN closest c USING (zone_id) ORDER BY a.zone_id
 """
 
 
+_GEOHASH_PREC = 8
+_GEOHASH_PREFIX = 4
+
+
+def q_geohash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Geohash addressing (spatial_index.geohash_rollup): real public
+    base-32 geohash bit layout (MSB-first x/y interleave, '0-9b-z'
+    alphabet) over the engine domain; rollup per 4-char prefix.  Pure
+    codegen Column math — a 40-term unrolled interleave, no UDF."""
+    from ..operators import spatial_index as si
+
+    tiles = geo.georegister(_images(spark, sf_dir))
+    return (
+        si.geohash_rollup(tiles, _GEOHASH_PREC, _GEOHASH_PREFIX)
+        .repartition(1).sortWithinPartitions("gh_prefix")
+    )
+
+
+def _sql_geohash(fx: Path) -> str:
+    from ..operators.spatial_index import _GEOHASH_ALPHABET
+
+    prec = _GEOHASH_PREC
+    nbits = (5 * prec + 1) // 2
+    xb = 5 * prec - nbits
+    total = 5 * prec
+    bx = (
+        f"least(greatest(CAST(floor((CAST(gt_x0 + 500.0 AS BIGINT) * {1 << nbits})"
+        f" / {DOMAIN}) AS BIGINT), 0), {(1 << nbits) - 1})"
+    )
+    by = (
+        f"least(greatest(CAST(floor((CAST(gt_y0 - 500.0 AS BIGINT) * {1 << xb})"
+        f" / {DOMAIN}) AS BIGINT), 0), {(1 << xb) - 1})"
+    )
+    terms = []
+    for t in range(total):
+        axis_bit = t // 2
+        if t % 2 == 0:
+            bit = f"(CAST(floor(bx / {1 << (nbits - 1 - axis_bit)}) AS BIGINT) % 2)"
+        else:
+            bit = f"(CAST(floor(by / {1 << (xb - 1 - axis_bit)}) AS BIGINT) % 2)"
+        terms.append(f"{bit} * {1 << (total - 1 - t)}")
+    v = " + ".join(terms)
+    chars = [
+        f"substr('{_GEOHASH_ALPHABET}',"
+        f" CAST(CAST(floor(v / {1 << (total - 5 * (k + 1))}) AS BIGINT) % 32 + 1 AS INT), 1)"
+        for k in range(prec)
+    ]
+    gh = " || ".join(chars)
+    return f"""
+WITH {osql.georegister_cte(str(fx / 'images.parquet'))},
+bits AS (SELECT idx, {bx} AS bx, {by} AS by FROM tiles),
+iv AS (SELECT idx, {v} AS v FROM bits),
+gh AS (SELECT idx, {gh} AS gh FROM iv)
+SELECT substr(gh, 1, {_GEOHASH_PREFIX}) AS gh_prefix,
+       CAST(COUNT(*) AS BIGINT) AS n_images,
+       CAST(SUM(idx) AS BIGINT) AS idx_checksum,
+       MIN(gh) AS min_geohash
+FROM gh GROUP BY 1 ORDER BY gh_prefix
+"""
+
+
+def q_zonal_argmax(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Zonal max-location (zonal.zonal_argmax): per zone, the max
+    in-zone pixel value and WHERE it is (source image, pixel index,
+    world coords), ties → smallest (image_id, pidx).  Partial+final:
+    one slim candidate row per (tile, zone) pair, pixels never
+    shuffle."""
+    from ..operators import zonal
+
+    return (
+        zonal.zonal_argmax(
+            geo.georegister(_images(spark, sf_dir)), _zones(spark, sf_dir)
+        )
+        .repartition(1).sortWithinPartitions("zone_id")
+    )
+
+
+def _sql_zonal_argmax(fx: Path, w: int) -> str:
+    ramp = osql.ramp_value_expr("gi.i", "gj.j")
+    return f"""
+WITH {osql.georegister_cte(str(fx / 'images.parquet'))},
+pairs AS (
+  SELECT t.image_id, t.idx, t.fmt, t.gt_x0, t.gt_y0, t.gt_xres, t.gt_yres,
+         z.zone_id, z.ring
+  FROM tiles t JOIN read_parquet('{fx / 'zones.parquet'}') z
+    ON t.gt_x0 < z.xmax AND t.gt_x0 + t.w * t.gt_xres > z.xmin
+   AND t.gt_y0 - t.h * t.gt_yres < z.ymax AND t.gt_y0 > z.ymin
+),
+pix AS (
+  SELECT zone_id, image_id, {ramp} AS v,
+         gi.i * {w} + gj.j AS pidx,
+         gt_x0 + (gj.j + 0.5) * gt_xres AS px,
+         gt_y0 - (gi.i + 0.5) * gt_yres AS py,
+         ring
+  FROM pairs, generate_series(0, {w - 1}) AS gi(i), generate_series(0, {w - 1}) AS gj(j)
+),
+ranked AS (
+  SELECT zone_id, v, image_id, pidx, px, py,
+         ROW_NUMBER() OVER (
+           PARTITION BY zone_id ORDER BY v DESC, image_id ASC, pidx ASC
+         ) AS rn
+  FROM pix z WHERE {osql.pip_where('z.px', 'z.py')}
+)
+SELECT zone_id, CAST(v AS BIGINT) AS max_val, image_id AS max_image,
+       CAST(pidx AS BIGINT) AS max_pidx, px AS max_px, py AS max_py
+FROM ranked WHERE rn = 1 ORDER BY zone_id
+"""
+
+
+_TREND_MOD = 73
+
+
+def q_temporal_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-pixel temporal regression trend (temporal.temporal_trend):
+    integer-exact slope numerator E·Σ(e·v_e) − Σe·Σv_e across 4 revisit
+    epochs — sign-exact rising/falling classification, same ONE-shuffle
+    grouped-Arrow shape as temporal_stack."""
+    from ..operators import temporal
+
+    tiles = geo.georegister(_images(spark, sf_dir)).where(
+        geo.image_idx() % _TREND_MOD == 0
+    )
+    return (
+        temporal.temporal_trend(tiles, _STACK_EPOCHS, _STACK_DELTA)
+        .repartition(1).sortWithinPartitions("image_id")
+    )
+
+
+def _sql_temporal_trend(fx: Path, w: int) -> str:
+    e_cnt, delta = _STACK_EPOCHS, _STACK_DELTA
+    v0 = osql.ramp_value_expr("gi.i", "gj.j")
+    ves = [f"((({v0}) + {delta * e}) % 256)" for e in range(e_cnt)]
+    sum_v = " + ".join(ves)
+    sum_ev = " + ".join(f"{e} * {ve}" for e, ve in enumerate(ves))
+    sum_e = sum(range(e_cnt))
+    num = f"({e_cnt} * ({sum_ev}) - {sum_e} * ({sum_v}))"
+    npx = w * w
+    return f"""
+WITH {osql.georegister_cte(str(fx / 'images.parquet'))},
+px AS (
+  SELECT image_id, gi.i AS i, gj.j AS j, {num} AS num
+  FROM tiles,
+       generate_series(0, {w - 1}) AS gi(i), generate_series(0, {w - 1}) AS gj(j)
+  WHERE idx % {_TREND_MOD} = 0
+)
+SELECT image_id,
+       CAST({_STACK_EPOCHS} AS INT) AS n_epochs,
+       CAST({npx} AS BIGINT) AS n_px,
+       CAST(SUM(num) AS BIGINT) AS trend_sum,
+       CAST(MIN(num) AS BIGINT) AS trend_min,
+       CAST(MAX(num) AS BIGINT) AS trend_max,
+       CAST(SUM(CASE WHEN num > 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_rising,
+       CAST(SUM(CASE WHEN num < 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_falling,
+       CAST(SUM(num * (i * {w} + j + 1)) AS BIGINT) AS trend_checksum
+FROM px GROUP BY image_id ORDER BY image_id
+"""
+
+
 _STACK_EPOCHS = 4
 _STACK_DELTA = 17
 
@@ -3331,6 +3489,9 @@ def spatial_queries() -> dict[str, QueryFn]:
         "xyz_quadkey": q_xyz_quadkey,
         "str_pack": q_str_pack,
         "radius_join": q_radius_join,
+        "geohash_rollup": q_geohash,
+        "zonal_argmax": q_zonal_argmax,
+        "temporal_trend": q_temporal_trend,
         "temporal_stack": q_temporal_stack,
         "patch_extract": q_patch_extract,
         "avg_pool": q_avg_pool,
@@ -3434,6 +3595,9 @@ def spatial_oracles(sf: str = "sf0.01") -> dict[str, str]:
         "xyz_quadkey": _sql_xyz_quadkey(fx),
         "str_pack": _sql_str_pack(fx),
         "radius_join": _sql_radius_join(fx),
+        "geohash_rollup": _sql_geohash(fx),
+        "zonal_argmax": _sql_zonal_argmax(fx, w),
+        "temporal_trend": _sql_temporal_trend(fx, w),
         "temporal_stack": _sql_temporal_stack(fx, w),
         "patch_extract": _sql_patch_extract(fx, w),
         "avg_pool": _sql_avg_pool(fx, w),

@@ -1,0 +1,99 @@
+"""Geohash / zonal argmax / temporal trend: reference-value checks and
+contract parity at sf0.001 (matching-sf oracle SQL built locally)."""
+
+from __future__ import annotations
+
+import numpy as np
+from pyspark.sql import functions as F
+
+from georaster_spark.constants import DOMAIN
+from georaster_spark.operators import spatial_index as si
+
+
+def _py_geohash(cx: float, cy: float, precision: int = 8) -> str:
+    """Independent NumPy-free reimplementation of the geohash layout."""
+    nbits = (5 * precision + 1) // 2
+    xb = 5 * precision - nbits
+    bx = min(max(int(cx) * (1 << nbits) // DOMAIN, 0), (1 << nbits) - 1)
+    by = min(max(int(cy) * (1 << xb) // DOMAIN, 0), (1 << xb) - 1)
+    total = 5 * precision
+    v = 0
+    for t in range(total):
+        ab = t // 2
+        bit = (bx >> (nbits - 1 - ab)) & 1 if t % 2 == 0 else (by >> (xb - 1 - ab)) & 1
+        v |= bit << (total - 1 - t)
+    return "".join(
+        si._GEOHASH_ALPHABET[(v >> (total - 5 * (k + 1))) & 31]
+        for k in range(precision)
+    )
+
+
+def test_geohash_matches_independent_impl(spark):
+    pts = [(123456, 654321), (0, 0), (DOMAIN - 1, DOMAIN - 1), (8192000, 192000)]
+    df = spark.createDataFrame(pts, "cx long, cy long")
+    got = df.select(
+        "cx", "cy", si.geohash(F.col("cx"), F.col("cy"), 8).alias("gh")
+    ).collect()
+    for r in got:
+        assert r["gh"] == _py_geohash(r["cx"], r["cy"]), (r["cx"], r["cy"])
+
+
+def test_geohash_prefix_is_spatial(spark):
+    """Nearby points share prefixes; far points don't (sanity of the
+    interleave order)."""
+    df = spark.createDataFrame(
+        [(1000000, 1000000), (1000050, 1000050), (60000000, 60000000)],
+        "cx long, cy long",
+    )
+    ghs = [
+        r["gh"]
+        for r in df.select(si.geohash(F.col("cx"), F.col("cy"), 8).alias("gh")).collect()
+    ]
+    assert ghs[0][:6] == ghs[1][:6]
+    assert ghs[0][:2] != ghs[2][:2]
+
+
+def test_new_contract_entries_vs_duckdb(spark):
+    import duckdb
+
+    from georaster_spark.plans import contract as ct
+    from tests.driver_sim import table_hash
+
+    sf_dir = "/root/testdata/sf0.001"
+    fx = ct._fx(sf_dir)
+    con = duckdb.connect()
+    for name, qfn, sql in [
+        ("geohash_rollup", ct.q_geohash, ct._sql_geohash(fx)),
+        ("zonal_argmax", ct.q_zonal_argmax, ct._sql_zonal_argmax(fx, 32)),
+        ("temporal_trend", ct.q_temporal_trend, ct._sql_temporal_trend(fx, 32)),
+    ]:
+        sdf = qfn(spark, sf_dir)
+        srows = [tuple(r) for r in sdf.collect()]
+        orows = con.execute(sql).fetchall()
+        ocols = [d[0] for d in con.description]
+        assert len(srows) > 0, name
+        assert len(srows) == len(orows), name
+        assert sorted(sdf.columns) == sorted(ocols), name
+        assert table_hash(sdf.columns, srows) == table_hash(ocols, orows), name
+
+
+def test_trend_numerator_matches_numpy(spark, sf0001_dir):
+    from georaster_spark import oracle
+    from georaster_spark.operators import georegister as geo
+    from georaster_spark.operators import temporal
+
+    tiles = geo.georegister(
+        spark.read.parquet(str(sf0001_dir / "images.parquet"))
+    ).limit(5)
+    got = {r["image_id"]: r for r in temporal.temporal_trend(tiles, 4, 17).collect()}
+    eps = np.arange(4)
+    for r in tiles.collect():
+        base = oracle.decode_pixels(r["bytes"], r["w"], r["h"], r["fmt"]).astype(
+            np.int64
+        )
+        stack = (base.ravel()[None, :] + 17 * eps[:, None]) % 256
+        num = 4 * (eps[:, None] * stack).sum(axis=0) - 6 * stack.sum(axis=0)
+        g = got[r["image_id"]]
+        assert g["trend_sum"] == num.sum()
+        assert g["n_rising"] == (num > 0).sum()
+        assert g["n_falling"] == (num < 0).sum()
