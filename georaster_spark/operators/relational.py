@@ -695,3 +695,57 @@ WHERE EXISTS (SELECT 1 FROM lineitem l
               WHERE l.l_orderkey = o.o_orderkey AND l.l_quantity >= {BIG_QTY})
 GROUP BY 1 ORDER BY month
 """
+
+
+def value_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quantile-threshold outlier detection — the log-analytics anomaly
+    filter: per event_type, flag events in the top 1% by value
+    (percent_rank >= 0.99 with deterministic (value, event_id) order)
+    and report exact flagged-set aggregates.
+
+    Rank-based (not z-score) so the surface is EXACT: percent_rank is
+    (rank-1)/(n-1) — the same pure-integer-derived double in every
+    engine — and the aggregates are integer cents + an id checksum that
+    pins the exact flagged SET.  ONE shuffle (the per-type window);
+    the closing groupBy reuses its partitioning.  At 10^12 events the
+    per-type global sort is the cost — swap to approx_percentile
+    pre-thresholding at scale, keeping this as the exact twin."""
+    ev = _t(spark, sf_dir, "events").select(
+        "event_id", "event_type", cents(F.col("value")).alias("v_cents")
+    )
+    w = Window.partitionBy("event_type").orderBy("v_cents", "event_id")
+    flagged = ev.withColumn("pr", F.percent_rank().over(w)).where(
+        F.col("pr") >= 0.99
+    )
+    return (
+        flagged.groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_outliers"),
+            F.sum("v_cents").alias("cents_sum"),
+            F.min("v_cents").alias("min_cents"),
+            F.sum("event_id").alias("id_checksum"),
+        )
+        .repartition(1).sortWithinPartitions("event_type")
+    )
+
+
+def value_outliers_sql() -> str:
+    return """
+WITH e AS (
+  SELECT event_id, event_type,
+         CAST(round(value * 100) AS BIGINT) AS v_cents
+  FROM events
+),
+r AS (
+  SELECT *, percent_rank() OVER (
+    PARTITION BY event_type ORDER BY v_cents, event_id) AS pr
+  FROM e
+)
+SELECT event_type,
+       CAST(COUNT(*) AS BIGINT) AS n_outliers,
+       CAST(SUM(v_cents) AS BIGINT) AS cents_sum,
+       CAST(MIN(v_cents) AS BIGINT) AS min_cents,
+       CAST(SUM(event_id) AS BIGINT) AS id_checksum
+FROM r WHERE pr >= 0.99
+GROUP BY event_type ORDER BY event_type
+"""

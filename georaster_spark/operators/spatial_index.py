@@ -294,3 +294,59 @@ def geohash_rollup(tiles: DataFrame, precision: int = 8, prefix: int = 4) -> Dat
             F.min("gh").alias("min_geohash"),
         )
     )
+
+
+def idw_interpolate(
+    tiles: DataFrame,
+    points: DataFrame,
+    radius: float,
+    r: int = 12,
+    value_col: Column | None = None,
+) -> DataFrame:
+    """Inverse-distance-weighted (IDW, power=2) spatial interpolation —
+    the classic geostatistics gridding operator: predict a value at each
+    query point from the stations (image centroids) within `radius`,
+    weighted 1/d².
+
+        pred(p) = Σ v_i/d²_i / Σ 1/d²_i   over stations with d ≤ radius
+
+    Station value defaults to ``phash % 256`` (a real data column with
+    an exact SQL twin).  Same filter-refine candidate plan as
+    radius_join (points cover their R-dilated box with ≤9 res-r cells,
+    stations key by centroid cell) — never O(|points|·|stations|).
+    pred rounds to 6 decimals (sum-of-~10² doubles, error ≪ round
+    step); n_neighbors and the nearest station are exact."""
+    v = value_col if value_col is not None else (F.col("phash") % 256)
+    cx = F.col("gt_x0") + F.lit(TILE_SPAN / 2)
+    cy = F.col("gt_y0") - F.lit(TILE_SPAN / 2)
+    st = tiles.select(
+        F.col("image_id"),
+        v.cast("double").alias("v"),
+        cx.alias("sx"),
+        cy.alias("sy"),
+        cells.cell_encode(cx, cy, r).alias("cell"),
+    )
+    pt = points.select(
+        "point_id",
+        F.col("x").alias("px"),
+        F.col("y").alias("py"),
+        F.explode(
+            cells.cell_cover(
+                F.col("x") - radius, F.col("x") + radius,
+                F.col("y") - radius, F.col("y") + radius, r,
+            )
+        ).alias("cell"),
+    )
+    d2 = (F.col("sx") - F.col("px")) * (F.col("sx") - F.col("px")) + (
+        F.col("sy") - F.col("py")
+    ) * (F.col("sy") - F.col("py"))
+    pairs = (
+        st.join(pt, "cell")
+        .withColumn("d2", d2)
+        .where(F.col("d2") <= F.lit(float(radius) * float(radius)))
+    )
+    return pairs.groupBy("point_id").agg(
+        F.count("*").alias("n_neighbors"),
+        F.round(F.sum(F.col("v") / F.col("d2")) / F.sum(F.lit(1.0) / F.col("d2")), 6).alias("pred"),
+        F.min(F.struct("d2", "image_id"))["image_id"].alias("nearest_img"),
+    )

@@ -1335,6 +1335,62 @@ FROM agg a JOIN closest c USING (zone_id) ORDER BY a.zone_id
 """
 
 
+_IDW_RADIUS = 8000.0
+_IDW_MOD = 101
+
+
+def q_idw(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IDW (power-2) spatial interpolation (spatial_index.idw_interpolate)
+    at every 101st query point: filter-refine neighbor candidates via
+    res-12 cells, exact n_neighbors/nearest, pred rounded to 6."""
+    from ..operators import spatial_index as si
+
+    tiles = geo.georegister(_images(spark, sf_dir))
+    pts = _points(spark, sf_dir).where(F.col("point_id") % _IDW_MOD == 0)
+    return (
+        si.idw_interpolate(tiles, pts, _IDW_RADIUS, r=_RADIUS_RES)
+        .repartition(1).sortWithinPartitions("point_id")
+    )
+
+
+def _sql_idw(fx: Path) -> str:
+    r2 = _IDW_RADIUS * _IDW_RADIUS
+    return f"""
+WITH {osql.georegister_cte(str(fx / 'images.parquet'))},
+st AS (
+  SELECT image_id, CAST(phash % 256 AS DOUBLE) AS v,
+         gt_x0 + 500.0 AS sx, gt_y0 - 500.0 AS sy
+  FROM tiles
+),
+pt AS (
+  SELECT point_id, x AS px, y AS py
+  FROM read_parquet('{fx / 'points.parquet'}')
+  WHERE point_id % {_IDW_MOD} = 0
+),
+pairs AS (
+  SELECT p.point_id, s.image_id, s.v,
+         (s.sx - p.px) * (s.sx - p.px) + (s.sy - p.py) * (s.sy - p.py) AS d2
+  FROM st s, pt p
+  WHERE (s.sx - p.px) * (s.sx - p.px) + (s.sy - p.py) * (s.sy - p.py) <= {r2}
+),
+agg AS (
+  SELECT point_id,
+         CAST(COUNT(*) AS BIGINT) AS n_neighbors,
+         round(SUM(v / d2) / SUM(1.0 / d2), 6) AS pred
+  FROM pairs GROUP BY point_id
+),
+near AS (
+  SELECT point_id, image_id AS nearest_img
+  FROM (SELECT point_id, image_id,
+               ROW_NUMBER() OVER (PARTITION BY point_id ORDER BY d2, image_id) AS rn
+        FROM pairs)
+  WHERE rn = 1
+)
+SELECT a.point_id, a.n_neighbors, a.pred, n.nearest_img
+FROM agg a JOIN near n USING (point_id) ORDER BY a.point_id
+"""
+
+
 _GEOHASH_PREC = 8
 _GEOHASH_PREFIX = 4
 
@@ -3492,6 +3548,8 @@ def spatial_queries() -> dict[str, QueryFn]:
         "geohash_rollup": q_geohash,
         "zonal_argmax": q_zonal_argmax,
         "temporal_trend": q_temporal_trend,
+        "idw_interpolate": q_idw,
+        "value_outliers": rel.value_outliers,
         "temporal_stack": q_temporal_stack,
         "patch_extract": q_patch_extract,
         "avg_pool": q_avg_pool,
@@ -3598,6 +3656,8 @@ def spatial_oracles(sf: str = "sf0.01") -> dict[str, str]:
         "geohash_rollup": _sql_geohash(fx),
         "zonal_argmax": _sql_zonal_argmax(fx, w),
         "temporal_trend": _sql_temporal_trend(fx, w),
+        "idw_interpolate": _sql_idw(fx),
+        "value_outliers": rel.value_outliers_sql(),
         "temporal_stack": _sql_temporal_stack(fx, w),
         "patch_extract": _sql_patch_extract(fx, w),
         "avg_pool": _sql_avg_pool(fx, w),
