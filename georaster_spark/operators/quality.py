@@ -175,3 +175,69 @@ def entropy_stats(tiles: DataFrame) -> DataFrame:
             yield pd.DataFrame(out)
 
     return slim.mapInPandas(_ent, schema=_ENTROPY_SCHEMA)
+
+
+_GLCM_SCHEMA = StructType(
+    [
+        StructField("image_id", StringType()),
+        StructField("n_pairs", LongType()),
+        StructField("contrast", LongType()),
+        StructField("energy", LongType()),
+        StructField("n_distinct_pairs", LongType()),
+        StructField("pair_checksum", LongType()),
+    ]
+)
+
+
+def glcm_texture(tiles: DataFrame) -> DataFrame:
+    """GLCM texture metrics (Haralick, horizontal offset (0,1)) — the
+    classic remote-sensing texture features, kept on an integer surface:
+
+      contrast         Σ (a−b)² over adjacent pixel pairs (a=z[i,j],
+                       b=z[i,j+1]) — high for noisy/edge-rich tiles
+      energy           Σ_ab n(a,b)² over the 256×256 co-occurrence
+                       matrix — high for uniform texture
+      n_distinct_pairs occupied co-occurrence cells
+      pair_checksum    Σ (a·256 + b) over pairs — pins the exact pair
+                       multiset together with n_pairs/contrast
+
+    raw16 inputs right-shift to 8 bits (256-level GLCM convention).
+    Map-only fused Arrow pass; the 64k-bin co-occurrence histogram is a
+    per-tile vectorized bincount, never a shuffle."""
+
+    slim = tiles.select("image_id", "bytes", "w", "h", "fmt")
+
+    def _glcm(batches):
+        for pdf in batches:
+            n = len(pdf)
+            out = {"image_id": pdf["image_id"].to_numpy(dtype=object)}
+            for c in ("n_pairs", "contrast", "energy", "n_distinct_pairs", "pair_checksum"):
+                out[c] = np.zeros(n, dtype=np.int64)
+            groups: dict[tuple, list[int]] = {}
+            for k in range(n):
+                key = (int(pdf["w"].iat[k]), int(pdf["h"].iat[k]), pdf["fmt"].iat[k])
+                groups.setdefault(key, []).append(k)
+            for (w, h, fmt), idx in groups.items():
+                if w < 2:
+                    continue
+                z = np.frombuffer(
+                    b"".join(pdf["bytes"].iat[k] for k in idx), dtype=_DT[fmt]
+                ).reshape(len(idx), h, w)
+                if fmt == "raw16":
+                    z = (z >> 8).astype(np.uint8)
+                z = z.astype(np.int64)
+                a, b = z[:, :, :-1], z[:, :, 1:]
+                code = (a * 256 + b).reshape(len(idx), -1)
+                offs = (np.arange(len(idx)) * 65536)[:, None]
+                hist = np.bincount(
+                    (code + offs).ravel(), minlength=len(idx) * 65536
+                ).reshape(len(idx), 65536)
+                ii = np.asarray(idx)
+                out["n_pairs"][ii] = h * (w - 1)
+                out["contrast"][ii] = ((a - b) ** 2).sum(axis=(1, 2))
+                out["energy"][ii] = (hist * hist).sum(axis=1)
+                out["n_distinct_pairs"][ii] = (hist > 0).sum(axis=1)
+                out["pair_checksum"][ii] = code.sum(axis=1)
+            yield pd.DataFrame(out)
+
+    return slim.mapInPandas(_glcm, schema=_GLCM_SCHEMA)

@@ -749,3 +749,91 @@ SELECT event_type,
 FROM r WHERE pr >= 0.99
 GROUP BY event_type ORDER BY event_type
 """
+
+
+_FUNNEL_STAGES = ("view", "click", "purchase")
+
+
+def funnel_conversion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered funnel analysis (view → click → purchase) — the product-
+    analytics sequential-pattern operator: a user converts at stage k+1
+    only via an event STRICTLY AFTER their stage-k conversion event
+    (order on (ts, event_id), so simultaneous-timestamp ties resolve
+    deterministically).
+
+    Plan: stage k+1 = one aggregation of the events table joined to the
+    stage-k per-user frontier — every shuffle is on user_id over slim
+    int64 columns; K stages = K passes over the (pruned) event columns,
+    never a per-user collect.  Output: one row per stage with exact
+    converted-user counts and a Σuser_id checksum pinning the exact
+    converted SET."""
+    ev = _t(spark, sf_dir, "events").select(
+        "user_id", "event_id", "event_type",
+        F.unix_micros(F.col("ts").cast("timestamp")).alias("ts_us"),
+    )
+    frontier = None
+    rows = []
+    for stage, etype in enumerate(_FUNNEL_STAGES):
+        cand = ev.where(F.col("event_type") == etype)
+        if frontier is not None:
+            cand = cand.join(frontier, "user_id").where(
+                (F.col("ts_us") > F.col("prev_ts"))
+                | ((F.col("ts_us") == F.col("prev_ts")) & (F.col("event_id") > F.col("prev_id")))
+            )
+        conv = cand.groupBy("user_id").agg(
+            F.min(F.struct("ts_us", "event_id")).alias("first")
+        )
+        frontier = conv.select(
+            "user_id",
+            F.col("first.ts_us").alias("prev_ts"),
+            F.col("first.event_id").alias("prev_id"),
+        )
+        rows.append(
+            frontier.agg(
+                F.lit(stage + 1).alias("stage"),
+                F.lit(etype).alias("event_type"),
+                F.count(F.lit(1)).alias("n_users"),
+                F.sum("user_id").alias("user_checksum"),
+            )
+        )
+    out = rows[0]
+    for r in rows[1:]:
+        out = out.unionByName(r)
+    return out.repartition(1).sortWithinPartitions("stage")
+
+
+def funnel_conversion_sql() -> str:
+    return """
+WITH e AS (
+  SELECT user_id, event_id, event_type, epoch_us(ts) AS ts_us FROM events
+),
+s1f AS (
+  SELECT user_id,
+         MIN((ts_us, event_id)) AS frontier
+  FROM e WHERE event_type = 'view' GROUP BY user_id
+),
+s2f AS (
+  SELECT e.user_id, MIN((e.ts_us, e.event_id)) AS frontier
+  FROM e JOIN s1f USING (user_id)
+  WHERE e.event_type = 'click'
+    AND (e.ts_us > s1f.frontier[1]
+         OR (e.ts_us = s1f.frontier[1] AND e.event_id > s1f.frontier[2]))
+  GROUP BY e.user_id
+),
+s3f AS (
+  SELECT e.user_id, MIN((e.ts_us, e.event_id)) AS frontier
+  FROM e JOIN s2f USING (user_id)
+  WHERE e.event_type = 'purchase'
+    AND (e.ts_us > s2f.frontier[1]
+         OR (e.ts_us = s2f.frontier[1] AND e.event_id > s2f.frontier[2]))
+  GROUP BY e.user_id
+)
+SELECT 1 AS stage, 'view' AS event_type,
+       CAST(COUNT(*) AS BIGINT) AS n_users,
+       CAST(SUM(user_id) AS BIGINT) AS user_checksum FROM s1f
+UNION ALL
+SELECT 2, 'click', CAST(COUNT(*) AS BIGINT), CAST(SUM(user_id) AS BIGINT) FROM s2f
+UNION ALL
+SELECT 3, 'purchase', CAST(COUNT(*) AS BIGINT), CAST(SUM(user_id) AS BIGINT) FROM s3f
+ORDER BY stage
+"""

@@ -1335,6 +1335,49 @@ FROM agg a JOIN closest c USING (zone_id) ORDER BY a.zone_id
 """
 
 
+_GLCM_MOD = 71
+
+
+def q_glcm(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GLCM texture metrics (quality.glcm_texture — Haralick horizontal
+    co-occurrence): integer contrast/energy/variety over adjacent pixel
+    pairs.  Map-only fused Arrow pass; the 64k-bin co-occurrence
+    histogram stays per-tile, never shuffled."""
+    from ..operators import quality
+
+    tiles = geo.georegister(_images(spark, sf_dir)).where(
+        geo.image_idx() % _GLCM_MOD == 0
+    )
+    return (
+        quality.glcm_texture(tiles)
+        .repartition(1).sortWithinPartitions("image_id")
+    )
+
+
+def _sql_glcm(fx: Path, w: int) -> str:
+    a = osql.ramp_value_expr("gi.i", "gj.j")
+    b = osql.ramp_value_expr("gi.i", "gj.j + 1")
+    return f"""
+WITH {osql.georegister_cte(str(fx / 'images.parquet'))},
+pr AS (
+  SELECT image_id, CAST({a} AS BIGINT) AS a, CAST({b} AS BIGINT) AS b
+  FROM tiles,
+       generate_series(0, {w - 1}) AS gi(i), generate_series(0, {w - 2}) AS gj(j)
+  WHERE idx % {_GLCM_MOD} = 0
+),
+cooc AS (
+  SELECT image_id, a, b, COUNT(*) AS cnt FROM pr GROUP BY image_id, a, b
+)
+SELECT image_id,
+       CAST(SUM(cnt) AS BIGINT) AS n_pairs,
+       CAST(SUM(cnt * (a - b) * (a - b)) AS BIGINT) AS contrast,
+       CAST(SUM(cnt * cnt) AS BIGINT) AS energy,
+       CAST(COUNT(*) AS BIGINT) AS n_distinct_pairs,
+       CAST(SUM(cnt * (a * 256 + b)) AS BIGINT) AS pair_checksum
+FROM cooc GROUP BY image_id ORDER BY image_id
+"""
+
+
 _IDW_RADIUS = 8000.0
 _IDW_MOD = 101
 
@@ -3550,6 +3593,8 @@ def spatial_queries() -> dict[str, QueryFn]:
         "temporal_trend": q_temporal_trend,
         "idw_interpolate": q_idw,
         "value_outliers": rel.value_outliers,
+        "funnel_conversion": rel.funnel_conversion,
+        "glcm_texture": q_glcm,
         "temporal_stack": q_temporal_stack,
         "patch_extract": q_patch_extract,
         "avg_pool": q_avg_pool,
@@ -3658,6 +3703,8 @@ def spatial_oracles(sf: str = "sf0.01") -> dict[str, str]:
         "temporal_trend": _sql_temporal_trend(fx, w),
         "idw_interpolate": _sql_idw(fx),
         "value_outliers": rel.value_outliers_sql(),
+        "funnel_conversion": rel.funnel_conversion_sql(),
+        "glcm_texture": _sql_glcm(fx, w),
         "temporal_stack": _sql_temporal_stack(fx, w),
         "patch_extract": _sql_patch_extract(fx, w),
         "avg_pool": _sql_avg_pool(fx, w),

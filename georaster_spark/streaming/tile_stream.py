@@ -345,3 +345,21 @@ def stream_merge_to_icelite(
     )
     q.awaitTermination(120)
     return q
+
+
+def stream_quality_gate(images: DataFrame, var_threshold: int = 1000) -> DataFrame:
+    """Streaming image-curation gate (S6): the variance-of-Laplacian
+    blur filter (operators/quality.laplacian_stats) applied to the live
+    ingest stream — mapInPandas is stateless, so the same fused Arrow
+    pass runs per micro-batch with zero state and the stream stays
+    append-mode end to end.  Emits only tiles passing the sharpness
+    threshold (lap_var_num > threshold · n²), i.e. the rows a training
+    pipeline would forward to the sink; the integer surface makes the
+    streaming and batch verdicts bit-identical."""
+    from ..operators.quality import laplacian_stats
+
+    stats = laplacian_stats(images)
+    return stats.where(
+        F.col("lap_var_num")
+        > F.lit(var_threshold) * F.col("n_interior") * F.col("n_interior")
+    )

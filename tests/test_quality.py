@@ -87,3 +87,60 @@ def test_quality_ops_map_only(tiles):
 
     for op in (quality.laplacian_stats, quality.entropy_stats):
         assert "Exchange" not in _explain(op(tiles)), op.__name__
+
+
+def test_glcm_matches_numpy(spark, tiles):
+    sub = tiles.limit(6)
+    got = {r["image_id"]: r for r in quality.glcm_texture(sub).collect()}
+    for r in sub.collect():
+        z = oracle.decode_pixels(r["bytes"], r["w"], r["h"], r["fmt"]).astype(
+            np.int64
+        )
+        a, b = z[:, :-1], z[:, 1:]
+        code = a * 256 + b
+        hist = np.bincount(code.ravel(), minlength=65536)
+        g = got[r["image_id"]]
+        assert g["n_pairs"] == code.size
+        assert g["contrast"] == ((a - b) ** 2).sum()
+        assert g["energy"] == (hist.astype(np.int64) ** 2).sum()
+        assert g["n_distinct_pairs"] == (hist > 0).sum()
+        assert g["pair_checksum"] == code.sum()
+
+
+def test_glcm_funnel_contract_vs_duckdb(spark):
+    import duckdb
+
+    from georaster_spark.operators import relational as rel
+    from georaster_spark.plans import contract as ct
+    from tests.driver_sim import table_hash
+
+    sf_dir = "/root/testdata/sf0.001"
+    fx = ct._fx(sf_dir)
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW events AS SELECT * FROM read_parquet('{sf_dir}/events.parquet')"
+    )
+    for name, qfn, sql in [
+        ("glcm_texture", ct.q_glcm, ct._sql_glcm(fx, 32)),
+        ("funnel_conversion", rel.funnel_conversion, rel.funnel_conversion_sql()),
+    ]:
+        sdf = qfn(spark, sf_dir)
+        srows = [tuple(r) for r in sdf.collect()]
+        orows = con.execute(sql).fetchall()
+        ocols = [d[0] for d in con.description]
+        assert len(srows) > 0, name
+        assert len(srows) == len(orows), name
+        assert sorted(sdf.columns) == sorted(ocols), name
+        assert table_hash(sdf.columns, srows) == table_hash(ocols, orows), name
+
+
+def test_funnel_is_monotone(spark):
+    from georaster_spark.operators import relational as rel
+
+    rows = sorted(
+        rel.funnel_conversion(spark, "/root/testdata/sf0.001").collect(),
+        key=lambda r: r["stage"],
+    )
+    counts = [r["n_users"] for r in rows]
+    assert counts == sorted(counts, reverse=True)
+    assert counts[0] > 0 and counts[-1] >= 0

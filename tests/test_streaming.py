@@ -236,3 +236,23 @@ def test_stream_sessionize_native_matches_custom(spark, stream_dir, tmp_path):
             last_per_cell[r["cell_id"]] = k
     assert exp - got <= set(last_per_cell.values())
     assert got  # some sessions must finalize under the fixture cadence
+
+
+def test_stream_quality_gate_matches_batch(spark, stream_dir, tmp_path):
+    """S6: the streaming blur gate must pass exactly the tiles the batch
+    evaluation passes (stateless mapInPandas — bit-identical verdicts)."""
+    thr = 500
+    stream = ts.read_image_stream(spark, str(stream_dir))
+    out = ts.stream_quality_gate(stream, var_threshold=thr)
+    ts.run_to_memory(out, "quality_stream", str(tmp_path / "ckq"))
+    got = {
+        r["image_id"]: (r["lap_var_num"], r["n_interior"])
+        for r in spark.sql("SELECT * FROM quality_stream").collect()
+    }
+    batch = spark.read.parquet(str(stream_dir))
+    exp = {
+        r["image_id"]: (r["lap_var_num"], r["n_interior"])
+        for r in ts.stream_quality_gate(batch, var_threshold=thr).collect()
+    }
+    assert got == exp
+    assert 0 < len(got) < batch.count()  # the gate actually filters
