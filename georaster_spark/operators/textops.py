@@ -997,6 +997,57 @@ ORDER BY d.lang, p.pred_lang
 """
 
 
+def lsh_recall_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dedup-tier ACCURACY GATE (same class as sketch_accuracy /
+    langid_confusion): the banded-MinHash candidate path (D3, the
+    10^12-row tier) audited against the exact inverted-index Jaccard
+    tier (D2) on the same corpus and threshold — pair-set sizes, the
+    intersection, integer recall/precision percentages, and Σ(a+b)
+    checksums pinning both exact pair SETS.  A regression in the LSH
+    banding (missed bands, wrong row grouping) turns the row red.
+
+    Scale shape: both tiers' outputs are tiny pair relations; the audit
+    is one full-outer join + one global agg over them."""
+    ex = jaccard_pairs(spark, sf_dir).select("a_id", "b_id", F.lit(1).alias("_e"))
+    ls = minhash_lsh_pairs(spark, sf_dir).select(
+        "a_id", "b_id", F.lit(1).alias("_l")
+    )
+    j = ex.join(ls, ["a_id", "b_id"], "full_outer")
+    return j.agg(
+        F.count("_e").alias("n_exact"),
+        F.count("_l").alias("n_lsh"),
+        F.count(F.when(F.col("_e").isNotNull() & F.col("_l").isNotNull(), 1)).alias("n_common"),
+        (F.count(F.when(F.col("_e").isNotNull() & F.col("_l").isNotNull(), 1)) * 100
+         / F.greatest(F.count("_e"), F.lit(1))).cast("long").alias("recall_pct"),
+        (F.count(F.when(F.col("_e").isNotNull() & F.col("_l").isNotNull(), 1)) * 100
+         / F.greatest(F.count("_l"), F.lit(1))).cast("long").alias("precision_pct"),
+        F.sum(F.when(F.col("_e").isNotNull(), F.col("a_id") + F.col("b_id"))).alias("exact_checksum"),
+        F.sum(F.when(F.col("_l").isNotNull(), F.col("a_id") + F.col("b_id"))).alias("lsh_checksum"),
+    )
+
+
+def lsh_recall_gate_sql() -> str:
+    return f"""
+WITH ex AS ({jaccard_pairs_sql()}),
+ls AS ({minhash_lsh_pairs_sql()}),
+j AS (
+  SELECT coalesce(e.a_id, l.a_id) AS a_id, coalesce(e.b_id, l.b_id) AS b_id,
+         e.a_id IS NOT NULL AS in_e, l.a_id IS NOT NULL AS in_l
+  FROM ex e FULL OUTER JOIN ls l ON e.a_id = l.a_id AND e.b_id = l.b_id
+)
+SELECT CAST(SUM(CASE WHEN in_e THEN 1 ELSE 0 END) AS BIGINT) AS n_exact,
+       CAST(SUM(CASE WHEN in_l THEN 1 ELSE 0 END) AS BIGINT) AS n_lsh,
+       CAST(SUM(CASE WHEN in_e AND in_l THEN 1 ELSE 0 END) AS BIGINT) AS n_common,
+       CAST(SUM(CASE WHEN in_e AND in_l THEN 1 ELSE 0 END) * 100
+            / greatest(SUM(CASE WHEN in_e THEN 1 ELSE 0 END), 1) AS BIGINT) AS recall_pct,
+       CAST(SUM(CASE WHEN in_e AND in_l THEN 1 ELSE 0 END) * 100
+            / greatest(SUM(CASE WHEN in_l THEN 1 ELSE 0 END), 1) AS BIGINT) AS precision_pct,
+       CAST(SUM(CASE WHEN in_e THEN a_id + b_id END) AS BIGINT) AS exact_checksum,
+       CAST(SUM(CASE WHEN in_l THEN a_id + b_id END) AS BIGINT) AS lsh_checksum
+FROM j
+"""
+
+
 def text_queries():
     return {
         "text_stats": text_stats,
@@ -1013,6 +1064,7 @@ def text_queries():
         "passage_dedup": passage_dedup,
         "doc_repetition": doc_repetition,
         "collocations": collocations,
+        "lsh_recall_gate": lsh_recall_gate,
     }
 
 
@@ -1032,4 +1084,5 @@ def text_oracles() -> dict[str, str]:
         "passage_dedup": passage_dedup_sql(),
         "doc_repetition": doc_repetition_sql(),
         "collocations": collocations_sql(),
+        "lsh_recall_gate": lsh_recall_gate_sql(),
     }

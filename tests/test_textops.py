@@ -76,3 +76,17 @@ def test_langid_confusion_parity_and_totals(spark, duck):
     ).fetchone()
     assert sum(r[n_docs_col] for r in srows) == total
     assert sum(r[chk_col] for r in srows) == id_sum
+
+
+def test_lsh_recall_gate_parity_and_full_recall(spark, duck):
+    sdf = textops.lsh_recall_gate(spark, SF_DIR)
+    srows = [tuple(r) for r in sdf.collect()]
+    orows = duck.execute(textops.lsh_recall_gate_sql()).fetchall()
+    ocols = [d[0] for d in duck.description]
+    assert sorted(sdf.columns) == sorted(ocols)
+    assert table_hash(sdf.columns, srows) == table_hash(ocols, orows)
+    row = dict(zip(sdf.columns, srows[0]))
+    # on the planted corpus the banded LSH must not miss any exact pair
+    assert row["n_exact"] > 0
+    assert row["recall_pct"] == 100 and row["precision_pct"] == 100
+    assert row["exact_checksum"] == row["lsh_checksum"]
