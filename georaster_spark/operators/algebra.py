@@ -447,3 +447,79 @@ def focal_mosaic(mosaic: DataFrame, ntx: int, nty: int) -> DataFrame:
         )
 
     return parts.groupBy("tid").applyInPandas(_assemble, schema=_FOCAL_M_SCHEMA)
+
+
+_D8_SCHEMA = (
+    "image_id string, n_interior long, n_flat long, "
+    + ", ".join(f"n_d{c} long" for c in (1, 2, 4, 8, 16, 32, 64, 128))
+    + ", d8_checksum long"
+)
+
+# ESRI D8 codes in PRIORITY order (ties resolve to the first):
+# E=1, SE=2, S=4, SW=8, W=16, NW=32, N=64, NE=128
+_D8_DIRS = (
+    (1, 0, 1, 2), (2, 1, 1, 1), (4, 1, 0, 2), (8, 1, -1, 1),
+    (16, 0, -1, 2), (32, -1, -1, 1), (64, -1, 0, 2), (128, -1, 1, 1),
+)  # (code, di, dj, score_mult): cardinal drops score 2*drop², diagonal drop²
+
+
+def flow_direction_stats(tiles: DataFrame) -> DataFrame:
+    """D8 flow direction (the ArcGIS/GRASS hydrology primitive) on an
+    integer-exact surface: each interior pixel flows toward the
+    steepest-descent neighbor.  The 1/√2 diagonal distance is folded
+    into the INTEGER score ``s = mult·drop²`` (mult 2 for cardinals, 1
+    for diagonals, drops ≤ 0 excluded): for positive drops,
+    drop_c/1 > drop_d/√2  ⇔  2·drop_c² > drop_d², so the integer argmax
+    equals the float steepest-descent rule exactly.  Ties resolve in
+    fixed ESRI code order (E, SE, S, SW, W, NW, N, NE); no positive
+    drop ⇒ flat/pit (code 0).
+
+    Emits per-tile direction counts and the position-weighted code
+    checksum.  Map-only fused Arrow pass, zero shuffle."""
+    slim = tiles.select("image_id", "bytes", "w", "h", "fmt")
+    dt = {"raw": np.uint8, "qnt": np.uint8, "raw16": "<u2"}
+    count_cols = [f"n_d{c}" for c, *_ in _D8_DIRS]
+
+    def _d8(batches):
+        for pdf in batches:
+            n = len(pdf)
+            out = {"image_id": pdf["image_id"].to_numpy(dtype=object)}
+            for c in ["n_interior", "n_flat", *count_cols, "d8_checksum"]:
+                out[c] = np.zeros(n, dtype=np.int64)
+            groups: dict[tuple, list[int]] = {}
+            for k in range(n):
+                key = (int(pdf["w"].iat[k]), int(pdf["h"].iat[k]), pdf["fmt"].iat[k])
+                groups.setdefault(key, []).append(k)
+            for (w, h, fmt), idx in groups.items():
+                if w < 3 or h < 3:
+                    continue
+                z = (
+                    np.frombuffer(
+                        b"".join(pdf["bytes"].iat[k] for k in idx), dtype=dt[fmt]
+                    )
+                    .reshape(len(idx), h, w)
+                    .astype(np.int64)
+                )
+                c0 = z[:, 1:-1, 1:-1]
+                scores = []
+                for _, di, dj, mult in _D8_DIRS:
+                    nb = z[:, 1 + di : h - 1 + di, 1 + dj : w - 1 + dj]
+                    drop = c0 - nb
+                    scores.append(np.where(drop > 0, mult * drop * drop, -1))
+                stack = np.stack(scores)  # priority order: argmax -> first max
+                best = stack.max(axis=0)
+                pick = stack.argmax(axis=0)
+                codes = np.array([c for c, *_ in _D8_DIRS], dtype=np.int64)
+                code = np.where(best > 0, codes[pick], 0)
+                wt = np.arange(1, code[0].size + 1, dtype=np.int64).reshape(
+                    h - 2, w - 2
+                )
+                ii = np.asarray(idx)
+                out["n_interior"][ii] = (h - 2) * (w - 2)
+                out["n_flat"][ii] = (code == 0).sum(axis=(1, 2))
+                for ci, (c, *_rest) in enumerate(_D8_DIRS):
+                    out[f"n_d{c}"][ii] = (code == c).sum(axis=(1, 2))
+                out["d8_checksum"][ii] = (code * wt).sum(axis=(1, 2))
+            yield pd.DataFrame(out)
+
+    return slim.mapInPandas(_d8, schema=_D8_SCHEMA)

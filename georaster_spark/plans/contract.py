@@ -1335,6 +1335,67 @@ FROM agg a JOIN closest c USING (zone_id) ORDER BY a.zone_id
 """
 
 
+_D8_MOD = 67
+
+
+def q_flow_direction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """D8 flow direction (algebra.flow_direction_stats — the hydrology
+    primitive): integer-exact steepest-descent codes (2·drop² vs drop²
+    folds the 1/√2 diagonal into the integer argmax), ESRI-order ties.
+    Map-only fused Arrow pass."""
+    from ..operators import algebra
+
+    tiles = geo.georegister(_images(spark, sf_dir)).where(
+        geo.image_idx() % _D8_MOD == 0
+    )
+    return (
+        algebra.flow_direction_stats(tiles)
+        .repartition(1).sortWithinPartitions("image_id")
+    )
+
+
+def _sql_flow_direction(fx: Path, w: int) -> str:
+    from ..operators.algebra import _D8_DIRS
+
+    def rv(di: int, dj: int) -> str:
+        return f"CAST({osql.ramp_value_expr(f'gi.i + {di}', f'gj.j + {dj}')} AS BIGINT)"
+
+    c0 = rv(0, 0)
+    scores = []
+    for code, di, dj, mult in _D8_DIRS:
+        drop = f"({c0} - {rv(di, dj)})"
+        scores.append(
+            (code, f"(CASE WHEN {drop} > 0 THEN {mult} * {drop} * {drop} ELSE -1 END)")
+        )
+    score_sel = ", ".join(f"{e} AS s{code}" for code, e in scores)
+    best = "greatest(" + ", ".join(f"s{code}" for code, _ in scores) + ")"
+    dir_case = "CASE WHEN " + best + " <= 0 THEN 0"
+    for code, _ in scores:
+        dir_case += f" WHEN s{code} = {best} THEN {code}"
+    dir_case += " END"
+    iw = w - 2
+    dir_counts = ",\n       ".join(
+        f"CAST(SUM(CASE WHEN code = {code} THEN 1 ELSE 0 END) AS BIGINT) AS n_d{code}"
+        for code, _ in scores
+    )
+    return f"""
+WITH {osql.georegister_cte(str(fx / 'images.parquet'))},
+sc AS (
+  SELECT image_id, gi.i AS i, gj.j AS j, {score_sel}
+  FROM tiles,
+       generate_series(1, {w - 2}) AS gi(i), generate_series(1, {w - 2}) AS gj(j)
+  WHERE idx % {_D8_MOD} = 0
+),
+px AS (SELECT image_id, i, j, {dir_case} AS code FROM sc)
+SELECT image_id,
+       CAST(COUNT(*) AS BIGINT) AS n_interior,
+       CAST(SUM(CASE WHEN code = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_flat,
+       {dir_counts},
+       CAST(SUM(code * ((i - 1) * {iw} + (j - 1) + 1)) AS BIGINT) AS d8_checksum
+FROM px GROUP BY image_id ORDER BY image_id
+"""
+
+
 _GLCM_MOD = 71
 
 
@@ -3595,6 +3656,7 @@ def spatial_queries() -> dict[str, QueryFn]:
         "value_outliers": rel.value_outliers,
         "funnel_conversion": rel.funnel_conversion,
         "glcm_texture": q_glcm,
+        "flow_direction": q_flow_direction,
         "temporal_stack": q_temporal_stack,
         "patch_extract": q_patch_extract,
         "avg_pool": q_avg_pool,
@@ -3705,6 +3767,7 @@ def spatial_oracles(sf: str = "sf0.01") -> dict[str, str]:
         "value_outliers": rel.value_outliers_sql(),
         "funnel_conversion": rel.funnel_conversion_sql(),
         "glcm_texture": _sql_glcm(fx, w),
+        "flow_direction": _sql_flow_direction(fx, w),
         "temporal_stack": _sql_temporal_stack(fx, w),
         "patch_extract": _sql_patch_extract(fx, w),
         "avg_pool": _sql_avg_pool(fx, w),

@@ -101,3 +101,61 @@ def test_diff_stats_raises_on_shape_mismatch(spark):
 
     with pytest.raises(Exception, match="payload shapes differ"):
         out.collect()
+
+
+def test_flow_direction_matches_numpy_float_rule(spark, sf0001_dir):
+    """The integer 2·drop² rule must equal the float drop/dist steepest-
+    descent rule pixel-for-pixel (same priority ties), and the contract
+    query must match its DuckDB oracle."""
+    import numpy as np
+
+    from georaster_spark import oracle
+    from georaster_spark.operators import algebra
+    from georaster_spark.operators import georegister as geo
+
+    tiles = geo.georegister(
+        spark.read.parquet(str(sf0001_dir / "images.parquet"))
+    ).limit(5)
+    got = {r["image_id"]: r for r in algebra.flow_direction_stats(tiles).collect()}
+    for r in tiles.collect():
+        z = oracle.decode_pixels(r["bytes"], r["w"], r["h"], r["fmt"]).astype(
+            np.int64
+        )
+        h, w = z.shape
+        c0 = z[1:-1, 1:-1]
+        # float rule: drop / distance, priority order on ties
+        fls = []
+        for code, di, dj, mult in algebra._D8_DIRS:
+            nb = z[1 + di : h - 1 + di, 1 + dj : w - 1 + dj]
+            drop = (c0 - nb).astype(np.float64)
+            dist = 1.0 if mult == 2 else np.sqrt(2.0)
+            fls.append(np.where(drop > 0, drop / dist, -1.0))
+        stack = np.stack(fls)
+        best = stack.max(axis=0)
+        pick = stack.argmax(axis=0)
+        codes = np.array([c for c, *_ in algebra._D8_DIRS])
+        code = np.where(best > 0, codes[pick], 0)
+        g = got[r["image_id"]]
+        assert g["n_flat"] == (code == 0).sum()
+        for c in codes:
+            assert g[f"n_d{c}"] == (code == c).sum(), (r["image_id"], c)
+        wt = np.arange(1, code.size + 1).reshape(code.shape)
+        assert g["d8_checksum"] == (code * wt).sum()
+
+
+def test_flow_direction_contract_vs_duckdb(spark):
+    import duckdb
+
+    from georaster_spark.plans import contract as ct
+    from tests.driver_sim import table_hash
+
+    sf_dir = "/root/testdata/sf0.001"
+    fx = ct._fx(sf_dir)
+    con = duckdb.connect()
+    sdf = ct.q_flow_direction(spark, sf_dir)
+    srows = [tuple(r) for r in sdf.collect()]
+    orows = con.execute(ct._sql_flow_direction(fx, 32)).fetchall()
+    ocols = [d[0] for d in con.description]
+    assert len(srows) == len(orows) > 0
+    assert sorted(sdf.columns) == sorted(ocols)
+    assert table_hash(sdf.columns, srows) == table_hash(ocols, orows)
