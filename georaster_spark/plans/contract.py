@@ -1335,6 +1335,114 @@ FROM agg a JOIN closest c USING (zone_id) ORDER BY a.zone_id
 """
 
 
+_CURATE_DISTINCT_MIN = 100  # drops the qnt-lattice tiles (<=64 bins)
+
+
+def q_curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """END-TO-END training-data curation in ONE plan — the composed job
+    this engine exists for: sharpness gate (variance-of-Laplacian > 0:
+    drops pure-ramp 'flat' tiles) ∧ information gate (n_distinct ≥ 100:
+    drops the quantized-lattice tiles) ∧ near-dup drop (the non-
+    canonical side of every pHash LSH pair).  Emits the funnel census +
+    the Σidx checksum pinning the exact SURVIVOR SET.
+
+    Scale shape: the two pixel gates are ONE fused map-only Arrow pass
+    each over the same scan; the dup side is the bounded pigeonhole
+    band join (E11); survivors meet in slim anti/semi joins on
+    image_id — pixel bytes never shuffle anywhere in the plan."""
+    from ..operators import quality
+    from ..operators.phash import phash_near_dup
+
+    tiles = geo.georegister(_images(spark, sf_dir))
+    lap = quality.laplacian_stats(tiles).select(
+        "image_id", (F.col("lap_var_num") > 0).alias("sharp")
+    )
+    ent = quality.entropy_stats(tiles).select(
+        "image_id", (F.col("n_distinct") >= _CURATE_DISTINCT_MIN).alias("informative")
+    )
+    dropped = (
+        phash_near_dup(_images(spark, sf_dir))
+        .select(F.col("b_id").alias("image_id"))
+        .distinct()
+    )
+    idx = geo.image_idx()
+    base = tiles.select("image_id", idx.alias("idx"))
+    j = (
+        base.join(lap, "image_id")
+        .join(ent, "image_id")
+        .join(
+            dropped.withColumn("is_dup", F.lit(True)), "image_id", "left"
+        )
+        .withColumn("keep", F.col("sharp") & F.col("informative") & F.col("is_dup").isNull())
+    )
+    return j.agg(
+        F.count(F.lit(1)).alias("n_input"),
+        F.sum(F.col("sharp").cast("long")).alias("n_sharp"),
+        F.sum(F.col("informative").cast("long")).alias("n_informative"),
+        F.sum(F.col("is_dup").isNotNull().cast("long")).alias("n_dup_dropped"),
+        F.sum(F.col("keep").cast("long")).alias("n_survivors"),
+        F.sum(F.when(F.col("keep"), F.col("idx"))).alias("survivor_checksum"),
+    )
+
+
+def _sql_curation_pipeline(fx: Path, w: int) -> str:
+    ramp = osql.ramp_value_expr("gi.i", "gj.j")
+
+    def rv(di: int, dj: int) -> str:
+        return f"CAST({osql.ramp_value_expr(f'gi.i + {di}', f'gj.j + {dj}')} AS BIGINT)"
+
+    lap = f"({rv(-1, 0)} + {rv(1, 0)} + {rv(0, -1)} + {rv(0, 1)} - 4*{rv(0, 0)})"
+    npx_i = (w - 2) * (w - 2)
+    from ..operators.phash import BANDS
+
+    bands_union = "\nUNION ALL\n".join(
+        f"SELECT image_id, phash, (phash >> {sh}) & {(1 << wd) - 1} AS band_val,"
+        f" {i} AS band_id FROM read_parquet('{fx / 'images.parquet'}')"
+        for i, (sh, wd) in enumerate(BANDS)
+    )
+    return f"""
+WITH {osql.georegister_cte(str(fx / 'images.parquet'))},
+lap AS (
+  SELECT image_id,
+         {npx_i} * SUM(l * l) - SUM(l) * SUM(l) > 0 AS sharp
+  FROM (
+    SELECT image_id, {lap} AS l
+    FROM tiles,
+         generate_series(1, {w - 2}) AS gi(i), generate_series(1, {w - 2}) AS gj(j)
+  ) GROUP BY image_id
+),
+ent AS (
+  SELECT image_id, COUNT(DISTINCT v) >= {_CURATE_DISTINCT_MIN} AS informative
+  FROM (
+    SELECT image_id, {ramp} AS v
+    FROM tiles,
+         generate_series(0, {w - 1}) AS gi(i), generate_series(0, {w - 1}) AS gj(j)
+  ) GROUP BY image_id
+),
+bands AS ({bands_union}),
+dropped AS (
+  SELECT DISTINCT b.image_id
+  FROM bands a JOIN bands b
+    ON a.band_id = b.band_id AND a.band_val = b.band_val AND a.image_id < b.image_id
+  WHERE bit_count(xor(a.phash, b.phash)) <= 4
+),
+j AS (
+  SELECT t.image_id, t.idx, l.sharp, e.informative,
+         d.image_id IS NOT NULL AS is_dup
+  FROM tiles t
+  JOIN lap l USING (image_id) JOIN ent e USING (image_id)
+  LEFT JOIN dropped d ON d.image_id = t.image_id
+)
+SELECT CAST(COUNT(*) AS BIGINT) AS n_input,
+       CAST(SUM(CASE WHEN sharp THEN 1 ELSE 0 END) AS BIGINT) AS n_sharp,
+       CAST(SUM(CASE WHEN informative THEN 1 ELSE 0 END) AS BIGINT) AS n_informative,
+       CAST(SUM(CASE WHEN is_dup THEN 1 ELSE 0 END) AS BIGINT) AS n_dup_dropped,
+       CAST(SUM(CASE WHEN sharp AND informative AND NOT is_dup THEN 1 ELSE 0 END) AS BIGINT) AS n_survivors,
+       CAST(SUM(CASE WHEN sharp AND informative AND NOT is_dup THEN idx END) AS BIGINT) AS survivor_checksum
+FROM j
+"""
+
+
 _D8_MOD = 67
 
 
@@ -3657,6 +3765,7 @@ def spatial_queries() -> dict[str, QueryFn]:
         "funnel_conversion": rel.funnel_conversion,
         "glcm_texture": q_glcm,
         "flow_direction": q_flow_direction,
+        "curation_pipeline": q_curation_pipeline,
         "temporal_stack": q_temporal_stack,
         "patch_extract": q_patch_extract,
         "avg_pool": q_avg_pool,
@@ -3768,6 +3877,7 @@ def spatial_oracles(sf: str = "sf0.01") -> dict[str, str]:
         "funnel_conversion": rel.funnel_conversion_sql(),
         "glcm_texture": _sql_glcm(fx, w),
         "flow_direction": _sql_flow_direction(fx, w),
+        "curation_pipeline": _sql_curation_pipeline(fx, w),
         "temporal_stack": _sql_temporal_stack(fx, w),
         "patch_extract": _sql_patch_extract(fx, w),
         "avg_pool": _sql_avg_pool(fx, w),

@@ -144,3 +144,33 @@ def test_funnel_is_monotone(spark):
     counts = [r["n_users"] for r in rows]
     assert counts == sorted(counts, reverse=True)
     assert counts[0] > 0 and counts[-1] >= 0
+
+
+def test_curation_pipeline_funnel_semantics(spark):
+    """The composed curation job must actually filter on every gate and
+    its census must be self-consistent."""
+    from georaster_spark.plans import contract as ct
+
+    row = ct.q_curation_pipeline(spark, "/root/testdata/sf0.001").first()
+    assert row["n_input"] > 0
+    assert 0 < row["n_sharp"] < row["n_input"]          # blur gate bites
+    assert 0 < row["n_informative"] < row["n_input"]     # entropy gate bites
+    assert row["n_survivors"] <= min(row["n_sharp"], row["n_informative"])
+    assert row["n_survivors"] > 0
+
+
+def test_curation_pipeline_contract_vs_duckdb(spark):
+    import duckdb
+
+    from georaster_spark.plans import contract as ct
+    from tests.driver_sim import table_hash
+
+    sf_dir = "/root/testdata/sf0.001"
+    fx = ct._fx(sf_dir)
+    con = duckdb.connect()
+    sdf = ct.q_curation_pipeline(spark, sf_dir)
+    srows = [tuple(r) for r in sdf.collect()]
+    orows = con.execute(ct._sql_curation_pipeline(fx, 32)).fetchall()
+    ocols = [d[0] for d in con.description]
+    assert sorted(sdf.columns) == sorted(ocols)
+    assert table_hash(sdf.columns, srows) == table_hash(ocols, orows)
