@@ -1048,6 +1048,48 @@ FROM j
 """
 
 
+def source_quality_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source curation dashboard — the grouped audit a corpus
+    operator reads before dropping a crawl source: per `source`, doc
+    count, total whitespace tokens, low-quality count (integer rule:
+    n_tokens < 30 OR 2·n_stopwords > n_tokens, i.e. stopword ratio
+    > 1/2 — exact, no float threshold), short-doc count (n_chars <
+    100), and the Σdoc_id checksum pinning each source's exact doc set.
+
+    Scale shape: quality features are map-only Column math (D/T-tier
+    reuse); ONE tiny group shuffle on `source` (|sources| rows out)."""
+    d = _docs(spark, sf_dir).select("doc_id", "source", "n_chars")
+    q = text_quality(spark, sf_dir).select("doc_id", "n_tokens", "n_stopwords")
+    j = d.join(q, "doc_id")
+    low_q = (F.col("n_tokens") < 30) | (2 * F.col("n_stopwords") > F.col("n_tokens"))
+    return (
+        j.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_tokens").alias("tok_sum"),
+            F.sum(low_q.cast("long")).alias("n_low_quality"),
+            F.sum((F.col("n_chars") < 100).cast("long")).alias("n_short"),
+            F.sum("doc_id").alias("doc_checksum"),
+        )
+        .repartition(1).sortWithinPartitions("source")
+    )
+
+
+def source_quality_rollup_sql() -> str:
+    return f"""
+WITH q AS ({text_quality_sql()})
+SELECT d.source,
+       CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(SUM(q.n_tokens) AS BIGINT) AS tok_sum,
+       CAST(SUM(CASE WHEN q.n_tokens < 30 OR 2 * q.n_stopwords > q.n_tokens
+                     THEN 1 ELSE 0 END) AS BIGINT) AS n_low_quality,
+       CAST(SUM(CASE WHEN d.n_chars < 100 THEN 1 ELSE 0 END) AS BIGINT) AS n_short,
+       CAST(SUM(d.doc_id) AS BIGINT) AS doc_checksum
+FROM documents d JOIN q USING (doc_id)
+GROUP BY d.source ORDER BY d.source
+"""
+
+
 def text_queries():
     return {
         "text_stats": text_stats,
@@ -1065,6 +1107,7 @@ def text_queries():
         "doc_repetition": doc_repetition,
         "collocations": collocations,
         "lsh_recall_gate": lsh_recall_gate,
+        "source_quality_rollup": source_quality_rollup,
     }
 
 
@@ -1085,4 +1128,5 @@ def text_oracles() -> dict[str, str]:
         "doc_repetition": doc_repetition_sql(),
         "collocations": collocations_sql(),
         "lsh_recall_gate": lsh_recall_gate_sql(),
+        "source_quality_rollup": source_quality_rollup_sql(),
     }

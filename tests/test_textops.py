@@ -90,3 +90,19 @@ def test_lsh_recall_gate_parity_and_full_recall(spark, duck):
     assert row["n_exact"] > 0
     assert row["recall_pct"] == 100 and row["precision_pct"] == 100
     assert row["exact_checksum"] == row["lsh_checksum"]
+
+
+def test_source_quality_rollup_parity_and_totals(spark, duck):
+    sdf = textops.source_quality_rollup(spark, SF_DIR)
+    srows = [tuple(r) for r in sdf.collect()]
+    orows = duck.execute(textops.source_quality_rollup_sql()).fetchall()
+    ocols = [d[0] for d in duck.description]
+    assert sorted(sdf.columns) == sorted(ocols)
+    assert len(srows) == len(orows) > 0
+    assert table_hash(sdf.columns, srows) == table_hash(ocols, orows)
+    cols = sdf.columns
+    total, id_sum = duck.execute(
+        "SELECT COUNT(*), SUM(doc_id) FROM documents"
+    ).fetchone()
+    assert sum(r[cols.index("n_docs")] for r in srows) == total
+    assert sum(r[cols.index("doc_checksum")] for r in srows) == id_sum
