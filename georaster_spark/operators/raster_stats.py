@@ -220,3 +220,76 @@ def avg_pool_checksum(tiles: DataFrame, k: int) -> DataFrame:
             yield pd.DataFrame(out)
 
     return slim.mapInPandas(_pool, schema=_POOL_SCHEMA)
+
+
+def mode_pool_checksum(tiles: DataFrame, k: int) -> DataFrame:
+    """GDAL BuildOverviews 'MODE' resampling surface (the categorical
+    complement of avg_pool_checksum — majority vote per k×k block, ties
+    to the SMALLEST value, the same rule as zonal_majority): per tile,
+    the block count, Σ of block modes, max block mode, and the
+    position-weighted mode checksum pinning every block's winner.
+
+    All int64-exact.  Map-only fused mapInPandas; per (w,h,fmt) group
+    the block histogram is ONE vectorized offset-bincount over
+    (tile, block) codes — no Python loop over blocks."""
+    import numpy as np
+    import pandas as pd
+
+    slim = tiles.select("image_id", "bytes", "w", "h", "fmt")
+
+    def _pool(batches):
+        dt = {"raw": np.uint8, "qnt": np.uint8, "raw16": "<u2"}
+        for pdf in batches:
+            n = len(pdf)
+            out = {
+                "image_id": pdf["image_id"].to_numpy(dtype=object),
+                "n_blocks": np.zeros(n, dtype=np.int64),
+                "mode_sum": np.zeros(n, dtype=np.int64),
+                "mode_max": np.zeros(n, dtype=np.int64),
+                "mode_checksum": np.zeros(n, dtype=np.int64),
+            }
+            groups: dict[tuple, list[int]] = {}
+            for i in range(n):
+                key = (int(pdf["w"].iat[i]), int(pdf["h"].iat[i]), pdf["fmt"].iat[i])
+                groups.setdefault(key, []).append(i)
+            for (w, h, fmt), idx in groups.items():
+                h2, w2 = (h // k) * k, (w // k) * k
+                if h2 == 0 or w2 == 0:
+                    continue
+                z = (
+                    np.frombuffer(
+                        b"".join(pdf["bytes"].iat[i] for i in idx), dtype=dt[fmt]
+                    )
+                    .reshape(len(idx), h, w)[:, :h2, :w2]
+                )
+                if fmt == "raw16":
+                    z = (z >> 8).astype(np.uint8)
+                z = z.astype(np.int64)
+                nb_h, nb_w = h2 // k, w2 // k
+                nblk = nb_h * nb_w
+                # (tile, block) -> 256-bin histogram via one bincount:
+                # code = ((tile*nblk + block)*256) + value
+                blk = (
+                    z.reshape(len(idx), nb_h, k, nb_w, k)
+                    .transpose(0, 1, 3, 2, 4)
+                    .reshape(len(idx) * nblk, k * k)
+                )
+                offs = (np.arange(len(idx) * nblk) * 256)[:, None]
+                hist = np.bincount(
+                    (blk + offs).ravel(), minlength=len(idx) * nblk * 256
+                ).reshape(len(idx) * nblk, 256)
+                # argmax picks the FIRST max -> smallest-value tie rule
+                modes = hist.argmax(axis=1).reshape(len(idx), nblk)
+                wt = np.arange(1, nblk + 1, dtype=np.int64)
+                ii = np.asarray(idx)
+                out["n_blocks"][ii] = nblk
+                out["mode_sum"][ii] = modes.sum(axis=1)
+                out["mode_max"][ii] = modes.max(axis=1)
+                out["mode_checksum"][ii] = (modes * wt).sum(axis=1)
+            yield pd.DataFrame(out)
+
+    schema = (
+        "image_id string, n_blocks long, mode_sum long, "
+        "mode_max long, mode_checksum long"
+    )
+    return slim.mapInPandas(_pool, schema=schema)

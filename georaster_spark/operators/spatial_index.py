@@ -350,3 +350,46 @@ def idw_interpolate(
         F.round(F.sum(F.col("v") / F.col("d2")) / F.sum(F.lit(1.0) / F.col("d2")), 6).alias("pred"),
         F.min(F.struct("d2", "image_id"))["image_id"].alias("nearest_img"),
     )
+
+
+def voronoi_assign(tiles: DataFrame, zones: DataFrame) -> DataFrame:
+    """Voronoi / nearest-facility assignment: classify every image to
+    its nearest zone centroid (the k-centroid labeling step of IVF and
+    of any 'nearest depot' rollup).  Per assigned zone: image count,
+    Σidx membership checksum, and the min/max squared distance of its
+    members.  Ties (equidistant centroids) resolve to the smallest
+    zone_id via lexicographic struct-min.
+
+    Scale shape: the centroid table broadcasts (it is dims-sized);
+    the argmin is a map-side broadcast cross join + per-image
+    struct-min — embarrassingly parallel, ONE slim group shuffle on
+    the winning zone_id."""
+    cx = F.col("gt_x0") + F.lit(TILE_SPAN / 2)
+    cy = F.col("gt_y0") - F.lit(TILE_SPAN / 2)
+    idx = F.substring("image_id", 4, 10).cast("long")
+    img = tiles.select(
+        "image_id", idx.alias("idx"), cx.alias("ix"), cy.alias("iy")
+    )
+    cent = F.broadcast(
+        zones.select("zone_id", F.col("cx").alias("zx"), F.col("cy").alias("zy"))
+    )
+    d2 = (F.col("ix") - F.col("zx")) * (F.col("ix") - F.col("zx")) + (
+        F.col("iy") - F.col("zy")
+    ) * (F.col("iy") - F.col("zy"))
+    best = (
+        img.crossJoin(cent)
+        .withColumn("d2", d2)
+        .groupBy("image_id", "idx")
+        .agg(F.min(F.struct("d2", "zone_id")).alias("b"))
+        .select(
+            "idx",
+            F.col("b.zone_id").alias("zone_id"),
+            F.col("b.d2").alias("d2"),
+        )
+    )
+    return best.groupBy("zone_id").agg(
+        F.count("*").alias("n_images"),
+        F.sum("idx").alias("idx_checksum"),
+        F.min("d2").alias("min_dist2"),
+        F.max("d2").alias("max_dist2"),
+    )

@@ -918,6 +918,50 @@ def q_avg_pool(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_mode_pool(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GDAL MODE-overview surface (raster_stats.mode_pool_checksum):
+    4x4 block majority with smallest-value ties, integer-exact,
+    map-only fused Arrow pass with one offset-bincount per group."""
+    from ..operators import raster_stats
+
+    tiles = geo.georegister(_images(spark, sf_dir)).where(
+        geo.image_idx() % _POOL_MOD == 0
+    )
+    return (
+        raster_stats.mode_pool_checksum(tiles, _POOL_K)
+        .repartition(1).sortWithinPartitions("image_id")
+    )
+
+
+def _sql_mode_pool(fx: Path, w: int) -> str:
+    k = _POOL_K
+    bw = w // k
+    ramp = osql.ramp_value_expr("gi.i", "gj.j")
+    return f"""
+WITH {osql.georegister_cte(str(fx / 'images.parquet'))},
+px AS (
+  SELECT image_id, (gi.i // {k}) * {bw} + (gj.j // {k}) AS blk, {ramp} AS v
+  FROM tiles,
+       generate_series(0, {w - 1}) AS gi(i), generate_series(0, {w - 1}) AS gj(j)
+  WHERE idx % {_POOL_MOD} = 0
+),
+hist AS (
+  SELECT image_id, blk, v, COUNT(*) AS cnt FROM px GROUP BY image_id, blk, v
+),
+modes AS (
+  SELECT image_id, blk, v AS mode_v,
+         ROW_NUMBER() OVER (PARTITION BY image_id, blk ORDER BY cnt DESC, v ASC) AS rn
+  FROM hist
+)
+SELECT image_id,
+       CAST(COUNT(*) AS BIGINT) AS n_blocks,
+       CAST(SUM(mode_v) AS BIGINT) AS mode_sum,
+       CAST(MAX(mode_v) AS BIGINT) AS mode_max,
+       CAST(SUM(mode_v * (blk + 1)) AS BIGINT) AS mode_checksum
+FROM modes WHERE rn = 1 GROUP BY image_id ORDER BY image_id
+"""
+
+
 def _sql_avg_pool(fx: Path, w: int) -> str:
     k = _POOL_K
     bw = w // k
@@ -1600,6 +1644,46 @@ near AS (
 )
 SELECT a.point_id, a.n_neighbors, a.pred, n.nearest_img
 FROM agg a JOIN near n USING (point_id) ORDER BY a.point_id
+"""
+
+
+def q_voronoi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Voronoi nearest-centroid assignment (spatial_index.voronoi_assign):
+    per-zone member census with Σidx checksums; broadcast centroids +
+    map-side argmin, ties to smallest zone_id."""
+    from ..operators import spatial_index as si
+
+    tiles = geo.georegister(_images(spark, sf_dir))
+    return (
+        si.voronoi_assign(tiles, _zones(spark, sf_dir))
+        .repartition(1).sortWithinPartitions("zone_id")
+    )
+
+
+def _sql_voronoi(fx: Path) -> str:
+    return f"""
+WITH {osql.georegister_cte(str(fx / 'images.parquet'))},
+cent AS (
+  SELECT image_id, idx, gt_x0 + 500.0 AS ix, gt_y0 - 500.0 AS iy FROM tiles
+),
+pairs AS (
+  SELECT c.image_id, c.idx, z.zone_id,
+         (c.ix - z.cx) * (c.ix - z.cx) + (c.iy - z.cy) * (c.iy - z.cy) AS d2
+  FROM cent c, read_parquet('{fx / 'zones.parquet'}') z
+),
+best AS (
+  SELECT idx, zone_id, d2
+  FROM (SELECT idx, zone_id, d2,
+               ROW_NUMBER() OVER (PARTITION BY image_id ORDER BY d2, zone_id) AS rn
+        FROM pairs)
+  WHERE rn = 1
+)
+SELECT zone_id,
+       CAST(COUNT(*) AS BIGINT) AS n_images,
+       CAST(SUM(idx) AS BIGINT) AS idx_checksum,
+       MIN(d2) AS min_dist2,
+       MAX(d2) AS max_dist2
+FROM best GROUP BY zone_id ORDER BY zone_id
 """
 
 
@@ -3766,6 +3850,8 @@ def spatial_queries() -> dict[str, QueryFn]:
         "glcm_texture": q_glcm,
         "flow_direction": q_flow_direction,
         "curation_pipeline": q_curation_pipeline,
+        "mode_pool": q_mode_pool,
+        "voronoi_assign": q_voronoi,
         "temporal_stack": q_temporal_stack,
         "patch_extract": q_patch_extract,
         "avg_pool": q_avg_pool,
@@ -3878,6 +3964,8 @@ def spatial_oracles(sf: str = "sf0.01") -> dict[str, str]:
         "glcm_texture": _sql_glcm(fx, w),
         "flow_direction": _sql_flow_direction(fx, w),
         "curation_pipeline": _sql_curation_pipeline(fx, w),
+        "mode_pool": _sql_mode_pool(fx, w),
+        "voronoi_assign": _sql_voronoi(fx),
         "temporal_stack": _sql_temporal_stack(fx, w),
         "patch_extract": _sql_patch_extract(fx, w),
         "avg_pool": _sql_avg_pool(fx, w),

@@ -97,3 +97,38 @@ def test_trend_numerator_matches_numpy(spark, sf0001_dir):
         assert g["trend_sum"] == num.sum()
         assert g["n_rising"] == (num > 0).sum()
         assert g["n_falling"] == (num < 0).sum()
+
+
+def test_mode_pool_voronoi_contract_vs_duckdb(spark):
+    import duckdb
+
+    from georaster_spark.plans import contract as ct
+    from tests.driver_sim import table_hash
+
+    sf_dir = "/root/testdata/sf0.001"
+    fx = ct._fx(sf_dir)
+    con = duckdb.connect()
+    for name, qfn, sql in [
+        ("mode_pool", ct.q_mode_pool, ct._sql_mode_pool(fx, 32)),
+        ("voronoi_assign", ct.q_voronoi, ct._sql_voronoi(fx)),
+    ]:
+        sdf = qfn(spark, sf_dir)
+        srows = [tuple(r) for r in sdf.collect()]
+        orows = con.execute(sql).fetchall()
+        ocols = [d[0] for d in con.description]
+        assert len(srows) > 0, name
+        assert len(srows) == len(orows), name
+        assert sorted(sdf.columns) == sorted(ocols), name
+        assert table_hash(sdf.columns, srows) == table_hash(ocols, orows), name
+
+
+def test_voronoi_partitions_the_corpus(spark, sf0001_dir):
+    from georaster_spark.operators import georegister as geo
+    from georaster_spark.operators import spatial_index as si
+
+    tiles = geo.georegister(spark.read.parquet(str(sf0001_dir / "images.parquet")))
+    zones = spark.read.parquet(str(sf0001_dir / "zones.parquet"))
+    rows = si.voronoi_assign(tiles, zones).collect()
+    total = tiles.count()
+    assert sum(r["n_images"] for r in rows) == total  # every image assigned once
+    assert len(rows) > 1  # more than one cell actually wins
