@@ -523,3 +523,128 @@ def flow_direction_stats(tiles: DataFrame) -> DataFrame:
             yield pd.DataFrame(out)
 
     return slim.mapInPandas(_d8, schema=_D8_SCHEMA)
+
+
+_PROX_SCHEMA = (
+    "tile_id long, n_feat long, n_reached long, sum_d2 long, d2_checksum long"
+)
+
+
+def proximity_mosaic(
+    mosaic: DataFrame, ntx: int, nty: int, radius: int = 4, threshold: int = 250
+) -> DataFrame:
+    """Windowed proximity raster (``gdal_proximity.py -maxdist`` analog,
+    GDAL's distance-to-feature transform; reference analog: the
+    ``scipy.ndimage.distance_transform_edt`` call a georaster user runs
+    on a loaded ``self.r`` array — SURVEY §0 ⚠, nothing on disk) over a
+    TILED COMMON-GRID mosaic with an R-pixel HALO EXCHANGE.
+
+    Per pixel: the minimum SQUARED euclidean distance to any feature
+    pixel (value >= threshold) within the (2R+1)^2 Chebyshev window,
+    else the sentinel ``2R^2+1`` (strictly greater than any in-window
+    squared distance).  Squared distances keep every compared value an
+    exact integer — the same cross-engine discipline as focal_mosaic.
+
+    Distribution: distance search crosses tile seams, so each tile ships
+    R-px strips (edges + R x R corners) to its 8 neighbors — the focal
+    halo generalized from 1 to R pixels — and the transform is evaluated
+    on the (h+2R, w+2R) padded array as (2R+1)^2 vectorized shifted-mask
+    min passes.  Missing neighbors (mosaic edge or sourceless grid
+    tiles) pad as 0 = non-feature, matching the oracle's coalesce(v,0).
+
+    Scale shape: ONE shuffle of strip rows (~2R/h of the payload) keyed
+    to the receiving tile; the tile side arrives hash-partitioned on
+    tile_id from the warp's groupBy, so composed reproject->proximity
+    moves only strips.  Emits per tile: feature count, reached count,
+    sum of reached d^2, and the global-position-weighted d^2 checksum
+    pinning every pixel's value."""
+    if threshold < 1:
+        raise ValueError("proximity_mosaic: threshold must be >= 1 (padding is 0)")
+    R = int(radius)
+    sent = 2 * R * R + 1
+    slim = mosaic.select("tile_id", "bytes", "w", "h", "fmt")
+
+    def _emit(batches):
+        for pdf in batches:
+            out = {k: [] for k in
+                   ("tid", "own", "di", "dj", "w", "h", "fmt", "data")}
+
+            def put(tid, own, di, dj, w, h, fmt, data):
+                out["tid"].append(int(tid)); out["own"].append(own)
+                out["di"].append(di); out["dj"].append(dj)
+                out["w"].append(w); out["h"].append(h)
+                out["fmt"].append(fmt); out["data"].append(data)
+
+            for t in pdf.itertuples(index=False):
+                w, h = int(t.w), int(t.h)
+                if R > min(w, h):
+                    raise ValueError("proximity_mosaic: radius exceeds tile size")
+                tx, ty = int(t.tile_id) % ntx, int(t.tile_id) // ntx
+                put(t.tile_id, 1, 0, 0, w, h, t.fmt, t.bytes)
+                arr = None
+                for dy in (-1, 0, 1):
+                    for dx in (-1, 0, 1):
+                        if (dx, dy) == (0, 0):
+                            continue
+                        nx_, ny_ = tx + dx, ty + dy
+                        if not (0 <= nx_ < ntx and 0 <= ny_ < nty):
+                            continue
+                        if arr is None:
+                            arr = oracle.decode_pixels(t.bytes, w, h, t.fmt)
+                        rs = (slice(h - R, h) if dy == 1
+                              else slice(0, R) if dy == -1 else slice(None))
+                        cs = (slice(w - R, w) if dx == 1
+                              else slice(0, R) if dx == -1 else slice(None))
+                        strip = np.ascontiguousarray(arr[rs, cs])
+                        put(ny_ * ntx + nx_, 0, dy, dx,
+                            strip.shape[1], strip.shape[0], t.fmt,
+                            strip.tobytes())
+            yield pd.DataFrame(out)
+
+    parts = slim.mapInPandas(_emit, schema=_STRIP_SCHEMA)
+
+    def _assemble(key, pdf: pd.DataFrame):
+        tid = int(key[0])
+        own = pdf[pdf["own"] == 1]
+        if len(own) != 1:
+            raise ValueError(
+                f"proximity_mosaic: tile {tid} has {len(own)} payload rows")
+        o = own.iloc[0]
+        w, h = int(o["w"]), int(o["h"])
+        dt = {"raw": np.uint8, "qnt": np.uint8, "raw16": "<u2"}[o["fmt"]]
+        arr = np.frombuffer(o["data"], dtype=dt).reshape(h, w)
+        pad = np.zeros((h + 2 * R, w + 2 * R), dtype=np.int64)
+        pad[R : h + R, R : w + R] = arr
+        for s in pdf[pdf["own"] == 0].itertuples(index=False):
+            sd = {"raw": np.uint8, "qnt": np.uint8, "raw16": "<u2"}[s.fmt]
+            sa = np.frombuffer(s.data, dtype=sd).reshape(int(s.h), int(s.w))
+            # sender direction (di=dy, dj=dx); it sits on our (-dy,-dx) side
+            rs = (slice(0, R) if s.di == 1 else slice(h + R, h + 2 * R)
+                  if s.di == -1 else slice(R, h + R))
+            cs = (slice(0, R) if s.dj == 1 else slice(w + R, w + 2 * R)
+                  if s.dj == -1 else slice(R, w + R))
+            pad[rs, cs] = sa
+        feat = pad >= threshold
+        d2 = np.full((h, w), sent, dtype=np.int64)
+        for di in range(-R, R + 1):
+            for dj in range(-R, R + 1):
+                dd = di * di + dj * dj
+                m = feat[R + di : R + di + h, R + dj : R + dj + w]
+                np.minimum(d2, np.where(m, dd, sent), out=d2)
+        tx, ty = tid % ntx, tid // ntx
+        GW = w * ntx
+        gi = ty * h + np.arange(h, dtype=np.int64)[:, None]
+        gj = tx * w + np.arange(w, dtype=np.int64)[None, :]
+        wt = gi * GW + gj + 1
+        reached = d2 < sent
+        return pd.DataFrame(
+            {
+                "tile_id": [tid],
+                "n_feat": [int(feat[R : h + R, R : w + R].sum())],
+                "n_reached": [int(reached.sum())],
+                "sum_d2": [int(d2[reached].sum())],
+                "d2_checksum": [int((d2 * wt).sum())],
+            }
+        )
+
+    return parts.groupBy("tid").applyInPandas(_assemble, schema=_PROX_SCHEMA)

@@ -417,6 +417,36 @@ def q_focal_mosaic(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+PROX_R = 4
+PROX_T = 250
+
+
+def q_proximity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Windowed distance transform over the warped mosaic
+    (algebra.proximity_mosaic, the gdal_proximity analog): per pixel the
+    min SQUARED euclidean distance to a feature pixel (value >= 250)
+    within the Chebyshev-4 window, sentinel 2R^2+1 beyond — computed
+    distributed with a 4-px halo exchange; seam pixels must equal the
+    oracle's single-relation evaluation of the whole mosaic."""
+    from .. import oracle as orc
+    from ..operators import algebra, warp
+
+    tiles = geo.georegister(_images(spark, sf_dir)).where(geo.image_idx() < 1000)
+    lon0, lat0 = orc.mercator_to_lonlat(0.0, 0.0)
+    lon1, lat1 = orc.mercator_to_lonlat(514_000.0, 2_300.0)
+    n = 256
+    grid = warp.TargetGrid(
+        crs="EPSG:4326", x0=float(lon0), y0=float(lat1),
+        xres=float(lon1 - lon0) / n, yres=float(lat1 - lat0) / n,
+        nx=n, ny=n, tile_w=64, tile_h=64,
+    )
+    mosaic = warp.reproject(tiles, grid, method="nearest")
+    return (
+        algebra.proximity_mosaic(mosaic, ntx=4, nty=4, radius=PROX_R, threshold=PROX_T)
+        .repartition(1).sortWithinPartitions("tile_id")
+    )
+
+
 def q_mosaic_regions(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Distributed connected components over the warped mosaic
     (regions.mosaic_region_components): per-tile run-based union-find,
@@ -3209,6 +3239,50 @@ ORDER BY tile_id
 """
 
 
+def _sql_proximity(fx: Path) -> str:
+    """DuckDB twin of q_proximity: the same global mosaic pixel relation
+    (unfilled = 0), features = pixels >= threshold, and per pixel the min
+    squared euclidean distance over a LEFT band-join against features
+    within the Chebyshev window (sentinel when empty) — the seam-free
+    single-relation evaluation the engine's R-px halo must reproduce.
+    Output tiles restricted to grid tiles with >= 1 source, exactly the
+    tiles warp.reproject emits."""
+    R, T = PROX_R, PROX_T
+    sent = 2 * R * R + 1
+    ctes, _ = _warp_mosaic_ctes(fx)
+    return ctes + f""",
+pxv AS (
+  SELECT p.tid, (p.tid // 4) * 64 + p.i AS gi, (p.tid % 4) * 64 + p.j AS gj,
+         COALESCE(v.v, 0) AS pv
+  FROM px p LEFT JOIN val v ON v.tid = p.tid AND v.i = p.i AND v.j = p.j
+),
+feat AS (SELECT gi, gj FROM pxv WHERE pv >= {T}),
+d AS (
+  SELECT p.tid, p.gi, p.gj,
+         COALESCE(MIN((p.gi - f.gi) * (p.gi - f.gi)
+                      + (p.gj - f.gj) * (p.gj - f.gj)), {sent}) AS d2
+  FROM pxv p LEFT JOIN feat f
+    ON f.gi BETWEEN p.gi - {R} AND p.gi + {R}
+   AND f.gj BETWEEN p.gj - {R} AND p.gj + {R}
+  GROUP BY p.tid, p.gi, p.gj
+),
+agg AS (
+  SELECT tid,
+         CAST(SUM(CASE WHEN d2 < {sent} THEN 1 ELSE 0 END) AS BIGINT) AS n_reached,
+         CAST(SUM(CASE WHEN d2 < {sent} THEN d2 ELSE 0 END) AS BIGINT) AS sum_d2,
+         CAST(SUM(d2 * (gi * 256 + gj + 1)) AS BIGINT) AS d2_checksum
+  FROM d GROUP BY tid
+),
+nf AS (
+  SELECT tid, CAST(SUM(CASE WHEN pv >= {T} THEN 1 ELSE 0 END) AS BIGINT) AS n_feat
+  FROM pxv GROUP BY tid
+)
+SELECT a.tid AS tile_id, nf.n_feat, a.n_reached, a.sum_d2, a.d2_checksum
+FROM agg a JOIN nf ON nf.tid = a.tid JOIN nsrc s ON s.tid = a.tid
+ORDER BY tile_id
+"""
+
+
 def _sql_focal_mosaic(fx: Path) -> str:
     """DuckDB twin of q_focal_mosaic: materialize the whole warped mosaic
     as ONE global pixel relation (the same val CTE the reproject oracle
@@ -3821,6 +3895,7 @@ def spatial_queries() -> dict[str, QueryFn]:
         "pyramid_checksums": q_pyramid_checksums,
         "focal_stats": q_focal_stats,
         "focal_mosaic": q_focal_mosaic,
+        "proximity": q_proximity,
         "terrain_slope": q_terrain_slope,
         "raster_regions": q_raster_regions,
         "region_geometry": q_region_geometry,
@@ -3935,6 +4010,7 @@ def spatial_oracles(sf: str = "sf0.01") -> dict[str, str]:
         "pyramid_checksums": _sql_pyramid_checksums(fx, w),
         "focal_stats": _sql_focal_stats(fx, w),
         "focal_mosaic": _sql_focal_mosaic(fx),
+        "proximity": _sql_proximity(fx),
         "terrain_slope": _sql_terrain_slope(fx, w),
         "raster_regions": _sql_raster_regions(fx, w),
         "region_geometry": _sql_region_geometry(fx, w),
