@@ -378,6 +378,77 @@ ORDER BY a_id, b_id
 """
 
 
+CONTAIN_TAU = 0.8
+
+
+def containment_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ASYMMETRIC containment dedup: directed pairs (sub, sup) with
+    C(sub→sup) = |shingles(sub) ∩ shingles(sup)| / |shingles(sub)| >= tau
+    — the curation rule Jaccard misses: a short doc quoted inside a much
+    longer one has tiny Jaccard but containment ~1, and the SHORT side is
+    the one a training pipeline drops.  Same exact inverted-index shape
+    as jaccard_pairs (one shingle equi-join, per-unordered-pair
+    intersection count), then BOTH directions are tested from the single
+    aggregated pair row and emitted via a tiny array-filter explode — the
+    join and agg are not run twice.  Scale caveat as D2: hot shingles are
+    hot join keys; the 10^12-row tier prefilters candidates with
+    minhash_lsh_pairs and runs this exact test on survivors only."""
+    d = _with_shingles(_docs(spark, sf_dir)).select("doc_id", "sh", "n_sh")
+    ex = d.select("doc_id", "n_sh", F.explode("sh").alias("s"))
+    a, b = ex.alias("a"), ex.alias("b")
+    inter = (
+        a.join(b, (F.col("a.s") == F.col("b.s")) & (F.col("a.doc_id") < F.col("b.doc_id")))
+        .groupBy(
+            F.col("a.doc_id").alias("a_id"),
+            F.col("b.doc_id").alias("b_id"),
+            F.col("a.n_sh").alias("na"),
+            F.col("b.n_sh").alias("nb"),
+        )
+        .agg(F.count(F.lit(1)).alias("ni"))
+    )
+    ca = F.col("ni") / F.col("na")
+    cb = F.col("ni") / F.col("nb")
+    pair = lambda sub, sup, c: F.when(  # noqa: E731
+        c >= CONTAIN_TAU,
+        F.struct(
+            F.col(sub).alias("sub_id"),
+            F.col(sup).alias("sup_id"),
+            F.round(c, 6).alias("cont"),
+        ),
+    )
+    both = inter.select(
+        F.explode(
+            F.filter(
+                F.array(pair("a_id", "b_id", ca), pair("b_id", "a_id", cb)),
+                lambda x: x.isNotNull(),
+            )
+        ).alias("p")
+    )
+    return (
+        both.select("p.sub_id", "p.sup_id", "p.cont")
+        .repartition(1).sortWithinPartitions("sub_id", "sup_id")
+    )
+
+
+def containment_pairs_sql() -> str:
+    return f"""
+WITH w AS (SELECT doc_id, {_SQL_WS} AS ws FROM documents),
+s AS (SELECT doc_id, {_SQL_SHINGLES} AS sh FROM w WHERE len(ws) >= 3),
+p AS (
+  SELECT a.doc_id AS a_id, b.doc_id AS b_id,
+         len(a.sh) AS na, len(b.sh) AS nb,
+         len(list_intersect(a.sh, b.sh)) AS ni
+  FROM s a JOIN s b ON a.doc_id < b.doc_id
+)
+SELECT sub_id, sup_id, round(c, 6) AS cont FROM (
+  SELECT a_id AS sub_id, b_id AS sup_id, CAST(ni AS DOUBLE) / na AS c FROM p
+  UNION ALL
+  SELECT b_id AS sub_id, a_id AS sup_id, CAST(ni AS DOUBLE) / nb AS c FROM p
+) WHERE c >= {CONTAIN_TAU}
+ORDER BY sub_id, sup_id
+"""
+
+
 # ---------------------------------------------------------------------------
 # D3 — MinHash + LSH near-dup (the 10^12-row scale path)
 # ---------------------------------------------------------------------------
@@ -1099,6 +1170,7 @@ def text_queries():
         "doc_fingerprint": doc_fingerprint,
         "dedup_exact": dedup_exact,
         "jaccard_pairs": jaccard_pairs,
+        "containment_pairs": containment_pairs,
         "minhash_lsh_pairs": minhash_lsh_pairs,
         "simhash_pairs": simhash_pairs,
         "tfidf_topterms": tfidf_topterms,
@@ -1120,6 +1192,7 @@ def text_oracles() -> dict[str, str]:
         "doc_fingerprint": doc_fingerprint_sql(),
         "dedup_exact": dedup_exact_sql(),
         "jaccard_pairs": jaccard_pairs_sql(),
+        "containment_pairs": containment_pairs_sql(),
         "minhash_lsh_pairs": minhash_lsh_pairs_sql(),
         "simhash_pairs": simhash_pairs_sql(),
         "tfidf_topterms": tfidf_topterms_sql(),

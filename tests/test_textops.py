@@ -19,6 +19,7 @@ CASES = [
     ("doc_fingerprint", textops.doc_fingerprint, textops.doc_fingerprint_sql()),
     ("dedup_exact", textops.dedup_exact, textops.dedup_exact_sql()),
     ("jaccard_pairs", textops.jaccard_pairs, textops.jaccard_pairs_sql()),
+    ("containment_pairs", textops.containment_pairs, textops.containment_pairs_sql()),
     ("minhash_lsh", textops.minhash_lsh_pairs, textops.minhash_lsh_pairs_sql()),
     ("simhash", textops.simhash_pairs, textops.simhash_pairs_sql()),
     ("decontaminate", textops.decontaminate, textops.decontaminate_sql()),
@@ -106,3 +107,28 @@ def test_source_quality_rollup_parity_and_totals(spark, duck):
     ).fetchone()
     assert sum(r[cols.index("n_docs")] for r in srows) == total
     assert sum(r[cols.index("doc_checksum")] for r in srows) == id_sum
+
+
+def test_containment_is_asymmetric(spark):
+    """A short doc quoted inside a much longer one: containment flags the
+    SHORT side (sub) at ~1.0 while Jaccard stays below its tau — the case
+    the directed operator exists for."""
+    import pandas as pd
+
+    short = "alpha beta gamma delta epsilon zeta"
+    long = short + " " + " ".join(f"word{i} filler{i} extra{i}" for i in range(40))
+    docs = spark.createDataFrame(
+        pd.DataFrame({"doc_id": [1, 2], "text": [short, long], "source": ["t", "t"]})
+    )
+    import tempfile
+
+    with tempfile.TemporaryDirectory() as td:
+        docs.write.parquet(f"{td}/documents.parquet")
+        rows = {
+            (r["sub_id"], r["sup_id"]): r["cont"]
+            for r in textops.containment_pairs(spark, td).collect()
+        }
+        jac = textops.jaccard_pairs(spark, td).count()
+    assert rows.get((1, 2), 0) == 1.0  # short fully contained in long
+    assert (2, 1) not in rows  # reverse direction far below tau
+    assert jac == 0  # Jaccard misses the pair entirely
