@@ -529,6 +529,209 @@ WHERE rank <= {IVF_TOPK} ORDER BY query_id, rank
 
 
 # ---------------------------------------------------------------------------
+# V5 — scalar-quantized (SQ8) ANN + recall gate (the 4x-bandwidth path)
+# ---------------------------------------------------------------------------
+
+SQ_LEVELS = 255  # uint8 codes 0..255
+
+
+def _sq_dims(e: DataFrame):
+    """Global per-dim (min, range) of the floor(1000x) integer embeddings
+    — ONE partial+final agg over posexploded dims (64 groups, map-side
+    combine), then a bounded 64-row driver collect (planner metadata,
+    same class as the skew census)."""
+    xi = F.floor(F.col("v").cast("double") * IVF_SCALE).cast("long")
+    rows = (
+        e.select(F.posexplode("embedding").alias("d", "v"))
+        .select("d", xi.alias("x"))
+        .groupBy("d")
+        .agg(F.min("x").alias("mn"), F.max("x").alias("mx"))
+        .collect()
+    )
+    mn = np.zeros(DIM, dtype=np.int64)
+    rg = np.zeros(DIM, dtype=np.int64)
+    for r in rows:
+        mn[r["d"]] = r["mn"]
+        rg[r["d"]] = r["mx"] - r["mn"]
+    return mn, rg
+
+
+def ann_sq8(
+    spark: SparkSession, sf_dir: str, cblock: int = CBLOCK, qblock: int = QBLOCK
+) -> DataFrame:
+    """SQ8 compression recall gate: per-dim min-max scalar quantization of
+    the floor(1000x) integer embeddings to uint8 codes (the FAISS
+    SQ8 / IndexScalarQuantizer idea — 4x less memory bandwidth per
+    scanned vector, THE lever when an exact scan at 10^12 rows is
+    bandwidth-bound), then exact top-K under the SHIFTED integer dot
+    Σ(x−mn)·(c−mn) vs top-K under the quantized-code dot, per-query
+    overlap, and the corpus-level recall histogram.  Both rankings are
+    pure int64 arithmetic with vec_id tie-break — bit-reproducible
+    cross-engine, so the gate row is hash-exact (same accuracy-gate
+    pattern as lsh_recall_gate / sketch_accuracy).
+
+    Plan shape: the dims agg above, then ONE block-GEMM pass in the
+    ann_topk_brute grid (no counting job, no driver collect of vectors)
+    computing BOTH dot matrices per (qb, cb) cell — the raw and quantized
+    rankings share one shuffle and one Arrow hop.  Per-cell top-K uses a
+    composite (dot desc, vec_id asc) lexsort: integer dots tie often, so
+    a dot-only argpartition could cut the K boundary wrong."""
+    e = _emb(spark, sf_dir).select("vec_id", "embedding")
+    mn, rg = _sq_dims(e)
+    rg_safe = np.where(rg > 0, rg, 1)
+
+    q = e.where(F.col("vec_id") % QUERY_MOD == 0).select(
+        F.col("vec_id"),
+        F.col("embedding"),
+        (F.col("vec_id") / (QUERY_MOD * qblock)).cast("int").alias("qb"),
+    )
+    c = e.withColumn("cb", (F.col("vec_id") / cblock).cast("int"))
+    qblks = q.select("qb").distinct()
+    cblks = c.select("cb").distinct()
+    left = c.crossJoin(F.broadcast(qblks)).select(
+        "qb", "cb", F.lit(0).alias("side"), "vec_id", "embedding"
+    )
+    right = q.crossJoin(F.broadcast(cblks)).select(
+        "qb", "cb", F.lit(1).alias("side"), "vec_id", "embedding"
+    )
+    both = left.unionByName(right)
+
+    schema = StructType(
+        [
+            StructField("metric", IntegerType()),
+            StructField("query_id", LongType()),
+            StructField("vec_id", LongType()),
+            StructField("dot", LongType()),
+        ]
+    )
+    k = TOPK
+
+    def _codes(M: np.ndarray):
+        y = np.floor(M * IVF_SCALE).astype(np.int64) - mn[None, :]
+        qc = (y * SQ_LEVELS) // rg_safe[None, :]
+        return y, np.where(rg[None, :] > 0, qc, 0)
+
+    def score(key, pdf: pd.DataFrame):
+        cp = pdf[pdf["side"] == 0]
+        qp = pdf[pdf["side"] == 1]
+        out = {"metric": [], "query_id": [], "vec_id": [], "dot": []}
+        if len(cp) and len(qp):
+            yc, qc = _codes(_mat(cp["embedding"]))
+            yq, qq = _codes(_mat(qp["embedding"]))
+            cids = cp["vec_id"].to_numpy()
+            qids = qp["vec_id"].to_numpy()
+            self_m = qids[:, None] == cids[None, :]
+            for metric, (A, B) in enumerate(((yq, yc), (qq, qc))):
+                dots = A @ B.T  # int64-exact (bounds in docstring audit)
+                kk = min(k, dots.shape[1])
+                for i in range(dots.shape[0]):
+                    row = dots[i]
+                    valid = ~self_m[i]
+                    order = np.lexsort((cids[valid], -row[valid]))[:kk]
+                    vv = cids[valid][order]
+                    dd = row[valid][order]
+                    out["metric"].extend([metric] * len(vv))
+                    out["query_id"].extend([int(qids[i])] * len(vv))
+                    out["vec_id"].extend(vv.tolist())
+                    out["dot"].extend(dd.tolist())
+        return pd.DataFrame(out).astype(
+            {"metric": "int32", "query_id": "int64", "vec_id": "int64", "dot": "int64"}
+        )
+
+    scored = both.groupBy("qb", "cb").applyInPandas(score, schema=schema)
+    win = Window.partitionBy("metric", "query_id").orderBy(
+        F.col("dot").desc(), F.col("vec_id").asc()
+    )
+    topk = (
+        scored.withColumn("rank", F.row_number().over(win))
+        .where(F.col("rank") <= TOPK)
+        .select("metric", "query_id", "vec_id")
+    )
+    exact = topk.where(F.col("metric") == 0).select("query_id", "vec_id")
+    approx = topk.where(F.col("metric") == 1).select(
+        F.col("query_id").alias("aq"), F.col("vec_id").alias("av")
+    )
+    ov = (
+        exact.join(
+            approx,
+            (F.col("query_id") == F.col("aq")) & (F.col("vec_id") == F.col("av")),
+            "left",
+        )
+        .groupBy("query_id")
+        .agg(F.count("av").alias("overlap"))
+    )
+    return (
+        ov.groupBy("overlap")
+        .agg(
+            F.count(F.lit(1)).alias("n_queries"),
+            F.sum("query_id").alias("query_checksum"),
+        )
+        .repartition(1).sortWithinPartitions("overlap")
+    )
+
+
+def ann_sq8_sql() -> str:
+    d = DIM
+    xi = (
+        "list_transform(embedding,"
+        " v -> CAST(floor(CAST(v AS DOUBLE) * 1000.0) AS BIGINT))"
+    )
+    ydot = (
+        f"list_sum(list_transform(range(1, {d} + 1),"
+        " i -> a.y[i] * b.y[i]))"
+    )
+    qdot = (
+        f"list_sum(list_transform(range(1, {d} + 1),"
+        " i -> a.q[i] * b.q[i]))"
+    )
+    return f"""
+WITH xi AS (SELECT vec_id, {xi} AS x FROM embeddings),
+dims AS (
+  SELECT g.d AS d, MIN(x[g.d]) AS mn, MAX(x[g.d]) - MIN(x[g.d]) AS rg
+  FROM xi, generate_series(1, {d}) AS g(d) GROUP BY g.d
+),
+mnr AS (
+  SELECT list(mn ORDER BY d) AS mn, list(rg ORDER BY d) AS rg FROM dims
+),
+codes AS (
+  SELECT vec_id,
+         list_transform(range(1, {d} + 1), i -> x[i] - mn[i]) AS y,
+         list_transform(range(1, {d} + 1),
+           i -> CASE WHEN rg[i] > 0
+                THEN ((x[i] - mn[i]) * {SQ_LEVELS}) // rg[i] ELSE 0 END) AS q
+  FROM xi, mnr
+),
+exact AS (
+  SELECT query_id, vec_id FROM (
+    SELECT a.vec_id AS query_id, b.vec_id AS vec_id,
+           row_number() OVER (PARTITION BY a.vec_id
+                              ORDER BY {ydot} DESC, b.vec_id ASC) AS rank
+    FROM codes a JOIN codes b ON b.vec_id <> a.vec_id
+    WHERE a.vec_id % {QUERY_MOD} = 0)
+  WHERE rank <= {TOPK}
+),
+approx AS (
+  SELECT query_id, vec_id FROM (
+    SELECT a.vec_id AS query_id, b.vec_id AS vec_id,
+           row_number() OVER (PARTITION BY a.vec_id
+                              ORDER BY {qdot} DESC, b.vec_id ASC) AS rank
+    FROM codes a JOIN codes b ON b.vec_id <> a.vec_id
+    WHERE a.vec_id % {QUERY_MOD} = 0)
+  WHERE rank <= {TOPK}
+),
+ov AS (
+  SELECT e.query_id, COUNT(x.vec_id) AS overlap
+  FROM exact e LEFT JOIN approx x
+    ON x.query_id = e.query_id AND x.vec_id = e.vec_id
+  GROUP BY e.query_id
+)
+SELECT overlap, CAST(COUNT(*) AS BIGINT) AS n_queries,
+       CAST(SUM(query_id) AS BIGINT) AS query_checksum
+FROM ov GROUP BY overlap ORDER BY overlap
+"""
+
+
+# ---------------------------------------------------------------------------
 # registry
 # ---------------------------------------------------------------------------
 
@@ -539,6 +742,7 @@ def vector_queries():
         "ann_topk_brute": ann_topk_brute,
         "ann_lsh": ann_lsh,
         "ann_ivf": ann_ivf,
+        "ann_sq8": ann_sq8,
     }
 
 
@@ -548,4 +752,5 @@ def vector_oracles() -> dict[str, str]:
         "ann_topk_brute": ann_topk_brute_sql(),
         "ann_lsh": ann_lsh_sql(),
         "ann_ivf": ann_ivf_sql(),
+        "ann_sq8": ann_sq8_sql(),
     }

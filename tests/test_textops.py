@@ -27,6 +27,7 @@ CASES = [
     ("cosine_near_dup", vectors.cosine_near_dup, vectors.cosine_near_dup_sql()),
     ("ann_topk_brute", vectors.ann_topk_brute, vectors.ann_topk_brute_sql()),
     ("ann_lsh", vectors.ann_lsh, vectors.ann_lsh_sql()),
+    ("ann_sq8", vectors.ann_sq8, vectors.ann_sq8_sql()),
 ]
 
 
@@ -132,3 +133,18 @@ def test_containment_is_asymmetric(spark):
     assert rows.get((1, 2), 0) == 1.0  # short fully contained in long
     assert (2, 1) not in rows  # reverse direction far below tau
     assert jac == 0  # Jaccard misses the pair entirely
+
+
+def test_ann_sq8_accounts_for_every_query(spark, duck):
+    """The recall histogram must cover the whole query set and the SQ8
+    codes must rank well enough that SOME queries get perfect overlap —
+    a quantizer regression (wrong range, off-by-one in the code map)
+    drags the histogram mass down and flips the hash row red anyway."""
+    sdf = vectors.ann_sq8(spark, SF_DIR)
+    rows = {r["overlap"]: (r["n_queries"], r["query_checksum"]) for r in sdf.collect()}
+    nq, qsum = duck.execute(
+        f"SELECT COUNT(*), SUM(vec_id) FROM embeddings WHERE vec_id % {vectors.QUERY_MOD} = 0"
+    ).fetchone()
+    assert sum(n for n, _ in rows.values()) == nq
+    assert sum(s for _, s in rows.values()) == qsum
+    assert max(rows) == vectors.TOPK  # at least one perfect-recall query
