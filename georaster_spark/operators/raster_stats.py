@@ -119,6 +119,48 @@ def equalization_lut(hist: DataFrame) -> DataFrame:
     return cum.select("fmt", "bin", lut.cast("long").alias("lut"))
 
 
+def match_lut(src_hist: DataFrame, ref_hist: DataFrame) -> DataFrame:
+    """Histogram-MATCHING lookup table (skimage ``match_histograms`` /
+    GDAL color-balance idea): remap the source corpus so its value CDF
+    tracks a REFERENCE corpus — the cross-corpus normalization step a
+    training pipeline runs when two acquisition batches must photometric-
+    match before being mixed.  Rule: ``lut[v] = min u with
+    cdf_ref(u) >= cdf_src(v)`` where the CDF comparison is the exact
+    integer cross-multiplication ``cum_ref[u] * total_src >=
+    cum_src[v] * total_ref`` — no float quantiles, so the LUT is
+    bit-identical cross-engine (the ratio compare needs int128/Decimal
+    above ~3e9 pixels; swap the product for a DecimalType compare there).
+    The min-u is always an occupied reference bin (the CDF only rises at
+    occupied bins), so joining occupied-bins-only is lossless.
+
+    Both inputs are (fmt, bin, cnt) histograms <=256 rows; the whole
+    derivation is window math + one tiny theta join, SQL-expressible
+    for the verbatim DuckDB twin.  Output (fmt, bin, lut) feeds
+    equalize_checksum's broadcast-remap pass unchanged."""
+    def _cum(h: DataFrame) -> DataFrame:
+        w_cum = Window.partitionBy("fmt").orderBy("bin").rowsBetween(
+            Window.unboundedPreceding, Window.currentRow
+        )
+        w_tot = Window.partitionBy("fmt")
+        return h.withColumn("cum", F.sum("cnt").over(w_cum)).withColumn(
+            "total", F.sum("cnt").over(w_tot)
+        )
+
+    s = _cum(src_hist).select("fmt", "bin", "cum", "total")
+    r = _cum(ref_hist).select(
+        F.col("bin").alias("rbin"), F.col("cum").alias("rcum"),
+        F.col("total").alias("rtotal"),
+    )
+    return (
+        s.join(
+            F.broadcast(r),
+            F.col("rcum") * F.col("total") >= F.col("cum") * F.col("rtotal"),
+        )
+        .groupBy("fmt", "bin")
+        .agg(F.min("rbin").cast("long").alias("lut"))
+    )
+
+
 def equalize_checksum(tiles: DataFrame, lut: DataFrame) -> DataFrame:
     """Second pass of the two-pass equalization: apply the (tiny) LUT to
     each tile's pixels and reduce in the SAME fused Arrow pass to

@@ -859,6 +859,29 @@ def q_equalize(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_hist_match(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-corpus histogram matching (raster_stats.match_lut): remap
+    the qnt-fmt sub-corpus so its value CDF tracks the raw-fmt reference
+    sub-corpus — integer cross-multiplied CDF compare, so the LUT and the
+    remapped checksums are hash-exact.  Same two-pass scale shape as
+    q_equalize: one O(batches*256) histogram reduction, then a broadcast
+    LUT remap fused with the checksum reduction."""
+    from ..operators import raster_stats
+
+    tiles = geo.georegister(_images(spark, sf_dir))
+    hist = raster_stats.pixel_histogram(tiles)
+    lut = raster_stats.match_lut(
+        hist.where(F.col("fmt") == "qnt"), hist.where(F.col("fmt") == "raw")
+    )
+    sample = tiles.where(
+        (F.col("fmt") == "qnt") & (geo.image_idx() % _EQ_MOD == 0)
+    )
+    return (
+        raster_stats.equalize_checksum(sample, lut)
+        .repartition(1).sortWithinPartitions("image_id")
+    )
+
+
 _BURN_MOD = 17
 
 
@@ -3594,6 +3617,47 @@ GROUP BY s.image_id ORDER BY s.image_id
 """
 
 
+def _sql_hist_match(fx: Path, w: int) -> str:
+    """DuckDB twin of q_hist_match: qnt + raw histograms -> integer
+    cross-multiplied min-u matching LUT -> remap of the sampled qnt
+    tiles' ramp pixels, one statement."""
+    v = osql.ramp_value_expr("gi.i", "gj.j")
+    return f"""
+WITH {osql.georegister_cte(str(fx / 'images.parquet'))},
+px AS (
+  SELECT fmt, {v} AS v
+  FROM tiles,
+       generate_series(0, {w - 1}) AS gi(i), generate_series(0, {w - 1}) AS gj(j)
+  WHERE fmt IN ('qnt', 'raw')
+),
+hist AS (SELECT fmt, v AS bin, COUNT(*) AS cnt FROM px GROUP BY fmt, v),
+cum AS (
+  SELECT fmt, bin,
+         SUM(cnt) OVER (PARTITION BY fmt ORDER BY bin) AS cum,
+         SUM(cnt) OVER (PARTITION BY fmt) AS total
+  FROM hist
+),
+lut AS (
+  SELECT s.bin, CAST(MIN(r.bin) AS BIGINT) AS lut
+  FROM cum s JOIN cum r
+    ON s.fmt = 'qnt' AND r.fmt = 'raw'
+   AND r.cum * s.total >= s.cum * r.total
+  GROUP BY s.bin
+),
+spx AS (
+  SELECT image_id, gi.i AS i, gj.j AS j, {v} AS v
+  FROM tiles,
+       generate_series(0, {w - 1}) AS gi(i), generate_series(0, {w - 1}) AS gj(j)
+  WHERE fmt = 'qnt' AND idx % {_EQ_MOD} = 0
+)
+SELECT s.image_id,
+       CAST(SUM(l.lut) AS BIGINT) AS eq_sum,
+       CAST(SUM(l.lut * (s.i * {w} + s.j + 1)) AS BIGINT) AS eq_checksum
+FROM spx s JOIN lut l ON l.bin = s.v
+GROUP BY s.image_id ORDER BY s.image_id
+"""
+
+
 def _sql_rasterize(fx: Path, w: int) -> str:
     """DuckDB twin of q_rasterize: per pixel center the MIN containing
     zone_id + 1 (convex half-plane containment, boundary inside), reduced
@@ -3902,6 +3966,7 @@ def spatial_queries() -> dict[str, QueryFn]:
         "mosaic_regions": q_mosaic_regions,
         "rasterize_burn": q_rasterize,
         "equalize": q_equalize,
+        "hist_match": q_hist_match,
         "stratified_sample": q_stratified_sample,
         "psnr_gate": q_psnr_gate,
         "knn_zones": q_knn,
@@ -4017,6 +4082,7 @@ def spatial_oracles(sf: str = "sf0.01") -> dict[str, str]:
         "mosaic_regions": _sql_mosaic_regions(fx),
         "rasterize_burn": _sql_rasterize(fx, w),
         "equalize": _sql_equalize(fx, w),
+        "hist_match": _sql_hist_match(fx, w),
         "stratified_sample": _sql_stratified_sample(),
         "psnr_gate": osql.psnr_gate_sql(img, w, w),
         "knn_zones": _sql_knn(fx),

@@ -77,3 +77,48 @@ def test_lut_monotone_and_bounded(spark, sf0001_dir):
         vals = [r["lut"] for r in fmt_rows]
         assert vals == sorted(vals)
         assert 0 <= vals[0] and vals[-1] == 255
+
+
+def test_match_lut_self_is_identity(spark, sf0001_dir):
+    """Matching a corpus to ITSELF must be the identity on occupied bins:
+    min u with cdf(u) >= cdf(v) is v exactly — any off-by-one in the
+    cross-multiplied CDF compare breaks this immediately."""
+    tiles = geo.georegister(spark.read.parquet(str(sf0001_dir / "images.parquet")))
+    hist = raster_stats.pixel_histogram(tiles)
+    src = hist.where("fmt = 'qnt'")
+    lut = raster_stats.match_lut(src, src).collect()
+    assert len(lut) > 0
+    assert all(r["lut"] == r["bin"] for r in lut)
+
+
+def test_match_lut_matches_numpy(spark, sf0001_dir):
+    """Cross-corpus (qnt -> raw) LUT equals the independent NumPy rule."""
+    import pandas as pd
+
+    tiles = geo.georegister(spark.read.parquet(str(sf0001_dir / "images.parquet")))
+    hist = raster_stats.pixel_histogram(tiles)
+    got = {
+        r["bin"]: r["lut"]
+        for r in raster_stats.match_lut(
+            hist.where("fmt = 'qnt'"), hist.where("fmt = 'raw'")
+        ).collect()
+    }
+    meta = spark.read.parquet(str(sf0001_dir / "images.parquet")).select(
+        "image_id", "w", "h", "fmt"
+    ).collect()
+    vals: dict[str, list[np.ndarray]] = {}
+    for m in meta:
+        arr = oracle.ramp_tile(int(m["image_id"][3:]), int(m["w"]), int(m["h"]))
+        if m["fmt"] == "qnt":
+            arr = oracle.quantize(arr)
+        vals.setdefault(m["fmt"], []).append(arr.ravel())
+    s = np.bincount(np.concatenate(vals["qnt"]), minlength=256).astype(np.int64)
+    r = np.bincount(np.concatenate(vals["raw"]), minlength=256).astype(np.int64)
+    scum, rcum = np.cumsum(s), np.cumsum(r)
+    st, rt = int(scum[-1]), int(rcum[-1])
+    occ_r = np.nonzero(r)[0]
+    want = {}
+    for v in np.nonzero(s)[0]:
+        ok = occ_r[rcum[occ_r] * st >= int(scum[v]) * rt]
+        want[int(v)] = int(ok[0])
+    assert got == want
