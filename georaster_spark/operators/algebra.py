@@ -648,3 +648,180 @@ def proximity_mosaic(
         )
 
     return parts.groupBy("tid").applyInPandas(_assemble, schema=_PROX_SCHEMA)
+
+
+_FLOW_ACC_SCHEMA = (
+    "image_id string, n_interior long, n_sources long, n_outlets long, "
+    "total_acc long, max_acc long, acc_checksum long"
+)
+
+
+def flow_accumulation_stats(tiles: DataFrame, k: int = 4) -> DataFrame:
+    """Bounded D8 flow accumulation (ArcGIS Flow Accumulation / GRASS
+    r.watershed analog; reference analog: the hydrology post-processing a
+    georaster user runs on a loaded DEM array — SURVEY §0 ⚠, nothing on
+    disk): for each interior pixel, the number of interior pixels whose
+    D8 steepest-descent path reaches it in <= k steps (self included, so
+    acc >= 1).  k bounds the transitive closure, making the operator a
+    fixed-depth iteration with an exactly SQL-expressible oracle
+    (recursive CTE with a depth counter) — the unbounded fixpoint is the
+    same loop run to quiescence.
+
+    D8 codes come from the identical integer steepest-descent rule as
+    flow_direction_stats (2·drop² cardinal vs drop² diagonal, ESRI tie
+    order); flow into the 1-px boundary ring leaves the tile (the pixel
+    is an outlet), flat/pit pixels (code 0) also terminate paths.
+
+    Emits per tile: interior count, source count (acc == 1: no upstream
+    inflow within k), outlet count, total/max accumulation, and the
+    position-weighted accumulation checksum pinning every pixel.
+
+    Distribution: map-only fused Arrow pass — the k-step scatter-add
+    iteration runs batched across ALL tiles of a (w,h,fmt) group on one
+    flat index (np.add.at), zero shuffle, no per-pixel Python."""
+    if k < 1:
+        raise ValueError("flow_accumulation_stats: k must be >= 1")
+    slim = tiles.select("image_id", "bytes", "w", "h", "fmt")
+    dt = {"raw": np.uint8, "qnt": np.uint8, "raw16": "<u2"}
+
+    def _acc(batches):
+        for pdf in batches:
+            n = len(pdf)
+            out = {"image_id": pdf["image_id"].to_numpy(dtype=object)}
+            for c in ("n_interior", "n_sources", "n_outlets",
+                      "total_acc", "max_acc", "acc_checksum"):
+                out[c] = np.zeros(n, dtype=np.int64)
+            groups: dict[tuple, list[int]] = {}
+            for r in range(n):
+                key = (int(pdf["w"].iat[r]), int(pdf["h"].iat[r]), pdf["fmt"].iat[r])
+                groups.setdefault(key, []).append(r)
+            for (w, h, fmt), idx in groups.items():
+                if w < 3 or h < 3:
+                    continue
+                b = len(idx)
+                ih, iw = h - 2, w - 2
+                z = (
+                    np.frombuffer(
+                        b"".join(pdf["bytes"].iat[r] for r in idx), dtype=dt[fmt]
+                    )
+                    .reshape(b, h, w)
+                    .astype(np.int64)
+                )
+                c0 = z[:, 1:-1, 1:-1]
+                scores = []
+                for _, di, dj, mult in _D8_DIRS:
+                    nb = z[:, 1 + di : h - 1 + di, 1 + dj : w - 1 + dj]
+                    drop = c0 - nb
+                    scores.append(np.where(drop > 0, mult * drop * drop, -1))
+                stack = np.stack(scores)
+                best = stack.max(axis=0)
+                pick = stack.argmax(axis=0)
+                # interior (0-based) coordinates + D8 step per pixel
+                dis = np.array([d[1] for d in _D8_DIRS], dtype=np.int64)
+                djs = np.array([d[2] for d in _D8_DIRS], dtype=np.int64)
+                ii = np.broadcast_to(
+                    np.arange(ih, dtype=np.int64)[None, :, None], (b, ih, iw))
+                jj = np.broadcast_to(
+                    np.arange(iw, dtype=np.int64)[None, None, :], (b, ih, iw))
+                ti = ii + dis[pick]
+                tj = jj + djs[pick]
+                flows = best > 0
+                in_bounds = (ti >= 0) & (ti < ih) & (tj >= 0) & (tj < iw)
+                valid = flows & in_bounds          # edge stays inside interior
+                outlet = flows & ~in_bounds        # drains into the boundary ring
+                bb = np.broadcast_to(
+                    np.arange(b, dtype=np.int64)[:, None, None], (b, ih, iw))
+                src = (bb * ih * iw + ii * iw + jj)[valid]
+                tgt = (bb * ih * iw + ti * iw + tj)[valid]
+                acc = np.ones(b * ih * iw, dtype=np.int64)
+                for _ in range(k):
+                    contrib = np.zeros(b * ih * iw, dtype=np.int64)
+                    np.add.at(contrib, tgt, acc[src])
+                    acc = 1 + contrib
+                acc3 = acc.reshape(b, ih, iw)
+                wt = ((ii * iw) + jj + 1)
+                rows = np.asarray(idx)
+                out["n_interior"][rows] = ih * iw
+                out["n_sources"][rows] = (acc3 == 1).sum(axis=(1, 2))
+                out["n_outlets"][rows] = outlet.sum(axis=(1, 2))
+                out["total_acc"][rows] = acc3.sum(axis=(1, 2))
+                out["max_acc"][rows] = acc3.max(axis=(1, 2))
+                out["acc_checksum"][rows] = (acc3 * wt).sum(axis=(1, 2))
+            yield pd.DataFrame(out)
+
+    return slim.mapInPandas(_acc, schema=_FLOW_ACC_SCHEMA)
+
+
+_TPI_SCHEMA = (
+    "image_id string, n_interior long, n_ridge long, n_valley long, "
+    "sum_tpi long, sum_tri long, sum_rough long, tpi_checksum long"
+)
+
+_N8 = ((-1, -1), (-1, 0), (-1, 1), (0, -1), (0, 1), (1, -1), (1, 0), (1, 1))
+
+
+def tpi_terrain_stats(tiles: DataFrame) -> DataFrame:
+    """TPI / TRI / roughness terrain metrics (gdaldem TPI/TRI/roughness
+    analogs; reference analog: the terrain derivatives a georaster user
+    computes from a loaded DEM — SURVEY §0 ⚠, nothing on disk), on the
+    integer-exact surface:
+
+    - tpi_num = 8·center − Σ(8 neighbours)   (8× the usual TPI — keeps
+      the mean-of-neighbours comparison in exact integers)
+    - tri     = Σ|center − neighbour|        (8× Wilson TRI mean)
+    - rough   = max(3×3) − min(3×3)          (gdaldem roughness exactly)
+
+    Per tile: interior count, ridge/valley counts (tpi_num >/< 0),
+    Σtpi_num, Σtri, Σrough, and the position-weighted tpi checksum.
+    Map-only fused Arrow pass, zero shuffle, batched across each
+    (w,h,fmt) group."""
+    slim = tiles.select("image_id", "bytes", "w", "h", "fmt")
+    dt = {"raw": np.uint8, "qnt": np.uint8, "raw16": "<u2"}
+
+    def _tpi(batches):
+        for pdf in batches:
+            n = len(pdf)
+            out = {"image_id": pdf["image_id"].to_numpy(dtype=object)}
+            for c in ("n_interior", "n_ridge", "n_valley", "sum_tpi",
+                      "sum_tri", "sum_rough", "tpi_checksum"):
+                out[c] = np.zeros(n, dtype=np.int64)
+            groups: dict[tuple, list[int]] = {}
+            for r in range(n):
+                key = (int(pdf["w"].iat[r]), int(pdf["h"].iat[r]), pdf["fmt"].iat[r])
+                groups.setdefault(key, []).append(r)
+            for (w, h, fmt), idx in groups.items():
+                if w < 3 or h < 3:
+                    continue
+                b = len(idx)
+                ih, iw = h - 2, w - 2
+                z = (
+                    np.frombuffer(
+                        b"".join(pdf["bytes"].iat[r] for r in idx), dtype=dt[fmt]
+                    )
+                    .reshape(b, h, w)
+                    .astype(np.int64)
+                )
+                c0 = z[:, 1:-1, 1:-1]
+                tpi = 8 * c0
+                tri = np.zeros_like(c0)
+                mx = c0.copy()
+                mn = c0.copy()
+                for di, dj in _N8:
+                    nb = z[:, 1 + di : h - 1 + di, 1 + dj : w - 1 + dj]
+                    tpi -= nb
+                    tri += np.abs(c0 - nb)
+                    np.maximum(mx, nb, out=mx)
+                    np.minimum(mn, nb, out=mn)
+                rough = mx - mn
+                wt = np.arange(1, ih * iw + 1, dtype=np.int64).reshape(ih, iw)
+                rows = np.asarray(idx)
+                out["n_interior"][rows] = ih * iw
+                out["n_ridge"][rows] = (tpi > 0).sum(axis=(1, 2))
+                out["n_valley"][rows] = (tpi < 0).sum(axis=(1, 2))
+                out["sum_tpi"][rows] = tpi.sum(axis=(1, 2))
+                out["sum_tri"][rows] = tri.sum(axis=(1, 2))
+                out["sum_rough"][rows] = rough.sum(axis=(1, 2))
+                out["tpi_checksum"][rows] = (tpi * wt).sum(axis=(1, 2))
+            yield pd.DataFrame(out)
+
+    return slim.mapInPandas(_tpi, schema=_TPI_SCHEMA)

@@ -1601,6 +1601,155 @@ FROM px GROUP BY image_id ORDER BY image_id
 """
 
 
+_FA_MOD = 73
+_FA_K = 4
+
+
+def q_flow_accum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bounded D8 flow accumulation (algebra.flow_accumulation_stats):
+    k-step transitive-closure pixel counts via a batched scatter-add
+    iteration — the hydrology step AFTER flow_direction.  Map-only
+    fused Arrow pass; oracle is a depth-bounded recursive CTE over the
+    same integer steepest-descent graph."""
+    from ..operators import algebra
+
+    tiles = geo.georegister(_images(spark, sf_dir)).where(
+        geo.image_idx() % _FA_MOD == 0
+    )
+    return (
+        algebra.flow_accumulation_stats(tiles, k=_FA_K)
+        .repartition(1).sortWithinPartitions("image_id")
+    )
+
+
+def _sql_flow_accum(fx: Path, w: int) -> str:
+    from ..operators.algebra import _D8_DIRS
+
+    def rv(di: int, dj: int) -> str:
+        return f"CAST({osql.ramp_value_expr(f'gi.i + {di}', f'gj.j + {dj}')} AS BIGINT)"
+
+    c0 = rv(0, 0)
+    scores = []
+    for code, di, dj, mult in _D8_DIRS:
+        drop = f"({c0} - {rv(di, dj)})"
+        scores.append(
+            (code, f"(CASE WHEN {drop} > 0 THEN {mult} * {drop} * {drop} ELSE -1 END)")
+        )
+    score_sel = ", ".join(f"{e} AS s{code}" for code, e in scores)
+    best = "greatest(" + ", ".join(f"s{code}" for code, _ in scores) + ")"
+    dir_case = "CASE WHEN " + best + " <= 0 THEN 0"
+    for code, _ in scores:
+        dir_case += f" WHEN s{code} = {best} THEN {code}"
+    dir_case += " END"
+    di_case = "CASE code " + " ".join(
+        f"WHEN {c} THEN {di}" for c, di, dj, _ in _D8_DIRS) + " END"
+    dj_case = "CASE code " + " ".join(
+        f"WHEN {c} THEN {dj}" for c, di, dj, _ in _D8_DIRS) + " END"
+    lo, hi = 1, w - 2
+    iw = w - 2
+    return f"""
+WITH RECURSIVE {osql.georegister_cte(str(fx / 'images.parquet'))},
+sc AS (
+  SELECT image_id, gi.i AS i, gj.j AS j, {score_sel}
+  FROM tiles,
+       generate_series({lo}, {hi}) AS gi(i), generate_series({lo}, {hi}) AS gj(j)
+  WHERE idx % {_FA_MOD} = 0
+),
+px AS MATERIALIZED (SELECT image_id, i, j, {dir_case} AS code FROM sc),
+-- MATERIALIZED: DuckDB otherwise inlines px/edges into the iedges
+-- BETWEEN filter, and predicate pushdown through the nested giant CASE
+-- expressions blows the expression tree up past the memory limit.
+edges AS MATERIALIZED (
+  SELECT image_id, i, j, i + ({di_case}) AS ti, j + ({dj_case}) AS tj
+  FROM px WHERE code <> 0
+),
+iedges AS (
+  SELECT * FROM edges
+  WHERE ti BETWEEN {lo} AND {hi} AND tj BETWEEN {lo} AND {hi}
+),
+walk(image_id, i, j, depth) AS (
+  SELECT image_id, i, j, 0 FROM px
+  UNION ALL
+  SELECT e.image_id, e.ti, e.tj, wk.depth + 1
+  FROM walk wk JOIN iedges e
+    ON e.image_id = wk.image_id AND e.i = wk.i AND e.j = wk.j
+  WHERE wk.depth < {_FA_K}
+),
+acc AS (
+  SELECT image_id, i, j, COUNT(*) AS a FROM walk GROUP BY image_id, i, j
+),
+outs AS (
+  SELECT image_id, COUNT(*) AS n_outlets FROM edges
+  WHERE ti < {lo} OR ti > {hi} OR tj < {lo} OR tj > {hi}
+  GROUP BY image_id
+)
+SELECT acc.image_id,
+       CAST(COUNT(*) AS BIGINT) AS n_interior,
+       CAST(SUM(CASE WHEN a = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_sources,
+       CAST(COALESCE(ANY_VALUE(outs.n_outlets), 0) AS BIGINT) AS n_outlets,
+       CAST(SUM(a) AS BIGINT) AS total_acc,
+       CAST(MAX(a) AS BIGINT) AS max_acc,
+       CAST(SUM(a * ((i - 1) * {iw} + (j - 1) + 1)) AS BIGINT) AS acc_checksum
+FROM acc LEFT JOIN outs ON outs.image_id = acc.image_id
+GROUP BY acc.image_id ORDER BY acc.image_id
+"""
+
+
+_TPI_MOD = 59
+
+
+def q_tpi_terrain(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPI / TRI / roughness focal terrain metrics
+    (algebra.tpi_terrain_stats — gdaldem TPI/TRI/roughness analogs) on
+    the integer-exact surface.  Map-only fused Arrow pass."""
+    from ..operators import algebra
+
+    tiles = geo.georegister(_images(spark, sf_dir)).where(
+        geo.image_idx() % _TPI_MOD == 0
+    )
+    return (
+        algebra.tpi_terrain_stats(tiles)
+        .repartition(1).sortWithinPartitions("image_id")
+    )
+
+
+def _sql_tpi_terrain(fx: Path, w: int) -> str:
+    from ..operators.algebra import _N8
+
+    def rv(di: int, dj: int) -> str:
+        return f"CAST({osql.ramp_value_expr(f'gi.i + {di}', f'gj.j + {dj}')} AS BIGINT)"
+
+    c0 = rv(0, 0)
+    nbs = [rv(di, dj) for di, dj in _N8]
+    tpi = f"(8 * {c0} - (" + " + ".join(nbs) + "))"
+    tri = "(" + " + ".join(f"abs({c0} - {nb})" for nb in nbs) + ")"
+    rough = (
+        "(greatest(" + ", ".join([c0] + nbs) + ")"
+        " - least(" + ", ".join([c0] + nbs) + "))"
+    )
+    lo, hi = 1, w - 2
+    iw = w - 2
+    return f"""
+WITH {osql.georegister_cte(str(fx / 'images.parquet'))},
+px AS (
+  SELECT image_id, gi.i AS i, gj.j AS j,
+         {tpi} AS tpi, {tri} AS tri, {rough} AS rough
+  FROM tiles,
+       generate_series({lo}, {hi}) AS gi(i), generate_series({lo}, {hi}) AS gj(j)
+  WHERE idx % {_TPI_MOD} = 0
+)
+SELECT image_id,
+       CAST(COUNT(*) AS BIGINT) AS n_interior,
+       CAST(SUM(CASE WHEN tpi > 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_ridge,
+       CAST(SUM(CASE WHEN tpi < 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_valley,
+       CAST(SUM(tpi) AS BIGINT) AS sum_tpi,
+       CAST(SUM(tri) AS BIGINT) AS sum_tri,
+       CAST(SUM(rough) AS BIGINT) AS sum_rough,
+       CAST(SUM(tpi * ((i - 1) * {iw} + (j - 1) + 1)) AS BIGINT) AS tpi_checksum
+FROM px GROUP BY image_id ORDER BY image_id
+"""
+
+
 _GLCM_MOD = 71
 
 
@@ -3989,6 +4138,8 @@ def spatial_queries() -> dict[str, QueryFn]:
         "funnel_conversion": rel.funnel_conversion,
         "glcm_texture": q_glcm,
         "flow_direction": q_flow_direction,
+        "flow_accum": q_flow_accum,
+        "tpi_terrain": q_tpi_terrain,
         "curation_pipeline": q_curation_pipeline,
         "mode_pool": q_mode_pool,
         "voronoi_assign": q_voronoi,
@@ -4105,6 +4256,8 @@ def spatial_oracles(sf: str = "sf0.01") -> dict[str, str]:
         "funnel_conversion": rel.funnel_conversion_sql(),
         "glcm_texture": _sql_glcm(fx, w),
         "flow_direction": _sql_flow_direction(fx, w),
+        "flow_accum": _sql_flow_accum(fx, w),
+        "tpi_terrain": _sql_tpi_terrain(fx, w),
         "curation_pipeline": _sql_curation_pipeline(fx, w),
         "mode_pool": _sql_mode_pool(fx, w),
         "voronoi_assign": _sql_voronoi(fx),

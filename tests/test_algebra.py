@@ -159,3 +159,108 @@ def test_flow_direction_contract_vs_duckdb(spark):
     assert len(srows) == len(orows) > 0
     assert sorted(sdf.columns) == sorted(ocols)
     assert table_hash(sdf.columns, srows) == table_hash(ocols, orows)
+
+
+def test_flow_accumulation_matches_numpy_path_count(spark, sf0001_dir):
+    """acc(p) must equal the number of interior pixels whose unique D8
+    path reaches p in <= k steps (self included) — checked against a
+    literal follow-the-pointer NumPy walk."""
+    k = 4
+    tiles = geo.georegister(
+        spark.read.parquet(str(sf0001_dir / "images.parquet"))
+    ).limit(4)
+    got = {r["image_id"]: r for r in algebra.flow_accumulation_stats(tiles, k=k).collect()}
+    for r in tiles.collect():
+        z = oracle.decode_pixels(r["bytes"], r["w"], r["h"], r["fmt"]).astype(np.int64)
+        h, w = z.shape
+        ih, iw = h - 2, w - 2
+        c0 = z[1:-1, 1:-1]
+        scores, steps = [], []
+        for code, di, dj, mult in algebra._D8_DIRS:
+            nb = z[1 + di : h - 1 + di, 1 + dj : w - 1 + dj]
+            drop = c0 - nb
+            scores.append(np.where(drop > 0, mult * drop * drop, -1))
+            steps.append((di, dj))
+        stack = np.stack(scores)
+        best = stack.max(axis=0)
+        pick = stack.argmax(axis=0)
+        acc = np.zeros((ih, iw), dtype=np.int64)
+        n_out = 0
+        for i in range(ih):
+            for j in range(iw):
+                ci, cj, d = i, j, 0
+                acc[ci, cj] += 1  # self at depth 0
+                while d < k and best[ci, cj] > 0:
+                    di, dj = steps[pick[ci, cj]]
+                    ni, nj = ci + di, cj + dj
+                    if not (0 <= ni < ih and 0 <= nj < iw):
+                        if d == 0:
+                            n_out += 1
+                        break
+                    ci, cj, d = ni, nj, d + 1
+                    acc[ci, cj] += 1
+        # n_outlets counts pixels whose own first step leaves the interior
+        flows = best > 0
+        dis = np.array([s[0] for s in steps])
+        djs = np.array([s[1] for s in steps])
+        ii, jj = np.meshgrid(np.arange(ih), np.arange(iw), indexing="ij")
+        ti, tj = ii + dis[pick], jj + djs[pick]
+        outlet = flows & ~((ti >= 0) & (ti < ih) & (tj >= 0) & (tj < iw))
+        g = got[r["image_id"]]
+        assert g["n_interior"] == ih * iw
+        assert g["n_outlets"] == int(outlet.sum())
+        assert g["n_sources"] == int((acc == 1).sum())
+        assert g["total_acc"] == int(acc.sum())
+        assert g["max_acc"] == int(acc.max())
+        wt = np.arange(1, acc.size + 1).reshape(acc.shape)
+        assert g["acc_checksum"] == int((acc * wt).sum())
+
+
+def test_tpi_terrain_matches_numpy(spark, sf0001_dir):
+    tiles = geo.georegister(
+        spark.read.parquet(str(sf0001_dir / "images.parquet"))
+    ).limit(4)
+    got = {r["image_id"]: r for r in algebra.tpi_terrain_stats(tiles).collect()}
+    for r in tiles.collect():
+        z = oracle.decode_pixels(r["bytes"], r["w"], r["h"], r["fmt"]).astype(np.int64)
+        h, w = z.shape
+        c0 = z[1:-1, 1:-1]
+        tpi = 8 * c0
+        tri = np.zeros_like(c0)
+        mx, mn = c0.copy(), c0.copy()
+        for di, dj in algebra._N8:
+            nb = z[1 + di : h - 1 + di, 1 + dj : w - 1 + dj]
+            tpi -= nb
+            tri += np.abs(c0 - nb)
+            np.maximum(mx, nb, out=mx)
+            np.minimum(mn, nb, out=mn)
+        g = got[r["image_id"]]
+        assert g["n_ridge"] == int((tpi > 0).sum())
+        assert g["n_valley"] == int((tpi < 0).sum())
+        assert g["sum_tpi"] == int(tpi.sum())
+        assert g["sum_tri"] == int(tri.sum())
+        assert g["sum_rough"] == int((mx - mn).sum())
+        wt = np.arange(1, tpi.size + 1).reshape(tpi.shape)
+        assert g["tpi_checksum"] == int((tpi * wt).sum())
+
+
+def test_flow_accum_tpi_contract_vs_duckdb(spark):
+    import duckdb
+
+    from georaster_spark.plans import contract as ct
+    from tests.driver_sim import table_hash
+
+    sf_dir = "/root/testdata/sf0.001"
+    fx = ct._fx(sf_dir)
+    con = duckdb.connect()
+    for qfn, sfn in (
+        (ct.q_flow_accum, ct._sql_flow_accum),
+        (ct.q_tpi_terrain, ct._sql_tpi_terrain),
+    ):
+        sdf = qfn(spark, sf_dir)
+        srows = [tuple(r) for r in sdf.collect()]
+        orows = con.execute(sfn(fx, 32)).fetchall()
+        ocols = [d[0] for d in con.description]
+        assert len(srows) == len(orows) > 0
+        assert sorted(sdf.columns) == sorted(ocols)
+        assert table_hash(sdf.columns, srows) == table_hash(ocols, orows)
