@@ -825,3 +825,162 @@ def tpi_terrain_stats(tiles: DataFrame) -> DataFrame:
             yield pd.DataFrame(out)
 
     return slim.mapInPandas(_tpi, schema=_TPI_SCHEMA)
+
+
+_XTAB_SCHEMA = "pair_id long, class_a int, class_b int, n_px long"
+
+
+def crosstab_stats(a: DataFrame, b: DataFrame, key: str, bins: int = 4) -> DataFrame:
+    """Zonal crosstab / tabulate-area between two co-registered rasters
+    (ArcGIS TabulateArea / GRASS r.stats -c two-map analog; reference
+    analog: the `np.histogram2d` a georaster user runs over two loaded
+    ``self.r`` arrays — SURVEY §0 ⚠, nothing on disk): per pair, the
+    categorical contingency table n_px[class_a][class_b] where each
+    pixel's class is v // (256/bins).
+
+    Same join shape as change_detect (equi-join on the pair key —
+    shuffle-free when both corpora are bucketed on it); then ONE fused
+    Arrow pass per pair computes the whole (bins x bins) table as a
+    single vectorized offset-bincount (bincount of bins*ca+cb with
+    per-row offsets), never a Python loop over pixels or classes.
+    Emits one row per non-empty (pair, class_a, class_b) cell."""
+    if not 1 <= bins <= 256:
+        raise ValueError("crosstab_stats: bins must be in [1, 256]")
+    width = 256 // bins
+    j = a.select(key, F.col("bytes").alias("ba"), F.col("fmt").alias("fa")).join(
+        b.select(key, F.col("bytes").alias("bb"), F.col("fmt").alias("fb")), key
+    )
+
+    def _xtab(batches):
+        dt = {"raw": np.uint8, "qnt": np.uint8, "raw16": "<u2"}
+        for pdf in batches:
+            n = len(pdf)
+            groups: dict[tuple, list[int]] = {}
+            for k in range(n):
+                if len(pdf["ba"].iat[k]) // (2 if pdf["fa"].iat[k] == "raw16" else 1) != len(
+                    pdf["bb"].iat[k]
+                ) // (2 if pdf["fb"].iat[k] == "raw16" else 1):
+                    raise ValueError("crosstab_stats: pixel counts differ within a pair")
+                groups.setdefault(
+                    (len(pdf["ba"].iat[k]), pdf["fa"].iat[k], pdf["fb"].iat[k]), []
+                ).append(k)
+            keys_out, ca_out, cb_out, n_out = [], [], [], []
+            for (_, f_a, f_b), idx in groups.items():
+                m = len(idx)
+                va = np.frombuffer(
+                    b"".join(pdf["ba"].iat[k] for k in idx), dtype=dt[f_a]
+                ).reshape(m, -1).astype(np.int64)
+                vb = np.frombuffer(
+                    b"".join(pdf["bb"].iat[k] for k in idx), dtype=dt[f_b]
+                ).reshape(m, -1).astype(np.int64)
+                cell = (va // width) * bins + (vb // width)
+                # one flat bincount across the whole group: row r's cells
+                # live at offset r*bins*bins
+                flat = (
+                    np.arange(m, dtype=np.int64)[:, None] * (bins * bins) + cell
+                ).ravel()
+                counts = np.bincount(flat, minlength=m * bins * bins).reshape(
+                    m, bins, bins
+                )
+                rr, aa, bb2 = np.nonzero(counts)
+                keys_out.append(pdf[key].to_numpy()[np.asarray(idx)[rr]])
+                ca_out.append(aa)
+                cb_out.append(bb2)
+                n_out.append(counts[rr, aa, bb2])
+            if keys_out:
+                yield pd.DataFrame(
+                    {
+                        "pair_id": np.concatenate(keys_out).astype(np.int64),
+                        "class_a": np.concatenate(ca_out).astype(np.int32),
+                        "class_b": np.concatenate(cb_out).astype(np.int32),
+                        "n_px": np.concatenate(n_out).astype(np.int64),
+                    }
+                )
+
+    return j.mapInPandas(_xtab, schema=_XTAB_SCHEMA)
+
+
+_SOBEL_SCHEMA = (
+    "image_id string, n_interior long, n_flat long, "
+    "n_o0 long, n_o1 long, n_o2 long, n_o3 long, n_o4 long, "
+    "n_o5 long, n_o6 long, n_o7 long, grad_l1_sum long, orient_checksum long"
+)
+
+
+def sobel_orientation_stats(tiles: DataFrame) -> DataFrame:
+    """Sobel gradient-orientation census (HOG-lite feature extraction —
+    the per-image edge/orientation descriptor a training-data curation
+    pipeline computes before clustering; reference analog: the
+    `scipy.ndimage.sobel` a georaster user runs over ``self.r`` —
+    SURVEY §0 ⚠, nothing on disk).
+
+    Integer Sobel gx/gy over the interior, then each pixel is binned
+    into one of 8 exact 45-degree octants of atan2(gy, gx) using only
+    integer sign/magnitude comparisons (no float angles anywhere):
+    normalize to the upper half-plane (flip both signs, +4) so
+    theta in [0,180), then sector 0..3 by {gx>0 & gy<gx; gx>0;
+    gy>-gx; else}.  gx==gy==0 is 'flat' and joins no octant.
+
+    Per tile: interior count, flat count, 8 octant counts, L1 gradient
+    energy sum, and the position-weighted (octant+1) checksum pinning
+    every pixel's bin.  Map-only fused Arrow pass, zero shuffle,
+    batched per (w,h,fmt) group."""
+    slim = tiles.select("image_id", "bytes", "w", "h", "fmt")
+    dt = {"raw": np.uint8, "qnt": np.uint8, "raw16": "<u2"}
+
+    def _sobel(batches):
+        for pdf in batches:
+            n = len(pdf)
+            out = {"image_id": pdf["image_id"].to_numpy(dtype=object)}
+            cols = ["n_interior", "n_flat"] + [f"n_o{o}" for o in range(8)] + [
+                "grad_l1_sum", "orient_checksum"]
+            for c in cols:
+                out[c] = np.zeros(n, dtype=np.int64)
+            groups: dict[tuple, list[int]] = {}
+            for r in range(n):
+                key = (int(pdf["w"].iat[r]), int(pdf["h"].iat[r]), pdf["fmt"].iat[r])
+                groups.setdefault(key, []).append(r)
+            for (w, h, fmt), idx in groups.items():
+                if w < 3 or h < 3:
+                    continue
+                b = len(idx)
+                ih, iw = h - 2, w - 2
+                z = (
+                    np.frombuffer(
+                        b"".join(pdf["bytes"].iat[r] for r in idx), dtype=dt[fmt]
+                    )
+                    .reshape(b, h, w)
+                    .astype(np.int64)
+                )
+
+                def sh(di, dj):
+                    return z[:, 1 + di : h - 1 + di, 1 + dj : w - 1 + dj]
+
+                gx = (sh(-1, 1) + 2 * sh(0, 1) + sh(1, 1)) - (
+                    sh(-1, -1) + 2 * sh(0, -1) + sh(1, -1)
+                )
+                gy = (sh(1, -1) + 2 * sh(1, 0) + sh(1, 1)) - (
+                    sh(-1, -1) + 2 * sh(-1, 0) + sh(-1, 1)
+                )
+                flat = (gx == 0) & (gy == 0)
+                flip = (gy < 0) | ((gy == 0) & (gx < 0))
+                nx = np.where(flip, -gx, gx)
+                ny = np.where(flip, -gy, gy)
+                sector = np.where(
+                    (nx > 0) & (ny < nx), 0,
+                    np.where(nx > 0, 1, np.where(ny > -nx, 2, 3)),
+                )
+                octant = sector + np.where(flip, 4, 0)
+                wt = np.arange(1, ih * iw + 1, dtype=np.int64).reshape(ih, iw)
+                rows = np.asarray(idx)
+                out["n_interior"][rows] = ih * iw
+                out["n_flat"][rows] = flat.sum(axis=(1, 2))
+                for o in range(8):
+                    out[f"n_o{o}"][rows] = (~flat & (octant == o)).sum(axis=(1, 2))
+                out["grad_l1_sum"][rows] = (np.abs(gx) + np.abs(gy)).sum(axis=(1, 2))
+                out["orient_checksum"][rows] = (
+                    np.where(flat, 0, octant + 1) * wt
+                ).sum(axis=(1, 2))
+            yield pd.DataFrame(out)
+
+    return slim.mapInPandas(_sobel, schema=_SOBEL_SCHEMA)

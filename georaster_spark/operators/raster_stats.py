@@ -335,3 +335,65 @@ def mode_pool_checksum(tiles: DataFrame, k: int) -> DataFrame:
         "mode_max long, mode_checksum long"
     )
     return slim.mapInPandas(_pool, schema=schema)
+
+
+def moran_lattice_moments(tiles: DataFrame) -> DataFrame:
+    """Global Moran's I spatial autocorrelation over the ingest lattice
+    (the `esda.Moran` / ArcGIS Spatial Autocorrelation analog a
+    georaster user runs on per-tile summary values; reference analog:
+    corpus-level statistics over loaded ``self.r`` arrays — SURVEY §0 ⚠,
+    nothing on disk).
+
+    Each tile's value is its integer floor-mean pixel value; adjacency
+    is rook (4-neighbour) on the ingest lattice gx = idx % GRID_W,
+    gy = idx // GRID_W (the pre-jitter layout — a pure idx function, so
+    the lattice is complete and deterministic).  Emits the exact integer
+    MOMENTS from which Moran's I is recoverable without any float ever
+    entering the distributed plan:
+
+      I = (n_tiles / w_pairs) * num / den,
+      num = pair_prod_sum - xbar * pair_sum_sum + w_pairs * xbar^2
+      den = sum_m2 - n_tiles * xbar^2,          xbar = sum_m / n_tiles
+
+    Distribution: ONE fused Arrow pass for the floor-means (pixels never
+    shuffle), then a slim 4-probe explode + equi-join on (gx, gy) — the
+    standard lattice neighbourhood join; at 100 TB both sides partition
+    on the grid key and the join is co-located.  w_pairs counts directed
+    neighbour pairs (symmetric weights => every unordered pair twice)."""
+    from ..constants import GRID_W
+    from ..functions.codecs import pixel_mean
+    from .georegister import image_idx
+
+    idx = image_idx()
+    t = tiles.select(
+        (idx % GRID_W).cast("long").alias("gx"),
+        F.floor(idx / GRID_W).cast("long").alias("gy"),
+        # mean is exact in float64 (integer sum < 2^53, power-of-two
+        # divisor), so floor() here == integer SUM // (w*h) in the oracle
+        F.floor(
+            pixel_mean(F.col("bytes"), F.col("w"), F.col("h"), F.col("fmt"))
+        ).cast("long").alias("m"),
+    )
+    base = t.agg(
+        F.count("*").alias("n_tiles"),
+        F.sum("m").alias("sum_m"),
+        F.sum(F.col("m") * F.col("m")).alias("sum_m2"),
+    )
+    probes = t.select(
+        F.col("m").alias("m_i"),
+        F.explode(
+            F.array(
+                F.struct((F.col("gx") + 1).alias("gx"), F.col("gy").alias("gy")),
+                F.struct((F.col("gx") - 1).alias("gx"), F.col("gy").alias("gy")),
+                F.struct(F.col("gx").alias("gx"), (F.col("gy") + 1).alias("gy")),
+                F.struct(F.col("gx").alias("gx"), (F.col("gy") - 1).alias("gy")),
+            )
+        ).alias("nb"),
+    ).select("m_i", F.col("nb.gx").alias("gx"), F.col("nb.gy").alias("gy"))
+    pairs = probes.join(t.select("gx", "gy", F.col("m").alias("m_j")), ["gx", "gy"])
+    pagg = pairs.agg(
+        F.count("*").alias("w_pairs"),
+        F.sum(F.col("m_i") * F.col("m_j")).alias("pair_prod_sum"),
+        F.sum(F.col("m_i") + F.col("m_j")).alias("pair_sum_sum"),
+    )
+    return base.crossJoin(pagg)

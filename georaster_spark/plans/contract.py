@@ -1750,6 +1750,188 @@ FROM px GROUP BY image_id ORDER BY image_id
 """
 
 
+_XTAB_LIM = 2048
+_XTAB_BINS = 4
+
+
+def q_crosstab(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Zonal crosstab / tabulate-area (algebra.crosstab_stats — ArcGIS
+    TabulateArea analog): categorical contingency between consecutive
+    scenes paired as two co-registered epochs.  Equi-join on the pair
+    key (bucketed-table shuffle-free at scale) + ONE fused Arrow pass
+    computing each pair's whole bins x bins table as one vectorized
+    offset-bincount."""
+    from ..operators import algebra
+
+    im = _images(spark, sf_dir).where(geo.image_idx() < _XTAB_LIM)
+    pair = F.shiftright(geo.image_idx(), 1).alias("pair_id")
+    a = im.where(geo.image_idx() % 2 == 0).select(pair, "bytes", "fmt")
+    b = im.where(geo.image_idx() % 2 == 1).select(pair, "bytes", "fmt")
+    return (
+        algebra.crosstab_stats(a, b, key="pair_id", bins=_XTAB_BINS)
+        .repartition(1).sortWithinPartitions("pair_id", "class_a", "class_b")
+    )
+
+
+def _sql_crosstab(fx: Path, w: int) -> str:
+    width = 256 // _XTAB_BINS
+    va = osql.ramp_value_expr("gi.i", "gj.j", idx="ia", fmt="fmt_a")
+    vb = osql.ramp_value_expr("gi.i", "gj.j", idx="ib", fmt="fmt_b")
+    return f"""
+WITH img AS (
+  SELECT CAST(substr(image_id, 4, 10) AS BIGINT) AS idx, fmt
+  FROM read_parquet('{fx / 'images.parquet'}')
+),
+pairs AS (
+  SELECT a.idx // 2 AS pair_id, a.idx AS ia, b.idx AS ib,
+         a.fmt AS fmt_a, b.fmt AS fmt_b
+  FROM img a JOIN img b ON b.idx = a.idx + 1
+  WHERE a.idx % 2 = 0 AND a.idx < {_XTAB_LIM}
+),
+px AS (
+  SELECT pair_id,
+         CAST({va} AS BIGINT) // {width} AS class_a,
+         CAST({vb} AS BIGINT) // {width} AS class_b
+  FROM pairs,
+       generate_series(0, {w - 1}) AS gi(i), generate_series(0, {w - 1}) AS gj(j)
+)
+SELECT pair_id, CAST(class_a AS INTEGER) AS class_a,
+       CAST(class_b AS INTEGER) AS class_b,
+       CAST(COUNT(*) AS BIGINT) AS n_px
+FROM px GROUP BY pair_id, class_a, class_b
+ORDER BY pair_id, class_a, class_b
+"""
+
+
+_SOBEL_MOD = 61
+
+
+def q_sobel_orient(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sobel gradient-orientation census (algebra.
+    sobel_orientation_stats — HOG-lite): 8 exact 45-degree octants from
+    integer sign/magnitude comparisons only.  Map-only fused Arrow
+    pass."""
+    from ..operators import algebra
+
+    tiles = geo.georegister(_images(spark, sf_dir)).where(
+        geo.image_idx() % _SOBEL_MOD == 0
+    )
+    return (
+        algebra.sobel_orientation_stats(tiles)
+        .repartition(1).sortWithinPartitions("image_id")
+    )
+
+
+def _sql_sobel_orient(fx: Path, w: int) -> str:
+    def rv(di: int, dj: int) -> str:
+        return f"CAST({osql.ramp_value_expr(f'gi.i + {di}', f'gj.j + {dj}')} AS BIGINT)"
+
+    gx = (
+        f"(({rv(-1, 1)} + 2*{rv(0, 1)} + {rv(1, 1)})"
+        f" - ({rv(-1, -1)} + 2*{rv(0, -1)} + {rv(1, -1)}))"
+    )
+    gy = (
+        f"(({rv(1, -1)} + 2*{rv(1, 0)} + {rv(1, 1)})"
+        f" - ({rv(-1, -1)} + 2*{rv(-1, 0)} + {rv(-1, 1)}))"
+    )
+    lo, hi = 1, w - 2
+    iw = w - 2
+    octs = ",\n       ".join(
+        f"CAST(SUM(CASE WHEN NOT flat AND octant = {o} THEN 1 ELSE 0 END) AS BIGINT)"
+        f" AS n_o{o}"
+        for o in range(8)
+    )
+    return f"""
+WITH {osql.georegister_cte(str(fx / 'images.parquet'))},
+-- MATERIALIZED: keep DuckDB from inlining the giant Sobel expressions
+-- into every downstream CASE (see flow_accum).
+g AS MATERIALIZED (
+  SELECT image_id, gi.i AS i, gj.j AS j, {gx} AS gx, {gy} AS gy
+  FROM tiles,
+       generate_series({lo}, {hi}) AS gi(i), generate_series({lo}, {hi}) AS gj(j)
+  WHERE idx % {_SOBEL_MOD} = 0
+),
+oct AS MATERIALIZED (
+  SELECT image_id, i, j, gx, gy,
+         (gx = 0 AND gy = 0) AS flat,
+         (gy < 0 OR (gy = 0 AND gx < 0)) AS flip,
+         CASE WHEN gy < 0 OR (gy = 0 AND gx < 0) THEN -gx ELSE gx END AS nx,
+         CASE WHEN gy < 0 OR (gy = 0 AND gx < 0) THEN -gy ELSE gy END AS ny
+  FROM g
+),
+px AS MATERIALIZED (
+  SELECT image_id, i, j, gx, gy, flat,
+         (CASE WHEN nx > 0 AND ny < nx THEN 0
+               WHEN nx > 0 THEN 1
+               WHEN ny > -nx THEN 2 ELSE 3 END)
+         + CASE WHEN flip THEN 4 ELSE 0 END AS octant
+  FROM oct
+)
+SELECT image_id,
+       CAST(COUNT(*) AS BIGINT) AS n_interior,
+       CAST(SUM(CASE WHEN flat THEN 1 ELSE 0 END) AS BIGINT) AS n_flat,
+       {octs},
+       CAST(SUM(abs(gx) + abs(gy)) AS BIGINT) AS grad_l1_sum,
+       CAST(SUM((CASE WHEN flat THEN 0 ELSE octant + 1 END)
+                * ((i - 1) * {iw} + (j - 1) + 1)) AS BIGINT) AS orient_checksum
+FROM px GROUP BY image_id ORDER BY image_id
+"""
+
+
+def q_moran(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Global Moran's I spatial autocorrelation moments over the ingest
+    lattice (raster_stats.moran_lattice_moments): ONE fused Arrow pass
+    for integer tile floor-means + a slim 4-probe explode/equi-join on
+    the grid key.  Emits the exact integer moments; I itself is a pure
+    function of them (kept out of the hash so no float crosses it)."""
+    from ..operators import raster_stats as rs
+
+    return rs.moran_lattice_moments(geo.georegister(_images(spark, sf_dir)))
+
+
+def _sql_moran(fx: Path, w: int) -> str:
+    from ..constants import GRID_W
+
+    v = osql.ramp_value_expr("gi.i", "gj.j")
+    return f"""
+WITH img AS (
+  SELECT CAST(substr(image_id, 4, 10) AS BIGINT) AS idx, w, h, fmt
+  FROM read_parquet('{fx / 'images.parquet'}')
+),
+m AS MATERIALIZED (
+  SELECT idx, idx % {GRID_W} AS gx, idx // {GRID_W} AS gy,
+         SUM(CAST({v} AS BIGINT)) // (ANY_VALUE(w) * ANY_VALUE(h)) AS m
+  FROM img AS tiles_src,
+       generate_series(0, {w - 1}) AS gi(i), generate_series(0, {w - 1}) AS gj(j)
+  GROUP BY idx, gx, gy
+),
+tiles AS (SELECT * FROM m),
+pairs AS (
+  SELECT a.m AS m_i, b.m AS m_j FROM tiles a JOIN tiles b
+    ON b.gx = a.gx + 1 AND b.gy = a.gy
+  UNION ALL
+  SELECT a.m, b.m FROM tiles a JOIN tiles b ON b.gx = a.gx - 1 AND b.gy = a.gy
+  UNION ALL
+  SELECT a.m, b.m FROM tiles a JOIN tiles b ON b.gx = a.gx AND b.gy = a.gy + 1
+  UNION ALL
+  SELECT a.m, b.m FROM tiles a JOIN tiles b ON b.gx = a.gx AND b.gy = a.gy - 1
+),
+base AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS n_tiles,
+         CAST(SUM(m) AS BIGINT) AS sum_m,
+         CAST(SUM(m * m) AS BIGINT) AS sum_m2
+  FROM tiles
+),
+pagg AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS w_pairs,
+         CAST(SUM(m_i * m_j) AS BIGINT) AS pair_prod_sum,
+         CAST(SUM(m_i + m_j) AS BIGINT) AS pair_sum_sum
+  FROM pairs
+)
+SELECT * FROM base, pagg
+"""
+
+
 _GLCM_MOD = 71
 
 
@@ -4140,6 +4322,10 @@ def spatial_queries() -> dict[str, QueryFn]:
         "flow_direction": q_flow_direction,
         "flow_accum": q_flow_accum,
         "tpi_terrain": q_tpi_terrain,
+        "crosstab": q_crosstab,
+        "sobel_orient": q_sobel_orient,
+        "moran_lattice": q_moran,
+        "skyline_orders": rel.skyline_orders,
         "curation_pipeline": q_curation_pipeline,
         "mode_pool": q_mode_pool,
         "voronoi_assign": q_voronoi,
@@ -4258,6 +4444,10 @@ def spatial_oracles(sf: str = "sf0.01") -> dict[str, str]:
         "flow_direction": _sql_flow_direction(fx, w),
         "flow_accum": _sql_flow_accum(fx, w),
         "tpi_terrain": _sql_tpi_terrain(fx, w),
+        "crosstab": _sql_crosstab(fx, w),
+        "sobel_orient": _sql_sobel_orient(fx, w),
+        "moran_lattice": _sql_moran(fx, w),
+        "skyline_orders": rel.skyline_orders_sql(),
         "curation_pipeline": _sql_curation_pipeline(fx, w),
         "mode_pool": _sql_mode_pool(fx, w),
         "voronoi_assign": _sql_voronoi(fx),

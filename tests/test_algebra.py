@@ -264,3 +264,89 @@ def test_flow_accum_tpi_contract_vs_duckdb(spark):
         assert len(srows) == len(orows) > 0
         assert sorted(sdf.columns) == sorted(ocols)
         assert table_hash(sdf.columns, srows) == table_hash(ocols, orows)
+
+
+def test_crosstab_matches_numpy(spark, sf0001_dir):
+    got = {}
+    im = spark.read.parquet(str(sf0001_dir / "images.parquet")).where(
+        geo.image_idx() < 64
+    )
+    pair = F.shiftright(geo.image_idx(), 1).alias("pair_id")
+    a = im.where(geo.image_idx() % 2 == 0).select(pair, "bytes", "fmt")
+    b = im.where(geo.image_idx() % 2 == 1).select(pair, "bytes", "fmt")
+    for r in algebra.crosstab_stats(a, b, key="pair_id", bins=4).collect():
+        got[(r["pair_id"], r["class_a"], r["class_b"])] = r["n_px"]
+    total = 0
+    for p in range(32):
+        va = oracle.ramp_tile(2 * p, 32, 32).astype(np.int64)
+        vb = oracle.ramp_tile(2 * p + 1, 32, 32).astype(np.int64)
+        if (2 * p) % 10 == 3:
+            va = oracle.quantize(va)
+        if (2 * p + 1) % 10 == 3:
+            vb = oracle.quantize(vb)
+        ca, cb = va // 64, vb // 64
+        for x in range(4):
+            for y in range(4):
+                n = int(((ca == x) & (cb == y)).sum())
+                if n:
+                    assert got[(p, x, y)] == n
+                    total += 1
+                else:
+                    assert (p, x, y) not in got
+    assert total == len(got)
+
+
+def test_sobel_orientation_matches_numpy_atan2(spark, sf0001_dir):
+    """The integer octant rule must equal float atan2 45-degree sectors
+    pixel-for-pixel (boundary angles land in the ccw-opening sector)."""
+    tiles = geo.georegister(
+        spark.read.parquet(str(sf0001_dir / "images.parquet"))
+    ).limit(5)
+    got = {r["image_id"]: r for r in algebra.sobel_orientation_stats(tiles).collect()}
+    for r in tiles.collect():
+        z = oracle.decode_pixels(r["bytes"], r["w"], r["h"], r["fmt"]).astype(np.int64)
+        h, w = z.shape
+
+        def sh(di, dj):
+            return z[1 + di : h - 1 + di, 1 + dj : w - 1 + dj]
+
+        gx = (sh(-1, 1) + 2 * sh(0, 1) + sh(1, 1)) - (
+            sh(-1, -1) + 2 * sh(0, -1) + sh(1, -1)
+        )
+        gy = (sh(1, -1) + 2 * sh(1, 0) + sh(1, 1)) - (
+            sh(-1, -1) + 2 * sh(-1, 0) + sh(-1, 1)
+        )
+        flat = (gx == 0) & (gy == 0)
+        ang = np.degrees(np.arctan2(gy, gx))  # (-180, 180]
+        ang = np.where(ang < 0, ang + 360.0, ang)
+        octf = np.floor(ang / 45.0).astype(np.int64) % 8
+        g = got[r["image_id"]]
+        assert g["n_flat"] == int(flat.sum())
+        for o in range(8):
+            assert g[f"n_o{o}"] == int((~flat & (octf == o)).sum()), (o,)
+        assert g["grad_l1_sum"] == int((np.abs(gx) + np.abs(gy)).sum())
+        wt = np.arange(1, gx.size + 1).reshape(gx.shape)
+        assert g["orient_checksum"] == int((np.where(flat, 0, octf + 1) * wt).sum())
+
+
+def test_crosstab_sobel_moran_contract_vs_duckdb(spark):
+    import duckdb
+
+    from georaster_spark.plans import contract as ct
+    from tests.driver_sim import table_hash
+
+    sf_dir = "/root/testdata/sf0.001"
+    fx = ct._fx(sf_dir)
+    con = duckdb.connect()
+    for qfn, sfn in (
+        (ct.q_crosstab, ct._sql_crosstab),
+        (ct.q_sobel_orient, ct._sql_sobel_orient),
+        (ct.q_moran, ct._sql_moran),
+    ):
+        sdf = qfn(spark, sf_dir)
+        srows = [tuple(r) for r in sdf.collect()]
+        orows = con.execute(sfn(fx, 32)).fetchall()
+        ocols = [d[0] for d in con.description]
+        assert len(srows) == len(orows) > 0, qfn.__name__
+        assert sorted(sdf.columns) == sorted(ocols)
+        assert table_hash(sdf.columns, srows) == table_hash(ocols, orows)

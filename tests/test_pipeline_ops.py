@@ -148,3 +148,42 @@ def test_pagerank_int_matches_reference(spark):
             nxt[d] = nxt.get(d, 0) + rank[s] // deg[s]
         rank = {n: 150_000 + (85 * v) // 100 for n, v in nxt.items()}
     assert got == rank
+
+
+def test_skyline_orders_matches_bruteforce(spark):
+    """Two-phase distributed skyline == brute-force O(n^2) dominance."""
+    import numpy as np
+
+    from georaster_spark.operators import relational as rel
+
+    sf_dir = "/root/testdata/sf0.001"
+    got = rel.skyline_orders(spark, sf_dir).collect()
+    orders = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    from pyspark.sql import functions as F
+
+    nl = li.groupBy("l_orderkey").count()
+    rows = (
+        orders.where(F.col("o_orderdate") >= F.lit("1997-01-01"))
+        .join(nl, orders.o_orderkey == nl.l_orderkey)
+        .select(
+            F.col("o_orderkey").cast("long"),
+            F.round(F.col("o_totalprice") * 100).cast("long"),
+            F.datediff(F.col("o_orderdate"), F.lit("1992-01-01")).cast("long"),
+            F.col("count").cast("long"),
+        )
+        .collect()
+    )
+    P = np.array([tuple(r) for r in rows], dtype=np.int64)
+    keys = []
+    for i in range(len(P)):
+        p = P[i]
+        dom = (
+            (P[:, 1] >= p[1]) & (P[:, 2] <= p[2]) & (P[:, 3] >= p[3])
+            & ((P[:, 1] > p[1]) | (P[:, 2] < p[2]) | (P[:, 3] > p[3]))
+        ).any()
+        if not dom:
+            keys.append(int(p[0]))
+    assert sorted(r["o_orderkey"] for r in got) == sorted(keys)
+    # two-phase invariant: partitioned local pass must not lose anybody
+    assert len(got) == len(keys) > 0
