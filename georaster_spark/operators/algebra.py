@@ -984,3 +984,236 @@ def sobel_orientation_stats(tiles: DataFrame) -> DataFrame:
             yield pd.DataFrame(out)
 
     return slim.mapInPandas(_sobel, schema=_SOBEL_SCHEMA)
+
+
+_OTSU_SCHEMA = (
+    "image_id string, otsu_t int, n_below long, n_above long, "
+    "sum_below long, sum_above long"
+)
+
+
+def otsu_stats(tiles: DataFrame) -> DataFrame:
+    """Per-tile Otsu threshold (the classic global-binarization step a
+    georaster user runs on ``self.r`` via skimage ``threshold_otsu``
+    before polygonizing — SURVEY §0 ⚠, nothing on disk), made
+    bit-for-bit checkable across engines.
+
+    Otsu maximizes the between-class variance
+        f(t) = (sT*w0(t) - N*s0(t))^2 / (w0(t)*(N - w0(t)))
+    over thresholds t (class "below" = v <= t).  All quantities are
+    integers except the quotient, so instead of float math each t gets
+    the EXACT order-preserving integer key
+
+        key(t) = floor(a(t)^2 * K / b(t)),   K = (N^2 // 4)^2
+
+    where a = sT*w0 - N*s0 and b = w0*(N-w0) <= N^2/4.  Distinct
+    fractions differ by >= 1/(b1*b2) >= 1/K, so their keys differ —
+    the argmax (first-max tie-break => smallest t) is identical in
+    arbitrary-precision Python ints here and HUGEINT in the DuckDB
+    oracle.  a^2 exceeds int64 for 64x64 tiles, hence object-dtype
+    (Python-int) NumPy arithmetic over the tiny (tiles x 256) grid —
+    never over pixels.
+
+    Scale shape: map-only fused Arrow pass (pixels cross once, output is
+    6 slim columns); the 256-bin histogram per tile is one vectorized
+    offset-bincount per (w,h,fmt) group.  raw16 inputs are right-shifted
+    to 8 bits first (the standard 256-bin Otsu reduction)."""
+    slim = tiles.select("image_id", "bytes", "w", "h", "fmt")
+    dt = {"raw": np.uint8, "qnt": np.uint8, "raw16": "<u2"}
+
+    def _otsu(batches):
+        for pdf in batches:
+            n = len(pdf)
+            out = {
+                "image_id": pdf["image_id"].to_numpy(dtype=object),
+                "otsu_t": np.full(n, -1, dtype=np.int32),
+            }
+            for c in ("n_below", "n_above", "sum_below", "sum_above"):
+                out[c] = np.zeros(n, dtype=np.int64)
+            groups: dict[tuple, list[int]] = {}
+            for r in range(n):
+                key = (int(pdf["w"].iat[r]), int(pdf["h"].iat[r]), pdf["fmt"].iat[r])
+                groups.setdefault(key, []).append(r)
+            for (w, h, fmt), idx in groups.items():
+                b = len(idx)
+                N = w * h
+                z = np.frombuffer(
+                    b"".join(pdf["bytes"].iat[r] for r in idx), dtype=dt[fmt]
+                ).reshape(b, N)
+                if fmt == "raw16":
+                    z = z >> 8
+                z = z.astype(np.int64)
+                # (b, 256) histogram as ONE flat bincount with row offsets
+                flat = np.arange(b, dtype=np.int64)[:, None] * 256 + z
+                cnt = np.bincount(flat.ravel(), minlength=b * 256).reshape(b, 256)
+                w0 = np.cumsum(cnt, axis=1)                      # (b, 256)
+                s0 = np.cumsum(cnt * np.arange(256), axis=1)
+                sT = s0[:, -1:]
+                a = sT * w0 - N * s0                             # |a| <= 255*N^2
+                bden = w0 * (N - w0)
+                K = (N * N // 4) ** 2
+                # exact keys on the valid range t in [0, 254], b(t) > 0
+                A = a[:, :255].astype(object)
+                B = bden[:, :255].astype(object)
+                valid = bden[:, :255] > 0
+                keys = np.where(valid, A * A * K, -1)
+                keys = np.where(valid, keys // np.where(valid, B, 1), -1)
+                best = np.argmax(keys, axis=1)                   # first max = smallest t
+                rows = np.asarray(idx)
+                any_valid = valid.any(axis=1)
+                bi = np.arange(b)
+                out["otsu_t"][rows] = np.where(any_valid, best, -1).astype(np.int32)
+                out["n_below"][rows] = np.where(any_valid, w0[bi, best], 0)
+                out["sum_below"][rows] = np.where(any_valid, s0[bi, best], 0)
+                out["n_above"][rows] = np.where(any_valid, N - w0[bi, best], 0)
+                out["sum_above"][rows] = np.where(
+                    any_valid, sT[:, 0] - s0[bi, best], 0
+                )
+            yield pd.DataFrame(out)
+
+    return slim.mapInPandas(_otsu, schema=_OTSU_SCHEMA)
+
+
+_MEDIAN_SCHEMA = (
+    "image_id string, n_interior long, sum_med long, n_changed long, "
+    "med_checksum long"
+)
+
+
+def focal_median_stats(tiles: DataFrame) -> DataFrame:
+    """3x3 focal-median census (salt-and-pepper denoise — scipy
+    ``median_filter`` over a loaded ``self.r``; SURVEY §0 ⚠).  The
+    median of 9 integers is the 5th order statistic — an exact integer,
+    so the DuckDB oracle re-derives it as list_sort([...])[5] over the
+    ramp formula.  Per tile: interior count, sum of medians, count of
+    pixels the filter changes, position-weighted median checksum.
+
+    Scale shape: map-only fused Arrow pass; the 9-element sort runs as
+    ONE np.sort over a (tiles, 9, ih, iw) block per (w,h,fmt) group —
+    no per-pixel Python."""
+    slim = tiles.select("image_id", "bytes", "w", "h", "fmt")
+    dt = {"raw": np.uint8, "qnt": np.uint8, "raw16": "<u2"}
+
+    def _med(batches):
+        for pdf in batches:
+            n = len(pdf)
+            out = {"image_id": pdf["image_id"].to_numpy(dtype=object)}
+            for c in ("n_interior", "sum_med", "n_changed", "med_checksum"):
+                out[c] = np.zeros(n, dtype=np.int64)
+            groups: dict[tuple, list[int]] = {}
+            for r in range(n):
+                key = (int(pdf["w"].iat[r]), int(pdf["h"].iat[r]), pdf["fmt"].iat[r])
+                groups.setdefault(key, []).append(r)
+            for (w, h, fmt), idx in groups.items():
+                if w < 3 or h < 3:
+                    continue
+                b = len(idx)
+                ih, iw = h - 2, w - 2
+                z = (
+                    np.frombuffer(
+                        b"".join(pdf["bytes"].iat[r] for r in idx), dtype=dt[fmt]
+                    )
+                    .reshape(b, h, w)
+                    .astype(np.int64)
+                )
+                stack = np.stack(
+                    [
+                        z[:, 1 + di : h - 1 + di, 1 + dj : w - 1 + dj]
+                        for di in (-1, 0, 1)
+                        for dj in (-1, 0, 1)
+                    ],
+                    axis=1,
+                )  # (b, 9, ih, iw)
+                stack.sort(axis=1)
+                med = stack[:, 4]
+                c0 = z[:, 1:-1, 1:-1]
+                wt = np.arange(1, ih * iw + 1, dtype=np.int64).reshape(ih, iw)
+                rows = np.asarray(idx)
+                out["n_interior"][rows] = ih * iw
+                out["sum_med"][rows] = med.sum(axis=(1, 2))
+                out["n_changed"][rows] = (med != c0).sum(axis=(1, 2))
+                out["med_checksum"][rows] = (med * wt).sum(axis=(1, 2))
+            yield pd.DataFrame(out)
+
+    return slim.mapInPandas(_med, schema=_MEDIAN_SCHEMA)
+
+
+_OPEN_SCHEMA = (
+    "image_id string, dir int, horizon_k int, horizon_num long, "
+    "n_rising long, ray_checksum long"
+)
+
+
+def openness_stats(tiles: DataFrame) -> DataFrame:
+    """8-ray topographic-openness / horizon-angle census (Yokoyama et
+    al. 2002 positive openness; gdaldem has no direct analog — a
+    georaster user derives it from a loaded DEM.  SURVEY §0 ⚠).
+
+    From the tile center z0 = z[h//2, w//2], along each of the 8
+    principal directions, steps k = 1..L (L = distance to the nearest
+    edge): the horizon is the step maximizing the elevation angle
+    (z_k - z0)/k.  Along a principal ray the per-step ground distance is
+    k times a constant (1 or sqrt(2)) which CANCELS inside the ray, so
+    the argmax is a pure rational compare — made an exact int64 sort key
+    by multiplying through the common denominator D = lcm(1..L):
+
+        key(k) = (z_k - z0) * (D // k)          |key| <= 255 * D < 2^63
+
+    First-max tie-break = smallest k, identical in NumPy and the DuckDB
+    oracle's row_number ordering.  No division of signed ints anywhere
+    (DuckDB `//` truncates toward zero, Python floors — keys dodge the
+    mismatch entirely).
+
+    Output: one row per (tile, dir) with the horizon step, its rise
+    z_hor - z0, the count of rising steps, and the rise-weighted ray
+    checksum.  Map-only fused Arrow pass."""
+    import math
+
+    slim = tiles.select("image_id", "bytes", "w", "h", "fmt")
+    dt = {"raw": np.uint8, "qnt": np.uint8, "raw16": "<u2"}
+
+    def _open(batches):
+        for pdf in batches:
+            groups: dict[tuple, list[int]] = {}
+            for r in range(len(pdf)):
+                key = (int(pdf["w"].iat[r]), int(pdf["h"].iat[r]), pdf["fmt"].iat[r])
+                groups.setdefault(key, []).append(r)
+            cols: dict[str, list] = {c: [] for c in (
+                "image_id", "dir", "horizon_k", "horizon_num", "n_rising",
+                "ray_checksum")}
+            for (w, h, fmt), idx in groups.items():
+                ci, cj = h // 2, w // 2
+                L = min(ci, cj, h - 1 - ci, w - 1 - cj)
+                if L < 1:
+                    continue
+                D = math.lcm(*range(1, L + 1))
+                m = np.array([D // k for k in range(1, L + 1)], dtype=np.int64)
+                ks = np.arange(1, L + 1, dtype=np.int64)
+                b = len(idx)
+                z = (
+                    np.frombuffer(
+                        b"".join(pdf["bytes"].iat[r] for r in idx), dtype=dt[fmt]
+                    )
+                    .reshape(b, h, w)
+                    .astype(np.int64)
+                )
+                z0 = z[:, ci, cj][:, None]
+                ids = pdf["image_id"].to_numpy(dtype=object)[np.asarray(idx)]
+                for d, (di, dj) in enumerate(_N8):
+                    p = (
+                        z[:, ci + ks * di, cj + ks * dj] - z0
+                    )  # (b, L) rises along the ray
+                    keys = p * m
+                    hor = np.argmax(keys, axis=1)  # first max = smallest k
+                    bi = np.arange(b)
+                    cols["image_id"].extend(ids)
+                    cols["dir"].extend([d] * b)
+                    cols["horizon_k"].extend((hor + 1).astype(np.int32))
+                    cols["horizon_num"].extend(p[bi, hor])
+                    cols["n_rising"].extend((p > 0).sum(axis=1))
+                    cols["ray_checksum"].extend((p * ks).sum(axis=1))
+            yield pd.DataFrame(cols) if cols["image_id"] else pd.DataFrame(
+                {c: [] for c in cols}
+            )
+
+    return slim.mapInPandas(_open, schema=_OPEN_SCHEMA)

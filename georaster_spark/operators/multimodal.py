@@ -371,3 +371,37 @@ def video_frame_sample(df: DataFrame, every_k: int) -> DataFrame:
     return df.select("media_id", "bytes", "fmt", "w", "h", "n_frames").mapInPandas(
         gen, schema=schema
     )
+
+
+def compute_dhash(tiles: DataFrame, out_col: str = "dhash_px") -> DataFrame:
+    """Pixel-derived 64-bit difference hash (dHash — the
+    gradient-sign twin of compute_phash; the standard cheap near-dup
+    image fingerprint).  Samples an 8x9 grid at pixel centers
+    (row_i = (2i+1)*h // 16, col_j = (2j+1)*w // 18) and sets bit
+    k = i*8 + j iff v[row_i, col_{j+1}] > v[row_i, col_j] — nearest
+    sampling, not block means, so every bit is a single integer compare
+    reproducible in SQL from the ramp formula.  Bits packed row-major,
+    two's-complement into a signed long (same convention as
+    compute_phash / the fixture phash column, so phash.phash_near_dup's
+    banded LSH join applies unchanged)."""
+
+    @F.pandas_udf(LongType())
+    def _dh(data: pd.Series, w: pd.Series, h: pd.Series, fmt: pd.Series) -> pd.Series:
+        out = np.zeros(len(data), dtype=np.uint64)
+        for k in range(len(data)):
+            arr = oracle.decode_pixels(data.iat[k], int(w.iat[k]), int(h.iat[k]), fmt.iat[k])
+            hh, ww = arr.shape
+            ri = (2 * np.arange(8) + 1) * hh // 16
+            cj = (2 * np.arange(9) + 1) * ww // 18
+            g = arr[np.ix_(ri, cj)].astype(np.int64)  # (8, 9)
+            bits = g[:, 1:] > g[:, :-1]               # (8, 8)
+            val = np.uint64(0)
+            weights = (np.uint64(1) << (np.arange(8, dtype=np.uint64) * 8)[:, None] <<
+                       np.arange(8, dtype=np.uint64)[None, :])
+            val = (weights * bits.astype(np.uint64)).sum(dtype=np.uint64)
+            out[k] = val
+        return pd.Series(out.view(np.int64))
+
+    return tiles.withColumn(
+        out_col, _dh(F.col("bytes"), F.col("w"), F.col("h"), F.col("fmt"))
+    )

@@ -4325,6 +4325,11 @@ def spatial_queries() -> dict[str, QueryFn]:
         "crosstab": q_crosstab,
         "sobel_orient": q_sobel_orient,
         "moran_lattice": q_moran,
+        "otsu_threshold": q_otsu,
+        "focal_median": q_focal_median,
+        "openness": q_openness,
+        "dhash_compute": q_dhash_compute,
+        "dhash_near_dup": q_dhash_near_dup,
         "skyline_orders": rel.skyline_orders,
         "curation_pipeline": q_curation_pipeline,
         "mode_pool": q_mode_pool,
@@ -4447,6 +4452,11 @@ def spatial_oracles(sf: str = "sf0.01") -> dict[str, str]:
         "crosstab": _sql_crosstab(fx, w),
         "sobel_orient": _sql_sobel_orient(fx, w),
         "moran_lattice": _sql_moran(fx, w),
+        "otsu_threshold": _sql_otsu(fx, w),
+        "focal_median": _sql_focal_median(fx, w),
+        "openness": _sql_openness(fx, w),
+        "dhash_compute": _sql_dhash_compute(fx, w),
+        "dhash_near_dup": _sql_dhash_near_dup(fx, w),
         "skyline_orders": rel.skyline_orders_sql(),
         "curation_pipeline": _sql_curation_pipeline(fx, w),
         "mode_pool": _sql_mode_pool(fx, w),
@@ -4495,3 +4505,263 @@ def spatial_oracles(sf: str = "sf0.01") -> dict[str, str]:
         **textops.text_oracles(),
         **vectors.vector_oracles(),
     }
+
+
+# --- round-2 batch: otsu / focal median / openness / dhash ------------------
+
+_OTSU_MOD = 53
+
+
+def q_otsu(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-tile Otsu threshold (algebra.otsu_stats — skimage
+    threshold_otsu analog) on the exact integer-key surface.  Map-only
+    fused Arrow pass."""
+    from ..operators import algebra
+
+    tiles = geo.georegister(_images(spark, sf_dir)).where(
+        geo.image_idx() % _OTSU_MOD == 0
+    )
+    return (
+        algebra.otsu_stats(tiles)
+        .repartition(1).sortWithinPartitions("image_id")
+    )
+
+
+def _sql_otsu(fx: Path, w: int) -> str:
+    n_px = w * w
+    K = (n_px * n_px // 4) ** 2
+    ramp = osql.ramp_value_expr("gi.i", "gj.j")
+    return f"""
+WITH {osql.georegister_cte(str(fx / 'images.parquet'))},
+px AS (
+  SELECT image_id, CAST({ramp} AS BIGINT) AS v
+  FROM tiles,
+       generate_series(0, {w - 1}) AS gi(i), generate_series(0, {w - 1}) AS gj(j)
+  WHERE idx % {_OTSU_MOD} = 0
+),
+hist AS (
+  SELECT image_id, v, CAST(COUNT(*) AS BIGINT) AS c
+  FROM px GROUP BY image_id, v
+),
+cum AS (
+  SELECT image_id, v AS t,
+         SUM(c) OVER (PARTITION BY image_id ORDER BY v) AS w0,
+         SUM(v * c) OVER (PARTITION BY image_id ORDER BY v) AS s0,
+         SUM(c) OVER (PARTITION BY image_id) AS n,
+         SUM(v * c) OVER (PARTITION BY image_id) AS s_tot
+  FROM hist
+),
+scored AS (
+  SELECT image_id, t, w0, s0, n, s_tot,
+         (s_tot::HUGEINT * w0 - n::HUGEINT * s0) AS a,
+         (w0::HUGEINT * (n - w0)) AS b
+  FROM cum WHERE w0 > 0 AND w0 < n
+),
+best AS (
+  SELECT image_id, t, w0, s0, n, s_tot,
+         row_number() OVER (
+           PARTITION BY image_id
+           ORDER BY (a * a * {K}::HUGEINT) // b DESC, t ASC) AS rn
+  FROM scored
+)
+SELECT image_id, CAST(t AS INTEGER) AS otsu_t,
+       CAST(w0 AS BIGINT) AS n_below,
+       CAST(n - w0 AS BIGINT) AS n_above,
+       CAST(s0 AS BIGINT) AS sum_below,
+       CAST(s_tot - s0 AS BIGINT) AS sum_above
+FROM best WHERE rn = 1 ORDER BY image_id
+"""
+
+
+_MEDF_MOD = 67
+
+
+def q_focal_median(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """3x3 focal-median census (algebra.focal_median_stats — scipy
+    median_filter / salt-and-pepper denoise analog).  Map-only fused
+    Arrow pass; median of 9 ints is the exact 5th order statistic."""
+    from ..operators import algebra
+
+    tiles = geo.georegister(_images(spark, sf_dir)).where(
+        geo.image_idx() % _MEDF_MOD == 0
+    )
+    return (
+        algebra.focal_median_stats(tiles)
+        .repartition(1).sortWithinPartitions("image_id")
+    )
+
+
+def _sql_focal_median(fx: Path, w: int) -> str:
+    def rv(di: int, dj: int) -> str:
+        return (
+            f"CAST({osql.ramp_value_expr(f'gi.i + {di}', f'gj.j + {dj}')} AS BIGINT)"
+        )
+
+    nine = ", ".join(rv(di, dj) for di in (-1, 0, 1) for dj in (-1, 0, 1))
+    lo, hi = 1, w - 2
+    iw = w - 2
+    return f"""
+WITH {osql.georegister_cte(str(fx / 'images.parquet'))},
+px AS (
+  SELECT image_id, gi.i AS i, gj.j AS j,
+         list_sort([{nine}])[5] AS med,
+         {rv(0, 0)} AS c0
+  FROM tiles,
+       generate_series({lo}, {hi}) AS gi(i), generate_series({lo}, {hi}) AS gj(j)
+  WHERE idx % {_MEDF_MOD} = 0
+)
+SELECT image_id,
+       CAST(COUNT(*) AS BIGINT) AS n_interior,
+       CAST(SUM(med) AS BIGINT) AS sum_med,
+       CAST(SUM(CASE WHEN med <> c0 THEN 1 ELSE 0 END) AS BIGINT) AS n_changed,
+       CAST(SUM(med * ((i - 1) * {iw} + (j - 1) + 1)) AS BIGINT) AS med_checksum
+FROM px GROUP BY image_id ORDER BY image_id
+"""
+
+
+_OPEN_MOD = 47
+
+
+def q_openness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """8-ray topographic-openness / horizon census (algebra.
+    openness_stats — Yokoyama positive-openness analog) on the exact
+    lcm-scaled rational-angle surface.  Map-only fused Arrow pass."""
+    from ..operators import algebra
+
+    tiles = geo.georegister(_images(spark, sf_dir)).where(
+        geo.image_idx() % _OPEN_MOD == 0
+    )
+    return (
+        algebra.openness_stats(tiles)
+        .repartition(1).sortWithinPartitions("image_id", "dir")
+    )
+
+
+def _sql_openness(fx: Path, w: int) -> str:
+    import math
+
+    ci = w // 2
+    L = min(ci, w - 1 - ci)
+    D = math.lcm(*range(1, L + 1))
+    z0 = osql.ramp_value_expr(str(ci), str(ci))
+    zk = osql.ramp_value_expr(f"{ci} + k.k * d.di", f"{ci} + k.k * d.dj")
+    dirs = ",".join(
+        f"({i},{di},{dj})"
+        for i, (di, dj) in enumerate(
+            ((-1, -1), (-1, 0), (-1, 1), (0, -1), (0, 1), (1, -1), (1, 0), (1, 1))
+        )
+    )
+    return f"""
+WITH {osql.georegister_cte(str(fx / 'images.parquet'))},
+rays AS (
+  SELECT image_id, d.dir, k.k,
+         CAST({zk} AS BIGINT) - CAST({z0} AS BIGINT) AS p
+  FROM tiles,
+       (VALUES {dirs}) AS d(dir, di, dj),
+       generate_series(1, {L}) AS k(k)
+  WHERE idx % {_OPEN_MOD} = 0
+),
+scored AS (SELECT *, p * ({D} // k) AS skey FROM rays),
+agg AS (
+  SELECT image_id, dir,
+         CAST(SUM(CASE WHEN p > 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_rising,
+         CAST(SUM(p * k) AS BIGINT) AS ray_checksum
+  FROM scored GROUP BY image_id, dir
+),
+hor AS (
+  SELECT image_id, dir, k, p,
+         row_number() OVER (
+           PARTITION BY image_id, dir ORDER BY skey DESC, k ASC) AS rn
+  FROM scored
+)
+SELECT h.image_id, CAST(h.dir AS INTEGER) AS dir,
+       CAST(h.k AS INTEGER) AS horizon_k, CAST(h.p AS BIGINT) AS horizon_num,
+       a.n_rising, a.ray_checksum
+FROM hor h JOIN agg a USING (image_id, dir)
+WHERE h.rn = 1 ORDER BY h.image_id, h.dir
+"""
+
+
+_DHASH_MOD = 37
+_DHASH_T = 3
+
+
+def _dhash_tiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators import multimodal
+
+    tiles = geo.georegister(_images(spark, sf_dir)).where(
+        geo.image_idx() % _DHASH_MOD == 0
+    )
+    return multimodal.compute_dhash(tiles)
+
+
+def q_dhash_compute(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pixel-derived 64-bit dHash (multimodal.compute_dhash — gradient
+    sign bits over an 8x9 nearest-sampled grid)."""
+    return (
+        _dhash_tiles(spark, sf_dir)
+        .select("image_id", "dhash_px")
+        .repartition(1).sortWithinPartitions("image_id")
+    )
+
+
+def q_dhash_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """dHash near-dup pairs via the SAME banded pigeonhole LSH join as
+    op E11 (phash.phash_near_dup) — lossless for t <= 4 — over the
+    pixel-DERIVED hash instead of the fixture's phash column."""
+    from ..operators import phash as ph
+
+    hashed = _dhash_tiles(spark, sf_dir).select(
+        "image_id", F.col("dhash_px").alias("phash")
+    )
+    return (
+        ph.phash_near_dup(hashed, t=_DHASH_T)
+        .repartition(1).sortWithinPartitions("a_id", "b_id")
+    )
+
+
+def _sql_dhash_bits(w: int) -> str:
+    """The 64-bit dHash of tile `idx` as a signed-BIGINT SQL expression
+    (twin of multimodal.compute_dhash, bit 63 two's-complemented)."""
+    ri = [(2 * i + 1) * w // 16 for i in range(8)]
+    cj = [(2 * j + 1) * w // 18 for j in range(9)]
+
+    def cmp(i: int, j: int) -> str:
+        a = osql.ramp_value_expr(str(ri[i]), str(cj[j + 1]))
+        b = osql.ramp_value_expr(str(ri[i]), str(cj[j]))
+        return f"(({a}) > ({b}))"
+
+    terms = []
+    for i in range(8):
+        for j in range(8):
+            k = i * 8 + j
+            if k < 63:
+                terms.append(f"CASE WHEN {cmp(i, j)} THEN (1::BIGINT << {k}) ELSE 0 END")
+            else:
+                terms.append(
+                    f"CASE WHEN {cmp(i, j)} THEN -9223372036854775808 ELSE 0::BIGINT END"
+                )
+    return "(" + "\n + ".join(terms) + ")"
+
+
+def _sql_dhash_compute(fx: Path, w: int) -> str:
+    return f"""
+WITH {osql.georegister_cte(str(fx / 'images.parquet'))}
+SELECT image_id, CAST({_sql_dhash_bits(w)} AS BIGINT) AS dhash_px
+FROM tiles WHERE idx % {_DHASH_MOD} = 0 ORDER BY image_id
+"""
+
+
+def _sql_dhash_near_dup(fx: Path, w: int) -> str:
+    return f"""
+WITH {osql.georegister_cte(str(fx / 'images.parquet'))},
+hashes AS (
+  SELECT image_id, CAST({_sql_dhash_bits(w)} AS BIGINT) AS dh
+  FROM tiles WHERE idx % {_DHASH_MOD} = 0
+)
+SELECT a.image_id AS a_id, b.image_id AS b_id,
+       CAST(bit_count(xor(a.dh, b.dh)) AS INTEGER) AS hamming
+FROM hashes a JOIN hashes b ON a.image_id < b.image_id
+WHERE bit_count(xor(a.dh, b.dh)) <= {_DHASH_T}
+ORDER BY a_id, b_id
+"""

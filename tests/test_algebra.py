@@ -350,3 +350,84 @@ def test_crosstab_sobel_moran_contract_vs_duckdb(spark):
         assert len(srows) == len(orows) > 0, qfn.__name__
         assert sorted(sdf.columns) == sorted(ocols)
         assert table_hash(sdf.columns, srows) == table_hash(ocols, orows)
+
+
+def _tiles(spark, sf0001_dir, mod=37):
+    return geo.georegister(
+        spark.read.parquet(str(sf0001_dir / "images.parquet"))
+    ).where(geo.image_idx() % mod == 0)
+
+
+def _ramp(idx: int, w: int = 32) -> np.ndarray:
+    v = oracle.ramp_tile(idx, w, w).astype(np.int64)
+    return oracle.quantize(v) if idx % 10 == 3 else v
+
+
+def test_otsu_matches_bruteforce(spark, sf0001_dir):
+    """otsu_stats vs an independent float-free brute force using
+    Fraction comparison (not the scaled-key trick, so the trick itself
+    is under test)."""
+    from fractions import Fraction
+
+    got = {r["image_id"]: r for r in algebra.otsu_stats(_tiles(spark, sf0001_dir)).collect()}
+    assert len(got) == 28  # 1000 images, idx % 37 == 0
+    for idx in range(0, 1000, 37):
+        z = _ramp(idx).ravel()
+        N = z.size
+        best_t, best_f = -1, Fraction(-1)
+        for t in range(255):
+            w0 = int((z <= t).sum())
+            if not 0 < w0 < N:
+                continue
+            s0 = int(z[z <= t].sum())
+            a = int(z.sum()) * w0 - N * s0
+            f = Fraction(a * a, w0 * (N - w0))
+            if f > best_f:
+                best_f, best_t = f, t
+        r = got[f"img{idx:08d}"]
+        assert r["otsu_t"] == best_t
+        assert r["n_below"] == int((z <= best_t).sum())
+        assert r["sum_above"] == int(z[z > best_t].sum())
+
+
+def test_focal_median_matches_numpy(spark, sf0001_dir):
+    got = {r["image_id"]: r for r in algebra.focal_median_stats(_tiles(spark, sf0001_dir)).collect()}
+    for idx in range(0, 1000, 37):
+        z = _ramp(idx)
+        win = np.stack(
+            [z[1 + di:31 + di, 1 + dj:31 + dj] for di in (-1, 0, 1) for dj in (-1, 0, 1)]
+        )
+        med = np.median(win, axis=0).astype(np.int64)  # 9 ints -> exact
+        r = got[f"img{idx:08d}"]
+        assert r["n_interior"] == 900
+        assert r["sum_med"] == int(med.sum())
+        assert r["n_changed"] == int((med != z[1:-1, 1:-1]).sum())
+
+
+def test_openness_matches_bruteforce(spark, sf0001_dir):
+    """openness_stats vs a Fraction-compare brute force over each ray
+    (exercises the lcm-key ordering incl. negative rises and ties)."""
+    from fractions import Fraction
+
+    rows = algebra.openness_stats(_tiles(spark, sf0001_dir)).collect()
+    got = {(r["image_id"], r["dir"]): r for r in rows}
+    assert len(got) == 28 * 8
+    n8 = ((-1, -1), (-1, 0), (-1, 1), (0, -1), (0, 1), (1, -1), (1, 0), (1, 1))
+    for idx in range(0, 1000, 37):
+        z = _ramp(idx)
+        ci = cj = 16
+        L = 15
+        for d, (di, dj) in enumerate(n8):
+            p = [int(z[ci + k * di, cj + k * dj]) - int(z[ci, cj]) for k in range(1, L + 1)]
+            hor = max(range(L), key=lambda i: (Fraction(p[i], i + 1), -i))
+            r = got[(f"img{idx:08d}", d)]
+            assert r["horizon_k"] == hor + 1
+            assert r["horizon_num"] == p[hor]
+            assert r["n_rising"] == sum(1 for x in p if x > 0)
+            assert r["ray_checksum"] == sum(x * (i + 1) for i, x in enumerate(p))
+
+
+def test_new_ops_single_arrow_hop(spark, sf0001_dir):
+    for op in (algebra.otsu_stats, algebra.focal_median_stats, algebra.openness_stats):
+        plan = op(_tiles(spark, sf0001_dir))._jdf.queryExecution().executedPlan().toString()
+        assert plan.count("ArrowEvalPython") + plan.count("MapInPandas") == 1, (op, plan)

@@ -136,3 +136,31 @@ def test_image_augment_matches_numpy(spark, sf0001_dir):
         assert chk[r["image_id"]]["checksum"] == int(
             (exp.astype(np.int64) * weights).sum()
         )
+
+
+def test_compute_dhash_matches_numpy(spark, sf0001_dir):
+    import numpy as np
+
+    from georaster_spark import oracle
+    from georaster_spark.operators import georegister as geo
+    from georaster_spark.operators.multimodal import compute_dhash
+
+    tiles = geo.georegister(
+        spark.read.parquet(str(sf0001_dir / "images.parquet"))
+    ).where(geo.image_idx() % 101 == 0)
+    got = {r["image_id"]: r["dhash_px"] for r in compute_dhash(tiles).collect()}
+    assert len(got) == 10
+    for idx in range(0, 1000, 101):
+        z = oracle.ramp_tile(idx, 32, 32).astype(np.int64)
+        if idx % 10 == 3:
+            z = oracle.quantize(z)
+        ri = [(2 * i + 1) * 32 // 16 for i in range(8)]
+        cj = [(2 * j + 1) * 32 // 18 for j in range(9)]
+        val = 0
+        for i in range(8):
+            for j in range(8):
+                if z[ri[i], cj[j + 1]] > z[ri[i], cj[j]]:
+                    val |= 1 << (i * 8 + j)
+        if val >= 1 << 63:
+            val -= 1 << 64
+        assert got[f"img{idx:08d}"] == val
