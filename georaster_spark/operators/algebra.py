@@ -1217,3 +1217,357 @@ def openness_stats(tiles: DataFrame) -> DataFrame:
             )
 
     return slim.mapInPandas(_open, schema=_OPEN_SCHEMA)
+
+
+_MORPH_SCHEMA = (
+    "image_id string, n_interior long, sum_erode long, sum_dilate long, "
+    "n_grad long, grad_checksum long"
+)
+
+
+def morphology_stats(tiles: DataFrame) -> DataFrame:
+    """3x3 greyscale morphology census — erosion (min-of-9), dilation
+    (max-of-9) and the morphological gradient (dilate - erode), the
+    scipy ``grey_erosion``/``grey_dilation`` step a georaster user runs
+    on a loaded ``self.r`` before edge/region work (SURVEY §0 ⚠,
+    nothing on disk).  Min/max of 9 integers are exact integers, so the
+    DuckDB oracle replays them as least(...)/greatest(...) over the ramp
+    formula.  Per tile: interior count, sum of eroded values, sum of
+    dilated values, count of nonzero-gradient pixels (edge census) and
+    the position-weighted gradient checksum.
+
+    Scale shape: map-only fused Arrow pass (pixels cross once, output is
+    5 slim columns); min/max run as vectorized reductions over the
+    (tiles, 9, ih, iw) neighbor block per (w,h,fmt) group — no
+    per-pixel Python."""
+    slim = tiles.select("image_id", "bytes", "w", "h", "fmt")
+    dt = {"raw": np.uint8, "qnt": np.uint8, "raw16": "<u2"}
+
+    def _morph(batches):
+        for pdf in batches:
+            n = len(pdf)
+            out = {"image_id": pdf["image_id"].to_numpy(dtype=object)}
+            for c in ("n_interior", "sum_erode", "sum_dilate", "n_grad",
+                      "grad_checksum"):
+                out[c] = np.zeros(n, dtype=np.int64)
+            groups: dict[tuple, list[int]] = {}
+            for r in range(n):
+                key = (int(pdf["w"].iat[r]), int(pdf["h"].iat[r]), pdf["fmt"].iat[r])
+                groups.setdefault(key, []).append(r)
+            for (w, h, fmt), idx in groups.items():
+                if w < 3 or h < 3:
+                    continue
+                b = len(idx)
+                ih, iw = h - 2, w - 2
+                z = (
+                    np.frombuffer(
+                        b"".join(pdf["bytes"].iat[r] for r in idx), dtype=dt[fmt]
+                    )
+                    .reshape(b, h, w)
+                    .astype(np.int64)
+                )
+                stack = np.stack(
+                    [
+                        z[:, 1 + di : h - 1 + di, 1 + dj : w - 1 + dj]
+                        for di in (-1, 0, 1)
+                        for dj in (-1, 0, 1)
+                    ],
+                    axis=1,
+                )  # (b, 9, ih, iw)
+                ero = stack.min(axis=1)
+                dil = stack.max(axis=1)
+                grad = dil - ero
+                wt = np.arange(1, ih * iw + 1, dtype=np.int64).reshape(ih, iw)
+                rows = np.asarray(idx)
+                out["n_interior"][rows] = ih * iw
+                out["sum_erode"][rows] = ero.sum(axis=(1, 2))
+                out["sum_dilate"][rows] = dil.sum(axis=(1, 2))
+                out["n_grad"][rows] = (grad > 0).sum(axis=(1, 2))
+                out["grad_checksum"][rows] = (grad * wt).sum(axis=(1, 2))
+            yield pd.DataFrame(out)
+
+    return slim.mapInPandas(_morph, schema=_MORPH_SCHEMA)
+
+
+_LBP_SCHEMA = (
+    "image_id string, n_interior long, sum_code long, n_uniform long, "
+    "code_checksum long"
+)
+
+# circular neighbor order for LBP bit k = 0..7 (clockwise from top-left),
+# so that bits k and k+1 are spatially adjacent — required for the
+# uniform-pattern (<= 2 circular transitions) definition to be the
+# standard one (Ojala et al. 2002).
+_LBP_RING = ((-1, -1), (-1, 0), (-1, 1), (0, 1), (1, 1), (1, 0), (1, -1), (0, -1))
+
+
+def lbp_stats(tiles: DataFrame) -> DataFrame:
+    """Local-binary-pattern texture census (Ojala et al. 2002; skimage
+    ``local_binary_pattern`` analog over a loaded ``self.r`` — SURVEY §0
+    ⚠).  Each interior pixel gets the 8-bit code with bit k set iff
+    neighbor_k >= center (circular clockwise ring), an exact integer —
+    the DuckDB oracle replays the identical bit sum from the ramp
+    formula.  "Uniform" patterns are codes with <= 2 circular 0/1
+    transitions, i.e. bit_count(code XOR rol8(code)) <= 2.
+
+    Per tile: interior count, sum of codes, uniform-pattern count, and
+    the position-weighted code checksum.  Map-only fused Arrow pass;
+    the ring compare runs as one vectorized pass over the (tiles, 8,
+    ih, iw) neighbor block."""
+    slim = tiles.select("image_id", "bytes", "w", "h", "fmt")
+    dt = {"raw": np.uint8, "qnt": np.uint8, "raw16": "<u2"}
+
+    def _lbp(batches):
+        for pdf in batches:
+            n = len(pdf)
+            out = {"image_id": pdf["image_id"].to_numpy(dtype=object)}
+            for c in ("n_interior", "sum_code", "n_uniform", "code_checksum"):
+                out[c] = np.zeros(n, dtype=np.int64)
+            groups: dict[tuple, list[int]] = {}
+            for r in range(n):
+                key = (int(pdf["w"].iat[r]), int(pdf["h"].iat[r]), pdf["fmt"].iat[r])
+                groups.setdefault(key, []).append(r)
+            for (w, h, fmt), idx in groups.items():
+                if w < 3 or h < 3:
+                    continue
+                b = len(idx)
+                ih, iw = h - 2, w - 2
+                z = (
+                    np.frombuffer(
+                        b"".join(pdf["bytes"].iat[r] for r in idx), dtype=dt[fmt]
+                    )
+                    .reshape(b, h, w)
+                    .astype(np.int64)
+                )
+                c0 = z[:, 1:-1, 1:-1]
+                code = np.zeros((b, ih, iw), dtype=np.int64)
+                for k, (di, dj) in enumerate(_LBP_RING):
+                    nb = z[:, 1 + di : h - 1 + di, 1 + dj : w - 1 + dj]
+                    code += (nb >= c0).astype(np.int64) << k
+                rol = ((code << 1) & 0xFF) | (code >> 7)
+                trans = code ^ rol
+                pc = np.zeros_like(trans)
+                for k in range(8):
+                    pc += (trans >> k) & 1
+                wt = np.arange(1, ih * iw + 1, dtype=np.int64).reshape(ih, iw)
+                rows = np.asarray(idx)
+                out["n_interior"][rows] = ih * iw
+                out["sum_code"][rows] = code.sum(axis=(1, 2))
+                out["n_uniform"][rows] = (pc <= 2).sum(axis=(1, 2))
+                out["code_checksum"][rows] = (code * wt).sum(axis=(1, 2))
+            yield pd.DataFrame(out)
+
+    return slim.mapInPandas(_lbp, schema=_LBP_SCHEMA)
+
+
+_MS_SCHEMA = "image_id string, ms_case int, n_blocks long"
+
+_MS_THRESHOLD = 127
+
+
+def marching_squares_census(tiles: DataFrame, t: int = _MS_THRESHOLD) -> DataFrame:
+    """Marching-squares case census — the isoline-extraction step
+    (gdal_contour / skimage ``find_contours`` analog — SURVEY §0 ⚠)
+    reduced to its exact combinatorial core: each 2x2 pixel block gets
+    case = b_tl + 2*b_tr + 4*b_br + 8*b_bl with b = (v > t), and the
+    output is the per-tile count of each of the 16 cases (cases 5/10
+    are the ambiguous saddles; 0/15 carry no contour).  Pure integer
+    compares, replayed bit-for-bit by the DuckDB oracle.
+
+    One output row per (tile, case present).  Map-only fused Arrow
+    pass; the 16-way histogram is one offset-bincount over the
+    (tiles, bh, bw) case grid."""
+    slim = tiles.select("image_id", "bytes", "w", "h", "fmt")
+    dt = {"raw": np.uint8, "qnt": np.uint8, "raw16": "<u2"}
+
+    def _ms(batches):
+        for pdf in batches:
+            groups: dict[tuple, list[int]] = {}
+            for r in range(len(pdf)):
+                key = (int(pdf["w"].iat[r]), int(pdf["h"].iat[r]), pdf["fmt"].iat[r])
+                groups.setdefault(key, []).append(r)
+            cols: dict[str, list] = {"image_id": [], "ms_case": [], "n_blocks": []}
+            for (w, h, fmt), idx in groups.items():
+                if w < 2 or h < 2:
+                    continue
+                b = len(idx)
+                z = (
+                    np.frombuffer(
+                        b"".join(pdf["bytes"].iat[r] for r in idx), dtype=dt[fmt]
+                    )
+                    .reshape(b, h, w)
+                    .astype(np.int64)
+                )
+                m = (z > t).astype(np.int64)
+                case = (
+                    m[:, :-1, :-1]          # top-left
+                    + 2 * m[:, :-1, 1:]     # top-right
+                    + 4 * m[:, 1:, 1:]      # bottom-right
+                    + 8 * m[:, 1:, :-1]     # bottom-left
+                )
+                flat = np.arange(b, dtype=np.int64)[:, None, None] * 16 + case
+                cnt = np.bincount(flat.ravel(), minlength=b * 16).reshape(b, 16)
+                ids = pdf["image_id"].to_numpy(dtype=object)[np.asarray(idx)]
+                bi, ci = np.nonzero(cnt)
+                cols["image_id"].extend(ids[bi])
+                cols["ms_case"].extend(ci.astype(np.int32))
+                cols["n_blocks"].extend(cnt[bi, ci])
+            yield pd.DataFrame(cols) if cols["image_id"] else pd.DataFrame(
+                {c: [] for c in cols}
+            )
+
+    return slim.mapInPandas(_ms, schema=_MS_SCHEMA)
+
+
+_MOM_SCHEMA = (
+    "image_id string, m00 long, m10 long, m01 long, m11 long, m20 long, "
+    "m02 long, mu20_num long, mu02_num long, mu11_num long"
+)
+
+
+def image_moments(tiles: DataFrame) -> DataFrame:
+    """Raw + central image moments (cv2.moments analog — the
+    centroid/orientation step a georaster user runs on a loaded
+    ``self.r`` or a binarized mask; SURVEY §0 ⚠).  Raw moments
+    m_pq = sum(i^p * j^q * v) are exact int64; the central second
+    moments are emitted as the EXACT integer numerators over the common
+    denominator m00:
+
+        mu20_num = m00*m20 - m10^2      (= m00^2 * mu20)
+        mu02_num = m00*m02 - m01^2
+        mu11_num = m00*m11 - m10*m01
+
+    (|m20| <= 255*31^2*1024 < 2.6e8 at 32x32, so the products stay well
+    inside int64; orientation/eccentricity are pure functions of these
+    three).  Map-only fused Arrow pass; the six sums are matrix products
+    of the (tiles, N) pixel block with fixed weight vectors."""
+    slim = tiles.select("image_id", "bytes", "w", "h", "fmt")
+    dt = {"raw": np.uint8, "qnt": np.uint8, "raw16": "<u2"}
+
+    def _mom(batches):
+        for pdf in batches:
+            n = len(pdf)
+            out = {"image_id": pdf["image_id"].to_numpy(dtype=object)}
+            for c in ("m00", "m10", "m01", "m11", "m20", "m02",
+                      "mu20_num", "mu02_num", "mu11_num"):
+                out[c] = np.zeros(n, dtype=np.int64)
+            groups: dict[tuple, list[int]] = {}
+            for r in range(n):
+                key = (int(pdf["w"].iat[r]), int(pdf["h"].iat[r]), pdf["fmt"].iat[r])
+                groups.setdefault(key, []).append(r)
+            for (w, h, fmt), idx in groups.items():
+                b = len(idx)
+                z = (
+                    np.frombuffer(
+                        b"".join(pdf["bytes"].iat[r] for r in idx), dtype=dt[fmt]
+                    )
+                    .reshape(b, h * w)
+                    .astype(np.int64)
+                )
+                ii = np.repeat(np.arange(h, dtype=np.int64), w)
+                jj = np.tile(np.arange(w, dtype=np.int64), h)
+                rows = np.asarray(idx)
+                m00 = z.sum(axis=1)
+                m10 = z @ ii
+                m01 = z @ jj
+                m11 = z @ (ii * jj)
+                m20 = z @ (ii * ii)
+                m02 = z @ (jj * jj)
+                out["m00"][rows] = m00
+                out["m10"][rows] = m10
+                out["m01"][rows] = m01
+                out["m11"][rows] = m11
+                out["m20"][rows] = m20
+                out["m02"][rows] = m02
+                out["mu20_num"][rows] = m00 * m20 - m10 * m10
+                out["mu02_num"][rows] = m00 * m02 - m01 * m01
+                out["mu11_num"][rows] = m00 * m11 - m10 * m01
+            yield pd.DataFrame(out)
+
+    return slim.mapInPandas(_mom, schema=_MOM_SCHEMA)
+
+
+_HARRIS_SCHEMA = (
+    "image_id string, n_window long, n_corners long, sum_trace long, "
+    "sum_det long"
+)
+
+# 20*det > trace^2  <=>  det - 0.05*trace^2 > 0: the Harris response
+# R = det(M) - k*trace(M)^2 at the textbook k = 0.05, kept exact by
+# multiplying through by 20.
+_HARRIS_K20 = 20
+
+
+def harris_stats(tiles: DataFrame) -> DataFrame:
+    """Harris corner-response census (Harris & Stephens 1988; cv2
+    ``cornerHarris`` analog — SURVEY §0 ⚠) on an exact integer surface.
+    Sobel gradients gx, gy over the 3x3-valid interior; the structure
+    tensor is the UNWEIGHTED 3x3 window sum (box window, not Gaussian —
+    the documented deviation that keeps every quantity an integer):
+
+        Sxx = sum gx^2,  Syy = sum gy^2,  Sxy = sum gx*gy
+        det = Sxx*Syy - Sxy^2,  trace = Sxx + Syy
+        corner  <=>  20*det > trace^2      (k = 0.05 exactly)
+
+    |gx| <= 4*255 so Sxx <= 9*1020^2 < 9.4e6, det < 8.8e13, and the
+    per-tile sum of dets < 7e16 — all inside int64; the DuckDB oracle
+    replays the identical arithmetic from the ramp formula.  Per tile:
+    valid-window count, corner count, sum of traces, sum of dets.
+
+    Map-only fused Arrow pass; gradients and window sums are stacked
+    vectorized slices — no per-pixel Python."""
+    slim = tiles.select("image_id", "bytes", "w", "h", "fmt")
+    dt = {"raw": np.uint8, "qnt": np.uint8, "raw16": "<u2"}
+
+    def _harris(batches):
+        for pdf in batches:
+            n = len(pdf)
+            out = {"image_id": pdf["image_id"].to_numpy(dtype=object)}
+            for c in ("n_window", "n_corners", "sum_trace", "sum_det"):
+                out[c] = np.zeros(n, dtype=np.int64)
+            groups: dict[tuple, list[int]] = {}
+            for r in range(n):
+                key = (int(pdf["w"].iat[r]), int(pdf["h"].iat[r]), pdf["fmt"].iat[r])
+                groups.setdefault(key, []).append(r)
+            for (w, h, fmt), idx in groups.items():
+                if w < 5 or h < 5:
+                    continue
+                b = len(idx)
+                z = (
+                    np.frombuffer(
+                        b"".join(pdf["bytes"].iat[r] for r in idx), dtype=dt[fmt]
+                    )
+                    .reshape(b, h, w)
+                    .astype(np.int64)
+                )
+                # Sobel over the (h-2, w-2) interior
+                gx = (
+                    (z[:, 2:, :-2] + 2 * z[:, 2:, 1:-1] + z[:, 2:, 2:])
+                    - (z[:, :-2, :-2] + 2 * z[:, :-2, 1:-1] + z[:, :-2, 2:])
+                )
+                gy = (
+                    (z[:, :-2, 2:] + 2 * z[:, 1:-1, 2:] + z[:, 2:, 2:])
+                    - (z[:, :-2, :-2] + 2 * z[:, 1:-1, :-2] + z[:, 2:, :-2])
+                )
+                ih, iw = h - 4, w - 4  # window-valid interior
+                def wsum(a):
+                    s = np.zeros((b, ih, iw), dtype=np.int64)
+                    for di in (0, 1, 2):
+                        for dj in (0, 1, 2):
+                            s += a[:, di : di + ih, dj : dj + iw]
+                    return s
+                sxx = wsum(gx * gx)
+                syy = wsum(gy * gy)
+                sxy = wsum(gx * gy)
+                det = sxx * syy - sxy * sxy
+                trace = sxx + syy
+                rows = np.asarray(idx)
+                out["n_window"][rows] = ih * iw
+                out["n_corners"][rows] = (
+                    _HARRIS_K20 * det > trace * trace
+                ).sum(axis=(1, 2))
+                out["sum_trace"][rows] = trace.sum(axis=(1, 2))
+                out["sum_det"][rows] = det.sum(axis=(1, 2))
+            yield pd.DataFrame(out)
+
+    return slim.mapInPandas(_harris, schema=_HARRIS_SCHEMA)

@@ -4330,6 +4330,11 @@ def spatial_queries() -> dict[str, QueryFn]:
         "openness": q_openness,
         "dhash_compute": q_dhash_compute,
         "dhash_near_dup": q_dhash_near_dup,
+        "morphology": q_morphology,
+        "lbp_census": q_lbp,
+        "contour_cases": q_marching_squares,
+        "image_moments": q_image_moments,
+        "harris_corners": q_harris,
         "skyline_orders": rel.skyline_orders,
         "curation_pipeline": q_curation_pipeline,
         "mode_pool": q_mode_pool,
@@ -4457,6 +4462,11 @@ def spatial_oracles(sf: str = "sf0.01") -> dict[str, str]:
         "openness": _sql_openness(fx, w),
         "dhash_compute": _sql_dhash_compute(fx, w),
         "dhash_near_dup": _sql_dhash_near_dup(fx, w),
+        "morphology": _sql_morphology(fx, w),
+        "lbp_census": _sql_lbp(fx, w),
+        "contour_cases": _sql_marching_squares(fx, w),
+        "image_moments": _sql_image_moments(fx, w),
+        "harris_corners": _sql_harris(fx, w),
         "skyline_orders": rel.skyline_orders_sql(),
         "curation_pipeline": _sql_curation_pipeline(fx, w),
         "mode_pool": _sql_mode_pool(fx, w),
@@ -4764,4 +4774,254 @@ SELECT a.image_id AS a_id, b.image_id AS b_id,
 FROM hashes a JOIN hashes b ON a.image_id < b.image_id
 WHERE bit_count(xor(a.dh, b.dh)) <= {_DHASH_T}
 ORDER BY a_id, b_id
+"""
+
+
+# --- round-2 batch: morphology / LBP / marching squares / moments / harris --
+
+_MORPH_MOD = 59
+
+
+def q_morphology(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """3x3 greyscale morphology census (algebra.morphology_stats —
+    scipy grey_erosion/grey_dilation analog).  Map-only fused Arrow
+    pass; min/max of 9 ints are exact."""
+    from ..operators import algebra
+
+    tiles = geo.georegister(_images(spark, sf_dir)).where(
+        geo.image_idx() % _MORPH_MOD == 0
+    )
+    return (
+        algebra.morphology_stats(tiles)
+        .repartition(1).sortWithinPartitions("image_id")
+    )
+
+
+def _sql_morphology(fx: Path, w: int) -> str:
+    def rv(di: int, dj: int) -> str:
+        return (
+            f"CAST({osql.ramp_value_expr(f'gi.i + {di}', f'gj.j + {dj}')} AS BIGINT)"
+        )
+
+    nine = ", ".join(rv(di, dj) for di in (-1, 0, 1) for dj in (-1, 0, 1))
+    lo, hi = 1, w - 2
+    iw = w - 2
+    return f"""
+WITH {osql.georegister_cte(str(fx / 'images.parquet'))},
+px AS (
+  SELECT image_id, gi.i AS i, gj.j AS j,
+         least({nine}) AS ero, greatest({nine}) AS dil
+  FROM tiles,
+       generate_series({lo}, {hi}) AS gi(i), generate_series({lo}, {hi}) AS gj(j)
+  WHERE idx % {_MORPH_MOD} = 0
+)
+SELECT image_id,
+       CAST(COUNT(*) AS BIGINT) AS n_interior,
+       CAST(SUM(ero) AS BIGINT) AS sum_erode,
+       CAST(SUM(dil) AS BIGINT) AS sum_dilate,
+       CAST(SUM(CASE WHEN dil > ero THEN 1 ELSE 0 END) AS BIGINT) AS n_grad,
+       CAST(SUM((dil - ero) * ((i - 1) * {iw} + (j - 1) + 1)) AS BIGINT)
+         AS grad_checksum
+FROM px GROUP BY image_id ORDER BY image_id
+"""
+
+
+_LBP_MOD = 61
+
+
+def q_lbp(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LBP texture census (algebra.lbp_stats — skimage
+    local_binary_pattern analog) incl. the Ojala uniform-pattern count
+    via exact circular bit transitions."""
+    from ..operators import algebra
+
+    tiles = geo.georegister(_images(spark, sf_dir)).where(
+        geo.image_idx() % _LBP_MOD == 0
+    )
+    return (
+        algebra.lbp_stats(tiles)
+        .repartition(1).sortWithinPartitions("image_id")
+    )
+
+
+def _sql_lbp(fx: Path, w: int) -> str:
+    from ..operators.algebra import _LBP_RING
+
+    c0 = osql.ramp_value_expr("gi.i", "gj.j")
+    bits = " + ".join(
+        f"CASE WHEN ({osql.ramp_value_expr(f'gi.i + {di}', f'gj.j + {dj}')})"
+        f" >= ({c0}) THEN {1 << k} ELSE 0 END"
+        for k, (di, dj) in enumerate(_LBP_RING)
+    )
+    lo, hi = 1, w - 2
+    iw = w - 2
+    return f"""
+WITH {osql.georegister_cte(str(fx / 'images.parquet'))},
+px AS (
+  SELECT image_id, gi.i AS i, gj.j AS j, CAST({bits} AS BIGINT) AS code
+  FROM tiles,
+       generate_series({lo}, {hi}) AS gi(i), generate_series({lo}, {hi}) AS gj(j)
+  WHERE idx % {_LBP_MOD} = 0
+),
+coded AS (
+  SELECT *, xor(code, (code * 2) % 256 + code // 128) AS trans FROM px
+)
+SELECT image_id,
+       CAST(COUNT(*) AS BIGINT) AS n_interior,
+       CAST(SUM(code) AS BIGINT) AS sum_code,
+       CAST(SUM(CASE WHEN bit_count(trans) <= 2 THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_uniform,
+       CAST(SUM(code * ((i - 1) * {iw} + (j - 1) + 1)) AS BIGINT)
+         AS code_checksum
+FROM coded GROUP BY image_id ORDER BY image_id
+"""
+
+
+_MS_MOD = 71
+
+
+def q_marching_squares(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Marching-squares case census (algebra.marching_squares_census —
+    gdal_contour / find_contours analog, exact combinatorial core)."""
+    from ..operators import algebra
+
+    tiles = geo.georegister(_images(spark, sf_dir)).where(
+        geo.image_idx() % _MS_MOD == 0
+    )
+    return (
+        algebra.marching_squares_census(tiles)
+        .repartition(1).sortWithinPartitions("image_id", "ms_case")
+    )
+
+
+def _sql_marching_squares(fx: Path, w: int) -> str:
+    from ..operators.algebra import _MS_THRESHOLD as T
+
+    def b(di: int, dj: int) -> str:
+        return (
+            f"CASE WHEN ({osql.ramp_value_expr(f'gi.i + {di}', f'gj.j + {dj}')})"
+            f" > {T} THEN 1 ELSE 0 END"
+        )
+
+    case = f"({b(0,0)} + 2*{b(0,1)} + 4*{b(1,1)} + 8*{b(1,0)})"
+    return f"""
+WITH {osql.georegister_cte(str(fx / 'images.parquet'))},
+blocks AS (
+  SELECT image_id, CAST({case} AS INTEGER) AS ms_case
+  FROM tiles,
+       generate_series(0, {w - 2}) AS gi(i), generate_series(0, {w - 2}) AS gj(j)
+  WHERE idx % {_MS_MOD} = 0
+)
+SELECT image_id, ms_case, CAST(COUNT(*) AS BIGINT) AS n_blocks
+FROM blocks GROUP BY image_id, ms_case ORDER BY image_id, ms_case
+"""
+
+
+_MOM_MOD = 73
+
+
+def q_image_moments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Raw + central image moments (algebra.image_moments —
+    cv2.moments analog) as exact int64 sums / numerators."""
+    from ..operators import algebra
+
+    tiles = geo.georegister(_images(spark, sf_dir)).where(
+        geo.image_idx() % _MOM_MOD == 0
+    )
+    return (
+        algebra.image_moments(tiles)
+        .repartition(1).sortWithinPartitions("image_id")
+    )
+
+
+def _sql_image_moments(fx: Path, w: int) -> str:
+    v = osql.ramp_value_expr("gi.i", "gj.j")
+    return f"""
+WITH {osql.georegister_cte(str(fx / 'images.parquet'))},
+raw AS (
+  SELECT image_id,
+         CAST(SUM({v}) AS BIGINT) AS m00,
+         CAST(SUM(gi.i * ({v})) AS BIGINT) AS m10,
+         CAST(SUM(gj.j * ({v})) AS BIGINT) AS m01,
+         CAST(SUM(gi.i * gj.j * ({v})) AS BIGINT) AS m11,
+         CAST(SUM(gi.i * gi.i * ({v})) AS BIGINT) AS m20,
+         CAST(SUM(gj.j * gj.j * ({v})) AS BIGINT) AS m02
+  FROM tiles,
+       generate_series(0, {w - 1}) AS gi(i), generate_series(0, {w - 1}) AS gj(j)
+  WHERE idx % {_MOM_MOD} = 0
+  GROUP BY image_id
+)
+SELECT image_id, m00, m10, m01, m11, m20, m02,
+       m00 * m20 - m10 * m10 AS mu20_num,
+       m00 * m02 - m01 * m01 AS mu02_num,
+       m00 * m11 - m10 * m01 AS mu11_num
+FROM raw ORDER BY image_id
+"""
+
+
+_HARRIS_MOD = 79
+
+
+def q_harris(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Harris corner-response census (algebra.harris_stats — cv2
+    cornerHarris analog, box window, k = 0.05 exact via 20*det >
+    trace^2)."""
+    from ..operators import algebra
+
+    tiles = geo.georegister(_images(spark, sf_dir)).where(
+        geo.image_idx() % _HARRIS_MOD == 0
+    )
+    return (
+        algebra.harris_stats(tiles)
+        .repartition(1).sortWithinPartitions("image_id")
+    )
+
+
+def _sql_harris(fx: Path, w: int) -> str:
+    from ..operators.algebra import _HARRIS_K20 as K20
+
+    def rv(i: str, j: str) -> str:
+        return f"CAST({osql.ramp_value_expr(i, j)} AS BIGINT)"
+
+    # Sobel at pixel (i + d.di, j + d.dj): gx = bottom row - top row,
+    # gy = right col - left col (twin of algebra.harris_stats).
+    pi, pj = "(gi.i + d.di)", "(gj.j + d.dj)"
+    gx = (
+        f"(({rv(f'{pi} + 1', f'{pj} - 1')} + 2*{rv(f'{pi} + 1', pj)}"
+        f" + {rv(f'{pi} + 1', f'{pj} + 1')})"
+        f" - ({rv(f'{pi} - 1', f'{pj} - 1')} + 2*{rv(f'{pi} - 1', pj)}"
+        f" + {rv(f'{pi} - 1', f'{pj} + 1')}))"
+    )
+    gy = (
+        f"(({rv(f'{pi} - 1', f'{pj} + 1')} + 2*{rv(pi, f'{pj} + 1')}"
+        f" + {rv(f'{pi} + 1', f'{pj} + 1')})"
+        f" - ({rv(f'{pi} - 1', f'{pj} - 1')} + 2*{rv(pi, f'{pj} - 1')}"
+        f" + {rv(f'{pi} + 1', f'{pj} - 1')}))"
+    )
+    lo, hi = 2, w - 3
+    offs = ",".join(f"({di},{dj})" for di in (-1, 0, 1) for dj in (-1, 0, 1))
+    return f"""
+WITH {osql.georegister_cte(str(fx / 'images.parquet'))},
+terms AS (
+  SELECT image_id, gi.i AS i, gj.j AS j, {gx} AS gx, {gy} AS gy
+  FROM tiles,
+       generate_series({lo}, {hi}) AS gi(i), generate_series({lo}, {hi}) AS gj(j),
+       (VALUES {offs}) AS d(di, dj)
+  WHERE idx % {_HARRIS_MOD} = 0
+),
+win AS (
+  SELECT image_id, i, j,
+         SUM(gx * gx) AS sxx, SUM(gy * gy) AS syy, SUM(gx * gy) AS sxy
+  FROM terms GROUP BY image_id, i, j
+),
+scored AS (
+  SELECT image_id, sxx + syy AS trace, sxx * syy - sxy * sxy AS det FROM win
+)
+SELECT image_id,
+       CAST(COUNT(*) AS BIGINT) AS n_window,
+       CAST(SUM(CASE WHEN {K20} * det > trace * trace THEN 1 ELSE 0 END)
+            AS BIGINT) AS n_corners,
+       CAST(SUM(trace) AS BIGINT) AS sum_trace,
+       CAST(SUM(det) AS BIGINT) AS sum_det
+FROM scored GROUP BY image_id ORDER BY image_id
 """

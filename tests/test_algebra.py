@@ -431,3 +431,116 @@ def test_new_ops_single_arrow_hop(spark, sf0001_dir):
     for op in (algebra.otsu_stats, algebra.focal_median_stats, algebra.openness_stats):
         plan = op(_tiles(spark, sf0001_dir))._jdf.queryExecution().executedPlan().toString()
         assert plan.count("ArrowEvalPython") + plan.count("MapInPandas") == 1, (op, plan)
+
+
+def test_morphology_matches_numpy(spark, sf0001_dir):
+    got = {r["image_id"]: r for r in algebra.morphology_stats(_tiles(spark, sf0001_dir)).collect()}
+    for idx in range(0, 1000, 37):
+        z = _ramp(idx)
+        win = np.stack(
+            [z[1 + di:31 + di, 1 + dj:31 + dj] for di in (-1, 0, 1) for dj in (-1, 0, 1)]
+        )
+        ero, dil = win.min(axis=0), win.max(axis=0)
+        r = got[f"img{idx:08d}"]
+        assert r["sum_erode"] == int(ero.sum())
+        assert r["sum_dilate"] == int(dil.sum())
+        assert r["n_grad"] == int((dil > ero).sum())
+
+
+def test_lbp_matches_bruteforce(spark, sf0001_dir):
+    """lbp_stats vs a per-pixel Python brute force, incl. the circular
+    uniform-pattern rule."""
+    got = {r["image_id"]: r for r in algebra.lbp_stats(_tiles(spark, sf0001_dir)).collect()}
+    ring = ((-1, -1), (-1, 0), (-1, 1), (0, 1), (1, 1), (1, 0), (1, -1), (0, -1))
+    for idx in range(0, 1000, 37):
+        z = _ramp(idx)
+        codes, nuni = [], 0
+        for i in range(1, 31):
+            for j in range(1, 31):
+                code = sum(
+                    1 << k
+                    for k, (di, dj) in enumerate(ring)
+                    if z[i + di, j + dj] >= z[i, j]
+                )
+                codes.append(code)
+                bits = [(code >> k) & 1 for k in range(8)]
+                trans = sum(bits[k] != bits[(k + 1) % 8] for k in range(8))
+                nuni += trans <= 2
+        r = got[f"img{idx:08d}"]
+        assert r["sum_code"] == sum(codes)
+        assert r["n_uniform"] == nuni
+
+
+def test_marching_squares_matches_numpy(spark, sf0001_dir):
+    rows = algebra.marching_squares_census(_tiles(spark, sf0001_dir)).collect()
+    got = {(r["image_id"], r["ms_case"]): r["n_blocks"] for r in rows}
+    for idx in range(0, 1000, 37):
+        z = _ramp(idx)
+        m = (z > 127).astype(int)
+        case = m[:-1, :-1] + 2 * m[:-1, 1:] + 4 * m[1:, 1:] + 8 * m[1:, :-1]
+        cnt = np.bincount(case.ravel(), minlength=16)
+        iid = f"img{idx:08d}"
+        for c in range(16):
+            assert got.get((iid, c), 0) == cnt[c]
+    # per-tile cases partition the block grid
+    per_tile: dict = {}
+    for (iid, _c), nb in got.items():
+        per_tile[iid] = per_tile.get(iid, 0) + nb
+    assert all(v == 31 * 31 for v in per_tile.values())
+
+
+def test_image_moments_match_numpy(spark, sf0001_dir):
+    got = {r["image_id"]: r for r in algebra.image_moments(_tiles(spark, sf0001_dir)).collect()}
+    for idx in range(0, 1000, 37):
+        z = _ramp(idx)
+        ii, jj = np.indices(z.shape)
+        r = got[f"img{idx:08d}"]
+        m00, m10, m01 = int(z.sum()), int((ii * z).sum()), int((jj * z).sum())
+        m20 = int((ii * ii * z).sum())
+        assert r["m00"] == m00 and r["m10"] == m10 and r["m01"] == m01
+        assert r["m11"] == int((ii * jj * z).sum())
+        assert r["mu20_num"] == m00 * m20 - m10 * m10
+        # central moment identity: mu20_num / m00^2 equals the float mu20
+        mu20 = ((ii - m10 / m00) ** 2 * z).sum()
+        assert abs(r["mu20_num"] / m00**2 - mu20 / m00) < 1e-6
+
+
+def test_harris_matches_bruteforce(spark, sf0001_dir):
+    got = {r["image_id"]: r for r in algebra.harris_stats(_tiles(spark, sf0001_dir)).collect()}
+    for idx in range(0, 1000, 37):
+        z = _ramp(idx).astype(np.int64)
+        gx = np.zeros((30, 30), dtype=np.int64)
+        gy = np.zeros((30, 30), dtype=np.int64)
+        for i in range(1, 31):
+            for j in range(1, 31):
+                gx[i - 1, j - 1] = (
+                    z[i + 1, j - 1] + 2 * z[i + 1, j] + z[i + 1, j + 1]
+                    - z[i - 1, j - 1] - 2 * z[i - 1, j] - z[i - 1, j + 1]
+                )
+                gy[i - 1, j - 1] = (
+                    z[i - 1, j + 1] + 2 * z[i, j + 1] + z[i + 1, j + 1]
+                    - z[i - 1, j - 1] - 2 * z[i, j - 1] - z[i + 1, j - 1]
+                )
+        ncorn = strace = sdet = 0
+        for i in range(1, 29):
+            for j in range(1, 29):
+                sxx = int((gx[i - 1:i + 2, j - 1:j + 2] ** 2).sum())
+                syy = int((gy[i - 1:i + 2, j - 1:j + 2] ** 2).sum())
+                sxy = int((gx[i - 1:i + 2, j - 1:j + 2] * gy[i - 1:i + 2, j - 1:j + 2]).sum())
+                det, trace = sxx * syy - sxy * sxy, sxx + syy
+                ncorn += 20 * det > trace * trace
+                strace += trace
+                sdet += det
+        r = got[f"img{idx:08d}"]
+        assert r["n_window"] == 28 * 28
+        assert r["n_corners"] == ncorn
+        assert r["sum_trace"] == strace
+        assert r["sum_det"] == sdet
+
+
+def test_round2b_ops_single_arrow_hop(spark, sf0001_dir):
+    for op in (algebra.morphology_stats, algebra.lbp_stats,
+               algebra.marching_squares_census, algebra.image_moments,
+               algebra.harris_stats):
+        plan = op(_tiles(spark, sf0001_dir))._jdf.queryExecution().executedPlan().toString()
+        assert plan.count("ArrowEvalPython") + plan.count("MapInPandas") == 1, (op, plan)
