@@ -1571,3 +1571,162 @@ def harris_stats(tiles: DataFrame) -> DataFrame:
             yield pd.DataFrame(out)
 
     return slim.mapInPandas(_harris, schema=_HARRIS_SCHEMA)
+
+
+_FAST_SCHEMA = (
+    "image_id string, n_interior long, n_bright long, n_dark long, "
+    "corner_checksum long"
+)
+
+# Bresenham circle of radius 3 — the FAST-9 ring, clockwise from 12
+# o'clock (Rosten & Drummond 2006, Fig. 1 ordering).
+_FAST_RING = (
+    (-3, 0), (-3, 1), (-2, 2), (-1, 3), (0, 3), (1, 3), (2, 2), (3, 1),
+    (3, 0), (3, -1), (2, -2), (1, -3), (0, -3), (-1, -3), (-2, -2), (-3, -1),
+)
+_FAST_T = 20  # intensity margin
+_FAST_N = 9   # contiguous-arc length
+
+
+def fast_corner_stats(tiles: DataFrame) -> DataFrame:
+    """FAST-9 corner census (Rosten & Drummond 2006; cv2
+    ``FastFeatureDetector`` analog, no NMS — SURVEY §0 ⚠).  A pixel is
+    a bright corner iff >= 9 CONTIGUOUS pixels of its radius-3 Bresenham
+    ring exceed center + t, dark likewise below center - t.  The
+    circular-run test is exact integer bit logic: pack the ring into a
+    16-bit mask m, duplicate it as m2 = m * 65537 (= m | m<<16, disjoint
+    bits), AND-fold 9 shifts — a run of 9 exists iff
+    (m2 & m2>>1 & ... & m2>>8) has a bit in the low 16.  The DuckDB
+    oracle replays the identical mask arithmetic from the ramp formula.
+
+    Per tile: interior count (margin 3), bright/dark corner counts, and
+    the position-weighted (bright - dark) checksum.  Map-only fused
+    Arrow pass; the ring compares run over a (tiles, 16, ih, iw)
+    block — no per-pixel Python."""
+    slim = tiles.select("image_id", "bytes", "w", "h", "fmt")
+    dt = {"raw": np.uint8, "qnt": np.uint8, "raw16": "<u2"}
+
+    def _fast(batches):
+        for pdf in batches:
+            n = len(pdf)
+            out = {"image_id": pdf["image_id"].to_numpy(dtype=object)}
+            for c in ("n_interior", "n_bright", "n_dark", "corner_checksum"):
+                out[c] = np.zeros(n, dtype=np.int64)
+            groups: dict[tuple, list[int]] = {}
+            for r in range(n):
+                key = (int(pdf["w"].iat[r]), int(pdf["h"].iat[r]), pdf["fmt"].iat[r])
+                groups.setdefault(key, []).append(r)
+            for (w, h, fmt), idx in groups.items():
+                if w < 7 or h < 7:
+                    continue
+                b = len(idx)
+                ih, iw = h - 6, w - 6
+                z = (
+                    np.frombuffer(
+                        b"".join(pdf["bytes"].iat[r] for r in idx), dtype=dt[fmt]
+                    )
+                    .reshape(b, h, w)
+                    .astype(np.int64)
+                )
+                c0 = z[:, 3 : h - 3, 3 : w - 3]
+
+                def run9(mask):
+                    m2 = mask * 65537  # m | m << 16 (bits disjoint)
+                    acc = m2.copy()
+                    for s in range(1, _FAST_N):
+                        acc &= m2 >> s
+                    return (acc & 0xFFFF) != 0
+
+                mb = np.zeros((b, ih, iw), dtype=np.int64)
+                md = np.zeros((b, ih, iw), dtype=np.int64)
+                for k, (di, dj) in enumerate(_FAST_RING):
+                    nb = z[:, 3 + di : h - 3 + di, 3 + dj : w - 3 + dj]
+                    mb |= (nb > c0 + _FAST_T).astype(np.int64) << k
+                    md |= (nb < c0 - _FAST_T).astype(np.int64) << k
+                bright = run9(mb)
+                dark = run9(md)
+                wt = np.arange(1, ih * iw + 1, dtype=np.int64).reshape(ih, iw)
+                rows = np.asarray(idx)
+                out["n_interior"][rows] = ih * iw
+                out["n_bright"][rows] = bright.sum(axis=(1, 2))
+                out["n_dark"][rows] = dark.sum(axis=(1, 2))
+                out["corner_checksum"][rows] = (
+                    (bright.astype(np.int64) - dark.astype(np.int64)) * wt
+                ).sum(axis=(1, 2))
+            yield pd.DataFrame(out)
+
+    return slim.mapInPandas(_fast, schema=_FAST_SCHEMA)
+
+
+_DOG_SCHEMA = (
+    "image_id string, n_interior long, n_pos long, n_neg long, "
+    "sum_resp long, resp_checksum long"
+)
+
+# response > 0 iff the 3x3 box mean exceeds the 5x5 box mean: the
+# integer cross-multiplied difference 25*S3 - 9*S5 (scale 225).
+_DOG_T = 450  # = 2 * 225: |mean difference| > 2 intensity levels
+
+
+def dog_blob_stats(tiles: DataFrame) -> DataFrame:
+    """Difference-of-boxes blob census — the integer-exact core of
+    difference-of-Gaussians blob detection (SIFT's DoG pyramid /
+    skimage ``blob_dog`` analog; box windows instead of Gaussians is
+    the documented deviation that keeps every quantity an integer —
+    SURVEY §0 ⚠).  Response at each margin-2 interior pixel:
+
+        resp = 25*S3 - 9*S5        (S3/S5 = 3x3 / 5x5 box sums)
+
+    = 225 * (mean3 - mean5), so resp > 450 flags a bright blob center
+    (local mean 2 levels above surround), resp < -450 a dark one.  The
+    DuckDB oracle replays the identical sums from the ramp formula via
+    a 25-offset VALUES join.
+
+    Per tile: interior count, bright/dark blob counts, total response,
+    position-weighted response checksum.  Map-only fused Arrow pass;
+    box sums are stacked-slice reductions."""
+    slim = tiles.select("image_id", "bytes", "w", "h", "fmt")
+    dt = {"raw": np.uint8, "qnt": np.uint8, "raw16": "<u2"}
+
+    def _dog(batches):
+        for pdf in batches:
+            n = len(pdf)
+            out = {"image_id": pdf["image_id"].to_numpy(dtype=object)}
+            for c in ("n_interior", "n_pos", "n_neg", "sum_resp",
+                      "resp_checksum"):
+                out[c] = np.zeros(n, dtype=np.int64)
+            groups: dict[tuple, list[int]] = {}
+            for r in range(n):
+                key = (int(pdf["w"].iat[r]), int(pdf["h"].iat[r]), pdf["fmt"].iat[r])
+                groups.setdefault(key, []).append(r)
+            for (w, h, fmt), idx in groups.items():
+                if w < 5 or h < 5:
+                    continue
+                b = len(idx)
+                ih, iw = h - 4, w - 4
+                z = (
+                    np.frombuffer(
+                        b"".join(pdf["bytes"].iat[r] for r in idx), dtype=dt[fmt]
+                    )
+                    .reshape(b, h, w)
+                    .astype(np.int64)
+                )
+                s3 = np.zeros((b, ih, iw), dtype=np.int64)
+                for di in (-1, 0, 1):
+                    for dj in (-1, 0, 1):
+                        s3 += z[:, 2 + di : h - 2 + di, 2 + dj : w - 2 + dj]
+                s5 = np.zeros((b, ih, iw), dtype=np.int64)
+                for di in range(-2, 3):
+                    for dj in range(-2, 3):
+                        s5 += z[:, 2 + di : h - 2 + di, 2 + dj : w - 2 + dj]
+                resp = 25 * s3 - 9 * s5
+                wt = np.arange(1, ih * iw + 1, dtype=np.int64).reshape(ih, iw)
+                rows = np.asarray(idx)
+                out["n_interior"][rows] = ih * iw
+                out["n_pos"][rows] = (resp > _DOG_T).sum(axis=(1, 2))
+                out["n_neg"][rows] = (resp < -_DOG_T).sum(axis=(1, 2))
+                out["sum_resp"][rows] = resp.sum(axis=(1, 2))
+                out["resp_checksum"][rows] = (resp * wt).sum(axis=(1, 2))
+            yield pd.DataFrame(out)
+
+    return slim.mapInPandas(_dog, schema=_DOG_SCHEMA)

@@ -931,3 +931,90 @@ WHERE NOT EXISTS (
 )
 ORDER BY o_orderkey
 """
+
+
+_BLOOM_BITS = 1 << 13          # m = 8192 bits -> 128 longs
+_BLOOM_WORDS = _BLOOM_BITS // 64
+_BLOOM_SEEDS = (1, 2, 3)       # k = 3 hash functions
+_BLOOM_SEGMENT = "AUTOMOBILE"
+
+
+def _bloom_probe(df: DataFrame, key: str, words: list[int]) -> F.Column:
+    """AND of k membership probes of `key` against the broadcast word
+    array (a pure Column expression — evaluated inside codegen)."""
+    arr = F.array(*[F.lit(w).cast("long") for w in words])
+    cond = F.lit(True)
+    for s in _BLOOM_SEEDS:
+        pos = F.pmod(F.xxhash64(F.col(key), F.lit(s)), F.lit(_BLOOM_BITS))
+        word = F.element_at(arr, (pos / 64).cast("int") + 1)
+        mask = F.expr(
+            f"shiftleft(CAST(1 AS BIGINT), CAST(pmod(xxhash64({key}, {s}),"
+            f" {_BLOOM_BITS}) % 64 AS INT))"
+        )
+        cond = cond & (word.bitwiseAND(mask) != 0)
+    return cond
+
+
+def bloom_semi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Runtime Bloom-filter-pruned semi join — the hand-rolled twin of
+    Spark's runtime row-level filtering (`spark.sql.optimizer.runtime.
+    bloomFilter.enabled`), made explicit so the pruning is testable and
+    portable: orders of customers in one market segment, rolled up per
+    month.
+
+    Build side: the dim keys explode into k=3 (word, bit) probes and
+    ONE `bit_or` aggregation produces the 8192-bit filter as 128 longs —
+    collected to the driver (<= 128 rows: bounded planner metadata,
+    same policy as the skew census) and re-broadcast as an array
+    LITERAL, so the probe is pure codegen'd integer logic inside the
+    fact scan, ahead of any join machinery.  False positives are then
+    removed by an exact broadcast LEFT SEMI join, so the RESULT is
+    hash-independent; the bloom only prunes.
+
+    Scale shape: at 100 TB the probe eliminates most fact rows before
+    the shuffle/join stage touches them — the standard big-join
+    runtime-filter pattern; the filter itself costs one tiny agg of the
+    dim side."""
+    o = _t(spark, sf_dir, "orders")
+    c = _t(spark, sf_dir, "customer").where(
+        F.col("c_mktsegment") == _BLOOM_SEGMENT
+    )
+    keys = c.select(F.col("c_custkey").cast("long").alias("k"))
+
+    probes = keys.select(
+        "k", F.explode(F.array(*[F.lit(s) for s in _BLOOM_SEEDS])).alias("seed")
+    ).select(F.pmod(F.xxhash64("k", "seed"), F.lit(_BLOOM_BITS)).alias("pos"))
+    bits = probes.select(
+        (F.col("pos") / 64).cast("int").alias("word"),
+        F.expr("shiftleft(CAST(1 AS BIGINT), CAST(pos % 64 AS INT))").alias("mask"),
+    )
+    built = bits.groupBy("word").agg(F.bit_or("mask").alias("bm")).collect()
+    words = [0] * _BLOOM_WORDS
+    for r in built:
+        words[r["word"]] = r["bm"]
+
+    fact = o.withColumn("ck", F.col("o_custkey").cast("long"))
+    candidates = fact.where(_bloom_probe(fact, "ck", words))
+    hits = candidates.join(
+        F.broadcast(keys), candidates["ck"] == keys["k"], "left_semi"
+    )
+    return (
+        hits.groupBy(F.date_format("o_orderdate", "yyyy-MM").alias("month"))
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.sum(cents(F.col("o_totalprice"))).alias("cents"),
+        )
+        .repartition(1).sortWithinPartitions("month")
+    )
+
+
+def bloom_semi_sql() -> str:
+    return f"""
+SELECT strftime(o_orderdate, '%Y-%m') AS month,
+       COUNT(*) AS n_orders,
+       SUM(CAST(round(o_totalprice * 100) AS BIGINT)) AS cents
+FROM orders o
+WHERE o_custkey IN (SELECT c_custkey FROM customer
+                    WHERE c_mktsegment = '{_BLOOM_SEGMENT}')
+GROUP BY 1 ORDER BY month
+"""

@@ -393,3 +393,67 @@ def voronoi_assign(tiles: DataFrame, zones: DataFrame) -> DataFrame:
         F.min("d2").alias("min_dist2"),
         F.max("d2").alias("max_dist2"),
     )
+
+
+# 16 integer support directions (a 16-DOP: axis, diagonal and knight
+# slopes) in counter-clockwise order.
+KDOP_DIRS = (
+    (1, 0), (2, 1), (1, 1), (1, 2), (0, 1), (-1, 2), (-1, 1), (-2, 1),
+    (-1, 0), (-2, -1), (-1, -1), (-1, -2), (0, -1), (1, -2), (1, -1), (2, -1),
+)
+
+
+def kdop_support(points: DataFrame, cell: float = 8000.0) -> DataFrame:
+    """Per-cell 16-DOP support points — the distributed convex-hull
+    workhorse (a k-DOP is the standard hull approximation from collision
+    detection; the support point in direction d is argmax d.p, and the
+    true hull's vertices are a subset of the union of support points as
+    the direction set densifies).  Reference analog: the point-geometry
+    post-processing a georaster user runs on sampled coordinates
+    (SURVEY §0 ⚠, nothing on disk).
+
+    Points are grouped on a coarse grid key (floor(x/cell),
+    floor(y/cell)); within each group the support point for each of the
+    16 directions is the max of dot = dx*x + dy*y with ties broken by
+    smallest point_id.  dot is one multiply-add in float64 evaluated by
+    the IDENTICAL expression in the DuckDB oracle, so the argmax is
+    engine-independent.
+
+    Scale shape: ZERO UDFs and ONE aggregation — `max_by` over a struct
+    ordering key gives map-side partial support points per partition,
+    so at 10^12 points only 16 candidate rows per (cell, partition)
+    ever shuffle.  This is exactly how a distributed convex hull
+    merges: local extremes, then one tiny final reduce."""
+    dirs = F.array(
+        *[
+            F.struct(
+                F.lit(k).alias("dir"),
+                F.lit(float(dx)).alias("dx"),
+                F.lit(float(dy)).alias("dy"),
+            )
+            for k, (dx, dy) in enumerate(KDOP_DIRS)
+        ]
+    )
+    probes = points.select(
+        F.floor(F.col("x") / cell).cast("long").alias("gx"),
+        F.floor(F.col("y") / cell).cast("long").alias("gy"),
+        "point_id", "x", "y",
+        F.explode(dirs).alias("d"),
+    ).select(
+        "gx", "gy", "point_id", "x", "y",
+        F.col("d.dir").alias("dir"),
+        (F.col("d.dx") * F.col("x") + F.col("d.dy") * F.col("y")).alias("dot"),
+    )
+    best = probes.groupBy("gx", "gy", "dir").agg(
+        F.max_by(
+            F.struct("point_id", "x", "y"),
+            # lexicographic: max dot, then max(-point_id) = min point_id
+            F.struct(F.col("dot"), (-F.col("point_id")).alias("nid")),
+        ).alias("s")
+    )
+    return best.select(
+        "gx", "gy", "dir",
+        F.col("s.point_id").alias("point_id"),
+        F.col("s.x").alias("sx"),
+        F.col("s.y").alias("sy"),
+    )

@@ -4335,6 +4335,11 @@ def spatial_queries() -> dict[str, QueryFn]:
         "contour_cases": q_marching_squares,
         "image_moments": q_image_moments,
         "harris_corners": q_harris,
+        "kdop_support": q_kdop,
+        "local_moran": q_local_moran,
+        "fast_corners": q_fast_corners,
+        "dog_blobs": q_dog_blobs,
+        "bloom_semi": rel.bloom_semi,
         "skyline_orders": rel.skyline_orders,
         "curation_pipeline": q_curation_pipeline,
         "mode_pool": q_mode_pool,
@@ -4467,6 +4472,11 @@ def spatial_oracles(sf: str = "sf0.01") -> dict[str, str]:
         "contour_cases": _sql_marching_squares(fx, w),
         "image_moments": _sql_image_moments(fx, w),
         "harris_corners": _sql_harris(fx, w),
+        "kdop_support": _sql_kdop(fx, w),
+        "local_moran": _sql_local_moran(fx, w),
+        "fast_corners": _sql_fast_corners(fx, w),
+        "dog_blobs": _sql_dog_blobs(fx, w),
+        "bloom_semi": rel.bloom_semi_sql(),
         "skyline_orders": rel.skyline_orders_sql(),
         "curation_pipeline": _sql_curation_pipeline(fx, w),
         "mode_pool": _sql_mode_pool(fx, w),
@@ -5024,4 +5034,207 @@ SELECT image_id,
        CAST(SUM(trace) AS BIGINT) AS sum_trace,
        CAST(SUM(det) AS BIGINT) AS sum_det
 FROM scored GROUP BY image_id ORDER BY image_id
+"""
+
+
+# --- round-2 batch: kdop / local moran / FAST / DoG / bloom semi ------------
+
+
+def q_kdop(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-cell 16-DOP support points (spatial_index.kdop_support — the
+    distributed convex-hull workhorse): ZERO UDFs, one max_by agg with
+    map-side partials."""
+    from ..operators import spatial_index as si
+
+    return (
+        si.kdop_support(_points(spark, sf_dir))
+        .repartition(1).sortWithinPartitions("gx", "gy", "dir")
+    )
+
+
+def _sql_kdop(fx: Path, w: int) -> str:
+    from ..operators.spatial_index import KDOP_DIRS
+
+    dirs = ",".join(
+        f"({k},{float(dx)},{float(dy)})" for k, (dx, dy) in enumerate(KDOP_DIRS)
+    )
+    return f"""
+WITH pts AS (SELECT * FROM read_parquet('{fx / 'points.parquet'}')),
+probes AS (
+  SELECT CAST(floor(x / 8000.0) AS BIGINT) AS gx,
+         CAST(floor(y / 8000.0) AS BIGINT) AS gy,
+         point_id, x, y, CAST(d.dir AS INTEGER) AS dir,
+         d.dx * x + d.dy * y AS dot
+  FROM pts, (VALUES {dirs}) AS d(dir, dx, dy)
+),
+best AS (
+  SELECT *, row_number() OVER (
+    PARTITION BY gx, gy, dir ORDER BY dot DESC, point_id ASC) AS rn
+  FROM probes
+)
+SELECT gx, gy, dir, point_id, x AS sx, y AS sy
+FROM best WHERE rn = 1 ORDER BY gx, gy, dir
+"""
+
+
+def q_local_moran(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Local Moran's I (LISA) per lattice site (raster_stats.
+    local_moran_moments): exact integer deviations z_i = n*m_i - S and
+    LISA numerators — hotspot quadrant classification is exact on this
+    surface."""
+    from ..operators import raster_stats as rs
+
+    return (
+        rs.local_moran_moments(geo.georegister(_images(spark, sf_dir)))
+        .repartition(1).sortWithinPartitions("gx", "gy")
+    )
+
+
+def _sql_local_moran(fx: Path, w: int) -> str:
+    from ..constants import GRID_W
+
+    v = osql.ramp_value_expr("gi.i", "gj.j")
+    return f"""
+WITH img AS (
+  SELECT CAST(substr(image_id, 4, 10) AS BIGINT) AS idx, w, h, fmt
+  FROM read_parquet('{fx / 'images.parquet'}')
+),
+m AS MATERIALIZED (
+  SELECT idx, idx % {GRID_W} AS gx, idx // {GRID_W} AS gy,
+         SUM(CAST({v} AS BIGINT)) // (ANY_VALUE(w) * ANY_VALUE(h)) AS m
+  FROM img AS tiles_src,
+       generate_series(0, {w - 1}) AS gi(i), generate_series(0, {w - 1}) AS gj(j)
+  GROUP BY idx, gx, gy
+),
+base AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS n_tiles, CAST(SUM(m) AS BIGINT) AS sum_m
+  FROM m
+),
+lag AS (
+  SELECT a.gx, a.gy,
+         CAST(COUNT(b.m) AS BIGINT) AS k_nb,
+         CAST(COALESCE(SUM(b.m), 0) AS BIGINT) AS lag_sum
+  FROM m a JOIN m b
+    ON (b.gx = a.gx + 1 AND b.gy = a.gy) OR (b.gx = a.gx - 1 AND b.gy = a.gy)
+    OR (b.gx = a.gx AND b.gy = a.gy + 1) OR (b.gx = a.gx AND b.gy = a.gy - 1)
+  GROUP BY a.gx, a.gy
+)
+SELECT t.gx, t.gy, CAST(t.m AS BIGINT) AS m,
+       COALESCE(l.k_nb, 0) AS k_nb,
+       COALESCE(l.lag_sum, 0) AS lag_sum,
+       (base.n_tiles * t.m - base.sum_m)
+         * (base.n_tiles * COALESCE(l.lag_sum, 0)
+            - COALESCE(l.k_nb, 0) * base.sum_m) AS lisa_num
+FROM m t LEFT JOIN lag l ON l.gx = t.gx AND l.gy = t.gy, base
+ORDER BY t.gx, t.gy
+"""
+
+
+_FAST_MOD = 83
+
+
+def q_fast_corners(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FAST-9 corner census (algebra.fast_corner_stats) — exact 16-bit
+    circular-run mask logic, replayed bit-for-bit by the oracle."""
+    from ..operators import algebra
+
+    tiles = geo.georegister(_images(spark, sf_dir)).where(
+        geo.image_idx() % _FAST_MOD == 0
+    )
+    return (
+        algebra.fast_corner_stats(tiles)
+        .repartition(1).sortWithinPartitions("image_id")
+    )
+
+
+def _sql_fast_corners(fx: Path, w: int) -> str:
+    from ..operators.algebra import _FAST_N, _FAST_RING, _FAST_T
+
+    c0 = f"CAST({osql.ramp_value_expr('gi.i', 'gj.j')} AS BIGINT)"
+
+    def mask(op: str, thr: str) -> str:
+        return " + ".join(
+            f"CASE WHEN CAST({osql.ramp_value_expr(f'gi.i + {di}', f'gj.j + {dj}')}"
+            f" AS BIGINT) {op} {thr} THEN {1 << k} ELSE 0 END"
+            for k, (di, dj) in enumerate(_FAST_RING)
+        )
+
+    def run9(m2: str) -> str:
+        acc = " & ".join(f"({m2} >> {s})" for s in range(_FAST_N))
+        return f"(({acc}) & 65535) <> 0"
+
+    lo, hi = 3, w - 4
+    iw = w - 6
+    return f"""
+WITH {osql.georegister_cte(str(fx / 'images.parquet'))},
+px AS (
+  SELECT image_id, gi.i AS i, gj.j AS j,
+         CAST({mask('>', f'({c0} + {_FAST_T})')} AS BIGINT) * 65537 AS mb2,
+         CAST({mask('<', f'({c0} - {_FAST_T})')} AS BIGINT) * 65537 AS md2
+  FROM tiles,
+       generate_series({lo}, {hi}) AS gi(i), generate_series({lo}, {hi}) AS gj(j)
+  WHERE idx % {_FAST_MOD} = 0
+),
+flags AS (
+  SELECT image_id, i, j,
+         CASE WHEN {run9('mb2')} THEN 1 ELSE 0 END AS bright,
+         CASE WHEN {run9('md2')} THEN 1 ELSE 0 END AS dark
+  FROM px
+)
+SELECT image_id,
+       CAST(COUNT(*) AS BIGINT) AS n_interior,
+       CAST(SUM(bright) AS BIGINT) AS n_bright,
+       CAST(SUM(dark) AS BIGINT) AS n_dark,
+       CAST(SUM((bright - dark) * ((i - 3) * {iw} + (j - 3) + 1)) AS BIGINT)
+         AS corner_checksum
+FROM flags GROUP BY image_id ORDER BY image_id
+"""
+
+
+_DOG_MOD = 89
+
+
+def q_dog_blobs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Difference-of-boxes blob census (algebra.dog_blob_stats — the
+    integer-exact DoG core)."""
+    from ..operators import algebra
+
+    tiles = geo.georegister(_images(spark, sf_dir)).where(
+        geo.image_idx() % _DOG_MOD == 0
+    )
+    return (
+        algebra.dog_blob_stats(tiles)
+        .repartition(1).sortWithinPartitions("image_id")
+    )
+
+
+def _sql_dog_blobs(fx: Path, w: int) -> str:
+    from ..operators.algebra import _DOG_T
+
+    v = osql.ramp_value_expr("(gi.i + d.di)", "(gj.j + d.dj)")
+    offs = ",".join(f"({di},{dj})" for di in range(-2, 3) for dj in range(-2, 3))
+    lo, hi = 2, w - 3
+    iw = w - 4
+    return f"""
+WITH {osql.georegister_cte(str(fx / 'images.parquet'))},
+terms AS (
+  SELECT image_id, gi.i AS i, gj.j AS j, d.di, d.dj, CAST({v} AS BIGINT) AS v
+  FROM tiles,
+       generate_series({lo}, {hi}) AS gi(i), generate_series({lo}, {hi}) AS gj(j),
+       (VALUES {offs}) AS d(di, dj)
+  WHERE idx % {_DOG_MOD} = 0
+),
+px AS (
+  SELECT image_id, i, j,
+         25 * SUM(CASE WHEN abs(di) <= 1 AND abs(dj) <= 1 THEN v ELSE 0 END)
+           - 9 * SUM(v) AS resp
+  FROM terms GROUP BY image_id, i, j
+)
+SELECT image_id,
+       CAST(COUNT(*) AS BIGINT) AS n_interior,
+       CAST(SUM(CASE WHEN resp > {_DOG_T} THEN 1 ELSE 0 END) AS BIGINT) AS n_pos,
+       CAST(SUM(CASE WHEN resp < -{_DOG_T} THEN 1 ELSE 0 END) AS BIGINT) AS n_neg,
+       CAST(SUM(resp) AS BIGINT) AS sum_resp,
+       CAST(SUM(resp * ((i - 2) * {iw} + (j - 2) + 1)) AS BIGINT) AS resp_checksum
+FROM px GROUP BY image_id ORDER BY image_id
 """

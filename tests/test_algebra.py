@@ -544,3 +544,59 @@ def test_round2b_ops_single_arrow_hop(spark, sf0001_dir):
                algebra.harris_stats):
         plan = op(_tiles(spark, sf0001_dir))._jdf.queryExecution().executedPlan().toString()
         assert plan.count("ArrowEvalPython") + plan.count("MapInPandas") == 1, (op, plan)
+
+
+def test_fast_corners_match_bruteforce(spark, sf0001_dir):
+    """fast_corner_stats vs a per-pixel Python run-scan (NOT the bit
+    trick, so the m*65537 AND-fold itself is under test)."""
+    from georaster_spark.operators.algebra import _FAST_RING, _FAST_T
+
+    got = {r["image_id"]: r for r in algebra.fast_corner_stats(_tiles(spark, sf0001_dir)).collect()}
+
+    def has_run(flags):
+        dbl = flags + flags
+        run = 0
+        for f in dbl:
+            run = run + 1 if f else 0
+            if run >= 9:
+                return True
+        return False
+
+    for idx in range(0, 1000, 37):
+        z = _ramp(idx)
+        nb_cnt = nd_cnt = 0
+        for i in range(3, 29):
+            for j in range(3, 29):
+                c = int(z[i, j])
+                ring = [int(z[i + di, j + dj]) for di, dj in _FAST_RING]
+                nb_cnt += has_run([v > c + _FAST_T for v in ring])
+                nd_cnt += has_run([v < c - _FAST_T for v in ring])
+        r = got[f"img{idx:08d}"]
+        assert r["n_interior"] == 26 * 26
+        assert r["n_bright"] == nb_cnt
+        assert r["n_dark"] == nd_cnt
+
+
+def test_dog_blobs_match_numpy(spark, sf0001_dir):
+    got = {r["image_id"]: r for r in algebra.dog_blob_stats(_tiles(spark, sf0001_dir)).collect()}
+    for idx in range(0, 1000, 37):
+        z = _ramp(idx).astype(np.int64)
+        s3 = sum(
+            z[2 + di:30 + di, 2 + dj:30 + dj]
+            for di in (-1, 0, 1) for dj in (-1, 0, 1)
+        )
+        s5 = sum(
+            z[2 + di:30 + di, 2 + dj:30 + dj]
+            for di in range(-2, 3) for dj in range(-2, 3)
+        )
+        resp = 25 * s3 - 9 * s5
+        r = got[f"img{idx:08d}"]
+        assert r["n_pos"] == int((resp > 450).sum())
+        assert r["n_neg"] == int((resp < -450).sum())
+        assert r["sum_resp"] == int(resp.sum())
+
+
+def test_fast_dog_single_arrow_hop(spark, sf0001_dir):
+    for op in (algebra.fast_corner_stats, algebra.dog_blob_stats):
+        plan = op(_tiles(spark, sf0001_dir))._jdf.queryExecution().executedPlan().toString()
+        assert plan.count("ArrowEvalPython") + plan.count("MapInPandas") == 1, (op, plan)

@@ -187,3 +187,44 @@ def test_skyline_orders_matches_bruteforce(spark):
     assert sorted(r["o_orderkey"] for r in got) == sorted(keys)
     # two-phase invariant: partitioned local pass must not lose anybody
     assert len(got) == len(keys) > 0
+
+
+def test_bloom_semi_prunes_and_is_exact(spark):
+    """The hand-rolled runtime Bloom filter must (a) admit every true
+    key (no false negatives — guaranteed by construction, asserted
+    anyway), (b) actually prune the fact side, and (c) produce the
+    exact semi-join result after the verify join."""
+    from pyspark.sql import functions as F
+
+    from georaster_spark.operators import relational as rel
+
+    sf_dir = "/root/testdata/sf0.001"
+    o = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    c = spark.read.parquet(f"{sf_dir}/customer.parquet").where(
+        F.col("c_mktsegment") == rel._BLOOM_SEGMENT
+    )
+    keys = c.select(F.col("c_custkey").cast("long").alias("k"))
+
+    # rebuild the same filter the operator builds
+    probes = keys.select(
+        "k",
+        F.explode(F.array(*[F.lit(s) for s in rel._BLOOM_SEEDS])).alias("seed"),
+    ).select(F.pmod(F.xxhash64("k", "seed"), F.lit(rel._BLOOM_BITS)).alias("pos"))
+    bits = probes.select(
+        (F.col("pos") / 64).cast("int").alias("word"),
+        F.expr("shiftleft(CAST(1 AS BIGINT), CAST(pos % 64 AS INT))").alias("mask"),
+    )
+    words = [0] * rel._BLOOM_WORDS
+    for r in bits.groupBy("word").agg(F.bit_or("mask").alias("bm")).collect():
+        words[r["word"]] = r["bm"]
+
+    fact = o.withColumn("ck", F.col("o_custkey").cast("long"))
+    n_all = fact.count()
+    n_cand = fact.where(rel._bloom_probe(fact, "ck", words)).count()
+    n_true = fact.join(F.broadcast(keys), fact["ck"] == keys["k"], "left_semi").count()
+    assert n_true <= n_cand < n_all  # no false negatives, real pruning
+
+    # plan of the full query: bloom probe is a pre-join Filter, no UDFs
+    plan = rel.bloom_semi(spark, sf_dir)._jdf.queryExecution().executedPlan().toString()
+    assert "ArrowEvalPython" not in plan and "BatchEvalPython" not in plan
+    assert "xxhash64" in plan.lower()

@@ -55,3 +55,51 @@ def test_pixel_histogram_plan_is_partial_final(spark, sf0001_dir):
     plan = pixel_histogram(images)._jdf.queryExecution().executedPlan().toString()
     assert "hashpartitioning(fmt" in plan, plan
     assert "ReadSchema: struct<bytes:binary,fmt:string>" in plan, plan
+
+
+def test_local_moran_sums_to_global(spark, sf0001_dir):
+    """Invariants tying the LISA surface to the global Moran moments:
+    sum z_i = 0 scaled, and sum of lisa numerators equals the global
+    numerator n^2*(pair_prod_sum adjustments) — both exact integers."""
+    from georaster_spark.operators import georegister as geo
+    from georaster_spark.operators.raster_stats import (
+        local_moran_moments,
+        moran_lattice_moments,
+    )
+
+    tiles = geo.georegister(spark.read.parquet(str(sf0001_dir / "images.parquet")))
+    loc = local_moran_moments(tiles).toPandas()
+    g = moran_lattice_moments(tiles).collect()[0]
+    n, S = g["n_tiles"], g["sum_m"]
+    assert len(loc) == n
+    # z_i = n*m_i - S sums to zero
+    assert int((n * loc.m - S).sum()) == 0
+    # directed-pair identity: sum_i z_i * (n*lag_i - k_i*S)
+    #   = n^2*pair_prod_sum - n*S*pair_sum_sum + w_pairs*S^2
+    expected = (
+        n * n * g["pair_prod_sum"] - n * S * g["pair_sum_sum"]
+        + g["w_pairs"] * S * S
+    )
+    assert int(loc.lisa_num.sum()) == expected
+    # neighbour counts: interior sites have 4; ragged-lattice edge sites
+    # (sf0.001 has only 2 rows, the second partial) can drop to 1
+    assert set(loc.k_nb.unique()) <= {1, 2, 3, 4}
+    assert (loc.k_nb >= 1).all()
+
+
+def test_local_moran_quadrants_match_float_esda_rule(spark, sf0001_dir):
+    """The exact-integer LISA sign must equal the float z_i * lag-dev
+    sign (the esda hotspot/outlier quadrant rule)."""
+    from georaster_spark.operators import georegister as geo
+    from georaster_spark.operators.raster_stats import local_moran_moments
+
+    tiles = geo.georegister(spark.read.parquet(str(sf0001_dir / "images.parquet")))
+    loc = local_moran_moments(tiles).toPandas()
+    n = len(loc)
+    xbar = loc.m.mean()
+    z = loc.m - xbar
+    lag_dev = loc.lag_sum - loc.k_nb * xbar
+    float_sign = np.sign(z * lag_dev)
+    exact_sign = np.sign(loc.lisa_num)
+    mask = np.abs(z * lag_dev) > 1e-6  # skip exact-zero boundary
+    assert (float_sign[mask] == exact_sign[mask]).all()

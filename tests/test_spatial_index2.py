@@ -132,3 +132,58 @@ def test_voronoi_partitions_the_corpus(spark, sf0001_dir):
     total = tiles.count()
     assert sum(r["n_images"] for r in rows) == total  # every image assigned once
     assert len(rows) > 1  # more than one cell actually wins
+
+
+def test_kdop_support_matches_bruteforce(spark, sf0001_dir):
+    """kdop_support vs a pandas group-argmax brute force, incl. the
+    (max dot, min point_id) tie rule."""
+    import pandas as pd
+
+    pts = spark.read.parquet(str(sf0001_dir / "points.parquet"))
+    got = si.kdop_support(pts).toPandas()
+    pdf = pts.select("point_id", "x", "y").toPandas()
+    pdf["gx"] = np.floor(pdf.x / 8000.0).astype(np.int64)
+    pdf["gy"] = np.floor(pdf.y / 8000.0).astype(np.int64)
+    rows = []
+    for k, (dx, dy) in enumerate(si.KDOP_DIRS):
+        t = pdf.copy()
+        t["dot"] = float(dx) * t.x + float(dy) * t.y
+        t = t.sort_values(["gx", "gy", "dot", "point_id"],
+                          ascending=[True, True, False, True])
+        best = t.groupby(["gx", "gy"], as_index=False).first()
+        best["dir"] = k
+        rows.append(best)
+    exp = pd.concat(rows).set_index(["gx", "gy", "dir"])
+    got = got.set_index(["gx", "gy", "dir"])
+    assert len(got) == len(exp)
+    for key, r in got.iterrows():
+        e = exp.loc[key]
+        assert r["point_id"] == e["point_id"], key
+        assert r["sx"] == e["x"] and r["sy"] == e["y"]
+
+
+def test_kdop_support_points_lie_on_hull(spark, sf0001_dir):
+    """Every emitted support point must be a vertex of its cell group's
+    true convex hull (the k-DOP <= hull containment property)."""
+    pts = spark.read.parquet(str(sf0001_dir / "points.parquet"))
+    got = si.kdop_support(pts).toPandas()
+    pdf = pts.select("point_id", "x", "y").toPandas()
+    pdf["gx"] = np.floor(pdf.x / 8000.0).astype(np.int64)
+    pdf["gy"] = np.floor(pdf.y / 8000.0).astype(np.int64)
+    for (gx, gy), grp in got.groupby(["gx", "gy"]):
+        cell = pdf[(pdf.gx == gx) & (pdf.gy == gy)]
+        for _, r in grp.iterrows():
+            # support point: no cell point is strictly further along dir
+            dx, dy = si.KDOP_DIRS[int(r["dir"])]
+            dots = dx * cell.x.to_numpy() + dy * cell.y.to_numpy()
+            assert (dots <= dx * r["sx"] + dy * r["sy"] + 1e-9).all()
+
+
+def test_kdop_plan_zero_udf_partial_agg(spark, sf0001_dir):
+    """kdop_support must stay JVM-side (no Arrow/Python nodes) and
+    aggregate with map-side partials (partial_max_by before the
+    exchange)."""
+    pts = spark.read.parquet(str(sf0001_dir / "points.parquet"))
+    plan = si.kdop_support(pts)._jdf.queryExecution().executedPlan().toString()
+    assert "ArrowEvalPython" not in plan and "MapInPandas" not in plan
+    assert "partial_max_by" in plan
