@@ -180,3 +180,40 @@ def pagerank_int(
             .localCheckpoint(eager=False)
         )
     return ranks
+
+
+def bfs_min_hops(
+    edges: DataFrame, seeds: DataFrame, max_hops: int = 4
+) -> DataFrame:
+    """Distributed BFS: minimum hop distance (0..max_hops) from a seed
+    set over a directed edge list (src:long, dst:long) — the
+    multi-hop-reachability primitive stock SQL engines express with
+    WITH RECURSIVE (the DuckDB oracle does exactly that) and Spark
+    expresses as an iterative frontier loop.
+
+    Frontier algorithm: visited holds (node, d); each round the
+    frontier joins edges, anti-joins visited (so a node keeps its FIRST
+    = minimum distance), and both sets advance.  `localCheckpoint`
+    truncates lineage per round — same policy as pagerank_int/
+    connected_components.  max_hops bounds rounds, so termination does
+    not depend on data.
+
+    Scale shape: per round one src-keyed equi-join + one node-keyed
+    anti-join; at 10^12 edges both are co-partitioned shuffles on the
+    same keys; frontiers shrink geometrically on expander-ish graphs."""
+    frontier = seeds.select(F.col("node").cast("long").alias("node")).distinct()
+    visited = frontier.withColumn("d", F.lit(0))
+    frontier = frontier.localCheckpoint(eager=True)
+    for d in range(1, max_hops + 1):
+        nxt = (
+            frontier.join(edges, frontier["node"] == edges["src"])
+            .select(F.col("dst").alias("node"))
+            .distinct()
+            .join(visited, "node", "left_anti")
+            .localCheckpoint(eager=True)
+        )
+        if nxt.isEmpty():
+            break
+        visited = visited.union(nxt.withColumn("d", F.lit(d)))
+        frontier = nxt
+    return visited

@@ -1018,3 +1018,50 @@ WHERE o_custkey IN (SELECT c_custkey FROM customer
                     WHERE c_mktsegment = '{_BLOOM_SEGMENT}')
 GROUP BY 1 ORDER BY month
 """
+
+
+def cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohort retention matrix — the standard product-analytics rollup:
+    users are cohorted by their first-event day; each (cohort-day,
+    day-offset) cell counts distinct users still active that many days
+    later.  Day arithmetic is exact integer (days since epoch), so no
+    date-diff float ever enters the plan.
+
+    Scale shape: one groupBy(user) min-agg for cohorts (partial+final),
+    one distinct-day projection of activity, one equi-join on user_id
+    and a final count-distinct rollup — all combiner-friendly; at 10^12
+    events the join is user-keyed and co-partitions with the cohort
+    agg's output."""
+    ev = _t(spark, sf_dir, "events").select(
+        "user_id",
+        F.datediff(F.col("ts").cast("date"), F.lit("1970-01-01").cast("date"))
+        .cast("long").alias("day"),
+    )
+    first = ev.groupBy("user_id").agg(F.min("day").alias("cohort_day"))
+    active = ev.distinct()
+    cells = (
+        active.join(first, "user_id")
+        .groupBy(
+            F.col("cohort_day"),
+            (F.col("day") - F.col("cohort_day")).cast("long").alias("offset_d"),
+        )
+        .agg(F.count_distinct("user_id").alias("n_users"))
+    )
+    return cells.repartition(1).sortWithinPartitions("cohort_day", "offset_d")
+
+
+def cohort_retention_sql() -> str:
+    return """
+WITH ev AS (
+  SELECT user_id,
+         CAST(ts::DATE - DATE '1970-01-01' AS BIGINT) AS day
+  FROM events
+),
+first AS (SELECT user_id, MIN(day) AS cohort_day FROM ev GROUP BY user_id),
+active AS (SELECT DISTINCT user_id, day FROM ev)
+SELECT f.cohort_day,
+       CAST(a.day - f.cohort_day AS BIGINT) AS offset_d,
+       CAST(COUNT(DISTINCT a.user_id) AS BIGINT) AS n_users
+FROM active a JOIN first f USING (user_id)
+GROUP BY f.cohort_day, offset_d ORDER BY f.cohort_day, offset_d
+"""

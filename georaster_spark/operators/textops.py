@@ -1161,6 +1161,70 @@ GROUP BY d.source ORDER BY d.source
 """
 
 
+
+
+# ---------------------------------------------------------------------------
+# rare-shingle novelty scoring
+# ---------------------------------------------------------------------------
+
+NOVELTY_RARE_MAX = 1  # a shingle is "rare" if <= this many docs contain it
+
+
+def ngram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-novelty scoring — the curation signal complementary to
+    dedup: for each document, the fraction of its distinct word-3-gram
+    shingles that are RARE in the corpus (document frequency <=
+    NOVELTY_RARE_MAX).  Low novelty => boilerplate/template text (its
+    n-grams are everywhere); high novelty => unique content.  The same
+    signal drives "repetitive corpus slice" pruning in large-scale
+    pretraining pipelines (C4/Gopher lineage).
+
+    Emitted per doc: n_sh (distinct shingles), n_rare, and the exact
+    integer novelty_pm = 1000 * n_rare // n_sh (no float ever).
+
+    Scale shape: one explode + groupBy(shingle) exact DF count (partial
+    + final, combiner-friendly since keys repeat within partitions),
+    one slim join back on the shingle key, one per-doc re-agg.  The
+    shingle key space is hot-skewed like jaccard's inverted index —
+    at 100 TB the DF count is fine (agg, not join); the join-back is
+    the skewed leg and rides AQE skew handling (the rare keys that
+    matter are by definition NOT hot)."""
+    d = _with_shingles(_docs(spark, sf_dir))
+    ex = d.select("doc_id", F.explode("sh").alias("s"))
+    df_cnt = ex.groupBy("s").agg(F.count(F.lit(1)).alias("df"))
+    per_doc = (
+        ex.join(df_cnt, "s")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_sh"),
+            F.sum(
+                F.when(F.col("df") <= NOVELTY_RARE_MAX, 1).otherwise(0)
+            ).alias("n_rare"),
+        )
+        .select(
+            "doc_id", "n_sh", "n_rare",
+            F.expr("1000 * n_rare DIV n_sh").alias("novelty_pm"),
+        )
+    )
+    return per_doc.repartition(1).sortWithinPartitions("doc_id")
+
+
+def ngram_novelty_sql() -> str:
+    return f"""
+WITH w AS (SELECT doc_id, {_SQL_WS} AS ws FROM documents),
+s AS (SELECT doc_id, {_SQL_SHINGLES} AS sh FROM w WHERE len(ws) >= 3),
+ex AS (SELECT doc_id, unnest(sh) AS s FROM s),
+dfc AS (SELECT s, COUNT(*) AS df FROM ex GROUP BY s)
+SELECT e.doc_id,
+       CAST(COUNT(*) AS BIGINT) AS n_sh,
+       CAST(SUM(CASE WHEN d.df <= {NOVELTY_RARE_MAX} THEN 1 ELSE 0 END)
+            AS BIGINT) AS n_rare,
+       CAST(1000 * SUM(CASE WHEN d.df <= {NOVELTY_RARE_MAX} THEN 1 ELSE 0 END)
+            // COUNT(*) AS BIGINT) AS novelty_pm
+FROM ex e JOIN dfc d USING (s)
+GROUP BY e.doc_id ORDER BY e.doc_id
+"""
+
 def text_queries():
     return {
         "text_stats": text_stats,
@@ -1180,6 +1244,7 @@ def text_queries():
         "collocations": collocations,
         "lsh_recall_gate": lsh_recall_gate,
         "source_quality_rollup": source_quality_rollup,
+        "ngram_novelty": ngram_novelty,
     }
 
 
@@ -1202,4 +1267,5 @@ def text_oracles() -> dict[str, str]:
         "collocations": collocations_sql(),
         "lsh_recall_gate": lsh_recall_gate_sql(),
         "source_quality_rollup": source_quality_rollup_sql(),
+        "ngram_novelty": ngram_novelty_sql(),
     }

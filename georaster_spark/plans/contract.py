@@ -4340,6 +4340,8 @@ def spatial_queries() -> dict[str, QueryFn]:
         "fast_corners": q_fast_corners,
         "dog_blobs": q_dog_blobs,
         "bloom_semi": rel.bloom_semi,
+        "bfs_hops": q_bfs_hops,
+        "cohort_retention": rel.cohort_retention,
         "skyline_orders": rel.skyline_orders,
         "curation_pipeline": q_curation_pipeline,
         "mode_pool": q_mode_pool,
@@ -4477,6 +4479,8 @@ def spatial_oracles(sf: str = "sf0.01") -> dict[str, str]:
         "fast_corners": _sql_fast_corners(fx, w),
         "dog_blobs": _sql_dog_blobs(fx, w),
         "bloom_semi": rel.bloom_semi_sql(),
+        "bfs_hops": _sql_bfs_hops(),
+        "cohort_retention": rel.cohort_retention_sql(),
         "skyline_orders": rel.skyline_orders_sql(),
         "curation_pipeline": _sql_curation_pipeline(fx, w),
         "mode_pool": _sql_mode_pool(fx, w),
@@ -5237,4 +5241,73 @@ SELECT image_id,
        CAST(SUM(resp) AS BIGINT) AS sum_resp,
        CAST(SUM(resp * ((i - 2) * {iw} + (j - 2) + 1)) AS BIGINT) AS resp_checksum
 FROM px GROUP BY image_id ORDER BY image_id
+"""
+
+
+# --- round-2 batch: BFS / cohort / novelty wiring ---------------------------
+
+_BFS_HOPS = 4
+_BFS_SEED_MOD = 100
+
+
+def q_bfs_hops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-hop reachability (graph.bfs_min_hops) over the same
+    symmetrized supplier<->customer graph as q_pagerank; seeds =
+    suppliers with suppkey % 100 == 0.  The DuckDB twin is a genuine
+    WITH RECURSIVE — the relational-category row stock engines cover
+    with recursive CTEs."""
+    from ..operators.graph import bfs_min_hops
+
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet").select(
+        "l_suppkey", "l_orderkey"
+    )
+    o = spark.read.parquet(f"{sf_dir}/orders.parquet").select(
+        "o_orderkey", "o_custkey"
+    )
+    pairs = (
+        li.join(o, li["l_orderkey"] == o["o_orderkey"])
+        .select(
+            (F.col("l_suppkey").cast("long") * 2).alias("s"),
+            (F.col("o_custkey").cast("long") * 2 + 1).alias("c"),
+        )
+        .distinct()
+    )
+    edges = pairs.select(F.col("s").alias("src"), F.col("c").alias("dst")).unionByName(
+        pairs.select(F.col("c").alias("src"), F.col("s").alias("dst"))
+    )
+    seeds = (
+        spark.read.parquet(f"{sf_dir}/supplier.parquet")
+        .where(F.col("s_suppkey") % _BFS_SEED_MOD == 0)
+        .select((F.col("s_suppkey").cast("long") * 2).alias("node"))
+    )
+    return (
+        bfs_min_hops(edges, seeds, max_hops=_BFS_HOPS)
+        .select("node", F.col("d").cast("long").alias("d"))
+        .repartition(1).sortWithinPartitions("node")
+    )
+
+
+def _sql_bfs_hops() -> str:
+    return f"""
+WITH RECURSIVE pairs AS (
+  SELECT DISTINCT l.l_suppkey * 2 AS s, o.o_custkey * 2 + 1 AS c
+  FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+),
+edges AS (
+  SELECT s AS src, c AS dst FROM pairs
+  UNION ALL SELECT c, s FROM pairs
+),
+seeds AS (
+  SELECT DISTINCT s_suppkey * 2 AS node FROM supplier
+  WHERE s_suppkey % {_BFS_SEED_MOD} = 0
+),
+reach(node, d) AS (
+  SELECT node, 0 FROM seeds
+  UNION
+  SELECT e.dst, r.d + 1
+  FROM reach r JOIN edges e ON e.src = r.node
+  WHERE r.d < {_BFS_HOPS}
+)
+SELECT CAST(node AS BIGINT) AS node, CAST(MIN(d) AS BIGINT) AS d
+FROM reach GROUP BY node ORDER BY node
 """

@@ -59,3 +59,49 @@ def test_nonconvergence_raises(spark):
     v = spark.createDataFrame([(x,) for x in (1, 2, 3, 4)], "doc_id long")
     with pytest.raises(RuntimeError, match="did not converge"):
         graph.connected_components(e, v, max_iter=1)
+
+
+def test_bfs_min_hops_matches_python_bfs(spark):
+    """bfs_min_hops vs a driver-side collections.deque BFS on the same
+    tiny graph (sf0.001)."""
+    from collections import deque
+
+    from pyspark.sql import functions as F
+
+    from georaster_spark.plans.contract import q_bfs_hops
+
+    sf_dir = "/root/testdata/sf0.001"
+    got = {r["node"]: r["d"] for r in q_bfs_hops(spark, sf_dir).collect()}
+
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    o = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    pairs = (
+        li.join(o, li["l_orderkey"] == o["o_orderkey"])
+        .select(
+            (F.col("l_suppkey").cast("long") * 2).alias("s"),
+            (F.col("o_custkey").cast("long") * 2 + 1).alias("c"),
+        )
+        .distinct()
+        .collect()
+    )
+    adj: dict = {}
+    for r in pairs:
+        adj.setdefault(r["s"], set()).add(r["c"])
+        adj.setdefault(r["c"], set()).add(r["s"])
+    seeds = [
+        r["s_suppkey"] * 2
+        for r in spark.read.parquet(f"{sf_dir}/supplier.parquet").collect()
+        if r["s_suppkey"] % 100 == 0
+    ]
+    dist = {s: 0 for s in seeds}
+    q = deque(seeds)
+    while q:
+        u = q.popleft()
+        if dist[u] >= 4:
+            continue
+        for v in adj.get(u, ()):
+            if v not in dist:
+                dist[v] = dist[u] + 1
+                q.append(v)
+    assert got == dist
+    assert max(got.values()) >= 2  # the graph actually expands

@@ -148,3 +148,32 @@ def test_ann_sq8_accounts_for_every_query(spark, duck):
     assert sum(n for n, _ in rows.values()) == nq
     assert sum(s for _, s in rows.values()) == qsum
     assert max(rows) == vectors.TOPK  # at least one perfect-recall query
+
+
+def test_ngram_novelty_matches_bruteforce(spark):
+    """ngram_novelty vs a driver-side shingle DF count."""
+    from georaster_spark.operators import textops as t
+
+    sf_dir = "/root/testdata/sf0.001"
+    got = {r["doc_id"]: r for r in t.ngram_novelty(spark, sf_dir).collect()}
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").collect()
+
+    def sh(text):
+        ws = [w for w in text.strip().lower().split() if w]
+        return set(" ".join(ws[i:i + 3]) for i in range(len(ws) - 2))
+
+    from collections import Counter
+
+    dfc = Counter()
+    per_doc = {}
+    for r in docs:
+        s = sh(r["text"])
+        if s:
+            per_doc[r["doc_id"]] = s
+            dfc.update(s)
+    assert set(got) == set(per_doc)
+    for did, s in per_doc.items():
+        n_rare = sum(1 for x in s if dfc[x] <= 1)
+        assert got[did]["n_sh"] == len(s)
+        assert got[did]["n_rare"] == n_rare
+        assert got[did]["novelty_pm"] == 1000 * n_rare // len(s)
