@@ -405,3 +405,94 @@ def compute_dhash(tiles: DataFrame, out_col: str = "dhash_px") -> DataFrame:
     return tiles.withColumn(
         out_col, _dh(F.col("bytes"), F.col("w"), F.col("h"), F.col("fmt"))
     )
+
+
+_XM_K = 8
+_XM_SCHEMA = "image_id string, caption string, " + ", ".join(
+    f"f{k} long" for k in range(_XM_K)
+)
+
+
+def xmodal_features(tiles: DataFrame) -> DataFrame:
+    """Image-side encoder for the cross-modal alignment gate — the
+    CLIP-score curation step of a multimodal training pipeline with the
+    learned encoders STUBBED (sandbox has no model runtime; policy of
+    multimodal.py's codec stubs): the deterministic stand-in embeds an
+    image as its 8 row-band pixel sums (exact int64).  The Spark-side
+    plumbing is the real thing — pixels cross Arrow ONCE, captions ride
+    through untouched, and everything downstream (text features, cosine
+    gate) is codegen'd integer logic."""
+    slim = tiles.select("image_id", "caption", "bytes", "w", "h", "fmt")
+    dt = {"raw": np.uint8, "qnt": np.uint8, "raw16": "<u2"}
+
+    def _feat(batches):
+        for pdf in batches:
+            n = len(pdf)
+            out = {
+                "image_id": pdf["image_id"].to_numpy(dtype=object),
+                "caption": pdf["caption"].to_numpy(dtype=object),
+            }
+            for k in range(_XM_K):
+                out[f"f{k}"] = np.zeros(n, dtype=np.int64)
+            groups: dict[tuple, list[int]] = {}
+            for r in range(n):
+                key = (int(pdf["w"].iat[r]), int(pdf["h"].iat[r]), pdf["fmt"].iat[r])
+                groups.setdefault(key, []).append(r)
+            for (w, h, fmt), idx in groups.items():
+                b = len(idx)
+                band = max(h // _XM_K, 1)
+                z = (
+                    np.frombuffer(
+                        b"".join(pdf["bytes"].iat[r] for r in idx), dtype=dt[fmt]
+                    )
+                    .reshape(b, h, w)
+                    .astype(np.int64)
+                )
+                rows = np.asarray(idx)
+                for k in range(_XM_K):
+                    lo = k * band
+                    hi = h if k == _XM_K - 1 else (k + 1) * band
+                    out[f"f{k}"][rows] = z[:, lo:hi, :].sum(axis=(1, 2))
+            yield pd.DataFrame(out)
+
+    return slim.mapInPandas(_feat, schema=_XM_SCHEMA)
+
+
+def xmodal_align(tiles: DataFrame, tau_ppm: int = 320_000) -> DataFrame:
+    """Cross-modal (image, caption) alignment gate — the CLIP-filtering
+    step, exact-integer end to end: text encoder stub = word-length
+    histogram mod 8 (deterministic, SQL-replayable); alignment =
+    cos^2 * 10^6 of the two 8-dim integer features, computed as
+
+        align_ppm = (10^6 * dot^2) DIV (|img|^2 * |txt|^2)
+
+    (all int64 by bound analysis: dot <= 8*255*w*h/8*n_words).  Rows
+    gate on align_ppm >= tau_ppm.  At 100 TB this is map-only after the
+    one Arrow pass of the image encoder; swapping the stubs for real
+    CLIP towers changes ONLY the two feature producers."""
+    d = xmodal_features(tiles)
+    ws = F.split(F.trim(F.col("caption")), r"\s+")
+    for k in range(_XM_K):
+        d = d.withColumn(
+            f"t{k}",
+            F.size(F.filter(ws, lambda x: F.length(x) % _XM_K == F.lit(k)))
+            .cast("long"),
+        )
+    dot = sum(F.col(f"f{k}") * F.col(f"t{k}") for k in range(_XM_K))
+    n2i = sum(F.col(f"f{k}") * F.col(f"f{k}") for k in range(_XM_K))
+    n2t = sum(F.col(f"t{k}") * F.col(f"t{k}") for k in range(_XM_K))
+    d = d.select(
+        "image_id",
+        dot.alias("dot"),
+        n2i.alias("n2_img"),
+        n2t.alias("n2_txt"),
+    ).withColumn(
+        "align_ppm",
+        F.when(
+            (F.col("n2_img") > 0) & (F.col("n2_txt") > 0),
+            F.expr("(1000000 * dot * dot) DIV (n2_img * n2_txt)"),
+        ).otherwise(F.lit(0).cast("long")),
+    )
+    return d.withColumn(
+        "passed", (F.col("align_ppm") >= tau_ppm).cast("int")
+    )

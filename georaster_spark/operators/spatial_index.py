@@ -457,3 +457,81 @@ def kdop_support(points: DataFrame, cell: float = 8000.0) -> DataFrame:
         F.col("s.x").alias("sx"),
         F.col("s.y").alias("sy"),
     )
+
+
+HILBERT_R = 9  # order: 512 x 512 grid == the ingest lattice (GRID_W = 512)
+
+
+def with_hilbert(
+    df: DataFrame, xcol: str, ycol: str, out: str = "d", r: int = HILBERT_R
+) -> DataFrame:
+    """Hilbert-curve index d of lattice cell (xcol, ycol) on a 2^r x 2^r
+    grid (Hamilton's classic xy2d, the locality-clustering upgrade over
+    the Z-order/quadkey the engine already has: Hilbert has no Z-jumps,
+    so range scans touch contiguous blocks).  The per-level
+    rotate/reflect loop is unrolled into r pure-Column CASE levels —
+    all codegen'd integer logic, zero UDFs; the DuckDB oracle unrolls
+    the IDENTICAL levels as a CTE chain (both are generated from the
+    same loop structure, see plans/contract._sql_hilbert).
+
+    Each level is its own projection (a `select`), NOT one nested
+    Column expression — the state (x, y) feeds both successor
+    expressions, so a single expression tree would double per level
+    (2^r blowup in Catalyst); per-level projections keep it linear,
+    and collapse into one codegen stage anyway."""
+    keep = [c for c in df.columns if c not in ("__hx", "__hy", out)]
+    cur = df.select(
+        *keep,
+        F.col(xcol).cast("long").alias("__hx"),
+        F.col(ycol).cast("long").alias("__hy"),
+        F.lit(0).cast("long").alias(out),
+    )
+    for i in range(r - 1, -1, -1):
+        s = 1 << i
+        x, y, d = F.col("__hx"), F.col("__hy"), F.col(out)
+        rx = F.when((x.bitwiseAND(F.lit(s))) > 0, 1).otherwise(0)
+        ry = F.when((y.bitwiseAND(F.lit(s))) > 0, 1).otherwise(0)
+        nd = d + F.lit(s).cast("long") * s * ((3 * rx).bitwiseXOR(ry))
+        # rotate: if ry==0 { if rx==1 reflect; swap(x,y) }
+        nx = F.when(ry == 0, F.when(rx == 1, F.lit(s - 1) - y).otherwise(y)).otherwise(x)
+        ny = F.when(ry == 0, F.when(rx == 1, F.lit(s - 1) - x).otherwise(x)).otherwise(y)
+        cur = cur.select(
+            *keep, nx.alias("__hx"), ny.alias("__hy"), nd.alias(out)
+        )
+    return cur.drop("__hx", "__hy")
+
+
+def hilbert_rollup(tiles: DataFrame, bucket_shift: int = 10) -> DataFrame:
+    """Hilbert-bucket rollup of the ingest lattice: every tile gets its
+    Hilbert index over the pre-jitter grid (gx = idx % GRID_W, gy =
+    idx // GRID_W — the same deterministic lattice the Moran operators
+    use), then buckets of 2^bucket_shift consecutive curve positions
+    are aggregated.  Because the curve is locality-preserving, each
+    bucket is a spatially compact blob — the partition/file-layout key
+    you'd cluster a 100 TB corpus by so that spatial range queries
+    prune contiguous file ranges (the Databricks/Iceberg Z-ORDER story,
+    one locality class better).
+
+    Scale shape: map-only codegen'd index + ONE partial+final groupBy;
+    the emitted per-bucket gx/gy bounding box makes the locality
+    measurable (pytest pins max spread << lattice size)."""
+    from ..constants import GRID_W
+    from .georegister import image_idx
+
+    idx = image_idx()
+    t = tiles.select(
+        (idx % GRID_W).cast("long").alias("gx"),
+        F.floor(idx / GRID_W).cast("long").alias("gy"),
+    )
+    return (
+        with_hilbert(t, "gx", "gy", out="d")
+        .groupBy(F.shiftright(F.col("d"), bucket_shift).alias("bucket"))
+        .agg(
+            F.count(F.lit(1)).alias("n_tiles"),
+            F.min("d").alias("min_d"),
+            F.max("d").alias("max_d"),
+            F.sum("d").alias("sum_d"),
+            (F.max("gx") - F.min("gx")).alias("gx_spread"),
+            (F.max("gy") - F.min("gy")).alias("gy_spread"),
+        )
+    )

@@ -4342,6 +4342,8 @@ def spatial_queries() -> dict[str, QueryFn]:
         "bloom_semi": rel.bloom_semi,
         "bfs_hops": q_bfs_hops,
         "cohort_retention": rel.cohort_retention,
+        "hilbert_rollup": q_hilbert,
+        "xmodal_align": q_xmodal_align,
         "skyline_orders": rel.skyline_orders,
         "curation_pipeline": q_curation_pipeline,
         "mode_pool": q_mode_pool,
@@ -4481,6 +4483,8 @@ def spatial_oracles(sf: str = "sf0.01") -> dict[str, str]:
         "bloom_semi": rel.bloom_semi_sql(),
         "bfs_hops": _sql_bfs_hops(),
         "cohort_retention": rel.cohort_retention_sql(),
+        "hilbert_rollup": _sql_hilbert(fx, w),
+        "xmodal_align": _sql_xmodal_align(fx, w),
         "skyline_orders": rel.skyline_orders_sql(),
         "curation_pipeline": _sql_curation_pipeline(fx, w),
         "mode_pool": _sql_mode_pool(fx, w),
@@ -5310,4 +5314,144 @@ reach(node, d) AS (
 )
 SELECT CAST(node AS BIGINT) AS node, CAST(MIN(d) AS BIGINT) AS d
 FROM reach GROUP BY node ORDER BY node
+"""
+
+
+# --- round-2 batch: hilbert rollup ------------------------------------------
+
+_HILBERT_SHIFT = 10
+
+
+def q_hilbert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hilbert-curve bucket rollup (spatial_index.hilbert_rollup):
+    locality-preserving file-layout key, zero UDFs, one partial+final
+    agg; per-bucket gx/gy spreads make the locality measurable."""
+    from ..operators import spatial_index as si
+
+    return (
+        si.hilbert_rollup(
+            geo.georegister(_images(spark, sf_dir)), bucket_shift=_HILBERT_SHIFT
+        )
+        .repartition(1).sortWithinPartitions("bucket")
+    )
+
+
+def _sql_hilbert(fx: Path, w: int) -> str:
+    from ..constants import GRID_W
+    from ..operators.spatial_index import HILBERT_R
+
+    # unroll the IDENTICAL per-level rotate/reflect the Column version
+    # (spatial_index.hilbert_d) applies — both generated from the same
+    # loop structure.
+    ctes = [f"""
+lvl{HILBERT_R} AS (
+  SELECT idx % {GRID_W} AS gx, idx // {GRID_W} AS gy,
+         CAST(idx % {GRID_W} AS BIGINT) AS x,
+         CAST(idx // {GRID_W} AS BIGINT) AS y,
+         CAST(0 AS BIGINT) AS d
+  FROM img
+)"""]
+    for i in range(HILBERT_R - 1, -1, -1):
+        s = 1 << i
+        rx = f"(CASE WHEN (x & {s}) > 0 THEN 1 ELSE 0 END)"
+        ry = f"(CASE WHEN (y & {s}) > 0 THEN 1 ELSE 0 END)"
+        ctes.append(f"""
+lvl{i} AS (
+  SELECT gx, gy,
+         CASE WHEN {ry} = 0 THEN
+           CASE WHEN {rx} = 1 THEN {s - 1} - y ELSE y END
+         ELSE x END AS x,
+         CASE WHEN {ry} = 0 THEN
+           CASE WHEN {rx} = 1 THEN {s - 1} - x ELSE x END
+         ELSE y END AS y,
+         d + {s * s} * xor(3 * {rx}, {ry}) AS d
+  FROM lvl{i + 1}
+)""")
+    chain = ",".join(ctes)
+    return f"""
+WITH img AS (
+  SELECT CAST(substr(image_id, 4, 10) AS BIGINT) AS idx
+  FROM read_parquet('{fx / 'images.parquet'}')
+),{chain}
+SELECT d >> {_HILBERT_SHIFT} AS bucket,
+       CAST(COUNT(*) AS BIGINT) AS n_tiles,
+       CAST(MIN(d) AS BIGINT) AS min_d,
+       CAST(MAX(d) AS BIGINT) AS max_d,
+       CAST(SUM(d) AS BIGINT) AS sum_d,
+       CAST(MAX(gx) - MIN(gx) AS BIGINT) AS gx_spread,
+       CAST(MAX(gy) - MIN(gy) AS BIGINT) AS gy_spread
+FROM lvl0 GROUP BY bucket ORDER BY bucket
+"""
+
+
+# --- round-2 batch: cross-modal alignment gate ------------------------------
+
+_XM_MOD = 43
+_XM_TAU = 320_000
+
+
+def q_xmodal_align(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-modal (image, caption) alignment gate (multimodal.
+    xmodal_align — CLIP-filter plumbing with deterministic stub
+    encoders): exact-integer cos^2 ppm of 8-dim image/text features."""
+    from ..operators import multimodal as mm
+
+    tiles = geo.georegister(_images(spark, sf_dir)).where(
+        geo.image_idx() % _XM_MOD == 0
+    )
+    return (
+        mm.xmodal_align(tiles, tau_ppm=_XM_TAU)
+        .repartition(1).sortWithinPartitions("image_id")
+    )
+
+
+def _sql_xmodal_align(fx: Path, w: int) -> str:
+    from ..operators.multimodal import _XM_K
+
+    v = osql.ramp_value_expr("gi.i", "gj.j")
+    band = max(w // _XM_K, 1)
+    f_terms = []
+    for k in range(_XM_K):
+        lo = k * band
+        hi = w if k == _XM_K - 1 else (k + 1) * band
+        f_terms.append(
+            f"CAST(SUM(CASE WHEN gi.i >= {lo} AND gi.i < {hi} THEN {v}"
+            f" ELSE 0 END) AS BIGINT) AS f{k}"
+        )
+    t_terms = [
+        f"CAST(len(list_filter(ws, x -> len(x) % {_XM_K} = {k})) AS BIGINT) AS t{k}"
+        for k in range(_XM_K)
+    ]
+    dot = " + ".join(f"f{k} * t{k}" for k in range(_XM_K))
+    n2i = " + ".join(f"f{k} * f{k}" for k in range(_XM_K))
+    n2t = " + ".join(f"t{k} * t{k}" for k in range(_XM_K))
+    return f"""
+WITH {osql.georegister_cte(str(fx / 'images.parquet'))},
+fimg AS (
+  SELECT image_id, ANY_VALUE(caption) AS caption, {", ".join(f_terms)}
+  FROM tiles,
+       generate_series(0, {w - 1}) AS gi(i), generate_series(0, {w - 1}) AS gj(j)
+  WHERE idx % {_XM_MOD} = 0
+  GROUP BY image_id
+),
+feat AS (
+  SELECT image_id, {", ".join(t_terms)},
+         {", ".join(f"f{k}" for k in range(_XM_K))}
+  FROM (SELECT *, string_split_regex(trim(caption), '\\s+') AS ws FROM fimg)
+),
+scored AS (
+  SELECT image_id,
+         CAST({dot} AS BIGINT) AS dot,
+         CAST({n2i} AS BIGINT) AS n2_img,
+         CAST({n2t} AS BIGINT) AS n2_txt
+  FROM feat
+)
+SELECT image_id, dot, n2_img, n2_txt,
+       CASE WHEN n2_img > 0 AND n2_txt > 0
+            THEN (1000000 * dot * dot) // (n2_img * n2_txt)
+            ELSE 0 END AS align_ppm,
+       CAST(CASE WHEN n2_img > 0 AND n2_txt > 0
+                  AND (1000000 * dot * dot) // (n2_img * n2_txt) >= {_XM_TAU}
+                 THEN 1 ELSE 0 END AS INTEGER) AS passed
+FROM scored ORDER BY image_id
 """

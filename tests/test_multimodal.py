@@ -164,3 +164,54 @@ def test_compute_dhash_matches_numpy(spark, sf0001_dir):
         if val >= 1 << 63:
             val -= 1 << 64
         assert got[f"img{idx:08d}"] == val
+
+
+def test_xmodal_align_matches_numpy(spark, sf0001_dir):
+    """xmodal_align vs a NumPy/pure-Python reimplementation of both
+    stub encoders and the integer cos^2 gate; also sanity: the gate
+    actually separates (some pass, some fail)."""
+    import numpy as np
+
+    from georaster_spark import oracle
+    from georaster_spark.operators import georegister as geo
+    from georaster_spark.operators.multimodal import xmodal_align
+
+    tiles = geo.georegister(
+        spark.read.parquet(str(sf0001_dir / "images.parquet"))
+    ).where(geo.image_idx() % 43 == 0)
+    got = {r["image_id"]: r for r in xmodal_align(tiles, tau_ppm=320_000).collect()}
+    caps = {
+        r["image_id"]: r["caption"]
+        for r in spark.read.parquet(str(sf0001_dir / "images.parquet"))
+        .select("image_id", "caption").collect()
+    }
+    n_pass = 0
+    for idx in range(0, 1000, 43):
+        z = oracle.ramp_tile(idx, 32, 32).astype(np.int64)
+        if idx % 10 == 3:
+            z = oracle.quantize(z)
+        f = [int(z[4 * k:4 * (k + 1) if k < 7 else 32, :].sum()) for k in range(8)]
+        iid = f"img{idx:08d}"
+        words = caps[iid].strip().split()
+        t = [sum(1 for w_ in words if len(w_) % 8 == k) for k in range(8)]
+        dot = sum(a * b for a, b in zip(f, t))
+        n2i = sum(a * a for a in f)
+        n2t = sum(b * b for b in t)
+        ppm = (1_000_000 * dot * dot) // (n2i * n2t) if n2i and n2t else 0
+        r = got[iid]
+        assert r["dot"] == dot and r["n2_img"] == n2i and r["n2_txt"] == n2t
+        assert r["align_ppm"] == ppm
+        assert r["passed"] == int(ppm >= 320_000)
+        n_pass += r["passed"]
+    assert 0 < n_pass < len(got)
+
+
+def test_xmodal_align_single_arrow_hop(spark, sf0001_dir):
+    from georaster_spark.operators import georegister as geo
+    from georaster_spark.operators.multimodal import xmodal_align
+
+    tiles = geo.georegister(
+        spark.read.parquet(str(sf0001_dir / "images.parquet"))
+    )
+    plan = xmodal_align(tiles)._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("ArrowEvalPython") + plan.count("MapInPandas") == 1

@@ -187,3 +187,56 @@ def test_kdop_plan_zero_udf_partial_agg(spark, sf0001_dir):
     plan = si.kdop_support(pts)._jdf.queryExecution().executedPlan().toString()
     assert "ArrowEvalPython" not in plan and "MapInPandas" not in plan
     assert "partial_max_by" in plan
+
+
+def _py_xy2d(r: int, x: int, y: int) -> int:
+    """Independent Hamilton xy2d reference."""
+    d = 0
+    for i in range(r - 1, -1, -1):
+        s = 1 << i
+        rx = 1 if (x & s) else 0
+        ry = 1 if (y & s) else 0
+        d += s * s * ((3 * rx) ^ ry)
+        if ry == 0:
+            if rx == 1:
+                x, y = s - 1 - x, s - 1 - y
+            x, y = y, x
+    return d
+
+
+def test_hilbert_column_matches_reference_and_is_a_curve(spark):
+    """with_hilbert == the classic xy2d on a full 32x32 grid; the index
+    is bijective and consecutive d are lattice neighbours (THE Hilbert
+    property Z-order lacks)."""
+    import pandas as pd
+
+    r = 5
+    pdf = pd.DataFrame(
+        [(x, y) for x in range(32) for y in range(32)], columns=["x", "y"]
+    )
+    df = spark.createDataFrame(pdf)
+    got = si.with_hilbert(df, "x", "y", out="d", r=r).toPandas()
+    got["ref"] = [_py_xy2d(r, x, y) for x, y in zip(got.x, got.y)]
+    assert (got.d == got.ref).all()
+    assert sorted(got.d) == list(range(1024))  # bijective
+    by_d = got.sort_values("d")
+    dx = by_d.x.diff().abs().iloc[1:]
+    dy = by_d.y.diff().abs().iloc[1:]
+    assert ((dx + dy) == 1).all()  # unit steps: a true space-filling curve
+
+
+def test_hilbert_rollup_locality_and_plan(spark, sf0001_dir):
+    """Buckets are spatially compact (spread << lattice extent) and the
+    plan is pure JVM codegen (zero Python nodes)."""
+    from georaster_spark.operators import georegister as geo
+
+    tiles = geo.georegister(spark.read.parquet(str(sf0001_dir / "images.parquet")))
+    out = si.hilbert_rollup(tiles, bucket_shift=6).toPandas()
+    # sf0.001: 1000 tiles on a 512x2 ragged lattice; every 64-wide
+    # Hilbert bucket must stay compact in gx (<< 512 columns)
+    assert out.n_tiles.sum() == 1000
+    assert (out.gx_spread <= 16).all()
+    plan = (
+        si.hilbert_rollup(tiles)._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "ArrowEvalPython" not in plan and "BatchEvalPython" not in plan
