@@ -274,3 +274,87 @@ def zonal_majority(tiles: DataFrame, zones: DataFrame) -> DataFrame:
             "n_pixels",
         )
     )
+
+
+_FRAC_SCALE = 1 << 20
+_FRAC_SCHEMA = "zone_id long, n_px long, wsum long, vwsum long"
+
+
+def _partial_frac(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    for pdf in batches:
+        out = {k: [] for k in ("zone_id", "n_px", "wsum", "vwsum")}
+        for k in range(len(pdf)):
+            row = pdf.iloc[k]
+            arr = oracle.decode_pixels(
+                row["bytes"], int(row["w"]), int(row["h"]), row["fmt"]
+            ).astype(np.int64)
+            h, w = arr.shape
+            x0, y0 = row["gt_x0"], row["gt_y0"]
+            xr, yr = row["gt_xres"], row["gt_yres"]
+            jj = np.arange(w, dtype=np.float64)
+            ii = np.arange(h, dtype=np.float64)
+            # 1-D overlap fractions; expression shape MUST match the SQL
+            # twin exactly (greatest(least(..) - greatest(..), 0) / res)
+            wx = np.maximum(
+                np.minimum(x0 + (jj + 1) * xr, row["xmax"])
+                - np.maximum(x0 + jj * xr, row["xmin"]),
+                0.0,
+            ) / xr
+            wy = np.maximum(
+                np.minimum(y0 - ii * yr, row["ymax"])
+                - np.maximum(y0 - (ii + 1) * yr, row["ymin"]),
+                0.0,
+            ) / yr
+            wt = np.floor((wy[:, None] * wx[None, :]) * float(_FRAC_SCALE)).astype(
+                np.int64
+            )
+            pos = wt > 0
+            if not pos.any():
+                continue
+            out["zone_id"].append(int(row["zone_id"]))
+            out["n_px"].append(int(pos.sum()))
+            out["wsum"].append(int(wt.sum()))
+            out["vwsum"].append(int((arr * wt).sum()))
+        yield pd.DataFrame(out)
+
+
+def zonal_frac_rect(tiles: DataFrame, zones: DataFrame) -> DataFrame:
+    """Fractional-coverage zonal statistics over RECTANGLE zones — the
+    exact area-weighted variant of zonal_stats (GDAL/exactextract
+    "fraction" semantics vs the center-in rule; upstream georaster users
+    reach for exactextract precisely because center-in biases small
+    zones — SURVEY §1.1 ⚠).  Each pixel cell contributes its covered
+    AREA fraction: the product of two 1-D overlap fractions for
+    axis-aligned zones, quantized to integer 2^-20 units by floor() so
+    every aggregate is an exact int64 — bit-reproducible across
+    parallelism and engines (the floor of identically-computed doubles
+    is engine-independent).
+
+    Per zone: n_px (cells with positive coverage), wsum (total covered
+    area in 2^-20 cell units), vwsum (coverage-weighted pixel sum); the
+    area-weighted mean is vwsum/wsum downstream.
+
+    Scale shape: identical to zonal_stats — broadcast bbox join, fused
+    partial per (tile, zone) pair (pixels never shuffle), tiny
+    partial+final agg."""
+    z = F.broadcast(
+        zones.where(F.col("kind") == "rect").select(
+            "zone_id", "xmin", "xmax", "ymin", "ymax"
+        )
+    )
+    t = tiles.select(
+        "bytes", "w", "h", "fmt", "gt_x0", "gt_y0", "gt_xres", "gt_yres",
+        F.col("xmin").alias("t_xmin"), F.col("xmax").alias("t_xmax"),
+        F.col("ymin").alias("t_ymin"), F.col("ymax").alias("t_ymax"),
+    )
+    pairs = t.join(
+        z,
+        (F.col("t_xmin") < F.col("xmax")) & (F.col("t_xmax") > F.col("xmin"))
+        & (F.col("t_ymin") < F.col("ymax")) & (F.col("t_ymax") > F.col("ymin")),
+    )
+    partials = pairs.mapInPandas(_partial_frac, schema=_FRAC_SCHEMA)
+    return partials.groupBy("zone_id").agg(
+        F.sum("n_px").alias("n_px"),
+        F.sum("wsum").alias("wsum"),
+        F.sum("vwsum").alias("vwsum"),
+    )

@@ -4344,6 +4344,7 @@ def spatial_queries() -> dict[str, QueryFn]:
         "cohort_retention": rel.cohort_retention,
         "hilbert_rollup": q_hilbert,
         "xmodal_align": q_xmodal_align,
+        "zonal_frac": q_zonal_frac,
         "skyline_orders": rel.skyline_orders,
         "curation_pipeline": q_curation_pipeline,
         "mode_pool": q_mode_pool,
@@ -4485,6 +4486,7 @@ def spatial_oracles(sf: str = "sf0.01") -> dict[str, str]:
         "cohort_retention": rel.cohort_retention_sql(),
         "hilbert_rollup": _sql_hilbert(fx, w),
         "xmodal_align": _sql_xmodal_align(fx, w),
+        "zonal_frac": _sql_zonal_frac(fx, w),
         "skyline_orders": rel.skyline_orders_sql(),
         "curation_pipeline": _sql_curation_pipeline(fx, w),
         "mode_pool": _sql_mode_pool(fx, w),
@@ -5454,4 +5456,54 @@ SELECT image_id, dot, n2_img, n2_txt,
                   AND (1000000 * dot * dot) // (n2_img * n2_txt) >= {_XM_TAU}
                  THEN 1 ELSE 0 END AS INTEGER) AS passed
 FROM scored ORDER BY image_id
+"""
+
+
+# --- round-2 batch: fractional zonal ----------------------------------------
+
+
+def q_zonal_frac(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fractional-coverage zonal stats over rect zones (zonal.
+    zonal_frac_rect — exactextract 'fraction' semantics, exact in 2^-20
+    cell-area units)."""
+    from ..operators.zonal import zonal_frac_rect
+
+    tiles = geo.georegister(_images(spark, sf_dir))
+    return (
+        zonal_frac_rect(tiles, _zones(spark, sf_dir))
+        .repartition(1).sortWithinPartitions("zone_id")
+    )
+
+
+def _sql_zonal_frac(fx: Path, w: int) -> str:
+    from ..operators.zonal import _FRAC_SCALE
+
+    ramp = osql.ramp_value_expr("gi.i", "gj.j")
+    return f"""
+WITH {osql.georegister_cte(str(fx / 'images.parquet'))},
+pairs AS (
+  SELECT t.idx, t.fmt, t.gt_x0, t.gt_y0, t.gt_xres, t.gt_yres, z.zone_id,
+         z.xmin, z.xmax, z.ymin, z.ymax
+  FROM tiles t JOIN read_parquet('{fx / 'zones.parquet'}') z
+    ON t.gt_x0 < z.xmax AND t.gt_x0 + t.w * t.gt_xres > z.xmin
+   AND t.gt_y0 - t.h * t.gt_yres < z.ymax AND t.gt_y0 > z.ymin
+   AND z.kind = 'rect'
+),
+px AS (
+  SELECT zone_id, CAST({ramp} AS BIGINT) AS v,
+         CAST(floor((
+           (greatest(least(gt_y0 - gi.i * gt_yres, ymax)
+                     - greatest(gt_y0 - (gi.i + 1) * gt_yres, ymin), 0) / gt_yres)
+           * (greatest(least(gt_x0 + (gj.j + 1) * gt_xres, xmax)
+                       - greatest(gt_x0 + gj.j * gt_xres, xmin), 0) / gt_xres)
+         ) * {float(_FRAC_SCALE)}) AS BIGINT) AS wt
+  FROM pairs,
+       generate_series(0, {w - 1}) AS gi(i), generate_series(0, {w - 1}) AS gj(j)
+)
+SELECT zone_id,
+       CAST(SUM(CASE WHEN wt > 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_px,
+       CAST(SUM(wt) AS BIGINT) AS wsum,
+       CAST(SUM(v * wt) AS BIGINT) AS vwsum
+FROM px GROUP BY zone_id HAVING SUM(CASE WHEN wt > 0 THEN 1 ELSE 0 END) > 0
+ORDER BY zone_id
 """

