@@ -344,3 +344,65 @@ def normalized_diff_stats(tiles: DataFrame, band_a: int, band_b: int) -> DataFra
 
     cols = ["image_id", "bytes", "w", "h", "fmt", "nbands"]
     return tiles.select(*cols).mapInPandas(gen, schema=schema)
+
+
+def pansharpen_stats(tiles: DataFrame) -> DataFrame:
+    """Brovey-transform pansharpening over multi-band tiles — the
+    classic fusion op (reference georaster has no fusion; this is the
+    GDAL `gdal_pansharpen.py` analog a raster user reaches for next,
+    SURVEY §2.3).  With no separate panchromatic plane in the synthetic
+    stack, pan is DERIVED as the integer band mean: ``pan = (Σb) // nb``
+    — the standard fallback when the sensor ships no pan band.
+
+    Per pixel and band the Brovey ratio is kept on an INTEGER surface:
+    ``out = (b · pan · nb) // Σb`` (0 where Σb = 0) — floor semantics
+    identical in NumPy and SQL, values ≤ 255·255 so no overflow anywhere
+    near int64.  Emits per (image, band): Σout, min, max and the
+    position-weighted checksum pinning every fused pixel.
+
+    Scale shape: map-only fused mapInPandas — one Arrow hop, vectorized
+    per (w,h,fmt,nbands) group, zero shuffle."""
+    from pyspark.sql.types import IntegerType, LongType, StringType, StructField, StructType
+
+    schema = StructType(
+        [StructField("image_id", StringType()), StructField("band", IntegerType())]
+        + [StructField(c, LongType()) for c in ("ps_sum", "ps_min", "ps_max", "ps_checksum")]
+    )
+
+    def gen(batches):
+        dt = {"raw": np.uint8, "qnt": np.uint8, "raw16": "<u2"}
+        for pdf in batches:
+            out = {k: [] for k in ("image_id", "band", "ps_sum", "ps_min", "ps_max", "ps_checksum")}
+            groups: dict[tuple, list[int]] = {}
+            for k in range(len(pdf)):
+                key = (
+                    int(pdf["w"].iat[k]), int(pdf["h"].iat[k]),
+                    pdf["fmt"].iat[k], int(pdf["nbands"].iat[k]),
+                )
+                groups.setdefault(key, []).append(k)
+            for (w, h, fmt, nb), idx in groups.items():
+                z = (
+                    np.frombuffer(
+                        b"".join(pdf["bytes"].iat[k] for k in idx), dtype=dt[fmt]
+                    )
+                    .reshape(len(idx), nb, h, w)
+                    .astype(np.int64)
+                )
+                den = z.sum(axis=1)            # (n, h, w)
+                pan = den // nb
+                ps = np.zeros_like(z)
+                nz = np.broadcast_to((den > 0)[:, None], z.shape)
+                np.floor_divide(z * pan[:, None] * nb, den[:, None], out=ps, where=nz)
+                wt = np.arange(1, h * w + 1, dtype=np.int64).reshape(h, w)
+                for pos, k in enumerate(idx):
+                    for b in range(nb):
+                        out["image_id"].append(pdf["image_id"].iat[k])
+                        out["band"].append(b + 1)
+                        out["ps_sum"].append(int(ps[pos, b].sum()))
+                        out["ps_min"].append(int(ps[pos, b].min()))
+                        out["ps_max"].append(int(ps[pos, b].max()))
+                        out["ps_checksum"].append(int((ps[pos, b] * wt).sum()))
+            yield pd.DataFrame(out)
+
+    cols = ["image_id", "bytes", "w", "h", "fmt", "nbands"]
+    return tiles.select(*cols).mapInPandas(gen, schema=schema)

@@ -1225,6 +1225,228 @@ FROM ex e JOIN dfc d USING (s)
 GROUP BY e.doc_id ORDER BY e.doc_id
 """
 
+# ---------------------------------------------------------------------------
+# PII scan + redaction audit
+# ---------------------------------------------------------------------------
+
+# Patterns restricted to syntax valid in BOTH Java regex (Spark) and RE2
+# (DuckDB): character classes, bounded repetition, no backrefs/lookaround.
+PII_EMAIL_RE = "[a-z0-9._%+-]+@[a-z0-9.-]+\\.[a-z]{2,}"
+PII_PHONE_RE = "555-[0-9]{4}"
+PII_IP_RE = "[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}"
+
+
+def _pii_augmented(d: DataFrame) -> Column:
+    """The synthetic corpus carries no natural PII, so inject it
+    DETERMINISTICALLY inside the query (same expression mirrored in the
+    SQL twin): docs with doc_id % 7 == 0 gain an e-mail, % 11 a phone
+    number, % 13 an IPv4 — overlapping moduli give multi-PII docs."""
+    did = F.col("doc_id")
+    return F.concat(
+        F.col("text"),
+        F.when(
+            did % 7 == 0,
+            F.concat(F.lit(" contact user"), did.cast("string"), F.lit("@example.com")),
+        ).otherwise(F.lit("")),
+        F.when(
+            did % 11 == 0,
+            F.concat(F.lit(" call 555-0"), (100 + did % 900).cast("string")),
+        ).otherwise(F.lit("")),
+        F.when(
+            did % 13 == 0,
+            F.concat(
+                F.lit(" host 10.0."), (did % 256).cast("string"),
+                F.lit("."), (did % 250).cast("string"),
+            ),
+        ).otherwise(F.lit("")),
+    )
+
+
+_SQL_PII_AUG = """
+text
+|| CASE WHEN doc_id % 7 = 0
+        THEN ' contact user' || CAST(doc_id AS VARCHAR) || '@example.com'
+        ELSE '' END
+|| CASE WHEN doc_id % 11 = 0
+        THEN ' call 555-0' || CAST(100 + doc_id % 900 AS VARCHAR)
+        ELSE '' END
+|| CASE WHEN doc_id % 13 = 0
+        THEN ' host 10.0.' || CAST(doc_id % 256 AS VARCHAR)
+             || '.' || CAST(doc_id % 250 AS VARCHAR)
+        ELSE '' END
+"""
+
+
+def pii_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII detection + redaction audit — the compliance pass every
+    large-scale training-data pipeline runs before a corpus ships
+    (C4 removed pages on badword lists; modern pipelines regex-scrub
+    emails/phones/IPs).  Per source: docs containing each PII class,
+    total match counts, and the Σh40(redacted_text) checksum pinning the
+    EXACT post-redaction bytes — so the oracle verifies the scrubbing
+    itself, not just the counts.
+
+    Redaction order is normative: e-mail -> phone -> IP (the classes are
+    syntactically disjoint here, but the order is still pinned so both
+    engines rewrite identically).
+
+    Scale shape: pure map-side regexp Column math (JVM codegen, zero
+    Python), ONE tiny group shuffle on `source`."""
+    d = _docs(spark, sf_dir)
+    aug = _pii_augmented(d)
+    red = F.regexp_replace(
+        F.regexp_replace(
+            F.regexp_replace(aug, PII_EMAIL_RE, "<EMAIL>"),
+            PII_PHONE_RE, "<PHONE>",
+        ),
+        PII_IP_RE, "<IP>",
+    )
+    per_doc = d.select(
+        "source",
+        F.regexp_count(aug, F.lit(PII_EMAIL_RE)).alias("ne"),
+        F.regexp_count(aug, F.lit(PII_PHONE_RE)).alias("np"),
+        F.regexp_count(aug, F.lit(PII_IP_RE)).alias("ni"),
+        h40(red).alias("rh"),
+    )
+    return (
+        per_doc.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("ne").alias("n_emails"),
+            F.sum("np").alias("n_phones"),
+            F.sum("ni").alias("n_ips"),
+            F.sum(((F.col("ne") + F.col("np") + F.col("ni")) > 0).cast("long")).alias(
+                "n_docs_pii"
+            ),
+            F.sum("rh").alias("redact_checksum"),
+        )
+        .repartition(1).sortWithinPartitions("source")
+    )
+
+
+def pii_scan_sql() -> str:
+    h = _SQL_H40.format(s="red")
+    return f"""
+WITH aug AS (
+  SELECT source, doc_id, ({_SQL_PII_AUG}) AS t FROM documents
+),
+per_doc AS (
+  SELECT source,
+         len(regexp_extract_all(t, '{PII_EMAIL_RE}')) AS ne,
+         len(regexp_extract_all(t, '{PII_PHONE_RE}')) AS np,
+         len(regexp_extract_all(t, '{PII_IP_RE}')) AS ni,
+         regexp_replace(regexp_replace(regexp_replace(t,
+             '{PII_EMAIL_RE}', '<EMAIL>', 'g'),
+             '{PII_PHONE_RE}', '<PHONE>', 'g'),
+             '{PII_IP_RE}', '<IP>', 'g') AS red
+  FROM aug
+)
+SELECT source,
+       CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(SUM(ne) AS BIGINT) AS n_emails,
+       CAST(SUM(np) AS BIGINT) AS n_phones,
+       CAST(SUM(ni) AS BIGINT) AS n_ips,
+       CAST(SUM(CASE WHEN ne + np + ni > 0 THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_docs_pii,
+       CAST(SUM({h}) AS BIGINT) AS redact_checksum
+FROM per_doc GROUP BY source ORDER BY source
+"""
+
+
+# ---------------------------------------------------------------------------
+# sequence packing (training-batch construction)
+# ---------------------------------------------------------------------------
+
+PACK_B = 1024  # context-window budget in chars (stand-in for tokens)
+
+
+def seq_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sequence-packing audit — training pipelines concatenate documents
+    into fixed context windows (GPT-style "packing"); the operational
+    questions are how many windows a shard needs, how many documents get
+    SPLIT across a window boundary (straddlers lose coherence), and the
+    worst-case docs-per-window (attention-mask segment count).
+
+    Normative deterministic packing: within each `source`, order docs by
+    (n_chars DESC, doc_id) — first-fit-decreasing's sort with a total
+    tie-break — then pack CONTIGUOUSLY by running cumulative sum; a doc
+    lands in bin (cum-1) DIV B and straddles iff its span crosses a
+    B-boundary.  Everything is int64 window/agg math — bit-identical in
+    both engines.
+
+    Per source: n_docs, total_chars, n_bins (= ceil(total/B)),
+    n_straddle, max_bin_docs (docs whose END falls in the fullest bin).
+
+    Scale shape: ONE window sort partitioned by `source` — parallel
+    across sources, no global order.  At 10^12 rows a single source
+    outgrows one task: sub-shard the window key to (source,
+    hash(doc_id) % n_shards) and pack per shard — the metrics stay
+    exact per shard and additive per source (bins don't cross shards
+    by construction)."""
+    d = _docs(spark, sf_dir).select("source", "doc_id", "n_chars")
+    w = (
+        W.partitionBy("source")
+        .orderBy(F.col("n_chars").desc(), F.col("doc_id"))
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    b = d.withColumn("cum", F.sum("n_chars").over(w)).select(
+        "source", "n_chars",
+        F.expr(f"(cum - 1) DIV {PACK_B}").alias("bin_id"),
+        F.expr(
+            f"CASE WHEN (cum - n_chars) DIV {PACK_B} <> (cum - 1) DIV {PACK_B}"
+            " THEN 1 ELSE 0 END"
+        ).alias("straddle"),
+    )
+    agg = b.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_chars").alias("total_chars"),
+        F.expr(f"(sum(n_chars) + {PACK_B - 1}) DIV {PACK_B}").alias("n_bins"),
+        F.sum("straddle").alias("n_straddle"),
+    )
+    mx = (
+        b.groupBy("source", "bin_id")
+        .agg(F.count(F.lit(1)).alias("n_in_bin"))
+        .groupBy("source")
+        .agg(F.max("n_in_bin").alias("max_bin_docs"))
+    )
+    return agg.join(mx, "source").repartition(1).sortWithinPartitions("source")
+
+
+def seq_packing_sql() -> str:
+    return f"""
+WITH c AS (
+  SELECT source, doc_id, n_chars,
+         SUM(n_chars) OVER (PARTITION BY source
+                            ORDER BY n_chars DESC, doc_id
+                            ROWS UNBOUNDED PRECEDING) AS cum
+  FROM documents
+),
+b AS (
+  SELECT source, n_chars,
+         (cum - 1) // {PACK_B} AS bin_id,
+         CASE WHEN (cum - n_chars) // {PACK_B} <> (cum - 1) // {PACK_B}
+              THEN 1 ELSE 0 END AS straddle
+  FROM c
+),
+agg AS (
+  SELECT source,
+         CAST(COUNT(*) AS BIGINT) AS n_docs,
+         CAST(SUM(n_chars) AS BIGINT) AS total_chars,
+         CAST((SUM(n_chars) + {PACK_B - 1}) // {PACK_B} AS BIGINT) AS n_bins,
+         CAST(SUM(straddle) AS BIGINT) AS n_straddle
+  FROM b GROUP BY source
+),
+mx AS (
+  SELECT source, CAST(MAX(n_in_bin) AS BIGINT) AS max_bin_docs
+  FROM (SELECT source, bin_id, COUNT(*) AS n_in_bin
+        FROM b GROUP BY source, bin_id)
+  GROUP BY source
+)
+SELECT agg.*, mx.max_bin_docs
+FROM agg JOIN mx USING (source) ORDER BY source
+"""
+
+
 def text_queries():
     return {
         "text_stats": text_stats,
@@ -1245,6 +1467,8 @@ def text_queries():
         "lsh_recall_gate": lsh_recall_gate,
         "source_quality_rollup": source_quality_rollup,
         "ngram_novelty": ngram_novelty,
+        "pii_scan": pii_scan,
+        "seq_packing": seq_packing,
     }
 
 
@@ -1268,4 +1492,6 @@ def text_oracles() -> dict[str, str]:
         "lsh_recall_gate": lsh_recall_gate_sql(),
         "source_quality_rollup": source_quality_rollup_sql(),
         "ngram_novelty": ngram_novelty_sql(),
+        "pii_scan": pii_scan_sql(),
+        "seq_packing": seq_packing_sql(),
     }

@@ -3076,6 +3076,50 @@ def q_band_ndvi(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_pansharpen(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Brovey pansharpening over the synthetic 3-band stack
+    (raster_io.pansharpen_stats): pan = integer band mean, fused band =
+    (b·pan·3) // Σb — all int64, one fused Arrow pass, zero shuffle."""
+    from ..operators import raster_io
+
+    tiles = geo.georegister(_images(spark, sf_dir)).where(geo.image_idx() < 2000)
+    return (
+        raster_io.pansharpen_stats(_band_stack(tiles, 3))
+        .repartition(1).sortWithinPartitions("image_id", "band")
+    )
+
+
+def _sql_pansharpen(fx: Path, w: int) -> str:
+    """DuckDB twin of q_pansharpen: plane values from the ramp formula
+    + modular band offsets, den = Σ of the three planes, pan = den//3,
+    out = (v·pan·3)//den (0 where den=0) — all positive ints, so //
+    (truncation) equals NumPy's floor_divide exactly."""
+    v = osql.ramp_value_expr("gi.i", "gj.j")
+    den = " + ".join(f"((({v}) + {_BAND_OFF * p}) % 256)" for p in range(3))
+    ps = (
+        f"(CASE WHEN den = 0 THEN 0"
+        f" ELSE (bv * (den // 3) * 3) // den END)"
+    )
+    return f"""
+WITH {osql.georegister_cte(str(fx / 'images.parquet'))},
+lim AS (SELECT * FROM tiles WHERE idx < 2000),
+bands(band, off) AS (VALUES (1, 0), (2, {_BAND_OFF}), (3, {2 * _BAND_OFF})),
+px AS (
+  SELECT image_id, band, gi.i AS i, gj.j AS j,
+         (({v}) + off) % 256 AS bv,
+         ({den}) AS den
+  FROM lim, bands,
+       generate_series(0, {w - 1}) AS gi(i), generate_series(0, {w - 1}) AS gj(j)
+)
+SELECT image_id, CAST(band AS INTEGER) AS band,
+       CAST(SUM({ps}) AS BIGINT) AS ps_sum,
+       CAST(MIN({ps}) AS BIGINT) AS ps_min,
+       CAST(MAX({ps}) AS BIGINT) AS ps_max,
+       CAST(SUM({ps} * (i * {w} + j + 1)) AS BIGINT) AS ps_checksum
+FROM px GROUP BY image_id, band ORDER BY image_id, band
+"""
+
+
 def _sql_band_ndvi(fx: Path, w: int) -> str:
     """DuckDB twin of q_band_ndvi: plane values from the ramp formula +
     modular band offsets, nd = floor((a−b)·1000 / (a+b)) (floor via
@@ -4283,6 +4327,7 @@ def spatial_queries() -> dict[str, QueryFn]:
         "reproject_bilinear": q_reproject_bilinear,
         "mosaic_blend": q_mosaic_blend,
         "band_ndvi": q_band_ndvi,
+        "pansharpen": q_pansharpen,
         "downsample_checksum": q_downsample_checksum,
         "pixel_histogram": q_pixel_histogram,
         "pixel_quantiles": q_pixel_quantiles,
@@ -4425,6 +4470,7 @@ def spatial_oracles(sf: str = "sf0.01") -> dict[str, str]:
         "reproject_bilinear": _sql_reproject_bilinear(fx),
         "mosaic_blend": _sql_mosaic_blend(fx),
         "band_ndvi": _sql_band_ndvi(fx, w),
+        "pansharpen": _sql_pansharpen(fx, w),
         "downsample_checksum": _sql_downsample_checksum(fx, w),
         "pixel_histogram": _sql_pixel_histogram(fx, w),
         "pixel_quantiles": _sql_pixel_quantiles(fx, w),

@@ -96,3 +96,34 @@ def test_reproject_rejects_unknown_method(spark, sf0001_dir):
     )
     with pytest.raises(ValueError):
         warp.reproject(tiles, grid, method="cubic")
+
+
+def test_pansharpen_matches_numpy(spark, sf0001_dir):
+    """Brovey fusion vs a driver-side NumPy recompute on real fixture
+    tiles: per-band sums/extremes/checksums must be integer-exact."""
+    from georaster_spark.plans.contract import _BAND_OFF, _band_stack
+
+    tiles = geo.georegister(
+        spark.read.parquet(str(sf0001_dir / "images.parquet"))
+    ).limit(6)
+    stacked = _band_stack(tiles, 3)
+    got = {
+        (r["image_id"], r["band"]): r
+        for r in raster_io.pansharpen_stats(stacked).collect()
+    }
+    for r in tiles.collect():
+        base = oracle.decode_pixels(r["bytes"], r["w"], r["h"], r["fmt"]).astype(
+            np.int64
+        )
+        planes = np.stack([(base + _BAND_OFF * p) % 256 for p in range(3)])
+        den = planes.sum(axis=0)
+        pan = den // 3
+        wt = np.arange(1, base.size + 1).reshape(base.shape)
+        for b in range(3):
+            ps = np.zeros_like(base)
+            np.floor_divide(planes[b] * pan * 3, den, out=ps, where=den > 0)
+            g = got[(r["image_id"], b + 1)]
+            assert g["ps_sum"] == ps.sum()
+            assert g["ps_min"] == ps.min()
+            assert g["ps_max"] == ps.max()
+            assert g["ps_checksum"] == (ps * wt).sum()

@@ -28,6 +28,8 @@ CASES = [
     ("ann_topk_brute", vectors.ann_topk_brute, vectors.ann_topk_brute_sql()),
     ("ann_lsh", vectors.ann_lsh, vectors.ann_lsh_sql()),
     ("ann_sq8", vectors.ann_sq8, vectors.ann_sq8_sql()),
+    ("pii_scan", textops.pii_scan, textops.pii_scan_sql()),
+    ("seq_packing", textops.seq_packing, textops.seq_packing_sql()),
 ]
 
 
@@ -177,3 +179,51 @@ def test_ngram_novelty_matches_bruteforce(spark):
         assert got[did]["n_sh"] == len(s)
         assert got[did]["n_rare"] == n_rare
         assert got[did]["novelty_pm"] == 1000 * n_rare // len(s)
+
+
+def test_pii_scan_semantics(spark, duck):
+    """The deterministic injection must produce nonzero detections, the
+    per-class doc counts must match the moduli census, and redaction
+    must remove every match (re-scanning the redacted text finds 0)."""
+    from pyspark.sql import functions as F
+
+    sdf = textops.pii_scan(spark, SF_DIR)
+    rows = {r["source"]: r for r in sdf.collect()}
+    n7, n11, n13 = duck.execute(
+        "SELECT SUM(CASE WHEN doc_id % 7 = 0 THEN 1 ELSE 0 END),"
+        "       SUM(CASE WHEN doc_id % 11 = 0 THEN 1 ELSE 0 END),"
+        "       SUM(CASE WHEN doc_id % 13 = 0 THEN 1 ELSE 0 END) FROM documents"
+    ).fetchone()
+    assert sum(r["n_emails"] for r in rows.values()) == n7 > 0
+    assert sum(r["n_phones"] for r in rows.values()) == n11 > 0
+    assert sum(r["n_ips"] for r in rows.values()) == n13 > 0
+    d = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    aug = textops._pii_augmented(d)
+    red = F.regexp_replace(
+        F.regexp_replace(
+            F.regexp_replace(aug, textops.PII_EMAIL_RE, "<EMAIL>"),
+            textops.PII_PHONE_RE, "<PHONE>",
+        ),
+        textops.PII_IP_RE, "<IP>",
+    )
+    leftovers = d.select(
+        (
+            F.regexp_count(red, F.lit(textops.PII_EMAIL_RE))
+            + F.regexp_count(red, F.lit(textops.PII_PHONE_RE))
+            + F.regexp_count(red, F.lit(textops.PII_IP_RE))
+        ).alias("n")
+    ).agg(F.sum("n")).first()[0]
+    assert leftovers == 0
+
+
+def test_seq_packing_invariants(spark, duck):
+    """Bin count must be exactly ceil(total/B); straddlers are bounded
+    by n_bins - 1 (contiguous packing crosses each boundary at most
+    once); max_bin_docs is at least the average docs-per-bin."""
+    rows = textops.seq_packing(spark, SF_DIR).collect()
+    assert rows
+    B = textops.PACK_B
+    for r in rows:
+        assert r["n_bins"] == (r["total_chars"] + B - 1) // B
+        assert 0 <= r["n_straddle"] <= r["n_bins"] - 1
+        assert r["max_bin_docs"] * r["n_bins"] >= r["n_docs"]
