@@ -1730,3 +1730,87 @@ def dog_blob_stats(tiles: DataFrame) -> DataFrame:
             yield pd.DataFrame(out)
 
     return slim.mapInPandas(_dog, schema=_DOG_SCHEMA)
+
+
+_VIEW_SCHEMA = (
+    "image_id string, dir int, n_visible long, furthest_k int, "
+    "first_blocked int, vis_checksum long"
+)
+
+VIEWSHED_OBS_H = 2  # observer height above the center cell (elevation units)
+
+
+def viewshed_stats(tiles: DataFrame) -> DataFrame:
+    """8-ray line-of-sight viewshed census (gdal_viewshed analog; the
+    classic DEM visibility op a georaster user derives next after
+    openness — SURVEY §0 ⚠).  Observer at the tile center, eye level
+    zo = z[h//2, w//2] + VIEWSHED_OBS_H; along each principal ray the
+    cell at step k is VISIBLE iff its elevation angle strictly exceeds
+    every earlier angle on the ray:
+
+        (z_k - zo)/k  >  max_{j<k} (z_j - zo)/j      (k = 1 always seen)
+
+    The per-step ground-distance constant cancels inside a ray (same
+    argument as openness_stats), so the compare is exact int64 after
+    multiplying through D = lcm(1..L): key(k) = (z_k - zo) * (D // k)
+    and visibility is a running-max compare — no signed division
+    anywhere, bit-identical in NumPy and the DuckDB window oracle.
+
+    Output per (tile, dir): n_visible, furthest_k (last visible step),
+    first_blocked (smallest hidden step; 0 = ray fully visible) and the
+    step-weighted visibility checksum pinning the exact visible set.
+    Map-only fused Arrow pass, zero shuffle."""
+    import math
+
+    slim = tiles.select("image_id", "bytes", "w", "h", "fmt")
+    dt = {"raw": np.uint8, "qnt": np.uint8, "raw16": "<u2"}
+
+    def _vs(batches):
+        for pdf in batches:
+            groups: dict[tuple, list[int]] = {}
+            for r in range(len(pdf)):
+                key = (int(pdf["w"].iat[r]), int(pdf["h"].iat[r]), pdf["fmt"].iat[r])
+                groups.setdefault(key, []).append(r)
+            cols: dict[str, list] = {c: [] for c in (
+                "image_id", "dir", "n_visible", "furthest_k", "first_blocked",
+                "vis_checksum")}
+            for (w, h, fmt), idx in groups.items():
+                ci, cj = h // 2, w // 2
+                L = min(ci, cj, h - 1 - ci, w - 1 - cj)
+                if L < 1:
+                    continue
+                D = math.lcm(*range(1, L + 1))
+                m = np.array([D // k for k in range(1, L + 1)], dtype=np.int64)
+                ks = np.arange(1, L + 1, dtype=np.int64)
+                b = len(idx)
+                z = (
+                    np.frombuffer(
+                        b"".join(pdf["bytes"].iat[r] for r in idx), dtype=dt[fmt]
+                    )
+                    .reshape(b, h, w)
+                    .astype(np.int64)
+                )
+                zo = z[:, ci, cj][:, None] + VIEWSHED_OBS_H
+                ids = pdf["image_id"].to_numpy(dtype=object)[np.asarray(idx)]
+                for d, (di, dj) in enumerate(_N8):
+                    p = z[:, ci + ks * di, cj + ks * dj] - zo  # (b, L)
+                    keys = p * m
+                    run = np.maximum.accumulate(keys, axis=1)
+                    vis = np.empty(keys.shape, dtype=bool)
+                    vis[:, 0] = True
+                    vis[:, 1:] = keys[:, 1:] > run[:, :-1]
+                    inv = ~vis
+                    fb = np.where(inv.any(axis=1), inv.argmax(axis=1) + 1, 0)
+                    # last visible step: vis[:, 0] is always True
+                    fur = L - vis[:, ::-1].argmax(axis=1)
+                    cols["image_id"].extend(ids)
+                    cols["dir"].extend([d] * b)
+                    cols["n_visible"].extend(vis.sum(axis=1))
+                    cols["furthest_k"].extend(fur.astype(np.int32))
+                    cols["first_blocked"].extend(fb.astype(np.int32))
+                    cols["vis_checksum"].extend((vis * ks).sum(axis=1))
+            yield pd.DataFrame(cols) if cols["image_id"] else pd.DataFrame(
+                {c: [] for c in cols}
+            )
+
+    return slim.mapInPandas(_vs, schema=_VIEW_SCHEMA)

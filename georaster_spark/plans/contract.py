@@ -4328,6 +4328,7 @@ def spatial_queries() -> dict[str, QueryFn]:
         "mosaic_blend": q_mosaic_blend,
         "band_ndvi": q_band_ndvi,
         "pansharpen": q_pansharpen,
+        "viewshed": q_viewshed,
         "downsample_checksum": q_downsample_checksum,
         "pixel_histogram": q_pixel_histogram,
         "pixel_quantiles": q_pixel_quantiles,
@@ -4471,6 +4472,7 @@ def spatial_oracles(sf: str = "sf0.01") -> dict[str, str]:
         "mosaic_blend": _sql_mosaic_blend(fx),
         "band_ndvi": _sql_band_ndvi(fx, w),
         "pansharpen": _sql_pansharpen(fx, w),
+        "viewshed": _sql_viewshed(fx, w),
         "downsample_checksum": _sql_downsample_checksum(fx, w),
         "pixel_histogram": _sql_pixel_histogram(fx, w),
         "pixel_quantiles": _sql_pixel_quantiles(fx, w),
@@ -4755,6 +4757,70 @@ SELECT h.image_id, CAST(h.dir AS INTEGER) AS dir,
        a.n_rising, a.ray_checksum
 FROM hor h JOIN agg a USING (image_id, dir)
 WHERE h.rn = 1 ORDER BY h.image_id, h.dir
+"""
+
+
+_VIEW_MOD = 53
+
+
+def q_viewshed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """8-ray line-of-sight viewshed census (algebra.viewshed_stats —
+    gdal_viewshed analog) with running-max visibility on the exact
+    lcm-scaled rational-angle surface.  Map-only fused Arrow pass."""
+    from ..operators import algebra
+
+    tiles = geo.georegister(_images(spark, sf_dir)).where(
+        geo.image_idx() % _VIEW_MOD == 0
+    )
+    return (
+        algebra.viewshed_stats(tiles)
+        .repartition(1).sortWithinPartitions("image_id", "dir")
+    )
+
+
+def _sql_viewshed(fx: Path, w: int) -> str:
+    import math
+
+    from ..operators.algebra import VIEWSHED_OBS_H
+
+    ci = w // 2
+    L = min(ci, w - 1 - ci)
+    D = math.lcm(*range(1, L + 1))
+    z0 = osql.ramp_value_expr(str(ci), str(ci))
+    zk = osql.ramp_value_expr(f"{ci} + k.k * d.di", f"{ci} + k.k * d.dj")
+    dirs = ",".join(
+        f"({i},{di},{dj})"
+        for i, (di, dj) in enumerate(
+            ((-1, -1), (-1, 0), (-1, 1), (0, -1), (0, 1), (1, -1), (1, 0), (1, 1))
+        )
+    )
+    return f"""
+WITH {osql.georegister_cte(str(fx / 'images.parquet'))},
+rays AS (
+  SELECT image_id, d.dir, k.k,
+         CAST({zk} AS BIGINT) - CAST({z0} AS BIGINT) - {VIEWSHED_OBS_H} AS p
+  FROM tiles,
+       (VALUES {dirs}) AS d(dir, di, dj),
+       generate_series(1, {L}) AS k(k)
+  WHERE idx % {_VIEW_MOD} = 0
+),
+scored AS (SELECT *, p * ({D} // k) AS skey FROM rays),
+vis AS (
+  SELECT image_id, dir, k,
+         CASE WHEN k = 1 THEN 1
+              WHEN skey > MAX(skey) OVER (
+                  PARTITION BY image_id, dir ORDER BY k
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+              THEN 1 ELSE 0 END AS v
+  FROM scored
+)
+SELECT image_id, CAST(dir AS INTEGER) AS dir,
+       CAST(SUM(v) AS BIGINT) AS n_visible,
+       CAST(MAX(CASE WHEN v = 1 THEN k END) AS INTEGER) AS furthest_k,
+       CAST(COALESCE(MIN(CASE WHEN v = 0 THEN k END), 0) AS INTEGER)
+           AS first_blocked,
+       CAST(SUM(v * k) AS BIGINT) AS vis_checksum
+FROM vis GROUP BY image_id, dir ORDER BY image_id, dir
 """
 
 

@@ -600,3 +600,33 @@ def test_fast_dog_single_arrow_hop(spark, sf0001_dir):
     for op in (algebra.fast_corner_stats, algebra.dog_blob_stats):
         plan = op(_tiles(spark, sf0001_dir))._jdf.queryExecution().executedPlan().toString()
         assert plan.count("ArrowEvalPython") + plan.count("MapInPandas") == 1, (op, plan)
+
+
+def test_viewshed_matches_bruteforce(spark, sf0001_dir):
+    """viewshed_stats vs a Fraction-compare running-max brute force
+    (exercises the strict-compare rule, observer height, and the
+    first-blocked/furthest bookkeeping)."""
+    from fractions import Fraction
+
+    rows = algebra.viewshed_stats(_tiles(spark, sf0001_dir)).collect()
+    got = {(r["image_id"], r["dir"]): r for r in rows}
+    assert len(got) == 28 * 8
+    n8 = ((-1, -1), (-1, 0), (-1, 1), (0, -1), (0, 1), (1, -1), (1, 0), (1, 1))
+    for idx in range(0, 1000, 37):
+        z = _ramp(idx)
+        ci = cj = 16
+        L = 15
+        zo = int(z[ci, cj]) + algebra.VIEWSHED_OBS_H
+        for d, (di, dj) in enumerate(n8):
+            ang = [Fraction(int(z[ci + k * di, cj + k * dj]) - zo, k)
+                   for k in range(1, L + 1)]
+            vis, best = [], None
+            for a in ang:
+                vis.append(best is None or a > best)
+                best = a if best is None or a > best else best
+            r = got[(f"img{idx:08d}", d)]
+            assert r["n_visible"] == sum(vis)
+            assert r["furthest_k"] == max(i + 1 for i, v in enumerate(vis) if v)
+            blocked = [i + 1 for i, v in enumerate(vis) if not v]
+            assert r["first_blocked"] == (blocked[0] if blocked else 0)
+            assert r["vis_checksum"] == sum(i + 1 for i, v in enumerate(vis) if v)
