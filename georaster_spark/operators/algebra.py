@@ -1814,3 +1814,74 @@ def viewshed_stats(tiles: DataFrame) -> DataFrame:
             )
 
     return slim.mapInPandas(_vs, schema=_VIEW_SCHEMA)
+
+
+_STRETCH_SCHEMA = (
+    "image_id string, lo long, hi long, n_sat_lo long, n_sat_hi long, "
+    "out_sum long, out_checksum long"
+)
+
+STRETCH_P_LO = 2   # lower percentile (exact order statistic, not interpolated)
+STRETCH_P_HI = 98
+
+
+def stretch_stats(tiles: DataFrame) -> DataFrame:
+    """Percentile contrast stretch (the `gdal_translate -scale` /
+    QGIS "cumulative count cut 2–98%" default a georaster user applies
+    before display — SURVEY §0 ⚠).  Bounds are EXACT order statistics:
+    lo = sorted(v)[n·2//100], hi = sorted(v)[n·98//100] (0-indexed), so
+    both engines pick the identical pixel — no interpolated quantile.
+    Stretch on an all-integer surface:
+
+        out = 0                         v <= lo   (or hi == lo)
+            = 255                       v >= hi
+            = (v - lo)·255 // (hi - lo) otherwise
+
+    Emits per image the bounds, saturated-pixel counts and the
+    position-weighted checksum pinning every stretched value.
+    Map-only fused Arrow pass, zero shuffle; the sort is per-tile
+    (n = w·h pixels) inside the executor, never a Spark sort."""
+    slim = tiles.select("image_id", "bytes", "w", "h", "fmt")
+    dt = {"raw": np.uint8, "qnt": np.uint8, "raw16": "<u2"}
+
+    def _st(batches):
+        for pdf in batches:
+            groups: dict[tuple, list[int]] = {}
+            for r in range(len(pdf)):
+                key = (int(pdf["w"].iat[r]), int(pdf["h"].iat[r]), pdf["fmt"].iat[r])
+                groups.setdefault(key, []).append(r)
+            cols: dict[str, list] = {c: [] for c in (
+                "image_id", "lo", "hi", "n_sat_lo", "n_sat_hi", "out_sum",
+                "out_checksum")}
+            for (w, h, fmt), idx in groups.items():
+                n = w * h
+                klo, khi = n * STRETCH_P_LO // 100, n * STRETCH_P_HI // 100
+                b = len(idx)
+                z = (
+                    np.frombuffer(
+                        b"".join(pdf["bytes"].iat[r] for r in idx), dtype=dt[fmt]
+                    )
+                    .reshape(b, n)
+                    .astype(np.int64)
+                )
+                srt = np.sort(z, axis=1)
+                lo, hi = srt[:, klo][:, None], srt[:, khi][:, None]
+                rng = hi - lo
+                out = np.zeros_like(z)
+                mid = (z > lo) & (z < hi) & (rng > 0)
+                np.floor_divide((z - lo) * 255, rng, out=out, where=mid)
+                out[(z >= hi) & (rng > 0)] = 255
+                wt = np.arange(1, n + 1, dtype=np.int64)
+                ids = pdf["image_id"].to_numpy(dtype=object)[np.asarray(idx)]
+                cols["image_id"].extend(ids)
+                cols["lo"].extend(lo[:, 0])
+                cols["hi"].extend(hi[:, 0])
+                cols["n_sat_lo"].extend((z <= lo).sum(axis=1))
+                cols["n_sat_hi"].extend(((z >= hi) & (rng > 0)).sum(axis=1))
+                cols["out_sum"].extend(out.sum(axis=1))
+                cols["out_checksum"].extend((out * wt).sum(axis=1))
+            yield pd.DataFrame(cols) if cols["image_id"] else pd.DataFrame(
+                {c: [] for c in cols}
+            )
+
+    return slim.mapInPandas(_st, schema=_STRETCH_SCHEMA)

@@ -4329,6 +4329,7 @@ def spatial_queries() -> dict[str, QueryFn]:
         "band_ndvi": q_band_ndvi,
         "pansharpen": q_pansharpen,
         "viewshed": q_viewshed,
+        "stretch": q_stretch,
         "downsample_checksum": q_downsample_checksum,
         "pixel_histogram": q_pixel_histogram,
         "pixel_quantiles": q_pixel_quantiles,
@@ -4473,6 +4474,7 @@ def spatial_oracles(sf: str = "sf0.01") -> dict[str, str]:
         "band_ndvi": _sql_band_ndvi(fx, w),
         "pansharpen": _sql_pansharpen(fx, w),
         "viewshed": _sql_viewshed(fx, w),
+        "stretch": _sql_stretch(fx, w),
         "downsample_checksum": _sql_downsample_checksum(fx, w),
         "pixel_histogram": _sql_pixel_histogram(fx, w),
         "pixel_quantiles": _sql_pixel_quantiles(fx, w),
@@ -4821,6 +4823,70 @@ SELECT image_id, CAST(dir AS INTEGER) AS dir,
            AS first_blocked,
        CAST(SUM(v * k) AS BIGINT) AS vis_checksum
 FROM vis GROUP BY image_id, dir ORDER BY image_id, dir
+"""
+
+
+_STRETCH_MOD = 43
+
+
+def q_stretch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Percentile contrast stretch (algebra.stretch_stats — the
+    gdal_translate -scale / QGIS 2–98% cumulative-cut default) on
+    rank-exact order-statistic bounds.  Map-only fused Arrow pass."""
+    from ..operators import algebra
+
+    tiles = geo.georegister(_images(spark, sf_dir)).where(
+        geo.image_idx() % _STRETCH_MOD == 0
+    )
+    return (
+        algebra.stretch_stats(tiles)
+        .repartition(1).sortWithinPartitions("image_id")
+    )
+
+
+def _sql_stretch(fx: Path, w: int) -> str:
+    from ..operators.algebra import STRETCH_P_HI, STRETCH_P_LO
+
+    n = w * w
+    klo, khi = n * STRETCH_P_LO // 100, n * STRETCH_P_HI // 100
+    v = osql.ramp_value_expr("gi.i", "gj.j")
+    return f"""
+WITH {osql.georegister_cte(str(fx / 'images.parquet'))},
+px AS (
+  SELECT image_id, gi.i AS i, gj.j AS j, CAST({v} AS BIGINT) AS v
+  FROM tiles,
+       generate_series(0, {w - 1}) AS gi(i), generate_series(0, {w - 1}) AS gj(j)
+  WHERE idx % {_STRETCH_MOD} = 0
+),
+ranked AS (
+  SELECT image_id, v,
+         row_number() OVER (PARTITION BY image_id ORDER BY v) AS rn
+  FROM px
+),
+bounds AS (
+  SELECT image_id,
+         MAX(CASE WHEN rn = {klo + 1} THEN v END) AS lo,
+         MAX(CASE WHEN rn = {khi + 1} THEN v END) AS hi
+  FROM ranked GROUP BY image_id
+),
+s AS (
+  SELECT p.image_id, p.v, b.lo, b.hi,
+         CASE WHEN b.hi = b.lo THEN 0
+              WHEN p.v <= b.lo THEN 0
+              WHEN p.v >= b.hi THEN 255
+              ELSE ((p.v - b.lo) * 255) // (b.hi - b.lo) END AS o,
+         p.i * {w} + p.j + 1 AS wt
+  FROM px p JOIN bounds b USING (image_id)
+)
+SELECT image_id,
+       CAST(MAX(lo) AS BIGINT) AS lo,
+       CAST(MAX(hi) AS BIGINT) AS hi,
+       CAST(SUM(CASE WHEN v <= lo THEN 1 ELSE 0 END) AS BIGINT) AS n_sat_lo,
+       CAST(SUM(CASE WHEN hi > lo AND v >= hi THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_sat_hi,
+       CAST(SUM(o) AS BIGINT) AS out_sum,
+       CAST(SUM(o * wt) AS BIGINT) AS out_checksum
+FROM s GROUP BY image_id ORDER BY image_id
 """
 
 

@@ -630,3 +630,31 @@ def test_viewshed_matches_bruteforce(spark, sf0001_dir):
             blocked = [i + 1 for i, v in enumerate(vis) if not v]
             assert r["first_blocked"] == (blocked[0] if blocked else 0)
             assert r["vis_checksum"] == sum(i + 1 for i, v in enumerate(vis) if v)
+
+
+def test_stretch_matches_bruteforce(spark, sf0001_dir):
+    """stretch_stats vs a per-pixel Python recompute (exact order-stat
+    bounds, saturation bookkeeping, integer stretch formula)."""
+    rows = algebra.stretch_stats(_tiles(spark, sf0001_dir)).collect()
+    got = {r["image_id"]: r for r in rows}
+    for idx in range(0, 1000, 37):
+        z = _ramp(idx).astype(np.int64).ravel()
+        n = z.size
+        srt = np.sort(z)
+        lo = int(srt[n * algebra.STRETCH_P_LO // 100])
+        hi = int(srt[n * algebra.STRETCH_P_HI // 100])
+        out = []
+        for v in z:
+            v = int(v)
+            if hi == lo or v <= lo:
+                out.append(0)
+            elif v >= hi:
+                out.append(255)
+            else:
+                out.append((v - lo) * 255 // (hi - lo))
+        r = got[f"img{idx:08d}"]
+        assert (r["lo"], r["hi"]) == (lo, hi)
+        assert r["n_sat_lo"] == int((z <= lo).sum())
+        assert r["n_sat_hi"] == (int((z >= hi).sum()) if hi > lo else 0)
+        assert r["out_sum"] == sum(out)
+        assert r["out_checksum"] == sum(o * (i + 1) for i, o in enumerate(out))
