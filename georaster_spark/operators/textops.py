@@ -1354,6 +1354,115 @@ FROM per_doc GROUP BY source ORDER BY source
 
 
 # ---------------------------------------------------------------------------
+# URL extraction + domain rollup (blocklist curation signal)
+# ---------------------------------------------------------------------------
+
+URL_RE = "https?://[a-z0-9.-]+/[a-z0-9/._-]*"
+DOMAIN_RE = "https?://([a-z0-9.-]+)/"
+
+
+def _url_augmented(d: DataFrame) -> Column:
+    """Deterministic URL injection (the corpus has no natural URLs):
+    docs with doc_id % 5 == 0 cite host<doc_id%50>.example.org, docs
+    with doc_id % 9 == 0 cite www.site<doc_id%30>.net — overlapping
+    moduli give multi-URL docs; the expression is mirrored in SQL."""
+    did = F.col("doc_id")
+    return F.concat(
+        F.col("text"),
+        F.when(
+            did % 5 == 0,
+            F.concat(
+                F.lit(" see https://host"), (did % 50).cast("string"),
+                F.lit(".example.org/page"), did.cast("string"), F.lit("/"),
+            ),
+        ).otherwise(F.lit("")),
+        F.when(
+            did % 9 == 0,
+            F.concat(
+                F.lit(" via http://www.site"), (did % 30).cast("string"),
+                F.lit(".net/item"), did.cast("string"), F.lit("/"),
+            ),
+        ).otherwise(F.lit("")),
+    )
+
+
+_SQL_URL_AUG = """
+text
+|| CASE WHEN doc_id % 5 = 0
+        THEN ' see https://host' || CAST(doc_id % 50 AS VARCHAR)
+             || '.example.org/page' || CAST(doc_id AS VARCHAR) || '/'
+        ELSE '' END
+|| CASE WHEN doc_id % 9 = 0
+        THEN ' via http://www.site' || CAST(doc_id % 30 AS VARCHAR)
+             || '.net/item' || CAST(doc_id AS VARCHAR) || '/'
+        ELSE '' END
+"""
+
+
+def url_domains(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """URL extraction + per-domain rollup — the domain-blocklist signal
+    web-scale curation runs first (C4 dropped blocklisted domains;
+    RefinedWeb ranks domains by quality before sampling).  Per domain:
+    URL count, distinct citing docs, Σdoc_id checksum pinning the exact
+    doc set, and the normative blocklist flag (here: host index ≡ 7
+    mod 10 — the rule is the plumbing under any real list).
+
+    Scale shape: map-side regexp extract + ONE explode (bounded: URLs
+    per doc, not tokens) + group shuffle on domain.  Domains are
+    Zipf-hot at 100 TB — counts are an agg (combiner-friendly), not a
+    join, so hot domains cost map-side partials only."""
+    d = _docs(spark, sf_dir)
+    urls = d.select(
+        "doc_id",
+        F.explode(
+            F.regexp_extract_all(_url_augmented(d), F.lit(URL_RE), 0)
+        ).alias("url"),
+    )
+    dom = urls.select(
+        "doc_id",
+        F.regexp_extract(F.col("url"), DOMAIN_RE, 1).alias("domain"),
+    )
+    host_idx = F.regexp_extract(F.col("domain"), "host([0-9]+)", 1)
+    return (
+        dom.groupBy("domain")
+        .agg(
+            F.count(F.lit(1)).alias("n_urls"),
+            F.count_distinct(F.col("doc_id")).alias("n_docs"),
+            F.sum_distinct(F.col("doc_id")).alias("doc_checksum"),
+        )
+        .withColumn(
+            "is_blocked",
+            F.when(host_idx == "", F.lit(0)).otherwise(
+                (host_idx.cast("long") % 10 == 7).cast("long")
+            ),
+        )
+        .repartition(1).sortWithinPartitions("domain")
+    )
+
+
+def url_domains_sql() -> str:
+    return f"""
+WITH aug AS (
+  SELECT doc_id, ({_SQL_URL_AUG}) AS t FROM documents
+),
+u AS (
+  SELECT doc_id, unnest(regexp_extract_all(t, '{URL_RE}')) AS url FROM aug
+),
+dom AS (
+  SELECT doc_id, regexp_extract(url, '{DOMAIN_RE}', 1) AS domain FROM u
+)
+SELECT domain,
+       CAST(COUNT(*) AS BIGINT) AS n_urls,
+       CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS n_docs,
+       CAST(SUM(DISTINCT doc_id) AS BIGINT) AS doc_checksum,
+       CAST(CASE WHEN regexp_extract(domain, 'host([0-9]+)', 1) = '' THEN 0
+                 WHEN CAST(regexp_extract(domain, 'host([0-9]+)', 1) AS BIGINT)
+                      % 10 = 7 THEN 1 ELSE 0 END AS BIGINT) AS is_blocked
+FROM dom GROUP BY domain ORDER BY domain
+"""
+
+
+# ---------------------------------------------------------------------------
 # sequence packing (training-batch construction)
 # ---------------------------------------------------------------------------
 
@@ -1469,6 +1578,7 @@ def text_queries():
         "ngram_novelty": ngram_novelty,
         "pii_scan": pii_scan,
         "seq_packing": seq_packing,
+        "url_domains": url_domains,
     }
 
 
@@ -1494,4 +1604,5 @@ def text_oracles() -> dict[str, str]:
         "ngram_novelty": ngram_novelty_sql(),
         "pii_scan": pii_scan_sql(),
         "seq_packing": seq_packing_sql(),
+        "url_domains": url_domains_sql(),
     }

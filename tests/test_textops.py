@@ -30,6 +30,7 @@ CASES = [
     ("ann_sq8", vectors.ann_sq8, vectors.ann_sq8_sql()),
     ("pii_scan", textops.pii_scan, textops.pii_scan_sql()),
     ("seq_packing", textops.seq_packing, textops.seq_packing_sql()),
+    ("url_domains", textops.url_domains, textops.url_domains_sql()),
 ]
 
 
@@ -227,3 +228,23 @@ def test_seq_packing_invariants(spark, duck):
         assert r["n_bins"] == (r["total_chars"] + B - 1) // B
         assert 0 <= r["n_straddle"] <= r["n_bins"] - 1
         assert r["max_bin_docs"] * r["n_bins"] >= r["n_docs"]
+
+
+def test_url_domains_semantics(spark, duck):
+    """Injection census: every doc_id % 5 == 0 cites exactly one
+    example.org host, % 9 == 0 one site*.net host; blocklist flags
+    exactly the host indices ≡ 7 (mod 10)."""
+    rows = textops.url_domains(spark, SF_DIR).collect()
+    n5, n9 = duck.execute(
+        "SELECT SUM(CASE WHEN doc_id % 5 = 0 THEN 1 ELSE 0 END),"
+        "       SUM(CASE WHEN doc_id % 9 = 0 THEN 1 ELSE 0 END) FROM documents"
+    ).fetchone()
+    org = [r for r in rows if r["domain"].endswith(".example.org")]
+    net = [r for r in rows if r["domain"].endswith(".net")]
+    assert len(org) + len(net) == len(rows)
+    assert sum(r["n_urls"] for r in org) == n5 > 0
+    assert sum(r["n_urls"] for r in net) == n9 > 0
+    for r in org:
+        host = int(r["domain"].removeprefix("host").split(".")[0])
+        assert r["is_blocked"] == (1 if host % 10 == 7 else 0)
+    assert all(r["is_blocked"] == 0 for r in net)
