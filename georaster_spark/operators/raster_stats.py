@@ -474,3 +474,63 @@ def local_moran_moments(tiles: DataFrame) -> DataFrame:
         )
     )
     return out
+
+
+_CENSUS_SCHEMA = "image_id string, v int, cnt long"
+
+# normative demo break table (a real deployment feeds its own DataFrame):
+# deliberately non-uniform so class widths differ.
+CLASS_BREAKS = ((0, 0, 31), (1, 32, 63), (2, 64, 127), (3, 128, 191), (4, 192, 255))
+
+
+def value_census(tiles: DataFrame) -> DataFrame:
+    """Per-image value census: (image_id, v, cnt) with at most 256 slim
+    rows per tile — ONE vectorized np.bincount per tile inside a single
+    Arrow hop ('raw16' bins by high byte, same convention as
+    pixel_histogram)."""
+    slim = tiles.select("image_id", "bytes", "fmt")
+
+    def _p(batches):
+        for pdf in batches:
+            out = {"image_id": [], "v": [], "cnt": []}
+            for k in range(len(pdf)):
+                fmt = pdf["fmt"].iat[k]
+                if fmt not in ("raw", "qnt", "raw16"):
+                    raise ValueError(f"unknown pixel fmt {fmt!r}")
+                v = np.frombuffer(
+                    pdf["bytes"].iat[k], dtype="<u2" if fmt == "raw16" else np.uint8
+                )
+                if fmt == "raw16":
+                    v = v >> 8
+                cnt = np.bincount(v, minlength=256)
+                nz = np.nonzero(cnt)[0]
+                out["image_id"].extend([pdf["image_id"].iat[k]] * len(nz))
+                out["v"].extend(nz.astype(np.int32))
+                out["cnt"].extend(cnt[nz])
+            yield pd.DataFrame(out)
+
+    return slim.mapInPandas(_p, schema=_CENSUS_SCHEMA)
+
+
+def reclassify(tiles: DataFrame, breaks: DataFrame) -> DataFrame:
+    """Table-driven raster reclassification (gdal_calc / `gdaldem
+    color-relief` / QGIS r.reclass analog) in the 100 TB-correct shape:
+    HISTOGRAM-THEN-CLASSIFY.  The per-image value census (≤256 rows per
+    tile from one fused Arrow pass) is range-joined to the BROADCAST
+    class-breaks table (cls, lo, hi) — so classification touches 256
+    slim rows per image, never the million raw pixels, and changing the
+    break table is a new join, not a new pixel scan.
+
+    Per (image, class): n_px and the value-weighted sum Σv·cnt pinning
+    the exact census slice that landed in the class.
+
+    Scale shape: one Arrow hop (census) -> broadcast range join (the
+    breaks side is tiny by definition) -> codegen hash agg; shuffle is
+    O(tiles·256) slim rows, pixels never shuffle."""
+    c = value_census(tiles)
+    b = F.broadcast(breaks.select("cls", "lo", "hi"))
+    j = c.join(b, (c.v >= b.lo) & (c.v <= b.hi))
+    return j.groupBy("image_id", "cls").agg(
+        F.sum("cnt").alias("n_px"),
+        F.sum(F.col("v").cast("long") * F.col("cnt")).alias("v_sum"),
+    )

@@ -4330,6 +4330,7 @@ def spatial_queries() -> dict[str, QueryFn]:
         "pansharpen": q_pansharpen,
         "viewshed": q_viewshed,
         "stretch": q_stretch,
+        "reclassify": q_reclassify,
         "downsample_checksum": q_downsample_checksum,
         "pixel_histogram": q_pixel_histogram,
         "pixel_quantiles": q_pixel_quantiles,
@@ -4475,6 +4476,7 @@ def spatial_oracles(sf: str = "sf0.01") -> dict[str, str]:
         "pansharpen": _sql_pansharpen(fx, w),
         "viewshed": _sql_viewshed(fx, w),
         "stretch": _sql_stretch(fx, w),
+        "reclassify": _sql_reclassify(fx, w),
         "downsample_checksum": _sql_downsample_checksum(fx, w),
         "pixel_histogram": _sql_pixel_histogram(fx, w),
         "pixel_quantiles": _sql_pixel_quantiles(fx, w),
@@ -4823,6 +4825,47 @@ SELECT image_id, CAST(dir AS INTEGER) AS dir,
            AS first_blocked,
        CAST(SUM(v * k) AS BIGINT) AS vis_checksum
 FROM vis GROUP BY image_id, dir ORDER BY image_id, dir
+"""
+
+
+_RECLASS_MOD = 41
+
+
+def q_reclassify(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Table-driven reclassification (raster_stats.reclassify) in the
+    histogram-then-classify shape: per-image value census broadcast
+    range-joined to the CLASS_BREAKS table — pixels never shuffle."""
+    from ..operators.raster_stats import CLASS_BREAKS, reclassify
+
+    tiles = geo.georegister(_images(spark, sf_dir)).where(
+        geo.image_idx() % _RECLASS_MOD == 0
+    )
+    breaks = spark.createDataFrame(list(CLASS_BREAKS), "cls int, lo int, hi int")
+    return (
+        reclassify(tiles, breaks)
+        .repartition(1).sortWithinPartitions("image_id", "cls")
+    )
+
+
+def _sql_reclassify(fx: Path, w: int) -> str:
+    from ..operators.raster_stats import CLASS_BREAKS
+
+    v = osql.ramp_value_expr("gi.i", "gj.j")
+    breaks = ",".join(f"({c},{lo},{hi})" for c, lo, hi in CLASS_BREAKS)
+    return f"""
+WITH {osql.georegister_cte(str(fx / 'images.parquet'))},
+px AS (
+  SELECT image_id, CAST({v} AS BIGINT) AS v
+  FROM tiles,
+       generate_series(0, {w - 1}) AS gi(i), generate_series(0, {w - 1}) AS gj(j)
+  WHERE idx % {_RECLASS_MOD} = 0
+)
+SELECT image_id, CAST(b.cls AS INTEGER) AS cls,
+       CAST(COUNT(*) AS BIGINT) AS n_px,
+       CAST(SUM(v) AS BIGINT) AS v_sum
+FROM px JOIN (VALUES {breaks}) AS b(cls, lo, hi)
+  ON px.v >= b.lo AND px.v <= b.hi
+GROUP BY image_id, b.cls ORDER BY image_id, cls
 """
 
 

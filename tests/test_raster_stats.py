@@ -128,3 +128,33 @@ def test_zonal_frac_rect_properties(spark, sf0001_dir):
             assert abs(cells - center[zid]["n_pixels"]) <= 0.02 * max(center[zid]["n_pixels"], 50) + 80
         # coverage never exceeds the touched-cell count
         assert r["wsum"] <= r["n_px"] * _FRAC_SCALE
+
+
+def test_reclassify_matches_numpy_and_broadcasts(spark, sf0001_dir):
+    """reclassify vs a per-tile NumPy bincount recompute; the breaks
+    side must appear as a broadcast join (never a shuffle) and the
+    census must be a single Arrow hop."""
+    from georaster_spark.operators import georegister as geo
+    from georaster_spark.operators.raster_stats import CLASS_BREAKS, reclassify
+
+    tiles = geo.georegister(
+        spark.read.parquet(str(sf0001_dir / "images.parquet"))
+    ).limit(8)
+    breaks = spark.createDataFrame(list(CLASS_BREAKS), "cls int, lo int, hi int")
+    out = reclassify(tiles, breaks)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastHashJoin" in plan
+    assert plan.count("ArrowEvalPython") + plan.count("MapInPandas") == 1
+    got = {(r["image_id"], r["cls"]): r for r in out.collect()}
+    for t in tiles.collect():
+        v = oracle.decode_pixels(t["bytes"], t["w"], t["h"], t["fmt"]).astype(
+            np.int64
+        ).ravel()
+        for cls, lo, hi in CLASS_BREAKS:
+            m = (v >= lo) & (v <= hi)
+            if not m.any():
+                assert (t["image_id"], cls) not in got
+                continue
+            r = got[(t["image_id"], cls)]
+            assert r["n_px"] == int(m.sum())
+            assert r["v_sum"] == int(v[m].sum())
