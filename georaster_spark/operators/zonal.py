@@ -358,3 +358,51 @@ def zonal_frac_rect(tiles: DataFrame, zones: DataFrame) -> DataFrame:
         F.sum("wsum").alias("wsum"),
         F.sum("vwsum").alias("vwsum"),
     )
+
+
+def coverage_audit(tiles: DataFrame, zones: DataFrame) -> DataFrame:
+    """Per-zone tile-coverage census INCLUDING uncovered zones — the QA
+    query a tiling pipeline runs before shipping an AOI product ("which
+    requested zones have no imagery at all?").  Coverage here is bbox
+    overlap (a convex zone counts via its bbox — the conservative
+    planning answer; the exact-geometry refine is pip_join's job).
+
+    Per zone: n_tiles (0 for gaps), Σidx tile-set checksum pinning the
+    exact covering set, and the uncovered flag.
+
+    Scale shape: zones are the broadcast dim side (same posture as E5/
+    E7); the census is a combiner-friendly count agg on zone_id
+    (|zones| rows out), then a LEFT join of the zones dim onto the tiny
+    census — no shuffle ever touches the tile side's width."""
+    from . import georegister as geo
+
+    z = F.broadcast(
+        zones.select("zone_id", "xmin", "xmax", "ymin", "ymax")
+    )
+    t = tiles.select(
+        geo.image_idx().alias("t_idx"),
+        F.col("xmin").alias("t_xmin"), F.col("xmax").alias("t_xmax"),
+        F.col("ymin").alias("t_ymin"), F.col("ymax").alias("t_ymax"),
+    )
+    census = (
+        t.join(
+            z,
+            (F.col("t_xmin") < F.col("xmax")) & (F.col("t_xmax") > F.col("xmin"))
+            & (F.col("t_ymin") < F.col("ymax")) & (F.col("t_ymax") > F.col("ymin")),
+        )
+        .groupBy("zone_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_tiles"),
+            F.sum("t_idx").alias("tile_checksum"),
+        )
+    )
+    return (
+        zones.select("zone_id")
+        .join(census, "zone_id", "left")
+        .select(
+            "zone_id",
+            F.coalesce(F.col("n_tiles"), F.lit(0)).alias("n_tiles"),
+            F.coalesce(F.col("tile_checksum"), F.lit(0)).alias("tile_checksum"),
+            (F.col("n_tiles").isNull()).cast("long").alias("uncovered"),
+        )
+    )

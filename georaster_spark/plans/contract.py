@@ -4331,6 +4331,7 @@ def spatial_queries() -> dict[str, QueryFn]:
         "viewshed": q_viewshed,
         "stretch": q_stretch,
         "reclassify": q_reclassify,
+        "coverage_audit": q_coverage_audit,
         "downsample_checksum": q_downsample_checksum,
         "pixel_histogram": q_pixel_histogram,
         "pixel_quantiles": q_pixel_quantiles,
@@ -4477,6 +4478,7 @@ def spatial_oracles(sf: str = "sf0.01") -> dict[str, str]:
         "viewshed": _sql_viewshed(fx, w),
         "stretch": _sql_stretch(fx, w),
         "reclassify": _sql_reclassify(fx, w),
+        "coverage_audit": _sql_coverage_audit(fx),
         "downsample_checksum": _sql_downsample_checksum(fx, w),
         "pixel_histogram": _sql_pixel_histogram(fx, w),
         "pixel_quantiles": _sql_pixel_quantiles(fx, w),
@@ -4825,6 +4827,47 @@ SELECT image_id, CAST(dir AS INTEGER) AS dir,
            AS first_blocked,
        CAST(SUM(v * k) AS BIGINT) AS vis_checksum
 FROM vis GROUP BY image_id, dir ORDER BY image_id, dir
+"""
+
+
+_COVER_MOD = 97
+
+
+def q_coverage_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-zone coverage census incl. gaps (zonal.coverage_audit) over a
+    sparse tile subset (idx % _COVER_MOD) so genuine uncovered zones
+    exist at every sf.  Broadcast-dim join + tiny census + LEFT join."""
+    from ..operators.zonal import coverage_audit
+
+    tiles = geo.georegister(_images(spark, sf_dir)).where(
+        geo.image_idx() % _COVER_MOD == 0
+    )
+    return (
+        coverage_audit(tiles, _zones(spark, sf_dir))
+        .repartition(1).sortWithinPartitions("zone_id")
+    )
+
+
+def _sql_coverage_audit(fx: Path) -> str:
+    return f"""
+WITH {osql.georegister_cte(str(fx / 'images.parquet'))},
+sparse AS (SELECT * FROM tiles WHERE idx % {_COVER_MOD} = 0),
+census AS (
+  SELECT z.zone_id,
+         COUNT(*) AS n_tiles,
+         SUM(t.idx) AS tile_checksum
+  FROM sparse t JOIN read_parquet('{fx / 'zones.parquet'}') z
+    ON t.gt_x0 < z.xmax AND t.gt_x0 + t.w * t.gt_xres > z.xmin
+   AND t.gt_y0 - t.h * t.gt_yres < z.ymax AND t.gt_y0 > z.ymin
+  GROUP BY z.zone_id
+)
+SELECT z.zone_id,
+       CAST(COALESCE(c.n_tiles, 0) AS BIGINT) AS n_tiles,
+       CAST(COALESCE(c.tile_checksum, 0) AS BIGINT) AS tile_checksum,
+       CAST(CASE WHEN c.zone_id IS NULL THEN 1 ELSE 0 END AS BIGINT) AS uncovered
+FROM read_parquet('{fx / 'zones.parquet'}') z
+LEFT JOIN census c USING (zone_id)
+ORDER BY z.zone_id
 """
 
 

@@ -158,3 +158,33 @@ def test_reclassify_matches_numpy_and_broadcasts(spark, sf0001_dir):
             r = got[(t["image_id"], cls)]
             assert r["n_px"] == int(m.sum())
             assert r["v_sum"] == int(v[m].sum())
+
+
+def test_coverage_audit_gaps_and_totals(spark, sf0001_dir):
+    """The sparse subset must leave some zones uncovered (nonzero gap
+    census), covered+uncovered must partition the zone set, and each
+    covered zone's checksum must equal the brute-force overlap scan."""
+    from georaster_spark.operators import georegister as geo
+    from georaster_spark.operators.zonal import coverage_audit
+
+    tiles = geo.georegister(
+        spark.read.parquet(str(sf0001_dir / "images.parquet"))
+    ).where(geo.image_idx() % 97 == 0)
+    zones = spark.read.parquet(str(sf0001_dir / "zones.parquet"))
+    rows = coverage_audit(tiles, zones).collect()
+    assert len(rows) == zones.count()
+    assert any(r["uncovered"] == 1 for r in rows)
+    assert any(r["n_tiles"] > 0 for r in rows)
+    tl = tiles.select("image_id", "xmin", "xmax", "ymin", "ymax").collect()
+    zl = {z["zone_id"]: z for z in zones.collect()}
+    for r in rows:
+        z = zl[r["zone_id"]]
+        hits = [
+            int(t["image_id"][3:])
+            for t in tl
+            if t["xmin"] < z["xmax"] and t["xmax"] > z["xmin"]
+            and t["ymin"] < z["ymax"] and t["ymax"] > z["ymin"]
+        ]
+        assert r["n_tiles"] == len(hits)
+        assert r["tile_checksum"] == sum(hits)
+        assert r["uncovered"] == (0 if hits else 1)
