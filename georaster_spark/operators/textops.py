@@ -1463,6 +1463,77 @@ FROM dom GROUP BY domain ORDER BY domain
 
 
 # ---------------------------------------------------------------------------
+# vocabulary coverage / OOV-rate audit
+# ---------------------------------------------------------------------------
+
+VOCAB_K = 16  # vocabulary = top-K corpus tokens by (count DESC, token ASC)
+# (the synthetic corpus has ~31 distinct words; K=16 keeps genuine OOV mass)
+
+
+def oov_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Vocabulary-coverage audit — before committing a tokenizer, a
+    training pipeline measures what fraction of the corpus a candidate
+    vocabulary leaves out-of-vocabulary (BPE training's coverage curve;
+    SentencePiece's `character_coverage` analog at the word level).
+    Vocabulary here is the top-VOCAB_K corpus tokens by (count DESC,
+    token ASC) — a deterministic total order.  Per source: total token
+    occurrences, OOV occurrences, and the exact integer
+    oov_pm = 1000·oov // total.
+
+    Scale shape: one token-count agg (combiner-friendly), a top-K rank
+    over the DISTINCT-TOKEN relation — tiny by definition (vocabulary
+    candidates, not occurrences), so the single-partition window is a
+    planner metadata step, same policy as the skew census — then a
+    BROADCAST left join of the vocab onto the exploded tokens and one
+    group shuffle on source."""
+    d = _docs(spark, sf_dir)
+    toks = d.select("source", F.explode(words_col()).alias("tok"))
+    vocab = (
+        toks.groupBy("tok")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .select(
+            "tok",
+            F.row_number()
+            .over(W.partitionBy().orderBy(F.col("cnt").desc(), F.col("tok")))
+            .alias("rnk"),
+        )
+        .where(F.col("rnk") <= VOCAB_K)
+        .select(F.col("tok").alias("vtok"))
+    )
+    j = toks.join(F.broadcast(vocab), toks.tok == vocab.vtok, "left")
+    return (
+        j.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_tok"),
+            F.sum(F.col("vtok").isNull().cast("long")).alias("n_oov"),
+        )
+        .select(
+            "source", "n_tok", "n_oov",
+            F.expr("1000 * n_oov DIV n_tok").alias("oov_pm"),
+        )
+        .repartition(1).sortWithinPartitions("source")
+    )
+
+
+def oov_rate_sql() -> str:
+    return f"""
+WITH w AS (SELECT source, unnest({_SQL_WS}) AS tok FROM documents),
+vc AS (
+  SELECT tok, row_number() OVER (ORDER BY COUNT(*) DESC, tok) AS rnk
+  FROM w GROUP BY tok
+),
+vocab AS (SELECT tok FROM vc WHERE rnk <= {VOCAB_K})
+SELECT source,
+       CAST(COUNT(*) AS BIGINT) AS n_tok,
+       CAST(SUM(CASE WHEN v.tok IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_oov,
+       CAST(1000 * SUM(CASE WHEN v.tok IS NULL THEN 1 ELSE 0 END)
+            // COUNT(*) AS BIGINT) AS oov_pm
+FROM w LEFT JOIN vocab v USING (tok)
+GROUP BY source ORDER BY source
+"""
+
+
+# ---------------------------------------------------------------------------
 # sequence packing (training-batch construction)
 # ---------------------------------------------------------------------------
 
@@ -1579,6 +1650,7 @@ def text_queries():
         "pii_scan": pii_scan,
         "seq_packing": seq_packing,
         "url_domains": url_domains,
+        "oov_rate": oov_rate,
     }
 
 
@@ -1605,4 +1677,5 @@ def text_oracles() -> dict[str, str]:
         "pii_scan": pii_scan_sql(),
         "seq_packing": seq_packing_sql(),
         "url_domains": url_domains_sql(),
+        "oov_rate": oov_rate_sql(),
     }

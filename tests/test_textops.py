@@ -31,6 +31,7 @@ CASES = [
     ("pii_scan", textops.pii_scan, textops.pii_scan_sql()),
     ("seq_packing", textops.seq_packing, textops.seq_packing_sql()),
     ("url_domains", textops.url_domains, textops.url_domains_sql()),
+    ("oov_rate", textops.oov_rate, textops.oov_rate_sql()),
 ]
 
 
@@ -248,3 +249,28 @@ def test_url_domains_semantics(spark, duck):
         host = int(r["domain"].removeprefix("host").split(".")[0])
         assert r["is_blocked"] == (1 if host % 10 == 7 else 0)
     assert all(r["is_blocked"] == 0 for r in net)
+
+
+def test_oov_rate_matches_bruteforce(spark):
+    """oov_rate vs a driver-side Counter recompute of the top-K vocab
+    and per-source OOV occurrence counts."""
+    from collections import Counter
+
+    sf_dir = "/root/testdata/sf0.001"
+    got = {r["source"]: r for r in textops.oov_rate(spark, sf_dir).collect()}
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").collect()
+    cnt, per_src = Counter(), {}
+    for r in docs:
+        ws = r["text"].strip().lower().split()
+        cnt.update(ws)
+        per_src.setdefault(r["source"], []).extend(ws)
+    vocab = set(
+        t for t, _ in sorted(cnt.items(), key=lambda kv: (-kv[1], kv[0]))[: textops.VOCAB_K]
+    )
+    for src, ws in per_src.items():
+        oov = sum(1 for t in ws if t not in vocab)
+        r = got[src]
+        assert r["n_tok"] == len(ws)
+        assert r["n_oov"] == oov
+        assert r["oov_pm"] == 1000 * oov // len(ws)
+    assert any(r["n_oov"] > 0 for r in got.values())
