@@ -1878,6 +1878,57 @@ FROM px GROUP BY image_id ORDER BY image_id
 """
 
 
+def q_geary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Global Geary's C moments over the ingest lattice
+    (raster_stats.geary_lattice_moments) — the squared-difference
+    complement to q_moran on the identical all-integer surface."""
+    from ..operators import raster_stats as rs
+
+    return rs.geary_lattice_moments(geo.georegister(_images(spark, sf_dir)))
+
+
+def _sql_geary(fx: Path, w: int) -> str:
+    from ..constants import GRID_W
+
+    v = osql.ramp_value_expr("gi.i", "gj.j")
+    return f"""
+WITH img AS (
+  SELECT CAST(substr(image_id, 4, 10) AS BIGINT) AS idx, w, h, fmt
+  FROM read_parquet('{fx / 'images.parquet'}')
+),
+m AS MATERIALIZED (
+  SELECT idx, idx % {GRID_W} AS gx, idx // {GRID_W} AS gy,
+         SUM(CAST({v} AS BIGINT)) // (ANY_VALUE(w) * ANY_VALUE(h)) AS m
+  FROM img AS tiles_src,
+       generate_series(0, {w - 1}) AS gi(i), generate_series(0, {w - 1}) AS gj(j)
+  GROUP BY idx, gx, gy
+),
+tiles AS (SELECT * FROM m),
+pairs AS (
+  SELECT a.m AS m_i, b.m AS m_j FROM tiles a JOIN tiles b
+    ON b.gx = a.gx + 1 AND b.gy = a.gy
+  UNION ALL
+  SELECT a.m, b.m FROM tiles a JOIN tiles b ON b.gx = a.gx - 1 AND b.gy = a.gy
+  UNION ALL
+  SELECT a.m, b.m FROM tiles a JOIN tiles b ON b.gx = a.gx AND b.gy = a.gy + 1
+  UNION ALL
+  SELECT a.m, b.m FROM tiles a JOIN tiles b ON b.gx = a.gx AND b.gy = a.gy - 1
+),
+base AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS n_tiles,
+         CAST(SUM(m) AS BIGINT) AS sum_m,
+         CAST(SUM(m * m) AS BIGINT) AS sum_m2
+  FROM tiles
+),
+pagg AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS w_pairs,
+         CAST(SUM((m_i - m_j) * (m_i - m_j)) AS BIGINT) AS pair_sqdiff_sum
+  FROM pairs
+)
+SELECT * FROM base, pagg
+"""
+
+
 def q_moran(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Global Moran's I spatial autocorrelation moments over the ingest
     lattice (raster_stats.moran_lattice_moments): ONE fused Arrow pass
@@ -4374,6 +4425,7 @@ def spatial_queries() -> dict[str, QueryFn]:
         "crosstab": q_crosstab,
         "sobel_orient": q_sobel_orient,
         "moran_lattice": q_moran,
+        "geary_lattice": q_geary,
         "otsu_threshold": q_otsu,
         "focal_median": q_focal_median,
         "openness": q_openness,
@@ -4521,6 +4573,7 @@ def spatial_oracles(sf: str = "sf0.01") -> dict[str, str]:
         "crosstab": _sql_crosstab(fx, w),
         "sobel_orient": _sql_sobel_orient(fx, w),
         "moran_lattice": _sql_moran(fx, w),
+        "geary_lattice": _sql_geary(fx, w),
         "otsu_threshold": _sql_otsu(fx, w),
         "focal_median": _sql_focal_median(fx, w),
         "openness": _sql_openness(fx, w),

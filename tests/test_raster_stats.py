@@ -188,3 +188,36 @@ def test_coverage_audit_gaps_and_totals(spark, sf0001_dir):
         assert r["n_tiles"] == len(hits)
         assert r["tile_checksum"] == sum(hits)
         assert r["uncovered"] == (0 if hits else 1)
+
+
+def test_geary_moments_identity_with_moran_surface(spark, sf0001_dir):
+    """Geary's pair_sqdiff decomposes over the Moran moments:
+    Σ(m_i - m_j)^2 = Σ(m_i² + m_j²) - 2Σm_i·m_j over the SAME directed
+    pair set, and Σ(m_i² + m_j²) = Σ_i k_i·m_i² (k_i = degree).  Check
+    the identity numerically via a brute-force lattice recompute."""
+    from georaster_spark.constants import GRID_W
+    from georaster_spark.operators import georegister as geo
+    from georaster_spark.operators.raster_stats import (
+        geary_lattice_moments,
+        moran_lattice_moments,
+    )
+
+    tiles = geo.georegister(spark.read.parquet(str(sf0001_dir / "images.parquet")))
+    g = geary_lattice_moments(tiles).first()
+    mo = moran_lattice_moments(tiles).first()
+    assert g["n_tiles"] == mo["n_tiles"] > 0
+    assert g["w_pairs"] == mo["w_pairs"] > 0
+    # brute force from tile means
+    rows = tiles.collect()
+    means = {}
+    for r in rows:
+        arr = oracle.decode_pixels(r["bytes"], r["w"], r["h"], r["fmt"]).astype(np.int64)
+        idx = int(r["image_id"][3:])
+        means[(idx % GRID_W, idx // GRID_W)] = int(arr.sum()) // arr.size
+    sq = 0
+    for (gx, gy), mi in means.items():
+        for dx, dy in ((1, 0), (-1, 0), (0, 1), (0, -1)):
+            mj = means.get((gx + dx, gy + dy))
+            if mj is not None:
+                sq += (mi - mj) ** 2
+    assert g["pair_sqdiff_sum"] == sq
