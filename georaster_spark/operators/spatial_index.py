@@ -535,3 +535,39 @@ def hilbert_rollup(tiles: DataFrame, bucket_shift: int = 10) -> DataFrame:
             (F.max("gy") - F.min("gy")).alias("gy_spread"),
         )
     )
+
+
+# production deployments target ~512 MiB parquet files; the fixture tiles
+# are ~1 KiB, so the demo target keeps the plan's arithmetic meaningful
+# (several tiles per output file, several files per hot cell).
+COMPACT_TARGET_BYTES = 16_384
+
+
+def compaction_plan(tiles: DataFrame, target_bytes: int = COMPACT_TARGET_BYTES) -> DataFrame:
+    """Small-file compaction planner over the cell-partitioned layout —
+    the table-maintenance pass every 100 TB lakehouse schedules (Iceberg
+    `rewrite_data_files` / Delta OPTIMIZE analog): per cell bucket, how
+    many files exist (here: tiles, the ingest granularity), how many the
+    target file size implies, and the rewrite savings.
+
+    Per cell: n_tiles, Σbytes (physical payload), n_target_files =
+    ceil(Σbytes / target), files_saved = max(n_tiles − n_target, 0),
+    and the Σidx checksum pinning the exact bucket membership.
+
+    Scale shape: metadata-only Column math — ONE combiner-friendly agg
+    on the cell key (the layout's own partition key, so at rest this is
+    map-side only); pixel bytes contribute length() and never move."""
+    from .georegister import image_idx
+
+    per = tiles.groupBy("cell_id").agg(
+        F.count(F.lit(1)).alias("n_tiles"),
+        F.sum(F.length("bytes")).alias("sum_bytes"),
+        F.sum(image_idx()).alias("tile_checksum"),
+    )
+    n_target = F.expr(f"(sum_bytes + {target_bytes - 1}) DIV {target_bytes}")
+    return per.select(
+        "cell_id", "n_tiles", "sum_bytes",
+        n_target.alias("n_target_files"),
+        F.greatest(F.col("n_tiles") - n_target, F.lit(0)).alias("files_saved"),
+        "tile_checksum",
+    )

@@ -4383,6 +4383,7 @@ def spatial_queries() -> dict[str, QueryFn]:
         "stretch": q_stretch,
         "reclassify": q_reclassify,
         "coverage_audit": q_coverage_audit,
+        "compaction_plan": q_compaction_plan,
         "downsample_checksum": q_downsample_checksum,
         "pixel_histogram": q_pixel_histogram,
         "pixel_quantiles": q_pixel_quantiles,
@@ -4531,6 +4532,7 @@ def spatial_oracles(sf: str = "sf0.01") -> dict[str, str]:
         "stretch": _sql_stretch(fx, w),
         "reclassify": _sql_reclassify(fx, w),
         "coverage_audit": _sql_coverage_audit(fx),
+        "compaction_plan": _sql_compaction_plan(fx),
         "downsample_checksum": _sql_downsample_checksum(fx, w),
         "pixel_histogram": _sql_pixel_histogram(fx, w),
         "pixel_quantiles": _sql_pixel_quantiles(fx, w),
@@ -4880,6 +4882,39 @@ SELECT image_id, CAST(dir AS INTEGER) AS dir,
            AS first_blocked,
        CAST(SUM(v * k) AS BIGINT) AS vis_checksum
 FROM vis GROUP BY image_id, dir ORDER BY image_id, dir
+"""
+
+
+def q_compaction_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Small-file compaction planner (spatial_index.compaction_plan)
+    over the cell-partitioned layout — metadata-only agg on the layout's
+    own partition key; pixel bytes contribute length() and never move."""
+    from ..operators.spatial_index import compaction_plan
+
+    tiles = geo.georegister(_images(spark, sf_dir))
+    return (
+        compaction_plan(tiles)
+        .repartition(1).sortWithinPartitions("cell_id")
+    )
+
+
+def _sql_compaction_plan(fx: Path) -> str:
+    from ..operators.spatial_index import COMPACT_TARGET_BYTES as T
+
+    cell = osql.cell_expr("gt_x0", "gt_y0", DEFAULT_RES)
+    return f"""
+WITH {osql.georegister_cte(str(fx / 'images.parquet'))},
+c AS (
+  SELECT {cell} AS cell_id, idx, octet_length(bytes) AS nb FROM tiles
+)
+SELECT cell_id,
+       CAST(COUNT(*) AS BIGINT) AS n_tiles,
+       CAST(SUM(nb) AS BIGINT) AS sum_bytes,
+       CAST((SUM(nb) + {T - 1}) // {T} AS BIGINT) AS n_target_files,
+       CAST(GREATEST(COUNT(*) - (SUM(nb) + {T - 1}) // {T}, 0) AS BIGINT)
+           AS files_saved,
+       CAST(SUM(idx) AS BIGINT) AS tile_checksum
+FROM c GROUP BY cell_id ORDER BY cell_id
 """
 
 

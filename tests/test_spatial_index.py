@@ -90,3 +90,25 @@ def test_radius_join_candidates_bounded(tiles, spark, sf0001_dir):
     # cover cells (<=9 per zone) * per-cell occupancy — assert the
     # result is far below the cross-join size as a sanity anchor
     assert total < n_img * n_zones / 10
+
+
+def test_compaction_plan_invariants(spark, sf0001_dir):
+    """Every bucket needs >= 1 target file; savings never negative;
+    bucket totals partition the corpus exactly (n_tiles and checksum
+    sum to the full census)."""
+    from georaster_spark.operators import georegister as geo
+    from georaster_spark.operators.spatial_index import compaction_plan
+
+    tiles = geo.georegister(
+        spark.read.parquet(str(sf0001_dir / "images.parquet"))
+    )
+    rows = compaction_plan(tiles).collect()
+    assert rows
+    assert any(r["files_saved"] > 0 for r in rows)  # fixture tiles are tiny
+    for r in rows:
+        assert r["n_target_files"] >= 1
+        assert 0 <= r["files_saved"] <= r["n_tiles"]
+        assert r["files_saved"] == max(r["n_tiles"] - r["n_target_files"], 0)
+    n_total = tiles.count()
+    assert sum(r["n_tiles"] for r in rows) == n_total
+    assert sum(r["tile_checksum"] for r in rows) == sum(range(n_total))
