@@ -1885,3 +1885,74 @@ def stretch_stats(tiles: DataFrame) -> DataFrame:
             )
 
     return slim.mapInPandas(_st, schema=_STRETCH_SCHEMA)
+
+
+# ---------------------------------------------------------------------------
+# Template matching (round 3) — matched-filter argmax census
+# ---------------------------------------------------------------------------
+
+# Zero-sum 4x4 integer template (every row sums to 0, so the score is
+# invariant to a constant DC offset — the integer analog of zero-mean
+# NCC template matching).  Identical literal in the DuckDB oracle.
+TEMPLATE_4X4 = (
+    (2, -1, 3, -4),
+    (-3, 1, -2, 4),
+    (1, 4, -1, -4),
+    (0, -4, 0, 4),
+)
+
+_TMATCH_SCHEMA = (
+    "image_id string, best_i int, best_j int, best_score long"
+)
+
+
+def template_match(tiles: DataFrame) -> DataFrame:
+    """Sliding integer cross-correlation of TEMPLATE_4X4 over every tile
+    — the template-matching / matched-filter primitive (cv2.matchTemplate
+    TM_CCORR with a zero-sum kernel).  Per tile: the argmax position
+    (ties -> smallest (i, j), row-major) and the exact integer score.
+
+    Plan: map-only fused Arrow pass, pixels cross the boundary once; the
+    sliding correlation is 16 shifted-slice multiply-adds on the whole
+    (batch, h, w) block — never a per-position Python loop.  Output is 4
+    slim columns; composes with any upstream cell/zone filter."""
+    slim = tiles.select("image_id", "bytes", "w", "h", "fmt")
+    dt = {"raw": np.uint8, "qnt": np.uint8, "raw16": "<u2"}
+    T = np.asarray(TEMPLATE_4X4, dtype=np.int64)
+
+    def _tm(batches):
+        for pdf in batches:
+            n = len(pdf)
+            out = {
+                "image_id": pdf["image_id"].to_numpy(dtype=object),
+                "best_i": np.zeros(n, dtype=np.int32),
+                "best_j": np.zeros(n, dtype=np.int32),
+                "best_score": np.zeros(n, dtype=np.int64),
+            }
+            groups: dict[tuple, list[int]] = {}
+            for r in range(n):
+                key = (int(pdf["w"].iat[r]), int(pdf["h"].iat[r]), pdf["fmt"].iat[r])
+                groups.setdefault(key, []).append(r)
+            for (w, h, fmt), idx in groups.items():
+                b = len(idx)
+                z = np.frombuffer(
+                    b"".join(pdf["bytes"].iat[r] for r in idx), dtype=dt[fmt]
+                ).reshape(b, h, w)
+                if fmt == "raw16":
+                    z = z >> 8
+                z = z.astype(np.int64)
+                hh, ww = h - 3, w - 3  # valid positions
+                score = np.zeros((b, hh, ww), dtype=np.int64)
+                for a in range(4):
+                    for c in range(4):
+                        if T[a, c]:
+                            score += T[a, c] * z[:, a:a + hh, c:c + ww]
+                flat = score.reshape(b, -1)
+                best = np.argmax(flat, axis=1)  # first max: row-major => min (i,j)
+                rows = np.asarray(idx)
+                out["best_i"][rows] = (best // ww).astype(np.int32)
+                out["best_j"][rows] = (best % ww).astype(np.int32)
+                out["best_score"][rows] = flat[np.arange(b), best]
+            yield pd.DataFrame(out)
+
+    return slim.mapInPandas(_tm, schema=_TMATCH_SCHEMA)

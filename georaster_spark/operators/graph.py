@@ -52,10 +52,15 @@ def connected_components(
         .distinct()
     )
     sym.persist()
+    # localCheckpoint (not persist) on the per-round label frame: persist
+    # caches DATA but the logical plan still nests one round deeper per
+    # iteration, and AQE re-renders the whole tree per action — O(rounds²)
+    # single-threaded driver time that dwarfs the actual shuffles on
+    # multi-round (chain-like) graphs.  Checkpointing truncates lineage to
+    # a LogicalRDD so every round's plan is one-round deep, constant size.
     labels = vertices.select(
         F.col(vertex_col).alias("vid"), F.col(vertex_col).alias("label")
-    )
-    labels.persist()
+    ).localCheckpoint(eager=True)
     try:
         # labels only ever DECREASE, so for numeric ids sum(label) is a
         # strictly decreasing convergence witness — one scalar aggregate
@@ -85,8 +90,8 @@ def connected_components(
                         "label"
                     ),
                 )
+                .localCheckpoint(eager=True)
             )
-            new.persist()
             if numeric:
                 new_sum = _sum(new)
                 converged = new_sum == prev_sum
@@ -101,7 +106,6 @@ def connected_components(
                     .where(F.col("n.label") != F.col("o.label"))
                     .count()
                 ) == 0
-            labels.unpersist()
             labels = new
             if converged:
                 break
@@ -217,3 +221,104 @@ def bfs_min_hops(
         visited = visited.union(nxt.withColumn("d", F.lit(d)))
         frontier = nxt
     return visited
+
+
+def connected_components_star(
+    edges: DataFrame,
+    vertices: DataFrame,
+    vertex_col: str = "doc_id",
+    src_col: str = "a_id",
+    dst_col: str = "b_id",
+    max_iter: int = 25,
+) -> DataFrame:
+    """Connected components via alternating large-star / small-star
+    contraction (Kiveris et al., "Connected Components in MapReduce and
+    Beyond", SoCC'14 — PAPERS.md): the adversarial-graph-safe sibling of
+    ``connected_components``.  Min-label propagation needs diameter
+    rounds (a 10^6-long chain = 10^6 shuffles); star contraction halves
+    component "height" per round pair, converging in O(log n) rounds on
+    ANY topology — the production choice when the near-dup graph is not
+    guaranteed clique-like.
+
+    Per round (2 shuffles, both combiner-friendly groupBy-min):
+      large-star: group the symmetric edge list by u, m = min(Γ(u)∪{u});
+                  re-point every LARGER neighbor v>u at m.
+      small-star: orient edges max->min, group by the max endpoint u,
+                  m = min(Γ⁻(u)∪{u}); re-point u and all its smaller
+                  neighbors at m.
+    Both operations preserve connectivity (edges only re-point within a
+    component) and monotonically flatten each component toward a star
+    rooted at its minimum id.  Fixpoint: the small-star edge set is
+    stable; then every node's component = min(neighbors ∪ self).
+
+    Same contract as ``connected_components``: (vertex, component) with
+    component = min reachable vertex id, isolated vertices keep their
+    own id, deterministic on any partitioning.  The convergence witness
+    is Σ(u+v) over the oriented edge set — strictly decreasing while any
+    re-pointing happens (every re-point replaces an endpoint by a
+    strictly smaller label), one scalar aggregate per round."""
+    ecur = (
+        edges.select(F.col(src_col).alias("u"), F.col(dst_col).alias("v"))
+        .where(F.col("u") != F.col("v"))
+        .select(F.greatest("u", "v").alias("u"), F.least("u", "v").alias("v"))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+
+    def _witness(e: DataFrame):
+        return e.agg(
+            F.count(F.lit(1)),
+            F.sum(F.col("u").cast("decimal(38,0)") + F.col("v").cast("decimal(38,0)")),
+        ).first()
+
+    prev = _witness(ecur)
+    for _ in range(max_iter):
+        sym = ecur.union(ecur.select(F.col("v").alias("u"), F.col("u").alias("v")))
+        # large-star: m(u) = min over closed neighborhood; (v, m) for v > u
+        lmin = sym.groupBy("u").agg(
+            F.least(F.min("v"), F.first("u")).alias("m")
+        )
+        large = (
+            sym.join(lmin, "u")
+            .where(F.col("v") > F.col("u"))
+            .select(F.col("v").alias("u"), F.col("m").alias("v"))
+            .where(F.col("u") != F.col("v"))
+        )
+        # small-star on the max->min orientation: (v, m) for v in Γ⁻(u)∪{u}
+        ori = large.select(F.greatest("u", "v").alias("u"), F.least("u", "v").alias("v"))
+        smin = ori.groupBy("u").agg(F.min("v").alias("m"))
+        small = (
+            ori.join(smin, "u")
+            .select(
+                F.explode(F.array(F.struct(F.col("v").alias("a"), F.col("m").alias("b")),
+                                  F.struct(F.col("u").alias("a"), F.col("m").alias("b")))).alias("e")
+            )
+            .select(F.col("e.a").alias("u"), F.col("e.b").alias("v"))
+            .where(F.col("u") != F.col("v"))
+            .select(F.greatest("u", "v").alias("u"), F.least("u", "v").alias("v"))
+            .distinct()
+            .localCheckpoint(eager=True)
+        )
+        cur = _witness(small)
+        # witness equality is necessary-not-sufficient; confirm the
+        # suspected fixpoint with ONE exact multiset-diff (runs ~once)
+        stable = cur == prev and small.exceptAll(ecur).count() == 0
+        ecur = small
+        prev = cur
+        if stable:
+            break
+    else:
+        raise RuntimeError(
+            f"connected_components_star did not converge in {max_iter} rounds"
+        )
+
+    verts = vertices.select(F.col(vertex_col).alias("vid"))
+    nmin = (
+        ecur.union(ecur.select(F.col("v").alias("u"), F.col("u").alias("v")))
+        .groupBy("u")
+        .agg(F.min("v").alias("nm"))
+    )
+    return verts.join(nmin, verts["vid"] == nmin["u"], "left").select(
+        F.col("vid").alias(vertex_col),
+        F.least(F.col("vid"), F.coalesce("nm", F.col("vid"))).alias("component"),
+    )

@@ -571,3 +571,134 @@ def compaction_plan(tiles: DataFrame, target_bytes: int = COMPACT_TARGET_BYTES) 
         F.greatest(F.col("n_tiles") - n_target, F.lit(0)).alias("files_saved"),
         "tile_checksum",
     )
+
+
+# ---------------------------------------------------------------------------
+# Geostatistics: empirical semivariogram + Ripley's K (round 3)
+# ---------------------------------------------------------------------------
+
+
+def _centroid_pairs(tiles: DataFrame, max_lag: float, r: int, sub_mod: int) -> DataFrame:
+    """All unordered centroid pairs within `max_lag`, via the standard
+    filter-refine cell join: the LEFT copy explodes the res-r cover of
+    its max_lag-dilated centroid box, the RIGHT copy keys by its single
+    centroid anchor cell — so every (a, b) candidate appears EXACTLY
+    once (b has one anchor cell) and no pair-dedup shuffle is needed.
+    Orientation idx_a < idx_b halves the grid.  Station value is the
+    `phash % 256` surface (integer, exact SQL twin — same as IDW).
+
+    Scale shape (10^12 rows): per-image fan-out is bounded by
+    ⌈2·max_lag/cell_edge + 1⌉² cover cells; ONE cell equi-join whose
+    d² refine runs inside codegen; downstream aggs are combiner-
+    friendly.  `sub_mod` thins stations deterministically (idx % m == 0)
+    — the oracle applies the identical predicate."""
+    from .georegister import image_idx
+
+    idx = image_idx()
+    cx = F.col("gt_x0") + F.lit(TILE_SPAN / 2)
+    cy = F.col("gt_y0") - F.lit(TILE_SPAN / 2)
+    st = tiles.where(idx % sub_mod == 0).select(
+        idx.alias("idx"),
+        (F.col("phash") % 256).alias("v"),
+        cx.alias("sx"),
+        cy.alias("sy"),
+    )
+    left = st.select(
+        F.col("idx").alias("idx_a"),
+        F.col("v").alias("va"),
+        F.col("sx").alias("ax"),
+        F.col("sy").alias("ay"),
+        F.explode(
+            cells.cell_cover(
+                F.col("sx") - max_lag, F.col("sx") + max_lag,
+                F.col("sy") - max_lag, F.col("sy") + max_lag, r,
+            )
+        ).alias("cell"),
+    )
+    right = st.select(
+        F.col("idx").alias("idx_b"),
+        F.col("v").alias("vb"),
+        F.col("sx").alias("bx"),
+        F.col("sy").alias("by"),
+        cells.cell_encode(F.col("sx"), F.col("sy"), r).alias("cell"),
+    )
+    d2 = (F.col("ax") - F.col("bx")) * (F.col("ax") - F.col("bx")) + (
+        F.col("ay") - F.col("by")
+    ) * (F.col("ay") - F.col("by"))
+    return (
+        left.join(right, "cell")
+        .where(F.col("idx_a") < F.col("idx_b"))
+        .withColumn("d2", d2)
+        .where(F.col("d2") <= F.lit(float(max_lag) * float(max_lag)))
+    )
+
+
+def semivariogram(
+    tiles: DataFrame,
+    max_lag: float = 16000.0,
+    lag_width: float = 2000.0,
+    r: int = 12,
+    sub_mod: int = 3,
+) -> DataFrame:
+    """Empirical semivariogram of the centroid value surface — the
+    foundational geostatistics QC plot (Matheron's estimator):
+
+        γ(h_k) = Σ (v_a − v_b)² / (2·N_k)  over pairs in lag bin k.
+
+    Bins on Euclidean distance: bin = floor(sqrt(d²)/lag_width).  IEEE
+    754 sqrt is correctly rounded, so the bin index is bit-identical in
+    every engine (d² itself is exact — integral coordinates).  Outputs
+    per bin: exact pair count, exact integer Σ(Δv)², and γ (one exact-
+    integer division, rounded for display).  One cell join + ONE slim
+    group shuffle on the 8-value bin key."""
+    pairs = _centroid_pairs(tiles, max_lag, r, sub_mod)
+    dv = F.col("va") - F.col("vb")
+    binc = F.floor(F.sqrt(F.col("d2")) / F.lit(float(lag_width))).cast("int")
+    return (
+        pairs.select(binc.alias("lag_bin"), (dv * dv).alias("dv2"))
+        .groupBy("lag_bin")
+        .agg(
+            F.count(F.lit(1)).alias("n_pairs"),
+            F.sum("dv2").alias("gamma2_sum"),
+        )
+        .select(
+            "lag_bin", "n_pairs", "gamma2_sum",
+            F.round(F.col("gamma2_sum") / (2.0 * F.col("n_pairs")), 6).alias("gamma"),
+        )
+    )
+
+
+def ripley_k(
+    tiles: DataFrame,
+    max_lag: float = 16000.0,
+    step: float = 2000.0,
+    r: int = 12,
+    sub_mod: int = 3,
+) -> DataFrame:
+    """Ripley's K point-pattern statistic: cumulative within-distance
+    pair counts at radii k·step (k = 1..max_lag/step) — the standard
+    clustering-vs-dispersion diagnostic.  Reuses the semivariogram's
+    pair plan, then turns the per-ring histogram into cumulative counts
+    with a running-sum window over ≤8 rows (no second pass over pairs).
+    Counts are exact integers; K̂ normalization (·area/n²) is left to
+    the caller since area is a modeling choice."""
+    pairs = _centroid_pairs(tiles, max_lag, r, sub_mod)
+    ring = (F.floor(F.sqrt(F.col("d2")) / F.lit(float(step))) + 1).cast("int")
+    hist = (
+        pairs.select(F.least(ring, F.lit(int(max_lag / step))).alias("k"))
+        .groupBy("k")
+        .agg(F.count(F.lit(1)).alias("n_ring"))
+    )
+    ks = hist.sparkSession.range(1, int(max_lag / step) + 1).select(
+        F.col("id").cast("int").alias("k")
+    )
+    w = Window.orderBy("k").rowsBetween(Window.unboundedPreceding, 0)
+    return (
+        ks.join(hist, "k", "left")
+        .select("k", F.coalesce("n_ring", F.lit(0)).alias("n_ring"))
+        .select(
+            "k",
+            (F.col("k") * F.lit(float(step))).alias("radius"),
+            F.sum("n_ring").over(w).alias("n_pairs_within"),
+        )
+    )

@@ -1627,6 +1627,151 @@ FROM agg JOIN mx USING (source) ORDER BY source
 """
 
 
+
+
+# ---------------------------------------------------------------------------
+# Round 3: BPE merge-pair census + integer-exact BM25 retrieval
+# ---------------------------------------------------------------------------
+
+BPE_TOPK = 20
+
+
+def bpe_pair_census(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The counting round of a BPE tokenizer-training step: frequency of
+    every adjacent character pair WITHIN whitespace words, top-20 by
+    (count DESC, pair ASC).  This is merge round 0 of Sennrich et al.'s
+    byte-pair encoding — the hot loop of vocab induction over a corpus.
+
+    Plan: explode words -> explode in-word bigrams via a codegen
+    transform(sequence(...)) (zero Python) -> ONE combiner-friendly agg
+    on a ~10^3-key domain -> TakeOrdered 20.  At 10^12 docs the pair
+    domain stays tiny (alphabet²), so the final agg is skew-free."""
+    w = (
+        _docs(spark, sf_dir)
+        .select(F.explode(words_col()).alias("wrd"))
+        .where(F.length("wrd") >= 2)
+    )
+    bi = w.select(
+        F.explode(
+            F.expr("transform(sequence(1, length(wrd) - 1),"
+                   " i -> substring(wrd, i, 2))")
+        ).alias("pair")
+    )
+    return (
+        bi.groupBy("pair")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy(F.col("n").desc(), F.col("pair").asc())
+        .limit(BPE_TOPK)
+    )
+
+
+def bpe_pair_census_sql() -> str:
+    return f"""
+WITH w AS (SELECT unnest({_SQL_WS}) AS wrd FROM documents),
+bi AS (
+  SELECT unnest(list_transform(range(1, len(wrd)),
+                i -> substr(wrd, i, 2))) AS pair
+  FROM w WHERE len(wrd) >= 2
+)
+SELECT pair, COUNT(*) AS n FROM bi
+GROUP BY pair ORDER BY n DESC, pair LIMIT {BPE_TOPK}
+"""
+
+
+BM25_TOPK = 10
+BM25_QRANKS = (10, 20, 30)  # query terms: df-ranks 10/20/30 (mid-frequency)
+
+
+def bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BM25 retrieval top-10 for a deterministic 3-term query (the terms
+    at df-rank 10/20/30), INTEGER-EXACT: the float log-idf is replaced
+    by the rational surrogate ((N-df)<<10) DIV (df+1) (order-equivalent
+    for fixed N) and the k1=1.2 / b=0.75 saturation is cross-multiplied
+    into one exact integer floor division:
+
+        s_term = idf' * 44*TL*tf  DIV  (20*TL*tf + 6*TL + 18*dl*N)
+
+    (k1=6/5, b=3/4, avgdl=TL/N multiplied out by 20·TL).  No float ever
+    enters the ranking, so Spark and the SQL oracle agree bit-for-bit.
+
+    Plan: tf/df/dl are partial+final hash aggs over one explode; the
+    3-row query-term table and the two scalar totals broadcast; ranking
+    is TakeOrdered(10) — never a global sort.  Scale: identical to any
+    inverted-index scoring join; df hot keys are capped by the 3-term
+    query list itself."""
+    d = _docs(spark, sf_dir)
+    toks = (
+        d.select("doc_id", F.explode(words_col()).alias("term"))
+        .where(F.col("term") != "")
+    )
+    tf = toks.groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("tf"))
+    dl = toks.groupBy("doc_id").agg(F.count(F.lit(1)).alias("dl"))
+    dfq = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    wq = W.orderBy(F.col("df").desc(), F.col("term").asc())
+    qterms = (
+        dfq.withColumn("qrnk", F.row_number().over(wq))
+        .where(F.col("qrnk").isin(*BM25_QRANKS))
+        .select("term", "df")
+    )
+    nrow = d.agg(F.count(F.lit(1)).alias("n_docs"))
+    tlrow = toks.agg(F.count(F.lit(1)).alias("tl"))
+    scored = (
+        tf.join(F.broadcast(qterms), "term")
+        .join(dl, "doc_id")
+        .crossJoin(F.broadcast(nrow))
+        .crossJoin(F.broadcast(tlrow))
+        .withColumn("idf", F.expr("((n_docs - df) * 1024) DIV (df + 1)"))
+        .withColumn(
+            "s_term",
+            F.expr("(idf * (44 * tl * tf))"
+                   " DIV (20 * tl * tf + 6 * tl + 18 * dl * n_docs)"),
+        )
+        .groupBy("doc_id")
+        .agg(F.sum("s_term").alias("score"), F.count(F.lit(1)).alias("n_terms"))
+    )
+    top = scored.orderBy(F.col("score").desc(), F.col("doc_id").asc()).limit(BM25_TOPK)
+    wr = W.orderBy(F.col("score").desc(), F.col("doc_id").asc())
+    return top.withColumn("rnk", F.row_number().over(wr)).select(
+        "rnk", "doc_id", "score", "n_terms"
+    )
+
+
+def bm25_topk_sql() -> str:
+    ranks = ", ".join(str(r) for r in BM25_QRANKS)
+    return f"""
+WITH w AS (SELECT doc_id, unnest({_SQL_WS}) AS term FROM documents),
+t AS (SELECT doc_id, term FROM w WHERE term <> ''),
+tf AS (SELECT doc_id, term, COUNT(*) AS tf FROM t GROUP BY doc_id, term),
+dl AS (SELECT doc_id, COUNT(*) AS dl FROM t GROUP BY doc_id),
+dfq AS (SELECT term, COUNT(*) AS df FROM tf GROUP BY term),
+q AS (
+  SELECT term, df FROM (
+    SELECT term, df, ROW_NUMBER() OVER (ORDER BY df DESC, term) AS qrnk
+    FROM dfq) WHERE qrnk IN ({ranks})
+),
+consts AS (
+  SELECT (SELECT COUNT(*) FROM documents) AS n_docs,
+         (SELECT COUNT(*) FROM t) AS tl
+),
+sc AS (
+  SELECT tf.doc_id,
+         CAST(((n_docs - df) * 1024) // (df + 1) AS HUGEINT)
+           * CAST(44 * tl * tf AS HUGEINT)
+           // CAST(20 * tl * tf + 6 * tl + 18 * dl.dl * n_docs AS HUGEINT)
+           AS s_term
+  FROM tf JOIN q USING (term) JOIN dl USING (doc_id), consts
+),
+agg AS (
+  SELECT doc_id, CAST(SUM(s_term) AS BIGINT) AS score, COUNT(*) AS n_terms
+  FROM sc GROUP BY doc_id
+)
+SELECT * FROM (
+  SELECT ROW_NUMBER() OVER (ORDER BY score DESC, doc_id) AS rnk,
+         doc_id, score, n_terms
+  FROM agg) WHERE rnk <= {BM25_TOPK} ORDER BY rnk
+"""
+
+
 def text_queries():
     return {
         "text_stats": text_stats,
@@ -1651,6 +1796,8 @@ def text_queries():
         "seq_packing": seq_packing,
         "url_domains": url_domains,
         "oov_rate": oov_rate,
+        "bpe_pair_census": bpe_pair_census,
+        "bm25_topk": bm25_topk,
     }
 
 
@@ -1678,4 +1825,6 @@ def text_oracles() -> dict[str, str]:
         "seq_packing": seq_packing_sql(),
         "url_domains": url_domains_sql(),
         "oov_rate": oov_rate_sql(),
+        "bpe_pair_census": bpe_pair_census_sql(),
+        "bm25_topk": bm25_topk_sql(),
     }

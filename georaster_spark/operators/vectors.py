@@ -736,6 +736,108 @@ FROM ov GROUP BY overlap ORDER BY overlap
 # ---------------------------------------------------------------------------
 
 
+
+
+# ---------------------------------------------------------------------------
+# V6 — SemDeDup: cluster-then-near-dup semantic deduplication (round 3)
+# ---------------------------------------------------------------------------
+
+
+def semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semantic deduplication (Abbas et al., "SemDeDup" — PAPERS.md):
+    cluster the embedding space with the IVF coarse quantizer, then
+    within every cluster drop each vector that has a SMALLER-id neighbor
+    with cosine >= COS_TAU (the order-free variant of SemDeDup\'s greedy
+    keep-one; order-free => engine-independent).  Output per cluster:
+    member count, survivor count, and the exact Σ vec_id survivor
+    checksum so the driver hash pins the survivor SET.
+
+    Plan: map-only integer-exact cell assignment (shared with ann_ivf),
+    ONE groupBy(cell) applyInPandas whose GEMM touches only within-
+    cluster pairs — O(Σ|cell|²) instead of O(n²), the whole point of
+    cluster-first dedup at 10^9+ rows.  Cluster-size skew is the knob:
+    production caps cells via finer quantizers (more centroids), same
+    plan shape.  COS_TAU is >= 6e-4 from every sf0.01 pair cosine, so
+    the float GEMM cannot flip a decision vs the oracle\'s fold."""
+    e = _emb(spark, sf_dir).select("vec_id", "embedding")
+    corpus = _with_ivf_cell(e, nprobe=1)
+
+    schema = StructType(
+        [
+            StructField("cell", IntegerType()),
+            StructField("n_members", LongType()),
+            StructField("n_survivors", LongType()),
+            StructField("survivors_checksum", LongType()),
+        ]
+    )
+
+    def dedup(key, pdf: pd.DataFrame):
+        ids = pdf["vec_id"].to_numpy()
+        order = np.argsort(ids)
+        ids = ids[order]
+        M = _mat(pdf["embedding"].iloc[order])
+        Mn = M / np.linalg.norm(M, axis=1, keepdims=True)
+        cos = Mn @ Mn.T
+        killed = np.triu(cos >= COS_TAU, k=1).any(axis=0)
+        surv = ids[~killed]
+        return pd.DataFrame(
+            {
+                "cell": [key[0]],
+                "n_members": [len(ids)],
+                "n_survivors": [len(surv)],
+                "survivors_checksum": [int(surv.sum())],
+            }
+        )
+
+    return (
+        corpus.groupBy("cell")
+        .applyInPandas(dedup, schema=schema)
+        .repartition(1).sortWithinPartitions("cell")
+    )
+
+
+def semdedup_sql() -> str:
+    cents = _centroids().astype(int)
+    cent_lits = ", ".join(
+        "[" + ", ".join(str(v) for v in row) + "]" for row in cents
+    )
+    int_dot = (
+        "list_sum(list_transform(range(1, len({a}) + 1),"
+        " i -> CAST(floor(CAST({a}[i] AS DOUBLE) * 1000.0) AS BIGINT) * cents[{c}][i]))"
+    )
+    score_exprs = ", ".join(
+        "CAST(" + int_dot.format(a="embedding", c=c + 1) + " AS BIGINT)"
+        for c in range(N_CELLS)
+    )
+    dot = _sql_dot("a.embedding", "b.embedding")
+    na = _sql_dot("a.embedding", "a.embedding")
+    nb = _sql_dot("b.embedding", "b.embedding")
+    return f"""
+WITH ct AS (SELECT [{cent_lits}] AS cents),
+sc AS (
+  SELECT vec_id, embedding, [{score_exprs}] AS s
+  FROM embeddings, ct
+),
+corpus AS (
+  SELECT vec_id, embedding, list_position(s, list_max(s)) - 1 AS cell FROM sc
+),
+killed AS (
+  SELECT DISTINCT b.vec_id
+  FROM corpus a JOIN corpus b
+    ON a.cell = b.cell AND a.vec_id < b.vec_id
+  WHERE {dot} / sqrt(({na}) * ({nb})) >= {COS_TAU}
+)
+SELECT cell,
+       COUNT(*) AS n_members,
+       CAST(SUM(CASE WHEN k.vec_id IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_survivors,
+       CAST(SUM(CASE WHEN k.vec_id IS NULL THEN c.vec_id ELSE 0 END) AS BIGINT)
+         AS survivors_checksum
+FROM corpus c LEFT JOIN killed k USING (vec_id)
+GROUP BY cell ORDER BY cell
+"""
+
+
 def vector_queries():
     return {
         "cosine_near_dup": cosine_near_dup,
@@ -743,6 +845,7 @@ def vector_queries():
         "ann_lsh": ann_lsh,
         "ann_ivf": ann_ivf,
         "ann_sq8": ann_sq8,
+        "semdedup": semdedup,
     }
 
 
@@ -753,4 +856,5 @@ def vector_oracles() -> dict[str, str]:
         "ann_lsh": ann_lsh_sql(),
         "ann_ivf": ann_ivf_sql(),
         "ann_sq8": ann_sq8_sql(),
+        "semdedup": semdedup_sql(),
     }

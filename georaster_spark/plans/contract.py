@@ -4562,6 +4562,10 @@ def spatial_queries() -> dict[str, QueryFn]:
         "orders_exists_semi": rel.orders_exists_semi,
         **textops.text_queries(),
         **vectors.vector_queries(),
+        "semivariogram": q_semivariogram,
+        "ripley_k": q_ripley_k,
+        "template_match": q_template_match,
+        "dedup_components_star": q_dedup_components_star,
     })
 
 
@@ -4711,6 +4715,10 @@ def spatial_oracles(sf: str = "sf0.01") -> dict[str, str]:
         "orders_exists_semi": rel.orders_exists_semi_sql(),
         **textops.text_oracles(),
         **vectors.vector_oracles(),
+        "semivariogram": _sql_semivariogram(fx),
+        "ripley_k": _sql_ripley_k(fx),
+        "template_match": _sql_template_match(fx, w),
+        "dedup_components_star": _sql_dedup_components(),
     })
 
 
@@ -5927,3 +5935,148 @@ SELECT zone_id,
 FROM px GROUP BY zone_id HAVING SUM(CASE WHEN wt > 0 THEN 1 ELSE 0 END) > 0
 ORDER BY zone_id
 """
+
+
+# --- round-3 batch: geostatistics (semivariogram / Ripley's K) --------------
+
+_VGM_MAX_LAG = 16000.0
+_VGM_LAG_W = 2000.0
+_VGM_SUB = 3
+_VGM_RES = 12  # cell edge 16384 >= max_lag: cover fan-out <= 2x2 cells
+
+
+def q_semivariogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Empirical semivariogram (spatial_index.semivariogram) of the
+    phash%256 centroid surface: cell filter-refine pair join, exact
+    integer Σ(Δv)² per distance bin (IEEE-exact sqrt binning)."""
+    from ..operators import spatial_index as si
+
+    tiles = geo.georegister(_images(spark, sf_dir))
+    return (
+        si.semivariogram(tiles, _VGM_MAX_LAG, _VGM_LAG_W,
+                         r=_VGM_RES, sub_mod=_VGM_SUB)
+        .repartition(1).sortWithinPartitions("lag_bin")
+    )
+
+
+def q_ripley_k(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ripley's K cumulative pair counts (spatial_index.ripley_k) —
+    same pair plan as the semivariogram, ring histogram + running sum."""
+    from ..operators import spatial_index as si
+
+    tiles = geo.georegister(_images(spark, sf_dir))
+    return (
+        si.ripley_k(tiles, _VGM_MAX_LAG, _VGM_LAG_W,
+                    r=_VGM_RES, sub_mod=_VGM_SUB)
+        .repartition(1).sortWithinPartitions("k")
+    )
+
+
+def _sql_vgm_pairs(fx: Path) -> str:
+    l2 = _VGM_MAX_LAG * _VGM_MAX_LAG
+    return f"""
+WITH {osql.georegister_cte(str(fx / 'images.parquet'))},
+st AS (
+  SELECT idx, phash % 256 AS v,
+         gt_x0 + 500.0 AS sx, gt_y0 - 500.0 AS sy
+  FROM tiles WHERE idx % {_VGM_SUB} = 0
+),
+pr AS (
+  SELECT a.v - b.v AS dv,
+         (a.sx - b.sx) * (a.sx - b.sx) + (a.sy - b.sy) * (a.sy - b.sy) AS d2
+  FROM st a JOIN st b ON a.idx < b.idx
+  WHERE (a.sx - b.sx) * (a.sx - b.sx) + (a.sy - b.sy) * (a.sy - b.sy) <= {l2}
+)"""
+
+
+def _sql_semivariogram(fx: Path) -> str:
+    return f"""{_sql_vgm_pairs(fx)}
+SELECT CAST(floor(sqrt(d2) / {_VGM_LAG_W}) AS INT) AS lag_bin,
+       COUNT(*) AS n_pairs,
+       CAST(SUM(dv * dv) AS BIGINT) AS gamma2_sum,
+       round(CAST(SUM(dv * dv) AS BIGINT) / (2.0 * COUNT(*)), 6) AS gamma
+FROM pr GROUP BY lag_bin ORDER BY lag_bin
+"""
+
+
+def _sql_ripley_k(fx: Path) -> str:
+    kmax = int(_VGM_MAX_LAG / _VGM_LAG_W)
+    return f"""{_sql_vgm_pairs(fx)},
+rings AS (
+  SELECT LEAST(CAST(floor(sqrt(d2) / {_VGM_LAG_W}) AS INT) + 1, {kmax}) AS k
+  FROM pr
+),
+hist AS (SELECT k, COUNT(*) AS n_ring FROM rings GROUP BY k),
+ks AS (SELECT CAST(g.k AS INT) AS k FROM generate_series(1, {kmax}) AS g(k))
+SELECT k, k * {_VGM_LAG_W} AS radius,
+       CAST(SUM(COALESCE(n_ring, 0)) OVER (
+         ORDER BY k ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+       ) AS BIGINT) AS n_pairs_within
+FROM ks LEFT JOIN hist USING (k) ORDER BY k
+"""
+
+
+# --- round-3: template matching ---------------------------------------------
+
+_TMATCH_MOD = 53
+
+
+def q_template_match(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Matched-filter argmax (algebra.template_match): sliding zero-sum
+    4x4 integer cross-correlation over every 53rd tile's real decoded
+    pixels; exact argmax position + score vs the ramp-formula oracle."""
+    from ..operators import algebra
+
+    tiles = geo.georegister(_images(spark, sf_dir)).where(
+        geo.image_idx() % _TMATCH_MOD == 0
+    )
+    return (
+        algebra.template_match(tiles)
+        .repartition(1).sortWithinPartitions("image_id")
+    )
+
+
+def _sql_template_match(fx: Path, w: int) -> str:
+    from ..operators.algebra import TEMPLATE_4X4
+
+    terms = " + ".join(
+        f"({TEMPLATE_4X4[a][c]}) * ({osql.ramp_value_expr(f'(gi.i + {a})', f'(gj.j + {c})')})"
+        for a in range(4) for c in range(4) if TEMPLATE_4X4[a][c]
+    )
+    return f"""
+WITH {osql.georegister_cte(str(fx / 'images.parquet'))},
+pos AS (
+  SELECT image_id, gi.i AS i, gj.j AS j, CAST({terms} AS BIGINT) AS score
+  FROM tiles,
+       generate_series(0, {w - 4}) AS gi(i),
+       generate_series(0, {w - 4}) AS gj(j)
+  WHERE idx % {_TMATCH_MOD} = 0
+),
+ranked AS (
+  SELECT image_id, i, j, score,
+         row_number() OVER (PARTITION BY image_id
+                            ORDER BY score DESC, i, j) AS rn
+  FROM pos
+)
+SELECT image_id, CAST(i AS INT) AS best_i, CAST(j AS INT) AS best_j,
+       score AS best_score
+FROM ranked WHERE rn = 1 ORDER BY image_id
+"""
+
+
+# --- round-3: star-contraction connected components --------------------------
+
+
+def q_dedup_components_star(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Same contract as dedup_components (minhash-LSH pairs -> cluster
+    ids -> canonical election) but through the large-star/small-star
+    contraction (graph.connected_components_star) — the O(log n)-round
+    path for adversarial (long-chain) near-dup graphs.  Shares
+    dedup_components' recursive-CTE oracle: both must produce the
+    identical (doc, component, canonical) surface."""
+    from ..operators import graph, textops
+
+    pairs = textops.minhash_lsh_pairs(spark, sf_dir).select("a_id", "b_id")
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select("doc_id")
+    comp = graph.canonical_docs(graph.connected_components_star(pairs, docs))
+    return comp.repartition(1).sortWithinPartitions("doc_id")

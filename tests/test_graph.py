@@ -105,3 +105,34 @@ def test_bfs_min_hops_matches_python_bfs(spark):
                 q.append(v)
     assert got == dist
     assert max(got.values()) >= 2  # the graph actually expands
+
+
+def _cc_star(spark, edges, vertices):
+    e = spark.createDataFrame(edges or [(None, None)], "a_id long, b_id long")
+    if not edges:
+        e = e.where(F.lit(False))
+    v = spark.createDataFrame([(x,) for x in vertices], "doc_id long")
+    out = graph.connected_components_star(e, v)
+    return {r["doc_id"]: r["component"] for r in out.collect()}
+
+
+def test_star_matches_minlabel_on_mixed_graph(spark):
+    # chain (multi-round) + clique (1-round) + isolated vertex
+    edges = [(i, i + 1) for i in range(12)] + [
+        (a, b) for a in range(100, 104) for b in range(a + 1, 104)
+    ]
+    verts = list(range(13)) + list(range(100, 104)) + [200]
+    assert _cc_star(spark, edges, verts) == _cc(spark, edges, verts)
+
+
+def test_star_long_chain_converges_logarithmically(spark):
+    # a 64-chain has diameter 64 (min-label would need 64 rounds); the
+    # star contraction must finish well inside max_iter=25
+    edges = [(i, i + 1) for i in range(64)]
+    got = _cc_star(spark, edges, list(range(65)))
+    assert got == {i: 0 for i in range(65)}
+
+
+def test_star_no_edges_and_self_loops(spark):
+    got = _cc_star(spark, [(3, 3)], [3, 4])
+    assert got == {3: 3, 4: 4}
