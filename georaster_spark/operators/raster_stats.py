@@ -591,3 +591,72 @@ def geary_lattice_moments(tiles: DataFrame) -> DataFrame:
         ).alias("pair_sqdiff_sum"),
     )
     return base.crossJoin(pagg)
+
+
+def getis_ord_moments(tiles: DataFrame) -> DataFrame:
+    """Getis-Ord Gi* hot-spot moments (the ArcGIS "Hot Spot Analysis"
+    tool; Getis & Ord 1992/1995 — the third member of the lattice
+    autocorrelation family after moran_lattice_moments and
+    geary_lattice_moments; reference analog: corpus statistics over
+    loaded ``self.r`` arrays — SURVEY §0 ⚠, nothing on disk).
+
+    Gi* compares each site's CLOSED-neighborhood sum (rook neighbors
+    plus the site itself — the "star" variant) against the global mean.
+    With n sites, total S = Σm, star_k_i = |Γ(i)| + 1 and
+    star_sum_i = Σ_{j∈Γ(i)∪{i}} m_j, the emitted exact integer
+
+        gi_num_i = n * star_sum_i - star_k_i * S
+
+    is n²·Var-scaled Gi*'s numerator: its SIGN is the hot(+)/cold(−)
+    classification and dividing by the global float std recovers the
+    textbook z-score, so no float enters the distributed plan.  Bounds:
+    |gi_num| <= 5·255·n — int64-safe to n ~ 7e15 sites.
+
+    Scale shape identical to local_moran_moments: ONE fused Arrow pass
+    for floor-means (pixels never shuffle), slim 4-probe explode +
+    equi-join on the grid key (co-located under grid partitioning), a
+    2-scalar broadcast for (n, S)."""
+    from ..constants import GRID_W
+    from ..functions.codecs import pixel_mean
+    from .georegister import image_idx
+
+    idx = image_idx()
+    t = tiles.select(
+        (idx % GRID_W).cast("long").alias("gx"),
+        F.floor(idx / GRID_W).cast("long").alias("gy"),
+        F.floor(
+            pixel_mean(F.col("bytes"), F.col("w"), F.col("h"), F.col("fmt"))
+        ).cast("long").alias("m"),
+    )
+    base = t.agg(F.count("*").alias("n_tiles"), F.sum("m").alias("sum_m"))
+    probes = t.select(
+        F.col("gx").alias("src_gx"),
+        F.col("gy").alias("src_gy"),
+        F.explode(
+            F.array(
+                F.struct((F.col("gx") + 1).alias("gx"), F.col("gy").alias("gy")),
+                F.struct((F.col("gx") - 1).alias("gx"), F.col("gy").alias("gy")),
+                F.struct(F.col("gx").alias("gx"), (F.col("gy") + 1).alias("gy")),
+                F.struct(F.col("gx").alias("gx"), (F.col("gy") - 1).alias("gy")),
+            )
+        ).alias("nb"),
+    ).select("src_gx", "src_gy", F.col("nb.gx").alias("gx"), F.col("nb.gy").alias("gy"))
+    lag = (
+        probes.join(t.select("gx", "gy", F.col("m").alias("m_j")), ["gx", "gy"])
+        .groupBy(F.col("src_gx").alias("gx"), F.col("src_gy").alias("gy"))
+        .agg(F.count("*").alias("k_nb"), F.sum("m_j").alias("lag_sum"))
+    )
+    return (
+        t.join(lag, ["gx", "gy"], "left")
+        .crossJoin(F.broadcast(base))
+        .select(
+            "gx", "gy", "m",
+            (F.coalesce(F.col("k_nb"), F.lit(0)) + 1).alias("star_k"),
+            (F.coalesce(F.col("lag_sum"), F.lit(0)) + F.col("m")).alias("star_sum"),
+            (
+                F.col("n_tiles")
+                * (F.coalesce(F.col("lag_sum"), F.lit(0)) + F.col("m"))
+                - (F.coalesce(F.col("k_nb"), F.lit(0)) + 1) * F.col("sum_m")
+            ).alias("gi_num"),
+        )
+    )

@@ -123,3 +123,81 @@ def rasterize_summary(tiles: DataFrame, zones: DataFrame) -> DataFrame:
             yield pd.DataFrame(out)
 
     return slim.mapInPandas(_summary, schema=_SUMMARY_SCHEMA)
+
+
+# ---------------------------------------------------------------------------
+# Route burn: DDA super-sampled line rasterization census (round 3)
+# ---------------------------------------------------------------------------
+
+ROUTE_STRIDE = 617   # waypoint k = centroid of tile idx = k * STRIDE
+ROUTE_STEPS = 256    # DDA samples per segment (power of two)
+ROUTE_RES = 13       # burn grid resolution (cell edge = DOMAIN >> 13 = 8192)
+
+
+def route_burn(tiles: DataFrame) -> DataFrame:
+    """Line rasterization census — the vector->raster primitive for LINE
+    features (roads, transects; the ``gdal_rasterize`` line-layer analog
+    complementing rasterize_tiles' polygon burn).  The route is the
+    polyline through every ROUTE_STRIDE-th tile centroid (integer world
+    coordinates by construction); each segment is sampled at
+    ROUTE_STEPS evenly spaced parameter values (DDA super-sampling) and
+    each sample is binned to its res-ROUTE_RES grid cell.
+
+    INTEGER-EXACT in every engine: sample k of segment (x0,y0)->(x1,y1)
+    has numerator nx = x0*(S-k) + x1*k over denominator S, so the cell
+    column floor(nx/S / edge) = clamp(nx, 0..) DIV (S*edge) is one
+    nonnegative int64 floor division — no float ever enters.  Emitted
+    per segment: distinct-cell count and the Σ/min/max of the cells'
+    LOCAL codes rc = row * 2^r + col (< 2^26, so sums stay far inside
+    int64), pinning the burned cell set.
+
+    Plan: the waypoint table is tiny (n/STRIDE rows) — the segment
+    self-join broadcasts; the S-step fan-out is a codegen
+    explode(sequence), the distinct and the census are ONE shuffle each
+    on the slim (seg_id, rc) pair.  Zero Python, zero pixel bytes."""
+    from ..constants import DOMAIN, TILE_SPAN
+    from .georegister import image_idx
+
+    s_edge = DOMAIN >> ROUTE_RES
+    den = ROUTE_STEPS * s_edge
+    nmax = (1 << ROUTE_RES) - 1
+    idx = image_idx()
+    wp = tiles.where(idx % ROUTE_STRIDE == 0).select(
+        F.floor(idx / ROUTE_STRIDE).cast("long").alias("wp"),
+        (F.col("gt_x0") + TILE_SPAN / 2).cast("long").alias("cx"),
+        (F.col("gt_y0") - TILE_SPAN / 2).cast("long").alias("cy"),
+    )
+    a = wp.alias("a")
+    b = wp.select(
+        (F.col("wp") - 1).alias("wp"),
+        F.col("cx").alias("x1"),
+        F.col("cy").alias("y1"),
+    ).alias("b")
+    seg = a.join(F.broadcast(b), "wp").select(
+        F.col("wp").alias("seg_id"),
+        F.col("cx").alias("x0"), F.col("cy").alias("y0"),
+        "x1", "y1",
+    )
+    # integer DIV (not float /): exact at any coordinate magnitude
+    col = F.expr(
+        f"least(greatest(x0 * ({ROUTE_STEPS} - k) + x1 * k, 0)"
+        f" DIV {den}, {nmax})"
+    )
+    row = F.expr(
+        f"least(greatest({DOMAIN * ROUTE_STEPS} - (y0 * ({ROUTE_STEPS} - k)"
+        f" + y1 * k), 0) DIV {den}, {nmax})"
+    )
+    cells_ = (
+        seg.select(
+            "seg_id", "x0", "y0", "x1", "y1",
+            F.explode(F.sequence(F.lit(0), F.lit(ROUTE_STEPS - 1))).alias("k"),
+        )
+        .select("seg_id", (row * (1 << ROUTE_RES) + col).alias("rc"))
+        .distinct()
+    )
+    return cells_.groupBy("seg_id").agg(
+        F.count(F.lit(1)).alias("n_cells"),
+        F.sum("rc").alias("rc_sum"),
+        F.min("rc").alias("rc_min"),
+        F.max("rc").alias("rc_max"),
+    )

@@ -1065,3 +1065,118 @@ SELECT f.cohort_day,
 FROM active a JOIN first f USING (user_id)
 GROUP BY f.cohort_day, offset_d ORDER BY f.cohort_day, offset_d
 """
+
+
+# ---------------------------------------------------------------------------
+# Data-contract integrity audit (round 3)
+# ---------------------------------------------------------------------------
+
+
+def integrity_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Referential-integrity / data-contract audit — the dbt-test /
+    Deequ-style validation sweep a production pipeline runs before
+    promoting a snapshot: orphan foreign keys, duplicate primary keys,
+    null required fields, and domain-range violations, one row per
+    check with (n_violations, n_checked).
+
+    Plan: each FK check is a broadcast-able LEFT ANTI join (the dim
+    side — customer, orders keys — is the small side at any scale once
+    aggregated); PK checks are one combiner-friendly groupBy-count;
+    null/range checks are map-side conditional sums.  The per-check
+    aggregates are single-row and union into a 6-row result — no
+    global sort, no driver loop."""
+    cust = _t(spark, sf_dir, "customer")
+    orders = _t(spark, sf_dir, "orders")
+    li = _t(spark, sf_dir, "lineitem")
+
+    def one(name: str, viol, checked):
+        return viol.crossJoin(checked).select(
+            F.lit(name).alias("check"),
+            F.col("n_violations"),
+            F.col("n_checked"),
+        )
+
+    orphan_cust = one(
+        "orders_orphan_custkey",
+        orders.join(cust, orders["o_custkey"] == cust["c_custkey"], "left_anti")
+        .agg(F.count(F.lit(1)).alias("n_violations")),
+        orders.agg(F.count(F.lit(1)).alias("n_checked")),
+    )
+    orphan_order = one(
+        "lineitem_orphan_orderkey",
+        li.join(orders, li["l_orderkey"] == orders["o_orderkey"], "left_anti")
+        .agg(F.count(F.lit(1)).alias("n_violations")),
+        li.agg(F.count(F.lit(1)).alias("n_checked")),
+    )
+    dup_cust = one(
+        "customer_dup_custkey",
+        cust.groupBy("c_custkey")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .agg(F.coalesce(F.sum(F.col("c") - 1), F.lit(0)).alias("n_violations")),
+        cust.agg(F.count(F.lit(1)).alias("n_checked")),
+    )
+    dup_line = one(
+        "lineitem_dup_pk",
+        li.groupBy("l_orderkey", "l_linenumber")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .agg(F.coalesce(F.sum(F.col("c") - 1), F.lit(0)).alias("n_violations")),
+        li.agg(F.count(F.lit(1)).alias("n_checked")),
+    )
+    null_date = one(
+        "orders_null_orderdate",
+        orders.agg(
+            F.sum(F.when(F.col("o_orderdate").isNull(), 1).otherwise(0))
+            .alias("n_violations")
+        ),
+        orders.agg(F.count(F.lit(1)).alias("n_checked")),
+    )
+    qty_range = one(
+        "lineitem_qty_out_of_range",
+        li.agg(
+            F.sum(
+                F.when((F.col("l_quantity") < 1) | (F.col("l_quantity") > 50), 1)
+                .otherwise(0)
+            ).alias("n_violations")
+        ),
+        li.agg(F.count(F.lit(1)).alias("n_checked")),
+    )
+    out = orphan_cust
+    for part in (orphan_order, dup_cust, dup_line, null_date, qty_range):
+        out = out.union(part)
+    return out.repartition(1).sortWithinPartitions("check")
+
+
+def integrity_audit_sql() -> str:
+    return """
+SELECT * FROM (
+  SELECT 'orders_orphan_custkey' AS "check",
+         (SELECT COUNT(*) FROM orders o
+          WHERE NOT EXISTS (SELECT 1 FROM customer c
+                            WHERE c.c_custkey = o.o_custkey)) AS n_violations,
+         (SELECT COUNT(*) FROM orders) AS n_checked
+  UNION ALL
+  SELECT 'lineitem_orphan_orderkey',
+         (SELECT COUNT(*) FROM lineitem l
+          WHERE NOT EXISTS (SELECT 1 FROM orders o
+                            WHERE o.o_orderkey = l.l_orderkey)),
+         (SELECT COUNT(*) FROM lineitem)
+  UNION ALL
+  SELECT 'customer_dup_custkey',
+         (SELECT COALESCE(SUM(c - 1), 0) FROM
+           (SELECT COUNT(*) AS c FROM customer GROUP BY c_custkey)),
+         (SELECT COUNT(*) FROM customer)
+  UNION ALL
+  SELECT 'lineitem_dup_pk',
+         (SELECT COALESCE(SUM(c - 1), 0) FROM
+           (SELECT COUNT(*) AS c FROM lineitem GROUP BY l_orderkey, l_linenumber)),
+         (SELECT COUNT(*) FROM lineitem)
+  UNION ALL
+  SELECT 'orders_null_orderdate',
+         (SELECT COUNT(*) FROM orders WHERE o_orderdate IS NULL),
+         (SELECT COUNT(*) FROM orders)
+  UNION ALL
+  SELECT 'lineitem_qty_out_of_range',
+         (SELECT COUNT(*) FROM lineitem WHERE l_quantity < 1 OR l_quantity > 50),
+         (SELECT COUNT(*) FROM lineitem)
+) ORDER BY "check"
+"""

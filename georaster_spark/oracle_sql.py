@@ -107,11 +107,14 @@ def pip_where(px: str, py: str) -> str:
     return PIP_WHERE.format(px=px, py=py)
 
 
-def candidates_cte(points_path: str) -> str:
+def candidates_cte(points_path: str, pts_sql: str | None = None) -> str:
     """CTEs `pts`/`cand`/`best`: points joined to their lowest-image_id
-    containing tile (closed-open edges, matching operators/sampling.py)."""
+    containing tile (closed-open edges, matching operators/sampling.py).
+    `pts_sql` (a SELECT yielding point_id/x/y) replaces the parquet read
+    for generated point sets (e.g. the transect profile)."""
+    pts_body = pts_sql if pts_sql is not None else f"SELECT * FROM read_parquet('{points_path}')"
     return f"""
-pts AS (SELECT * FROM read_parquet('{points_path}')),
+pts AS ({pts_body}),
 cand AS (
   SELECT p.point_id, p.x, p.y, t.image_id, t.idx, t.fmt, t.w, t.h,
          t.gt_x0, t.gt_y0, t.gt_xres, t.gt_yres
@@ -126,7 +129,12 @@ best AS (
 )"""
 
 
-def value_at_coords_sql(images_path: str, points_path: str, nodata: float | None = None) -> str:
+def value_at_coords_sql(
+    images_path: str,
+    points_path: str,
+    nodata: float | None = None,
+    pts_sql: str | None = None,
+) -> str:
     """Oracle for operators/sampling.value_at_coords: pixel value from the
     ramp formula (engine decodes real bytes — match is by construction).
     With `nodata`, a gathered pixel equal to it yields NULL (masked-read
@@ -136,7 +144,7 @@ def value_at_coords_sql(images_path: str, points_path: str, nodata: float | None
         v = f"CASE WHEN {v} = {nodata!r} THEN NULL ELSE {v} END"
     return f"""
 WITH {georegister_cte(images_path)},
-{candidates_cte(points_path)},
+{candidates_cte(points_path, pts_sql=pts_sql)},
 px AS (
   SELECT point_id, image_id, idx, fmt,
     least(greatest(CAST(floor((x - gt_x0) / gt_xres) AS BIGINT), 0), w - 1) AS jx,

@@ -4566,6 +4566,11 @@ def spatial_queries() -> dict[str, QueryFn]:
         "ripley_k": q_ripley_k,
         "template_match": q_template_match,
         "dedup_components_star": q_dedup_components_star,
+        "getis_ord": q_getis_ord,
+        "integrity_audit": rel.integrity_audit,
+        "route_burn": q_route_burn,
+        "kde_heatmap": q_kde_heatmap,
+        "transect_profile": q_transect_profile,
     })
 
 
@@ -4719,6 +4724,11 @@ def spatial_oracles(sf: str = "sf0.01") -> dict[str, str]:
         "ripley_k": _sql_ripley_k(fx),
         "template_match": _sql_template_match(fx, w),
         "dedup_components_star": _sql_dedup_components(),
+        "getis_ord": _sql_getis_ord(fx, w),
+        "integrity_audit": rel.integrity_audit_sql(),
+        "route_burn": _sql_route_burn(fx),
+        "kde_heatmap": _sql_kde_heatmap(fx),
+        "transect_profile": _sql_transect_profile(fx),
     })
 
 
@@ -6080,3 +6090,192 @@ def q_dedup_components_star(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select("doc_id")
     comp = graph.canonical_docs(graph.connected_components_star(pairs, docs))
     return comp.repartition(1).sortWithinPartitions("doc_id")
+
+
+# --- round-3 batch 2: Getis-Ord Gi*, integrity audit, route burn ------------
+
+
+def q_getis_ord(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Getis-Ord Gi* hot-spot moments per lattice site (raster_stats.
+    getis_ord_moments): closed-neighborhood star sums and the exact
+    integer numerator n*star_sum - star_k*S whose sign is the
+    hot/cold classification."""
+    from ..operators import raster_stats as rs
+
+    return (
+        rs.getis_ord_moments(geo.georegister(_images(spark, sf_dir)))
+        .repartition(1).sortWithinPartitions("gx", "gy")
+    )
+
+
+def _sql_getis_ord(fx: Path, w: int) -> str:
+    from ..constants import GRID_W
+
+    v = osql.ramp_value_expr("gi.i", "gj.j")
+    return f"""
+WITH img AS (
+  SELECT CAST(substr(image_id, 4, 10) AS BIGINT) AS idx, w, h, fmt
+  FROM read_parquet('{fx / 'images.parquet'}')
+),
+m AS MATERIALIZED (
+  SELECT idx, idx % {GRID_W} AS gx, idx // {GRID_W} AS gy,
+         SUM(CAST({v} AS BIGINT)) // (ANY_VALUE(w) * ANY_VALUE(h)) AS m
+  FROM img AS tiles_src,
+       generate_series(0, {w - 1}) AS gi(i), generate_series(0, {w - 1}) AS gj(j)
+  GROUP BY idx, gx, gy
+),
+base AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS n_tiles, CAST(SUM(m) AS BIGINT) AS sum_m
+  FROM m
+),
+lag AS (
+  SELECT a.gx, a.gy,
+         CAST(COUNT(b.m) AS BIGINT) AS k_nb,
+         CAST(COALESCE(SUM(b.m), 0) AS BIGINT) AS lag_sum
+  FROM m a JOIN m b
+    ON (b.gx = a.gx + 1 AND b.gy = a.gy) OR (b.gx = a.gx - 1 AND b.gy = a.gy)
+    OR (b.gx = a.gx AND b.gy = a.gy + 1) OR (b.gx = a.gx AND b.gy = a.gy - 1)
+  GROUP BY a.gx, a.gy
+)
+SELECT t.gx, t.gy, CAST(t.m AS BIGINT) AS m,
+       COALESCE(l.k_nb, 0) + 1 AS star_k,
+       COALESCE(l.lag_sum, 0) + t.m AS star_sum,
+       base.n_tiles * (COALESCE(l.lag_sum, 0) + t.m)
+         - (COALESCE(l.k_nb, 0) + 1) * base.sum_m AS gi_num
+FROM m t LEFT JOIN lag l ON l.gx = t.gx AND l.gy = t.gy, base
+ORDER BY t.gx, t.gy
+"""
+
+
+def q_route_burn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DDA line-rasterization census (rasterize.route_burn): integer-
+    exact super-sampled burn of the waypoint polyline onto the res-13
+    grid; per segment the distinct-cell count and local-code checksums."""
+    from ..operators import rasterize
+
+    tiles = geo.georegister(_images(spark, sf_dir))
+    return (
+        rasterize.route_burn(tiles)
+        .repartition(1).sortWithinPartitions("seg_id")
+    )
+
+
+def _sql_route_burn(fx: Path) -> str:
+    from ..operators.rasterize import ROUTE_RES, ROUTE_STEPS, ROUTE_STRIDE
+
+    s_edge = DOMAIN >> ROUTE_RES
+    den = ROUTE_STEPS * s_edge
+    nmax = (1 << ROUTE_RES) - 1
+    return f"""
+WITH {osql.georegister_cte(str(fx / 'images.parquet'))},
+wp AS (
+  SELECT idx // {ROUTE_STRIDE} AS wp,
+         CAST(gt_x0 + 500 AS BIGINT) AS cx,
+         CAST(gt_y0 - 500 AS BIGINT) AS cy
+  FROM tiles WHERE idx % {ROUTE_STRIDE} = 0
+),
+seg AS (
+  SELECT a.wp AS seg_id, a.cx AS x0, a.cy AS y0, b.cx AS x1, b.cy AS y1
+  FROM wp a JOIN wp b ON b.wp = a.wp + 1
+),
+rc AS (
+  SELECT DISTINCT seg_id,
+    LEAST(GREATEST({DOMAIN * ROUTE_STEPS} - (y0 * ({ROUTE_STEPS} - g.k) + y1 * g.k), 0)
+          // {den}, {nmax}) * {1 << ROUTE_RES}
+    + LEAST(GREATEST(x0 * ({ROUTE_STEPS} - g.k) + x1 * g.k, 0) // {den}, {nmax})
+      AS rc
+  FROM seg, generate_series(0, {ROUTE_STEPS - 1}) AS g(k)
+)
+SELECT seg_id, COUNT(*) AS n_cells,
+       CAST(SUM(rc) AS BIGINT) AS rc_sum,
+       CAST(MIN(rc) AS BIGINT) AS rc_min,
+       CAST(MAX(rc) AS BIGINT) AS rc_max
+FROM rc GROUP BY seg_id ORDER BY seg_id
+"""
+
+
+# --- round-3 batch 3: KDE heatmap + transect profile -------------------------
+
+
+def q_kde_heatmap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Integer-exact Epanechnikov KDE of the centroid point pattern
+    (spatial_index.kde_heatmap): occupied res-12 cells as sites, one
+    filter-refine cell join, exact Σ(R² − d²) densities."""
+    from ..operators import spatial_index as si
+
+    tiles = geo.georegister(_images(spark, sf_dir))
+    return (
+        si.kde_heatmap(tiles)
+        .repartition(1).sortWithinPartitions("cell")
+    )
+
+
+def _sql_kde_heatmap(fx: Path) -> str:
+    from ..operators.spatial_index import KDE_RADIUS, KDE_RES, KDE_SUB
+
+    r2 = KDE_RADIUS * KDE_RADIUS
+    edge = DOMAIN >> KDE_RES
+    cell = osql.cell_expr("sx", "sy", KDE_RES)
+    return f"""
+WITH {osql.georegister_cte(str(fx / 'images.parquet'))},
+pts AS (
+  SELECT gt_x0 + 500.0 AS sx, gt_y0 - 500.0 AS sy
+  FROM tiles WHERE idx % {KDE_SUB} = 0
+),
+sites AS (
+  SELECT DISTINCT {cell} AS cell FROM pts
+),
+ctr AS (
+  SELECT cell,
+         (cell - ({KDE_RES}::BIGINT << {RES_SHIFT})) % {1 << KDE_RES} AS ccol,
+         (cell - ({KDE_RES}::BIGINT << {RES_SHIFT})) // {1 << KDE_RES} AS crow
+  FROM sites
+),
+sc AS (
+  SELECT cell, ccol * {edge} + {edge / 2} AS x0,
+         {float(DOMAIN)} - (crow * {edge} + {edge / 2}) AS y0
+  FROM ctr
+)
+SELECT s.cell, COUNT(*) AS n_pts,
+       CAST(SUM(CAST({r2} - ((p.sx - s.x0) * (p.sx - s.x0)
+                 + (p.sy - s.y0) * (p.sy - s.y0)) AS BIGINT)) AS BIGINT)
+         AS density
+FROM sc s JOIN pts p
+  ON (p.sx - s.x0) * (p.sx - s.x0) + (p.sy - s.y0) * (p.sy - s.y0) <= {r2}
+GROUP BY s.cell ORDER BY s.cell
+"""
+
+
+_TRANSECT_N = 300
+
+
+def q_transect_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Raster transect profile — sample the mosaic surface at 300 evenly
+    spaced stations along a fixed line (the gdallocationinfo-loop /
+    QGIS "Profile Tool" workflow), through the SAME value_at_coords
+    gather every point query uses (lowest-image_id containing tile,
+    floor-clamped pixel).  Station coordinates are exact binary
+    fractions so both engines compute identical f64 positions."""
+    from ..operators import sampling
+
+    pts = spark.range(_TRANSECT_N).select(
+        F.col("id").alias("point_id"),
+        (400.0 * F.col("id") + 700.125).alias("x"),
+        (551.0 + 0.5 * F.col("id")).alias("y"),
+    )
+    tiles = geo.georegister(_images(spark, sf_dir))
+    return (
+        sampling.value_at_coords(pts, tiles)
+        .repartition(1).sortWithinPartitions("point_id")
+    )
+
+
+def _sql_transect_profile(fx: Path) -> str:
+    pts = (
+        f"SELECT g.k AS point_id, 400.0 * g.k + 700.125 AS x,"
+        f" 551.0 + 0.5 * g.k AS y"
+        f" FROM generate_series(0, {_TRANSECT_N - 1}) AS g(k)"
+    )
+    return osql.value_at_coords_sql(
+        str(fx / "images.parquet"), "", pts_sql=pts
+    )
