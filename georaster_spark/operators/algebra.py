@@ -1956,3 +1956,98 @@ def template_match(tiles: DataFrame) -> DataFrame:
             yield pd.DataFrame(out)
 
     return slim.mapInPandas(_tm, schema=_TMATCH_SCHEMA)
+
+
+# ---------------------------------------------------------------------------
+# Hough line transform (round 3) — integer vote census
+# ---------------------------------------------------------------------------
+
+# cos/sin of t*pi/8 (t = 0..7) scaled by 1024 and rounded — the exact
+# integer tables both engines share (no trig at runtime anywhere).
+HOUGH_COS = (1024, 946, 724, 392, 0, -392, -724, -946)
+HOUGH_SIN = (0, 392, 724, 946, 1024, 946, 724, 392)
+HOUGH_T = 500        # Sobel |gx|+|gy| edge threshold (wrap seams >> 500)
+HOUGH_RHO_OFF = 65536  # shift rho nonnegative before the bin division
+HOUGH_RHO_W = 2048   # rho bin width (scaled units)
+
+_HOUGH_SCHEMA = (
+    "image_id string, n_edges long, best_theta int, best_bin int, "
+    "best_votes long"
+)
+
+
+def hough_lines(tiles: DataFrame) -> DataFrame:
+    """Hough line-detection census (cv2.HoughLines analog): Sobel edge
+    pixels vote into an 8-angle x rho accumulator with INTEGER
+    cos/sin tables (HOUGH_COS/HOUGH_SIN, scale 1024); per tile the
+    winning (theta, rho-bin) cell and its vote count — the dominant
+    straight line.  rho = j*cos + i*sin is an exact integer, binned by
+    one nonnegative floor division, so any engine replays it
+    bit-for-bit.  Ties resolve to the smallest (theta, bin).
+
+    Plan: ONE fused Arrow pass; the Sobel and the 8-angle vote keys are
+    whole-batch NumPy (votes via one bincount over a composite
+    image x theta x bin key — no per-pixel Python); output is 5 slim
+    columns.  Map-only: composes with any upstream filter and shuffles
+    nothing."""
+    slim = tiles.select("image_id", "bytes", "w", "h", "fmt")
+    dt = {"raw": np.uint8, "qnt": np.uint8, "raw16": "<u2"}
+    n_bins = 2 * HOUGH_RHO_OFF // HOUGH_RHO_W  # 64
+
+    def _hough(batches):
+        for pdf in batches:
+            n = len(pdf)
+            out = {
+                "image_id": pdf["image_id"].to_numpy(dtype=object),
+                "n_edges": np.zeros(n, dtype=np.int64),
+                "best_theta": np.zeros(n, dtype=np.int32),
+                "best_bin": np.zeros(n, dtype=np.int32),
+                "best_votes": np.zeros(n, dtype=np.int64),
+            }
+            groups: dict[tuple, list[int]] = {}
+            for r in range(n):
+                key = (int(pdf["w"].iat[r]), int(pdf["h"].iat[r]), pdf["fmt"].iat[r])
+                groups.setdefault(key, []).append(r)
+            for (w, h, fmt), idx in groups.items():
+                if w < 3 or h < 3:
+                    continue
+                b = len(idx)
+                z = (
+                    np.frombuffer(
+                        b"".join(pdf["bytes"].iat[r] for r in idx), dtype=dt[fmt]
+                    )
+                    .reshape(b, h, w)
+                    .astype(np.int64)
+                )
+
+                def sh(di, dj):
+                    return z[:, 1 + di : h - 1 + di, 1 + dj : w - 1 + dj]
+
+                gx = (sh(-1, 1) + 2 * sh(0, 1) + sh(1, 1)) - (
+                    sh(-1, -1) + 2 * sh(0, -1) + sh(1, -1)
+                )
+                gy = (sh(1, -1) + 2 * sh(1, 0) + sh(1, 1)) - (
+                    sh(-1, -1) + 2 * sh(-1, 0) + sh(-1, 1)
+                )
+                edge = (np.abs(gx) + np.abs(gy)) >= HOUGH_T
+                bi, ei, ej = np.nonzero(edge)       # batch idx, interior i, j
+                ii, jj = ei + 1, ej + 1             # full-image coordinates
+                rows = np.asarray(idx)
+                out["n_edges"][rows] = edge.sum(axis=(1, 2))
+                if len(bi) == 0:
+                    continue
+                # composite vote key: (img, theta, rho_bin) -> one bincount
+                votes = np.zeros(b * 8 * n_bins, dtype=np.int64)
+                for t in range(8):
+                    rho = jj * HOUGH_COS[t] + ii * HOUGH_SIN[t]
+                    rbin = (rho + HOUGH_RHO_OFF) // HOUGH_RHO_W
+                    key = (bi * 8 + t) * n_bins + rbin
+                    votes += np.bincount(key, minlength=len(votes))
+                acc = votes.reshape(b, 8 * n_bins)
+                best = np.argmax(acc, axis=1)       # first max = min (theta, bin)
+                out["best_theta"][rows] = (best // n_bins).astype(np.int32)
+                out["best_bin"][rows] = (best % n_bins).astype(np.int32)
+                out["best_votes"][rows] = acc[np.arange(b), best]
+            yield pd.DataFrame(out)
+
+    return slim.mapInPandas(_hough, schema=_HOUGH_SCHEMA)

@@ -846,6 +846,7 @@ def vector_queries():
         "ann_ivf": ann_ivf,
         "ann_sq8": ann_sq8,
         "semdedup": semdedup,
+        "ann_pq": ann_pq,
     }
 
 
@@ -857,4 +858,173 @@ def vector_oracles() -> dict[str, str]:
         "ann_ivf": ann_ivf_sql(),
         "ann_sq8": ann_sq8_sql(),
         "semdedup": semdedup_sql(),
+        "ann_pq": ann_pq_sql(),
     }
+
+
+# ---------------------------------------------------------------------------
+# V7 — Product-quantization ANN (ADC scan) (round 3)
+# ---------------------------------------------------------------------------
+
+PQ_M = 16         # subspaces (DIM 64 -> 4 dims each)
+PQ_K = 16         # centroids per subspace (4-bit codes)
+PQ_SUB = DIM // PQ_M
+PQ_TOPK = 5
+
+
+def _pq_codebooks() -> np.ndarray:
+    """(PQ_M, PQ_K, PQ_SUB) integer-valued codebooks (LCG; identical
+    literal in SQL).  Integer centroids x floor-quantized embeddings
+    keep every assignment / ADC distance an exact int64 — a float
+    argmin could tie-flip across engines.  Production swaps these for
+    trained per-subspace k-means codebooks; plan shape is unchanged."""
+    m = np.arange(PQ_M)[:, None, None]
+    c = np.arange(PQ_K)[None, :, None]
+    d = np.arange(PQ_SUB)[None, None, :]
+    seed = (m * PQ_K + c) * PQ_SUB + d + 104729
+    # range +-125 ~ the per-dim spread of unit-norm 64-dim embeddings
+    # after the floor(x*1000) quantization -- centroids must live ON the
+    # data's scale or every subspace argmin collapses to the few
+    # smallest-norm centroids and the ADC ranking degenerates
+    return (((1103515245 * seed + 12345) % 251) - 125).astype(np.float64)
+
+
+def ann_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Product-quantization ANN (Jégou et al., "Product Quantization
+    for Nearest Neighbor Search", TPAMI 2011 — PAPERS.md): corpus
+    vectors encode to PQ_M 4-bit codes (map-only, one pass), queries
+    scan the CODES with asymmetric distance computation (ADC) — the
+    memory-bound production path that shrinks a 256-byte float vector
+    to 2 bytes and never touches raw corpus floats at query time.
+    Top-PQ_TOPK per query by exact integer ADC distance, ties by
+    vec_id.
+
+    Exactness: embeddings quantize as floor(x*1000) and codebooks are
+    integer-valued, so subspace argmin (ties -> smallest code) and ADC
+    sums are exact int64 in every engine.  Plan: encode is map-only;
+    the scored scan is one broadcast of the tiny query set against the
+    code table (the classic PQ linear scan; compose with _with_ivf_cell
+    for IVF-PQ cell pruning at 10^12 rows); TakeOrdered top-k via
+    window."""
+    cbs = _pq_codebooks()
+    e = _emb(spark, sf_dir).select("vec_id", "embedding")
+
+    code_schema = StructType(
+        [StructField("vec_id", LongType())]
+        + [StructField(f"c{m}", IntegerType()) for m in range(PQ_M)]
+    )
+
+    def encode(batches):
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            M = np.floor(_mat(pdf["embedding"]) * IVF_SCALE)
+            out = {"vec_id": pdf["vec_id"]}
+            for m in range(PQ_M):
+                sub = M[:, m * PQ_SUB:(m + 1) * PQ_SUB]
+                # exact integer squared distances; argmin ties -> first
+                d2 = (
+                    (sub * sub).sum(axis=1, keepdims=True)
+                    - 2.0 * sub @ cbs[m].T
+                    + (cbs[m] * cbs[m]).sum(axis=1)[None, :]
+                )
+                out[f"c{m}"] = np.argmin(d2, axis=1).astype(np.int32)
+            yield pd.DataFrame(out)
+
+    codes = e.mapInPandas(encode, schema=code_schema)
+    q = e.where(F.col("vec_id") % QUERY_MOD == 0).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("eq")
+    )
+    cand = codes.join(F.broadcast(q)).where(F.col("vec_id") != F.col("query_id"))
+
+    adc_schema = StructType(
+        [
+            StructField("query_id", LongType()),
+            StructField("vec_id", LongType()),
+            StructField("adc", LongType()),
+        ]
+    )
+
+    def adc(batches):
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            Q = np.floor(_mat(pdf["eq"]) * IVF_SCALE)
+            dist = np.zeros(len(pdf), dtype=np.int64)
+            for m in range(PQ_M):
+                qsub = Q[:, m * PQ_SUB:(m + 1) * PQ_SUB]
+                cent = cbs[m][pdf[f"c{m}"].to_numpy()]
+                diff = qsub - cent
+                dist += (diff * diff).sum(axis=1).astype(np.int64)
+            yield pd.DataFrame(
+                {"query_id": pdf["query_id"], "vec_id": pdf["vec_id"], "adc": dist}
+            )
+
+    scored = cand.mapInPandas(adc, schema=adc_schema)
+    win = Window.partitionBy("query_id").orderBy(
+        F.col("adc").asc(), F.col("vec_id").asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(win))
+        .where(F.col("rank") <= PQ_TOPK)
+        .select("query_id", "rank", "vec_id", "adc")
+        .repartition(1).sortWithinPartitions("query_id", "rank")
+    )
+
+
+def ann_pq_sql() -> str:
+    cbs = _pq_codebooks().astype(int)
+    cb_lits = ", ".join(
+        "[" + ", ".join(
+            "[" + ", ".join(str(v) for v in cent) + "]" for cent in cbs[m]
+        ) + "]"
+        for m in range(PQ_M)
+    )
+
+    def qdim(col: str, m: int, i: str) -> str:
+        return f"CAST(floor(CAST({col}[{m * PQ_SUB} + {i}] AS DOUBLE) * 1000.0) AS BIGINT)"
+
+    def subdist(col: str, m: int, c: str) -> str:
+        q = qdim(col, m, "i")
+        return (
+            f"list_sum(list_transform(range(1, {PQ_SUB} + 1),"
+            f" i -> ({q} - cbs[{m + 1}][{c}][i])"
+            f" * ({q} - cbs[{m + 1}][{c}][i])))"
+        )
+
+    code_cols = ", ".join(
+        f"list_position(l{m}, list_min(l{m})) - 1 AS c{m}" for m in range(PQ_M)
+    )
+    dist_lists = ", ".join(
+        "[" + ", ".join(
+            f"CAST({subdist('embedding', m, str(c + 1))} AS BIGINT)"
+            for c in range(PQ_K)
+        ) + f"] AS l{m}"
+        for m in range(PQ_M)
+    )
+    adc = " + ".join(
+        f"CAST({subdist('q.eq', m, f'e.c{m} + 1')} AS BIGINT)" for m in range(PQ_M)
+    )
+    return f"""
+WITH cb AS (SELECT [{cb_lits}] AS cbs),
+dl AS (
+  SELECT vec_id, embedding, {dist_lists}
+  FROM embeddings, cb
+),
+codes AS (
+  SELECT vec_id, {code_cols} FROM dl
+),
+scored AS (
+  SELECT q.query_id, e.vec_id, {adc} AS adc
+  FROM (SELECT vec_id AS query_id, embedding AS eq FROM embeddings
+        WHERE vec_id % {QUERY_MOD} = 0) q,
+       codes e, cb
+  WHERE e.vec_id <> q.query_id
+)
+SELECT query_id, rank, vec_id, adc FROM (
+  SELECT query_id, vec_id, adc,
+         row_number() OVER (PARTITION BY query_id
+                            ORDER BY adc ASC, vec_id ASC) AS rank
+  FROM scored) WHERE rank <= {PQ_TOPK}
+ORDER BY query_id, rank
+"""

@@ -4571,6 +4571,7 @@ def spatial_queries() -> dict[str, QueryFn]:
         "route_burn": q_route_burn,
         "kde_heatmap": q_kde_heatmap,
         "transect_profile": q_transect_profile,
+        "hough_lines": q_hough_lines,
     })
 
 
@@ -4729,6 +4730,7 @@ def spatial_oracles(sf: str = "sf0.01") -> dict[str, str]:
         "route_burn": _sql_route_burn(fx),
         "kde_heatmap": _sql_kde_heatmap(fx),
         "transect_profile": _sql_transect_profile(fx),
+        "hough_lines": _sql_hough_lines(fx, w),
     })
 
 
@@ -6279,3 +6281,83 @@ def _sql_transect_profile(fx: Path) -> str:
     return osql.value_at_coords_sql(
         str(fx / "images.parquet"), "", pts_sql=pts
     )
+
+
+# --- round-3: Hough line census ----------------------------------------------
+
+_HOUGH_MOD = 59
+
+
+def q_hough_lines(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hough line-detection census (algebra.hough_lines): integer
+    cos/sin vote tables over Sobel edge pixels of every 59th tile's
+    real decoded bytes; the oracle replays the votes from the ramp
+    formula."""
+    from ..operators import algebra
+
+    tiles = geo.georegister(_images(spark, sf_dir)).where(
+        geo.image_idx() % _HOUGH_MOD == 0
+    )
+    return (
+        algebra.hough_lines(tiles)
+        .repartition(1).sortWithinPartitions("image_id")
+    )
+
+
+def _sql_hough_lines(fx: Path, w: int) -> str:
+    from ..operators.algebra import (
+        HOUGH_COS,
+        HOUGH_RHO_OFF,
+        HOUGH_RHO_W,
+        HOUGH_SIN,
+        HOUGH_T,
+    )
+
+    def rv(di: int, dj: int) -> str:
+        return osql.ramp_value_expr(f"(gi.i + {di})", f"(gj.j + {dj})")
+
+    gx = (
+        f"(({rv(-1, 1)}) + 2 * ({rv(0, 1)}) + ({rv(1, 1)}))"
+        f" - (({rv(-1, -1)}) + 2 * ({rv(0, -1)}) + ({rv(1, -1)}))"
+    )
+    gy = (
+        f"(({rv(1, -1)}) + 2 * ({rv(1, 0)}) + ({rv(1, 1)}))"
+        f" - (({rv(-1, -1)}) + 2 * ({rv(-1, 0)}) + ({rv(-1, 1)}))"
+    )
+    thetas = ", ".join(
+        f"({t}, {HOUGH_COS[t]}, {HOUGH_SIN[t]})" for t in range(8)
+    )
+    return f"""
+WITH {osql.georegister_cte(str(fx / 'images.parquet'))},
+sel AS (SELECT image_id, idx, fmt FROM tiles WHERE idx % {_HOUGH_MOD} = 0),
+edges AS (
+  SELECT image_id, gi.i AS i, gj.j AS j
+  FROM sel,
+       generate_series(1, {w - 2}) AS gi(i),
+       generate_series(1, {w - 2}) AS gj(j)
+  WHERE abs({gx}) + abs({gy}) >= {HOUGH_T}
+),
+nedge AS (
+  SELECT s.image_id, COUNT(e.i) AS n_edges
+  FROM sel s LEFT JOIN edges e USING (image_id) GROUP BY s.image_id
+),
+votes AS (
+  SELECT image_id, th.t AS t,
+         (j * th.c + i * th.s + {HOUGH_RHO_OFF}) // {HOUGH_RHO_W} AS rbin,
+         COUNT(*) AS v
+  FROM edges, (VALUES {thetas}) AS th(t, c, s)
+  GROUP BY image_id, th.t, rbin
+),
+ranked AS (
+  SELECT image_id, t, rbin, v,
+         row_number() OVER (PARTITION BY image_id
+                            ORDER BY v DESC, t, rbin) AS rn
+  FROM votes
+)
+SELECT n.image_id, n.n_edges,
+       CAST(COALESCE(r.t, 0) AS INT) AS best_theta,
+       CAST(COALESCE(r.rbin, 0) AS INT) AS best_bin,
+       CAST(COALESCE(r.v, 0) AS BIGINT) AS best_votes
+FROM nedge n LEFT JOIN ranked r ON r.image_id = n.image_id AND r.rn = 1
+ORDER BY n.image_id
+"""

@@ -658,3 +658,45 @@ def test_stretch_matches_bruteforce(spark, sf0001_dir):
         assert r["n_sat_hi"] == (int((z >= hi).sum()) if hi > lo else 0)
         assert r["out_sum"] == sum(out)
         assert r["out_checksum"] == sum(o * (i + 1) for i, o in enumerate(out))
+
+
+def test_hough_lines_matches_numpy(spark, sf0001_dir):
+    from georaster_spark.operators.algebra import (
+        HOUGH_COS,
+        HOUGH_RHO_OFF,
+        HOUGH_RHO_W,
+        HOUGH_SIN,
+        HOUGH_T,
+        hough_lines,
+    )
+
+    tiles = geo.georegister(
+        spark.read.parquet(str(sf0001_dir / "images.parquet"))
+    ).where(geo.image_idx() % 97 == 0)
+    got = {r["image_id"]: r for r in hough_lines(tiles).collect()}
+    assert len(got) == 11  # 1000 images / 97
+    n_bins = 2 * HOUGH_RHO_OFF // HOUGH_RHO_W
+    for image_id, r in got.items():
+        idx = int(image_id[3:])
+        z = oracle.ramp_tile(idx, 32, 32)
+        if idx % 10 == 3:
+            z = oracle.quantize(z)
+        z = z.astype(np.int64)
+        gx = (z[:-2, 2:] + 2 * z[1:-1, 2:] + z[2:, 2:]) - (
+            z[:-2, :-2] + 2 * z[1:-1, :-2] + z[2:, :-2]
+        )
+        gy = (z[2:, :-2] + 2 * z[2:, 1:-1] + z[2:, 2:]) - (
+            z[:-2, :-2] + 2 * z[:-2, 1:-1] + z[:-2, 2:]
+        )
+        ii, jj = np.nonzero(np.abs(gx) + np.abs(gy) >= HOUGH_T)
+        assert r["n_edges"] == len(ii)
+        if len(ii) == 0:
+            assert (r["best_theta"], r["best_bin"], r["best_votes"]) == (0, 0, 0)
+            continue
+        acc = np.zeros((8, n_bins), dtype=np.int64)
+        for t in range(8):
+            rho = (jj + 1) * HOUGH_COS[t] + (ii + 1) * HOUGH_SIN[t]
+            np.add.at(acc, (t, (rho + HOUGH_RHO_OFF) // HOUGH_RHO_W), 1)
+        best = np.argmax(acc)
+        assert (r["best_theta"], r["best_bin"]) == divmod(best, n_bins)
+        assert r["best_votes"] == acc.ravel()[best]

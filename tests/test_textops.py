@@ -28,6 +28,10 @@ CASES = [
     ("ann_topk_brute", vectors.ann_topk_brute, vectors.ann_topk_brute_sql()),
     ("ann_lsh", vectors.ann_lsh, vectors.ann_lsh_sql()),
     ("ann_sq8", vectors.ann_sq8, vectors.ann_sq8_sql()),
+    ("ann_pq", vectors.ann_pq, vectors.ann_pq_sql()),
+    ("semdedup", vectors.semdedup, vectors.semdedup_sql()),
+    ("bpe_pair_census", textops.bpe_pair_census, textops.bpe_pair_census_sql()),
+    ("bm25_topk", textops.bm25_topk, textops.bm25_topk_sql()),
     ("pii_scan", textops.pii_scan, textops.pii_scan_sql()),
     ("seq_packing", textops.seq_packing, textops.seq_packing_sql()),
     ("url_domains", textops.url_domains, textops.url_domains_sql()),
@@ -274,3 +278,20 @@ def test_oov_rate_matches_bruteforce(spark):
         assert r["n_oov"] == oov
         assert r["oov_pm"] == 1000 * oov // len(ws)
     assert any(r["n_oov"] > 0 for r in got.values())
+
+
+def test_ann_pq_recall_against_exact(spark):
+    """PQ with data-independent codebooks still has to retrieve real
+    neighbors: mean top-5 overlap with the exact cosine ranking must
+    clear a floor (guards against degenerate all-same codes)."""
+    exact = {}
+    for r in vectors.ann_topk_brute(spark, SF_DIR).collect():
+        exact.setdefault(r["query_id"], set()).add(r["vec_id"])
+    pq = {}
+    for r in vectors.ann_pq(spark, SF_DIR).collect():
+        pq.setdefault(r["query_id"], set()).add(r["vec_id"])
+    assert set(pq) == set(exact)
+    hits = sum(len(pq[q] & exact[q]) for q in exact)
+    total = sum(len(pq[q]) for q in pq)  # recall@5 against the exact top-10
+    assert hits / total > 0.3
+    assert all(len(v) == 5 for v in pq.values())
