@@ -847,6 +847,7 @@ def vector_queries():
         "ann_sq8": ann_sq8,
         "semdedup": semdedup,
         "ann_pq": ann_pq,
+        "kmeans_embed": kmeans_embed,
     }
 
 
@@ -859,6 +860,7 @@ def vector_oracles() -> dict[str, str]:
         "ann_sq8": ann_sq8_sql(),
         "semdedup": semdedup_sql(),
         "ann_pq": ann_pq_sql(),
+        "kmeans_embed": kmeans_embed_sql(),
     }
 
 
@@ -1027,4 +1029,181 @@ SELECT query_id, rank, vec_id, adc FROM (
                             ORDER BY adc ASC, vec_id ASC) AS rank
   FROM scored) WHERE rank <= {PQ_TOPK}
 ORDER BY query_id, rank
+"""
+
+
+# ---------------------------------------------------------------------------
+# V8 — distributed Lloyd's k-means (3 unrolled rounds) (round 3)
+# ---------------------------------------------------------------------------
+
+KM_K = 8           # clusters
+KM_SEED_STRIDE = 61  # init: centroids = quantized vectors of vec_id 0,61,...
+KM_ROUNDS = 3      # fixed unroll (deterministic; no convergence check)
+
+
+def kmeans_embed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distributed Lloyd's k-means over the embedding table, KM_ROUNDS
+    fixed rounds, INTEGER-EXACT so the CTE-unrolled SQL oracle replays
+    it bit-for-bit: vectors quantize as floor(x*1000); assignment is
+    exact integer L2 argmin (ties -> smallest cluster id); the update
+    is element-wise SUM // COUNT integer floor division; an empty
+    cluster keeps its previous centroid.  Init = the quantized vectors
+    of vec_id 0, 61, 122, ... (k-means|| in production; same plan).
+
+    This is the clustering stage of cluster-then-dedup curation
+    (SemDeDup's k-means step) as a first-class operator.  Per round:
+    ONE map-only assign pass (centroids broadcast in the closure — 8x64
+    ints) + ONE combiner-friendly groupBy(k) update whose output is K
+    rows collected to the driver (bounded planner metadata, the
+    standard distributed-k-means shape).  Output per cluster: member
+    count, exact integer inertia Σ d², and the position-weighted
+    centroid checksum pinning every final coordinate."""
+    e = _emb(spark, sf_dir).select("vec_id", "embedding")
+
+    seeds = {
+        int(r["vec_id"]) // KM_SEED_STRIDE: np.floor(
+            np.asarray(r["embedding"], dtype=np.float64) * IVF_SCALE
+        )
+        for r in e.where(
+            (F.col("vec_id") % KM_SEED_STRIDE == 0)
+            & (F.col("vec_id") < KM_SEED_STRIDE * KM_K)
+        ).collect()
+    }
+    cents = np.stack([seeds[k] for k in range(KM_K)])
+
+    assign_schema = StructType(
+        [
+            StructField("vec_id", LongType()),
+            StructField("k", IntegerType()),
+            StructField("d2", LongType()),
+        ]
+    )
+    sum_schema = StructType(
+        [StructField("k", IntegerType())]
+        + [StructField(f"s{d}", LongType()) for d in range(DIM)]
+        + [StructField("n", LongType())]
+    )
+
+    def make_assign(cb: np.ndarray):
+        def _assign(batches):
+            for pdf in batches:
+                if len(pdf) == 0:
+                    continue
+                Q = np.floor(_mat(pdf["embedding"]) * IVF_SCALE)
+                d2 = (
+                    (Q * Q).sum(axis=1, keepdims=True)
+                    - 2.0 * Q @ cb.T
+                    + (cb * cb).sum(axis=1)[None, :]
+                )
+                k = np.argmin(d2, axis=1)
+                yield pd.DataFrame(
+                    {
+                        "vec_id": pdf["vec_id"],
+                        "k": k.astype(np.int32),
+                        "d2": d2[np.arange(len(pdf)), k].astype(np.int64),
+                    }
+                )
+
+        return _assign
+
+    def upd(key, pdf: pd.DataFrame):
+        Q = np.floor(_mat(pdf["embedding"]) * IVF_SCALE).astype(np.int64)
+        row = {"k": [key[0]], "n": [len(pdf)]}
+        s = Q.sum(axis=0)
+        for d in range(DIM):
+            row[f"s{d}"] = [int(s[d])]
+        return pd.DataFrame(row)
+
+    assign = None
+    for _ in range(KM_ROUNDS):
+        assign = e.mapInPandas(make_assign(cents.copy()), schema=assign_schema)
+        stats = (
+            assign.join(e, "vec_id")
+            .groupBy("k")
+            .applyInPandas(upd, schema=sum_schema)
+            .collect()
+        )
+        new = cents.copy()  # empty cluster keeps its previous centroid
+        for r in stats:
+            new[r["k"]] = np.array(
+                [r[f"s{d}"] // r["n"] for d in range(DIM)], dtype=np.float64
+            )
+        cents = new
+
+    final = assign.groupBy("k").agg(
+        F.count(F.lit(1)).alias("n_members"),
+        F.sum("d2").alias("inertia"),
+    )
+    cksum = [
+        (k, int(sum(int(cents[k, d]) * (d + 1) for d in range(DIM))))
+        for k in range(KM_K)
+    ]
+    ck = spark.createDataFrame(cksum, "k int, cent_checksum long")
+    return (
+        ck.join(final, "k", "left")
+        .select(
+            "k",
+            F.coalesce("n_members", F.lit(0)).alias("n_members"),
+            F.coalesce("inertia", F.lit(0)).alias("inertia"),
+            "cent_checksum",
+        )
+        .repartition(1).sortWithinPartitions("k")
+    )
+
+
+def kmeans_embed_sql() -> str:
+    d2 = (
+        "list_sum(list_transform(range(1, {n} + 1),"
+        " i -> (e.q[i] - c.cent[i]) * (e.q[i] - c.cent[i])))"
+    ).format(n=DIM)
+    it = """
+d{r} AS (
+  SELECT e.vec_id, c.k, {d2} AS d2 FROM eq e, c{p} c
+),
+a{r} AS (
+  SELECT vec_id, k, d2 FROM (
+    SELECT vec_id, k, d2,
+           row_number() OVER (PARTITION BY vec_id ORDER BY d2, k) AS rn
+    FROM d{r}) WHERE rn = 1
+),
+u{r} AS (
+  -- +1000 shift keeps the numerator nonnegative: DuckDB's // truncates
+  -- toward zero while the engine's Python // floors; they agree on
+  -- nonnegative operands (q[i] >= -1000 for unit-norm embeddings)
+  SELECT a.k, g.i,
+         CAST(SUM(e.q[g.i] + 1000) // COUNT(*) - 1000 AS BIGINT) AS s
+  FROM a{r} a JOIN eq e USING (vec_id), generate_series(1, {dim}) AS g(i)
+  GROUP BY a.k, g.i
+),
+c{r} AS (
+  SELECT p.k, COALESCE(n.cent, p.cent) AS cent
+  FROM c{p} p LEFT JOIN
+       (SELECT k, list(s ORDER BY i) AS cent FROM u{r} GROUP BY k) n
+    USING (k)
+)"""
+    rounds = ",".join(
+        it.format(r=r, p=r - 1, d2=d2, dim=DIM) for r in range(1, KM_ROUNDS + 1)
+    )
+    R = KM_ROUNDS
+    return f"""
+WITH eq AS (
+  SELECT vec_id,
+         list_transform(range(1, {DIM} + 1),
+           i -> CAST(floor(CAST(embedding[i] AS DOUBLE) * 1000.0) AS BIGINT)) AS q
+  FROM embeddings
+),
+c0 AS (
+  SELECT CAST(vec_id // {KM_SEED_STRIDE} AS INT) AS k, q AS cent
+  FROM eq WHERE vec_id % {KM_SEED_STRIDE} = 0
+    AND vec_id < {KM_SEED_STRIDE * KM_K}
+),{rounds}
+SELECT c.k,
+       CAST(COALESCE(m.n_members, 0) AS BIGINT) AS n_members,
+       CAST(COALESCE(m.inertia, 0) AS BIGINT) AS inertia,
+       CAST(list_sum(list_transform(range(1, {DIM} + 1),
+              i -> c.cent[i] * i)) AS BIGINT) AS cent_checksum
+FROM c{R} c LEFT JOIN
+     (SELECT k, COUNT(*) AS n_members, SUM(d2) AS inertia
+      FROM a{R} GROUP BY k) m USING (k)
+ORDER BY c.k
 """

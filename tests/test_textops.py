@@ -29,6 +29,7 @@ CASES = [
     ("ann_lsh", vectors.ann_lsh, vectors.ann_lsh_sql()),
     ("ann_sq8", vectors.ann_sq8, vectors.ann_sq8_sql()),
     ("ann_pq", vectors.ann_pq, vectors.ann_pq_sql()),
+    ("kmeans_embed", vectors.kmeans_embed, vectors.kmeans_embed_sql()),
     ("semdedup", vectors.semdedup, vectors.semdedup_sql()),
     ("bpe_pair_census", textops.bpe_pair_census, textops.bpe_pair_census_sql()),
     ("bm25_topk", textops.bm25_topk, textops.bm25_topk_sql()),
@@ -295,3 +296,12 @@ def test_ann_pq_recall_against_exact(spark):
     total = sum(len(pq[q]) for q in pq)  # recall@5 against the exact top-10
     assert hits / total > 0.3
     assert all(len(v) == 5 for v in pq.values())
+
+
+def test_kmeans_partitions_corpus(spark):
+    rows = vectors.kmeans_embed(spark, SF_DIR).collect()
+    assert len(rows) == vectors.KM_K
+    assert sum(r["n_members"] for r in rows) == 500
+    assert all(r["inertia"] >= 0 for r in rows)
+    # a real clustering, not one catch-all bucket
+    assert sum(1 for r in rows if r["n_members"] > 0) >= 4
