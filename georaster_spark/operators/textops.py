@@ -68,7 +68,21 @@ LANG_PROFILES: dict[str, tuple[str, ...]] = {
 
 
 def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return _fan_out(spark.read.parquet(f"{sf_dir}/documents.parquet"))
+
+
+def _fan_out(df: DataFrame) -> DataFrame:
+    """Local-input parallelism guard: the sf-scale documents parquet is
+    ONE small row group, which scans as a single partition and
+    serializes every downstream map stage (shingling, hashing, scoring)
+    on one core of a many-core executor.  Round-robin repartition to the
+    session's default parallelism when the scan is narrower — the
+    shuffle moves only the raw corpus bytes once, and at production
+    scale (thousands of files/row groups) the branch never fires."""
+    p = df.sparkSession.sparkContext.defaultParallelism
+    if df.rdd.getNumPartitions() < p:
+        return df.repartition(p)
+    return df
 
 
 # ---------------------------------------------------------------------------
@@ -343,7 +357,13 @@ def jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     count -> exact Jaccard.  CAUTION at scale: frequent shingles are hot
     join keys; 10^12-row corpora use minhash_lsh_pairs instead (this op
     is the exact small/medium-corpus tier and the verifier's oracle)."""
-    d = _with_shingles(_docs(spark, sf_dir)).select("doc_id", "sh", "n_sh")
+    # lazy localCheckpoint: both self-join sides re-run scan+shingle+md5
+    # otherwise (same reuse note as minhash_lsh_pairs)
+    d = (
+        _with_shingles(_docs(spark, sf_dir))
+        .select("doc_id", "sh", "n_sh")
+        .localCheckpoint(eager=False)
+    )
     ex = d.select("doc_id", "n_sh", F.explode("sh").alias("s"))
     a, b = ex.alias("a"), ex.alias("b")
     inter = (
@@ -471,21 +491,30 @@ def minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     MH_BANDS rows regardless of document length — bounded fan-out, no hot
     keys -> this is the shape that survives 10^12 rows.  Verification
     re-joins the two shingle sets (array_intersect) only for candidates."""
-    d = _with_shingles(_docs(spark, sf_dir)).select("doc_id", "sh", "n_sh")
+    # lazy localCheckpoint: the shingle table is consumed by THREE plan
+    # branches (band join left/right + verify); without it each branch
+    # re-runs the scan + shingling + md5 pipeline.  Lazy = materialized
+    # by the first job, reused by the rest -- the standard cache-the-
+    # signature-table step of every production MinHash dedup.
+    d = (
+        _with_shingles(_docs(spark, sf_dir))
+        .select("doc_id", "sh", "n_sh")
+        .localCheckpoint(eager=False)
+    )
     sig = d.select(
         "doc_id", "n_sh", "sh", F.transform("sh", h40).alias("hs")
     ).select("doc_id", "n_sh", "sh", *_minhash_cols(F.col("hs")))
 
     rows_per_band = MH_K // MH_BANDS
-    bands = []
-    for b in range(MH_BANDS):
-        key = F.concat_ws(
+    keys = [
+        F.concat_ws(
             ":", F.lit(b), *[F.col(f"m{b * rows_per_band + r}") for r in range(rows_per_band)]
         )
-        bands.append(sig.select("doc_id", key.alias("band_key")))
-    banded = bands[0]
-    for extra in bands[1:]:
-        banded = banded.unionAll(extra)
+        for b in range(MH_BANDS)
+    ]
+    # one explode, not an MH_BANDS-way union: a union re-executes the
+    # signature pipeline once per band
+    banded = sig.select("doc_id", F.explode(F.array(*keys)).alias("band_key"))
 
     a, b2 = banded.alias("a"), banded.alias("b")
     cand = (
@@ -498,8 +527,8 @@ def minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         .distinct()
     )
 
-    docs_a = sig.select(F.col("doc_id").alias("a_id"), F.col("sh").alias("sha"), F.col("n_sh").alias("na"))
-    docs_b = sig.select(F.col("doc_id").alias("b_id"), F.col("sh").alias("shb"), F.col("n_sh").alias("nb"))
+    docs_a = d.select(F.col("doc_id").alias("a_id"), F.col("sh").alias("sha"), F.col("n_sh").alias("na"))
+    docs_b = d.select(F.col("doc_id").alias("b_id"), F.col("sh").alias("shb"), F.col("n_sh").alias("nb"))
     ver = cand.join(docs_a, "a_id").join(docs_b, "b_id")
     ni = F.size(F.array_intersect("sha", "shb"))
     jac = ni / (F.col("na") + F.col("nb") - ni)

@@ -73,6 +73,11 @@ def _planes() -> np.ndarray:
 
 
 def _emb(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .textops import _fan_out
+    return _fan_out(_emb_scan(spark, sf_dir))
+
+
+def _emb_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.read.parquet(f"{sf_dir}/embeddings.parquet")
 
 
