@@ -2051,3 +2051,108 @@ def hough_lines(tiles: DataFrame) -> DataFrame:
             yield pd.DataFrame(out)
 
     return slim.mapInPandas(_hough, schema=_HOUGH_SCHEMA)
+
+
+# ---------------------------------------------------------------------------
+# Watershed basin labeling (round 3) — D8 pointer jumping
+# ---------------------------------------------------------------------------
+
+_WSHED_SCHEMA = (
+    "image_id string, n_interior long, n_basins long, "
+    "n_interior_sinks long, n_outlet_sinks long, max_basin long, "
+    "label_checksum long"
+)
+
+
+def watershed_basins(tiles: DataFrame) -> DataFrame:
+    """Watershed / basin delineation (ArcGIS Watershed, GRASS
+    r.watershed basins output): every interior pixel is labeled with
+    the TERMINAL of its D8 steepest-descent path — an interior flat/pit
+    (code 0) or the boundary-ring pixel it drains into.  Labels are
+    full-image flat indices i*w + j, so the label set is the basin
+    partition.  The D8 rule is the same integer steepest-descent as
+    flow_direction_stats (2·drop² cardinal vs drop² diagonal, ESRI tie
+    order); values strictly decrease along paths, so they are acyclic
+    and <= 255 steps.
+
+    Per tile: basin count, interior-sink vs outlet-sink split, largest
+    basin size, and the position-weighted label checksum pinning every
+    pixel's basin.
+
+    Plan: map-only fused Arrow pass; the path resolution is POINTER
+    JUMPING (ptr = ptr[ptr], ⌈log2 path⌉ = 10 rounds) on one flat
+    array batched across all tiles of a (w,h,fmt) group — O(P log P)
+    work, no per-pixel Python, zero shuffle."""
+    slim = tiles.select("image_id", "bytes", "w", "h", "fmt")
+    dt = {"raw": np.uint8, "qnt": np.uint8, "raw16": "<u2"}
+
+    def _wshed(batches):
+        for pdf in batches:
+            n = len(pdf)
+            out = {"image_id": pdf["image_id"].to_numpy(dtype=object)}
+            for c in ("n_interior", "n_basins", "n_interior_sinks",
+                      "n_outlet_sinks", "max_basin", "label_checksum"):
+                out[c] = np.zeros(n, dtype=np.int64)
+            groups: dict[tuple, list[int]] = {}
+            for r in range(n):
+                key = (int(pdf["w"].iat[r]), int(pdf["h"].iat[r]), pdf["fmt"].iat[r])
+                groups.setdefault(key, []).append(r)
+            for (w, h, fmt), idx in groups.items():
+                if w < 3 or h < 3:
+                    continue
+                b = len(idx)
+                ih, iw = h - 2, w - 2
+                z = (
+                    np.frombuffer(
+                        b"".join(pdf["bytes"].iat[r] for r in idx), dtype=dt[fmt]
+                    )
+                    .reshape(b, h, w)
+                    .astype(np.int64)
+                )
+                c0 = z[:, 1:-1, 1:-1]
+                scores = []
+                for _, di, dj, mult in _D8_DIRS:
+                    nb = z[:, 1 + di : h - 1 + di, 1 + dj : w - 1 + dj]
+                    drop = c0 - nb
+                    scores.append(np.where(drop > 0, mult * drop * drop, -1))
+                stack = np.stack(scores)
+                best = stack.max(axis=0)
+                pick = stack.argmax(axis=0)
+                dis = np.array([d[1] for d in _D8_DIRS], dtype=np.int64)
+                djs = np.array([d[2] for d in _D8_DIRS], dtype=np.int64)
+                # full-image coordinates of interior pixels + their targets
+                ii = np.broadcast_to(
+                    np.arange(1, h - 1, dtype=np.int64)[None, :, None], (b, ih, iw))
+                jj = np.broadcast_to(
+                    np.arange(1, w - 1, dtype=np.int64)[None, None, :], (b, ih, iw))
+                flows = best > 0
+                ti = np.where(flows, ii + dis[pick], ii)
+                tj = np.where(flows, jj + djs[pick], jj)
+                # one flat pointer array across the batch: boundary and
+                # flat/pit pixels point at themselves (terminals)
+                ptr = np.arange(b * h * w, dtype=np.int64).reshape(b, h, w)
+                bb = np.broadcast_to(
+                    np.arange(b, dtype=np.int64)[:, None, None], (b, ih, iw))
+                ptr[:, 1:-1, 1:-1] = bb * h * w + ti * w + tj
+                ptr = ptr.ravel()
+                for _ in range(10):  # 2^10 = 1024 >= any acyclic path here
+                    ptr = ptr[ptr]
+                lab = ptr.reshape(b, h, w)[:, 1:-1, 1:-1]
+                lab_local = lab - (np.arange(b, dtype=np.int64) * h * w)[:, None, None]
+                wt = np.arange(1, ih * iw + 1, dtype=np.int64).reshape(ih, iw)
+                rows = np.asarray(idx)
+                out["n_interior"][rows] = ih * iw
+                out["label_checksum"][rows] = (lab_local * wt).sum(axis=(1, 2))
+                for k in range(b):
+                    labs, cnts = np.unique(lab_local[k], return_counts=True)
+                    is_int = (
+                        (labs // w >= 1) & (labs // w <= h - 2)
+                        & (labs % w >= 1) & (labs % w <= w - 2)
+                    )
+                    out["n_basins"][idx[k]] = len(labs)
+                    out["n_interior_sinks"][idx[k]] = int(is_int.sum())
+                    out["n_outlet_sinks"][idx[k]] = int((~is_int).sum())
+                    out["max_basin"][idx[k]] = int(cnts.max())
+            yield pd.DataFrame(out)
+
+    return slim.mapInPandas(_wshed, schema=_WSHED_SCHEMA)

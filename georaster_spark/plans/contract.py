@@ -4572,6 +4572,7 @@ def spatial_queries() -> dict[str, QueryFn]:
         "kde_heatmap": q_kde_heatmap,
         "transect_profile": q_transect_profile,
         "hough_lines": q_hough_lines,
+        "watershed": q_watershed,
     })
 
 
@@ -4731,6 +4732,7 @@ def spatial_oracles(sf: str = "sf0.01") -> dict[str, str]:
         "kde_heatmap": _sql_kde_heatmap(fx),
         "transect_profile": _sql_transect_profile(fx),
         "hough_lines": _sql_hough_lines(fx, w),
+        "watershed": _sql_watershed(fx, w),
     })
 
 
@@ -6360,4 +6362,100 @@ SELECT n.image_id, n.n_edges,
        CAST(COALESCE(r.v, 0) AS BIGINT) AS best_votes
 FROM nedge n LEFT JOIN ranked r ON r.image_id = n.image_id AND r.rn = 1
 ORDER BY n.image_id
+"""
+
+
+# --- round-3: watershed basin labeling ---------------------------------------
+
+_WSHED_MOD = 211
+
+
+def q_watershed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Watershed basin labeling (algebra.watershed_basins): D8 paths
+    resolved by pointer jumping; per tile the basin partition census.
+    Oracle follows the identical integer steepest-descent graph with a
+    recursive CTE to each path's terminal."""
+    from ..operators import algebra
+
+    tiles = geo.georegister(_images(spark, sf_dir)).where(
+        geo.image_idx() % _WSHED_MOD == 0
+    )
+    return (
+        algebra.watershed_basins(tiles)
+        .repartition(1).sortWithinPartitions("image_id")
+    )
+
+
+def _sql_watershed(fx: Path, w: int) -> str:
+    from ..operators.algebra import _D8_DIRS
+
+    def rv(di: int, dj: int) -> str:
+        return f"CAST({osql.ramp_value_expr(f'gi.i + {di}', f'gj.j + {dj}')} AS BIGINT)"
+
+    c0 = rv(0, 0)
+    scores = []
+    for code, di, dj, mult in _D8_DIRS:
+        drop = f"({c0} - {rv(di, dj)})"
+        scores.append(
+            (code, f"(CASE WHEN {drop} > 0 THEN {mult} * {drop} * {drop} ELSE -1 END)")
+        )
+    score_sel = ", ".join(f"{e} AS s{code}" for code, e in scores)
+    best = "greatest(" + ", ".join(f"s{code}" for code, _ in scores) + ")"
+    dir_case = "CASE WHEN " + best + " <= 0 THEN 0"
+    for code, _ in scores:
+        dir_case += f" WHEN s{code} = {best} THEN {code}"
+    dir_case += " END"
+    di_case = "CASE code " + " ".join(
+        f"WHEN {c} THEN {di}" for c, di, dj, _ in _D8_DIRS) + " END"
+    dj_case = "CASE code " + " ".join(
+        f"WHEN {c} THEN {dj}" for c, di, dj, _ in _D8_DIRS) + " END"
+    lo, hi = 1, w - 2
+    iw = w - 2
+    return f"""
+WITH RECURSIVE {osql.georegister_cte(str(fx / 'images.parquet'))},
+sc AS (
+  SELECT image_id, gi.i AS i, gj.j AS j, {score_sel}
+  FROM tiles,
+       generate_series({lo}, {hi}) AS gi(i), generate_series({lo}, {hi}) AS gj(j)
+  WHERE idx % {_WSHED_MOD} = 0
+),
+px AS MATERIALIZED (SELECT image_id, i, j, {dir_case} AS code FROM sc),
+edges AS MATERIALIZED (
+  SELECT image_id, i, j, i + ({di_case}) AS ti, j + ({dj_case}) AS tj
+  FROM px WHERE code <> 0
+),
+walk(image_id, pos, ci, cj) AS (
+  SELECT image_id, (i - {lo}) * {iw} + (j - {lo}) + 1, i, j FROM px
+  UNION ALL
+  SELECT wk.image_id, wk.pos, e.ti, e.tj
+  FROM walk wk JOIN edges e
+    ON e.image_id = wk.image_id AND e.i = wk.ci AND e.j = wk.cj
+),
+-- terminal = the walk row with no outgoing edge (exactly one per pixel:
+-- paths are deterministic and strictly descending, hence acyclic)
+term AS MATERIALIZED (
+  SELECT wk.image_id, wk.pos, wk.ci * {w} + wk.cj AS lab
+  FROM walk wk LEFT JOIN edges e
+    ON e.image_id = wk.image_id AND e.i = wk.ci AND e.j = wk.cj
+  WHERE e.i IS NULL
+),
+basins AS (
+  SELECT image_id, lab, COUNT(*) AS sz FROM term GROUP BY image_id, lab
+)
+SELECT t.image_id,
+       CAST(COUNT(*) AS BIGINT) AS n_interior,
+       CAST(ANY_VALUE(b.n_basins) AS BIGINT) AS n_basins,
+       CAST(ANY_VALUE(b.n_int) AS BIGINT) AS n_interior_sinks,
+       CAST(ANY_VALUE(b.n_out) AS BIGINT) AS n_outlet_sinks,
+       CAST(ANY_VALUE(b.mx) AS BIGINT) AS max_basin,
+       CAST(SUM(t.lab * t.pos) AS BIGINT) AS label_checksum
+FROM term t JOIN (
+  SELECT image_id, COUNT(*) AS n_basins,
+         SUM(CASE WHEN lab // {w} BETWEEN {lo} AND {hi}
+                   AND lab % {w} BETWEEN {lo} AND {hi} THEN 1 ELSE 0 END) AS n_int,
+         SUM(CASE WHEN lab // {w} BETWEEN {lo} AND {hi}
+                   AND lab % {w} BETWEEN {lo} AND {hi} THEN 0 ELSE 1 END) AS n_out,
+         MAX(sz) AS mx
+  FROM basins GROUP BY image_id) b USING (image_id)
+GROUP BY t.image_id ORDER BY t.image_id
 """

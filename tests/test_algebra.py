@@ -700,3 +700,53 @@ def test_hough_lines_matches_numpy(spark, sf0001_dir):
         best = np.argmax(acc)
         assert (r["best_theta"], r["best_bin"]) == divmod(best, n_bins)
         assert r["best_votes"] == acc.ravel()[best]
+
+
+def test_watershed_basins_matches_python(spark, sf0001_dir):
+    from georaster_spark.operators.algebra import _D8_DIRS, watershed_basins
+
+    tiles = geo.georegister(
+        spark.read.parquet(str(sf0001_dir / "images.parquet"))
+    ).where(geo.image_idx() % 97 == 0)
+    got = {r["image_id"]: r for r in watershed_basins(tiles).collect()}
+    assert len(got) == 11
+    for image_id, r in got.items():
+        idx = int(image_id[3:])
+        z = oracle.ramp_tile(idx, 32, 32)
+        if idx % 10 == 3:
+            z = oracle.quantize(z)
+        z = z.astype(np.int64)
+        h = w = 32
+
+        def step(i, j):
+            bs, bc = 0, 0
+            for code, di, dj, mult in _D8_DIRS:
+                drop = z[i, j] - z[i + di, j + dj]
+                s = mult * drop * drop if drop > 0 else -1
+                if s > 0 and s > bs:
+                    bs, bc = s, code
+            return bc
+
+        labels = {}
+        for i in range(1, h - 1):
+            for j in range(1, w - 1):
+                ci, cj = i, j
+                while 1 <= ci <= h - 2 and 1 <= cj <= w - 2:
+                    c = step(ci, cj)
+                    if c == 0:
+                        break
+                    for code, di, dj, _ in _D8_DIRS:
+                        if code == c:
+                            ci, cj = ci + di, cj + dj
+                            break
+                labels[(i, j)] = ci * w + cj
+        labs = sorted(set(labels.values()))
+        assert r["n_interior"] == 900
+        assert r["n_basins"] == len(labs)
+        from collections import Counter
+
+        assert r["max_basin"] == max(Counter(labels.values()).values())
+        cks = sum(
+            lab * ((i - 1) * 30 + (j - 1) + 1) for (i, j), lab in labels.items()
+        )
+        assert r["label_checksum"] == cks
