@@ -852,6 +852,7 @@ def vector_queries():
         "ann_sq8": ann_sq8,
         "semdedup": semdedup,
         "ann_pq": ann_pq,
+        "ann_ivfpq": ann_ivfpq,
         "kmeans_embed": kmeans_embed,
     }
 
@@ -865,6 +866,7 @@ def vector_oracles() -> dict[str, str]:
         "ann_sq8": ann_sq8_sql(),
         "semdedup": semdedup_sql(),
         "ann_pq": ann_pq_sql(),
+        "ann_ivfpq": ann_ivfpq_sql(),
         "kmeans_embed": kmeans_embed_sql(),
     }
 
@@ -1211,4 +1213,181 @@ FROM c{R} c LEFT JOIN
      (SELECT k, COUNT(*) AS n_members, SUM(d2) AS inertia
       FROM a{R} GROUP BY k) m USING (k)
 ORDER BY c.k
+"""
+
+
+# ---------------------------------------------------------------------------
+# V9 — IVF-PQ: cell-pruned asymmetric-distance scan (round 3)
+# ---------------------------------------------------------------------------
+
+
+def ann_ivfpq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-PQ — the production ANN composition (FAISS IndexIVFPQ;
+    Jégou et al. 2011): the IVF coarse quantizer prunes the scan to the
+    query's NPROBE cells, and within them distances come from PQ codes
+    via ADC — so query cost is sublinear AND the scanned payload is 8
+    bytes/vector, never the raw floats.  Exactly composes the two
+    oracle-checked stages: _with_ivf_cell (integer argmax assignment)
+    and ann_pq's integer codebooks (exact int64 ADC).  Top-PQ_TOPK per
+    query by (adc, vec_id).
+
+    Plan: corpus encodes ONCE map-only into (cell, 16 codes); probes
+    broadcast; ONE equi-join on cell; ADC rescoring touches only
+    in-cell candidates — at 10^12 rows this is the shape that holds:
+    bucket-pruned candidate generation plus compressed-domain
+    rescoring, with the cell key doubling as the partition key."""
+    e = _emb(spark, sf_dir).select("vec_id", "embedding")
+    cbs = _pq_codebooks()
+
+    corpus = _with_ivf_cell(e, nprobe=1)
+
+    code_schema = StructType(
+        [StructField("vec_id", LongType()), StructField("cell", IntegerType())]
+        + [StructField(f"c{m}", IntegerType()) for m in range(PQ_M)]
+    )
+
+    def encode(batches):
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            M = np.floor(_mat(pdf["embedding"]) * IVF_SCALE)
+            out = {"vec_id": pdf["vec_id"], "cell": pdf["cell"]}
+            for m in range(PQ_M):
+                sub = M[:, m * PQ_SUB:(m + 1) * PQ_SUB]
+                d2 = (
+                    (sub * sub).sum(axis=1, keepdims=True)
+                    - 2.0 * sub @ cbs[m].T
+                    + (cbs[m] * cbs[m]).sum(axis=1)[None, :]
+                )
+                out[f"c{m}"] = np.argmin(d2, axis=1).astype(np.int32)
+            yield pd.DataFrame(out)
+
+    codes = corpus.mapInPandas(encode, schema=code_schema)
+    probes = _with_ivf_cell(
+        e.where(F.col("vec_id") % QUERY_MOD == 0), nprobe=NPROBE
+    ).select(F.col("vec_id").alias("query_id"), F.col("embedding").alias("eq"), "cell")
+    cand = codes.join(F.broadcast(probes), "cell").where(
+        F.col("vec_id") != F.col("query_id")
+    )
+
+    adc_schema = StructType(
+        [
+            StructField("query_id", LongType()),
+            StructField("vec_id", LongType()),
+            StructField("adc", LongType()),
+        ]
+    )
+
+    def adc(batches):
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            Q = np.floor(_mat(pdf["eq"]) * IVF_SCALE)
+            dist = np.zeros(len(pdf), dtype=np.int64)
+            for m in range(PQ_M):
+                qsub = Q[:, m * PQ_SUB:(m + 1) * PQ_SUB]
+                cent = cbs[m][pdf[f"c{m}"].to_numpy()]
+                diff = qsub - cent
+                dist += (diff * diff).sum(axis=1).astype(np.int64)
+            yield pd.DataFrame(
+                {"query_id": pdf["query_id"], "vec_id": pdf["vec_id"], "adc": dist}
+            )
+
+    scored = cand.mapInPandas(adc, schema=adc_schema)
+    win = Window.partitionBy("query_id").orderBy(
+        F.col("adc").asc(), F.col("vec_id").asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(win))
+        .where(F.col("rank") <= PQ_TOPK)
+        .select("query_id", "rank", "vec_id", "adc")
+        .repartition(1).sortWithinPartitions("query_id", "rank")
+    )
+
+
+def ann_ivfpq_sql() -> str:
+    # compose the IVF assignment CTEs (from ann_ivf_sql) with the PQ
+    # code/ADC CTEs (from ann_pq_sql)
+    cents = _centroids().astype(int)
+    cent_lits = ", ".join(
+        "[" + ", ".join(str(v) for v in row) + "]" for row in cents
+    )
+    int_dot = (
+        "list_sum(list_transform(range(1, len({a}) + 1),"
+        " i -> CAST(floor(CAST({a}[i] AS DOUBLE) * 1000.0) AS BIGINT) * cents[{c}][i]))"
+    )
+    score_exprs = ", ".join(
+        "CAST(" + int_dot.format(a="embedding", c=c + 1) + " AS BIGINT)"
+        for c in range(N_CELLS)
+    )
+    cbs = _pq_codebooks().astype(int)
+    cb_lits = ", ".join(
+        "[" + ", ".join(
+            "[" + ", ".join(str(v) for v in cent) + "]" for cent in cbs[m]
+        ) + "]"
+        for m in range(PQ_M)
+    )
+
+    def qdim(col: str, m: int, i: str) -> str:
+        return f"CAST(floor(CAST({col}[{m * PQ_SUB} + {i}] AS DOUBLE) * 1000.0) AS BIGINT)"
+
+    def subdist(col: str, m: int, c: str) -> str:
+        q = qdim(col, m, "i")
+        return (
+            f"list_sum(list_transform(range(1, {PQ_SUB} + 1),"
+            f" i -> ({q} - cbs[{m + 1}][{c}][i])"
+            f" * ({q} - cbs[{m + 1}][{c}][i])))"
+        )
+
+    code_cols = ", ".join(
+        f"list_position(l{m}, list_min(l{m})) - 1 AS c{m}" for m in range(PQ_M)
+    )
+    dist_lists = ", ".join(
+        "[" + ", ".join(
+            f"CAST({subdist('embedding', m, str(c + 1))} AS BIGINT)"
+            for c in range(PQ_K)
+        ) + f"] AS l{m}"
+        for m in range(PQ_M)
+    )
+    adc = " + ".join(
+        f"CAST({subdist('q.eq', m, f'e.c{m} + 1')} AS BIGINT)" for m in range(PQ_M)
+    )
+    return f"""
+WITH ct AS (SELECT [{cent_lits}] AS cents),
+cb AS (SELECT [{cb_lits}] AS cbs),
+sc AS (
+  SELECT vec_id, embedding, [{score_exprs}] AS s
+  FROM embeddings, ct
+),
+corpus AS (
+  SELECT vec_id, embedding, list_position(s, list_max(s)) - 1 AS cell FROM sc
+),
+codes AS (
+  SELECT vec_id, cell, {code_cols} FROM (
+    SELECT vec_id, cell, {dist_lists} FROM corpus, cb
+  )
+),
+qsc AS (
+  SELECT vec_id AS query_id, embedding AS eq, g.c AS cell, s[g.c + 1] AS score
+  FROM sc, generate_series(0, {N_CELLS - 1}) AS g(c)
+  WHERE vec_id % {QUERY_MOD} = 0
+),
+probes AS (
+  SELECT query_id, eq, cell FROM (
+    SELECT query_id, eq, cell,
+           row_number() OVER (PARTITION BY query_id
+                              ORDER BY score DESC, cell ASC) AS pr
+    FROM qsc) WHERE pr <= {NPROBE}
+),
+scored AS (
+  SELECT q.query_id, e.vec_id, {adc} AS adc
+  FROM probes q JOIN codes e USING (cell), cb
+  WHERE e.vec_id <> q.query_id
+)
+SELECT query_id, rank, vec_id, adc FROM (
+  SELECT query_id, vec_id, adc,
+         row_number() OVER (PARTITION BY query_id
+                            ORDER BY adc ASC, vec_id ASC) AS rank
+  FROM scored) WHERE rank <= {PQ_TOPK}
+ORDER BY query_id, rank
 """

@@ -30,6 +30,7 @@ CASES = [
     ("ann_sq8", vectors.ann_sq8, vectors.ann_sq8_sql()),
     ("ann_pq", vectors.ann_pq, vectors.ann_pq_sql()),
     ("kmeans_embed", vectors.kmeans_embed, vectors.kmeans_embed_sql()),
+    ("ann_ivfpq", vectors.ann_ivfpq, vectors.ann_ivfpq_sql()),
     ("semdedup", vectors.semdedup, vectors.semdedup_sql()),
     ("bpe_pair_census", textops.bpe_pair_census, textops.bpe_pair_census_sql()),
     ("bm25_topk", textops.bm25_topk, textops.bm25_topk_sql()),
