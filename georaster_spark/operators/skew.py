@@ -42,10 +42,16 @@ def hot_key_census(
     """One cheap sampled pass -> keys holding > hot_threshold of rows.
     The result is planner metadata (a small list), not data."""
     s = df.sample(fraction=sample_fraction, seed=seed).groupBy(key).count()
-    total = s.agg(F.sum("count")).collect()[0][0] or 0
-    if total == 0:
-        return []
-    rows = s.where(F.col("count") > hot_threshold * total).select(key).collect()
+    # ONE action: broadcast the 1-row grand total back onto the grouped
+    # counts instead of collecting total and hot keys in two jobs (the
+    # upstream pipeline would re-execute for each driver action)
+    tot = s.agg(F.sum("count").alias("_tot"))
+    rows = (
+        s.join(F.broadcast(tot))
+        .where(F.col("count") > hot_threshold * F.col("_tot"))
+        .select(key)
+        .collect()
+    )
     return [r[0] for r in rows]
 
 

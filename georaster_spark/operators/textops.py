@@ -1801,6 +1801,182 @@ SELECT * FROM (
 """
 
 
+def lm_doc_likelihood(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bigram-LM document scoring — the CCNet perplexity-filter stage
+    (Wenzek et al. 2020, PAPERS.md) made integer-exact: the corpus
+    trains its own add-one-smoothed bigram model, then every document
+    is scored by its per-transition smoothed conditional likelihood
+
+        lik(w1 w2) = ((bc + 1) << 10) DIV (uc1 + V)      (all int64)
+
+    with bc = corpus bigram count, uc1 = prefix unigram count, V =
+    vocabulary size.  lik is monotone in the add-one bigram probability
+    P(w2|w1), so ranking documents by lik_mean orders them exactly as
+    the float model would — and no float/log ever reaches the hash
+    surface.  Low lik_mean = out-of-distribution text (gibberish,
+    wrong-language, OCR noise): CCNet's 'tail' bucket; lik_min flags a
+    single catastrophic transition.  Docs with < 2 tokens have no
+    transitions and are absent (same as CCNet, which skips empties).
+
+    Plan: two combiner-friendly count aggs (bigram, unigram) + one
+    1-row vocabulary census broadcast; the exploded doc-bigram relation
+    equi-joins the count tables on their keys and re-groups by doc_id.
+    At corpus scale both join sides are key-partitioned; hot stopword
+    keys are single rows on the count side (AQE skew-split covers the
+    probe side), and every agg is partial+final — nothing is
+    all-pairs."""
+    ws = _clean_words()
+    bigrams = F.when(
+        F.size(ws) >= 2,
+        F.transform(
+            F.sequence(F.lit(1), F.size(ws) - 1),
+            lambda i: F.concat_ws(" ", F.element_at(ws, i), F.element_at(ws, i + 1)),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    docs = _docs(spark, sf_dir)
+    bg = docs.select("doc_id", F.explode(bigrams).alias("big")).localCheckpoint(
+        eager=False
+    )  # feeds BOTH the model counts and the scoring join — one compute
+    uni = (
+        docs.select(F.explode(ws).alias("term"))
+        .groupBy("term")
+        .agg(F.count(F.lit(1)).alias("uc"))
+        .localCheckpoint(eager=False)  # vocabulary census + scoring join
+    )
+    vsz = uni.agg(F.count(F.lit(1)).alias("vsz"))
+    bc = bg.groupBy("big").agg(F.count(F.lit(1)).alias("bc"))
+    scored = (
+        bg.withColumn("w1", F.split_part(F.col("big"), F.lit(" "), F.lit(1)))
+        .join(bc, "big")
+        .join(uni.withColumnRenamed("term", "w1"), "w1")
+        .crossJoin(F.broadcast(vsz))
+        .withColumn("lik", F.expr("((bc + 1) * 1024) div (uc + vsz)"))
+    )
+    return (
+        scored.groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_big"),
+            F.sum("lik").alias("lik_sum"),
+            F.min("lik").alias("lik_min"),
+        )
+        .withColumn("lik_mean", F.expr("lik_sum div n_big"))
+        .select("doc_id", "n_big", "lik_sum", "lik_min", "lik_mean")
+        .repartition(1).sortWithinPartitions("doc_id")
+    )
+
+
+def lm_doc_likelihood_sql() -> str:
+    return f"""
+WITH d AS (SELECT doc_id, list_filter({_SQL_WS}, t -> t <> '') AS l FROM documents),
+w AS (SELECT unnest(l) AS term FROM d),
+uni AS (SELECT term, COUNT(*) AS uc FROM w GROUP BY term),
+v AS (SELECT COUNT(*) AS vsz FROM uni),
+bg AS (
+  SELECT doc_id,
+         unnest(list_transform(range(1, len(l)), i -> l[i] || ' ' || l[i + 1])) AS big
+  FROM d
+),
+bc AS (SELECT big, COUNT(*) AS bc FROM bg GROUP BY big),
+scored AS (
+  SELECT g.doc_id, ((c.bc + 1) * 1024) // (u.uc + v.vsz) AS lik
+  FROM bg g
+  JOIN bc c USING (big)
+  JOIN uni u ON u.term = string_split(g.big, ' ')[1]
+  CROSS JOIN v
+)
+SELECT doc_id,
+       CAST(COUNT(*) AS BIGINT) AS n_big,
+       CAST(SUM(lik) AS BIGINT) AS lik_sum,
+       CAST(MIN(lik) AS BIGINT) AS lik_min,
+       CAST(SUM(lik) // COUNT(*) AS BIGINT) AS lik_mean
+FROM scored GROUP BY doc_id ORDER BY doc_id
+"""
+
+
+MIX_BUDGET = 1000  # total target docs across sources (demo budget)
+
+
+def source_mixture_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temperature-weighted multi-source mixing subsample — the
+    Gopher/Pile data-mixing stage (Rae et al. 2021 §A3, PAPERS.md):
+    each source's sampling budget is proportional to n_docs^0.5 (sqrt
+    temperature flattens the source distribution so giant crawls don't
+    drown curated sets), and membership is decided by a deterministic
+    content hash, never an RNG:
+
+        w_s   = FLOOR(SQRT(n_s))           (IEEE-exact: correctly
+                                            rounded sqrt on both engines)
+        t_s   = (w_s * BUDGET) DIV Σw      (integer expected take)
+        keep  = h40(doc_id) % n_s < t_s    (map-only, reshuffle-proof)
+
+    Hash-threshold selection is the production shape (exact-rank
+    selection would need a per-source sort; the hash rule is one
+    map-side comparison and keeps E[kept] = t_s).  Output per source:
+    census, weight, target, the EXACT kept count and the Σdoc_id
+    checksum pinning the kept set.
+
+    Plan: one tiny groupBy(source) census + 1-row Σw broadcast back
+    onto the scan; everything else is map-side; final agg is
+    partial+final on the handful of source keys."""
+    docs = _docs(spark, sf_dir).select("doc_id", "source")
+    census = (
+        docs.groupBy("source")
+        .agg(F.count(F.lit(1)).alias("n_docs"))
+        .withColumn("w", F.floor(F.sqrt(F.col("n_docs"))).cast("long"))
+    )
+    tot = census.agg(F.sum("w").alias("wsum"))
+    tgt = census.crossJoin(F.broadcast(tot)).withColumn(
+        "t", F.expr(f"(w * {MIX_BUDGET}) div wsum")
+    )
+    kept = (
+        docs.join(F.broadcast(tgt), "source")
+        .withColumn(
+            "keep", h40(F.col("doc_id").cast("string")) % F.col("n_docs") < F.col("t")
+        )
+    )
+    return (
+        kept.groupBy("source")
+        .agg(
+            F.first("n_docs").alias("n_docs"),
+            F.first("w").alias("w"),
+            F.first("t").alias("t"),
+            F.sum(F.when(F.col("keep"), 1).otherwise(0)).cast("long").alias("n_kept"),
+            F.coalesce(
+                F.sum(F.when(F.col("keep"), F.col("doc_id"))), F.lit(0)
+            ).cast("long").alias("kept_id_sum"),
+        )
+        .repartition(1).sortWithinPartitions("source")
+    )
+
+
+def source_mixture_sample_sql() -> str:
+    hk = _SQL_H40.format(s="CAST(doc_id AS VARCHAR)")
+    return f"""
+WITH census AS (
+  SELECT source, COUNT(*) AS n_docs,
+         CAST(FLOOR(SQRT(COUNT(*))) AS BIGINT) AS w
+  FROM documents GROUP BY source
+),
+tot AS (SELECT SUM(w) AS wsum FROM census),
+tgt AS (
+  SELECT source, n_docs, w, (w * {MIX_BUDGET}) // wsum AS t
+  FROM census CROSS JOIN tot
+),
+k AS (
+  SELECT d.source, d.doc_id, g.n_docs, g.w, g.t,
+         ({hk}) % g.n_docs < g.t AS keep
+  FROM documents d JOIN tgt g USING (source)
+)
+SELECT source,
+       CAST(ANY_VALUE(n_docs) AS BIGINT) AS n_docs,
+       CAST(ANY_VALUE(w) AS BIGINT) AS w,
+       CAST(ANY_VALUE(t) AS BIGINT) AS t,
+       CAST(SUM(CASE WHEN keep THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+       CAST(COALESCE(SUM(CASE WHEN keep THEN doc_id END), 0) AS BIGINT) AS kept_id_sum
+FROM k GROUP BY source ORDER BY source
+"""
+
+
 def text_queries():
     return {
         "text_stats": text_stats,
@@ -1827,6 +2003,8 @@ def text_queries():
         "oov_rate": oov_rate,
         "bpe_pair_census": bpe_pair_census,
         "bm25_topk": bm25_topk,
+        "lm_doc_likelihood": lm_doc_likelihood,
+        "source_mixture_sample": source_mixture_sample,
     }
 
 
@@ -1856,4 +2034,6 @@ def text_oracles() -> dict[str, str]:
         "oov_rate": oov_rate_sql(),
         "bpe_pair_census": bpe_pair_census_sql(),
         "bm25_topk": bm25_topk_sql(),
+        "lm_doc_likelihood": lm_doc_likelihood_sql(),
+        "source_mixture_sample": source_mixture_sample_sql(),
     }

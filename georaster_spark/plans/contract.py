@@ -39,7 +39,13 @@ def _fx(sf_dir: str) -> Path:
 
 
 def _images(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return spark.read.parquet(str(_fx(sf_dir) / "images.parquet"))
+    # Same local-input parallelism guard as textops._docs: the sf-scale
+    # images parquet is ONE ~30 MB file, which Spark's split math opens
+    # as ~8 partitions — serializing every pixel-decode stage on a
+    # quarter of a 32-core executor.  Catalyst prunes columns through
+    # the round-robin exchange, so slim queries shuffle slim rows; at
+    # production scale (thousands of files) the branch never fires.
+    return textops._fan_out(spark.read.parquet(str(_fx(sf_dir) / "images.parquet")))
 
 
 def _zones(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -2569,7 +2575,10 @@ def q_cell_join_salted(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..operators.pip import zone_cells
 
     tiles = geo.georegister(_images(spark, sf_dir))
-    assign = geo.tile_assignments(tiles)
+    # lazy localCheckpoint: the slim (image_id, cell_id) table feeds the
+    # census (two driver actions) AND the salted join — without it the
+    # scan+cover pipeline re-executes 3-4x for one query
+    assign = geo.tile_assignments(tiles).localCheckpoint(eager=False)
     zc = zone_cells(_zones(spark, sf_dir)).select("cell_id", "zone_id")
     hot = skew.hot_key_census(assign, "cell_id", sample_fraction=0.2)
     pairs = skew.salted_equi_join(assign, zc, key="cell_id", hot_keys=hot, row_key="image_id")
@@ -4573,6 +4582,7 @@ def spatial_queries() -> dict[str, QueryFn]:
         "transect_profile": q_transect_profile,
         "hough_lines": q_hough_lines,
         "watershed": q_watershed,
+        "flow_length": q_flow_length,
     })
 
 
@@ -4733,6 +4743,7 @@ def spatial_oracles(sf: str = "sf0.01") -> dict[str, str]:
         "transect_profile": _sql_transect_profile(fx),
         "hough_lines": _sql_hough_lines(fx, w),
         "watershed": _sql_watershed(fx, w),
+        "flow_length": _sql_flow_length(fx, w),
     })
 
 
@@ -6458,4 +6469,90 @@ FROM term t JOIN (
          MAX(sz) AS mx
   FROM basins GROUP BY image_id) b USING (image_id)
 GROUP BY t.image_id ORDER BY t.image_id
+"""
+
+
+_FLOWLEN_MOD = 223
+
+
+def q_flow_length(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Downstream flow length (algebra.flow_length_stats — ArcGIS
+    FlowLength analog): integer 5/7-chamfer D8 path lengths resolved by
+    pointer jumping with additive weights.  Oracle accumulates the same
+    step costs along the identical drainage graph with a recursive
+    CTE."""
+    from ..operators import algebra
+
+    tiles = geo.georegister(_images(spark, sf_dir)).where(
+        geo.image_idx() % _FLOWLEN_MOD == 0
+    )
+    return (
+        algebra.flow_length_stats(tiles)
+        .repartition(1).sortWithinPartitions("image_id")
+    )
+
+
+def _sql_flow_length(fx: Path, w: int) -> str:
+    from ..operators.algebra import _D8_DIRS
+
+    def rv(di: int, dj: int) -> str:
+        return f"CAST({osql.ramp_value_expr(f'gi.i + {di}', f'gj.j + {dj}')} AS BIGINT)"
+
+    c0 = rv(0, 0)
+    scores = []
+    for code, di, dj, mult in _D8_DIRS:
+        drop = f"({c0} - {rv(di, dj)})"
+        scores.append(
+            (code, f"(CASE WHEN {drop} > 0 THEN {mult} * {drop} * {drop} ELSE -1 END)")
+        )
+    score_sel = ", ".join(f"{e} AS s{code}" for code, e in scores)
+    best = "greatest(" + ", ".join(f"s{code}" for code, _ in scores) + ")"
+    dir_case = "CASE WHEN " + best + " <= 0 THEN 0"
+    for code, _ in scores:
+        dir_case += f" WHEN s{code} = {best} THEN {code}"
+    dir_case += " END"
+    di_case = "CASE code " + " ".join(
+        f"WHEN {c} THEN {di}" for c, di, dj, _ in _D8_DIRS) + " END"
+    dj_case = "CASE code " + " ".join(
+        f"WHEN {c} THEN {dj}" for c, di, dj, _ in _D8_DIRS) + " END"
+    # chamfer: cardinal (score mult 2) steps cost 5, diagonals 7
+    cost_case = "CASE code " + " ".join(
+        f"WHEN {c} THEN {5 if mult == 2 else 7}"
+        for c, _, _, mult in _D8_DIRS) + " END"
+    lo, hi = 1, w - 2
+    iw = w - 2
+    return f"""
+WITH RECURSIVE {osql.georegister_cte(str(fx / 'images.parquet'))},
+sc AS (
+  SELECT image_id, gi.i AS i, gj.j AS j, {score_sel}
+  FROM tiles,
+       generate_series({lo}, {hi}) AS gi(i), generate_series({lo}, {hi}) AS gj(j)
+  WHERE idx % {_FLOWLEN_MOD} = 0
+),
+px AS MATERIALIZED (SELECT image_id, i, j, {dir_case} AS code FROM sc),
+edges AS MATERIALIZED (
+  SELECT image_id, i, j, i + ({di_case}) AS ti, j + ({dj_case}) AS tj,
+         {cost_case} AS cost
+  FROM px WHERE code <> 0
+),
+walk(image_id, pos, ci, cj, acc) AS (
+  SELECT image_id, (i - {lo}) * {iw} + (j - {lo}) + 1, i, j, 0 FROM px
+  UNION ALL
+  SELECT wk.image_id, wk.pos, e.ti, e.tj, wk.acc + e.cost
+  FROM walk wk JOIN edges e
+    ON e.image_id = wk.image_id AND e.i = wk.ci AND e.j = wk.cj
+),
+term AS (
+  SELECT wk.image_id, wk.pos, wk.acc
+  FROM walk wk LEFT JOIN edges e
+    ON e.image_id = wk.image_id AND e.i = wk.ci AND e.j = wk.cj
+  WHERE e.i IS NULL
+)
+SELECT image_id,
+       CAST(COUNT(*) AS BIGINT) AS n_interior,
+       CAST(SUM(CASE WHEN acc = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_zero,
+       CAST(MAX(acc) AS BIGINT) AS max_len,
+       CAST(SUM(acc) AS BIGINT) AS sum_len,
+       CAST(SUM(acc * pos) AS BIGINT) AS len_checksum
+FROM term GROUP BY image_id ORDER BY image_id
 """

@@ -750,3 +750,52 @@ def test_watershed_basins_matches_python(spark, sf0001_dir):
             lab * ((i - 1) * 30 + (j - 1) + 1) for (i, j), lab in labels.items()
         )
         assert r["label_checksum"] == cks
+
+
+def test_flow_length_matches_python(spark, sf0001_dir):
+    from georaster_spark.operators.algebra import _D8_DIRS, flow_length_stats
+
+    tiles = geo.georegister(
+        spark.read.parquet(str(sf0001_dir / "images.parquet"))
+    ).where(geo.image_idx() % 97 == 0)
+    got = {r["image_id"]: r for r in flow_length_stats(tiles).collect()}
+    assert len(got) == 11
+    for image_id, r in got.items():
+        idx = int(image_id[3:])
+        z = oracle.ramp_tile(idx, 32, 32)
+        if idx % 10 == 3:
+            z = oracle.quantize(z)
+        z = z.astype(np.int64)
+        h = w = 32
+
+        def step(i, j):
+            bs, bc, bcost = 0, 0, 0
+            for code, di, dj, mult in _D8_DIRS:
+                drop = z[i, j] - z[i + di, j + dj]
+                s = mult * drop * drop if drop > 0 else -1
+                if s > 0 and s > bs:
+                    bs, bc, bcost = s, code, 5 if mult == 2 else 7
+            return bc, bcost
+
+        lengths = {}
+        for i in range(1, h - 1):
+            for j in range(1, w - 1):
+                ci, cj, acc = i, j, 0
+                while 1 <= ci <= h - 2 and 1 <= cj <= w - 2:
+                    c, cost = step(ci, cj)
+                    if c == 0:
+                        break
+                    acc += cost
+                    for code, di, dj, _ in _D8_DIRS:
+                        if code == c:
+                            ci, cj = ci + di, cj + dj
+                            break
+                lengths[(i, j)] = acc
+        assert r["n_interior"] == 900
+        assert r["n_zero"] == sum(1 for v in lengths.values() if v == 0)
+        assert r["max_len"] == max(lengths.values())
+        assert r["sum_len"] == sum(lengths.values())
+        cks = sum(
+            v * ((i - 1) * 30 + (j - 1) + 1) for (i, j), v in lengths.items()
+        )
+        assert r["len_checksum"] == cks

@@ -38,6 +38,12 @@ CASES = [
     ("seq_packing", textops.seq_packing, textops.seq_packing_sql()),
     ("url_domains", textops.url_domains, textops.url_domains_sql()),
     ("oov_rate", textops.oov_rate, textops.oov_rate_sql()),
+    ("lm_doc_likelihood", textops.lm_doc_likelihood, textops.lm_doc_likelihood_sql()),
+    (
+        "source_mixture_sample",
+        textops.source_mixture_sample,
+        textops.source_mixture_sample_sql(),
+    ),
 ]
 
 
