@@ -360,33 +360,74 @@ def voronoi_assign(tiles: DataFrame, zones: DataFrame) -> DataFrame:
     members.  Ties (equidistant centroids) resolve to the smallest
     zone_id via lexicographic struct-min.
 
-    Scale shape: the centroid table broadcasts (it is dims-sized);
-    the argmin is a map-side broadcast cross join + per-image
-    struct-min — embarrassingly parallel, ONE slim group shuffle on
-    the winning zone_id."""
+    Scale shape: the centroid table is dims-sized, so it is DRIVER
+    planner metadata (same bound as a broadcast side — pip.py's ring
+    dispatch uses the identical posture).  The per-image argmin is an
+    inlined array_min over one struct expression PER CENTROID — pure
+    codegen'd Column math, MAP-ONLY: nothing shuffles except the final
+    |zones|-key partial+final agg.  The previous shape (broadcast cross
+    join -> groupBy(image_id) struct-min) shuffled |images| x |zones|
+    rows on a unique key — 25.6M rows at sf0.1, the whole query's cost;
+    at 10^12 images it would be the single largest exchange in the
+    engine.  Fallback to that path only when the centroid table
+    outgrows a sane inline expression (>4096 — at that point IVF-style
+    cell routing is the right operator anyway)."""
     cx = F.col("gt_x0") + F.lit(TILE_SPAN / 2)
     cy = F.col("gt_y0") - F.lit(TILE_SPAN / 2)
     idx = F.substring("image_id", 4, 10).cast("long")
     img = tiles.select(
         "image_id", idx.alias("idx"), cx.alias("ix"), cy.alias("iy")
     )
-    cent = F.broadcast(
-        zones.select("zone_id", F.col("cx").alias("zx"), F.col("cy").alias("zy"))
+    cents = sorted(
+        zones.select("zone_id", "cx", "cy").collect(), key=lambda r: r["zone_id"]
     )
-    d2 = (F.col("ix") - F.col("zx")) * (F.col("ix") - F.col("zx")) + (
-        F.col("iy") - F.col("zy")
-    ) * (F.col("iy") - F.col("zy"))
-    best = (
-        img.crossJoin(cent)
-        .withColumn("d2", d2)
-        .groupBy("image_id", "idx")
-        .agg(F.min(F.struct("d2", "zone_id")).alias("b"))
-        .select(
-            "idx",
-            F.col("b.zone_id").alias("zone_id"),
-            F.col("b.d2").alias("d2"),
+    if len(cents) <= 4096:
+        # scalar-only argmin: project d2 per centroid (named columns, all
+        # whole-stage codegen), least() for the min, then a CASE chain in
+        # ascending zone_id order for the arg (first hit = smallest
+        # zone_id — the documented tie rule).  An array_min over per-
+        # centroid structs gives the same answer but allocates |zones|
+        # InternalRows per image (measured 2.5x slower); scalars never
+        # allocate.
+        ix, iy = F.col("ix"), F.col("iy")
+        d2s = [
+            (
+                (ix - F.lit(float(r["cx"]))) * (ix - F.lit(float(r["cx"])))
+                + (iy - F.lit(float(r["cy"]))) * (iy - F.lit(float(r["cy"])))
+            ).alias(f"_d{r['zone_id']}")
+            for r in cents
+        ]
+        proj = img.select("idx", *d2s)
+        m = F.least(*[F.col(f"_d{r['zone_id']}") for r in cents])
+        zcase = F.when(
+            F.col(f"_d{cents[0]['zone_id']}") == F.col("_m"),
+            F.lit(int(cents[0]["zone_id"])),
         )
-    )
+        for r in cents[1:]:
+            zcase = zcase.when(
+                F.col(f"_d{r['zone_id']}") == F.col("_m"), F.lit(int(r["zone_id"]))
+            )
+        best = proj.withColumn("_m", m).select(
+            "idx", zcase.alias("zone_id"), F.col("_m").alias("d2")
+        )
+    else:
+        cent = F.broadcast(
+            zones.select("zone_id", F.col("cx").alias("zx"), F.col("cy").alias("zy"))
+        )
+        d2 = (F.col("ix") - F.col("zx")) * (F.col("ix") - F.col("zx")) + (
+            F.col("iy") - F.col("zy")
+        ) * (F.col("iy") - F.col("zy"))
+        best = (
+            img.crossJoin(cent)
+            .withColumn("d2", d2)
+            .groupBy("image_id", "idx")
+            .agg(F.min(F.struct("d2", "zone_id")).alias("b"))
+            .select(
+                "idx",
+                F.col("b.zone_id").alias("zone_id"),
+                F.col("b.d2").alias("d2"),
+            )
+        )
     return best.groupBy("zone_id").agg(
         F.count("*").alias("n_images"),
         F.sum("idx").alias("idx_checksum"),

@@ -36,29 +36,76 @@ from .. import oracle
 _PARTIAL_SCHEMA = "zone_id long, cnt long, s long, mn long, mx long, ss long"
 
 
+def _iter_zone_pairs(pdf: pd.DataFrame):
+    """Iterate the (tile, zone) pair rows of one Arrow batch as
+    (k, zone_id, pixels, xs, ys, rx, ry, nodata) with the two caches the
+    join stream makes profitable:
+
+    - pairs born from one tile row leave the BroadcastNestedLoopJoin
+      consecutively, so a last-tile cache (keyed on the bytes VALUE +
+      origin, not object identity — the join copies the buffer per output
+      row) turns per-pair decode + pixel-center synthesis into per-tile;
+    - zone rings repeat across every overlapping tile, so ring->array
+      conversion caches on zone_id (dim-sized, bounded by the broadcast).
+
+    Column access is via .to_numpy() once per batch — the per-row
+    pdf.iloc Series materialization it replaces measured ~1.3 ms/row,
+    dominating the whole zonal stage."""
+    by = pdf["bytes"].to_numpy(object)
+    ws = pdf["w"].to_numpy()
+    hs = pdf["h"].to_numpy()
+    fm = pdf["fmt"].to_numpy(object)
+    x0 = pdf["gt_x0"].to_numpy()
+    y0 = pdf["gt_y0"].to_numpy()
+    xr = pdf["gt_xres"].to_numpy()
+    yr = pdf["gt_yres"].to_numpy()
+    zid = pdf["zone_id"].to_numpy()
+    rings = pdf["ring"].to_numpy(object) if "ring" in pdf.columns else None
+    nds = pdf["nodata"].to_numpy(object) if "nodata" in pdf.columns else None
+    ring_cache: dict[int, tuple[np.ndarray, np.ndarray]] = {}
+    prev_b = None
+    prev_x0 = prev_y0 = None
+    arr = xs = ys = None
+    for k in range(len(pdf)):
+        b = by[k]
+        if b is not prev_b and (
+            prev_b is None or b != prev_b or x0[k] != prev_x0 or y0[k] != prev_y0
+        ):
+            arr = oracle.decode_pixels(b, int(ws[k]), int(hs[k]), fm[k])
+            h, w = arr.shape
+            xs, ys = oracle.pixel_centers(x0[k], y0[k], xr[k], yr[k], w, h)
+        prev_b, prev_x0, prev_y0 = b, x0[k], y0[k]
+        if rings is None:
+            rx = ry = None
+        else:
+            z = int(zid[k])
+            rr = ring_cache.get(z)
+            if rr is None:
+                ring = rings[k]
+                rr = ring_cache[z] = (
+                    np.asarray([p["x"] for p in ring], dtype=np.float64),
+                    np.asarray([p["y"] for p in ring], dtype=np.float64),
+                )
+            rx, ry = rr
+        nd = nds[k] if nds is not None else None
+        if nd is not None and isinstance(nd, float) and np.isnan(nd):
+            nd = None
+        yield k, int(zid[k]), arr, xs, ys, rx, ry, nd
+
+
 def _partial_stats(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
     for pdf in batches:
         out = {k: [] for k in ("zone_id", "cnt", "s", "mn", "mx", "ss")}
-        for k in range(len(pdf)):
-            row = pdf.iloc[k]
-            arr = oracle.decode_pixels(row["bytes"], int(row["w"]), int(row["h"]), row["fmt"])
-            h, w = arr.shape
-            xs, ys = oracle.pixel_centers(
-                row["gt_x0"], row["gt_y0"], row["gt_xres"], row["gt_yres"], w, h
-            )
-            ring = row["ring"]
-            rx = np.asarray([p["x"] for p in ring], dtype=np.float64)
-            ry = np.asarray([p["y"] for p in ring], dtype=np.float64)
+        for _, zone_id, arr, xs, ys, rx, ry, nd in _iter_zone_pairs(pdf):
             inside = oracle.pip_halfplane(rx, ry, xs.ravel(), ys.ravel())
             vals = arr.ravel()[inside].astype(np.int64)
-            nd = row["nodata"] if "nodata" in pdf.columns else None
-            if nd is not None and not (isinstance(nd, float) and np.isnan(nd)):
+            if nd is not None:
                 # masked-read parity: nodata pixels never enter the stats
                 # (compare in float64 — a fractional nodata matches nothing)
                 vals = vals[vals.astype(np.float64) != float(nd)]
             if vals.size == 0:
                 continue
-            out["zone_id"].append(int(row["zone_id"]))
+            out["zone_id"].append(zone_id)
             out["cnt"].append(int(vals.size))
             out["s"].append(int(vals.sum()))
             out["mn"].append(int(vals.min()))
@@ -107,29 +154,30 @@ _HIST_PARTIAL_SCHEMA = "zone_id long, bin long, cnt long"
 
 def _partial_hist(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
     for pdf in batches:
-        out = {k: [] for k in ("zone_id", "bin", "cnt")}
-        for k in range(len(pdf)):
-            row = pdf.iloc[k]
-            arr = oracle.decode_pixels(row["bytes"], int(row["w"]), int(row["h"]), row["fmt"])
-            h, w = arr.shape
-            xs, ys = oracle.pixel_centers(
-                row["gt_x0"], row["gt_y0"], row["gt_xres"], row["gt_yres"], w, h
-            )
-            ring = row["ring"]
-            rx = np.asarray([p["x"] for p in ring], dtype=np.float64)
-            ry = np.asarray([p["y"] for p in ring], dtype=np.float64)
+        zs: list[np.ndarray] = []
+        bs: list[np.ndarray] = []
+        cs: list[np.ndarray] = []
+        for _, zone_id, arr, xs, ys, rx, ry, nd in _iter_zone_pairs(pdf):
             inside = oracle.pip_halfplane(rx, ry, xs.ravel(), ys.ravel())
             vals = arr.ravel()[inside].astype(np.int64)
-            nd = row["nodata"] if "nodata" in pdf.columns else None
-            if nd is not None and not (isinstance(nd, float) and np.isnan(nd)):
+            if nd is not None:
                 vals = vals[vals.astype(np.float64) != float(nd)]
             if vals.size == 0:
                 continue
             bins, cnts = np.unique(vals, return_counts=True)
-            out["zone_id"].extend([int(row["zone_id"])] * len(bins))
-            out["bin"].extend(int(b) for b in bins)
-            out["cnt"].extend(int(c) for c in cnts)
-        yield pd.DataFrame(out)
+            zs.append(np.full(len(bins), zone_id, dtype=np.int64))
+            bs.append(bins)
+            cs.append(cnts.astype(np.int64))
+        if zs:
+            yield pd.DataFrame(
+                {
+                    "zone_id": np.concatenate(zs),
+                    "bin": np.concatenate(bs),
+                    "cnt": np.concatenate(cs),
+                }
+            )
+        else:
+            yield pd.DataFrame({"zone_id": [], "bin": [], "cnt": []})
 
 
 def zonal_histogram(tiles: DataFrame, zones: DataFrame) -> DataFrame:
@@ -177,16 +225,8 @@ _ARGMAX_PARTIAL_SCHEMA = (
 def _partial_argmax(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
     for pdf in batches:
         out = {k: [] for k in ("zone_id", "mx", "image_id", "pidx", "px", "py")}
-        for k in range(len(pdf)):
-            row = pdf.iloc[k]
-            arr = oracle.decode_pixels(row["bytes"], int(row["w"]), int(row["h"]), row["fmt"])
-            h, w = arr.shape
-            xs, ys = oracle.pixel_centers(
-                row["gt_x0"], row["gt_y0"], row["gt_xres"], row["gt_yres"], w, h
-            )
-            ring = row["ring"]
-            rx = np.asarray([p["x"] for p in ring], dtype=np.float64)
-            ry = np.asarray([p["y"] for p in ring], dtype=np.float64)
+        ids = pdf["image_id"].to_numpy(object)
+        for k, zone_id, arr, xs, ys, rx, ry, _ in _iter_zone_pairs(pdf):
             inside = oracle.pip_halfplane(rx, ry, xs.ravel(), ys.ravel())
             if not inside.any():
                 continue
@@ -196,9 +236,9 @@ def _partial_argmax(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
             vmax = int(vals.max())
             # smallest pixel index attaining the max (deterministic tie)
             pidx = int(in_idx[vals == vmax].min())
-            out["zone_id"].append(int(row["zone_id"]))
+            out["zone_id"].append(zone_id)
             out["mx"].append(vmax)
-            out["image_id"].append(row["image_id"])
+            out["image_id"].append(ids[k])
             out["pidx"].append(pidx)
             out["px"].append(float(xs.ravel()[pidx]))
             out["py"].append(float(ys.ravel()[pidx]))
@@ -283,26 +323,46 @@ _FRAC_SCHEMA = "zone_id long, n_px long, wsum long, vwsum long"
 def _partial_frac(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
     for pdf in batches:
         out = {k: [] for k in ("zone_id", "n_px", "wsum", "vwsum")}
+        by = pdf["bytes"].to_numpy(object)
+        ws = pdf["w"].to_numpy()
+        hs = pdf["h"].to_numpy()
+        fm = pdf["fmt"].to_numpy(object)
+        gx0 = pdf["gt_x0"].to_numpy()
+        gy0 = pdf["gt_y0"].to_numpy()
+        gxr = pdf["gt_xres"].to_numpy()
+        gyr = pdf["gt_yres"].to_numpy()
+        zxmin = pdf["xmin"].to_numpy()
+        zxmax = pdf["xmax"].to_numpy()
+        zymin = pdf["ymin"].to_numpy()
+        zymax = pdf["ymax"].to_numpy()
+        zid = pdf["zone_id"].to_numpy()
+        prev_b = None
+        prev_x0 = None
+        arr = None
         for k in range(len(pdf)):
-            row = pdf.iloc[k]
-            arr = oracle.decode_pixels(
-                row["bytes"], int(row["w"]), int(row["h"]), row["fmt"]
-            ).astype(np.int64)
+            b = by[k]
+            if b is not prev_b and (
+                prev_b is None or b != prev_b or gx0[k] != prev_x0
+            ):
+                arr = oracle.decode_pixels(
+                    b, int(ws[k]), int(hs[k]), fm[k]
+                ).astype(np.int64)
+            prev_b, prev_x0 = b, gx0[k]
             h, w = arr.shape
-            x0, y0 = row["gt_x0"], row["gt_y0"]
-            xr, yr = row["gt_xres"], row["gt_yres"]
+            x0, y0 = gx0[k], gy0[k]
+            xr, yr = gxr[k], gyr[k]
             jj = np.arange(w, dtype=np.float64)
             ii = np.arange(h, dtype=np.float64)
             # 1-D overlap fractions; expression shape MUST match the SQL
             # twin exactly (greatest(least(..) - greatest(..), 0) / res)
             wx = np.maximum(
-                np.minimum(x0 + (jj + 1) * xr, row["xmax"])
-                - np.maximum(x0 + jj * xr, row["xmin"]),
+                np.minimum(x0 + (jj + 1) * xr, zxmax[k])
+                - np.maximum(x0 + jj * xr, zxmin[k]),
                 0.0,
             ) / xr
             wy = np.maximum(
-                np.minimum(y0 - ii * yr, row["ymax"])
-                - np.maximum(y0 - (ii + 1) * yr, row["ymin"]),
+                np.minimum(y0 - ii * yr, zymax[k])
+                - np.maximum(y0 - (ii + 1) * yr, zymin[k]),
                 0.0,
             ) / yr
             wt = np.floor((wy[:, None] * wx[None, :]) * float(_FRAC_SCALE)).astype(
@@ -311,7 +371,7 @@ def _partial_frac(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
             pos = wt > 0
             if not pos.any():
                 continue
-            out["zone_id"].append(int(row["zone_id"]))
+            out["zone_id"].append(int(zid[k]))
             out["n_px"].append(int(pos.sum()))
             out["wsum"].append(int(wt.sum()))
             out["vwsum"].append(int((arr * wt).sum()))
