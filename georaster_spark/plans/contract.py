@@ -1449,20 +1449,17 @@ def q_curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     canonical side of every pHash LSH pair).  Emits the funnel census +
     the Σidx checksum pinning the exact SURVIVOR SET.
 
-    Scale shape: the two pixel gates are ONE fused map-only Arrow pass
-    each over the same scan; the dup side is the bounded pigeonhole
-    band join (E11); survivors meet in slim anti/semi joins on
-    image_id — pixel bytes never shuffle anywhere in the plan."""
+    Scale shape: BOTH pixel gates run in quality.curation_gates — one
+    fused map-only Arrow pass over one decode of the corpus (they were
+    two passes before fusing; bit-identical outputs); the dup side is
+    the bounded pigeonhole band join (E11); survivors meet in slim
+    anti/semi joins on image_id — pixel bytes never shuffle anywhere in
+    the plan."""
     from ..operators import quality
     from ..operators.phash import phash_near_dup
 
     tiles = geo.georegister(_images(spark, sf_dir))
-    lap = quality.laplacian_stats(tiles).select(
-        "image_id", (F.col("lap_var_num") > 0).alias("sharp")
-    )
-    ent = quality.entropy_stats(tiles).select(
-        "image_id", (F.col("n_distinct") >= _CURATE_DISTINCT_MIN).alias("informative")
-    )
+    gates = quality.curation_gates(tiles, _CURATE_DISTINCT_MIN)
     dropped = (
         phash_near_dup(_images(spark, sf_dir))
         .select(F.col("b_id").alias("image_id"))
@@ -1471,8 +1468,7 @@ def q_curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     idx = geo.image_idx()
     base = tiles.select("image_id", idx.alias("idx"))
     j = (
-        base.join(lap, "image_id")
-        .join(ent, "image_id")
+        base.join(gates, "image_id")
         .join(
             dropped.withColumn("is_dup", F.lit(True)), "image_id", "left"
         )
