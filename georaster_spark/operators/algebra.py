@@ -2258,3 +2258,93 @@ def flow_length_stats(tiles: DataFrame) -> DataFrame:
             yield pd.DataFrame(out)
 
     return slim.mapInPandas(_flen, schema=_FLOWLEN_SCHEMA)
+
+
+# ---------------------------------------------------------------------------
+# Fixed-point bilinear resize (round 3) — gdalwarp -r bilinear upsample
+# ---------------------------------------------------------------------------
+
+_RESIZE_OUT = 48  # 32x32 -> 48x48 (scale 2/3 source-per-target step)
+
+_RESIZE_SCHEMA = (
+    "image_id string, n_px long, sum36 long, min36 long, max36 long, "
+    "resize_checksum long"
+)
+
+
+def _resize_grid(src: int, dst: int) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
+    """Per-target-index (i0, i1, frac-in-sixths) for the 1-D bilinear
+    gather at scale src/dst with pixel-center alignment:
+    si = (i + 0.5) * src/dst - 0.5, expressed exactly in sixths for
+    src/dst = 2/3 (si_num = 4i - 1 over denominator 6).  Edge clamp =
+    GDAL convention (frac 0 at both borders)."""
+    si_num = 4 * np.arange(dst, dtype=np.int64) - 1
+    i0 = si_num // 6
+    f = si_num % 6
+    lo = si_num < 0
+    hi = i0 >= src - 1
+    i0 = np.where(lo, 0, np.where(hi, src - 1, i0))
+    f = np.where(lo | hi, 0, f)
+    i1 = np.minimum(i0 + 1, src - 1)
+    return i0, i1, f
+
+
+def resize_bilinear_stats(tiles: DataFrame) -> DataFrame:
+    """Fixed-point bilinear 1.5x upsample census (`gdalwarp -r bilinear`
+    / cv2.resize INTER_LINEAR analog, upstream georaster's missing
+    resample-on-read — SURVEY §2.1 R2 ⚠): each 32x32 tile is resampled
+    to 48x48 with pixel-center alignment; the fractional weights at
+    scale 2/3 are exact SIXTHS, so every output value x36
+    ((6-fi)(6-fj)z00 + (6-fi)fj z01 + fi(6-fj)z10 + fi fj z11) is an
+    exact int64 and the whole statistic is bit-reproducible — no float
+    resampling ever happens.  Per tile: target census (n, Σ, min, max of
+    v36) + the position-weighted checksum pinning every output pixel.
+
+    Plan: map-only fused Arrow pass, one decode per tile, gathers are
+    vectorized fancy-indexing over the precomputed 1-D grids — zero
+    shuffle, no per-pixel Python."""
+    slim = tiles.where((F.col("w") == 32) & (F.col("h") == 32)).select(
+        "image_id", "bytes", "w", "h", "fmt"
+    )
+    dt = {"raw": np.uint8, "qnt": np.uint8, "raw16": "<u2"}
+    i0, i1, fi = _resize_grid(32, _RESIZE_OUT)
+
+    def _rsz(batches):
+        wt = np.arange(1, _RESIZE_OUT * _RESIZE_OUT + 1, dtype=np.int64).reshape(
+            _RESIZE_OUT, _RESIZE_OUT
+        )
+        wi0 = (6 - fi)[:, None]
+        wi1 = fi[:, None]
+        wj0 = (6 - fi)[None, :]
+        wj1 = fi[None, :]
+        for pdf in batches:
+            n = len(pdf)
+            out = {"image_id": pdf["image_id"].to_numpy(dtype=object)}
+            for c in ("n_px", "sum36", "min36", "max36", "resize_checksum"):
+                out[c] = np.zeros(n, dtype=np.int64)
+            groups: dict[str, list[int]] = {}
+            for r in range(n):
+                groups.setdefault(pdf["fmt"].iat[r], []).append(r)
+            for fmt, idx in groups.items():
+                b = len(idx)
+                z = (
+                    np.frombuffer(
+                        b"".join(pdf["bytes"].iat[r] for r in idx), dtype=dt[fmt]
+                    )
+                    .reshape(b, 32, 32)
+                    .astype(np.int64)
+                )
+                z00 = z[:, i0][:, :, i0]
+                z01 = z[:, i0][:, :, i1]
+                z10 = z[:, i1][:, :, i0]
+                z11 = z[:, i1][:, :, i1]
+                v36 = wi0 * wj0 * z00 + wi0 * wj1 * z01 + wi1 * wj0 * z10 + wi1 * wj1 * z11
+                rows = np.asarray(idx)
+                out["n_px"][rows] = _RESIZE_OUT * _RESIZE_OUT
+                out["sum36"][rows] = v36.sum(axis=(1, 2))
+                out["min36"][rows] = v36.min(axis=(1, 2))
+                out["max36"][rows] = v36.max(axis=(1, 2))
+                out["resize_checksum"][rows] = (v36 * wt).sum(axis=(1, 2))
+            yield pd.DataFrame(out)
+
+    return slim.mapInPandas(_rsz, schema=_RESIZE_SCHEMA)

@@ -1180,3 +1180,122 @@ SELECT * FROM (
          (SELECT COUNT(*) FROM lineitem)
 ) ORDER BY "check"
 """
+
+
+# ---------------------------------------------------------------------------
+# Event-sequence Markov transition census + SCD2 dimension build (round 3)
+# ---------------------------------------------------------------------------
+
+
+def event_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First-order Markov transition census over per-user event streams
+    — the user-behavior transition matrix every product-analytics /
+    next-event-prediction pipeline derives (the categorical twin of the
+    funnel op): for each ordered pair (event_type -> next event_type)
+    within a user's timeline, the transition count and how many
+    distinct users exhibit it.  Ordering is the total (ts, event_id)
+    key, so lag/lead is deterministic under ties.
+
+    Scale shape: ONE shuffle on user_id for the lead() window (at
+    10^12 events the stream would already be bucketed by user), then a
+    partial+final count agg on the ~|types|² transition keys — the
+    output is dims-sized regardless of row count."""
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    ev = _t(spark, sf_dir, "events").select("user_id", "ts", "event_id", "event_type")
+    pairs = ev.withColumn("next_type", F.lead("event_type").over(w)).where(
+        F.col("next_type").isNotNull()
+    )
+    return (
+        pairs.groupBy(
+            F.col("event_type").alias("from_type"), F.col("next_type").alias("to_type")
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_transitions"),
+            F.count_distinct("user_id").alias("n_users"),
+        )
+        .repartition(1).sortWithinPartitions("from_type", "to_type")
+    )
+
+
+def event_transitions_sql() -> str:
+    return """
+WITH seq AS (
+  SELECT user_id, event_type,
+         LEAD(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+           AS next_type
+  FROM events
+)
+SELECT event_type AS from_type, next_type AS to_type,
+       CAST(COUNT(*) AS BIGINT) AS n_transitions,
+       CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_users
+FROM seq WHERE next_type IS NOT NULL
+GROUP BY from_type, to_type ORDER BY from_type, to_type
+"""
+
+
+def scd2_history(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SCD Type-2 dimension build (the Kimball slowly-changing-dimension
+    interval table every warehouse maintains): treat each customer's
+    order stream as status updates and materialize the
+    (customer, status, valid_from, valid_to) history — a new interval
+    opens whenever o_orderstatus CHANGES vs the previous order (ordered
+    by the total (o_orderdate, o_orderkey) key).  Rolled up per status:
+    interval count, open intervals (valid_to IS NULL = current), and
+    the exact Σdays of the closed intervals (integer date arithmetic,
+    no float).
+
+    Scale shape: one shuffle on o_custkey for the lag/lead windows —
+    the standard distributed SCD2 build; the final agg has |status|
+    keys.  At 10^12 updates the change-point filter drops the stream
+    to the change rate before the second window runs."""
+    w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    ords = _t(spark, sf_dir, "orders").select(
+        "o_custkey", "o_orderkey", "o_orderstatus", "o_orderdate",
+        F.col("o_orderdate").cast("date").alias("d"),
+    )
+    marked = ords.withColumn("prev_status", F.lag("o_orderstatus").over(w))
+    changes = marked.where(
+        F.col("prev_status").isNull()
+        | (F.col("o_orderstatus") != F.col("prev_status"))
+    )
+    w2 = Window.partitionBy("o_custkey").orderBy("d", "o_orderkey")
+    hist = changes.select(
+        "o_custkey", "o_orderstatus",
+        F.col("d").alias("valid_from"),
+        F.lead("d").over(w2).alias("valid_to"),
+    )
+    return (
+        hist.groupBy(F.col("o_orderstatus").alias("status"))
+        .agg(
+            F.count(F.lit(1)).alias("n_intervals"),
+            F.sum(F.col("valid_to").isNull().cast("long")).alias("n_open"),
+            F.coalesce(
+                F.sum(F.datediff("valid_to", "valid_from")), F.lit(0)
+            ).cast("long").alias("closed_days"),
+        )
+        .repartition(1).sortWithinPartitions("status")
+    )
+
+
+def scd2_history_sql() -> str:
+    return """
+WITH ords AS (
+  SELECT o_custkey, o_orderkey, o_orderstatus, o_orderdate::DATE AS d,
+         LAG(o_orderstatus) OVER
+           (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
+           AS prev_status
+  FROM orders
+),
+changes AS (
+  SELECT o_custkey, o_orderstatus, d,
+         LEAD(d) OVER (PARTITION BY o_custkey ORDER BY d, o_orderkey)
+           AS valid_to
+  FROM ords
+  WHERE prev_status IS NULL OR o_orderstatus <> prev_status
+)
+SELECT o_orderstatus AS status,
+       CAST(COUNT(*) AS BIGINT) AS n_intervals,
+       CAST(SUM(CASE WHEN valid_to IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_open,
+       CAST(COALESCE(SUM(valid_to - d), 0) AS BIGINT) AS closed_days
+FROM changes GROUP BY status ORDER BY status
+"""

@@ -821,3 +821,69 @@ def kde_heatmap(
             F.sum((F.lit(r2) - F.col("d2")).cast("long")).alias("density"),
         )
     )
+
+
+QT_RES0 = 9       # root resolution: cell edge = DOMAIN >> 9 = 131072 units
+QT_CAP = 256      # split a cell when it holds more than this many points
+QT_LEVELS = 3     # root + two refinement rounds (r9 -> r10 -> r11)
+
+
+def adaptive_quadtree(tiles: DataFrame) -> DataFrame:
+    """Adaptive quadtree refinement census — the skew-adaptive spatial
+    partitioning step (the quadtree split rule of SpatialHadoop/Sedona
+    partitioners, and exactly what a tiling pipeline runs to pick
+    BALANCED output partitions under hot-spot skew): starting at res
+    QT_RES0, any cell holding > QT_CAP points is split into its 4
+    children, repeated for QT_LEVELS levels; leaf cells report their
+    census and Σidx membership checksum.
+
+    The fixture's planted hot anchors (constants.HOT_ANCHORS) force
+    real splits while the sparse grid stays coarse — the output IS the
+    balanced partition map the salted-join tier (op E8) would consume.
+
+    Scale shape: one census per level (combiner-friendly groupBy on the
+    level's cell key, all keys computed in ONE map pass) + broadcast
+    semi-joins against the hot-cell lists.  The hot list at level k is
+    GEOMETRY-bounded (≤ 4^(RES0+k) cells exist at all), so the
+    broadcasts never scale with row count — this is why quadtree
+    refinement distributes: the data-dependent state is the tree, and
+    the tree is capped by resolution."""
+    from .georegister import centroid_x, centroid_y, image_idx
+
+    r0 = QT_RES0
+    pts = tiles.select(
+        image_idx().alias("idx"),
+        *[
+            cells.cell_encode(centroid_x(), centroid_y(), r0 + k).alias(f"k{k}")
+            for k in range(QT_LEVELS)
+        ],
+    ).localCheckpoint(eager=False)  # 3 censuses + 2 semi-joins share one scan
+
+    def census(df: DataFrame, key: str) -> DataFrame:
+        return df.groupBy(key).agg(
+            F.count(F.lit(1)).alias("n_points"), F.sum("idx").alias("idx_sum")
+        )
+
+    outs = []
+    cur = pts
+    for k in range(QT_LEVELS):
+        key = f"k{k}"
+        c = census(cur, key)
+        if k == QT_LEVELS - 1:
+            keep = c  # last level: no further split
+        else:
+            keep = c.where(F.col("n_points") <= QT_CAP)
+            hot = c.where(F.col("n_points") > QT_CAP).select(key)
+            cur = cur.join(F.broadcast(hot), key, "left_semi")
+        outs.append(
+            keep.select(
+                F.col(key).alias("cell_id"),
+                F.lit(QT_RES0 + k).cast("long").alias("res"),
+                "n_points",
+                "idx_sum",
+            )
+        )
+    out = outs[0]
+    for o in outs[1:]:
+        out = out.unionByName(o)
+    return out

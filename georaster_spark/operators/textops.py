@@ -1977,6 +1977,176 @@ FROM k GROUP BY source ORDER BY source
 """
 
 
+_DSIR_B = 1024  # hashed-feature buckets (DSIR hashes n-grams into a fixed table)
+
+
+def dsir_importance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DSIR data-selection importance weighting (Xie et al. 2023,
+    "Data Selection for Language Models via Importance Resampling",
+    PAPERS.md): rank raw documents by how target-like their hashed
+    unigram features are.  Target here = the `lang = 'en'` subcorpus
+    (the labeled in-domain slice); features are h40(term) % 1024 hash
+    buckets, exactly DSIR's hashed-feature trick that bounds the model
+    at B buckets regardless of vocabulary.
+
+    Integer surface: per bucket the add-one likelihood surrogates
+
+        lt = ((ct + 1) << 10) DIV (nt + B)      target model
+        lr = ((cr + 1) << 10) DIV (nr + B)      raw model
+
+    and per document Σlt, Σlr and the ratio surrogate
+    imp = (Σlt << 10) DIV Σlr — monotone proxy for the DSIR
+    log-likelihood-ratio (sums of per-bucket surrogates instead of sums
+    of logs: a documented deviation that keeps the statistic int64-exact
+    on both engines; ranking quality is the same corpus-separation
+    signal).  High imp = target-like; resampling keeps top-weighted.
+
+    Plan: the bucket model is B<=1024 rows — ONE combiner-friendly agg
+    each for target and raw, then a BROADCAST join onto the exploded
+    term stream (map-only scoring) and a re-group by doc_id.  Nothing
+    scales with vocabulary; the two 1-row totals broadcast too."""
+    ws = _clean_words()
+    docs = _docs(spark, sf_dir)
+    terms = (
+        docs.select("doc_id", "lang", F.explode(ws).alias("term"))
+        .select("doc_id", "lang", (h40(F.col("term")) % _DSIR_B).alias("b"))
+        .localCheckpoint(eager=False)  # feeds both models AND the scoring join
+    )
+    raw = terms.groupBy("b").agg(F.count(F.lit(1)).alias("cr"))
+    tgt = (
+        terms.where(F.col("lang") == "en")
+        .groupBy("b")
+        .agg(F.count(F.lit(1)).alias("ct"))
+    )
+    model = (
+        raw.join(tgt, "b", "left")
+        .withColumn("ct", F.coalesce("ct", F.lit(0)))
+        .crossJoin(F.broadcast(raw.agg(F.sum("cr").alias("nr"))))
+        .crossJoin(F.broadcast(tgt.agg(F.sum("ct").alias("nt"))))
+        .select(
+            "b",
+            F.expr(f"((ct + 1) * 1024) div (nt + {_DSIR_B})").alias("lt"),
+            F.expr(f"((cr + 1) * 1024) div (nr + {_DSIR_B})").alias("lr"),
+        )
+    )
+    return (
+        terms.join(F.broadcast(model), "b")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_terms"),
+            F.sum("lt").alias("lt_sum"),
+            F.sum("lr").alias("lr_sum"),
+        )
+        .withColumn("imp", F.expr("(lt_sum * 1024) div lr_sum"))
+        .select("doc_id", "n_terms", "lt_sum", "lr_sum", "imp")
+        .repartition(1).sortWithinPartitions("doc_id")
+    )
+
+
+def dsir_importance_sql() -> str:
+    hb = _SQL_H40.format(s="t.term")
+    return f"""
+WITH d AS (SELECT doc_id, lang, list_filter({_SQL_WS}, t -> t <> '') AS l FROM documents),
+terms AS (
+  SELECT doc_id, lang, ({hb}) % {_DSIR_B} AS b
+  FROM (SELECT doc_id, lang, unnest(l) AS term FROM d) t
+),
+raw AS (SELECT b, COUNT(*) AS cr FROM terms GROUP BY b),
+tgt AS (SELECT b, COUNT(*) AS ct FROM terms WHERE lang = 'en' GROUP BY b),
+nr AS (SELECT SUM(cr) AS nr FROM raw),
+nt AS (SELECT SUM(ct) AS nt FROM tgt),
+model AS (
+  SELECT r.b,
+         ((COALESCE(g.ct, 0) + 1) * 1024) // (nt.nt + {_DSIR_B}) AS lt,
+         ((r.cr + 1) * 1024) // (nr.nr + {_DSIR_B}) AS lr
+  FROM raw r LEFT JOIN tgt g USING (b) CROSS JOIN nr CROSS JOIN nt
+)
+SELECT t.doc_id,
+       CAST(COUNT(*) AS BIGINT) AS n_terms,
+       CAST(SUM(m.lt) AS BIGINT) AS lt_sum,
+       CAST(SUM(m.lr) AS BIGINT) AS lr_sum,
+       CAST((SUM(m.lt) * 1024) // SUM(m.lr) AS BIGINT) AS imp
+FROM terms t JOIN model m USING (b)
+GROUP BY t.doc_id ORDER BY t.doc_id
+"""
+
+
+CHUNK_LEN = 64
+CHUNK_STRIDE = 48
+
+
+def chunking_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Overlapping-window document chunker audit — the RAG / context-
+    window packing stage (chunk 64 tokens, stride 48 = overlap 16, the
+    LangChain/LlamaIndex default shape): per document the token count,
+    the chunk count 1 + ceil(max(n-64,0)/48), the length of the final
+    (ragged) chunk, and a position-weighted checksum over each chunk's
+    FIRST token ((h40 % 997) * chunk_no) — pinning every chunk boundary
+    without shipping chunk text anywhere.
+
+    Plan: map-only per-doc Column math + one bounded explode of chunk
+    indices (n/48 per doc); the final agg re-groups by doc_id.  Empty
+    docs (0 tokens) produce no chunks and are absent on both engines."""
+    ws = _clean_words()
+    docs = _docs(spark, sf_dir).select("doc_id", ws.alias("l"))
+    n = F.size("l")
+    nch = F.when(n <= CHUNK_LEN, F.lit(1)).otherwise(
+        F.lit(1) + (n - CHUNK_LEN + CHUNK_STRIDE - 1).cast("long") / F.lit(CHUNK_STRIDE)
+    )
+    base = docs.where(n >= 1).select(
+        "doc_id",
+        "l",
+        n.cast("long").alias("n_tokens"),
+        F.floor(nch).cast("long").alias("n_chunks"),
+    )
+    c = (
+        base.withColumn("c", F.explode(F.sequence(F.lit(0), F.col("n_chunks") - 1)))
+        .withColumn(
+            "first_tok", F.element_at("l", (F.col("c") * CHUNK_STRIDE + 1).cast("int"))
+        )
+        .withColumn("piece", (h40(F.col("first_tok")) % 997) * (F.col("c") + 1))
+    )
+    return (
+        c.groupBy("doc_id")
+        .agg(
+            F.first("n_tokens").alias("n_tokens"),
+            F.first("n_chunks").alias("n_chunks"),
+            (
+                F.first("n_tokens") - (F.first("n_chunks") - 1) * CHUNK_STRIDE
+            ).alias("last_len"),
+            F.sum("piece").alias("boundary_checksum"),
+        )
+        .repartition(1).sortWithinPartitions("doc_id")
+    )
+
+
+def chunking_audit_sql() -> str:
+    hk = _SQL_H40.format(s="first_tok")
+    return f"""
+WITH d AS (
+  SELECT doc_id, list_filter({_SQL_WS}, t -> t <> '') AS l FROM documents
+),
+base AS (
+  SELECT doc_id, l, len(l) AS n_tokens,
+         CASE WHEN len(l) <= {CHUNK_LEN} THEN 1
+              ELSE 1 + (len(l) - {CHUNK_LEN} + {CHUNK_STRIDE} - 1) // {CHUNK_STRIDE}
+         END AS n_chunks
+  FROM d WHERE len(l) >= 1
+),
+ch AS (
+  SELECT doc_id, n_tokens, n_chunks, c,
+         l[c * {CHUNK_STRIDE} + 1] AS first_tok
+  FROM base, unnest(range(0, n_chunks)) AS u(c)
+)
+SELECT doc_id,
+       CAST(ANY_VALUE(n_tokens) AS BIGINT) AS n_tokens,
+       CAST(ANY_VALUE(n_chunks) AS BIGINT) AS n_chunks,
+       CAST(ANY_VALUE(n_tokens) - (ANY_VALUE(n_chunks) - 1) * {CHUNK_STRIDE} AS BIGINT) AS last_len,
+       CAST(SUM((({hk}) % 997) * (c + 1)) AS BIGINT) AS boundary_checksum
+FROM ch GROUP BY doc_id ORDER BY doc_id
+"""
+
+
 def text_queries():
     return {
         "text_stats": text_stats,
@@ -2005,6 +2175,8 @@ def text_queries():
         "bm25_topk": bm25_topk,
         "lm_doc_likelihood": lm_doc_likelihood,
         "source_mixture_sample": source_mixture_sample,
+        "dsir_importance": dsir_importance,
+        "chunking_audit": chunking_audit,
     }
 
 
@@ -2036,4 +2208,6 @@ def text_oracles() -> dict[str, str]:
         "bm25_topk": bm25_topk_sql(),
         "lm_doc_likelihood": lm_doc_likelihood_sql(),
         "source_mixture_sample": source_mixture_sample_sql(),
+        "dsir_importance": dsir_importance_sql(),
+        "chunking_audit": chunking_audit_sql(),
     }

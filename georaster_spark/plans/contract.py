@@ -4517,6 +4517,8 @@ def spatial_queries() -> dict[str, QueryFn]:
         "bloom_semi": rel.bloom_semi,
         "bfs_hops": q_bfs_hops,
         "cohort_retention": rel.cohort_retention,
+        "event_transitions": rel.event_transitions,
+        "scd2_history": rel.scd2_history,
         "hilbert_rollup": q_hilbert,
         "xmodal_align": q_xmodal_align,
         "zonal_frac": q_zonal_frac,
@@ -4579,6 +4581,11 @@ def spatial_queries() -> dict[str, QueryFn]:
         "hough_lines": q_hough_lines,
         "watershed": q_watershed,
         "flow_length": q_flow_length,
+        "adaptive_quadtree": q_adaptive_quadtree,
+        "geodesic_assign": q_geodesic_assign,
+        "payload_integrity": q_payload_integrity,
+        "resize_bilinear": q_resize_bilinear,
+        "od_matrix": q_od_matrix,
     })
 
 
@@ -4678,6 +4685,8 @@ def spatial_oracles(sf: str = "sf0.01") -> dict[str, str]:
         "bloom_semi": rel.bloom_semi_sql(),
         "bfs_hops": _sql_bfs_hops(),
         "cohort_retention": rel.cohort_retention_sql(),
+        "event_transitions": rel.event_transitions_sql(),
+        "scd2_history": rel.scd2_history_sql(),
         "hilbert_rollup": _sql_hilbert(fx, w),
         "xmodal_align": _sql_xmodal_align(fx, w),
         "zonal_frac": _sql_zonal_frac(fx, w),
@@ -4740,6 +4749,11 @@ def spatial_oracles(sf: str = "sf0.01") -> dict[str, str]:
         "hough_lines": _sql_hough_lines(fx, w),
         "watershed": _sql_watershed(fx, w),
         "flow_length": _sql_flow_length(fx, w),
+        "adaptive_quadtree": _sql_adaptive_quadtree(fx),
+        "geodesic_assign": _sql_geodesic_assign(fx),
+        "payload_integrity": _sql_payload_integrity(fx),
+        "resize_bilinear": _sql_resize_bilinear(fx),
+        "od_matrix": _sql_od_matrix(fx),
     })
 
 
@@ -6551,4 +6565,412 @@ SELECT image_id,
        CAST(SUM(acc) AS BIGINT) AS sum_len,
        CAST(SUM(acc * pos) AS BIGINT) AS len_checksum
 FROM term GROUP BY image_id ORDER BY image_id
+"""
+
+
+def q_adaptive_quadtree(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Adaptive quadtree refinement census (spatial_index.
+    adaptive_quadtree): res-9 root cells split while they hold > 256
+    points, two refinement levels; leaf census + Σidx membership
+    checksum.  The planted hot anchors force real splits.  Oracle:
+    the same three censuses with hot-cell semi-join chaining."""
+    from ..operators import spatial_index as si
+
+    tiles = geo.georegister(_images(spark, sf_dir))
+    return (
+        si.adaptive_quadtree(tiles)
+        .repartition(1).sortWithinPartitions("res", "cell_id")
+    )
+
+
+def _sql_adaptive_quadtree(fx: Path) -> str:
+    from ..operators.spatial_index import QT_CAP, QT_RES0
+
+    cx, cy = "gt_x0 + 500.0", "gt_y0 - 500.0"
+    ks = ", ".join(
+        f"{osql.cell_expr(cx, cy, QT_RES0 + k)} AS k{k}" for k in range(3)
+    )
+    return f"""
+WITH {osql.georegister_cte(str(fx / 'images.parquet'))},
+pts AS (SELECT idx, {ks} FROM tiles),
+c0 AS (SELECT k0, COUNT(*) AS n, SUM(idx) AS s FROM pts GROUP BY k0),
+hot0 AS (SELECT k0 FROM c0 WHERE n > {QT_CAP}),
+p1 AS (SELECT * FROM pts WHERE k0 IN (SELECT k0 FROM hot0)),
+c1 AS (SELECT k1, COUNT(*) AS n, SUM(idx) AS s FROM p1 GROUP BY k1),
+hot1 AS (SELECT k1 FROM c1 WHERE n > {QT_CAP}),
+p2 AS (SELECT * FROM p1 WHERE k1 IN (SELECT k1 FROM hot1)),
+c2 AS (SELECT k2, COUNT(*) AS n, SUM(idx) AS s FROM p2 GROUP BY k2)
+SELECT cell_id, CAST(res AS BIGINT) AS res,
+       CAST(n AS BIGINT) AS n_points, CAST(s AS BIGINT) AS idx_sum
+FROM (
+  SELECT k0 AS cell_id, {QT_RES0} AS res, n, s FROM c0 WHERE n <= {QT_CAP}
+  UNION ALL
+  SELECT k1, {QT_RES0 + 1}, n, s FROM c1 WHERE n <= {QT_CAP}
+  UNION ALL
+  SELECT k2, {QT_RES0 + 2}, n, s FROM c2
+)
+ORDER BY res, cell_id
+"""
+
+
+_GEO_STATIONS = 8  # zones with zone_id < 8 serve as reference stations
+
+
+def q_geodesic_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Geodesic nearest-station assignment — the great-circle variant of
+    the Voronoi op (fleet/depot assignment on the globe): every tile
+    center is reprojected 3857 -> lon/lat (the R8 closed form), embedded
+    on the unit sphere, and assigned to the station minimizing the
+    SQUARED 3-D CHORD — monotone in central angle, so the argmin is the
+    true great-circle nearest WITHOUT asin/atan2 in the hot path.
+
+    Station unit vectors are computed ONCE in Python from the zone
+    centroids (driver planner metadata, dims-bounded — voronoi_assign's
+    posture) and inlined as literals into BOTH engines, so the only
+    per-row trig is the tile's own embedding — the same closed-form
+    class the hash-green extent_latlon query already pins cross-engine.
+    Per station: member count, Σidx checksum, min/max chord² (round 9,
+    the R8 float convention).
+
+    Plan: map-only least()+CASE argmin (codegen, zero shuffle) + one
+    |stations|-key partial+final agg."""
+    import math
+
+    from ..operators.extent import R_EARTH
+
+    zs = (
+        _zones(spark, sf_dir)
+        .where(F.col("zone_id") < _GEO_STATIONS)
+        .select("zone_id", "cx", "cy")
+        .collect()
+    )
+    stations = []
+    for rr in sorted(zs, key=lambda r: r["zone_id"]):
+        lon = math.radians(math.degrees(rr["cx"] / R_EARTH))
+        lat = math.radians(
+            math.degrees(2.0 * math.atan(math.exp(rr["cy"] / R_EARTH)) - math.pi / 2.0)
+        )
+        stations.append(
+            (
+                int(rr["zone_id"]),
+                math.cos(lat) * math.cos(lon),
+                math.cos(lat) * math.sin(lon),
+                math.sin(lat),
+            )
+        )
+
+    tiles = geo.georegister(_images(spark, sf_dir))
+    lon = F.radians(F.degrees((F.col("gt_x0") + F.lit(500.0)) / F.lit(R_EARTH)))
+    lat = F.radians(
+        F.degrees(
+            F.lit(2.0) * F.atan(F.exp((F.col("gt_y0") - F.lit(500.0)) / F.lit(R_EARTH)))
+            - F.lit(math.pi / 2.0)
+        )
+    )
+    base = tiles.select(
+        geo.image_idx().alias("idx"),
+        (F.cos(lat) * F.cos(lon)).alias("px"),
+        (F.cos(lat) * F.sin(lon)).alias("py"),
+        F.sin(lat).alias("pz"),
+    )
+    d2s = [
+        (
+            (F.col("px") - F.lit(sx)) * (F.col("px") - F.lit(sx))
+            + (F.col("py") - F.lit(sy)) * (F.col("py") - F.lit(sy))
+            + (F.col("pz") - F.lit(sz)) * (F.col("pz") - F.lit(sz))
+        ).alias(f"_d{sid}")
+        for sid, sx, sy, sz in stations
+    ]
+    proj = base.select("idx", *d2s)
+    m = F.least(*[F.col(f"_d{sid}") for sid, *_ in stations])
+    scase = F.when(
+        F.col(f"_d{stations[0][0]}") == F.col("_m"), F.lit(stations[0][0])
+    )
+    for sid, *_ in stations[1:]:
+        scase = scase.when(F.col(f"_d{sid}") == F.col("_m"), F.lit(sid))
+    best = proj.withColumn("_m", m).select(
+        "idx", scase.cast("long").alias("station_id"), F.col("_m").alias("d2")
+    )
+    return (
+        best.groupBy("station_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_tiles"),
+            F.sum("idx").alias("idx_checksum"),
+            F.round(F.min("d2"), 9).alias("min_chord2"),
+            F.round(F.max("d2"), 9).alias("max_chord2"),
+        )
+        .repartition(1).sortWithinPartitions("station_id")
+    )
+
+
+def _sql_geodesic_assign(fx: Path) -> str:
+    import math
+
+    from ..operators.extent import R_EARTH
+
+    import duckdb
+
+    zs = duckdb.sql(
+        f"SELECT zone_id, cx, cy FROM read_parquet('{fx / 'zones.parquet'}')"
+        f" WHERE zone_id < {_GEO_STATIONS} ORDER BY zone_id"
+    ).fetchall()
+    stations = []
+    for zone_id, cx, cy in zs:
+        lon = math.radians(math.degrees(cx / R_EARTH))
+        lat = math.radians(
+            math.degrees(2.0 * math.atan(math.exp(cy / R_EARTH)) - math.pi / 2.0)
+        )
+        stations.append(
+            (
+                int(zone_id),
+                math.cos(lat) * math.cos(lon),
+                math.cos(lat) * math.sin(lon),
+                math.sin(lat),
+            )
+        )
+    d2s = ", ".join(
+        f"((px - ({sx!r})) * (px - ({sx!r})) + (py - ({sy!r})) * (py - ({sy!r}))"
+        f" + (pz - ({sz!r})) * (pz - ({sz!r}))) AS d{sid}"
+        for sid, sx, sy, sz in stations
+    )
+    m = "least(" + ", ".join(f"d{sid}" for sid, *_ in stations) + ")"
+    scase = "CASE " + " ".join(
+        f"WHEN d{sid} = m THEN {sid}" for sid, *_ in stations
+    ) + " END"
+    return f"""
+WITH {osql.georegister_cte(str(fx / 'images.parquet'))},
+emb AS (
+  SELECT idx,
+         cos(radians(degrees(2.0 * atan(exp((gt_y0 - 500.0) / {R_EARTH!r})) - pi() / 2.0)))
+           * cos(radians(degrees((gt_x0 + 500.0) / {R_EARTH!r}))) AS px,
+         cos(radians(degrees(2.0 * atan(exp((gt_y0 - 500.0) / {R_EARTH!r})) - pi() / 2.0)))
+           * sin(radians(degrees((gt_x0 + 500.0) / {R_EARTH!r}))) AS py,
+         sin(radians(degrees(2.0 * atan(exp((gt_y0 - 500.0) / {R_EARTH!r})) - pi() / 2.0))) AS pz
+  FROM tiles
+),
+proj AS (SELECT idx, {d2s} FROM emb),
+best AS (SELECT idx, {m} AS m, {scase} AS station_id FROM proj)
+SELECT CAST(station_id AS BIGINT) AS station_id,
+       CAST(COUNT(*) AS BIGINT) AS n_tiles,
+       CAST(SUM(idx) AS BIGINT) AS idx_checksum,
+       round(MIN(m), 9) AS min_chord2,
+       round(MAX(m), 9) AS max_chord2
+FROM best GROUP BY station_id ORDER BY station_id
+"""
+
+
+def q_payload_integrity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Binary-payload contract audit over the image table — the ingest
+    validation a 10^12-row media pipeline runs before registering a
+    snapshot (the blob twin of integrity_audit's relational checks):
+    byte length must equal w*h*bpp for the declared fmt, fmt must be a
+    known codec, dims must be positive and bounded, phash must be
+    present.  One row per check with violation count, checked count and
+    the Σidx checksum of the violating set (0 = clean).
+
+    Plan: ONE map-only pass computes every flag (octet_length is
+    metadata-cheap — the scan never decodes), one single-row agg, then
+    a stack() unpivot to the 4-row report.  No shuffle carries bytes."""
+    im = _images(spark, sf_dir)
+    idx = geo.image_idx()
+    bpp = F.when(F.col("fmt") == "raw16", 2).otherwise(1)
+    flags = im.select(
+        idx.alias("idx"),
+        (F.length("bytes") != F.col("w") * F.col("h") * bpp).alias("v_len"),
+        (~F.col("fmt").isin("raw", "qnt", "raw16")).alias("v_fmt"),
+        (
+            (F.col("w") <= 0) | (F.col("h") <= 0)
+            | (F.col("w") > 4096) | (F.col("h") > 4096)
+        ).alias("v_dims"),
+        F.col("phash").isNull().alias("v_phash"),
+    )
+    agg = flags.agg(
+        F.count(F.lit(1)).alias("n_checked"),
+        *[
+            x
+            for c in ("v_len", "v_fmt", "v_dims", "v_phash")
+            for x in (
+                F.sum(F.col(c).cast("long")).alias(f"n_{c}"),
+                F.coalesce(F.sum(F.when(F.col(c), F.col("idx"))), F.lit(0)).alias(
+                    f"s_{c}"
+                ),
+            )
+        ],
+    )
+    return agg.selectExpr(
+        "stack(4, "
+        "'len_mismatch', n_v_len, s_v_len, "
+        "'unknown_fmt', n_v_fmt, s_v_fmt, "
+        "'bad_dims', n_v_dims, s_v_dims, "
+        "'null_phash', n_v_phash, s_v_phash"
+        ") as (check_name, n_violations, viol_idx_sum)",
+        "n_checked",
+    ).repartition(1).sortWithinPartitions("check_name")
+
+
+def _sql_payload_integrity(fx: Path) -> str:
+    return f"""
+WITH img AS (
+  SELECT *, CAST(substr(image_id, 4, 10) AS BIGINT) AS idx,
+         CASE WHEN fmt = 'raw16' THEN 2 ELSE 1 END AS bpp
+  FROM read_parquet('{fx / 'images.parquet'}')
+),
+flags AS (
+  SELECT idx,
+         octet_length(bytes) <> w * h * bpp AS v_len,
+         fmt NOT IN ('raw', 'qnt', 'raw16') AS v_fmt,
+         (w <= 0 OR h <= 0 OR w > 4096 OR h > 4096) AS v_dims,
+         phash IS NULL AS v_phash
+  FROM img
+),
+agg AS (
+  SELECT COUNT(*) AS n_checked,
+         SUM(CASE WHEN v_len THEN 1 ELSE 0 END) AS n_len,
+         COALESCE(SUM(CASE WHEN v_len THEN idx END), 0) AS s_len,
+         SUM(CASE WHEN v_fmt THEN 1 ELSE 0 END) AS n_fmt,
+         COALESCE(SUM(CASE WHEN v_fmt THEN idx END), 0) AS s_fmt,
+         SUM(CASE WHEN v_dims THEN 1 ELSE 0 END) AS n_dims,
+         COALESCE(SUM(CASE WHEN v_dims THEN idx END), 0) AS s_dims,
+         SUM(CASE WHEN v_phash THEN 1 ELSE 0 END) AS n_phash,
+         COALESCE(SUM(CASE WHEN v_phash THEN idx END), 0) AS s_phash
+  FROM flags
+)
+SELECT check_name,
+       CAST(n_violations AS BIGINT) AS n_violations,
+       CAST(viol_idx_sum AS BIGINT) AS viol_idx_sum,
+       CAST(n_checked AS BIGINT) AS n_checked
+FROM (
+  SELECT 'len_mismatch' AS check_name, n_len AS n_violations, s_len AS viol_idx_sum, n_checked FROM agg
+  UNION ALL SELECT 'unknown_fmt', n_fmt, s_fmt, n_checked FROM agg
+  UNION ALL SELECT 'bad_dims', n_dims, s_dims, n_checked FROM agg
+  UNION ALL SELECT 'null_phash', n_phash, s_phash, n_checked FROM agg
+)
+ORDER BY check_name
+"""
+
+
+_RSZ_MOD = 101
+
+
+def q_resize_bilinear(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fixed-point bilinear 1.5x upsample (algebra.resize_bilinear_stats
+    — gdalwarp -r bilinear analog): 32x32 -> 48x48 with pixel-center
+    alignment, weights exact sixths so v36 is int64-exact.  Oracle
+    re-derives every output pixel from the ramp formula at the gathered
+    source indices."""
+    from ..operators import algebra
+
+    tiles = geo.georegister(_images(spark, sf_dir)).where(
+        geo.image_idx() % _RSZ_MOD == 0
+    )
+    return (
+        algebra.resize_bilinear_stats(tiles)
+        .repartition(1).sortWithinPartitions("image_id")
+    )
+
+
+def _sql_resize_bilinear(fx: Path) -> str:
+    from ..operators.algebra import _RESIZE_OUT
+
+    a0 = (
+        "CASE WHEN 4 * {t} - 1 < 0 THEN 0"
+        " WHEN (4 * {t} - 1) // 6 >= 31 THEN 31"
+        " ELSE (4 * {t} - 1) // 6 END"
+    )
+    fa = (
+        "CASE WHEN 4 * {t} - 1 < 0 THEN 0"
+        " WHEN (4 * {t} - 1) // 6 >= 31 THEN 0"
+        " ELSE (4 * {t} - 1) % 6 END"
+    )
+    lim = _RESIZE_OUT - 1
+    npx = _RESIZE_OUT * _RESIZE_OUT
+
+    def rv(i: str, j: str) -> str:
+        return f"CAST({osql.ramp_value_expr(i, j)} AS BIGINT)"
+
+    v36 = (
+        "(6 - gi.fa) * (6 - gj.fa) * " + rv("gi.a0", "gj.a0")
+        + " + (6 - gi.fa) * gj.fa * " + rv("gi.a0", "gj.a1")
+        + " + gi.fa * (6 - gj.fa) * " + rv("gi.a1", "gj.a0")
+        + " + gi.fa * gj.fa * " + rv("gi.a1", "gj.a1")
+    )
+    return f"""
+WITH {osql.georegister_cte(str(fx / 'images.parquet'))},
+g AS (
+  SELECT t.ti,
+         {a0.format(t='t.ti')} AS a0,
+         least(({a0.format(t='t.ti')}) + 1, 31) AS a1,
+         {fa.format(t='t.ti')} AS fa
+  FROM generate_series(0, {lim}) AS t(ti)
+),
+px AS (
+  SELECT image_id, gi.ti AS ti, gj.ti AS tj, {v36} AS v36
+  FROM tiles, g gi, g gj
+  WHERE idx % {_RSZ_MOD} = 0 AND w = 32 AND h = 32
+)
+SELECT image_id,
+       CAST({npx} AS BIGINT) AS n_px,
+       CAST(SUM(v36) AS BIGINT) AS sum36,
+       CAST(MIN(v36) AS BIGINT) AS min36,
+       CAST(MAX(v36) AS BIGINT) AS max36,
+       CAST(SUM(v36 * (ti * {_RESIZE_OUT} + tj + 1)) AS BIGINT) AS resize_checksum
+FROM px GROUP BY image_id ORDER BY image_id
+"""
+
+
+_OD_RES = 10
+_OD_USERS = 997
+
+
+def q_od_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Origin-destination matrix — the mobility-analytics rollup (trip
+    tables every transport/logistics pipeline derives): tiles are
+    visits (user = idx % 997, visit order = idx), each user's
+    consecutive visit pair contributes one trip between res-10 cells;
+    per (from_cell, to_cell): trip count and distinct travellers.
+
+    Scale shape: ONE shuffle on the user key for the lead() window
+    (the event-stream idiom), then a partial+final agg on OD pairs —
+    bounded by (#occupied cells)^2, not by row count."""
+    from pyspark.sql import Window
+
+    from ..functions import cells
+
+    tiles = geo.georegister(_images(spark, sf_dir))
+    visits = tiles.select(
+        (geo.image_idx() % _OD_USERS).alias("user_id"),
+        geo.image_idx().alias("seq"),
+        cells.cell_encode(geo.centroid_x(), geo.centroid_y(), _OD_RES).alias("cell"),
+    )
+    w = Window.partitionBy("user_id").orderBy("seq")
+    trips = visits.withColumn("to_cell", F.lead("cell").over(w)).where(
+        F.col("to_cell").isNotNull()
+    )
+    return (
+        trips.groupBy(F.col("cell").alias("from_cell"), "to_cell")
+        .agg(
+            F.count(F.lit(1)).alias("n_trips"),
+            F.count_distinct("user_id").alias("n_users"),
+        )
+        .repartition(1).sortWithinPartitions("from_cell", "to_cell")
+    )
+
+
+def _sql_od_matrix(fx: Path) -> str:
+    cell = osql.cell_expr("gt_x0 + 500.0", "gt_y0 - 500.0", _OD_RES)
+    return f"""
+WITH {osql.georegister_cte(str(fx / 'images.parquet'))},
+visits AS (
+  SELECT idx % {_OD_USERS} AS user_id, idx AS seq, {cell} AS cell FROM tiles
+),
+trips AS (
+  SELECT user_id, cell,
+         LEAD(cell) OVER (PARTITION BY user_id ORDER BY seq) AS to_cell
+  FROM visits
+)
+SELECT cell AS from_cell, to_cell,
+       CAST(COUNT(*) AS BIGINT) AS n_trips,
+       CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_users
+FROM trips WHERE to_cell IS NOT NULL
+GROUP BY from_cell, to_cell ORDER BY from_cell, to_cell
 """

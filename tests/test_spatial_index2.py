@@ -240,3 +240,57 @@ def test_hilbert_rollup_locality_and_plan(spark, sf0001_dir):
         si.hilbert_rollup(tiles)._jdf.queryExecution().executedPlan().toString()
     )
     assert "ArrowEvalPython" not in plan and "BatchEvalPython" not in plan
+
+
+def test_round3_contract_vs_duckdb(spark):
+    """sf0.001 parity for the round-3 batch: quadtree refinement,
+    geodesic assignment, OD matrix, payload audit, bilinear resize,
+    SCD2 build, event transitions — the same compare the driver runs
+    at sf0.01."""
+    import duckdb
+
+    from georaster_spark.plans import contract as ct
+    from georaster_spark.operators import relational as rel
+    from tests.driver_sim import table_hash
+
+    sf_dir = "/root/testdata/sf0.001"
+    fx = ct._fx(sf_dir)
+    con = duckdb.connect()
+    for t in ("events", "orders"):
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{sf_dir}/{t}.parquet')"
+        )
+    for name, qfn, sql in [
+        ("adaptive_quadtree", ct.q_adaptive_quadtree, ct._sql_adaptive_quadtree(fx)),
+        ("geodesic_assign", ct.q_geodesic_assign, ct._sql_geodesic_assign(fx)),
+        ("od_matrix", ct.q_od_matrix, ct._sql_od_matrix(fx)),
+        ("payload_integrity", ct.q_payload_integrity, ct._sql_payload_integrity(fx)),
+        ("resize_bilinear", ct.q_resize_bilinear, ct._sql_resize_bilinear(fx)),
+        ("event_transitions", rel.event_transitions, rel.event_transitions_sql()),
+        ("scd2_history", rel.scd2_history, rel.scd2_history_sql()),
+    ]:
+        if name in ("event_transitions", "scd2_history"):
+            sdf = qfn(spark, sf_dir)
+        else:
+            sdf = qfn(spark, sf_dir)
+        srows = [tuple(r) for r in sdf.collect()]
+        orows = con.execute(sql).fetchall()
+        ocols = [d[0] for d in con.description]
+        assert len(srows) > 0, name
+        assert len(srows) == len(orows), name
+        assert sorted(sdf.columns) == sorted(ocols), name
+        assert table_hash(sdf.columns, srows) == table_hash(ocols, orows), name
+
+
+def test_quadtree_census_conserves_points(spark, sf0001_dir):
+    from georaster_spark.operators import georegister as geo
+    from georaster_spark.operators import spatial_index as si
+
+    tiles = geo.georegister(spark.read.parquet(str(sf0001_dir / "images.parquet")))
+    rows = si.adaptive_quadtree(tiles).collect()
+    total = tiles.count()
+    assert sum(r["n_points"] for r in rows) == total
+    # every non-final level obeys the cap
+    for r in rows:
+        if r["res"] < si.QT_RES0 + si.QT_LEVELS - 1:
+            assert r["n_points"] <= si.QT_CAP

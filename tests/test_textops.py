@@ -44,6 +44,8 @@ CASES = [
         textops.source_mixture_sample,
         textops.source_mixture_sample_sql(),
     ),
+    ("dsir_importance", textops.dsir_importance, textops.dsir_importance_sql()),
+    ("chunking_audit", textops.chunking_audit, textops.chunking_audit_sql()),
 ]
 
 
