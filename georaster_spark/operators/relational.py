@@ -1299,3 +1299,41 @@ SELECT o_orderstatus AS status,
        CAST(COALESCE(SUM(valid_to - d), 0) AS BIGINT) AS closed_days
 FROM changes GROUP BY status ORDER BY status
 """
+
+
+def custdist(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q13 (customer distribution): histogram of customers by how
+    many orders they placed, INCLUDING zero-order customers — the
+    aggregate-of-aggregates distribution query (outer join -> per-key
+    count -> count-of-counts).
+
+    Scale shape: LEFT OUTER join on custkey (both sides key-partitioned
+    at scale), per-customer count partial+final, then a second tiny agg
+    on the count value — the second shuffle carries |distinct counts|
+    keys.  No window, no sort until the final |bins|-row output."""
+    cust = _t(spark, sf_dir, "customer").select("c_custkey")
+    orders = _t(spark, sf_dir, "orders").select("o_custkey", "o_orderkey")
+    per_cust = (
+        cust.join(orders, cust.c_custkey == orders.o_custkey, "left")
+        .groupBy("c_custkey")
+        .agg(F.count("o_orderkey").alias("c_count"))
+    )
+    return (
+        per_cust.groupBy("c_count")
+        .agg(F.count(F.lit(1)).alias("custdist"))
+        .repartition(1).sortWithinPartitions(
+            F.desc("custdist"), F.desc("c_count")
+        )
+    )
+
+
+def custdist_sql() -> str:
+    return """
+SELECT c_count, CAST(COUNT(*) AS BIGINT) AS custdist
+FROM (
+  SELECT c.c_custkey, CAST(COUNT(o.o_orderkey) AS BIGINT) AS c_count
+  FROM customer c LEFT JOIN orders o ON c.c_custkey = o.o_custkey
+  GROUP BY c.c_custkey
+)
+GROUP BY c_count ORDER BY custdist DESC, c_count DESC
+"""

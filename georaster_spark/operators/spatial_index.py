@@ -887,3 +887,51 @@ def adaptive_quadtree(tiles: DataFrame) -> DataFrame:
     for o in outs[1:]:
         out = out.unionByName(o)
     return out
+
+
+def _xy2d(order: int, x: int, y: int) -> int:
+    """Hilbert index of cell (x, y) on a 2^order grid — the Python twin
+    of with_hilbert's unrolled Column levels (same Hamilton
+    rotate/reflect; kept in lockstep so driver-side range planning and
+    engine-side keys agree)."""
+    d = 0
+    s = 1 << (order - 1)
+    while s > 0:
+        rx = 1 if (x & s) > 0 else 0
+        ry = 1 if (y & s) > 0 else 0
+        d += s * s * ((3 * rx) ^ ry)
+        if ry == 0:
+            if rx == 1:
+                x, y = (s - 1) - x, (s - 1) - y
+            x, y = y, x
+        s >>= 1
+    return d
+
+
+def hilbert_block_ranges(
+    x0: int, x1: int, y0: int, y1: int, r: int = HILBERT_R, b: int = 4
+) -> list[tuple[int, int]]:
+    """Merged inclusive Hilbert-index ranges covering the inclusive cell
+    rect [x0,x1]x[y0,y1]: every ALIGNED 2^b block touching the rect maps
+    to the contiguous index run [D<<2b, (D+1)<<2b) with D its order-(r-b)
+    Hilbert index (the curve fully traverses each aligned subsquare
+    before leaving it — the recursive-construction invariant), so range
+    planning is pure driver arithmetic over (rect_area / 4^b) blocks.
+    Over-coverage at block granularity is refined by the exact rect
+    predicate downstream — the classic filter-refine contract, so range
+    tightness affects cost only, never results."""
+    ds = sorted(
+        {
+            _xy2d(r - b, bx, by)
+            for bx in range(x0 >> b, (x1 >> b) + 1)
+            for by in range(y0 >> b, (y1 >> b) + 1)
+        }
+    )
+    ranges: list[tuple[int, int]] = []
+    for d in ds:
+        lo, hi = d << (2 * b), ((d + 1) << (2 * b)) - 1
+        if ranges and ranges[-1][1] + 1 == lo:
+            ranges[-1] = (ranges[-1][0], hi)
+        else:
+            ranges.append((lo, hi))
+    return ranges

@@ -4519,6 +4519,7 @@ def spatial_queries() -> dict[str, QueryFn]:
         "cohort_retention": rel.cohort_retention,
         "event_transitions": rel.event_transitions,
         "scd2_history": rel.scd2_history,
+        "custdist": rel.custdist,
         "hilbert_rollup": q_hilbert,
         "xmodal_align": q_xmodal_align,
         "zonal_frac": q_zonal_frac,
@@ -4586,6 +4587,7 @@ def spatial_queries() -> dict[str, QueryFn]:
         "payload_integrity": q_payload_integrity,
         "resize_bilinear": q_resize_bilinear,
         "od_matrix": q_od_matrix,
+        "hilbert_range_scan": q_hilbert_range_scan,
     })
 
 
@@ -4687,6 +4689,7 @@ def spatial_oracles(sf: str = "sf0.01") -> dict[str, str]:
         "cohort_retention": rel.cohort_retention_sql(),
         "event_transitions": rel.event_transitions_sql(),
         "scd2_history": rel.scd2_history_sql(),
+        "custdist": rel.custdist_sql(),
         "hilbert_rollup": _sql_hilbert(fx, w),
         "xmodal_align": _sql_xmodal_align(fx, w),
         "zonal_frac": _sql_zonal_frac(fx, w),
@@ -4754,6 +4757,7 @@ def spatial_oracles(sf: str = "sf0.01") -> dict[str, str]:
         "payload_integrity": _sql_payload_integrity(fx),
         "resize_bilinear": _sql_resize_bilinear(fx),
         "od_matrix": _sql_od_matrix(fx),
+        "hilbert_range_scan": _sql_hilbert_range_scan(fx),
     })
 
 
@@ -6973,4 +6977,109 @@ SELECT cell AS from_cell, to_cell,
        CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_users
 FROM trips WHERE to_cell IS NOT NULL
 GROUP BY from_cell, to_cell ORDER BY from_cell, to_cell
+"""
+
+
+# gx in [96, 207], gy in [0, 15] on the pre-jitter ingest lattice:
+# non-empty at every sf (sf0.001 occupies gy 0-1, sf0.1 gy 0-195)
+_HRS_RECT = (96, 207, 0, 15)
+
+
+def q_hilbert_range_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hilbert range-pruned rectangle query (the Z-ORDER/Hilbert file-
+    pruning story run end-to-end): the driver plans the merged index
+    ranges covering the query rect (spatial_index.hilbert_block_ranges
+    — pure arithmetic, no data touched), the scan keeps rows whose
+    Hilbert key lands in a range (at 100 TB this IS the file/row-group
+    prune on a Hilbert-clustered layout), and the exact rect predicate
+    refines.  Output pins the pruning envelope (n_scanned) AND the
+    exact hit set (n_hits + Σidx); planner metadata (n_ranges,
+    covered_cells) is echoed so the record shows the prune's cost.
+
+    Plan: map-only key derivation (with_hilbert's unrolled codegen
+    levels) + one OR-of-BETWEENs filter + single-row agg — no shuffle,
+    no UDF, nothing driver-side but the range plan."""
+    from ..constants import GRID_W
+    from ..operators import spatial_index as si
+
+    x0, x1, y0, y1 = _HRS_RECT
+    ranges = si.hilbert_block_ranges(x0, x1, y0, y1)
+    idx = geo.image_idx()
+    base = _images(spark, sf_dir).select(
+        idx.alias("idx"),
+        (idx % GRID_W).alias("gx"),
+        (idx / GRID_W).cast("long").alias("gy"),
+    )
+    keyed = si.with_hilbert(base, "gx", "gy", out="d")
+    in_range = None
+    for lo, hi in ranges:
+        c = F.col("d").between(lo, hi)
+        in_range = c if in_range is None else (in_range | c)
+    in_rect = (
+        F.col("gx").between(x0, x1) & F.col("gy").between(y0, y1)
+    )
+    covered = sum(hi - lo + 1 for lo, hi in ranges)
+    return keyed.agg(
+        F.lit(len(ranges)).cast("long").alias("n_ranges"),
+        F.lit(covered).cast("long").alias("covered_cells"),
+        F.sum(in_range.cast("long")).alias("n_scanned"),
+        F.sum((in_range & in_rect).cast("long")).alias("n_hits"),
+        F.coalesce(
+            F.sum(F.when(in_range & in_rect, F.col("idx"))), F.lit(0)
+        ).alias("idx_sum"),
+    )
+
+
+def _hilbert_chain_sql() -> str:
+    """The unrolled Hilbert CTE chain (lvl{R}..lvl0) over the `img` CTE
+    — shared by _sql_hilbert and _sql_hilbert_range_scan."""
+    from ..constants import GRID_W
+    from ..operators.spatial_index import HILBERT_R
+
+    ctes = [f"""
+lvl{HILBERT_R} AS (
+  SELECT idx, idx % {GRID_W} AS gx, idx // {GRID_W} AS gy,
+         CAST(idx % {GRID_W} AS BIGINT) AS x,
+         CAST(idx // {GRID_W} AS BIGINT) AS y,
+         CAST(0 AS BIGINT) AS d
+  FROM img
+)"""]
+    for i in range(HILBERT_R - 1, -1, -1):
+        s = 1 << i
+        rx = f"(CASE WHEN (x & {s}) > 0 THEN 1 ELSE 0 END)"
+        ry = f"(CASE WHEN (y & {s}) > 0 THEN 1 ELSE 0 END)"
+        ctes.append(f"""
+lvl{i} AS (
+  SELECT idx, gx, gy,
+         CASE WHEN {ry} = 0 THEN
+           CASE WHEN {rx} = 1 THEN {s - 1} - y ELSE y END
+         ELSE x END AS x,
+         CASE WHEN {ry} = 0 THEN
+           CASE WHEN {rx} = 1 THEN {s - 1} - x ELSE x END
+         ELSE y END AS y,
+         d + {s * s} * xor(3 * {rx}, {ry}) AS d
+  FROM lvl{i + 1}
+)""")
+    return ",".join(ctes)
+
+
+def _sql_hilbert_range_scan(fx: Path) -> str:
+    from ..operators import spatial_index as si
+
+    x0, x1, y0, y1 = _HRS_RECT
+    ranges = si.hilbert_block_ranges(x0, x1, y0, y1)
+    covered = sum(hi - lo + 1 for lo, hi in ranges)
+    in_range = " OR ".join(f"(d BETWEEN {lo} AND {hi})" for lo, hi in ranges)
+    in_rect = f"gx BETWEEN {x0} AND {x1} AND gy BETWEEN {y0} AND {y1}"
+    return f"""
+WITH img AS (
+  SELECT CAST(substr(image_id, 4, 10) AS BIGINT) AS idx
+  FROM read_parquet('{fx / 'images.parquet'}')
+),{_hilbert_chain_sql()}
+SELECT CAST({len(ranges)} AS BIGINT) AS n_ranges,
+       CAST({covered} AS BIGINT) AS covered_cells,
+       CAST(SUM(CASE WHEN {in_range} THEN 1 ELSE 0 END) AS BIGINT) AS n_scanned,
+       CAST(SUM(CASE WHEN ({in_range}) AND {in_rect} THEN 1 ELSE 0 END) AS BIGINT) AS n_hits,
+       CAST(COALESCE(SUM(CASE WHEN ({in_range}) AND {in_rect} THEN idx END), 0) AS BIGINT) AS idx_sum
+FROM lvl0
 """

@@ -65,6 +65,21 @@ DEFAULT = [
     "kmeans_embed",       # A115: map-only assign + K-row driver update
     "dedup_components_star",  # A116: star-contraction CC rounds
     "integrity_audit",    # A117: anti-join FK checks union
+    "flow_length",        # A118: pointer jumping with additive weights
+    "lm_doc_likelihood",  # A119: count aggs + keyed scoring joins
+    "source_mixture_sample",  # A120: census + 1-row broadcast keep rule
+    "adaptive_quadtree",  # A121: per-level census + bounded hot broadcasts
+    "od_matrix",          # A122: one user-key window + OD-pair agg
+    "scd2_history",       # A123: change-point filter between two windows
+    "dsir_importance",    # A124: 1024-row model broadcast onto term stream
+    "chunking_audit",     # A125: bounded chunk-index explode
+    "resize_bilinear",    # A126: map-only fused fixed-point gather
+    "payload_integrity",  # A127: map-only flags, single-row agg, stack()
+    "geodesic_assign",    # A128: map-only chord argmin, codegen
+    "event_transitions",  # A129: one user-key lead() window
+    "hilbert_range_scan", # A130: driver range plan + OR-of-BETWEENs prune
+    "voronoi_assign",     # A62 (round-3 replan): scalar least()+CASE argmin
+    "zonal_majority",     # A50-family (round-3 replan): cached-decode hist partials
 ]
 
 

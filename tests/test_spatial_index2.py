@@ -268,6 +268,11 @@ def test_round3_contract_vs_duckdb(spark):
         ("resize_bilinear", ct.q_resize_bilinear, ct._sql_resize_bilinear(fx)),
         ("event_transitions", rel.event_transitions, rel.event_transitions_sql()),
         ("scd2_history", rel.scd2_history, rel.scd2_history_sql()),
+        (
+            "hilbert_range_scan",
+            ct.q_hilbert_range_scan,
+            ct._sql_hilbert_range_scan(fx),
+        ),
     ]:
         if name in ("event_transitions", "scd2_history"):
             sdf = qfn(spark, sf_dir)
@@ -294,3 +299,27 @@ def test_quadtree_census_conserves_points(spark, sf0001_dir):
     for r in rows:
         if r["res"] < si.QT_RES0 + si.QT_LEVELS - 1:
             assert r["n_points"] <= si.QT_CAP
+
+
+def test_hilbert_block_ranges_cover_rect():
+    """Pure-python planner invariants: every rect cell's full-order
+    Hilbert index lands inside a planned range (no false negatives),
+    and ranges are disjoint, sorted, merged."""
+    from georaster_spark.operators.spatial_index import (
+        HILBERT_R,
+        _xy2d,
+        hilbert_block_ranges,
+    )
+
+    x0, x1, y0, y1 = 96, 207, 0, 15
+    ranges = hilbert_block_ranges(x0, x1, y0, y1)
+    for (alo, ahi), (blo, bhi) in zip(ranges, ranges[1:]):
+        assert ahi < blo - 1  # sorted, disjoint, adjacent runs merged
+    import bisect
+
+    los = [lo for lo, _ in ranges]
+    for x in range(x0, x1 + 1):
+        for y in range(y0, y1 + 1):
+            d = _xy2d(HILBERT_R, x, y)
+            k = bisect.bisect_right(los, d) - 1
+            assert k >= 0 and d <= ranges[k][1], (x, y, d)
