@@ -2348,3 +2348,231 @@ def resize_bilinear_stats(tiles: DataFrame) -> DataFrame:
             yield pd.DataFrame(out)
 
     return slim.mapInPandas(_rsz, schema=_RESIZE_SCHEMA)
+
+
+_CURV_SCHEMA = (
+    "image_id string, n_interior long, lap_sum long, lap_abs_sum long, "
+    "n_convex long, n_concave long, zxy_sq_sum long, lap_checksum long"
+)
+
+
+def curvature_stats(tiles: DataFrame) -> DataFrame:
+    """Zevenbergen & Thorne (1987) second-derivative terrain curvature
+    (`gdaldem`-family analog; upstream georaster exposes only the raw
+    array — SURVEY §2.1 ⚠) as integer-exact per-tile surfaces the
+    DuckDB oracle re-derives from the ramp formula.
+
+    Interior stencils (unnormalized numerators — the cellsize^2 factor
+    is a constant scale):
+      zxx  = z[i,j-1] - 2 z[i,j] + z[i,j+1]
+      zyy  = z[i-1,j] - 2 z[i,j] + z[i+1,j]
+      zxy4 = z[i+1,j+1] + z[i-1,j-1] - z[i-1,j+1] - z[i+1,j-1]
+      lap  = zxx + zyy        (Laplacian = -2 * Z-T general curvature)
+
+    Surfaces (all int64-exact): lap_sum, lap_abs_sum, strict-sign
+    convex/concave censuses (lap < 0 / lap > 0), zxy_sq_sum, and the
+    position-weighted lap_checksum pinning every interior value.
+
+    Scale shape: map-only fused mapInPandas — zero shuffle; stencils in
+    int16/int32 (bandwidth-bound kernels), sums accumulate int64."""
+    slim = tiles.select("image_id", "bytes", "w", "h", "fmt")
+
+    def _curv(batches):
+        dt = {"raw": np.uint8, "qnt": np.uint8, "raw16": "<u2"}
+        cols = (
+            "n_interior", "lap_sum", "lap_abs_sum", "n_convex",
+            "n_concave", "zxy_sq_sum", "lap_checksum",
+        )
+        for pdf in batches:
+            n = len(pdf)
+            out = {"image_id": pdf["image_id"].to_numpy(dtype=object)}
+            for c in cols:
+                out[c] = np.zeros(n, dtype=np.int64)
+            groups: dict[tuple, list[int]] = {}
+            for k in range(n):
+                key = (int(pdf["w"].iat[k]), int(pdf["h"].iat[k]), pdf["fmt"].iat[k])
+                groups.setdefault(key, []).append(k)
+            for (w, h, fmt), idx in groups.items():
+                if w < 3 or h < 3:
+                    continue
+                z = (
+                    np.frombuffer(
+                        b"".join(pdf["bytes"].iat[k] for k in idx), dtype=dt[fmt]
+                    )
+                    .reshape(len(idx), h, w)
+                    .astype(np.int16)
+                )
+                c = z[:, 1:-1, 1:-1].astype(np.int32)
+                zxx = z[:, 1:-1, :-2] - 2 * c + z[:, 1:-1, 2:]
+                zyy = z[:, :-2, 1:-1] - 2 * c + z[:, 2:, 1:-1]
+                zxy4 = (
+                    z[:, 2:, 2:].astype(np.int32) + z[:, :-2, :-2]
+                    - z[:, :-2, 2:] - z[:, 2:, :-2]
+                )
+                lap = zxx + zyy
+                wt = np.arange(1, (h - 2) * (w - 2) + 1, dtype=np.int64).reshape(
+                    h - 2, w - 2
+                )
+                ii = np.asarray(idx)
+                out["n_interior"][ii] = (h - 2) * (w - 2)
+                out["lap_sum"][ii] = lap.sum(axis=(1, 2), dtype=np.int64)
+                out["lap_abs_sum"][ii] = np.abs(lap).sum(axis=(1, 2), dtype=np.int64)
+                out["n_convex"][ii] = (lap < 0).sum(axis=(1, 2))
+                out["n_concave"][ii] = (lap > 0).sum(axis=(1, 2))
+                out["zxy_sq_sum"][ii] = (
+                    (zxy4.astype(np.int64) ** 2).sum(axis=(1, 2))
+                )
+                out["lap_checksum"][ii] = np.einsum(
+                    "bij,ij->b", lap.astype(np.int64), wt
+                )
+            yield pd.DataFrame(out)
+
+    return slim.mapInPandas(_curv, schema=_CURV_SCHEMA)
+
+
+_HORIZON_SCHEMA = (
+    "image_id string, n_px long, n_shadow long, shadow_checksum long"
+)
+
+# Sun ray tangent NUM/DEN (rise per 1-px westward step needed to shadow).
+HORIZON_NUM = 3
+HORIZON_DEN = 2
+
+
+def horizon_shadow_stats(tiles: DataFrame) -> DataFrame:
+    """Cast-shadow census along the west->east sun ray (GRASS
+    `r.horizon` / `r.sun` shadow test; upstream georaster users run it
+    over ``self.r`` — SURVEY §2.1 ⚠), integer-exact: pixel (i, j) is
+    shadowed iff some pixel k < j on its row rises above the sun ray,
+    i.e. (z[i,k] - z[i,j]) * DEN > (j - k) * NUM.
+
+    The test linearizes: with s = z*DEN + col*NUM it is exactly
+    ``max_{k<j} s[i,k] > s[i,j]`` — a running maximum, O(w) per row
+    (np.maximum.accumulate), and a plain window MAX OVER (... ROWS
+    UNBOUNDED PRECEDING TO 1 PRECEDING) on the oracle side.  No pair
+    blowup on either engine.
+
+    Scale shape: map-only fused mapInPandas — zero shuffle."""
+    slim = tiles.select("image_id", "bytes", "w", "h", "fmt")
+
+    def _horizon(batches):
+        dt = {"raw": np.uint8, "qnt": np.uint8, "raw16": "<u2"}
+        for pdf in batches:
+            n = len(pdf)
+            out = {"image_id": pdf["image_id"].to_numpy(dtype=object)}
+            for c in ("n_px", "n_shadow", "shadow_checksum"):
+                out[c] = np.zeros(n, dtype=np.int64)
+            groups: dict[tuple, list[int]] = {}
+            for k in range(n):
+                key = (int(pdf["w"].iat[k]), int(pdf["h"].iat[k]), pdf["fmt"].iat[k])
+                groups.setdefault(key, []).append(k)
+            for (w, h, fmt), idx in groups.items():
+                z = (
+                    np.frombuffer(
+                        b"".join(pdf["bytes"].iat[k] for k in idx), dtype=dt[fmt]
+                    )
+                    .reshape(len(idx), h, w)
+                    .astype(np.int32)
+                )
+                s = z * HORIZON_DEN + np.arange(w, dtype=np.int32) * HORIZON_NUM
+                runmax = np.maximum.accumulate(s, axis=2)
+                shadowed = np.zeros_like(s, dtype=bool)
+                shadowed[:, :, 1:] = runmax[:, :, :-1] > s[:, :, 1:]
+                wt = np.arange(1, h * w + 1, dtype=np.int64).reshape(h, w)
+                ii = np.asarray(idx)
+                out["n_px"][ii] = h * w
+                out["n_shadow"][ii] = shadowed.sum(axis=(1, 2))
+                out["shadow_checksum"][ii] = np.einsum(
+                    "bij,ij->b", shadowed.astype(np.int64), wt
+                )
+            yield pd.DataFrame(out)
+
+    return slim.mapInPandas(_horizon, schema=_HORIZON_SCHEMA)
+
+
+_SEAM_SCHEMA = (
+    "image_id string, seam_rows long, energy_sum long, seam_cost long, "
+    "seam_end long, n_min_cols long, dp_checksum long"
+)
+
+# DP depth: fixed row count so the oracle's unrolled CTE chain is
+# sf-independent (tiles are 32 or 64 tall; 16 interior rows fit both).
+SEAM_ROWS = 16
+
+
+def seam_carve_stats(tiles: DataFrame) -> DataFrame:
+    """Minimum-energy vertical seam (Avidan & Shamir 2007 seam carving,
+    the content-aware-resize primitive; cv2/scikit-image analog) over
+    the first SEAM_ROWS interior rows, integer-exact.
+
+    energy e[r,c] (interior coords i=r+1, j=c+1):
+      |z[i,j+1] - z[i,j-1]| + |z[i+1,j] - z[i-1,j]|
+    DP: d[0,:] = e[0,:];  d[r,c] = e[r,c] + min(d[r-1,c-1..c+1])
+    (out-of-range neighbors excluded).  Per tile: total interior
+    energy, min seam cost, its endpoint column (ties -> smallest),
+    tie census, and the position-weighted checksum over the last DP row
+    pinning the whole table.
+
+    The DuckDB oracle unrolls the SEAM_ROWS-deep recurrence as chained
+    CTEs (r-th row from (r-1)-th via two LEFT self-joins + LEAST) —
+    exact, no recursion limits.
+
+    Scale shape: map-only fused mapInPandas; the DP loop is SEAM_ROWS
+    vectorized row sweeps across all tiles in the batch at once."""
+    slim = tiles.where(F.col("h") >= SEAM_ROWS + 2).select(
+        "image_id", "bytes", "w", "h", "fmt"
+    )
+
+    def _seam(batches):
+        dt = {"raw": np.uint8, "qnt": np.uint8, "raw16": "<u2"}
+        cols = (
+            "seam_rows", "energy_sum", "seam_cost", "seam_end",
+            "n_min_cols", "dp_checksum",
+        )
+        big = np.int64(1) << 50
+        for pdf in batches:
+            n = len(pdf)
+            out = {"image_id": pdf["image_id"].to_numpy(dtype=object)}
+            for c in cols:
+                out[c] = np.zeros(n, dtype=np.int64)
+            groups: dict[tuple, list[int]] = {}
+            for k in range(n):
+                key = (int(pdf["w"].iat[k]), int(pdf["h"].iat[k]), pdf["fmt"].iat[k])
+                groups.setdefault(key, []).append(k)
+            for (w, h, fmt), idx in groups.items():
+                z = (
+                    np.frombuffer(
+                        b"".join(pdf["bytes"].iat[k] for k in idx), dtype=dt[fmt]
+                    )
+                    .reshape(len(idx), h, w)
+                    .astype(np.int32)
+                )
+                r1, r2 = 1, SEAM_ROWS + 1  # interior rows i in [1, SEAM_ROWS]
+                e = np.abs(z[:, r1:r2, 2:] - z[:, r1:r2, :-2]) + np.abs(
+                    z[:, r1 + 1:r2 + 1, 1:-1] - z[:, r1 - 1:r2 - 1, 1:-1]
+                )
+                e = e.astype(np.int64)  # (b, SEAM_ROWS, w-2)
+                d = e[:, 0].copy()
+                for r in range(1, SEAM_ROWS):
+                    left = np.concatenate(
+                        [np.full((d.shape[0], 1), big), d[:, :-1]], axis=1
+                    )
+                    right = np.concatenate(
+                        [d[:, 1:], np.full((d.shape[0], 1), big)], axis=1
+                    )
+                    d = e[:, r] + np.minimum(d, np.minimum(left, right))
+                iw = w - 2
+                cost = d.min(axis=1)
+                is_min = d == cost[:, None]
+                ii = np.asarray(idx)
+                out["seam_rows"][ii] = SEAM_ROWS
+                out["energy_sum"][ii] = e.sum(axis=(1, 2))
+                out["seam_cost"][ii] = cost
+                out["seam_end"][ii] = is_min.argmax(axis=1)
+                out["n_min_cols"][ii] = is_min.sum(axis=1)
+                out["dp_checksum"][ii] = (
+                    d * np.arange(1, iw + 1, dtype=np.int64)
+                ).sum(axis=1)
+            yield pd.DataFrame(out)
+
+    return slim.mapInPandas(_seam, schema=_SEAM_SCHEMA)

@@ -4357,6 +4357,287 @@ FROM px GROUP BY media_id ORDER BY media_id
 """
 
 
+_CURV_MOD = 89
+
+
+def q_terrain_curvature(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Zevenbergen-Thorne second-derivative curvature (operators/algebra.
+    curvature_stats — `gdaldem`-family DEM analysis): integer-exact
+    Laplacian / cross-derivative surfaces per tile, one fused map-only
+    Arrow pass, oracle re-derived from the ramp formula."""
+    from ..operators import algebra
+
+    tiles = geo.georegister(_images(spark, sf_dir)).where(
+        geo.image_idx() % _CURV_MOD == 0
+    )
+    return (
+        algebra.curvature_stats(tiles)
+        .repartition(1).sortWithinPartitions("image_id")
+    )
+
+
+def _sql_terrain_curvature(fx: Path, w: int) -> str:
+    """DuckDB twin of q_terrain_curvature: the Z-T stencils evaluated
+    directly from the ramp formula at each interior pixel."""
+
+    def rv(di: int, dj: int) -> str:
+        return f"CAST({osql.ramp_value_expr(f'gi.i + {di}', f'gj.j + {dj}')} AS BIGINT)"
+
+    zxx = f"({rv(0, -1)} - 2*{rv(0, 0)} + {rv(0, 1)})"
+    zyy = f"({rv(-1, 0)} - 2*{rv(0, 0)} + {rv(1, 0)})"
+    zxy4 = f"({rv(1, 1)} + {rv(-1, -1)} - {rv(-1, 1)} - {rv(1, -1)})"
+    iw = w - 2
+    return f"""
+WITH {osql.georegister_cte(str(fx / 'images.parquet'))},
+px AS (
+  SELECT image_id, gi.i AS i, gj.j AS j,
+         {zxx} + {zyy} AS lap, {zxy4} AS zxy4
+  FROM tiles,
+       generate_series(1, {w - 2}) AS gi(i), generate_series(1, {w - 2}) AS gj(j)
+  WHERE idx % {_CURV_MOD} = 0
+)
+SELECT image_id,
+       CAST(COUNT(*) AS BIGINT) AS n_interior,
+       CAST(SUM(lap) AS BIGINT) AS lap_sum,
+       CAST(SUM(abs(lap)) AS BIGINT) AS lap_abs_sum,
+       CAST(SUM(CASE WHEN lap < 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_convex,
+       CAST(SUM(CASE WHEN lap > 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_concave,
+       CAST(SUM(zxy4 * zxy4) AS BIGINT) AS zxy_sq_sum,
+       CAST(SUM(lap * ((i - 1) * {iw} + (j - 1) + 1)) AS BIGINT) AS lap_checksum
+FROM px GROUP BY image_id ORDER BY image_id
+"""
+
+
+_HORIZON_MOD = 83
+
+
+def q_horizon_shadow(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cast-shadow census along the west->east sun ray (operators/
+    algebra.horizon_shadow_stats — GRASS r.horizon / r.sun analog): the
+    per-pixel over-the-ray test linearized to a running maximum, so both
+    engines are O(pixels), not O(pixels x width)."""
+    from ..operators import algebra
+
+    tiles = geo.georegister(_images(spark, sf_dir)).where(
+        geo.image_idx() % _HORIZON_MOD == 0
+    )
+    return (
+        algebra.horizon_shadow_stats(tiles)
+        .repartition(1).sortWithinPartitions("image_id")
+    )
+
+
+def _sql_horizon_shadow(fx: Path, w: int) -> str:
+    """DuckDB twin of q_horizon_shadow: s = v*DEN + j*NUM, shadowed iff
+    the window MAX over columns 0..j-1 of the same row exceeds s."""
+    from ..operators.algebra import HORIZON_DEN, HORIZON_NUM
+
+    v = osql.ramp_value_expr("gi.i", "gj.j")
+    return f"""
+WITH {osql.georegister_cte(str(fx / 'images.parquet'))},
+px AS (
+  SELECT image_id, gi.i AS i, gj.j AS j,
+         CAST({v} AS BIGINT) * {HORIZON_DEN} + gj.j * {HORIZON_NUM} AS s
+  FROM tiles,
+       generate_series(0, {w - 1}) AS gi(i), generate_series(0, {w - 1}) AS gj(j)
+  WHERE idx % {_HORIZON_MOD} = 0
+),
+sh AS (
+  SELECT image_id, i, j, s,
+         MAX(s) OVER (PARTITION BY image_id, i ORDER BY j
+                      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS m
+  FROM px
+)
+SELECT image_id,
+       CAST(COUNT(*) AS BIGINT) AS n_px,
+       CAST(SUM(CASE WHEN m > s THEN 1 ELSE 0 END) AS BIGINT) AS n_shadow,
+       CAST(SUM(CASE WHEN m > s THEN i * {w} + j + 1 ELSE 0 END) AS BIGINT)
+         AS shadow_checksum
+FROM sh GROUP BY image_id ORDER BY image_id
+"""
+
+
+_SEAM_MOD = 149
+
+
+def q_seam_carve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Minimum-energy vertical seam DP (operators/algebra.
+    seam_carve_stats — Avidan & Shamir content-aware resize): 16-row
+    integer DP per tile, fused map-only Arrow pass; the oracle unrolls
+    the recurrence as chained CTEs."""
+    from ..operators import algebra
+
+    tiles = geo.georegister(_images(spark, sf_dir)).where(
+        geo.image_idx() % _SEAM_MOD == 0
+    )
+    return (
+        algebra.seam_carve_stats(tiles)
+        .repartition(1).sortWithinPartitions("image_id")
+    )
+
+
+def _sql_seam_carve(fx: Path, w: int) -> str:
+    """DuckDB twin of q_seam_carve: the SEAM_ROWS-deep DP recurrence
+    unrolled as chained CTEs, row r from row r-1 via two LEFT self-joins
+    + LEAST (standard SQL forbids aggregating a recursive reference, so
+    the bounded recursion is generated instead)."""
+    from ..operators.algebra import SEAM_ROWS
+
+    iw = w - 2
+
+    def rv(i_expr: str, j_expr: str, pfx: str) -> str:
+        return (
+            f"CAST({osql.ramp_value_expr(i_expr, j_expr, idx=f'{pfx}.idx', fmt=f'{pfx}.fmt')}"
+            " AS BIGINT)"
+        )
+
+    def e_expr(i_expr: str, c_expr: str, pfx: str) -> str:
+        ip1 = f"({i_expr}) + 1"
+        im1 = f"({i_expr}) - 1"
+        return (
+            f"(abs({rv(i_expr, f'({c_expr}) + 2', pfx)} - {rv(i_expr, c_expr, pfx)})"
+            f" + abs({rv(ip1, f'({c_expr}) + 1', pfx)} - {rv(im1, f'({c_expr}) + 1', pfx)}))"
+        )
+
+    # AS MATERIALIZED is load-bearing: each r{{r}} is referenced 3x by
+    # r{{r+1}}; inlined, the chain expands 3^SEAM_ROWS base scans and
+    # exhausts file descriptors before it exhausts patience.
+    chain = [
+        f"""r0 AS MATERIALIZED (
+  SELECT t.idx, t.fmt, gc.c AS c, {e_expr('1', 'gc.c', 't')} AS d
+  FROM sel t, generate_series(0, {iw - 1}) AS gc(c)
+)"""
+    ]
+    for r in range(1, SEAM_ROWS):
+        chain.append(
+            f"""r{r} AS MATERIALIZED (
+  SELECT p.idx, p.fmt, p.c,
+         {e_expr(str(r + 1), 'p.c', 'p')}
+         + LEAST(p.d, COALESCE(pl.d, p.d), COALESCE(pr.d, p.d)) AS d
+  FROM r{r - 1} p
+  LEFT JOIN r{r - 1} pl ON pl.idx = p.idx AND pl.c = p.c - 1
+  LEFT JOIN r{r - 1} pr ON pr.idx = p.idx AND pr.c = p.c + 1
+)"""
+        )
+    return f"""
+WITH {osql.georegister_cte(str(fx / 'images.parquet'))},
+sel AS (
+  SELECT idx, fmt, image_id FROM tiles WHERE idx % {_SEAM_MOD} = 0
+),
+{','.join(chain)},
+esum AS (
+  SELECT t.idx, SUM({e_expr('gr.r + 1', 'gc.c', 't')}) AS energy_sum
+  FROM sel t,
+       generate_series(0, {SEAM_ROWS - 1}) AS gr(r),
+       generate_series(0, {iw - 1}) AS gc(c)
+  GROUP BY t.idx
+),
+agg AS (SELECT idx, MIN(d) AS seam_cost FROM r{SEAM_ROWS - 1} GROUP BY idx),
+fin AS (
+  SELECT l.idx, a.seam_cost,
+         MIN(CASE WHEN l.d = a.seam_cost THEN l.c END) AS seam_end,
+         SUM(CASE WHEN l.d = a.seam_cost THEN 1 ELSE 0 END) AS n_min_cols,
+         SUM(l.d * (l.c + 1)) AS dp_checksum
+  FROM r{SEAM_ROWS - 1} l JOIN agg a USING (idx)
+  GROUP BY l.idx, a.seam_cost
+)
+SELECT s.image_id,
+       CAST({SEAM_ROWS} AS BIGINT) AS seam_rows,
+       CAST(e.energy_sum AS BIGINT) AS energy_sum,
+       CAST(f.seam_cost AS BIGINT) AS seam_cost,
+       CAST(f.seam_end AS BIGINT) AS seam_end,
+       CAST(f.n_min_cols AS BIGINT) AS n_min_cols,
+       CAST(f.dp_checksum AS BIGINT) AS dp_checksum
+FROM sel s JOIN fin f USING (idx) JOIN esum e USING (idx)
+ORDER BY image_id
+"""
+
+
+def q_zone_dissolve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Vector dissolve (QGIS/ogr2ogr `dissolve` analog): zones whose
+    buffered bboxes touch merge transitively into super-zones —
+    connected components over the zone_overlap pair graph via the
+    adversarial-safe star contraction (operators/graph.
+    connected_components_star), then a per-component merged-footprint
+    rollup.  The pair graph comes from the SAME cell-prefiltered range
+    join zone_overlap ships (never O(Z^2)), so the plan holds for
+    table-sized vector layers."""
+    from ..operators.graph import connected_components_star
+    from ..operators.pip import zone_overlap
+
+    zones = _zones(spark, sf_dir)
+    edges = zone_overlap(zones, buffer=_OVERLAP_BUFFER).select("zone_a", "zone_b")
+    comp = connected_components_star(
+        edges, zones.select("zone_id"),
+        vertex_col="zone_id", src_col="zone_a", dst_col="zone_b",
+    )
+    xs = F.transform("ring", lambda p: p.getField("x"))
+    ys = F.transform("ring", lambda p: p.getField("y"))
+    bb = zones.select(
+        "zone_id",
+        F.floor(F.array_min(xs) + 0.5).cast("long").alias("xmin_u"),
+        F.floor(F.array_max(xs) + 0.5).cast("long").alias("xmax_u"),
+        F.floor(F.array_min(ys) + 0.5).cast("long").alias("ymin_u"),
+        F.floor(F.array_max(ys) + 0.5).cast("long").alias("ymax_u"),
+    )
+    return (
+        comp.join(bb, "zone_id")
+        .groupBy("component")
+        .agg(
+            F.count(F.lit(1)).alias("n_zones"),
+            F.min("xmin_u").alias("dxmin"),
+            F.max("xmax_u").alias("dxmax"),
+            F.min("ymin_u").alias("dymin"),
+            F.max("ymax_u").alias("dymax"),
+        )
+        .repartition(1).sortWithinPartitions("component")
+    )
+
+
+def _sql_zone_dissolve(fx: Path) -> str:
+    """DuckDB twin of q_zone_dissolve: brute-force buffered-bbox pair
+    join (dim-sized layer) + recursive-CTE transitive closure to the
+    min reachable zone id, then the same merged-footprint rollup."""
+    return f"""
+WITH RECURSIVE b AS (
+  SELECT zone_id,
+         list_min(list_transform(ring, p -> p.x)) AS rxmin,
+         list_max(list_transform(ring, p -> p.x)) AS rxmax,
+         list_min(list_transform(ring, p -> p.y)) AS rymin,
+         list_max(list_transform(ring, p -> p.y)) AS rymax
+  FROM read_parquet('{fx / 'zones.parquet'}')
+),
+d AS (
+  SELECT zone_id,
+         rxmin - {_OVERLAP_BUFFER} AS xmin, rxmax + {_OVERLAP_BUFFER} AS xmax,
+         rymin - {_OVERLAP_BUFFER} AS ymin, rymax + {_OVERLAP_BUFFER} AS ymax
+  FROM b
+),
+e AS (
+  SELECT a.zone_id AS u, c.zone_id AS v
+  FROM d a JOIN d c
+    ON a.zone_id < c.zone_id
+   AND a.xmin < c.xmax AND a.xmax > c.xmin
+   AND a.ymin < c.ymax AND a.ymax > c.ymin
+),
+sym AS (SELECT u, v FROM e UNION SELECT v, u FROM e),
+reach(z, r) AS (
+  SELECT zone_id, zone_id FROM b
+  UNION
+  SELECT s.v, reach.r FROM reach JOIN sym s ON s.u = reach.z
+),
+comp AS (SELECT z AS zone_id, MIN(r) AS component FROM reach GROUP BY z)
+SELECT component,
+       CAST(COUNT(*) AS BIGINT) AS n_zones,
+       CAST(MIN(floor(rxmin + 0.5)) AS BIGINT) AS dxmin,
+       CAST(MAX(floor(rxmax + 0.5)) AS BIGINT) AS dxmax,
+       CAST(MIN(floor(rymin + 0.5)) AS BIGINT) AS dymin,
+       CAST(MAX(floor(rymax + 0.5)) AS BIGINT) AS dymax
+FROM comp JOIN b USING (zone_id)
+GROUP BY component ORDER BY component
+"""
+
+
 # The driver's correctness gate checks the FIRST 50 queries() entries
 # (CORRECTNESS_r02 recorded exactly queries()[:50]), so dict order decides
 # which operators get an oracle-checked row on the scoreboard.  This list
@@ -4588,6 +4869,10 @@ def spatial_queries() -> dict[str, QueryFn]:
         "resize_bilinear": q_resize_bilinear,
         "od_matrix": q_od_matrix,
         "hilbert_range_scan": q_hilbert_range_scan,
+        "terrain_curvature": q_terrain_curvature,
+        "horizon_shadow": q_horizon_shadow,
+        "seam_carve": q_seam_carve,
+        "zone_dissolve": q_zone_dissolve,
     })
 
 
@@ -4758,6 +5043,10 @@ def spatial_oracles(sf: str = "sf0.01") -> dict[str, str]:
         "resize_bilinear": _sql_resize_bilinear(fx),
         "od_matrix": _sql_od_matrix(fx),
         "hilbert_range_scan": _sql_hilbert_range_scan(fx),
+        "terrain_curvature": _sql_terrain_curvature(fx, w),
+        "horizon_shadow": _sql_horizon_shadow(fx, w),
+        "seam_carve": _sql_seam_carve(fx, w),
+        "zone_dissolve": _sql_zone_dissolve(fx),
     })
 
 
