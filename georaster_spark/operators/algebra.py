@@ -2576,3 +2576,157 @@ def seam_carve_stats(tiles: DataFrame) -> DataFrame:
             yield pd.DataFrame(out)
 
     return slim.mapInPandas(_seam, schema=_SEAM_SCHEMA)
+
+
+_EULER_SCHEMA = (
+    "image_id string, n_fg long, q1 long, q3 long, qd long, "
+    "euler4 long, euler8 long, fg_checksum long"
+)
+
+# Foreground threshold for the binary topology census.
+EULER_THRESH = 128
+
+
+def euler_blobs(tiles: DataFrame) -> DataFrame:
+    """Euler-number blob topology census (Gray 1971 quad counting; the
+    MATLAB ``bweuler`` / cv2.connectedComponents topology invariant)
+    over the thresholded tile: E = #components - #holes, computed
+    WITHOUT any labeling pass from the 2x2 quad pattern censuses of the
+    zero-padded binary image:
+
+      euler4 = (Q1 - Q3 + 2*QD) / 4     (4-connectivity)
+      euler8 = (Q1 - Q3 - 2*QD) / 4     (8-connectivity)
+
+    Q1/Q3 = quads with exactly one/three foreground corners, QD = the
+    two diagonal checker patterns.  Everything is an integer census, so
+    the DuckDB oracle re-derives the identical surface from the ramp
+    formula with four CASE corner probes per quad.
+
+    Scale shape: map-only fused mapInPandas — zero shuffle; the quad
+    sums are four shifted uint8 adds over the whole batch block."""
+    slim = tiles.select("image_id", "bytes", "w", "h", "fmt")
+
+    def _euler(batches):
+        dt = {"raw": np.uint8, "qnt": np.uint8, "raw16": "<u2"}
+        cols = ("n_fg", "q1", "q3", "qd", "euler4", "euler8", "fg_checksum")
+        for pdf in batches:
+            n = len(pdf)
+            out = {"image_id": pdf["image_id"].to_numpy(dtype=object)}
+            for c in cols:
+                out[c] = np.zeros(n, dtype=np.int64)
+            groups: dict[tuple, list[int]] = {}
+            for k in range(n):
+                key = (int(pdf["w"].iat[k]), int(pdf["h"].iat[k]), pdf["fmt"].iat[k])
+                groups.setdefault(key, []).append(k)
+            for (w, h, fmt), idx in groups.items():
+                z = (
+                    np.frombuffer(
+                        b"".join(pdf["bytes"].iat[k] for k in idx), dtype=dt[fmt]
+                    )
+                    .reshape(len(idx), h, w)
+                )
+                b = (z >= EULER_THRESH).astype(np.uint8)
+                bp = np.zeros((len(idx), h + 2, w + 2), dtype=np.uint8)
+                bp[:, 1 : h + 1, 1 : w + 1] = b
+                tl = bp[:, :-1, :-1]
+                tr = bp[:, :-1, 1:]
+                bl = bp[:, 1:, :-1]
+                br = bp[:, 1:, 1:]
+                s = tl + tr + bl + br  # uint8-safe: max 4
+                q1 = (s == 1).sum(axis=(1, 2), dtype=np.int64)
+                q3 = (s == 3).sum(axis=(1, 2), dtype=np.int64)
+                qd = ((s == 2) & (tl == br)).sum(axis=(1, 2), dtype=np.int64)
+                wt = np.arange(1, h * w + 1, dtype=np.int64).reshape(h, w)
+                ii = np.asarray(idx)
+                out["n_fg"][ii] = b.sum(axis=(1, 2), dtype=np.int64)
+                out["q1"][ii] = q1
+                out["q3"][ii] = q3
+                out["qd"][ii] = qd
+                out["euler4"][ii] = (q1 - q3 + 2 * qd) // 4
+                out["euler8"][ii] = (q1 - q3 - 2 * qd) // 4
+                out["fg_checksum"][ii] = np.einsum(
+                    "bij,ij->b", b.astype(np.int64), wt
+                )
+            yield pd.DataFrame(out)
+
+    return slim.mapInPandas(_euler, schema=_EULER_SCHEMA)
+
+
+_SAT_SCHEMA = (
+    "image_id string, total_sum long, sat_sum long, box_sum long, "
+    "center_sum long"
+)
+
+
+def integral_box_stats(tiles: DataFrame) -> DataFrame:
+    """Summed-area-table box sums (Crow 1984 / Viola-Jones integral
+    image; cv2.integral + boxFilter primitive): the tile's SAT is built
+    once and every box query is four corner lookups, O(1) per box.
+
+    Surfaces (all int64-exact): total_sum (SAT corner), sat_sum =
+    sum of ALL SAT entries (equals sum z[i,j]*(h-i)*(w-j) — pins every
+    prefix sum without shipping the SAT), an idx-parameterized roaming
+    box and the centered quarter box, both read off SAT corners.
+
+    Scale shape: map-only fused mapInPandas — zero shuffle; the SAT is
+    two cumsums over the batch block and box reads are fancy-indexed
+    per-tile corner gathers."""
+    slim = tiles.select("image_id", "bytes", "w", "h", "fmt")
+
+    def _sat(batches):
+        dt = {"raw": np.uint8, "qnt": np.uint8, "raw16": "<u2"}
+        cols = ("total_sum", "sat_sum", "box_sum", "center_sum")
+        for pdf in batches:
+            n = len(pdf)
+            out = {"image_id": pdf["image_id"].to_numpy(dtype=object)}
+            for c in cols:
+                out[c] = np.zeros(n, dtype=np.int64)
+            groups: dict[tuple, list[int]] = {}
+            for k in range(n):
+                key = (int(pdf["w"].iat[k]), int(pdf["h"].iat[k]), pdf["fmt"].iat[k])
+                groups.setdefault(key, []).append(k)
+            tidx = (
+                pdf["image_id"].str.slice(3).astype(np.int64).to_numpy()
+            )
+            for (w, h, fmt), idx in groups.items():
+                z = (
+                    np.frombuffer(
+                        b"".join(pdf["bytes"].iat[k] for k in idx), dtype=dt[fmt]
+                    )
+                    .reshape(len(idx), h, w)
+                    .astype(np.int64)
+                )
+                # SAT padded with a zero row/col so box reads never branch.
+                sat = np.zeros((len(idx), h + 1, w + 1), dtype=np.int64)
+                np.cumsum(np.cumsum(z, axis=1), axis=2, out=sat[:, 1:, 1:])
+                ii = np.asarray(idx)
+                bi = np.arange(len(idx))
+
+                def box(y0, x0, bh, bw):
+                    return (
+                        sat[bi, y0 + bh, x0 + bw]
+                        - sat[bi, y0, x0 + bw]
+                        - sat[bi, y0 + bh, x0]
+                        + sat[bi, y0, x0]
+                    )
+
+                t = tidx[ii]
+                x0 = (t * 3) % (w // 2)
+                y0 = (t * 5) % (h // 2)
+                out["total_sum"][ii] = sat[:, h, w]
+                out["sat_sum"][ii] = np.einsum(
+                    "bij,i,j->b",
+                    z,
+                    np.arange(h, 0, -1, dtype=np.int64),
+                    np.arange(w, 0, -1, dtype=np.int64),
+                )
+                out["box_sum"][ii] = box(y0, x0, h // 4, w // 4)
+                out["center_sum"][ii] = box(
+                    np.full(len(ii), 3 * h // 8),
+                    np.full(len(ii), 3 * w // 8),
+                    h // 4,
+                    w // 4,
+                )
+            yield pd.DataFrame(out)
+
+    return slim.mapInPandas(_sat, schema=_SAT_SCHEMA)

@@ -322,3 +322,88 @@ def connected_components_star(
         F.col("vid").alias(vertex_col),
         F.least(F.col("vid"), F.coalesce("nm", F.col("vid"))).alias("component"),
     )
+
+
+def triangle_census(edges: DataFrame) -> DataFrame:
+    """Exact distributed triangle counting with degree-ordered wedge
+    enumeration (Suri & Vassilvitskii, "Counting Triangles and the Curse
+    of the Last Reducer", WWW'11 — the MPC-standard algorithm; networkx
+    ``triangles`` / Spark GraphX ``triangleCount`` analog).
+
+    ``edges`` is an undirected simple edge list (u:long, v:long); rows
+    are deduped and self-loops dropped here, so callers may pass raw
+    co-occurrence pairs.
+
+    Orientation: every edge points from its lower-(degree, id) endpoint
+    to the higher one.  Each wedge (a->b, a->c) is then generated ONCE,
+    at its lowest-degree apex a, and closed by probing the oriented edge
+    (b, c).  This caps per-key fan-out at O(sqrt(m)) wedges for any
+    degree distribution — the whole point: a hot vertex of degree d no
+    longer contributes d^2 wedges, because high-degree endpoints never
+    serve as apex.
+
+    Returns ONE global census row: n_nodes, n_edges, n_triangles,
+    n_wedges (open paths of length 2 = sum C(deg, 2)), max_degree, and
+    an integer transitivity in parts-per-million (3*tri*1e6 // wedges).
+
+    Scale shape: two shuffles on vertex keys (degree agg + orientation
+    join), one wedge self-join shuffled on the apex, one semi-join probe
+    of wedges against oriented edges, then a partial+final global agg.
+    No driver loops, no UDFs; everything is codegen'd joins."""
+    und = (
+        edges.select(F.col("u").cast("long").alias("u"), F.col("v").cast("long").alias("v"))
+        .where(F.col("u") != F.col("v"))
+        .select(
+            F.least("u", "v").alias("u"), F.greatest("u", "v").alias("v")
+        )
+        .distinct()
+    )
+    sym = und.union(und.select(F.col("v").alias("u"), F.col("u").alias("v")))
+    deg = sym.groupBy("u").agg(F.count(F.lit(1)).alias("deg"))
+
+    # Orient by (deg, id): a -> b iff (deg_a, a) < (deg_b, b).
+    du = deg.select(F.col("u").alias("_au"), F.col("deg").alias("_da"))
+    dv = deg.select(F.col("u").alias("_bv"), F.col("deg").alias("_db"))
+    keyed = (
+        und.join(du, und["u"] == du["_au"]).join(dv, und["v"] == dv["_bv"])
+    )
+    fwd = (F.col("_da") < F.col("_db")) | (
+        (F.col("_da") == F.col("_db")) & (F.col("u") < F.col("v"))
+    )
+    oriented = keyed.select(
+        F.when(fwd, F.col("u")).otherwise(F.col("v")).alias("a"),
+        F.when(fwd, F.col("v")).otherwise(F.col("u")).alias("b"),
+    )
+
+    w1 = oriented.select(F.col("a").alias("apex"), F.col("b").alias("p"))
+    w2 = oriented.select(F.col("a").alias("apex"), F.col("b").alias("q"))
+    wedges = w1.join(w2, "apex").where(F.col("p") < F.col("q"))
+    closed = wedges.join(
+        oriented.select(
+            F.least("a", "b").alias("p"), F.greatest("a", "b").alias("q")
+        ),
+        ["p", "q"],
+        "left_semi",
+    )
+    tri = closed.agg(F.count(F.lit(1)).alias("n_triangles"))
+
+    stats = deg.agg(
+        F.count(F.lit(1)).alias("n_nodes"),
+        F.shiftright(F.sum(F.col("deg") * (F.col("deg") - 1)), 1).alias("n_wedges"),
+        F.max("deg").alias("max_degree"),
+    )
+    ecnt = und.agg(F.count(F.lit(1)).alias("n_edges"))
+    return (
+        stats.crossJoin(ecnt)
+        .crossJoin(tri)
+        .select(
+            "n_nodes",
+            "n_edges",
+            "n_triangles",
+            "n_wedges",
+            "max_degree",
+            F.expr("div(n_triangles * 3 * 1000000, n_wedges)").alias(
+                "transitivity_ppm"
+            ),
+        )
+    )

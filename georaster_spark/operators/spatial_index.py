@@ -935,3 +935,149 @@ def hilbert_block_ranges(
         else:
             ranges.append((lo, hi))
     return ranges
+
+
+# --- map-matching snap: boustrophedon survey route ---------------------------
+# Axis-aligned lawn-mower route over the fixture domain: ROUTE_ROWS
+# horizontal sweeps joined by vertical connectors at alternating ends.
+# Axis-alignment is deliberate: point-to-segment distance^2 reduces to
+# two clamped residuals (no dot/cross products), so the argmin is exact
+# double math both here and in the DuckDB twin.
+ROUTE_SNAP_ROWS = 16
+ROUTE_SNAP_DY = 12_800.0
+ROUTE_SNAP_Y0 = 6_400.0
+ROUTE_SNAP_X0 = 0.0
+ROUTE_SNAP_X1 = 512_000.0
+
+
+def route_segments() -> list[tuple[int, float, float, float, float]]:
+    """The route as normalized boxes (seg_id, x0, y0, x1, y1), x0<=x1,
+    y0<=y1: even ids are the horizontal sweeps, odd ids the vertical
+    connectors (right end after even sweeps, left end after odd)."""
+    segs: list[tuple[int, float, float, float, float]] = []
+    for k in range(ROUTE_SNAP_ROWS):
+        y = ROUTE_SNAP_Y0 + k * ROUTE_SNAP_DY
+        segs.append((2 * k, ROUTE_SNAP_X0, y, ROUTE_SNAP_X1, y))
+        if k < ROUTE_SNAP_ROWS - 1:
+            cx = ROUTE_SNAP_X1 if k % 2 == 0 else ROUTE_SNAP_X0
+            segs.append((2 * k + 1, cx, y, cx, y + ROUTE_SNAP_DY))
+    return segs
+
+
+def segment_snap(points: DataFrame) -> DataFrame:
+    """Map-matching snap (the GPS-trace -> road-network assignment step
+    of any trajectory pipeline; PostGIS ST_ClosestPoint / ST_Snap
+    analog): each point is assigned to the nearest route segment, with
+    the snapped coordinate and the exact squared distance.
+
+    Ties resolve to the smallest seg_id (CASE chain in ascending order).
+
+    Scale shape: the route is dims-sized planner metadata (same posture
+    as voronoi_assign's inlined centroids) — the per-point argmin is one
+    scalar expression per segment, pure whole-stage codegen, MAP-ONLY:
+    zero shuffle, zero UDF, no join.  At 10^12 points this is a single
+    scan; a route too large to inline (>4096 segments) should switch to
+    cell-keyed filter-refine like radius_join."""
+    segs = route_segments()
+    x, y = F.col("x"), F.col("y")
+    proj = points.select(
+        "point_id",
+        x.alias("x"),
+        y.alias("y"),
+        *[
+            (
+                F.greatest(F.lit(0.0), F.lit(sx0) - x, x - F.lit(sx1))
+                * F.greatest(F.lit(0.0), F.lit(sx0) - x, x - F.lit(sx1))
+                + F.greatest(F.lit(0.0), F.lit(sy0) - y, y - F.lit(sy1))
+                * F.greatest(F.lit(0.0), F.lit(sy0) - y, y - F.lit(sy1))
+            ).alias(f"_d{sid}")
+            for sid, sx0, sy0, sx1, sy1 in segs
+        ],
+    )
+    m = F.least(*[F.col(f"_d{sid}") for sid in (s[0] for s in segs)])
+    sid_case = F.when(F.col(f"_d{segs[0][0]}") == F.col("_m"), F.lit(segs[0][0]))
+    for sid, *_ in segs[1:]:
+        sid_case = sid_case.when(F.col(f"_d{sid}") == F.col("_m"), F.lit(sid))
+    out = proj.withColumn("_m", m).withColumn("seg_id", sid_case)
+    snap_x, snap_y = None, None
+    for sid, sx0, sy0, sx1, sy1 in segs:
+        ex = F.least(F.greatest(F.col("x"), F.lit(sx0)), F.lit(sx1))
+        ey = F.least(F.greatest(F.col("y"), F.lit(sy0)), F.lit(sy1))
+        snap_x = F.when(F.col("seg_id") == sid, ex) if snap_x is None else snap_x.when(F.col("seg_id") == sid, ex)
+        snap_y = F.when(F.col("seg_id") == sid, ey) if snap_y is None else snap_y.when(F.col("seg_id") == sid, ey)
+    return out.select(
+        "point_id",
+        F.col("seg_id").cast("long").alias("seg_id"),
+        snap_x.alias("snap_x"),
+        snap_y.alias("snap_y"),
+        F.col("_m").alias("dist2"),
+    )
+
+
+# --- detection-box IoU assignment -------------------------------------------
+# Deterministic synthetic detector/annotator boxes in 32-px tile space,
+# derived from the image index with pure modular arithmetic (same
+# posture as the ramp pixel formula) so every engine re-derives them.
+IOU_N_PRED = 3
+IOU_N_GT = 2
+
+
+def box_iou_assign(tiles: DataFrame) -> DataFrame:
+    """Anchor/detection-box assignment (the IoU-argmax matching step of
+    every detection training pipeline — torchvision ``box_iou`` +
+    Hungarian-lite greedy argmax): each predicted box is assigned the
+    ground-truth box with maximal IoU, compared EXACTLY as cross-
+    multiplied integer rationals (i1*u2 vs i2*u1 — no float IoU), ties
+    to the smaller gt_id.
+
+    Emits per (image, pred): gt_id, intersection, union areas and the
+    truncated per-mille IoU.
+
+    Scale shape: map-only — one projected explode over IOU_N_PRED box
+    slots, then pure codegen'd integer Column math per row; zero
+    shuffle, zero UDF, no join (the gt side is unrolled inline, bounded
+    by IOU_N_GT)."""
+    idx = F.substring("image_id", 4, 10).cast("long")
+    base = tiles.select("image_id", idx.alias("idx")).select(
+        "image_id",
+        "idx",
+        F.explode(
+            F.array(*[F.lit(p) for p in range(IOU_N_PRED)])
+        ).alias("pred_id"),
+    )
+    i, p = F.col("idx"), F.col("pred_id")
+    px0 = (i * 3 + p * 7) % 20
+    py0 = (i * 5 + p * 11) % 20
+    pw = (i + p) % 10 + 6
+    ph = (i * 2 + p) % 10 + 6
+
+    def gt_box(g: int):
+        gx0 = (i * 7 + g * 13) % 18
+        gy0 = (i * 11 + g * 3) % 18
+        gw = (i + g) % 8 + 8
+        gh = (i * 3 + g) % 8 + 8
+        return gx0, gy0, gw, gh
+
+    def inter_union(gx0, gy0, gw, gh):
+        iw = F.greatest(
+            F.lit(0), F.least(px0 + pw, gx0 + gw) - F.greatest(px0, gx0)
+        )
+        ih = F.greatest(
+            F.lit(0), F.least(py0 + ph, gy0 + gh) - F.greatest(py0, gy0)
+        )
+        inter = iw * ih
+        return inter, pw * ph + gw * gh - inter
+
+    i0, u0 = inter_union(*gt_box(0))
+    i1, u1 = inter_union(*gt_box(1))
+    pick1 = i1 * u0 > i0 * u1  # strict: ties keep gt 0
+    picked = base.select(
+        "image_id",
+        p.cast("long").alias("pred_id"),
+        F.when(pick1, F.lit(1)).otherwise(F.lit(0)).cast("long").alias("gt_id"),
+        F.when(pick1, i1).otherwise(i0).cast("long").alias("inter_area"),
+        F.when(pick1, u1).otherwise(u0).cast("long").alias("union_area"),
+    )
+    return picked.withColumn(
+        "iou_milli", F.expr("div(1000 * inter_area, union_area)")
+    )

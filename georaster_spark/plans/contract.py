@@ -4873,6 +4873,8 @@ def spatial_queries() -> dict[str, QueryFn]:
         "horizon_shadow": q_horizon_shadow,
         "seam_carve": q_seam_carve,
         "zone_dissolve": q_zone_dissolve,
+        "euler_blobs": q_euler_blobs,
+        "integral_image": q_integral_image,
     })
 
 
@@ -5047,6 +5049,8 @@ def spatial_oracles(sf: str = "sf0.01") -> dict[str, str]:
         "horizon_shadow": _sql_horizon_shadow(fx, w),
         "seam_carve": _sql_seam_carve(fx, w),
         "zone_dissolve": _sql_zone_dissolve(fx),
+        "euler_blobs": _sql_euler_blobs(fx, w),
+        "integral_image": _sql_integral_image(fx, w),
     })
 
 
@@ -7371,4 +7375,127 @@ SELECT CAST({len(ranges)} AS BIGINT) AS n_ranges,
        CAST(SUM(CASE WHEN ({in_range}) AND {in_rect} THEN 1 ELSE 0 END) AS BIGINT) AS n_hits,
        CAST(COALESCE(SUM(CASE WHEN ({in_range}) AND {in_rect} THEN idx END), 0) AS BIGINT) AS idx_sum
 FROM lvl0
+"""
+
+
+# --- round-3 batch: euler blobs / integral image / segment snap ------------
+
+_EULER_MOD = 103
+
+
+def q_euler_blobs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Euler-number blob topology census (operators/algebra.euler_blobs
+    — MATLAB bweuler / Gray quad-count analog): #components − #holes of
+    the thresholded tile from 2×2 quad pattern censuses, no labeling
+    pass, map-only fused Arrow kernel."""
+    from ..operators import algebra
+
+    tiles = geo.georegister(_images(spark, sf_dir)).where(
+        geo.image_idx() % _EULER_MOD == 0
+    )
+    return (
+        algebra.euler_blobs(tiles)
+        .repartition(1).sortWithinPartitions("image_id")
+    )
+
+
+def _sql_euler_blobs(fx: Path, w: int) -> str:
+    """DuckDB twin of q_euler_blobs: quad corner probes straight off the
+    ramp formula over the zero-padded (w+1)² quad lattice."""
+    from ..operators.algebra import EULER_THRESH
+
+    def corner(i_expr: str, j_expr: str) -> str:
+        return (
+            f"(CASE WHEN ({i_expr}) BETWEEN 0 AND {w - 1}"
+            f" AND ({j_expr}) BETWEEN 0 AND {w - 1}"
+            f" AND {osql.ramp_value_expr(i_expr, j_expr)} >= {EULER_THRESH}"
+            f" THEN 1 ELSE 0 END)"
+        )
+
+    tl = corner("gq.qi - 1", "gq.qj - 1")
+    tr = corner("gq.qi - 1", "gq.qj")
+    bl = corner("gq.qi", "gq.qj - 1")
+    br = corner("gq.qi", "gq.qj")
+    return f"""
+WITH {osql.georegister_cte(str(fx / 'images.parquet'))},
+sel AS (SELECT idx, image_id, fmt FROM tiles WHERE idx % {_EULER_MOD} = 0),
+quads AS (
+  SELECT image_id,
+         {tl} AS tl, {tr} AS tr, {bl} AS bl, {br} AS br
+  FROM sel, (SELECT gi.qi, gj.qj
+             FROM generate_series(0, {w}) AS gi(qi),
+                  generate_series(0, {w}) AS gj(qj)) AS gq
+),
+qc AS (
+  SELECT image_id,
+         SUM(CASE WHEN tl+tr+bl+br = 1 THEN 1 ELSE 0 END) AS q1,
+         SUM(CASE WHEN tl+tr+bl+br = 3 THEN 1 ELSE 0 END) AS q3,
+         SUM(CASE WHEN tl+tr+bl+br = 2 AND tl = br THEN 1 ELSE 0 END) AS qd
+  FROM quads GROUP BY image_id
+),
+fg AS (
+  SELECT image_id,
+         SUM(CASE WHEN {osql.ramp_value_expr('gi.i', 'gj.j')} >= {EULER_THRESH}
+             THEN 1 ELSE 0 END) AS n_fg,
+         SUM(CASE WHEN {osql.ramp_value_expr('gi.i', 'gj.j')} >= {EULER_THRESH}
+             THEN gi.i * {w} + gj.j + 1 ELSE 0 END) AS fg_checksum
+  FROM sel,
+       generate_series(0, {w - 1}) AS gi(i), generate_series(0, {w - 1}) AS gj(j)
+  GROUP BY image_id
+)
+SELECT qc.image_id,
+       CAST(fg.n_fg AS BIGINT) AS n_fg,
+       CAST(qc.q1 AS BIGINT) AS q1,
+       CAST(qc.q3 AS BIGINT) AS q3,
+       CAST(qc.qd AS BIGINT) AS qd,
+       CAST((qc.q1 - qc.q3 + 2*qc.qd) // 4 AS BIGINT) AS euler4,
+       CAST((qc.q1 - qc.q3 - 2*qc.qd) // 4 AS BIGINT) AS euler8,
+       CAST(fg.fg_checksum AS BIGINT) AS fg_checksum
+FROM qc JOIN fg USING (image_id) ORDER BY qc.image_id
+"""
+
+
+_SAT_MOD = 107
+
+
+def q_integral_image(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Summed-area-table box sums (operators/algebra.integral_box_stats
+    — cv2.integral / Viola-Jones primitive): per-tile SAT built once,
+    boxes answered in four corner lookups; sat_sum pins every prefix
+    sum.  Map-only fused Arrow kernel."""
+    from ..operators import algebra
+
+    tiles = geo.georegister(_images(spark, sf_dir)).where(
+        geo.image_idx() % _SAT_MOD == 0
+    )
+    return (
+        algebra.integral_box_stats(tiles)
+        .repartition(1).sortWithinPartitions("image_id")
+    )
+
+
+def _sql_integral_image(fx: Path, w: int) -> str:
+    """DuckDB twin of q_integral_image: the box reads re-derived as
+    direct conditional sums over the ramp pixels (the SAT identity
+    box = Σ v over the box is the ground truth the 4-corner read must
+    match)."""
+    v = osql.ramp_value_expr("gi.i", "gj.j")
+    x0 = f"((idx * 3) % {w // 2})"
+    y0 = f"((idx * 5) % {w // 2})"
+    cx0, cb = 3 * w // 8, w // 4
+    return f"""
+WITH {osql.georegister_cte(str(fx / 'images.parquet'))},
+sel AS (SELECT idx, image_id, fmt FROM tiles WHERE idx % {_SAT_MOD} = 0)
+SELECT image_id,
+       CAST(SUM({v}) AS BIGINT) AS total_sum,
+       CAST(SUM({v} * ({w} - gi.i) * ({w} - gj.j)) AS BIGINT) AS sat_sum,
+       CAST(SUM(CASE WHEN gi.i >= {y0} AND gi.i < {y0} + {cb}
+                      AND gj.j >= {x0} AND gj.j < {x0} + {cb}
+                THEN {v} ELSE 0 END) AS BIGINT) AS box_sum,
+       CAST(SUM(CASE WHEN gi.i BETWEEN {cx0} AND {cx0 + cb - 1}
+                      AND gj.j BETWEEN {cx0} AND {cx0 + cb - 1}
+                THEN {v} ELSE 0 END) AS BIGINT) AS center_sum
+FROM sel,
+     generate_series(0, {w - 1}) AS gi(i), generate_series(0, {w - 1}) AS gj(j)
+GROUP BY image_id ORDER BY image_id
 """

@@ -799,3 +799,70 @@ def test_flow_length_matches_python(spark, sf0001_dir):
             v * ((i - 1) * 30 + (j - 1) + 1) for (i, j), v in lengths.items()
         )
         assert r["len_checksum"] == cks
+
+
+def test_euler_blobs_matches_numpy(spark, sf0001_dir):
+    """Gray quad-count Euler numbers vs an independent flood-fill
+    component/hole count on the zero-padded binary tile — proves the
+    E = C - H identity, not just the quad arithmetic."""
+    got = {r["image_id"]: r for r in algebra.euler_blobs(_tiles(spark, sf0001_dir)).collect()}
+
+    def flood_count(mask: np.ndarray, conn8: bool) -> int:
+        seen = np.zeros_like(mask, dtype=bool)
+        h, w = mask.shape
+        n = 0
+        if conn8:
+            nbrs = [(-1, -1), (-1, 0), (-1, 1), (0, -1), (0, 1), (1, -1), (1, 0), (1, 1)]
+        else:
+            nbrs = [(-1, 0), (1, 0), (0, -1), (0, 1)]
+        for si in range(h):
+            for sj in range(w):
+                if mask[si, sj] and not seen[si, sj]:
+                    n += 1
+                    stack = [(si, sj)]
+                    seen[si, sj] = True
+                    while stack:
+                        ci, cj = stack.pop()
+                        for di, dj in nbrs:
+                            ni, nj = ci + di, cj + dj
+                            if 0 <= ni < h and 0 <= nj < w and mask[ni, nj] and not seen[ni, nj]:
+                                seen[ni, nj] = True
+                                stack.append((ni, nj))
+        return n
+
+    for idx in range(0, 1000, 37):
+        z = _ramp(idx)
+        b = z >= algebra.EULER_THRESH
+        r = got[f"img{idx:08d}"]
+        assert r["n_fg"] == int(b.sum())
+        # 4-conn foreground components minus 8-conn holes = euler4
+        # (holes = 8-conn background components of the padded image − 1).
+        pad = np.zeros((34, 34), dtype=bool)
+        pad[1:33, 1:33] = b
+        c4 = flood_count(pad, conn8=False)
+        h8 = flood_count(~pad, conn8=True) - 1
+        assert r["euler4"] == c4 - h8, (idx, c4, h8, r)
+        c8 = flood_count(pad, conn8=True)
+        h4 = flood_count(~pad, conn8=False) - 1
+        assert r["euler8"] == c8 - h4, (idx, c8, h4, r)
+        wt = np.arange(1, 32 * 32 + 1, dtype=np.int64).reshape(32, 32)
+        assert r["fg_checksum"] == int((b.astype(np.int64) * wt).sum())
+
+
+def test_integral_box_matches_numpy(spark, sf0001_dir):
+    got = {r["image_id"]: r for r in algebra.integral_box_stats(_tiles(spark, sf0001_dir)).collect()}
+    for idx in range(0, 1000, 37):
+        z = _ramp(idx)
+        r = got[f"img{idx:08d}"]
+        assert r["total_sum"] == int(z.sum())
+        sat = z.cumsum(axis=0).cumsum(axis=1)
+        assert r["sat_sum"] == int(sat.sum())
+        x0, y0 = (idx * 3) % 16, (idx * 5) % 16
+        assert r["box_sum"] == int(z[y0:y0 + 8, x0:x0 + 8].sum())
+        assert r["center_sum"] == int(z[12:20, 12:20].sum())
+
+
+def test_euler_integral_single_arrow_hop(spark, sf0001_dir):
+    for op in (algebra.euler_blobs, algebra.integral_box_stats):
+        plan = op(_tiles(spark, sf0001_dir))._jdf.queryExecution().executedPlan().toString()
+        assert plan.count("ArrowEvalPython") + plan.count("MapInPandas") == 1, (op, plan)
