@@ -4875,6 +4875,9 @@ def spatial_queries() -> dict[str, QueryFn]:
         "zone_dissolve": q_zone_dissolve,
         "euler_blobs": q_euler_blobs,
         "integral_image": q_integral_image,
+        "segment_snap": q_segment_snap,
+        "triangle_count": q_triangle_count,
+        "box_iou": q_box_iou,
     })
 
 
@@ -5051,6 +5054,9 @@ def spatial_oracles(sf: str = "sf0.01") -> dict[str, str]:
         "zone_dissolve": _sql_zone_dissolve(fx),
         "euler_blobs": _sql_euler_blobs(fx, w),
         "integral_image": _sql_integral_image(fx, w),
+        "segment_snap": _sql_segment_snap(fx),
+        "triangle_count": _sql_triangle_count(),
+        "box_iou": _sql_box_iou(fx),
     })
 
 
@@ -7498,4 +7504,160 @@ SELECT image_id,
 FROM sel,
      generate_series(0, {w - 1}) AS gi(i), generate_series(0, {w - 1}) AS gj(j)
 GROUP BY image_id ORDER BY image_id
+"""
+
+
+# --- round-3 batch: segment snap / triangle census / box IoU ---------------
+
+
+def q_segment_snap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Map-matching snap (spatial_index.segment_snap — PostGIS
+    ST_ClosestPoint analog): every fixture point assigned to the nearest
+    segment of the boustrophedon survey route, with snapped coordinate
+    and exact squared distance.  Map-only inlined argmin, zero shuffle."""
+    from ..operators import spatial_index as si
+
+    return (
+        si.segment_snap(_points(spark, sf_dir))
+        .repartition(1).sortWithinPartitions("point_id")
+    )
+
+
+def _sql_segment_snap(fx: Path) -> str:
+    from ..operators.spatial_index import route_segments
+
+    vals = ", ".join(
+        f"({sid}, {x0!r}::DOUBLE, {y0!r}::DOUBLE, {x1!r}::DOUBLE, {y1!r}::DOUBLE)"
+        for sid, x0, y0, x1, y1 in route_segments()
+    )
+    return f"""
+WITH seg(seg_id, x0, y0, x1, y1) AS (VALUES {vals}),
+pts AS (SELECT point_id, x, y FROM read_parquet('{fx / 'points.parquet'}')),
+cand AS (
+  SELECT point_id, seg_id,
+         least(greatest(x, x0), x1) AS snap_x,
+         least(greatest(y, y0), y1) AS snap_y,
+         greatest(0.0, x0 - x, x - x1) * greatest(0.0, x0 - x, x - x1)
+       + greatest(0.0, y0 - y, y - y1) * greatest(0.0, y0 - y, y - y1) AS dist2
+  FROM pts CROSS JOIN seg
+)
+SELECT point_id, CAST(seg_id AS BIGINT) AS seg_id, snap_x, snap_y, dist2
+FROM cand
+QUALIFY row_number() OVER (PARTITION BY point_id ORDER BY dist2, seg_id) = 1
+ORDER BY point_id
+"""
+
+
+def q_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact distributed triangle counting (graph.triangle_census — Suri
+    & Vassilvitskii WWW'11 degree-ordered wedges) over the part
+    co-purchase graph: parts are adjacent iff they appear in the same
+    order.  One global census row; the orientation bounds per-apex
+    fan-out at O(sqrt m) regardless of skew."""
+    from ..operators.graph import triangle_census
+
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet").select(
+        "l_orderkey", "l_partkey"
+    )
+    a = li.select(F.col("l_orderkey").alias("k"), F.col("l_partkey").alias("u"))
+    b = li.select(F.col("l_orderkey").alias("k"), F.col("l_partkey").alias("v"))
+    pairs = a.join(b, "k").where(F.col("u") < F.col("v")).select("u", "v")
+    return triangle_census(pairs)
+
+
+def _sql_triangle_count() -> str:
+    return """
+WITH e AS (
+  SELECT DISTINCT a.l_partkey AS u, b.l_partkey AS v
+  FROM lineitem a JOIN lineitem b
+    ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+),
+sym AS (SELECT u, v FROM e UNION ALL SELECT v AS u, u AS v FROM e),
+deg AS (SELECT u, COUNT(*) AS deg FROM sym GROUP BY u),
+o AS (
+  SELECT CASE WHEN (da.deg, e.u) < (db.deg, e.v) THEN e.u ELSE e.v END AS a,
+         CASE WHEN (da.deg, e.u) < (db.deg, e.v) THEN e.v ELSE e.u END AS b
+  FROM e JOIN deg da ON e.u = da.u JOIN deg db ON e.v = db.u
+),
+tri AS (
+  SELECT COUNT(*) AS n_triangles
+  FROM (SELECT w1.a AS apex, w1.b AS p, w2.b AS q
+        FROM o w1 JOIN o w2 ON w1.a = w2.a AND w1.b < w2.b) w
+  WHERE EXISTS (SELECT 1 FROM o
+                WHERE least(o.a, o.b) = w.p AND greatest(o.a, o.b) = w.q)
+),
+st AS (
+  SELECT COUNT(*) AS n_nodes,
+         SUM(deg * (deg - 1)) // 2 AS n_wedges,
+         MAX(deg) AS max_degree
+  FROM deg
+),
+ec AS (SELECT COUNT(*) AS n_edges FROM e)
+SELECT CAST(n_nodes AS BIGINT) AS n_nodes,
+       CAST(n_edges AS BIGINT) AS n_edges,
+       CAST(n_triangles AS BIGINT) AS n_triangles,
+       CAST(n_wedges AS BIGINT) AS n_wedges,
+       CAST(max_degree AS BIGINT) AS max_degree,
+       CAST((n_triangles * 3 * 1000000) // n_wedges AS BIGINT) AS transitivity_ppm
+FROM st, ec, tri
+"""
+
+
+_IOU_MOD = 41
+
+
+def q_box_iou(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Detection-box IoU assignment (spatial_index.box_iou_assign —
+    torchvision box_iou + greedy argmax matching): exact integer-
+    rational IoU argmax of synthetic per-image pred/gt boxes.  Map-only
+    codegen'd Column math."""
+    from ..operators import spatial_index as si
+
+    tiles = _images(spark, sf_dir).where(geo.image_idx() % _IOU_MOD == 0)
+    return (
+        si.box_iou_assign(tiles)
+        .repartition(1).sortWithinPartitions("image_id", "pred_id")
+    )
+
+
+def _sql_box_iou(fx: Path) -> str:
+    from ..operators.spatial_index import IOU_N_PRED
+
+    def gt_exprs(g: int) -> tuple[str, str]:
+        gx0 = f"((idx*7 + {g}*13) % 18)"
+        gy0 = f"((idx*11 + {g}*3) % 18)"
+        gw = f"((idx + {g}) % 8 + 8)"
+        gh = f"((idx*3 + {g}) % 8 + 8)"
+        iw = f"greatest(0, least(px0 + pw, {gx0} + {gw}) - greatest(px0, {gx0}))"
+        ih = f"greatest(0, least(py0 + ph, {gy0} + {gh}) - greatest(py0, {gy0}))"
+        inter = f"({iw}) * ({ih})"
+        union = f"(pw * ph + {gw} * {gh} - ({inter}))"
+        return inter, union
+
+    i0, u0 = gt_exprs(0)
+    i1, u1 = gt_exprs(1)
+    return f"""
+WITH img AS (
+  SELECT image_id, CAST(substr(image_id, 4, 10) AS BIGINT) AS idx
+  FROM read_parquet('{fx / 'images.parquet'}')
+  WHERE CAST(substr(image_id, 4, 10) AS BIGINT) % {_IOU_MOD} = 0
+),
+pb AS (
+  SELECT image_id, idx, p AS pred_id,
+         (idx*3 + p*7) % 20 AS px0, (idx*5 + p*11) % 20 AS py0,
+         (idx + p) % 10 + 6 AS pw, (idx*2 + p) % 10 + 6 AS ph
+  FROM img, generate_series(0, {IOU_N_PRED - 1}) AS gs(p)
+),
+sc AS (
+  SELECT image_id, pred_id,
+         {i0} AS i0, {u0} AS u0, {i1} AS i1, {u1} AS u1
+  FROM pb
+)
+SELECT image_id, CAST(pred_id AS BIGINT) AS pred_id,
+       CAST(CASE WHEN i1 * u0 > i0 * u1 THEN 1 ELSE 0 END AS BIGINT) AS gt_id,
+       CAST(CASE WHEN i1 * u0 > i0 * u1 THEN i1 ELSE i0 END AS BIGINT) AS inter_area,
+       CAST(CASE WHEN i1 * u0 > i0 * u1 THEN u1 ELSE u0 END AS BIGINT) AS union_area,
+       CAST((1000 * CASE WHEN i1 * u0 > i0 * u1 THEN i1 ELSE i0 END)
+            // (CASE WHEN i1 * u0 > i0 * u1 THEN u1 ELSE u0 END) AS BIGINT) AS iou_milli
+FROM sc ORDER BY image_id, pred_id
 """

@@ -136,3 +136,53 @@ def test_star_long_chain_converges_logarithmically(spark):
 def test_star_no_edges_and_self_loops(spark):
     got = _cc_star(spark, [(3, 3)], [3, 4])
     assert got == {3: 3, 4: 4}
+
+
+def test_triangle_census_known_graphs(spark):
+    from georaster_spark.operators.graph import triangle_census
+
+    def census(edges):
+        df = spark.createDataFrame(edges, schema="u long, v long")
+        return triangle_census(df).collect()[0]
+
+    # K4: 4 triangles, 6 edges, wedges = 4*C(3,2)=12, transitivity = 1
+    k4 = [(a, b) for a in range(4) for b in range(a + 1, 4)]
+    r = census(k4)
+    assert (r["n_nodes"], r["n_edges"], r["n_triangles"]) == (4, 6, 4)
+    assert r["n_wedges"] == 12 and r["transitivity_ppm"] == 1_000_000
+
+    # triangle + pendant; duplicate + reversed + self-loop rows ignored
+    g = [(0, 1), (1, 2), (2, 0), (2, 3), (1, 0), (0, 1), (3, 3)]
+    r = census(g)
+    assert (r["n_edges"], r["n_triangles"]) == (4, 1)
+    assert r["max_degree"] == 3
+
+    # star K1,5: many wedges, zero triangles
+    r = census([(0, i) for i in range(1, 6)])
+    assert r["n_triangles"] == 0 and r["n_wedges"] == 10
+
+
+def test_triangle_census_matches_bruteforce(spark):
+    """Pseudo-random-ish deterministic graph vs O(n^3) brute force."""
+    from itertools import combinations
+
+    from georaster_spark.operators.graph import triangle_census
+
+    n = 24
+    edges = [
+        (a, b)
+        for a, b in combinations(range(n), 2)
+        if (a * 7 + b * 13 + a * b) % 5 < 2
+    ]
+    adj = {i: set() for i in range(n)}
+    for a, b in edges:
+        adj[a].add(b)
+        adj[b].add(a)
+    want = sum(
+        1 for a, b, c in combinations(range(n), 3)
+        if b in adj[a] and c in adj[a] and c in adj[b]
+    )
+    df = spark.createDataFrame(edges, schema="u long, v long")
+    r = triangle_census(df).collect()[0]
+    assert r["n_triangles"] == want
+    assert r["n_edges"] == len(edges)

@@ -323,3 +323,58 @@ def test_hilbert_block_ranges_cover_rect():
             d = _xy2d(HILBERT_R, x, y)
             k = bisect.bisect_right(los, d) - 1
             assert k >= 0 and d <= ranges[k][1], (x, y, d)
+
+
+def test_segment_snap_matches_bruteforce(spark):
+    pts = [
+        (0, 5.0, 5.0),            # below first sweep -> seg 0
+        (1, 511_999.5, 6_400.0),  # on first sweep
+        (2, 512_500.0, 12_000.0), # right of domain -> right connector seg 1
+        (3, 250_000.25, 100_000.75),
+        (4, 0.0, 198_000.0),
+    ]
+    df = spark.createDataFrame(pts, schema="point_id long, x double, y double")
+    got = {r["point_id"]: r for r in si.segment_snap(df).collect()}
+    segs = si.route_segments()
+    for pid, x, y in pts:
+        best = None
+        for sid, x0, y0, x1, y1 in segs:
+            dx = max(0.0, x0 - x, x - x1)
+            dy = max(0.0, y0 - y, y - y1)
+            d2 = dx * dx + dy * dy
+            if best is None or (d2, sid) < best[:2]:
+                best = (
+                    d2, sid, min(max(x, x0), x1), min(max(y, y0), y1)
+                )
+        r = got[pid]
+        assert (r["dist2"], r["seg_id"], r["snap_x"], r["snap_y"]) == best, pid
+
+
+def test_box_iou_assign_matches_bruteforce(spark, sf0001_dir):
+    tiles = spark.read.parquet(str(sf0001_dir / "images.parquet")).where(
+        F.substring("image_id", 4, 10).cast("long") % 97 == 0
+    )
+    got = {
+        (r["image_id"], r["pred_id"]): r
+        for r in si.box_iou_assign(tiles).collect()
+    }
+    assert len(got) == 11 * si.IOU_N_PRED
+    for idx in range(0, 1000, 97):
+        for p in range(si.IOU_N_PRED):
+            px0, py0 = (idx * 3 + p * 7) % 20, (idx * 5 + p * 11) % 20
+            pw, ph = (idx + p) % 10 + 6, (idx * 2 + p) % 10 + 6
+            cands = []
+            for g in range(si.IOU_N_GT):
+                gx0, gy0 = (idx * 7 + g * 13) % 18, (idx * 11 + g * 3) % 18
+                gw, gh = (idx + g) % 8 + 8, (idx * 3 + g) % 8 + 8
+                iw = max(0, min(px0 + pw, gx0 + gw) - max(px0, gx0))
+                ih = max(0, min(py0 + ph, gy0 + gh) - max(py0, gy0))
+                inter = iw * ih
+                cands.append((g, inter, pw * ph + gw * gh - inter))
+            bg, bi, bu = cands[0]
+            for g, i_, u_ in cands[1:]:
+                if i_ * bu > bi * u_:
+                    bg, bi, bu = g, i_, u_
+            r = got[(f"img{idx:08d}", p)]
+            assert (r["gt_id"], r["inter_area"], r["union_area"]) == (bg, bi, bu)
+            assert r["iou_milli"] == 1000 * bi // bu
