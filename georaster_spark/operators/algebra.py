@@ -2730,3 +2730,90 @@ def integral_box_stats(tiles: DataFrame) -> DataFrame:
             yield pd.DataFrame(out)
 
     return slim.mapInPandas(_sat, schema=_SAT_SCHEMA)
+
+
+_SSIM_SCHEMA = (
+    "pair_id long, n_px long, sum_a long, sum_b long, sum_ab long, "
+    "sq_err long, ssim double"
+)
+
+# Standard SSIM stabilizers for L=255 (Wang et al. 2004): C1=(0.01L)^2,
+# C2=(0.03L)^2.  Written as exact double literals so the DuckDB twin
+# parses bit-identical constants.
+SSIM_C1 = 6.5025
+SSIM_C2 = 58.5225
+
+
+def ssim_pair(a: DataFrame, b: DataFrame, key: str = "pair_id") -> DataFrame:
+    """Global-window SSIM between co-registered tile pairs (Wang et al.,
+    "Image quality assessment: from error visibility to structural
+    similarity", IEEE TIP 2004 — skimage structural_similarity with one
+    full-image window): luminance/contrast/structure from the five
+    exact integer moment sums, which are also emitted (so the driver
+    hash pins the integer surface, not just the float).
+
+    Float determinism: every engine derives ssim from the SAME integer
+    sums with the SAME expression shape (mu = s/n, v = sq/n - mu*mu,
+    cov = sab/n - mua*mub), so the IEEE doubles agree bit-for-bit.
+
+    Scale shape: one key equi-join of the two corpora, then a fused
+    mapInPandas — both payloads cross Arrow exactly once, stats are
+    whole-batch einsums."""
+    lhs = a.select(
+        key, F.col("bytes").alias("ba"), F.col("fmt").alias("fa"),
+        F.col("w").alias("w"), F.col("h").alias("h"),
+    )
+    rhs = b.select(key, F.col("bytes").alias("bb"), F.col("fmt").alias("fb"))
+    joined = lhs.join(rhs, key)
+
+    def _ssim(batches):
+        dt = {"raw": np.uint8, "qnt": np.uint8, "raw16": "<u2"}
+        for pdf in batches:
+            n = len(pdf)
+            out = {
+                "pair_id": pdf[key].to_numpy(dtype=np.int64),
+                "n_px": np.zeros(n, dtype=np.int64),
+                "sum_a": np.zeros(n, dtype=np.int64),
+                "sum_b": np.zeros(n, dtype=np.int64),
+                "sum_ab": np.zeros(n, dtype=np.int64),
+                "sq_err": np.zeros(n, dtype=np.int64),
+                "ssim": np.zeros(n, dtype=np.float64),
+            }
+            groups: dict[tuple, list[int]] = {}
+            for k in range(n):
+                gk = (
+                    int(pdf["w"].iat[k]), int(pdf["h"].iat[k]),
+                    pdf["fa"].iat[k], pdf["fb"].iat[k],
+                )
+                groups.setdefault(gk, []).append(k)
+            for (w, h, fa, fb), idx in groups.items():
+                za = np.frombuffer(
+                    b"".join(pdf["ba"].iat[k] for k in idx), dtype=dt[fa]
+                ).reshape(len(idx), h * w).astype(np.int64)
+                zb = np.frombuffer(
+                    b"".join(pdf["bb"].iat[k] for k in idx), dtype=dt[fb]
+                ).reshape(len(idx), h * w).astype(np.int64)
+                npx = np.float64(w * h)
+                sa = za.sum(axis=1)
+                sb = zb.sum(axis=1)
+                saa = np.einsum("bi,bi->b", za, za)
+                sbb = np.einsum("bi,bi->b", zb, zb)
+                sab = np.einsum("bi,bi->b", za, zb)
+                mua = sa / npx
+                mub = sb / npx
+                va = saa / npx - mua * mua
+                vb = sbb / npx - mub * mub
+                cov = sab / npx - mua * mub
+                ssim = ((2.0 * mua * mub + SSIM_C1) * (2.0 * cov + SSIM_C2)) / (
+                    (mua * mua + mub * mub + SSIM_C1) * (va + vb + SSIM_C2)
+                )
+                ii = np.asarray(idx)
+                out["n_px"][ii] = w * h
+                out["sum_a"][ii] = sa
+                out["sum_b"][ii] = sb
+                out["sum_ab"][ii] = sab
+                out["sq_err"][ii] = saa + sbb - 2 * sab
+                out["ssim"][ii] = ssim
+            yield pd.DataFrame(out)
+
+    return joined.mapInPandas(_ssim, schema=_SSIM_SCHEMA)

@@ -1337,3 +1337,155 @@ FROM (
 )
 GROUP BY c_count ORDER BY custdist DESC, c_count DESC
 """
+
+
+# --- TPC-H Q21 analog: sole late shipper -------------------------------------
+# "Late" for this schema (no commit/receipt dates): shipped more than
+# LATE_DAYS after the order date.
+LATE_DAYS = 90
+
+
+def sole_late_shipper(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q21 shape (Suppliers Who Kept Orders Waiting): per supplier,
+    count the multi-supplier orders where THIS supplier shipped late and
+    no other supplier did — one semi join (exists: another supplier in
+    the order) plus one anti join (not exists: another LATE supplier),
+    then a top-k.
+
+    Scale shape: the exists/not-exists sides reduce to two self-joins of
+    lineitem on l_orderkey — both shuffle on the order key and are
+    co-partitioned, so AQE plans them off one exchange; the supplier
+    dim join is broadcast.  The classic Q21 plan hazard (building both
+    subqueries as separate scans) is avoided by deriving both from one
+    slim (orderkey, suppkey, late) projection."""
+    li = _t(spark, sf_dir, "lineitem")
+    o = _t(spark, sf_dir, "orders").select("o_orderkey", "o_orderdate")
+    s = _t(spark, sf_dir, "supplier").select("s_suppkey", "s_name")
+    slim = (
+        li.join(o, li["l_orderkey"] == o["o_orderkey"])
+        .select(
+            "l_orderkey",
+            "l_suppkey",
+            (
+                F.datediff(F.col("l_shipdate"), F.col("o_orderdate"))
+                > LATE_DAYS
+            ).alias("late"),
+        )
+    )
+    l1 = slim.where(F.col("late"))
+    l2 = slim.select(
+        F.col("l_orderkey").alias("k2"), F.col("l_suppkey").alias("s2")
+    )
+    l3 = l1.select(
+        F.col("l_orderkey").alias("k3"), F.col("l_suppkey").alias("s3")
+    )
+    multi = l1.join(
+        l2,
+        (F.col("l_orderkey") == F.col("k2")) & (F.col("l_suppkey") != F.col("s2")),
+        "left_semi",
+    )
+    sole = multi.join(
+        l3,
+        (F.col("l_orderkey") == F.col("k3")) & (F.col("l_suppkey") != F.col("s3")),
+        "left_anti",
+    )
+    agg = sole.groupBy("l_suppkey").agg(
+        F.count(F.lit(1)).alias("numwait"),
+        F.sum("l_orderkey").alias("orderkey_checksum"),
+    )
+    return (
+        agg.join(F.broadcast(s), agg["l_suppkey"] == s["s_suppkey"])
+        .select("s_name", "numwait", "orderkey_checksum")
+        .where(F.col("numwait") >= 2)
+        .repartition(1).sortWithinPartitions(
+            F.desc("numwait"), F.asc("s_name")
+        )
+    )
+
+
+def sole_late_shipper_sql() -> str:
+    return f"""
+WITH slim AS (
+  SELECT l_orderkey, l_suppkey,
+         date_diff('day', o_orderdate, l_shipdate) > {LATE_DAYS} AS late
+  FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+)
+SELECT s_name,
+       COUNT(*) AS numwait,
+       CAST(SUM(l_orderkey) AS BIGINT) AS orderkey_checksum
+FROM slim l1 JOIN supplier ON l1.l_suppkey = s_suppkey
+WHERE l1.late
+  AND EXISTS (SELECT 1 FROM slim l2
+              WHERE l2.l_orderkey = l1.l_orderkey
+                AND l2.l_suppkey <> l1.l_suppkey)
+  AND NOT EXISTS (SELECT 1 FROM slim l3
+                  WHERE l3.l_orderkey = l1.l_orderkey
+                    AND l3.l_suppkey <> l1.l_suppkey AND l3.late)
+GROUP BY s_name
+HAVING COUNT(*) >= 2
+ORDER BY numwait DESC, s_name
+"""
+
+
+# --- TPC-H Q22 analog: idle customers with above-average balance -------------
+
+IDLE_CUTOFF = "2000-01-01"
+
+
+def idle_customer_balance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q22 shape (Global Sales Opportunity): customers with
+    above-average positive account balance and NO orders at all, rolled
+    up per nation — a scalar aggregate subquery feeding a filter, an
+    anti join against orders, and a final small-key agg.
+
+    "Idle" = no order since IDLE_CUTOFF (the fixture's last order year
+    starts 2000-08; Q22's original predicate is "no orders at all",
+    which this corpus never satisfies for a rich customer).
+
+    Scale shape: the scalar avg is one partial+final agg reduced to a
+    literal-sized frame (cross-joined broadcast, not a collect); the
+    anti join shuffles on custkey and the date filter is pushed into
+    the orders scan; the nation rollup is a 25-key agg."""
+    c = _t(spark, sf_dir, "customer").select(
+        "c_custkey", "c_nationkey", cents(F.col("c_acctbal")).alias("bal_c")
+    )
+    o = (
+        _t(spark, sf_dir, "orders")
+        .where(F.col("o_orderdate") >= F.lit(IDLE_CUTOFF))
+        .select("o_custkey")
+    )
+    avg_pos = c.where(F.col("bal_c") > 0).agg(
+        F.avg("bal_c").alias("avg_bal")
+    )
+    rich = c.crossJoin(F.broadcast(avg_pos)).where(
+        F.col("bal_c") > F.col("avg_bal")
+    )
+    idle = rich.join(o, rich["c_custkey"] == o["o_custkey"], "left_anti")
+    return (
+        idle.groupBy("c_nationkey")
+        .agg(
+            F.count(F.lit(1)).alias("numcust"),
+            (F.sum("bal_c") / 100.0).alias("totacctbal"),
+        )
+        .repartition(1).sortWithinPartitions("c_nationkey")
+    )
+
+
+def idle_customer_balance_sql() -> str:
+    return f"""
+WITH c AS (
+  SELECT c_custkey, c_nationkey,
+         CAST(round(c_acctbal * 100) AS BIGINT) AS bal_c
+  FROM customer
+)
+SELECT c_nationkey,
+       COUNT(*) AS numcust,
+       SUM(bal_c) / 100.0 AS totacctbal
+FROM c
+WHERE bal_c > (SELECT AVG(bal_c) FROM c WHERE bal_c > 0)
+  AND NOT EXISTS (SELECT 1 FROM orders
+                  WHERE o_custkey = c_custkey
+                    AND o_orderdate >= TIMESTAMP '{IDLE_CUTOFF}')
+GROUP BY c_nationkey
+ORDER BY c_nationkey
+"""

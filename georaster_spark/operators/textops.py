@@ -2177,6 +2177,7 @@ def text_queries():
         "source_mixture_sample": source_mixture_sample,
         "dsir_importance": dsir_importance,
         "chunking_audit": chunking_audit,
+        "winnowing_fp": winnowing_fingerprint,
     }
 
 
@@ -2210,4 +2211,120 @@ def text_oracles() -> dict[str, str]:
         "source_mixture_sample": source_mixture_sample_sql(),
         "dsir_importance": dsir_importance_sql(),
         "chunking_audit": chunking_audit_sql(),
+        "winnowing_fp": winnowing_fingerprint_sql(),
     }
+
+
+# ---------------------------------------------------------------------------
+# D6 — winnowing fingerprints (MOSS)
+# ---------------------------------------------------------------------------
+
+WINNOW_W = 4  # winnowing window over the k-gram hash sequence
+
+
+def winnowing_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Winnowing document fingerprints (Schleimer, Wilkerson & Aiken,
+    "Winnowing: Local Algorithms for Document Fingerprinting",
+    SIGMOD'03 — the MOSS algorithm): slide a W-window over the
+    POSITIONAL word-3-gram h40 sequence, select each window's rightmost
+    minimal hash, and keep the distinct selections.  Guarantees any
+    match of length >= W+k-1 shares a fingerprint, at ~2/(W+1) density.
+
+    Emitted per doc: n_grams, n_fingerprints, density in ppm, the min
+    fingerprint, and a position-weighted checksum pinning the exact
+    selected (position, hash) SET.
+
+    Scale shape: the gram hashes are one map-side array transform (no
+    per-gram rows carry the word array); windows explode bounded W rows
+    per gram; the rightmost-min argmin is ONE partial+final struct-min
+    agg keyed (doc, window) — docs partition freely, no doc ever
+    straddles keys hotter than its own length."""
+    d = _docs(spark, sf_dir)
+    base = (
+        d.select("doc_id", words_col().alias("ws"))
+        .withColumn("m", F.size("ws") - 2)
+        .where(F.col("m") >= WINNOW_W)
+    )
+    hs = F.transform(
+        F.sequence(F.lit(1), F.col("m")),
+        lambda i: h40(
+            F.concat_ws(
+                " ",
+                F.element_at(F.col("ws"), i),
+                F.element_at(F.col("ws"), i + 1),
+                F.element_at(F.col("ws"), i + 2),
+            )
+        ),
+    )
+    g = base.select(
+        "doc_id", "m", F.posexplode(hs).alias("p0", "h")
+    ).select("doc_id", "m", (F.col("p0") + 1).alias("p"), "h")
+    wnd = g.select(
+        "doc_id",
+        "m",
+        "p",
+        "h",
+        F.explode(
+            F.sequence(
+                F.greatest(F.lit(1), F.col("p") - WINNOW_W + 1),
+                F.least(F.col("p"), F.col("m") - WINNOW_W + 1),
+            )
+        ).alias("s"),
+    )
+    sel = (
+        wnd.groupBy("doc_id", "s")
+        .agg(
+            F.min(F.struct(F.col("h"), (-F.col("p")).alias("np"))).alias("mn"),
+            F.min("m").alias("m"),
+        )
+        .select(
+            "doc_id", "m", (-F.col("mn.np")).alias("p"), F.col("mn.h").alias("h")
+        )
+        .distinct()
+    )
+    return (
+        sel.groupBy("doc_id")
+        .agg(
+            F.min("m").alias("n_grams"),
+            F.count(F.lit(1)).alias("n_fingerprints"),
+            F.min("h").alias("min_fp"),
+            F.sum(F.col("h") * F.col("p")).alias("fp_checksum"),
+        )
+        .withColumn(
+            "density_ppm",
+            F.expr("div(n_fingerprints * 1000000, n_grams)"),
+        )
+        .repartition(1).sortWithinPartitions("doc_id")
+    )
+
+
+def winnowing_fingerprint_sql() -> str:
+    gram = "ws[p] || ' ' || ws[p+1] || ' ' || ws[p+2]"
+    return f"""
+WITH w AS (SELECT doc_id, {_SQL_WS} AS ws FROM documents),
+b AS (SELECT doc_id, ws, len(ws) - 2 AS m FROM w WHERE len(ws) - 2 >= {WINNOW_W}),
+g AS (
+  SELECT doc_id, m, unnest(range(1, m + 1)) AS p, ws FROM b
+),
+gh AS (SELECT doc_id, m, p, {_SQL_H40.format(s=gram)} AS h FROM g),
+wnd AS (
+  SELECT doc_id, m, p, h,
+         unnest(range(greatest(1, p - {WINNOW_W} + 1),
+                      least(p, m - {WINNOW_W} + 1) + 1)) AS s
+  FROM gh
+),
+sel AS (
+  SELECT DISTINCT doc_id, m, p, h FROM (
+    SELECT doc_id, m, p, h, s,
+           row_number() OVER (PARTITION BY doc_id, s ORDER BY h, p DESC) AS rn
+    FROM wnd
+  ) WHERE rn = 1
+)
+SELECT doc_id,
+       CAST(MIN(m) AS BIGINT) AS n_grams,
+       COUNT(*) AS n_fingerprints,
+       CAST(MIN(h) AS BIGINT) AS min_fp,
+       CAST(SUM(h * p) AS BIGINT) AS fp_checksum,
+       CAST((COUNT(*) * 1000000) // MIN(m) AS BIGINT) AS density_ppm
+FROM sel GROUP BY doc_id ORDER BY doc_id
+"""

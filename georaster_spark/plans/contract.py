@@ -4878,6 +4878,9 @@ def spatial_queries() -> dict[str, QueryFn]:
         "segment_snap": q_segment_snap,
         "triangle_count": q_triangle_count,
         "box_iou": q_box_iou,
+        "ssim_pair": q_ssim_pair,
+        "sole_late_shipper": rel.sole_late_shipper,
+        "idle_customer_balance": rel.idle_customer_balance,
     })
 
 
@@ -5057,6 +5060,9 @@ def spatial_oracles(sf: str = "sf0.01") -> dict[str, str]:
         "segment_snap": _sql_segment_snap(fx),
         "triangle_count": _sql_triangle_count(),
         "box_iou": _sql_box_iou(fx),
+        "ssim_pair": _sql_ssim_pair(fx, w),
+        "sole_late_shipper": rel.sole_late_shipper_sql(),
+        "idle_customer_balance": rel.idle_customer_balance_sql(),
     })
 
 
@@ -7660,4 +7666,75 @@ SELECT image_id, CAST(pred_id AS BIGINT) AS pred_id,
        CAST((1000 * CASE WHEN i1 * u0 > i0 * u1 THEN i1 ELSE i0 END)
             // (CASE WHEN i1 * u0 > i0 * u1 THEN u1 ELSE u0 END) AS BIGINT) AS iou_milli
 FROM sc ORDER BY image_id, pred_id
+"""
+
+
+_SSIM_MOD = 23
+
+
+def q_ssim_pair(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Perceptual pair similarity (algebra.ssim_pair — Wang et al. 2004
+    global-window SSIM, the near-dup quality gate cheaper than decode-
+    level PSNR inspection): consecutive scenes paired, five exact moment
+    sums + the IEEE-deterministic ssim double, one fused Arrow hop."""
+    from ..operators import algebra
+
+    im = _images(spark, sf_dir).where(
+        (F.shiftright(geo.image_idx(), 1) % _SSIM_MOD == 0)
+    )
+    pair = F.shiftright(geo.image_idx(), 1).alias("pair_id")
+    a = im.where(geo.image_idx() % 2 == 0).select(pair, "bytes", "fmt", "w", "h")
+    b = im.where(geo.image_idx() % 2 == 1).select(pair, "bytes", "fmt")
+    return (
+        algebra.ssim_pair(a, b, key="pair_id")
+        .repartition(1).sortWithinPartitions("pair_id")
+    )
+
+
+def _sql_ssim_pair(fx: Path, w: int) -> str:
+    from ..operators.algebra import SSIM_C1, SSIM_C2
+
+    va = osql.ramp_value_expr("gi.i", "gj.j", idx="ia", fmt="fmt_a")
+    vb = osql.ramp_value_expr("gi.i", "gj.j", idx="ib", fmt="fmt_b")
+    n = float(w * w)
+    return f"""
+WITH img AS (
+  SELECT CAST(substr(image_id, 4, 10) AS BIGINT) AS idx, fmt
+  FROM read_parquet('{fx / 'images.parquet'}')
+),
+pairs AS (
+  SELECT a.idx // 2 AS pair_id, a.idx AS ia, b.idx AS ib,
+         a.fmt AS fmt_a, b.fmt AS fmt_b
+  FROM img a JOIN img b ON b.idx = a.idx + 1
+  WHERE a.idx % 2 = 0 AND (a.idx // 2) % {_SSIM_MOD} = 0
+),
+px AS (
+  SELECT pair_id, CAST({va} AS BIGINT) AS pa, CAST({vb} AS BIGINT) AS pb
+  FROM pairs,
+       generate_series(0, {w - 1}) AS gi(i), generate_series(0, {w - 1}) AS gj(j)
+),
+sums AS (
+  SELECT pair_id,
+         CAST(SUM(pa) AS BIGINT) AS sa, CAST(SUM(pb) AS BIGINT) AS sb,
+         CAST(SUM(pa*pa) AS BIGINT) AS saa, CAST(SUM(pb*pb) AS BIGINT) AS sbb,
+         CAST(SUM(pa*pb) AS BIGINT) AS sab
+  FROM px GROUP BY pair_id
+),
+m AS (
+  SELECT pair_id, sa, sb, sab, saa + sbb - 2*sab AS sq_err,
+         CAST(sa AS DOUBLE) / {n} AS mua,
+         CAST(sb AS DOUBLE) / {n} AS mub,
+         CAST(saa AS DOUBLE) / {n} AS eaa,
+         CAST(sbb AS DOUBLE) / {n} AS ebb,
+         CAST(sab AS DOUBLE) / {n} AS eab
+  FROM sums
+)
+SELECT pair_id,
+       CAST({w * w} AS BIGINT) AS n_px,
+       sa AS sum_a, sb AS sum_b, sab AS sum_ab,
+       CAST(sq_err AS BIGINT) AS sq_err,
+       ((2.0 * mua * mub + {SSIM_C1}) * (2.0 * (eab - mua * mub) + {SSIM_C2}))
+       / ((mua * mua + mub * mub + {SSIM_C1})
+          * ((eaa - mua * mua) + (ebb - mub * mub) + {SSIM_C2})) AS ssim
+FROM m ORDER BY pair_id
 """

@@ -866,3 +866,34 @@ def test_euler_integral_single_arrow_hop(spark, sf0001_dir):
     for op in (algebra.euler_blobs, algebra.integral_box_stats):
         plan = op(_tiles(spark, sf0001_dir))._jdf.queryExecution().executedPlan().toString()
         assert plan.count("ArrowEvalPython") + plan.count("MapInPandas") == 1, (op, plan)
+
+
+def test_ssim_pair_matches_numpy(spark, sf0001_dir):
+    im = spark.read.parquet(str(sf0001_dir / "images.parquet")).where(
+        geo.image_idx() < 64
+    )
+    pair = F.shiftright(geo.image_idx(), 1).alias("pair_id")
+    a = im.where(geo.image_idx() % 2 == 0).select(pair, "bytes", "fmt", "w", "h")
+    b = im.where(geo.image_idx() % 2 == 1).select(pair, "bytes", "fmt")
+    got = {r["pair_id"]: r for r in algebra.ssim_pair(a, b).collect()}
+    assert len(got) == 32
+    for p in range(32):
+        za = _ramp(2 * p).astype(np.float64)
+        zb = _ramp(2 * p + 1).astype(np.float64)
+        mua, mub = za.mean(), zb.mean()
+        va, vb = za.var(), zb.var()
+        cov = (za * zb).mean() - mua * mub
+        want = ((2 * mua * mub + algebra.SSIM_C1) * (2 * cov + algebra.SSIM_C2)) / (
+            (mua * mua + mub * mub + algebra.SSIM_C1)
+            * (va + vb + algebra.SSIM_C2)
+        )
+        r = got[p]
+        assert abs(r["ssim"] - want) < 1e-9, p
+        ia, ib = _ramp(2 * p).astype(np.int64), _ramp(2 * p + 1).astype(np.int64)
+        assert r["sum_a"] == ia.sum() and r["sum_b"] == ib.sum()
+        assert r["sum_ab"] == (ia * ib).sum()
+        assert r["sq_err"] == ((ia - ib) ** 2).sum()
+    # identical tiles -> ssim exactly 1
+    same = algebra.ssim_pair(a, a.select("pair_id", "bytes", "fmt", "w", "h"),
+                             key="pair_id")
+    assert all(r["ssim"] == 1.0 for r in same.collect())

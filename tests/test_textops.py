@@ -314,3 +314,55 @@ def test_kmeans_partitions_corpus(spark):
     assert all(r["inertia"] >= 0 for r in rows)
     # a real clustering, not one catch-all bucket
     assert sum(1 for r in rows if r["n_members"] > 0) >= 4
+
+
+def test_winnowing_matches_pure_python(spark):
+    """Engine winnowing vs a direct implementation of the SIGMOD'03
+    algorithm (explicit per-window rightmost-min scan) on the fixture
+    docs, including hash values re-derived via hashlib."""
+    import hashlib
+
+    rows = {
+        r["doc_id"]: r
+        for r in textops.winnowing_fingerprint(spark, SF_DIR).collect()
+    }
+    docs = duckdb.sql(
+        f"SELECT doc_id, text FROM read_parquet('{SF_DIR}/documents.parquet') "
+        "ORDER BY doc_id LIMIT 40"
+    ).fetchall()
+    W = textops.WINNOW_W
+    checked = 0
+    for doc_id, text in docs:
+        ws = text.strip().lower().split()
+        m = len(ws) - 2
+        if m < W:
+            assert doc_id not in rows
+            continue
+        hs = [
+            int(hashlib.md5(" ".join(ws[p:p + 3]).encode()).hexdigest()[:10], 16)
+            for p in range(m)
+        ]
+        sel = set()
+        for s in range(m - W + 1):
+            win = hs[s:s + W]
+            mn = min(win)
+            p = max(i for i, h in enumerate(win) if h == mn) + s
+            sel.add((p + 1, hs[p]))  # engine positions are 1-based
+        r = rows[doc_id]
+        assert r["n_grams"] == m
+        assert r["n_fingerprints"] == len(sel)
+        assert r["min_fp"] == min(h for _, h in sel)
+        assert r["fp_checksum"] == sum(h * p for p, h in sel)
+        assert r["density_ppm"] == len(sel) * 1_000_000 // m
+        checked += 1
+    assert checked >= 20
+
+
+def test_winnowing_guarantee_property(spark):
+    """Winnowing's core guarantee: every window of W consecutive grams
+    contributes at least one fingerprint, and density is ~2/(W+1)."""
+    rows = textops.winnowing_fingerprint(spark, SF_DIR).collect()
+    assert len(rows) > 400
+    for r in rows:
+        # selection count bounded by window count; at least 1 per doc
+        assert 1 <= r["n_fingerprints"] <= r["n_grams"]
