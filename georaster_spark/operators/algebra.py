@@ -2817,3 +2817,77 @@ def ssim_pair(a: DataFrame, b: DataFrame, key: str = "pair_id") -> DataFrame:
             yield pd.DataFrame(out)
 
     return joined.mapInPandas(_ssim, schema=_SSIM_SCHEMA)
+
+
+_RLE_SCHEMA = (
+    "image_id string, n_px long, n_runs_h long, n_runs_v long, "
+    "longest_run long, run_start_checksum long"
+)
+
+
+def rle_census(tiles: DataFrame) -> DataFrame:
+    """Run-length-encoding census (the compressibility probe behind
+    every RLE/CCITT raster codec decision, and the span extraction
+    under raster polygonization): maximal constant-value horizontal and
+    vertical runs per tile.
+
+    Surfaces: n_runs_h / n_runs_v (RLE symbol counts along each axis —
+    their ratio is the anisotropy of the tile's level sets),
+    longest_run (horizontal), and a position checksum over horizontal
+    run starts (Σ (i*w + j + 1)) pinning the exact run structure.
+
+    Scale shape: map-only fused mapInPandas — zero shuffle; run starts
+    are one shifted != compare over the batch block."""
+    slim = tiles.select("image_id", "bytes", "w", "h", "fmt")
+
+    def _rle(batches):
+        dt = {"raw": np.uint8, "qnt": np.uint8, "raw16": "<u2"}
+        cols = ("n_px", "n_runs_h", "n_runs_v", "longest_run", "run_start_checksum")
+        for pdf in batches:
+            n = len(pdf)
+            out = {"image_id": pdf["image_id"].to_numpy(dtype=object)}
+            for c in cols:
+                out[c] = np.zeros(n, dtype=np.int64)
+            groups: dict[tuple, list[int]] = {}
+            for k in range(n):
+                key = (int(pdf["w"].iat[k]), int(pdf["h"].iat[k]), pdf["fmt"].iat[k])
+                groups.setdefault(key, []).append(k)
+            for (w, h, fmt), idx in groups.items():
+                z = (
+                    np.frombuffer(
+                        b"".join(pdf["bytes"].iat[k] for k in idx), dtype=dt[fmt]
+                    )
+                    .reshape(len(idx), h, w)
+                    .astype(np.int64)
+                )
+                start_h = np.ones((len(idx), h, w), dtype=bool)
+                start_h[:, :, 1:] = z[:, :, 1:] != z[:, :, :-1]
+                start_v = np.ones((len(idx), h, w), dtype=bool)
+                start_v[:, 1:, :] = z[:, 1:, :] != z[:, :-1, :]
+                wt = (
+                    np.arange(h * w, dtype=np.int64).reshape(h, w) + 1
+                )
+                ii = np.asarray(idx)
+                out["n_px"][ii] = w * h
+                out["n_runs_h"][ii] = start_h.sum(axis=(1, 2), dtype=np.int64)
+                out["n_runs_v"][ii] = start_v.sum(axis=(1, 2), dtype=np.int64)
+                out["run_start_checksum"][ii] = np.einsum(
+                    "bij,ij->b", start_h.astype(np.int64), wt
+                )
+                # longest horizontal run: distance between consecutive
+                # run starts within each row, vectorized via position
+                # census per (tile, row).
+                flat = start_h.reshape(len(idx), h * w)
+                longest = np.zeros(len(idx), dtype=np.int64)
+                for b in range(len(idx)):
+                    best = 0
+                    for row in range(h):
+                        pos = np.flatnonzero(start_h[b, row])
+                        ends = np.append(pos[1:], w)
+                        best = max(best, int((ends - pos).max()))
+                    longest[b] = best
+                out["longest_run"][ii] = longest
+                del flat
+            yield pd.DataFrame(out)
+
+    return slim.mapInPandas(_rle, schema=_RLE_SCHEMA)

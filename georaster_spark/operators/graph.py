@@ -407,3 +407,44 @@ def triangle_census(edges: DataFrame) -> DataFrame:
             ),
         )
     )
+
+
+def sssp_rounds(
+    edges: DataFrame, seeds: DataFrame, rounds: int
+) -> DataFrame:
+    """Weighted single-source(-set) shortest paths by `rounds` Bellman-
+    Ford relaxations (the bounded-hop variant every MPC system ships;
+    GraphX Pregel ShortestPaths analog).  ``edges`` is directed
+    (src:long, dst:long, w:long), ``seeds`` is (node:long); all integer,
+    so the frontier is bit-comparable to an unrolled recursive-CTE
+    oracle.
+
+    Returns (node, dist) for every node reachable within `rounds` hops —
+    the exact distance if the true shortest path has <= `rounds` edges.
+
+    Scale shape: each round is ONE shuffle (relax join on src keyed to
+    the current distance frame) + a min agg on dst; the distance frame
+    stays nodes-sized.  Unbounded convergence loops belong to the
+    driver (cf. connected_components); a fixed unrolled round count
+    keeps the plan static and resumable."""
+    dist = seeds.select(F.col("node").cast("long").alias("node")).distinct()
+    dist = dist.withColumn("d", F.lit(0).cast("long"))
+    e = edges.select(
+        F.col("src").cast("long").alias("src"),
+        F.col("dst").cast("long").alias("dst"),
+        F.col("w").cast("long").alias("w"),
+    )
+    for _ in range(rounds):
+        relax = (
+            e.join(dist, e["src"] == dist["node"])
+            .select(F.col("dst").alias("node"), (F.col("d") + F.col("w")).alias("d"))
+        )
+        # keep lineage one round deep (cf. connected_components note:
+        # AQE re-renders the nested tree per action, O(rounds²) planning)
+        dist = (
+            dist.unionByName(relax)
+            .groupBy("node")
+            .agg(F.min("d").alias("d"))
+            .localCheckpoint(eager=False)
+        )
+    return dist.select("node", F.col("d").alias("dist"))

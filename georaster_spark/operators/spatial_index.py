@@ -1081,3 +1081,58 @@ def box_iou_assign(tiles: DataFrame) -> DataFrame:
     return picked.withColumn(
         "iou_milli", F.expr("div(1000 * inter_area, union_area)")
     )
+
+
+# --- hexagonal binning --------------------------------------------------------
+# Pointy-top axial hex grid (the H3/Uber-style density index the quad
+# GQK cells can't express — hex neighborhoods are isotropic).  Constants
+# are exact double literals so Spark and DuckDB parse identical IEEE
+# values; rounding is floor(t + 0.5) in BOTH engines (never round(),
+# whose half-rule differs across engines).
+HEX_SIZE = 8_000.0
+_SQRT3_3 = 0.5773502691896258  # sqrt(3)/3
+_THIRD = 0.3333333333333333  # 1/3
+_TWO_THIRDS = 0.6666666666666666  # 2/3
+
+
+def _hex_round(q, r):
+    """Cube-round fractional axial coords (Column in, Column out)."""
+    x, z = q, r
+    y = -x - z
+    rx = F.floor(x + F.lit(0.5))
+    ry = F.floor(y + F.lit(0.5))
+    rz = F.floor(z + F.lit(0.5))
+    dx = F.abs(rx - x)
+    dy = F.abs(ry - y)
+    dz = F.abs(rz - z)
+    fx = -ry - rz
+    fz = -rx - ry
+    out_x = F.when((dx > dy) & (dx > dz), fx).otherwise(rx)
+    out_z = F.when((dx > dy) & (dx > dz), rz).otherwise(
+        F.when(dy > dz, rz).otherwise(fz)
+    )
+    return out_x.cast("long"), out_z.cast("long")
+
+
+def hex_bin(points: DataFrame, size: float = HEX_SIZE) -> DataFrame:
+    """Hexagonal density binning (matplotlib hexbin / Uber H3 rollup
+    analog) of the point table: exact axial cube-rounding assigns each
+    point to its nearest hex center; per hex emit count, point_id
+    checksum, and the hex center coordinates.
+
+    Scale shape: map-only Column math (zero UDF) + ONE shuffle on the
+    (hq, hr) hex key — the same partial+final agg contract as every
+    cell rollup; hot hexes are bounded by hex area, and the synthetic
+    hot anchors land in single hexes exactly like the quad cells (use
+    skew.salted_agg if a hex exceeds the skew census threshold)."""
+    qf = (F.col("x") * F.lit(_SQRT3_3) - F.col("y") * F.lit(_THIRD)) / F.lit(size)
+    rf = (F.col("y") * F.lit(_TWO_THIRDS)) / F.lit(size)
+    hq, hr = _hex_round(qf, rf)
+    return (
+        points.select("point_id", hq.alias("hq"), hr.alias("hr"))
+        .groupBy("hq", "hr")
+        .agg(
+            F.count(F.lit(1)).alias("n_points"),
+            F.sum("point_id").alias("id_checksum"),
+        )
+    )

@@ -4881,6 +4881,9 @@ def spatial_queries() -> dict[str, QueryFn]:
         "ssim_pair": q_ssim_pair,
         "sole_late_shipper": rel.sole_late_shipper,
         "idle_customer_balance": rel.idle_customer_balance,
+        "hex_bin": q_hex_bin,
+        "sssp_hops": q_sssp,
+        "rle_census": q_rle_census,
     })
 
 
@@ -5063,6 +5066,9 @@ def spatial_oracles(sf: str = "sf0.01") -> dict[str, str]:
         "ssim_pair": _sql_ssim_pair(fx, w),
         "sole_late_shipper": rel.sole_late_shipper_sql(),
         "idle_customer_balance": rel.idle_customer_balance_sql(),
+        "hex_bin": _sql_hex_bin(fx),
+        "sssp_hops": _sql_sssp(),
+        "rle_census": _sql_rle_census(fx, w),
     })
 
 
@@ -7737,4 +7743,173 @@ SELECT pair_id,
        / ((mua * mua + mub * mub + {SSIM_C1})
           * ((eaa - mua * mua) + (ebb - mub * mub) + {SSIM_C2})) AS ssim
 FROM m ORDER BY pair_id
+"""
+
+
+def q_hex_bin(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hexagonal density binning (spatial_index.hex_bin — H3-style
+    isotropic rollup the quad cells can't express): exact axial
+    cube-rounding, map-only Column math + one hex-key agg."""
+    from ..operators import spatial_index as si
+
+    return (
+        si.hex_bin(_points(spark, sf_dir))
+        .repartition(1).sortWithinPartitions("hq", "hr")
+    )
+
+
+def _sql_hex_bin(fx: Path) -> str:
+    from ..operators.spatial_index import (
+        HEX_SIZE, _SQRT3_3, _THIRD, _TWO_THIRDS,
+    )
+
+    return f"""
+WITH pts AS (SELECT point_id, x, y FROM read_parquet('{fx / 'points.parquet'}')),
+f AS (
+  SELECT point_id,
+         (x * {_SQRT3_3!r} - y * {_THIRD!r}) / {HEX_SIZE!r} AS q,
+         (y * {_TWO_THIRDS!r}) / {HEX_SIZE!r} AS r
+  FROM pts
+),
+rr AS (
+  SELECT point_id, q, r, (-q) - r AS yy,
+         floor(q + 0.5) AS rx, floor((-q) - r + 0.5) AS ry, floor(r + 0.5) AS rz
+  FROM f
+),
+adj AS (
+  SELECT point_id,
+    CAST(CASE WHEN abs(rx - q) > abs(ry - yy) AND abs(rx - q) > abs(rz - r)
+              THEN (-ry) - rz ELSE rx END AS BIGINT) AS hq,
+    CAST(CASE WHEN abs(rx - q) > abs(ry - yy) AND abs(rx - q) > abs(rz - r)
+              THEN rz
+              WHEN abs(ry - yy) > abs(rz - r) THEN rz
+              ELSE (-rx) - ry END AS BIGINT) AS hr
+  FROM rr
+)
+SELECT hq, hr, COUNT(*) AS n_points,
+       CAST(SUM(point_id) AS BIGINT) AS id_checksum
+FROM adj GROUP BY hq, hr ORDER BY hq, hr
+"""
+
+
+_SSSP_ROUNDS = 4
+
+
+def q_sssp(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bounded-hop weighted shortest paths (graph.sssp_rounds — GraphX
+    Pregel ShortestPaths analog): 4 Bellman-Ford relaxations over the
+    supplier<->customer graph weighted by min lineitem quantity, seeds =
+    suppliers with suppkey % 100 == 0.  All-integer, bit-comparable to
+    the unrolled recursive-CTE oracle."""
+    from ..operators.graph import sssp_rounds
+
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet").select(
+        "l_suppkey", "l_orderkey", "l_quantity"
+    )
+    o = spark.read.parquet(f"{sf_dir}/orders.parquet").select(
+        "o_orderkey", "o_custkey"
+    )
+    pairs = (
+        li.join(o, li["l_orderkey"] == o["o_orderkey"])
+        .groupBy(
+            (F.col("l_suppkey").cast("long") * 2).alias("s"),
+            (F.col("o_custkey").cast("long") * 2 + 1).alias("c"),
+        )
+        .agg(F.min(F.col("l_quantity").cast("long")).alias("w"))
+    )
+    edges = pairs.select(
+        F.col("s").alias("src"), F.col("c").alias("dst"), "w"
+    ).unionByName(
+        pairs.select(F.col("c").alias("src"), F.col("s").alias("dst"), "w")
+    )
+    seeds = (
+        spark.read.parquet(f"{sf_dir}/supplier.parquet")
+        .where(F.col("s_suppkey") % 100 == 0)
+        .select((F.col("s_suppkey").cast("long") * 2).alias("node"))
+    )
+    return (
+        sssp_rounds(edges, seeds, rounds=_SSSP_ROUNDS)
+        .repartition(1).sortWithinPartitions("node")
+    )
+
+
+def _sql_sssp() -> str:
+    rounds = []
+    prev = "d0"
+    for i in range(1, _SSSP_ROUNDS + 1):
+        rounds.append(f"""
+d{i} AS (
+  SELECT node, MIN(d) AS d FROM (
+    SELECT node, d FROM {prev}
+    UNION ALL
+    SELECT e.dst AS node, p.d + e.w AS d
+    FROM e JOIN {prev} p ON e.src = p.node
+  ) GROUP BY node
+)""")
+        prev = f"d{i}"
+    return f"""
+WITH pairs AS (
+  SELECT l_suppkey * 2 AS s, o_custkey * 2 + 1 AS c,
+         CAST(MIN(l_quantity) AS BIGINT) AS w
+  FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+  GROUP BY 1, 2
+),
+e AS (
+  SELECT s AS src, c AS dst, w FROM pairs
+  UNION ALL SELECT c AS src, s AS dst, w FROM pairs
+),
+d0 AS (
+  SELECT s_suppkey * 2 AS node, CAST(0 AS BIGINT) AS d
+  FROM supplier WHERE s_suppkey % 100 = 0
+),{",".join(rounds)}
+SELECT node, CAST(d AS BIGINT) AS dist FROM {prev} ORDER BY node
+"""
+
+
+_RLE_MOD = 109
+
+
+def q_rle_census(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RLE compressibility census (algebra.rle_census): maximal
+    horizontal/vertical constant runs + longest run + run-start position
+    checksum, one map-only fused Arrow pass."""
+    from ..operators import algebra
+
+    tiles = geo.georegister(_images(spark, sf_dir)).where(
+        geo.image_idx() % _RLE_MOD == 0
+    )
+    return (
+        algebra.rle_census(tiles)
+        .repartition(1).sortWithinPartitions("image_id")
+    )
+
+
+def _sql_rle_census(fx: Path, w: int) -> str:
+    v = osql.ramp_value_expr("gi.i", "gj.j")
+    v_left = osql.ramp_value_expr("gi.i", "gj.j - 1")
+    v_up = osql.ramp_value_expr("gi.i - 1", "gj.j")
+    return f"""
+WITH {osql.georegister_cte(str(fx / 'images.parquet'))},
+sel AS (SELECT idx, image_id, fmt FROM tiles WHERE idx % {_RLE_MOD} = 0),
+px AS (
+  SELECT image_id, gi.i AS i, gj.j AS j,
+         CASE WHEN gj.j = 0 OR ({v}) <> ({v_left}) THEN 1 ELSE 0 END AS sh,
+         CASE WHEN gi.i = 0 OR ({v}) <> ({v_up}) THEN 1 ELSE 0 END AS sv
+  FROM sel,
+       generate_series(0, {w - 1}) AS gi(i), generate_series(0, {w - 1}) AS gj(j)
+),
+runs AS (
+  SELECT image_id, i, j,
+         lead(j, 1, {w}) OVER (PARTITION BY image_id, i ORDER BY j) - j AS rl
+  FROM px WHERE sh = 1
+),
+longest AS (SELECT image_id, MAX(rl) AS longest_run FROM runs GROUP BY image_id)
+SELECT px.image_id,
+       CAST({w * w} AS BIGINT) AS n_px,
+       CAST(SUM(sh) AS BIGINT) AS n_runs_h,
+       CAST(SUM(sv) AS BIGINT) AS n_runs_v,
+       CAST(MIN(longest.longest_run) AS BIGINT) AS longest_run,
+       CAST(SUM(sh * (i * {w} + j + 1)) AS BIGINT) AS run_start_checksum
+FROM px JOIN longest ON px.image_id = longest.image_id
+GROUP BY px.image_id ORDER BY px.image_id
 """

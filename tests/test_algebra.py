@@ -897,3 +897,24 @@ def test_ssim_pair_matches_numpy(spark, sf0001_dir):
     same = algebra.ssim_pair(a, a.select("pair_id", "bytes", "fmt", "w", "h"),
                              key="pair_id")
     assert all(r["ssim"] == 1.0 for r in same.collect())
+
+
+def test_rle_census_matches_numpy(spark, sf0001_dir):
+    got = {r["image_id"]: r for r in algebra.rle_census(_tiles(spark, sf0001_dir)).collect()}
+    for idx in range(0, 1000, 37):
+        z = _ramp(idx)
+        sh = np.ones_like(z, dtype=bool)
+        sh[:, 1:] = z[:, 1:] != z[:, :-1]
+        sv = np.ones_like(z, dtype=bool)
+        sv[1:, :] = z[1:, :] != z[:-1, :]
+        longest = 0
+        for row in range(32):
+            pos = np.flatnonzero(sh[row])
+            ends = np.append(pos[1:], 32)
+            longest = max(longest, int((ends - pos).max()))
+        r = got[f"img{idx:08d}"]
+        assert r["n_runs_h"] == int(sh.sum())
+        assert r["n_runs_v"] == int(sv.sum())
+        assert r["longest_run"] == longest
+        wt = np.arange(1, 32 * 32 + 1, dtype=np.int64).reshape(32, 32)
+        assert r["run_start_checksum"] == int((sh.astype(np.int64) * wt).sum())

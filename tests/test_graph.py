@@ -186,3 +186,41 @@ def test_triangle_census_matches_bruteforce(spark):
     r = triangle_census(df).collect()[0]
     assert r["n_triangles"] == want
     assert r["n_edges"] == len(edges)
+
+
+def test_sssp_rounds_matches_dijkstra(spark):
+    import heapq
+
+    from georaster_spark.operators.graph import sssp_rounds
+
+    # deterministic weighted graph, two seeds
+    n = 30
+    edges = []
+    for a in range(n):
+        for b in range(a + 1, n):
+            if (a * 11 + b * 7 + a * b) % 6 == 0:
+                edges.append((a, b, 1 + (a + b) % 9))
+    sym = edges + [(b, a, w) for a, b, w in edges]
+    seeds = [0, 17]
+
+    def dijkstra_capped(max_hops):
+        # exact min-cost over paths with <= max_hops edges
+        INF = float("inf")
+        d = {(s): 0 for s in seeds}
+        cur = {s: 0 for s in seeds}
+        best = dict(cur)
+        for _ in range(max_hops):
+            nxt = dict(best)
+            for a, b, w in sym:
+                if a in best and best[a] + w < nxt.get(b, INF):
+                    nxt[b] = best[a] + w
+            best = nxt
+        return best
+
+    e = spark.createDataFrame(sym, schema="src long, dst long, w long")
+    s = spark.createDataFrame([(x,) for x in seeds], schema="node long")
+    got = {r["node"]: r["dist"] for r in sssp_rounds(e, s, rounds=4).collect()}
+    assert got == dijkstra_capped(4)
+    # more rounds converge to true shortest paths
+    got8 = {r["node"]: r["dist"] for r in sssp_rounds(e, s, rounds=12).collect()}
+    assert got8 == dijkstra_capped(12)

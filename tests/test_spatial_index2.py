@@ -378,3 +378,45 @@ def test_box_iou_assign_matches_bruteforce(spark, sf0001_dir):
             r = got[(f"img{idx:08d}", p)]
             assert (r["gt_id"], r["inter_area"], r["union_area"]) == (bg, bi, bu)
             assert r["iou_milli"] == 1000 * bi // bu
+
+
+def test_hex_bin_matches_pure_python(spark):
+    pts = [(i, (i * 137.25) % 50_000, (i * 89.5) % 40_000) for i in range(400)]
+    df = spark.createDataFrame(pts, schema="point_id long, x double, y double")
+    got = {(r["hq"], r["hr"]): r for r in si.hex_bin(df, size=3000.0).collect()}
+
+    def hexof(x, y):
+        q = (x * si._SQRT3_3 - y * si._THIRD) / 3000.0
+        r = (y * si._TWO_THIRDS) / 3000.0
+        yy = -q - r
+        import math
+        rx, ry, rz = math.floor(q + 0.5), math.floor(yy + 0.5), math.floor(r + 0.5)
+        dx, dy, dz = abs(rx - q), abs(ry - yy), abs(rz - r)
+        if dx > dy and dx > dz:
+            rx = -ry - rz
+        elif dy > dz:
+            pass
+        else:
+            rz = -rx - ry
+        return int(rx), int(rz)
+
+    want = {}
+    for pid, x, y in pts:
+        k = hexof(x, y)
+        c, s = want.get(k, (0, 0))
+        want[k] = (c + 1, s + pid)
+    assert {k: (r["n_points"], r["id_checksum"]) for k, r in got.items()} == want
+
+
+def test_hex_bin_partition_is_total(spark):
+    """Every point lands in exactly one hex, and hexes tile the plane:
+    sum of counts == n and the cube constraint x+y+z=0 holds implicitly
+    (hq/hr derived from a valid cube round)."""
+    pts = spark.range(1000).select(
+        F.col("id").alias("point_id"),
+        (F.col("id") * 511.37 % 100_000).alias("x"),
+        (F.col("id") * 257.91 % 80_000).alias("y"),
+    )
+    rows = si.hex_bin(pts, size=5000.0).collect()
+    assert sum(r["n_points"] for r in rows) == 1000
+    assert sum(r["id_checksum"] for r in rows) == 1000 * 999 // 2
