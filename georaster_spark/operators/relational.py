@@ -1489,3 +1489,65 @@ WHERE bal_c > (SELECT AVG(bal_c) FROM c WHERE bal_c > 0)
 GROUP BY c_nationkey
 ORDER BY c_nationkey
 """
+
+
+# --- distributed NTILE: order-value percentile bands --------------------------
+
+PCT_BUCKETS = 10
+
+
+def order_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Decile banding of orders by total price — the global-ranking op
+    (NTILE / percent_rank) that naive SQL executes as ONE unpartitioned
+    window (single task, the classic scale cliff).  Here the global rank
+    comes from spatial_index.global_rank: repartitionByRange + per-
+    partition row_number + a broadcast P-row offset map, then SQL-exact
+    NTILE arithmetic from the rank.  Per decile: count, exact revenue
+    cents, min/max price.
+
+    Scale shape: one range shuffle (sorted within partitions, never
+    globally collected), one P-row driver materialization, one
+    10-key final agg."""
+    from .spatial_index import _ntile_from_rank, global_rank
+
+    o = _t(spark, sf_dir, "orders").select(
+        "o_orderkey", cents(F.col("o_totalprice")).alias("price_c")
+    )
+    ranked, n_rows = global_rank(o, ["price_c", "o_orderkey"])
+    banded = ranked.withColumn(
+        "decile", _ntile_from_rank(F.col("rank"), n_rows, PCT_BUCKETS)
+    )
+    return (
+        banded.groupBy("decile")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            (F.sum("price_c") / 100.0).alias("revenue"),
+            (F.min("price_c") / 100.0).alias("min_price"),
+            (F.max("price_c") / 100.0).alias("max_price"),
+        )
+        .select(
+            F.col("decile").cast("long").alias("decile"),
+            "n_orders", "revenue", "min_price", "max_price",
+        )
+        .repartition(1).sortWithinPartitions("decile")
+    )
+
+
+def order_percentiles_sql() -> str:
+    return f"""
+WITH o AS (
+  SELECT o_orderkey, CAST(round(o_totalprice * 100) AS BIGINT) AS price_c
+  FROM orders
+),
+b AS (
+  SELECT price_c,
+         NTILE({PCT_BUCKETS}) OVER (ORDER BY price_c, o_orderkey) AS decile
+  FROM o
+)
+SELECT CAST(decile AS BIGINT) AS decile,
+       COUNT(*) AS n_orders,
+       SUM(price_c) / 100.0 AS revenue,
+       MIN(price_c) / 100.0 AS min_price,
+       MAX(price_c) / 100.0 AS max_price
+FROM b GROUP BY decile ORDER BY decile
+"""

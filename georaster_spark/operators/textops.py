@@ -2178,6 +2178,7 @@ def text_queries():
         "dsir_importance": dsir_importance,
         "chunking_audit": chunking_audit,
         "winnowing_fp": winnowing_fingerprint,
+        "boilerplate_prefix": boilerplate_prefix,
     }
 
 
@@ -2212,6 +2213,7 @@ def text_oracles() -> dict[str, str]:
         "dsir_importance": dsir_importance_sql(),
         "chunking_audit": chunking_audit_sql(),
         "winnowing_fp": winnowing_fingerprint_sql(),
+        "boilerplate_prefix": boilerplate_prefix_sql(),
     }
 
 
@@ -2327,4 +2329,66 @@ SELECT doc_id,
        CAST(SUM(h * p) AS BIGINT) AS fp_checksum,
        CAST((COUNT(*) * 1000000) // MIN(m) AS BIGINT) AS density_ppm
 FROM sel GROUP BY doc_id ORDER BY doc_id
+"""
+
+
+# ---------------------------------------------------------------------------
+# T5 — boilerplate prefix detection
+# ---------------------------------------------------------------------------
+
+BOILER_WORDS = 8  # leading words that define a template prefix
+
+
+def boilerplate_prefix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Boilerplate/template detection (the CCNet/RefinedWeb curation
+    step that strips shared page chrome): docs from the same source
+    whose first BOILER_WORDS words coincide are template candidates.
+    Per source: distinct prefix groups, groups with >= 2 docs, docs in
+    such groups, and a doc_id checksum over them.
+
+    Scale shape: one map-side prefix hash + ONE (source, prefix) agg +
+    ONE source agg — both partial+final; group keys are bounded by
+    distinct prefixes, never by raw rows."""
+    d = _docs(spark, sf_dir)
+    ws = words_col()
+    base = d.select(
+        "doc_id",
+        "source",
+        h40(F.concat_ws(" ", F.slice(ws, 1, BOILER_WORDS))).alias("ph"),
+    ).where(F.size(ws) >= BOILER_WORDS)
+    grp = base.groupBy("source", "ph").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("doc_id").alias("ds"),
+    )
+    boiler = F.col("n") >= 2
+    return (
+        grp.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_prefix_groups"),
+            F.sum(F.when(boiler, 1).otherwise(0)).alias("n_boiler_groups"),
+            F.sum(F.when(boiler, F.col("n")).otherwise(0)).alias("n_boiler_docs"),
+            F.sum(F.when(boiler, F.col("ds")).otherwise(0)).alias("boiler_checksum"),
+        )
+        .repartition(1).sortWithinPartitions("source")
+    )
+
+
+def boilerplate_prefix_sql() -> str:
+    prefix = f"array_to_string(ws[1:{BOILER_WORDS}], ' ')"
+    return f"""
+WITH w AS (SELECT doc_id, source, {_SQL_WS} AS ws FROM documents),
+b AS (
+  SELECT doc_id, source, {_SQL_H40.format(s=prefix)} AS ph
+  FROM w WHERE len(ws) >= {BOILER_WORDS}
+),
+g AS (
+  SELECT source, ph, COUNT(*) AS n, SUM(doc_id) AS ds
+  FROM b GROUP BY source, ph
+)
+SELECT source,
+       COUNT(*) AS n_prefix_groups,
+       CAST(SUM(CASE WHEN n >= 2 THEN 1 ELSE 0 END) AS BIGINT) AS n_boiler_groups,
+       CAST(SUM(CASE WHEN n >= 2 THEN n ELSE 0 END) AS BIGINT) AS n_boiler_docs,
+       CAST(SUM(CASE WHEN n >= 2 THEN ds ELSE 0 END) AS BIGINT) AS boiler_checksum
+FROM g GROUP BY source ORDER BY source
 """

@@ -4884,6 +4884,8 @@ def spatial_queries() -> dict[str, QueryFn]:
         "hex_bin": q_hex_bin,
         "sssp_hops": q_sssp,
         "rle_census": q_rle_census,
+        "stream_sliding_rate": q_stream_sliding_rate,
+        "order_percentiles": rel.order_percentiles,
     })
 
 
@@ -5069,6 +5071,8 @@ def spatial_oracles(sf: str = "sf0.01") -> dict[str, str]:
         "hex_bin": _sql_hex_bin(fx),
         "sssp_hops": _sql_sssp(),
         "rle_census": _sql_rle_census(fx, w),
+        "stream_sliding_rate": _sql_stream_sliding_rate(fx),
+        "order_percentiles": rel.order_percentiles_sql(),
     })
 
 
@@ -7912,4 +7916,58 @@ SELECT px.image_id,
        CAST(SUM(sh * (i * {w} + j + 1)) AS BIGINT) AS run_start_checksum
 FROM px JOIN longest ON px.image_id = longest.image_id
 GROUP BY px.image_id ORDER BY px.image_id
+"""
+
+
+def q_stream_sliding_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Op S4 (sliding-window rate monitor) surfaced to the oracle gate:
+    OVERLAPPING 2-minute windows hopping every 30 s over the image
+    stream (each event lands in 4 windows), availableNow -> memory
+    sink; append-mode finalization is SQL-expressible exactly like S1
+    (win_end <= max(ts) - watermark)."""
+    import tempfile
+    import uuid
+
+    from ..streaming import tile_stream as ts
+
+    fx = _fx(sf_dir)
+    tmp = Path(tempfile.mkdtemp(prefix="gs_stream_"))
+    (tmp / "in").mkdir()
+    os.symlink(fx / "images.parquet", tmp / "in" / "images.parquet")
+    name = f"s4_{uuid.uuid4().hex[:8]}"
+    stream = ts.read_image_stream(spark, str(tmp / "in")).where(geo.image_idx() < 3600)
+    agg = ts.sliding_rate(stream)
+    ts.run_to_memory(agg, name, str(tmp / "ckpt"), state_partitions=8)
+    return (
+        spark.table(name)
+        .select("win_start", "n_images", "idx_checksum")
+        .repartition(1).sortWithinPartitions("win_start")
+    )
+
+
+def _sql_stream_sliding_rate(fx: Path) -> str:
+    """DuckDB twin: every idx < 3600 joins the 4 sliding windows
+    containing it (starts are 30 s multiples in ((t-120)//30, t//30]),
+    finalized windows only."""
+    from ..streaming.tile_stream import T0
+
+    return f"""
+WITH img AS (
+  SELECT CAST(substr(image_id, 4, 10) AS BIGINT) AS idx
+  FROM read_parquet('{fx / 'images.parquet'}')
+  WHERE CAST(substr(image_id, 4, 10) AS BIGINT) < 3600
+),
+mx AS (SELECT MAX(idx) AS max_idx FROM img),
+wnd AS (
+  SELECT idx,
+         30 * unnest(range(CAST(floor((idx - 120.0) / 30.0) AS BIGINT) + 1,
+                           idx // 30 + 1)) AS w
+  FROM img
+)
+SELECT TIMESTAMP '{T0}' + to_seconds(w) AS win_start,
+       COUNT(*) AS n_images,
+       CAST(SUM(idx) AS BIGINT) AS idx_checksum
+FROM wnd, mx
+WHERE w + 120 <= max_idx - 30
+GROUP BY w ORDER BY win_start
 """

@@ -363,3 +363,35 @@ def stream_quality_gate(images: DataFrame, var_threshold: int = 1000) -> DataFra
         F.col("lap_var_num")
         > F.lit(var_threshold) * F.col("n_interior") * F.col("n_interior")
     )
+
+
+def sliding_rate(
+    images: DataFrame,
+    window: str = "2 minutes",
+    slide: str = "30 seconds",
+    watermark: str = "30 seconds",
+) -> DataFrame:
+    """S4 — sliding-window ingest-rate monitor: per OVERLAPPING window
+    (length `window`, hop `slide`) the arrival count and an idx
+    checksum.  Sliding windows are the standard alerting shape tumbling
+    aggregations can't express (each event lands in L/S windows, here
+    4); watermark still bounds state and finalizes windows in event
+    time.
+
+    Scale shape: state is windows-sized (time-bounded), never
+    rows-sized; the fan-out is the fixed L/S factor applied map-side
+    before ONE windowed agg shuffle."""
+    ev = with_event_time(images)
+    return (
+        ev.withWatermark("ts", watermark)
+        .groupBy(F.window("ts", window, slide).alias("win"))
+        .agg(
+            F.count(F.lit(1)).alias("n_images"),
+            F.sum(geo.image_idx()).alias("idx_checksum"),
+        )
+        .select(
+            F.col("win.start").alias("win_start"),
+            "n_images",
+            "idx_checksum",
+        )
+    )

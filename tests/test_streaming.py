@@ -256,3 +256,39 @@ def test_stream_quality_gate_matches_batch(spark, stream_dir, tmp_path):
     }
     assert got == exp
     assert 0 < len(got) < batch.count()  # the gate actually filters
+
+
+def test_sliding_rate_matches_bruteforce(spark, stream_dir, tmp_path):
+    stream = ts.read_image_stream(spark, str(stream_dir))
+    out = ts.sliding_rate(stream)
+    ts.run_to_memory(out, "rate_stream", str(tmp_path / "ck_rate"))
+    got = {
+        r["win_start"]: (r["n_images"], r["idx_checksum"])
+        for r in spark.sql("SELECT * FROM rate_stream").collect()
+    }
+    assert got
+    # brute-force sliding assignment from the batch idx set
+    idxs = [
+        r[0]
+        for r in spark.read.parquet(str(stream_dir))
+        .select(F.substring("image_id", 4, 10).cast("long"))
+        .collect()
+    ]
+    import datetime
+    want: dict = {}
+    t0 = datetime.datetime(2024, 1, 1)
+    for t in idxs:
+        lo = -((120 - t + 29) // 30) if t < 120 else (t - 120) // 30 + 1
+        # windows w*30 with w*30 > t-120 and w*30 <= t
+        w = lo
+        while w * 30 <= t:
+            if w * 30 > t - 120:
+                k = t0 + datetime.timedelta(seconds=w * 30)
+                c, s = want.get(k, (0, 0))
+                want[k] = (c + 1, s + t)
+            w += 1
+    # every emitted (finalized) window must match brute force exactly
+    for k, v in got.items():
+        assert want[k] == v, k
+    # each event contributes to exactly 4 windows overall
+    assert sum(c for c, _ in want.values()) == 4 * len(idxs)
