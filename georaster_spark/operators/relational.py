@@ -1551,3 +1551,84 @@ SELECT CAST(decile AS BIGINT) AS decile,
        MAX(price_c) / 100.0 AS max_price
 FROM b GROUP BY decile ORDER BY decile
 """
+
+
+# --- interval (range) join via bucket equi-join -------------------------------
+# Maintenance windows: one per 12 h, starting 10 h into the bucket and
+# lasting 5 h — deliberately straddling two buckets so the bucketing
+# technique is actually exercised.
+IVAL_N_WINDOWS = 60
+IVAL_BUCKET_S = 43_200  # 12 h
+IVAL_OFF_S = 36_000  # 10 h
+IVAL_LEN_S = 18_000  # 5 h
+IVAL_T0 = "2024-01-01 00:00:00"
+
+
+def interval_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Interval/range join (events x maintenance windows) executed as a
+    BUCKET EQUI-JOIN + refine — the standard rewrite for Spark's classic
+    range-join cliff (a bare theta join plans as BroadcastNestedLoop /
+    cartesian): both sides key by 12 h epoch bucket (each window
+    explodes into the <= 2 buckets it straddles), the equi-join prunes
+    candidates, and the exact ts-in-[start, end) predicate refines
+    inside codegen.
+
+    Scale shape: candidates per event = windows sharing its bucket
+    (O(1) here; O(windows/bucket) generally) instead of |windows|; the
+    join shuffles on the bucket key only — at 10^12 events x 10^6
+    windows the nested-loop plan is infeasible, this one is linear.
+    The oracle is the direct theta join, proving the rewrite exact."""
+    ev = _t(spark, sf_dir, "events").select(
+        "event_id", "ts", cents(F.col("value")).alias("val_c")
+    )
+    t0 = F.to_timestamp(F.lit(IVAL_T0))
+    w = (
+        spark.range(IVAL_N_WINDOWS)
+        .select(
+            F.col("id").alias("win_id"),
+            (t0 + F.make_interval(secs=F.col("id") * IVAL_BUCKET_S + IVAL_OFF_S)).alias("w_start"),
+            (t0 + F.make_interval(secs=F.col("id") * IVAL_BUCKET_S + IVAL_OFF_S + IVAL_LEN_S)).alias("w_end"),
+        )
+    )
+    bucket_of = lambda col: F.floor(
+        (F.unix_timestamp(col) - F.unix_timestamp(t0)) / IVAL_BUCKET_S
+    )
+    wb = w.select(
+        "win_id", "w_start", "w_end",
+        F.explode(
+            F.sequence(
+                bucket_of(F.col("w_start")),
+                bucket_of(F.col("w_end") - F.expr("INTERVAL 1 MICROSECOND")),
+            )
+        ).alias("bucket"),
+    )
+    evb = ev.withColumn("bucket", bucket_of(F.col("ts")))
+    hits = evb.join(F.broadcast(wb), "bucket").where(
+        (F.col("ts") >= F.col("w_start")) & (F.col("ts") < F.col("w_end"))
+    )
+    return (
+        hits.groupBy("win_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum("event_id").alias("event_checksum"),
+            (F.sum("val_c") / 100.0).alias("value_sum"),
+        )
+        .repartition(1).sortWithinPartitions("win_id")
+    )
+
+
+def interval_join_sql() -> str:
+    return f"""
+WITH w AS (
+  SELECT k AS win_id,
+         TIMESTAMP '{IVAL_T0}' + to_seconds(k * {IVAL_BUCKET_S} + {IVAL_OFF_S}) AS w_start,
+         TIMESTAMP '{IVAL_T0}' + to_seconds(k * {IVAL_BUCKET_S} + {IVAL_OFF_S} + {IVAL_LEN_S}) AS w_end
+  FROM generate_series(0, {IVAL_N_WINDOWS - 1}) AS gs(k)
+)
+SELECT win_id,
+       COUNT(*) AS n_events,
+       CAST(SUM(event_id) AS BIGINT) AS event_checksum,
+       SUM(CAST(round(value * 100) AS BIGINT)) / 100.0 AS value_sum
+FROM events JOIN w ON ts >= w_start AND ts < w_end
+GROUP BY win_id ORDER BY win_id
+"""

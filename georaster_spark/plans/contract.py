@@ -4886,6 +4886,9 @@ def spatial_queries() -> dict[str, QueryFn]:
         "rle_census": q_rle_census,
         "stream_sliding_rate": q_stream_sliding_rate,
         "order_percentiles": rel.order_percentiles,
+        "interval_join": rel.interval_join,
+        "block_motion": q_block_motion,
+        "buffer_area": q_buffer_area,
     })
 
 
@@ -5073,6 +5076,9 @@ def spatial_oracles(sf: str = "sf0.01") -> dict[str, str]:
         "rle_census": _sql_rle_census(fx, w),
         "stream_sliding_rate": _sql_stream_sliding_rate(fx),
         "order_percentiles": rel.order_percentiles_sql(),
+        "interval_join": rel.interval_join_sql(),
+        "block_motion": _sql_block_motion(fx, w),
+        "buffer_area": _sql_buffer_area(fx),
     })
 
 
@@ -7970,4 +7976,107 @@ SELECT TIMESTAMP '{T0}' + to_seconds(w) AS win_start,
 FROM wnd, mx
 WHERE w + 120 <= max_idx - 30
 GROUP BY w ORDER BY win_start
+"""
+
+
+_MOTION_MOD = 31
+
+
+def q_block_motion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Block-matching motion estimation (algebra.block_motion — the
+    exhaustive-search ME of video codecs): argmin integer shift by
+    exact ppm-normalized SSD over consecutive-scene pairs."""
+    from ..operators import algebra
+
+    im = _images(spark, sf_dir).where(
+        (F.shiftright(geo.image_idx(), 1) % _MOTION_MOD == 0)
+    )
+    pair = F.shiftright(geo.image_idx(), 1).alias("pair_id")
+    a = im.where(geo.image_idx() % 2 == 0).select(pair, "bytes", "fmt", "w", "h")
+    b = im.where(geo.image_idx() % 2 == 1).select(pair, "bytes", "fmt")
+    return (
+        algebra.block_motion(a, b, key="pair_id")
+        .repartition(1).sortWithinPartitions("pair_id")
+    )
+
+
+def _sql_block_motion(fx: Path, w: int) -> str:
+    from ..operators.algebra import MOTION_R
+
+    va = osql.ramp_value_expr("gi.i", "gj.j", idx="ia", fmt="fmt_a")
+    vb = osql.ramp_value_expr("gi.i - dy", "gj.j - dx", idx="ib", fmt="fmt_b")
+    shifts = ", ".join(
+        f"({dy}, {dx}, {(w - abs(dy)) * (w - abs(dx))})"
+        for dy in range(-MOTION_R, MOTION_R + 1)
+        for dx in range(-MOTION_R, MOTION_R + 1)
+    )
+    return f"""
+WITH img AS (
+  SELECT CAST(substr(image_id, 4, 10) AS BIGINT) AS idx, fmt
+  FROM read_parquet('{fx / 'images.parquet'}')
+),
+pairs AS (
+  SELECT a.idx // 2 AS pair_id, a.idx AS ia, b.idx AS ib,
+         a.fmt AS fmt_a, b.fmt AS fmt_b
+  FROM img a JOIN img b ON b.idx = a.idx + 1
+  WHERE a.idx % 2 = 0 AND (a.idx // 2) % {_MOTION_MOD} = 0
+),
+sh(dy, dx, novl) AS (VALUES {shifts}),
+ssd AS (
+  SELECT pair_id, dy, dx, novl,
+         CAST(SUM((CAST({va} AS BIGINT) - CAST({vb} AS BIGINT))
+                * (CAST({va} AS BIGINT) - CAST({vb} AS BIGINT))) AS BIGINT) AS ssd
+  FROM pairs, sh,
+       generate_series(0, {w - 1}) AS gi(i), generate_series(0, {w - 1}) AS gj(j)
+  WHERE gi.i >= greatest(0, dy) AND gi.i <= least({w - 1}, {w - 1} + dy)
+    AND gj.j >= greatest(0, dx) AND gj.j <= least({w - 1}, {w - 1} + dx)
+  GROUP BY pair_id, dy, dx, novl
+),
+scored AS (
+  SELECT pair_id, dy, dx, ssd, (ssd * 1000000) // novl AS ppm FROM ssd
+),
+z AS (SELECT pair_id, ssd AS ssd_zero FROM ssd WHERE dy = 0 AND dx = 0)
+SELECT s.pair_id,
+       CAST(dy AS BIGINT) AS best_dy, CAST(dx AS BIGINT) AS best_dx,
+       ssd AS best_ssd, CAST(ppm AS BIGINT) AS best_score_ppm,
+       z.ssd_zero
+FROM scored s JOIN z ON s.pair_id = z.pair_id
+QUALIFY row_number() OVER (PARTITION BY s.pair_id ORDER BY ppm, dy, dx) = 1
+ORDER BY s.pair_id
+"""
+
+
+def q_buffer_area(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Grid-exact buffer union area (spatial_index.buffer_union_area —
+    PostGIS ST_Buffer+Union+Area analog): distinct res-16 cells whose
+    centers fall in any point's 2 km disk."""
+    from ..operators import spatial_index as si
+
+    return si.buffer_union_area(_points(spark, sf_dir))
+
+
+def _sql_buffer_area(fx: Path) -> str:
+    from ..operators.spatial_index import BUF_RADIUS, BUF_RES
+    from ..constants import DOMAIN
+
+    edge = DOMAIN >> BUF_RES
+    k = int(BUF_RADIUS // edge) + 1
+    return f"""
+WITH pts AS (SELECT point_id, x, y FROM read_parquet('{fx / 'points.parquet'}')),
+cand AS (
+  SELECT DISTINCT
+         CAST(floor(x / {edge}) AS BIGINT) + di.d AS cx,
+         CAST(floor(y / {edge}) AS BIGINT) + dj.d AS cy
+  FROM pts,
+       generate_series(-{k}, {k}) AS di(d), generate_series(-{k}, {k}) AS dj(d)
+  WHERE ((CAST(floor(x / {edge}) AS BIGINT) + di.d + 0.5) * {float(edge)!r} - x)
+      * ((CAST(floor(x / {edge}) AS BIGINT) + di.d + 0.5) * {float(edge)!r} - x)
+      + ((CAST(floor(y / {edge}) AS BIGINT) + dj.d + 0.5) * {float(edge)!r} - y)
+      * ((CAST(floor(y / {edge}) AS BIGINT) + dj.d + 0.5) * {float(edge)!r} - y)
+     <= {BUF_RADIUS * BUF_RADIUS!r}
+)
+SELECT COUNT(*) AS n_cells,
+       CAST(COUNT(*) * {edge * edge} AS BIGINT) AS area,
+       CAST(SUM(cy * {1 << 26} + cx) AS BIGINT) AS cell_checksum
+FROM cand WHERE cx >= 0 AND cy >= 0
 """

@@ -918,3 +918,47 @@ def test_rle_census_matches_numpy(spark, sf0001_dir):
         assert r["longest_run"] == longest
         wt = np.arange(1, 32 * 32 + 1, dtype=np.int64).reshape(32, 32)
         assert r["run_start_checksum"] == int((sh.astype(np.int64) * wt).sum())
+
+
+def test_block_motion_recovers_known_shift(spark):
+    """Construct b = a rolled by (+1, -2); the argmin must recover it
+    with SSD 0 on the overlap."""
+    from georaster_spark import oracle
+
+    rows_a, rows_b = [], []
+    for p in range(6):
+        za = oracle.ramp_tile(2 * p + 1, 32, 32).astype(np.uint8)  # coprime ramps
+        zb = np.roll(np.roll(za, 1, axis=0), -2, axis=1)
+        rows_a.append((p, bytearray(za.tobytes()), "raw", 32, 32))
+        rows_b.append((p, bytearray(zb.tobytes()), "raw"))
+    a = spark.createDataFrame(
+        rows_a, schema="pair_id long, bytes binary, fmt string, w int, h int"
+    )
+    b = spark.createDataFrame(rows_b, schema="pair_id long, bytes binary, fmt string")
+    got = {r["pair_id"]: r for r in algebra.block_motion(a, b).collect()}
+    for p in range(6):
+        r = got[p]
+        # convention: best (dy, dx) satisfies a(i,j) == b(i-dy, j-dx),
+        # so b rolled by (+1, -2) is recovered as (-1, +2)
+        assert (r["best_dy"], r["best_dx"]) == (-1, 2), r
+        assert r["best_ssd"] == 0
+        # overlap is roll-clean except the wrapped rows/cols, which are
+        # excluded by the overlap window -> SSD may not be 0 only if the
+        # ramp wraps identically; assert it beats the zero shift
+        assert r["best_score_ppm"] <= r["ssd_zero"] * 1_000_000 // 1024
+
+
+def test_block_motion_identical_tiles_zero_shift(spark, sf0001_dir):
+    im = spark.read.parquet(str(sf0001_dir / "images.parquet")).where(
+        geo.image_idx() < 20
+    )
+    pid = geo.image_idx().alias("pair_id")
+    a = im.select(pid, "bytes", "fmt", "w", "h")
+    b = im.select(pid, "bytes", "fmt")
+    for r in algebra.block_motion(a, b).collect():
+        # modular-linear ramps can tie at SSD 0 on several shifts (a
+        # shift adds a constant mod 256); the winner is then the
+        # lexicographically smallest zero-SSD shift. What identity DOES
+        # pin: the zero shift scores 0 and the winner can't beat it.
+        assert r["ssd_zero"] == 0
+        assert r["best_ssd"] == 0 and r["best_score_ppm"] == 0

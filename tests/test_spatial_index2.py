@@ -420,3 +420,27 @@ def test_hex_bin_partition_is_total(spark):
     rows = si.hex_bin(pts, size=5000.0).collect()
     assert sum(r["n_points"] for r in rows) == 1000
     assert sum(r["id_checksum"] for r in rows) == 1000 * 999 // 2
+
+
+def test_buffer_union_area_matches_bruteforce(spark):
+    pts = [(0, 5_000.0, 5_000.0), (1, 5_100.0, 5_050.0), (2, 40_000.0, 1_000.0)]
+    df = spark.createDataFrame(pts, schema="point_id long, x double, y double")
+    r = si.buffer_union_area(df).collect()[0]
+    edge = 1 << 10
+    want = set()
+    for _, x, y in pts:
+        bx, by = int(x // edge), int(y // edge)
+        for di in range(-2, 3):
+            for dj in range(-2, 3):
+                cx, cy = bx + di, by + dj
+                ctrx, ctry = (cx + 0.5) * edge, (cy + 0.5) * edge
+                if (ctrx - x) ** 2 + (ctry - y) ** 2 <= si.BUF_RADIUS ** 2 and cx >= 0 and cy >= 0:
+                    want.add((cx, cy))
+    assert r["n_cells"] == len(want)
+    assert r["area"] == len(want) * edge * edge
+    assert r["cell_checksum"] == sum(cy * (1 << 26) + cx for cx, cy in want)
+    # overlapping disks (points 0/1) union: strictly fewer cells than 3 disjoint disks
+    single = si.buffer_union_area(
+        spark.createDataFrame(pts[:1], schema="point_id long, x double, y double")
+    ).collect()[0]["n_cells"]
+    assert r["n_cells"] < 3 * single
