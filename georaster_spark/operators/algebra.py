@@ -2978,3 +2978,58 @@ def block_motion(a: DataFrame, b: DataFrame, key: str = "pair_id") -> DataFrame:
             yield pd.DataFrame(out)
 
     return joined.mapInPandas(_motion, schema=_MOTION_SCHEMA)
+
+
+_LAP_SCHEMA = (
+    "image_id string, base_sum long, lap_abs_sum long, lap_max long, "
+    "lap_checksum long"
+)
+
+
+def laplacian_residual(tiles: DataFrame) -> DataFrame:
+    """Laplacian-pyramid residual census (Burt & Adelson 1983 — the
+    band-pass layer of pyramid blending and of every octave-style
+    detail/compression analysis): base = 2x2 floor-mean downsample,
+    residual L = v − nearest-upsample(base).  Surfaces: base sum,
+    Σ|L|, max|L| (high-frequency energy) and the signed position
+    checksum Σ L·(i·w+j+1) pinning the exact residual plane.
+
+    Scale shape: map-only fused mapInPandas — zero shuffle; the base is
+    a 4-way strided add, the residual one broadcasted subtract."""
+    slim = tiles.select("image_id", "bytes", "w", "h", "fmt")
+
+    def _lap(batches):
+        dt = {"raw": np.uint8, "qnt": np.uint8, "raw16": "<u2"}
+        cols = ("base_sum", "lap_abs_sum", "lap_max", "lap_checksum")
+        for pdf in batches:
+            n = len(pdf)
+            out = {"image_id": pdf["image_id"].to_numpy(dtype=object)}
+            for c in cols:
+                out[c] = np.zeros(n, dtype=np.int64)
+            groups: dict[tuple, list[int]] = {}
+            for k in range(n):
+                key = (int(pdf["w"].iat[k]), int(pdf["h"].iat[k]), pdf["fmt"].iat[k])
+                groups.setdefault(key, []).append(k)
+            for (w, h, fmt), idx in groups.items():
+                z = (
+                    np.frombuffer(
+                        b"".join(pdf["bytes"].iat[k] for k in idx), dtype=dt[fmt]
+                    )
+                    .reshape(len(idx), h, w)
+                    .astype(np.int64)
+                )
+                base = (
+                    z[:, 0::2, 0::2] + z[:, 0::2, 1::2]
+                    + z[:, 1::2, 0::2] + z[:, 1::2, 1::2]
+                ) // 4
+                up = np.repeat(np.repeat(base, 2, axis=1), 2, axis=2)
+                lap = z - up
+                wt = np.arange(1, h * w + 1, dtype=np.int64).reshape(h, w)
+                ii = np.asarray(idx)
+                out["base_sum"][ii] = base.sum(axis=(1, 2))
+                out["lap_abs_sum"][ii] = np.abs(lap).sum(axis=(1, 2))
+                out["lap_max"][ii] = np.abs(lap).max(axis=(1, 2))
+                out["lap_checksum"][ii] = np.einsum("bij,ij->b", lap, wt)
+            yield pd.DataFrame(out)
+
+    return slim.mapInPandas(_lap, schema=_LAP_SCHEMA)

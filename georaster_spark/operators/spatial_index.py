@@ -1178,3 +1178,49 @@ def buffer_union_area(points: DataFrame, r: int = BUF_RES, radius: float = BUF_R
         (F.count(F.lit(1)) * (edge * edge)).alias("area"),
         F.sum(F.col("cy") * F.lit(1 << 26) + F.col("cx")).alias("cell_checksum"),
     )
+
+
+# --- k-ring neighborhood smoothing --------------------------------------------
+KRING_RES = 12
+
+
+def kring_smooth(tiles: DataFrame, r: int = KRING_RES) -> DataFrame:
+    """H3/S2-style k-ring neighborhood aggregation (k=1): per grid cell,
+    the 3x3-neighborhood image count — the sparse-grid convolution that
+    turns a cell rollup into a smoothed density surface (hotspot maps,
+    k-ring features for geo-ML).
+
+    Emitted per cell that receives ANY contribution: own count (0 if
+    the cell itself is empty but a neighbor is occupied), the k-ring
+    sum, and the (cx, cy) key.
+
+    Scale shape: ONE rollup shuffle to occupied cells (rows collapse to
+    the occupied-cell count), then a bounded 9-offset explode of that
+    ALREADY-AGGREGATED frame and ONE second agg on the target key —
+    the explode fans out dims-sized data, never raw rows."""
+    edge = DOMAIN >> r
+    cx = F.floor((F.col("gt_x0") + F.lit(TILE_SPAN / 2)) / edge).cast("long")
+    cy = F.floor((F.col("gt_y0") - F.lit(TILE_SPAN / 2)) / edge).cast("long")
+    idx = F.substring("image_id", 4, 10).cast("long")
+    occ = (
+        tiles.select(cx.alias("cx"), cy.alias("cy"), idx.alias("idx"))
+        .groupBy("cx", "cy")
+        .agg(F.count(F.lit(1)).alias("n"), F.sum("idx").alias("ids"))
+    )
+    off = F.sequence(F.lit(-1), F.lit(1))
+    fan = (
+        occ.withColumn("di", F.explode(off))
+        .withColumn("dj", F.explode(off))
+        .select(
+            (F.col("cx") + F.col("di")).alias("tx"),
+            (F.col("cy") + F.col("dj")).alias("ty"),
+            "n",
+            "ids",
+            ((F.col("di") == 0) & (F.col("dj") == 0)).alias("self"),
+        )
+    )
+    return fan.groupBy(F.col("tx").alias("cx"), F.col("ty").alias("cy")).agg(
+        F.sum(F.when(F.col("self"), F.col("n")).otherwise(0)).alias("n_self"),
+        F.sum("n").alias("kring_sum"),
+        F.sum("ids").alias("kring_checksum"),
+    )

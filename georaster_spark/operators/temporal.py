@@ -147,3 +147,58 @@ def temporal_trend(tiles: DataFrame, n_epochs: int = 4, delta: int = 17) -> Data
 
     rows = epoch_rows(tiles, n_epochs)
     return rows.groupBy("image_id").applyInPandas(_reduce, schema=_TREND_SCHEMA)
+
+
+def gap_fill_hourly(events: DataFrame) -> DataFrame:
+    """Time-series regularization with forward fill (pandas
+    ``resample('1h').ffill()`` / InfluxDB fill(previous) — the gap-fill
+    every monitoring pipeline runs before modeling): per user, an hourly
+    grid from the user's first to last event hour; each slot carries the
+    value of its latest event (deterministic in-hour rule: the event
+    with max event_id), empty slots forward-fill from the previous
+    observed hour.
+
+    Emitted per user: slot count, observed-slot count, the final value,
+    and a position-weighted checksum over the FILLED series — pinning
+    every filled slot, not just the observed ones.
+
+    Scale shape: one (user, hour) pre-agg collapses raw events, one
+    bounded sequence-explode builds the grid (span-sized, not
+    event-sized), and the forward fill is a running last() window
+    partitioned BY USER — no unpartitioned window anywhere."""
+    from pyspark.sql import Window
+
+    val_c = F.round(F.col("value") * 100).cast("long")
+    hr = F.floor(F.unix_timestamp("ts") / 3600).cast("long")
+    hourly = (
+        events.select(
+            "user_id", hr.alias("h"), "event_id", val_c.alias("val_c")
+        )
+        .groupBy("user_id", "h")
+        .agg(F.expr("max_by(val_c, event_id)").alias("hv"))
+    )
+    span = hourly.groupBy("user_id").agg(
+        F.min("h").alias("h0"), F.max("h").alias("h1")
+    )
+    grid = span.select(
+        "user_id", "h0", F.explode(F.sequence("h0", "h1")).alias("h")
+    )
+    joined = grid.join(hourly, ["user_id", "h"], "left")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("h")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    filled = joined.select(
+        "user_id",
+        "h0",
+        "h",
+        F.col("hv").isNotNull().alias("obs"),
+        F.last("hv", ignorenulls=True).over(w).alias("fv"),
+    )
+    return filled.groupBy("user_id").agg(
+        F.count(F.lit(1)).alias("n_slots"),
+        F.sum(F.when(F.col("obs"), 1).otherwise(0)).alias("n_observed"),
+        F.max_by("fv", "h").alias("last_val"),
+        F.sum((F.col("h") - F.col("h0") + 1) * F.col("fv")).alias("fill_checksum"),
+    )

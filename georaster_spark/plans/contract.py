@@ -4889,6 +4889,9 @@ def spatial_queries() -> dict[str, QueryFn]:
         "interval_join": rel.interval_join,
         "block_motion": q_block_motion,
         "buffer_area": q_buffer_area,
+        "kring_smooth": q_kring_smooth,
+        "gap_fill": q_gap_fill,
+        "laplacian_residual": q_laplacian,
     })
 
 
@@ -5079,6 +5082,9 @@ def spatial_oracles(sf: str = "sf0.01") -> dict[str, str]:
         "interval_join": rel.interval_join_sql(),
         "block_motion": _sql_block_motion(fx, w),
         "buffer_area": _sql_buffer_area(fx),
+        "kring_smooth": _sql_kring_smooth(fx),
+        "gap_fill": _sql_gap_fill(),
+        "laplacian_residual": _sql_laplacian(fx, w),
     })
 
 
@@ -8079,4 +8085,144 @@ SELECT COUNT(*) AS n_cells,
        CAST(COUNT(*) * {edge * edge} AS BIGINT) AS area,
        CAST(SUM(cy * {1 << 26} + cx) AS BIGINT) AS cell_checksum
 FROM cand WHERE cx >= 0 AND cy >= 0
+"""
+
+
+def q_kring_smooth(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """H3-style k-ring neighborhood smoothing (spatial_index.
+    kring_smooth): 3x3 sparse-grid convolution of the res-12 cell
+    rollup — rollup first, fan out the aggregated frame, re-agg."""
+    from ..operators import spatial_index as si
+
+    tiles = geo.georegister(_images(spark, sf_dir))
+    return (
+        si.kring_smooth(tiles)
+        .repartition(1).sortWithinPartitions("cx", "cy")
+    )
+
+
+def _sql_kring_smooth(fx: Path) -> str:
+    from ..operators.spatial_index import KRING_RES
+
+    edge = DOMAIN >> KRING_RES
+    return f"""
+WITH {osql.georegister_cte(str(fx / 'images.parquet'))},
+occ AS (
+  SELECT CAST(floor((gt_x0 + 500.0) / {edge}) AS BIGINT) AS cx,
+         CAST(floor((gt_y0 - 500.0) / {edge}) AS BIGINT) AS cy,
+         COUNT(*) AS n, SUM(idx) AS ids
+  FROM tiles GROUP BY 1, 2
+),
+fan AS (
+  SELECT occ.cx + di.d AS tx, occ.cy + dj.d AS ty, n, ids,
+         (di.d = 0 AND dj.d = 0) AS self
+  FROM occ, generate_series(-1, 1) AS di(d), generate_series(-1, 1) AS dj(d)
+)
+SELECT tx AS cx, ty AS cy,
+       CAST(SUM(CASE WHEN self THEN n ELSE 0 END) AS BIGINT) AS n_self,
+       CAST(SUM(n) AS BIGINT) AS kring_sum,
+       CAST(SUM(ids) AS BIGINT) AS kring_checksum
+FROM fan GROUP BY tx, ty ORDER BY cx, cy
+"""
+
+
+def q_gap_fill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hourly gap-fill with forward fill (temporal.gap_fill_hourly —
+    pandas resample().ffill() analog): per-user regular grid, ffill via
+    a user-partitioned running last(), checksum over the FILLED series."""
+    from ..operators.temporal import gap_fill_hourly
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    return (
+        gap_fill_hourly(ev)
+        .repartition(1).sortWithinPartitions("user_id")
+    )
+
+
+def _sql_gap_fill() -> str:
+    return """
+WITH hv AS (
+  SELECT user_id, CAST(floor(epoch(ts) / 3600) AS BIGINT) AS h,
+         arg_max(CAST(round(value * 100) AS BIGINT), event_id) AS hv
+  FROM events GROUP BY 1, 2
+),
+span AS (SELECT user_id, MIN(h) AS h0, MAX(h) AS h1 FROM hv GROUP BY 1),
+grid AS (SELECT user_id, h0, unnest(range(h0, h1 + 1)) AS h FROM span),
+j AS (
+  SELECT g.user_id, g.h0, g.h, hv.hv
+  FROM grid g LEFT JOIN hv ON hv.user_id = g.user_id AND hv.h = g.h
+),
+f AS (
+  SELECT user_id, h0, h, hv IS NOT NULL AS obs,
+         last_value(hv IGNORE NULLS) OVER (
+           PARTITION BY user_id ORDER BY h
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS fv
+  FROM j
+)
+SELECT user_id,
+       COUNT(*) AS n_slots,
+       CAST(SUM(CASE WHEN obs THEN 1 ELSE 0 END) AS BIGINT) AS n_observed,
+       CAST(arg_max(fv, h) AS BIGINT) AS last_val,
+       CAST(SUM((h - h0 + 1) * fv) AS BIGINT) AS fill_checksum
+FROM f GROUP BY user_id ORDER BY user_id
+"""
+
+
+_LAP_MOD = 113
+
+
+def q_laplacian(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Laplacian-pyramid residual census (algebra.laplacian_residual —
+    Burt & Adelson band-pass layer): 2x2 floor-mean base + nearest
+    upsample residual, map-only fused Arrow pass."""
+    from ..operators import algebra
+
+    tiles = geo.georegister(_images(spark, sf_dir)).where(
+        geo.image_idx() % _LAP_MOD == 0
+    )
+    return (
+        algebra.laplacian_residual(tiles)
+        .repartition(1).sortWithinPartitions("image_id")
+    )
+
+
+def _sql_laplacian(fx: Path, w: int) -> str:
+    hw = w // 2
+
+    def vat(i: str, j: str) -> str:
+        return f"CAST({osql.ramp_value_expr(i, j)} AS BIGINT)"
+
+    base = (
+        f"({vat('2*gb.bi', '2*gb2.bj')} + {vat('2*gb.bi', '2*gb2.bj + 1')}"
+        f" + {vat('2*gb.bi + 1', '2*gb2.bj')} + {vat('2*gb.bi + 1', '2*gb2.bj + 1')}) // 4"
+    )
+    lap_base = (
+        f"({vat('2*(gi.i // 2)', '2*(gj.j // 2)')} + {vat('2*(gi.i // 2)', '2*(gj.j // 2) + 1')}"
+        f" + {vat('2*(gi.i // 2) + 1', '2*(gj.j // 2)')} + {vat('2*(gi.i // 2) + 1', '2*(gj.j // 2) + 1')}) // 4"
+    )
+    lap = f"({vat('gi.i', 'gj.j')} - ({lap_base}))"
+    return f"""
+WITH {osql.georegister_cte(str(fx / 'images.parquet'))},
+sel AS (SELECT idx, image_id, fmt FROM tiles WHERE idx % {_LAP_MOD} = 0),
+bs AS (
+  SELECT image_id, SUM({base}) AS base_sum
+  FROM sel,
+       generate_series(0, {hw - 1}) AS gb(bi), generate_series(0, {hw - 1}) AS gb2(bj)
+  GROUP BY image_id
+),
+lp AS (
+  SELECT image_id,
+         SUM(abs({lap})) AS lap_abs_sum,
+         MAX(abs({lap})) AS lap_max,
+         SUM(({lap}) * (gi.i * {w} + gj.j + 1)) AS lap_checksum
+  FROM sel,
+       generate_series(0, {w - 1}) AS gi(i), generate_series(0, {w - 1}) AS gj(j)
+  GROUP BY image_id
+)
+SELECT bs.image_id,
+       CAST(base_sum AS BIGINT) AS base_sum,
+       CAST(lap_abs_sum AS BIGINT) AS lap_abs_sum,
+       CAST(lap_max AS BIGINT) AS lap_max,
+       CAST(lap_checksum AS BIGINT) AS lap_checksum
+FROM bs JOIN lp ON bs.image_id = lp.image_id ORDER BY bs.image_id
 """

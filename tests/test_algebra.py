@@ -962,3 +962,17 @@ def test_block_motion_identical_tiles_zero_shift(spark, sf0001_dir):
         # pin: the zero shift scores 0 and the winner can't beat it.
         assert r["ssd_zero"] == 0
         assert r["best_ssd"] == 0 and r["best_score_ppm"] == 0
+
+
+def test_laplacian_residual_matches_numpy(spark, sf0001_dir):
+    got = {r["image_id"]: r for r in algebra.laplacian_residual(_tiles(spark, sf0001_dir)).collect()}
+    for idx in range(0, 1000, 37):
+        z = _ramp(idx)
+        base = (z[0::2, 0::2] + z[0::2, 1::2] + z[1::2, 0::2] + z[1::2, 1::2]) // 4
+        lap = z - np.repeat(np.repeat(base, 2, axis=0), 2, axis=1)
+        wt = np.arange(1, 32 * 32 + 1, dtype=np.int64).reshape(32, 32)
+        r = got[f"img{idx:08d}"]
+        assert r["base_sum"] == int(base.sum())
+        assert r["lap_abs_sum"] == int(np.abs(lap).sum())
+        assert r["lap_max"] == int(np.abs(lap).max())
+        assert r["lap_checksum"] == int((lap * wt).sum())

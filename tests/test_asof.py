@@ -48,3 +48,40 @@ def test_asof_deterministic_across_parallelism(spark):
         .collect()
     )
     assert sorted(map(tuple, a)) == sorted(map(tuple, b))
+
+
+def test_gap_fill_hourly_matches_pandas(spark):
+    """gap_fill_hourly vs an explicit pandas resample+ffill."""
+    import datetime
+
+    import pandas as pd
+
+    from georaster_spark.operators.temporal import gap_fill_hourly
+
+    t0 = datetime.datetime(2024, 1, 1)
+    rows = []
+    eid = 0
+    for u in (1, 2):
+        for k in (0, 1, 5, 5, 11):  # duplicate hour 5 -> max event_id wins
+            rows.append(
+                (eid, t0 + datetime.timedelta(hours=k, minutes=eid % 50),
+                 u, "x", float(10 * u + eid))
+            )
+            eid += 1
+    df = spark.createDataFrame(
+        rows, schema="event_id long, ts timestamp, user_id long, event_type string, value double"
+    )
+    got = {r["user_id"]: r for r in gap_fill_hourly(df).collect()}
+    pdf = pd.DataFrame(rows, columns=["event_id", "ts", "user_id", "t", "value"])
+    for u in (1, 2):
+        g = pdf[pdf.user_id == u].copy()
+        g["h"] = g.ts.dt.floor("h")
+        hv = g.sort_values("event_id").groupby("h").last()["value"] * 100
+        grid = hv.resample("1h").last().ffill()
+        r = got[u]
+        assert r["n_slots"] == len(grid) == 12
+        assert r["n_observed"] == 4  # hours 0,1,5,11
+        assert r["last_val"] == int(round(grid.iloc[-1]))
+        assert r["fill_checksum"] == sum(
+            (i + 1) * int(round(v)) for i, v in enumerate(grid)
+        )
