@@ -448,3 +448,54 @@ def sssp_rounds(
             .localCheckpoint(eager=False)
         )
     return dist.select("node", F.col("d").alias("dist"))
+
+
+def k_core_rounds(edges: DataFrame, k: int, rounds: int) -> DataFrame:
+    """Bounded-round k-core peeling (Matula & Beck 1983; the
+    degeneracy-ordering building block of community mining and of
+    triangle-count work bounds): repeatedly drop vertices with degree
+    < k and the edges touching them.  `rounds` fixed peels make the
+    plan a static DAG; the true k-core is reached when a round removes
+    nothing (the census row shows convergence).
+
+    Returns one census row per round r (1-based): surviving n_nodes,
+    n_edges, and a node checksum — so the trajectory, not just the
+    fixpoint, is pinned.
+
+    Scale shape: per round ONE degree agg + ONE semi-join edge filter
+    (both combiner-friendly, keyed on vertices); frames are
+    localCheckpoint'd so lineage stays round-deep."""
+    und = (
+        edges.select(F.col("u").cast("long").alias("u"), F.col("v").cast("long").alias("v"))
+        .where(F.col("u") != F.col("v"))
+        .select(F.least("u", "v").alias("u"), F.greatest("u", "v").alias("v"))
+        .distinct()
+        .localCheckpoint(eager=False)
+    )
+    out_rows = []
+    cur = und
+    for r in range(1, rounds + 1):
+        sym = cur.union(cur.select(F.col("v").alias("u"), F.col("u").alias("v")))
+        deg = sym.groupBy("u").agg(F.count(F.lit(1)).alias("deg"))
+        keep = deg.where(F.col("deg") >= k).select("u").localCheckpoint(eager=False)
+        cur = (
+            cur.join(keep, "u", "left_semi")
+            .join(keep.select(F.col("u").alias("v")), "v", "left_semi")
+            # USING-joins move the join key to column 0, so the second
+            # join leaves columns ordered (v, u); the sym union below is
+            # POSITIONAL — re-pin the order or every edge flips.
+            .select("u", "v")
+            .localCheckpoint(eager=False)
+        )
+        survivors = cur.select(F.col("u").alias("n")).union(
+            cur.select(F.col("v").alias("n"))
+        ).distinct()
+        census = survivors.agg(
+            F.count(F.lit(1)).alias("n_nodes"),
+            F.coalesce(F.sum("n"), F.lit(0)).alias("node_checksum"),
+        ).crossJoin(cur.agg(F.count(F.lit(1)).alias("n_edges")))
+        out_rows.append(census.select(F.lit(r).cast("long").alias("round"), "n_nodes", "n_edges", "node_checksum"))
+    res = out_rows[0]
+    for df in out_rows[1:]:
+        res = res.unionByName(df)
+    return res

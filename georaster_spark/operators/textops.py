@@ -2179,6 +2179,8 @@ def text_queries():
         "chunking_audit": chunking_audit,
         "winnowing_fp": winnowing_fingerprint,
         "boilerplate_prefix": boilerplate_prefix,
+        "cm_heavy_hitters": cm_heavy_hitters,
+        "cdc_chunking": cdc_chunking,
     }
 
 
@@ -2214,6 +2216,8 @@ def text_oracles() -> dict[str, str]:
         "chunking_audit": chunking_audit_sql(),
         "winnowing_fp": winnowing_fingerprint_sql(),
         "boilerplate_prefix": boilerplate_prefix_sql(),
+        "cm_heavy_hitters": cm_heavy_hitters_sql(),
+        "cdc_chunking": cdc_chunking_sql(),
     }
 
 
@@ -2391,4 +2395,185 @@ SELECT source,
        CAST(SUM(CASE WHEN n >= 2 THEN n ELSE 0 END) AS BIGINT) AS n_boiler_docs,
        CAST(SUM(CASE WHEN n >= 2 THEN ds ELSE 0 END) AS BIGINT) AS boiler_checksum
 FROM g GROUP BY source ORDER BY source
+"""
+
+
+# ---------------------------------------------------------------------------
+# T6 — Count-Min sketch heavy hitters, exactness-audited
+# ---------------------------------------------------------------------------
+
+CMS_ROWS = 4
+CMS_WIDTH = 256
+CMS_TOPK = 10
+
+
+def cm_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Count-Min sketch heavy hitters with an exact audit (Cormode &
+    Muthukrishnan 2005 — the streaming frequent-items sketch): build a
+    CMS_ROWS x CMS_WIDTH sketch over the corpus word stream with
+    deterministic salted-h40 row hashes, then report the exact top-K
+    words alongside their sketch estimate and overestimate.  The CMS
+    invariant est >= exact is part of the audited surface.
+
+    Scale shape: the sketch is ONE partial+final agg onto a bounded
+    (row, bucket) key domain (CMS_ROWS*CMS_WIDTH cells — broadcastable);
+    the exact top-K is one word agg + TakeOrdered; estimates come from
+    a broadcast join of K*CMS_ROWS probe rows against the cell table.
+    The sketch side never grows with vocabulary — that is its point."""
+    d = _docs(spark, sf_dir)
+    wd = d.select(F.explode(words_col()).alias("wd")).where(F.length("wd") > 0)
+    wd = wd.localCheckpoint(eager=False)  # sketch + exact share one scan
+    cells = (
+        wd.select(
+            F.explode(
+                F.array(*[
+                    F.struct(
+                        F.lit(r).alias("r"),
+                        (h40(F.concat(F.lit(f"cms{r}:"), F.col("wd"))) % CMS_WIDTH).alias("b"),
+                    )
+                    for r in range(CMS_ROWS)
+                ])
+            ).alias("rb")
+        )
+        .groupBy(F.col("rb.r").alias("r"), F.col("rb.b").alias("b"))
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    exact = (
+        wd.groupBy("wd")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy(F.desc("n"), F.asc("wd"))
+        .limit(CMS_TOPK)
+    )
+    probes = exact.select(
+        "wd",
+        "n",
+        F.explode(
+            F.array(*[
+                F.struct(
+                    F.lit(r).alias("r"),
+                    (h40(F.concat(F.lit(f"cms{r}:"), F.col("wd"))) % CMS_WIDTH).alias("b"),
+                )
+                for r in range(CMS_ROWS)
+            ])
+        ).alias("rb"),
+    ).select("wd", "n", F.col("rb.r").alias("r"), F.col("rb.b").alias("b"))
+    est = (
+        probes.join(F.broadcast(cells), ["r", "b"])
+        .groupBy("wd", "n")
+        .agg(F.min("c").alias("cms_est"))
+    )
+    return (
+        est.select(
+            "wd",
+            F.col("n").alias("exact_n"),
+            "cms_est",
+            (F.col("cms_est") - F.col("n")).alias("overestimate"),
+        )
+        .repartition(1).sortWithinPartitions(F.desc("exact_n"), F.asc("wd"))
+    )
+
+
+def cm_heavy_hitters_sql() -> str:
+    return f"""
+WITH w AS (SELECT {_SQL_WS} AS ws FROM documents),
+wd AS (SELECT unnest(ws) AS wd FROM w),
+wdn AS (SELECT wd FROM wd WHERE length(wd) > 0),
+cells AS (
+  SELECT r, b, COUNT(*) AS c FROM (
+    SELECT u.r AS r,
+           {_SQL_H40.format(s="('cms' || u.r || ':') || wd")} % {CMS_WIDTH} AS b
+    FROM wdn, (SELECT unnest(range(0, {CMS_ROWS})) AS r) u
+  ) GROUP BY r, b
+),
+exact AS (
+  SELECT wd, COUNT(*) AS n FROM wdn GROUP BY wd
+  ORDER BY n DESC, wd LIMIT {CMS_TOPK}
+),
+probes AS (
+  SELECT wd, n, u.r AS r,
+         {_SQL_H40.format(s="('cms' || u.r || ':') || wd")} % {CMS_WIDTH} AS b
+  FROM exact, (SELECT unnest(range(0, {CMS_ROWS})) AS r) u
+)
+SELECT p.wd, CAST(p.n AS BIGINT) AS exact_n,
+       CAST(MIN(c.c) AS BIGINT) AS cms_est,
+       CAST(MIN(c.c) - p.n AS BIGINT) AS overestimate
+FROM probes p JOIN cells c ON p.r = c.r AND p.b = c.b
+GROUP BY p.wd, p.n ORDER BY exact_n DESC, p.wd
+"""
+
+# ---------------------------------------------------------------------------
+# T7 — content-defined chunking
+# ---------------------------------------------------------------------------
+
+CDC_GRAM = 4  # boundary decided by the 4-gram starting at each position
+CDC_MASK = 16  # boundary iff h40(gram) % CDC_MASK == 0 (expected len ~16)
+
+
+def cdc_chunking(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Content-defined chunking (the FastCDC/Rabin boundary rule of
+    dedup storage and shift-robust passage dedup): a chunk boundary
+    opens AFTER position i whenever the CDC_GRAM-gram starting at i
+    hashes to 0 mod CDC_MASK — an insertion shifts every fixed-window
+    chunk (cf. chunking_audit) but only the local CDC boundaries.
+
+    Emitted per doc: n_chunks (= boundaries + 1), first-chunk length,
+    max chunk length, boundary position checksum Σ i.
+
+    Scale shape: map-only higher-order-function pipeline (transform →
+    filter over the in-doc position sequence, then zip_with for chunk
+    lengths) — per-doc arrays, zero UDF, zero shuffle beyond the final
+    contract sort."""
+    d = _docs(spark, sf_dir)
+    txt = norm_text()
+    base = d.select("doc_id", txt.alias("t")).where(
+        F.length("t") >= CDC_GRAM
+    )
+    bpos = F.filter(
+        F.sequence(F.lit(1), F.length("t") - CDC_GRAM + 1),
+        lambda i: h40(F.substring(F.col("t"), i, F.lit(CDC_GRAM))) % CDC_MASK == 0,
+    )
+    withb = base.select("doc_id", F.length("t").alias("len"), bpos.alias("bp"))
+    # chunk ends: boundaries then doc end; chunk starts: 1 then boundary+1
+    ends = F.concat(F.col("bp"), F.array(F.col("len")))
+    starts = F.concat(F.array(F.lit(0)), F.col("bp"))
+    lens = F.zip_with(ends, starts, lambda e, s: e - s)
+    return (
+        withb.select(
+            "doc_id",
+            (F.size("bp") + 1).cast("long").alias("n_chunks"),
+            F.element_at(lens, 1).cast("long").alias("first_chunk"),
+            F.array_max(lens).cast("long").alias("max_chunk"),
+            F.coalesce(
+                F.aggregate("bp", F.lit(0).cast("long"), lambda a, x: a + x),
+                F.lit(0).cast("long"),
+            ).alias("boundary_checksum"),
+        )
+        .repartition(1).sortWithinPartitions("doc_id")
+    )
+
+
+def cdc_chunking_sql() -> str:
+    gram = f"substr(t, CAST(i AS INTEGER), {CDC_GRAM})"
+    return f"""
+WITH d AS (SELECT doc_id, lower(trim(text)) AS t FROM documents
+           WHERE length(lower(trim(text))) >= {CDC_GRAM}),
+b AS (
+  SELECT doc_id, length(t) AS len,
+         list_filter(range(1, length(t) - {CDC_GRAM} + 2),
+                     i -> {_SQL_H40.format(s=gram)} % {CDC_MASK} = 0) AS bp
+  FROM d
+),
+c AS (
+  SELECT doc_id, len, bp,
+         list_concat(bp, [len]) AS ends,
+         list_concat([0], bp) AS starts
+  FROM b
+)
+SELECT doc_id,
+       CAST(len(bp) + 1 AS BIGINT) AS n_chunks,
+       CAST(ends[1] - starts[1] AS BIGINT) AS first_chunk,
+       CAST(list_max(list_transform(range(1, len(ends) + 1),
+                                    k -> ends[k] - starts[k])) AS BIGINT) AS max_chunk,
+       CAST(COALESCE(list_sum(bp), 0) AS BIGINT) AS boundary_checksum
+FROM c ORDER BY doc_id
 """

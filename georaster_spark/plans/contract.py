@@ -4892,6 +4892,7 @@ def spatial_queries() -> dict[str, QueryFn]:
         "kring_smooth": q_kring_smooth,
         "gap_fill": q_gap_fill,
         "laplacian_residual": q_laplacian,
+        "k_core": q_k_core,
     })
 
 
@@ -5085,6 +5086,7 @@ def spatial_oracles(sf: str = "sf0.01") -> dict[str, str]:
         "kring_smooth": _sql_kring_smooth(fx),
         "gap_fill": _sql_gap_fill(),
         "laplacian_residual": _sql_laplacian(fx, w),
+        "k_core": _sql_k_core(),
     })
 
 
@@ -8225,4 +8227,68 @@ SELECT bs.image_id,
        CAST(lap_max AS BIGINT) AS lap_max,
        CAST(lap_checksum AS BIGINT) AS lap_checksum
 FROM bs JOIN lp ON bs.image_id = lp.image_id ORDER BY bs.image_id
+"""
+
+
+# k chosen so the fixture graph actually peels round over round (min
+# degree is 42; at k=100 ~a quarter of the nodes fall in round 1 and the
+# cascade continues) — a k below the min degree would make every census
+# row identical and the probe vacuous.
+_KCORE_K = 100
+_KCORE_ROUNDS = 3
+
+
+def q_k_core(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bounded-round k-core peeling (graph.k_core_rounds — Matula &
+    Beck degeneracy peeling) over the part co-purchase graph: per-round
+    survivor census, 3 unrolled peels at a k that actually cascades."""
+    from ..operators.graph import k_core_rounds
+
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet").select(
+        "l_orderkey", "l_partkey"
+    )
+    a = li.select(F.col("l_orderkey").alias("k"), F.col("l_partkey").alias("u"))
+    b = li.select(F.col("l_orderkey").alias("k"), F.col("l_partkey").alias("v"))
+    pairs = a.join(b, "k").where(F.col("u") < F.col("v")).select("u", "v")
+    return k_core_rounds(pairs, k=_KCORE_K, rounds=_KCORE_ROUNDS)
+
+
+def _sql_k_core() -> str:
+    rounds_sql = []
+    prev = "e0"
+    for r in range(1, _KCORE_ROUNDS + 1):
+        rounds_sql.append(f"""
+deg{r} AS (
+  SELECT u, COUNT(*) AS deg FROM (
+    SELECT u, v FROM {prev} UNION ALL SELECT v AS u, u AS v FROM {prev}
+  ) GROUP BY u
+),
+keep{r} AS (SELECT u FROM deg{r} WHERE deg >= {_KCORE_K}),
+e{r} AS (
+  SELECT e.u, e.v FROM {prev} e
+  WHERE EXISTS (SELECT 1 FROM keep{r} WHERE keep{r}.u = e.u)
+    AND EXISTS (SELECT 1 FROM keep{r} k2 WHERE k2.u = e.v)
+),
+c{r} AS (
+  SELECT {r} AS round,
+         (SELECT COUNT(*) FROM (SELECT u AS n FROM e{r} UNION SELECT v FROM e{r})) AS n_nodes,
+         (SELECT COALESCE(SUM(n), 0) FROM (SELECT u AS n FROM e{r} UNION SELECT v FROM e{r})) AS node_checksum,
+         (SELECT COUNT(*) FROM e{r}) AS n_edges
+)""")
+        prev = f"e{r}"
+    unions = " UNION ALL ".join(
+        f"SELECT round, n_nodes, n_edges, node_checksum FROM c{r}"
+        for r in range(1, _KCORE_ROUNDS + 1)
+    )
+    return f"""
+WITH e0 AS (
+  SELECT DISTINCT a.l_partkey AS u, b.l_partkey AS v
+  FROM lineitem a JOIN lineitem b
+    ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+),{",".join(rounds_sql)}
+SELECT CAST(round AS BIGINT) AS round,
+       CAST(n_nodes AS BIGINT) AS n_nodes,
+       CAST(n_edges AS BIGINT) AS n_edges,
+       CAST(node_checksum AS BIGINT) AS node_checksum
+FROM ({unions}) ORDER BY round
 """

@@ -224,3 +224,34 @@ def test_sssp_rounds_matches_dijkstra(spark):
     # more rounds converge to true shortest paths
     got8 = {r["node"]: r["dist"] for r in sssp_rounds(e, s, rounds=12).collect()}
     assert got8 == dijkstra_capped(12)
+
+
+def test_k_core_matches_pure_python(spark):
+    from georaster_spark.operators.graph import k_core_rounds
+
+    # a 5-clique (4-regular) + a tail chain hanging off it
+    clique = [(a, b) for a in range(5) for b in range(a + 1, 5)]
+    chain = [(4, 10), (10, 11), (11, 12)]
+    edges = clique + chain
+
+    def peel(es, k, rounds):
+        es = {tuple(sorted(e)) for e in es}
+        out = []
+        for r in range(1, rounds + 1):
+            deg = {}
+            for a, b in es:
+                deg[a] = deg.get(a, 0) + 1
+                deg[b] = deg.get(b, 0) + 1
+            keep = {n for n, d in deg.items() if d >= k}
+            es = {(a, b) for a, b in es if a in keep and b in keep}
+            nodes = {n for e in es for n in e}
+            out.append((r, len(nodes), len(es), sum(nodes)))
+        return out
+
+    df = spark.createDataFrame(edges, schema="u long, v long")
+    got = [tuple(r) for r in k_core_rounds(df, k=2, rounds=3).collect()]
+    assert got == peel(edges, 2, 3)
+    got3 = [tuple(r) for r in k_core_rounds(df, k=4, rounds=2).collect()]
+    assert got3 == peel(edges, 4, 2)
+    # 4-core of the structure is exactly the 5-clique
+    assert got3[-1][1:3] == (5, 10)

