@@ -1632,3 +1632,209 @@ SELECT win_id,
 FROM events JOIN w ON ts >= w_start AND ts < w_end
 GROUP BY win_id ORDER BY win_id
 """
+
+
+# --- TPC-H Q5 analog: local supplier volume (6-way join pyramid) --------------
+
+Q5_REGION = "ASIA"
+Q5_DATE_LO = "1996-01-01"
+Q5_DATE_HI = "1999-01-01"
+
+
+def local_supplier_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q5 shape (Local Supplier Volume): revenue per nation from
+    lineitems where the customer and the supplier sit in the SAME
+    nation of one region, over a shipping-window of order dates — the
+    canonical 6-way join pyramid (region -> nation -> {customer,
+    supplier} -> orders -> lineitem).
+
+    Scale shape: region⋈nation collapses to a ≤25-row broadcast dim
+    applied twice (customer side and supplier side); orders⋈customer
+    shuffles on custkey with the date filter PUSHED INTO the orders
+    scan; lineitem⋈orders co-partitions on orderkey (the only big-big
+    join); supplier is broadcast.  The c_nation = s_nation equality is
+    a post-join filter on two already-attached ints — never a join key,
+    so no skew surface.  Revenue is exact integer cents."""
+    n = _t(spark, sf_dir, "nation").select("n_nationkey", "n_name", "n_regionkey")
+    r = _t(spark, sf_dir, "region").where(F.col("r_name") == Q5_REGION)
+    nr = n.join(F.broadcast(r), n["n_regionkey"] == r["r_regionkey"]).select(
+        "n_nationkey", "n_name"
+    )
+    c = _t(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    c = c.join(F.broadcast(nr), c["c_nationkey"] == nr["n_nationkey"]).select(
+        "c_custkey", "c_nationkey", "n_name"
+    )
+    o = (
+        _t(spark, sf_dir, "orders")
+        .where(
+            (F.col("o_orderdate") >= F.lit(Q5_DATE_LO))
+            & (F.col("o_orderdate") < F.lit(Q5_DATE_HI))
+        )
+        .select("o_orderkey", "o_custkey")
+    )
+    s = _t(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
+    li = _t(spark, sf_dir, "lineitem").select(
+        "l_orderkey",
+        "l_suppkey",
+        F.round(cents(F.col("l_extendedprice")) * (1.0 - F.col("l_discount")))
+        .cast("long")
+        .alias("disc_cents"),
+    )
+    oc = o.join(c, o["o_custkey"] == c["c_custkey"])
+    lo = li.join(oc, li["l_orderkey"] == oc["o_orderkey"])
+    ls = lo.join(F.broadcast(s), lo["l_suppkey"] == s["s_suppkey"]).where(
+        F.col("s_nationkey") == F.col("c_nationkey")
+    )
+    return (
+        ls.groupBy("n_name")
+        .agg(
+            (F.sum("disc_cents") / 100.0).alias("revenue"),
+            F.count(F.lit(1)).alias("n_lines"),
+            F.sum("l_orderkey").alias("order_checksum"),
+        )
+        .repartition(1).sortWithinPartitions(F.desc("revenue"), F.asc("n_name"))
+    )
+
+
+def local_supplier_volume_sql() -> str:
+    return f"""
+SELECT n_name,
+       SUM(CAST(round(round(l_extendedprice * 100) * (1 - l_discount)) AS BIGINT)) / 100.0
+         AS revenue,
+       COUNT(*) AS n_lines,
+       CAST(SUM(l_orderkey) AS BIGINT) AS order_checksum
+FROM customer, orders, lineitem, supplier, nation, region
+WHERE c_custkey = o_custkey
+  AND l_orderkey = o_orderkey
+  AND l_suppkey = s_suppkey
+  AND c_nationkey = s_nationkey
+  AND s_nationkey = n_nationkey
+  AND n_regionkey = r_regionkey
+  AND r_name = '{Q5_REGION}'
+  AND o_orderdate >= TIMESTAMP '{Q5_DATE_LO}'
+  AND o_orderdate < TIMESTAMP '{Q5_DATE_HI}'
+GROUP BY n_name
+ORDER BY revenue DESC, n_name
+"""
+
+
+# --- TPC-H Q17 analog: small-quantity-order revenue ---------------------------
+
+Q17_BRAND = "Brand#19"
+
+
+def small_qty_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q17 shape (Small-Quantity-Order Revenue): total revenue of
+    lineitems whose quantity is below 20% of the per-part average, for
+    one brand — the correlated-scalar-subquery pattern decorrelated
+    into a per-part aggregate joined back to the fact.
+
+    The 0.2·avg threshold is evaluated EXACTLY in integers:
+    qty < 0.2 · (sum_qty / cnt)  ⇔  5 · qty · cnt < sum_qty
+    (quantities are integral in the fixture), so no float division ever
+    enters the predicate and the result is reshuffle-proof.
+
+    Scale shape: the per-part avg is ONE partial+final agg over the
+    brand-filtered fact (the brand dim is a broadcast semi-filter
+    applied BEFORE the agg, so the agg only sees the brand's rows);
+    the join-back is co-partitioned on partkey.  Output is a 1-row
+    census, so the final agg is a reduce."""
+    p = (
+        _t(spark, sf_dir, "part")
+        .where(F.col("p_brand") == Q17_BRAND)
+        .select("p_partkey")
+    )
+    li = _t(spark, sf_dir, "lineitem").select(
+        "l_partkey",
+        F.col("l_quantity").cast("long").alias("qty"),
+        cents(F.col("l_extendedprice")).alias("price_cents"),
+    )
+    lb = li.join(F.broadcast(p), li["l_partkey"] == p["p_partkey"])
+    g = lb.groupBy("l_partkey").agg(
+        F.sum("qty").alias("sum_qty"), F.count(F.lit(1)).alias("cnt")
+    )
+    q = lb.join(g, "l_partkey").where(
+        F.lit(5) * F.col("qty") * F.col("cnt") < F.col("sum_qty")
+    )
+    return q.agg(
+        F.count(F.lit(1)).alias("n_small_lines"),
+        (F.sum("price_cents") / 100.0).alias("small_revenue"),
+        F.sum(F.col("qty")).alias("qty_sum"),
+    )
+
+
+def small_qty_revenue_sql() -> str:
+    return f"""
+WITH lb AS (
+  SELECT l_partkey, CAST(l_quantity AS BIGINT) AS qty,
+         CAST(round(l_extendedprice * 100) AS BIGINT) AS price_cents
+  FROM lineitem JOIN part ON p_partkey = l_partkey
+  WHERE p_brand = '{Q17_BRAND}'
+),
+g AS (SELECT l_partkey, SUM(qty) AS sum_qty, COUNT(*) AS cnt FROM lb GROUP BY 1)
+SELECT COUNT(*) AS n_small_lines,
+       SUM(price_cents) / 100.0 AS small_revenue,
+       CAST(SUM(qty) AS BIGINT) AS qty_sum
+FROM lb JOIN g USING (l_partkey)
+WHERE 5 * qty * cnt < sum_qty
+"""
+
+
+# --- TPC-H Q18 analog: large-volume orders ------------------------------------
+
+Q18_QTY = 170
+
+
+def large_volume_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q18 shape (Large Volume Customer): orders whose total
+    lineitem quantity exceeds Q18_QTY, with the customer attached — the
+    HAVING-on-grouped-fact pattern (group lineitem by order, filter on
+    the aggregate, join the survivors back to the dims).
+
+    Scale shape: the quantity rollup shuffles lineitem ONCE on
+    orderkey; the survivor set (the HAVING filter) is tiny, so the
+    joins back to orders and customer are broadcast-able survivor-side
+    lookups — Catalyst/AQE sees the post-agg size and flips them to
+    broadcasts.  No global sort: deterministic presentation order via
+    the single-partition sort of a small result."""
+    li = _t(spark, sf_dir, "lineitem").select(
+        "l_orderkey", F.col("l_quantity").cast("long").alias("qty")
+    )
+    big = (
+        li.groupBy("l_orderkey")
+        .agg(F.sum("qty").alias("sum_qty"))
+        .where(F.col("sum_qty") > Q18_QTY)
+    )
+    o = _t(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey", "o_orderdate", cents(F.col("o_totalprice")).alias("tp_c")
+    )
+    c = _t(spark, sf_dir, "customer").select("c_custkey", "c_name")
+    j = big.join(o, big["l_orderkey"] == o["o_orderkey"]).join(
+        c, F.col("o_custkey") == c["c_custkey"]
+    )
+    return (
+        j.select(
+            "c_name",
+            "o_orderkey",
+            F.date_format("o_orderdate", "yyyy-MM-dd").alias("o_date"),
+            (F.col("tp_c") / 100.0).alias("o_totalprice"),
+            "sum_qty",
+        )
+        .repartition(1).sortWithinPartitions(
+            F.desc("o_totalprice"), F.asc("o_orderkey")
+        )
+    )
+
+
+def large_volume_orders_sql() -> str:
+    return f"""
+SELECT c_name, o_orderkey,
+       strftime(o_orderdate, '%Y-%m-%d') AS o_date,
+       CAST(round(o_totalprice * 100) AS BIGINT) / 100.0 AS o_totalprice,
+       CAST(sum_qty AS BIGINT) AS sum_qty
+FROM (SELECT l_orderkey, SUM(CAST(l_quantity AS BIGINT)) AS sum_qty
+      FROM lineitem GROUP BY 1 HAVING sum_qty > {Q18_QTY}) big
+JOIN orders ON o_orderkey = l_orderkey
+JOIN customer ON c_custkey = o_custkey
+ORDER BY o_totalprice DESC, o_orderkey
+"""

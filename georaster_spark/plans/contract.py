@@ -4881,6 +4881,9 @@ def spatial_queries() -> dict[str, QueryFn]:
         "ssim_pair": q_ssim_pair,
         "sole_late_shipper": rel.sole_late_shipper,
         "idle_customer_balance": rel.idle_customer_balance,
+        "local_supplier_volume": rel.local_supplier_volume,
+        "small_qty_revenue": rel.small_qty_revenue,
+        "large_volume_orders": rel.large_volume_orders,
         "hex_bin": q_hex_bin,
         "sssp_hops": q_sssp,
         "rle_census": q_rle_census,
@@ -5075,6 +5078,9 @@ def spatial_oracles(sf: str = "sf0.01") -> dict[str, str]:
         "ssim_pair": _sql_ssim_pair(fx, w),
         "sole_late_shipper": rel.sole_late_shipper_sql(),
         "idle_customer_balance": rel.idle_customer_balance_sql(),
+        "local_supplier_volume": rel.local_supplier_volume_sql(),
+        "small_qty_revenue": rel.small_qty_revenue_sql(),
+        "large_volume_orders": rel.large_volume_orders_sql(),
         "hex_bin": _sql_hex_bin(fx),
         "sssp_hops": _sql_sssp(),
         "rle_census": _sql_rle_census(fx, w),
