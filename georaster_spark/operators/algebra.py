@@ -3033,3 +3033,150 @@ def laplacian_residual(tiles: DataFrame) -> DataFrame:
             yield pd.DataFrame(out)
 
     return slim.mapInPandas(_lap, schema=_LAP_SCHEMA)
+
+
+# --- census transform ---------------------------------------------------------
+# 8-neighbor order for the census bitmask: bit b set iff neighbor b is
+# strictly greater than the center.  Row-major scan of the 3x3 ring.
+_CENSUS_NBRS = [(-1, -1), (-1, 0), (-1, 1), (0, -1), (0, 1), (1, -1), (1, 0), (1, 1)]
+
+_CENSUS_SCHEMA = (
+    "image_id string, n_interior long, census_sum long, popcount_sum long, "
+    "n_uniform long, census_checksum long"
+)
+
+
+def census_transform(tiles: DataFrame) -> DataFrame:
+    """Census transform census (Zabih & Woodfill ECCV'94 — the
+    illumination-invariant stereo/optical-flow matching primitive of
+    OpenCV StereoSGBM): per interior pixel an 8-bit code whose bit b is
+    set iff neighbor b (row-major 3x3 ring) is STRICTLY greater than
+    the center.  Surfaces per tile: interior count, code sum, total
+    popcount (= #greater-than relations), uniform-code census (0 or
+    255: local extrema), and the position checksum pinning every code.
+
+    Scale shape: map-only fused mapInPandas — zero shuffle; the 8
+    comparisons are shifted-slice compares on the whole batch block."""
+    slim = tiles.select("image_id", "bytes", "w", "h", "fmt")
+
+    def _census(batches):
+        dt = {"raw": np.uint8, "qnt": np.uint8, "raw16": "<u2"}
+        cols = ("n_interior", "census_sum", "popcount_sum", "n_uniform", "census_checksum")
+        for pdf in batches:
+            n = len(pdf)
+            out = {"image_id": pdf["image_id"].to_numpy(dtype=object)}
+            for c in cols:
+                out[c] = np.zeros(n, dtype=np.int64)
+            groups: dict[tuple, list[int]] = {}
+            for k in range(n):
+                key = (int(pdf["w"].iat[k]), int(pdf["h"].iat[k]), pdf["fmt"].iat[k])
+                groups.setdefault(key, []).append(k)
+            for (w, h, fmt), idx in groups.items():
+                z = (
+                    np.frombuffer(
+                        b"".join(pdf["bytes"].iat[k] for k in idx), dtype=dt[fmt]
+                    )
+                    .reshape(len(idx), h, w)
+                    .astype(np.int64)
+                )
+                c = z[:, 1:-1, 1:-1]
+                code = np.zeros_like(c)
+                pop = np.zeros_like(c)
+                for b, (di, dj) in enumerate(_CENSUS_NBRS):
+                    nb = z[:, 1 + di : h - 1 + di, 1 + dj : w - 1 + dj]
+                    gt = (nb > c).astype(np.int64)
+                    code += gt << b
+                    pop += gt
+                ii = np.asarray(idx)
+                wt = (
+                    np.arange(1, h - 1, dtype=np.int64)[:, None] * w
+                    + np.arange(1, w - 1, dtype=np.int64)[None, :]
+                    + 1
+                )
+                out["n_interior"][ii] = code.shape[1] * code.shape[2]
+                out["census_sum"][ii] = code.sum(axis=(1, 2))
+                out["popcount_sum"][ii] = pop.sum(axis=(1, 2))
+                out["n_uniform"][ii] = ((code == 0) | (code == 255)).sum(axis=(1, 2))
+                out["census_checksum"][ii] = np.einsum("bij,ij->b", code, wt)
+            yield pd.DataFrame(out)
+
+    return slim.mapInPandas(_census, schema=_CENSUS_SCHEMA)
+
+
+# --- Bayer demosaic -----------------------------------------------------------
+_DEMOSAIC_SCHEMA = (
+    "image_id string, sum_r long, sum_g long, sum_b long, demosaic_checksum long"
+)
+
+
+def demosaic_bilinear(tiles: DataFrame) -> DataFrame:
+    """Bayer-CFA bilinear demosaic census (OpenCV COLOR_BayerRG2RGB /
+    libdc1394 bilinear — the first stage of every raw-image pipeline):
+    the tile is read as an RGGB mosaic (R at even/even, G at even/odd
+    and odd/even, B at odd/odd) and the missing channels are
+    reconstructed per interior pixel by floor-mean of the 2 or 4
+    relevant neighbors.  Surfaces: per-channel interior sums and the
+    position checksum of R + 2G + 3B pinning all three planes.
+
+    Scale shape: map-only fused mapInPandas — zero shuffle; the
+    reconstruction is nine shifted slices combined through parity
+    masks, vectorized over the whole batch block."""
+    slim = tiles.select("image_id", "bytes", "w", "h", "fmt")
+
+    def _demosaic(batches):
+        dt = {"raw": np.uint8, "qnt": np.uint8, "raw16": "<u2"}
+        cols = ("sum_r", "sum_g", "sum_b", "demosaic_checksum")
+        for pdf in batches:
+            n = len(pdf)
+            out = {"image_id": pdf["image_id"].to_numpy(dtype=object)}
+            for c in cols:
+                out[c] = np.zeros(n, dtype=np.int64)
+            groups: dict[tuple, list[int]] = {}
+            for k in range(n):
+                key = (int(pdf["w"].iat[k]), int(pdf["h"].iat[k]), pdf["fmt"].iat[k])
+                groups.setdefault(key, []).append(k)
+            for (w, h, fmt), idx in groups.items():
+                z = (
+                    np.frombuffer(
+                        b"".join(pdf["bytes"].iat[k] for k in idx), dtype=dt[fmt]
+                    )
+                    .reshape(len(idx), h, w)
+                    .astype(np.int64)
+                )
+                c = z[:, 1:-1, 1:-1]
+                up = z[:, :-2, 1:-1]
+                dn = z[:, 2:, 1:-1]
+                lf = z[:, 1:-1, :-2]
+                rt = z[:, 1:-1, 2:]
+                ul = z[:, :-2, :-2]
+                ur = z[:, :-2, 2:]
+                dl = z[:, 2:, :-2]
+                dr = z[:, 2:, 2:]
+                cross4 = (up + dn + lf + rt) // 4
+                diag4 = (ul + ur + dl + dr) // 4
+                vert2 = (up + dn) // 2
+                horz2 = (lf + rt) // 2
+                pi = np.arange(1, h - 1, dtype=np.int64)[:, None] % 2
+                pj = np.arange(1, w - 1, dtype=np.int64)[None, :] % 2
+                at_r = (pi == 0) & (pj == 0)
+                at_g1 = (pi == 0) & (pj == 1)  # G in an R row
+                at_g2 = (pi == 1) & (pj == 0)  # G in a B row
+                at_b = (pi == 1) & (pj == 1)
+                r = np.where(at_r, c, np.where(at_g1, horz2, np.where(at_g2, vert2, diag4)))
+                g = np.where(at_g1 | at_g2, c, cross4)
+                b = np.where(at_b, c, np.where(at_g1, vert2, np.where(at_g2, horz2, diag4)))
+                ii = np.asarray(idx)
+                wt = (
+                    np.arange(1, h - 1, dtype=np.int64)[:, None] * w
+                    + np.arange(1, w - 1, dtype=np.int64)[None, :]
+                    + 1
+                )
+                out["sum_r"][ii] = r.sum(axis=(1, 2))
+                out["sum_g"][ii] = g.sum(axis=(1, 2))
+                out["sum_b"][ii] = b.sum(axis=(1, 2))
+                out["demosaic_checksum"][ii] = np.einsum(
+                    "bij,ij->b", r + 2 * g + 3 * b, wt
+                )
+            yield pd.DataFrame(out)
+
+    return slim.mapInPandas(_demosaic, schema=_DEMOSAIC_SCHEMA)

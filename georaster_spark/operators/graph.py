@@ -499,3 +499,124 @@ def k_core_rounds(edges: DataFrame, k: int, rounds: int) -> DataFrame:
     for df in out_rows[1:]:
         res = res.unionByName(df)
     return res
+
+
+def clustering_coefficients(edges: DataFrame, min_triangles: int = 1) -> DataFrame:
+    """Per-node local clustering coefficient (Watts & Strogatz 1998;
+    networkx ``clustering`` / GraphFrames motif analog): for each node,
+    the fraction of its neighbor pairs that are themselves adjacent,
+    reported as exact integer parts-per-million
+    2·t(v)·10⁶ // (deg·(deg−1)) — no float ratio ever materializes.
+
+    Reuses triangle_census's degree-ordered orientation (Suri &
+    Vassilvitskii WWW'11) so wedge fan-out stays O(sqrt m) per apex
+    under any skew; each closed triangle is found ONCE and then
+    credited to all three corners with a bounded 3-way explode.
+
+    Output: nodes with >= `min_triangles` triangles (deg, n_tri,
+    coeff_ppm) — the zero-triangle tail is pinned globally by
+    triangle_census, not re-listed per node."""
+    und = (
+        edges.select(F.col("u").cast("long").alias("u"), F.col("v").cast("long").alias("v"))
+        .where(F.col("u") != F.col("v"))
+        .select(F.least("u", "v").alias("u"), F.greatest("u", "v").alias("v"))
+        .distinct()
+    )
+    sym = und.union(und.select(F.col("v").alias("u"), F.col("u").alias("v")))
+    deg = sym.groupBy("u").agg(F.count(F.lit(1)).alias("deg"))
+    du = deg.select(F.col("u").alias("_au"), F.col("deg").alias("_da"))
+    dv = deg.select(F.col("u").alias("_bv"), F.col("deg").alias("_db"))
+    keyed = und.join(du, und["u"] == du["_au"]).join(dv, und["v"] == dv["_bv"])
+    fwd = (F.col("_da") < F.col("_db")) | (
+        (F.col("_da") == F.col("_db")) & (F.col("u") < F.col("v"))
+    )
+    oriented = keyed.select(
+        F.when(fwd, F.col("u")).otherwise(F.col("v")).alias("a"),
+        F.when(fwd, F.col("v")).otherwise(F.col("u")).alias("b"),
+    )
+    w1 = oriented.select(F.col("a").alias("apex"), F.col("b").alias("p"))
+    w2 = oriented.select(F.col("a").alias("apex"), F.col("b").alias("q"))
+    wedges = w1.join(w2, "apex").where(F.col("p") < F.col("q"))
+    closed = wedges.join(
+        oriented.select(
+            F.least("a", "b").alias("p"), F.greatest("a", "b").alias("q")
+        ),
+        ["p", "q"],
+    )
+    corners = closed.select(
+        F.explode(F.array("apex", "p", "q")).alias("node")
+    )
+    pert = corners.groupBy("node").agg(F.count(F.lit(1)).alias("n_tri"))
+    out = pert.join(deg, pert["node"] == deg["u"]).where(
+        F.col("n_tri") >= min_triangles
+    )
+    return out.select(
+        "node",
+        "deg",
+        "n_tri",
+        F.expr("div(2 * n_tri * 1000000, deg * (deg - 1))").alias("coeff_ppm"),
+    )
+
+
+def label_propagation_rounds(edges: DataFrame, rounds: int) -> DataFrame:
+    """Bounded-round synchronous label propagation (Raghavan et al.
+    2007; GraphX/GraphFrames ``labelPropagation``) with a DETERMINISTIC
+    tie rule: each node adopts the most frequent label among its
+    neighbors, ties to the SMALLEST label — so the trajectory is a pure
+    function of the graph, reshuffle-proof.  Nodes start labeled with
+    their own id; isolated nodes keep it.
+
+    Returns one census row per round r (1-based): n_labels (distinct
+    surviving labels), max_community (largest label class), and the
+    Σ node·label checksum pinning the full assignment.
+
+    Scale shape: per round ONE edge⋈label equi-join (shuffles on the
+    neighbor key) + ONE (node, label) count agg + ONE argmax-by-struct
+    agg per node; label frames are localCheckpoint'd so lineage stays
+    round-deep.  The argmax is a single max(struct(cnt, -label)) —
+    never a window sort."""
+    und = (
+        edges.select(F.col("u").cast("long").alias("u"), F.col("v").cast("long").alias("v"))
+        .where(F.col("u") != F.col("v"))
+        .select(F.least("u", "v").alias("u"), F.greatest("u", "v").alias("v"))
+        .distinct()
+    )
+    sym = und.union(
+        und.select(F.col("v").alias("u"), F.col("u").alias("v"))
+    ).localCheckpoint(eager=False)
+    labels = (
+        sym.select(F.col("u").alias("node")).distinct()
+        .select("node", F.col("node").alias("lbl"))
+        .localCheckpoint(eager=False)
+    )
+    out_rows = []
+    for r in range(1, rounds + 1):
+        nbr = sym.join(
+            labels.select(F.col("node").alias("v"), F.col("lbl").alias("nlbl")), "v"
+        )
+        cnt = nbr.groupBy("u", "nlbl").agg(F.count(F.lit(1)).alias("cnt"))
+        best = cnt.groupBy("u").agg(
+            F.max(F.struct(F.col("cnt"), (-F.col("nlbl")).alias("neg"))).alias("m")
+        )
+        labels = best.select(
+            F.col("u").alias("node"), (-F.col("m.neg")).alias("lbl")
+        ).localCheckpoint(eager=False)
+        census = labels.agg(
+            F.countDistinct("lbl").alias("n_labels"),
+            F.sum(F.col("node") * F.col("lbl")).alias("label_checksum"),
+        ).crossJoin(
+            labels.groupBy("lbl").agg(F.count(F.lit(1)).alias("sz"))
+            .agg(F.max("sz").alias("max_community"))
+        )
+        out_rows.append(
+            census.select(
+                F.lit(r).cast("long").alias("round"),
+                "n_labels",
+                "max_community",
+                "label_checksum",
+            )
+        )
+    res = out_rows[0]
+    for df in out_rows[1:]:
+        res = res.unionByName(df)
+    return res

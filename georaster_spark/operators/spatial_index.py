@@ -1224,3 +1224,132 @@ def kring_smooth(tiles: DataFrame, r: int = KRING_RES) -> DataFrame:
         F.sum("n").alias("kring_sum"),
         F.sum("ids").alias("kring_checksum"),
     )
+
+
+# --- greedy box NMS ------------------------------------------------------------
+NMS_N_BOX = 6
+NMS_THR_MILLI = 200  # suppress when IoU > 0.200 (compared exactly in integers)
+
+
+def _nms_box(i: Column, p):
+    """Synthetic detection box p of image idx i (same formula family as
+    box_iou_assign) + a deterministic confidence score."""
+    pc = F.lit(p)
+    return {
+        "x0": (i * 3 + pc * 7) % 20,
+        "y0": (i * 5 + pc * 11) % 20,
+        "bw": (i + pc) % 10 + 6,
+        "bh": (i * 2 + pc) % 10 + 6,
+        "score": (i * 13 + pc * 29) % 100,
+    }
+
+
+def box_nms(tiles: DataFrame) -> DataFrame:
+    """Greedy non-maximum suppression (torchvision.ops.nms / the
+    post-detector pruning step of every detection pipeline): per image,
+    NMS_N_BOX scored boxes are visited in (score DESC, box_id) order
+    and a box is kept iff its IoU with every ALREADY-KEPT box is
+    <= NMS_THR_MILLI/1000 — the comparison is exact integer
+    cross-multiplication (1000*inter vs thr*union), never float IoU.
+
+    Emits one row per (image, rank position): box id, score, kept flag.
+
+    Scale shape: map-only — the whole greedy cascade is unrolled into
+    codegen'd Column math on ONE row per image (ranks from pairwise
+    score compares, position gathers as CASE chains, the kept
+    recurrence as boolean columns), then exploded to per-position rows.
+    Zero shuffle, zero UDF, no join; per-image cost is O(N^2) with N
+    bounded by the detector's top-k.  Every stage materializes NAMED
+    columns and later stages reference them by name — reusing Column
+    objects would duplicate the expression tree exponentially through
+    the kept recurrence."""
+    idx = F.substring("image_id", 4, 10).cast("long")
+    df = tiles.select("image_id", idx.alias("idx"))
+    i = F.col("idx")
+    boxes = [_nms_box(i, p) for p in range(NMS_N_BOX)]
+
+    # stage 1: per-box fields + rank (score DESC, id ASC) as named cols
+    stage1 = []
+    for p in range(NMS_N_BOX):
+        for f in ("x0", "y0", "bw", "bh", "score"):
+            stage1.append(boxes[p][f].alias(f"{f}_{p}"))
+
+    def before(q, p):
+        return (boxes[q]["score"] > boxes[p]["score"]) | (
+            (boxes[q]["score"] == boxes[p]["score"]) & (F.lit(q) < F.lit(p))
+        )
+
+    for p in range(NMS_N_BOX):
+        rk = sum(
+            (F.when(before(q, p), 1).otherwise(0) for q in range(NMS_N_BOX) if q != p),
+            F.lit(0),
+        )
+        stage1.append(rk.alias(f"rank_{p}"))
+    df = df.select("image_id", "idx", *stage1)
+
+    # stage 2: gather box fields per sorted position k (named-col CASEs)
+    stage2 = []
+    for k in range(NMS_N_BOX):
+        for f in ("x0", "y0", "bw", "bh", "score"):
+            e = F.lit(0)
+            for p in range(NMS_N_BOX):
+                e = F.when(F.col(f"rank_{p}") == k, F.col(f"{f}_{p}")).otherwise(e)
+            stage2.append(e.alias(f"{f}_at_{k}"))
+        pe = F.lit(0)
+        for p in range(NMS_N_BOX):
+            pe = F.when(F.col(f"rank_{p}") == k, F.lit(p)).otherwise(pe)
+        stage2.append(pe.alias(f"pred_at_{k}"))
+    df = df.select("image_id", *stage2)
+
+    # stage 3: pairwise conflict flags between sorted positions
+    def fld(f, k):
+        return F.col(f"{f}_at_{k}")
+
+    stage3 = []
+    for k in range(1, NMS_N_BOX):
+        for j in range(k):
+            iw = F.greatest(
+                F.lit(0),
+                F.least(fld("x0", k) + fld("bw", k), fld("x0", j) + fld("bw", j))
+                - F.greatest(fld("x0", k), fld("x0", j)),
+            )
+            ih = F.greatest(
+                F.lit(0),
+                F.least(fld("y0", k) + fld("bh", k), fld("y0", j) + fld("bh", j))
+                - F.greatest(fld("y0", k), fld("y0", j)),
+            )
+            inter = iw * ih
+            union = fld("bw", k) * fld("bh", k) + fld("bw", j) * fld("bh", j) - inter
+            stage3.append(
+                (F.lit(1000) * inter > F.lit(NMS_THR_MILLI) * union).alias(f"c_{k}_{j}")
+            )
+    df = df.select("*", *stage3)
+
+    # stage 4: greedy kept recurrence, one named boolean per position
+    df = df.withColumn("kept_0", F.lit(True))
+    for k in range(1, NMS_N_BOX):
+        cond = F.lit(True)
+        for j in range(k):
+            cond = cond & (~F.col(f"kept_{j}") | ~F.col(f"c_{k}_{j}"))
+        df = df.withColumn(f"kept_{k}", cond)
+
+    rows = F.array(
+        *[
+            F.struct(
+                F.lit(k).cast("long").alias("rank_pos"),
+                F.col(f"pred_at_{k}").cast("long").alias("box_id"),
+                F.col(f"score_at_{k}").cast("long").alias("score"),
+                F.when(F.col(f"kept_{k}"), F.lit(1)).otherwise(F.lit(0))
+                .cast("long").alias("kept"),
+            )
+            for k in range(NMS_N_BOX)
+        ]
+    )
+    ex = df.select("image_id", F.explode(rows).alias("r"))
+    return ex.select(
+        "image_id",
+        F.col("r.rank_pos").alias("rank_pos"),
+        F.col("r.box_id").alias("box_id"),
+        F.col("r.score").alias("score"),
+        F.col("r.kept").alias("kept"),
+    )

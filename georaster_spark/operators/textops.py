@@ -2181,6 +2181,7 @@ def text_queries():
         "boilerplate_prefix": boilerplate_prefix,
         "cm_heavy_hitters": cm_heavy_hitters,
         "cdc_chunking": cdc_chunking,
+        "edit_distance_join": edit_distance_join,
     }
 
 
@@ -2218,6 +2219,7 @@ def text_oracles() -> dict[str, str]:
         "boilerplate_prefix": boilerplate_prefix_sql(),
         "cm_heavy_hitters": cm_heavy_hitters_sql(),
         "cdc_chunking": cdc_chunking_sql(),
+        "edit_distance_join": edit_distance_join_sql(),
     }
 
 
@@ -2576,4 +2578,137 @@ SELECT doc_id,
                                     k -> ends[k] - starts[k])) AS BIGINT) AS max_chunk,
        CAST(COALESCE(list_sum(bp), 0) AS BIGINT) AS boundary_checksum
 FROM c ORDER BY doc_id
+"""
+
+
+# ---------------------------------------------------------------------------
+# T8 — SymSpell deletion-indexed edit-distance join
+# ---------------------------------------------------------------------------
+
+ED_MIN_LEN = 4  # only words this long enter the join
+ED_TYPO_MOD = 7  # docs with doc_id % MOD == 0 contribute one injected typo
+
+
+def edit_distance_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Edit-distance-1 word join via the SymSpell deletion index
+    (Garbe's SymSpell / FastSS, Bocek et al. 2007 — the spelling-
+    variant blocking scheme of query correction and OCR cleanup): each
+    vocab word emits itself plus every 1-deletion variant; two words
+    within Levenshtein distance 1 ALWAYS share a variant, so the
+    equi-join on the variant key finds all candidates, and an exact
+    levenshtein() refine removes the false positives (sharing a
+    deletion does NOT imply ed<=1 — e.g. a transposition).
+
+    The synthetic corpus has no natural typos (24-word vocabulary), so
+    docs with doc_id % ED_TYPO_MOD == 0 inject one deterministic typo
+    of their first long word — an 'x' appended (insertion class) or the
+    first letter swapped to 'z' (substitution class) by doc_id parity;
+    the oracle mirrors the same expressions (pii_scan precedent).
+
+    Output: the exact (w1 < w2) pair list with distance and the
+    per-word corpus frequencies.
+
+    Scale shape: the explode is x(len+1) on the DISTINCT VOCABULARY
+    (not the corpus stream) — the whole point of SymSpell at 10^9-word
+    vocab scale; the join shuffles on the variant key (bounded groups:
+    a variant collides only with ed-neighbors), and the refine is
+    codegen'd levenshtein.  Zero UDFs."""
+    d = _docs(spark, sf_dir)
+    base = (
+        d.select(F.explode(words_col()).alias("wd"))
+        .where(F.length("wd") >= ED_MIN_LEN)
+        .groupBy("wd")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    first_long = F.element_at(
+        F.filter(words_col(), lambda x: F.length(x) >= ED_MIN_LEN), 1
+    )
+    typo_word = F.when(
+        F.col("doc_id") % 2 == 0, F.concat(first_long, F.lit("x"))
+    ).otherwise(F.concat(F.lit("z"), F.substring(first_long, 2, 1000)))
+    typos = (
+        d.where((F.col("doc_id") % ED_TYPO_MOD == 0) & first_long.isNotNull())
+        .select(typo_word.alias("wd"))
+        .groupBy("wd")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    # injected typos that collide with a real word count as that word
+    vocab = (
+        base.unionByName(typos)
+        .groupBy("wd")
+        .agg(F.sum("n").alias("n"))
+    )
+    # deletion index: position 0 = the word itself, i >= 1 deletes char i
+    variants = vocab.select(
+        "wd",
+        "n",
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(0), F.length("wd")),
+                lambda i: F.when(i == 0, F.col("wd")).otherwise(
+                    F.concat(
+                        F.substring(F.col("wd"), F.lit(1), i - 1),
+                        F.col("wd").substr(i + 1, F.length("wd")),
+                    )
+                ),
+            )
+        ).alias("var"),
+    ).distinct()
+    a = variants.select(
+        F.col("wd").alias("w1"), F.col("n").alias("n1"), "var"
+    )
+    b = variants.select(
+        F.col("wd").alias("w2"), F.col("n").alias("n2"), "var"
+    )
+    cand = (
+        a.join(b, "var")
+        .where(F.col("w1") < F.col("w2"))
+        .select("w1", "n1", "w2", "n2")
+        .distinct()
+    )
+    return (
+        cand.where(F.levenshtein("w1", "w2") <= 1)
+        .select("w1", "w2", "n1", "n2", F.levenshtein("w1", "w2").cast("long").alias("dist"))
+        .repartition(1).sortWithinPartitions("w1", "w2")
+    )
+
+
+def edit_distance_join_sql() -> str:
+    return f"""
+WITH docs AS (SELECT doc_id, {_SQL_WS} AS ws FROM documents),
+base AS (
+  SELECT wd, COUNT(*) AS n FROM (SELECT unnest(ws) AS wd FROM docs)
+  WHERE length(wd) >= {ED_MIN_LEN} GROUP BY wd
+),
+fl AS (
+  SELECT doc_id, list_filter(ws, x -> length(x) >= {ED_MIN_LEN})[1] AS w
+  FROM docs WHERE doc_id % {ED_TYPO_MOD} = 0
+),
+typos AS (
+  SELECT CASE WHEN doc_id % 2 = 0 THEN w || 'x'
+              ELSE 'z' || substring(w, 2) END AS wd,
+         COUNT(*) AS n
+  FROM fl WHERE w IS NOT NULL GROUP BY 1
+),
+vocab AS (
+  SELECT wd, SUM(n) AS n FROM (
+    SELECT * FROM base UNION ALL SELECT * FROM typos
+  ) GROUP BY wd
+),
+variants AS (
+  SELECT DISTINCT wd, n,
+         unnest(list_transform(range(0, length(wd) + 1),
+                i -> CASE WHEN i = 0 THEN wd
+                          ELSE substring(wd, 1, i - 1) || substring(wd, i + 1) END))
+           AS var
+  FROM vocab
+),
+cand AS (
+  SELECT DISTINCT a.wd AS w1, a.n AS n1, b.wd AS w2, b.n AS n2
+  FROM variants a JOIN variants b ON a.var = b.var AND a.wd < b.wd
+)
+SELECT w1, w2, CAST(n1 AS BIGINT) AS n1, CAST(n2 AS BIGINT) AS n2,
+       CAST(levenshtein(w1, w2) AS BIGINT) AS dist
+FROM cand WHERE levenshtein(w1, w2) <= 1
+ORDER BY w1, w2
 """

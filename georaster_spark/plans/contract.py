@@ -4884,6 +4884,11 @@ def spatial_queries() -> dict[str, QueryFn]:
         "local_supplier_volume": rel.local_supplier_volume,
         "small_qty_revenue": rel.small_qty_revenue,
         "large_volume_orders": rel.large_volume_orders,
+        "census_transform": q_census_transform,
+        "demosaic_bilinear": q_demosaic,
+        "box_nms": q_box_nms,
+        "clustering_coeff": q_clustering_coeff,
+        "label_propagation": q_label_propagation,
         "hex_bin": q_hex_bin,
         "sssp_hops": q_sssp,
         "rle_census": q_rle_census,
@@ -5081,6 +5086,11 @@ def spatial_oracles(sf: str = "sf0.01") -> dict[str, str]:
         "local_supplier_volume": rel.local_supplier_volume_sql(),
         "small_qty_revenue": rel.small_qty_revenue_sql(),
         "large_volume_orders": rel.large_volume_orders_sql(),
+        "census_transform": _sql_census_transform(fx, w),
+        "demosaic_bilinear": _sql_demosaic(fx, w),
+        "box_nms": _sql_box_nms(fx),
+        "clustering_coeff": _sql_clustering_coeff(),
+        "label_propagation": _sql_label_propagation(),
         "hex_bin": _sql_hex_bin(fx),
         "sssp_hops": _sql_sssp(),
         "rle_census": _sql_rle_census(fx, w),
@@ -8297,4 +8307,314 @@ SELECT CAST(round AS BIGINT) AS round,
        CAST(n_edges AS BIGINT) AS n_edges,
        CAST(node_checksum AS BIGINT) AS node_checksum
 FROM ({unions}) ORDER BY round
+"""
+
+
+# --- round-3 batch: census transform / demosaic / box NMS ----------------------
+
+_CENSUS_MOD = 127
+
+
+def q_census_transform(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Census-transform census (algebra.census_transform — Zabih &
+    Woodfill stereo matching primitive): 8-bit greater-than bitmask per
+    interior pixel, map-only fused Arrow pass."""
+    from ..operators import algebra
+
+    tiles = geo.georegister(_images(spark, sf_dir)).where(
+        geo.image_idx() % _CENSUS_MOD == 0
+    )
+    return (
+        algebra.census_transform(tiles)
+        .repartition(1).sortWithinPartitions("image_id")
+    )
+
+
+def _sql_census_transform(fx: Path, w: int) -> str:
+    from ..operators.algebra import _CENSUS_NBRS
+
+    c = f"CAST({osql.ramp_value_expr('gi.i', 'gj.j')} AS BIGINT)"
+    bits = []
+    pops = []
+    for b, (di, dj) in enumerate(_CENSUS_NBRS):
+        nb = f"CAST({osql.ramp_value_expr(f'gi.i + {di}', f'gj.j + {dj}')} AS BIGINT)"
+        gt = f"(CASE WHEN {nb} > {c} THEN 1 ELSE 0 END)"
+        bits.append(f"{gt} * {1 << b}")
+        pops.append(gt)
+    code = "(" + " + ".join(bits) + ")"
+    pop = "(" + " + ".join(pops) + ")"
+    return f"""
+WITH {osql.georegister_cte(str(fx / 'images.parquet'))},
+px AS (
+  SELECT image_id, {code} AS code, {pop} AS pop,
+         gi.i * {w} + gj.j + 1 AS wt
+  FROM tiles,
+       generate_series(1, {w - 2}) AS gi(i), generate_series(1, {w - 2}) AS gj(j)
+  WHERE idx % {_CENSUS_MOD} = 0
+)
+SELECT image_id,
+       COUNT(*) AS n_interior,
+       CAST(SUM(code) AS BIGINT) AS census_sum,
+       CAST(SUM(pop) AS BIGINT) AS popcount_sum,
+       CAST(SUM(CASE WHEN code IN (0, 255) THEN 1 ELSE 0 END) AS BIGINT) AS n_uniform,
+       CAST(SUM(code * wt) AS BIGINT) AS census_checksum
+FROM px GROUP BY image_id ORDER BY image_id
+"""
+
+
+_DEMOSAIC_MOD = 131
+
+
+def q_demosaic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bayer bilinear demosaic census (algebra.demosaic_bilinear —
+    RGGB reconstruction, floor-mean of 2/4 neighbors), map-only fused
+    Arrow pass."""
+    from ..operators import algebra
+
+    tiles = geo.georegister(_images(spark, sf_dir)).where(
+        geo.image_idx() % _DEMOSAIC_MOD == 0
+    )
+    return (
+        algebra.demosaic_bilinear(tiles)
+        .repartition(1).sortWithinPartitions("image_id")
+    )
+
+
+def _sql_demosaic(fx: Path, w: int) -> str:
+    def v(di: int, dj: int) -> str:
+        return f"CAST({osql.ramp_value_expr(f'gi.i + {di}', f'gj.j + {dj}')} AS BIGINT)"
+
+    c = v(0, 0)
+    cross4 = f"(({v(-1, 0)} + {v(1, 0)} + {v(0, -1)} + {v(0, 1)}) // 4)"
+    diag4 = f"(({v(-1, -1)} + {v(-1, 1)} + {v(1, -1)} + {v(1, 1)}) // 4)"
+    vert2 = f"(({v(-1, 0)} + {v(1, 0)}) // 2)"
+    horz2 = f"(({v(0, -1)} + {v(0, 1)}) // 2)"
+    # RGGB parity: R at (0,0), G at (0,1)/(1,0), B at (1,1)
+    r = (
+        f"(CASE WHEN gi.i % 2 = 0 AND gj.j % 2 = 0 THEN {c}"
+        f" WHEN gi.i % 2 = 0 AND gj.j % 2 = 1 THEN {horz2}"
+        f" WHEN gi.i % 2 = 1 AND gj.j % 2 = 0 THEN {vert2}"
+        f" ELSE {diag4} END)"
+    )
+    g = f"(CASE WHEN (gi.i + gj.j) % 2 = 1 THEN {c} ELSE {cross4} END)"
+    b = (
+        f"(CASE WHEN gi.i % 2 = 1 AND gj.j % 2 = 1 THEN {c}"
+        f" WHEN gi.i % 2 = 0 AND gj.j % 2 = 1 THEN {vert2}"
+        f" WHEN gi.i % 2 = 1 AND gj.j % 2 = 0 THEN {horz2}"
+        f" ELSE {diag4} END)"
+    )
+    return f"""
+WITH {osql.georegister_cte(str(fx / 'images.parquet'))},
+px AS (
+  SELECT image_id, {r} AS r, {g} AS g, {b} AS b,
+         gi.i * {w} + gj.j + 1 AS wt
+  FROM tiles,
+       generate_series(1, {w - 2}) AS gi(i), generate_series(1, {w - 2}) AS gj(j)
+  WHERE idx % {_DEMOSAIC_MOD} = 0
+)
+SELECT image_id,
+       CAST(SUM(r) AS BIGINT) AS sum_r,
+       CAST(SUM(g) AS BIGINT) AS sum_g,
+       CAST(SUM(b) AS BIGINT) AS sum_b,
+       CAST(SUM((r + 2 * g + 3 * b) * wt) AS BIGINT) AS demosaic_checksum
+FROM px GROUP BY image_id ORDER BY image_id
+"""
+
+
+_NMS_MOD = 137
+
+
+def q_box_nms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Greedy box NMS (spatial_index.box_nms — torchvision.ops.nms
+    analog): score-ordered suppression with exact integer IoU
+    comparisons, fully unrolled into codegen'd Column math."""
+    from ..operators import spatial_index as si
+
+    tiles = geo.georegister(_images(spark, sf_dir)).where(
+        geo.image_idx() % _NMS_MOD == 0
+    )
+    return (
+        si.box_nms(tiles)
+        .repartition(1).sortWithinPartitions("image_id", "rank_pos")
+    )
+
+
+def _sql_box_nms(fx: Path) -> str:
+    from ..operators.spatial_index import NMS_N_BOX, NMS_THR_MILLI
+
+    # Unrolled greedy cascade: k-th CTE decides the box at rank k against
+    # every previously-kept rank, one tiny image_id equi-join per rank.
+    conflict = (
+        "({p}.kept = 1 AND 1000 * greatest(0, least({a}.x0 + {a}.bw, {p}.x0 + {p}.bw)"
+        " - greatest({a}.x0, {p}.x0))"
+        " * greatest(0, least({a}.y0 + {a}.bh, {p}.y0 + {p}.bh)"
+        " - greatest({a}.y0, {p}.y0))"
+        f" > {NMS_THR_MILLI} * ({{a}}.bw * {{a}}.bh + {{p}}.bw * {{p}}.bh"
+        " - greatest(0, least({a}.x0 + {a}.bw, {p}.x0 + {p}.bw)"
+        " - greatest({a}.x0, {p}.x0))"
+        " * greatest(0, least({a}.y0 + {a}.bh, {p}.y0 + {p}.bh)"
+        " - greatest({a}.y0, {p}.y0))))"
+    )
+    ctes = [
+        "k0 AS (SELECT image_id, rank_pos, box_id, score, x0, y0, bw, bh, 1 AS kept"
+        " FROM r WHERE rank_pos = 0)"
+    ]
+    for k in range(1, NMS_N_BOX):
+        joins = " ".join(
+            f"JOIN k{j} ON k{j}.image_id = a.image_id" for j in range(k)
+        )
+        conds = " OR ".join(conflict.format(a="a", p=f"k{j}") for j in range(k))
+        ctes.append(
+            f"k{k} AS (SELECT a.image_id, a.rank_pos, a.box_id, a.score,"
+            f" a.x0, a.y0, a.bw, a.bh,"
+            f" CASE WHEN {conds} THEN 0 ELSE 1 END AS kept"
+            f" FROM r a {joins} WHERE a.rank_pos = {k})"
+        )
+    union = " UNION ALL ".join(
+        f"SELECT image_id, rank_pos, box_id, score, kept FROM k{k}"
+        for k in range(NMS_N_BOX)
+    )
+    return f"""
+WITH {osql.georegister_cte(str(fx / 'images.parquet'))},
+b AS (
+  SELECT image_id, gp.p AS box_id,
+         (idx * 3 + gp.p * 7) % 20 AS x0,
+         (idx * 5 + gp.p * 11) % 20 AS y0,
+         (idx + gp.p) % 10 + 6 AS bw,
+         (idx * 2 + gp.p) % 10 + 6 AS bh,
+         (idx * 13 + gp.p * 29) % 100 AS score
+  FROM tiles, generate_series(0, {NMS_N_BOX - 1}) AS gp(p)
+  WHERE idx % {_NMS_MOD} = 0
+),
+r AS (
+  SELECT *, row_number() OVER (PARTITION BY image_id ORDER BY score DESC, box_id) - 1
+         AS rank_pos
+  FROM b
+),
+{", ".join(ctes)}
+SELECT image_id, CAST(rank_pos AS BIGINT) AS rank_pos,
+       CAST(box_id AS BIGINT) AS box_id, CAST(score AS BIGINT) AS score,
+       CAST(kept AS BIGINT) AS kept
+FROM ({union}) ORDER BY image_id, rank_pos
+"""
+
+
+def q_clustering_coeff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-node local clustering coefficient (graph.clustering_coefficients
+    — Watts-Strogatz over degree-ordered wedges) on the part co-purchase
+    graph; exact integer ppm, no float ratio."""
+    from ..operators.graph import clustering_coefficients
+
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet").select(
+        "l_orderkey", "l_partkey"
+    )
+    a = li.select(F.col("l_orderkey").alias("k"), F.col("l_partkey").alias("u"))
+    b = li.select(F.col("l_orderkey").alias("k"), F.col("l_partkey").alias("v"))
+    pairs = a.join(b, "k").where(F.col("u") < F.col("v")).select("u", "v")
+    return (
+        clustering_coefficients(pairs)
+        .repartition(1).sortWithinPartitions("node")
+    )
+
+
+def _sql_clustering_coeff() -> str:
+    return """
+WITH e AS (
+  SELECT DISTINCT a.l_partkey AS u, b.l_partkey AS v
+  FROM lineitem a JOIN lineitem b
+    ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+),
+sym AS (SELECT u, v FROM e UNION ALL SELECT v AS u, u AS v FROM e),
+deg AS (SELECT u, COUNT(*) AS deg FROM sym GROUP BY u),
+o AS (
+  SELECT CASE WHEN (da.deg, e.u) < (db.deg, e.v) THEN e.u ELSE e.v END AS a,
+         CASE WHEN (da.deg, e.u) < (db.deg, e.v) THEN e.v ELSE e.u END AS b
+  FROM e JOIN deg da ON e.u = da.u JOIN deg db ON e.v = db.u
+),
+closed AS (
+  SELECT w.apex, w.p, w.q
+  FROM (SELECT w1.a AS apex, w1.b AS p, w2.b AS q
+        FROM o w1 JOIN o w2 ON w1.a = w2.a AND w1.b < w2.b) w
+  JOIN o ON least(o.a, o.b) = w.p AND greatest(o.a, o.b) = w.q
+),
+pert AS (
+  SELECT node, COUNT(*) AS n_tri
+  FROM (SELECT unnest([apex, p, q]) AS node FROM closed)
+  GROUP BY node
+)
+SELECT CAST(node AS BIGINT) AS node,
+       CAST(deg AS BIGINT) AS deg,
+       CAST(n_tri AS BIGINT) AS n_tri,
+       CAST((2 * n_tri * 1000000) // (deg * (deg - 1)) AS BIGINT) AS coeff_ppm
+FROM pert JOIN deg ON node = deg.u
+WHERE n_tri >= 1
+ORDER BY node
+"""
+
+
+_LPA_ROUNDS = 3
+
+
+def q_label_propagation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bounded-round synchronous label propagation (graph.
+    label_propagation_rounds — Raghavan et al. 2007, deterministic
+    smallest-label tie rule) over the part co-purchase graph; per-round
+    census rows pin the whole trajectory."""
+    from ..operators.graph import label_propagation_rounds
+
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet").select(
+        "l_orderkey", "l_partkey"
+    )
+    a = li.select(F.col("l_orderkey").alias("k"), F.col("l_partkey").alias("u"))
+    b = li.select(F.col("l_orderkey").alias("k"), F.col("l_partkey").alias("v"))
+    pairs = a.join(b, "k").where(F.col("u") < F.col("v")).select("u", "v")
+    return (
+        label_propagation_rounds(pairs, _LPA_ROUNDS)
+        .repartition(1).sortWithinPartitions("round")
+    )
+
+
+def _sql_label_propagation() -> str:
+    rounds = []
+    prev = "l0"
+    for r in range(1, _LPA_ROUNDS + 1):
+        rounds.append(f"""
+c{r} AS (
+  SELECT s.u, {prev}.lbl AS nlbl, COUNT(*) AS cnt
+  FROM sym s JOIN {prev} ON s.v = {prev}.node
+  GROUP BY s.u, {prev}.lbl
+),
+l{r} AS (
+  SELECT u AS node, nlbl AS lbl FROM (
+    SELECT u, nlbl,
+           row_number() OVER (PARTITION BY u ORDER BY cnt DESC, nlbl ASC) AS rn
+    FROM c{r}
+  ) WHERE rn = 1
+),
+cen{r} AS (
+  SELECT {r} AS round,
+         COUNT(DISTINCT lbl) AS n_labels,
+         (SELECT MAX(sz) FROM (SELECT COUNT(*) AS sz FROM l{r} GROUP BY lbl))
+           AS max_community,
+         SUM(node * lbl) AS label_checksum
+  FROM l{r}
+)""")
+        prev = f"l{r}"
+    union = " UNION ALL ".join(
+        f"SELECT * FROM cen{r}" for r in range(1, _LPA_ROUNDS + 1)
+    )
+    return f"""
+WITH e AS (
+  SELECT DISTINCT a.l_partkey AS u, b.l_partkey AS v
+  FROM lineitem a JOIN lineitem b
+    ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+),
+sym AS (SELECT u, v FROM e UNION ALL SELECT v AS u, u AS v FROM e),
+l0 AS (SELECT DISTINCT u AS node, u AS lbl FROM sym),
+{", ".join(r.lstrip() for r in rounds)}
+SELECT CAST(round AS BIGINT) AS round,
+       CAST(n_labels AS BIGINT) AS n_labels,
+       CAST(max_community AS BIGINT) AS max_community,
+       CAST(label_checksum AS BIGINT) AS label_checksum
+FROM ({union}) ORDER BY round
 """

@@ -976,3 +976,94 @@ def test_laplacian_residual_matches_numpy(spark, sf0001_dir):
         assert r["lap_abs_sum"] == int(np.abs(lap).sum())
         assert r["lap_max"] == int(np.abs(lap).max())
         assert r["lap_checksum"] == int((lap * wt).sum())
+
+
+def test_census_transform_matches_numpy(spark, sf0001_dir):
+    tiles = geo.georegister(
+        spark.read.parquet(str(sf0001_dir / "images.parquet"))
+    ).limit(4)
+    got = {r["image_id"]: r for r in algebra.census_transform(tiles).collect()}
+    for r in tiles.collect():
+        z = oracle.decode_pixels(r["bytes"], r["w"], r["h"], r["fmt"]).astype(np.int64)
+        h, w = z.shape
+        code = np.zeros((h - 2, w - 2), dtype=np.int64)
+        pop = np.zeros_like(code)
+        for b, (di, dj) in enumerate(algebra._CENSUS_NBRS):
+            nb = z[1 + di : h - 1 + di, 1 + dj : w - 1 + dj]
+            gt = (nb > z[1:-1, 1:-1]).astype(np.int64)
+            code += gt << b
+            pop += gt
+        g = got[r["image_id"]]
+        assert g["n_interior"] == (h - 2) * (w - 2)
+        assert g["census_sum"] == code.sum()
+        assert g["popcount_sum"] == pop.sum()
+        assert g["n_uniform"] == ((code == 0) | (code == 255)).sum()
+        wt = (
+            np.arange(1, h - 1)[:, None] * w + np.arange(1, w - 1)[None, :] + 1
+        )
+        assert g["census_checksum"] == (code * wt).sum()
+
+
+def test_census_transform_constant_tile_is_all_uniform(spark):
+    import pandas as pd
+
+    z = np.full((8, 8), 42, dtype=np.uint8)
+    df = spark.createDataFrame(
+        pd.DataFrame(
+            {"image_id": ["img0000000001"], "bytes": [z.tobytes()],
+             "w": [8], "h": [8], "fmt": ["raw"]}
+        )
+    )
+    row = algebra.census_transform(df).collect()[0]
+    assert row["census_sum"] == 0
+    assert row["n_uniform"] == 36  # every interior code is 0
+
+
+def test_demosaic_matches_numpy(spark, sf0001_dir):
+    tiles = geo.georegister(
+        spark.read.parquet(str(sf0001_dir / "images.parquet"))
+    ).limit(4)
+    got = {r["image_id"]: r for r in algebra.demosaic_bilinear(tiles).collect()}
+    for rr in tiles.collect():
+        z = oracle.decode_pixels(rr["bytes"], rr["w"], rr["h"], rr["fmt"]).astype(np.int64)
+        h, w = z.shape
+        r = np.zeros((h - 2, w - 2), dtype=np.int64)
+        g = np.zeros_like(r)
+        b = np.zeros_like(r)
+        for ii in range(1, h - 1):
+            for jj in range(1, w - 1):
+                c = z[ii, jj]
+                cross4 = (z[ii - 1, jj] + z[ii + 1, jj] + z[ii, jj - 1] + z[ii, jj + 1]) // 4
+                diag4 = (z[ii - 1, jj - 1] + z[ii - 1, jj + 1] + z[ii + 1, jj - 1] + z[ii + 1, jj + 1]) // 4
+                vert2 = (z[ii - 1, jj] + z[ii + 1, jj]) // 2
+                horz2 = (z[ii, jj - 1] + z[ii, jj + 1]) // 2
+                pi, pj = ii % 2, jj % 2
+                if (pi, pj) == (0, 0):
+                    rv, gv, bv = c, cross4, diag4
+                elif (pi, pj) == (0, 1):
+                    rv, gv, bv = horz2, c, vert2
+                elif (pi, pj) == (1, 0):
+                    rv, gv, bv = vert2, c, horz2
+                else:
+                    rv, gv, bv = diag4, cross4, c
+                r[ii - 1, jj - 1], g[ii - 1, jj - 1], b[ii - 1, jj - 1] = rv, gv, bv
+        got_r = got[rr["image_id"]]
+        assert got_r["sum_r"] == r.sum()
+        assert got_r["sum_g"] == g.sum()
+        assert got_r["sum_b"] == b.sum()
+        wt = np.arange(1, h - 1)[:, None] * w + np.arange(1, w - 1)[None, :] + 1
+        assert got_r["demosaic_checksum"] == ((r + 2 * g + 3 * b) * wt).sum()
+
+
+def test_demosaic_constant_tile_reconstructs_constant(spark):
+    import pandas as pd
+
+    z = np.full((8, 8), 100, dtype=np.uint8)
+    df = spark.createDataFrame(
+        pd.DataFrame(
+            {"image_id": ["img0000000001"], "bytes": [z.tobytes()],
+             "w": [8], "h": [8], "fmt": ["raw"]}
+        )
+    )
+    row = algebra.demosaic_bilinear(df).collect()[0]
+    assert row["sum_r"] == row["sum_g"] == row["sum_b"] == 100 * 36

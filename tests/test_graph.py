@@ -255,3 +255,50 @@ def test_k_core_matches_pure_python(spark):
     assert got3 == peel(edges, 4, 2)
     # 4-core of the structure is exactly the 5-clique
     assert got3[-1][1:3] == (5, 10)
+
+
+def test_clustering_coefficients_known_graph(spark):
+    # triangle 1-2-3 plus pendant 4 on node 1; a second triangle 5-6-7
+    edges = spark.createDataFrame(
+        [(1, 2), (2, 3), (1, 3), (1, 4), (5, 6), (6, 7), (5, 7)], "u long, v long"
+    )
+    got = {r["node"]: r for r in graph.clustering_coefficients(edges).collect()}
+    # node 1: deg 3, 1 triangle -> 2*1e6/(3*2) = 333333
+    assert got[1]["deg"] == 3 and got[1]["n_tri"] == 1
+    assert got[1]["coeff_ppm"] == 333333
+    # nodes 2,3,5,6,7: deg 2, 1 triangle -> coefficient 1.0
+    for n in (2, 3, 5, 6, 7):
+        assert got[n]["coeff_ppm"] == 1000000, n
+    assert 4 not in got  # pendant has no triangle
+
+
+def test_label_propagation_two_cliques(spark):
+    # two 4-cliques bridged by one edge; labels must settle to each
+    # clique's minimum id
+    def clique(ns):
+        return [(a, b) for i, a in enumerate(ns) for b in ns[i + 1:]]
+
+    edges = spark.createDataFrame(
+        clique([1, 2, 3, 4]) + clique([10, 11, 12, 13]) + [(4, 10)],
+        "u long, v long",
+    )
+    rows = {r["round"]: r for r in graph.label_propagation_rounds(edges, 3).collect()}
+    # brute-force replay of the synchronous min-tie rule
+    import collections
+
+    adj = collections.defaultdict(set)
+    for u, v in clique([1, 2, 3, 4]) + clique([10, 11, 12, 13]) + [(4, 10)]:
+        adj[u].add(v)
+        adj[v].add(u)
+    lbl = {n: n for n in adj}
+    for r in range(1, 4):
+        nxt = {}
+        for n in adj:
+            cnt = collections.Counter(lbl[m] for m in adj[n])
+            best = max(cnt.values())
+            nxt[n] = min(l for l, c in cnt.items() if c == best)
+        lbl = nxt
+        assert rows[r]["n_labels"] == len(set(lbl.values())), r
+        assert rows[r]["label_checksum"] == sum(n * l for n, l in lbl.items()), r
+        sizes = collections.Counter(lbl.values())
+        assert rows[r]["max_community"] == max(sizes.values()), r

@@ -7,6 +7,7 @@ import numpy as np
 from pyspark.sql import functions as F
 
 from georaster_spark.constants import DOMAIN
+from georaster_spark.operators import georegister as geo
 from georaster_spark.operators import spatial_index as si
 
 
@@ -444,3 +445,49 @@ def test_buffer_union_area_matches_bruteforce(spark):
         spark.createDataFrame(pts[:1], schema="point_id long, x double, y double")
     ).collect()[0]["n_cells"]
     assert r["n_cells"] < 3 * single
+
+
+def test_box_nms_matches_greedy_bruteforce(spark, sf0001_dir):
+    from georaster_spark.operators.spatial_index import (
+        NMS_N_BOX,
+        NMS_THR_MILLI,
+        box_nms,
+    )
+
+    tiles = geo.georegister(
+        spark.read.parquet(str(sf0001_dir / "images.parquet"))
+    ).limit(40)
+    got = {}
+    for r in box_nms(tiles).collect():
+        got[(r["image_id"], r["rank_pos"])] = (r["box_id"], r["score"], r["kept"])
+    ids = [r["image_id"] for r in tiles.select("image_id").collect()]
+    for image_id in ids:
+        i = int(image_id[3:13])
+        boxes = []
+        for p in range(NMS_N_BOX):
+            boxes.append(
+                {
+                    "p": p,
+                    "x0": (i * 3 + p * 7) % 20,
+                    "y0": (i * 5 + p * 11) % 20,
+                    "bw": (i + p) % 10 + 6,
+                    "bh": (i * 2 + p) % 10 + 6,
+                    "score": (i * 13 + p * 29) % 100,
+                }
+            )
+        order = sorted(boxes, key=lambda b: (-b["score"], b["p"]))
+        kept = []
+        for k, b in enumerate(order):
+            ok = True
+            for kb in kept:
+                iw = max(0, min(b["x0"] + b["bw"], kb["x0"] + kb["bw"]) - max(b["x0"], kb["x0"]))
+                ih = max(0, min(b["y0"] + b["bh"], kb["y0"] + kb["bh"]) - max(b["y0"], kb["y0"]))
+                inter = iw * ih
+                union = b["bw"] * b["bh"] + kb["bw"] * kb["bh"] - inter
+                if 1000 * inter > NMS_THR_MILLI * union:
+                    ok = False
+                    break
+            if ok:
+                kept.append(b)
+            want = (b["p"], b["score"], 1 if ok else 0)
+            assert got[(image_id, k)] == want, (image_id, k, got[(image_id, k)], want)

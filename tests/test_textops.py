@@ -412,3 +412,65 @@ def test_cdc_chunking_shift_robustness(spark):
     c1, c2 = chunks(df1), chunks(df2)
     # all chunks after the perturbed prefix coincide
     assert c1[1:] == c2[len(c2) - len(c1) + 1:]
+
+
+def test_edit_distance_join_brute_force_parity(spark):
+    """SymSpell blocking + levenshtein refine must equal the all-pairs
+    ed<=1 join over the same (vocab + injected typo) word set."""
+    import itertools
+
+    got = {
+        (r["w1"], r["w2"]): r["dist"]
+        for r in textops.edit_distance_join(spark, "/root/testdata/sf0.001").collect()
+    }
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet").collect()
+    vocab = set()
+    for d in docs:
+        ws = d["text"].lower().strip().split()
+        vocab.update(w for w in ws if len(w) >= textops.ED_MIN_LEN)
+        if d["doc_id"] % textops.ED_TYPO_MOD == 0:
+            long = [w for w in ws if len(w) >= textops.ED_MIN_LEN]
+            if long:
+                w = long[0]
+                vocab.add(w + "x" if d["doc_id"] % 2 == 0 else "z" + w[1:])
+
+    def lev(a, b):
+        m = list(range(len(b) + 1))
+        for i, ca in enumerate(a, 1):
+            prev, m[0] = m[0], i
+            for j, cb in enumerate(b, 1):
+                prev, m[j] = m[j], min(m[j] + 1, m[j - 1] + 1, prev + (ca != cb))
+        return m[-1]
+
+    want = {
+        (a, b): lev(a, b)
+        for a, b in itertools.combinations(sorted(vocab), 2)
+        if lev(a, b) <= 1
+    }
+    assert set(got) == set(want)
+    assert all(got[k] == want[k] for k in want)
+
+
+def test_edit_distance_join_excludes_shared_variant_ed2(spark):
+    """A transposition pair shares a 1-deletion variant but has ed 2 —
+    the levenshtein refine must drop it (the SymSpell false positive)."""
+    import pandas as pd
+
+    df = spark.createDataFrame(
+        pd.DataFrame(
+            {
+                "doc_id": [1, 3],  # odd: no typo injection fires at % 2
+                "text": ["abcd efgh", "acbd wxyz"],
+                "lang": ["en", "en"],
+                "source": ["s", "s"],
+                "n_chars": [9, 9],
+            }
+        )
+    )
+    import tempfile, os
+
+    with tempfile.TemporaryDirectory() as td:
+        df.coalesce(1).write.parquet(os.path.join(td, "documents.parquet"))
+        pairs = textops.edit_distance_join(spark, td).collect()
+    ws = {(r["w1"], r["w2"]) for r in pairs}
+    assert ("abcd", "acbd") not in ws  # shares variant "abd"/"acd" yet ed=2
