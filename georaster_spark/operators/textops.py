@@ -2182,6 +2182,7 @@ def text_queries():
         "cm_heavy_hitters": cm_heavy_hitters,
         "cdc_chunking": cdc_chunking,
         "edit_distance_join": edit_distance_join,
+        "vocab_growth": vocab_growth,
     }
 
 
@@ -2220,6 +2221,7 @@ def text_oracles() -> dict[str, str]:
         "cm_heavy_hitters": cm_heavy_hitters_sql(),
         "cdc_chunking": cdc_chunking_sql(),
         "edit_distance_join": edit_distance_join_sql(),
+        "vocab_growth": vocab_growth_sql(),
     }
 
 
@@ -2711,4 +2713,92 @@ SELECT w1, w2, CAST(n1 AS BIGINT) AS n1, CAST(n2 AS BIGINT) AS n2,
        CAST(levenshtein(w1, w2) AS BIGINT) AS dist
 FROM cand WHERE levenshtein(w1, w2) <= 1
 ORDER BY w1, w2
+"""
+
+
+# ---------------------------------------------------------------------------
+# T9 — Heaps'-law vocabulary growth audit
+# ---------------------------------------------------------------------------
+
+VG_BUCKET = 25  # docs per growth bucket (500-doc corpus -> 20 curve points)
+
+
+def vocab_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Heaps'-law vocabulary-growth audit (Heaps 1978; the V(n) ~ K·n^β
+    curve every tokenizer-budget and dedup-saturation analysis plots):
+    docs are bucketed in corpus order (doc_id // VG_BUCKET), the type
+    inventory is word BIGRAMS (the unigram vocabulary here is a
+    24-word synthetic closed set — bigrams give the curve room), and
+    each bucket reports its token throughput plus how many types appear
+    there FIRST, with running cumulative totals.
+
+    Scale shape: the first-occurrence bucket per type is ONE
+    combiner-friendly min-agg over the exploded bigram stream (types
+    never re-shuffle per bucket); per-bucket rollups are dims-sized
+    (corpus/VG_BUCKET rows), so the running-sum window runs on
+    planner-metadata scale — same single-partition-window policy as the
+    skew census."""
+    d = _docs(spark, sf_dir)
+    ws = words_col()
+    bg = F.filter(
+        F.zip_with(
+            ws,
+            F.slice(ws, 2, F.greatest(F.size(ws) - 1, F.lit(0))),
+            lambda a, b: F.concat(a, F.lit(" "), b),
+        ),
+        lambda s: ~s.endswith(" "),
+    )
+    toks = d.select(
+        (F.col("doc_id") / VG_BUCKET).cast("long").alias("bucket"),
+        F.explode(bg).alias("tp"),
+    )
+    toks = toks.localCheckpoint(eager=False)  # token counts + firsts share one explode
+    per_bucket = toks.groupBy("bucket").agg(F.count(F.lit(1)).alias("n_tokens"))
+    firsts = (
+        toks.groupBy("tp")
+        .agg(F.min("bucket").alias("bucket"))
+        .groupBy("bucket")
+        .agg(F.count(F.lit(1)).alias("n_new_types"))
+    )
+    joined = per_bucket.join(firsts, "bucket", "left").select(
+        "bucket",
+        "n_tokens",
+        F.coalesce(F.col("n_new_types"), F.lit(0)).alias("n_new_types"),
+    )
+    w = W.orderBy("bucket").rowsBetween(W.unboundedPreceding, 0)
+    return (
+        joined.repartition(1)
+        .select(
+            "bucket",
+            "n_tokens",
+            "n_new_types",
+            F.sum("n_tokens").over(w).alias("cum_tokens"),
+            F.sum("n_new_types").over(w).alias("cum_types"),
+        )
+        .sortWithinPartitions("bucket")
+    )
+
+
+def vocab_growth_sql() -> str:
+    return f"""
+WITH docs AS (SELECT doc_id, {_SQL_WS} AS ws FROM documents),
+toks AS (
+  SELECT doc_id // {VG_BUCKET} AS bucket,
+         unnest(list_transform(range(1, len(ws)), i -> ws[i] || ' ' || ws[i+1])) AS tp
+  FROM docs
+),
+pb AS (SELECT bucket, COUNT(*) AS n_tokens FROM toks GROUP BY bucket),
+fs AS (
+  SELECT bucket, COUNT(*) AS n_new_types
+  FROM (SELECT tp, MIN(bucket) AS bucket FROM toks GROUP BY tp)
+  GROUP BY bucket
+)
+SELECT pb.bucket,
+       CAST(n_tokens AS BIGINT) AS n_tokens,
+       CAST(COALESCE(n_new_types, 0) AS BIGINT) AS n_new_types,
+       CAST(SUM(n_tokens) OVER (ORDER BY pb.bucket) AS BIGINT) AS cum_tokens,
+       CAST(SUM(COALESCE(n_new_types, 0)) OVER (ORDER BY pb.bucket) AS BIGINT)
+         AS cum_types
+FROM pb LEFT JOIN fs ON pb.bucket = fs.bucket
+ORDER BY pb.bucket
 """

@@ -854,6 +854,8 @@ def vector_queries():
         "ann_pq": ann_pq,
         "ann_ivfpq": ann_ivfpq,
         "kmeans_embed": kmeans_embed,
+        "jl_projection": jl_projection,
+        "dim_truncation_recall": dim_truncation_recall,
     }
 
 
@@ -868,6 +870,8 @@ def vector_oracles() -> dict[str, str]:
         "ann_pq": ann_pq_sql(),
         "ann_ivfpq": ann_ivfpq_sql(),
         "kmeans_embed": kmeans_embed_sql(),
+        "jl_projection": jl_projection_sql(),
+        "dim_truncation_recall": dim_truncation_recall_sql(),
     }
 
 
@@ -1390,4 +1394,281 @@ SELECT query_id, rank, vec_id, adc FROM (
                             ORDER BY adc ASC, vec_id ASC) AS rank
   FROM scored) WHERE rank <= {PQ_TOPK}
 ORDER BY query_id, rank
+"""
+
+
+# ---------------------------------------------------------------------------
+# V10 — Johnson-Lindenstrauss ±1 projection, integer-exact distortion audit
+# ---------------------------------------------------------------------------
+
+JL_P = 16        # projected dimensionality
+JL_SCALE = 1024  # embeddings quantized to floor(x * JL_SCALE) first
+JL_PAIR_MOD = 29  # audited pairs: consecutive query vectors
+
+
+def _jl_signs() -> list[list[int]]:
+    """Deterministic ±1 sign matrix (JL_P x DIM) from md5 parity —
+    md5 because an LCG-bit matrix is visibly auto-correlated here (the
+    first draft used one and single-pair distortions hit 45x); the
+    signs are inlined as LITERALS into both engines, so the formula
+    never has to be re-expressed in SQL."""
+    import hashlib
+
+    return [
+        [
+            1 if hashlib.md5(f"jl{j}:{d}".encode()).digest()[0] % 2 == 0 else -1
+            for d in range(DIM)
+        ]
+        for j in range(JL_P)
+    ]
+
+
+def jl_projection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Johnson-Lindenstrauss random-projection distortion audit
+    (Achlioptas 2003 ±1 database-friendly variant — the dimensionality
+    reduction every embedding pipeline reaches for before ANN): vectors
+    are quantized to integers (floor(x·JL_SCALE)), projected to JL_P
+    dims by a fixed ±1 sign matrix, and for audited vector pairs the
+    squared-distance distortion of the projection is reported as EXACT
+    integer ppm: 10⁶·‖Δy‖² // (JL_P·‖Δx‖²) — for a dense ±1 matrix
+    E[‖SΔx‖²] = P·‖Δx‖² (no DIM factor — that belongs to coordinate
+    SAMPLING, not sign projections), no float ever computed.  int64
+    bound: |x|<1 ⇒ |Δy| ≤ 2·DIM·JL_SCALE ≈ 1.3e5, so the ppm
+    numerator tops out near 1.7e16 < 2^63.
+
+    Scale shape: quantize+project is map-only Column math (F.aggregate
+    folds over the array — zero UDF); audited pairs are consecutive
+    query-subset vectors joined on an equi key, so the audit is one
+    slim join, never an all-pairs blowup."""
+    signs = _jl_signs()
+    e = _emb(spark, sf_dir).where(F.col("vec_id") % JL_PAIR_MOD == 0)
+    xq = F.transform(
+        F.col("embedding"), lambda v: F.floor(v.cast("double") * JL_SCALE).cast("long")
+    )
+    e = e.select("vec_id", xq.alias("xq"))
+    proj = [
+        F.aggregate(
+            F.zip_with(
+                F.col("xq"),
+                F.array(*[F.lit(sv) for sv in signs[j]]),
+                lambda x, sv: x * sv,
+            ),
+            F.lit(0).cast("long"),
+            lambda acc, v: acc + v,
+        ).alias(f"y{j}")
+        for j in range(JL_P)
+    ]
+    p = e.select("vec_id", (F.col("vec_id") / JL_PAIR_MOD).cast("long").alias("k"), "xq", *proj)
+    a = p.alias("a")
+    b = p.alias("b")
+    j = a.join(b, F.col("a.k") + 1 == F.col("b.k"))
+    dx2 = F.aggregate(
+        F.zip_with(F.col("a.xq"), F.col("b.xq"), lambda x, y: (x - y) * (x - y)),
+        F.lit(0).cast("long"),
+        lambda acc, v: acc + v,
+    )
+    dy2 = sum(
+        (
+            (F.col(f"a.y{jj}") - F.col(f"b.y{jj}"))
+            * (F.col(f"a.y{jj}") - F.col(f"b.y{jj}"))
+            for jj in range(1, JL_P)
+        ),
+        (F.col("a.y0") - F.col("b.y0")) * (F.col("a.y0") - F.col("b.y0")),
+    )
+    return (
+        j.select(
+            F.col("a.vec_id").alias("id1"),
+            F.col("b.vec_id").alias("id2"),
+            dx2.alias("dx2"),
+            dy2.alias("dy2"),
+        )
+        .where(F.col("dx2") > 0)
+        .select(
+            "id1",
+            "id2",
+            "dx2",
+            "dy2",
+            F.expr(f"div(1000000 * dy2, {JL_P} * dx2)").alias("distortion_ppm"),
+        )
+        .repartition(1).sortWithinPartitions("id1")
+    )
+
+
+def jl_projection_sql() -> str:
+    signs = _jl_signs()
+    ys = ", ".join(
+        "list_sum(list_transform(range(1, %d + 1), i -> xq[i] * ([%s])[i]))"
+        % (DIM, ",".join(str(sv) for sv in signs[j]))
+        for j in range(JL_P)
+    )
+    return f"""
+WITH q AS (
+  SELECT vec_id, CAST(vec_id // {JL_PAIR_MOD} AS BIGINT) AS k,
+         list_transform(embedding, v -> CAST(floor(CAST(v AS DOUBLE) * {JL_SCALE}) AS BIGINT)) AS xq
+  FROM embeddings WHERE vec_id % {JL_PAIR_MOD} = 0
+),
+p AS (SELECT vec_id, k, xq, [{ys}] AS y FROM q)
+SELECT a.vec_id AS id1, b.vec_id AS id2,
+       CAST(list_sum(list_transform(range(1, {DIM} + 1),
+              i -> (a.xq[i] - b.xq[i]) * (a.xq[i] - b.xq[i]))) AS BIGINT) AS dx2,
+       CAST(list_sum(list_transform(range(1, {JL_P} + 1),
+              j -> (a.y[j] - b.y[j]) * (a.y[j] - b.y[j]))) AS BIGINT) AS dy2,
+       CAST((1000000 * list_sum(list_transform(range(1, {JL_P} + 1),
+              j -> (a.y[j] - b.y[j]) * (a.y[j] - b.y[j]))))
+            // ({JL_P} * list_sum(list_transform(range(1, {DIM} + 1),
+              i -> (a.xq[i] - b.xq[i]) * (a.xq[i] - b.xq[i])))) AS BIGINT)
+         AS distortion_ppm
+FROM p a JOIN p b ON a.k + 1 = b.k
+WHERE list_sum(list_transform(range(1, {DIM} + 1),
+        i -> (a.xq[i] - b.xq[i]) * (a.xq[i] - b.xq[i]))) > 0
+ORDER BY id1
+"""
+
+
+# ---------------------------------------------------------------------------
+# V11 — truncated-dimension recall audit (Matryoshka-style)
+# ---------------------------------------------------------------------------
+
+TRUNC_DIM = 32  # rank with the first half of the dims
+
+
+def dim_truncation_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Truncated-dimension retrieval recall audit (the Matryoshka /
+    MRL question: how much of exact top-K survives if only the first
+    TRUNC_DIM of DIM dims are stored?): per query, exact cosine top-K
+    under BOTH metrics in one block-GEMM pass, then the overlap count.
+
+    Output is integer-only (ranks and overlap counts) — floats never
+    reach the hash, the same determinism posture as ann_topk_brute.
+
+    Scale shape: identical to ann_topk_brute's grid block-GEMM (each
+    (qb, cb) cell emits per-cell top-K for BOTH metrics — one Arrow
+    pass, not two); two windows finish the global top-Ks; the overlap
+    is a self-join on (query, neighbor) + one count agg."""
+    e = _emb(spark, sf_dir).select("vec_id", "embedding")
+    q = e.where(F.col("vec_id") % QUERY_MOD == 0).select(
+        "vec_id",
+        "embedding",
+        (F.col("vec_id") / (QUERY_MOD * QBLOCK)).cast("int").alias("qb"),
+    )
+    c = e.withColumn("cb", (F.col("vec_id") / CBLOCK).cast("int"))
+    qblks = q.select("qb").distinct()
+    cblks = c.select("cb").distinct()
+    left = c.crossJoin(F.broadcast(qblks)).select(
+        "qb", "cb", F.lit(0).alias("side"), "vec_id", "embedding"
+    )
+    right = q.crossJoin(F.broadcast(cblks)).select(
+        "qb", "cb", F.lit(1).alias("side"), "vec_id", "embedding"
+    )
+    both = left.unionByName(right)
+
+    schema = StructType(
+        [
+            StructField("metric", LongType()),  # 0 = full, 1 = truncated
+            StructField("query_id", LongType()),
+            StructField("vec_id", LongType()),
+            StructField("cos", DoubleType()),
+        ]
+    )
+    k = TOPK
+
+    def score(key, pdf: pd.DataFrame):
+        cp = pdf[pdf["side"] == 0]
+        qp = pdf[pdf["side"] == 1]
+        if len(cp) == 0 or len(qp) == 0:
+            return pd.DataFrame(
+                {"metric": [], "query_id": [], "vec_id": [], "cos": []}
+            ).astype({"metric": "int64", "query_id": "int64", "vec_id": "int64", "cos": "float64"})
+        C = _mat(cp["embedding"])
+        Q = _mat(qp["embedding"])
+        cids = cp["vec_id"].to_numpy()
+        qids = qp["vec_id"].to_numpy()
+        out = []
+        for metric, dim in ((0, DIM), (1, TRUNC_DIM)):
+            Ct = C[:, :dim]
+            Qt = Q[:, :dim]
+            Cn = Ct / np.linalg.norm(Ct, axis=1, keepdims=True)
+            Qn = Qt / np.linalg.norm(Qt, axis=1, keepdims=True)
+            cos = Qn @ Cn.T
+            cos[qids[:, None] == cids[None, :]] = -np.inf
+            kk = min(k, cos.shape[1])
+            top = np.argpartition(-cos, kk - 1, axis=1)[:, :kk]
+            rows_c = np.take_along_axis(cos, top, axis=1).ravel()
+            keep = np.isfinite(rows_c)
+            out.append(
+                pd.DataFrame(
+                    {
+                        "metric": metric,
+                        "query_id": np.repeat(qids, kk)[keep],
+                        "vec_id": cids[top.ravel()][keep],
+                        "cos": rows_c[keep],
+                    }
+                )
+            )
+        return pd.concat(out, ignore_index=True)
+
+    scored = both.groupBy("qb", "cb").applyInPandas(score, schema=schema)
+    win = Window.partitionBy("metric", "query_id").orderBy(
+        F.col("cos").desc(), F.col("vec_id").asc()
+    )
+    top = (
+        scored.withColumn("rank", F.row_number().over(win))
+        .where(F.col("rank") <= TOPK)
+        .select("metric", "query_id", "vec_id")
+    )
+    full = top.where(F.col("metric") == 0).select("query_id", "vec_id")
+    trunc = top.where(F.col("metric") == 1).select(
+        F.col("query_id").alias("q2"), F.col("vec_id").alias("v2")
+    )
+    hits = full.join(
+        trunc,
+        (F.col("query_id") == F.col("q2")) & (F.col("vec_id") == F.col("v2")),
+        "left_semi",
+    )
+    per_q = full.groupBy("query_id").agg(F.count(F.lit(1)).alias("k_full"))
+    per_h = hits.groupBy("query_id").agg(F.count(F.lit(1)).alias("n_common"))
+    return (
+        per_q.join(per_h, "query_id", "left")
+        .select(
+            "query_id",
+            "k_full",
+            F.coalesce(F.col("n_common"), F.lit(0)).alias("n_common"),
+        )
+        .repartition(1).sortWithinPartitions("query_id")
+    )
+
+
+def dim_truncation_recall_sql() -> str:
+    def dott(a, b, dim):
+        return (
+            f"list_sum(list_transform(range(1, {dim} + 1),"
+            f" i -> CAST({a}[i] AS DOUBLE) * CAST({b}[i] AS DOUBLE)))"
+        )
+
+    def ranked(metric, dim):
+        d = dott("q.embedding", "e.embedding", dim)
+        nq = dott("q.embedding", "q.embedding", dim)
+        ne = dott("e.embedding", "e.embedding", dim)
+        return f"""
+  SELECT {metric} AS metric, q.vec_id AS query_id, e.vec_id AS vec_id,
+         row_number() OVER (
+           PARTITION BY q.vec_id
+           ORDER BY {d} / sqrt(({nq}) * ({ne})) DESC, e.vec_id ASC) AS rank
+  FROM embeddings q JOIN embeddings e ON e.vec_id <> q.vec_id
+  WHERE q.vec_id % {QUERY_MOD} = 0"""
+
+    return f"""
+WITH t AS (
+  SELECT * FROM ({ranked(0, DIM)}) WHERE rank <= {TOPK}
+  UNION ALL
+  SELECT * FROM ({ranked(1, TRUNC_DIM)}) WHERE rank <= {TOPK}
+)
+SELECT f.query_id,
+       COUNT(*) AS k_full,
+       CAST(SUM(CASE WHEN EXISTS (
+         SELECT 1 FROM t x WHERE x.metric = 1
+           AND x.query_id = f.query_id AND x.vec_id = f.vec_id)
+         THEN 1 ELSE 0 END) AS BIGINT) AS n_common
+FROM t f WHERE f.metric = 0
+GROUP BY f.query_id ORDER BY f.query_id
 """

@@ -474,3 +474,21 @@ def test_edit_distance_join_excludes_shared_variant_ed2(spark):
         pairs = textops.edit_distance_join(spark, td).collect()
     ws = {(r["w1"], r["w2"]) for r in pairs}
     assert ("abcd", "acbd") not in ws  # shares variant "abd"/"acd" yet ed=2
+
+
+def test_vocab_growth_totals(spark):
+    rows = textops.vocab_growth(spark, "/root/testdata/sf0.001").collect()
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet").collect()
+    types = set()
+    n_tok = 0
+    for d in docs:
+        ws = d["text"].lower().strip().split()
+        bgs = [f"{a} {b}" for a, b in zip(ws, ws[1:])]
+        types.update(bgs)
+        n_tok += len(bgs)
+    last = rows[-1]
+    assert last["cum_types"] == len(types)
+    assert last["cum_tokens"] == n_tok
+    assert all(r["n_new_types"] >= 0 for r in rows)
+    # growth curve is non-decreasing and concave-ish: new types taper
+    assert rows[0]["n_new_types"] >= rows[-1]["n_new_types"]
