@@ -1838,3 +1838,153 @@ JOIN orders ON o_orderkey = l_orderkey
 JOIN customer ON c_custkey = o_custkey
 ORDER BY o_totalprice DESC, o_orderkey
 """
+
+
+# --- per-user lag autocovariance census ---------------------------------------
+
+ACF_MAX_LAG = 3
+
+
+def autocorr_lags(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user lag-k autocovariance raw moments (the ACF numerators of
+    Box-Jenkins diagnostics / seasonality detection, kept as EXACT
+    integer sums — the float normalization r_k = (Σv_t·v_{t+k} −
+    n·μ²)/σ² is a client-side divide): for each user's event-value
+    series in time order, Σv, Σv², and Σ v_t·v_{t+k} for k = 1..3 on
+    exact integer cents.
+
+    Scale shape: ONE user-key shuffle for the ordered window; the lag
+    products are lead() columns inside the same window pass (no
+    self-join); final agg is per-user partial+final.  Ties on ts are
+    broken by event_id so the series order is total and reshuffle-proof."""
+    ev = _t(spark, sf_dir, "events").select(
+        "user_id",
+        "ts",
+        "event_id",
+        cents(F.col("value")).alias("v"),
+    )
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    lagged = ev.select(
+        "user_id",
+        "v",
+        *[F.lead("v", k).over(w).alias(f"v{k}") for k in range(1, ACF_MAX_LAG + 1)],
+    )
+    return (
+        lagged.groupBy("user_id")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum("v").alias("sum_v"),
+            F.sum(F.col("v") * F.col("v")).alias("sum_v2"),
+            *[
+                F.sum(
+                    F.when(F.col(f"v{k}").isNotNull(), F.col("v") * F.col(f"v{k}"))
+                    .otherwise(F.lit(0))
+                ).alias(f"lag{k}_sum")
+                for k in range(1, ACF_MAX_LAG + 1)
+            ],
+        )
+        .repartition(1).sortWithinPartitions("user_id")
+    )
+
+
+def autocorr_lags_sql() -> str:
+    lags = ",\n       ".join(
+        f"CAST(SUM(COALESCE(v * v{k}, 0)) AS BIGINT) AS lag{k}_sum"
+        for k in range(1, ACF_MAX_LAG + 1)
+    )
+    leads = ", ".join(
+        f"lead(v, {k}) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS v{k}"
+        for k in range(1, ACF_MAX_LAG + 1)
+    )
+    return f"""
+WITH ev AS (
+  SELECT user_id, CAST(round(value * 100) AS BIGINT) AS v, {leads}
+  FROM events
+)
+SELECT user_id,
+       COUNT(*) AS n,
+       CAST(SUM(v) AS BIGINT) AS sum_v,
+       CAST(SUM(v * v) AS BIGINT) AS sum_v2,
+       {lags}
+FROM ev GROUP BY user_id ORDER BY user_id
+"""
+
+
+# --- CUSUM drift detection ------------------------------------------------------
+
+
+def cusum_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user CUSUM drift census (Page 1954 — the classic sequential
+    change-point statistic; the monitoring primitive behind data-drift
+    alerts): deviations from the user's own integer-floored mean are
+    cumulatively summed in time order, and the maximum upward / minimum
+    downward excursions plus their positions pin the drift profile
+    exactly.
+
+    Two-pass shape: pass 1 = per-user mean as exact integers (Σv // n);
+    pass 2 = running window over the SAME user partitioning — the join
+    back is co-partitioned on user_id, so pass 2 reuses pass 1's
+    shuffle under AQE.  All arithmetic integer cents; no float enters
+    the surface."""
+    ev = _t(spark, sf_dir, "events").select(
+        "user_id", "ts", "event_id", cents(F.col("value")).alias("v")
+    )
+    # explicit floor in BOTH engines (a bare cast truncates in Spark but
+    # ROUNDS in DuckDB); cent sums stay far below 2^53 so the double is exact
+    mu = ev.groupBy("user_id").agg(
+        F.floor(F.sum("v") / F.count(F.lit(1))).cast("long").alias("mu")
+    )
+    j = ev.join(mu, "user_id")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    wo = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    c = j.select(
+        "user_id",
+        F.sum(F.col("v") - F.col("mu")).over(w).alias("cusum"),
+        F.row_number().over(wo).alias("pos"),
+    )
+    return (
+        c.groupBy("user_id")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.max("cusum").alias("max_up"),
+            F.min("cusum").alias("max_down"),
+            # argmax pos packed as cusum*2^20 + pos (pos < 2^20, so the
+            # key is strictly monotone in (cusum, pos)); floored mod
+            # unpacks it identically for negative cusum in both engines
+            F.pmod(F.max(F.col("cusum") * 1048576 + F.col("pos")), F.lit(1048576))
+            .cast("long").alias("argmax_pos"),
+            F.sum(F.abs("cusum")).alias("abs_excursion"),
+        )
+        .repartition(1).sortWithinPartitions("user_id")
+    )
+
+
+def cusum_drift_sql() -> str:
+    return """
+WITH ev AS (
+  SELECT user_id, ts, event_id, CAST(round(value * 100) AS BIGINT) AS v
+  FROM events
+),
+mu AS (
+  SELECT user_id, CAST(floor(SUM(v) / COUNT(*)) AS BIGINT) AS mu
+  FROM ev GROUP BY user_id
+),
+c AS (
+  SELECT ev.user_id,
+         SUM(v - mu) OVER (PARTITION BY ev.user_id ORDER BY ts, event_id
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cusum,
+         row_number() OVER (PARTITION BY ev.user_id ORDER BY ts, event_id) AS pos
+  FROM ev JOIN mu ON ev.user_id = mu.user_id
+)
+SELECT user_id,
+       COUNT(*) AS n,
+       CAST(MAX(cusum) AS BIGINT) AS max_up,
+       CAST(MIN(cusum) AS BIGINT) AS max_down,
+       CAST(((MAX(cusum * 1048576 + pos) % 1048576) + 1048576) % 1048576 AS BIGINT) AS argmax_pos,
+       CAST(SUM(abs(cusum)) AS BIGINT) AS abs_excursion
+FROM c GROUP BY user_id ORDER BY user_id
+"""

@@ -1353,3 +1353,118 @@ def box_nms(tiles: DataFrame) -> DataFrame:
         F.col("r.score").alias("score"),
         F.col("r.kept").alias("kept"),
     )
+
+
+# --- segment-intersection census ------------------------------------------------
+SEG_LEN = 5_000     # max |dx|,|dy| of a synthetic segment
+SEG_CELL = 8_192    # bucketing grid edge (SEG_LEN < SEG_CELL: cover <= 2x2 +1)
+SEG_MOD = 5         # every 5th point spawns a segment
+
+
+def _segments(points: DataFrame) -> DataFrame:
+    """Deterministic short segments derived from the point table:
+    start = floor(point), end = start + ((id*7919) % (2L+1) - L,
+    (id*104729) % (2L+1) - L).  Integer endpoints so every orientation
+    test below is an exact int64 cross product."""
+    pid = F.col("point_id")
+    x0 = F.floor("x").cast("long")
+    y0 = F.floor("y").cast("long")
+    dx = (pid * 7919) % (2 * SEG_LEN + 1) - SEG_LEN
+    dy = (pid * 104729) % (2 * SEG_LEN + 1) - SEG_LEN
+    return points.where(pid % SEG_MOD == 0).select(
+        pid.alias("seg_id"),
+        x0.alias("ax"),
+        y0.alias("ay"),
+        (x0 + dx).alias("bx"),
+        (y0 + dy).alias("by"),
+    )
+
+
+def segment_intersections(points: DataFrame) -> DataFrame:
+    """Pairwise proper segment-crossing census (the Bentley-Ottmann
+    problem in its MPC form; PostGIS ST_Crosses / line-layer conflation
+    QC): all segment pairs whose interiors STRICTLY cross, found by a
+    uniform-grid bucket join and refined with exact integer orientation
+    tests — ccw(p1,p2,q1)·ccw(p1,p2,q2) < 0 on both sides.  Collinear
+    touches are excluded by design (strictness keeps the predicate a
+    pure sign test; endpoints are integers so the cross products are
+    exact int64).
+
+    Scale shape: each segment explodes into the <= (L/CELL+2)^2 grid
+    cells its bbox covers (SEG_LEN < SEG_CELL so that is 2x2 + rounding
+    = bounded); candidates meet in ONE cell equi-join; a pair straddling
+    several shared cells is reported once via DISTINCT on the id pair —
+    the same bounded-explode + dedup contract as buffer_area.  The
+    refine is codegen'd integer Column math; the oracle is the BRUTE
+    all-pairs theta join, proving the bucketed rewrite exact."""
+    segs = _segments(points)
+    gx0 = F.least("ax", "bx") / SEG_CELL
+    gx1 = F.greatest("ax", "bx") / SEG_CELL
+    gy0 = F.least("ay", "by") / SEG_CELL
+    gy1 = F.greatest("ay", "by") / SEG_CELL
+    cells = segs.select(
+        "*",
+        F.explode(
+            F.sequence(F.floor(gx0).cast("long"), F.floor(gx1).cast("long"))
+        ).alias("cgx"),
+    ).select(
+        "*",
+        F.explode(
+            F.sequence(F.floor(gy0).cast("long"), F.floor(gy1).cast("long"))
+        ).alias("cgy"),
+    )
+    a = cells.select(
+        F.col("cgx"), F.col("cgy"),
+        F.col("seg_id").alias("s1"),
+        F.col("ax").alias("p1x"), F.col("ay").alias("p1y"),
+        F.col("bx").alias("p2x"), F.col("by").alias("p2y"),
+    )
+    b = cells.select(
+        F.col("cgx"), F.col("cgy"),
+        F.col("seg_id").alias("s2"),
+        F.col("ax").alias("q1x"), F.col("ay").alias("q1y"),
+        F.col("bx").alias("q2x"), F.col("by").alias("q2y"),
+    )
+    cand = a.join(b, ["cgx", "cgy"]).where(F.col("s1") < F.col("s2"))
+
+    def ccw(ox, oy, px, py, qx, qy):
+        return (F.col(px) - F.col(ox)) * (F.col(qy) - F.col(oy)) - (
+            F.col(py) - F.col(oy)
+        ) * (F.col(qx) - F.col(ox))
+
+    d1 = ccw("p1x", "p1y", "p2x", "p2y", "q1x", "q1y")
+    d2 = ccw("p1x", "p1y", "p2x", "p2y", "q2x", "q2y")
+    d3 = ccw("q1x", "q1y", "q2x", "q2y", "p1x", "p1y")
+    d4 = ccw("q1x", "q1y", "q2x", "q2y", "p2x", "p2y")
+    hit = cand.where((d1 * d2 < 0) & (d3 * d4 < 0))
+    return hit.select("s1", "s2").distinct()
+
+
+def segment_intersections_sql(points_path: str) -> str:
+    ccw = (
+        "(({px}) - ({ox})) * (({qy}) - ({oy}))"
+        " - (({py}) - ({oy})) * (({qx}) - ({ox}))"
+    )
+
+    def c(o, p, q):
+        return ccw.format(
+            ox=f"{o}x", oy=f"{o}y", px=f"{p}x", py=f"{p}y", qx=f"{q}x", qy=f"{q}y"
+        )
+
+    return f"""
+WITH s AS (
+  SELECT point_id AS seg_id,
+         CAST(floor(x) AS BIGINT) AS ax, CAST(floor(y) AS BIGINT) AS ay,
+         CAST(floor(x) AS BIGINT) + ((point_id * 7919) % {2 * SEG_LEN + 1} - {SEG_LEN}) AS bx,
+         CAST(floor(y) AS BIGINT) + ((point_id * 104729) % {2 * SEG_LEN + 1} - {SEG_LEN}) AS by
+  FROM read_parquet('{points_path}')
+  WHERE point_id % {SEG_MOD} = 0
+),
+p AS (SELECT seg_id, ax AS p1x, ay AS p1y, bx AS p2x, by AS p2y FROM s),
+q AS (SELECT seg_id, ax AS q1x, ay AS q1y, bx AS q2x, by AS q2y FROM s)
+SELECT p.seg_id AS s1, q.seg_id AS s2
+FROM p JOIN q ON p.seg_id < q.seg_id
+WHERE ({c('p1', 'p2', 'q1')}) * ({c('p1', 'p2', 'q2')}) < 0
+  AND ({c('q1', 'q2', 'p1')}) * ({c('q1', 'q2', 'p2')}) < 0
+ORDER BY s1, s2
+"""

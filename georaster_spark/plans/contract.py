@@ -4889,6 +4889,9 @@ def spatial_queries() -> dict[str, QueryFn]:
         "box_nms": q_box_nms,
         "clustering_coeff": q_clustering_coeff,
         "label_propagation": q_label_propagation,
+        "segment_intersections": q_segment_intersections,
+        "autocorr_lags": rel.autocorr_lags,
+        "cusum_drift": rel.cusum_drift,
         "hex_bin": q_hex_bin,
         "sssp_hops": q_sssp,
         "rle_census": q_rle_census,
@@ -5091,6 +5094,9 @@ def spatial_oracles(sf: str = "sf0.01") -> dict[str, str]:
         "box_nms": _sql_box_nms(fx),
         "clustering_coeff": _sql_clustering_coeff(),
         "label_propagation": _sql_label_propagation(),
+        "segment_intersections": _sql_segment_intersections(fx),
+        "autocorr_lags": rel.autocorr_lags_sql(),
+        "cusum_drift": rel.cusum_drift_sql(),
         "hex_bin": _sql_hex_bin(fx),
         "sssp_hops": _sql_sssp(),
         "rle_census": _sql_rle_census(fx, w),
@@ -8618,3 +8624,23 @@ SELECT CAST(round AS BIGINT) AS round,
        CAST(label_checksum AS BIGINT) AS label_checksum
 FROM ({union}) ORDER BY round
 """
+
+
+def q_segment_intersections(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pairwise proper segment crossings (spatial_index.
+    segment_intersections — grid-bucketed Bentley-Ottmann census, exact
+    int64 orientation tests); oracle = brute all-pairs theta join
+    proving the bucketed rewrite exact."""
+    from ..operators import spatial_index as si
+
+    pts = _points(spark, sf_dir)
+    return (
+        si.segment_intersections(pts)
+        .repartition(1).sortWithinPartitions("s1", "s2")
+    )
+
+
+def _sql_segment_intersections(fx: Path) -> str:
+    from ..operators import spatial_index as si
+
+    return si.segment_intersections_sql(str(fx / "points.parquet"))

@@ -491,3 +491,38 @@ def test_box_nms_matches_greedy_bruteforce(spark, sf0001_dir):
                 kept.append(b)
             want = (b["p"], b["score"], 1 if ok else 0)
             assert got[(image_id, k)] == want, (image_id, k, got[(image_id, k)], want)
+
+
+def test_segment_intersections_bruteforce(spark, sf0001_dir):
+    from georaster_spark.operators.spatial_index import (
+        SEG_LEN,
+        SEG_MOD,
+        _segments,
+        segment_intersections,
+    )
+
+    pts = spark.read.parquet(str(sf0001_dir / "points.parquet"))
+    got = {(r["s1"], r["s2"]) for r in segment_intersections(pts).collect()}
+    segs = {
+        r["seg_id"]: (r["ax"], r["ay"], r["bx"], r["by"])
+        for r in _segments(pts).collect()
+    }
+
+    def ccw(o, p, q):
+        return (p[0] - o[0]) * (q[1] - o[1]) - (p[1] - o[1]) * (q[0] - o[0])
+
+    want = set()
+    ids = sorted(segs)
+    for i, s1 in enumerate(ids):
+        a1 = segs[s1][:2]
+        b1 = segs[s1][2:]
+        for s2 in ids[i + 1:]:
+            a2 = segs[s2][:2]
+            b2 = segs[s2][2:]
+            if (
+                ccw(a1, b1, a2) * ccw(a1, b1, b2) < 0
+                and ccw(a2, b2, a1) * ccw(a2, b2, b1) < 0
+            ):
+                want.add((s1, s2))
+    assert got == want
+    assert len(want) > 0  # the fixture actually produces crossings
