@@ -620,3 +620,64 @@ def label_propagation_rounds(edges: DataFrame, rounds: int) -> DataFrame:
     for df in out_rows[1:]:
         res = res.unionByName(df)
     return res
+
+
+def hits_rounds(edges: DataFrame, rounds: int) -> DataFrame:
+    """Bounded-round HITS (Kleinberg JACM'99 hubs & authorities) on a
+    DIRECTED edge list, kept integer-exact by running the UNNORMALIZED
+    power iteration — a(v) = Σ h(u) over in-edges, h(u) = Σ a(v) over
+    out-edges — for a fixed round count (normalization only rescales;
+    the RANKING after r rounds is identical, and int64 holds r=2 on
+    degree-bounded graphs: scores grow like (max_deg)^(2r)).
+
+    Returns one census row per round: Σh, Σa, max h, max a and the two
+    node-weighted checksums pinning both full score vectors.
+
+    Scale shape: per half-round ONE edge⋈score equi-join + ONE
+    combiner-friendly sum agg (shuffles on the vertex keys, exactly the
+    pagerank_int contract); score frames are localCheckpoint'd so
+    lineage stays round-deep."""
+    e = edges.select(
+        F.col("src").cast("long").alias("src"), F.col("dst").cast("long").alias("dst")
+    ).distinct().localCheckpoint(eager=False)
+    hubs = e.select(F.col("src").alias("node")).distinct().select(
+        "node", F.lit(1).cast("long").alias("h")
+    ).localCheckpoint(eager=False)
+    out_rows = []
+    for r in range(1, rounds + 1):
+        auth = (
+            e.join(hubs.select(F.col("node").alias("src"), "h"), "src")
+            .groupBy("dst")
+            .agg(F.sum("h").alias("a"))
+            .select(F.col("dst").alias("node"), "a")
+            .localCheckpoint(eager=False)
+        )
+        hubs = (
+            e.join(auth.select(F.col("node").alias("dst"), "a"), "dst")
+            .groupBy("src")
+            .agg(F.sum("a").alias("h"))
+            .select(F.col("src").alias("node"), "h")
+            .localCheckpoint(eager=False)
+        )
+        census = hubs.agg(
+            F.sum("h").alias("sum_h"),
+            F.max("h").alias("max_h"),
+            F.sum(F.col("node") * F.col("h")).alias("hub_checksum"),
+        ).crossJoin(
+            auth.agg(
+                F.sum("a").alias("sum_a"),
+                F.max("a").alias("max_a"),
+                F.sum(F.col("node") * F.col("a")).alias("auth_checksum"),
+            )
+        )
+        out_rows.append(
+            census.select(
+                F.lit(r).cast("long").alias("round"),
+                "sum_h", "max_h", "hub_checksum",
+                "sum_a", "max_a", "auth_checksum",
+            )
+        )
+    res = out_rows[0]
+    for df in out_rows[1:]:
+        res = res.unionByName(df)
+    return res

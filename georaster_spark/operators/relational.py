@@ -1988,3 +1988,163 @@ SELECT user_id,
        CAST(SUM(abs(cusum)) AS BIGINT) AS abs_excursion
 FROM c GROUP BY user_id ORDER BY user_id
 """
+
+
+# --- TPC-H Q8 analog: national market share ------------------------------------
+
+Q8_REGION = "ASIA"
+Q8_TYPE = "ECONOMY"
+Q8_NATION = "NATION_7"
+
+
+def market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q8 shape (National Market Share): within the market
+    'Q8_TYPE parts bought by Q8_REGION customers', the per-order-year
+    revenue share attributable to suppliers of ONE nation — the widest
+    join pyramid in the suite (lineitem⋈orders⋈customer⋈nation⋈region
+    ⋈part⋈supplier⋈nation) with a conditional-share rollup, reported as
+    exact integer ppm (10⁶·nation_cents // total_cents).
+
+    Scale shape: part (type-filtered), supplier, and the two nation
+    dims broadcast; orders⋈customer shuffles on custkey; the
+    lineitem⋈orders join is the only big-big shuffle (orderkey).  The
+    share is a conditional partial+final agg on ≤|years| keys — never a
+    second pass over the market."""
+    n = _t(spark, sf_dir, "nation")
+    r = _t(spark, sf_dir, "region").where(F.col("r_name") == Q8_REGION)
+    nr = n.join(F.broadcast(r), n["n_regionkey"] == r["r_regionkey"]).select(
+        F.col("n_nationkey").alias("cnat")
+    )
+    c = _t(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    c = c.join(F.broadcast(nr), c["c_nationkey"] == nr["cnat"]).select("c_custkey")
+    o = _t(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey", F.year("o_orderdate").alias("o_year")
+    )
+    p = (
+        _t(spark, sf_dir, "part")
+        .where(F.col("p_type") == Q8_TYPE)
+        .select("p_partkey")
+    )
+    sn = _t(spark, sf_dir, "nation").select(
+        F.col("n_nationkey").alias("snat"), "n_name"
+    )
+    s = _t(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
+    s = s.join(F.broadcast(sn), s["s_nationkey"] == sn["snat"]).select(
+        "s_suppkey", F.col("n_name").alias("supp_nation")
+    )
+    li = _t(spark, sf_dir, "lineitem").select(
+        "l_orderkey",
+        "l_partkey",
+        "l_suppkey",
+        F.round(cents(F.col("l_extendedprice")) * (1.0 - F.col("l_discount")))
+        .cast("long")
+        .alias("disc_cents"),
+    )
+    oc = o.join(c, o["o_custkey"] == c["c_custkey"])
+    lo = li.join(F.broadcast(p), li["l_partkey"] == p["p_partkey"]).join(
+        oc, li["l_orderkey"] == oc["o_orderkey"]
+    )
+    ls = lo.join(F.broadcast(s), lo["l_suppkey"] == s["s_suppkey"])
+    return (
+        ls.groupBy("o_year")
+        .agg(
+            F.sum(
+                F.when(F.col("supp_nation") == Q8_NATION, F.col("disc_cents"))
+                .otherwise(F.lit(0))
+            ).alias("nation_cents"),
+            F.sum("disc_cents").alias("total_cents"),
+        )
+        .select(
+            F.col("o_year").cast("long").alias("o_year"),
+            (F.col("nation_cents") / 100.0).alias("nation_revenue"),
+            (F.col("total_cents") / 100.0).alias("total_revenue"),
+            F.expr("div(1000000 * nation_cents, total_cents)").alias("share_ppm"),
+        )
+        .repartition(1).sortWithinPartitions("o_year")
+    )
+
+
+def market_share_sql() -> str:
+    return f"""
+WITH m AS (
+  SELECT year(o_orderdate) AS o_year,
+         sn.n_name AS supp_nation,
+         CAST(round(round(l_extendedprice * 100) * (1 - l_discount)) AS BIGINT)
+           AS disc_cents
+  FROM lineitem
+  JOIN orders ON l_orderkey = o_orderkey
+  JOIN customer ON o_custkey = c_custkey
+  JOIN nation cn ON c_nationkey = cn.n_nationkey
+  JOIN region ON cn.n_regionkey = r_regionkey AND r_name = '{Q8_REGION}'
+  JOIN part ON l_partkey = p_partkey AND p_type = '{Q8_TYPE}'
+  JOIN supplier ON l_suppkey = s_suppkey
+  JOIN nation sn ON s_nationkey = sn.n_nationkey
+)
+SELECT CAST(o_year AS BIGINT) AS o_year,
+       SUM(CASE WHEN supp_nation = '{Q8_NATION}' THEN disc_cents ELSE 0 END) / 100.0
+         AS nation_revenue,
+       SUM(disc_cents) / 100.0 AS total_revenue,
+       CAST((1000000 * SUM(CASE WHEN supp_nation = '{Q8_NATION}' THEN disc_cents ELSE 0 END))
+            // SUM(disc_cents) AS BIGINT) AS share_ppm
+FROM m GROUP BY o_year ORDER BY o_year
+"""
+
+
+# --- TPC-H Q14 analog: promotion revenue share ----------------------------------
+
+
+def promo_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q14 shape (Promotion Effect): per ship-month, the share of
+    revenue from PROMO-type parts as exact integer ppm — the
+    conditional-aggregate-over-a-dim-attribute pattern.
+
+    Scale shape: the part dim broadcasts onto the fact scan (one map
+    side hash probe); the rollup is a partial+final agg on ≤|months|
+    keys.  No per-month second pass, no join after the agg."""
+    p = _t(spark, sf_dir, "part").select("p_partkey", "p_type")
+    li = _t(spark, sf_dir, "lineitem").select(
+        "l_partkey",
+        F.date_format("l_shipdate", "yyyy-MM").alias("ship_month"),
+        F.round(cents(F.col("l_extendedprice")) * (1.0 - F.col("l_discount")))
+        .cast("long")
+        .alias("disc_cents"),
+    )
+    j = li.join(F.broadcast(p), li["l_partkey"] == p["p_partkey"])
+    return (
+        j.groupBy("ship_month")
+        .agg(
+            F.sum(
+                F.when(F.col("p_type") == "PROMO", F.col("disc_cents")).otherwise(F.lit(0))
+            ).alias("promo_cents"),
+            F.sum("disc_cents").alias("total_cents"),
+            F.count(F.lit(1)).alias("n_lines"),
+        )
+        .select(
+            "ship_month",
+            (F.col("promo_cents") / 100.0).alias("promo_revenue"),
+            (F.col("total_cents") / 100.0).alias("total_revenue"),
+            F.expr("div(1000000 * promo_cents, total_cents)").alias("promo_ppm"),
+            "n_lines",
+        )
+        .repartition(1).sortWithinPartitions("ship_month")
+    )
+
+
+def promo_revenue_sql() -> str:
+    return """
+WITH j AS (
+  SELECT strftime(l_shipdate, '%Y-%m') AS ship_month,
+         p_type,
+         CAST(round(round(l_extendedprice * 100) * (1 - l_discount)) AS BIGINT)
+           AS disc_cents
+  FROM lineitem JOIN part ON l_partkey = p_partkey
+)
+SELECT ship_month,
+       SUM(CASE WHEN p_type = 'PROMO' THEN disc_cents ELSE 0 END) / 100.0
+         AS promo_revenue,
+       SUM(disc_cents) / 100.0 AS total_revenue,
+       CAST((1000000 * SUM(CASE WHEN p_type = 'PROMO' THEN disc_cents ELSE 0 END))
+            // SUM(disc_cents) AS BIGINT) AS promo_ppm,
+       COUNT(*) AS n_lines
+FROM j GROUP BY ship_month ORDER BY ship_month
+"""

@@ -4892,6 +4892,9 @@ def spatial_queries() -> dict[str, QueryFn]:
         "segment_intersections": q_segment_intersections,
         "autocorr_lags": rel.autocorr_lags,
         "cusum_drift": rel.cusum_drift,
+        "market_share": rel.market_share,
+        "promo_revenue": rel.promo_revenue,
+        "hits_scores": q_hits,
         "hex_bin": q_hex_bin,
         "sssp_hops": q_sssp,
         "rle_census": q_rle_census,
@@ -5097,6 +5100,9 @@ def spatial_oracles(sf: str = "sf0.01") -> dict[str, str]:
         "segment_intersections": _sql_segment_intersections(fx),
         "autocorr_lags": rel.autocorr_lags_sql(),
         "cusum_drift": rel.cusum_drift_sql(),
+        "market_share": rel.market_share_sql(),
+        "promo_revenue": rel.promo_revenue_sql(),
+        "hits_scores": _sql_hits(),
         "hex_bin": _sql_hex_bin(fx),
         "sssp_hops": _sql_sssp(),
         "rle_census": _sql_rle_census(fx, w),
@@ -8644,3 +8650,64 @@ def _sql_segment_intersections(fx: Path) -> str:
     from ..operators import spatial_index as si
 
     return si.segment_intersections_sql(str(fx / "points.parquet"))
+
+
+_HITS_ROUNDS = 2
+
+
+def q_hits(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bounded-round integer HITS (graph.hits_rounds — Kleinberg
+    hubs/authorities, unnormalized power iteration) on the directed
+    supplier→customer shipping graph."""
+    from ..operators.graph import hits_rounds
+
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet").select(
+        "l_orderkey", "l_suppkey"
+    )
+    o = spark.read.parquet(f"{sf_dir}/orders.parquet").select(
+        "o_orderkey", "o_custkey"
+    )
+    edges = li.join(o, li["l_orderkey"] == o["o_orderkey"]).select(
+        F.col("l_suppkey").alias("src"), F.col("o_custkey").alias("dst")
+    )
+    return hits_rounds(edges, _HITS_ROUNDS).repartition(1).sortWithinPartitions("round")
+
+
+def _sql_hits() -> str:
+    rounds = []
+    prev_h = "h0"
+    for r in range(1, _HITS_ROUNDS + 1):
+        rounds.append(f"""
+a{r} AS (
+  SELECT dst AS node, SUM(h) AS a
+  FROM e JOIN {prev_h} ON e.src = {prev_h}.node GROUP BY dst
+),
+h{r} AS (
+  SELECT src AS node, SUM(a) AS h
+  FROM e JOIN a{r} ON e.dst = a{r}.node GROUP BY src
+),
+cen{r} AS (
+  SELECT {r} AS round,
+         (SELECT SUM(h) FROM h{r}) AS sum_h,
+         (SELECT MAX(h) FROM h{r}) AS max_h,
+         (SELECT SUM(node * h) FROM h{r}) AS hub_checksum,
+         (SELECT SUM(a) FROM a{r}) AS sum_a,
+         (SELECT MAX(a) FROM a{r}) AS max_a,
+         (SELECT SUM(node * a) FROM a{r}) AS auth_checksum
+)""")
+        prev_h = f"h{r}"
+    union = " UNION ALL ".join(f"SELECT * FROM cen{r}" for r in range(1, _HITS_ROUNDS + 1))
+    return f"""
+WITH e AS (
+  SELECT DISTINCT l_suppkey AS src, o_custkey AS dst
+  FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+),
+h0 AS (SELECT DISTINCT src AS node, 1 AS h FROM e),
+{", ".join(r.lstrip() for r in rounds)}
+SELECT CAST(round AS BIGINT) AS round,
+       CAST(sum_h AS BIGINT) AS sum_h, CAST(max_h AS BIGINT) AS max_h,
+       CAST(hub_checksum AS BIGINT) AS hub_checksum,
+       CAST(sum_a AS BIGINT) AS sum_a, CAST(max_a AS BIGINT) AS max_a,
+       CAST(auth_checksum AS BIGINT) AS auth_checksum
+FROM ({union}) ORDER BY round
+"""

@@ -302,3 +302,24 @@ def test_label_propagation_two_cliques(spark):
         assert rows[r]["label_checksum"] == sum(n * l for n, l in lbl.items()), r
         sizes = collections.Counter(lbl.values())
         assert rows[r]["max_community"] == max(sizes.values()), r
+
+
+def test_hits_rounds_bruteforce(spark):
+    # small directed bipartite-ish graph, exact integer replay
+    E = [(1, 10), (1, 11), (2, 10), (3, 11), (3, 12), (2, 12), (1, 12)]
+    edges = spark.createDataFrame(E, "src long, dst long")
+    rows = {r["round"]: r for r in graph.hits_rounds(edges, 2).collect()}
+    h = {u: 1 for u in {e[0] for e in E}}
+    for r in (1, 2):
+        a = {}
+        for u, v in E:
+            a[v] = a.get(v, 0) + h[u]
+        h = {}
+        for u, v in E:
+            h[u] = h.get(u, 0) + a[v]
+        g = rows[r]
+        assert g["sum_h"] == sum(h.values())
+        assert g["max_h"] == max(h.values())
+        assert g["hub_checksum"] == sum(k * v for k, v in h.items())
+        assert g["sum_a"] == sum(a.values())
+        assert g["auth_checksum"] == sum(k * v for k, v in a.items())
