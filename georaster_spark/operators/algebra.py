@@ -3180,3 +3180,146 @@ def demosaic_bilinear(tiles: DataFrame) -> DataFrame:
             yield pd.DataFrame(out)
 
     return slim.mapInPandas(_demosaic, schema=_DEMOSAIC_SCHEMA)
+
+
+# --- threshold diffusion (Perona-Malik quantized) -------------------------------
+DIFF_K = 32      # edge-stopping threshold: |delta| >= K contributes no flux
+DIFF_ROUNDS = 2
+
+_DIFF_SCHEMA = (
+    "image_id string, round long, sum_v long, abs_delta long, max_delta long, "
+    "diff_checksum long"
+)
+
+
+def threshold_diffusion(tiles: DataFrame) -> DataFrame:
+    """Edge-preserving threshold diffusion (the integer-quantized
+    Perona-Malik scheme — anisotropic smoothing that never crosses an
+    edge): per round each pixel gains Σ_nbr flux // 4 where the flux
+    from a 4-neighbor is sign(Δ)·(|Δ| // 2) if |Δ| < DIFF_K else 0
+    (the hard edge-stopping function; division is TRUNCATING —
+    sign·abs-quotient — because DuckDB's // truncates negatives while
+    NumPy floors, so the quantized rule is written sign-symmetrically
+    in both engines).  Borders replicate (Δ = 0 → no flux), matching
+    the zero-flux Neumann boundary of the PDE.
+
+    Emits one census row per (image, round): Σv, Σ|v_r − v_{r-1}|,
+    max |change|, and the position checksum pinning the full plane.
+
+    Scale shape: map-only fused mapInPandas — the whole round loop runs
+    per tile inside one Arrow hop, zero shuffle."""
+    slim = tiles.select("image_id", "bytes", "w", "h", "fmt")
+
+    def _diff(batches):
+        dt = {"raw": np.uint8, "qnt": np.uint8, "raw16": "<u2"}
+        for pdf in batches:
+            n = len(pdf)
+            out = {
+                "image_id": [], "round": [], "sum_v": [], "abs_delta": [],
+                "max_delta": [], "diff_checksum": [],
+            }
+            groups: dict[tuple, list[int]] = {}
+            for k in range(n):
+                key = (int(pdf["w"].iat[k]), int(pdf["h"].iat[k]), pdf["fmt"].iat[k])
+                groups.setdefault(key, []).append(k)
+            for (w, h, fmt), idx in groups.items():
+                z = (
+                    np.frombuffer(
+                        b"".join(pdf["bytes"].iat[k] for k in idx), dtype=dt[fmt]
+                    )
+                    .reshape(len(idx), h, w)
+                    .astype(np.int64)
+                )
+                wt = (
+                    np.arange(h, dtype=np.int64)[:, None] * w
+                    + np.arange(w, dtype=np.int64)[None, :]
+                    + 1
+                )
+                cur = z
+                for r in range(1, DIFF_ROUNDS + 1):
+                    p = np.pad(cur, ((0, 0), (1, 1), (1, 1)), mode="edge")
+                    flux = np.zeros_like(cur)
+                    for di, dj in ((-1, 0), (1, 0), (0, -1), (0, 1)):
+                        d = p[:, 1 + di : 1 + di + h, 1 + dj : 1 + dj + w] - cur
+                        f = np.sign(d) * (np.abs(d) // 2)
+                        flux += np.where(np.abs(d) < DIFF_K, f, 0)
+                    nxt = cur + np.sign(flux) * (np.abs(flux) // 4)
+                    delta = nxt - cur
+                    for b, k in enumerate(idx):
+                        out["image_id"].append(pdf["image_id"].iat[k])
+                        out["round"].append(r)
+                        out["sum_v"].append(int(nxt[b].sum()))
+                        out["abs_delta"].append(int(np.abs(delta[b]).sum()))
+                        out["max_delta"].append(int(np.abs(delta[b]).max()))
+                        out["diff_checksum"].append(int((nxt[b] * wt).sum()))
+                    cur = nxt
+            yield pd.DataFrame(out)
+
+    return slim.mapInPandas(_diff, schema=_DIFF_SCHEMA)
+
+
+# --- ordered Bayer dithering -----------------------------------------------------
+# the standard 4x4 Bayer index matrix
+_BAYER4 = [
+    [0, 8, 2, 10],
+    [12, 4, 14, 6],
+    [3, 11, 1, 9],
+    [15, 7, 13, 5],
+]
+
+_DITHER_SCHEMA = (
+    "image_id string, n_ones long, n_transitions long, dither_checksum long"
+)
+
+
+def bayer_dither(tiles: DataFrame) -> DataFrame:
+    """Ordered (Bayer) dithering census (Bayer 1973; the 1-bit
+    halftoning of every e-ink/thermal-print pipeline): pixel (i, j)
+    emits 1 iff v > (B4[i%4][j%4] · 255 + 8) // 16 — the threshold
+    matrix tiled over the plane, all-integer.  Surfaces: ones census,
+    horizontal 0↔1 transition count (halftone frequency), and the
+    position checksum pinning the exact bit plane.
+
+    Scale shape: map-only fused mapInPandas, zero shuffle; the
+    threshold plane is one 4x4 tile broadcast over the batch block."""
+    slim = tiles.select("image_id", "bytes", "w", "h", "fmt")
+
+    def _dith(batches):
+        dt = {"raw": np.uint8, "qnt": np.uint8, "raw16": "<u2"}
+        bay = np.array(_BAYER4, dtype=np.int64)
+        cols = ("n_ones", "n_transitions", "dither_checksum")
+        for pdf in batches:
+            n = len(pdf)
+            out = {"image_id": pdf["image_id"].to_numpy(dtype=object)}
+            for c in cols:
+                out[c] = np.zeros(n, dtype=np.int64)
+            groups: dict[tuple, list[int]] = {}
+            for k in range(n):
+                key = (int(pdf["w"].iat[k]), int(pdf["h"].iat[k]), pdf["fmt"].iat[k])
+                groups.setdefault(key, []).append(k)
+            for (w, h, fmt), idx in groups.items():
+                z = (
+                    np.frombuffer(
+                        b"".join(pdf["bytes"].iat[k] for k in idx), dtype=dt[fmt]
+                    )
+                    .reshape(len(idx), h, w)
+                    .astype(np.int64)
+                )
+                thr = (
+                    bay[np.arange(h)[:, None] % 4, np.arange(w)[None, :] % 4] * 255 + 8
+                ) // 16
+                bits = (z > thr[None, :, :]).astype(np.int64)
+                ii = np.asarray(idx)
+                wt = (
+                    np.arange(h, dtype=np.int64)[:, None] * w
+                    + np.arange(w, dtype=np.int64)[None, :]
+                    + 1
+                )
+                out["n_ones"][ii] = bits.sum(axis=(1, 2))
+                out["n_transitions"][ii] = (
+                    (bits[:, :, 1:] != bits[:, :, :-1]).sum(axis=(1, 2))
+                )
+                out["dither_checksum"][ii] = np.einsum("bij,ij->b", bits, wt)
+            yield pd.DataFrame(out)
+
+    return slim.mapInPandas(_dith, schema=_DITHER_SCHEMA)

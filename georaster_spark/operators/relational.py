@@ -2148,3 +2148,81 @@ SELECT ship_month,
        COUNT(*) AS n_lines
 FROM j GROUP BY ship_month ORDER BY ship_month
 """
+
+
+# --- TPC-H Q7 analog: volume shipping between two nations -----------------------
+
+Q7_NATION_A = "NATION_2"
+Q7_NATION_B = "NATION_7"
+
+
+def volume_shipping(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q7 shape (Volume Shipping): revenue flowing between two
+    named nations in either direction, per (supp_nation, cust_nation,
+    ship-year) — the symmetric two-dim filter + year rollup.
+
+    Scale shape: both nation-keyed dims reduce to broadcast lookups on
+    supplier/customer; the OR-of-two-directions predicate is applied
+    AFTER both small joins as codegen'd Column logic, so it never
+    degrades a join key; the only big-big join is lineitem⋈orders on
+    orderkey; final agg is on ≤2·\|years\| keys.  Revenue exact cents."""
+    n = _t(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+    s = _t(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
+    s = s.join(F.broadcast(n), s["s_nationkey"] == n["n_nationkey"]).select(
+        "s_suppkey", F.col("n_name").alias("supp_nation")
+    )
+    c = _t(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    c = c.join(F.broadcast(n), c["c_nationkey"] == n["n_nationkey"]).select(
+        "c_custkey", F.col("n_name").alias("cust_nation")
+    )
+    o = _t(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    li = _t(spark, sf_dir, "lineitem").select(
+        "l_orderkey",
+        "l_suppkey",
+        F.year("l_shipdate").alias("l_year"),
+        F.round(cents(F.col("l_extendedprice")) * (1.0 - F.col("l_discount")))
+        .cast("long")
+        .alias("disc_cents"),
+    )
+    j = (
+        li.join(o, li["l_orderkey"] == o["o_orderkey"])
+        .join(F.broadcast(s), li["l_suppkey"] == s["s_suppkey"])
+        .join(c, o["o_custkey"] == c["c_custkey"])
+    )
+    ab = (F.col("supp_nation") == Q7_NATION_A) & (F.col("cust_nation") == Q7_NATION_B)
+    ba = (F.col("supp_nation") == Q7_NATION_B) & (F.col("cust_nation") == Q7_NATION_A)
+    return (
+        j.where(ab | ba)
+        .groupBy("supp_nation", "cust_nation", "l_year")
+        .agg(
+            (F.sum("disc_cents") / 100.0).alias("revenue"),
+            F.count(F.lit(1)).alias("n_lines"),
+        )
+        .select(
+            "supp_nation", "cust_nation",
+            F.col("l_year").cast("long").alias("l_year"),
+            "revenue", "n_lines",
+        )
+        .repartition(1).sortWithinPartitions("supp_nation", "cust_nation", "l_year")
+    )
+
+
+def volume_shipping_sql() -> str:
+    return f"""
+SELECT sn.n_name AS supp_nation,
+       cn.n_name AS cust_nation,
+       CAST(year(l_shipdate) AS BIGINT) AS l_year,
+       SUM(CAST(round(round(l_extendedprice * 100) * (1 - l_discount)) AS BIGINT)) / 100.0
+         AS revenue,
+       COUNT(*) AS n_lines
+FROM lineitem
+JOIN orders ON l_orderkey = o_orderkey
+JOIN supplier ON l_suppkey = s_suppkey
+JOIN nation sn ON s_nationkey = sn.n_nationkey
+JOIN customer ON o_custkey = c_custkey
+JOIN nation cn ON c_nationkey = cn.n_nationkey
+WHERE (sn.n_name = '{Q7_NATION_A}' AND cn.n_name = '{Q7_NATION_B}')
+   OR (sn.n_name = '{Q7_NATION_B}' AND cn.n_name = '{Q7_NATION_A}')
+GROUP BY sn.n_name, cn.n_name, year(l_shipdate)
+ORDER BY supp_nation, cust_nation, l_year
+"""

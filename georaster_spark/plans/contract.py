@@ -4895,6 +4895,9 @@ def spatial_queries() -> dict[str, QueryFn]:
         "market_share": rel.market_share,
         "promo_revenue": rel.promo_revenue,
         "hits_scores": q_hits,
+        "threshold_diffusion": q_threshold_diffusion,
+        "bayer_dither": q_bayer_dither,
+        "volume_shipping": rel.volume_shipping,
         "hex_bin": q_hex_bin,
         "sssp_hops": q_sssp,
         "rle_census": q_rle_census,
@@ -5103,6 +5106,9 @@ def spatial_oracles(sf: str = "sf0.01") -> dict[str, str]:
         "market_share": rel.market_share_sql(),
         "promo_revenue": rel.promo_revenue_sql(),
         "hits_scores": _sql_hits(),
+        "threshold_diffusion": _sql_threshold_diffusion(fx, w),
+        "bayer_dither": _sql_bayer_dither(fx, w),
+        "volume_shipping": rel.volume_shipping_sql(),
         "hex_bin": _sql_hex_bin(fx),
         "sssp_hops": _sql_sssp(),
         "rle_census": _sql_rle_census(fx, w),
@@ -8710,4 +8716,123 @@ SELECT CAST(round AS BIGINT) AS round,
        CAST(sum_a AS BIGINT) AS sum_a, CAST(max_a AS BIGINT) AS max_a,
        CAST(auth_checksum AS BIGINT) AS auth_checksum
 FROM ({union}) ORDER BY round
+"""
+
+
+_DIFF_MOD = 139
+
+
+def q_threshold_diffusion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quantized Perona-Malik threshold diffusion (algebra.
+    threshold_diffusion): 2 edge-preserving rounds per tile, map-only
+    fused Arrow pass; oracle iterates the same rule over the pixel
+    relation (DuckDB // truncates negatives, matching the operator's
+    sign-symmetric quantized divisions)."""
+    from ..operators import algebra
+
+    tiles = geo.georegister(_images(spark, sf_dir)).where(
+        geo.image_idx() % _DIFF_MOD == 0
+    )
+    return (
+        algebra.threshold_diffusion(tiles)
+        .repartition(1).sortWithinPartitions("image_id", "round")
+    )
+
+
+def _sql_threshold_diffusion(fx: Path, w: int) -> str:
+    from ..operators.algebra import DIFF_K, DIFF_ROUNDS
+
+    ramp = osql.ramp_value_expr("gi.i", "gj.j")
+    rounds = []
+    prev = "p0"
+    for r in range(1, DIFF_ROUNDS + 1):
+        rounds.append(f"""
+f{r} AS (
+  SELECT a.image_id, a.i, a.j, a.v,
+         COALESCE(SUM(CASE WHEN abs(b.v - a.v) < {DIFF_K}
+                           THEN (b.v - a.v) // 2 ELSE 0 END), 0) // 4 AS delta
+  FROM {prev} a
+  CROSS JOIN (VALUES (-1, 0), (1, 0), (0, -1), (0, 1)) o(di, dj)
+  LEFT JOIN {prev} b
+    ON b.image_id = a.image_id AND b.i = a.i + o.di AND b.j = a.j + o.dj
+  GROUP BY a.image_id, a.i, a.j, a.v
+),
+p{r} AS (SELECT image_id, i, j, v + delta AS v, delta FROM f{r}),
+cen{r} AS (
+  SELECT image_id, {r} AS round,
+         SUM(v) AS sum_v,
+         SUM(abs(delta)) AS abs_delta,
+         MAX(abs(delta)) AS max_delta,
+         SUM(v * (i * {w} + j + 1)) AS diff_checksum
+  FROM p{r} GROUP BY image_id
+)""")
+        prev = f"p{r}"
+    union = " UNION ALL ".join(f"SELECT * FROM cen{r}" for r in range(1, DIFF_ROUNDS + 1))
+    return f"""
+WITH {osql.georegister_cte(str(fx / 'images.parquet'))},
+p0 AS (
+  SELECT image_id, gi.i AS i, gj.j AS j, CAST({ramp} AS BIGINT) AS v
+  FROM tiles,
+       generate_series(0, {w - 1}) AS gi(i), generate_series(0, {w - 1}) AS gj(j)
+  WHERE idx % {_DIFF_MOD} = 0
+),
+{", ".join(r.lstrip() for r in rounds)}
+SELECT image_id, CAST(round AS BIGINT) AS round,
+       CAST(sum_v AS BIGINT) AS sum_v,
+       CAST(abs_delta AS BIGINT) AS abs_delta,
+       CAST(max_delta AS BIGINT) AS max_delta,
+       CAST(diff_checksum AS BIGINT) AS diff_checksum
+FROM ({union}) ORDER BY image_id, round
+"""
+
+
+_DITHER_MOD = 151
+
+
+def q_bayer_dither(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered Bayer dithering census (algebra.bayer_dither): 4x4
+    threshold matrix tiled over the plane, map-only fused Arrow pass."""
+    from ..operators import algebra
+
+    tiles = geo.georegister(_images(spark, sf_dir)).where(
+        geo.image_idx() % _DITHER_MOD == 0
+    )
+    return (
+        algebra.bayer_dither(tiles)
+        .repartition(1).sortWithinPartitions("image_id")
+    )
+
+
+def _sql_bayer_dither(fx: Path, w: int) -> str:
+    from ..operators.algebra import _BAYER4
+
+    flat = ", ".join(str(v) for row in _BAYER4 for v in row)
+    thr = f"(([{flat}])[(gi.i % 4) * 4 + (gj.j % 4) + 1] * 255 + 8) // 16"
+    v = f"CAST({osql.ramp_value_expr('gi.i', 'gj.j')} AS BIGINT)"
+    v_r = f"CAST({osql.ramp_value_expr('gi.i', 'gj.j + 1')} AS BIGINT)"
+    thr_r = f"(([{flat}])[(gi.i % 4) * 4 + ((gj.j + 1) % 4) + 1] * 255 + 8) // 16"
+    bit = f"(CASE WHEN {v} > {thr} THEN 1 ELSE 0 END)"
+    bit_r = f"(CASE WHEN {v_r} > {thr_r} THEN 1 ELSE 0 END)"
+    return f"""
+WITH {osql.georegister_cte(str(fx / 'images.parquet'))},
+bits AS (
+  SELECT image_id, {bit} AS b, gi.i * {w} + gj.j + 1 AS wt
+  FROM tiles,
+       generate_series(0, {w - 1}) AS gi(i), generate_series(0, {w - 1}) AS gj(j)
+  WHERE idx % {_DITHER_MOD} = 0
+),
+tr AS (
+  SELECT image_id,
+         SUM(CASE WHEN {bit} <> {bit_r} THEN 1 ELSE 0 END) AS n_transitions
+  FROM tiles,
+       generate_series(0, {w - 1}) AS gi(i), generate_series(0, {w - 2}) AS gj(j)
+  WHERE idx % {_DITHER_MOD} = 0
+  GROUP BY image_id
+)
+SELECT b.image_id,
+       CAST(SUM(b.b) AS BIGINT) AS n_ones,
+       CAST(ANY_VALUE(tr.n_transitions) AS BIGINT) AS n_transitions,
+       CAST(SUM(b.b * b.wt) AS BIGINT) AS dither_checksum
+FROM bits b JOIN tr ON b.image_id = tr.image_id
+GROUP BY b.image_id ORDER BY b.image_id
 """

@@ -1067,3 +1067,55 @@ def test_demosaic_constant_tile_reconstructs_constant(spark):
     )
     row = algebra.demosaic_bilinear(df).collect()[0]
     assert row["sum_r"] == row["sum_g"] == row["sum_b"] == 100 * 36
+
+
+def test_threshold_diffusion_smooths_but_preserves_edges(spark):
+    import pandas as pd
+
+    # step edge of height >= DIFF_K must be untouched; a small bump decays
+    z = np.zeros((8, 8), dtype=np.uint8)
+    z[:, 4:] = 200          # hard edge (|delta| = 200 >= K: no flux)
+    z[2, 2] = 10            # small bump (|delta| = 10 < K: diffuses)
+    df = spark.createDataFrame(
+        pd.DataFrame(
+            {"image_id": ["img0000000001"], "bytes": [z.tobytes()],
+             "w": [8], "h": [8], "fmt": ["raw"]}
+        )
+    )
+    rows = {r["round"]: r for r in algebra.threshold_diffusion(df).collect()}
+    # round 1: only the bump and its 4-neighborhood change
+    assert rows[1]["abs_delta"] > 0
+    # the edge never moves: recompute and confirm columns 3/4 stay 0/200
+    cur = z.astype(np.int64)
+    for _ in range(algebra.DIFF_ROUNDS):
+        p = np.pad(cur, 1, mode="edge")
+        flux = np.zeros_like(cur)
+        for di, dj in ((-1, 0), (1, 0), (0, -1), (0, 1)):
+            d = p[1 + di:9 + di, 1 + dj:9 + dj] - cur
+            flux += np.where(np.abs(d) < algebra.DIFF_K,
+                             np.sign(d) * (np.abs(d) // 2), 0)
+        cur = cur + np.sign(flux) * (np.abs(flux) // 4)
+    assert (cur[:, 5:] == 200).all() and (cur[:2, :2] == 0).all()
+    wt = np.arange(1, 65, dtype=np.int64).reshape(8, 8)
+    assert rows[algebra.DIFF_ROUNDS]["diff_checksum"] == (cur * wt).sum()
+    assert rows[algebra.DIFF_ROUNDS]["sum_v"] == cur.sum()
+
+
+def test_bayer_dither_gradient_density_tracks_value(spark):
+    import pandas as pd
+
+    # a flat mid-gray tile dithers to a ~50% checkerboard-ish pattern
+    z = np.full((8, 8), 128, dtype=np.uint8)
+    df = spark.createDataFrame(
+        pd.DataFrame(
+            {"image_id": ["img0000000001"], "bytes": [z.tobytes()],
+             "w": [8], "h": [8], "fmt": ["raw"]}
+        )
+    )
+    row = algebra.bayer_dither(df).collect()[0]
+    # thresholds for B=0..15 span ~0..239; v=128 exceeds those with B <= 8
+    bay = np.array(algebra._BAYER4, dtype=np.int64)
+    thr = (bay[np.arange(8)[:, None] % 4, np.arange(8)[None, :] % 4] * 255 + 8) // 16
+    want = (128 > thr).sum()
+    assert row["n_ones"] == want
+    assert 16 <= row["n_ones"] <= 48  # mid-gray is mid-density
