@@ -3323,3 +3323,78 @@ def bayer_dither(tiles: DataFrame) -> DataFrame:
             yield pd.DataFrame(out)
 
     return slim.mapInPandas(_dith, schema=_DITHER_SCHEMA)
+
+
+# --- 2-level Haar S-transform census ---------------------------------------------
+_HAAR_SCHEMA = (
+    "image_id string, ll2_sum long, e_lh1 long, e_hl1 long, e_hh1 long, "
+    "e_l2 long, haar_checksum long"
+)
+
+
+def haar_census(tiles: DataFrame) -> DataFrame:
+    """Two-level 2-D Haar S-transform energy census (the integer
+    lifting scheme of JPEG2000's reversible path / CDF(1,1)): level
+    smooth = floor-mean of pairs, details kept as EXACT sums/
+    differences — divisions only ever touch the (non-negative) smooth
+    band, so floor-vs-truncate never diverges across engines.
+
+    Per tile: LL2 sum, level-1 band energies Σ|LH|, Σ|HL|, Σ|HH|,
+    total level-2 detail energy, and the LL2 position checksum.
+
+    Scale shape: map-only fused mapInPandas — strided-slice adds on the
+    whole batch block, zero shuffle."""
+    slim = tiles.select("image_id", "bytes", "w", "h", "fmt")
+
+    def _level(z):
+        # horizontal: smooth (floor-mean, non-negative) + detail (difference)
+        sh = (z[:, :, 0::2] + z[:, :, 1::2]) // 2
+        dh = z[:, :, 0::2] - z[:, :, 1::2]
+        ll = (sh[:, 0::2, :] + sh[:, 1::2, :]) // 2
+        lh = sh[:, 0::2, :] - sh[:, 1::2, :]
+        hl = dh[:, 0::2, :] + dh[:, 1::2, :]
+        hh = dh[:, 0::2, :] - dh[:, 1::2, :]
+        return ll, lh, hl, hh
+
+    def _haar(batches):
+        dt = {"raw": np.uint8, "qnt": np.uint8, "raw16": "<u2"}
+        cols = ("ll2_sum", "e_lh1", "e_hl1", "e_hh1", "e_l2", "haar_checksum")
+        for pdf in batches:
+            n = len(pdf)
+            out = {"image_id": pdf["image_id"].to_numpy(dtype=object)}
+            for c in cols:
+                out[c] = np.zeros(n, dtype=np.int64)
+            groups: dict[tuple, list[int]] = {}
+            for k in range(n):
+                key = (int(pdf["w"].iat[k]), int(pdf["h"].iat[k]), pdf["fmt"].iat[k])
+                groups.setdefault(key, []).append(k)
+            for (w, h, fmt), idx in groups.items():
+                z = (
+                    np.frombuffer(
+                        b"".join(pdf["bytes"].iat[k] for k in idx), dtype=dt[fmt]
+                    )
+                    .reshape(len(idx), h, w)
+                    .astype(np.int64)
+                )
+                ll1, lh1, hl1, hh1 = _level(z)
+                ll2, lh2, hl2, hh2 = _level(ll1)
+                ii = np.asarray(idx)
+                q = w // 4
+                wt = (
+                    np.arange(h // 4, dtype=np.int64)[:, None] * q
+                    + np.arange(q, dtype=np.int64)[None, :]
+                    + 1
+                )
+                out["ll2_sum"][ii] = ll2.sum(axis=(1, 2))
+                out["e_lh1"][ii] = np.abs(lh1).sum(axis=(1, 2))
+                out["e_hl1"][ii] = np.abs(hl1).sum(axis=(1, 2))
+                out["e_hh1"][ii] = np.abs(hh1).sum(axis=(1, 2))
+                out["e_l2"][ii] = (
+                    np.abs(lh2).sum(axis=(1, 2))
+                    + np.abs(hl2).sum(axis=(1, 2))
+                    + np.abs(hh2).sum(axis=(1, 2))
+                )
+                out["haar_checksum"][ii] = np.einsum("bij,ij->b", ll2, wt)
+            yield pd.DataFrame(out)
+
+    return slim.mapInPandas(_haar, schema=_HAAR_SCHEMA)

@@ -496,3 +496,90 @@ def xmodal_align(tiles: DataFrame, tau_ppm: int = 320_000) -> DataFrame:
     return d.withColumn(
         "passed", (F.col("align_ppm") >= tau_ppm).cast("int")
     )
+
+
+# --- shot-boundary detection ------------------------------------------------------
+
+SHOT_SCENE_LEN = 3       # synthetic clips change scene every 3 frames
+SHOT_TAU_PPM = 5_000     # boundary when SSD > tau * w*h*255^2 / 1e6
+
+
+def synth_scene_media(images: DataFrame, w: int = 16, h: int = 16) -> DataFrame:
+    """Deterministic 'rawv' clips WITH SCENE STRUCTURE (the shot-
+    detection fixture): frame f of clip idx shows pattern
+    v = (idx*7 + (f // SHOT_SCENE_LEN)*31 + i*5 + j*3) % 256 — constant
+    within a scene, jumping at every SHOT_SCENE_LEN boundary, so ground
+    truth cuts are known in closed form."""
+    from ..operators.georegister import image_idx
+
+    @F.pandas_udf(BinaryType())
+    def _enc(idx: pd.Series) -> pd.Series:
+        out = []
+        for iv in idx:
+            iv = int(iv)
+            nf = 6 + iv % 5
+            f = np.arange(nf)[:, None, None]
+            i = np.arange(h)[None, :, None]
+            j = np.arange(w)[None, None, :]
+            clip = (iv * 7 + (f // SHOT_SCENE_LEN) * 31 + i * 5 + j * 3) % 256
+            out.append(clip.astype(np.uint8).tobytes())
+        return pd.Series(out)
+
+    idx = image_idx()
+    return images.select(
+        F.col("image_id").alias("media_id"),
+        F.lit("video").alias("kind"),
+        _enc(idx).alias("bytes"),
+        F.lit("rawv").alias("fmt"),
+        F.lit(w).alias("w"),
+        F.lit(h).alias("h"),
+        (F.lit(6) + (idx % 5)).cast("int").alias("n_frames"),
+    )
+
+
+def shot_boundaries(df: DataFrame) -> DataFrame:
+    """Shot-boundary detection (PySceneDetect content-detector /
+    FFmpeg scdet analog): consecutive-frame SSD per clip, a cut wherever
+    1e6·SSD > SHOT_TAU_PPM·w·h·255² — the exact integer form of the
+    'mean frame difference over threshold' rule.
+
+    Emits per (clip, boundary candidate): frame index, exact SSD and
+    the cut flag — the full difference profile, not just the cuts, so
+    the oracle pins the detector's margins too.
+
+    Scale shape: map-only fused mapInPandas (decode + diff + census in
+    one Arrow hop, whole clips stay inside their batch); zero shuffle."""
+    schema = StructType(
+        [
+            StructField("media_id", StringType()),
+            StructField("frame_no", IntegerType()),
+            StructField("ssd", LongType()),
+            StructField("is_cut", IntegerType()),
+        ]
+    )
+
+    def gen(batches):
+        for pdf in batches:
+            rows = []
+            for _, r in pdf.iterrows():
+                vid = decode_media(
+                    "video", r["bytes"], r["fmt"],
+                    n_frames=int(r["n_frames"]), w=int(r["w"]), h=int(r["h"]),
+                ).astype(np.int64)
+                d = vid[1:] - vid[:-1]
+                ssd = (d * d).sum(axis=(1, 2))
+                lim = SHOT_TAU_PPM * int(r["w"]) * int(r["h"]) * 255 * 255
+                for f, s in enumerate(ssd, start=1):
+                    rows.append(
+                        {
+                            "media_id": r["media_id"],
+                            "frame_no": f,
+                            "ssd": int(s),
+                            "is_cut": int(1_000_000 * int(s) > lim),
+                        }
+                    )
+            yield pd.DataFrame(rows, columns=[f.name for f in schema.fields])
+
+    return df.select("media_id", "bytes", "fmt", "w", "h", "n_frames").mapInPandas(
+        gen, schema=schema
+    )

@@ -2226,3 +2226,60 @@ WHERE (sn.n_name = '{Q7_NATION_A}' AND cn.n_name = '{Q7_NATION_B}')
 GROUP BY sn.n_name, cn.n_name, year(l_shipdate)
 ORDER BY supp_nation, cust_nation, l_year
 """
+
+
+# --- KMV distinct-count sketch with exact audit ----------------------------------
+
+KMV_K = 64
+
+
+def kmv_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """KMV (k-minimum-values) distinct-count sketch with an exact audit
+    (Bar-Yossef et al. RANDOM'02; the bottom-k sketch inside Theta
+    sketches): hash every l_orderkey to h40, keep the K smallest
+    distinct hashes, estimate distinct = (K−1)·2⁴⁰ // h_K, and report
+    the exact distinct count plus the signed error in ppm — the sketch,
+    its audit, and its error all on one row.
+
+    Scale shape: distinct-hash reduction is ONE partial+final agg;
+    the K smallest arrive via a distributed TakeOrdered (sort+limit =
+    TakeOrderedAndProject — never a global sort); the estimate is a
+    1-row reduce.  At 10¹² rows the K-minimum pass is exactly how a
+    Theta-sketch union would shard."""
+    from .textops import h40
+
+    li = _t(spark, sf_dir, "lineitem").select("l_orderkey")
+    hashes = li.select(
+        h40(F.col("l_orderkey").cast("string")).alias("hv")
+    ).distinct()
+    kmin = hashes.orderBy("hv").limit(KMV_K)
+    hk = kmin.agg(F.max("hv").alias("hk"), F.count(F.lit(1)).alias("k"))
+    exact = li.agg(F.countDistinct("l_orderkey").alias("exact_distinct"))
+    est = F.expr(f"div(CAST({KMV_K - 1} AS BIGINT) * {1 << 40}, hk)")
+    return hk.crossJoin(exact).select(
+        "k",
+        "hk",
+        est.alias("kmv_estimate"),
+        "exact_distinct",
+        F.expr(
+            f"div(1000000 * (CAST({KMV_K - 1} * {1 << 40} AS BIGINT) DIV hk"
+            " - exact_distinct), exact_distinct)"
+        ).alias("err_ppm"),
+    )
+
+
+def kmv_distinct_sql() -> str:
+    h = "CAST('0x' || substring(md5(CAST(l_orderkey AS VARCHAR)), 1, 10) AS BIGINT)"
+    return f"""
+WITH hs AS (SELECT DISTINCT {h} AS hv FROM lineitem),
+km AS (SELECT hv FROM hs ORDER BY hv LIMIT {KMV_K}),
+hk AS (SELECT MAX(hv) AS hk, COUNT(*) AS k FROM km),
+ex AS (SELECT COUNT(DISTINCT l_orderkey) AS exact_distinct FROM lineitem)
+SELECT CAST(k AS BIGINT) AS k,
+       CAST(hk AS BIGINT) AS hk,
+       CAST({KMV_K - 1}::BIGINT * {1 << 40} // hk AS BIGINT) AS kmv_estimate,
+       CAST(exact_distinct AS BIGINT) AS exact_distinct,
+       CAST((1000000 * ({KMV_K - 1}::BIGINT * {1 << 40} // hk - exact_distinct))
+            // exact_distinct AS BIGINT) AS err_ppm
+FROM hk, ex
+"""

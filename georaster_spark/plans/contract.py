@@ -4898,6 +4898,9 @@ def spatial_queries() -> dict[str, QueryFn]:
         "threshold_diffusion": q_threshold_diffusion,
         "bayer_dither": q_bayer_dither,
         "volume_shipping": rel.volume_shipping,
+        "haar_census": q_haar_census,
+        "shot_detect": q_shot_detect,
+        "kmv_distinct": rel.kmv_distinct,
         "hex_bin": q_hex_bin,
         "sssp_hops": q_sssp,
         "rle_census": q_rle_census,
@@ -5109,6 +5112,9 @@ def spatial_oracles(sf: str = "sf0.01") -> dict[str, str]:
         "threshold_diffusion": _sql_threshold_diffusion(fx, w),
         "bayer_dither": _sql_bayer_dither(fx, w),
         "volume_shipping": rel.volume_shipping_sql(),
+        "haar_census": _sql_haar_census(fx, w),
+        "shot_detect": _sql_shot_detect(fx),
+        "kmv_distinct": rel.kmv_distinct_sql(),
         "hex_bin": _sql_hex_bin(fx),
         "sssp_hops": _sql_sssp(),
         "rle_census": _sql_rle_census(fx, w),
@@ -8835,4 +8841,128 @@ SELECT b.image_id,
        CAST(SUM(b.b * b.wt) AS BIGINT) AS dither_checksum
 FROM bits b JOIN tr ON b.image_id = tr.image_id
 GROUP BY b.image_id ORDER BY b.image_id
+"""
+
+
+_HAAR_MOD = 157
+
+
+def q_haar_census(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """2-level Haar S-transform energy census (algebra.haar_census —
+    JPEG2000 reversible-path lifting): floor-mean smooth bands,
+    sum/difference detail bands (no negative division anywhere)."""
+    from ..operators import algebra
+
+    tiles = geo.georegister(_images(spark, sf_dir)).where(
+        geo.image_idx() % _HAAR_MOD == 0
+    )
+    return (
+        algebra.haar_census(tiles)
+        .repartition(1).sortWithinPartitions("image_id")
+    )
+
+
+def _sql_haar_census(fx: Path, w: int) -> str:
+    ramp = osql.ramp_value_expr("gi.i", "gj.j")
+    q = w // 4
+    return f"""
+WITH {osql.georegister_cte(str(fx / 'images.parquet'))},
+px AS (
+  SELECT image_id, gi.i AS i, gj.j AS j, CAST({ramp} AS BIGINT) AS v
+  FROM tiles,
+       generate_series(0, {w - 1}) AS gi(i), generate_series(0, {w - 1}) AS gj(j)
+  WHERE idx % {_HAAR_MOD} = 0
+),
+h1 AS (
+  SELECT a.image_id, a.i, a.j // 2 AS j,
+         (a.v + b.v) // 2 AS sh, a.v - b.v AS dh
+  FROM px a JOIN px b
+    ON b.image_id = a.image_id AND b.i = a.i AND b.j = a.j + 1
+  WHERE a.j % 2 = 0
+),
+l1 AS (
+  SELECT a.image_id, a.i // 2 AS i, a.j,
+         (a.sh + b.sh) // 2 AS ll, a.sh - b.sh AS lh,
+         a.dh + b.dh AS hl, a.dh - b.dh AS hh
+  FROM h1 a JOIN h1 b
+    ON b.image_id = a.image_id AND b.i = a.i + 1 AND b.j = a.j
+  WHERE a.i % 2 = 0
+),
+h2 AS (
+  SELECT a.image_id, a.i, a.j // 2 AS j,
+         (a.ll + b.ll) // 2 AS sh, a.ll - b.ll AS dh
+  FROM l1 a JOIN l1 b
+    ON b.image_id = a.image_id AND b.i = a.i AND b.j = a.j + 1
+  WHERE a.j % 2 = 0
+),
+l2 AS (
+  SELECT a.image_id, a.i // 2 AS i, a.j,
+         (a.sh + b.sh) // 2 AS ll, a.sh - b.sh AS lh,
+         a.dh + b.dh AS hl, a.dh - b.dh AS hh
+  FROM h2 a JOIN h2 b
+    ON b.image_id = a.image_id AND b.i = a.i + 1 AND b.j = a.j
+  WHERE a.i % 2 = 0
+),
+c1 AS (
+  SELECT image_id, SUM(abs(lh)) AS e_lh1, SUM(abs(hl)) AS e_hl1,
+         SUM(abs(hh)) AS e_hh1
+  FROM l1 GROUP BY image_id
+),
+c2 AS (
+  SELECT image_id, SUM(ll) AS ll2_sum,
+         SUM(abs(lh)) + SUM(abs(hl)) + SUM(abs(hh)) AS e_l2,
+         SUM(ll * (i * {q} + j + 1)) AS haar_checksum
+  FROM l2 GROUP BY image_id
+)
+SELECT c1.image_id,
+       CAST(ll2_sum AS BIGINT) AS ll2_sum,
+       CAST(e_lh1 AS BIGINT) AS e_lh1,
+       CAST(e_hl1 AS BIGINT) AS e_hl1,
+       CAST(e_hh1 AS BIGINT) AS e_hh1,
+       CAST(e_l2 AS BIGINT) AS e_l2,
+       CAST(haar_checksum AS BIGINT) AS haar_checksum
+FROM c1 JOIN c2 ON c1.image_id = c2.image_id
+ORDER BY c1.image_id
+"""
+
+
+def q_shot_detect(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shot-boundary detection (multimodal.shot_boundaries) over
+    scene-structured synthetic clips: exact SSD difference profile +
+    threshold cuts; ground-truth cuts are closed-form."""
+    from ..operators import multimodal as mm
+
+    clips = mm.synth_scene_media(_images(spark, sf_dir).where(geo.image_idx() < 600))
+    return (
+        mm.shot_boundaries(clips)
+        .repartition(1).sortWithinPartitions("media_id", "frame_no")
+    )
+
+
+def _sql_shot_detect(fx: Path) -> str:
+    from ..operators.multimodal import SHOT_SCENE_LEN, SHOT_TAU_PPM
+
+    img = str(fx / "images.parquet")
+    w = h = 16
+    va = f"(idx * 7 + (f.f // {SHOT_SCENE_LEN}) * 31 + i.i * 5 + j.j * 3) % 256"
+    vb = f"(idx * 7 + ((f.f - 1) // {SHOT_SCENE_LEN}) * 31 + i.i * 5 + j.j * 3) % 256"
+    lim = SHOT_TAU_PPM * w * h * 255 * 255
+    return f"""
+WITH img AS (SELECT image_id, CAST(substr(image_id, 4, 10) AS BIGINT) AS idx
+             FROM read_parquet('{img}')),
+clips AS (SELECT image_id, idx, 6 + idx % 5 AS nf FROM img WHERE idx < 600),
+d AS (
+  SELECT image_id, f.f AS frame_no,
+         SUM((({va}) - ({vb})) * (({va}) - ({vb}))) AS ssd
+  FROM clips,
+       generate_series(1, 9) AS f(f),
+       generate_series(0, {h - 1}) AS i(i), generate_series(0, {w - 1}) AS j(j)
+  WHERE f.f < nf
+  GROUP BY image_id, f.f
+)
+SELECT image_id AS media_id,
+       CAST(frame_no AS INTEGER) AS frame_no,
+       CAST(ssd AS BIGINT) AS ssd,
+       CAST(CASE WHEN 1000000 * ssd > {lim} THEN 1 ELSE 0 END AS INTEGER) AS is_cut
+FROM d ORDER BY media_id, frame_no
 """

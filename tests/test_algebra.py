@@ -1119,3 +1119,30 @@ def test_bayer_dither_gradient_density_tracks_value(spark):
     want = (128 > thr).sum()
     assert row["n_ones"] == want
     assert 16 <= row["n_ones"] <= 48  # mid-gray is mid-density
+
+
+def test_haar_census_matches_numpy(spark, sf0001_dir):
+    tiles = geo.georegister(
+        spark.read.parquet(str(sf0001_dir / "images.parquet"))
+    ).limit(4)
+    got = {r["image_id"]: r for r in algebra.haar_census(tiles).collect()}
+    for r in tiles.collect():
+        z = oracle.decode_pixels(r["bytes"], r["w"], r["h"], r["fmt"]).astype(np.int64)[None]
+
+        def level(z):
+            sh = (z[:, :, 0::2] + z[:, :, 1::2]) // 2
+            dh = z[:, :, 0::2] - z[:, :, 1::2]
+            return (
+                (sh[:, 0::2] + sh[:, 1::2]) // 2,
+                sh[:, 0::2] - sh[:, 1::2],
+                dh[:, 0::2] + dh[:, 1::2],
+                dh[:, 0::2] - dh[:, 1::2],
+            )
+
+        ll1, lh1, hl1, hh1 = level(z)
+        ll2, lh2, hl2, hh2 = level(ll1)
+        g = got[r["image_id"]]
+        assert g["ll2_sum"] == ll2.sum()
+        assert g["e_lh1"] == np.abs(lh1).sum()
+        assert g["e_hh1"] == np.abs(hh1).sum()
+        assert g["e_l2"] == np.abs(lh2).sum() + np.abs(hl2).sum() + np.abs(hh2).sum()

@@ -215,3 +215,19 @@ def test_xmodal_align_single_arrow_hop(spark, sf0001_dir):
     )
     plan = xmodal_align(tiles)._jdf.queryExecution().executedPlan().toString()
     assert plan.count("ArrowEvalPython") + plan.count("MapInPandas") == 1
+
+
+def test_shot_boundaries_fire_exactly_at_scene_cuts(spark, sf0001_dir):
+    from georaster_spark.operators import georegister as geo
+    from georaster_spark.operators import multimodal as mm
+
+    imgs = geo.georegister(
+        spark.read.parquet(str(sf0001_dir / "images.parquet"))
+    ).where(geo.image_idx() < 40)
+    rows = mm.shot_boundaries(mm.synth_scene_media(imgs)).collect()
+    assert len(rows) > 0
+    for r in rows:
+        want = 1 if r["frame_no"] % mm.SHOT_SCENE_LEN == 0 else 0
+        assert r["is_cut"] == want, r
+        if want == 0:
+            assert r["ssd"] == 0  # within a scene the pattern is static
