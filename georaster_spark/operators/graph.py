@@ -681,3 +681,50 @@ def hits_rounds(edges: DataFrame, rounds: int) -> DataFrame:
     for df in out_rows[1:]:
         res = res.unionByName(df)
     return res
+
+
+def degree_assortativity_moments(edges: DataFrame) -> DataFrame:
+    """Degree-assortativity moments (Newman PRL'02 — do hubs attach to
+    hubs?): over the symmetrized edge list, the exact integer moments
+    M, Σx, Σx², Σxy of the endpoint-degree pairs, plus the Pearson
+    coefficient in MILLI units computed from them — on the symmetrized
+    list Σy = Σx and Σy² = Σx², so the usual sqrt(varx·vary) collapses
+    to the integer M·Σx² − (Σx)² exactly and the whole coefficient is
+    one truncating integer division (milli, not ppm, keeps 10³·num
+    inside int64).
+
+    Scale shape: one degree agg + two broadcast-able degree lookups on
+    the edge list + ONE global reduce — no window, no sort."""
+    und = (
+        edges.select(F.col("u").cast("long").alias("u"), F.col("v").cast("long").alias("v"))
+        .where(F.col("u") != F.col("v"))
+        .select(F.least("u", "v").alias("u"), F.greatest("u", "v").alias("v"))
+        .distinct()
+    )
+    sym = und.union(und.select(F.col("v").alias("u"), F.col("u").alias("v")))
+    deg = sym.groupBy("u").agg(F.count(F.lit(1)).alias("deg"))
+    du = deg.select(F.col("u").alias("_u"), F.col("deg").alias("dx"))
+    dv = deg.select(F.col("u").alias("_v"), F.col("deg").alias("dy"))
+    j = sym.join(du, sym["u"] == du["_u"]).join(dv, sym["v"] == dv["_v"])
+    m = j.agg(
+        F.count(F.lit(1)).alias("m"),
+        F.sum("dx").alias("sum_x"),
+        F.sum(F.col("dx") * F.col("dx")).alias("sum_x2"),
+        F.sum(F.col("dx") * F.col("dy")).alias("sum_xy"),
+    )
+    num = F.col("m") * F.col("sum_xy") - F.col("sum_x") * F.col("sum_x")
+    den2 = F.col("m") * F.col("sum_x2") - F.col("sum_x") * F.col("sum_x")
+    return m.select(
+        "m",
+        "sum_x",
+        "sum_x2",
+        "sum_xy",
+        (F.lit(1000) * num).alias("num_milli"),
+        den2.alias("den"),
+    ).select(
+        "m",
+        "sum_x",
+        "sum_x2",
+        "sum_xy",
+        F.expr("div(num_milli, den)").alias("assortativity_milli"),
+    )

@@ -2183,6 +2183,7 @@ def text_queries():
         "cdc_chunking": cdc_chunking,
         "edit_distance_join": edit_distance_join,
         "vocab_growth": vocab_growth,
+        "bpe_merge_apply": bpe_merge_apply,
     }
 
 
@@ -2222,6 +2223,7 @@ def text_oracles() -> dict[str, str]:
         "cdc_chunking": cdc_chunking_sql(),
         "edit_distance_join": edit_distance_join_sql(),
         "vocab_growth": vocab_growth_sql(),
+        "bpe_merge_apply": bpe_merge_apply_sql(),
     }
 
 
@@ -2801,4 +2803,82 @@ SELECT pb.bucket,
          AS cum_types
 FROM pb LEFT JOIN fs ON pb.bucket = fs.bucket
 ORDER BY pb.bucket
+"""
+
+
+# ---------------------------------------------------------------------------
+# T10 — BPE merge application (round 1 of tokenizer training)
+# ---------------------------------------------------------------------------
+
+
+def bpe_merge_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One full BPE training step (Sennrich et al. 2016): take round
+    0's winning pair (count DESC, pair ASC — bpe_pair_census's rule),
+    MERGE it everywhere (left-to-right non-overlapping, the BPE
+    convention: both Java regex and RE2 with 'g' replace exactly so),
+    and report the corpus compression it bought: words touched, symbol
+    counts before/after, and the h40 checksum of the rewritten word
+    stream pinning the exact merge output.
+
+    Scale shape: the winner is ONE combiner-friendly agg + limit 1,
+    broadcast back onto the word stream (a 1-row cross join, not a
+    collect); the merge itself is map-side codegen'd regexp_replace.
+    This is the loop body a full tokenizer trainer iterates — each
+    round is one census + one broadcast rewrite."""
+    w = (
+        _docs(spark, sf_dir)
+        .select(F.explode(words_col()).alias("wrd"))
+        .where(F.length("wrd") >= 2)
+    )
+    w = w.localCheckpoint(eager=False)  # census + rewrite share one explode
+    winner = (
+        w.select(
+            F.explode(
+                F.expr("transform(sequence(1, length(wrd) - 1),"
+                       " i -> substring(wrd, i, 2))")
+            ).alias("pair")
+        )
+        .groupBy("pair")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy(F.col("n").desc(), F.col("pair").asc())
+        .limit(1)
+        .select("pair")
+    )
+    merged = w.crossJoin(F.broadcast(winner)).select(
+        "pair",
+        "wrd",
+        F.expr("regexp_replace(wrd, pair, '#')").alias("mrg"),
+    )
+    return merged.groupBy("pair").agg(
+        F.count(F.lit(1)).alias("n_words"),
+        F.sum((F.col("mrg") != F.col("wrd")).cast("long")).alias("n_words_changed"),
+        F.sum(F.length("wrd")).alias("symbols_before"),
+        F.sum(F.length("mrg")).alias("symbols_after"),
+        F.sum(h40(F.col("mrg"))).alias("merged_checksum"),
+    )
+
+
+def bpe_merge_apply_sql() -> str:
+    return f"""
+WITH w AS (
+  SELECT unnest({_SQL_WS}) AS wrd FROM documents
+),
+w2 AS (SELECT wrd FROM w WHERE length(wrd) >= 2),
+winner AS (
+  SELECT pair FROM (
+    SELECT unnest(list_transform(range(1, len(wrd)), i -> substr(wrd, i, 2))) AS pair
+    FROM w2
+  ) GROUP BY pair ORDER BY COUNT(*) DESC, pair ASC LIMIT 1
+),
+m AS (
+  SELECT pair, wrd, regexp_replace(wrd, pair, '#', 'g') AS mrg
+  FROM w2, winner
+)
+SELECT pair,
+       COUNT(*) AS n_words,
+       CAST(SUM(CASE WHEN mrg <> wrd THEN 1 ELSE 0 END) AS BIGINT) AS n_words_changed,
+       CAST(SUM(length(wrd)) AS BIGINT) AS symbols_before,
+       CAST(SUM(length(mrg)) AS BIGINT) AS symbols_after,
+       CAST(SUM({_SQL_H40.format(s='mrg')}) AS BIGINT) AS merged_checksum
+FROM m GROUP BY pair
 """

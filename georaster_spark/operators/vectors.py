@@ -856,6 +856,7 @@ def vector_queries():
         "kmeans_embed": kmeans_embed,
         "jl_projection": jl_projection,
         "dim_truncation_recall": dim_truncation_recall,
+        "ivf_nprobe_sweep": ivf_nprobe_sweep,
     }
 
 
@@ -872,6 +873,7 @@ def vector_oracles() -> dict[str, str]:
         "kmeans_embed": kmeans_embed_sql(),
         "jl_projection": jl_projection_sql(),
         "dim_truncation_recall": dim_truncation_recall_sql(),
+        "ivf_nprobe_sweep": ivf_nprobe_sweep_sql(),
     }
 
 
@@ -1671,4 +1673,200 @@ SELECT f.query_id,
          THEN 1 ELSE 0 END) AS BIGINT) AS n_common
 FROM t f WHERE f.metric = 0
 GROUP BY f.query_id ORDER BY f.query_id
+"""
+
+
+# ---------------------------------------------------------------------------
+# V12 — IVF nprobe tuning sweep (candidates vs recall curve)
+# ---------------------------------------------------------------------------
+
+SWEEP_MAX_NPROBE = 3
+SWEEP_K = 5
+
+
+def ivf_nprobe_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF nprobe tuning curve (the FAISS-practitioner question 'how
+    many cells must I probe for recall X?'): for nprobe = 1..3, the
+    candidate volume and the exact recall@5 against the brute-force
+    truth, as one row per operating point — the measurement a 100 TB
+    deployment runs on a sample before fixing its ANN config.
+
+    Scale shape: probes are generated ONCE at the max nprobe with their
+    probe rank attached; candidates for smaller nprobe are a filter,
+    not a re-join.  The truth set is the standard block-GEMM top-K; the
+    sweep rollup is a ≤3-key agg.  Candidate counting never rescores —
+    only the truth pass touches float cosines."""
+    cents = _centroids()
+    e = _emb(spark, sf_dir).select("vec_id", "embedding")
+    corpus = _with_ivf_cell(e, nprobe=1)
+
+    q = e.where(F.col("vec_id") % QUERY_MOD == 0)
+    schema = StructType(
+        [
+            StructField("query_id", LongType()),
+            StructField("eq", e.schema["embedding"].dataType),
+            StructField("cell", IntegerType()),
+            StructField("pr", IntegerType()),
+        ]
+    )
+
+    def gen(batches):
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            M = _mat(pdf["embedding"])
+            Mq = np.floor(M * IVF_SCALE)
+            scores = Mq @ cents.T
+            order = np.argsort(-scores, axis=1, kind="stable")[:, :SWEEP_MAX_NPROBE]
+            n = len(pdf)
+            out = pd.DataFrame(
+                {
+                    "query_id": np.repeat(pdf["vec_id"].to_numpy(), SWEEP_MAX_NPROBE),
+                    "eq": list(pdf["embedding"].iloc[np.repeat(np.arange(n), SWEEP_MAX_NPROBE)]),
+                    "cell": order.ravel().astype(np.int32),
+                    "pr": np.tile(np.arange(1, SWEEP_MAX_NPROBE + 1, dtype=np.int32), n),
+                }
+            )
+            yield out
+
+    probes = q.mapInPandas(gen, schema=schema)
+    cand = (
+        corpus.join(F.broadcast(probes.select("query_id", "cell", "pr")), "cell")
+        .where(F.col("vec_id") != F.col("query_id"))
+        .groupBy("query_id", "vec_id")
+        .agg(F.min("pr").alias("pr_min"))
+    )
+
+    # exact truth: brute top-K over the (tiny) query set x corpus
+    qb = q.select(F.col("vec_id").alias("query_id"), F.col("embedding").alias("eq"))
+    cross = e.crossJoin(F.broadcast(qb)).where(F.col("vec_id") != F.col("query_id"))
+
+    tschema = StructType(
+        [
+            StructField("query_id", LongType()),
+            StructField("vec_id", LongType()),
+            StructField("cos", DoubleType()),
+        ]
+    )
+
+    def rescore(batches):
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            A = _mat(pdf["eq"])
+            B = _mat(pdf["embedding"])
+            cos = np.einsum("ij,ij->i", A, B) / (
+                np.linalg.norm(A, axis=1) * np.linalg.norm(B, axis=1)
+            )
+            yield pd.DataFrame(
+                {"query_id": pdf["query_id"], "vec_id": pdf["vec_id"], "cos": cos}
+            )
+
+    win = Window.partitionBy("query_id").orderBy(F.col("cos").desc(), F.col("vec_id").asc())
+    truth = (
+        cross.mapInPandas(rescore, schema=tschema)
+        .withColumn("rank", F.row_number().over(win))
+        .where(F.col("rank") <= SWEEP_K)
+        .select("query_id", "vec_id")
+    )
+    nq = q.agg(F.count(F.lit(1)).alias("n_queries"))
+    hits = truth.join(cand, ["query_id", "vec_id"], "left").select(
+        F.coalesce(F.col("pr_min"), F.lit(99)).alias("pr_min")
+    )
+    rows = []
+    for np_ in range(1, SWEEP_MAX_NPROBE + 1):
+        c = cand.where(F.col("pr_min") <= np_).agg(
+            F.count(F.lit(1)).alias("n_candidates")
+        )
+        h = hits.agg(
+            F.sum((F.col("pr_min") <= np_).cast("long")).alias("n_hits")
+        )
+        rows.append(
+            c.crossJoin(h)
+            .crossJoin(F.broadcast(nq))
+            .select(
+                F.lit(np_).cast("long").alias("nprobe"),
+                "n_candidates",
+                "n_hits",
+                "n_queries",
+                F.expr(f"div(1000000 * n_hits, {SWEEP_K} * n_queries)").alias(
+                    "recall_ppm"
+                ),
+            )
+        )
+    res = rows[0]
+    for df in rows[1:]:
+        res = res.unionByName(df)
+    return res.repartition(1).sortWithinPartitions("nprobe")
+
+
+def ivf_nprobe_sweep_sql() -> str:
+    cents = _centroids().astype(int)
+    cent_lits = ", ".join(
+        "[" + ", ".join(str(v) for v in row) + "]" for row in cents
+    )
+    int_dot = (
+        "list_sum(list_transform(range(1, len({a}) + 1),"
+        " i -> CAST(floor(CAST({a}[i] AS DOUBLE) * 1000.0) AS BIGINT) * cents[{c}][i]))"
+    )
+    score_exprs = ", ".join(
+        "CAST(" + int_dot.format(a="embedding", c=c + 1) + " AS BIGINT)"
+        for c in range(N_CELLS)
+    )
+    dot = _sql_dot("q.eq", "e.embedding")
+    sweeps = " UNION ALL ".join(
+        f"""
+SELECT {np_} AS nprobe,
+       (SELECT COUNT(*) FROM cand WHERE pr_min <= {np_}) AS n_candidates,
+       (SELECT SUM(CASE WHEN pr_min <= {np_} THEN 1 ELSE 0 END) FROM hits) AS n_hits,
+       (SELECT COUNT(*) FROM qset) AS n_queries"""
+        for np_ in range(1, SWEEP_MAX_NPROBE + 1)
+    )
+    return f"""
+WITH ct AS (SELECT [{cent_lits}] AS cents),
+sc AS (SELECT vec_id, embedding, [{score_exprs}] AS s FROM embeddings, ct),
+corpus AS (
+  SELECT vec_id, embedding, list_position(s, list_max(s)) - 1 AS cell FROM sc
+),
+qset AS (SELECT vec_id FROM embeddings WHERE vec_id % {QUERY_MOD} = 0),
+qsc AS (
+  SELECT vec_id AS query_id, embedding AS eq, g.c AS cell, s[g.c + 1] AS score
+  FROM sc, generate_series(0, {N_CELLS - 1}) AS g(c)
+  WHERE vec_id % {QUERY_MOD} = 0
+),
+probes AS (
+  SELECT query_id, eq, cell, pr FROM (
+    SELECT query_id, eq, cell,
+           row_number() OVER (PARTITION BY query_id
+                              ORDER BY score DESC, cell ASC) AS pr
+    FROM qsc) WHERE pr <= {SWEEP_MAX_NPROBE}
+),
+cand AS (
+  SELECT p.query_id, e.vec_id, MIN(p.pr) AS pr_min
+  FROM probes p JOIN corpus e ON e.cell = p.cell AND e.vec_id <> p.query_id
+  GROUP BY p.query_id, e.vec_id
+),
+truth AS (
+  SELECT query_id, vec_id FROM (
+    SELECT q.vec_id AS query_id, e.vec_id,
+           row_number() OVER (PARTITION BY q.vec_id
+             ORDER BY {_sql_dot('q.embedding', 'e.embedding')}
+               / sqrt(({_sql_dot('q.embedding', 'q.embedding')})
+                    * ({_sql_dot('e.embedding', 'e.embedding')})) DESC,
+               e.vec_id ASC) AS rank
+    FROM embeddings q JOIN embeddings e ON e.vec_id <> q.vec_id
+    WHERE q.vec_id % {QUERY_MOD} = 0)
+  WHERE rank <= {SWEEP_K}
+),
+hits AS (
+  SELECT COALESCE(c.pr_min, 99) AS pr_min
+  FROM truth t LEFT JOIN cand c
+    ON t.query_id = c.query_id AND t.vec_id = c.vec_id
+)
+SELECT CAST(nprobe AS BIGINT) AS nprobe,
+       CAST(n_candidates AS BIGINT) AS n_candidates,
+       CAST(n_hits AS BIGINT) AS n_hits,
+       CAST(n_queries AS BIGINT) AS n_queries,
+       CAST((1000000 * n_hits) // ({SWEEP_K} * n_queries) AS BIGINT) AS recall_ppm
+FROM ({sweeps}) ORDER BY nprobe
 """

@@ -4901,6 +4901,7 @@ def spatial_queries() -> dict[str, QueryFn]:
         "haar_census": q_haar_census,
         "shot_detect": q_shot_detect,
         "kmv_distinct": rel.kmv_distinct,
+        "degree_assortativity": q_assortativity,
         "hex_bin": q_hex_bin,
         "sssp_hops": q_sssp,
         "rle_census": q_rle_census,
@@ -5115,6 +5116,7 @@ def spatial_oracles(sf: str = "sf0.01") -> dict[str, str]:
         "haar_census": _sql_haar_census(fx, w),
         "shot_detect": _sql_shot_detect(fx),
         "kmv_distinct": rel.kmv_distinct_sql(),
+        "degree_assortativity": _sql_assortativity(),
         "hex_bin": _sql_hex_bin(fx),
         "sssp_hops": _sql_sssp(),
         "rle_census": _sql_rle_census(fx, w),
@@ -8965,4 +8967,46 @@ SELECT image_id AS media_id,
        CAST(ssd AS BIGINT) AS ssd,
        CAST(CASE WHEN 1000000 * ssd > {lim} THEN 1 ELSE 0 END AS INTEGER) AS is_cut
 FROM d ORDER BY media_id, frame_no
+"""
+
+
+def q_assortativity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Degree-assortativity moments (graph.degree_assortativity_moments
+    — Newman PRL'02) on the part co-purchase graph; all-integer, the
+    symmetric-list identity collapses the sqrt away."""
+    from ..operators.graph import degree_assortativity_moments
+
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet").select(
+        "l_orderkey", "l_partkey"
+    )
+    a = li.select(F.col("l_orderkey").alias("k"), F.col("l_partkey").alias("u"))
+    b = li.select(F.col("l_orderkey").alias("k"), F.col("l_partkey").alias("v"))
+    pairs = a.join(b, "k").where(F.col("u") < F.col("v")).select("u", "v")
+    return degree_assortativity_moments(pairs)
+
+
+def _sql_assortativity() -> str:
+    return """
+WITH e AS (
+  SELECT DISTINCT a.l_partkey AS u, b.l_partkey AS v
+  FROM lineitem a JOIN lineitem b
+    ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+),
+sym AS (SELECT u, v FROM e UNION ALL SELECT v AS u, u AS v FROM e),
+deg AS (SELECT u, COUNT(*) AS deg FROM sym GROUP BY u),
+j AS (
+  SELECT dx.deg AS dx, dy.deg AS dy
+  FROM sym JOIN deg dx ON sym.u = dx.u JOIN deg dy ON sym.v = dy.u
+),
+mom AS (
+  SELECT COUNT(*) AS m,
+         CAST(SUM(dx) AS BIGINT) AS sum_x,
+         CAST(SUM(dx * dx) AS BIGINT) AS sum_x2,
+         CAST(SUM(dx * dy) AS BIGINT) AS sum_xy
+  FROM j
+)
+SELECT m, sum_x, sum_x2, sum_xy,
+       CAST((1000 * (m * sum_xy - sum_x * sum_x))
+            // (m * sum_x2 - sum_x * sum_x) AS BIGINT) AS assortativity_milli
+FROM mom
 """
