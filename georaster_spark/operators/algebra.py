@@ -3398,3 +3398,79 @@ def haar_census(tiles: DataFrame) -> DataFrame:
             yield pd.DataFrame(out)
 
     return slim.mapInPandas(_haar, schema=_HAAR_SCHEMA)
+
+
+# --- bounded-round cost distance ---------------------------------------------------
+COST_ROUNDS = 4
+COST_INF = 1 << 40
+
+
+def cost_distance(tiles: DataFrame) -> DataFrame:
+    """Bounded-round accumulated-cost distance (ArcGIS CostDistance /
+    GRASS r.cost, 4-connected min-plus form): from a seed at the tile
+    center, COST_ROUNDS rounds of dist = min(dist, min_nbr(dist) +
+    v + 1) — entering a pixel costs its value + 1, so the relaxation is
+    a Bellman-Ford step on the grid graph and after k rounds exactly
+    the k-hop cost-ball is settled (the bounded-round posture of
+    sssp_hops, per-tile).
+
+    Census per tile: pixels reached, Σ accumulated cost, max reached
+    cost, and the position checksum over reached pixels.
+
+    Scale shape: map-only fused mapInPandas — each relaxation round is
+    five vectorized shifted-slice mins on the whole batch block; zero
+    shuffle."""
+    slim = tiles.select("image_id", "bytes", "w", "h", "fmt")
+
+    def _cost(batches):
+        dt = {"raw": np.uint8, "qnt": np.uint8, "raw16": "<u2"}
+        cols = ("n_reached", "cost_sum", "cost_max", "cost_checksum")
+        for pdf in batches:
+            n = len(pdf)
+            out = {"image_id": pdf["image_id"].to_numpy(dtype=object)}
+            for c in cols:
+                out[c] = np.zeros(n, dtype=np.int64)
+            groups: dict[tuple, list[int]] = {}
+            for k in range(n):
+                key = (int(pdf["w"].iat[k]), int(pdf["h"].iat[k]), pdf["fmt"].iat[k])
+                groups.setdefault(key, []).append(k)
+            for (w, h, fmt), idx in groups.items():
+                z = (
+                    np.frombuffer(
+                        b"".join(pdf["bytes"].iat[k] for k in idx), dtype=dt[fmt]
+                    )
+                    .reshape(len(idx), h, w)
+                    .astype(np.int64)
+                )
+                enter = z + 1
+                d = np.full_like(z, COST_INF)
+                d[:, h // 2, w // 2] = 0
+                for _ in range(COST_ROUNDS):
+                    p = np.pad(d, ((0, 0), (1, 1), (1, 1)), constant_values=COST_INF)
+                    best = d
+                    for di, dj in ((-1, 0), (1, 0), (0, -1), (0, 1)):
+                        nb = p[:, 1 + di : 1 + di + h, 1 + dj : 1 + dj + w]
+                        best = np.minimum(best, nb + enter)
+                    d = best
+                reached = d < COST_INF
+                ii = np.asarray(idx)
+                wt = (
+                    np.arange(h, dtype=np.int64)[:, None] * w
+                    + np.arange(w, dtype=np.int64)[None, :]
+                    + 1
+                )
+                out["n_reached"][ii] = reached.sum(axis=(1, 2))
+                out["cost_sum"][ii] = np.where(reached, d, 0).sum(axis=(1, 2))
+                out["cost_max"][ii] = np.where(reached, d, 0).max(axis=(1, 2))
+                out["cost_checksum"][ii] = np.einsum(
+                    "bij,ij->b", np.where(reached, d, 0), wt
+                )
+            yield pd.DataFrame(out)
+
+    return slim.mapInPandas(
+        _cost,
+        schema=(
+            "image_id string, n_reached long, cost_sum long, cost_max long, "
+            "cost_checksum long"
+        ),
+    )

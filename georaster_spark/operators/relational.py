@@ -2283,3 +2283,95 @@ SELECT CAST(k AS BIGINT) AS k,
             // exact_distinct AS BIGINT) AS err_ppm
 FROM hk, ex
 """
+
+
+# --- TPC-H Q19 analog: bracketed discounted revenue -------------------------------
+
+Q19_BRACKETS = (
+    ("Brand#11", 1, 5, 1, 11),    # (brand, size_lo, size_hi, qty_lo, qty_hi)
+    ("Brand#22", 1, 10, 10, 20),
+    ("Brand#33", 1, 15, 20, 30),
+)
+
+
+def bracket_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q19 shape (Discounted Revenue): revenue from lineitems
+    matching ANY of three (brand, size-range, quantity-range) brackets
+    — the OR-of-ANDs predicate that stresses a planner's disjunction
+    pushdown: the common prefix (the part join key) stays a pure
+    equi-join, and the disjunction evaluates post-join as codegen'd
+    Column logic instead of splitting the scan three ways.
+
+    Output: one row per bracket plus the union row, each with exact
+    cents revenue and line counts (the per-bracket decomposition pins
+    which arm matched — brackets here are disjoint by quantity)."""
+    p = _t(spark, sf_dir, "part").select("p_partkey", "p_brand", "p_size")
+    li = _t(spark, sf_dir, "lineitem").select(
+        "l_partkey",
+        F.col("l_quantity").cast("long").alias("qty"),
+        F.round(cents(F.col("l_extendedprice")) * (1.0 - F.col("l_discount")))
+        .cast("long")
+        .alias("disc_cents"),
+    )
+    j = li.join(F.broadcast(p), li["l_partkey"] == p["p_partkey"])
+    arms = []
+    for name, (brand, slo, shi, qlo, qhi) in zip("abc", Q19_BRACKETS):
+        arms.append(
+            (
+                (F.col("p_brand") == brand)
+                & F.col("p_size").between(slo, shi)
+                & F.col("qty").between(qlo, qhi)
+            ).alias(f"arm_{name}")
+        )
+    j = j.select("disc_cents", *arms)
+    rows = []
+    for name, (brand, *_rest) in zip("abc", Q19_BRACKETS):
+        rows.append(
+            j.where(F.col(f"arm_{name}"))
+            .agg(
+                F.count(F.lit(1)).alias("n_lines"),
+                (F.sum("disc_cents") / 100.0).alias("revenue"),
+            )
+            .select(F.lit(f"bracket_{name}").alias("bracket"), "n_lines", "revenue")
+        )
+    rows.append(
+        j.where(F.col("arm_a") | F.col("arm_b") | F.col("arm_c"))
+        .agg(
+            F.count(F.lit(1)).alias("n_lines"),
+            (F.sum("disc_cents") / 100.0).alias("revenue"),
+        )
+        .select(F.lit("union").alias("bracket"), "n_lines", "revenue")
+    )
+    res = rows[0]
+    for df in rows[1:]:
+        res = res.unionByName(df)
+    return res.repartition(1).sortWithinPartitions("bracket")
+
+
+def bracket_revenue_sql() -> str:
+    conds = []
+    for brand, slo, shi, qlo, qhi in Q19_BRACKETS:
+        conds.append(
+            f"(p_brand = '{brand}' AND p_size BETWEEN {slo} AND {shi}"
+            f" AND l_quantity BETWEEN {qlo} AND {qhi})"
+        )
+    arms = " UNION ALL ".join(
+        f"""
+SELECT 'bracket_{name}' AS bracket, COUNT(*) AS n_lines,
+       SUM(disc_cents) / 100.0 AS revenue
+FROM j WHERE {cond}"""
+        for name, cond in zip("abc", conds)
+    )
+    return f"""
+WITH j AS (
+  SELECT p_brand, p_size, CAST(l_quantity AS BIGINT) AS l_quantity,
+         CAST(round(round(l_extendedprice * 100) * (1 - l_discount)) AS BIGINT)
+           AS disc_cents
+  FROM lineitem JOIN part ON l_partkey = p_partkey
+)
+SELECT * FROM ({arms}
+UNION ALL
+SELECT 'union' AS bracket, COUNT(*) AS n_lines, SUM(disc_cents) / 100.0 AS revenue
+FROM j WHERE {" OR ".join(conds)})
+ORDER BY bracket
+"""

@@ -2882,3 +2882,66 @@ SELECT pair,
        CAST(SUM({_SQL_H40.format(s='mrg')}) AS BIGINT) AS merged_checksum
 FROM m GROUP BY pair
 """
+
+
+# ---------------------------------------------------------------------------
+# T11 — Simpson diversity index per source
+# ---------------------------------------------------------------------------
+
+
+def simpson_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source Simpson diversity of the word distribution (1 − Σp²;
+    the entropy-free diversity index — unlike Shannon it is an EXACT
+    RATIONAL, so the cross-engine surface needs no logarithm): reported
+    as ppm via (N² − Σc²)·10⁶ // N², plus the raw moments.
+
+    A skewed source (one word dominating) scores near 0; a uniform one
+    approaches 1 − 1/V.  This is the cheap corpus-mix diagnostic next
+    to the χ²/perplexity filters.
+
+    Scale shape: ONE (source, word) partial+final count agg, then a
+    source-keyed rollup of Σc and Σc² — both combiner-friendly; no
+    joins, no windows."""
+    d = _docs(spark, sf_dir)
+    wc = (
+        d.select("source", F.explode(words_col()).alias("wd"))
+        .where(F.length("wd") > 0)
+        .groupBy("source", "wd")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    return (
+        wc.groupBy("source")
+        .agg(
+            F.sum("c").alias("n_tokens"),
+            F.count(F.lit(1)).alias("n_types"),
+            F.sum(F.col("c") * F.col("c")).alias("sum_c2"),
+        )
+        .select(
+            "source",
+            "n_tokens",
+            "n_types",
+            "sum_c2",
+            F.expr(
+                "div(1000000 * (n_tokens * n_tokens - sum_c2),"
+                " n_tokens * n_tokens)"
+            ).alias("simpson_ppm"),
+        )
+        .repartition(1).sortWithinPartitions("source")
+    )
+
+
+def simpson_diversity_sql() -> str:
+    return f"""
+WITH wc AS (
+  SELECT source, wd, COUNT(*) AS c FROM (
+    SELECT source, unnest({_SQL_WS}) AS wd FROM documents
+  ) WHERE length(wd) > 0 GROUP BY source, wd
+)
+SELECT source,
+       CAST(SUM(c) AS BIGINT) AS n_tokens,
+       COUNT(*) AS n_types,
+       CAST(SUM(c * c) AS BIGINT) AS sum_c2,
+       CAST((1000000 * (SUM(c) * SUM(c) - SUM(c * c)))
+            // (SUM(c) * SUM(c)) AS BIGINT) AS simpson_ppm
+FROM wc GROUP BY source ORDER BY source
+"""

@@ -4902,6 +4902,9 @@ def spatial_queries() -> dict[str, QueryFn]:
         "shot_detect": q_shot_detect,
         "kmv_distinct": rel.kmv_distinct,
         "degree_assortativity": q_assortativity,
+        "cost_distance": q_cost_distance,
+        "bracket_revenue": rel.bracket_revenue,
+        "simpson_diversity": textops.simpson_diversity,
         "hex_bin": q_hex_bin,
         "sssp_hops": q_sssp,
         "rle_census": q_rle_census,
@@ -5117,6 +5120,9 @@ def spatial_oracles(sf: str = "sf0.01") -> dict[str, str]:
         "shot_detect": _sql_shot_detect(fx),
         "kmv_distinct": rel.kmv_distinct_sql(),
         "degree_assortativity": _sql_assortativity(),
+        "cost_distance": _sql_cost_distance(fx, w),
+        "bracket_revenue": rel.bracket_revenue_sql(),
+        "simpson_diversity": textops.simpson_diversity_sql(),
         "hex_bin": _sql_hex_bin(fx),
         "sssp_hops": _sql_sssp(),
         "rle_census": _sql_rle_census(fx, w),
@@ -9009,4 +9015,61 @@ SELECT m, sum_x, sum_x2, sum_xy,
        CAST((1000 * (m * sum_xy - sum_x * sum_x))
             // (m * sum_x2 - sum_x * sum_x) AS BIGINT) AS assortativity_milli
 FROM mom
+"""
+
+
+_COST_MOD = 163
+
+
+def q_cost_distance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bounded-round accumulated-cost distance (algebra.cost_distance —
+    ArcGIS CostDistance / r.cost min-plus relaxation from the tile
+    center), map-only fused Arrow pass."""
+    from ..operators import algebra
+
+    tiles = geo.georegister(_images(spark, sf_dir)).where(
+        geo.image_idx() % _COST_MOD == 0
+    )
+    return (
+        algebra.cost_distance(tiles)
+        .repartition(1).sortWithinPartitions("image_id")
+    )
+
+
+def _sql_cost_distance(fx: Path, w: int) -> str:
+    from ..operators.algebra import COST_INF, COST_ROUNDS
+
+    ramp = osql.ramp_value_expr("gi.i", "gj.j")
+    rounds = []
+    prev = "d0"
+    for r in range(1, COST_ROUNDS + 1):
+        rounds.append(f"""
+d{r} AS (
+  SELECT a.image_id, a.i, a.j, a.v,
+         LEAST(a.d, COALESCE(MIN(b.d), {COST_INF}) + a.v + 1) AS d
+  FROM {prev} a
+  CROSS JOIN (VALUES (-1, 0), (1, 0), (0, -1), (0, 1)) o(di, dj)
+  LEFT JOIN {prev} b
+    ON b.image_id = a.image_id AND b.i = a.i + o.di AND b.j = a.j + o.dj
+  GROUP BY a.image_id, a.i, a.j, a.v, a.d
+)""")
+        prev = f"d{r}"
+    return f"""
+WITH {osql.georegister_cte(str(fx / 'images.parquet'))},
+d0 AS (
+  SELECT image_id, gi.i AS i, gj.j AS j, CAST({ramp} AS BIGINT) AS v,
+         CASE WHEN gi.i = {w // 2} AND gj.j = {w // 2}
+              THEN 0 ELSE {COST_INF} END AS d
+  FROM tiles,
+       generate_series(0, {w - 1}) AS gi(i), generate_series(0, {w - 1}) AS gj(j)
+  WHERE idx % {_COST_MOD} = 0
+),
+{", ".join(r.lstrip() for r in rounds)}
+SELECT image_id,
+       CAST(SUM(CASE WHEN d < {COST_INF} THEN 1 ELSE 0 END) AS BIGINT) AS n_reached,
+       CAST(SUM(CASE WHEN d < {COST_INF} THEN d ELSE 0 END) AS BIGINT) AS cost_sum,
+       CAST(MAX(CASE WHEN d < {COST_INF} THEN d ELSE 0 END) AS BIGINT) AS cost_max,
+       CAST(SUM(CASE WHEN d < {COST_INF} THEN d * (i * {w} + j + 1) ELSE 0 END) AS BIGINT)
+         AS cost_checksum
+FROM {prev} GROUP BY image_id ORDER BY image_id
 """

@@ -1146,3 +1146,37 @@ def test_haar_census_matches_numpy(spark, sf0001_dir):
         assert g["e_lh1"] == np.abs(lh1).sum()
         assert g["e_hh1"] == np.abs(hh1).sum()
         assert g["e_l2"] == np.abs(lh2).sum() + np.abs(hl2).sum() + np.abs(hh2).sum()
+
+
+def test_cost_distance_dijkstra_parity(spark, sf0001_dir):
+    """After k min-plus rounds the settled ball must equal a literal
+    k-bounded Bellman-Ford from the center on the same grid."""
+    import heapq
+
+    tiles = geo.georegister(
+        spark.read.parquet(str(sf0001_dir / "images.parquet"))
+    ).limit(3)
+    got = {r["image_id"]: r for r in algebra.cost_distance(tiles).collect()}
+    for r in tiles.collect():
+        z = oracle.decode_pixels(r["bytes"], r["w"], r["h"], r["fmt"]).astype(np.int64)
+        h, w = z.shape
+        INF = algebra.COST_INF
+        d = np.full((h, w), INF, dtype=np.int64)
+        d[h // 2, w // 2] = 0
+        for _ in range(algebra.COST_ROUNDS):
+            nd = d.copy()
+            for i in range(h):
+                for j in range(w):
+                    best = d[i, j]
+                    for di, dj in ((-1, 0), (1, 0), (0, -1), (0, 1)):
+                        ni, nj = i + di, j + dj
+                        if 0 <= ni < h and 0 <= nj < w:
+                            best = min(best, d[ni, nj] + z[i, j] + 1)
+                    nd[i, j] = best
+            d = nd
+        reach = d < INF
+        g = got[r["image_id"]]
+        assert g["n_reached"] == reach.sum()
+        assert g["cost_sum"] == d[reach].sum()
+        wt = (np.arange(h)[:, None] * w + np.arange(w)[None, :] + 1)
+        assert g["cost_checksum"] == (np.where(reach, d, 0) * wt).sum()
