@@ -583,3 +583,70 @@ def shot_boundaries(df: DataFrame) -> DataFrame:
     return df.select("media_id", "bytes", "fmt", "w", "h", "n_frames").mapInPandas(
         gen, schema=schema
     )
+
+
+# --- integer tone census (DFT-bin power surrogate) ---------------------------------
+
+TONE_PERIODS = (8, 16, 32, 64)  # probed periods (samples per cycle)
+TONE_SCALE = 16                 # cos/sin tables scaled to +-16 integers
+
+
+def _tone_tables() -> dict[int, tuple[list[int], list[int]]]:
+    """Integer cos/sin lookup tables per probed period, computed ONCE in
+    Python and inlined as literals in both engines (the JL-sign-matrix
+    convention) — no runtime trig anywhere."""
+    import math
+
+    out = {}
+    for p in TONE_PERIODS:
+        cos = [int(math.floor(TONE_SCALE * math.cos(2 * math.pi * t / p))) for t in range(p)]
+        sin = [int(math.floor(TONE_SCALE * math.sin(2 * math.pi * t / p))) for t in range(p)]
+        out[p] = (cos, sin)
+    return out
+
+
+def tone_census(df: DataFrame) -> DataFrame:
+    """Integer tone census (the Goertzel / single-bin-DFT energy probe
+    of dial-tone detection and audio fingerprinting): for each probed
+    period P the correlation of the pcm16 stream with an integer-scaled
+    cos/sin pair, and the exact power re² + im².  int64 bound:
+    |re| <= n·32768·TONE_SCALE ≈ 1.9e9 at n = 3584, so the squares stay
+    under 2^63.
+
+    Scale shape: map-only fused mapInPandas — decode + four table dots
+    per clip in one Arrow hop; zero shuffle."""
+    tables = _tone_tables()
+    schema = StructType(
+        [
+            StructField("media_id", StringType()),
+            StructField("period", IntegerType()),
+            StructField("re", LongType()),
+            StructField("im", LongType()),
+            StructField("power", LongType()),
+        ]
+    )
+
+    def gen(batches):
+        for pdf in batches:
+            rows = []
+            for _, r in pdf.iterrows():
+                x = np.frombuffer(r["bytes"], dtype="<i2").astype(np.int64)
+                t = np.arange(len(x), dtype=np.int64)
+                for p in TONE_PERIODS:
+                    cos, sin = tables[p]
+                    c = np.asarray(cos, dtype=np.int64)[t % p]
+                    s = np.asarray(sin, dtype=np.int64)[t % p]
+                    re = int((x * c).sum())
+                    im = int((x * s).sum())
+                    rows.append(
+                        {
+                            "media_id": r["media_id"],
+                            "period": p,
+                            "re": re,
+                            "im": im,
+                            "power": re * re + im * im,
+                        }
+                    )
+            yield pd.DataFrame(rows, columns=[f.name for f in schema.fields])
+
+    return df.select("media_id", "bytes").mapInPandas(gen, schema=schema)

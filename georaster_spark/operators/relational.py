@@ -2375,3 +2375,60 @@ SELECT 'union' AS bracket, COUNT(*) AS n_lines, SUM(disc_cents) / 100.0 AS reven
 FROM j WHERE {" OR ".join(conds)})
 ORDER BY bracket
 """
+
+
+# --- TPC-H Q12 analog: late-shipment priority census -------------------------------
+
+Q12_LATE_DAYS = 60
+
+
+def late_priority_census(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q12 shape (Shipping Modes and Order Priority): per order
+    priority, how many lineitems shipped late (> Q12_LATE_DAYS after
+    the order date) vs on time, with the late revenue — the two-way
+    conditional-count pattern Q12 uses to correlate service level with
+    priority class.
+
+    Scale shape: lineitem⋈orders co-partitions on orderkey (the one
+    big-big join); both counts are conditional sums in ONE partial+final
+    agg on a 5-key domain — never two passes."""
+    o = _t(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderdate", "o_orderpriority"
+    )
+    li = _t(spark, sf_dir, "lineitem").select(
+        "l_orderkey",
+        "l_shipdate",
+        F.round(cents(F.col("l_extendedprice")) * (1.0 - F.col("l_discount")))
+        .cast("long")
+        .alias("disc_cents"),
+    )
+    j = li.join(o, li["l_orderkey"] == o["o_orderkey"]).select(
+        "o_orderpriority",
+        (F.datediff("l_shipdate", "o_orderdate") > Q12_LATE_DAYS).alias("late"),
+        "disc_cents",
+    )
+    return (
+        j.groupBy("o_orderpriority")
+        .agg(
+            F.sum(F.col("late").cast("long")).alias("n_late"),
+            F.sum((~F.col("late")).cast("long")).alias("n_ontime"),
+            (F.sum(F.when(F.col("late"), F.col("disc_cents")).otherwise(0)) / 100.0)
+            .alias("late_revenue"),
+        )
+        .repartition(1).sortWithinPartitions("o_orderpriority")
+    )
+
+
+def late_priority_census_sql() -> str:
+    return f"""
+SELECT o_orderpriority,
+       CAST(SUM(CASE WHEN date_diff('day', o_orderdate, l_shipdate) > {Q12_LATE_DAYS}
+                     THEN 1 ELSE 0 END) AS BIGINT) AS n_late,
+       CAST(SUM(CASE WHEN date_diff('day', o_orderdate, l_shipdate) > {Q12_LATE_DAYS}
+                     THEN 0 ELSE 1 END) AS BIGINT) AS n_ontime,
+       SUM(CASE WHEN date_diff('day', o_orderdate, l_shipdate) > {Q12_LATE_DAYS}
+                THEN CAST(round(round(l_extendedprice * 100) * (1 - l_discount)) AS BIGINT)
+                ELSE 0 END) / 100.0 AS late_revenue
+FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+GROUP BY o_orderpriority ORDER BY o_orderpriority
+"""

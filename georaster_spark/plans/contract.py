@@ -4905,6 +4905,9 @@ def spatial_queries() -> dict[str, QueryFn]:
         "cost_distance": q_cost_distance,
         "bracket_revenue": rel.bracket_revenue,
         "simpson_diversity": textops.simpson_diversity,
+        "tone_census": q_tone_census,
+        "late_priority_census": rel.late_priority_census,
+        "partition_skew_audit": q_partition_skew_audit,
         "hex_bin": q_hex_bin,
         "sssp_hops": q_sssp,
         "rle_census": q_rle_census,
@@ -5123,6 +5126,9 @@ def spatial_oracles(sf: str = "sf0.01") -> dict[str, str]:
         "cost_distance": _sql_cost_distance(fx, w),
         "bracket_revenue": rel.bracket_revenue_sql(),
         "simpson_diversity": textops.simpson_diversity_sql(),
+        "tone_census": _sql_tone_census(fx),
+        "late_priority_census": rel.late_priority_census_sql(),
+        "partition_skew_audit": _sql_partition_skew_audit(fx),
         "hex_bin": _sql_hex_bin(fx),
         "sssp_hops": _sql_sssp(),
         "rle_census": _sql_rle_census(fx, w),
@@ -9072,4 +9078,118 @@ SELECT image_id,
        CAST(SUM(CASE WHEN d < {COST_INF} THEN d * (i * {w} + j + 1) ELSE 0 END) AS BIGINT)
          AS cost_checksum
 FROM {prev} GROUP BY image_id ORDER BY image_id
+"""
+
+
+def q_tone_census(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Integer tone census (multimodal.tone_census — Goertzel-style
+    single-bin DFT power with inlined integer trig tables) over the
+    synthetic pcm16 clips."""
+    from ..operators import multimodal as mm
+
+    clips = mm.synth_audio_media(_images(spark, sf_dir).where(geo.image_idx() < 1200))
+    return (
+        mm.tone_census(clips)
+        .repartition(1).sortWithinPartitions("media_id", "period")
+    )
+
+
+def _sql_tone_census(fx: Path) -> str:
+    from ..operators.multimodal import TONE_PERIODS, _tone_tables
+
+    img = str(fx / "images.parquet")
+    tables = _tone_tables()
+    arms = []
+    for p in TONE_PERIODS:
+        cos, sin = tables[p]
+        cl = ", ".join(str(v) for v in cos)
+        sl = ", ".join(str(v) for v in sin)
+        arms.append(f"""
+SELECT media_id, {p} AS period,
+       CAST(SUM(s * ([{cl}])[(t % {p}) + 1]) AS BIGINT) AS re,
+       CAST(SUM(s * ([{sl}])[(t % {p}) + 1]) AS BIGINT) AS im
+FROM samp GROUP BY media_id""")
+    union = " UNION ALL ".join(arms)
+    return f"""
+WITH img AS (SELECT image_id, CAST(substr(image_id, 4, 10) AS BIGINT) AS idx
+             FROM read_parquet('{img}')),
+clips AS (SELECT image_id AS media_id, idx, 2048 + (idx % 7) * 256 AS n
+          FROM img WHERE idx < 1200),
+samp AS (
+  SELECT media_id, t.t AS t,
+         ((idx * 31 + t.t * 17) % 65536) - 32768 AS s
+  FROM clips, generate_series(0, 3583) AS t(t)
+  WHERE t.t < n
+)
+SELECT media_id, CAST(period AS INTEGER) AS period, re, im,
+       CAST(re * re + im * im AS BIGINT) AS power
+FROM ({union}) ORDER BY media_id, period
+"""
+
+
+_SKEWA_RES = 10
+
+
+def q_partition_skew_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Partition-skew audit over the res-10 cell layout (the planning
+    diagnostic every salted/range-partitioned 100 TB job runs BEFORE
+    choosing its strategy — the query-level surface of skew.py's
+    census): occupied buckets, total rows, max bucket, the exact p99
+    bucket (order statistic sorted(c)[99·n//100]), and the imbalance
+    factor max·n_buckets/total in ppm.  The fixture's hot anchors make
+    the imbalance real (max ≫ mean).
+
+    Scale shape: ONE combiner-friendly cell count agg; the rank and the
+    rollup run on the OCCUPIED-CELL relation (dims-sized — the
+    single-partition-window policy of oov_rate/skew census)."""
+    from ..functions import cells
+
+    tiles = geo.georegister(_images(spark, sf_dir))
+    from pyspark.sql import Window
+
+    per_cell = tiles.select(
+        cells.cell_encode(F.col("gt_x0"), F.col("gt_y0"), _SKEWA_RES).alias("cell")
+    ).groupBy("cell").agg(F.count(F.lit(1)).alias("c"))
+    w = Window.orderBy("c", "cell")
+    ranked = per_cell.repartition(1).select(
+        "c", F.row_number().over(w).alias("rn")
+    )
+    tot = ranked.agg(
+        F.count(F.lit(1)).alias("n_buckets"),
+        F.sum("c").alias("n_rows"),
+        F.max("c").alias("max_bucket"),
+    )
+    p99 = (
+        ranked.crossJoin(F.broadcast(tot.select("n_buckets")))
+        .where(F.col("rn") == F.expr("greatest(1, div(99 * n_buckets, 100))"))
+        .select(F.col("c").alias("p99_bucket"))
+    )
+    return tot.crossJoin(F.broadcast(p99)).select(
+        "n_buckets",
+        "n_rows",
+        "max_bucket",
+        "p99_bucket",
+        F.expr("div(1000000 * max_bucket * n_buckets, n_rows)").alias(
+            "imbalance_ppm"
+        ),
+    )
+
+
+def _sql_partition_skew_audit(fx: Path) -> str:
+    cell = osql.cell_expr("gt_x0", "gt_y0", _SKEWA_RES)
+    return f"""
+WITH {osql.georegister_cte(str(fx / 'images.parquet'))},
+pc AS (SELECT {cell} AS cell, COUNT(*) AS c FROM tiles GROUP BY 1),
+rk AS (SELECT c, row_number() OVER (ORDER BY c, cell) AS rn FROM pc),
+tot AS (SELECT COUNT(*) AS n_buckets, SUM(c) AS n_rows, MAX(c) AS max_bucket
+        FROM pc),
+p99 AS (SELECT c AS p99_bucket FROM rk, tot
+        WHERE rn = greatest(1, (99 * n_buckets) // 100))
+SELECT CAST(n_buckets AS BIGINT) AS n_buckets,
+       CAST(n_rows AS BIGINT) AS n_rows,
+       CAST(max_bucket AS BIGINT) AS max_bucket,
+       CAST(p99_bucket AS BIGINT) AS p99_bucket,
+       CAST((1000000 * max_bucket * n_buckets) // n_rows AS BIGINT)
+         AS imbalance_ppm
+FROM tot, p99
 """
