@@ -2432,3 +2432,215 @@ SELECT o_orderpriority,
 FROM lineitem JOIN orders ON l_orderkey = o_orderkey
 GROUP BY o_orderpriority ORDER BY o_orderpriority
 """
+
+
+# --- bitmap-index set operations ---------------------------------------------------
+
+BM_WORD_BITS = 32  # pack keys into 32-bit words: 1 << (k % 32) stays positive
+
+
+def bitmap_index_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bitmap-index set algebra (the Roaring/BitFunnel primitive behind
+    every OLAP secondary index): per event type, the set of active
+    (user, hour-of-day) slots packed into 32-bit words via bit_or, then
+    every type pair answered by word-wise AND/OR + popcount — set
+    intersection/union WITHOUT a distinct or a join on the raw rows.
+
+    Output per (type_a < type_b): exact intersection, union, Jaccard
+    ppm.
+
+    Scale shape: the bitmap build is ONE combiner-friendly (type, word)
+    bit_or agg — bit_or is associative, so map-side partials do almost
+    all the work; the pair algebra joins the WORD relations (≤ types ×
+    keyspace/32 rows — index-sized, not data-sized).  This is exactly
+    why bitmap indexes win at 10¹² rows: the fact table is touched
+    once."""
+    ev = _t(spark, sf_dir, "events").select(
+        "event_type",
+        (F.col("user_id") * 24 + F.hour("ts")).alias("k"),
+    )
+    words = (
+        ev.select(
+            "event_type",
+            (F.col("k") / BM_WORD_BITS).cast("long").alias("w"),
+            F.expr(f"shiftleft(CAST(1 AS BIGINT), CAST(k % {BM_WORD_BITS} AS INT))").alias("bv"),
+        )
+        .groupBy("event_type", "w")
+        .agg(F.bit_or("bv").alias("bits"))
+    )
+    a = words.select(
+        F.col("event_type").alias("type_a"), "w", F.col("bits").alias("ba")
+    )
+    b = words.select(
+        F.col("event_type").alias("type_b"), "w", F.col("bits").alias("bb")
+    )
+    pairs = (
+        a.join(b, ["w"]).where(F.col("type_a") < F.col("type_b"))
+        .groupBy("type_a", "type_b")
+        .agg(
+            F.sum(F.bit_count(F.col("ba").bitwiseAND(F.col("bb")))).alias("n_inter"),
+            F.sum(F.bit_count(F.col("ba").bitwiseOR(F.col("bb")))).alias("n_union_shared"),
+        )
+    )
+    # words present in only one bitmap still count toward the union
+    tot = words.groupBy("event_type").agg(
+        F.sum(F.bit_count("bits")).alias("n_set")
+    )
+    ta = tot.select(F.col("event_type").alias("type_a"), F.col("n_set").alias("na"))
+    tb = tot.select(F.col("event_type").alias("type_b"), F.col("n_set").alias("nb"))
+    return (
+        pairs.join(ta, "type_a").join(tb, "type_b")
+        .select(
+            "type_a",
+            "type_b",
+            "n_inter",
+            (F.col("na") + F.col("nb") - F.col("n_inter")).alias("n_union"),
+            F.expr("div(1000000 * n_inter, na + nb - n_inter)").alias("jaccard_ppm"),
+        )
+        .repartition(1).sortWithinPartitions("type_a", "type_b")
+    )
+
+
+def bitmap_index_ops_sql() -> str:
+    return f"""
+WITH ev AS (
+  SELECT event_type, user_id * 24 + hour(ts) AS k FROM events
+),
+words AS (
+  SELECT event_type, k // {BM_WORD_BITS} AS w,
+         bit_or(1::BIGINT << (k % {BM_WORD_BITS})) AS bits
+  FROM ev GROUP BY event_type, k // {BM_WORD_BITS}
+),
+tot AS (SELECT event_type, SUM(bit_count(bits)) AS n_set FROM words GROUP BY 1),
+pairs AS (
+  SELECT a.event_type AS type_a, b.event_type AS type_b,
+         SUM(bit_count(a.bits & b.bits)) AS n_inter
+  FROM words a JOIN words b ON a.w = b.w AND a.event_type < b.event_type
+  GROUP BY a.event_type, b.event_type
+)
+SELECT type_a, type_b,
+       CAST(n_inter AS BIGINT) AS n_inter,
+       CAST(ta.n_set + tb.n_set - n_inter AS BIGINT) AS n_union,
+       CAST((1000000 * n_inter) // (ta.n_set + tb.n_set - n_inter) AS BIGINT)
+         AS jaccard_ppm
+FROM pairs
+JOIN tot ta ON ta.event_type = type_a
+JOIN tot tb ON tb.event_type = type_b
+ORDER BY type_a, type_b
+"""
+
+
+# --- equi-width histogram quantile sketch with exact audit --------------------------
+
+HQ_BUCKETS = 256
+HQ_QUANTS = (50, 90, 99)
+
+
+def histogram_quantile_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Equi-width-histogram quantile estimation with an exact audit
+    (the fixed-bucket sketch inside every profiler, vs true order
+    statistics): o_totalprice in cents is bucketed into HQ_BUCKETS
+    equal widths, each quantile is estimated by floor-interpolating
+    inside its cumulative bucket, and the EXACT rank statistic
+    (sorted(v)[q·n//100], the stretch/percentile convention) is
+    reported beside it with the signed error.
+
+    Scale shape: min/max + bucket counts are two combiner-friendly
+    aggs (the histogram relation is 256 rows — broadcast scale); the
+    exact side reuses the distributed global-rank idiom
+    (repartitionByRange + per-partition row_number + offsets), never a
+    single-task global sort."""
+    o = _t(spark, sf_dir, "orders").select(
+        cents(F.col("o_totalprice")).alias("v"), "o_orderkey"
+    )
+    mm = o.agg(
+        F.min("v").alias("lo"),
+        F.max("v").alias("hi"),
+        F.count(F.lit(1)).alias("n"),
+    )
+    wb = o.crossJoin(F.broadcast(mm)).select(
+        "v",
+        F.expr(
+            f"least(CAST(div((v - lo) * {HQ_BUCKETS}, hi - lo + 1) AS INT), {HQ_BUCKETS - 1})"
+        ).alias("b"),
+    )
+    hist = wb.groupBy("b").agg(F.count(F.lit(1)).alias("c"))
+    from pyspark.sql import Window
+
+    cum = hist.repartition(1).select(
+        "b",
+        "c",
+        F.sum("c").over(Window.orderBy("b").rowsBetween(Window.unboundedPreceding, 0)).alias("cum"),
+    )
+    # exact ranks via range partitioning + local row numbers + offsets
+    rp = o.repartitionByRange(32, "v", "o_orderkey")
+    part = rp.withColumn("pid", F.spark_partition_id())
+    wp = Window.partitionBy("pid").orderBy("v", "o_orderkey")
+    loc = part.withColumn("lrn", F.row_number().over(wp))
+    sizes = loc.groupBy("pid").agg(F.max("lrn").alias("sz"))
+    wo = Window.orderBy("pid").rowsBetween(Window.unboundedPreceding, -1)
+    offs = sizes.repartition(1).select(
+        "pid", F.coalesce(F.sum("sz").over(wo), F.lit(0)).alias("off")
+    )
+    ranked = loc.join(F.broadcast(offs), "pid").select(
+        "v", (F.col("lrn") + F.col("off")).alias("rank")
+    )
+    rows = []
+    for q in HQ_QUANTS:
+        est = (
+            cum.crossJoin(F.broadcast(mm))
+            .where(F.col("cum") >= F.expr(f"greatest(1, div({q} * n, 100))"))
+            .orderBy("b")
+            .limit(1)
+            .select(
+                F.expr(f"lo + div((b + 1) * (hi - lo + 1), {HQ_BUCKETS})").alias("est")
+            )
+        )
+        exact = (
+            ranked.crossJoin(F.broadcast(mm))
+            .where(F.col("rank") == F.expr(f"greatest(1, div({q} * n, 100))"))
+            .select(F.col("v").alias("exact"))
+        )
+        rows.append(
+            est.crossJoin(exact).select(
+                F.lit(q).cast("long").alias("q"),
+                (F.col("est") / 100.0).alias("est_price"),
+                (F.col("exact") / 100.0).alias("exact_price"),
+                ((F.col("est") - F.col("exact")) / 100.0).alias("err"),
+            )
+        )
+    res = rows[0]
+    for df in rows[1:]:
+        res = res.unionByName(df)
+    return res.repartition(1).sortWithinPartitions("q")
+
+
+def histogram_quantile_audit_sql() -> str:
+    arms = " UNION ALL ".join(
+        f"""
+SELECT {q} AS q,
+       (SELECT lo + ((b + 1) * (hi - lo + 1)) // {HQ_BUCKETS}
+        FROM cum, mm WHERE cum >= greatest(1, ({q} * n) // 100)
+        ORDER BY b LIMIT 1) AS est,
+       (SELECT v FROM rk, mm WHERE rank = greatest(1, ({q} * n) // 100)) AS exact"""
+        for q in HQ_QUANTS
+    )
+    return f"""
+WITH o AS (
+  SELECT CAST(round(o_totalprice * 100) AS BIGINT) AS v, o_orderkey FROM orders
+),
+mm AS (SELECT MIN(v) AS lo, MAX(v) AS hi, COUNT(*) AS n FROM o),
+wb AS (
+  SELECT v, least(CAST(((v - lo) * {HQ_BUCKETS}) // (hi - lo + 1) AS INT),
+                  {HQ_BUCKETS - 1}) AS b
+  FROM o, mm
+),
+hist AS (SELECT b, COUNT(*) AS c FROM wb GROUP BY b),
+cum AS (SELECT b, SUM(c) OVER (ORDER BY b) AS cum FROM hist),
+rk AS (SELECT v, row_number() OVER (ORDER BY v, o_orderkey) AS rank FROM o)
+SELECT CAST(q AS BIGINT) AS q,
+       est / 100.0 AS est_price,
+       exact / 100.0 AS exact_price,
+       (est - exact) / 100.0 AS err
+FROM ({arms}) ORDER BY q
+"""

@@ -2184,6 +2184,7 @@ def text_queries():
         "edit_distance_join": edit_distance_join,
         "vocab_growth": vocab_growth,
         "bpe_merge_apply": bpe_merge_apply,
+        "tfidf_doc_similarity": tfidf_doc_similarity,
     }
 
 
@@ -2224,6 +2225,7 @@ def text_oracles() -> dict[str, str]:
         "edit_distance_join": edit_distance_join_sql(),
         "vocab_growth": vocab_growth_sql(),
         "bpe_merge_apply": bpe_merge_apply_sql(),
+        "tfidf_doc_similarity": tfidf_doc_similarity_sql(),
     }
 
 
@@ -2944,4 +2946,106 @@ SELECT source,
        CAST((1000000 * (SUM(c) * SUM(c) - SUM(c * c)))
             // (SUM(c) * SUM(c)) AS BIGINT) AS simpson_ppm
 FROM wc GROUP BY source ORDER BY source
+"""
+
+
+# ---------------------------------------------------------------------------
+# T12 — TF-IDF document-pair cosine similarity (inverted-index join)
+# ---------------------------------------------------------------------------
+
+TDS_DOC_MOD = 20   # audited docs: doc_id % 20 == 0 (pairs stay plottable)
+TDS_IDF_SHIFT = 6  # idf surrogate scale (keeps the dot product < 2^53)
+
+
+def tfidf_doc_similarity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TF-IDF document-pair cosine similarity through the classic
+    inverted-index join (the pairwise scoring behind near-dup triage
+    and related-document panels): integer weights w = tf·idf' with the
+    BM25-family rational idf surrogate ((N−df)<<6) // (df+1), pair dot
+    products accumulated over the shared-term join, norms per doc, and
+    the cosine in milli from the exact integer moments (one double
+    sqrt+divide on identical exact inputs — deterministic cross-engine).
+
+    Scale shape: weights = ONE (doc, term) agg + a broadcast df table;
+    the pair join is the inverted index (term-keyed — candidates are
+    bounded by per-term posting lists, the production cap point); norms
+    join back on doc keys.  Output: every audited pair with its exact
+    moments, so the hash pins the integer surface."""
+    d = _docs(spark, sf_dir)
+    toks = d.select("doc_id", F.explode(words_col()).alias("t")).where(
+        F.length("t") > 0
+    )
+    tf = toks.groupBy("doc_id", "t").agg(F.count(F.lit(1)).alias("tf"))
+    tf = tf.localCheckpoint(eager=False)  # df + weights share one agg
+    dfq = tf.groupBy("t").agg(F.count(F.lit(1)).alias("df"))
+    nrow = d.agg(F.count(F.lit(1)).alias("n_docs"))
+    w = (
+        tf.join(F.broadcast(dfq), "t")
+        .crossJoin(F.broadcast(nrow))
+        .select(
+            "doc_id",
+            "t",
+            F.expr(f"tf * (((n_docs - df) * {1 << TDS_IDF_SHIFT}) DIV (df + 1))").alias("w"),
+        )
+    )
+    wa = w.where(F.col("doc_id") % TDS_DOC_MOD == 0)
+    norms = wa.groupBy("doc_id").agg(F.sum(F.col("w") * F.col("w")).alias("norm2"))
+    a = wa.select(F.col("doc_id").alias("d1"), "t", F.col("w").alias("w1"))
+    b = wa.select(F.col("doc_id").alias("d2"), "t", F.col("w").alias("w2"))
+    dots = (
+        a.join(b, "t")
+        .where(F.col("d1") < F.col("d2"))
+        .groupBy("d1", "d2")
+        .agg(F.sum(F.col("w1") * F.col("w2")).alias("dot"))
+    )
+    na = norms.select(F.col("doc_id").alias("d1"), F.col("norm2").alias("n1"))
+    nb = norms.select(F.col("doc_id").alias("d2"), F.col("norm2").alias("n2"))
+    return (
+        dots.join(na, "d1").join(nb, "d2")
+        .select(
+            "d1",
+            "d2",
+            "dot",
+            "n1",
+            "n2",
+            F.floor(
+                F.lit(1000.0) * F.col("dot")
+                / F.sqrt(F.col("n1").cast("double") * F.col("n2").cast("double"))
+            ).cast("long").alias("cos_milli"),
+        )
+        .repartition(1).sortWithinPartitions("d1", "d2")
+    )
+
+
+def tfidf_doc_similarity_sql() -> str:
+    return f"""
+WITH toks AS (
+  SELECT doc_id, unnest({_SQL_WS}) AS t FROM documents
+),
+tf AS (SELECT doc_id, t, COUNT(*) AS tf FROM toks WHERE length(t) > 0
+       GROUP BY doc_id, t),
+dfq AS (SELECT t, COUNT(*) AS df FROM tf GROUP BY t),
+nn AS (SELECT COUNT(*) AS n_docs FROM documents),
+w AS (
+  SELECT doc_id, tf.t,
+         tf * (((n_docs - df) * {1 << TDS_IDF_SHIFT}) // (df + 1)) AS w
+  FROM tf JOIN dfq ON tf.t = dfq.t, nn
+  WHERE doc_id % {TDS_DOC_MOD} = 0
+),
+norms AS (SELECT doc_id, SUM(w * w) AS norm2 FROM w GROUP BY doc_id),
+dots AS (
+  SELECT a.doc_id AS d1, b.doc_id AS d2, SUM(a.w * b.w) AS dot
+  FROM w a JOIN w b ON a.t = b.t AND a.doc_id < b.doc_id
+  GROUP BY a.doc_id, b.doc_id
+)
+SELECT d1, d2,
+       CAST(dot AS BIGINT) AS dot,
+       CAST(na.norm2 AS BIGINT) AS n1,
+       CAST(nb.norm2 AS BIGINT) AS n2,
+       CAST(floor(1000.0 * dot / sqrt(CAST(na.norm2 AS DOUBLE) * CAST(nb.norm2 AS DOUBLE))) AS BIGINT)
+         AS cos_milli
+FROM dots
+JOIN norms na ON na.doc_id = d1
+JOIN norms nb ON nb.doc_id = d2
+ORDER BY d1, d2
 """

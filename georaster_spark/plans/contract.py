@@ -4908,6 +4908,8 @@ def spatial_queries() -> dict[str, QueryFn]:
         "tone_census": q_tone_census,
         "late_priority_census": rel.late_priority_census,
         "partition_skew_audit": q_partition_skew_audit,
+        "bitmap_index_ops": rel.bitmap_index_ops,
+        "histogram_quantile_audit": rel.histogram_quantile_audit,
         "hex_bin": q_hex_bin,
         "sssp_hops": q_sssp,
         "rle_census": q_rle_census,
@@ -5129,6 +5131,8 @@ def spatial_oracles(sf: str = "sf0.01") -> dict[str, str]:
         "tone_census": _sql_tone_census(fx),
         "late_priority_census": rel.late_priority_census_sql(),
         "partition_skew_audit": _sql_partition_skew_audit(fx),
+        "bitmap_index_ops": rel.bitmap_index_ops_sql(),
+        "histogram_quantile_audit": rel.histogram_quantile_audit_sql(),
         "hex_bin": _sql_hex_bin(fx),
         "sssp_hops": _sql_sssp(),
         "rle_census": _sql_rle_census(fx, w),
