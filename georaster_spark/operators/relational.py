@@ -2644,3 +2644,208 @@ SELECT CAST(q AS BIGINT) AS q,
        (est - exact) / 100.0 AS err
 FROM ({arms}) ORDER BY q
 """
+
+
+# --- seasonal-naive forecast backtest ------------------------------------------------
+
+SN_SEASON_H = 24  # seasonal lag in hours
+
+
+def seasonal_backtest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Seasonal-naive forecast backtest (the v̂(t) = v(t − 24h) baseline
+    every forecasting eval is scored against; Hyndman's benchmark
+    method): per-user hourly value sums, forecast = same hour yesterday,
+    scored by exact integer MAE numerator Σ|v − v̂| and the sMAPE
+    surrogate Σ 2·10³·|v−v̂| // (|v|+|v̂|) (per-term truncating division
+    — identical in both engines).
+
+    Scale shape: the hourly rollup is ONE (user, hour) agg; the
+    seasonal join is a self-equi-join on (user, hour − 24) —
+    co-partitioned with the rollup, so AQE plans it off the same
+    exchange; final per-user rollup is combiner-friendly."""
+    ev = _t(spark, sf_dir, "events").select(
+        "user_id",
+        (F.unix_timestamp("ts") / 3600).cast("long").alias("h"),
+        cents(F.col("value")).alias("v"),
+    )
+    hourly = ev.groupBy("user_id", "h").agg(F.sum("v").alias("v"))
+    cur = hourly.select("user_id", "h", "v")
+    prev = hourly.select(
+        "user_id", (F.col("h") + SN_SEASON_H).alias("h"), F.col("v").alias("vhat")
+    )
+    j = cur.join(prev, ["user_id", "h"])
+    term = F.expr("div(2000 * abs(v - vhat), abs(v) + abs(vhat))")
+    return (
+        j.groupBy("user_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_scored"),
+            F.sum(F.abs(F.col("v") - F.col("vhat"))).alias("mae_cents_sum"),
+            F.sum(F.when(F.col("v") + F.col("vhat") != 0, term).otherwise(0)).alias(
+                "smape_milli_sum"
+            ),
+        )
+        .repartition(1).sortWithinPartitions("user_id")
+    )
+
+
+def seasonal_backtest_sql() -> str:
+    return f"""
+WITH ev AS (
+  SELECT user_id,
+         CAST(floor(epoch(ts) / 3600) AS BIGINT) AS h,
+         CAST(round(value * 100) AS BIGINT) AS v
+  FROM events
+),
+hourly AS (SELECT user_id, h, SUM(v) AS v FROM ev GROUP BY user_id, h),
+j AS (
+  SELECT c.user_id, c.v, p.v AS vhat
+  FROM hourly c JOIN hourly p
+    ON p.user_id = c.user_id AND p.h = c.h - {SN_SEASON_H}
+)
+SELECT user_id,
+       COUNT(*) AS n_scored,
+       CAST(SUM(abs(v - vhat)) AS BIGINT) AS mae_cents_sum,
+       CAST(SUM(CASE WHEN v + vhat <> 0
+                     THEN (2000 * abs(v - vhat)) // (abs(v) + abs(vhat))
+                     ELSE 0 END) AS BIGINT) AS smape_milli_sum
+FROM j GROUP BY user_id ORDER BY user_id
+"""
+
+
+# --- RFM customer segmentation --------------------------------------------------------
+
+RFM_ASOF = "2001-09-01"
+RFM_R_DAYS = 365     # recent = ordered within the last year
+RFM_F_MIN = 12       # frequent = at least this many orders
+RFM_M_MIN = 150_000  # monetary = lifetime cents at least this
+
+
+def rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RFM customer segmentation (the classic recency/frequency/
+    monetary marketing rollup): per customer, days since last order,
+    order count and lifetime cents; then the 8-cell R×F×M census with
+    value totals — fixed normative thresholds (quantile-free, so the
+    segmentation is a pure function of the data).
+
+    Scale shape: ONE custkey agg builds all three signals in a single
+    pass; the segment census is a ≤8-key partial+final rollup."""
+    o = _t(spark, sf_dir, "orders").select(
+        "o_custkey",
+        F.datediff(F.lit(RFM_ASOF), F.col("o_orderdate")).alias("age_d"),
+        cents(F.col("o_totalprice")).alias("tp"),
+    )
+    per_c = o.groupBy("o_custkey").agg(
+        F.min("age_d").alias("recency_d"),
+        F.count(F.lit(1)).alias("frequency"),
+        F.sum("tp").alias("monetary_c"),
+    )
+    seg = per_c.select(
+        (F.col("recency_d") <= RFM_R_DAYS).cast("int").alias("r"),
+        (F.col("frequency") >= RFM_F_MIN).cast("int").alias("f"),
+        (F.col("monetary_c") >= RFM_M_MIN).cast("int").alias("m"),
+        "monetary_c",
+        "o_custkey",
+    )
+    return (
+        seg.groupBy("r", "f", "m")
+        .agg(
+            F.count(F.lit(1)).alias("n_customers"),
+            (F.sum("monetary_c") / 100.0).alias("segment_value"),
+            F.sum("o_custkey").alias("cust_checksum"),
+        )
+        .repartition(1).sortWithinPartitions("r", "f", "m")
+    )
+
+
+def rfm_segments_sql() -> str:
+    return f"""
+WITH per_c AS (
+  SELECT o_custkey,
+         MIN(date_diff('day', o_orderdate, TIMESTAMP '{RFM_ASOF}')) AS recency_d,
+         COUNT(*) AS frequency,
+         SUM(CAST(round(o_totalprice * 100) AS BIGINT)) AS monetary_c
+  FROM orders GROUP BY o_custkey
+)
+SELECT CAST(recency_d <= {RFM_R_DAYS} AS INT) AS r,
+       CAST(frequency >= {RFM_F_MIN} AS INT) AS f,
+       CAST(monetary_c >= {RFM_M_MIN} AS INT) AS m,
+       COUNT(*) AS n_customers,
+       SUM(monetary_c) / 100.0 AS segment_value,
+       CAST(SUM(o_custkey) AS BIGINT) AS cust_checksum
+FROM per_c GROUP BY 1, 2, 3 ORDER BY r, f, m
+"""
+
+
+# --- market-basket association rules ---------------------------------------------------
+
+BASKET_TOPK = 20
+BASKET_MIN_AB = 3  # rule support floor (co-occurrence count)
+
+
+def basket_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Market-basket association rules (Agrawal & Srikant's Apriori
+    output layer; FPGrowth's rule stage): part pairs co-purchased in
+    the same order with exact integer support / confidence(ppm) /
+    lift(ppm), top-BASKET_TOPK by (support DESC, pair) — confidence =
+    10⁶·n_ab // n_a for the a⇒b direction with a the lower key, lift
+    symmetric.
+
+    Scale shape: pair generation is the order-keyed self-join (the
+    co-occurrence explode is bounded per order by basket size); both
+    marginals come from ONE part census joined back broadcast; ranking
+    is TakeOrdered, never a global sort."""
+    li = _t(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey").distinct()
+    n_orders = _t(spark, sf_dir, "orders").agg(
+        F.count(F.lit(1)).alias("n_orders")
+    )
+    marg = li.groupBy("l_partkey").agg(F.count(F.lit(1)).alias("n_single"))
+    a = li.select(F.col("l_orderkey").alias("k"), F.col("l_partkey").alias("pa"))
+    b = li.select(F.col("l_orderkey").alias("k"), F.col("l_partkey").alias("pb"))
+    ab = (
+        a.join(b, "k")
+        .where(F.col("pa") < F.col("pb"))
+        .groupBy("pa", "pb")
+        .agg(F.count(F.lit(1)).alias("n_ab"))
+        .where(F.col("n_ab") >= BASKET_MIN_AB)
+    )
+    ma = marg.select(F.col("l_partkey").alias("pa"), F.col("n_single").alias("n_a"))
+    mb = marg.select(F.col("l_partkey").alias("pb"), F.col("n_single").alias("n_b"))
+    scored = (
+        ab.join(F.broadcast(ma), "pa")
+        .join(F.broadcast(mb), "pb")
+        .crossJoin(F.broadcast(n_orders))
+        .select(
+            "pa",
+            "pb",
+            "n_ab",
+            "n_a",
+            "n_b",
+            F.expr("div(1000000 * n_ab, n_a)").alias("conf_ppm"),
+            F.expr("div(1000000 * n_ab * n_orders, n_a * n_b)").alias("lift_ppm"),
+        )
+    )
+    return scored.orderBy(
+        F.desc("n_ab"), F.asc("pa"), F.asc("pb")
+    ).limit(BASKET_TOPK)
+
+
+def basket_rules_sql() -> str:
+    return f"""
+WITH li AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+no AS (SELECT COUNT(*) AS n_orders FROM orders),
+marg AS (SELECT l_partkey, COUNT(*) AS n_single FROM li GROUP BY 1),
+ab AS (
+  SELECT a.l_partkey AS pa, b.l_partkey AS pb, COUNT(*) AS n_ab
+  FROM li a JOIN li b ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+  GROUP BY 1, 2 HAVING COUNT(*) >= {BASKET_MIN_AB}
+)
+SELECT pa, pb, CAST(n_ab AS BIGINT) AS n_ab,
+       CAST(ma.n_single AS BIGINT) AS n_a,
+       CAST(mb.n_single AS BIGINT) AS n_b,
+       CAST((1000000 * n_ab) // ma.n_single AS BIGINT) AS conf_ppm,
+       CAST((1000000 * n_ab * n_orders) // (ma.n_single * mb.n_single) AS BIGINT)
+         AS lift_ppm
+FROM ab JOIN marg ma ON ma.l_partkey = pa
+JOIN marg mb ON mb.l_partkey = pb, no
+ORDER BY n_ab DESC, pa, pb LIMIT {BASKET_TOPK}
+"""

@@ -4910,6 +4910,9 @@ def spatial_queries() -> dict[str, QueryFn]:
         "partition_skew_audit": q_partition_skew_audit,
         "bitmap_index_ops": rel.bitmap_index_ops,
         "histogram_quantile_audit": rel.histogram_quantile_audit,
+        "seasonal_backtest": rel.seasonal_backtest,
+        "rfm_segments": rel.rfm_segments,
+        "basket_rules": rel.basket_rules,
         "hex_bin": q_hex_bin,
         "sssp_hops": q_sssp,
         "rle_census": q_rle_census,
@@ -5133,6 +5136,9 @@ def spatial_oracles(sf: str = "sf0.01") -> dict[str, str]:
         "partition_skew_audit": _sql_partition_skew_audit(fx),
         "bitmap_index_ops": rel.bitmap_index_ops_sql(),
         "histogram_quantile_audit": rel.histogram_quantile_audit_sql(),
+        "seasonal_backtest": rel.seasonal_backtest_sql(),
+        "rfm_segments": rel.rfm_segments_sql(),
+        "basket_rules": rel.basket_rules_sql(),
         "hex_bin": _sql_hex_bin(fx),
         "sssp_hops": _sql_sssp(),
         "rle_census": _sql_rle_census(fx, w),
