@@ -3474,3 +3474,60 @@ def cost_distance(tiles: DataFrame) -> DataFrame:
             "cost_checksum long"
         ),
     )
+
+
+# --- box-counting occupancy census ---------------------------------------------------
+BOXC_SCALES = (1, 2, 4, 8)
+BOXC_THRESHOLD = 128  # binary mask: v >= threshold
+
+
+def box_counting(tiles: DataFrame) -> DataFrame:
+    """Box-counting occupancy census (the fractal-dimension / Minkowski
+    estimator of coastline and texture complexity; the log-log slope is
+    a client-side fit over these exact counts): the v >= threshold mask
+    is tiled by s×s boxes at scales 1/2/4/8 and each scale reports its
+    occupied-box count.
+
+    Output: one row per (image, scale).
+
+    Scale shape: map-only fused mapInPandas; each scale is one strided
+    reshape-max on the batch block."""
+    slim = tiles.select("image_id", "bytes", "w", "h", "fmt")
+
+    def _boxes(batches):
+        dt = {"raw": np.uint8, "qnt": np.uint8, "raw16": "<u2"}
+        for pdf in batches:
+            n = len(pdf)
+            out = {"image_id": [], "scale": [], "n_boxes": [], "n_occupied": []}
+            groups: dict[tuple, list[int]] = {}
+            for k in range(n):
+                key = (int(pdf["w"].iat[k]), int(pdf["h"].iat[k]), pdf["fmt"].iat[k])
+                groups.setdefault(key, []).append(k)
+            for (w, h, fmt), idx in groups.items():
+                z = (
+                    np.frombuffer(
+                        b"".join(pdf["bytes"].iat[k] for k in idx), dtype=dt[fmt]
+                    )
+                    .reshape(len(idx), h, w)
+                    .astype(np.int64)
+                )
+                mask = z >= BOXC_THRESHOLD
+                for s in BOXC_SCALES:
+                    hh, ww = h // s, w // s
+                    m = (
+                        mask[:, : hh * s, : ww * s]
+                        .reshape(len(idx), hh, s, ww, s)
+                        .any(axis=(2, 4))
+                    )
+                    occ = m.sum(axis=(1, 2))
+                    for b, k in enumerate(idx):
+                        out["image_id"].append(pdf["image_id"].iat[k])
+                        out["scale"].append(s)
+                        out["n_boxes"].append(hh * ww)
+                        out["n_occupied"].append(int(occ[b]))
+            yield pd.DataFrame(out)
+
+    return slim.mapInPandas(
+        _boxes,
+        schema="image_id string, scale long, n_boxes long, n_occupied long",
+    )

@@ -4913,6 +4913,9 @@ def spatial_queries() -> dict[str, QueryFn]:
         "seasonal_backtest": rel.seasonal_backtest,
         "rfm_segments": rel.rfm_segments,
         "basket_rules": rel.basket_rules,
+        "rich_club": q_rich_club,
+        "box_counting": q_box_counting,
+        "ivm_audit": q_ivm_audit,
         "hex_bin": q_hex_bin,
         "sssp_hops": q_sssp,
         "rle_census": q_rle_census,
@@ -5139,6 +5142,9 @@ def spatial_oracles(sf: str = "sf0.01") -> dict[str, str]:
         "seasonal_backtest": rel.seasonal_backtest_sql(),
         "rfm_segments": rel.rfm_segments_sql(),
         "basket_rules": rel.basket_rules_sql(),
+        "rich_club": _sql_rich_club(),
+        "box_counting": _sql_box_counting(fx, w),
+        "ivm_audit": _sql_ivm_audit(),
         "hex_bin": _sql_hex_bin(fx),
         "sssp_hops": _sql_sssp(),
         "rle_census": _sql_rle_census(fx, w),
@@ -9202,4 +9208,186 @@ SELECT CAST(n_buckets AS BIGINT) AS n_buckets,
        CAST((1000000 * max_bucket * n_buckets) // n_rows AS BIGINT)
          AS imbalance_ppm
 FROM tot, p99
+"""
+
+
+def q_rich_club(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rich-club coefficient (graph.rich_club — Colizza et al.) at 3
+    degree thresholds on the part co-purchase graph."""
+    from ..operators.graph import rich_club
+
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet").select(
+        "l_orderkey", "l_partkey"
+    )
+    a = li.select(F.col("l_orderkey").alias("k"), F.col("l_partkey").alias("u"))
+    b = li.select(F.col("l_orderkey").alias("k"), F.col("l_partkey").alias("v"))
+    pairs = a.join(b, "k").where(F.col("u") < F.col("v")).select("u", "v")
+    return rich_club(pairs).repartition(1).sortWithinPartitions("k")
+
+
+def _sql_rich_club() -> str:
+    from ..operators.graph import RICH_CLUB_KS
+
+    arms = " UNION ALL ".join(
+        f"""
+SELECT {k} AS k,
+       (SELECT COUNT(*) FROM deg WHERE deg > {k}) AS n_club,
+       (SELECT COUNT(*) FROM e
+        WHERE u IN (SELECT u FROM deg WHERE deg > {k})
+          AND v IN (SELECT u FROM deg WHERE deg > {k})) AS e_club"""
+        for k in RICH_CLUB_KS
+    )
+    return f"""
+WITH e AS (
+  SELECT DISTINCT a.l_partkey AS u, b.l_partkey AS v
+  FROM lineitem a JOIN lineitem b
+    ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+),
+sym AS (SELECT u, v FROM e UNION ALL SELECT v AS u, u AS v FROM e),
+deg AS (SELECT u, COUNT(*) AS deg FROM sym GROUP BY u)
+SELECT CAST(k AS BIGINT) AS k,
+       CAST(n_club AS BIGINT) AS n_club,
+       CAST(e_club AS BIGINT) AS e_club,
+       CAST(CASE WHEN n_club >= 2
+                 THEN (2000000 * e_club) // (n_club * (n_club - 1))
+                 ELSE 0 END AS BIGINT) AS phi_ppm
+FROM ({arms}) ORDER BY k
+"""
+
+
+_BOXC_MOD = 167
+
+
+def q_box_counting(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Box-counting occupancy census (algebra.box_counting — fractal
+    dimension estimator surface), map-only fused Arrow pass."""
+    from ..operators import algebra
+
+    tiles = geo.georegister(_images(spark, sf_dir)).where(
+        geo.image_idx() % _BOXC_MOD == 0
+    )
+    return (
+        algebra.box_counting(tiles)
+        .repartition(1).sortWithinPartitions("image_id", "scale")
+    )
+
+
+def _sql_box_counting(fx: Path, w: int) -> str:
+    from ..operators.algebra import BOXC_SCALES, BOXC_THRESHOLD
+
+    ramp = osql.ramp_value_expr("gi.i", "gj.j")
+    # LEFT JOIN from the image grid: an all-below-threshold tile still
+    # emits its (image, scale) row with 0 occupied boxes (the engine
+    # side reports every tile; bare GROUP BY would drop empty groups)
+    arms = " UNION ALL ".join(
+        f"""
+SELECT img.image_id, {s} AS scale, {(w // s) * (w // s)} AS n_boxes,
+       COALESCE(o.cnt, 0) AS n_occupied
+FROM sel img LEFT JOIN (
+  SELECT image_id, COUNT(*) AS cnt
+  FROM (SELECT image_id, gi.i // {s} AS bi, gj.j // {s} AS bj
+        FROM sel,
+             generate_series(0, {w - 1}) AS gi(i), generate_series(0, {w - 1}) AS gj(j)
+        WHERE CAST({ramp} AS BIGINT) >= {BOXC_THRESHOLD}
+        GROUP BY image_id, gi.i // {s}, gj.j // {s})
+  GROUP BY image_id) o ON o.image_id = img.image_id"""
+        for s in BOXC_SCALES
+    )
+    return f"""
+WITH {osql.georegister_cte(str(fx / 'images.parquet'))},
+sel AS (SELECT image_id, idx, fmt FROM tiles WHERE idx % {_BOXC_MOD} = 0)
+SELECT image_id, CAST(scale AS BIGINT) AS scale,
+       CAST(n_boxes AS BIGINT) AS n_boxes,
+       CAST(n_occupied AS BIGINT) AS n_occupied
+FROM ({arms}) ORDER BY image_id, scale
+"""
+
+
+def q_ivm_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental-view-maintenance audit (the delta-merge correctness
+    check behind every materialized-view refresh / streaming upsert):
+    the per-nation revenue view is computed (a) directly over the full
+    orders table and (b) as old-state (orders before the cutover date)
+    MERGED with delta partials (orders after) — additive aggregates
+    (count, cents sum) must agree bit-for-bit, and both surfaces are
+    emitted so the gate hash proves the merge law, not just a boolean.
+
+    Scale shape: path (b) is the production shape — the delta agg only
+    scans the delta partition (date filter pushed into the scan) and
+    the merge is a dims-sized outer join; path (a) is the audit."""
+    cutover = "1999-01-01"
+    o = spark.read.parquet(f"{sf_dir}/orders.parquet").select(
+        "o_custkey", "o_orderdate", rel.cents(F.col("o_totalprice")).alias("tp")
+    )
+    c = spark.read.parquet(f"{sf_dir}/customer.parquet").select(
+        "c_custkey", "c_nationkey"
+    )
+    j = o.join(c, o["o_custkey"] == c["c_custkey"])
+
+    def rollup(df):
+        return df.groupBy("c_nationkey").agg(
+            F.count(F.lit(1)).alias("n"), F.sum("tp").alias("cents")
+        )
+
+    full = rollup(j)
+    old = rollup(j.where(F.col("o_orderdate") < F.lit(cutover)))
+    delta = rollup(j.where(F.col("o_orderdate") >= F.lit(cutover)))
+    merged = (
+        old.select("c_nationkey", F.col("n").alias("n1"), F.col("cents").alias("c1"))
+        .join(
+            delta.select(
+                "c_nationkey", F.col("n").alias("n2"), F.col("cents").alias("c2")
+            ),
+            "c_nationkey",
+            "full",
+        )
+        .select(
+            "c_nationkey",
+            (F.coalesce("n1", F.lit(0)) + F.coalesce("n2", F.lit(0))).alias("n_merged"),
+            (F.coalesce("c1", F.lit(0)) + F.coalesce("c2", F.lit(0))).alias("cents_merged"),
+        )
+    )
+    return (
+        full.join(merged, "c_nationkey")
+        .select(
+            "c_nationkey",
+            "n",
+            "n_merged",
+            (F.col("cents") / 100.0).alias("revenue"),
+            (F.col("cents_merged") / 100.0).alias("revenue_merged"),
+            (F.col("n") == F.col("n_merged")).cast("long").alias("n_ok"),
+            (F.col("cents") == F.col("cents_merged")).cast("long").alias("rev_ok"),
+        )
+        .repartition(1).sortWithinPartitions("c_nationkey")
+    )
+
+
+def _sql_ivm_audit() -> str:
+    return """
+WITH j AS (
+  SELECT c_nationkey, o_orderdate,
+         CAST(round(o_totalprice * 100) AS BIGINT) AS tp
+  FROM orders JOIN customer ON o_custkey = c_custkey
+),
+full_v AS (SELECT c_nationkey, COUNT(*) AS n, SUM(tp) AS cents
+           FROM j GROUP BY 1),
+old_v AS (SELECT c_nationkey, COUNT(*) AS n, SUM(tp) AS cents
+          FROM j WHERE o_orderdate < TIMESTAMP '1999-01-01' GROUP BY 1),
+delta_v AS (SELECT c_nationkey, COUNT(*) AS n, SUM(tp) AS cents
+            FROM j WHERE o_orderdate >= TIMESTAMP '1999-01-01' GROUP BY 1),
+merged AS (
+  SELECT COALESCE(o.c_nationkey, d.c_nationkey) AS c_nationkey,
+         COALESCE(o.n, 0) + COALESCE(d.n, 0) AS n_merged,
+         COALESCE(o.cents, 0) + COALESCE(d.cents, 0) AS cents_merged
+  FROM old_v o FULL JOIN delta_v d ON o.c_nationkey = d.c_nationkey
+)
+SELECT f.c_nationkey,
+       CAST(f.n AS BIGINT) AS n,
+       CAST(m.n_merged AS BIGINT) AS n_merged,
+       f.cents / 100.0 AS revenue,
+       m.cents_merged / 100.0 AS revenue_merged,
+       CAST(f.n = m.n_merged AS BIGINT) AS n_ok,
+       CAST(f.cents = m.cents_merged AS BIGINT) AS rev_ok
+FROM full_v f JOIN merged m ON f.c_nationkey = m.c_nationkey
+ORDER BY f.c_nationkey
 """
