@@ -2849,3 +2849,194 @@ FROM ab JOIN marg ma ON ma.l_partkey = pa
 JOIN marg mb ON mb.l_partkey = pb, no
 ORDER BY n_ab DESC, pa, pb LIMIT {BASKET_TOPK}
 """
+
+
+# --- decision-stump Gini split search -------------------------------------------------
+
+GINI_THRESHOLDS = tuple(range(10, 100, 10))  # candidate value-cent thresholds (x100)
+
+
+def gini_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Decision-stump split search by Gini impurity (the CART/xgboost
+    inner loop, one feature): for each candidate threshold on the event
+    value, the weighted Gini impurity of the two sides over the
+    event-type label, as exact integers — per side impurity·10⁶ =
+    10⁶·(n² − Σc²) // n², weighted by side mass; the argmin row is the
+    chosen stump.
+
+    Scale shape: ONE pass builds the (threshold, side, label) counts
+    via a bounded explode of the candidate list (|T| rows per event —
+    the classic histogram-split trick binned ahead of time); everything
+    after is dims-sized (|T|·2·|labels|) arithmetic."""
+    thr = F.array(*[F.lit(t * 100) for t in GINI_THRESHOLDS])
+    ev = _t(spark, sf_dir, "events").select(
+        "event_type", cents(F.col("value")).alias("v")
+    )
+    ex = ev.select(
+        "event_type",
+        F.explode(thr).alias("t"),
+        "v",
+    ).select("event_type", "t", (F.col("v") <= F.col("t")).cast("int").alias("side"))
+    counts = ex.groupBy("t", "side", "event_type").agg(
+        F.count(F.lit(1)).alias("c")
+    )
+    sides = counts.groupBy("t", "side").agg(
+        F.sum("c").alias("n"),
+        F.sum(F.col("c") * F.col("c")).alias("sum_c2"),
+    )
+    per_side = sides.select(
+        "t",
+        "side",
+        "n",
+        F.expr("div(1000000 * (n * n - sum_c2), n * n)").alias("gini_ppm"),
+    )
+    tot = per_side.groupBy("t").agg(
+        F.sum("n").alias("n_total"),
+        F.sum(F.col("n") * F.col("gini_ppm")).alias("weighted"),
+    )
+    return (
+        tot.select(
+            "t",
+            "n_total",
+            F.expr("div(weighted, n_total)").alias("weighted_gini_ppm"),
+        )
+        .repartition(1).sortWithinPartitions("t")
+    )
+
+
+def gini_split_sql() -> str:
+    tl = ", ".join(str(t * 100) for t in GINI_THRESHOLDS)
+    return f"""
+WITH ev AS (
+  SELECT event_type, CAST(round(value * 100) AS BIGINT) AS v FROM events
+),
+ex AS (
+  SELECT event_type, t.t AS t, CAST(v <= t.t AS INT) AS side
+  FROM ev, (SELECT unnest([{tl}]) AS t) t
+),
+counts AS (SELECT t, side, event_type, COUNT(*) AS c FROM ex GROUP BY 1, 2, 3),
+sides AS (
+  SELECT t, side, SUM(c) AS n, SUM(c * c) AS sum_c2 FROM counts GROUP BY 1, 2
+),
+per_side AS (
+  SELECT t, side, n,
+         (1000000 * (n * n - sum_c2)) // (n * n) AS gini_ppm
+  FROM sides
+)
+SELECT CAST(t AS BIGINT) AS t,
+       CAST(SUM(n) AS BIGINT) AS n_total,
+       CAST(SUM(n * gini_ppm) // SUM(n) AS BIGINT) AS weighted_gini_ppm
+FROM per_side GROUP BY t ORDER BY t
+"""
+
+
+# --- chi-square independence census ----------------------------------------------------
+
+
+def chisq_independence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """χ² independence census for event_type × hour-of-day (the
+    contingency-table test behind seasonality and A/B sanity checks),
+    with every term exact-integer: per cell the scaled statistic
+    (O·N − r·c)² // (r·c·N) — truncating in both engines — summed per
+    event type, plus the marginals.
+
+    Scale shape: ONE (type, hour) count agg; marginals are two rollups
+    of that dims-sized relation; the join-back is broadcast scale."""
+    ev = _t(spark, sf_dir, "events").select(
+        "event_type", F.hour("ts").alias("hh")
+    )
+    o = ev.groupBy("event_type", "hh").agg(F.count(F.lit(1)).alias("obs"))
+    r = o.groupBy("event_type").agg(F.sum("obs").alias("row_n"))
+    c = o.groupBy("hh").agg(F.sum("obs").alias("col_n"))
+    n = o.agg(F.sum("obs").alias("grand_n"))
+    j = (
+        o.join(F.broadcast(r), "event_type")
+        .join(F.broadcast(c), "hh")
+        .crossJoin(F.broadcast(n))
+    )
+    term = F.expr(
+        "div((obs * grand_n - row_n * col_n) * (obs * grand_n - row_n * col_n),"
+        " row_n * col_n * grand_n)"
+    )
+    return (
+        j.groupBy("event_type")
+        .agg(
+            F.sum("obs").alias("n_events"),
+            F.count(F.lit(1)).alias("n_cells"),
+            F.sum(term).alias("chisq_scaled"),
+        )
+        .repartition(1).sortWithinPartitions("event_type")
+    )
+
+
+def chisq_independence_sql() -> str:
+    return """
+WITH o AS (
+  SELECT event_type, hour(ts) AS hh, COUNT(*) AS obs
+  FROM events GROUP BY 1, 2
+),
+r AS (SELECT event_type, SUM(obs) AS row_n FROM o GROUP BY 1),
+c AS (SELECT hh, SUM(obs) AS col_n FROM o GROUP BY 1),
+n AS (SELECT SUM(obs) AS grand_n FROM o)
+SELECT o.event_type,
+       CAST(SUM(obs) AS BIGINT) AS n_events,
+       COUNT(*) AS n_cells,
+       CAST(SUM(((obs * grand_n - row_n * col_n) * (obs * grand_n - row_n * col_n))
+                // (row_n * col_n * grand_n)) AS BIGINT) AS chisq_scaled
+FROM o JOIN r ON o.event_type = r.event_type JOIN c ON o.hh = c.hh, n
+GROUP BY o.event_type ORDER BY o.event_type
+"""
+
+
+# --- Fano-factor overdispersion census --------------------------------------------------
+
+
+def fano_dispersion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fano-factor overdispersion census (variance-to-mean of hourly
+    arrival counts — the Poisson-ness probe behind burst/anomaly
+    detection): per event type, over its hourly count series, the exact
+    moments and F·10⁶ = 10⁶·(n·Σc² − S²) // (S·(n−1)) — Fano ≈ 1e6
+    means Poisson-like, ≫ means bursty.
+
+    Scale shape: (type, hour) count agg then a per-type rollup — both
+    combiner-friendly; no joins, no windows."""
+    ev = _t(spark, sf_dir, "events").select(
+        "event_type",
+        F.floor(F.unix_timestamp("ts") / 3600).cast("long").alias("h"),
+    )
+    hc = ev.groupBy("event_type", "h").agg(F.count(F.lit(1)).alias("c"))
+    return (
+        hc.groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_hours"),
+            F.sum("c").alias("n_events"),
+            F.sum(F.col("c") * F.col("c")).alias("sum_c2"),
+        )
+        .select(
+            "event_type",
+            "n_hours",
+            "n_events",
+            "sum_c2",
+            F.expr(
+                "div(1000000 * (n_hours * sum_c2 - n_events * n_events),"
+                " n_events * (n_hours - 1))"
+            ).alias("fano_ppm"),
+        )
+        .repartition(1).sortWithinPartitions("event_type")
+    )
+
+
+def fano_dispersion_sql() -> str:
+    return """
+WITH hc AS (
+  SELECT event_type, CAST(floor(epoch(ts) / 3600) AS BIGINT) AS h, COUNT(*) AS c
+  FROM events GROUP BY 1, 2
+)
+SELECT event_type,
+       COUNT(*) AS n_hours,
+       CAST(SUM(c) AS BIGINT) AS n_events,
+       CAST(SUM(c * c) AS BIGINT) AS sum_c2,
+       CAST((1000000 * (COUNT(*) * SUM(c * c) - SUM(c) * SUM(c)))
+            // (SUM(c) * (COUNT(*) - 1)) AS BIGINT) AS fano_ppm
+FROM hc GROUP BY event_type ORDER BY event_type
+"""

@@ -4916,6 +4916,9 @@ def spatial_queries() -> dict[str, QueryFn]:
         "rich_club": q_rich_club,
         "box_counting": q_box_counting,
         "ivm_audit": q_ivm_audit,
+        "gini_split": rel.gini_split,
+        "chisq_independence": rel.chisq_independence,
+        "fano_dispersion": rel.fano_dispersion,
         "hex_bin": q_hex_bin,
         "sssp_hops": q_sssp,
         "rle_census": q_rle_census,
@@ -5145,6 +5148,9 @@ def spatial_oracles(sf: str = "sf0.01") -> dict[str, str]:
         "rich_club": _sql_rich_club(),
         "box_counting": _sql_box_counting(fx, w),
         "ivm_audit": _sql_ivm_audit(),
+        "gini_split": rel.gini_split_sql(),
+        "chisq_independence": rel.chisq_independence_sql(),
+        "fano_dispersion": rel.fano_dispersion_sql(),
         "hex_bin": _sql_hex_bin(fx),
         "sssp_hops": _sql_sssp(),
         "rle_census": _sql_rle_census(fx, w),
