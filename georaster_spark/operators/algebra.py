@@ -3186,7 +3186,7 @@ def demosaic_bilinear(tiles: DataFrame) -> DataFrame:
 DIFF_K = 32      # edge-stopping threshold: |delta| >= K contributes no flux
 DIFF_ROUNDS = 2
 
-_DIFF_SCHEMA = (
+_TDIFF_SCHEMA = (
     "image_id string, round long, sum_v long, abs_delta long, max_delta long, "
     "diff_checksum long"
 )
@@ -3255,7 +3255,7 @@ def threshold_diffusion(tiles: DataFrame) -> DataFrame:
                     cur = nxt
             yield pd.DataFrame(out)
 
-    return slim.mapInPandas(_diff, schema=_DIFF_SCHEMA)
+    return slim.mapInPandas(_diff, schema=_TDIFF_SCHEMA)
 
 
 # --- ordered Bayer dithering -----------------------------------------------------

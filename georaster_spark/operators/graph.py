@@ -781,3 +781,53 @@ def rich_club(edges: DataFrame) -> DataFrame:
     for df in rows[1:]:
         res = res.unionByName(df)
     return res
+
+
+def dag_layer_census(edges: DataFrame, rounds: int) -> DataFrame:
+    """Topological layering by Kahn peeling (the scheduling/critical-
+    path primitive: layer k = nodes whose longest incoming path is k):
+    each round removes the current zero-in-degree set; the census row
+    per round pins layer size, node checksum, and surviving edges.
+    `edges` must be a DAG — callers orient by key (u < v), which is
+    acyclic by construction.
+
+    Scale shape: per round ONE in-degree agg (dst-keyed) + ONE anti/
+    semi-join pair removing the layer — the k-core contract with
+    in-degree-0 as the peel rule; frames localCheckpoint'd."""
+    e = edges.select(
+        F.col("src").cast("long").alias("src"), F.col("dst").cast("long").alias("dst")
+    ).where(F.col("src") != F.col("dst")).distinct().localCheckpoint(eager=False)
+    nodes = (
+        e.select(F.col("src").alias("n"))
+        .union(e.select(F.col("dst").alias("n")))
+        .distinct()
+        .localCheckpoint(eager=False)
+    )
+    out_rows = []
+    cur_e = e
+    cur_n = nodes
+    for r in range(1, rounds + 1):
+        with_in = cur_e.select(F.col("dst").alias("n")).distinct()
+        layer = cur_n.join(with_in, "n", "left_anti").localCheckpoint(eager=False)
+        cen = layer.agg(
+            F.count(F.lit(1)).alias("layer_size"),
+            F.coalesce(F.sum("n"), F.lit(0)).alias("layer_checksum"),
+        )
+        cur_n = cur_n.join(layer, "n", "left_anti").localCheckpoint(eager=False)
+        cur_e = (
+            cur_e.join(layer.select(F.col("n").alias("src")), "src", "left_anti")
+            .localCheckpoint(eager=False)
+        )
+        ecen = cur_e.agg(F.count(F.lit(1)).alias("n_edges_left"))
+        out_rows.append(
+            cen.crossJoin(ecen).select(
+                F.lit(r).cast("long").alias("round"),
+                "layer_size",
+                "layer_checksum",
+                "n_edges_left",
+            )
+        )
+    res = out_rows[0]
+    for df in out_rows[1:]:
+        res = res.unionByName(df)
+    return res

@@ -3040,3 +3040,110 @@ SELECT event_type,
             // (SUM(c) * (COUNT(*) - 1)) AS BIGINT) AS fano_ppm
 FROM hc GROUP BY event_type ORDER BY event_type
 """
+
+
+# --- time-weighted average value (TWAP) -------------------------------------------------
+
+
+def twap_value(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-weighted average value (the TWAP of market data / the
+    time-weighted mean of IoT state series — the aggregate a plain AVG
+    gets wrong when samples are irregular): each event's value holds
+    until the next event, so the exact integer numerator is
+    Σ v·Δt_seconds per user, with the trailing sample contributing
+    nothing (no holding interval).  The float TWAP = num/den is a
+    client-side divide; both exact moments are emitted.
+
+    Scale shape: ONE user-key window (lead for the next timestamp) +
+    combiner-friendly rollup — the autocorr_lags contract."""
+    ev = _t(spark, sf_dir, "events").select(
+        "user_id",
+        F.unix_timestamp("ts").alias("t"),
+        "event_id",
+        cents(F.col("value")).alias("v"),
+    )
+    w = Window.partitionBy("user_id").orderBy("t", "event_id")
+    ld = ev.select(
+        "user_id", "v", (F.lead("t", 1).over(w) - F.col("t")).alias("dt")
+    )
+    return (
+        ld.where(F.col("dt").isNotNull())
+        .groupBy("user_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_intervals"),
+            F.sum("dt").alias("span_s"),
+            F.sum(F.col("v") * F.col("dt")).alias("vt_cents_s"),
+        )
+        .repartition(1).sortWithinPartitions("user_id")
+    )
+
+
+def twap_value_sql() -> str:
+    return """
+WITH ev AS (
+  SELECT user_id, CAST(floor(epoch(ts)) AS BIGINT) AS t, event_id,
+         CAST(round(value * 100) AS BIGINT) AS v
+  FROM events
+),
+ld AS (
+  SELECT user_id, v,
+         lead(t) OVER (PARTITION BY user_id ORDER BY t, event_id) - t AS dt
+  FROM ev
+)
+SELECT user_id,
+       COUNT(*) AS n_intervals,
+       CAST(SUM(dt) AS BIGINT) AS span_s,
+       CAST(SUM(v * dt) AS BIGINT) AS vt_cents_s
+FROM ld WHERE dt IS NOT NULL
+GROUP BY user_id ORDER BY user_id
+"""
+
+
+# --- last-touch attribution ----------------------------------------------------------------
+
+
+def attribution_last_touch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Last-touch conversion attribution (the marketing-analytics
+    standard: each purchase credits the event immediately preceding
+    it): per user stream in time order, every 'purchase' looks one row
+    back and the census rolls up purchases by preceding event type,
+    with an id checksum pinning exactly WHICH purchases landed where.
+    First-event purchases attribute to '(none)'.
+
+    Scale shape: ONE user-key window (lag of type) + a dims-sized
+    (≤ types+1 keys) partial+final census — the funnel shape without a
+    self-join."""
+    ev = _t(spark, sf_dir, "events").select(
+        "user_id", "ts", "event_id", "event_type"
+    )
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    lagged = ev.select(
+        "event_id",
+        "event_type",
+        F.coalesce(F.lag("event_type", 1).over(w), F.lit("(none)")).alias("prev_type"),
+    )
+    return (
+        lagged.where(F.col("event_type") == "purchase")
+        .groupBy("prev_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_purchases"),
+            F.sum("event_id").alias("purchase_checksum"),
+        )
+        .repartition(1).sortWithinPartitions("prev_type")
+    )
+
+
+def attribution_last_touch_sql() -> str:
+    return """
+WITH lagged AS (
+  SELECT event_id, event_type,
+         COALESCE(lag(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id),
+                  '(none)') AS prev_type
+  FROM events
+)
+SELECT prev_type,
+       COUNT(*) AS n_purchases,
+       CAST(SUM(event_id) AS BIGINT) AS purchase_checksum
+FROM lagged WHERE event_type = 'purchase'
+GROUP BY prev_type ORDER BY prev_type
+"""

@@ -4919,6 +4919,9 @@ def spatial_queries() -> dict[str, QueryFn]:
         "gini_split": rel.gini_split,
         "chisq_independence": rel.chisq_independence,
         "fano_dispersion": rel.fano_dispersion,
+        "dag_layers": q_dag_layers,
+        "twap_value": rel.twap_value,
+        "attribution_last_touch": rel.attribution_last_touch,
         "hex_bin": q_hex_bin,
         "sssp_hops": q_sssp,
         "rle_census": q_rle_census,
@@ -5151,6 +5154,9 @@ def spatial_oracles(sf: str = "sf0.01") -> dict[str, str]:
         "gini_split": rel.gini_split_sql(),
         "chisq_independence": rel.chisq_independence_sql(),
         "fano_dispersion": rel.fano_dispersion_sql(),
+        "dag_layers": _sql_dag_layers(),
+        "twap_value": rel.twap_value_sql(),
+        "attribution_last_touch": rel.attribution_last_touch_sql(),
         "hex_bin": _sql_hex_bin(fx),
         "sssp_hops": _sql_sssp(),
         "rle_census": _sql_rle_census(fx, w),
@@ -9396,4 +9402,62 @@ SELECT f.c_nationkey,
        CAST(f.cents = m.cents_merged AS BIGINT) AS rev_ok
 FROM full_v f JOIN merged m ON f.c_nationkey = m.c_nationkey
 ORDER BY f.c_nationkey
+"""
+
+
+_DAG_ROUNDS = 3
+
+
+def q_dag_layers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Topological Kahn-layer census (graph.dag_layer_census) on the
+    key-oriented (acyclic by construction) part co-purchase DAG."""
+    from ..operators.graph import dag_layer_census
+
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet").select(
+        "l_orderkey", "l_partkey"
+    )
+    a = li.select(F.col("l_orderkey").alias("k"), F.col("l_partkey").alias("u"))
+    b = li.select(F.col("l_orderkey").alias("k"), F.col("l_partkey").alias("v"))
+    pairs = (
+        a.join(b, "k").where(F.col("u") < F.col("v"))
+        .select(F.col("u").alias("src"), F.col("v").alias("dst"))
+    )
+    return (
+        dag_layer_census(pairs, _DAG_ROUNDS)
+        .repartition(1).sortWithinPartitions("round")
+    )
+
+
+def _sql_dag_layers() -> str:
+    rounds = []
+    pe, pn = "e0", "n0"
+    for r in range(1, _DAG_ROUNDS + 1):
+        rounds.append(f"""
+lay{r} AS (
+  SELECT n FROM {pn}
+  WHERE n NOT IN (SELECT DISTINCT dst FROM {pe})
+),
+n{r} AS (SELECT n FROM {pn} WHERE n NOT IN (SELECT n FROM lay{r})),
+e{r} AS (SELECT src, dst FROM {pe} WHERE src NOT IN (SELECT n FROM lay{r})),
+cen{r} AS (
+  SELECT {r} AS round,
+         (SELECT COUNT(*) FROM lay{r}) AS layer_size,
+         (SELECT COALESCE(SUM(n), 0) FROM lay{r}) AS layer_checksum,
+         (SELECT COUNT(*) FROM e{r}) AS n_edges_left
+)""")
+        pe, pn = f"e{r}", f"n{r}"
+    union = " UNION ALL ".join(f"SELECT * FROM cen{r}" for r in range(1, _DAG_ROUNDS + 1))
+    return f"""
+WITH e0 AS (
+  SELECT DISTINCT a.l_partkey AS src, b.l_partkey AS dst
+  FROM lineitem a JOIN lineitem b
+    ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+),
+n0 AS (SELECT DISTINCT n FROM (SELECT src AS n FROM e0 UNION ALL SELECT dst FROM e0)),
+{", ".join(r.lstrip() for r in rounds)}
+SELECT CAST(round AS BIGINT) AS round,
+       CAST(layer_size AS BIGINT) AS layer_size,
+       CAST(layer_checksum AS BIGINT) AS layer_checksum,
+       CAST(n_edges_left AS BIGINT) AS n_edges_left
+FROM ({union}) ORDER BY round
 """

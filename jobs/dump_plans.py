@@ -80,6 +80,20 @@ DEFAULT = [
     "hilbert_range_scan", # A130: driver range plan + OR-of-BETWEENs prune
     "voronoi_assign",     # A62 (round-3 replan): scalar least()+CASE argmin
     "zonal_majority",     # A50-family (round-3 replan): cached-decode hist partials
+    "local_supplier_volume",  # A160: Q5 join pyramid, broadcast dims
+    "box_nms",            # A165: named-column greedy cascade, zero shuffle
+    "clustering_coeff",   # A166: degree-ordered wedges, 3-way corner credit
+    "edit_distance_join", # A168: SymSpell variant blocking + levenshtein refine
+    "segment_intersections",  # A172: grid bucket join + ccw refine
+    "hits_scores",        # A177: per-half-round edge join + sum agg
+    "threshold_diffusion",    # A178: fused multi-round Arrow pass
+    "kmv_distinct",       # A183: distinct-hash agg + TakeOrdered bottom-k
+    "ivf_nprobe_sweep",   # A186: probe-once candidates + GEMM truth
+    "bitmap_index_ops",   # A193: bit_or word build + index-sized algebra
+    "histogram_quantile_audit",  # A194: sketch vs distributed global rank
+    "basket_rules",       # A198: pair self-join + broadcast marginals
+    "ivm_audit",          # A201: delta-partition scan + dims outer merge
+    "partition_skew_audit",   # A192: cell census + p99 order statistic
 ]
 
 

@@ -75,9 +75,14 @@ def main() -> int:
         if only and name not in only:
             continue
         t0 = time.time()
-        sdf = fn(spark, sf_dir)
-        srows = sdf.collect()
-        scols = sdf.columns
+        try:
+            sdf = fn(spark, sf_dir)
+            srows = sdf.collect()
+            scols = sdf.columns
+        except Exception as e:  # match the real driver: one bad query = one err row
+            print(f"{name:24s} ERR  {type(e).__name__}: {str(e).splitlines()[0][:120]}")
+            failures += 1
+            continue
         t1 = time.time()
         if name not in oracles:
             print(f"{name:24s} rows={len(srows):8d}  (rows-only, no oracle)  {t1-t0:5.1f}s")
