@@ -3531,3 +3531,65 @@ def box_counting(tiles: DataFrame) -> DataFrame:
         _boxes,
         schema="image_id string, scale long, n_boxes long, n_occupied long",
     )
+
+
+# --- radial ring profile --------------------------------------------------------------
+RADIAL_RING_Q = 16  # ring index = d2 // Q  (squared-distance buckets)
+
+
+def radial_profile(tiles: DataFrame) -> DataFrame:
+    """Radial ring profile about the tile center (the rotational-energy
+    / radial-PSD-proxy census of lens-shading and texture isotropy
+    checks): rings are SQUARED-distance buckets d² // RADIAL_RING_Q —
+    integer-exact, no square root — each reporting its pixel count,
+    value sum and value-weighted checksum.
+
+    Output: one row per (image, ring).
+
+    Scale shape: map-only fused mapInPandas; the ring index plane is
+    computed once per (w, h) group and reused across the batch."""
+    slim = tiles.select("image_id", "bytes", "w", "h", "fmt")
+
+    def _rad(batches):
+        dt = {"raw": np.uint8, "qnt": np.uint8, "raw16": "<u2"}
+        for pdf in batches:
+            n = len(pdf)
+            out = {"image_id": [], "ring": [], "n_px": [], "v_sum": [], "ring_checksum": []}
+            groups: dict[tuple, list[int]] = {}
+            for k in range(n):
+                key = (int(pdf["w"].iat[k]), int(pdf["h"].iat[k]), pdf["fmt"].iat[k])
+                groups.setdefault(key, []).append(k)
+            for (w, h, fmt), idx in groups.items():
+                z = (
+                    np.frombuffer(
+                        b"".join(pdf["bytes"].iat[k] for k in idx), dtype=dt[fmt]
+                    )
+                    .reshape(len(idx), h, w)
+                    .astype(np.int64)
+                )
+                ci, cj = h // 2, w // 2
+                d2 = (
+                    (np.arange(h, dtype=np.int64)[:, None] - ci) ** 2
+                    + (np.arange(w, dtype=np.int64)[None, :] - cj) ** 2
+                )
+                ring = d2 // RADIAL_RING_Q
+                wt = (
+                    np.arange(h, dtype=np.int64)[:, None] * w
+                    + np.arange(w, dtype=np.int64)[None, :]
+                    + 1
+                )
+                rings = np.unique(ring)
+                for b, k in enumerate(idx):
+                    for r in rings:
+                        m = ring == r
+                        out["image_id"].append(pdf["image_id"].iat[k])
+                        out["ring"].append(int(r))
+                        out["n_px"].append(int(m.sum()))
+                        out["v_sum"].append(int(z[b][m].sum()))
+                        out["ring_checksum"].append(int((z[b] * wt)[m].sum()))
+            yield pd.DataFrame(out)
+
+    return slim.mapInPandas(
+        _rad,
+        schema="image_id string, ring long, n_px long, v_sum long, ring_checksum long",
+    )

@@ -3147,3 +3147,160 @@ SELECT prev_type,
 FROM lagged WHERE event_type = 'purchase'
 GROUP BY prev_type ORDER BY prev_type
 """
+
+
+# --- compass direction rose over OD trips --------------------------------------------
+
+
+def direction_rose(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Compass direction-rose census over per-user consecutive event
+    display-position moves (the mobility-analytics rose diagram; also
+    the wind-rose shape): each consecutive pair of a user's events
+    yields a displacement vector on the synthetic (value, event_id)
+    plane-free route — here the trip vector between consecutive events'
+    (cell-free) integer coordinates derived from event ids — and the
+    8-sector compass bin is decided purely by sign and |dx| vs |dy|
+    comparisons (no atan2, no float): E/NE/N/NW/W/SW/S/SE.
+
+    Output per sector: n_trips, Σ|dx|, Σ|dy|, trip checksum.
+
+    Scale shape: ONE user-key lead() window builds the vectors; the
+    sector decision is codegen'd Column logic; final agg on 8 keys."""
+    ev = _t(spark, sf_dir, "events").select(
+        "user_id",
+        "ts",
+        "event_id",
+        ((F.col("event_id") * 37) % 401 - 200).alias("x"),
+        ((F.col("event_id") * 53) % 401 - 200).alias("y"),
+    )
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    d = ev.select(
+        "event_id",
+        (F.lead("x", 1).over(w) - F.col("x")).alias("dx"),
+        (F.lead("y", 1).over(w) - F.col("y")).alias("dy"),
+    ).where(F.col("dx").isNotNull() & ((F.col("dx") != 0) | (F.col("dy") != 0)))
+    ax, ay = F.abs("dx"), F.abs("dy")
+    diag = (F.lit(2) * F.least(ax, ay)) > F.greatest(ax, ay)
+    sector = (
+        F.when(diag & (F.col("dx") > 0) & (F.col("dy") > 0), "NE")
+        .when(diag & (F.col("dx") < 0) & (F.col("dy") > 0), "NW")
+        .when(diag & (F.col("dx") < 0) & (F.col("dy") < 0), "SW")
+        .when(diag & (F.col("dx") > 0) & (F.col("dy") < 0), "SE")
+        .when(ax >= ay, F.when(F.col("dx") > 0, "E").otherwise("W"))
+        .otherwise(F.when(F.col("dy") > 0, "N").otherwise("S"))
+    )
+    return (
+        d.select(sector.alias("sector"), "dx", "dy", "event_id")
+        .groupBy("sector")
+        .agg(
+            F.count(F.lit(1)).alias("n_trips"),
+            F.sum(F.abs("dx")).alias("sum_adx"),
+            F.sum(F.abs("dy")).alias("sum_ady"),
+            F.sum("event_id").alias("trip_checksum"),
+        )
+        .repartition(1).sortWithinPartitions("sector")
+    )
+
+
+def direction_rose_sql() -> str:
+    return """
+WITH ev AS (
+  SELECT user_id, ts, event_id,
+         (event_id * 37) % 401 - 200 AS x,
+         (event_id * 53) % 401 - 200 AS y
+  FROM events
+),
+d AS (
+  SELECT event_id,
+         lead(x) OVER (PARTITION BY user_id ORDER BY ts, event_id) - x AS dx,
+         lead(y) OVER (PARTITION BY user_id ORDER BY ts, event_id) - y AS dy
+  FROM ev
+),
+s AS (
+  SELECT event_id, dx, dy,
+         CASE
+           WHEN 2 * least(abs(dx), abs(dy)) > greatest(abs(dx), abs(dy))
+                AND dx > 0 AND dy > 0 THEN 'NE'
+           WHEN 2 * least(abs(dx), abs(dy)) > greatest(abs(dx), abs(dy))
+                AND dx < 0 AND dy > 0 THEN 'NW'
+           WHEN 2 * least(abs(dx), abs(dy)) > greatest(abs(dx), abs(dy))
+                AND dx < 0 AND dy < 0 THEN 'SW'
+           WHEN 2 * least(abs(dx), abs(dy)) > greatest(abs(dx), abs(dy))
+                AND dx > 0 AND dy < 0 THEN 'SE'
+           WHEN abs(dx) >= abs(dy) THEN CASE WHEN dx > 0 THEN 'E' ELSE 'W' END
+           ELSE CASE WHEN dy > 0 THEN 'N' ELSE 'S' END
+         END AS sector
+  FROM d
+  WHERE dx IS NOT NULL AND (dx <> 0 OR dy <> 0)
+)
+SELECT sector,
+       COUNT(*) AS n_trips,
+       CAST(SUM(abs(dx)) AS BIGINT) AS sum_adx,
+       CAST(SUM(abs(dy)) AS BIGINT) AS sum_ady,
+       CAST(SUM(event_id) AS BIGINT) AS trip_checksum
+FROM s GROUP BY sector ORDER BY sector
+"""
+
+
+# --- OLS regression moments -----------------------------------------------------------
+
+
+def ols_moments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distributed simple-OLS regression moments (the map-reduce form
+    of every linear fit: sufficient statistics n, Σx, Σy, Σxy, Σx² in
+    one combiner-friendly pass) for quantity-on-discount over lineitem,
+    per returnflag — plus slope in micro units from the exact integer
+    closed form (n·Σxy − Σx·Σy)·10³ // (n·Σx² − (Σx)²).  x = discount
+    in per-mille (exact), y = quantity.  Milli, not ppm: the numerator
+    n·Σxy·10³ stays inside int64 through sf1 (~2e19 would overflow at
+    10⁶).
+
+    Scale shape: ONE partial+final agg; no joins, no windows — the
+    canonical 'regression as aggregation' distributed shape."""
+    li = _t(spark, sf_dir, "lineitem").select(
+        "l_returnflag",
+        F.round(F.col("l_discount") * 1000).cast("long").alias("x"),
+        F.col("l_quantity").cast("long").alias("y"),
+    )
+    m = li.groupBy("l_returnflag").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("x").alias("sum_x"),
+        F.sum("y").alias("sum_y"),
+        F.sum(F.col("x") * F.col("y")).alias("sum_xy"),
+        F.sum(F.col("x") * F.col("x")).alias("sum_x2"),
+    )
+    return (
+        m.select(
+            "l_returnflag",
+            "n",
+            "sum_x",
+            "sum_y",
+            "sum_xy",
+            "sum_x2",
+            F.expr(
+                "div(1000 * (n * sum_xy - sum_x * sum_y),"
+                " n * sum_x2 - sum_x * sum_x)"
+            ).alias("slope_milli"),
+        )
+        .repartition(1).sortWithinPartitions("l_returnflag")
+    )
+
+
+def ols_moments_sql() -> str:
+    return """
+WITH li AS (
+  SELECT l_returnflag,
+         CAST(round(l_discount * 1000) AS BIGINT) AS x,
+         CAST(l_quantity AS BIGINT) AS y
+  FROM lineitem
+)
+SELECT l_returnflag,
+       COUNT(*) AS n,
+       CAST(SUM(x) AS BIGINT) AS sum_x,
+       CAST(SUM(y) AS BIGINT) AS sum_y,
+       CAST(SUM(x * y) AS BIGINT) AS sum_xy,
+       CAST(SUM(x * x) AS BIGINT) AS sum_x2,
+       CAST((1000 * (COUNT(*) * SUM(x * y) - SUM(x) * SUM(y)))
+            // (COUNT(*) * SUM(x * x) - SUM(x) * SUM(x)) AS BIGINT) AS slope_milli
+FROM li GROUP BY l_returnflag ORDER BY l_returnflag
+"""

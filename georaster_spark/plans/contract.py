@@ -4922,6 +4922,9 @@ def spatial_queries() -> dict[str, QueryFn]:
         "dag_layers": q_dag_layers,
         "twap_value": rel.twap_value,
         "attribution_last_touch": rel.attribution_last_touch,
+        "radial_profile": q_radial_profile,
+        "direction_rose": rel.direction_rose,
+        "ols_moments": rel.ols_moments,
         "hex_bin": q_hex_bin,
         "sssp_hops": q_sssp,
         "rle_census": q_rle_census,
@@ -5157,6 +5160,9 @@ def spatial_oracles(sf: str = "sf0.01") -> dict[str, str]:
         "dag_layers": _sql_dag_layers(),
         "twap_value": rel.twap_value_sql(),
         "attribution_last_touch": rel.attribution_last_touch_sql(),
+        "radial_profile": _sql_radial_profile(fx, w),
+        "direction_rose": rel.direction_rose_sql(),
+        "ols_moments": rel.ols_moments_sql(),
         "hex_bin": _sql_hex_bin(fx),
         "sssp_hops": _sql_sssp(),
         "rle_census": _sql_rle_census(fx, w),
@@ -9460,4 +9466,46 @@ SELECT CAST(round AS BIGINT) AS round,
        CAST(layer_checksum AS BIGINT) AS layer_checksum,
        CAST(n_edges_left AS BIGINT) AS n_edges_left
 FROM ({union}) ORDER BY round
+"""
+
+
+_RADIAL_MOD = 173
+
+
+def q_radial_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Radial ring profile (algebra.radial_profile — squared-distance
+    buckets, no sqrt), map-only fused Arrow pass."""
+    from ..operators import algebra
+
+    tiles = geo.georegister(_images(spark, sf_dir)).where(
+        geo.image_idx() % _RADIAL_MOD == 0
+    )
+    return (
+        algebra.radial_profile(tiles)
+        .repartition(1).sortWithinPartitions("image_id", "ring")
+    )
+
+
+def _sql_radial_profile(fx: Path, w: int) -> str:
+    from ..operators.algebra import RADIAL_RING_Q
+
+    ramp = osql.ramp_value_expr("gi.i", "gj.j")
+    c = w // 2
+    return f"""
+WITH {osql.georegister_cte(str(fx / 'images.parquet'))},
+px AS (
+  SELECT image_id,
+         ((gi.i - {c}) * (gi.i - {c}) + (gj.j - {c}) * (gj.j - {c}))
+           // {RADIAL_RING_Q} AS ring,
+         CAST({ramp} AS BIGINT) AS v,
+         gi.i * {w} + gj.j + 1 AS wt
+  FROM tiles,
+       generate_series(0, {w - 1}) AS gi(i), generate_series(0, {w - 1}) AS gj(j)
+  WHERE idx % {_RADIAL_MOD} = 0
+)
+SELECT image_id, CAST(ring AS BIGINT) AS ring,
+       COUNT(*) AS n_px,
+       CAST(SUM(v) AS BIGINT) AS v_sum,
+       CAST(SUM(v * wt) AS BIGINT) AS ring_checksum
+FROM px GROUP BY image_id, ring ORDER BY image_id, ring
 """
