@@ -347,3 +347,56 @@ def mosaic_region_components(
             F.count(F.lit(1)).alias("n_frags"),
         )
     )
+
+
+PERC_THRESHOLDS = (128, 160, 192, 224)
+
+
+def percolation_sweep(tiles: DataFrame) -> DataFrame:
+    """Percolation threshold sweep (site-percolation census across
+    occupancy levels — where does the giant cluster break up?): the
+    v >= t mask is labeled at each threshold in PERC_THRESHOLDS and
+    each level reports occupancy, component count, largest cluster and
+    the content-derived region checksum — the cluster-size trajectory
+    as the occupied fraction falls.
+
+    Scale shape: map-only fused mapInPandas; the same decoded block is
+    re-masked per threshold (decode once, label |T| times), zero
+    shuffle."""
+    slim = tiles.select("image_id", "bytes", "w", "h", "fmt")
+
+    def _sweep(batches):
+        dt = {"raw": np.uint8, "qnt": np.uint8, "raw16": "<u2"}
+        for pdf in batches:
+            n = len(pdf)
+            out = {
+                "image_id": [], "threshold": [], "n_fg": [], "n_regions": [],
+                "max_region": [], "region_checksum": [],
+            }
+            groups: dict[tuple, list[int]] = {}
+            for k in range(n):
+                key = (int(pdf["w"].iat[k]), int(pdf["h"].iat[k]), pdf["fmt"].iat[k])
+                groups.setdefault(key, []).append(k)
+            for (w, h, fmt), idx in groups.items():
+                blk = np.frombuffer(
+                    b"".join(pdf["bytes"].iat[k] for k in idx), dtype=dt[fmt]
+                ).reshape(len(idx), h, w)
+                for t in PERC_THRESHOLDS:
+                    masks = blk >= t
+                    for pos, k in enumerate(idx):
+                        nfg, nr, mx, ck = _label_tile(masks[pos], w)
+                        out["image_id"].append(pdf["image_id"].iat[k])
+                        out["threshold"].append(t)
+                        out["n_fg"].append(nfg)
+                        out["n_regions"].append(nr)
+                        out["max_region"].append(mx)
+                        out["region_checksum"].append(ck)
+            yield pd.DataFrame(out)
+
+    return slim.mapInPandas(
+        _sweep,
+        schema=(
+            "image_id string, threshold long, n_fg long, n_regions long, "
+            "max_region long, region_checksum long"
+        ),
+    )

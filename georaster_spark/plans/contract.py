@@ -4925,6 +4925,7 @@ def spatial_queries() -> dict[str, QueryFn]:
         "radial_profile": q_radial_profile,
         "direction_rose": rel.direction_rose,
         "ols_moments": rel.ols_moments,
+        "percolation_sweep": q_percolation_sweep,
         "hex_bin": q_hex_bin,
         "sssp_hops": q_sssp,
         "rle_census": q_rle_census,
@@ -5163,6 +5164,7 @@ def spatial_oracles(sf: str = "sf0.01") -> dict[str, str]:
         "radial_profile": _sql_radial_profile(fx, w),
         "direction_rose": rel.direction_rose_sql(),
         "ols_moments": rel.ols_moments_sql(),
+        "percolation_sweep": _sql_percolation_sweep(fx, w),
         "hex_bin": _sql_hex_bin(fx),
         "sssp_hops": _sql_sssp(),
         "rle_census": _sql_rle_census(fx, w),
@@ -9508,4 +9510,81 @@ SELECT image_id, CAST(ring AS BIGINT) AS ring,
        CAST(SUM(v) AS BIGINT) AS v_sum,
        CAST(SUM(v * wt) AS BIGINT) AS ring_checksum
 FROM px GROUP BY image_id, ring ORDER BY image_id, ring
+"""
+
+
+def q_percolation_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Site-percolation threshold sweep (regions.percolation_sweep):
+    cluster-size trajectory across 4 occupancy levels, decode-once
+    map-only pass; oracle = the region-label recursive closure run per
+    threshold."""
+    from ..operators import regions
+
+    tiles = geo.georegister(_images(spark, sf_dir)).where(
+        geo.image_idx() % _REGION_MOD == 0
+    )
+    return (
+        regions.percolation_sweep(tiles)
+        .repartition(1).sortWithinPartitions("image_id", "threshold")
+    )
+
+
+def _sql_percolation_sweep(fx: Path, w: int) -> str:
+    from ..operators.regions import PERC_THRESHOLDS
+
+    ramp = osql.ramp_value_expr("gi.i", "gj.j")
+    arms = []
+    for t in PERC_THRESHOLDS:
+        arms.append(f"""
+px{t} AS (
+  SELECT image_id, gi.i * {w} + gj.j AS pid
+  FROM tiles,
+       generate_series(0, {w - 1}) AS gi(i), generate_series(0, {w - 1}) AS gj(j)
+  WHERE idx % {_REGION_MOD} = 0 AND CAST({ramp} AS BIGINT) >= {t}
+),
+edges{t} AS (
+  SELECT a.image_id, a.pid AS u, b.pid AS v
+  FROM px{t} a JOIN px{t} b ON b.image_id = a.image_id
+   AND (b.pid = a.pid + {w}
+        OR (b.pid = a.pid + 1 AND a.pid % {w} <> {w - 1}))
+),
+sym{t} AS (SELECT image_id, u, v FROM edges{t}
+           UNION SELECT image_id, v, u FROM edges{t}),
+reach{t}(image_id, pid, r) AS (
+  SELECT image_id, pid, pid FROM px{t}
+  UNION
+  SELECT e.image_id, e.v, reach{t}.r
+  FROM reach{t} JOIN sym{t} e
+    ON e.image_id = reach{t}.image_id AND e.u = reach{t}.pid
+),
+labels{t} AS (
+  SELECT image_id, pid, MIN(r) AS comp FROM reach{t} GROUP BY image_id, pid
+),
+comps{t} AS (
+  SELECT image_id, comp, COUNT(*) AS sz FROM labels{t} GROUP BY image_id, comp
+),
+agg{t} AS (
+  SELECT image_id, {t} AS threshold, SUM(sz) AS n_fg, COUNT(*) AS n_regions,
+         MAX(sz) AS max_region, SUM((comp + 1) * sz) AS region_checksum
+  FROM comps{t} GROUP BY image_id
+)""")
+    union = " UNION ALL ".join(
+        f"SELECT * FROM agg{t}" for t in PERC_THRESHOLDS
+    )
+    grid = " UNION ALL ".join(
+        f"SELECT image_id, {t} AS threshold FROM sel" for t in PERC_THRESHOLDS
+    )
+    return f"""
+WITH RECURSIVE {osql.georegister_cte(str(fx / 'images.parquet'))},
+sel AS (SELECT image_id FROM tiles WHERE idx % {_REGION_MOD} = 0),
+{", ".join(a.lstrip() for a in arms)},
+u AS ({union}),
+g AS ({grid})
+SELECT g.image_id, CAST(g.threshold AS BIGINT) AS threshold,
+       CAST(COALESCE(u.n_fg, 0) AS BIGINT) AS n_fg,
+       CAST(COALESCE(u.n_regions, 0) AS BIGINT) AS n_regions,
+       CAST(COALESCE(u.max_region, 0) AS BIGINT) AS max_region,
+       CAST(COALESCE(u.region_checksum, 0) AS BIGINT) AS region_checksum
+FROM g LEFT JOIN u ON u.image_id = g.image_id AND u.threshold = g.threshold
+ORDER BY g.image_id, g.threshold
 """
