@@ -3304,3 +3304,65 @@ SELECT l_returnflag,
             // (COUNT(*) * SUM(x * x) - SUM(x) * SUM(x)) AS BIGINT) AS slope_milli
 FROM li GROUP BY l_returnflag ORDER BY l_returnflag
 """
+
+
+# --- inter-arrival log2 census ----------------------------------------------------------
+
+
+def interarrival_census(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Inter-arrival-time distribution census in log2 buckets (the
+    burstiness profile behind queueing and anomaly models — an
+    exponential process fills adjacent buckets geometrically): per
+    event type, Δt seconds between consecutive events of THAT type per
+    user, bucketed by floor(log2(Δt)) computed EXACTLY via binary-string
+    length (length(bin(Δt)) − 1) — never float log2, whose libm
+    rounding differs between JVM (ln/ln) and DuckDB at exact powers.
+    Zero gaps land in bucket -1.
+
+    Scale shape: ONE (user, type)-key lead() window + a dims-sized
+    (types × ~40 buckets) census."""
+    ev = _t(spark, sf_dir, "events").select(
+        "user_id",
+        "event_type",
+        F.floor(F.unix_timestamp("ts")).cast("long").alias("t"),
+        "event_id",
+    )
+    w = Window.partitionBy("user_id", "event_type").orderBy("t", "event_id")
+    d = ev.select(
+        "event_type", (F.lead("t", 1).over(w) - F.col("t")).alias("dt")
+    ).where(F.col("dt").isNotNull())
+    bucket = F.when(F.col("dt") <= 0, F.lit(-1)).otherwise(
+        F.length(F.expr("bin(dt)")) - 1
+    )
+    return (
+        d.select("event_type", bucket.cast("long").alias("log2_bucket"), "dt")
+        .groupBy("event_type", "log2_bucket")
+        .agg(
+            F.count(F.lit(1)).alias("n_gaps"),
+            F.sum("dt").alias("dt_sum"),
+        )
+        .repartition(1).sortWithinPartitions("event_type", "log2_bucket")
+    )
+
+
+def interarrival_census_sql() -> str:
+    return """
+WITH ev AS (
+  SELECT user_id, event_type,
+         CAST(floor(epoch(ts)) AS BIGINT) AS t, event_id
+  FROM events
+),
+d AS (
+  SELECT event_type,
+         lead(t) OVER (PARTITION BY user_id, event_type ORDER BY t, event_id) - t
+           AS dt
+  FROM ev
+)
+SELECT event_type,
+       CAST(CASE WHEN dt <= 0 THEN -1
+                 ELSE length(printf('%b', dt)) - 1 END AS BIGINT) AS log2_bucket,
+       COUNT(*) AS n_gaps,
+       CAST(SUM(dt) AS BIGINT) AS dt_sum
+FROM d WHERE dt IS NOT NULL
+GROUP BY event_type, 2 ORDER BY event_type, log2_bucket
+"""

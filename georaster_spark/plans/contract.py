@@ -4926,6 +4926,9 @@ def spatial_queries() -> dict[str, QueryFn]:
         "direction_rose": rel.direction_rose,
         "ols_moments": rel.ols_moments,
         "percolation_sweep": q_percolation_sweep,
+        "noise_mad": q_noise_mad,
+        "interarrival_census": rel.interarrival_census,
+        "zone_adjacency": q_zone_adjacency,
         "hex_bin": q_hex_bin,
         "sssp_hops": q_sssp,
         "rle_census": q_rle_census,
@@ -5165,6 +5168,9 @@ def spatial_oracles(sf: str = "sf0.01") -> dict[str, str]:
         "direction_rose": rel.direction_rose_sql(),
         "ols_moments": rel.ols_moments_sql(),
         "percolation_sweep": _sql_percolation_sweep(fx, w),
+        "noise_mad": _sql_noise_mad(fx, w),
+        "interarrival_census": rel.interarrival_census_sql(),
+        "zone_adjacency": _sql_zone_adjacency(fx),
         "hex_bin": _sql_hex_bin(fx),
         "sssp_hops": _sql_sssp(),
         "rle_census": _sql_rle_census(fx, w),
@@ -9587,4 +9593,112 @@ SELECT g.image_id, CAST(g.threshold AS BIGINT) AS threshold,
        CAST(COALESCE(u.region_checksum, 0) AS BIGINT) AS region_checksum
 FROM g LEFT JOIN u ON u.image_id = g.image_id AND u.threshold = g.threshold
 ORDER BY g.image_id, g.threshold
+"""
+
+
+_NOISE_MOD = 179
+
+
+def q_noise_mad(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Laplacian-MAD noise estimation (algebra.noise_mad — Immerkær
+    fast noise variance, exact rank statistics per tile)."""
+    from ..operators import algebra
+
+    tiles = geo.georegister(_images(spark, sf_dir)).where(
+        geo.image_idx() % _NOISE_MOD == 0
+    )
+    return (
+        algebra.noise_mad(tiles)
+        .repartition(1).sortWithinPartitions("image_id")
+    )
+
+
+def _sql_noise_mad(fx: Path, w: int) -> str:
+    def v(di, dj):
+        return f"CAST({osql.ramp_value_expr(f'gi.i + {di}', f'gj.j + {dj}')} AS BIGINT)"
+
+    lap = f"abs(4 * {v(0, 0)} - {v(-1, 0)} - {v(1, 0)} - {v(0, -1)} - {v(0, 1)})"
+    n_int = (w - 2) * (w - 2)
+    med_rank = (n_int - 1) // 2 + 1  # 1-based low-median rank
+    return f"""
+WITH {osql.georegister_cte(str(fx / 'images.parquet'))},
+al AS (
+  SELECT image_id, {lap} AS a
+  FROM tiles,
+       generate_series(1, {w - 2}) AS gi(i), generate_series(1, {w - 2}) AS gj(j)
+  WHERE idx % {_NOISE_MOD} = 0
+),
+rk AS (
+  SELECT image_id, a,
+         row_number() OVER (PARTITION BY image_id ORDER BY a) AS rn
+  FROM al
+),
+med AS (SELECT image_id, a AS m FROM rk WHERE rn = {med_rank}),
+dev AS (
+  SELECT al.image_id, abs(al.a - med.m) AS d, med.m
+  FROM al JOIN med ON al.image_id = med.image_id
+),
+drk AS (
+  SELECT image_id, d, m,
+         row_number() OVER (PARTITION BY image_id ORDER BY d) AS rn
+  FROM dev
+),
+mad AS (SELECT image_id, m, d AS mad FROM drk WHERE rn = {med_rank}),
+s AS (SELECT image_id, SUM(a) AS lap_abs_sum FROM al GROUP BY image_id)
+SELECT s.image_id,
+       CAST(mad.m AS BIGINT) AS lap_abs_median,
+       CAST(mad.mad AS BIGINT) AS lap_abs_mad,
+       CAST(s.lap_abs_sum AS BIGINT) AS lap_abs_sum
+FROM s JOIN mad ON s.image_id = mad.image_id
+ORDER BY s.image_id
+"""
+
+
+ZONE_GAP = 2000.0
+
+
+def q_zone_adjacency(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-adjacency census of the zone partition (the neighbor-graph
+    pass redistricting / coverage-gap audits run; exact touch is
+    measure-zero on double rects, so 'adjacent' = DISJOINT with
+    Chebyshev bbox separation <= ZONE_GAP): per qualifying pair the
+    separations along each axis (negative = overlap in that axis).
+
+    Scale shape: zones are a dim table — the pair theta-join is
+    broadcast-scale by definition; the raster side never joins here."""
+    z = _zones(spark, sf_dir).select("zone_id", "xmin", "ymin", "xmax", "ymax")
+    a = z.select(
+        F.col("zone_id").alias("za"),
+        F.col("xmin").alias("ax0"), F.col("ymin").alias("ay0"),
+        F.col("xmax").alias("ax1"), F.col("ymax").alias("ay1"),
+    )
+    b = z.select(
+        F.col("zone_id").alias("zb"),
+        F.col("xmin").alias("bx0"), F.col("ymin").alias("by0"),
+        F.col("xmax").alias("bx1"), F.col("ymax").alias("by1"),
+    )
+    sep_x = F.greatest(F.lit(0.0), F.greatest("ax0", "bx0") - F.least("ax1", "bx1"))
+    sep_y = F.greatest(F.lit(0.0), F.greatest("ay0", "by0") - F.least("ay1", "by1"))
+    sep = F.greatest(sep_x, sep_y)
+    return (
+        a.join(b, F.col("za") < F.col("zb"))
+        .where((sep > 0.0) & (sep <= ZONE_GAP))
+        .select("za", "zb", sep_x.alias("sep_x"), sep_y.alias("sep_y"))
+        .repartition(1).sortWithinPartitions("za", "zb")
+    )
+
+
+def _sql_zone_adjacency(fx: Path) -> str:
+    return f"""
+WITH z AS (SELECT * FROM read_parquet('{fx / 'zones.parquet'}')),
+p AS (
+  SELECT a.zone_id AS za, b.zone_id AS zb,
+         greatest(0.0, greatest(a.xmin, b.xmin) - least(a.xmax, b.xmax)) AS sep_x,
+         greatest(0.0, greatest(a.ymin, b.ymin) - least(a.ymax, b.ymax)) AS sep_y
+  FROM z a JOIN z b ON a.zone_id < b.zone_id
+)
+SELECT za, zb, sep_x, sep_y
+FROM p
+WHERE greatest(sep_x, sep_y) > 0.0 AND greatest(sep_x, sep_y) <= {ZONE_GAP}
+ORDER BY za, zb
 """
