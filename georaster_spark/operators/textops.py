@@ -2185,6 +2185,7 @@ def text_queries():
         "vocab_growth": vocab_growth,
         "bpe_merge_apply": bpe_merge_apply,
         "tfidf_doc_similarity": tfidf_doc_similarity,
+        "prefix_autocomplete": prefix_autocomplete,
     }
 
 
@@ -2226,6 +2227,7 @@ def text_oracles() -> dict[str, str]:
         "vocab_growth": vocab_growth_sql(),
         "bpe_merge_apply": bpe_merge_apply_sql(),
         "tfidf_doc_similarity": tfidf_doc_similarity_sql(),
+        "prefix_autocomplete": prefix_autocomplete_sql(),
     }
 
 
@@ -3048,4 +3050,88 @@ FROM dots
 JOIN norms na ON na.doc_id = d1
 JOIN norms nb ON nb.doc_id = d2
 ORDER BY d1, d2
+"""
+
+
+# ---------------------------------------------------------------------------
+# T13 — prefix autocomplete census
+# ---------------------------------------------------------------------------
+
+AC_MAX_PREFIX = 3
+
+
+def prefix_autocomplete(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Prefix-autocomplete table (the search-suggest/trie top-1
+    completion per prefix, lengths 1..AC_MAX_PREFIX): for each observed
+    prefix, the most frequent completing word (count DESC, word ASC —
+    deterministic), its corpus count, and how many distinct words share
+    the prefix.
+
+    Scale shape: ONE word-count agg; the prefix explode is bounded by
+    AC_MAX_PREFIX; the per-prefix argmax runs on the DISTINCT-PREFIX
+    relation (alphabet-bounded — planner-metadata scale, the oov_rate
+    window policy)."""
+    d = _docs(spark, sf_dir)
+    wc = (
+        d.select(F.explode(words_col()).alias("wd"))
+        .where(F.length("wd") > 0)
+        .groupBy("wd")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    pref = wc.select(
+        "wd",
+        "n",
+        F.explode(
+            F.expr(
+                f"transform(sequence(1, least(length(wd), {AC_MAX_PREFIX})),"
+                " i -> substring(wd, 1, i))"
+            )
+        ).alias("prefix"),
+    )
+    w = W.partitionBy("prefix").orderBy(F.desc("n"), F.asc("wd"))
+    return (
+        pref.repartition(1)
+        .select(
+            "prefix",
+            "wd",
+            "n",
+            F.row_number().over(w).alias("rn"),
+            F.count(F.lit(1)).over(W.partitionBy("prefix")).alias("n_words"),
+        )
+        .where(F.col("rn") == 1)
+        .select(
+            F.length("prefix").cast("long").alias("prefix_len"),
+            "prefix",
+            F.col("wd").alias("top_word"),
+            F.col("n").alias("top_count"),
+            F.col("n_words").cast("long").alias("n_words"),
+        )
+        .sortWithinPartitions("prefix")
+    )
+
+
+def prefix_autocomplete_sql() -> str:
+    return f"""
+WITH wc AS (
+  SELECT wd, COUNT(*) AS n FROM (
+    SELECT unnest({_SQL_WS}) AS wd FROM documents
+  ) WHERE length(wd) > 0 GROUP BY wd
+),
+pref AS (
+  SELECT wd, n,
+         unnest(list_transform(range(1, least(length(wd), {AC_MAX_PREFIX}) + 1),
+                i -> substr(wd, 1, i))) AS prefix
+  FROM wc
+)
+SELECT CAST(length(prefix) AS BIGINT) AS prefix_len,
+       prefix,
+       wd AS top_word,
+       CAST(n AS BIGINT) AS top_count,
+       CAST(n_words AS BIGINT) AS n_words
+FROM (
+  SELECT prefix, wd, n,
+         row_number() OVER (PARTITION BY prefix ORDER BY n DESC, wd ASC) AS rn,
+         COUNT(*) OVER (PARTITION BY prefix) AS n_words
+  FROM pref
+) WHERE rn = 1 ORDER BY prefix
 """

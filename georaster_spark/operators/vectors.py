@@ -857,6 +857,7 @@ def vector_queries():
         "jl_projection": jl_projection,
         "dim_truncation_recall": dim_truncation_recall,
         "ivf_nprobe_sweep": ivf_nprobe_sweep,
+        "ann_binary_hamming": ann_binary_hamming,
     }
 
 
@@ -874,6 +875,7 @@ def vector_oracles() -> dict[str, str]:
         "jl_projection": jl_projection_sql(),
         "dim_truncation_recall": dim_truncation_recall_sql(),
         "ivf_nprobe_sweep": ivf_nprobe_sweep_sql(),
+        "ann_binary_hamming": ann_binary_hamming_sql(),
     }
 
 
@@ -1869,4 +1871,156 @@ SELECT CAST(nprobe AS BIGINT) AS nprobe,
        CAST(n_queries AS BIGINT) AS n_queries,
        CAST((1000000 * n_hits) // ({SWEEP_K} * n_queries) AS BIGINT) AS recall_ppm
 FROM ({sweeps}) ORDER BY nprobe
+"""
+
+
+# ---------------------------------------------------------------------------
+# V13 — 1-bit (sign) binary quantization + Hamming top-k with recall audit
+# ---------------------------------------------------------------------------
+
+BQ_TOPK = 5
+
+
+def ann_binary_hamming(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Binary-quantized retrieval (1-bit sign embeddings + Hamming
+    ranking — the 64x-compression end of the quantization spectrum
+    after SQ8 and PQ; the modern 'binary embeddings' serving trick):
+    the first 63 sign bits pack into ONE int64 word (bit 63 stays
+    clear: a 1<<63 shift overflows DuckDB's checked BIGINT and wraps
+    negative in the JVM — not worth the cross-engine hazard for one
+    dim), so the whole index is a long column, distance is
+    bit_count(a XOR b) in pure codegen Column math (zero UDF in the
+    scan), and per query the Hamming top-K plus its recall against
+    exact cosine top-K is reported.
+
+    Scale shape: encode is map-only (one aggregate fold per row); the
+    scan is a broadcast of the query words against the corpus column —
+    the cheapest possible rescore-free ANN sweep; ranking is one
+    window; the truth pass reuses the ann grid convention."""
+    e = _emb(spark, sf_dir).select("vec_id", "embedding")
+    # bit d set iff embedding[d] >= 0; bits fold into one int64 word
+    code = F.expr(
+        "aggregate(sequence(0, %d), CAST(0 AS BIGINT),"
+        " (acc, d) -> acc + IF(element_at(embedding, d + 1) >= 0,"
+        " shiftleft(CAST(1 AS BIGINT), d), CAST(0 AS BIGINT)))" % (DIM - 2)
+    )
+    coded = e.select("vec_id", "embedding", code.alias("code"))
+    coded = coded.localCheckpoint(eager=False)  # encode once: scan + truth share
+    q = coded.where(F.col("vec_id") % QUERY_MOD == 0).select(
+        F.col("vec_id").alias("query_id"), F.col("code").alias("qcode"),
+        F.col("embedding").alias("eq"),
+    )
+    scan = coded.select("vec_id", "code").crossJoin(
+        F.broadcast(q.select("query_id", "qcode"))
+    ).where(F.col("vec_id") != F.col("query_id"))
+    ham = scan.select(
+        "query_id",
+        "vec_id",
+        F.expr("bit_count(code ^ qcode)").cast("long").alias("hamming"),
+    )
+    win = Window.partitionBy("query_id").orderBy(F.asc("hamming"), F.asc("vec_id"))
+    top = (
+        ham.withColumn("rank", F.row_number().over(win))
+        .where(F.col("rank") <= BQ_TOPK)
+        .select("query_id", "vec_id", "hamming")
+    )
+    # exact truth for recall: brute cosine top-K over the tiny query set
+    cross = coded.select("vec_id", "embedding").crossJoin(
+        F.broadcast(q.select("query_id", "eq"))
+    ).where(F.col("vec_id") != F.col("query_id"))
+
+    tschema = StructType(
+        [
+            StructField("query_id", LongType()),
+            StructField("vec_id", LongType()),
+            StructField("cos", DoubleType()),
+        ]
+    )
+
+    def rescore(batches):
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            A = _mat(pdf["eq"])
+            B = _mat(pdf["embedding"])
+            cos = np.einsum("ij,ij->i", A, B) / (
+                np.linalg.norm(A, axis=1) * np.linalg.norm(B, axis=1)
+            )
+            yield pd.DataFrame(
+                {"query_id": pdf["query_id"], "vec_id": pdf["vec_id"], "cos": cos}
+            )
+
+    twin = Window.partitionBy("query_id").orderBy(F.col("cos").desc(), F.col("vec_id").asc())
+    truth = (
+        cross.mapInPandas(rescore, schema=tschema)
+        .withColumn("rank", F.row_number().over(twin))
+        .where(F.col("rank") <= BQ_TOPK)
+        .select(F.col("query_id").alias("q2"), F.col("vec_id").alias("v2"))
+    )
+    hits = top.join(
+        truth,
+        (F.col("query_id") == F.col("q2")) & (F.col("vec_id") == F.col("v2")),
+        "left_semi",
+    ).groupBy("query_id").agg(F.count(F.lit(1)).alias("n_hits"))
+    per_q = top.groupBy("query_id").agg(
+        F.count(F.lit(1)).alias("k"),
+        F.sum("hamming").alias("hamming_sum"),
+        F.sum("vec_id").alias("top_checksum"),
+    )
+    return (
+        per_q.join(hits, "query_id", "left")
+        .select(
+            "query_id",
+            "k",
+            "hamming_sum",
+            "top_checksum",
+            F.coalesce(F.col("n_hits"), F.lit(0)).alias("n_hits"),
+        )
+        .repartition(1).sortWithinPartitions("query_id")
+    )
+
+
+def ann_binary_hamming_sql() -> str:
+    code = (
+        "list_sum(list_transform(range(0, %d),"
+        " d -> CASE WHEN embedding[d + 1] >= 0"
+        " THEN (1::BIGINT << d) ELSE 0 END))" % (DIM - 1)
+    )
+    dot = _sql_dot("q.eq", "e.embedding")
+    nq = _sql_dot("q.eq", "q.eq")
+    ne = _sql_dot("e.embedding", "e.embedding")
+    return f"""
+WITH coded AS (
+  SELECT vec_id, embedding, CAST({code} AS BIGINT) AS code FROM embeddings
+),
+q AS (
+  SELECT vec_id AS query_id, code AS qcode, embedding AS eq
+  FROM coded WHERE vec_id % {QUERY_MOD} = 0
+),
+top AS (
+  SELECT query_id, vec_id, hamming FROM (
+    SELECT q.query_id, c.vec_id,
+           bit_count(xor(c.code, q.qcode)) AS hamming,
+           row_number() OVER (PARTITION BY q.query_id
+                              ORDER BY bit_count(xor(c.code, q.qcode)), c.vec_id)
+             AS rank
+    FROM coded c, q WHERE c.vec_id <> q.query_id)
+  WHERE rank <= {BQ_TOPK}
+),
+truth AS (
+  SELECT query_id, vec_id FROM (
+    SELECT q.query_id, e.vec_id,
+           row_number() OVER (PARTITION BY q.query_id
+             ORDER BY {dot} / sqrt(({nq}) * ({ne})) DESC, e.vec_id ASC) AS rank
+    FROM coded e, q WHERE e.vec_id <> q.query_id)
+  WHERE rank <= {BQ_TOPK}
+)
+SELECT t.query_id,
+       COUNT(*) AS k,
+       CAST(SUM(t.hamming) AS BIGINT) AS hamming_sum,
+       CAST(SUM(t.vec_id) AS BIGINT) AS top_checksum,
+       CAST(SUM(CASE WHEN EXISTS (SELECT 1 FROM truth x
+                 WHERE x.query_id = t.query_id AND x.vec_id = t.vec_id)
+                THEN 1 ELSE 0 END) AS BIGINT) AS n_hits
+FROM top t GROUP BY t.query_id ORDER BY t.query_id
 """
