@@ -3366,3 +3366,148 @@ SELECT event_type,
 FROM d WHERE dt IS NOT NULL
 GROUP BY event_type, 2 ORDER BY event_type, log2_bucket
 """
+
+
+# --- duplicate-payment detection --------------------------------------------------------
+
+DUP_PAY_WINDOW_D = 7
+DUP_PAY_MOD = 100  # orders with key % MOD == 0 get an injected resubmission
+
+
+def duplicate_payments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Duplicate-payment detection (the classic AP-audit query: same
+    payer, same amount, dates within a week — almost always a double
+    submission).  The synthetic order book carries no natural
+    duplicates (amounts are high-entropy), so every 100th order injects
+    a deterministic resubmission twin — same customer, same cents,
+    +3 days, key offset by 10⁹ — mirrored exactly in the oracle (the
+    pii_scan injection precedent); the audited behavior is the NEEDLE
+    SEARCH: the pair join must fish exactly the injected twins out of
+    the clean corpus.
+
+    Scale shape: the pair join is an EQUI-join on (custkey, cents) —
+    the fuzzy-dup trick of pushing every exact attribute into the key
+    so only the date window stays a theta refine; group sizes are
+    bounded by per-(payer, amount) multiplicity."""
+    o = _t(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey", "o_orderdate",
+        cents(F.col("o_totalprice")).alias("tp"),
+    )
+    twins = o.where(F.col("o_orderkey") % DUP_PAY_MOD == 0).select(
+        (F.col("o_orderkey") + 1_000_000_000).alias("o_orderkey"),
+        "o_custkey",
+        F.date_add("o_orderdate", 3).alias("o_orderdate"),
+        "tp",
+    )
+    book = o.select(
+        "o_orderkey", "o_custkey", F.col("o_orderdate").cast("date").alias("o_orderdate"), "tp"
+    ).unionByName(twins)
+    a = book.select(
+        F.col("o_custkey").alias("ck"), F.col("tp").alias("amt"),
+        F.col("o_orderkey").alias("k1"), F.col("o_orderdate").alias("d1"),
+    )
+    b = book.select(
+        F.col("o_custkey").alias("ck"), F.col("tp").alias("amt"),
+        F.col("o_orderkey").alias("k2"), F.col("o_orderdate").alias("d2"),
+    )
+    pairs = (
+        a.join(b, ["ck", "amt"])
+        .where(
+            (F.col("k1") < F.col("k2"))
+            & (F.abs(F.datediff("d2", "d1")) <= DUP_PAY_WINDOW_D)
+        )
+    )
+    return (
+        pairs.select(
+            "ck",
+            "k1",
+            "k2",
+            (F.col("amt") / 100.0).alias("amount"),
+            F.abs(F.datediff("d2", "d1")).cast("long").alias("gap_days"),
+        )
+        .repartition(1).sortWithinPartitions("ck", "k1", "k2")
+    )
+
+
+def duplicate_payments_sql() -> str:
+    return f"""
+WITH o AS (
+  SELECT o_orderkey, o_custkey, CAST(o_orderdate AS DATE) AS o_orderdate,
+         CAST(round(o_totalprice * 100) AS BIGINT) AS tp
+  FROM orders
+),
+book AS (
+  SELECT * FROM o
+  UNION ALL
+  SELECT o_orderkey + 1000000000, o_custkey, o_orderdate + 3, tp
+  FROM o WHERE o_orderkey % {DUP_PAY_MOD} = 0
+)
+SELECT a.o_custkey AS ck,
+       a.o_orderkey AS k1, b.o_orderkey AS k2,
+       a.tp / 100.0 AS amount,
+       CAST(abs(date_diff('day', a.o_orderdate, b.o_orderdate)) AS BIGINT)
+         AS gap_days
+FROM book a JOIN book b
+  ON a.o_custkey = b.o_custkey AND a.tp = b.tp AND a.o_orderkey < b.o_orderkey
+WHERE abs(date_diff('day', a.o_orderdate, b.o_orderdate)) <= {DUP_PAY_WINDOW_D}
+ORDER BY ck, k1, k2
+"""
+
+
+# --- unit-price spread audit --------------------------------------------------------------
+
+UPS_MIN_LINES = 5
+UPS_TOPK = 20
+
+
+def unit_price_spread(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unit-price consistency audit (pricing-error detection: the same
+    part selling at wildly different per-unit prices): per part with
+    >= UPS_MIN_LINES lines, the exact integer unit price floor
+    (cents // qty) min/max/spread, top-UPS_TOPK by (spread DESC,
+    partkey).
+
+    Scale shape: ONE partkey agg (min/max/count are combiner-friendly);
+    ranking is TakeOrdered — never a global sort."""
+    li = _t(spark, sf_dir, "lineitem").select(
+        "l_partkey",
+        F.expr(
+            "div(CAST(round(l_extendedprice * 100) AS BIGINT),"
+            " CAST(l_quantity AS BIGINT))"
+        ).alias("ppu"),
+    )
+    g = li.groupBy("l_partkey").agg(
+        F.count(F.lit(1)).alias("n_lines"),
+        F.min("ppu").alias("min_ppu"),
+        F.max("ppu").alias("max_ppu"),
+    )
+    return (
+        g.where(F.col("n_lines") >= UPS_MIN_LINES)
+        .select(
+            "l_partkey",
+            "n_lines",
+            "min_ppu",
+            "max_ppu",
+            (F.col("max_ppu") - F.col("min_ppu")).alias("spread"),
+        )
+        .orderBy(F.desc("spread"), F.asc("l_partkey"))
+        .limit(UPS_TOPK)
+    )
+
+
+def unit_price_spread_sql() -> str:
+    return f"""
+WITH li AS (
+  SELECT l_partkey,
+         CAST(round(l_extendedprice * 100) AS BIGINT) // CAST(l_quantity AS BIGINT)
+           AS ppu
+  FROM lineitem
+)
+SELECT l_partkey,
+       COUNT(*) AS n_lines,
+       CAST(MIN(ppu) AS BIGINT) AS min_ppu,
+       CAST(MAX(ppu) AS BIGINT) AS max_ppu,
+       CAST(MAX(ppu) - MIN(ppu) AS BIGINT) AS spread
+FROM li GROUP BY l_partkey HAVING COUNT(*) >= {UPS_MIN_LINES}
+ORDER BY spread DESC, l_partkey LIMIT {UPS_TOPK}
+"""

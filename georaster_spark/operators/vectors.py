@@ -858,6 +858,7 @@ def vector_queries():
         "dim_truncation_recall": dim_truncation_recall,
         "ivf_nprobe_sweep": ivf_nprobe_sweep,
         "ann_binary_hamming": ann_binary_hamming,
+        "ivf_cell_purity": ivf_cell_purity,
     }
 
 
@@ -876,6 +877,7 @@ def vector_oracles() -> dict[str, str]:
         "dim_truncation_recall": dim_truncation_recall_sql(),
         "ivf_nprobe_sweep": ivf_nprobe_sweep_sql(),
         "ann_binary_hamming": ann_binary_hamming_sql(),
+        "ivf_cell_purity": ivf_cell_purity_sql(),
     }
 
 
@@ -2023,4 +2025,73 @@ SELECT t.query_id,
                  WHERE x.query_id = t.query_id AND x.vec_id = t.vec_id)
                 THEN 1 ELSE 0 END) AS BIGINT) AS n_hits
 FROM top t GROUP BY t.query_id ORDER BY t.query_id
+"""
+
+
+# ---------------------------------------------------------------------------
+# V14 — cluster purity of the IVF partition against ground-truth labels
+# ---------------------------------------------------------------------------
+
+
+def ivf_cell_purity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cluster-purity evaluation (the standard external clustering
+    metric: majority-label fraction per cluster) of the IVF cell
+    partition against the embeddings table's ground-truth `label`
+    column: per cell its size, majority label, majority count and
+    purity ppm, plus the deterministic (count DESC, label ASC) argmax.
+
+    Scale shape: map-only cell assignment (the ann_ivf encoder), ONE
+    (cell, label) count agg, argmax via max(struct) on the dims-sized
+    relation — no windows over data-sized relations."""
+    e = _emb_scan(spark, sf_dir).select("vec_id", "embedding", "label")
+    from .textops import _fan_out
+
+    coded = _with_ivf_cell(_fan_out(e).select("vec_id", "embedding"), nprobe=1)
+    j = coded.join(e.select("vec_id", "label"), "vec_id")
+    cl = j.groupBy("cell", "label").agg(F.count(F.lit(1)).alias("c"))
+    best = cl.groupBy("cell").agg(
+        F.sum("c").alias("n_vecs"),
+        F.max(F.struct(F.col("c"), (-F.col("label")).alias("neg"))).alias("m"),
+    )
+    return (
+        best.select(
+            F.col("cell").cast("long").alias("cell"),
+            "n_vecs",
+            (-F.col("m.neg")).cast("long").alias("majority_label"),
+            F.col("m.c").alias("majority_n"),
+            F.expr("div(1000000 * m.c, n_vecs)").alias("purity_ppm"),
+        )
+        .repartition(1).sortWithinPartitions("cell")
+    )
+
+
+def ivf_cell_purity_sql() -> str:
+    cents = _centroids().astype(int)
+    cent_lits = ", ".join(
+        "[" + ", ".join(str(v) for v in row) + "]" for row in cents
+    )
+    int_dot = (
+        "list_sum(list_transform(range(1, len({a}) + 1),"
+        " i -> CAST(floor(CAST({a}[i] AS DOUBLE) * 1000.0) AS BIGINT) * cents[{c}][i]))"
+    )
+    score_exprs = ", ".join(
+        "CAST(" + int_dot.format(a="embedding", c=c + 1) + " AS BIGINT)"
+        for c in range(N_CELLS)
+    )
+    return f"""
+WITH ct AS (SELECT [{cent_lits}] AS cents),
+sc AS (SELECT vec_id, label, [{score_exprs}] AS s FROM embeddings, ct),
+corpus AS (SELECT vec_id, label, list_position(s, list_max(s)) - 1 AS cell FROM sc),
+cl AS (SELECT cell, label, COUNT(*) AS c FROM corpus GROUP BY 1, 2),
+best AS (
+  SELECT cell, SUM(c) AS n_vecs,
+         MAX((c, -label)) AS m
+  FROM cl GROUP BY cell
+)
+SELECT CAST(cell AS BIGINT) AS cell,
+       CAST(n_vecs AS BIGINT) AS n_vecs,
+       CAST(-m[2] AS BIGINT) AS majority_label,
+       CAST(m[1] AS BIGINT) AS majority_n,
+       CAST((1000000 * m[1]) // n_vecs AS BIGINT) AS purity_ppm
+FROM best ORDER BY cell
 """

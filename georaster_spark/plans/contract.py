@@ -4929,6 +4929,8 @@ def spatial_queries() -> dict[str, QueryFn]:
         "noise_mad": q_noise_mad,
         "interarrival_census": rel.interarrival_census,
         "zone_adjacency": q_zone_adjacency,
+        "duplicate_payments": rel.duplicate_payments,
+        "unit_price_spread": rel.unit_price_spread,
         "hex_bin": q_hex_bin,
         "sssp_hops": q_sssp,
         "rle_census": q_rle_census,
@@ -5171,6 +5173,8 @@ def spatial_oracles(sf: str = "sf0.01") -> dict[str, str]:
         "noise_mad": _sql_noise_mad(fx, w),
         "interarrival_census": rel.interarrival_census_sql(),
         "zone_adjacency": _sql_zone_adjacency(fx),
+        "duplicate_payments": rel.duplicate_payments_sql(),
+        "unit_price_spread": rel.unit_price_spread_sql(),
         "hex_bin": _sql_hex_bin(fx),
         "sssp_hops": _sql_sssp(),
         "rle_census": _sql_rle_census(fx, w),
