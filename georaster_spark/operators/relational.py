@@ -3511,3 +3511,144 @@ SELECT l_partkey,
 FROM li GROUP BY l_partkey HAVING COUNT(*) >= {UPS_MIN_LINES}
 ORDER BY spread DESC, l_partkey LIMIT {UPS_TOPK}
 """
+
+
+# --- CUPED covariate-adjustment moments ---------------------------------------------------
+
+CUPED_SPLIT = "2024-01-15"
+
+
+def cuped_moments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUPED variance-reduction moments (Deng et al. WSDM'13 — the
+    pre-period covariate adjustment every A/B platform applies): users
+    are split at CUPED_SPLIT into pre-period covariate x = Σcents and
+    post-period outcome y = Σcents, and the experiment-level sufficient
+    statistics n, Σx, Σy, Σxy, Σx², Σy² are emitted with
+    θ = cov/var(x) in milli from the exact integer closed form — the
+    moments any engine needs to compute the adjusted metric
+    y − θ(x − x̄) without a second pass.
+
+    Scale shape: ONE user agg builds both periods via conditional sums
+    (no self-join of the two halves); the moment rollup is a 1-row
+    reduce."""
+    ev = _t(spark, sf_dir, "events").select(
+        "user_id",
+        (F.col("ts") < F.lit(CUPED_SPLIT)).alias("pre"),
+        cents(F.col("value")).alias("v"),
+    )
+    per_u = ev.groupBy("user_id").agg(
+        F.sum(F.when(F.col("pre"), F.col("v")).otherwise(0)).alias("x"),
+        F.sum(F.when(~F.col("pre"), F.col("v")).otherwise(0)).alias("y"),
+    )
+    m = per_u.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("x").alias("sum_x"),
+        F.sum("y").alias("sum_y"),
+        F.sum(F.col("x") * F.col("y")).alias("sum_xy"),
+        F.sum(F.col("x") * F.col("x")).alias("sum_x2"),
+        F.sum(F.col("y") * F.col("y")).alias("sum_y2"),
+    )
+    return m.select(
+        "n",
+        "sum_x",
+        "sum_y",
+        "sum_xy",
+        "sum_x2",
+        "sum_y2",
+        F.expr(
+            "div(1000 * (n * sum_xy - sum_x * sum_y),"
+            " n * sum_x2 - sum_x * sum_x)"
+        ).alias("theta_milli"),
+    )
+
+
+def cuped_moments_sql() -> str:
+    return f"""
+WITH per_u AS (
+  SELECT user_id,
+         SUM(CASE WHEN ts < TIMESTAMP '{CUPED_SPLIT}'
+                  THEN CAST(round(value * 100) AS BIGINT) ELSE 0 END) AS x,
+         SUM(CASE WHEN ts >= TIMESTAMP '{CUPED_SPLIT}'
+                  THEN CAST(round(value * 100) AS BIGINT) ELSE 0 END) AS y
+  FROM events GROUP BY user_id
+)
+SELECT COUNT(*) AS n,
+       CAST(SUM(x) AS BIGINT) AS sum_x,
+       CAST(SUM(y) AS BIGINT) AS sum_y,
+       CAST(SUM(x * y) AS BIGINT) AS sum_xy,
+       CAST(SUM(x * x) AS BIGINT) AS sum_x2,
+       CAST(SUM(y * y) AS BIGINT) AS sum_y2,
+       CAST((1000 * (COUNT(*) * SUM(x * y) - SUM(x) * SUM(y)))
+            // (COUNT(*) * SUM(x * x) - SUM(x) * SUM(x)) AS BIGINT) AS theta_milli
+FROM per_u
+"""
+
+
+# --- RANGE-frame window sums ------------------------------------------------------------
+
+RANGE_FRAME_S = 300  # +-5 minutes of event time
+
+
+def range_frame_sums(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Value-range window aggregation (RANGE BETWEEN frames — the
+    window class ROWS frames cannot express: 'everything within ±5
+    MINUTES', however many rows that is; the rolling exposure metric of
+    ops dashboards): per user and event, the count and exact cents sum
+    of that user's events within ±RANGE_FRAME_S seconds, rolled up per
+    user to keep the gate surface bounded (n events, Σ window counts,
+    Σ window sums, max window count).
+
+    Scale shape: ONE user-key sort feeds the RANGE frame (Spark
+    evaluates range frames with a sliding pointer over the sorted
+    partition — no self-join); the rollup is combiner-friendly."""
+    ev = _t(spark, sf_dir, "events").select(
+        "user_id",
+        F.floor(F.unix_timestamp("ts")).cast("long").alias("t"),
+        cents(F.col("value")).alias("v"),
+    )
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("t")
+        .rangeBetween(-RANGE_FRAME_S, RANGE_FRAME_S)
+    )
+    per_ev = ev.select(
+        "user_id",
+        F.count(F.lit(1)).over(w).alias("w_n"),
+        F.sum("v").over(w).alias("w_sum"),
+    )
+    return (
+        per_ev.groupBy("user_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum("w_n").alias("sum_window_n"),
+            F.sum("w_sum").alias("sum_window_cents"),
+            F.max("w_n").alias("max_window_n"),
+        )
+        .repartition(1).sortWithinPartitions("user_id")
+    )
+
+
+def range_frame_sums_sql() -> str:
+    return f"""
+WITH ev AS (
+  SELECT user_id, CAST(floor(epoch(ts)) AS BIGINT) AS t,
+         CAST(round(value * 100) AS BIGINT) AS v
+  FROM events
+),
+per_ev AS (
+  SELECT user_id,
+         COUNT(*) OVER (PARTITION BY user_id ORDER BY t
+           RANGE BETWEEN {RANGE_FRAME_S} PRECEDING AND {RANGE_FRAME_S} FOLLOWING)
+           AS w_n,
+         SUM(v) OVER (PARTITION BY user_id ORDER BY t
+           RANGE BETWEEN {RANGE_FRAME_S} PRECEDING AND {RANGE_FRAME_S} FOLLOWING)
+           AS w_sum
+  FROM ev
+)
+SELECT user_id,
+       COUNT(*) AS n_events,
+       CAST(SUM(w_n) AS BIGINT) AS sum_window_n,
+       CAST(SUM(w_sum) AS BIGINT) AS sum_window_cents,
+       CAST(MAX(w_n) AS BIGINT) AS max_window_n
+FROM per_ev GROUP BY user_id ORDER BY user_id
+"""

@@ -4931,6 +4931,8 @@ def spatial_queries() -> dict[str, QueryFn]:
         "zone_adjacency": q_zone_adjacency,
         "duplicate_payments": rel.duplicate_payments,
         "unit_price_spread": rel.unit_price_spread,
+        "cuped_moments": rel.cuped_moments,
+        "range_frame_sums": rel.range_frame_sums,
         "hex_bin": q_hex_bin,
         "sssp_hops": q_sssp,
         "rle_census": q_rle_census,
@@ -5175,6 +5177,8 @@ def spatial_oracles(sf: str = "sf0.01") -> dict[str, str]:
         "zone_adjacency": _sql_zone_adjacency(fx),
         "duplicate_payments": rel.duplicate_payments_sql(),
         "unit_price_spread": rel.unit_price_spread_sql(),
+        "cuped_moments": rel.cuped_moments_sql(),
+        "range_frame_sums": rel.range_frame_sums_sql(),
         "hex_bin": _sql_hex_bin(fx),
         "sssp_hops": _sql_sssp(),
         "rle_census": _sql_rle_census(fx, w),
