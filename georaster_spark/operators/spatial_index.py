@@ -1468,3 +1468,39 @@ WHERE ({c('p1', 'p2', 'q1')}) * ({c('p1', 'p2', 'q2')}) < 0
   AND ({c('q1', 'q2', 'p1')}) * ({c('q1', 'q2', 'p2')}) < 0
 ORDER BY s1, s2
 """
+
+
+def pyramid_gap_census(tiles: DataFrame, zoom: int) -> DataFrame:
+    """Tile-pyramid completeness audit (the 'which parents are missing
+    children?' pass a slippy-map/COG tiling service runs before
+    publishing a zoom level): occupied XYZ tiles at `zoom` roll up to
+    their zoom-1 parents; parents covering FEWER than 4 child
+    quadrants are the rendering gaps.  Per gap parent: child count,
+    the 4-bit quadrant mask (bit q = child q present, q = qx + 2·qy),
+    and the image count underneath.
+
+    Scale shape: map-only addressing (pure codegen, the xyz_tile
+    Column math) + ONE (tx, ty) agg at `zoom` + ONE parent agg of the
+    OCCUPIED-TILE relation (index-sized, not image-sized)."""
+    cx = F.col("gt_x0") + F.lit(TILE_SPAN / 2)
+    cy = F.col("gt_y0") - F.lit(TILE_SPAN / 2)
+    tx, ty = xyz_tile(cx, cy, zoom)
+    occ = (
+        tiles.select(tx.alias("tx"), ty.alias("ty"))
+        .groupBy("tx", "ty")
+        .agg(F.count(F.lit(1)).alias("n_images"))
+    )
+    parent = occ.select(
+        (F.col("tx") / 2).cast("long").alias("px"),
+        (F.col("ty") / 2).cast("long").alias("py"),
+        ((F.col("tx") % 2) + 2 * (F.col("ty") % 2)).alias("q"),
+        "n_images",
+    )
+    g = parent.groupBy("px", "py").agg(
+        F.count(F.lit(1)).alias("n_children"),
+        F.sum(F.expr("shiftleft(CAST(1 AS BIGINT), CAST(q AS INT))")).alias("child_mask"),
+        F.sum("n_images").alias("n_images"),
+    )
+    return g.where(F.col("n_children") < 4).select(
+        "px", "py", "n_children", "child_mask", "n_images"
+    )

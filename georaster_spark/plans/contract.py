@@ -4933,6 +4933,7 @@ def spatial_queries() -> dict[str, QueryFn]:
         "unit_price_spread": rel.unit_price_spread,
         "cuped_moments": rel.cuped_moments,
         "range_frame_sums": rel.range_frame_sums,
+        "pyramid_gap_census": q_pyramid_gap_census,
         "hex_bin": q_hex_bin,
         "sssp_hops": q_sssp,
         "rle_census": q_rle_census,
@@ -5179,6 +5180,7 @@ def spatial_oracles(sf: str = "sf0.01") -> dict[str, str]:
         "unit_price_spread": rel.unit_price_spread_sql(),
         "cuped_moments": rel.cuped_moments_sql(),
         "range_frame_sums": rel.range_frame_sums_sql(),
+        "pyramid_gap_census": _sql_pyramid_gap_census(fx),
         "hex_bin": _sql_hex_bin(fx),
         "sssp_hops": _sql_sssp(),
         "rle_census": _sql_rle_census(fx, w),
@@ -9709,4 +9711,52 @@ SELECT za, zb, sep_x, sep_y
 FROM p
 WHERE greatest(sep_x, sep_y) > 0.0 AND greatest(sep_x, sep_y) <= {ZONE_GAP}
 ORDER BY za, zb
+"""
+
+
+_PYR_GAP_ZOOM = 11
+
+
+def q_pyramid_gap_census(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tile-pyramid completeness audit (spatial_index.pyramid_gap_census
+    — the pre-publish gap scan of a slippy-map tiling service) at zoom
+    11 children vs zoom 10 parents."""
+    from ..operators import spatial_index as si
+
+    tiles = geo.georegister(_images(spark, sf_dir))
+    return (
+        si.pyramid_gap_census(tiles, _PYR_GAP_ZOOM)
+        .repartition(1).sortWithinPartitions("px", "py")
+    )
+
+
+def _sql_pyramid_gap_census(fx: Path) -> str:
+    from ..constants import DOMAIN
+
+    n = 1 << _PYR_GAP_ZOOM
+    return f"""
+WITH {osql.georegister_cte(str(fx / 'images.parquet'))},
+addr AS (
+  SELECT
+    least(greatest(CAST(floor((CAST(gt_x0 + 500.0 AS BIGINT) * {n}) / {DOMAIN}) AS BIGINT), 0), {n - 1}) AS tx,
+    least(greatest(CAST(floor((({DOMAIN} - CAST(gt_y0 - 500.0 AS BIGINT)) * {n}) / {DOMAIN}) AS BIGINT), 0), {n - 1}) AS ty
+  FROM tiles
+),
+occ AS (SELECT tx, ty, COUNT(*) AS n_images FROM addr GROUP BY tx, ty),
+parent AS (
+  SELECT tx // 2 AS px, ty // 2 AS py,
+         (tx % 2) + 2 * (ty % 2) AS q, n_images
+  FROM occ
+),
+g AS (
+  SELECT px, py, COUNT(*) AS n_children,
+         SUM(1::BIGINT << CAST(q AS INT)) AS child_mask,
+         SUM(n_images) AS n_images
+  FROM parent GROUP BY px, py
+)
+SELECT CAST(px AS BIGINT) AS px, CAST(py AS BIGINT) AS py,
+       CAST(n_children AS BIGINT) AS n_children,
+       CAST(child_mask AS BIGINT) AS child_mask,
+       CAST(n_images AS BIGINT) AS n_images
+FROM g WHERE n_children < 4 ORDER BY px, py
 """
