@@ -3652,3 +3652,88 @@ SELECT user_id,
        CAST(MAX(w_n) AS BIGINT) AS max_window_n
 FROM per_ev GROUP BY user_id ORDER BY user_id
 """
+
+
+# --- native session_window aggregation ------------------------------------------------
+
+NSW_GAP_S = 300
+
+
+def native_session_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spark's NATIVE session_window() aggregation (the built-in
+    dynamic-gap session operator — the engine feature the hand-rolled
+    lag→flag→cumsum sessionizer reproduces; both now sit in the gate so
+    the equivalence is oracle-checked, not just pytest-pinned): per
+    user, sessions at a NSW_GAP_S inactivity gap, rolled up to per-user
+    session count, event count, exact cents value and the Σ of session
+    lengths in seconds (epoch-second granularity to match the oracle's
+    integer replay).
+
+    Scale shape: session_window is ONE user-key shuffle + an in-partition
+    merge — the same exchange count as the manual idiom, but fused into
+    a single physical aggregate."""
+    ev = _t(spark, sf_dir, "events").select(
+        "user_id",
+        F.to_timestamp(F.from_unixtime(F.floor(F.unix_timestamp("ts")))).alias("tsec"),
+        cents(F.col("value")).alias("v"),
+    )
+    sw = ev.groupBy(
+        "user_id", F.session_window("tsec", f"{NSW_GAP_S} seconds")
+    ).agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.sum("v").alias("v_cents"),
+    )
+    span = (
+        F.unix_timestamp(F.col("session_window.end"))
+        - F.unix_timestamp(F.col("session_window.start"))
+        - NSW_GAP_S  # session_window.end = last event + gap
+    )
+    return (
+        sw.groupBy("user_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_sessions"),
+            F.sum("n_events").alias("n_events"),
+            F.sum("v_cents").alias("v_cents"),
+            F.sum(span).alias("span_s_sum"),
+        )
+        .repartition(1).sortWithinPartitions("user_id")
+    )
+
+
+def native_session_window_sql() -> str:
+    return f"""
+WITH ev AS (
+  SELECT user_id, CAST(floor(epoch(ts)) AS BIGINT) AS t,
+         CAST(round(value * 100) AS BIGINT) AS v,
+         event_id
+  FROM events
+),
+flagged AS (
+  SELECT user_id, t, v,
+         -- boundary MEASURED, not assumed: an exact-{NSW_GAP_S}s pair
+         -- merges into one session in Spark 4 (close is inclusive), so
+         -- a new session needs gap STRICTLY greater
+         CASE WHEN t - lag(t) OVER (PARTITION BY user_id ORDER BY t, event_id)
+                   > {NSW_GAP_S}
+              OR lag(t) OVER (PARTITION BY user_id ORDER BY t, event_id) IS NULL
+              THEN 1 ELSE 0 END AS new_s
+  FROM ev
+),
+sess AS (
+  SELECT user_id, t, v,
+         SUM(new_s) OVER (PARTITION BY user_id ORDER BY t
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid
+  FROM flagged
+),
+per_s AS (
+  SELECT user_id, sid, COUNT(*) AS n_events, SUM(v) AS v_cents,
+         MAX(t) - MIN(t) AS span_s
+  FROM sess GROUP BY user_id, sid
+)
+SELECT user_id,
+       COUNT(*) AS n_sessions,
+       CAST(SUM(n_events) AS BIGINT) AS n_events,
+       CAST(SUM(v_cents) AS BIGINT) AS v_cents,
+       CAST(SUM(span_s) AS BIGINT) AS span_s_sum
+FROM per_s GROUP BY user_id ORDER BY user_id
+"""

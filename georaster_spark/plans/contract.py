@@ -4934,6 +4934,7 @@ def spatial_queries() -> dict[str, QueryFn]:
         "cuped_moments": rel.cuped_moments,
         "range_frame_sums": rel.range_frame_sums,
         "pyramid_gap_census": q_pyramid_gap_census,
+        "native_session_window": rel.native_session_window,
         "hex_bin": q_hex_bin,
         "sssp_hops": q_sssp,
         "rle_census": q_rle_census,
@@ -5181,6 +5182,7 @@ def spatial_oracles(sf: str = "sf0.01") -> dict[str, str]:
         "cuped_moments": rel.cuped_moments_sql(),
         "range_frame_sums": rel.range_frame_sums_sql(),
         "pyramid_gap_census": _sql_pyramid_gap_census(fx),
+        "native_session_window": rel.native_session_window_sql(),
         "hex_bin": _sql_hex_bin(fx),
         "sssp_hops": _sql_sssp(),
         "rle_census": _sql_rle_census(fx, w),

@@ -85,3 +85,22 @@ def test_gap_fill_hourly_matches_pandas(spark):
         assert r["fill_checksum"] == sum(
             (i + 1) * int(round(v)) for i, v in enumerate(grid)
         )
+
+
+def test_native_session_window_exact_gap_boundary(spark):
+    """An exact-gap pair MERGES (Spark's session close is inclusive) —
+    the oracle's strict-> rule encodes this measured semantics."""
+    import datetime as dt
+
+    from pyspark.sql import functions as F
+
+    rows = [
+        (1, dt.datetime(2024, 1, 1, 0, 0, 0)),
+        (1, dt.datetime(2024, 1, 1, 0, 5, 0)),   # exactly 300 s later
+        (1, dt.datetime(2024, 1, 1, 0, 10, 1)),  # 301 s later: new session
+    ]
+    df = spark.createDataFrame(rows, "user_id long, tsec timestamp")
+    out = df.groupBy(
+        "user_id", F.session_window("tsec", "300 seconds")
+    ).count().collect()
+    assert len(out) == 2
