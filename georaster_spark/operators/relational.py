@@ -3737,3 +3737,182 @@ SELECT user_id,
        CAST(SUM(span_s) AS BIGINT) AS span_s_sum
 FROM per_s GROUP BY user_id ORDER BY user_id
 """
+
+
+# --- TPC-H Q6 analog: forecast revenue change ---------------------------------------------
+
+
+def forecast_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q6 shape (Forecasting Revenue Change): the pure
+    scan-filter-aggregate — revenue that would have been gained by
+    eliminating discounts in a (year, discount band, quantity cap)
+    slice; the canonical predicate-pushdown probe (every filter lands
+    in the parquet scan, the agg is one reduce).
+
+    Exactness: revenue = Σ cents·discount_permille // 1000 per line is
+    a documented quantization (the fixture's discounts are exact
+    multiples of 0.01, so cents·permille is integral before the
+    division — no rounding ambiguity in either engine)."""
+    li = _t(spark, sf_dir, "lineitem").select(
+        "l_shipdate",
+        "l_quantity",
+        cents(F.col("l_extendedprice")).alias("price_c"),
+        F.round(F.col("l_discount") * 1000).cast("long").alias("disc_pm"),
+    )
+    f = li.where(
+        (F.col("l_shipdate") >= F.lit("1996-01-01"))
+        & (F.col("l_shipdate") < F.lit("1997-01-01"))
+        & F.col("disc_pm").between(50, 70)
+        & (F.col("l_quantity") < 24)
+    )
+    return f.agg(
+        F.count(F.lit(1)).alias("n_lines"),
+        (F.sum(F.expr("div(price_c * disc_pm, 1000)")) / 100.0).alias("revenue_gain"),
+    )
+
+
+def forecast_revenue_sql() -> str:
+    return """
+SELECT COUNT(*) AS n_lines,
+       SUM((CAST(round(l_extendedprice * 100) AS BIGINT)
+            * CAST(round(l_discount * 1000) AS BIGINT)) // 1000) / 100.0
+         AS revenue_gain
+FROM lineitem
+WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+  AND l_shipdate < TIMESTAMP '1997-01-01'
+  AND CAST(round(l_discount * 1000) AS BIGINT) BETWEEN 50 AND 70
+  AND l_quantity < 24
+"""
+
+
+# --- TPC-H Q10 analog: returned-item report -------------------------------------------------
+
+Q10_TOPK = 20
+
+
+def returned_item_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q10 shape (Returned Item Reporting): customers ranked by
+    revenue lost to returns in a quarter — join pyramid
+    lineitem(R-flag)⋈orders(date slice)⋈customer⋈nation with a custkey
+    rollup and a top-K.
+
+    Scale shape: the returnflag + date filters push into both scans;
+    lineitem⋈orders co-partitions on orderkey; customer join shuffles
+    on custkey; nation broadcast; TakeOrdered — never a global sort."""
+    li = _t(spark, sf_dir, "lineitem").where(F.col("l_returnflag") == "R").select(
+        "l_orderkey",
+        F.round(cents(F.col("l_extendedprice")) * (1.0 - F.col("l_discount")))
+        .cast("long")
+        .alias("disc_cents"),
+    )
+    o = (
+        _t(spark, sf_dir, "orders")
+        .where(
+            (F.col("o_orderdate") >= F.lit("1997-01-01"))
+            & (F.col("o_orderdate") < F.lit("1997-07-01"))
+        )
+        .select("o_orderkey", "o_custkey")
+    )
+    c = _t(spark, sf_dir, "customer").select(
+        "c_custkey", "c_name", "c_nationkey", cents(F.col("c_acctbal")).alias("bal_c")
+    )
+    n = _t(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+    j = (
+        li.join(o, li["l_orderkey"] == o["o_orderkey"])
+        .join(c, o["o_custkey"] == c["c_custkey"])
+        .join(F.broadcast(n), c["c_nationkey"] == n["n_nationkey"])
+    )
+    agg = j.groupBy("c_custkey", "c_name", "n_name", "bal_c").agg(
+        F.sum("disc_cents").alias("lost_cents"),
+        F.count(F.lit(1)).alias("n_lines"),
+    )
+    return (
+        agg.select(
+            "c_custkey",
+            "c_name",
+            "n_name",
+            (F.col("bal_c") / 100.0).alias("c_acctbal"),
+            (F.col("lost_cents") / 100.0).alias("revenue_lost"),
+            "n_lines",
+        )
+        .orderBy(F.desc("revenue_lost"), F.asc("c_custkey"))
+        .limit(Q10_TOPK)
+    )
+
+
+def returned_item_report_sql() -> str:
+    return f"""
+SELECT c_custkey, c_name, n_name,
+       CAST(round(c_acctbal * 100) AS BIGINT) / 100.0 AS c_acctbal,
+       SUM(CAST(round(round(l_extendedprice * 100) * (1 - l_discount)) AS BIGINT))
+         / 100.0 AS revenue_lost,
+       COUNT(*) AS n_lines
+FROM lineitem
+JOIN orders ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+JOIN nation ON c_nationkey = n_nationkey
+WHERE l_returnflag = 'R'
+  AND o_orderdate >= TIMESTAMP '1997-01-01'
+  AND o_orderdate < TIMESTAMP '1997-07-01'
+GROUP BY c_custkey, c_name, n_name, c_acctbal
+ORDER BY revenue_lost DESC, c_custkey LIMIT {Q10_TOPK}
+"""
+
+
+# --- TPC-H Q15 analog: top supplier ----------------------------------------------------------
+
+
+def top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q15 shape (Top Supplier): the view-then-max pattern —
+    per-supplier revenue in a quarter, then every supplier achieving
+    the global maximum (ties must ALL return, which is why Q15 can't
+    be a LIMIT 1).
+
+    Scale shape: ONE suppkey agg builds the revenue view; the max is a
+    1-row broadcast joined back — no second scan, no window over the
+    whole view."""
+    li = (
+        _t(spark, sf_dir, "lineitem")
+        .where(
+            (F.col("l_shipdate") >= F.lit("1997-01-01"))
+            & (F.col("l_shipdate") < F.lit("1997-04-01"))
+        )
+        .select(
+            "l_suppkey",
+            F.round(cents(F.col("l_extendedprice")) * (1.0 - F.col("l_discount")))
+            .cast("long")
+            .alias("disc_cents"),
+        )
+    )
+    rev = li.groupBy("l_suppkey").agg(F.sum("disc_cents").alias("total_c"))
+    mx = rev.agg(F.max("total_c").alias("max_c"))
+    s = _t(spark, sf_dir, "supplier").select("s_suppkey", "s_name")
+    return (
+        rev.crossJoin(F.broadcast(mx))
+        .where(F.col("total_c") == F.col("max_c"))
+        .join(F.broadcast(s), F.col("l_suppkey") == s["s_suppkey"])
+        .select(
+            "s_suppkey",
+            "s_name",
+            (F.col("total_c") / 100.0).alias("total_revenue"),
+        )
+        .repartition(1).sortWithinPartitions("s_suppkey")
+    )
+
+
+def top_supplier_sql() -> str:
+    return """
+WITH rev AS (
+  SELECT l_suppkey,
+         SUM(CAST(round(round(l_extendedprice * 100) * (1 - l_discount)) AS BIGINT))
+           AS total_c
+  FROM lineitem
+  WHERE l_shipdate >= TIMESTAMP '1997-01-01'
+    AND l_shipdate < TIMESTAMP '1997-04-01'
+  GROUP BY l_suppkey
+)
+SELECT s_suppkey, s_name, total_c / 100.0 AS total_revenue
+FROM rev JOIN supplier ON l_suppkey = s_suppkey
+WHERE total_c = (SELECT MAX(total_c) FROM rev)
+ORDER BY s_suppkey
+"""

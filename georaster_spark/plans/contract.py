@@ -4935,6 +4935,9 @@ def spatial_queries() -> dict[str, QueryFn]:
         "range_frame_sums": rel.range_frame_sums,
         "pyramid_gap_census": q_pyramid_gap_census,
         "native_session_window": rel.native_session_window,
+        "forecast_revenue": rel.forecast_revenue,
+        "returned_item_report": rel.returned_item_report,
+        "top_supplier": rel.top_supplier,
         "hex_bin": q_hex_bin,
         "sssp_hops": q_sssp,
         "rle_census": q_rle_census,
@@ -5183,6 +5186,9 @@ def spatial_oracles(sf: str = "sf0.01") -> dict[str, str]:
         "range_frame_sums": rel.range_frame_sums_sql(),
         "pyramid_gap_census": _sql_pyramid_gap_census(fx),
         "native_session_window": rel.native_session_window_sql(),
+        "forecast_revenue": rel.forecast_revenue_sql(),
+        "returned_item_report": rel.returned_item_report_sql(),
+        "top_supplier": rel.top_supplier_sql(),
         "hex_bin": _sql_hex_bin(fx),
         "sssp_hops": _sql_sssp(),
         "rle_census": _sql_rle_census(fx, w),
