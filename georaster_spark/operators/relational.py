@@ -3916,3 +3916,244 @@ FROM rev JOIN supplier ON l_suppkey = s_suppkey
 WHERE total_c = (SELECT MAX(total_c) FROM rev)
 ORDER BY s_suppkey
 """
+
+
+# --- TPC-H Q11 shape: important parts (global-scalar HAVING) ---------------------------------
+
+Q11_FRACTION_PPM = 500  # keep parts holding > 0.05% of total value
+
+
+def important_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q11 shape (Important Stock Identification, adapted — the
+    fixture has no partsupp, so 'stock value' = lineitem revenue): per
+    part the revenue total, kept only when it exceeds a FRACTION OF THE
+    GLOBAL TOTAL — the group-by with a scalar-subquery HAVING that
+    forces two aggregation granularities of one fact.
+
+    Scale shape: ONE partkey agg; the global total is a second
+    partial+final reduce of the SAME pre-agg (not a rescan) broadcast
+    back as a 1-row frame; threshold compare exact integer
+    cross-multiplication (value·10⁶ > total·ppm)."""
+    li = _t(spark, sf_dir, "lineitem").select(
+        "l_partkey",
+        F.round(cents(F.col("l_extendedprice")) * (1.0 - F.col("l_discount")))
+        .cast("long")
+        .alias("disc_cents"),
+    )
+    per_p = li.groupBy("l_partkey").agg(F.sum("disc_cents").alias("value_c"))
+    per_p = per_p.localCheckpoint(eager=False)  # total reduces the pre-agg
+    tot = per_p.agg(F.sum("value_c").alias("total_c"))
+    return (
+        per_p.crossJoin(F.broadcast(tot))
+        .where(F.col("value_c") * 1_000_000 > F.col("total_c") * Q11_FRACTION_PPM)
+        .select(
+            "l_partkey",
+            (F.col("value_c") / 100.0).alias("part_value"),
+            F.expr("div(1000000 * value_c, total_c)").alias("share_ppm"),
+        )
+        .repartition(1).sortWithinPartitions("l_partkey")
+    )
+
+
+def important_parts_sql() -> str:
+    return f"""
+WITH per_p AS (
+  SELECT l_partkey,
+         SUM(CAST(round(round(l_extendedprice * 100) * (1 - l_discount)) AS BIGINT))
+           AS value_c
+  FROM lineitem GROUP BY l_partkey
+),
+tot AS (SELECT SUM(value_c) AS total_c FROM per_p)
+SELECT l_partkey,
+       value_c / 100.0 AS part_value,
+       CAST((1000000 * value_c) // total_c AS BIGINT) AS share_ppm
+FROM per_p, tot
+WHERE value_c * 1000000 > total_c * {Q11_FRACTION_PPM}
+ORDER BY l_partkey
+"""
+
+
+# --- TPC-H Q16 shape: supplier census with NOT-IN blacklist ----------------------------------
+
+
+def part_supplier_census(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q16 shape (Parts/Supplier Relationship, adapted — supplier
+    relationships come from lineitem instead of the absent partsupp):
+    per (brand, size band) the count of DISTINCT suppliers, EXCLUDING a
+    blacklist derived by subquery (suppliers with below-zero account
+    balance — the deterministic surrogate for Q16's '%Complaints%'
+    LIKE) — the NOT-IN-subquery + grouped count-distinct pattern.
+
+    Scale shape: the blacklist is a broadcast anti-join BEFORE the
+    distinct (prune early); the (brand, band, supplier) distinct is one
+    shuffle; the census rollup is dims-sized."""
+    li = _t(spark, sf_dir, "lineitem").select("l_partkey", "l_suppkey")
+    p = _t(spark, sf_dir, "part").select(
+        "p_partkey", "p_brand", (F.col("p_size") / 10).cast("long").alias("size_band")
+    )
+    bad = (
+        _t(spark, sf_dir, "supplier")
+        .where(F.col("s_acctbal") < 0)
+        .select(F.col("s_suppkey").alias("bad_k"))
+    )
+    j = (
+        li.join(F.broadcast(p), li["l_partkey"] == p["p_partkey"])
+        .join(F.broadcast(bad), li["l_suppkey"] == F.col("bad_k"), "left_anti")
+    )
+    return (
+        j.select("p_brand", "size_band", "l_suppkey")
+        .distinct()
+        .groupBy("p_brand", "size_band")
+        .agg(
+            F.count(F.lit(1)).alias("supplier_cnt"),
+            F.sum("l_suppkey").alias("supplier_checksum"),
+        )
+        .repartition(1).sortWithinPartitions("p_brand", "size_band")
+    )
+
+
+def part_supplier_census_sql() -> str:
+    return """
+SELECT p_brand, size_band,
+       COUNT(*) AS supplier_cnt,
+       CAST(SUM(l_suppkey) AS BIGINT) AS supplier_checksum
+FROM (
+  SELECT DISTINCT p_brand, p_size // 10 AS size_band, l_suppkey
+  FROM lineitem JOIN part ON l_partkey = p_partkey
+  WHERE l_suppkey NOT IN (SELECT s_suppkey FROM supplier WHERE s_acctbal < 0)
+)
+GROUP BY p_brand, size_band ORDER BY p_brand, size_band
+"""
+
+
+# --- TPC-H Q20 shape: dominant-supplier semi chain -------------------------------------------
+
+Q20_SHARE_PPM = 150_000  # dominant = shipped > 15% of a part's total quantity
+
+
+def heavy_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q20 shape (Potential Part Promotion, adapted — the
+    excess-availability predicate becomes 'this supplier shipped more
+    than 15% of the part's total quantity'): the nested-aggregate +
+    semi-join chain — per (part, supplier) quantity vs the per-part
+    total, suppliers having ANY dominant part survive a semi join, and
+    the final rollup attaches the nation.
+
+    Scale shape: two partkey-granularity aggs off one co-partitioned
+    pre-agg; the supplier survivor set is tiny → broadcast semi join;
+    dominance compared exact (qty_s·10⁶ > qty_total·ppm)."""
+    li = _t(spark, sf_dir, "lineitem").select(
+        "l_partkey", "l_suppkey", F.col("l_quantity").cast("long").alias("qty")
+    )
+    ps = li.groupBy("l_partkey", "l_suppkey").agg(F.sum("qty").alias("qty_s"))
+    ps = ps.localCheckpoint(eager=False)  # part totals reduce the pre-agg
+    pt = ps.groupBy("l_partkey").agg(F.sum("qty_s").alias("qty_t"))
+    dom = (
+        ps.join(pt, "l_partkey")
+        .where(F.col("qty_s") * 1_000_000 > F.col("qty_t") * Q20_SHARE_PPM)
+    )
+    surv = dom.select("l_suppkey").distinct()
+    s = _t(spark, sf_dir, "supplier").select("s_suppkey", "s_name", "s_nationkey")
+    n = _t(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+    per_s = dom.groupBy("l_suppkey").agg(
+        F.count(F.lit(1)).alias("n_dominant_parts"),
+        F.sum("l_partkey").alias("part_checksum"),
+    )
+    return (
+        per_s.join(surv, "l_suppkey", "left_semi")
+        .join(F.broadcast(s), per_s["l_suppkey"] == s["s_suppkey"])
+        .join(F.broadcast(n), s["s_nationkey"] == n["n_nationkey"])
+        .select("s_name", "n_name", "n_dominant_parts", "part_checksum")
+        .repartition(1).sortWithinPartitions("s_name")
+    )
+
+
+def heavy_suppliers_sql() -> str:
+    return f"""
+WITH ps AS (
+  SELECT l_partkey, l_suppkey, SUM(CAST(l_quantity AS BIGINT)) AS qty_s
+  FROM lineitem GROUP BY 1, 2
+),
+pt AS (SELECT l_partkey, SUM(qty_s) AS qty_t FROM ps GROUP BY 1),
+dom AS (
+  SELECT ps.l_partkey, ps.l_suppkey
+  FROM ps JOIN pt ON ps.l_partkey = pt.l_partkey
+  WHERE ps.qty_s * 1000000 > pt.qty_t * {Q20_SHARE_PPM}
+)
+SELECT s_name, n_name,
+       COUNT(*) AS n_dominant_parts,
+       CAST(SUM(l_partkey) AS BIGINT) AS part_checksum
+FROM dom
+JOIN supplier ON l_suppkey = s_suppkey
+JOIN nation ON s_nationkey = n_nationkey
+GROUP BY s_name, n_name ORDER BY s_name
+"""
+
+
+# --- TPC-H Q9 shape: product-type profit ------------------------------------------------------
+
+
+def product_profit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q9 shape (Product Type Profit Measure, adapted — no
+    partsupp, so unit cost = half the part's retail price in exact
+    cents): profit = disc revenue − qty·cost, rolled up per supplier
+    nation and order year, for parts of one type — the classic
+    profit-pyramid with two fact-dim joins and a conditional dim
+    filter.
+
+    Scale shape: part (type-filtered) and supplier⋈nation broadcast;
+    lineitem⋈orders co-partitions on orderkey; the rollup is ≤
+    |nations|·|years| keys."""
+    p = (
+        _t(spark, sf_dir, "part")
+        .where(F.col("p_type") == "STANDARD")
+        .select("p_partkey", (cents(F.col("p_retailprice")) / 2).cast("long").alias("cost_c"))
+    )
+    s = _t(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
+    n = _t(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+    sn = s.join(F.broadcast(n), s["s_nationkey"] == n["n_nationkey"]).select(
+        "s_suppkey", F.col("n_name").alias("nation")
+    )
+    o = _t(spark, sf_dir, "orders").select(
+        "o_orderkey", F.year("o_orderdate").alias("o_year")
+    )
+    li = _t(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_partkey", "l_suppkey",
+        F.col("l_quantity").cast("long").alias("qty"),
+        F.round(cents(F.col("l_extendedprice")) * (1.0 - F.col("l_discount")))
+        .cast("long")
+        .alias("disc_cents"),
+    )
+    j = (
+        li.join(F.broadcast(p), li["l_partkey"] == p["p_partkey"])
+        .join(F.broadcast(sn), li["l_suppkey"] == sn["s_suppkey"])
+        .join(o, li["l_orderkey"] == o["o_orderkey"])
+    )
+    return (
+        j.groupBy("nation", "o_year")
+        .agg(
+            ((F.sum(F.col("disc_cents") - F.col("qty") * F.col("cost_c"))) / 100.0)
+            .alias("profit"),
+            F.count(F.lit(1)).alias("n_lines"),
+        )
+        .select("nation", F.col("o_year").cast("long").alias("o_year"), "profit", "n_lines")
+        .repartition(1).sortWithinPartitions("nation", F.desc("o_year"))
+    )
+
+
+def product_profit_sql() -> str:
+    return """
+SELECT n_name AS nation,
+       CAST(year(o_orderdate) AS BIGINT) AS o_year,
+       SUM(CAST(round(round(l_extendedprice * 100) * (1 - l_discount)) AS BIGINT)
+           - CAST(l_quantity AS BIGINT)
+             * (CAST(round(p_retailprice * 100) AS BIGINT) // 2)) / 100.0 AS profit,
+       COUNT(*) AS n_lines
+FROM lineitem
+JOIN part ON l_partkey = p_partkey AND p_type = 'STANDARD'
+JOIN supplier ON l_suppkey = s_suppkey
+JOIN nation ON s_nationkey = n_nationkey
+JOIN orders ON l_orderkey = o_orderkey
+GROUP BY n_name, year(o_orderdate)
+ORDER BY nation, o_year DESC
+"""

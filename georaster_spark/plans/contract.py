@@ -4938,6 +4938,10 @@ def spatial_queries() -> dict[str, QueryFn]:
         "forecast_revenue": rel.forecast_revenue,
         "returned_item_report": rel.returned_item_report,
         "top_supplier": rel.top_supplier,
+        "important_parts": rel.important_parts,
+        "part_supplier_census": rel.part_supplier_census,
+        "heavy_suppliers": rel.heavy_suppliers,
+        "product_profit": rel.product_profit,
         "hex_bin": q_hex_bin,
         "sssp_hops": q_sssp,
         "rle_census": q_rle_census,
@@ -5189,6 +5193,10 @@ def spatial_oracles(sf: str = "sf0.01") -> dict[str, str]:
         "forecast_revenue": rel.forecast_revenue_sql(),
         "returned_item_report": rel.returned_item_report_sql(),
         "top_supplier": rel.top_supplier_sql(),
+        "important_parts": rel.important_parts_sql(),
+        "part_supplier_census": rel.part_supplier_census_sql(),
+        "heavy_suppliers": rel.heavy_suppliers_sql(),
+        "product_profit": rel.product_profit_sql(),
         "hex_bin": _sql_hex_bin(fx),
         "sssp_hops": _sql_sssp(),
         "rle_census": _sql_rle_census(fx, w),
