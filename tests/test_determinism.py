@@ -16,6 +16,11 @@ REPO = Path(__file__).resolve().parent.parent
 QUERIES = [
     "tile_assign", "knn_zones", "zonal_stats", "minhash_lsh_pairs",
     "cell_join_salted", "focal_mosaic", "asof_clicks",
+    # round-3 additions: one per new operator family (shuffly shapes
+    # where partition count could plausibly leak into the result)
+    "box_nms", "segment_intersections", "edit_distance_join",
+    "label_propagation", "histogram_quantile_audit", "basket_rules",
+    "ann_binary_hamming", "percolation_sweep",
 ]
 
 
