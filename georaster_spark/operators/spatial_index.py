@@ -1504,3 +1504,108 @@ def pyramid_gap_census(tiles: DataFrame, zoom: int) -> DataFrame:
     return g.where(F.col("n_children") < 4).select(
         "px", "py", "n_children", "child_mask", "n_images"
     )
+
+
+# --- exact least-squares affine registration fit -------------------------------------------
+AFF_N_PTS = 4
+
+
+def _aff_points(i: Column):
+    """AFF_N_PTS synthetic control-point pairs for image idx i: source
+    points on a deterministic small grid, targets = an idx-derived
+    integer affine map of the sources, with one point perturbed so the
+    LS fit has a genuine residual."""
+    pts = []
+    a = (i % 3) + 1
+    b = i % 2
+    c = (i * 7) % 40
+    d = -(i % 2)
+    e = (i % 4) + 1
+    f = (i * 11) % 40
+    for p in range(AFF_N_PTS):
+        x = F.lit(10 * p + 3)
+        y = F.lit((p * p) % 7 + 2 * p)
+        tx = a * x + b * y + c
+        ty = d * x + e * y + f
+        if p == AFF_N_PTS - 1:  # perturb the last pair
+            tx = tx + (i % 5)
+            ty = ty - (i % 7)
+        pts.append((x, y, tx, ty))
+    return pts
+
+
+def affine_fit(tiles: DataFrame) -> DataFrame:
+    """Exact least-squares affine registration (the control-point fit
+    of image-to-map georegistration — gdal_translate -gcp / OpenCV
+    estimateAffine2D without RANSAC): per image, AFF_N_PTS synthetic
+    control pairs are fit by the normal equations, solved EXACTLY with
+    Cramer's rule — the shared 3x3 determinant and the six parameter
+    numerators are integer column math, so the rational parameters
+    (num/det) and the det-scaled residual sums cross engines
+    bit-for-bit without a single float.
+
+    Scale shape: fully map-only (the points are unrolled inline, the
+    determinants are codegen'd integer polynomials); zero shuffle, zero
+    UDF."""
+    idx = F.substring("image_id", 4, 10).cast("long")
+    base = tiles.select("image_id", idx.alias("idx"))
+    i = F.col("idx")
+    pts = _aff_points(i)
+    n = F.lit(AFF_N_PTS)
+    sxx = sum((x * x for x, y, tx, ty in pts), F.lit(0))
+    sxy = sum((x * y for x, y, tx, ty in pts), F.lit(0))
+    syy = sum((y * y for x, y, tx, ty in pts), F.lit(0))
+    sx = sum((x for x, y, tx, ty in pts), F.lit(0))
+    sy = sum((y for x, y, tx, ty in pts), F.lit(0))
+
+    def det3(m):
+        return (
+            m[0][0] * (m[1][1] * m[2][2] - m[1][2] * m[2][1])
+            - m[0][1] * (m[1][0] * m[2][2] - m[1][2] * m[2][0])
+            + m[0][2] * (m[1][0] * m[2][1] - m[1][1] * m[2][0])
+        )
+
+    M = [[sxx, sxy, sx], [sxy, syy, sy], [sx, sy, n]]
+    det = det3(M)
+
+    def solve(rhs):
+        outs = []
+        for col in range(3):
+            Mc = [row[:] for row in M]
+            for r in range(3):
+                Mc[r][col] = rhs[r]
+            outs.append(det3(Mc))
+        return outs
+
+    rx = [
+        sum((x * tx for x, y, tx, ty in pts), F.lit(0)),
+        sum((y * tx for x, y, tx, ty in pts), F.lit(0)),
+        sum((tx for x, y, tx, ty in pts), F.lit(0)),
+    ]
+    ry = [
+        sum((x * ty for x, y, tx, ty in pts), F.lit(0)),
+        sum((y * ty for x, y, tx, ty in pts), F.lit(0)),
+        sum((ty for x, y, tx, ty in pts), F.lit(0)),
+    ]
+    na, nb, nc = solve(rx)
+    nd, ne, nf = solve(ry)
+    resx = sum(
+        (F.abs(det * tx - (na * x + nb * y + nc)) for x, y, tx, ty in pts),
+        F.lit(0),
+    )
+    resy = sum(
+        (F.abs(det * ty - (nd * x + ne * y + nf)) for x, y, tx, ty in pts),
+        F.lit(0),
+    )
+    return base.select(
+        "image_id",
+        det.cast("long").alias("det"),
+        na.cast("long").alias("num_a"),
+        nb.cast("long").alias("num_b"),
+        nc.cast("long").alias("num_c"),
+        nd.cast("long").alias("num_d"),
+        ne.cast("long").alias("num_e"),
+        nf.cast("long").alias("num_f"),
+        resx.cast("long").alias("resx_scaled"),
+        resy.cast("long").alias("resy_scaled"),
+    )

@@ -4942,6 +4942,7 @@ def spatial_queries() -> dict[str, QueryFn]:
         "part_supplier_census": rel.part_supplier_census,
         "heavy_suppliers": rel.heavy_suppliers,
         "product_profit": rel.product_profit,
+        "affine_fit": q_affine_fit,
         "hex_bin": q_hex_bin,
         "sssp_hops": q_sssp,
         "rle_census": q_rle_census,
@@ -5197,6 +5198,7 @@ def spatial_oracles(sf: str = "sf0.01") -> dict[str, str]:
         "part_supplier_census": rel.part_supplier_census_sql(),
         "heavy_suppliers": rel.heavy_suppliers_sql(),
         "product_profit": rel.product_profit_sql(),
+        "affine_fit": _sql_affine_fit(fx),
         "hex_bin": _sql_hex_bin(fx),
         "sssp_hops": _sql_sssp(),
         "rle_census": _sql_rle_census(fx, w),
@@ -9775,4 +9777,100 @@ SELECT CAST(px AS BIGINT) AS px, CAST(py AS BIGINT) AS py,
        CAST(child_mask AS BIGINT) AS child_mask,
        CAST(n_images AS BIGINT) AS n_images
 FROM g WHERE n_children < 4 ORDER BY px, py
+"""
+
+
+_AFF_MOD = 181
+
+
+def q_affine_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact Cramer least-squares affine registration fit
+    (spatial_index.affine_fit — the gdal -gcp control-point solve,
+    integer-exact rational parameters)."""
+    from ..operators import spatial_index as si
+
+    tiles = geo.georegister(_images(spark, sf_dir)).where(
+        geo.image_idx() % _AFF_MOD == 0
+    )
+    return si.affine_fit(tiles).repartition(1).sortWithinPartitions("image_id")
+
+
+def _sql_affine_fit(fx: Path) -> str:
+    from ..operators.spatial_index import AFF_N_PTS
+
+    # source points are constants -> the normal matrix, its determinant
+    # and cofactors are Python ints; only the right-hand sides carry idx
+    P = [(10 * p + 3, (p * p) % 7 + 2 * p) for p in range(AFF_N_PTS)]
+    n = AFF_N_PTS
+    sxx = sum(x * x for x, y in P)
+    sxy = sum(x * y for x, y in P)
+    syy = sum(y * y for x, y in P)
+    sx = sum(x for x, y in P)
+    sy = sum(y for x, y in P)
+    M = [[sxx, sxy, sx], [sxy, syy, sy], [sx, sy, n]]
+
+    def det3(m):
+        return (
+            m[0][0] * (m[1][1] * m[2][2] - m[1][2] * m[2][1])
+            - m[0][1] * (m[1][0] * m[2][2] - m[1][2] * m[2][0])
+            + m[0][2] * (m[1][0] * m[2][1] - m[1][1] * m[2][0])
+        )
+
+    det = det3(M)
+    # cofactor expansion of each Cramer determinant along the replaced
+    # column: num_col = sum_r C[r][col] * rhs_r
+    import numpy as _np
+
+    Mn = _np.array(M, dtype=_np.int64)
+    C = _np.zeros((3, 3), dtype=_np.int64)
+    for r in range(3):
+        for c in range(3):
+            minor = _np.delete(_np.delete(Mn, r, axis=0), c, axis=1)
+            C[r, c] = (-1) ** (r + c) * round(_np.linalg.det(minor.astype(float)))
+
+    def tx(p, x, y):
+        base = f"(((idx % 3) + 1) * {x} + (idx % 2) * {y} + (idx * 7) % 40)"
+        return base + (f" + (idx % 5)" if p == AFF_N_PTS - 1 else "")
+
+    def ty(p, x, y):
+        base = f"(-(idx % 2) * {x} + ((idx % 4) + 1) * {y} + (idx * 11) % 40)"
+        return base + (f" - (idx % 7)" if p == AFF_N_PTS - 1 else "")
+
+    rx = [
+        " + ".join(f"{x} * ({tx(p, x, y)})" for p, (x, y) in enumerate(P)),
+        " + ".join(f"{y} * ({tx(p, x, y)})" for p, (x, y) in enumerate(P)),
+        " + ".join(f"({tx(p, x, y)})" for p, (x, y) in enumerate(P)),
+    ]
+    ry = [
+        " + ".join(f"{x} * ({ty(p, x, y)})" for p, (x, y) in enumerate(P)),
+        " + ".join(f"{y} * ({ty(p, x, y)})" for p, (x, y) in enumerate(P)),
+        " + ".join(f"({ty(p, x, y)})" for p, (x, y) in enumerate(P)),
+    ]
+
+    def num(col, rhs):
+        return " + ".join(f"({C[r][col]}) * ({rhs[r]})" for r in range(3))
+
+    na, nb, nc = (num(c, rx) for c in range(3))
+    nd, ne, nf = (num(c, ry) for c in range(3))
+    resx = " + ".join(
+        f"abs({det} * ({tx(p, x, y)}) - (({na}) * {x} + ({nb}) * {y} + ({nc})))"
+        for p, (x, y) in enumerate(P)
+    )
+    resy = " + ".join(
+        f"abs({det} * ({ty(p, x, y)}) - (({nd}) * {x} + ({ne}) * {y} + ({nf})))"
+        for p, (x, y) in enumerate(P)
+    )
+    return f"""
+WITH {osql.georegister_cte(str(fx / 'images.parquet'))}
+SELECT image_id,
+       CAST({det} AS BIGINT) AS det,
+       CAST({na} AS BIGINT) AS num_a,
+       CAST({nb} AS BIGINT) AS num_b,
+       CAST({nc} AS BIGINT) AS num_c,
+       CAST({nd} AS BIGINT) AS num_d,
+       CAST({ne} AS BIGINT) AS num_e,
+       CAST({nf} AS BIGINT) AS num_f,
+       CAST({resx} AS BIGINT) AS resx_scaled,
+       CAST({resy} AS BIGINT) AS resy_scaled
+FROM tiles WHERE idx % {_AFF_MOD} = 0 ORDER BY image_id
 """

@@ -526,3 +526,26 @@ def test_segment_intersections_bruteforce(spark, sf0001_dir):
                 want.add((s1, s2))
     assert got == want
     assert len(want) > 0  # the fixture actually produces crossings
+
+
+def test_affine_fit_recovers_exact_map_when_unperturbed(spark, sf0001_dir):
+    """idx = 0 gets zero perturbation (0 % 5 = 0 % 7 = 0), so the LS fit
+    must recover the true affine map exactly: num/det == the integer
+    parameters and both residuals vanish."""
+    from georaster_spark.operators.spatial_index import affine_fit
+
+    tiles = geo.georegister(
+        spark.read.parquet(str(sf0001_dir / "images.parquet"))
+    ).where(F.col("image_id") == "img00000000")
+    r = affine_fit(tiles).collect()[0]
+    i = 0
+    a, b, c = (i % 3) + 1, i % 2, (i * 7) % 40
+    d, e, f = -(i % 2), (i % 4) + 1, (i * 11) % 40
+    assert r["det"] != 0
+    assert r["num_a"] == a * r["det"]
+    assert r["num_b"] == b * r["det"]
+    assert r["num_c"] == c * r["det"]
+    assert r["num_d"] == d * r["det"]
+    assert r["num_e"] == e * r["det"]
+    assert r["num_f"] == f * r["det"]
+    assert r["resx_scaled"] == 0 and r["resy_scaled"] == 0
