@@ -4157,3 +4157,69 @@ JOIN orders ON l_orderkey = o_orderkey
 GROUP BY n_name, year(o_orderdate)
 ORDER BY nation, o_year DESC
 """
+
+
+# --- Gini concentration of customer value -------------------------------------------------
+
+
+def gini_concentration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gini concentration coefficient of customer lifetime value (the
+    Lorenz-curve inequality metric of revenue-concentration dashboards;
+    '20% of customers drive 80%'): customers ranked ascending by exact
+    lifetime cents (ties by custkey), G from the rank formula
+    G = (2·Σi·vᵢ − (n+1)·Σv) / (n·Σv) — every moment exact int64, the
+    coefficient emitted in milli by one truncating division.
+
+    Scale shape: lifetime value = ONE custkey agg; the ascending rank
+    uses the distributed global-rank idiom (repartitionByRange +
+    per-partition row_number + broadcast offsets — never a single-task
+    window); Σi·v is a combiner-friendly reduce of the ranked frame."""
+    o = _t(spark, sf_dir, "orders").select(
+        "o_custkey", cents(F.col("o_totalprice")).alias("tp")
+    )
+    per_c = o.groupBy("o_custkey").agg(F.sum("tp").alias("v"))
+    from pyspark.sql import Window
+
+    rp = per_c.repartitionByRange(16, "v", "o_custkey")
+    part = rp.withColumn("pid", F.spark_partition_id())
+    wp = Window.partitionBy("pid").orderBy("v", "o_custkey")
+    loc = part.withColumn("lrn", F.row_number().over(wp))
+    sizes = loc.groupBy("pid").agg(F.max("lrn").alias("sz"))
+    wo = Window.orderBy("pid").rowsBetween(Window.unboundedPreceding, -1)
+    offs = sizes.repartition(1).select(
+        "pid", F.coalesce(F.sum("sz").over(wo), F.lit(0)).alias("off")
+    )
+    ranked = loc.join(F.broadcast(offs), "pid").select(
+        "v", (F.col("lrn") + F.col("off")).alias("i")
+    )
+    m = ranked.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("v").alias("sum_v"),
+        F.sum(F.col("i") * F.col("v")).alias("sum_iv"),
+    )
+    return m.select(
+        "n",
+        "sum_v",
+        "sum_iv",
+        F.expr(
+            "div(1000 * (2 * sum_iv - (n + 1) * sum_v), n * sum_v)"
+        ).alias("gini_milli"),
+    )
+
+
+def gini_concentration_sql() -> str:
+    return """
+WITH per_c AS (
+  SELECT o_custkey, SUM(CAST(round(o_totalprice * 100) AS BIGINT)) AS v
+  FROM orders GROUP BY o_custkey
+),
+rk AS (
+  SELECT v, row_number() OVER (ORDER BY v, o_custkey) AS i FROM per_c
+)
+SELECT COUNT(*) AS n,
+       CAST(SUM(v) AS BIGINT) AS sum_v,
+       CAST(SUM(i * v) AS BIGINT) AS sum_iv,
+       CAST((1000 * (2 * SUM(i * v) - (COUNT(*) + 1) * SUM(v)))
+            // (COUNT(*) * SUM(v)) AS BIGINT) AS gini_milli
+FROM rk
+"""

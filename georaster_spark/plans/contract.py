@@ -4943,6 +4943,7 @@ def spatial_queries() -> dict[str, QueryFn]:
         "heavy_suppliers": rel.heavy_suppliers,
         "product_profit": rel.product_profit,
         "affine_fit": q_affine_fit,
+        "gini_concentration": rel.gini_concentration,
         "hex_bin": q_hex_bin,
         "sssp_hops": q_sssp,
         "rle_census": q_rle_census,
@@ -5199,6 +5200,7 @@ def spatial_oracles(sf: str = "sf0.01") -> dict[str, str]:
         "heavy_suppliers": rel.heavy_suppliers_sql(),
         "product_profit": rel.product_profit_sql(),
         "affine_fit": _sql_affine_fit(fx),
+        "gini_concentration": rel.gini_concentration_sql(),
         "hex_bin": _sql_hex_bin(fx),
         "sssp_hops": _sql_sssp(),
         "rle_census": _sql_rle_census(fx, w),
