@@ -2186,6 +2186,7 @@ def text_queries():
         "bpe_merge_apply": bpe_merge_apply,
         "tfidf_doc_similarity": tfidf_doc_similarity,
         "prefix_autocomplete": prefix_autocomplete,
+        "prf_expansion": prf_expansion,
     }
 
 
@@ -2228,6 +2229,7 @@ def text_oracles() -> dict[str, str]:
         "bpe_merge_apply": bpe_merge_apply_sql(),
         "tfidf_doc_similarity": tfidf_doc_similarity_sql(),
         "prefix_autocomplete": prefix_autocomplete_sql(),
+        "prf_expansion": prf_expansion_sql(),
     }
 
 
@@ -3134,4 +3136,153 @@ FROM (
          COUNT(*) OVER (PARTITION BY prefix) AS n_words
   FROM pref
 ) WHERE rn = 1 ORDER BY prefix
+"""
+
+
+# ---------------------------------------------------------------------------
+# T14 — pseudo-relevance-feedback query expansion (two-round BM25)
+# ---------------------------------------------------------------------------
+
+PRF_FEEDBACK_DOCS = 3
+PRF_EXPANSION_TERMS = 2
+PRF_TOPK = 5
+
+
+def _bm25_score_round(tf, dl, qterms, nrow, tlrow):
+    """One BM25 scoring round (the exact-integer surrogate of
+    bm25_topk) against a broadcast query-term frame."""
+    return (
+        tf.join(F.broadcast(qterms), "term")
+        .join(dl, "doc_id")
+        .crossJoin(F.broadcast(nrow))
+        .crossJoin(F.broadcast(tlrow))
+        .withColumn("idf", F.expr("((n_docs - df) * 1024) DIV (df + 1)"))
+        .withColumn(
+            "s_term",
+            F.expr("(idf * (44 * tl * tf))"
+                   " DIV (20 * tl * tf + 6 * tl + 18 * dl * n_docs)"),
+        )
+        .groupBy("doc_id")
+        .agg(F.sum("s_term").alias("score"), F.count(F.lit(1)).alias("n_terms"))
+    )
+
+
+def prf_expansion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pseudo-relevance-feedback query expansion (Rocchio/RM1 — the
+    classic two-round IR pipeline: retrieve, mine the top documents for
+    new terms, retrieve again): round 1 scores the fixed 3-term query
+    (bm25_topk's integer-exact surrogate), the PRF_FEEDBACK_DOCS best
+    documents donate PRF_EXPANSION_TERMS new terms (Σtf DESC, term ASC,
+    original terms excluded), and round 2 ranks with the expanded
+    query.  Output: the round-2 top-K with scores.
+
+    Scale shape: tf/dl/df build ONCE (localCheckpoint'd — both rounds
+    and the mining step share them); each round is the bm25 contract
+    (broadcast query frame + partial+final agg + TakeOrdered); the
+    feedback-doc term mining is one semi-join + tiny agg."""
+    d = _docs(spark, sf_dir)
+    toks = (
+        d.select("doc_id", F.explode(words_col()).alias("term"))
+        .where(F.col("term") != "")
+    )
+    tf = toks.groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("tf"))
+    tf = tf.localCheckpoint(eager=False)
+    dl = toks.groupBy("doc_id").agg(F.count(F.lit(1)).alias("dl")).localCheckpoint(
+        eager=False
+    )
+    dfq = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df")).localCheckpoint(
+        eager=False
+    )
+    wq = W.orderBy(F.col("df").desc(), F.asc("term"))
+    q1 = (
+        dfq.withColumn("qrnk", F.row_number().over(wq))
+        .where(F.col("qrnk").isin(*BM25_QRANKS))
+        .select("term", "df")
+    )
+    nrow = d.agg(F.count(F.lit(1)).alias("n_docs"))
+    tlrow = toks.agg(F.count(F.lit(1)).alias("tl"))
+    r1 = _bm25_score_round(tf, dl, q1, nrow, tlrow)
+    fb = (
+        r1.orderBy(F.desc("score"), F.asc("doc_id"))
+        .limit(PRF_FEEDBACK_DOCS)
+        .select("doc_id")
+    )
+    mined = (
+        tf.join(F.broadcast(fb), "doc_id", "left_semi")
+        .join(F.broadcast(q1.select("term")), "term", "left_anti")
+        .groupBy("term")
+        .agg(F.sum("tf").alias("fb_tf"))
+        .orderBy(F.desc("fb_tf"), F.asc("term"))
+        .limit(PRF_EXPANSION_TERMS)
+        .select("term")
+    )
+    q2 = (
+        q1.select("term")
+        .unionByName(mined)
+        .join(dfq, "term")
+        .select("term", "df")
+    )
+    r2 = _bm25_score_round(tf, dl, q2, nrow, tlrow)
+    wr = W.orderBy(F.col("score").desc(), F.asc("doc_id"))
+    return (
+        r2.repartition(1)
+        .withColumn("rnk", F.row_number().over(wr))
+        .where(F.col("rnk") <= PRF_TOPK)
+        .select("rnk", "doc_id", "score", "n_terms")
+        .sortWithinPartitions("rnk")
+    )
+
+
+def prf_expansion_sql() -> str:
+    ranks = ", ".join(str(r) for r in BM25_QRANKS)
+    score_round = """
+  SELECT tf.doc_id,
+         CAST(((n_docs - df) * 1024) // (df + 1) AS HUGEINT)
+           * CAST(44 * tl * tf AS HUGEINT)
+           // CAST(20 * tl * tf + 6 * tl + 18 * dl.dl * n_docs AS HUGEINT)
+           AS s_term
+  FROM tf JOIN {q} USING (term) JOIN dl USING (doc_id), consts
+"""
+    return f"""
+WITH w AS (SELECT doc_id, unnest({_SQL_WS}) AS term FROM documents),
+t AS (SELECT doc_id, term FROM w WHERE term <> ''),
+tf AS (SELECT doc_id, term, COUNT(*) AS tf FROM t GROUP BY doc_id, term),
+dl AS (SELECT doc_id, COUNT(*) AS dl FROM t GROUP BY doc_id),
+dfq AS (SELECT term, COUNT(*) AS df FROM tf GROUP BY term),
+q1 AS (
+  SELECT term, df FROM (
+    SELECT term, df, ROW_NUMBER() OVER (ORDER BY df DESC, term) AS qrnk
+    FROM dfq) WHERE qrnk IN ({ranks})
+),
+consts AS (
+  SELECT (SELECT COUNT(*) FROM documents) AS n_docs,
+         (SELECT COUNT(*) FROM t) AS tl
+),
+r1 AS (
+  SELECT doc_id, CAST(SUM(s_term) AS BIGINT) AS score FROM (
+{score_round.format(q='q1')}
+  ) GROUP BY doc_id
+),
+fb AS (SELECT doc_id FROM r1 ORDER BY score DESC, doc_id LIMIT {PRF_FEEDBACK_DOCS}),
+mined AS (
+  SELECT term FROM (
+    SELECT tf.term, SUM(tf.tf) AS fb_tf
+    FROM tf JOIN fb USING (doc_id)
+    WHERE tf.term NOT IN (SELECT term FROM q1)
+    GROUP BY tf.term
+  ) ORDER BY fb_tf DESC, term LIMIT {PRF_EXPANSION_TERMS}
+),
+q2 AS (
+  SELECT dfq.term, dfq.df FROM dfq
+  WHERE dfq.term IN (SELECT term FROM q1 UNION ALL SELECT term FROM mined)
+),
+r2 AS (
+  SELECT doc_id, CAST(SUM(s_term) AS BIGINT) AS score, COUNT(*) AS n_terms FROM (
+{score_round.format(q='q2')}
+  ) GROUP BY doc_id
+)
+SELECT * FROM (
+  SELECT ROW_NUMBER() OVER (ORDER BY score DESC, doc_id) AS rnk,
+         doc_id, score, n_terms
+  FROM r2) WHERE rnk <= {PRF_TOPK} ORDER BY rnk
 """
