@@ -4223,3 +4223,85 @@ SELECT COUNT(*) AS n,
             // (COUNT(*) * SUM(v)) AS BIGINT) AS gini_milli
 FROM rk
 """
+
+
+# --- forward as-of join ---------------------------------------------------------------------
+
+
+def asof_join_forward(
+    left: DataFrame,
+    right: DataFrame,
+    key: str,
+    ts: str,
+    payload: tuple[str, ...],
+) -> DataFrame:
+    """FORWARD as-of join: each left row picks the right row with the
+    same key and the SMALLEST ts >= its own (the 'next event after'
+    lookup of latency and fulfilment analytics — the mirror of
+    asof_join's latest-prior semantics; DuckDB runs it natively as
+    `ASOF LEFT JOIN ... ON l.ts <= r.ts`).
+
+    Plan: the same union-and-carry idiom run over DESCENDING time —
+    one window shuffle; right rows sort before left at equal ts so the
+    >= boundary is inclusive.  (Equal right timestamps per key do not
+    occur in the fixture; a production tie rule would mirror the
+    backward join's payload tie-break.)"""
+    lext = [c for c in left.columns if c not in (key, ts)]
+    l = left.select(
+        key, ts, F.lit(0).alias("_side"),
+        *[F.col(c) for c in lext],
+        *[
+            F.lit(None).cast(right.schema[p].dataType).alias(f"r_{p}")
+            for p in payload
+        ],
+    )
+    r = right.select(
+        key, ts, F.lit(1).alias("_side"),
+        *[F.lit(None).cast(left.schema[c].dataType).alias(c) for c in lext],
+        *[F.col(p).alias(f"r_{p}") for p in payload],
+    )
+    w = (
+        Window.partitionBy(key)
+        .orderBy(F.col(ts).desc(), F.col("_side").desc())
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    filled = l.unionByName(r).select(
+        key, ts, "_side", *lext,
+        *[
+            F.last(f"r_{p}", ignorenulls=True).over(w).alias(f"r_{p}")
+            for p in payload
+        ],
+    )
+    return filled.where(F.col("_side") == 0).drop("_side")
+
+
+def clicks_next_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Forward as-of demo: every click joined to the same user's NEXT
+    purchase (at-or-after) — the time-to-conversion lookup."""
+    ev = _t(spark, sf_dir, "events")
+    clicks = ev.where(F.col("event_type") == "click").select(
+        "user_id", "ts", "event_id"
+    )
+    purchases = ev.where(F.col("event_type") == "purchase").select(
+        "user_id", "ts", "event_id", "value"
+    )
+    out = asof_join_forward(
+        clicks, purchases, key="user_id", ts="ts", payload=("event_id", "value")
+    )
+    return out.select(
+        "event_id",
+        F.col("r_event_id").alias("next_purchase_id"),
+        F.col("r_value").alias("next_value"),
+    ).repartition(1).sortWithinPartitions("event_id")
+
+
+def clicks_next_purchase_sql() -> str:
+    return """
+WITH l AS (SELECT * FROM events WHERE event_type = 'click'),
+     r AS (SELECT * FROM events WHERE event_type = 'purchase')
+SELECT l.event_id,
+       r.event_id AS next_purchase_id,
+       r.value AS next_value
+FROM l ASOF LEFT JOIN r ON l.user_id = r.user_id AND l.ts <= r.ts
+ORDER BY l.event_id
+"""

@@ -4944,6 +4944,7 @@ def spatial_queries() -> dict[str, QueryFn]:
         "product_profit": rel.product_profit,
         "affine_fit": q_affine_fit,
         "gini_concentration": rel.gini_concentration,
+        "asof_clicks_forward": rel.clicks_next_purchase,
         "hex_bin": q_hex_bin,
         "sssp_hops": q_sssp,
         "rle_census": q_rle_census,
@@ -5201,6 +5202,7 @@ def spatial_oracles(sf: str = "sf0.01") -> dict[str, str]:
         "product_profit": rel.product_profit_sql(),
         "affine_fit": _sql_affine_fit(fx),
         "gini_concentration": rel.gini_concentration_sql(),
+        "asof_clicks_forward": rel.clicks_next_purchase_sql(),
         "hex_bin": _sql_hex_bin(fx),
         "sssp_hops": _sql_sssp(),
         "rle_census": _sql_rle_census(fx, w),
