@@ -1609,3 +1609,61 @@ def affine_fit(tiles: DataFrame) -> DataFrame:
         resx.cast("long").alias("resx_scaled"),
         resy.cast("long").alias("resy_scaled"),
     )
+
+
+def morton_key(x: Column, y: Column, r: int = HILBERT_R) -> Column:
+    """Z-order (Morton) key: bit-interleave of the two lattice coords —
+    unrolled into 2r codegen'd shift/mask terms, zero UDF."""
+    out = F.lit(0).cast("long")
+    for b in range(r):
+        out = (
+            out
+            + F.shiftleft(F.shiftright(x.cast("long"), b).bitwiseAND(F.lit(1)), 2 * b)
+            + F.shiftleft(F.shiftright(y.cast("long"), b).bitwiseAND(F.lit(1)), 2 * b + 1)
+        )
+    return out
+
+
+def curve_locality_census(tiles: DataFrame) -> DataFrame:
+    """Morton-vs-Hilbert locality census (the measured answer to 'why
+    cluster a 100 TB layout by Hilbert rather than Z-ORDER'): the
+    occupied ingest-lattice cells are walked in each curve's key order
+    and consecutive Chebyshev jumps are tallied — Z-order's quadrant
+    seams produce long jumps (up to half the lattice), Hilbert's
+    unit-step property keeps neighbors adjacent.  Per curve: cells,
+    Σ jump, max jump, and the count of unit steps.
+
+    Scale shape: both keys are map-only codegen'd integer math on the
+    DISTINCT occupied-cell relation (dims-sized — the skew-census
+    single-partition-window policy applies to the ordering)."""
+    from ..constants import GRID_W
+    from .georegister import image_idx
+
+    idx = image_idx()
+    cells = tiles.select(
+        (idx % GRID_W).cast("long").alias("gx"),
+        F.floor(idx / GRID_W).cast("long").alias("gy"),
+    ).distinct()
+    cells = cells.localCheckpoint(eager=False)  # both curves share the scan
+    rows = []
+    for name, keyed in (
+        ("morton", cells.select("gx", "gy", morton_key(F.col("gx"), F.col("gy")).alias("k"))),
+        ("hilbert", with_hilbert(cells, "gx", "gy", out="k")),
+    ):
+        w = Window.orderBy("k")
+        j = keyed.repartition(1).select(
+            "gx",
+            "gy",
+            (F.col("gx") - F.lag("gx", 1).over(w)).alias("dx"),
+            (F.col("gy") - F.lag("gy", 1).over(w)).alias("dy"),
+        )
+        jump = F.greatest(F.abs("dx"), F.abs("dy"))
+        rows.append(
+            j.agg(
+                F.count(F.lit(1)).alias("n_cells"),
+                F.sum(jump).alias("sum_jump"),
+                F.max(jump).alias("max_jump"),
+                F.sum((jump == 1).cast("long")).alias("n_unit_steps"),
+            ).select(F.lit(name).alias("curve"), "n_cells", "sum_jump", "max_jump", "n_unit_steps")
+        )
+    return rows[0].unionByName(rows[1]).repartition(1).sortWithinPartitions("curve")

@@ -4945,6 +4945,7 @@ def spatial_queries() -> dict[str, QueryFn]:
         "affine_fit": q_affine_fit,
         "gini_concentration": rel.gini_concentration,
         "asof_clicks_forward": rel.clicks_next_purchase,
+        "curve_locality": q_curve_locality,
         "hex_bin": q_hex_bin,
         "sssp_hops": q_sssp,
         "rle_census": q_rle_census,
@@ -5203,6 +5204,7 @@ def spatial_oracles(sf: str = "sf0.01") -> dict[str, str]:
         "affine_fit": _sql_affine_fit(fx),
         "gini_concentration": rel.gini_concentration_sql(),
         "asof_clicks_forward": rel.clicks_next_purchase_sql(),
+        "curve_locality": _sql_curve_locality(fx),
         "hex_bin": _sql_hex_bin(fx),
         "sssp_hops": _sql_sssp(),
         "rle_census": _sql_rle_census(fx, w),
@@ -9877,4 +9879,73 @@ SELECT image_id,
        CAST({resx} AS BIGINT) AS resx_scaled,
        CAST({resy} AS BIGINT) AS resy_scaled
 FROM tiles WHERE idx % {_AFF_MOD} = 0 ORDER BY image_id
+"""
+
+
+def q_curve_locality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Morton-vs-Hilbert locality census (spatial_index.
+    curve_locality_census) — the measured basis for the Hilbert file
+    layout choice."""
+    from ..operators import spatial_index as si
+
+    tiles = geo.georegister(_images(spark, sf_dir))
+    return si.curve_locality_census(tiles)
+
+
+def _sql_curve_locality(fx: Path) -> str:
+    from ..constants import GRID_W
+    from ..operators.spatial_index import HILBERT_R
+
+    morton = " + ".join(
+        f"(((gx >> {b}) & 1) << {2 * b}) + (((gy >> {b}) & 1) << {2 * b + 1})"
+        for b in range(HILBERT_R)
+    )
+    ctes = [f"""
+lvl{HILBERT_R} AS (
+  SELECT gx, gy, CAST(gx AS BIGINT) AS x, CAST(gy AS BIGINT) AS y,
+         CAST(0 AS BIGINT) AS d
+  FROM cells
+)"""]
+    for i in range(HILBERT_R - 1, -1, -1):
+        s = 1 << i
+        rx = f"(CASE WHEN (x & {s}) > 0 THEN 1 ELSE 0 END)"
+        ry = f"(CASE WHEN (y & {s}) > 0 THEN 1 ELSE 0 END)"
+        ctes.append(f"""
+lvl{i} AS (
+  SELECT gx, gy,
+         CASE WHEN {ry} = 0 THEN
+           CASE WHEN {rx} = 1 THEN {s - 1} - y ELSE y END
+         ELSE x END AS x,
+         CASE WHEN {ry} = 0 THEN
+           CASE WHEN {rx} = 1 THEN {s - 1} - x ELSE x END
+         ELSE y END AS y,
+         d + {s * s} * xor(3 * {rx}, {ry}) AS d
+  FROM lvl{i + 1}
+)""")
+    chain = ",".join(ctes)
+
+    def census(keyed: str, name: str) -> str:
+        return f"""
+SELECT '{name}' AS curve,
+       COUNT(*) AS n_cells,
+       CAST(SUM(j) AS BIGINT) AS sum_jump,
+       CAST(MAX(j) AS BIGINT) AS max_jump,
+       CAST(SUM(CASE WHEN j = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_unit_steps
+FROM (
+  SELECT greatest(abs(gx - lag(gx) OVER (ORDER BY k)),
+                  abs(gy - lag(gy) OVER (ORDER BY k))) AS j
+  FROM {keyed}
+)"""
+
+    return f"""
+WITH img AS (
+  SELECT CAST(substr(image_id, 4, 10) AS BIGINT) AS idx
+  FROM read_parquet('{fx / 'images.parquet'}')
+),
+cells AS (SELECT DISTINCT idx % {GRID_W} AS gx, idx // {GRID_W} AS gy FROM img),
+mk AS (SELECT gx, gy, CAST({morton} AS BIGINT) AS k FROM cells),
+{chain},
+hk AS (SELECT gx, gy, d AS k FROM lvl0)
+SELECT * FROM ({census('mk', 'morton')} UNION ALL {census('hk', 'hilbert')})
+ORDER BY curve
 """
