@@ -4305,3 +4305,66 @@ SELECT l.event_id,
 FROM l ASOF LEFT JOIN r ON l.user_id = r.user_id AND l.ts <= r.ts
 ORDER BY l.event_id
 """
+
+
+# --- CDC latest-per-key compaction --------------------------------------------------------
+
+
+def latest_snapshot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CDC latest-record-per-key compaction (the materialize step of
+    every change-data-capture pipeline; Delta/Hudi snapshot reads do
+    exactly this): per customer the LATEST order by (date, orderkey)
+    becomes the current state — computed with ONE max(struct) aggregate
+    (never a row_number window over the fact): the struct packs the
+    ordering prefix first, payload after, so max() selects the whole
+    winning row.
+
+    Output: per-customer current state + a 1-row census appended via
+    rollup-free columns (n_orders per customer pins the history depth).
+
+    Scale shape: ONE custkey partial+final agg — max(struct) combines
+    map-side, so the shuffle carries one candidate row per (partition,
+    key), the property that makes this the 10¹²-row CDC shape (a
+    window would shuffle the whole history)."""
+    o = _t(spark, sf_dir, "orders").select(
+        "o_custkey",
+        F.struct(
+            F.col("o_orderdate").alias("d"),
+            F.col("o_orderkey").alias("k"),
+            F.col("o_orderstatus").alias("st"),
+            cents(F.col("o_totalprice")).alias("tp"),
+        ).alias("s"),
+    )
+    g = o.groupBy("o_custkey").agg(
+        F.max("s").alias("m"), F.count(F.lit(1)).alias("n_orders")
+    )
+    return (
+        g.select(
+            "o_custkey",
+            F.col("m.k").alias("latest_orderkey"),
+            F.date_format("m.d", "yyyy-MM-dd").alias("latest_date"),
+            F.col("m.st").alias("latest_status"),
+            (F.col("m.tp") / 100.0).alias("latest_price"),
+            "n_orders",
+        )
+        .repartition(1).sortWithinPartitions("o_custkey")
+    )
+
+
+def latest_snapshot_sql() -> str:
+    return """
+SELECT o_custkey,
+       CAST(m[2] AS BIGINT) AS latest_orderkey,
+       strftime(CAST(m[1] AS TIMESTAMP), '%Y-%m-%d') AS latest_date,
+       m[3] AS latest_status,
+       CAST(m[4] AS BIGINT) / 100.0 AS latest_price,
+       n_orders
+FROM (
+  SELECT o_custkey,
+         MAX((o_orderdate, o_orderkey, o_orderstatus,
+              CAST(round(o_totalprice * 100) AS BIGINT))) AS m,
+         COUNT(*) AS n_orders
+  FROM orders GROUP BY o_custkey
+)
+ORDER BY o_custkey
+"""

@@ -4946,6 +4946,7 @@ def spatial_queries() -> dict[str, QueryFn]:
         "gini_concentration": rel.gini_concentration,
         "asof_clicks_forward": rel.clicks_next_purchase,
         "curve_locality": q_curve_locality,
+        "latest_snapshot": rel.latest_snapshot,
         "hex_bin": q_hex_bin,
         "sssp_hops": q_sssp,
         "rle_census": q_rle_census,
@@ -5205,6 +5206,7 @@ def spatial_oracles(sf: str = "sf0.01") -> dict[str, str]:
         "gini_concentration": rel.gini_concentration_sql(),
         "asof_clicks_forward": rel.clicks_next_purchase_sql(),
         "curve_locality": _sql_curve_locality(fx),
+        "latest_snapshot": rel.latest_snapshot_sql(),
         "hex_bin": _sql_hex_bin(fx),
         "sssp_hops": _sql_sssp(),
         "rle_census": _sql_rle_census(fx, w),
