@@ -831,3 +831,41 @@ def dag_layer_census(edges: DataFrame, rounds: int) -> DataFrame:
     for df in out_rows[1:]:
         res = res.unionByName(df)
     return res
+
+
+FOF_TOPK = 20
+
+
+def fof_recommendations(edges: DataFrame) -> DataFrame:
+    """Friend-of-friend link recommendation (the common-neighbors
+    ranker of 'people you may know' / co-purchase 'bought together'
+    panels): for every NON-adjacent pair with at least one common
+    neighbor, the exact common-neighbor count, top-FOF_TOPK by
+    (common DESC, pair ASC).
+
+    Scale shape: the wedge self-join runs on the SYMMETRIC adjacency
+    (exactness needs every apex, so per-apex fan-out is deg² — at
+    10¹² rows cap or sample apex degrees like the D2 module header
+    mandates; the fixture's degrees are bounded); existing edges are
+    removed by ONE anti-join on the canonical pair; ranking is
+    TakeOrdered."""
+    und = (
+        edges.select(F.col("u").cast("long").alias("u"), F.col("v").cast("long").alias("v"))
+        .where(F.col("u") != F.col("v"))
+        .select(F.least("u", "v").alias("u"), F.greatest("u", "v").alias("v"))
+        .distinct()
+        .localCheckpoint(eager=False)
+    )
+    sym = und.union(und.select(F.col("v").alias("u"), F.col("u").alias("v")))
+    a = sym.select(F.col("u").alias("apex"), F.col("v").alias("p"))
+    b = sym.select(F.col("u").alias("apex"), F.col("v").alias("q"))
+    wedges = a.join(b, "apex").where(F.col("p") < F.col("q"))
+    cn = wedges.groupBy("p", "q").agg(F.count(F.lit(1)).alias("common"))
+    non_adj = cn.join(
+        und.select(F.col("u").alias("p"), F.col("v").alias("q")),
+        ["p", "q"],
+        "left_anti",
+    )
+    return non_adj.orderBy(
+        F.desc("common"), F.asc("p"), F.asc("q")
+    ).limit(FOF_TOPK)

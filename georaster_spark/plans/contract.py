@@ -4947,6 +4947,7 @@ def spatial_queries() -> dict[str, QueryFn]:
         "asof_clicks_forward": rel.clicks_next_purchase,
         "curve_locality": q_curve_locality,
         "latest_snapshot": rel.latest_snapshot,
+        "fof_recommend": q_fof_recommend,
         "hex_bin": q_hex_bin,
         "sssp_hops": q_sssp,
         "rle_census": q_rle_census,
@@ -5207,6 +5208,7 @@ def spatial_oracles(sf: str = "sf0.01") -> dict[str, str]:
         "asof_clicks_forward": rel.clicks_next_purchase_sql(),
         "curve_locality": _sql_curve_locality(fx),
         "latest_snapshot": rel.latest_snapshot_sql(),
+        "fof_recommend": _sql_fof_recommend(),
         "hex_bin": _sql_hex_bin(fx),
         "sssp_hops": _sql_sssp(),
         "rle_census": _sql_rle_census(fx, w),
@@ -9950,4 +9952,43 @@ mk AS (SELECT gx, gy, CAST({morton} AS BIGINT) AS k FROM cells),
 hk AS (SELECT gx, gy, d AS k FROM lvl0)
 SELECT * FROM ({census('mk', 'morton')} UNION ALL {census('hk', 'hilbert')})
 ORDER BY curve
+"""
+
+
+def q_fof_recommend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Friend-of-friend recommendations (graph.fof_recommendations —
+    common-neighbor ranking of non-adjacent pairs) on the part
+    co-purchase graph restricted to low-order orders (keeps the wedge
+    fan-out honest at the gate scale)."""
+    from ..operators.graph import fof_recommendations
+
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet").select(
+        "l_orderkey", "l_partkey"
+    ).where(F.col("l_orderkey") % 5 == 0)
+    a = li.select(F.col("l_orderkey").alias("k"), F.col("l_partkey").alias("u"))
+    b = li.select(F.col("l_orderkey").alias("k"), F.col("l_partkey").alias("v"))
+    pairs = a.join(b, "k").where(F.col("u") < F.col("v")).select("u", "v")
+    return fof_recommendations(pairs)
+
+
+def _sql_fof_recommend() -> str:
+    from ..operators.graph import FOF_TOPK
+
+    return f"""
+WITH li AS (SELECT l_orderkey, l_partkey FROM lineitem WHERE l_orderkey % 5 = 0),
+e AS (
+  SELECT DISTINCT a.l_partkey AS u, b.l_partkey AS v
+  FROM li a JOIN li b
+    ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+),
+sym AS (SELECT u, v FROM e UNION ALL SELECT v AS u, u AS v FROM e),
+cn AS (
+  SELECT a.v AS p, b.v AS q, COUNT(*) AS common
+  FROM sym a JOIN sym b ON a.u = b.u AND a.v < b.v
+  GROUP BY a.v, b.v
+)
+SELECT p, q, CAST(common AS BIGINT) AS common
+FROM cn
+WHERE NOT EXISTS (SELECT 1 FROM e WHERE e.u = cn.p AND e.v = cn.q)
+ORDER BY common DESC, p, q LIMIT {FOF_TOPK}
 """
