@@ -349,7 +349,14 @@ def triangle_census(edges: DataFrame) -> DataFrame:
     Scale shape: two shuffles on vertex keys (degree agg + orientation
     join), one wedge self-join shuffled on the apex, one semi-join probe
     of wedges against oriented edges, then a partial+final global agg.
-    No driver loops, no UDFs; everything is codegen'd joins."""
+    No driver loops, no UDFs; everything is codegen'd joins.
+
+    The deduped edge list, the degree table, and the oriented edges are
+    each consumed by several differently-pruned subtrees (union legs,
+    orientation join sides, wedge legs, the closing probe), which
+    defeats plan-level ReuseExchange — so all three slim intermediates
+    (2-3 longs per row) are pinned with lazy localCheckpoints and the
+    upstream edge derivation runs exactly once."""
     und = (
         edges.select(F.col("u").cast("long").alias("u"), F.col("v").cast("long").alias("v"))
         .where(F.col("u") != F.col("v"))
@@ -357,9 +364,13 @@ def triangle_census(edges: DataFrame) -> DataFrame:
             F.least("u", "v").alias("u"), F.greatest("u", "v").alias("v")
         )
         .distinct()
+        .localCheckpoint(eager=False)
     )
     sym = und.union(und.select(F.col("v").alias("u"), F.col("u").alias("v")))
-    deg = sym.groupBy("u").agg(F.count(F.lit(1)).alias("deg"))
+    deg = (
+        sym.groupBy("u").agg(F.count(F.lit(1)).alias("deg"))
+        .localCheckpoint(eager=False)
+    )
 
     # Orient by (deg, id): a -> b iff (deg_a, a) < (deg_b, b).
     du = deg.select(F.col("u").alias("_au"), F.col("deg").alias("_da"))
@@ -373,7 +384,7 @@ def triangle_census(edges: DataFrame) -> DataFrame:
     oriented = keyed.select(
         F.when(fwd, F.col("u")).otherwise(F.col("v")).alias("a"),
         F.when(fwd, F.col("v")).otherwise(F.col("u")).alias("b"),
-    )
+    ).localCheckpoint(eager=False)
 
     w1 = oriented.select(F.col("a").alias("apex"), F.col("b").alias("p"))
     w2 = oriented.select(F.col("a").alias("apex"), F.col("b").alias("q"))
@@ -515,15 +526,24 @@ def clustering_coefficients(edges: DataFrame, min_triangles: int = 1) -> DataFra
 
     Output: nodes with >= `min_triangles` triangles (deg, n_tri,
     coeff_ppm) — the zero-triangle tail is pinned globally by
-    triangle_census, not re-listed per node."""
+    triangle_census, not re-listed per node.
+
+    Slim intermediates (edge list, degrees, oriented edges) are pinned
+    with lazy localCheckpoints exactly as in triangle_census — their
+    multiple pruning-specialized consumers would otherwise re-evaluate
+    the whole upstream edge derivation per use."""
     und = (
         edges.select(F.col("u").cast("long").alias("u"), F.col("v").cast("long").alias("v"))
         .where(F.col("u") != F.col("v"))
         .select(F.least("u", "v").alias("u"), F.greatest("u", "v").alias("v"))
         .distinct()
+        .localCheckpoint(eager=False)
     )
     sym = und.union(und.select(F.col("v").alias("u"), F.col("u").alias("v")))
-    deg = sym.groupBy("u").agg(F.count(F.lit(1)).alias("deg"))
+    deg = (
+        sym.groupBy("u").agg(F.count(F.lit(1)).alias("deg"))
+        .localCheckpoint(eager=False)
+    )
     du = deg.select(F.col("u").alias("_au"), F.col("deg").alias("_da"))
     dv = deg.select(F.col("u").alias("_bv"), F.col("deg").alias("_db"))
     keyed = und.join(du, und["u"] == du["_au"]).join(dv, und["v"] == dv["_bv"])
@@ -533,7 +553,7 @@ def clustering_coefficients(edges: DataFrame, min_triangles: int = 1) -> DataFra
     oriented = keyed.select(
         F.when(fwd, F.col("u")).otherwise(F.col("v")).alias("a"),
         F.when(fwd, F.col("v")).otherwise(F.col("u")).alias("b"),
-    )
+    ).localCheckpoint(eager=False)
     w1 = oriented.select(F.col("a").alias("apex"), F.col("b").alias("p"))
     w2 = oriented.select(F.col("a").alias("apex"), F.col("b").alias("q"))
     wedges = w1.join(w2, "apex").where(F.col("p") < F.col("q"))

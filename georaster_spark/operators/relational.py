@@ -2165,7 +2165,7 @@ def volume_shipping(spark: SparkSession, sf_dir: str) -> DataFrame:
     supplier/customer; the OR-of-two-directions predicate is applied
     AFTER both small joins as codegen'd Column logic, so it never
     degrades a join key; the only big-big join is lineitem⋈orders on
-    orderkey; final agg is on ≤2·\|years\| keys.  Revenue exact cents."""
+    orderkey; final agg is on ≤2·n_years keys.  Revenue exact cents."""
     n = _t(spark, sf_dir, "nation").select("n_nationkey", "n_name")
     s = _t(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
     s = s.join(F.broadcast(n), s["s_nationkey"] == n["n_nationkey"]).select(

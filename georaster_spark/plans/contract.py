@@ -875,7 +875,10 @@ def q_hist_match(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..operators import raster_stats
 
     tiles = geo.georegister(_images(spark, sf_dir))
-    hist = raster_stats.pixel_histogram(tiles)
+    # Pin the <=768-row histogram: the qnt/raw slices below are two
+    # pruning-specialized consumers of the same subtree, and without the
+    # pin each re-runs the full pixel-decode pass inside lut.collect().
+    hist = raster_stats.pixel_histogram(tiles).localCheckpoint(eager=False)
     lut = raster_stats.match_lut(
         hist.where(F.col("fmt") == "qnt"), hist.where(F.col("fmt") == "raw")
     )
