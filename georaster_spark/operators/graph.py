@@ -889,3 +889,55 @@ def fof_recommendations(edges: DataFrame) -> DataFrame:
     return non_adj.orderBy(
         F.desc("common"), F.asc("p"), F.asc("q")
     ).limit(FOF_TOPK)
+
+
+RA_SCALE = 10**12  # integer reciprocal scale: weight(z) = RA_SCALE div deg(z)
+RA_TOPK = 20
+
+
+def resource_allocation(edges: DataFrame) -> DataFrame:
+    """Resource-Allocation link prediction (Zhou, Lü & Zhang, EPJ B
+    2009): for every NON-adjacent pair (p, q) with at least one common
+    neighbor z, score RA(p,q) = Σ_z 1/deg(z) — common neighbors count
+    for less when they are promiscuous hubs.  Kept integer-exact by
+    scoring each apex as RA_SCALE div deg(z) (floor division on longs),
+    so the ranking is reproducible bit-for-bit across engines and
+    parallelism (no float summation order).
+
+    Output: top-RA_TOPK rows (p, q, ra_score, n_common) by
+    (ra_score DESC, p ASC, q ASC).
+
+    Scale shape: same degree-keyed wedge machinery as
+    fof_recommendations — one shuffle for degrees, a wedge self-join on
+    the apex (per-apex fan-out deg²; cap or sample hot apexes at 10¹²
+    rows as the D2 module header mandates), a broadcast-or-shuffle
+    apex→deg lookup, one partial+final agg on the candidate pair, one
+    anti-join against the existing edge set, TakeOrdered for the top-K.
+    The deduped edge list is pinned (lazy localCheckpoint) because the
+    wedge legs and the anti-join consume it with different pruning."""
+    und = (
+        edges.select(F.col("u").cast("long").alias("u"), F.col("v").cast("long").alias("v"))
+        .where(F.col("u") != F.col("v"))
+        .select(F.least("u", "v").alias("u"), F.greatest("u", "v").alias("v"))
+        .distinct()
+        .localCheckpoint(eager=False)
+    )
+    sym = und.union(und.select(F.col("v").alias("u"), F.col("u").alias("v")))
+    deg = sym.groupBy("u").agg(F.count(F.lit(1)).alias("deg"))
+    a = sym.select(F.col("u").alias("apex"), F.col("v").alias("p"))
+    b = sym.select(F.col("u").alias("apex"), F.col("v").alias("q"))
+    wedges = a.join(b, "apex").where(F.col("p") < F.col("q"))
+    scored = wedges.join(deg.withColumnRenamed("u", "apex"), "apex").select(
+        "p", "q", F.expr(f"{RA_SCALE}L div deg").alias("w")
+    )
+    cand = scored.groupBy("p", "q").agg(
+        F.sum("w").alias("ra_score"), F.count(F.lit(1)).alias("n_common")
+    )
+    non_adj = cand.join(
+        und.select(F.col("u").alias("p"), F.col("v").alias("q")),
+        ["p", "q"],
+        "left_anti",
+    )
+    return non_adj.orderBy(
+        F.desc("ra_score"), F.asc("p"), F.asc("q")
+    ).limit(RA_TOPK)

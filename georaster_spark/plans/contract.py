@@ -4951,6 +4951,7 @@ def spatial_queries() -> dict[str, QueryFn]:
         "curve_locality": q_curve_locality,
         "latest_snapshot": rel.latest_snapshot,
         "fof_recommend": q_fof_recommend,
+        "resource_alloc": q_resource_alloc,
         "hex_bin": q_hex_bin,
         "sssp_hops": q_sssp,
         "rle_census": q_rle_census,
@@ -5212,6 +5213,7 @@ def spatial_oracles(sf: str = "sf0.01") -> dict[str, str]:
         "curve_locality": _sql_curve_locality(fx),
         "latest_snapshot": rel.latest_snapshot_sql(),
         "fof_recommend": _sql_fof_recommend(),
+        "resource_alloc": _sql_resource_alloc(),
         "hex_bin": _sql_hex_bin(fx),
         "sssp_hops": _sql_sssp(),
         "rle_census": _sql_rle_census(fx, w),
@@ -9955,6 +9957,51 @@ mk AS (SELECT gx, gy, CAST({morton} AS BIGINT) AS k FROM cells),
 hk AS (SELECT gx, gy, d AS k FROM lvl0)
 SELECT * FROM ({census('mk', 'morton')} UNION ALL {census('hk', 'hilbert')})
 ORDER BY curve
+"""
+
+
+def q_resource_alloc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Resource-Allocation link prediction (graph.resource_allocation —
+    hub-discounted common neighbors, integer-exact RA_SCALE div deg
+    weights) on the same low-order-restricted part co-purchase graph as
+    fof_recommend; the two rankers disagree exactly where a common
+    neighbor is a hub, which the gate pins."""
+    from ..operators.graph import resource_allocation
+
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet").select(
+        "l_orderkey", "l_partkey"
+    ).where(F.col("l_orderkey") % 5 == 0)
+    a = li.select(F.col("l_orderkey").alias("k"), F.col("l_partkey").alias("u"))
+    b = li.select(F.col("l_orderkey").alias("k"), F.col("l_partkey").alias("v"))
+    pairs = a.join(b, "k").where(F.col("u") < F.col("v")).select("u", "v")
+    return resource_allocation(pairs)
+
+
+def _sql_resource_alloc() -> str:
+    from ..operators.graph import RA_SCALE, RA_TOPK
+
+    return f"""
+WITH li AS (SELECT l_orderkey, l_partkey FROM lineitem WHERE l_orderkey % 5 = 0),
+e AS (
+  SELECT DISTINCT a.l_partkey AS u, b.l_partkey AS v
+  FROM li a JOIN li b
+    ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+),
+sym AS (SELECT u, v FROM e UNION ALL SELECT v AS u, u AS v FROM e),
+deg AS (SELECT u, COUNT(*) AS deg FROM sym GROUP BY u),
+cand AS (
+  SELECT a.v AS p, b.v AS q,
+         SUM({RA_SCALE} // d.deg) AS ra_score,
+         COUNT(*) AS n_common
+  FROM sym a JOIN sym b ON a.u = b.u AND a.v < b.v
+  JOIN deg d ON d.u = a.u
+  GROUP BY a.v, b.v
+)
+SELECT p, q, CAST(ra_score AS BIGINT) AS ra_score,
+       CAST(n_common AS BIGINT) AS n_common
+FROM cand
+WHERE NOT EXISTS (SELECT 1 FROM e WHERE e.u = cand.p AND e.v = cand.q)
+ORDER BY ra_score DESC, p, q LIMIT {RA_TOPK}
 """
 
 

@@ -323,3 +323,36 @@ def test_hits_rounds_bruteforce(spark):
         assert g["hub_checksum"] == sum(k * v for k, v in h.items())
         assert g["sum_a"] == sum(a.values())
         assert g["auth_checksum"] == sum(k * v for k, v in a.items())
+
+
+def test_resource_allocation_known_graph(spark):
+    # Path 1-2-3 plus hub 4 adjacent to everything: deg(1)=2, deg(2)=3,
+    # deg(3)=2, deg(4)=3.  Non-adjacent pairs with common neighbors:
+    # only (1,3) — common neighbors {2 (deg 3), 4 (deg 3)}.
+    S = graph.RA_SCALE
+    e = spark.createDataFrame(
+        [(1, 2), (2, 3), (1, 4), (2, 4), (3, 4)], "u long, v long"
+    )
+    rows = graph.resource_allocation(e).collect()
+    assert [(r["p"], r["q"], r["ra_score"], r["n_common"]) for r in rows] == [
+        (1, 3, 2 * (S // 3), 2)
+    ]
+
+
+def test_resource_allocation_ranks_hub_discount(spark):
+    # Two candidate pairs with ONE common neighbor each: (1,3) via node
+    # 2 (degree inflated to 4 by pendant leaves) and (5,7) via node 6
+    # (degree 2).  Plain common-neighbor count ties them 1:1; RA must
+    # rank (5,7) first because its witness is not a hub.
+    S = graph.RA_SCALE
+    e = spark.createDataFrame(
+        [(1, 2), (2, 3), (2, 8), (2, 9), (5, 6), (6, 7)], "u long, v long"
+    )
+    got = [
+        (r["p"], r["q"], r["ra_score"])
+        for r in graph.resource_allocation(e).collect()
+    ]
+    assert got[0] == (5, 7, S // 2)
+    assert (1, 3, S // 4) in got
+    ra = {(p, q): s for p, q, s in got}
+    assert ra[(5, 7)] > ra[(1, 3)]
