@@ -337,6 +337,83 @@ def mode_pool_checksum(tiles: DataFrame, k: int) -> DataFrame:
     return slim.mapInPandas(_pool, schema=schema)
 
 
+def max_pool_argmax_checksum(tiles: DataFrame, k: int) -> DataFrame:
+    """Max-pooling with argmax positions (the forward pass of a pooling
+    layer plus the indices a training pipeline must keep to route the
+    backward pass / unpooling): per k x k block the maximum pixel and
+    the TILE coordinates of its first row-major occurrence (the
+    deterministic tie rule), rolled up per image as
+
+      n_blocks       blocks pooled (tiles cropped to k-multiples)
+      max_sum        sum of block maxima
+      max_min        min over block maxima (the weakest activation)
+      arg_checksum   sum over blocks of (block_rank+1) * (i*w + j) of the
+                     argmax pixel -- pins every winner's position
+      arg_pos_sum    sum of argmax flat positions (i*w + j)
+
+    All int64-exact.  Map-only fused mapInPandas, one (n, hb, k, wb, k)
+    reshape + argmax per (w,h,fmt) group -- no Python loop over blocks,
+    pixels never shuffle."""
+    import numpy as np
+    import pandas as pd
+
+    slim = tiles.select("image_id", "bytes", "w", "h", "fmt")
+
+    def _pool(batches):
+        dt = {"raw": np.uint8, "qnt": np.uint8, "raw16": "<u2"}
+        for pdf in batches:
+            n = len(pdf)
+            out = {
+                "image_id": pdf["image_id"].to_numpy(dtype=object),
+                "n_blocks": np.zeros(n, dtype=np.int64),
+                "max_sum": np.zeros(n, dtype=np.int64),
+                "max_min": np.zeros(n, dtype=np.int64),
+                "arg_checksum": np.zeros(n, dtype=np.int64),
+                "arg_pos_sum": np.zeros(n, dtype=np.int64),
+            }
+            groups: dict[tuple, list[int]] = {}
+            for i in range(n):
+                key = (int(pdf["w"].iat[i]), int(pdf["h"].iat[i]), pdf["fmt"].iat[i])
+                groups.setdefault(key, []).append(i)
+            for (w, h, fmt), idx in groups.items():
+                h2, w2 = (h // k) * k, (w // k) * k
+                if h2 == 0 or w2 == 0:
+                    continue
+                z = (
+                    np.frombuffer(
+                        b"".join(pdf["bytes"].iat[i] for i in idx), dtype=dt[fmt]
+                    )
+                    .reshape(len(idx), h, w)[:, :h2, :w2]
+                    .astype(np.int64)
+                )
+                nb_h, nb_w = h2 // k, w2 // k
+                nblk = nb_h * nb_w
+                blk = (
+                    z.reshape(len(idx), nb_h, k, nb_w, k)
+                    .transpose(0, 1, 3, 2, 4)
+                    .reshape(len(idx), nblk, k * k)
+                )
+                mx = blk.max(axis=2)
+                am = blk.argmax(axis=2)  # first max: row-major tie rule
+                bi = np.arange(nblk, dtype=np.int64) // nb_w
+                bj = np.arange(nblk, dtype=np.int64) % nb_w
+                pos = (bi * k + am // k) * w + (bj * k + am % k)
+                wt = np.arange(1, nblk + 1, dtype=np.int64)
+                ii = np.asarray(idx)
+                out["n_blocks"][ii] = nblk
+                out["max_sum"][ii] = mx.sum(axis=1)
+                out["max_min"][ii] = mx.min(axis=1)
+                out["arg_checksum"][ii] = (pos * wt).sum(axis=1)
+                out["arg_pos_sum"][ii] = pos.sum(axis=1)
+            yield pd.DataFrame(out)
+
+    schema = (
+        "image_id string, n_blocks long, max_sum long, "
+        "max_min long, arg_checksum long, arg_pos_sum long"
+    )
+    return slim.mapInPandas(_pool, schema=schema)
+
+
 def _lattice_site_table(tiles: DataFrame) -> DataFrame:
     """Per-site lattice neighbourhood table — the shared single-pass
     core of the Moran/Geary/Getis-Ord family.

@@ -1049,6 +1049,56 @@ FROM blocks GROUP BY image_id ORDER BY image_id
 """
 
 
+def q_max_pool(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Max-pool forward pass with argmax routing indices
+    (raster_stats.max_pool_argmax_checksum): per 4x4 block the maximum
+    and the tile-coordinate flat position of its first row-major
+    occurrence -- what a training pipeline keeps for unpooling --
+    rolled up per image, integer-exact, map-only fused Arrow pass."""
+    from ..operators import raster_stats
+
+    tiles = geo.georegister(_images(spark, sf_dir)).where(
+        geo.image_idx() % _POOL_MOD == 0
+    )
+    return (
+        raster_stats.max_pool_argmax_checksum(tiles, _POOL_K)
+        .repartition(1).sortWithinPartitions("image_id")
+    )
+
+
+def _sql_max_pool(fx: Path, w: int) -> str:
+    k = _POOL_K
+    bw = w // k
+    ramp = osql.ramp_value_expr("gi.i", "gj.j")
+    return f"""
+WITH {osql.georegister_cte(str(fx / 'images.parquet'))},
+px AS (
+  SELECT image_id,
+         (gi.i // {k}) * {bw} + (gj.j // {k}) AS blk,
+         gi.i * {w} + gj.j AS pos,
+         gi.i AS i, gj.j AS j,
+         CAST({ramp} AS BIGINT) AS v
+  FROM tiles,
+       generate_series(0, {(w // k) * k - 1}) AS gi(i),
+       generate_series(0, {(w // k) * k - 1}) AS gj(j)
+  WHERE idx % {_POOL_MOD} = 0
+),
+winners AS (
+  SELECT image_id, blk, v, pos,
+         ROW_NUMBER() OVER (PARTITION BY image_id, blk
+                            ORDER BY v DESC, i ASC, j ASC) AS rn
+  FROM px
+)
+SELECT image_id,
+       CAST(COUNT(*) AS BIGINT) AS n_blocks,
+       CAST(SUM(v) AS BIGINT) AS max_sum,
+       CAST(MIN(v) AS BIGINT) AS max_min,
+       CAST(SUM(pos * (blk + 1)) AS BIGINT) AS arg_checksum,
+       CAST(SUM(pos) AS BIGINT) AS arg_pos_sum
+FROM winners WHERE rn = 1 GROUP BY image_id ORDER BY image_id
+"""
+
+
 def q_zonal_majority(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Zonal MAJORITY/variety (zonal.zonal_majority — the categorical
     zonal statistic): per zone the modal pixel value (tie -> lowest
@@ -4814,6 +4864,7 @@ def spatial_queries() -> dict[str, QueryFn]:
         "temporal_stack": q_temporal_stack,
         "patch_extract": q_patch_extract,
         "avg_pool": q_avg_pool,
+        "max_pool_argmax": q_max_pool,
         "value_at_nodata": q_value_at_nodata,
         "phash_near_dup": q_phash_near_dup,
         "phash_compute": q_phash_compute,
@@ -5076,6 +5127,7 @@ def spatial_oracles(sf: str = "sf0.01") -> dict[str, str]:
         "temporal_stack": _sql_temporal_stack(fx, w),
         "patch_extract": _sql_patch_extract(fx, w),
         "avg_pool": _sql_avg_pool(fx, w),
+        "max_pool_argmax": _sql_max_pool(fx, w),
         "value_at_nodata": osql.value_at_coords_sql(img, pts, nodata=_NODATA_VAL),
         "phash_near_dup": _sql_phash(fx),
         "phash_compute": _sql_phash_compute(fx, w),

@@ -221,3 +221,36 @@ def test_geary_moments_identity_with_moran_surface(spark, sf0001_dir):
             if mj is not None:
                 sq += (mi - mj) ** 2
     assert g["pair_sqdiff_sum"] == sq
+
+
+def test_max_pool_argmax_ties_and_positions(spark):
+    """Hand-built 4x4 tile, k=2: block maxima, first-row-major argmax on
+    deliberate ties, and the tile-coordinate position encoding."""
+    import numpy as np
+
+    from georaster_spark.operators.raster_stats import max_pool_argmax_checksum
+
+    # blocks (2x2 each):  B0=[[5,5],[1,0]]  B1=[[2,9],[9,0]]
+    #                     B2=[[0,0],[0,0]]  B3=[[7,1],[3,7]]
+    px = np.array(
+        [
+            [5, 5, 2, 9],
+            [1, 0, 9, 0],
+            [0, 0, 7, 1],
+            [0, 0, 3, 7],
+        ],
+        dtype=np.uint8,
+    )
+    df = spark.createDataFrame(
+        [("t0", px.tobytes(), 4, 4, "raw")],
+        "image_id string, bytes binary, w int, h int, fmt string",
+    )
+    r = max_pool_argmax_checksum(df, 2).collect()[0]
+    # winners: B0 -> 5 at (0,0) pos 0 (tie with (0,1) broken row-major);
+    # B1 -> 9 at (0,3) pos 3 (tie with (1,2)=pos 6 broken by smaller i);
+    # B2 -> 0 at (2,0) pos 8; B3 -> 7 at (2,2) pos 10 (tie with (3,3)).
+    assert r["n_blocks"] == 4
+    assert r["max_sum"] == 5 + 9 + 0 + 7
+    assert r["max_min"] == 0
+    assert r["arg_pos_sum"] == 0 + 3 + 8 + 10
+    assert r["arg_checksum"] == 0 * 1 + 3 * 2 + 8 * 3 + 10 * 4
