@@ -414,6 +414,94 @@ def max_pool_argmax_checksum(tiles: DataFrame, k: int) -> DataFrame:
     return slim.mapInPandas(_pool, schema=schema)
 
 
+def wht_energy_census(tiles: DataFrame, k: int = 8) -> DataFrame:
+    """Walsh-Hadamard 2-D block transform energy census — the
+    integer-exact stand-in for the DCT energy compaction every
+    block-transform codec (JPEG's 8x8 stage) relies on: per k x k block
+    (k a power of two) the full WHT C = H_k B H_k with the +-1 Sylvester
+    matrix (coef(u,v) = sum_xy B[x,y] * (-1)^(popcount(u&x)+popcount(v&y)),
+    natural order), rolled up per image as
+
+      n_blocks       blocks transformed (tiles cropped to k-multiples)
+      dc_sum         sum of C[0,0] (block pixel sums; always >= 0)
+      ac_energy      sum of |C[u,v]| over (u,v) != (0,0) -- total AC drive
+      hf_energy      sum of |C[u,v]| over u >= k/2 or v >= k/2 -- the
+                     high-sequency half a codec would quantize away
+      coef_checksum  sum over blocks of (blk+1) * sum_uv (u*k+v+1)*|C|,
+                     pinning every coefficient of every block
+
+    All int64-exact (|C| <= 255*k^2, far inside 2^53 after weighting).
+    Map-only fused mapInPandas: one H @ B @ H einsum per (w,h,fmt)
+    group; pixels never shuffle, no Python loop over blocks."""
+    import numpy as np
+    import pandas as pd
+
+    if k & (k - 1) or k < 2:
+        raise ValueError(f"WHT block size must be a power of two >= 2, got {k}")
+    slim = tiles.select("image_id", "bytes", "w", "h", "fmt")
+
+    def _hadamard(m: int) -> "np.ndarray":
+        H = np.array([[1]], dtype=np.int64)
+        while H.shape[0] < m:
+            H = np.block([[H, H], [H, -H]])
+        return H
+
+    def _census(batches):
+        dt = {"raw": np.uint8, "qnt": np.uint8, "raw16": "<u2"}
+        H = _hadamard(k)
+        uu, vv = np.meshgrid(np.arange(k), np.arange(k), indexing="ij")
+        hf = (uu >= k // 2) | (vv >= k // 2)
+        cw = (uu * k + vv + 1).astype(np.int64)
+        for pdf in batches:
+            n = len(pdf)
+            out = {
+                "image_id": pdf["image_id"].to_numpy(dtype=object),
+                "n_blocks": np.zeros(n, dtype=np.int64),
+                "dc_sum": np.zeros(n, dtype=np.int64),
+                "ac_energy": np.zeros(n, dtype=np.int64),
+                "hf_energy": np.zeros(n, dtype=np.int64),
+                "coef_checksum": np.zeros(n, dtype=np.int64),
+            }
+            groups: dict[tuple, list[int]] = {}
+            for i in range(n):
+                key = (int(pdf["w"].iat[i]), int(pdf["h"].iat[i]), pdf["fmt"].iat[i])
+                groups.setdefault(key, []).append(i)
+            for (w, h, fmt), idx in groups.items():
+                h2, w2 = (h // k) * k, (w // k) * k
+                if h2 == 0 or w2 == 0:
+                    continue
+                z = (
+                    np.frombuffer(
+                        b"".join(pdf["bytes"].iat[i] for i in idx), dtype=dt[fmt]
+                    )
+                    .reshape(len(idx), h, w)[:, :h2, :w2]
+                    .astype(np.int64)
+                )
+                nb_h, nb_w = h2 // k, w2 // k
+                nblk = nb_h * nb_w
+                blk = (
+                    z.reshape(len(idx), nb_h, k, nb_w, k)
+                    .transpose(0, 1, 3, 2, 4)
+                    .reshape(len(idx), nblk, k, k)
+                )
+                C = np.einsum("ux,tbxy,vy->tbuv", H, blk, H)
+                A = np.abs(C)
+                wt = np.arange(1, nblk + 1, dtype=np.int64)
+                ii = np.asarray(idx)
+                out["n_blocks"][ii] = nblk
+                out["dc_sum"][ii] = C[:, :, 0, 0].sum(axis=1)
+                out["ac_energy"][ii] = A.sum(axis=(1, 2, 3)) - A[:, :, 0, 0].sum(axis=1)
+                out["hf_energy"][ii] = (A * hf).sum(axis=(1, 2, 3))
+                out["coef_checksum"][ii] = ((A * cw).sum(axis=(2, 3)) * wt).sum(axis=1)
+            yield pd.DataFrame(out)
+
+    schema = (
+        "image_id string, n_blocks long, dc_sum long, "
+        "ac_energy long, hf_energy long, coef_checksum long"
+    )
+    return slim.mapInPandas(_census, schema=schema)
+
+
 def _lattice_site_table(tiles: DataFrame) -> DataFrame:
     """Per-site lattice neighbourhood table — the shared single-pass
     core of the Moran/Geary/Getis-Ord family.

@@ -1099,6 +1099,56 @@ FROM winners WHERE rn = 1 GROUP BY image_id ORDER BY image_id
 """
 
 
+def q_wht_energy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """8x8 Walsh-Hadamard block transform energy census
+    (raster_stats.wht_energy_census) -- the integer-exact block-codec
+    frequency analysis (DC sum, AC drive, high-sequency half, full
+    coefficient checksum) per image, map-only fused Arrow pass."""
+    from ..operators import raster_stats
+
+    tiles = geo.georegister(_images(spark, sf_dir)).where(
+        geo.image_idx() % _POOL_MOD == 0
+    )
+    return (
+        raster_stats.wht_energy_census(tiles, 8)
+        .repartition(1).sortWithinPartitions("image_id")
+    )
+
+
+def _sql_wht_energy(fx: Path, w: int) -> str:
+    k = 8
+    bw = w // k
+    ramp = osql.ramp_value_expr("gi.i", "gj.j")
+    return f"""
+WITH {osql.georegister_cte(str(fx / 'images.parquet'))},
+px AS (
+  SELECT image_id,
+         (gi.i // {k}) * {bw} + (gj.j // {k}) AS blk,
+         gi.i % {k} AS x, gj.j % {k} AS y,
+         CAST({ramp} AS BIGINT) AS v
+  FROM tiles,
+       generate_series(0, {(w // k) * k - 1}) AS gi(i),
+       generate_series(0, {(w // k) * k - 1}) AS gj(j)
+  WHERE idx % {_POOL_MOD} = 0
+),
+coef AS (
+  SELECT image_id, blk, gu.u, gv.v,
+         SUM(px.v * CASE WHEN (bit_count(CAST(gu.u AS BIGINT) & x)
+                          + bit_count(CAST(gv.v AS BIGINT) & y)) % 2 = 0
+                      THEN 1 ELSE -1 END) AS c
+  FROM px, generate_series(0, {k - 1}) AS gu(u), generate_series(0, {k - 1}) AS gv(v)
+  GROUP BY image_id, blk, gu.u, gv.v
+)
+SELECT image_id,
+       CAST(COUNT(DISTINCT blk) AS BIGINT) AS n_blocks,
+       CAST(SUM(CASE WHEN u = 0 AND v = 0 THEN c ELSE 0 END) AS BIGINT) AS dc_sum,
+       CAST(SUM(CASE WHEN u = 0 AND v = 0 THEN 0 ELSE abs(c) END) AS BIGINT) AS ac_energy,
+       CAST(SUM(CASE WHEN u >= {k // 2} OR v >= {k // 2} THEN abs(c) ELSE 0 END) AS BIGINT) AS hf_energy,
+       CAST(SUM(abs(c) * (u * {k} + v + 1) * (blk + 1)) AS BIGINT) AS coef_checksum
+FROM coef GROUP BY image_id ORDER BY image_id
+"""
+
+
 def q_zonal_majority(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Zonal MAJORITY/variety (zonal.zonal_majority — the categorical
     zonal statistic): per zone the modal pixel value (tie -> lowest
@@ -4865,6 +4915,7 @@ def spatial_queries() -> dict[str, QueryFn]:
         "patch_extract": q_patch_extract,
         "avg_pool": q_avg_pool,
         "max_pool_argmax": q_max_pool,
+        "wht_energy": q_wht_energy,
         "value_at_nodata": q_value_at_nodata,
         "phash_near_dup": q_phash_near_dup,
         "phash_compute": q_phash_compute,
@@ -5128,6 +5179,7 @@ def spatial_oracles(sf: str = "sf0.01") -> dict[str, str]:
         "patch_extract": _sql_patch_extract(fx, w),
         "avg_pool": _sql_avg_pool(fx, w),
         "max_pool_argmax": _sql_max_pool(fx, w),
+        "wht_energy": _sql_wht_energy(fx, w),
         "value_at_nodata": osql.value_at_coords_sql(img, pts, nodata=_NODATA_VAL),
         "phash_near_dup": _sql_phash(fx),
         "phash_compute": _sql_phash_compute(fx, w),

@@ -254,3 +254,53 @@ def test_max_pool_argmax_ties_and_positions(spark):
     assert r["max_min"] == 0
     assert r["arg_pos_sum"] == 0 + 3 + 8 + 10
     assert r["arg_checksum"] == 0 * 1 + 3 * 2 + 8 * 3 + 10 * 4
+
+
+def test_wht_energy_census_matches_numpy(spark):
+    """Per-coefficient WHT vs a direct popcount-sign double loop on a
+    deterministic 16x16 tile (k=8: 4 blocks), plus the Parseval check
+    sum(C^2) = k^2 * sum(B^2) on every block."""
+    import numpy as np
+
+    from georaster_spark.operators.raster_stats import wht_energy_census
+
+    k = 8
+    px = ((np.arange(16)[:, None] * 31 + np.arange(16)[None, :] * 7) % 251).astype(
+        np.uint8
+    )
+    df = spark.createDataFrame(
+        [("t0", px.tobytes(), 16, 16, "raw")],
+        "image_id string, bytes binary, w int, h int, fmt string",
+    )
+    r = wht_energy_census(df, k).collect()[0]
+
+    def wht_block(B):
+        C = np.zeros((k, k), dtype=np.int64)
+        for u in range(k):
+            for v in range(k):
+                acc = 0
+                for x in range(k):
+                    for y in range(k):
+                        s = bin(u & x).count("1") + bin(v & y).count("1")
+                        acc += int(B[x, y]) * (1 if s % 2 == 0 else -1)
+                C[u, v] = acc
+        return C
+
+    dc = ac = hf = ck = 0
+    for bi in range(2):
+        for bj in range(2):
+            B = px[bi * k : (bi + 1) * k, bj * k : (bj + 1) * k].astype(np.int64)
+            C = wht_block(B)
+            assert (C * C).sum() == k * k * (B * B).sum()  # Parseval
+            A = np.abs(C)
+            blk = bi * 2 + bj
+            dc += C[0, 0]
+            ac += A.sum() - A[0, 0]
+            uu, vv = np.meshgrid(range(k), range(k), indexing="ij")
+            hf += A[(uu >= k // 2) | (vv >= k // 2)].sum()
+            ck += (blk + 1) * (A * (uu * k + vv + 1)).sum()
+    assert r["n_blocks"] == 4
+    assert r["dc_sum"] == dc
+    assert r["ac_energy"] == ac
+    assert r["hf_energy"] == hf
+    assert r["coef_checksum"] == ck
