@@ -3658,3 +3658,94 @@ def noise_mad(tiles: DataFrame) -> DataFrame:
             "lap_abs_sum long"
         ),
     )
+
+
+CUTMIX_SMOD = 8  # half-size cycle: s = 4 + pair_id % 8
+
+
+def cutmix_checksum(a: DataFrame, b: DataFrame, key: str = "pair_id") -> DataFrame:
+    """CutMix data augmentation (Yun et al., ICCV 2019) with a
+    DETERMINISTIC box schedule: paste a window of co-registered tile B
+    into tile A and pin the mixed result exactly — the augmentation
+    stage of a training pipeline, keyed so every worker (and the
+    oracle) derives the identical box with no RNG state.
+
+    Box schedule per pair p (clipped to tile bounds):
+      s  = 4 + p % CUTMIX_SMOD          (half-size)
+      cy = (p * 13) % h,  cx = (p * 7) % w
+      rows [max(0,cy-s), min(h,cy+s)) x cols [max(0,cx-s), min(w,cx+s))
+
+    Output per pair: the box (y0,x0,y1,x1), mix_area_ppm =
+    (10^6 * box_area) div (w*h) (the 1-lambda of the CutMix loss mix),
+    mixed_sum = sum of mixed pixels and mixed_checksum =
+    sum of (i*w + j + 1) * v -- position-weighted, so ANY misplaced
+    pixel flips it.  All int64-exact.
+
+    Scale shape: one equi-join of the two corpora on the pair key (at
+    10^12 rows both sides arrive bucketed on it -- sources/bucketed.py
+    -- making it shuffle-free) and ONE fused Arrow hop that decodes,
+    masks, and reduces per (w,h,fmt_a,fmt_b) group with a broadcasted
+    per-pair box mask; mixed pixels are never materialized to storage,
+    only their checksums leave the worker."""
+    lhs = a.select(key, F.col("bytes").alias("_ba"), F.col("fmt").alias("_fa"),
+                   F.col("w").alias("w"), F.col("h").alias("h"))
+    rhs = b.select(key, F.col("bytes").alias("_bb"), F.col("fmt").alias("_fb"))
+    joined = lhs.join(rhs, key)
+
+    def _mix(batches):
+        for pdf in batches:
+            n = len(pdf)
+            out = {
+                key: pdf[key].to_numpy(dtype=np.int64),
+                "y0": np.zeros(n, dtype=np.int32),
+                "x0": np.zeros(n, dtype=np.int32),
+                "y1": np.zeros(n, dtype=np.int32),
+                "x1": np.zeros(n, dtype=np.int32),
+                "mix_area_ppm": np.zeros(n, dtype=np.int64),
+                "mixed_sum": np.zeros(n, dtype=np.int64),
+                "mixed_checksum": np.zeros(n, dtype=np.int64),
+            }
+            groups: dict[tuple, list[int]] = {}
+            for i in range(n):
+                gk = (int(pdf["w"].iat[i]), int(pdf["h"].iat[i]),
+                      pdf["_fa"].iat[i], pdf["_fb"].iat[i])
+                groups.setdefault(gk, []).append(i)
+            for (w, h, fa, fb), idx in groups.items():
+                ii = np.asarray(idx)
+                p = out[key][ii]
+                s = 4 + p % CUTMIX_SMOD
+                cy, cx = (p * 13) % h, (p * 7) % w
+                y0 = np.maximum(0, cy - s)
+                y1 = np.minimum(h, cy + s)
+                x0 = np.maximum(0, cx - s)
+                x1 = np.minimum(w, cx + s)
+                A = np.stack([
+                    oracle.decode_pixels(pdf["_ba"].iat[i], w, h, fa) for i in idx
+                ]).astype(np.int64)
+                B = np.stack([
+                    oracle.decode_pixels(pdf["_bb"].iat[i], w, h, fb) for i in idx
+                ]).astype(np.int64)
+                rows = np.arange(h)
+                cols = np.arange(w)
+                mask = (
+                    (rows[None, :, None] >= y0[:, None, None])
+                    & (rows[None, :, None] < y1[:, None, None])
+                    & (cols[None, None, :] >= x0[:, None, None])
+                    & (cols[None, None, :] < x1[:, None, None])
+                )
+                mixed = np.where(mask, B, A)
+                pw = (np.arange(h * w, dtype=np.int64) + 1).reshape(h, w)
+                out["y0"][ii], out["x0"][ii] = y0, x0
+                out["y1"][ii], out["x1"][ii] = y1, x1
+                out["mix_area_ppm"][ii] = (
+                    1_000_000 * (y1 - y0) * (x1 - x0)
+                ) // (w * h)
+                out["mixed_sum"][ii] = mixed.sum(axis=(1, 2))
+                out["mixed_checksum"][ii] = (mixed * pw).sum(axis=(1, 2))
+            yield pd.DataFrame(out)
+
+    schema = (
+        f"{key} long, y0 int, x0 int, y1 int, x1 int, "
+        "mix_area_ppm long, mixed_sum long, mixed_checksum long"
+    )
+    return joined.mapInPandas(_mix, schema=schema)

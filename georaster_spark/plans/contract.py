@@ -619,6 +619,68 @@ def q_change_detect(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_cutmix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CutMix augmentation checksums (algebra.cutmix_checksum):
+    deterministic-box paste of odd tiles into their even partners, the
+    mixed result pinned by a position-weighted checksum plus the CutMix
+    area ratio (ppm).  One pair-key equi-join + one fused Arrow hop."""
+    from ..operators import algebra
+
+    im = _images(spark, sf_dir).where(geo.image_idx() < _DIFF_LIM)
+    pair = F.shiftright(geo.image_idx(), 1).alias("pair_id")
+    a = im.where(geo.image_idx() % 2 == 0).select(pair, "bytes", "fmt", "w", "h")
+    b = im.where(geo.image_idx() % 2 == 1).select(pair, "bytes", "fmt")
+    return (
+        algebra.cutmix_checksum(a, b, key="pair_id")
+        .repartition(1).sortWithinPartitions("pair_id")
+    )
+
+
+def _sql_cutmix(fx: Path, w: int) -> str:
+    """DuckDB twin of q_cutmix: both ramps re-derived, the box schedule
+    recomputed from the pair id, the mixed pixel chosen per (i, j)."""
+    from ..operators.algebra import CUTMIX_SMOD
+
+    va = osql.ramp_value_expr("gi.i", "gj.j", idx="ia", fmt="fmt_a")
+    vb = osql.ramp_value_expr("gi.i", "gj.j", idx="ib", fmt="fmt_b")
+    return f"""
+WITH img AS (
+  SELECT CAST(substr(image_id, 4, 10) AS BIGINT) AS idx, fmt
+  FROM read_parquet('{fx / 'images.parquet'}')
+),
+pairs AS (
+  SELECT a.idx // 2 AS pair_id, a.idx AS ia, b.idx AS ib,
+         a.fmt AS fmt_a, b.fmt AS fmt_b
+  FROM img a JOIN img b ON b.idx = a.idx + 1
+  WHERE a.idx % 2 = 0 AND a.idx < {_DIFF_LIM}
+),
+boxed AS (
+  SELECT *,
+         greatest(0, (pair_id * 13) % {w} - (4 + pair_id % {CUTMIX_SMOD})) AS y0,
+         least({w}, (pair_id * 13) % {w} + (4 + pair_id % {CUTMIX_SMOD})) AS y1,
+         greatest(0, (pair_id * 7) % {w} - (4 + pair_id % {CUTMIX_SMOD})) AS x0,
+         least({w}, (pair_id * 7) % {w} + (4 + pair_id % {CUTMIX_SMOD})) AS x1
+  FROM pairs
+),
+px AS (
+  SELECT pair_id, y0, x0, y1, x1,
+         gi.i * {w} + gj.j + 1 AS pw,
+         CASE WHEN gi.i >= y0 AND gi.i < y1 AND gj.j >= x0 AND gj.j < x1
+              THEN CAST({vb} AS BIGINT) ELSE CAST({va} AS BIGINT) END AS v
+  FROM boxed,
+       generate_series(0, {w - 1}) AS gi(i), generate_series(0, {w - 1}) AS gj(j)
+)
+SELECT pair_id,
+       CAST(MIN(y0) AS INT) AS y0, CAST(MIN(x0) AS INT) AS x0,
+       CAST(MIN(y1) AS INT) AS y1, CAST(MIN(x1) AS INT) AS x1,
+       CAST((1000000 * (MIN(y1) - MIN(y0)) * (MIN(x1) - MIN(x0))) // {w * w} AS BIGINT)
+         AS mix_area_ppm,
+       CAST(SUM(v) AS BIGINT) AS mixed_sum,
+       CAST(SUM(v * pw) AS BIGINT) AS mixed_checksum
+FROM px GROUP BY pair_id ORDER BY pair_id
+"""
+
+
 _FOCAL_MOD = 101
 
 
@@ -4845,6 +4907,7 @@ def spatial_queries() -> dict[str, QueryFn]:
         "pixel_histogram": q_pixel_histogram,
         "pixel_quantiles": q_pixel_quantiles,
         "change_detect": q_change_detect,
+        "cutmix_augment": q_cutmix,
         "pyramid_checksums": q_pyramid_checksums,
         "focal_stats": q_focal_stats,
         "focal_mosaic": q_focal_mosaic,
@@ -5109,6 +5172,7 @@ def spatial_oracles(sf: str = "sf0.01") -> dict[str, str]:
         "pixel_histogram": _sql_pixel_histogram(fx, w),
         "pixel_quantiles": _sql_pixel_quantiles(fx, w),
         "change_detect": _sql_change_detect(fx, w),
+        "cutmix_augment": _sql_cutmix(fx, w),
         "pyramid_checksums": _sql_pyramid_checksums(fx, w),
         "focal_stats": _sql_focal_stats(fx, w),
         "focal_mosaic": _sql_focal_mosaic(fx),
