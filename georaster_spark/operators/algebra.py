@@ -3749,3 +3749,57 @@ def cutmix_checksum(a: DataFrame, b: DataFrame, key: str = "pair_id") -> DataFra
         "mix_area_ppm long, mixed_sum long, mixed_checksum long"
     )
     return joined.mapInPandas(_mix, schema=schema)
+
+
+MIXUP_WMOD = 7  # weight cycle: w_a = 1 + pair_id % 7 (eighths), w_b = 8 - w_a
+
+
+def mixup_checksum(a: DataFrame, b: DataFrame, key: str = "pair_id") -> DataFrame:
+    """Mixup data augmentation (Zhang et al., ICLR 2018) with a
+    DETERMINISTIC rational weight schedule: the global convex blend
+    mixed = (w_a * A + w_b * B) div 8 with w_a = 1 + pair_id % MIXUP_WMOD
+    eighths — integer floor arithmetic end to end, so the blended tile
+    is pinned exactly with no RNG and no float rounding ambiguity.
+
+    Output per pair: w_a (eighths), mixed_sum, and the position-weighted
+    mixed_checksum sum((i*w + j + 1) * v).  Scale shape: identical to
+    cutmix_checksum — one bucketable pair-key equi-join + ONE fused
+    Arrow hop; blended pixels never leave the worker."""
+    lhs = a.select(key, F.col("bytes").alias("_ba"), F.col("fmt").alias("_fa"),
+                   F.col("w").alias("w"), F.col("h").alias("h"))
+    rhs = b.select(key, F.col("bytes").alias("_bb"), F.col("fmt").alias("_fb"))
+    joined = lhs.join(rhs, key)
+
+    def _mix(batches):
+        for pdf in batches:
+            n = len(pdf)
+            out = {
+                key: pdf[key].to_numpy(dtype=np.int64),
+                "w_a": np.zeros(n, dtype=np.int32),
+                "mixed_sum": np.zeros(n, dtype=np.int64),
+                "mixed_checksum": np.zeros(n, dtype=np.int64),
+            }
+            groups: dict[tuple, list[int]] = {}
+            for i in range(n):
+                gk = (int(pdf["w"].iat[i]), int(pdf["h"].iat[i]),
+                      pdf["_fa"].iat[i], pdf["_fb"].iat[i])
+                groups.setdefault(gk, []).append(i)
+            for (w, h, fa, fb), idx in groups.items():
+                ii = np.asarray(idx)
+                p = out[key][ii]
+                wa = (1 + p % MIXUP_WMOD).astype(np.int64)
+                A = np.stack([
+                    oracle.decode_pixels(pdf["_ba"].iat[i], w, h, fa) for i in idx
+                ]).astype(np.int64)
+                B = np.stack([
+                    oracle.decode_pixels(pdf["_bb"].iat[i], w, h, fb) for i in idx
+                ]).astype(np.int64)
+                mixed = (wa[:, None, None] * A + (8 - wa)[:, None, None] * B) // 8
+                pw = (np.arange(h * w, dtype=np.int64) + 1).reshape(h, w)
+                out["w_a"][ii] = wa
+                out["mixed_sum"][ii] = mixed.sum(axis=(1, 2))
+                out["mixed_checksum"][ii] = (mixed * pw).sum(axis=(1, 2))
+            yield pd.DataFrame(out)
+
+    schema = f"{key} long, w_a int, mixed_sum long, mixed_checksum long"
+    return joined.mapInPandas(_mix, schema=schema)

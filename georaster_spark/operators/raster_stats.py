@@ -502,6 +502,59 @@ def wht_energy_census(tiles: DataFrame, k: int = 8) -> DataFrame:
     return slim.mapInPandas(_census, schema=schema)
 
 
+def bitplane_census(tiles: DataFrame) -> DataFrame:
+    """Bit-plane slicing census — the per-plane structure profile
+    compression and steganalysis tools read before touching an image:
+    for each of the 8 bit planes of every tile, the number of set bits
+    and a position-weighted checksum sum((i*w + j + 1) * bit) that pins
+    every bit's location.  Low planes of natural imagery look like
+    noise (n_ones ~ half the pixels), high planes carry the structure;
+    the fixture ramps make every plane's exact profile derivable by the
+    DuckDB twin via (v >> plane) & 1.
+
+    Output: one row per (image_id, plane).  All int64-exact.
+    Map-only fused mapInPandas: one shift-and-mask broadcast per
+    (w,h,fmt) group; pixels never shuffle."""
+    import numpy as np
+    import pandas as pd
+
+    slim = tiles.select("image_id", "bytes", "w", "h", "fmt")
+
+    def _census(batches):
+        dt = {"raw": np.uint8, "qnt": np.uint8, "raw16": "<u2"}
+        planes = np.arange(8, dtype=np.int64)
+        for pdf in batches:
+            n = len(pdf)
+            ids, pl, ones, cks = [], [], [], []
+            groups: dict[tuple, list[int]] = {}
+            for i in range(n):
+                key = (int(pdf["w"].iat[i]), int(pdf["h"].iat[i]), pdf["fmt"].iat[i])
+                groups.setdefault(key, []).append(i)
+            for (w, h, fmt), idx in groups.items():
+                z = (
+                    np.frombuffer(
+                        b"".join(pdf["bytes"].iat[i] for i in idx), dtype=dt[fmt]
+                    )
+                    .reshape(len(idx), h, w)
+                    .astype(np.int64)
+                )
+                bits = (z[:, None, :, :] >> planes[None, :, None, None]) & 1
+                pw = (np.arange(h * w, dtype=np.int64) + 1).reshape(h, w)
+                n1 = bits.sum(axis=(2, 3))
+                ck = (bits * pw).sum(axis=(2, 3))
+                for t, i in enumerate(idx):
+                    ids.extend([pdf["image_id"].iat[i]] * 8)
+                    pl.extend(planes.tolist())
+                    ones.extend(n1[t].tolist())
+                    cks.extend(ck[t].tolist())
+            yield pd.DataFrame(
+                {"image_id": ids, "plane": pl, "n_ones": ones, "pos_checksum": cks}
+            )
+
+    schema = "image_id string, plane int, n_ones long, pos_checksum long"
+    return slim.mapInPandas(_census, schema=schema)
+
+
 def _lattice_site_table(tiles: DataFrame) -> DataFrame:
     """Per-site lattice neighbourhood table — the shared single-pass
     core of the Moran/Geary/Getis-Ord family.

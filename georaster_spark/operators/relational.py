@@ -4202,7 +4202,16 @@ def gini_concentration(spark: SparkSession, sf_dir: str) -> DataFrame:
         "sum_v",
         "sum_iv",
         F.expr(
-            "div(1000 * (2 * sum_iv - (n + 1) * sum_v), n * sum_v)"
+            # DECIMAL(38,0) keeps the milli numerator exact far past the
+            # int64 ceiling (1000 * the rank moment overflows a long
+            # already at sf0.1); numerator >= 0 by the Chebyshev sum
+            # inequality, so truncating div == floor in both engines.
+            "CAST(div("
+            " CAST(1000 AS DECIMAL(38,0))"
+            "   * (2 * CAST(sum_iv AS DECIMAL(38,0))"
+            "      - (n + 1) * CAST(sum_v AS DECIMAL(38,0))),"
+            " CAST(n AS DECIMAL(38,0)) * CAST(sum_v AS DECIMAL(38,0))"
+            ") AS BIGINT)"
         ).alias("gini_milli"),
     )
 
@@ -4367,4 +4376,74 @@ FROM (
   FROM orders GROUP BY o_custkey
 )
 ORDER BY o_custkey
+"""
+
+
+# Benford expected first-digit frequencies, ppm: floor(1e6*log10(1+1/d)).
+BENFORD_PPM = [301029, 176091, 124938, 96910, 79181, 66946, 57991, 51152, 45757]
+
+
+def benford_digits(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benford first-digit census over the order book — the screening
+    test an auditor runs on payment amounts before anything else: the
+    observed first-significant-digit distribution vs Benford's law,
+    with the per-digit deviation in ppm.  Everything integer-exact:
+    the first digit comes from the decimal rendering of the cents
+    amount (identical in every engine for positive BIGINTs), observed
+    shares are floor(1e6 * cnt / total), and the expected shares are
+    pinned integer constants, so there is no float anywhere.
+
+    Scale shape: map-only digit extraction, ONE 9-group partial+final
+    agg, a single-partition 9-row window for the total — nothing else
+    shuffles at any corpus size."""
+    from pyspark.sql import Window
+
+    o = _t(spark, sf_dir, "orders").select(
+        cents(F.col("o_totalprice")).alias("tp")
+    )
+    d = o.select(
+        F.substring(F.col("tp").cast("string"), 1, 1).cast("int").alias("digit")
+    )
+    counts = d.groupBy("digit").agg(F.count(F.lit(1)).alias("n_orders"))
+    total = F.sum("n_orders").over(Window.partitionBy())
+    exp = F.element_at(
+        F.array(*[F.lit(p) for p in BENFORD_PPM]), F.col("digit")
+    ).cast("long")
+    return (
+        counts.withColumn("_total", total)
+        .select(
+            "digit",
+            "n_orders",
+            F.expr("(1000000 * n_orders) div _total").alias("obs_ppm"),
+            exp.alias("benford_ppm"),
+        )
+        .withColumn(
+            "dev_ppm", F.abs(F.col("obs_ppm") - F.col("benford_ppm"))
+        )
+        .repartition(1)
+        .sortWithinPartitions("digit")
+    )
+
+
+def benford_digits_sql() -> str:
+    vals = ", ".join(f"({i + 1}, {p})" for i, p in enumerate(BENFORD_PPM))
+    return f"""
+WITH tp AS (
+  SELECT CAST(round(o_totalprice * 100) AS BIGINT) AS tp FROM orders
+),
+d AS (
+  SELECT CAST(substr(CAST(tp AS VARCHAR), 1, 1) AS INT) AS digit FROM tp
+),
+counts AS (
+  SELECT digit, COUNT(*) AS n_orders FROM d GROUP BY digit
+),
+benford(digit, ppm) AS (VALUES {vals})
+SELECT c.digit,
+       CAST(c.n_orders AS BIGINT) AS n_orders,
+       CAST(1000000 * c.n_orders // SUM(c.n_orders) OVER () AS BIGINT) AS obs_ppm,
+       CAST(b.ppm AS BIGINT) AS benford_ppm,
+       CAST(abs(1000000 * c.n_orders // SUM(c.n_orders) OVER () - b.ppm) AS BIGINT)
+         AS dev_ppm
+FROM counts c JOIN benford b ON b.digit = c.digit
+ORDER BY c.digit
 """

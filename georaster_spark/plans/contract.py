@@ -681,6 +681,87 @@ FROM px GROUP BY pair_id ORDER BY pair_id
 """
 
 
+def q_bitplane(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bit-plane slicing census (raster_stats.bitplane_census): per
+    (image, plane) the set-bit count and position-weighted checksum --
+    the compression/steganalysis structure profile, map-only."""
+    from ..operators import raster_stats
+
+    tiles = geo.georegister(_images(spark, sf_dir)).where(
+        geo.image_idx() % _POOL_MOD == 0
+    )
+    return (
+        raster_stats.bitplane_census(tiles)
+        .repartition(1).sortWithinPartitions("image_id", "plane")
+    )
+
+
+def _sql_bitplane(fx: Path, w: int) -> str:
+    ramp = osql.ramp_value_expr("gi.i", "gj.j")
+    return f"""
+WITH {osql.georegister_cte(str(fx / 'images.parquet'))},
+px AS (
+  SELECT image_id, gi.i * {w} + gj.j + 1 AS pw, CAST({ramp} AS BIGINT) AS v
+  FROM tiles,
+       generate_series(0, {w - 1}) AS gi(i), generate_series(0, {w - 1}) AS gj(j)
+  WHERE idx % {_POOL_MOD} = 0
+)
+SELECT image_id, CAST(gp.plane AS INT) AS plane,
+       CAST(SUM((v >> gp.plane) & 1) AS BIGINT) AS n_ones,
+       CAST(SUM(((v >> gp.plane) & 1) * pw) AS BIGINT) AS pos_checksum
+FROM px, generate_series(0, 7) AS gp(plane)
+GROUP BY image_id, gp.plane ORDER BY image_id, gp.plane
+"""
+
+
+def q_mixup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mixup augmentation checksums (algebra.mixup_checksum): global
+    convex blend of paired tiles at deterministic rational weights,
+    integer floor arithmetic end to end.  Same join/Arrow shape as
+    cutmix_augment; the two together cover both classic mixing
+    augmentations of an image training pipeline."""
+    from ..operators import algebra
+
+    im = _images(spark, sf_dir).where(geo.image_idx() < _DIFF_LIM)
+    pair = F.shiftright(geo.image_idx(), 1).alias("pair_id")
+    a = im.where(geo.image_idx() % 2 == 0).select(pair, "bytes", "fmt", "w", "h")
+    b = im.where(geo.image_idx() % 2 == 1).select(pair, "bytes", "fmt")
+    return (
+        algebra.mixup_checksum(a, b, key="pair_id")
+        .repartition(1).sortWithinPartitions("pair_id")
+    )
+
+
+def _sql_mixup(fx: Path, w: int) -> str:
+    from ..operators.algebra import MIXUP_WMOD
+
+    va = osql.ramp_value_expr("gi.i", "gj.j", idx="ia", fmt="fmt_a")
+    vb = osql.ramp_value_expr("gi.i", "gj.j", idx="ib", fmt="fmt_b")
+    return f"""
+WITH img AS (
+  SELECT CAST(substr(image_id, 4, 10) AS BIGINT) AS idx, fmt
+  FROM read_parquet('{fx / 'images.parquet'}')
+),
+pairs AS (
+  SELECT a.idx // 2 AS pair_id, a.idx AS ia, b.idx AS ib,
+         a.fmt AS fmt_a, b.fmt AS fmt_b,
+         1 + (a.idx // 2) % {MIXUP_WMOD} AS wa
+  FROM img a JOIN img b ON b.idx = a.idx + 1
+  WHERE a.idx % 2 = 0 AND a.idx < {_DIFF_LIM}
+),
+px AS (
+  SELECT pair_id, wa, gi.i * {w} + gj.j + 1 AS pw,
+         (wa * CAST({va} AS BIGINT) + (8 - wa) * CAST({vb} AS BIGINT)) // 8 AS v
+  FROM pairs,
+       generate_series(0, {w - 1}) AS gi(i), generate_series(0, {w - 1}) AS gj(j)
+)
+SELECT pair_id, CAST(MIN(wa) AS INT) AS w_a,
+       CAST(SUM(v) AS BIGINT) AS mixed_sum,
+       CAST(SUM(v * pw) AS BIGINT) AS mixed_checksum
+FROM px GROUP BY pair_id ORDER BY pair_id
+"""
+
+
 _FOCAL_MOD = 101
 
 
@@ -4908,6 +4989,8 @@ def spatial_queries() -> dict[str, QueryFn]:
         "pixel_quantiles": q_pixel_quantiles,
         "change_detect": q_change_detect,
         "cutmix_augment": q_cutmix,
+        "mixup_augment": q_mixup,
+        "bitplane_census": q_bitplane,
         "pyramid_checksums": q_pyramid_checksums,
         "focal_stats": q_focal_stats,
         "focal_mosaic": q_focal_mosaic,
@@ -5098,6 +5181,7 @@ def spatial_queries() -> dict[str, QueryFn]:
         "interarrival_census": rel.interarrival_census,
         "zone_adjacency": q_zone_adjacency,
         "duplicate_payments": rel.duplicate_payments,
+        "benford_digits": rel.benford_digits,
         "unit_price_spread": rel.unit_price_spread,
         "cuped_moments": rel.cuped_moments,
         "range_frame_sums": rel.range_frame_sums,
@@ -5173,6 +5257,8 @@ def spatial_oracles(sf: str = "sf0.01") -> dict[str, str]:
         "pixel_quantiles": _sql_pixel_quantiles(fx, w),
         "change_detect": _sql_change_detect(fx, w),
         "cutmix_augment": _sql_cutmix(fx, w),
+        "mixup_augment": _sql_mixup(fx, w),
+        "bitplane_census": _sql_bitplane(fx, w),
         "pyramid_checksums": _sql_pyramid_checksums(fx, w),
         "focal_stats": _sql_focal_stats(fx, w),
         "focal_mosaic": _sql_focal_mosaic(fx),
@@ -5363,6 +5449,7 @@ def spatial_oracles(sf: str = "sf0.01") -> dict[str, str]:
         "interarrival_census": rel.interarrival_census_sql(),
         "zone_adjacency": _sql_zone_adjacency(fx),
         "duplicate_payments": rel.duplicate_payments_sql(),
+        "benford_digits": rel.benford_digits_sql(),
         "unit_price_spread": rel.unit_price_spread_sql(),
         "cuped_moments": rel.cuped_moments_sql(),
         "range_frame_sums": rel.range_frame_sums_sql(),

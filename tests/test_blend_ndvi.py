@@ -169,3 +169,30 @@ def test_cutmix_checksum_hand_verified(spark):
     # s=7 centered at (7,5) -> rows [0,8) x cols [0,8) fully covering
     assert (got[0]["y1"] - got[0]["y0"], got[0]["x1"] - got[0]["x0"]) == (4, 4)
     assert got[3]["mix_area_ppm"] == 1_000_000
+
+
+def test_mixup_checksum_exact_floor_blend(spark):
+    import numpy as np
+
+    from georaster_spark.operators.algebra import MIXUP_WMOD, mixup_checksum
+
+    w = h = 4
+    A = np.arange(16, dtype=np.uint8).reshape(4, 4)
+    B = (255 - np.arange(16, dtype=np.uint8)).reshape(4, 4)
+    rows_a = [(p, A.tobytes(), "raw", w, h) for p in (0, 2, 6)]
+    rows_b = [(p, B.tobytes(), "raw") for p in (0, 2, 6)]
+    a = spark.createDataFrame(
+        rows_a, "pair_id long, bytes binary, fmt string, w int, h int"
+    )
+    b = spark.createDataFrame(rows_b, "pair_id long, bytes binary, fmt string")
+    got = {r["pair_id"]: r for r in mixup_checksum(a, b).collect()}
+    pw = np.arange(1, 17, dtype=np.int64).reshape(4, 4)
+    for p in (0, 2, 6):
+        wa = 1 + p % MIXUP_WMOD
+        mixed = (wa * A.astype(np.int64) + (8 - wa) * B.astype(np.int64)) // 8
+        r = got[p]
+        assert r["w_a"] == wa
+        assert r["mixed_sum"] == mixed.sum()
+        assert r["mixed_checksum"] == (mixed * pw).sum()
+    # weights actually vary across the schedule
+    assert len({got[p]["w_a"] for p in (0, 2, 6)}) == 3

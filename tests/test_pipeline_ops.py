@@ -228,3 +228,25 @@ def test_bloom_semi_prunes_and_is_exact(spark):
     plan = rel.bloom_semi(spark, sf_dir)._jdf.queryExecution().executedPlan().toString()
     assert "ArrowEvalPython" not in plan and "BatchEvalPython" not in plan
     assert "xxhash64" in plan.lower()
+
+
+def test_benford_digits_constants_and_census(spark):
+    """BENFORD_PPM matches floor(1e6*log10(1+1/d)) and sums to ~1e6;
+    the census on sf0.001 partitions all orders and uses exact integer
+    shares."""
+    import math
+
+    from georaster_spark.operators.relational import BENFORD_PPM, benford_digits
+
+    for d in range(1, 10):
+        assert BENFORD_PPM[d - 1] == math.floor(1_000_000 * math.log10(1 + 1 / d))
+    assert 999_990 <= sum(BENFORD_PPM) <= 1_000_000
+
+    sf_dir = "/root/testdata/sf0.001"
+    rows = benford_digits(spark, sf_dir).collect()
+    n_orders = spark.read.parquet(f"{sf_dir}/orders.parquet").count()
+    assert sum(r["n_orders"] for r in rows) == n_orders
+    assert [r["digit"] for r in rows] == sorted(r["digit"] for r in rows)
+    for r in rows:
+        assert r["obs_ppm"] == (1_000_000 * r["n_orders"]) // n_orders
+        assert r["dev_ppm"] == abs(r["obs_ppm"] - r["benford_ppm"])

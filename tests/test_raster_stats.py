@@ -304,3 +304,24 @@ def test_wht_energy_census_matches_numpy(spark):
     assert r["ac_energy"] == ac
     assert r["hf_energy"] == hf
     assert r["coef_checksum"] == ck
+
+
+def test_bitplane_census_matches_numpy(spark):
+    import numpy as np
+
+    from georaster_spark.operators.raster_stats import bitplane_census
+
+    px = ((np.arange(8)[:, None] * 37 + np.arange(8)[None, :] * 11) % 256).astype(
+        np.uint8
+    )
+    df = spark.createDataFrame(
+        [("t0", px.tobytes(), 8, 8, "raw")],
+        "image_id string, bytes binary, w int, h int, fmt string",
+    )
+    got = {r["plane"]: (r["n_ones"], r["pos_checksum"])
+           for r in bitplane_census(df).collect()}
+    pw = np.arange(1, 65, dtype=np.int64).reshape(8, 8)
+    assert set(got) == set(range(8))
+    for plane in range(8):
+        bits = (px.astype(np.int64) >> plane) & 1
+        assert got[plane] == (bits.sum(), (bits * pw).sum())
