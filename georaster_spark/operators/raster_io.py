@@ -406,3 +406,63 @@ def pansharpen_stats(tiles: DataFrame) -> DataFrame:
 
     cols = ["image_id", "bytes", "w", "h", "fmt", "nbands"]
     return tiles.select(*cols).mapInPandas(gen, schema=schema)
+
+
+def gray_world_stats(tiles: DataFrame) -> DataFrame:
+    """Gray-world white-balance gains over multi-band tiles — the
+    classic illumination-correction pass (Buchsbaum 1980) a vision
+    pipeline runs before training: assume the scene averages to gray,
+    so each band's gain is total_mean / band_mean.  Kept on an INTEGER
+    surface: ``gain_ppm = (S_total · 1_000_000) // (nbands · S_band)``
+    (floor; 0 where the band sums to 0) — parts-per-million-quantized,
+    bit-reproducible across engines, with the per-band pixel sum also
+    emitted so the oracle pins both the reduction and the ratio.
+
+    Scale shape: map-only fused mapInPandas — one Arrow hop, vectorized
+    per (w,h,fmt,nbands) group, per-image output rows, zero shuffle."""
+    from pyspark.sql.types import IntegerType, LongType, StringType, StructField, StructType
+
+    schema = StructType(
+        [
+            StructField("image_id", StringType()),
+            StructField("band", IntegerType()),
+            StructField("band_sum", LongType()),
+            StructField("gain_ppm", LongType()),
+        ]
+    )
+
+    def gen(batches):
+        dt = {"raw": np.uint8, "qnt": np.uint8, "raw16": "<u2"}
+        for pdf in batches:
+            ids, bands, sums, gains = [], [], [], []
+            groups: dict[tuple, list[int]] = {}
+            for k in range(len(pdf)):
+                key = (
+                    int(pdf["w"].iat[k]), int(pdf["h"].iat[k]),
+                    pdf["fmt"].iat[k], int(pdf["nbands"].iat[k]),
+                )
+                groups.setdefault(key, []).append(k)
+            for (w, h, fmt, nb), idx in groups.items():
+                z = (
+                    np.frombuffer(
+                        b"".join(pdf["bytes"].iat[k] for k in idx), dtype=dt[fmt]
+                    )
+                    .reshape(len(idx), nb, h, w)
+                    .astype(np.int64)
+                )
+                bs = z.sum(axis=(2, 3))  # (n, nb)
+                total = bs.sum(axis=1, keepdims=True)  # (n, 1)
+                g = np.zeros_like(bs)
+                np.floor_divide(total * 1_000_000, nb * bs, out=g, where=bs > 0)
+                for t, k in enumerate(idx):
+                    for b in range(nb):
+                        ids.append(pdf["image_id"].iat[k])
+                        bands.append(b + 1)
+                        sums.append(int(bs[t, b]))
+                        gains.append(int(g[t, b]))
+            yield pd.DataFrame(
+                {"image_id": ids, "band": bands, "band_sum": sums, "gain_ppm": gains}
+            )
+
+    cols = ["image_id", "bytes", "w", "h", "fmt", "nbands"]
+    return tiles.select(*cols).mapInPandas(gen, schema=schema)

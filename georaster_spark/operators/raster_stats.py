@@ -850,3 +850,178 @@ def getis_ord_moments(tiles: DataFrame) -> DataFrame:
             - (F.col("k_nb") + 1) * F.col("sum_m")
         ).alias("gi_num"),
     )
+
+def d4_checksums(tiles: DataFrame) -> DataFrame:
+    """Dihedral-group (D4) augmentation census — the eight exact
+    symmetries of a square tile (identity, three rotations, two axis
+    flips, two diagonal flips) that image-training pipelines apply as
+    lossless augmentations (reference analog: a georaster user calling
+    np.rot90/np.flip on ``self.r`` before re-writing — SURVEY §0 ⚠,
+    nothing on disk).  For each (image, transform) the position-weighted
+    checksum sum((i*w + j + 1) * out[i,j]) pins every pixel's landing
+    spot, so a wrong axis order or off-by-one mirror flips the hash.
+
+    Transform table (out[i,j] = in[si, sj], square w==h):
+      0 identity    si=i        sj=j
+      1 rot90 CCW   si=j        sj=w-1-i
+      2 rot180      si=w-1-i    sj=w-1-j
+      3 rot270      si=w-1-j    sj=i
+      4 fliplr      si=i        sj=w-1-j
+      5 flipud      si=w-1-i    sj=j
+      6 transpose   si=j        sj=i
+      7 anti-transp si=w-1-j    sj=w-1-i
+
+    All int64-exact.  Map-only fused mapInPandas: the eight variants are
+    numpy views (no copies) over one stacked decode per (w,h,fmt) group;
+    pixels cross Arrow once and never shuffle."""
+    slim = tiles.select("image_id", "bytes", "w", "h", "fmt")
+
+    def _census(batches):
+        dt = {"raw": np.uint8, "qnt": np.uint8, "raw16": "<u2"}
+        for pdf in batches:
+            ids, tr, cks = [], [], []
+            groups: dict[tuple, list[int]] = {}
+            for i in range(len(pdf)):
+                key = (int(pdf["w"].iat[i]), int(pdf["h"].iat[i]), pdf["fmt"].iat[i])
+                groups.setdefault(key, []).append(i)
+            for (w, h, fmt), idx in groups.items():
+                z = (
+                    np.frombuffer(
+                        b"".join(pdf["bytes"].iat[i] for i in idx), dtype=dt[fmt]
+                    )
+                    .reshape(len(idx), h, w)
+                    .astype(np.int64)
+                )
+                pw = (np.arange(h * w, dtype=np.int64) + 1).reshape(h, w)
+                variants = [
+                    z,
+                    np.rot90(z, 1, axes=(1, 2)),
+                    np.rot90(z, 2, axes=(1, 2)),
+                    np.rot90(z, 3, axes=(1, 2)),
+                    z[:, :, ::-1],
+                    z[:, ::-1, :],
+                    z.transpose(0, 2, 1),
+                    z[:, ::-1, ::-1].transpose(0, 2, 1),
+                ]
+                per_t = [np.einsum("nij,ij->n", v, pw) for v in variants]
+                for t, ck in enumerate(per_t):
+                    ids.extend(pdf["image_id"].iat[i] for i in idx)
+                    tr.extend([t] * len(idx))
+                    cks.extend(ck.tolist())
+            yield pd.DataFrame({"image_id": ids, "transform": tr, "checksum": cks})
+
+    schema = "image_id string, transform int, checksum long"
+    return slim.mapInPandas(_census, schema=schema)
+
+
+JIGSAW_G = 4  # patches per side
+JIGSAW_MULT = 5  # 5 and 16 coprime -> k |-> (5k + idx) % 16 is a bijection
+
+
+def jigsaw_checksum(tiles: DataFrame) -> DataFrame:
+    """Jigsaw patch-permutation checksum — the self-supervised
+    pretraining augmentation (Noroozi & Favaro 2016): the tile is cut
+    into G×G patches and patch k is moved to slot (5k + idx) mod G²,
+    a per-image bijection keyed by the image index, so every image gets
+    a different but deterministic shuffle.  The position-weighted
+    checksum of the reassembled tile pins each patch's landing slot and
+    interior orientation; n_moved counts slots whose content changed.
+
+    Scale shape: map-only fused mapInPandas, one stacked decode per
+    (w,h,fmt) group, G² vectorized block copies across the whole batch;
+    pixels never shuffle.  All int64-exact."""
+    from . import georegister as geo
+
+    g = JIGSAW_G
+    slim = tiles.select("image_id", geo.image_idx().alias("idx"), "bytes", "w", "h", "fmt")
+
+    def _census(batches):
+        dt = {"raw": np.uint8, "qnt": np.uint8, "raw16": "<u2"}
+        g2 = g * g
+        for pdf in batches:
+            ids, cks, mvd = [], [], []
+            groups: dict[tuple, list[int]] = {}
+            for i in range(len(pdf)):
+                key = (int(pdf["w"].iat[i]), int(pdf["h"].iat[i]), pdf["fmt"].iat[i])
+                groups.setdefault(key, []).append(i)
+            for (w, h, fmt), rows in groups.items():
+                p = w // g
+                z = (
+                    np.frombuffer(
+                        b"".join(pdf["bytes"].iat[i] for i in rows), dtype=dt[fmt]
+                    )
+                    .reshape(len(rows), h, w)
+                    .astype(np.int64)
+                )
+                idxs = np.array([int(pdf["idx"].iat[i]) for i in rows], dtype=np.int64)
+                out = np.empty_like(z)
+                # slot q receives patch k = 13*(q - idx) mod 16 (13 = 5^-1 mod 16)
+                for q in range(g2):
+                    k = (13 * (q - idxs)) % g2  # per-image source patch
+                    qi, qj = (q // g) * p, (q % g) * p
+                    ki, kj = (k // g) * p, (k % g) * p
+                    out[np.arange(len(rows)), qi : qi + p, qj : qj + p] = z[
+                        np.arange(len(rows))[:, None, None],
+                        ki[:, None, None] + np.arange(p)[None, :, None],
+                        kj[:, None, None] + np.arange(p)[None, None, :],
+                    ]
+                pw = (np.arange(h * w, dtype=np.int64) + 1).reshape(h, w)
+                ck = np.einsum("nij,ij->n", out, pw)
+                n_moved = np.array(
+                    [int(np.sum((13 * (np.arange(g2) - ix)) % g2 != np.arange(g2))) for ix in idxs],
+                    dtype=np.int64,
+                )
+                ids.extend(pdf["image_id"].iat[i] for i in rows)
+                cks.extend(ck.tolist())
+                mvd.extend(n_moved.tolist())
+            yield pd.DataFrame({"image_id": ids, "checksum": cks, "n_moved": mvd})
+
+    schema = "image_id string, checksum long, n_moved long"
+    return slim.mapInPandas(_census, schema=schema)
+
+
+def chroma_subsample_stats(tiles: DataFrame) -> DataFrame:
+    """4:2:0-style chroma-subsampling error census — each 2×2 block is
+    replaced by its floor mean (the codec's chroma plane), re-expanded
+    by nearest-neighbour, and the per-pixel absolute reconstruction
+    error is reduced to (sum, max, position-weighted checksum).  This is
+    the bandwidth/quality trade every lossy image codec makes; the
+    census quantifies it corpus-wide so a curation pipeline can gate on
+    it (reference analog: PSNR-style write verification, SURVEY §2.1 R6).
+
+    All int64-exact (floor-mean and |diff| stay integral).  Map-only
+    fused mapInPandas; one decode, no shuffle."""
+    slim = tiles.select("image_id", "bytes", "w", "h", "fmt")
+
+    def _census(batches):
+        dt = {"raw": np.uint8, "qnt": np.uint8, "raw16": "<u2"}
+        for pdf in batches:
+            ids, se, me, ck = [], [], [], []
+            groups: dict[tuple, list[int]] = {}
+            for i in range(len(pdf)):
+                key = (int(pdf["w"].iat[i]), int(pdf["h"].iat[i]), pdf["fmt"].iat[i])
+                groups.setdefault(key, []).append(i)
+            for (w, h, fmt), rows in groups.items():
+                z = (
+                    np.frombuffer(
+                        b"".join(pdf["bytes"].iat[i] for i in rows), dtype=dt[fmt]
+                    )
+                    .reshape(len(rows), h, w)
+                    .astype(np.int64)
+                )
+                blocks = (
+                    z.reshape(len(rows), h // 2, 2, w // 2, 2).sum(axis=(2, 4)) // 4
+                )
+                up = np.repeat(np.repeat(blocks, 2, axis=1), 2, axis=2)
+                err = np.abs(z - up)
+                pw = (np.arange(h * w, dtype=np.int64) + 1).reshape(h, w)
+                ids.extend(pdf["image_id"].iat[i] for i in rows)
+                se.extend(err.sum(axis=(1, 2)).tolist())
+                me.extend(err.max(axis=(1, 2)).tolist())
+                ck.extend(np.einsum("nij,ij->n", err, pw).tolist())
+            yield pd.DataFrame(
+                {"image_id": ids, "err_sum": se, "err_max": me, "err_checksum": ck}
+            )
+
+    schema = "image_id string, err_sum long, err_max long, err_checksum long"
+    return slim.mapInPandas(_census, schema=schema)

@@ -4991,6 +4991,10 @@ def spatial_queries() -> dict[str, QueryFn]:
         "cutmix_augment": q_cutmix,
         "mixup_augment": q_mixup,
         "bitplane_census": q_bitplane,
+        "d4_transforms": q_d4_transforms,
+        "jigsaw_permute": q_jigsaw,
+        "chroma_subsample": q_chroma_subsample,
+        "gray_world": q_gray_world,
         "pyramid_checksums": q_pyramid_checksums,
         "focal_stats": q_focal_stats,
         "focal_mosaic": q_focal_mosaic,
@@ -5259,6 +5263,10 @@ def spatial_oracles(sf: str = "sf0.01") -> dict[str, str]:
         "cutmix_augment": _sql_cutmix(fx, w),
         "mixup_augment": _sql_mixup(fx, w),
         "bitplane_census": _sql_bitplane(fx, w),
+        "d4_transforms": _sql_d4_transforms(fx, w),
+        "jigsaw_permute": _sql_jigsaw(fx, w),
+        "chroma_subsample": _sql_chroma_subsample(fx, w),
+        "gray_world": _sql_gray_world(fx, w),
         "pyramid_checksums": _sql_pyramid_checksums(fx, w),
         "focal_stats": _sql_focal_stats(fx, w),
         "focal_mosaic": _sql_focal_mosaic(fx),
@@ -10296,4 +10304,181 @@ SELECT p, q, CAST(common AS BIGINT) AS common
 FROM cn
 WHERE NOT EXISTS (SELECT 1 FROM e WHERE e.u = cn.p AND e.v = cn.q)
 ORDER BY common DESC, p, q LIMIT {FOF_TOPK}
+"""
+
+
+# --- round-3 batch: D4 dihedral / jigsaw / chroma 4:2:0 / gray-world --------
+
+_D4_MOD = 83
+_CHROMA_MOD = 31
+
+
+def q_d4_transforms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dihedral-group augmentation census (raster_stats.d4_checksums):
+    all 8 exact square symmetries per sampled tile, each pinned by a
+    position-weighted checksum.  Complements image_augment (one chained
+    transform) with the complete lossless-augmentation group."""
+    from ..operators import raster_stats
+
+    tiles = geo.georegister(_images(spark, sf_dir)).where(
+        geo.image_idx() % _D4_MOD == 0
+    )
+    return (
+        raster_stats.d4_checksums(tiles)
+        .repartition(1).sortWithinPartitions("image_id", "transform")
+    )
+
+
+def _sql_d4_transforms(fx: Path, w: int) -> str:
+    m = w - 1
+    ramp = osql.ramp_value_expr("si", "sj")
+    return f"""
+WITH {osql.georegister_cte(str(fx / 'images.parquet'))},
+px AS (
+  SELECT image_id, idx, fmt, gt.t AS transform, gi.i AS i, gj.j AS j,
+         CASE gt.t WHEN 0 THEN gi.i WHEN 1 THEN gj.j WHEN 2 THEN {m} - gi.i
+                   WHEN 3 THEN {m} - gj.j WHEN 4 THEN gi.i WHEN 5 THEN {m} - gi.i
+                   WHEN 6 THEN gj.j ELSE {m} - gj.j END AS si,
+         CASE gt.t WHEN 0 THEN gj.j WHEN 1 THEN {m} - gi.i WHEN 2 THEN {m} - gj.j
+                   WHEN 3 THEN gi.i WHEN 4 THEN {m} - gj.j WHEN 5 THEN gj.j
+                   WHEN 6 THEN gi.i ELSE {m} - gi.i END AS sj
+  FROM tiles,
+       generate_series(0, 7) AS gt(t),
+       generate_series(0, {m}) AS gi(i), generate_series(0, {m}) AS gj(j)
+  WHERE idx % {_D4_MOD} = 0
+)
+SELECT image_id, CAST(transform AS INT) AS transform,
+       CAST(SUM(CAST({ramp} AS BIGINT) * (i * {w} + j + 1)) AS BIGINT) AS checksum
+FROM px GROUP BY image_id, transform ORDER BY image_id, transform
+"""
+
+
+def q_jigsaw(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Jigsaw patch-permutation checksum (raster_stats.jigsaw_checksum):
+    4x4 patches shuffled by the per-image bijection slot = (5k + idx)
+    mod 16 -- the self-supervised pretraining augmentation."""
+    from ..operators import raster_stats
+
+    tiles = geo.georegister(_images(spark, sf_dir)).where(
+        geo.image_idx() % _POOL_MOD == 0
+    )
+    return (
+        raster_stats.jigsaw_checksum(tiles)
+        .repartition(1).sortWithinPartitions("image_id")
+    )
+
+
+def _sql_jigsaw(fx: Path, w: int) -> str:
+    g = 4
+    p = w // g
+    g2 = g * g
+    # slot q receives patch k = 13*(q - idx) mod 16 (13 = 5^-1 mod 16)
+    k = f"(13 * (((q - idx % {g2}) % {g2} + {g2}) % {g2})) % {g2}"
+    ramp = osql.ramp_value_expr("si", "sj")
+    return f"""
+WITH {osql.georegister_cte(str(fx / 'images.parquet'))},
+mv AS (
+  SELECT gr.r AS r,
+         SUM(CASE WHEN (13 * (((gq.q - gr.r) % {g2} + {g2}) % {g2})) % {g2} <> gq.q
+                  THEN 1 ELSE 0 END) AS n_moved
+  FROM generate_series(0, {g2 - 1}) AS gr(r), generate_series(0, {g2 - 1}) AS gq(q)
+  GROUP BY gr.r
+),
+px AS (
+  SELECT image_id, idx, fmt, gi.i AS i, gj.j AS j,
+         (gi.i // {p}) * {g} + (gj.j // {p}) AS q
+  FROM tiles,
+       generate_series(0, {w - 1}) AS gi(i), generate_series(0, {w - 1}) AS gj(j)
+  WHERE idx % {_POOL_MOD} = 0
+),
+src AS (
+  SELECT image_id, idx, fmt, i, j,
+         (({k}) // {g}) * {p} + i % {p} AS si,
+         (({k}) % {g}) * {p} + j % {p} AS sj
+  FROM px
+),
+agg AS (
+  SELECT image_id, MIN(idx) AS idx,
+         CAST(SUM(CAST({ramp} AS BIGINT) * (i * {w} + j + 1)) AS BIGINT) AS checksum
+  FROM src GROUP BY image_id
+)
+SELECT a.image_id, a.checksum, CAST(mv.n_moved AS BIGINT) AS n_moved
+FROM agg a JOIN mv ON mv.r = a.idx % {g2}
+ORDER BY a.image_id
+"""
+
+
+def q_chroma_subsample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """4:2:0 chroma-subsampling reconstruction-error census
+    (raster_stats.chroma_subsample_stats): 2x2 floor-mean downsample,
+    nearest re-expand, per-image |error| sum/max/checksum -- the lossy
+    codec's bandwidth/quality trade quantified corpus-wide."""
+    from ..operators import raster_stats
+
+    tiles = geo.georegister(_images(spark, sf_dir)).where(
+        geo.image_idx() % _CHROMA_MOD == 0
+    )
+    return (
+        raster_stats.chroma_subsample_stats(tiles)
+        .repartition(1).sortWithinPartitions("image_id")
+    )
+
+
+def _sql_chroma_subsample(fx: Path, w: int) -> str:
+    v = osql.ramp_value_expr("gi.i", "gj.j")
+    v00 = osql.ramp_value_expr("((gi.i // 2) * 2)", "((gj.j // 2) * 2)")
+    v01 = osql.ramp_value_expr("((gi.i // 2) * 2)", "((gj.j // 2) * 2 + 1)")
+    v10 = osql.ramp_value_expr("((gi.i // 2) * 2 + 1)", "((gj.j // 2) * 2)")
+    v11 = osql.ramp_value_expr("((gi.i // 2) * 2 + 1)", "((gj.j // 2) * 2 + 1)")
+    err = f"abs(CAST({v} AS BIGINT) - (({v00}) + ({v01}) + ({v10}) + ({v11})) // 4)"
+    return f"""
+WITH {osql.georegister_cte(str(fx / 'images.parquet'))},
+px AS (
+  SELECT image_id, gi.i * {w} + gj.j + 1 AS pw, {err} AS e
+  FROM tiles,
+       generate_series(0, {w - 1}) AS gi(i), generate_series(0, {w - 1}) AS gj(j)
+  WHERE idx % {_CHROMA_MOD} = 0
+)
+SELECT image_id,
+       CAST(SUM(e) AS BIGINT) AS err_sum,
+       CAST(MAX(e) AS BIGINT) AS err_max,
+       CAST(SUM(e * pw) AS BIGINT) AS err_checksum
+FROM px GROUP BY image_id ORDER BY image_id
+"""
+
+
+def q_gray_world(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gray-world white-balance gains (raster_io.gray_world_stats) over
+    the synthetic 3-band stack: per-(image, band) pixel sum and the
+    ppm-quantized gain total_mean/band_mean -- the illumination
+    correction a vision pipeline applies before training."""
+    from ..operators import raster_io
+
+    tiles = geo.georegister(_images(spark, sf_dir)).where(geo.image_idx() < 2000)
+    return (
+        raster_io.gray_world_stats(_band_stack(tiles, 3))
+        .repartition(1).sortWithinPartitions("image_id", "band")
+    )
+
+
+def _sql_gray_world(fx: Path, w: int) -> str:
+    v = osql.ramp_value_expr("gi.i", "gj.j")
+    return f"""
+WITH {osql.georegister_cte(str(fx / 'images.parquet'))},
+bands(band, off) AS (VALUES (1, 0), (2, {_BAND_OFF}), (3, {2 * _BAND_OFF})),
+bs AS (
+  SELECT image_id, band,
+         CAST(SUM((({v}) + off) % 256) AS BIGINT) AS band_sum
+  FROM tiles, bands,
+       generate_series(0, {w - 1}) AS gi(i), generate_series(0, {w - 1}) AS gj(j)
+  WHERE idx < 2000
+  GROUP BY image_id, band
+),
+tot AS (SELECT image_id, SUM(band_sum) AS total FROM bs GROUP BY image_id)
+SELECT bs.image_id, CAST(bs.band AS INT) AS band, bs.band_sum,
+       CASE WHEN bs.band_sum > 0
+            THEN CAST((tot.total * 1000000) // (3 * bs.band_sum) AS BIGINT)
+            ELSE 0 END AS gain_ppm
+FROM bs JOIN tot ON tot.image_id = bs.image_id
+ORDER BY bs.image_id, bs.band
 """
