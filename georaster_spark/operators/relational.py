@@ -4447,3 +4447,56 @@ SELECT c.digit,
 FROM counts c JOIN benford b ON b.digit = c.digit
 ORDER BY c.digit
 """
+
+
+K_ANON = 5  # the privacy bar: groups smaller than this are re-identifiable
+
+
+def k_anonymity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """k-anonymity audit (Sweeney 2002) over the customer table — the
+    privacy gate a training-data curation pipeline runs before releasing
+    quasi-identifier columns: group by the quasi-id tuple
+    (nation, market segment, account-balance k$-bucket) and census the
+    group-size distribution.  Groups with fewer than {K_ANON} members
+    are re-identifiable and must be suppressed or generalized; the
+    audit reports, per equivalence-class size, how many classes and
+    rows sit at that size and whether it is below the bar.
+
+    Scale shape: two chained partial+final hash aggs on shrinking keys
+    (quasi-id tuple -> class size); no joins, no windows — the same
+    plan at 10^12 rows."""
+    c = _t(spark, sf_dir, "customer").select(
+        "c_nationkey",
+        "c_mktsegment",
+        F.floor(F.col("c_acctbal") / 1000).cast("long").alias("bal_kb"),
+    )
+    classes = c.groupBy("c_nationkey", "c_mktsegment", "bal_kb").agg(
+        F.count(F.lit(1)).alias("grp_size")
+    )
+    return (
+        classes.groupBy("grp_size")
+        .agg(F.count(F.lit(1)).alias("n_groups"))
+        .select(
+            "grp_size",
+            "n_groups",
+            (F.col("grp_size") * F.col("n_groups")).alias("n_rows"),
+            (F.col("grp_size") < K_ANON).cast("int").alias("below_k"),
+        )
+        .repartition(1).sortWithinPartitions("grp_size")
+    )
+
+
+def k_anonymity_sql() -> str:
+    return f"""
+WITH classes AS (
+  SELECT c_nationkey, c_mktsegment,
+         CAST(floor(c_acctbal / 1000) AS BIGINT) AS bal_kb,
+         COUNT(*) AS grp_size
+  FROM customer GROUP BY c_nationkey, c_mktsegment, bal_kb
+)
+SELECT CAST(grp_size AS BIGINT) AS grp_size,
+       COUNT(*) AS n_groups,
+       CAST(grp_size * COUNT(*) AS BIGINT) AS n_rows,
+       CAST(CASE WHEN grp_size < {K_ANON} THEN 1 ELSE 0 END AS INT) AS below_k
+FROM classes GROUP BY grp_size ORDER BY grp_size
+"""

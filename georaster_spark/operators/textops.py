@@ -1728,7 +1728,18 @@ def bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     is TakeOrdered(10) — never a global sort.  Scale: identical to any
     inverted-index scoring join; df hot keys are capped by the 3-term
     query list itself."""
-    d = _docs(spark, sf_dir)
+    scored = _bm25_scored(_docs(spark, sf_dir))
+    top = scored.orderBy(F.col("score").desc(), F.col("doc_id").asc()).limit(BM25_TOPK)
+    wr = W.orderBy(F.col("score").desc(), F.col("doc_id").asc())
+    return top.withColumn("rnk", F.row_number().over(wr)).select(
+        "rnk", "doc_id", "score", "n_terms"
+    )
+
+
+def _bm25_scored(d: DataFrame) -> DataFrame:
+    """(doc_id, score, n_terms) for every doc matching ≥1 query term —
+    the shared integer-exact BM25 scorer behind bm25_topk and
+    rrf_fusion (see bm25_topk's docstring for the rational surrogate)."""
     toks = (
         d.select("doc_id", F.explode(words_col()).alias("term"))
         .where(F.col("term") != "")
@@ -1758,11 +1769,7 @@ def bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("doc_id")
         .agg(F.sum("s_term").alias("score"), F.count(F.lit(1)).alias("n_terms"))
     )
-    top = scored.orderBy(F.col("score").desc(), F.col("doc_id").asc()).limit(BM25_TOPK)
-    wr = W.orderBy(F.col("score").desc(), F.col("doc_id").asc())
-    return top.withColumn("rnk", F.row_number().over(wr)).select(
-        "rnk", "doc_id", "score", "n_terms"
-    )
+    return scored
 
 
 def bm25_topk_sql() -> str:
@@ -2187,6 +2194,8 @@ def text_queries():
         "tfidf_doc_similarity": tfidf_doc_similarity,
         "prefix_autocomplete": prefix_autocomplete,
         "prf_expansion": prf_expansion,
+        "rrf_fusion": rrf_fusion,
+        "zipf_slope": zipf_slope,
     }
 
 
@@ -2230,6 +2239,8 @@ def text_oracles() -> dict[str, str]:
         "tfidf_doc_similarity": tfidf_doc_similarity_sql(),
         "prefix_autocomplete": prefix_autocomplete_sql(),
         "prf_expansion": prf_expansion_sql(),
+        "rrf_fusion": rrf_fusion_sql(),
+        "zipf_slope": zipf_slope_sql(),
     }
 
 
@@ -3285,4 +3296,214 @@ SELECT * FROM (
   SELECT ROW_NUMBER() OVER (ORDER BY score DESC, doc_id) AS rnk,
          doc_id, score, n_terms
   FROM r2) WHERE rnk <= {PRF_TOPK} ORDER BY rnk
+"""
+
+
+# ---------------------------------------------------------------------------
+# Hybrid retrieval: reciprocal-rank fusion of BM25 + dense cosine
+# ---------------------------------------------------------------------------
+
+RRF_K = 60        # the standard RRF damping constant (Cormack et al. 2009)
+RRF_TOPK = 20
+RRF_QVEC = 0      # dense query = embedding of vec_id 0
+RRF_SCALE = 1_000_000  # contribution = RRF_SCALE // (RRF_K + rank), exact int
+
+
+def rrf_fusion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hybrid-retrieval reciprocal-rank fusion (Cormack, Clarke &
+    Büttcher 2009) — the standard way production search fuses a sparse
+    (BM25) and a dense (embedding-cosine) ranker without score
+    calibration: fused(d) = Σ_r 1/(k + rank_r(d)).  Kept integer-exact:
+    contributions are RRF_SCALE // (k + rank); the dense score is the
+    integer dot product of ppm-floor-quantized embeddings (monotone in
+    the float cosine for fixed-norm rankings and bit-reproducible —
+    floor(v·10⁶) is exact on both engines, unlike round with its
+    half-even vs half-away split).
+
+    The doc corpus and the embedding table share the id space
+    (doc_id == vec_id, TESTDATA.md), which is exactly the
+    text-plus-embedding layout of a multimodal training corpus.
+
+    Plan: the BM25 leg is the shared _bm25_scored agg; the dense leg is
+    one map-only quantized dot against a 1-row broadcast query vector;
+    each leg ranks independently (at 10^12 rows: per-ranker top-k
+    TakeOrdered, never a global sort — ranks beyond top-k cannot enter
+    the fused top-k because contributions are monotone-decreasing), and
+    the fusion is a tiny full-outer join on doc_id."""
+    d = _docs(spark, sf_dir)
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet").select(
+        "vec_id", "embedding"
+    )
+    qv = emb.where(F.col("vec_id") == RRF_QVEC).select(
+        F.col("embedding").alias("q_emb")
+    )
+    dense = emb.crossJoin(F.broadcast(qv)).select(
+        F.col("vec_id").alias("doc_id"),
+        F.expr(
+            "aggregate(zip_with(embedding, q_emb,"
+            " (a, b) -> floor(CAST(a AS DOUBLE) * 1000000)"
+            "         * floor(CAST(b AS DOUBLE) * 1000000)),"
+            " CAST(0 AS BIGINT), (acc, x) -> acc + x)"
+        ).alias("dscore"),
+    )
+    wd = W.orderBy(F.col("dscore").desc(), F.col("doc_id").asc())
+    dense_rnk = dense.withColumn("dense_rnk", F.row_number().over(wd)).select(
+        "doc_id", "dense_rnk"
+    )
+    ws = W.orderBy(F.col("score").desc(), F.col("doc_id").asc())
+    sparse_rnk = (
+        _bm25_scored(d)
+        .withColumn("sparse_rnk", F.row_number().over(ws))
+        .select("doc_id", "sparse_rnk")
+    )
+    fused = (
+        sparse_rnk.join(dense_rnk, "doc_id", "full_outer")
+        .withColumn(
+            "rrf_score",
+            F.coalesce(
+                F.expr(f"{RRF_SCALE} DIV ({RRF_K} + sparse_rnk)"), F.lit(0)
+            )
+            + F.coalesce(
+                F.expr(f"{RRF_SCALE} DIV ({RRF_K} + dense_rnk)"), F.lit(0)
+            ),
+        )
+        .withColumn("sparse_rnk", F.coalesce("sparse_rnk", F.lit(-1)))
+        .withColumn("dense_rnk", F.coalesce("dense_rnk", F.lit(-1)))
+    )
+    top = fused.orderBy(
+        F.col("rrf_score").desc(), F.col("doc_id").asc()
+    ).limit(RRF_TOPK)
+    wr = W.orderBy(F.col("rrf_score").desc(), F.col("doc_id").asc())
+    return top.withColumn("rnk", F.row_number().over(wr)).select(
+        "rnk", "doc_id", "rrf_score", "sparse_rnk", "dense_rnk"
+    )
+
+
+def rrf_fusion_sql() -> str:
+    ranks = ", ".join(str(r) for r in BM25_QRANKS)
+    return f"""
+WITH w AS (SELECT doc_id, unnest({_SQL_WS}) AS term FROM documents),
+t AS (SELECT doc_id, term FROM w WHERE term <> ''),
+tf AS (SELECT doc_id, term, COUNT(*) AS tf FROM t GROUP BY doc_id, term),
+dl AS (SELECT doc_id, COUNT(*) AS dl FROM t GROUP BY doc_id),
+dfq AS (SELECT term, COUNT(*) AS df FROM tf GROUP BY term),
+q AS (
+  SELECT term, df FROM (
+    SELECT term, df, ROW_NUMBER() OVER (ORDER BY df DESC, term) AS qrnk
+    FROM dfq) WHERE qrnk IN ({ranks})
+),
+consts AS (
+  SELECT (SELECT COUNT(*) FROM documents) AS n_docs,
+         (SELECT COUNT(*) FROM t) AS tl
+),
+sc AS (
+  SELECT tf.doc_id,
+         CAST(((n_docs - df) * 1024) // (df + 1) AS HUGEINT)
+           * CAST(44 * tl * tf AS HUGEINT)
+           // CAST(20 * tl * tf + 6 * tl + 18 * dl.dl * n_docs AS HUGEINT)
+           AS s_term
+  FROM tf JOIN q USING (term) JOIN dl USING (doc_id), consts
+),
+sagg AS (
+  SELECT doc_id, CAST(SUM(s_term) AS BIGINT) AS score FROM sc GROUP BY doc_id
+),
+srnk AS (
+  SELECT doc_id, ROW_NUMBER() OVER (ORDER BY score DESC, doc_id) AS sparse_rnk
+  FROM sagg
+),
+qv AS (SELECT embedding AS q_emb FROM embeddings WHERE vec_id = {RRF_QVEC}),
+dsc AS (
+  SELECT e.vec_id AS doc_id,
+         SUM(CAST(floor(CAST(e.embedding[g.k] AS DOUBLE) * 1000000) AS BIGINT)
+           * CAST(floor(CAST(qv.q_emb[g.k] AS DOUBLE) * 1000000) AS BIGINT))
+           AS dscore
+  FROM embeddings e, qv, generate_series(1, 64) AS g(k)
+  GROUP BY e.vec_id
+),
+drnk AS (
+  SELECT doc_id, ROW_NUMBER() OVER (ORDER BY dscore DESC, doc_id) AS dense_rnk
+  FROM dsc
+),
+fused AS (
+  SELECT COALESCE(s.doc_id, d.doc_id) AS doc_id,
+         COALESCE({RRF_SCALE} // ({RRF_K} + s.sparse_rnk), 0)
+           + COALESCE({RRF_SCALE} // ({RRF_K} + d.dense_rnk), 0) AS rrf_score,
+         COALESCE(s.sparse_rnk, -1) AS sparse_rnk,
+         COALESCE(d.dense_rnk, -1) AS dense_rnk
+  FROM srnk s FULL OUTER JOIN drnk d ON d.doc_id = s.doc_id
+)
+SELECT * FROM (
+  SELECT ROW_NUMBER() OVER (ORDER BY rrf_score DESC, doc_id) AS rnk,
+         doc_id, CAST(rrf_score AS BIGINT) AS rrf_score,
+         CAST(sparse_rnk AS BIGINT) AS sparse_rnk,
+         CAST(dense_rnk AS BIGINT) AS dense_rnk
+  FROM fused) WHERE rnk <= {RRF_TOPK} ORDER BY rnk
+"""
+
+
+# ---------------------------------------------------------------------------
+# Zipf rank-frequency slope
+# ---------------------------------------------------------------------------
+
+ZIPF_N = 100  # top-N terms by frequency enter the log-log regression
+
+
+def zipf_slope(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Zipf's-law fit over the corpus vocabulary: OLS slope of
+    ln(frequency) on ln(rank) for the top-{ZIPF_N} terms — the classic
+    corpus-health diagnostic (natural language sits near −1; template
+    spam and gibberish drift far off).  The only float surface is the
+    final slope, emitted µ-quantized (floor(slope·10⁶)); the moment sums
+    are over just {ZIPF_N} doubles so cross-engine accumulation error
+    (~1e-13) cannot move the µ-floor.
+
+    Plan: one explode + partial+final term-count agg, a top-N
+    TakeOrdered (never a global sort of the vocabulary), and a 100-row
+    single-partition regression — the same shape at any corpus size."""
+    d = _docs(spark, sf_dir)
+    freq = (
+        d.select(F.explode(words_col()).alias("term"))
+        .where(F.col("term") != "")
+        .groupBy("term")
+        .agg(F.count(F.lit(1)).alias("f"))
+    )
+    top = freq.orderBy(F.col("f").desc(), F.col("term").asc()).limit(ZIPF_N)
+    wr = W.orderBy(F.col("f").desc(), F.col("term").asc())
+    pts = top.withColumn("r", F.row_number().over(wr)).select(
+        F.log(F.col("r").cast("double")).alias("x"),
+        F.log(F.col("f").cast("double")).alias("y"),
+    )
+    agg = pts.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("x").alias("sx"),
+        F.sum("y").alias("sy"),
+        F.sum(F.col("x") * F.col("x")).alias("sxx"),
+        F.sum(F.col("x") * F.col("y")).alias("sxy"),
+    )
+    return agg.select(
+        F.col("n").cast("long").alias("n_terms"),
+        F.floor(
+            (F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy"))
+            / (F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx"))
+            * F.lit(1_000_000.0)
+        ).cast("long").alias("slope_micros"),
+    )
+
+
+def zipf_slope_sql() -> str:
+    return f"""
+WITH w AS (SELECT unnest({_SQL_WS}) AS term FROM documents),
+freq AS (
+  SELECT term, COUNT(*) AS f FROM w WHERE term <> '' GROUP BY term
+),
+top AS (
+  SELECT ln(ROW_NUMBER() OVER (ORDER BY f DESC, term)) AS x,
+         ln(CAST(f AS DOUBLE)) AS y
+  FROM freq ORDER BY f DESC, term LIMIT {ZIPF_N}
+)
+SELECT CAST(COUNT(*) AS BIGINT) AS n_terms,
+       CAST(floor((COUNT(*) * SUM(x*y) - SUM(x) * SUM(y))
+            / (COUNT(*) * SUM(x*x) - SUM(x) * SUM(x)) * 1000000) AS BIGINT)
+         AS slope_micros
+FROM top
 """

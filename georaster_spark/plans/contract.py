@@ -5050,6 +5050,7 @@ def spatial_queries() -> dict[str, QueryFn]:
         "dog_blobs": q_dog_blobs,
         "bloom_semi": rel.bloom_semi,
         "bfs_hops": q_bfs_hops,
+        "harmonic_centrality": q_harmonic_centrality,
         "cohort_retention": rel.cohort_retention,
         "event_transitions": rel.event_transitions,
         "scd2_history": rel.scd2_history,
@@ -5180,6 +5181,7 @@ def spatial_queries() -> dict[str, QueryFn]:
         "radial_profile": q_radial_profile,
         "direction_rose": rel.direction_rose,
         "ols_moments": rel.ols_moments,
+        "k_anonymity": rel.k_anonymity,
         "percolation_sweep": q_percolation_sweep,
         "noise_mad": q_noise_mad,
         "interarrival_census": rel.interarrival_census,
@@ -5322,6 +5324,7 @@ def spatial_oracles(sf: str = "sf0.01") -> dict[str, str]:
         "dog_blobs": _sql_dog_blobs(fx, w),
         "bloom_semi": rel.bloom_semi_sql(),
         "bfs_hops": _sql_bfs_hops(),
+        "harmonic_centrality": _sql_harmonic_centrality(),
         "cohort_retention": rel.cohort_retention_sql(),
         "event_transitions": rel.event_transitions_sql(),
         "scd2_history": rel.scd2_history_sql(),
@@ -5452,6 +5455,7 @@ def spatial_oracles(sf: str = "sf0.01") -> dict[str, str]:
         "radial_profile": _sql_radial_profile(fx, w),
         "direction_rose": rel.direction_rose_sql(),
         "ols_moments": rel.ols_moments_sql(),
+        "k_anonymity": rel.k_anonymity_sql(),
         "percolation_sweep": _sql_percolation_sweep(fx, w),
         "noise_mad": _sql_noise_mad(fx, w),
         "interarrival_census": rel.interarrival_census_sql(),
@@ -10481,4 +10485,76 @@ SELECT bs.image_id, CAST(bs.band AS INT) AS band, bs.band_sum,
             ELSE 0 END AS gain_ppm
 FROM bs JOIN tot ON tot.image_id = bs.image_id
 ORDER BY bs.image_id, bs.band
+"""
+
+
+_HARM_SEED_MOD = 20
+_HARM_HOPS = 3
+
+
+def q_harmonic_centrality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bounded-radius harmonic centrality (graph.harmonic_centrality)
+    over the symmetrized supplier<->customer graph; seeds = suppliers
+    with suppkey % 20 == 0.  Integer-exact via the LCM(1..3)=6 scaling;
+    the DuckDB twin is a labeled WITH RECURSIVE BFS."""
+    from ..operators.graph import harmonic_centrality
+
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet").select(
+        "l_suppkey", "l_orderkey"
+    )
+    o = spark.read.parquet(f"{sf_dir}/orders.parquet").select(
+        "o_orderkey", "o_custkey"
+    )
+    pairs = (
+        li.join(o, li["l_orderkey"] == o["o_orderkey"])
+        .select(
+            (F.col("l_suppkey").cast("long") * 2).alias("s"),
+            (F.col("o_custkey").cast("long") * 2 + 1).alias("c"),
+        )
+        .distinct()
+    )
+    edges = pairs.select(F.col("s").alias("src"), F.col("c").alias("dst")).unionByName(
+        pairs.select(F.col("c").alias("src"), F.col("s").alias("dst"))
+    )
+    seeds = (
+        spark.read.parquet(f"{sf_dir}/supplier.parquet")
+        .where(F.col("s_suppkey") % _HARM_SEED_MOD == 0)
+        .select((F.col("s_suppkey").cast("long") * 2).alias("node"))
+    )
+    return (
+        harmonic_centrality(edges, seeds, max_hops=_HARM_HOPS)
+        .select("seed", F.col("h6").cast("long").alias("h6"),
+                F.col("n_reached").cast("long").alias("n_reached"))
+        .repartition(1).sortWithinPartitions("seed")
+    )
+
+
+def _sql_harmonic_centrality() -> str:
+    return f"""
+WITH RECURSIVE pairs AS (
+  SELECT DISTINCT l.l_suppkey * 2 AS s, o.o_custkey * 2 + 1 AS c
+  FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+),
+edges AS (
+  SELECT s AS src, c AS dst FROM pairs
+  UNION ALL SELECT c, s FROM pairs
+),
+seeds AS (
+  SELECT DISTINCT s_suppkey * 2 AS seed FROM supplier
+  WHERE s_suppkey % {_HARM_SEED_MOD} = 0
+),
+reach(seed, node, d) AS (
+  SELECT seed, seed, 0 FROM seeds
+  UNION
+  SELECT r.seed, e.dst, r.d + 1
+  FROM reach r JOIN edges e ON e.src = r.node
+  WHERE r.d < {_HARM_HOPS}
+),
+md AS (
+  SELECT seed, node, MIN(d) AS d FROM reach GROUP BY seed, node
+)
+SELECT CAST(seed AS BIGINT) AS seed,
+       CAST(SUM(6 // d) AS BIGINT) AS h6,
+       COUNT(*) AS n_reached
+FROM md WHERE d > 0 GROUP BY seed ORDER BY seed
 """
