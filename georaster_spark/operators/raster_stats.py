@@ -1025,3 +1025,59 @@ def chroma_subsample_stats(tiles: DataFrame) -> DataFrame:
 
     schema = "image_id string, err_sum long, err_max long, err_checksum long"
     return slim.mapInPandas(_census, schema=schema)
+
+
+RA_OPS = 4  # identity / posterize-3bit / solarize-128 / invert
+
+
+def randaugment_census(tiles: DataFrame) -> DataFrame:
+    """RandAugment-style photometric op census (Cubuk et al. 2020) —
+    the integer-exact subset of the RandAugment policy space applied to
+    every sampled tile, each op pinned by value-sum and
+    position-weighted checksum:
+
+      op 0  identity     v
+      op 1  posterize    v & 224   (keep top 3 bits)
+      op 2  solarize     v >= 128 ? 255 - v : v
+      op 3  invert       255 - v
+
+    These are the exactly-reproducible members of the augmentation
+    policy (rotate/shear interpolate and are covered by the float-free
+    d4_checksums instead).  Map-only fused mapInPandas; one decode per
+    (w,h,fmt) group, pixels never shuffle.  All int64-exact."""
+    slim = tiles.select("image_id", "bytes", "w", "h", "fmt")
+
+    def _census(batches):
+        dt = {"raw": np.uint8, "qnt": np.uint8, "raw16": "<u2"}
+        for pdf in batches:
+            ids, ops, sums, cks = [], [], [], []
+            groups: dict[tuple, list[int]] = {}
+            for i in range(len(pdf)):
+                key = (int(pdf["w"].iat[i]), int(pdf["h"].iat[i]), pdf["fmt"].iat[i])
+                groups.setdefault(key, []).append(i)
+            for (w, h, fmt), idx in groups.items():
+                z = (
+                    np.frombuffer(
+                        b"".join(pdf["bytes"].iat[i] for i in idx), dtype=dt[fmt]
+                    )
+                    .reshape(len(idx), h, w)
+                    .astype(np.int64)
+                )
+                pw = (np.arange(h * w, dtype=np.int64) + 1).reshape(h, w)
+                variants = [
+                    z,
+                    z & 224,
+                    np.where(z >= 128, 255 - z, z),
+                    255 - z,
+                ]
+                for op, v in enumerate(variants):
+                    ids.extend(pdf["image_id"].iat[i] for i in idx)
+                    ops.extend([op] * len(idx))
+                    sums.extend(v.sum(axis=(1, 2)).tolist())
+                    cks.extend(np.einsum("nij,ij->n", v, pw).tolist())
+            yield pd.DataFrame(
+                {"image_id": ids, "op": ops, "v_sum": sums, "checksum": cks}
+            )
+
+    schema = "image_id string, op int, v_sum long, checksum long"
+    return slim.mapInPandas(_census, schema=schema)

@@ -2196,6 +2196,7 @@ def text_queries():
         "prf_expansion": prf_expansion,
         "rrf_fusion": rrf_fusion,
         "zipf_slope": zipf_slope,
+        "dataset_split": dataset_split,
     }
 
 
@@ -2241,6 +2242,7 @@ def text_oracles() -> dict[str, str]:
         "prf_expansion": prf_expansion_sql(),
         "rrf_fusion": rrf_fusion_sql(),
         "zipf_slope": zipf_slope_sql(),
+        "dataset_split": dataset_split_sql(),
     }
 
 
@@ -3506,4 +3508,56 @@ SELECT CAST(COUNT(*) AS BIGINT) AS n_terms,
             / (COUNT(*) * SUM(x*x) - SUM(x) * SUM(x)) * 1000000) AS BIGINT)
          AS slope_micros
 FROM top
+"""
+
+
+# ---------------------------------------------------------------------------
+# Deterministic train/val/test split census
+# ---------------------------------------------------------------------------
+
+SPLIT_TRAIN_MOD = 8  # h % 10: 0-7 train, 8 val, 9 test (80/10/10)
+
+
+def dataset_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic hash-based train/val/test split census — the
+    assignment every training pipeline needs to be reproducible AND
+    stable under corpus growth: split(doc) = md5(doc_id) % 10 (0-7
+    train, 8 val, 9 test), so a document never migrates between splits
+    when new data arrives (unlike fraction-based randomSplit).  The
+    census reports per (split, lang) document and character counts —
+    the leakage/imbalance audit reviewers ask for.
+
+    Scale shape: map-only hash + one partial+final agg on a ≤30-key
+    surface; no joins, no windows."""
+    d = _docs(spark, sf_dir)
+    h = h40(F.col("doc_id").cast("string")) % 10
+    split = (
+        F.when(h < SPLIT_TRAIN_MOD, F.lit("train"))
+        .when(h == SPLIT_TRAIN_MOD, F.lit("val"))
+        .otherwise(F.lit("test"))
+    )
+    return (
+        d.select(split.alias("split"), "lang", "n_chars")
+        .groupBy("split", "lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum(F.col("n_chars").cast("long")).alias("sum_chars"),
+        )
+        .repartition(1).sortWithinPartitions("split", "lang")
+    )
+
+
+def dataset_split_sql() -> str:
+    h = _SQL_H40.format(s="CAST(doc_id AS VARCHAR)")
+    return f"""
+WITH d AS (
+  SELECT lang, n_chars,
+         CASE WHEN {h} % 10 < {SPLIT_TRAIN_MOD} THEN 'train'
+              WHEN {h} % 10 = {SPLIT_TRAIN_MOD} THEN 'val'
+              ELSE 'test' END AS split
+  FROM documents
+)
+SELECT split, lang, COUNT(*) AS n_docs,
+       CAST(SUM(n_chars) AS BIGINT) AS sum_chars
+FROM d GROUP BY split, lang ORDER BY split, lang
 """

@@ -4991,6 +4991,7 @@ def spatial_queries() -> dict[str, QueryFn]:
         "cutmix_augment": q_cutmix,
         "mixup_augment": q_mixup,
         "bitplane_census": q_bitplane,
+        "randaugment_census": q_randaugment,
         "d4_transforms": q_d4_transforms,
         "jigsaw_permute": q_jigsaw,
         "chroma_subsample": q_chroma_subsample,
@@ -5186,6 +5187,7 @@ def spatial_queries() -> dict[str, QueryFn]:
         "noise_mad": q_noise_mad,
         "interarrival_census": rel.interarrival_census,
         "zone_adjacency": q_zone_adjacency,
+        "nn_zones": q_nn_zones,
         "duplicate_payments": rel.duplicate_payments,
         "benford_digits": rel.benford_digits,
         "unit_price_spread": rel.unit_price_spread,
@@ -5265,6 +5267,7 @@ def spatial_oracles(sf: str = "sf0.01") -> dict[str, str]:
         "cutmix_augment": _sql_cutmix(fx, w),
         "mixup_augment": _sql_mixup(fx, w),
         "bitplane_census": _sql_bitplane(fx, w),
+        "randaugment_census": _sql_randaugment(fx, w),
         "d4_transforms": _sql_d4_transforms(fx, w),
         "jigsaw_permute": _sql_jigsaw(fx, w),
         "chroma_subsample": _sql_chroma_subsample(fx, w),
@@ -5460,6 +5463,7 @@ def spatial_oracles(sf: str = "sf0.01") -> dict[str, str]:
         "noise_mad": _sql_noise_mad(fx, w),
         "interarrival_census": rel.interarrival_census_sql(),
         "zone_adjacency": _sql_zone_adjacency(fx),
+        "nn_zones": _sql_nn_zones(fx),
         "duplicate_payments": rel.duplicate_payments_sql(),
         "benford_digits": rel.benford_digits_sql(),
         "unit_price_spread": rel.unit_price_spread_sql(),
@@ -10557,4 +10561,97 @@ SELECT CAST(seed AS BIGINT) AS seed,
        CAST(SUM(6 // d) AS BIGINT) AS h6,
        COUNT(*) AS n_reached
 FROM md WHERE d > 0 GROUP BY seed ORDER BY seed
+"""
+
+
+_RA_MOD = 37
+
+
+def q_randaugment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RandAugment photometric-policy census
+    (raster_stats.randaugment_census): identity / posterize / solarize /
+    invert, each pinned by value-sum + position-weighted checksum."""
+    from ..operators import raster_stats
+
+    tiles = geo.georegister(_images(spark, sf_dir)).where(
+        geo.image_idx() % _RA_MOD == 0
+    )
+    return (
+        raster_stats.randaugment_census(tiles)
+        .repartition(1).sortWithinPartitions("image_id", "op")
+    )
+
+
+def _sql_randaugment(fx: Path, w: int) -> str:
+    v = osql.ramp_value_expr("gi.i", "gj.j")
+    av = (
+        f"CASE go.op WHEN 0 THEN ({v})"
+        f" WHEN 1 THEN (({v}) & 224)"
+        f" WHEN 2 THEN (CASE WHEN ({v}) >= 128 THEN 255 - ({v}) ELSE ({v}) END)"
+        f" ELSE 255 - ({v}) END"
+    )
+    return f"""
+WITH {osql.georegister_cte(str(fx / 'images.parquet'))},
+px AS (
+  SELECT image_id, go.op AS op, gi.i * {w} + gj.j + 1 AS pw,
+         CAST({av} AS BIGINT) AS v
+  FROM tiles,
+       generate_series(0, 3) AS go(op),
+       generate_series(0, {w - 1}) AS gi(i), generate_series(0, {w - 1}) AS gj(j)
+  WHERE idx % {_RA_MOD} = 0
+)
+SELECT image_id, CAST(op AS INT) AS op,
+       CAST(SUM(v) AS BIGINT) AS v_sum,
+       CAST(SUM(v * pw) AS BIGINT) AS checksum
+FROM px GROUP BY image_id, op ORDER BY image_id, op
+"""
+
+
+def q_nn_zones(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Nearest-neighbour zone table — the Clark-Evans / average-NN
+    building block (every zone's closest other zone by centroid): the
+    exact small-dimension shape of the spatial-statistics NN index.
+    Squared distances only (dx·dx + dy·dy — single IEEE roundings, so
+    Spark and DuckDB agree bit-for-bit; no sqrt enters the hash).
+
+    Scale: zones are the DIM side (64 here, ≤10^5 realistically), so
+    broadcast self-join + per-key min is the right plan; for a 10^12-row
+    point set the same argmin runs through the cell-keyed kNN operator
+    (operators/knn.py) instead."""
+    from pyspark.sql import Window as W
+
+    z = _zones(spark, sf_dir).select("zone_id", "cx", "cy")
+    a = z.alias("a")
+    b = z.alias("b")
+    dx = F.col("a.cx") - F.col("b.cx")
+    dy = F.col("a.cy") - F.col("b.cy")
+    pairs = (
+        a.join(F.broadcast(b), F.col("a.zone_id") != F.col("b.zone_id"))
+        .select(
+            F.col("a.zone_id").alias("zone_id"),
+            F.col("b.zone_id").alias("nn_zone"),
+            (dx * dx + dy * dy).alias("d2"),
+        )
+    )
+    wn = W.partitionBy("zone_id").orderBy(F.col("d2").asc(), F.col("nn_zone").asc())
+    return (
+        pairs.withColumn("rn", F.row_number().over(wn))
+        .where(F.col("rn") == 1)
+        .select("zone_id", "nn_zone", F.col("d2").alias("nn_d2"))
+        .repartition(1).sortWithinPartitions("zone_id")
+    )
+
+
+def _sql_nn_zones(fx: Path) -> str:
+    return f"""
+WITH z AS (SELECT zone_id, cx, cy FROM read_parquet('{fx / 'zones.parquet'}')),
+pairs AS (
+  SELECT a.zone_id, b.zone_id AS nn_zone,
+         (a.cx - b.cx) * (a.cx - b.cx) + (a.cy - b.cy) * (a.cy - b.cy) AS d2
+  FROM z a JOIN z b ON a.zone_id <> b.zone_id
+)
+SELECT zone_id, nn_zone, d2 AS nn_d2 FROM (
+  SELECT *, ROW_NUMBER() OVER (
+    PARTITION BY zone_id ORDER BY d2 ASC, nn_zone ASC) AS rn
+  FROM pairs) WHERE rn = 1 ORDER BY zone_id
 """
