@@ -650,3 +650,49 @@ def tone_census(df: DataFrame) -> DataFrame:
             yield pd.DataFrame(rows, columns=[f.name for f in schema.fields])
 
     return df.select("media_id", "bytes").mapInPandas(gen, schema=schema)
+
+
+def audio_decimate_stats(df: DataFrame) -> DataFrame:
+    """Half-band decimation census (pcm16): the 2:1 pair-average
+    downsampler every audio preprocessing pipeline runs before feature
+    extraction — out[t] = (s[2t] + s[2t+1]) >> 1 (arithmetic shift =
+    floor division, identical on int64 in NumPy and SQL even for
+    negative samples — the signed-// hazard SURVEY §7.6 catalogues).
+    Emits per clip the output length, exact sample sum, position-
+    weighted checksum, and zero-crossing count of the decimated signal.
+
+    Scale shape: map-only mapInPandas over the opaque binary column —
+    one Arrow hop, no shuffle; the decimator composes with audio_features
+    the way video_frame_sample composes with image ops."""
+    schema = StructType(
+        [
+            StructField("media_id", StringType()),
+            StructField("n_out", LongType()),
+            StructField("out_sum", LongType()),
+            StructField("out_checksum", LongType()),
+            StructField("out_crossings", LongType()),
+        ]
+    )
+
+    def gen(batches):
+        for pdf in batches:
+            rows = []
+            for _, r in pdf.iterrows():
+                sig = decode_media("audio", r["bytes"], r["fmt"]).astype(np.int64)
+                n2 = (len(sig) // 2) * 2
+                out = (sig[0:n2:2] + sig[1:n2:2]) >> 1
+                t = np.arange(1, len(out) + 1, dtype=np.int64)
+                rows.append(
+                    {
+                        "media_id": r["media_id"],
+                        "n_out": int(len(out)),
+                        "out_sum": int(out.sum()),
+                        "out_checksum": int((out * t).sum()),
+                        "out_crossings": int(
+                            np.sum((out[1:] < 0) != (out[:-1] < 0))
+                        ),
+                    }
+                )
+            yield pd.DataFrame(rows)
+
+    return df.select("media_id", "bytes", "fmt").mapInPandas(gen, schema=schema)

@@ -4500,3 +4500,316 @@ SELECT CAST(grp_size AS BIGINT) AS grp_size,
        CAST(CASE WHEN grp_size < {K_ANON} THEN 1 ELSE 0 END AS INT) AS below_k
 FROM classes GROUP BY grp_size ORDER BY grp_size
 """
+
+
+def ntile_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """NTILE decile census of customer account balances — the
+    quantile-bucket window the BI layer runs for cohort pricing: rank
+    customers into 10 equal-count tiles (order: balance, custkey — fully
+    deterministic) and reduce each tile to count / min / max / sum in
+    exact cents (DECIMAL(15,2)·100 — no float reaches the hash).
+
+    Scale shape: a single global NTILE is a one-partition sort at
+    10^12 rows — the real plan is range-partition by balance (the E8
+    range partitioner) then tile within ranges; at gate scale the
+    window + one partial+final agg is exact and the semantics
+    identical."""
+    c = _t(spark, sf_dir, "customer").select(
+        "c_custkey",
+        (F.col("c_acctbal") * 100).cast("long").alias("cents"),
+    )
+    from pyspark.sql import Window
+
+    w = Window.orderBy(F.col("cents").asc(), F.col("c_custkey").asc())
+    return (
+        c.withColumn("decile", F.ntile(10).over(w))
+        .groupBy("decile")
+        .agg(
+            F.count(F.lit(1)).alias("n_cust"),
+            F.min("cents").alias("min_cents"),
+            F.max("cents").alias("max_cents"),
+            F.sum("cents").alias("sum_cents"),
+        )
+        .repartition(1).sortWithinPartitions("decile")
+    )
+
+
+def ntile_deciles_sql() -> str:
+    return """
+WITH c AS (
+  SELECT c_custkey, CAST(c_acctbal * 100 AS BIGINT) AS cents FROM customer
+),
+t AS (
+  SELECT cents, NTILE(10) OVER (ORDER BY cents ASC, c_custkey ASC) AS decile
+  FROM c
+)
+SELECT CAST(decile AS INT) AS decile, COUNT(*) AS n_cust,
+       CAST(MIN(cents) AS BIGINT) AS min_cents,
+       CAST(MAX(cents) AS BIGINT) AS max_cents,
+       CAST(SUM(cents) AS BIGINT) AS sum_cents
+FROM t GROUP BY decile ORDER BY decile
+"""
+
+
+# --- nonparametric rank statistics ------------------------------------------------------
+
+
+def spearman_corr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spearman rank correlation between a customer's account balance
+    and their exact lifetime spend — the monotone-association check an
+    analyst runs before trusting a Pearson number on skewed money data.
+    Ranks are ROW_NUMBER with a custkey tie-break (dense/midrank ties
+    would force floats; the deterministic total order keeps both engines
+    bit-identical), d = rank_x - rank_y.  Emitted as the exact integer
+    moments (n, sum_d2) plus the rho numerator/denominator pair
+    num = n(n^2-1) - 6*sum_d2, den = n(n^2-1), so rho = num/den is
+    reconstructible at any precision and nothing float ever reaches the
+    hash.
+
+    Scale shape: two global ranks.  At gate scale each is one window
+    sort; at 10^12 rows each becomes the distributed-rank idiom
+    (repartitionByRange + partition offsets) gini_concentration already
+    ships — the moments themselves are a combiner-friendly one-row
+    reduce."""
+    o = _t(spark, sf_dir, "orders").select(
+        "o_custkey", cents(F.col("o_totalprice")).alias("tp")
+    )
+    spend = o.groupBy("o_custkey").agg(F.sum("tp").alias("spend"))
+    c = _t(spark, sf_dir, "customer").select(
+        "c_custkey", cents(F.col("c_acctbal")).alias("bal")
+    )
+    j = c.join(spend, c.c_custkey == spend.o_custkey, "inner").select(
+        "c_custkey", "bal", "spend"
+    )
+    wx = Window.orderBy("bal", "c_custkey")
+    wy = Window.orderBy("spend", "c_custkey")
+    ranked = j.select(
+        F.row_number().over(wx).alias("rx"),
+        F.row_number().over(wy).alias("ry"),
+    )
+    d2 = (F.col("rx") - F.col("ry")) * (F.col("rx") - F.col("ry"))
+    m = ranked.agg(F.count(F.lit(1)).alias("n"), F.sum(d2).alias("sum_d2"))
+    nn = F.col("n") * (F.col("n") * F.col("n") - 1)
+    return m.select(
+        "n",
+        "sum_d2",
+        (nn - 6 * F.col("sum_d2")).cast("long").alias("rho_num"),
+        nn.cast("long").alias("rho_den"),
+    )
+
+
+def spearman_corr_sql() -> str:
+    return """
+WITH spend AS (
+  SELECT o_custkey, SUM(CAST(round(o_totalprice * 100) AS BIGINT)) AS spend
+  FROM orders GROUP BY o_custkey
+),
+j AS (
+  SELECT c.c_custkey, CAST(round(c.c_acctbal * 100) AS BIGINT) AS bal, s.spend
+  FROM customer c JOIN spend s ON c.c_custkey = s.o_custkey
+),
+rk AS (
+  SELECT row_number() OVER (ORDER BY bal, c_custkey) AS rx,
+         row_number() OVER (ORDER BY spend, c_custkey) AS ry
+  FROM j
+)
+SELECT COUNT(*) AS n,
+       CAST(SUM((rx - ry) * (rx - ry)) AS BIGINT) AS sum_d2,
+       CAST(COUNT(*) * (COUNT(*) * COUNT(*) - 1)
+            - 6 * SUM((rx - ry) * (rx - ry)) AS BIGINT) AS rho_num,
+       CAST(COUNT(*) * (COUNT(*) * COUNT(*) - 1) AS BIGINT) AS rho_den
+FROM rk
+"""
+
+
+def mann_whitney(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mann-Whitney U between URGENT and LOW order values — the
+    nonparametric two-sample location test (does priority shift the
+    price distribution?).  Kept tie-exact in integers by the doubled
+    statistic 2U = 2*#{a>b} + #{a==b} over URGENT x LOW pairs, computed
+    without the quadratic pair join: group by distinct cents value,
+    running-sum the LOW counts strictly below each value, then one
+    weighted reduce.
+
+    Scale shape: the distinct-value census is one shuffle; the running
+    sum is a single window over values (range-partitionable at scale,
+    same idiom as gini's distributed rank); no pair ever materializes."""
+    o = _t(spark, sf_dir, "orders").select(
+        "o_orderpriority", cents(F.col("o_totalprice")).alias("v")
+    ).where(F.col("o_orderpriority").isin("1-URGENT", "5-LOW"))
+    per_v = o.groupBy("v").agg(
+        F.sum(F.when(F.col("o_orderpriority") == "1-URGENT", 1).otherwise(0)).alias("ca"),
+        F.sum(F.when(F.col("o_orderpriority") == "5-LOW", 1).otherwise(0)).alias("cb"),
+    )
+    w = Window.orderBy("v").rowsBetween(Window.unboundedPreceding, -1)
+    cum = per_v.withColumn("cb_below", F.coalesce(F.sum("cb").over(w), F.lit(0)))
+    return cum.agg(
+        F.sum("ca").cast("long").alias("n_urgent"),
+        F.sum("cb").cast("long").alias("n_low"),
+        F.sum(F.col("ca") * (2 * F.col("cb_below") + F.col("cb")))
+        .cast("long")
+        .alias("u2_urgent"),
+    )
+
+
+def mann_whitney_sql() -> str:
+    return """
+WITH o AS (
+  SELECT o_orderpriority AS pri, CAST(round(o_totalprice * 100) AS BIGINT) AS v
+  FROM orders WHERE o_orderpriority IN ('1-URGENT', '5-LOW')
+),
+per_v AS (
+  SELECT v,
+         SUM(CASE WHEN pri = '1-URGENT' THEN 1 ELSE 0 END) AS ca,
+         SUM(CASE WHEN pri = '5-LOW' THEN 1 ELSE 0 END) AS cb
+  FROM o GROUP BY v
+),
+cum AS (
+  SELECT ca, cb,
+         COALESCE(SUM(cb) OVER (ORDER BY v
+           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cb_below
+  FROM per_v
+)
+SELECT CAST(SUM(ca) AS BIGINT) AS n_urgent,
+       CAST(SUM(cb) AS BIGINT) AS n_low,
+       CAST(SUM(ca * (2 * cb_below + cb)) AS BIGINT) AS u2_urgent
+FROM cum
+"""
+
+
+def ks_statistic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-sample Kolmogorov-Smirnov distance between the BUILDING and
+    MACHINERY segments' balance distributions — the drift test every
+    data-quality monitor runs between a reference and a candidate
+    slice.  Exact in integers: D = max_v |n2*F1(v) - n1*F2(v)| over the
+    combined support (the ECDFs are step functions, so the sup is
+    attained at a sample point); emitted as d_scaled with n1, n2 so
+    D = d_scaled/(n1*n2), plus the smallest value attaining the max.
+
+    Scale shape: distinct-value census -> one cumulative window -> one
+    reduce; identical partitioning story to mann_whitney."""
+    c = _t(spark, sf_dir, "customer").select(
+        "c_mktsegment", cents(F.col("c_acctbal")).alias("v")
+    ).where(F.col("c_mktsegment").isin("BUILDING", "MACHINERY"))
+    per_v = c.groupBy("v").agg(
+        F.sum(F.when(F.col("c_mktsegment") == "BUILDING", 1).otherwise(0)).alias("c1"),
+        F.sum(F.when(F.col("c_mktsegment") == "MACHINERY", 1).otherwise(0)).alias("c2"),
+    )
+    w = Window.orderBy("v").rowsBetween(Window.unboundedPreceding, 0)
+    tot = per_v.agg(F.sum("c1").alias("n1"), F.sum("c2").alias("n2"))
+    cum = per_v.select(
+        "v",
+        F.sum("c1").over(w).alias("f1"),
+        F.sum("c2").over(w).alias("f2"),
+    ).crossJoin(F.broadcast(tot))
+    gap = cum.select(
+        "v",
+        "n1",
+        "n2",
+        F.abs(F.col("n2") * F.col("f1") - F.col("n1") * F.col("f2")).alias("g"),
+    )
+    w_all = Window.partitionBy("n1", "n2").rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    return (
+        gap.withColumn("d_scaled", F.max("g").over(w_all).cast("long"))
+        .where(F.col("g") == F.col("d_scaled"))
+        .groupBy("n1", "n2", "d_scaled")
+        .agg(F.min("v").cast("long").alias("at_v"))
+        .select(
+            F.col("n1").cast("long").alias("n1"),
+            F.col("n2").cast("long").alias("n2"),
+            "d_scaled",
+            "at_v",
+        )
+    )
+
+
+def ks_statistic_sql() -> str:
+    return """
+WITH c AS (
+  SELECT c_mktsegment AS seg, CAST(round(c_acctbal * 100) AS BIGINT) AS v
+  FROM customer WHERE c_mktsegment IN ('BUILDING', 'MACHINERY')
+),
+per_v AS (
+  SELECT v,
+         SUM(CASE WHEN seg = 'BUILDING' THEN 1 ELSE 0 END) AS c1,
+         SUM(CASE WHEN seg = 'MACHINERY' THEN 1 ELSE 0 END) AS c2
+  FROM c GROUP BY v
+),
+cum AS (
+  SELECT v,
+         SUM(c1) OVER (ORDER BY v) AS f1,
+         SUM(c2) OVER (ORDER BY v) AS f2
+  FROM per_v
+),
+tot AS (SELECT SUM(c1) AS n1, SUM(c2) AS n2 FROM per_v),
+gap AS (
+  SELECT v, n1, n2, ABS(n2 * f1 - n1 * f2) AS g FROM cum, tot
+)
+SELECT CAST(n1 AS BIGINT) AS n1, CAST(n2 AS BIGINT) AS n2,
+       CAST(MAX(g) AS BIGINT) AS d_scaled,
+       CAST(MIN(CASE WHEN g = (SELECT MAX(g) FROM gap) THEN v END) AS BIGINT) AS at_v
+FROM gap GROUP BY n1, n2
+"""
+
+
+def herfindahl_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Herfindahl-Hirschman market-concentration index over national
+    order revenue — the antitrust-style concentration number next to
+    gini on the revenue dashboard.  Shares are ppm-floor-quantized
+    against the exact dollar total (dollars, not cents, so share_ppm's
+    1e6 cross-multiply stays comfortably inside int64 past sf1), HHI is
+    the integer sum of squared ppm shares (diag-exact at 1e12 * n
+    ceiling).
+
+    Scale shape: customer->nation is a broadcast dim join; one custkey
+    agg feeds one 25-row nation agg; the total is a broadcast scalar."""
+    o = _t(spark, sf_dir, "orders").select(
+        "o_custkey", F.floor(F.col("o_totalprice")).cast("long").alias("d")
+    )
+    c = _t(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    n = _t(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+    per_n = (
+        o.join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .join(F.broadcast(n), F.col("c_nationkey") == F.col("n_nationkey"))
+        .groupBy("n_name")
+        .agg(F.sum("d").alias("rev_dollars"))
+    )
+    tot = per_n.agg(F.sum("rev_dollars").alias("total"))
+    shared = per_n.crossJoin(F.broadcast(tot)).select(
+        "n_name",
+        "rev_dollars",
+        F.floor(F.col("rev_dollars") * 1_000_000 / F.col("total"))
+        .cast("long")
+        .alias("share_ppm"),
+    )
+    w = Window.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    return (
+        shared.withColumn(
+            "hhi", F.sum(F.col("share_ppm") * F.col("share_ppm")).over(w).cast("long")
+        )
+        .repartition(1)
+        .sortWithinPartitions("n_name")
+    )
+
+
+def herfindahl_index_sql() -> str:
+    return """
+WITH per_n AS (
+  SELECT n.n_name, SUM(CAST(floor(o.o_totalprice) AS BIGINT)) AS rev_dollars
+  FROM orders o
+  JOIN customer c ON o.o_custkey = c.c_custkey
+  JOIN nation n ON c.c_nationkey = n.n_nationkey
+  GROUP BY n.n_name
+),
+sh AS (
+  SELECT n_name, rev_dollars,
+         CAST(rev_dollars * 1000000 // (SELECT SUM(rev_dollars) FROM per_n)
+              AS BIGINT) AS share_ppm
+  FROM per_n
+)
+SELECT n_name, rev_dollars, share_ppm,
+       CAST((SELECT SUM(share_ppm * share_ppm) FROM sh) AS BIGINT) AS hhi
+FROM sh ORDER BY n_name
+"""

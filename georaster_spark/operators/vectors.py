@@ -859,6 +859,7 @@ def vector_queries():
         "ivf_nprobe_sweep": ivf_nprobe_sweep,
         "ann_binary_hamming": ann_binary_hamming,
         "ivf_cell_purity": ivf_cell_purity,
+        "mmr_rerank": mmr_rerank,
     }
 
 
@@ -878,6 +879,7 @@ def vector_oracles() -> dict[str, str]:
         "ivf_nprobe_sweep": ivf_nprobe_sweep_sql(),
         "ann_binary_hamming": ann_binary_hamming_sql(),
         "ivf_cell_purity": ivf_cell_purity_sql(),
+        "mmr_rerank": mmr_rerank_sql(),
     }
 
 
@@ -2094,4 +2096,135 @@ SELECT CAST(cell AS BIGINT) AS cell,
        CAST(m[1] AS BIGINT) AS majority_n,
        CAST((1000000 * m[1]) // n_vecs AS BIGINT) AS purity_ppm
 FROM best ORDER BY cell
+"""
+
+
+# ---------------------------------------------------------------------------
+# MMR — maximal-marginal-relevance diverse re-ranking
+# ---------------------------------------------------------------------------
+
+MMR_K = 8       # results to select
+MMR_C = 24      # relevance-candidate pool the greedy loop reranks
+MMR_QVEC = 0    # query = embedding of vec_id 0
+MMR_LAM10 = 7   # lambda = 0.7 in tenths: score = 7*rel - 3*maxsim
+
+
+def _q6(col: str) -> str:
+    """ppm-floor quantization of one embedding element (SQL side)."""
+    return f"CAST(floor(CAST({col} AS DOUBLE) * 1000000) AS BIGINT)"
+
+
+def mmr_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Maximal-marginal-relevance re-ranking (Carbonell & Goldstein
+    1998) — the diversity pass every retrieval/RAG pipeline runs on its
+    relevance candidates: greedily pick argmax of
+    λ·rel(d) − (1−λ)·max_{s∈selected} sim(d, s).  Kept integer-exact:
+    rel and sim are ppm-floor-quantized dot products and λ=0.7 is
+    cross-multiplied to score = 7·rel − 3·maxsim, so the greedy
+    trajectory is bit-identical across engines (ties fall to vec_id).
+
+    Scale shape: the candidate pool is by definition small (a rerank
+    stage, MMR_C rows) — the distributed work is the relevance top-C
+    (map-only quantized dot + TakeOrdered against a 1-row broadcast
+    query); the O(K·C) greedy runs executor-side in ONE applyInPandas
+    group, never on the driver.  The DuckDB twin unrolls the K greedy
+    steps as chained CTEs."""
+    emb = _emb(spark, sf_dir).select("vec_id", "embedding")
+    qv = emb.where(F.col("vec_id") == MMR_QVEC).select(
+        F.col("embedding").alias("q_emb")
+    )
+    rel = (
+        emb.where(F.col("vec_id") != MMR_QVEC)
+        .crossJoin(F.broadcast(qv))
+        .select(
+            "vec_id",
+            "embedding",
+            F.expr(
+                "aggregate(zip_with(embedding, q_emb,"
+                " (a, b) -> floor(CAST(a AS DOUBLE) * 1000000)"
+                "         * floor(CAST(b AS DOUBLE) * 1000000)),"
+                " CAST(0 AS BIGINT), (acc, x) -> acc + x)"
+            ).alias("rel"),
+        )
+    )
+    cand = rel.orderBy(F.col("rel").desc(), F.col("vec_id").asc()).limit(MMR_C)
+
+    out_schema = "step int, vec_id long, mmr_score long"
+
+    def _greedy(pdf: pd.DataFrame) -> pd.DataFrame:
+        order = np.lexsort((pdf["vec_id"].to_numpy(), -pdf["rel"].to_numpy()))
+        pdf = pdf.iloc[order].reset_index(drop=True)
+        Q = np.floor(_mat(pdf["embedding"]) * 1_000_000).astype(np.int64)
+        rels = pdf["rel"].to_numpy(dtype=np.int64)
+        ids = pdf["vec_id"].to_numpy(dtype=np.int64)
+        sims = Q @ Q.T
+        selected: list[int] = []
+        rows = []
+        remaining = list(range(len(pdf)))
+        for step in range(1, min(MMR_K, len(pdf)) + 1):
+            best = None
+            for i in remaining:
+                maxsim = max((int(sims[i, j]) for j in selected), default=0)
+                score = MMR_LAM10 * int(rels[i]) - (10 - MMR_LAM10) * maxsim
+                key = (-score, int(ids[i]))
+                if best is None or key < best[0]:
+                    best = (key, i, score)
+            _, pick, score = best
+            remaining.remove(pick)
+            selected.append(pick)
+            rows.append({"step": step, "vec_id": int(ids[pick]), "mmr_score": score})
+        return pd.DataFrame(rows)
+
+    return (
+        cand.withColumn("g", F.lit(1))
+        .groupBy("g")
+        .applyInPandas(lambda _, pdf: _greedy(pdf), schema=out_schema)
+        .repartition(1).sortWithinPartitions("step")
+    )
+
+
+def mmr_rerank_sql() -> str:
+    qa = _q6("ea.embedding[g.k]")
+    qb = _q6("eb.embedding[g.k]")
+    qe = _q6("e.embedding[g.k]")
+    qq = _q6("qv.q[g.k]")
+    lam, mu = MMR_LAM10, 10 - MMR_LAM10
+    steps, unions, prev = [], [], []
+    for i in range(1, MMR_K + 1):
+        if prev:
+            sel = " UNION ALL ".join(f"SELECT vec_id FROM s{j}" for j in prev)
+            score = (
+                f"{lam} * c.rel - {mu} * (SELECT MAX(sim) FROM sims"
+                f" WHERE ai = c.vec_id AND bi IN ({sel}))"
+            )
+            cond = f"c.vec_id NOT IN ({sel})"
+        else:
+            score = f"{lam} * c.rel"
+            cond = "TRUE"
+        steps.append(
+            f"s{i} AS MATERIALIZED (SELECT c.vec_id, {score} AS mmr_score"
+            f" FROM cand c WHERE {cond}"
+            f" ORDER BY mmr_score DESC, c.vec_id LIMIT 1)"
+        )
+        unions.append(f"SELECT {i} AS step, vec_id, mmr_score FROM s{i}")
+        prev.append(i)
+    return f"""
+WITH qv AS (SELECT embedding AS q FROM embeddings WHERE vec_id = {MMR_QVEC}),
+rel AS MATERIALIZED (
+  SELECT e.vec_id, SUM({qe} * {qq}) AS rel
+  FROM embeddings e, qv, generate_series(1, {DIM}) AS g(k)
+  WHERE e.vec_id <> {MMR_QVEC} GROUP BY e.vec_id
+),
+cand AS MATERIALIZED (SELECT vec_id, rel FROM rel ORDER BY rel DESC, vec_id LIMIT {MMR_C}),
+sims AS MATERIALIZED (
+  SELECT a.vec_id AS ai, b.vec_id AS bi, SUM({qa} * {qb}) AS sim
+  FROM cand a JOIN embeddings ea ON ea.vec_id = a.vec_id,
+       cand b JOIN embeddings eb ON eb.vec_id = b.vec_id,
+       generate_series(1, {DIM}) AS g(k)
+  WHERE a.vec_id <> b.vec_id GROUP BY a.vec_id, b.vec_id
+),
+{','.join(steps)}
+SELECT CAST(step AS INT) AS step, CAST(vec_id AS BIGINT) AS vec_id,
+       CAST(mmr_score AS BIGINT) AS mmr_score
+FROM ({' UNION ALL '.join(unions)}) ORDER BY step
 """

@@ -5082,6 +5082,7 @@ def spatial_queries() -> dict[str, QueryFn]:
         "stream_join": q_stream_join,
         "image_pipeline": q_image_pipeline,
         "audio_features": q_audio_features,
+        "audio_decimate": q_audio_decimate,
         "video_frames": q_video_frames,
         "dedup_components": q_dedup_components,
         "pagerank_graph": q_pagerank,
@@ -5183,6 +5184,11 @@ def spatial_queries() -> dict[str, QueryFn]:
         "direction_rose": rel.direction_rose,
         "ols_moments": rel.ols_moments,
         "k_anonymity": rel.k_anonymity,
+        "ntile_deciles": rel.ntile_deciles,
+        "spearman_corr": rel.spearman_corr,
+        "mann_whitney": rel.mann_whitney,
+        "ks_statistic": rel.ks_statistic,
+        "herfindahl_index": rel.herfindahl_index,
         "percolation_sweep": q_percolation_sweep,
         "noise_mad": q_noise_mad,
         "interarrival_census": rel.interarrival_census,
@@ -5358,6 +5364,7 @@ def spatial_oracles(sf: str = "sf0.01") -> dict[str, str]:
         "stream_join": _sql_stream_join(fx),
         "image_pipeline": _sql_image_pipeline(fx, w),
         "audio_features": _sql_audio_features(fx),
+        "audio_decimate": _sql_audio_decimate(fx),
         "video_frames": _sql_video_frames(fx),
         "dedup_components": _sql_dedup_components(),
         "pagerank_graph": _sql_pagerank(),
@@ -5459,6 +5466,11 @@ def spatial_oracles(sf: str = "sf0.01") -> dict[str, str]:
         "direction_rose": rel.direction_rose_sql(),
         "ols_moments": rel.ols_moments_sql(),
         "k_anonymity": rel.k_anonymity_sql(),
+        "ntile_deciles": rel.ntile_deciles_sql(),
+        "spearman_corr": rel.spearman_corr_sql(),
+        "mann_whitney": rel.mann_whitney_sql(),
+        "ks_statistic": rel.ks_statistic_sql(),
+        "herfindahl_index": rel.herfindahl_index_sql(),
         "percolation_sweep": _sql_percolation_sweep(fx, w),
         "noise_mad": _sql_noise_mad(fx, w),
         "interarrival_census": rel.interarrival_census_sql(),
@@ -10654,4 +10666,45 @@ SELECT zone_id, nn_zone, d2 AS nn_d2 FROM (
   SELECT *, ROW_NUMBER() OVER (
     PARTITION BY zone_id ORDER BY d2 ASC, nn_zone ASC) AS rn
   FROM pairs) WHERE rn = 1 ORDER BY zone_id
+"""
+
+
+def q_audio_decimate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Half-band 2:1 audio decimation census
+    (multimodal.audio_decimate_stats) over the deterministic pcm16
+    clips: floor pair-average, exact sum/checksum/crossings."""
+    from ..operators import multimodal as mm
+
+    clips = mm.synth_audio_media(_images(spark, sf_dir).where(geo.image_idx() < 1200))
+    return (
+        mm.audio_decimate_stats(clips)
+        .repartition(1).sortWithinPartitions("media_id")
+    )
+
+
+def _sql_audio_decimate(fx: Path) -> str:
+    img = str(fx / "images.parquet")
+
+    def s(expr: str) -> str:
+        return f"(((idx * 31 + ({expr}) * 17) % 65536) - 32768)"
+
+    o_cur = f"CAST(floor(({s('2*t.t')} + {s('2*t.t + 1')}) / 2.0) AS BIGINT)"
+    o_prev = f"CAST(floor(({s('2*t.t - 2')} + {s('2*t.t - 1')}) / 2.0) AS BIGINT)"
+    return f"""
+WITH img AS (SELECT image_id, CAST(substr(image_id, 4, 10) AS BIGINT) AS idx
+             FROM read_parquet('{img}')),
+clips AS (SELECT image_id AS media_id, idx, (2048 + (idx % 7) * 256) // 2 AS half
+          FROM img WHERE idx < 1200),
+samp AS (
+  SELECT media_id, half, t.t AS t, {o_cur} AS o, {o_prev} AS op
+  FROM clips, generate_series(0, 1791) AS t(t)
+  WHERE t.t < half
+)
+SELECT media_id,
+       CAST(MAX(half) AS BIGINT) AS n_out,
+       CAST(SUM(o) AS BIGINT) AS out_sum,
+       CAST(SUM(o * (t + 1)) AS BIGINT) AS out_checksum,
+       CAST(SUM(CASE WHEN t > 0 AND ((o < 0) != (op < 0)) THEN 1 ELSE 0 END)
+            AS BIGINT) AS out_crossings
+FROM samp GROUP BY media_id ORDER BY media_id
 """
