@@ -3803,3 +3803,169 @@ def mixup_checksum(a: DataFrame, b: DataFrame, key: str = "pair_id") -> DataFram
 
     schema = f"{key} long, w_a int, mixed_sum long, mixed_checksum long"
     return joined.mapInPandas(_mix, schema=schema)
+
+
+# --- chamfer 3-4 distance transform ----------------------------------------------------
+
+CHAMFER_THRESH = 8  # feature pixels: v < CHAMFER_THRESH
+_CHAMFER_INF = np.int64(1) << 30
+
+
+def chamfer_stats(tiles: DataFrame, thresh: int = CHAMFER_THRESH) -> DataFrame:
+    """Chamfer 3-4 distance transform census (Borgefors 1986) — the
+    distance-to-nearest-feature map driving proximity masks, morphology
+    halos and seeded segmentation: per tile, the exact weighted-path
+    distance from every pixel to the nearest dark pixel (v < thresh),
+    orthogonal step 3 / diagonal step 4.  For the 3x3 mask the classic
+    forward+backward raster scan pair is EXACT, and the metric has the
+    closed form d(p) = 3*max(|di|,|dj|) + min(|di|,|dj|) over feature
+    offsets — which is what the DuckDB oracle replays as a pixel x
+    feature MIN join (tiles with zero features drop out on both sides).
+    Emits per tile: feature count, sum/max of distances, and the
+    position-weighted distance checksum.
+
+    Scale shape: map-only fused Arrow pass, pixels cross once.  The
+    raster scans are sequential in the scan direction by nature; they
+    run as h*(w+1) numpy steps vectorized across the whole Arrow batch
+    of tiles (not per-pixel Python), so cost stays O(pixels) per task
+    with batch-level SIMD."""
+    slim = tiles.select("image_id", "bytes", "w", "h", "fmt")
+    dt = {"raw": np.uint8, "qnt": np.uint8, "raw16": "<u2"}
+
+    def _scan(d: np.ndarray) -> None:
+        """In-place forward+backward chamfer relaxation, d: (b, h, w)."""
+        b, h, w = d.shape
+        for i in range(h):  # forward pass
+            if i > 0:
+                up = d[:, i - 1, :]
+                np.minimum(d[:, i, :], up + 3, out=d[:, i, :])
+                np.minimum(d[:, i, 1:], up[:, :-1] + 4, out=d[:, i, 1:])
+                np.minimum(d[:, i, :-1], up[:, 1:] + 4, out=d[:, i, :-1])
+            row = d[:, i, :]
+            for j in range(1, w):
+                np.minimum(row[:, j], row[:, j - 1] + 3, out=row[:, j])
+        for i in range(h - 1, -1, -1):  # backward pass
+            if i < h - 1:
+                dn = d[:, i + 1, :]
+                np.minimum(d[:, i, :], dn + 3, out=d[:, i, :])
+                np.minimum(d[:, i, 1:], dn[:, :-1] + 4, out=d[:, i, 1:])
+                np.minimum(d[:, i, :-1], dn[:, 1:] + 4, out=d[:, i, :-1])
+            row = d[:, i, :]
+            for j in range(w - 2, -1, -1):
+                np.minimum(row[:, j], row[:, j + 1] + 3, out=row[:, j])
+
+    def _chamfer(batches):
+        for pdf in batches:
+            n = len(pdf)
+            out = {"image_id": pdf["image_id"].to_numpy(dtype=object)}
+            for c in ("n_feat", "sum_d", "max_d", "d_checksum"):
+                out[c] = np.zeros(n, dtype=np.int64)
+            keep = np.zeros(n, dtype=bool)
+            groups: dict[tuple, list[int]] = {}
+            for r in range(n):
+                key = (int(pdf["w"].iat[r]), int(pdf["h"].iat[r]), pdf["fmt"].iat[r])
+                groups.setdefault(key, []).append(r)
+            for (w, h, fmt), idx in groups.items():
+                b = len(idx)
+                z = (
+                    np.frombuffer(
+                        b"".join(pdf["bytes"].iat[r] for r in idx), dtype=dt[fmt]
+                    )
+                    .reshape(b, h, w)
+                    .astype(np.int64)
+                )
+                feat = z < thresh
+                nf = feat.sum(axis=(1, 2))
+                d = np.where(feat, np.int64(0), _CHAMFER_INF)
+                _scan(d)
+                wt = np.arange(1, h * w + 1, dtype=np.int64).reshape(h, w)
+                rows = np.asarray(idx)
+                has = nf > 0
+                keep[rows] = has
+                out["n_feat"][rows] = nf
+                d[~has] = 0  # no feature: row dropped below
+                out["sum_d"][rows] = d.sum(axis=(1, 2))
+                out["max_d"][rows] = d.max(axis=(1, 2))
+                out["d_checksum"][rows] = (d * wt).sum(axis=(1, 2))
+            pdf_out = pd.DataFrame(out)
+            yield pdf_out[keep]
+
+    return slim.mapInPandas(
+        _chamfer,
+        schema="image_id string, n_feat long, sum_d long, max_d long, d_checksum long",
+    )
+
+
+# --- bilateral LUT filter --------------------------------------------------------------
+
+# spatial kernel (Gaussian-ish integer weights) and intensity LUT on
+# |dv| // 32 buckets: the edge-preserving smoother every denoise
+# pipeline runs; all-integer so both engines agree bit-for-bit.
+_BILAT_SPATIAL = (1, 2, 1, 2, 4, 2, 1, 2, 1)  # row-major 3x3
+_BILAT_RANGE = (8, 4, 2, 1, 0, 0, 0, 0)  # index |dv| >> 5
+
+
+def bilateral_stats(tiles: DataFrame) -> DataFrame:
+    """3x3 bilateral-filter census — edge-preserving smoothing with a
+    separable integer model: weight(tap) = spatial[tap] *
+    range_lut[|v_tap - v_center| // 32], out = floor(sum(w*v)/sum(w)).
+    The center tap always contributes 4*8=32, so the denominator is
+    never zero and floor division over nonnegative ints is exact and
+    engine-agnostic.  Emits per tile (interior pixels): count, sum of
+    filtered values, count of changed pixels, position-weighted
+    checksum.
+
+    Scale shape: map-only fused Arrow pass, one hop, vectorized
+    9-tap gather over the whole batch; output is 5 slim columns."""
+    slim = tiles.select("image_id", "bytes", "w", "h", "fmt")
+    dt = {"raw": np.uint8, "qnt": np.uint8, "raw16": "<u2"}
+    rng = np.asarray(_BILAT_RANGE, dtype=np.int64)
+
+    def _bilat(batches):
+        for pdf in batches:
+            n = len(pdf)
+            out = {"image_id": pdf["image_id"].to_numpy(dtype=object)}
+            for c in ("n_interior", "sum_out", "n_changed", "out_checksum"):
+                out[c] = np.zeros(n, dtype=np.int64)
+            groups: dict[tuple, list[int]] = {}
+            for r in range(n):
+                key = (int(pdf["w"].iat[r]), int(pdf["h"].iat[r]), pdf["fmt"].iat[r])
+                groups.setdefault(key, []).append(r)
+            for (w, h, fmt), idx in groups.items():
+                if w < 3 or h < 3:
+                    continue
+                b = len(idx)
+                ih, iw = h - 2, w - 2
+                z = (
+                    np.frombuffer(
+                        b"".join(pdf["bytes"].iat[r] for r in idx), dtype=dt[fmt]
+                    )
+                    .reshape(b, h, w)
+                    .astype(np.int64)
+                )
+                c0 = z[:, 1 : h - 1, 1 : w - 1]
+                num = np.zeros_like(c0)
+                den = np.zeros_like(c0)
+                for k, (di, dj) in enumerate(
+                    (di, dj) for di in (-1, 0, 1) for dj in (-1, 0, 1)
+                ):
+                    v = z[:, 1 + di : h - 1 + di, 1 + dj : w - 1 + dj]
+                    wgt = _BILAT_SPATIAL[k] * rng[np.abs(v - c0) >> 5]
+                    num += wgt * v
+                    den += wgt
+                o = num // den
+                wt = np.arange(1, ih * iw + 1, dtype=np.int64).reshape(ih, iw)
+                rows = np.asarray(idx)
+                out["n_interior"][rows] = ih * iw
+                out["sum_out"][rows] = o.sum(axis=(1, 2))
+                out["n_changed"][rows] = (o != c0).sum(axis=(1, 2))
+                out["out_checksum"][rows] = (o * wt).sum(axis=(1, 2))
+            yield pd.DataFrame(out)
+
+    return slim.mapInPandas(
+        _bilat,
+        schema=(
+            "image_id string, n_interior long, sum_out long,"
+            " n_changed long, out_checksum long"
+        ),
+    )

@@ -5189,6 +5189,8 @@ def spatial_queries() -> dict[str, QueryFn]:
         "mann_whitney": rel.mann_whitney,
         "ks_statistic": rel.ks_statistic,
         "herfindahl_index": rel.herfindahl_index,
+        "chamfer_distance": q_chamfer_distance,
+        "bilateral_filter": q_bilateral_filter,
         "percolation_sweep": q_percolation_sweep,
         "noise_mad": q_noise_mad,
         "interarrival_census": rel.interarrival_census,
@@ -5471,6 +5473,8 @@ def spatial_oracles(sf: str = "sf0.01") -> dict[str, str]:
         "mann_whitney": rel.mann_whitney_sql(),
         "ks_statistic": rel.ks_statistic_sql(),
         "herfindahl_index": rel.herfindahl_index_sql(),
+        "chamfer_distance": _sql_chamfer_distance(fx, w),
+        "bilateral_filter": _sql_bilateral_filter(fx, w),
         "percolation_sweep": _sql_percolation_sweep(fx, w),
         "noise_mad": _sql_noise_mad(fx, w),
         "interarrival_census": rel.interarrival_census_sql(),
@@ -10707,4 +10711,114 @@ SELECT media_id,
        CAST(SUM(CASE WHEN t > 0 AND ((o < 0) != (op < 0)) THEN 1 ELSE 0 END)
             AS BIGINT) AS out_crossings
 FROM samp GROUP BY media_id ORDER BY media_id
+"""
+
+
+_CHAMFER_MOD = 29
+_BILAT_MOD = 53
+
+
+def q_chamfer_distance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Chamfer 3-4 distance-transform census (algebra.chamfer_stats —
+    scipy distance_transform_cdt analog): exact two-pass weighted DT to
+    the nearest dark pixel; oracle replays the closed-form chamfer norm
+    as a pixel x feature MIN join."""
+    from ..operators import algebra
+
+    tiles = geo.georegister(_images(spark, sf_dir)).where(
+        geo.image_idx() % _CHAMFER_MOD == 0
+    )
+    return (
+        algebra.chamfer_stats(tiles)
+        .repartition(1).sortWithinPartitions("image_id")
+    )
+
+
+def _sql_chamfer_distance(fx: Path, w: int) -> str:
+    from ..operators.algebra import CHAMFER_THRESH
+
+    hi = w - 1
+    return f"""
+WITH {osql.georegister_cte(str(fx / 'images.parquet'))},
+sel AS (SELECT * FROM tiles WHERE idx % {_CHAMFER_MOD} = 0),
+feat AS MATERIALIZED (
+  SELECT image_id, gi.i AS fi, gj.j AS fj
+  FROM sel,
+       generate_series(0, {hi}) AS gi(i), generate_series(0, {hi}) AS gj(j)
+  WHERE {osql.ramp_value_expr('gi.i', 'gj.j')} < {CHAMFER_THRESH}
+),
+nf AS (SELECT image_id, COUNT(*) AS n_feat FROM feat GROUP BY image_id),
+d AS (
+  SELECT p.image_id, p.i, p.j,
+         MIN(3 * GREATEST(ABS(p.i - f.fi), ABS(p.j - f.fj))
+             + LEAST(ABS(p.i - f.fi), ABS(p.j - f.fj))) AS dd
+  FROM (SELECT image_id, gi.i AS i, gj.j AS j
+        FROM sel,
+             generate_series(0, {hi}) AS gi(i),
+             generate_series(0, {hi}) AS gj(j)) p
+  JOIN feat f USING (image_id)
+  GROUP BY p.image_id, p.i, p.j
+)
+SELECT d.image_id,
+       CAST(nf.n_feat AS BIGINT) AS n_feat,
+       CAST(SUM(dd) AS BIGINT) AS sum_d,
+       CAST(MAX(dd) AS BIGINT) AS max_d,
+       CAST(SUM(dd * (i * {w} + j + 1)) AS BIGINT) AS d_checksum
+FROM d JOIN nf USING (image_id)
+GROUP BY d.image_id, nf.n_feat ORDER BY d.image_id
+"""
+
+
+def q_bilateral_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """3x3 integer bilateral-filter census (algebra.bilateral_stats —
+    cv2.bilateralFilter analog with a LUT range kernel): spatial 1-2-4
+    weights x range LUT on |dv|//32, floor-div normalize."""
+    from ..operators import algebra
+
+    tiles = geo.georegister(_images(spark, sf_dir)).where(
+        geo.image_idx() % _BILAT_MOD == 0
+    )
+    return (
+        algebra.bilateral_stats(tiles)
+        .repartition(1).sortWithinPartitions("image_id")
+    )
+
+
+def _sql_bilateral_filter(fx: Path, w: int) -> str:
+    from ..operators.algebra import _BILAT_SPATIAL
+
+    taps = [(di, dj) for di in (-1, 0, 1) for dj in (-1, 0, 1)]
+    vcols = ", ".join(
+        f"CAST({osql.ramp_value_expr(f'gi.i + {di}', f'gj.j + {dj}')} AS BIGINT)"
+        f" AS v{k}"
+        for k, (di, dj) in enumerate(taps)
+    )
+    lut = (
+        "CASE (ABS(v{k} - v4) // 32) WHEN 0 THEN 8 WHEN 1 THEN 4"
+        " WHEN 2 THEN 2 WHEN 3 THEN 1 ELSE 0 END"
+    )
+    wexpr = [
+        f"({_BILAT_SPATIAL[k]} * ({lut.format(k=k)}))" for k in range(9)
+    ]
+    num = " + ".join(f"{wexpr[k]} * v{k}" for k in range(9))
+    den = " + ".join(wexpr)
+    lo, hi = 1, w - 2
+    iw = w - 2
+    return f"""
+WITH {osql.georegister_cte(str(fx / 'images.parquet'))},
+px AS (
+  SELECT image_id, gi.i AS i, gj.j AS j, {vcols}
+  FROM tiles,
+       generate_series({lo}, {hi}) AS gi(i), generate_series({lo}, {hi}) AS gj(j)
+  WHERE idx % {_BILAT_MOD} = 0
+),
+f AS (
+  SELECT image_id, i, j, v4, ({num}) // ({den}) AS o FROM px
+)
+SELECT image_id,
+       CAST(COUNT(*) AS BIGINT) AS n_interior,
+       CAST(SUM(o) AS BIGINT) AS sum_out,
+       CAST(SUM(CASE WHEN o <> v4 THEN 1 ELSE 0 END) AS BIGINT) AS n_changed,
+       CAST(SUM(o * ((i - 1) * {iw} + (j - 1) + 1)) AS BIGINT) AS out_checksum
+FROM f GROUP BY image_id ORDER BY image_id
 """

@@ -1180,3 +1180,67 @@ def test_cost_distance_dijkstra_parity(spark, sf0001_dir):
         assert g["cost_sum"] == d[reach].sum()
         wt = (np.arange(h)[:, None] * w + np.arange(w)[None, :] + 1)
         assert g["cost_checksum"] == (np.where(reach, d, 0) * wt).sum()
+
+
+def test_chamfer_two_pass_equals_closed_form(spark, sf0001_dir):
+    """Borgefors exactness: the two-pass scan must equal the brute
+    min-over-features of the chamfer norm 3*max+min, per pixel."""
+    tiles = geo.georegister(
+        spark.read.parquet(str(sf0001_dir / "images.parquet")).where(
+            geo.image_idx() < 40
+        )
+    )
+    got = {r["image_id"]: r for r in algebra.chamfer_stats(tiles).collect()}
+    n_checked = 0
+    for idx in range(40):
+        v = oracle.ramp_tile(idx, 32, 32).astype(np.int64)
+        if idx % 10 == 3:
+            v = oracle.quantize(v)
+        fi, fj = np.nonzero(v < algebra.CHAMFER_THRESH)
+        image_id = f"img{idx:08d}"
+        if len(fi) == 0:
+            assert image_id not in got
+            continue
+        ii, jj = np.meshgrid(np.arange(32), np.arange(32), indexing="ij")
+        di = np.abs(ii[:, :, None] - fi[None, None, :])
+        dj = np.abs(jj[:, :, None] - fj[None, None, :])
+        d = (3 * np.maximum(di, dj) + np.minimum(di, dj)).min(axis=2)
+        g = got[image_id]
+        wt = np.arange(1, 32 * 32 + 1, dtype=np.int64).reshape(32, 32)
+        assert g["n_feat"] == len(fi)
+        assert g["sum_d"] == d.sum()
+        assert g["max_d"] == d.max()
+        assert g["d_checksum"] == (d * wt).sum()
+        n_checked += 1
+    assert n_checked > 0
+
+
+def test_bilateral_matches_numpy(spark, sf0001_dir):
+    tiles = geo.georegister(
+        spark.read.parquet(str(sf0001_dir / "images.parquet")).where(
+            geo.image_idx() < 24
+        )
+    )
+    got = {r["image_id"]: r for r in algebra.bilateral_stats(tiles).collect()}
+    rng = np.asarray(algebra._BILAT_RANGE, dtype=np.int64)
+    for idx in range(24):
+        v = oracle.ramp_tile(idx, 32, 32).astype(np.int64)
+        if idx % 10 == 3:
+            v = oracle.quantize(v)
+        c0 = v[1:-1, 1:-1]
+        num = np.zeros_like(c0)
+        den = np.zeros_like(c0)
+        for k, (di, dj) in enumerate(
+            (di, dj) for di in (-1, 0, 1) for dj in (-1, 0, 1)
+        ):
+            t = v[1 + di : 31 + di, 1 + dj : 31 + dj]
+            wgt = algebra._BILAT_SPATIAL[k] * rng[np.abs(t - c0) >> 5]
+            num += wgt * t
+            den += wgt
+        o = num // den
+        g = got[f"img{idx:08d}"]
+        wt = np.arange(1, 30 * 30 + 1, dtype=np.int64).reshape(30, 30)
+        assert g["n_interior"] == 900
+        assert g["sum_out"] == o.sum()
+        assert g["n_changed"] == (o != c0).sum()
+        assert g["out_checksum"] == (o * wt).sum()
