@@ -4813,3 +4813,168 @@ SELECT n_name, rev_dollars, share_ppm,
        CAST((SELECT SUM(share_ppm * share_ppm) FROM sh) AS BIGINT) AS hhi
 FROM sh ORDER BY n_name
 """
+
+
+EWMA_SPIKE_CENTS = 20_000  # |x_t - s_{t-1}| above this is a spike
+
+
+def ewma_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EWMA control chart per user over the event stream — the
+    exponentially-weighted moving average every monitoring stack runs
+    for drift/spike detection.  Exact integer recurrence with
+    lambda = 0.3 cross-multiplied to tenths: s_1 = x_1,
+    s_t = (7*s_{t-1} + 3*x_t) // 10 over cents (nonnegative, so floor
+    division is engine-agnostic); a spike is |x_t - s_{t-1}| >
+    EWMA_SPIKE_CENTS.  Emits per user: event count, final EWMA, the
+    EWMA path sum, and the spike count.  The DuckDB twin replays the
+    recurrence as a recursive CTE over per-user row numbers.
+
+    Scale shape: ONE shuffle groups each user's events; the recurrence
+    is inherently sequential per key, so it runs inside applyInPandas
+    with per-key numpy state — the exact batch analog of the streaming
+    applyInPandasWithState operator (streaming/tile_stream.py), keys
+    parallelize across executors."""
+    ev = _t(spark, sf_dir, "events").select(
+        "user_id", "ts", "event_id", cents(F.col("value")).alias("x")
+    )
+
+    import numpy as np
+    import pandas as pd
+
+    def _ewma(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values(["ts", "event_id"])
+        x = pdf["x"].to_numpy(dtype=np.int64)
+        s = x[0]
+        ssum = int(s)
+        spikes = 0
+        for t in range(1, len(x)):
+            if abs(int(x[t]) - int(s)) > EWMA_SPIKE_CENTS:
+                spikes += 1
+            s = (7 * int(s) + 3 * int(x[t])) // 10
+            ssum += s
+        return pd.DataFrame(
+            {
+                "user_id": [int(pdf["user_id"].iat[0])],
+                "n_events": [len(x)],
+                "ewma_final": [int(s)],
+                "ewma_sum": [ssum],
+                "n_spikes": [spikes],
+            }
+        )
+
+    out_schema = (
+        "user_id long, n_events long, ewma_final long,"
+        " ewma_sum long, n_spikes long"
+    )
+    return (
+        ev.groupBy("user_id")
+        .applyInPandas(_ewma, schema=out_schema)
+        .repartition(1)
+        .sortWithinPartitions("user_id")
+    )
+
+
+def ewma_drift_sql() -> str:
+    return f"""
+WITH RECURSIVE ev AS (
+  SELECT user_id,
+         row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS rn,
+         CAST(round(value * 100) AS BIGINT) AS x
+  FROM events
+),
+rec(user_id, rn, s, ssum, nspike) AS (
+  SELECT user_id, rn, x, x, 0 FROM ev WHERE rn = 1
+  UNION ALL
+  SELECT e.user_id, e.rn,
+         (7 * r.s + 3 * e.x) // 10,
+         r.ssum + (7 * r.s + 3 * e.x) // 10,
+         r.nspike + CASE WHEN ABS(e.x - r.s) > {EWMA_SPIKE_CENTS}
+                         THEN 1 ELSE 0 END
+  FROM rec r JOIN ev e ON e.user_id = r.user_id AND e.rn = r.rn + 1
+)
+SELECT user_id,
+       CAST(MAX(rn) AS BIGINT) AS n_events,
+       CAST(arg_max(s, rn) AS BIGINT) AS ewma_final,
+       CAST(arg_max(ssum, rn) AS BIGINT) AS ewma_sum,
+       CAST(arg_max(nspike, rn) AS BIGINT) AS n_spikes
+FROM rec GROUP BY user_id ORDER BY user_id
+"""
+
+
+KENDALL_NATION = 7
+
+
+def kendall_tau(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Kendall tau-b pair census between account balance and lifetime
+    spend for one nation's customers — the rank-concordance statistic
+    preferred over Spearman when ties matter.  All five pair classes
+    are exact integer counts (concordant, discordant, x-only tie,
+    y-only tie, both-tie) over unordered custkey pairs; tau-b is
+    reconstructible as (nc-nd)/sqrt((n0-tx-txy)*(n0-ty-txy)) by the
+    reader, nothing float ships.
+
+    Scale shape: the demo keys one nation (~n/25 rows) and runs the
+    O(n^2) pair self-join — at 10^12 rows the concordance counts come
+    from the O(n log n) merge-sort inversion count (sort by x, count
+    y-inversions via BIT/merge passes), which is a two-sort pipeline;
+    the pair join stays the oracle shape."""
+    c = _t(spark, sf_dir, "customer").where(
+        F.col("c_nationkey") == KENDALL_NATION
+    ).select("c_custkey", cents(F.col("c_acctbal")).alias("bal"))
+    o = _t(spark, sf_dir, "orders").select(
+        "o_custkey", cents(F.col("o_totalprice")).alias("tp")
+    )
+    spend = o.groupBy("o_custkey").agg(F.sum("tp").alias("spend"))
+    j = c.join(spend, c.c_custkey == spend.o_custkey, "inner").select(
+        F.col("c_custkey").alias("k"), "bal", "spend"
+    )
+    a, b = j.alias("a"), j.alias("b")
+    pairs = a.join(b, F.col("a.k") < F.col("b.k")).select(
+        (F.col("a.bal") - F.col("b.bal")).alias("dx"),
+        (F.col("a.spend") - F.col("b.spend")).alias("dy"),
+    )
+    sgn = lambda c: F.signum(c.cast("double")).cast("int")  # noqa: E731
+    cls = pairs.select(sgn(F.col("dx")).alias("sx"), sgn(F.col("dy")).alias("sy"))
+    return cls.agg(
+        F.count(F.lit(1)).alias("n_pairs"),
+        F.sum(F.when((F.col("sx") * F.col("sy")) == 1, 1).otherwise(0))
+        .cast("long")
+        .alias("concordant"),
+        F.sum(F.when((F.col("sx") * F.col("sy")) == -1, 1).otherwise(0))
+        .cast("long")
+        .alias("discordant"),
+        F.sum(F.when((F.col("sx") == 0) & (F.col("sy") != 0), 1).otherwise(0))
+        .cast("long")
+        .alias("ties_x"),
+        F.sum(F.when((F.col("sx") != 0) & (F.col("sy") == 0), 1).otherwise(0))
+        .cast("long")
+        .alias("ties_y"),
+        F.sum(F.when((F.col("sx") == 0) & (F.col("sy") == 0), 1).otherwise(0))
+        .cast("long")
+        .alias("ties_xy"),
+    )
+
+
+def kendall_tau_sql() -> str:
+    return f"""
+WITH c AS (
+  SELECT c_custkey AS k, CAST(round(c_acctbal * 100) AS BIGINT) AS bal
+  FROM customer WHERE c_nationkey = {KENDALL_NATION}
+),
+spend AS (
+  SELECT o_custkey, SUM(CAST(round(o_totalprice * 100) AS BIGINT)) AS spend
+  FROM orders GROUP BY o_custkey
+),
+j AS (SELECT c.k, c.bal, s.spend FROM c JOIN spend s ON c.k = s.o_custkey),
+pairs AS (
+  SELECT sign(a.bal - b.bal) AS sx, sign(a.spend - b.spend) AS sy
+  FROM j a JOIN j b ON a.k < b.k
+)
+SELECT COUNT(*) AS n_pairs,
+       CAST(SUM(CASE WHEN sx * sy = 1 THEN 1 ELSE 0 END) AS BIGINT) AS concordant,
+       CAST(SUM(CASE WHEN sx * sy = -1 THEN 1 ELSE 0 END) AS BIGINT) AS discordant,
+       CAST(SUM(CASE WHEN sx = 0 AND sy <> 0 THEN 1 ELSE 0 END) AS BIGINT) AS ties_x,
+       CAST(SUM(CASE WHEN sx <> 0 AND sy = 0 THEN 1 ELSE 0 END) AS BIGINT) AS ties_y,
+       CAST(SUM(CASE WHEN sx = 0 AND sy = 0 THEN 1 ELSE 0 END) AS BIGINT) AS ties_xy
+FROM pairs
+"""

@@ -5189,6 +5189,8 @@ def spatial_queries() -> dict[str, QueryFn]:
         "mann_whitney": rel.mann_whitney,
         "ks_statistic": rel.ks_statistic,
         "herfindahl_index": rel.herfindahl_index,
+        "ewma_drift": rel.ewma_drift,
+        "kendall_tau": rel.kendall_tau,
         "chamfer_distance": q_chamfer_distance,
         "bilateral_filter": q_bilateral_filter,
         "percolation_sweep": q_percolation_sweep,
@@ -5473,6 +5475,8 @@ def spatial_oracles(sf: str = "sf0.01") -> dict[str, str]:
         "mann_whitney": rel.mann_whitney_sql(),
         "ks_statistic": rel.ks_statistic_sql(),
         "herfindahl_index": rel.herfindahl_index_sql(),
+        "ewma_drift": rel.ewma_drift_sql(),
+        "kendall_tau": rel.kendall_tau_sql(),
         "chamfer_distance": _sql_chamfer_distance(fx, w),
         "bilateral_filter": _sql_bilateral_filter(fx, w),
         "percolation_sweep": _sql_percolation_sweep(fx, w),
