@@ -1667,3 +1667,122 @@ def curve_locality_census(tiles: DataFrame) -> DataFrame:
             ).select(F.lit(name).alias("curve"), "n_cells", "sum_jump", "max_jump", "n_unit_steps")
         )
     return rows[0].unionByName(rows[1]).repartition(1).sortWithinPartitions("curve")
+
+
+# --- DBSCAN density clustering ----------------------------------------------------------
+
+DBSCAN_EPS = 1_000
+DBSCAN_MIN_PTS = 4
+
+
+def dbscan(
+    points: DataFrame, eps: int = DBSCAN_EPS, min_pts: int = DBSCAN_MIN_PTS
+) -> DataFrame:
+    """DBSCAN (Ester et al., KDD 1996) over the points table — the
+    density clustering every spatial-analytics stack ships: a point is
+    CORE if >= min_pts points (itself included) lie within eps;
+    clusters are the connected components of the core-core eps graph;
+    non-core points touching a core point are BORDER (assigned the
+    smallest adjacent cluster id — a deterministic refinement of the
+    usual first-scan-wins rule); the rest is NOISE.  Coordinates are
+    floor-quantized to integer units so every distance compare is
+    exact int64 on both engines; the cluster id is the min core
+    point_id of the component.
+
+    Scale shape: neighbor pairs come from an eps-grid equi-join (one
+    side exploded to its 3x3 neighbor cells — bounded 9x fan-out,
+    shuffle on the grid key only, refine inside codegen); the CC runs
+    the shared min-label-propagation operator (graph.py) whose round
+    count is the cluster diameter, not the graph size.  Per-zone skew
+    = max points per eps-cell, the same knob the salting operator
+    (skew.py) handles when a cell runs hot."""
+    from .graph import connected_components
+
+    pt = points.select(
+        "point_id",
+        F.floor("x").cast("long").alias("xi"),
+        F.floor("y").cast("long").alias("yi"),
+    ).withColumn("gx", F.floor(F.col("xi") / eps).cast("long")).withColumn(
+        "gy", F.floor(F.col("yi") / eps).cast("long")
+    )
+    offs = F.array(
+        *[
+            F.struct(F.lit(dx).alias("dx"), F.lit(dy).alias("dy"))
+            for dx in (-1, 0, 1)
+            for dy in (-1, 0, 1)
+        ]
+    )
+    a = (
+        pt.select("point_id", "xi", "yi", "gx", "gy", F.explode(offs).alias("o"))
+        .select(
+            F.col("point_id").alias("pa"),
+            F.col("xi").alias("ax"),
+            F.col("yi").alias("ay"),
+            (F.col("gx") + F.col("o.dx")).alias("cgx"),
+            (F.col("gy") + F.col("o.dy")).alias("cgy"),
+        )
+    )
+    b = pt.select(
+        F.col("point_id").alias("pb"),
+        F.col("xi").alias("bx"),
+        F.col("yi").alias("by"),
+        F.col("gx").alias("cgx"),
+        F.col("gy").alias("cgy"),
+    )
+    d2 = (F.col("ax") - F.col("bx")) * (F.col("ax") - F.col("bx")) + (
+        F.col("ay") - F.col("by")
+    ) * (F.col("ay") - F.col("by"))
+    pairs = (
+        a.join(b, ["cgx", "cgy"])
+        .where((F.col("pa") != F.col("pb")) & (d2 <= F.lit(eps * eps)))
+        .select("pa", "pb")
+    )
+    pairs.persist()
+    core = (
+        pairs.groupBy("pa")
+        .agg(F.count(F.lit(1)).alias("deg"))
+        .where(F.col("deg") + 1 >= min_pts)
+        .select(F.col("pa").alias("p"))
+    )
+    core.persist()
+    try:
+        ce = (
+            pairs.join(core.select(F.col("p").alias("pa")), "pa")
+            .join(core.select(F.col("p").alias("pb")), "pb")
+            .select("pa", "pb")
+        )
+        comp = connected_components(
+            ce, core, vertex_col="p", src_col="pa", dst_col="pb"
+        )
+        core_out = comp.select(
+            F.col("p").alias("point_id"),
+            F.lit(2).alias("role"),
+            F.col("component").alias("cluster"),
+        )
+        border = (
+            pairs.join(core.select(F.col("p").alias("pb")), "pb")
+            .join(core.select(F.col("p").alias("pa")), "pa", "left_anti")
+            .join(comp.select(F.col("p").alias("pb"), "component"), "pb")
+            .groupBy("pa")
+            .agg(F.min("component").alias("cluster"))
+            .select(
+                F.col("pa").alias("point_id"), F.lit(1).alias("role"), "cluster"
+            )
+        )
+        assigned = core_out.unionByName(border)
+        noise = (
+            pt.select("point_id")
+            .join(assigned.select("point_id"), "point_id", "left_anti")
+            .select(
+                "point_id",
+                F.lit(0).alias("role"),
+                F.lit(None).cast("long").alias("cluster"),
+            )
+        )
+        out = assigned.unionByName(noise)
+        # materialize before unpersisting the shared frontier
+        out = out.localCheckpoint(eager=True)
+        return out
+    finally:
+        pairs.unpersist()
+        core.unpersist()

@@ -5193,6 +5193,7 @@ def spatial_queries() -> dict[str, QueryFn]:
         "kendall_tau": rel.kendall_tau,
         "chamfer_distance": q_chamfer_distance,
         "bilateral_filter": q_bilateral_filter,
+        "dbscan_clusters": q_dbscan_clusters,
         "percolation_sweep": q_percolation_sweep,
         "noise_mad": q_noise_mad,
         "interarrival_census": rel.interarrival_census,
@@ -5479,6 +5480,7 @@ def spatial_oracles(sf: str = "sf0.01") -> dict[str, str]:
         "kendall_tau": rel.kendall_tau_sql(),
         "chamfer_distance": _sql_chamfer_distance(fx, w),
         "bilateral_filter": _sql_bilateral_filter(fx, w),
+        "dbscan_clusters": _sql_dbscan_clusters(fx),
         "percolation_sweep": _sql_percolation_sweep(fx, w),
         "noise_mad": _sql_noise_mad(fx, w),
         "interarrival_census": rel.interarrival_census_sql(),
@@ -10825,4 +10827,64 @@ SELECT image_id,
        CAST(SUM(CASE WHEN o <> v4 THEN 1 ELSE 0 END) AS BIGINT) AS n_changed,
        CAST(SUM(o * ((i - 1) * {iw} + (j - 1) + 1)) AS BIGINT) AS out_checksum
 FROM f GROUP BY image_id ORDER BY image_id
+"""
+
+
+def q_dbscan_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DBSCAN density clustering of the points table
+    (spatial_index.dbscan): eps-grid neighbor join + min-label CC;
+    role 2=core / 1=border / 0=noise, cluster = min core point_id."""
+    from ..operators import spatial_index as si
+
+    return (
+        si.dbscan(_points(spark, sf_dir))
+        .repartition(1).sortWithinPartitions("point_id")
+    )
+
+
+def _sql_dbscan_clusters(fx: Path) -> str:
+    from ..operators.spatial_index import DBSCAN_EPS as EPS
+    from ..operators.spatial_index import DBSCAN_MIN_PTS as MINPTS
+
+    pts = str(fx / "points.parquet")
+    return f"""
+WITH RECURSIVE pt AS (
+  SELECT point_id, CAST(floor(x) AS BIGINT) AS xi, CAST(floor(y) AS BIGINT) AS yi
+  FROM read_parquet('{pts}')
+),
+nbr AS MATERIALIZED (
+  SELECT a.point_id AS pa, b.point_id AS pb
+  FROM pt a JOIN pt b
+    ON b.xi BETWEEN a.xi - {EPS} AND a.xi + {EPS}
+   AND b.yi BETWEEN a.yi - {EPS} AND a.yi + {EPS}
+   AND (a.xi-b.xi)*(a.xi-b.xi) + (a.yi-b.yi)*(a.yi-b.yi) <= {EPS * EPS}
+   AND a.point_id <> b.point_id
+),
+core AS MATERIALIZED (
+  SELECT pa AS p FROM nbr GROUP BY pa HAVING COUNT(*) + 1 >= {MINPTS}
+),
+ce AS MATERIALIZED (
+  SELECT n.pa AS a, n.pb AS b FROM nbr n
+  JOIN core c1 ON c1.p = n.pa JOIN core c2 ON c2.p = n.pb
+),
+comp(p, l) AS (
+  SELECT p, p FROM core
+  UNION
+  SELECT e.b, c.l FROM comp c JOIN ce e ON e.a = c.p
+),
+lbl AS MATERIALIZED (SELECT p, MIN(l) AS cluster FROM comp GROUP BY p),
+border AS MATERIALIZED (
+  SELECT n.pa AS p, MIN(l.cluster) AS cluster
+  FROM nbr n JOIN lbl l ON l.p = n.pb
+  WHERE n.pa NOT IN (SELECT p FROM core)
+  GROUP BY n.pa
+)
+SELECT pt.point_id,
+       CAST(CASE WHEN lbl.p IS NOT NULL THEN 2
+                 WHEN border.p IS NOT NULL THEN 1 ELSE 0 END AS INT) AS role,
+       CAST(COALESCE(lbl.cluster, border.cluster) AS BIGINT) AS cluster
+FROM pt
+LEFT JOIN lbl ON lbl.p = pt.point_id
+LEFT JOIN border ON border.p = pt.point_id
+ORDER BY pt.point_id
 """
