@@ -5194,6 +5194,7 @@ def spatial_queries() -> dict[str, QueryFn]:
         "chamfer_distance": q_chamfer_distance,
         "bilateral_filter": q_bilateral_filter,
         "dbscan_clusters": q_dbscan_clusters,
+        "stream_ewma": q_stream_ewma,
         "percolation_sweep": q_percolation_sweep,
         "noise_mad": q_noise_mad,
         "interarrival_census": rel.interarrival_census,
@@ -5481,6 +5482,7 @@ def spatial_oracles(sf: str = "sf0.01") -> dict[str, str]:
         "chamfer_distance": _sql_chamfer_distance(fx, w),
         "bilateral_filter": _sql_bilateral_filter(fx, w),
         "dbscan_clusters": _sql_dbscan_clusters(fx),
+        "stream_ewma": rel.ewma_drift_sql(),
         "percolation_sweep": _sql_percolation_sweep(fx, w),
         "noise_mad": _sql_noise_mad(fx, w),
         "interarrival_census": rel.interarrival_census_sql(),
@@ -10888,3 +10890,39 @@ LEFT JOIN lbl ON lbl.p = pt.point_id
 LEFT JOIN border ON border.p = pt.point_id
 ORDER BY pt.point_id
 """
+
+
+def q_stream_ewma(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Custom stateful streaming operator surfaced to the oracle gate:
+    per-user EWMA control chart via applyInPandasWithState
+    (tile_stream.stream_ewma), run availableNow over the events table.
+    The recurrence continues from store state across batches, so the
+    final emission per user equals the batch recursive-CTE oracle
+    (relational.ewma_drift_sql) bit-for-bit; the gate keeps the last
+    emission via the monotone n_events."""
+    import tempfile
+    import uuid
+
+    from ..streaming import tile_stream as ts
+
+    src = Path(sf_dir) / "events.parquet"
+    tmp = Path(tempfile.mkdtemp(prefix="gs_sewma_"))
+    (tmp / "in").mkdir()
+    os.symlink(src, tmp / "in" / "events.parquet")
+    schema = spark.read.parquet(str(src)).schema
+    stream = spark.readStream.schema(schema).parquet(str(tmp / "in"))
+    name = f"sewma_{uuid.uuid4().hex[:8]}"
+    ts.run_to_memory(ts.stream_ewma(stream), name, str(tmp / "ckpt"),
+                     state_partitions=8)
+    last = F.max(F.struct("n_events", "ewma_final"))
+    return (
+        spark.table(name)
+        .groupBy("user_id")
+        .agg(
+            F.max("n_events").alias("n_events"),
+            last["ewma_final"].alias("ewma_final"),
+            F.max("ewma_sum").alias("ewma_sum"),
+            F.max("n_spikes").alias("n_spikes"),
+        )
+        .repartition(1).sortWithinPartitions("user_id")
+    )

@@ -395,3 +395,73 @@ def sliding_rate(
             "idx_checksum",
         )
     )
+
+
+def stream_ewma(events: DataFrame) -> DataFrame:
+    """Streaming twin of the batch EWMA control chart
+    (relational.ewma_drift): per-user exponentially-weighted average as
+    a custom stateful operator via applyInPandasWithState.  State per
+    user = (s, ssum, n, spikes); each micro-batch's rows are applied in
+    (ts, event_id) order continuing from stored state, so with an
+    in-order source the final emission equals the batch recurrence
+    s_t = (7*s_{t-1} + 3*x_t) // 10 bit-for-bit — which is exactly what
+    the DuckDB recursive-CTE oracle replays.  (Production streams fence
+    order per key with a watermark + sort-within-batch; the contract
+    probe's availableNow single batch is trivially in order.)  Emits the
+    running census per user per batch; the gate reduces to the last
+    emission via the monotone n_events.
+
+    Scale shape: state is 4 ints per active user — bounded, keyed,
+    store-partitioned; pixels/payloads never enter the state store."""
+    import pandas as pd
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    from ..operators.relational import EWMA_SPIKE_CENTS
+
+    out_schema = (
+        "user_id long, n_events long, ewma_final long,"
+        " ewma_sum long, n_spikes long"
+    )
+    state_schema = "s long, ssum long, n long, spikes long"
+
+    def fn(key, pdfs, state: GroupState):
+        (user_id,) = key
+        if state.exists:
+            s, ssum, n, spikes = state.get
+        else:
+            s, ssum, n, spikes = 0, 0, 0, 0
+        for pdf in pdfs:
+            pdf = pdf.sort_values(["ts", "event_id"])
+            for x in pdf["x"].astype("int64"):
+                x = int(x)
+                if n == 0:
+                    s = x
+                    ssum = x
+                else:
+                    if abs(x - s) > EWMA_SPIKE_CENTS:
+                        spikes += 1
+                    s = (7 * s + 3 * x) // 10
+                    ssum += s
+                n += 1
+        state.update((s, ssum, n, spikes))
+        yield pd.DataFrame(
+            {
+                "user_id": [int(user_id)],
+                "n_events": [n],
+                "ewma_final": [s],
+                "ewma_sum": [ssum],
+                "n_spikes": [spikes],
+            }
+        )
+
+    slim = events.select(
+        "user_id", "ts", "event_id",
+        F.round(F.col("value") * 100).cast("long").alias("x"),
+    )
+    return slim.groupBy("user_id").applyInPandasWithState(
+        fn,
+        outputStructType=out_schema,
+        stateStructType=state_schema,
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
