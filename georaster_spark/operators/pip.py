@@ -265,3 +265,63 @@ def zone_overlap(
         snap(F.col("iymax")).alias("iymax_u"),
         (w_u * h_u).alias("area_u"),
     )
+
+
+def zone_min_width(zones: DataFrame) -> DataFrame:
+    """Rotating-calipers minimum width of each convex zone — the
+    narrowest-slab measure (min over edge directions of the support
+    width) driving corridor/fit analyses; for a convex polygon the
+    minimum width is attained perpendicular to an edge (calipers
+    theorem), so the exact sweep is min over edges e of
+    max over vertices v of dist(v, line(e)).  Coordinates unit-snap to
+    ints (same snap as zone_geometry); per edge the squared width is
+    the quantized rational w2 = floor(maxcross^2 / |e|^2) (cross
+    products are exact int64; the square crosses through DECIMAL(38)
+    to dodge the int64 ceiling), and the argmin edge breaks ties by
+    index — bit-identical on both engines by construction.  Emits per
+    zone: edge count, min/max squared width, argmin edge (1-based).
+
+    Scale shape: ring arrays explode to (edge x vertex) rows — bounded
+    by ring length squared (rings are tiny), grouped twice, no UDF; at
+    10^9 zones everything stays keyed by zone_id, map-side combinable."""
+    snap = lambda c: F.floor(c + F.lit(0.5)).cast("long")  # noqa: E731
+    base = zones.select("zone_id", "ring", F.size("ring").alias("n"))
+    e = base.select(
+        "zone_id",
+        F.posexplode(F.slice(F.col("ring"), 1, F.size("ring") - 1)).alias("k0", "a"),
+        F.col("ring"),
+    ).select(
+        "zone_id",
+        (F.col("k0") + 1).alias("k"),
+        snap(F.col("a.x")).alias("ax"),
+        snap(F.col("a.y")).alias("ay"),
+        snap(F.element_at(F.col("ring"), F.col("k0") + 2).getField("x")).alias("bx"),
+        snap(F.element_at(F.col("ring"), F.col("k0") + 2).getField("y")).alias("by"),
+    )
+    v = base.select(
+        "zone_id",
+        F.explode(F.slice(F.col("ring"), 1, F.size("ring") - 1)).alias("p"),
+    ).select("zone_id", snap(F.col("p.x")).alias("vx"), snap(F.col("p.y")).alias("vy"))
+    ex = F.col("bx") - F.col("ax")
+    ey = F.col("by") - F.col("ay")
+    cross = ex * (F.col("vy") - F.col("ay")) - ey * (F.col("vx") - F.col("ax"))
+    per_edge = (
+        e.join(v, "zone_id")
+        .groupBy("zone_id", "k", "ax", "ay", "bx", "by")
+        .agg(F.max(cross).alias("mc"))
+        .select(
+            "zone_id",
+            "k",
+            F.expr(
+                "CAST(div(CAST(mc AS DECIMAL(38,0)) * CAST(mc AS DECIMAL(38,0)),"
+                " CAST((bx-ax)*(bx-ax) + (by-ay)*(by-ay) AS DECIMAL(38,0)))"
+                " AS BIGINT)"
+            ).alias("w2"),
+        )
+    )
+    return per_edge.groupBy("zone_id").agg(
+        F.count(F.lit(1)).alias("n_edges"),
+        F.min("w2").alias("min_w2"),
+        F.max("w2").alias("max_w2"),
+        F.min(F.struct("w2", "k")).getField("k").cast("long").alias("argmin_edge"),
+    )

@@ -5195,6 +5195,8 @@ def spatial_queries() -> dict[str, QueryFn]:
         "bilateral_filter": q_bilateral_filter,
         "dbscan_clusters": q_dbscan_clusters,
         "stream_ewma": q_stream_ewma,
+        "aniso_diffusion": q_aniso_diffusion,
+        "zone_min_width": q_zone_min_width,
         "percolation_sweep": q_percolation_sweep,
         "noise_mad": q_noise_mad,
         "interarrival_census": rel.interarrival_census,
@@ -5483,6 +5485,8 @@ def spatial_oracles(sf: str = "sf0.01") -> dict[str, str]:
         "bilateral_filter": _sql_bilateral_filter(fx, w),
         "dbscan_clusters": _sql_dbscan_clusters(fx),
         "stream_ewma": rel.ewma_drift_sql(),
+        "aniso_diffusion": _sql_aniso_diffusion(fx, w),
+        "zone_min_width": _sql_zone_min_width(fx),
         "percolation_sweep": _sql_percolation_sweep(fx, w),
         "noise_mad": _sql_noise_mad(fx, w),
         "interarrival_census": rel.interarrival_census_sql(),
@@ -10926,3 +10930,116 @@ def q_stream_ewma(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .repartition(1).sortWithinPartitions("user_id")
     )
+
+
+_ANISO_MOD = 43
+
+
+def q_aniso_diffusion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Perona-Malik anisotropic diffusion census (algebra.aniso_stats):
+    2 iterations of edge-aware 4-neighbor flux with a conductance LUT,
+    edge-replicate boundary."""
+    from ..operators import algebra
+
+    tiles = geo.georegister(_images(spark, sf_dir)).where(
+        geo.image_idx() % _ANISO_MOD == 0
+    )
+    return (
+        algebra.aniso_stats(tiles)
+        .repartition(1).sortWithinPartitions("image_id")
+    )
+
+
+def _sql_aniso_diffusion(fx: Path, w: int) -> str:
+    from ..operators.algebra import _ANISO_G
+
+    lut = " ".join(f"WHEN {k} THEN {gv}" for k, gv in enumerate(_ANISO_G))
+
+    def flux(n: str) -> str:
+        d = f"({n}.v - c.v)"
+        return f"(CASE LEAST(ABS({d}) // 32, 7) {lut} ELSE 0 END) * {d}"
+
+    def it(src: str, name: str) -> str:
+        return f"""
+{name} AS MATERIALIZED (
+  SELECT c.image_id, c.i, c.j,
+         c.v + CAST(floor(({flux('u')} + {flux('d')} + {flux('l')} + {flux('r')})
+                    / 16.0) AS BIGINT) AS v
+  FROM {src} c
+  JOIN {src} u ON u.image_id = c.image_id AND u.i = GREATEST(c.i - 1, 0) AND u.j = c.j
+  JOIN {src} d ON d.image_id = c.image_id AND d.i = LEAST(c.i + 1, {w - 1}) AND d.j = c.j
+  JOIN {src} l ON l.image_id = c.image_id AND l.i = c.i AND l.j = GREATEST(c.j - 1, 0)
+  JOIN {src} r ON r.image_id = c.image_id AND r.i = c.i AND r.j = LEAST(c.j + 1, {w - 1})
+)"""
+
+    hi = w - 1
+    return f"""
+WITH {osql.georegister_cte(str(fx / 'images.parquet'))},
+p0 AS MATERIALIZED (
+  SELECT image_id, gi.i AS i, gj.j AS j,
+         CAST({osql.ramp_value_expr('gi.i', 'gj.j')} AS BIGINT) AS v
+  FROM tiles,
+       generate_series(0, {hi}) AS gi(i), generate_series(0, {hi}) AS gj(j)
+  WHERE idx % {_ANISO_MOD} = 0
+),{it('p0', 'it1')},{it('it1', 'it2')}
+SELECT o.image_id,
+       CAST(COUNT(*) AS BIGINT) AS n_px,
+       CAST(SUM(o.v) AS BIGINT) AS sum_out,
+       CAST(SUM(CASE WHEN o.v <> p0.v THEN 1 ELSE 0 END) AS BIGINT) AS n_changed,
+       CAST(SUM(o.v * (o.i * {w} + o.j + 1)) AS BIGINT) AS out_checksum
+FROM it2 o JOIN p0 ON p0.image_id = o.image_id AND p0.i = o.i AND p0.j = o.j
+GROUP BY o.image_id ORDER BY o.image_id
+"""
+
+
+def q_zone_min_width(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rotating-calipers min width per convex zone (pip.zone_min_width):
+    min over edges of max vertex-to-edge-line distance, exact quantized
+    rational w2 = floor(maxcross^2/|e|^2)."""
+    from ..operators.pip import zone_min_width
+
+    return (
+        zone_min_width(_zones(spark, sf_dir))
+        .repartition(1).sortWithinPartitions("zone_id")
+    )
+
+
+def _sql_zone_min_width(fx: Path) -> str:
+    zs = str(fx / "zones.parquet")
+    sx = "CAST(floor(ring[{k}].x + 0.5) AS BIGINT)"
+    sy = "CAST(floor(ring[{k}].y + 0.5) AS BIGINT)"
+    return f"""
+WITH z AS (SELECT zone_id, ring, len(ring) AS n FROM read_parquet('{zs}')),
+e AS (
+  SELECT zone_id, g.k AS k,
+         {sx.format(k='g.k')} AS ax, {sy.format(k='g.k')} AS ay,
+         {sx.format(k='g.k + 1')} AS bx, {sy.format(k='g.k + 1')} AS by
+  FROM z, UNNEST(range(1, z.n)) AS g(k)
+),
+v AS (
+  SELECT zone_id, {sx.format(k='g.k')} AS vx, {sy.format(k='g.k')} AS vy
+  FROM z, UNNEST(range(1, z.n)) AS g(k)
+),
+per_edge AS (
+  SELECT e.zone_id, e.k,
+         CAST(CAST(MAX((e.bx - e.ax) * (v.vy - e.ay)
+                     - (e.by - e.ay) * (v.vx - e.ax)) AS HUGEINT)
+              * MAX((e.bx - e.ax) * (v.vy - e.ay)
+                     - (e.by - e.ay) * (v.vx - e.ax))
+              // ((e.bx - e.ax) * (e.bx - e.ax)
+                  + (e.by - e.ay) * (e.by - e.ay)) AS BIGINT) AS w2
+  FROM e JOIN v USING (zone_id)
+  GROUP BY e.zone_id, e.k, e.ax, e.ay, e.bx, e.by
+),
+agg AS (
+  SELECT zone_id, COUNT(*) AS n_edges, MIN(w2) AS min_w2, MAX(w2) AS max_w2
+  FROM per_edge GROUP BY zone_id
+)
+SELECT a.zone_id, CAST(a.n_edges AS BIGINT) AS n_edges,
+       CAST(a.min_w2 AS BIGINT) AS min_w2,
+       CAST(a.max_w2 AS BIGINT) AS max_w2,
+       CAST(MIN(p.k) AS BIGINT) AS argmin_edge
+FROM agg a JOIN per_edge p ON p.zone_id = a.zone_id AND p.w2 = a.min_w2
+GROUP BY a.zone_id, a.n_edges, a.min_w2, a.max_w2
+ORDER BY a.zone_id
+"""
