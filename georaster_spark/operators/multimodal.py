@@ -696,3 +696,56 @@ def audio_decimate_stats(df: DataFrame) -> DataFrame:
             yield pd.DataFrame(rows)
 
     return df.select("media_id", "bytes", "fmt").mapInPandas(gen, schema=schema)
+
+
+GOERTZEL_N = 256
+GOERTZEL_COEFS = (1800, 1400, 800, 0, -800)  # 2*cos(w)*1024, quantized
+
+
+def goertzel_stats(df: DataFrame, n: int = GOERTZEL_N) -> DataFrame:
+    """Integer Goertzel tone detection (Goertzel 1958) — the single-bin
+    DFT power probe DTMF/pilot-tone detectors run instead of a full
+    FFT: for each quantized coefficient c ~ 2*cos(w)*1024 the
+    recurrence s_0 = x_t + floor(c*s_1/1024) - s_2 runs over the first
+    GOERTZEL_N pcm16 samples, and the bin power is
+    p = s1^2 + s2^2 - floor(c*s1/1024)*s2.  The 1024 scale is a power
+    of two, so floor(c*s/1024.0) is exact in float64 and identical to
+    integer floor-division — every engine agrees bit-for-bit.  The
+    DuckDB twin replays all five recurrences in one recursive CTE.
+
+    Scale shape: map-only mapInPandas over the binary column — one
+    Arrow hop, no shuffle; the t-loop is vectorized across the whole
+    (clips x freqs) batch, 256 numpy steps per batch."""
+    c = np.asarray(GOERTZEL_COEFS, dtype=np.int64)[None, :]  # (1, K)
+    k = len(GOERTZEL_COEFS)
+    cols = ", ".join(f"p{i} long" for i in range(k))
+
+    def gen(batches):
+        for pdf in batches:
+            m = len(pdf)
+            if m == 0:
+                yield pd.DataFrame(
+                    {"media_id": [], **{f"p{i}": [] for i in range(k)}}
+                )
+                continue
+            x = np.stack(
+                [
+                    np.frombuffer(b, dtype="<i2")[:n].astype(np.int64)
+                    for b in pdf["bytes"]
+                ]
+            )  # (m, n)
+            s1 = np.zeros((m, k), dtype=np.int64)
+            s2 = np.zeros((m, k), dtype=np.int64)
+            for t in range(n):
+                s0 = x[:, t : t + 1] + np.floor_divide(c * s1, 1024) - s2
+                s2 = s1
+                s1 = s0
+            p = s1 * s1 + s2 * s2 - np.floor_divide(c * s1, 1024) * s2
+            out = {"media_id": pdf["media_id"].to_numpy(dtype=object)}
+            for i in range(k):
+                out[f"p{i}"] = p[:, i]
+            yield pd.DataFrame(out)
+
+    return df.select("media_id", "bytes").mapInPandas(
+        gen, schema=f"media_id string, {cols}"
+    )

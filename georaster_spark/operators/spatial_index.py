@@ -1752,7 +1752,7 @@ def dbscan(
             .select("pa", "pb")
         )
         comp = connected_components(
-            ce, core, vertex_col="p", src_col="pa", dst_col="pb"
+            ce, core, vertex_col="p", src_col="pa", dst_col="pb", max_iter=60
         )
         core_out = comp.select(
             F.col("p").alias("point_id"),

@@ -5083,6 +5083,7 @@ def spatial_queries() -> dict[str, QueryFn]:
         "image_pipeline": q_image_pipeline,
         "audio_features": q_audio_features,
         "audio_decimate": q_audio_decimate,
+        "goertzel_tone": q_goertzel_tone,
         "video_frames": q_video_frames,
         "dedup_components": q_dedup_components,
         "pagerank_graph": q_pagerank,
@@ -5373,6 +5374,7 @@ def spatial_oracles(sf: str = "sf0.01") -> dict[str, str]:
         "image_pipeline": _sql_image_pipeline(fx, w),
         "audio_features": _sql_audio_features(fx),
         "audio_decimate": _sql_audio_decimate(fx),
+        "goertzel_tone": _sql_goertzel_tone(fx),
         "video_frames": _sql_video_frames(fx),
         "dedup_components": _sql_dedup_components(),
         "pagerank_graph": _sql_pagerank(),
@@ -11042,4 +11044,57 @@ SELECT a.zone_id, CAST(a.n_edges AS BIGINT) AS n_edges,
 FROM agg a JOIN per_edge p ON p.zone_id = a.zone_id AND p.w2 = a.min_w2
 GROUP BY a.zone_id, a.n_edges, a.min_w2, a.max_w2
 ORDER BY a.zone_id
+"""
+
+
+_GOERTZEL_MOD = 17
+
+
+def q_goertzel_tone(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Integer Goertzel 5-bin tone power census
+    (multimodal.goertzel_stats) over the deterministic pcm16 clips."""
+    from ..operators import multimodal as mm
+
+    clips = mm.synth_audio_media(
+        _images(spark, sf_dir).where(geo.image_idx() % _GOERTZEL_MOD == 0)
+    )
+    return (
+        mm.goertzel_stats(clips)
+        .repartition(1).sortWithinPartitions("media_id")
+    )
+
+
+def _sql_goertzel_tone(fx: Path) -> str:
+    from ..operators.multimodal import GOERTZEL_COEFS, GOERTZEL_N
+
+    img = str(fx / "images.parquet")
+    k = len(GOERTZEL_COEFS)
+    state = ", ".join(f"s1_{i}, s2_{i}" for i in range(k))
+    init = ", ".join("CAST(0 AS BIGINT), CAST(0 AS BIGINT)" for _ in range(k))
+    step = ", ".join(
+        f"x + CAST(floor({c} * s1_{i} / 1024.0) AS BIGINT) - s2_{i}, s1_{i}"
+        for i, c in enumerate(GOERTZEL_COEFS)
+    )
+    power = ", ".join(
+        f"CAST(s1_{i} * s1_{i} + s2_{i} * s2_{i}"
+        f" - CAST(floor({c} * s1_{i} / 1024.0) AS BIGINT) * s2_{i}"
+        f" AS BIGINT) AS p{i}"
+        for i, c in enumerate(GOERTZEL_COEFS)
+    )
+    return f"""
+WITH RECURSIVE clips AS (
+  SELECT image_id AS media_id, CAST(substr(image_id, 4, 10) AS BIGINT) AS idx
+  FROM read_parquet('{img}')
+  WHERE CAST(substr(image_id, 4, 10) AS BIGINT) % {_GOERTZEL_MOD} = 0
+),
+rec(media_id, idx, t, {state}) AS (
+  SELECT media_id, idx, -1, {init} FROM clips
+  UNION ALL
+  SELECT media_id, idx, t + 1, {step}
+  FROM (SELECT r.*,
+               ((r.idx * 31 + (r.t + 1) * 17) % 65536) - 32768 AS x
+        FROM rec r WHERE r.t < {GOERTZEL_N - 1})
+)
+SELECT media_id, {power}
+FROM rec WHERE t = {GOERTZEL_N - 1} ORDER BY media_id
 """
