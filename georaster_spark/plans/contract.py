@@ -5197,6 +5197,7 @@ def spatial_queries() -> dict[str, QueryFn]:
         "dbscan_clusters": q_dbscan_clusters,
         "stream_ewma": q_stream_ewma,
         "aniso_diffusion": q_aniso_diffusion,
+        "adaptive_threshold": q_adaptive_threshold,
         "zone_min_width": q_zone_min_width,
         "percolation_sweep": q_percolation_sweep,
         "noise_mad": q_noise_mad,
@@ -5488,6 +5489,7 @@ def spatial_oracles(sf: str = "sf0.01") -> dict[str, str]:
         "dbscan_clusters": _sql_dbscan_clusters(fx),
         "stream_ewma": rel.ewma_drift_sql(),
         "aniso_diffusion": _sql_aniso_diffusion(fx, w),
+        "adaptive_threshold": _sql_adaptive_threshold(fx, w),
         "zone_min_width": _sql_zone_min_width(fx),
         "percolation_sweep": _sql_percolation_sweep(fx, w),
         "noise_mad": _sql_noise_mad(fx, w),
@@ -11097,4 +11099,63 @@ rec(media_id, idx, t, {state}) AS (
 )
 SELECT media_id, {power}
 FROM rec WHERE t = {GOERTZEL_N - 1} ORDER BY media_id
+"""
+
+
+_ATHRESH_MOD = 37
+
+
+def q_adaptive_threshold(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Adaptive local-mean binarization census
+    (algebra.adaptive_threshold_stats): exact integer Bradley-Roth rule
+    over edge-truncated 15x15 box sums."""
+    from ..operators import algebra
+
+    tiles = geo.georegister(_images(spark, sf_dir)).where(
+        geo.image_idx() % _ATHRESH_MOD == 0
+    )
+    return (
+        algebra.adaptive_threshold_stats(tiles)
+        .repartition(1).sortWithinPartitions("image_id")
+    )
+
+
+def _sql_adaptive_threshold(fx: Path, w: int) -> str:
+    from ..operators.algebra import ATHRESH_C, ATHRESH_R
+
+    hi = w - 1
+    R = ATHRESH_R
+    return f"""
+WITH {osql.georegister_cte(str(fx / 'images.parquet'))},
+px AS MATERIALIZED (
+  SELECT image_id, gi.i AS i, gj.j AS j,
+         CAST({osql.ramp_value_expr('gi.i', 'gj.j')} AS BIGINT) AS v
+  FROM tiles,
+       generate_series(0, {hi}) AS gi(i), generate_series(0, {hi}) AS gj(j)
+  WHERE idx % {_ATHRESH_MOD} = 0
+),
+rowpass AS (
+  SELECT image_id, i, j, v,
+         SUM(v) OVER (PARTITION BY image_id, i ORDER BY j
+           ROWS BETWEEN {R} PRECEDING AND {R} FOLLOWING) AS s1,
+         COUNT(*) OVER (PARTITION BY image_id, i ORDER BY j
+           ROWS BETWEEN {R} PRECEDING AND {R} FOLLOWING) AS c1
+  FROM px
+),
+colpass AS (
+  SELECT image_id, i, j, v,
+         SUM(s1) OVER (PARTITION BY image_id, j ORDER BY i
+           ROWS BETWEEN {R} PRECEDING AND {R} FOLLOWING) AS s,
+         SUM(c1) OVER (PARTITION BY image_id, j ORDER BY i
+           ROWS BETWEEN {R} PRECEDING AND {R} FOLLOWING) AS n
+  FROM rowpass
+)
+SELECT image_id,
+       CAST(COUNT(*) AS BIGINT) AS n_px,
+       CAST(SUM(CASE WHEN 16 * v * n + {ATHRESH_C} * n - 16 * s < 0
+                     THEN 1 ELSE 0 END) AS BIGINT) AS n_fg,
+       CAST(SUM(CASE WHEN 16 * v * n + {ATHRESH_C} * n - 16 * s < 0
+                     THEN i * {w} + j + 1 ELSE 0 END) AS BIGINT) AS fg_checksum,
+       CAST(SUM(s) AS BIGINT) AS box_sum_total
+FROM colpass GROUP BY image_id ORDER BY image_id
 """
