@@ -678,7 +678,12 @@ def audio_decimate_stats(df: DataFrame) -> DataFrame:
         for pdf in batches:
             rows = []
             for _, r in pdf.iterrows():
-                sig = decode_media("audio", r["bytes"], r["fmt"]).astype(np.int64)
+                # decode_media normalizes pcm16 to float64 s/32768 (both
+                # steps exact powers of two); un-normalize back to the
+                # raw integer samples before the integer decimator.
+                sig = (decode_media("audio", r["bytes"], r["fmt"]) * 32768.0).astype(
+                    np.int64
+                )
                 n2 = (len(sig) // 2) * 2
                 out = (sig[0:n2:2] + sig[1:n2:2]) >> 1
                 t = np.arange(1, len(out) + 1, dtype=np.int64)

@@ -4516,7 +4516,7 @@ def ntile_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
     identical."""
     c = _t(spark, sf_dir, "customer").select(
         "c_custkey",
-        (F.col("c_acctbal") * 100).cast("long").alias("cents"),
+        cents(F.col("c_acctbal")).alias("cents"),
     )
     from pyspark.sql import Window
 
@@ -4537,7 +4537,7 @@ def ntile_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
 def ntile_deciles_sql() -> str:
     return """
 WITH c AS (
-  SELECT c_custkey, CAST(c_acctbal * 100 AS BIGINT) AS cents FROM customer
+  SELECT c_custkey, CAST(round(c_acctbal * 100) AS BIGINT) AS cents FROM customer
 ),
 t AS (
   SELECT cents, NTILE(10) OVER (ORDER BY cents ASC, c_custkey ASC) AS decile
