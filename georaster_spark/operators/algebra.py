@@ -4131,3 +4131,75 @@ def adaptive_threshold_stats(tiles: DataFrame) -> DataFrame:
             " fg_checksum long, box_sum_total long"
         ),
     )
+
+
+# --- projective (homography) warp -------------------------------------------------------
+
+# integer homography (row-major [[a,b,c],[d,e,f],[g,h,k]]): target pixel
+# (i=row, j=col) gathers source (v=row, u=col) with
+#   u = floor((a*j + b*i + c) / den),  v = floor((d*j + e*i + f) / den),
+#   den = g*j + h*i + k  (positive over the whole grid by construction)
+HOMOG_H = (1000, 20, 500, -15, 980, 300, 1, 2, 1100)
+
+
+def homography_stats(tiles: DataFrame) -> DataFrame:
+    """Projective warp census — the perspective (homography) resample of
+    registration/rectification pipelines, the projective superset of the
+    affine warp (warp.reproject) : every target pixel maps through an
+    integer 3x3 homography, the rational source coordinate floors to a
+    nearest-neighbor gather, out-of-range gathers clamp to the edge (and
+    are counted).  The projective divide stays exact across engines:
+    floor(num/den) with den > 0 is numpy floor_divide on one side and
+    float floor on the other (exact for these magnitudes — quotients of
+    int32-scale rationals never round across an integer).  Census per
+    tile: n_px, sum of warped values, count of out-of-bounds gathers,
+    position-weighted checksum.
+
+    Scale shape: map-only fused Arrow pass; the (u, v) gather grids are
+    computed once per (w, h) group and broadcast across the batch."""
+    slim = tiles.select("image_id", "bytes", "w", "h", "fmt")
+    dt = {"raw": np.uint8, "qnt": np.uint8, "raw16": "<u2"}
+    a, b_, c, d, e, f, g, h_, k = HOMOG_H
+
+    def _fn(batches):
+        for pdf in batches:
+            n_rows = len(pdf)
+            out = {"image_id": pdf["image_id"].to_numpy(dtype=object)}
+            for col in ("n_px", "sum_out", "n_oob", "out_checksum"):
+                out[col] = np.zeros(n_rows, dtype=np.int64)
+            groups: dict[tuple, list[int]] = {}
+            for r in range(n_rows):
+                key = (int(pdf["w"].iat[r]), int(pdf["h"].iat[r]), pdf["fmt"].iat[r])
+                groups.setdefault(key, []).append(r)
+            for (w, h, fmt), idx in groups.items():
+                i = np.arange(h, dtype=np.int64)[:, None]
+                j = np.arange(w, dtype=np.int64)[None, :]
+                den = g * j + h_ * i + k
+                u = np.floor_divide(a * j + b_ * i + c, den)
+                v = np.floor_divide(d * j + e * i + f, den)
+                oob = (u < 0) | (u > w - 1) | (v < 0) | (v > h - 1)
+                uc = np.clip(u, 0, w - 1)
+                vc = np.clip(v, 0, h - 1)
+                z = (
+                    np.frombuffer(
+                        b"".join(pdf["bytes"].iat[r] for r in idx), dtype=dt[fmt]
+                    )
+                    .reshape(len(idx), h, w)
+                    .astype(np.int64)
+                )
+                warped = z[:, vc, uc]  # fancy-gather broadcast over batch
+                wt = np.arange(1, h * w + 1, dtype=np.int64).reshape(h, w)
+                rows = np.asarray(idx)
+                out["n_px"][rows] = h * w
+                out["sum_out"][rows] = warped.sum(axis=(1, 2))
+                out["n_oob"][rows] = int(oob.sum())
+                out["out_checksum"][rows] = (warped * wt).sum(axis=(1, 2))
+            yield pd.DataFrame(out)
+
+    return slim.mapInPandas(
+        _fn,
+        schema=(
+            "image_id string, n_px long, sum_out long,"
+            " n_oob long, out_checksum long"
+        ),
+    )

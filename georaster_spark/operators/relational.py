@@ -4978,3 +4978,71 @@ SELECT COUNT(*) AS n_pairs,
        CAST(SUM(CASE WHEN sx = 0 AND sy = 0 THEN 1 ELSE 0 END) AS BIGINT) AS ties_xy
 FROM pairs
 """
+
+
+def interval_union_len(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Union-of-intervals sweep per user — the total covered time of
+    overlapping activity windows (billing/occupancy dedup; the interval
+    union every usage-metering pipeline needs).  Each event opens an
+    interval [start, start + round(10*value)] in whole seconds; the
+    classic sweep sorts by start and adds end - max(start, running max
+    of prior ends), clamped at zero — one window pass, all integers.
+    Also emits the merged-segment count (a new segment opens when start
+    clears every prior end) and the raw span.
+
+    Scale shape: ONE shuffle on user_id + an ordered window within the
+    key (range-partition-friendly); no self-join, no explode — the
+    sweep is O(n log n) global via the sort, O(1) state per row."""
+    ts_us = F.unix_micros(F.col("ts").cast("timestamp"))
+    ev = _t(spark, sf_dir, "events").select(
+        "user_id",
+        "event_id",
+        ts_us.alias("s"),
+        (ts_us + F.round(F.col("value") * 10).cast("long") * 1_000_000).alias("e"),
+    )
+    w = Window.partitionBy("user_id").orderBy("s", "event_id").rowsBetween(
+        Window.unboundedPreceding, -1
+    )
+    sw = ev.withColumn("pmax", F.max("e").over(w))
+    contrib = F.greatest(
+        F.lit(0), F.col("e") - F.greatest(F.col("s"), F.coalesce("pmax", F.col("s")))
+    )
+    new_seg = F.when(
+        F.col("pmax").isNull() | (F.col("pmax") < F.col("s")), 1
+    ).otherwise(0)
+    return (
+        sw.groupBy("user_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(contrib).cast("long").alias("union_len"),
+            F.sum(new_seg).cast("long").alias("n_segments"),
+            (F.max("e") - F.min("s")).cast("long").alias("span"),
+        )
+        .repartition(1)
+        .sortWithinPartitions("user_id")
+    )
+
+
+def interval_union_len_sql() -> str:
+    return """
+WITH ev AS (
+  SELECT user_id, event_id,
+         epoch_us(ts) AS s,
+         epoch_us(ts) + CAST(round(value * 10) AS BIGINT) * 1000000 AS e
+  FROM events
+),
+sw AS (
+  SELECT user_id, s, e,
+         MAX(e) OVER (PARTITION BY user_id ORDER BY s, event_id
+           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS pmax
+  FROM ev
+)
+SELECT user_id,
+       COUNT(*) AS n_events,
+       CAST(SUM(GREATEST(0, e - GREATEST(s, COALESCE(pmax, s)))) AS BIGINT)
+         AS union_len,
+       CAST(SUM(CASE WHEN pmax IS NULL OR pmax < s THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_segments,
+       CAST(MAX(e) - MIN(s) AS BIGINT) AS span
+FROM sw GROUP BY user_id ORDER BY user_id
+"""

@@ -5198,6 +5198,8 @@ def spatial_queries() -> dict[str, QueryFn]:
         "stream_ewma": q_stream_ewma,
         "aniso_diffusion": q_aniso_diffusion,
         "adaptive_threshold": q_adaptive_threshold,
+        "homography_warp": q_homography_warp,
+        "interval_union": rel.interval_union_len,
         "zone_min_width": q_zone_min_width,
         "percolation_sweep": q_percolation_sweep,
         "noise_mad": q_noise_mad,
@@ -5490,6 +5492,8 @@ def spatial_oracles(sf: str = "sf0.01") -> dict[str, str]:
         "stream_ewma": rel.ewma_drift_sql(),
         "aniso_diffusion": _sql_aniso_diffusion(fx, w),
         "adaptive_threshold": _sql_adaptive_threshold(fx, w),
+        "homography_warp": _sql_homography_warp(fx, w),
+        "interval_union": rel.interval_union_len_sql(),
         "zone_min_width": _sql_zone_min_width(fx),
         "percolation_sweep": _sql_percolation_sweep(fx, w),
         "noise_mad": _sql_noise_mad(fx, w),
@@ -11158,4 +11162,57 @@ SELECT image_id,
                      THEN i * {w} + j + 1 ELSE 0 END) AS BIGINT) AS fg_checksum,
        CAST(SUM(s) AS BIGINT) AS box_sum_total
 FROM colpass GROUP BY image_id ORDER BY image_id
+"""
+
+
+_HOMOG_MOD = 41
+
+
+def q_homography_warp(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Projective homography nearest-neighbor warp census
+    (algebra.homography_stats): exact rational source mapping with
+    positive denominator, clamped gathers counted."""
+    from ..operators import algebra
+
+    tiles = geo.georegister(_images(spark, sf_dir)).where(
+        geo.image_idx() % _HOMOG_MOD == 0
+    )
+    return (
+        algebra.homography_stats(tiles)
+        .repartition(1).sortWithinPartitions("image_id")
+    )
+
+
+def _sql_homography_warp(fx: Path, w: int) -> str:
+    from ..operators.algebra import HOMOG_H
+
+    a, b, c, d, e, f, g, h, k = HOMOG_H
+    hi = w - 1
+    return f"""
+WITH {osql.georegister_cte(str(fx / 'images.parquet'))},
+px AS (
+  SELECT image_id, fmt, idx, gi.i AS i, gj.j AS j,
+         ({g} * gj.j + {h} * gi.i + {k}) AS den,
+         CAST(floor(({a} * gj.j + {b} * gi.i + {c})
+              / CAST(({g} * gj.j + {h} * gi.i + {k}) AS DOUBLE)) AS BIGINT) AS u,
+         CAST(floor(({d} * gj.j + {e} * gi.i + {f})
+              / CAST(({g} * gj.j + {h} * gi.i + {k}) AS DOUBLE)) AS BIGINT) AS v
+  FROM tiles,
+       generate_series(0, {hi}) AS gi(i), generate_series(0, {hi}) AS gj(j)
+  WHERE idx % {_HOMOG_MOD} = 0
+),
+wp AS (
+  SELECT image_id, i, j,
+         CASE WHEN u < 0 OR u > {hi} OR v < 0 OR v > {hi} THEN 1 ELSE 0 END AS oob,
+         CAST({osql.ramp_value_expr(
+             f"LEAST(GREATEST(v, 0), {hi})", f"LEAST(GREATEST(u, 0), {hi})"
+         )} AS BIGINT) AS o
+  FROM px
+)
+SELECT image_id,
+       CAST(COUNT(*) AS BIGINT) AS n_px,
+       CAST(SUM(o) AS BIGINT) AS sum_out,
+       CAST(SUM(oob) AS BIGINT) AS n_oob,
+       CAST(SUM(o * (i * {w} + j + 1)) AS BIGINT) AS out_checksum
+FROM wp GROUP BY image_id ORDER BY image_id
 """
