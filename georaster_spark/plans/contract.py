@@ -5084,6 +5084,7 @@ def spatial_queries() -> dict[str, QueryFn]:
         "audio_features": q_audio_features,
         "audio_decimate": q_audio_decimate,
         "goertzel_tone": q_goertzel_tone,
+        "dtw_pairs": q_dtw_pairs,
         "video_frames": q_video_frames,
         "dedup_components": q_dedup_components,
         "pagerank_graph": q_pagerank,
@@ -5378,6 +5379,7 @@ def spatial_oracles(sf: str = "sf0.01") -> dict[str, str]:
         "audio_features": _sql_audio_features(fx),
         "audio_decimate": _sql_audio_decimate(fx),
         "goertzel_tone": _sql_goertzel_tone(fx),
+        "dtw_pairs": _sql_dtw_pairs(fx),
         "video_frames": _sql_video_frames(fx),
         "dedup_components": _sql_dedup_components(),
         "pagerank_graph": _sql_pagerank(),
@@ -11215,4 +11217,78 @@ SELECT image_id,
        CAST(SUM(oob) AS BIGINT) AS n_oob,
        CAST(SUM(o * (i * {w} + j + 1)) AS BIGINT) AS out_checksum
 FROM wp GROUP BY image_id ORDER BY image_id
+"""
+
+
+_DTW_MOD = 61
+_DTW_BIG = 1 << 40
+
+
+def q_dtw_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Integer DTW distance between consecutive pcm16 clips
+    (multimodal.dtw_stats): anti-diagonal DP over the first DTW_N
+    samples; diag_cost (the all-diagonal path) is a provable upper
+    bound the gate pins alongside."""
+    from ..operators import multimodal as mm
+
+    imgs = _images(spark, sf_dir)
+    a = mm.synth_audio_media(imgs.where(geo.image_idx() % _DTW_MOD == 0))
+    b = mm.synth_audio_media(imgs.where((geo.image_idx() % _DTW_MOD) == 1))
+    ai = F.substring("media_id", 4, 10).cast("long")
+    pa = a.select(ai.alias("pair_id"), F.col("bytes").alias("bytes_a"))
+    pb = b.select((ai - 1).alias("pair_id"), F.col("bytes").alias("bytes_b"))
+    pairs = pa.join(pb, "pair_id")
+    return (
+        mm.dtw_stats(pairs)
+        .repartition(1).sortWithinPartitions("pair_id")
+    )
+
+
+def _sql_dtw_pairs(fx: Path) -> str:
+    from ..operators.multimodal import DTW_N as N
+
+    img = str(fx / "images.parquet")
+    BIG = _DTW_BIG
+
+    def s(idx: str, t: str) -> str:
+        return f"((({idx}) * 31 + ({t}) * 17) % 65536) - 32768"
+
+    la = f"list_transform(range(0, {N}), t -> CAST({s('pair_id', 't')} AS BIGINT))"
+    lb = f"list_transform(range(0, {N}), t -> CAST({s('pair_id + 1', 't')} AS BIGINT))"
+    return f"""
+WITH RECURSIVE img AS (
+  SELECT CAST(substr(image_id, 4, 10) AS BIGINT) AS idx FROM read_parquet('{img}')
+),
+pairs AS (
+  SELECT a.idx AS pair_id FROM img a JOIN img b ON b.idx = a.idx + 1
+  WHERE a.idx % {_DTW_MOD} = 0
+),
+base AS MATERIALIZED (
+  SELECT pair_id, {la} AS la, {lb} AS lb FROM pairs
+),
+rec(pair_id, d, prev, cur) AS (
+  SELECT pair_id, 0,
+         list_transform(range(0, {N}), i -> CAST({BIG} AS BIGINT)),
+         list_transform(range(0, {N}), i ->
+           CASE WHEN i = 0 THEN ABS(la[1] - lb[1]) ELSE CAST({BIG} AS BIGINT) END)
+  FROM base
+  UNION ALL
+  SELECT r.pair_id, r.d + 1, r.cur,
+         list_transform(range(0, {N}), i ->
+           CASE WHEN r.d + 1 - i BETWEEN 0 AND {N - 1}
+                THEN ABS(b.la[i + 1] - b.lb[r.d + 2 - i])
+                     + LEAST(COALESCE(r.cur[i + 1], {BIG}),
+                             CASE WHEN i > 0 THEN r.cur[i] ELSE {BIG} END,
+                             CASE WHEN i > 0 THEN r.prev[i] ELSE {BIG} END,
+                             CAST({BIG} AS BIGINT))
+                ELSE CAST({BIG} AS BIGINT) END)
+  FROM rec r JOIN base b USING (pair_id)
+  WHERE r.d < {2 * N - 2}
+)
+SELECT r.pair_id,
+       CAST(r.cur[{N}] AS BIGINT) AS dtw,
+       CAST(list_sum(list_transform(range(0, {N}),
+            t -> ABS(b.la[t + 1] - b.lb[t + 1]))) AS BIGINT) AS diag_cost
+FROM rec r JOIN base b USING (pair_id)
+WHERE r.d = {2 * N - 2} ORDER BY r.pair_id
 """
