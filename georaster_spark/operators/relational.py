@@ -5046,3 +5046,156 @@ SELECT user_id,
        CAST(MAX(e) - MIN(s) AS BIGINT) AS span
 FROM sw GROUP BY user_id ORDER BY user_id
 """
+
+
+def value_runs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Longest strictly-increasing run of event values per user — the
+    gaps-and-islands window idiom (streak analytics: consecutive
+    climbing readings, monotone KPI runs).  Events order by (ts,
+    event_id); a run breaks when value (exact cents) fails to increase;
+    islands come from the classic running-sum-of-breaks key, all
+    integer.  Emits per user: event count, run count, longest run, and
+    the 1-based start ordinal of the longest run (earliest on ties).
+
+    Scale shape: one keyed window (lag + cumulative sum) and one
+    aggregation — no self-join; identical frames on both engines."""
+    ev = _t(spark, sf_dir, "events").select(
+        "user_id", "ts", "event_id", cents(F.col("value")).alias("x")
+    )
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    flagged = ev.withColumn(
+        "brk",
+        F.when(F.lag("x").over(w).isNull() | (F.lag("x").over(w) >= F.col("x")), 1)
+        .otherwise(0),
+    ).withColumn("rn", F.row_number().over(w))
+    runs = flagged.withColumn(
+        "run_id", F.sum("brk").over(w.rowsBetween(Window.unboundedPreceding, 0))
+    )
+    per_run = runs.groupBy("user_id", "run_id").agg(
+        F.count(F.lit(1)).alias("run_len"), F.min("rn").alias("run_start")
+    )
+    return (
+        per_run.groupBy("user_id")
+        .agg(
+            F.sum("run_len").cast("long").alias("n_events"),
+            F.count(F.lit(1)).alias("n_runs"),
+            F.max("run_len").cast("long").alias("longest_run"),
+            F.min(
+                F.struct(
+                    (-F.col("run_len")).alias("neg"),
+                    F.col("run_start").alias("run_start"),
+                )
+            )
+            .getField("run_start")
+            .cast("long")
+            .alias("longest_start"),
+        )
+        .repartition(1)
+        .sortWithinPartitions("user_id")
+    )
+
+
+def value_runs_sql() -> str:
+    return """
+WITH ev AS (
+  SELECT user_id, CAST(round(value * 100) AS BIGINT) AS x,
+         row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS rn,
+         CASE WHEN lag(CAST(round(value * 100) AS BIGINT))
+                   OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL
+                OR lag(CAST(round(value * 100) AS BIGINT))
+                   OVER (PARTITION BY user_id ORDER BY ts, event_id) >= CAST(round(value * 100) AS BIGINT)
+              THEN 1 ELSE 0 END AS brk
+  FROM events
+),
+runs AS (
+  SELECT user_id, rn,
+         SUM(brk) OVER (PARTITION BY user_id ORDER BY rn
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS run_id
+  FROM ev
+),
+per_run AS (
+  SELECT user_id, run_id, COUNT(*) AS run_len, MIN(rn) AS run_start
+  FROM runs GROUP BY user_id, run_id
+)
+SELECT user_id,
+       CAST(SUM(run_len) AS BIGINT) AS n_events,
+       COUNT(*) AS n_runs,
+       CAST(MAX(run_len) AS BIGINT) AS longest_run,
+       CAST(arg_max(run_start, run_len * 100000 - run_start) AS BIGINT) AS longest_start
+FROM per_run GROUP BY user_id ORDER BY user_id
+"""
+
+
+def theil_sen(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Theil-Sen robust trend of monthly revenue — the
+    median-of-pairwise-slopes estimator immune to outlier months that
+    OLS (ols_moments) is not.  Slopes stay exact rationals
+    (num = dollar diff, den = month diff > 0, unreduced); the global
+    order is the well-defined composite (floor(1e6*num/den), num, den)
+    — identical comparator on both engines, so the lower-median ELEMENT
+    is identical even among equal-valued rationals — and the median's
+    exact (num, den) ships with a milli-slope witness.
+
+    Scale shape: the month census is one groupBy over orders; the pair
+    set is quadratic only in MONTHS (tiny); at 10^12 rows the heavy leg
+    stays the first aggregation."""
+    o = _t(spark, sf_dir, "orders").select(
+        (F.year("o_orderdate") * 12 + F.month("o_orderdate")).alias("mx"),
+        F.floor(F.col("o_totalprice")).cast("long").alias("d"),
+    )
+    per_m = o.groupBy("mx").agg(F.sum("d").alias("rev"))
+    a, b = per_m.alias("a"), per_m.alias("b")
+    pairs = a.join(b, F.col("a.mx") < F.col("b.mx")).select(
+        (F.col("b.rev") - F.col("a.rev")).alias("num"),
+        (F.col("b.mx") - F.col("a.mx")).alias("den"),
+    )
+    keyed = pairs.select(
+        "num",
+        "den",
+        F.floor(F.col("num") * 1_000_000 / F.col("den")).cast("long").alias("vkey"),
+    )
+    w = Window.orderBy("vkey", "num", "den")
+    ranked = keyed.withColumn("rk", F.row_number().over(w))
+    # one bounded driver scalar (month count) sizes the median rank
+    m = per_m.count()
+    n = m * (m - 1) // 2
+    med = (n + 1) // 2
+    return (
+        ranked.where(F.col("rk") == med)
+        .select(
+            F.lit(m).cast("long").alias("n_months"),
+            F.lit(n).cast("long").alias("n_pairs"),
+            F.col("num").cast("long").alias("med_num"),
+            F.col("den").cast("long").alias("med_den"),
+            F.floor(F.col("num") * 1000 / F.col("den")).cast("long").alias("slope_milli"),
+        )
+    )
+
+
+def theil_sen_sql() -> str:
+    return """
+WITH per_m AS (
+  SELECT year(o_orderdate) * 12 + month(o_orderdate) AS mx,
+         SUM(CAST(floor(o_totalprice) AS BIGINT)) AS rev
+  FROM orders GROUP BY 1
+),
+pairs AS (
+  SELECT b.rev - a.rev AS num, b.mx - a.mx AS den
+  FROM per_m a JOIN per_m b ON a.mx < b.mx
+),
+keyed AS (
+  SELECT num, den,
+         CAST(floor(num * 1000000.0 / den) AS BIGINT) AS vkey
+  FROM pairs
+),
+ranked AS (
+  SELECT num, den, row_number() OVER (ORDER BY vkey, num, den) AS rk FROM keyed
+)
+SELECT (SELECT COUNT(*) FROM per_m) AS n_months,
+       (SELECT COUNT(*) FROM keyed) AS n_pairs,
+       CAST(num AS BIGINT) AS med_num,
+       CAST(den AS BIGINT) AS med_den,
+       CAST(floor(num * 1000.0 / den) AS BIGINT) AS slope_milli
+FROM ranked
+WHERE rk = ((SELECT COUNT(*) FROM keyed) + 1) // 2
+"""

@@ -5201,6 +5201,8 @@ def spatial_queries() -> dict[str, QueryFn]:
         "adaptive_threshold": q_adaptive_threshold,
         "homography_warp": q_homography_warp,
         "interval_union": rel.interval_union_len,
+        "value_runs": rel.value_runs,
+        "theil_sen": rel.theil_sen,
         "zone_min_width": q_zone_min_width,
         "percolation_sweep": q_percolation_sweep,
         "noise_mad": q_noise_mad,
@@ -5496,6 +5498,8 @@ def spatial_oracles(sf: str = "sf0.01") -> dict[str, str]:
         "adaptive_threshold": _sql_adaptive_threshold(fx, w),
         "homography_warp": _sql_homography_warp(fx, w),
         "interval_union": rel.interval_union_len_sql(),
+        "value_runs": rel.value_runs_sql(),
+        "theil_sen": rel.theil_sen_sql(),
         "zone_min_width": _sql_zone_min_width(fx),
         "percolation_sweep": _sql_percolation_sweep(fx, w),
         "noise_mad": _sql_noise_mad(fx, w),
