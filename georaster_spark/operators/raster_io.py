@@ -466,3 +466,73 @@ def gray_world_stats(tiles: DataFrame) -> DataFrame:
 
     cols = ["image_id", "bytes", "w", "h", "fmt", "nbands"]
     return tiles.select(*cols).mapInPandas(gen, schema=schema)
+
+
+def spectral_angle_stats(tiles: DataFrame, band_a: int, band_b: int) -> DataFrame:
+    """Spectral Angle Mapper census between two bands of a multi-band
+    tile (Kruse et al. 1993 — the illumination-invariant per-spectrum
+    similarity of hyperspectral classification).  The angle itself is a
+    float acos; the engine ships the EXACT integer moments instead —
+    dot = sum(a*b), na2 = sum(a^2), nb2 = sum(b^2) — plus the
+    ppm-quantized squared cosine floor(1e6*dot^2/(na2*nb2)) computed
+    through DECIMAL(38)/HUGEINT (dot^2*1e6 tops int64), so
+    angle = acos(sqrt(cos2_ppm/1e6)) reconstructs at reader precision
+    and nothing float reaches the hash.
+
+    Scale shape: map-only fused mapInPandas, one Arrow hop, vectorized
+    per (w,h,fmt,nbands) group, zero shuffle."""
+    from pyspark.sql.types import LongType, StringType, StructField, StructType
+
+    pa_, pb_ = band_a - 1, band_b - 1
+    schema = StructType(
+        [StructField("image_id", StringType())]
+        + [StructField(c, LongType()) for c in ("dot", "na2", "nb2", "cos2_ppm")]
+    )
+
+    def gen(batches):
+        dt = {"raw": np.uint8, "qnt": np.uint8, "raw16": "<u2"}
+        for pdf in batches:
+            n = len(pdf)
+            out = {"image_id": pdf["image_id"].to_numpy(dtype=object)}
+            for c in ("dot", "na2", "nb2", "cos2_ppm"):
+                out[c] = np.zeros(n, dtype=np.int64)
+            groups: dict[tuple, list[int]] = {}
+            for k in range(n):
+                key = (
+                    int(pdf["w"].iat[k]), int(pdf["h"].iat[k]),
+                    pdf["fmt"].iat[k], int(pdf["nbands"].iat[k]),
+                )
+                groups.setdefault(key, []).append(k)
+            for (w, h, fmt, nb), idx in groups.items():
+                z = (
+                    np.frombuffer(
+                        b"".join(pdf["bytes"].iat[k] for k in idx), dtype=dt[fmt]
+                    )
+                    .reshape(len(idx), nb, h, w)
+                    .astype(np.int64)
+                )
+                a = z[:, pa_]
+                b = z[:, pb_]
+                dot = (a * b).sum(axis=(1, 2))
+                na2 = (a * a).sum(axis=(1, 2))
+                nb2 = (b * b).sum(axis=(1, 2))
+                # dot^2 * 1e6 exceeds int64: go through python ints
+                cos2 = np.array(
+                    [
+                        int(d) * int(d) * 1_000_000 // (int(x) * int(y))
+                        if x > 0 and y > 0
+                        else 0
+                        for d, x, y in zip(dot, na2, nb2)
+                    ],
+                    dtype=np.int64,
+                )
+                rows = np.asarray(idx)
+                out["dot"][rows] = dot
+                out["na2"][rows] = na2
+                out["nb2"][rows] = nb2
+                out["cos2_ppm"][rows] = cos2
+            yield pd.DataFrame(out)
+
+    return tiles.select("image_id", "bytes", "w", "h", "fmt", "nbands").mapInPandas(
+        gen, schema=schema
+    )

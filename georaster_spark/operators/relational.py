@@ -5199,3 +5199,73 @@ SELECT (SELECT COUNT(*) FROM per_m) AS n_months,
 FROM ranked
 WHERE rk = ((SELECT COUNT(*) FROM keyed) + 1) // 2
 """
+
+
+ALLAN_TAUS = (1, 2, 4, 8)
+
+
+def allan_variance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Allan-variance ladder of per-user event values — the multi-scale
+    stability census (clock/sensor drift analysis): at each averaging
+    window tau, adjacent full-block means are differenced and their
+    squares summed.  Kept integer-exact by working in block SUMS:
+    avar(tau) = sum((s_{k+1}-s_k)^2) / (2*tau^2*(M-1)) — the engine
+    emits the exact numerator and block count M per (user, tau), the
+    reader divides.  Block ordinals come from the same (ts, event_id)
+    row numbering as the other sequence ops.
+
+    Scale shape: one keyed window for ordinals, a 4x explode on the tau
+    ladder, two keyed aggregations — no self-join; everything shuffles
+    on (user_id, tau)."""
+    ev = _t(spark, sf_dir, "events").select(
+        "user_id", "ts", "event_id", cents(F.col("value")).alias("x")
+    )
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    rn = ev.withColumn("rn", F.row_number().over(w))
+    taus = rn.withColumn(
+        "tau", F.explode(F.array(*[F.lit(t) for t in ALLAN_TAUS]))
+    ).withColumn("bk", F.floor((F.col("rn") - 1) / F.col("tau")))
+    blocks = (
+        taus.groupBy("user_id", "tau", "bk")
+        .agg(F.sum("x").alias("s"), F.count(F.lit(1)).alias("c"))
+        .where(F.col("c") == F.col("tau"))
+    )
+    wb = Window.partitionBy("user_id", "tau").orderBy("bk")
+    diffs = blocks.withColumn("d", F.col("s") - F.lag("s").over(wb))
+    return (
+        diffs.groupBy("user_id", "tau")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("m_blocks"),
+            F.coalesce(F.sum(F.col("d") * F.col("d")), F.lit(0))
+            .cast("long")
+            .alias("avar_num"),
+        )
+        .select("user_id", F.col("tau").cast("int").alias("tau"), "m_blocks", "avar_num")
+        .repartition(1)
+        .sortWithinPartitions("user_id", "tau")
+    )
+
+
+def allan_variance_sql() -> str:
+    taus = ", ".join(f"({t})" for t in ALLAN_TAUS)
+    return f"""
+WITH ev AS (
+  SELECT user_id, CAST(round(value * 100) AS BIGINT) AS x,
+         row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS rn
+  FROM events
+),
+taus(tau) AS (VALUES {taus}),
+blocks AS (
+  SELECT user_id, tau, (rn - 1) // tau AS bk, SUM(x) AS s, COUNT(*) AS c
+  FROM ev, taus GROUP BY user_id, tau, (rn - 1) // tau
+),
+diffs AS (
+  SELECT user_id, tau, bk,
+         s - lag(s) OVER (PARTITION BY user_id, tau ORDER BY bk) AS d
+  FROM blocks WHERE c = tau
+)
+SELECT user_id, CAST(tau AS INT) AS tau,
+       COUNT(*) AS m_blocks,
+       CAST(COALESCE(SUM(d * d), 0) AS BIGINT) AS avar_num
+FROM diffs GROUP BY user_id, tau ORDER BY user_id, tau
+"""

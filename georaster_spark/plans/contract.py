@@ -5085,6 +5085,7 @@ def spatial_queries() -> dict[str, QueryFn]:
         "audio_decimate": q_audio_decimate,
         "goertzel_tone": q_goertzel_tone,
         "dtw_pairs": q_dtw_pairs,
+        "spectral_angle": q_spectral_angle,
         "video_frames": q_video_frames,
         "dedup_components": q_dedup_components,
         "pagerank_graph": q_pagerank,
@@ -5203,6 +5204,7 @@ def spatial_queries() -> dict[str, QueryFn]:
         "interval_union": rel.interval_union_len,
         "value_runs": rel.value_runs,
         "theil_sen": rel.theil_sen,
+        "allan_variance": rel.allan_variance,
         "zone_min_width": q_zone_min_width,
         "percolation_sweep": q_percolation_sweep,
         "noise_mad": q_noise_mad,
@@ -5382,6 +5384,7 @@ def spatial_oracles(sf: str = "sf0.01") -> dict[str, str]:
         "audio_decimate": _sql_audio_decimate(fx),
         "goertzel_tone": _sql_goertzel_tone(fx),
         "dtw_pairs": _sql_dtw_pairs(fx),
+        "spectral_angle": _sql_spectral_angle(fx, w),
         "video_frames": _sql_video_frames(fx),
         "dedup_components": _sql_dedup_components(),
         "pagerank_graph": _sql_pagerank(),
@@ -5500,6 +5503,7 @@ def spatial_oracles(sf: str = "sf0.01") -> dict[str, str]:
         "interval_union": rel.interval_union_len_sql(),
         "value_runs": rel.value_runs_sql(),
         "theil_sen": rel.theil_sen_sql(),
+        "allan_variance": rel.allan_variance_sql(),
         "zone_min_width": _sql_zone_min_width(fx),
         "percolation_sweep": _sql_percolation_sweep(fx, w),
         "noise_mad": _sql_noise_mad(fx, w),
@@ -11295,4 +11299,47 @@ SELECT r.pair_id,
             t -> ABS(b.la[t + 1] - b.lb[t + 1]))) AS BIGINT) AS diag_cost
 FROM rec r JOIN base b USING (pair_id)
 WHERE r.d = {2 * N - 2} ORDER BY r.pair_id
+"""
+
+
+_SAM_MOD = 7
+
+
+def q_spectral_angle(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spectral Angle Mapper moments between bands 1 and 3 of the
+    synthetic 3-band stack (raster_io.spectral_angle_stats): exact
+    integer dot/norm moments + ppm-floor squared cosine."""
+    from ..operators import raster_io
+
+    tiles = geo.georegister(_images(spark, sf_dir)).where(
+        geo.image_idx() % _SAM_MOD == 0
+    )
+    return (
+        raster_io.spectral_angle_stats(_band_stack(tiles, 3), 1, 3)
+        .repartition(1).sortWithinPartitions("image_id")
+    )
+
+
+def _sql_spectral_angle(fx: Path, w: int) -> str:
+    hi = w - 1
+    va = osql.ramp_value_expr("gi.i", "gj.j")
+    vb = f"(({va}) + {2 * _BAND_OFF}) % 256"
+    return f"""
+WITH {osql.georegister_cte(str(fx / 'images.parquet'))},
+m AS (
+  SELECT image_id,
+         SUM(CAST(({va}) * ({vb}) AS BIGINT)) AS dot,
+         SUM(CAST(({va}) * ({va}) AS BIGINT)) AS na2,
+         SUM(CAST(({vb}) * ({vb}) AS BIGINT)) AS nb2
+  FROM tiles,
+       generate_series(0, {hi}) AS gi(i), generate_series(0, {hi}) AS gj(j)
+  WHERE idx % {_SAM_MOD} = 0
+  GROUP BY image_id
+)
+SELECT image_id, CAST(dot AS BIGINT) AS dot, CAST(na2 AS BIGINT) AS na2,
+       CAST(nb2 AS BIGINT) AS nb2,
+       CAST(CASE WHEN na2 > 0 AND nb2 > 0
+                 THEN CAST(dot AS HUGEINT) * dot * 1000000 // (CAST(na2 AS HUGEINT) * nb2)
+                 ELSE 0 END AS BIGINT) AS cos2_ppm
+FROM m ORDER BY image_id
 """
