@@ -5269,3 +5269,107 @@ SELECT user_id, CAST(tau AS INT) AS tau,
        CAST(COALESCE(SUM(d * d), 0) AS BIGINT) AS avar_num
 FROM diffs GROUP BY user_id, tau ORDER BY user_id, tau
 """
+
+
+def attribution_position(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Position-based (U-shaped) marketing attribution — 40% of each
+    purchase's value to the first touch, 40% to the last, 20% shared by
+    the middles, in exact basis points with the integer-division
+    remainder assigned to the last middle (k=1 -> 10000, k=2 ->
+    5000/5000), touches = click/view since the previous purchase.  The
+    complement of attribution_last_touch: same journey grouping, the
+    industry's other standard credit rule, float-free by construction.
+    Emits per (user, event_type): touches credited and the attributed
+    value in bps*cents units (divide by 10^6 for currency).
+
+    Scale shape: one keyed window pass builds journey groups (running
+    purchase count), one join pins each journey's conversion value, two
+    keyed aggs — no self-join, no explode."""
+    ev = _t(spark, sf_dir, "events").select(
+        "user_id", "ts", "event_id", "event_type", cents(F.col("value")).alias("v")
+    )
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    # journeys: grp = number of purchases strictly before this row
+    grp = F.coalesce(
+        F.sum(F.when(F.col("event_type") == "purchase", 1).otherwise(0)).over(
+            w.rowsBetween(Window.unboundedPreceding, -1)
+        ),
+        F.lit(0),
+    )
+    g = ev.withColumn("grp", grp)
+    conv = g.where(F.col("event_type") == "purchase").select(
+        "user_id", "grp", F.col("v").alias("conv_cents")
+    )
+    touches = g.where(F.col("event_type").isin("click", "view"))
+    wt = Window.partitionBy("user_id", "grp").orderBy("ts", "event_id")
+    ranked = touches.select(
+        "user_id", "grp", "event_type",
+        F.row_number().over(wt).alias("pos"),
+        F.count(F.lit(1)).over(
+            Window.partitionBy("user_id", "grp").rowsBetween(
+                Window.unboundedPreceding, Window.unboundedFollowing
+            )
+        ).alias("k"),
+    )
+    mid = F.floor(2000 / (F.col("k") - 2))
+    bps = (
+        F.when(F.col("k") == 1, 10000)
+        .when(F.col("k") == 2, 5000)
+        .when(F.col("pos") == 1, 4000)
+        .when(F.col("pos") == F.col("k"), 4000)
+        .when(
+            F.col("pos") == F.col("k") - 1,
+            F.lit(2000) - (F.col("k") - 3) * mid,
+        )
+        .otherwise(mid)
+    )
+    credited = ranked.join(conv, ["user_id", "grp"]).select(
+        "user_id", "event_type", (bps * F.col("conv_cents")).alias("credit")
+    )
+    return (
+        credited.groupBy("user_id", "event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_touches"),
+            F.sum("credit").cast("long").alias("credit_bpc"),
+        )
+        .repartition(1)
+        .sortWithinPartitions("user_id", "event_type")
+    )
+
+
+def attribution_position_sql() -> str:
+    return """
+WITH ev AS (
+  SELECT user_id, ts, event_id, event_type,
+         CAST(round(value * 100) AS BIGINT) AS v,
+         COALESCE(SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+           OVER (PARTITION BY user_id ORDER BY ts, event_id
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS grp
+  FROM events
+),
+conv AS (
+  SELECT user_id, grp, v AS conv_cents FROM ev WHERE event_type = 'purchase'
+),
+ranked AS (
+  SELECT user_id, grp, event_type,
+         row_number() OVER (PARTITION BY user_id, grp ORDER BY ts, event_id) AS pos,
+         COUNT(*) OVER (PARTITION BY user_id, grp) AS k
+  FROM ev WHERE event_type IN ('click', 'view')
+),
+credited AS (
+  SELECT r.user_id, r.event_type,
+         (CASE WHEN r.k = 1 THEN 10000
+               WHEN r.k = 2 THEN 5000
+               WHEN r.pos = 1 THEN 4000
+               WHEN r.pos = r.k THEN 4000
+               WHEN r.pos = r.k - 1
+                 THEN 2000 - (r.k - 3) * CAST(floor(2000.0 / (r.k - 2)) AS BIGINT)
+               ELSE CAST(floor(2000.0 / (r.k - 2)) AS BIGINT)
+          END) * c.conv_cents AS credit
+  FROM ranked r JOIN conv c ON c.user_id = r.user_id AND c.grp = r.grp
+)
+SELECT user_id, event_type,
+       COUNT(*) AS n_touches,
+       CAST(SUM(credit) AS BIGINT) AS credit_bpc
+FROM credited GROUP BY user_id, event_type ORDER BY user_id, event_type
+"""

@@ -860,6 +860,7 @@ def vector_queries():
         "ann_binary_hamming": ann_binary_hamming,
         "ivf_cell_purity": ivf_cell_purity,
         "mmr_rerank": mmr_rerank,
+        "hard_negatives": hard_negative_mining,
     }
 
 
@@ -880,6 +881,7 @@ def vector_oracles() -> dict[str, str]:
         "ann_binary_hamming": ann_binary_hamming_sql(),
         "ivf_cell_purity": ivf_cell_purity_sql(),
         "mmr_rerank": mmr_rerank_sql(),
+        "hard_negatives": hard_negative_mining_sql(),
     }
 
 
@@ -2227,4 +2229,83 @@ sims AS MATERIALIZED (
 SELECT CAST(step AS INT) AS step, CAST(vec_id AS BIGINT) AS vec_id,
        CAST(mmr_score AS BIGINT) AS mmr_score
 FROM ({' UNION ALL '.join(unions)}) ORDER BY step
+"""
+
+
+# ---------------------------------------------------------------------------
+# hard-negative mining (contrastive training data)
+# ---------------------------------------------------------------------------
+
+HNM_QMOD = 10  # queries: vec_id % HNM_QMOD == 0
+
+
+def hard_negative_mining(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hard-negative mining for contrastive training — for each anchor
+    embedding, the most similar vector with a DIFFERENT label (the
+    negative that actually teaches the margin; random negatives are too
+    easy).  Similarity is the ppm-floor-quantized dot product (same
+    integer surface as mmr_rerank), ties broken by smallest vec_id, so
+    the mined pair set is bit-stable across engines and parallelism.
+
+    Scale shape: anchors are a keyed subset (vec_id % HNM_QMOD); the
+    demo runs the exact anchors x corpus product with a label-differs
+    filter pushed into the join, reduced by one min(struct) agg — at
+    10^12 rows the corpus side is pre-bucketed by the LSH/IVF
+    assignments (ann_lsh/ann_ivf) and the product only runs within
+    buckets, the same candidate-generation idiom those operators ship."""
+    emb = _emb(spark, sf_dir).select("vec_id", "embedding", "label")
+    q = emb.where(F.col("vec_id") % HNM_QMOD == 0).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").alias("q_emb"),
+        F.col("label").alias("q_label"),
+    )
+    dot = F.expr(
+        "aggregate(zip_with(embedding, q_emb,"
+        " (a, b) -> floor(CAST(a AS DOUBLE) * 1000000)"
+        "         * floor(CAST(b AS DOUBLE) * 1000000)),"
+        " CAST(0 AS BIGINT), (acc, x) -> acc + x)"
+    )
+    pairs = (
+        emb.crossJoin(F.broadcast(q))
+        .where(F.col("label") != F.col("q_label"))
+        .select(
+            "query_id",
+            "q_label",
+            "vec_id",
+            "label",
+            dot.alias("dot"),
+        )
+    )
+    best = pairs.groupBy("query_id", "q_label").agg(
+        F.min(F.struct((-F.col("dot")).alias("nd"), F.col("vec_id").alias("v"))).alias(
+            "b"
+        )
+    )
+    out = best.select(
+        "query_id",
+        F.col("q_label").cast("int").alias("q_label"),
+        F.col("b.v").alias("neg_id"),
+        (-F.col("b.nd")).cast("long").alias("neg_dot"),
+    )
+    return out.repartition(1).sortWithinPartitions("query_id")
+
+
+def hard_negative_mining_sql() -> str:
+    qd = _q6("e.embedding[g.k]")
+    qq = _q6("q.embedding[g.k]")
+    return f"""
+WITH q AS (
+  SELECT vec_id AS query_id, embedding, label AS q_label
+  FROM embeddings WHERE vec_id % {HNM_QMOD} = 0
+),
+dots AS (
+  SELECT q.query_id, q.q_label, e.vec_id, SUM({qd} * {qq}) AS dot
+  FROM embeddings e, q, generate_series(1, {DIM}) AS g(k)
+  WHERE e.label <> q.q_label
+  GROUP BY q.query_id, q.q_label, e.vec_id
+)
+SELECT query_id, CAST(q_label AS INT) AS q_label,
+       CAST(arg_min(vec_id, -dot * 100000 + vec_id) AS BIGINT) AS neg_id,
+       CAST(MAX(dot) AS BIGINT) AS neg_dot
+FROM dots GROUP BY query_id, q_label ORDER BY query_id
 """

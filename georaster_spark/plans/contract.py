@@ -5205,6 +5205,7 @@ def spatial_queries() -> dict[str, QueryFn]:
         "value_runs": rel.value_runs,
         "theil_sen": rel.theil_sen,
         "allan_variance": rel.allan_variance,
+        "attribution_position": rel.attribution_position,
         "zone_min_width": q_zone_min_width,
         "percolation_sweep": q_percolation_sweep,
         "noise_mad": q_noise_mad,
@@ -5504,6 +5505,7 @@ def spatial_oracles(sf: str = "sf0.01") -> dict[str, str]:
         "value_runs": rel.value_runs_sql(),
         "theil_sen": rel.theil_sen_sql(),
         "allan_variance": rel.allan_variance_sql(),
+        "attribution_position": rel.attribution_position_sql(),
         "zone_min_width": _sql_zone_min_width(fx),
         "percolation_sweep": _sql_percolation_sweep(fx, w),
         "noise_mad": _sql_noise_mad(fx, w),
