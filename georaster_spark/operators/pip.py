@@ -325,3 +325,73 @@ def zone_min_width(zones: DataFrame) -> DataFrame:
         F.max("w2").alias("max_w2"),
         F.min(F.struct("w2", "k")).getField("k").cast("long").alias("argmin_edge"),
     )
+
+
+def frechet_pairs(zones: DataFrame) -> DataFrame:
+    """Discrete Frechet distance between consecutive zones' rings
+    (Eiter & Mannila 1994) — the coupled-walk similarity of trajectory
+    and shape matching (a DTW with max instead of sum):
+    D[i,j] = max(cost(i,j), min(D[i-1,j], D[i,j-1], D[i-1,j-1])) over
+    unit-snapped ring vertices with squared-distance costs, so the
+    result is the exact squared Frechet distance, all int64.  Pairs are
+    (zone_id, zone_id+1).  Also emits the endpoint cost (a lower bound:
+    the coupling must match both final vertices).
+
+    Scale shape: rings are tiny, so each pair's DP is a bounded numpy
+    kernel inside one Arrow batch; pairing is a 1-shifted equi-join on
+    zone_id — no cross product."""
+    import numpy as np
+    import pandas as pd
+
+    snap = lambda c: F.floor(c + F.lit(0.5)).cast("long")  # noqa: E731
+    ring_ints = F.expr(
+        "transform(slice(ring, 1, size(ring) - 1),"
+        " p -> struct(CAST(floor(p.x + 0.5) AS BIGINT) AS x,"
+        "             CAST(floor(p.y + 0.5) AS BIGINT) AS y))"
+    )
+    z = zones.select("zone_id", ring_ints.alias("r"))
+    a = z.select(F.col("zone_id").alias("pair_id"), F.col("r").alias("ra"))
+    b = z.select((F.col("zone_id") - 1).alias("pair_id"), F.col("r").alias("rb"))
+    pairs = a.join(b, "pair_id")
+
+    def _dp(batches):
+        for pdf in batches:
+            rows = []
+            for _, row in pdf.iterrows():
+                ra = [(int(p["x"]), int(p["y"])) for p in row["ra"]]
+                rb = [(int(p["x"]), int(p["y"])) for p in row["rb"]]
+                na, nb = len(ra), len(rb)
+                cost = np.array(
+                    [[(ax - bx) ** 2 + (ay - by) ** 2 for (bx, by) in rb]
+                     for (ax, ay) in ra],
+                    dtype=np.int64,
+                )
+                D = np.zeros((na, nb), dtype=np.int64)
+                D[0, 0] = cost[0, 0]
+                for i in range(1, na):
+                    D[i, 0] = max(cost[i, 0], D[i - 1, 0])
+                for j in range(1, nb):
+                    D[0, j] = max(cost[0, j], D[0, j - 1])
+                for i in range(1, na):
+                    for j in range(1, nb):
+                        D[i, j] = max(
+                            cost[i, j],
+                            min(D[i - 1, j], D[i, j - 1], D[i - 1, j - 1]),
+                        )
+                rows.append(
+                    {
+                        "pair_id": int(row["pair_id"]),
+                        "frechet_sq": int(D[na - 1, nb - 1]),
+                        "endpoint_sq": int(cost[na - 1, nb - 1]),
+                        "na": na,
+                        "nb": nb,
+                    }
+                )
+            yield pd.DataFrame(
+                rows, columns=["pair_id", "frechet_sq", "endpoint_sq", "na", "nb"]
+            )
+
+    return pairs.mapInPandas(
+        _dp,
+        schema="pair_id long, frechet_sq long, endpoint_sq long, na int, nb int",
+    )

@@ -5373,3 +5373,77 @@ SELECT user_id, event_type,
        CAST(SUM(credit) AS BIGINT) AS credit_bpc
 FROM credited GROUP BY user_id, event_type ORDER BY user_id, event_type
 """
+
+
+def revenue_drawdown(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Max rise / max drawdown of the daily-revenue series — the Kadane
+    max-subarray pair expressed as pure window algebra: over daily
+    dollar totals r_t, max_rise = max_t (r_t - min_{s<=t} r_s) and
+    max_drawdown = max_t (max_{s<=t} r_s - r_t), each with the earliest
+    attaining day (ties to the smallest epoch-day).  This is the
+    prefix-extremum formulation, so no self-join and no sequential scan
+    — two running-extremum windows and one reduce.
+
+    Scale shape: one day-grain aggregation then windows over a tiny
+    ordered series; at any scale the heavy leg is the first groupBy."""
+    o = _t(spark, sf_dir, "orders").select(
+        F.datediff(F.col("o_orderdate"), F.lit("1970-01-01").cast("date")).alias(
+            "day"
+        ),
+        F.floor(F.col("o_totalprice")).cast("long").alias("d"),
+    )
+    daily = o.groupBy("day").agg(F.sum("d").alias("r"))
+    w = Window.orderBy("day").rowsBetween(Window.unboundedPreceding, 0)
+    g = daily.select(
+        "day",
+        (F.col("r") - F.min("r").over(w)).alias("rise"),
+        (F.max("r").over(w) - F.col("r")).alias("dd"),
+    )
+    wa = Window.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    g2 = g.select(
+        "day",
+        "rise",
+        "dd",
+        F.max("rise").over(wa).alias("max_rise"),
+        F.max("dd").over(wa).alias("max_drawdown"),
+        F.count(F.lit(1)).over(wa).alias("n_days"),
+    )
+    rise_day = (
+        g2.where(F.col("rise") == F.col("max_rise"))
+        .groupBy("n_days", "max_rise", "max_drawdown")
+        .agg(F.min("day").alias("rise_day"))
+    )
+    dd_day = (
+        g2.where(F.col("dd") == F.col("max_drawdown"))
+        .agg(F.min("day").alias("dd_day"))
+    )
+    return rise_day.crossJoin(F.broadcast(dd_day)).select(
+        F.col("n_days").cast("long"),
+        F.col("max_rise").cast("long"),
+        F.col("rise_day").cast("long"),
+        F.col("max_drawdown").cast("long"),
+        F.col("dd_day").cast("long"),
+    )
+
+
+def revenue_drawdown_sql() -> str:
+    return """
+WITH daily AS (
+  SELECT CAST(CAST(o_orderdate AS DATE) - DATE '1970-01-01' AS BIGINT) AS day,
+         SUM(CAST(floor(o_totalprice) AS BIGINT)) AS r
+  FROM orders GROUP BY 1
+),
+g AS (
+  SELECT day,
+         r - MIN(r) OVER (ORDER BY day
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS rise,
+         MAX(r) OVER (ORDER BY day
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - r AS dd
+  FROM daily
+)
+SELECT (SELECT COUNT(*) FROM g) AS n_days,
+       (SELECT MAX(rise) FROM g) AS max_rise,
+       CAST((SELECT MIN(day) FROM g WHERE rise = (SELECT MAX(rise) FROM g)) AS BIGINT) AS rise_day,
+       (SELECT MAX(dd) FROM g) AS max_drawdown,
+       CAST((SELECT MIN(day) FROM g WHERE dd = (SELECT MAX(dd) FROM g)) AS BIGINT) AS dd_day
+"""

@@ -5206,7 +5206,9 @@ def spatial_queries() -> dict[str, QueryFn]:
         "theil_sen": rel.theil_sen,
         "allan_variance": rel.allan_variance,
         "attribution_position": rel.attribution_position,
+        "revenue_drawdown": rel.revenue_drawdown,
         "zone_min_width": q_zone_min_width,
+        "frechet_pairs": q_frechet_pairs,
         "percolation_sweep": q_percolation_sweep,
         "noise_mad": q_noise_mad,
         "interarrival_census": rel.interarrival_census,
@@ -5506,7 +5508,9 @@ def spatial_oracles(sf: str = "sf0.01") -> dict[str, str]:
         "theil_sen": rel.theil_sen_sql(),
         "allan_variance": rel.allan_variance_sql(),
         "attribution_position": rel.attribution_position_sql(),
+        "revenue_drawdown": rel.revenue_drawdown_sql(),
         "zone_min_width": _sql_zone_min_width(fx),
+        "frechet_pairs": _sql_frechet_pairs(fx),
         "percolation_sweep": _sql_percolation_sweep(fx, w),
         "noise_mad": _sql_noise_mad(fx, w),
         "interarrival_census": rel.interarrival_census_sql(),
@@ -11344,4 +11348,76 @@ SELECT image_id, CAST(dot AS BIGINT) AS dot, CAST(na2 AS BIGINT) AS na2,
                  THEN CAST(dot AS HUGEINT) * dot * 1000000 // (CAST(na2 AS HUGEINT) * nb2)
                  ELSE 0 END AS BIGINT) AS cos2_ppm
 FROM m ORDER BY image_id
+"""
+
+
+_FRECHET_BIG = 1 << 60
+_FRECHET_MAXN = 16  # rings are <= 12 verts; DP lists padded to this
+
+
+def q_frechet_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Discrete Frechet (squared) between consecutive zone rings
+    (pip.frechet_pairs): exact integer DP; endpoint cost is a pinned
+    lower bound."""
+    from ..operators.pip import frechet_pairs
+
+    return (
+        frechet_pairs(_zones(spark, sf_dir))
+        .repartition(1).sortWithinPartitions("pair_id")
+    )
+
+
+def _sql_frechet_pairs(fx: Path) -> str:
+    zs = str(fx / "zones.parquet")
+    N = _FRECHET_MAXN
+    BIG = _FRECHET_BIG
+    lx = ("list_transform(range(1, len(ring)),"
+          " k -> CAST(floor(ring[k].x + 0.5) AS BIGINT))")
+    ly = ("list_transform(range(1, len(ring)),"
+          " k -> CAST(floor(ring[k].y + 0.5) AS BIGINT))")
+    cost = (
+        "((b.lax[i + 1] - b.lbx[r.d + 2 - i]) * (b.lax[i + 1] - b.lbx[r.d + 2 - i])"
+        " + (b.lay[i + 1] - b.lby[r.d + 2 - i]) * (b.lay[i + 1] - b.lby[r.d + 2 - i]))"
+    )
+    min3 = (
+        f"LEAST(COALESCE(r.cur[i + 1], {BIG}),"
+        f" CASE WHEN i > 0 THEN COALESCE(r.cur[i], {BIG}) ELSE {BIG} END,"
+        f" CASE WHEN i > 0 THEN COALESCE(r.prev[i], {BIG}) ELSE {BIG} END)"
+    )
+    return f"""
+WITH RECURSIVE z AS (
+  SELECT zone_id, {lx} AS lax_, {ly} AS lay_, len(ring) - 1 AS n FROM read_parquet('{zs}')
+),
+base AS MATERIALIZED (
+  SELECT a.zone_id AS pair_id,
+         a.lax_ AS lax, a.lay_ AS lay, a.n AS na,
+         b.lax_ AS lbx, b.lay_ AS lby, b.n AS nb
+  FROM z a JOIN z b ON b.zone_id = a.zone_id + 1
+),
+rec(pair_id, d, prev, cur) AS (
+  SELECT pair_id, 0,
+         list_transform(range(0, {N}), i -> CAST(NULL AS BIGINT)),
+         list_transform(range(0, {N}), i ->
+           CASE WHEN i = 0 THEN
+             (lax[1] - lbx[1]) * (lax[1] - lbx[1])
+             + (lay[1] - lby[1]) * (lay[1] - lby[1])
+           ELSE CAST({BIG} AS BIGINT) END)
+  FROM base
+  UNION ALL
+  SELECT r.pair_id, r.d + 1, r.cur,
+         list_transform(range(0, {N}), i ->
+           CASE WHEN i <= b.na - 1 AND r.d + 1 - i BETWEEN 0 AND b.nb - 1
+                THEN GREATEST({cost}, {min3})
+                ELSE CAST({BIG} AS BIGINT) END)
+  FROM rec r JOIN base b USING (pair_id)
+  WHERE r.d < b.na + b.nb - 2
+)
+SELECT r.pair_id,
+       CAST(r.cur[b.na] AS BIGINT) AS frechet_sq,
+       CAST((b.lax[b.na] - b.lbx[b.nb]) * (b.lax[b.na] - b.lbx[b.nb])
+          + (b.lay[b.na] - b.lby[b.nb]) * (b.lay[b.na] - b.lby[b.nb])
+            AS BIGINT) AS endpoint_sq,
+       CAST(b.na AS INT) AS na, CAST(b.nb AS INT) AS nb
+FROM rec r JOIN base b USING (pair_id)
+WHERE r.d = b.na + b.nb - 2 ORDER BY r.pair_id
 """
