@@ -5447,3 +5447,75 @@ SELECT (SELECT COUNT(*) FROM g) AS n_days,
        (SELECT MAX(dd) FROM g) AS max_drawdown,
        CAST((SELECT MIN(day) FROM g WHERE dd = (SELECT MAX(dd) FROM g)) AS BIGINT) AS dd_day
 """
+
+
+BOM_LEVELS = 4  # decimal-digit hierarchy: parent(k) = k // 10, root 0
+
+
+def part_hierarchy_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hierarchy (bill-of-materials-style) rollup over the implicit
+    decimal part tree — parent(k) = k // 10 — the recursive subtotal
+    every catalog/org-chart dashboard needs: each node's subtree count
+    and retail-cents total, INCLUDING itself.  Spark has no recursive
+    CTE; the engine exploits the known bounded depth and enumerates
+    each node's ancestor path closed-form (k//10^e for e = 0..BOM_LEVELS)
+    — a bounded explode + one aggregation, no iteration at all.  The
+    DuckDB twin runs the same path enumeration (it could also recurse;
+    the closed form keeps the comparison apples-to-apples).
+
+    Scale shape: explode factor = tree depth (constant), one shuffle on
+    the ancestor key; this is the standard path-enumeration rewrite
+    that turns recursive rollups into joins at 10^12 rows."""
+    p = _t(spark, sf_dir, "part").select(
+        "p_partkey", cents(F.col("p_retailprice")).alias("rp")
+    )
+    anc = p.select(
+        F.explode(
+            F.array(
+                *[
+                    (F.col("p_partkey") / (10**e)).cast("long").alias("a")
+                    for e in range(BOM_LEVELS + 1)
+                ]
+            )
+        ).alias("node"),
+        "rp",
+    )
+    agg = anc.groupBy("node").agg(
+        F.count(F.lit(1)).alias("subtree_n"),
+        F.sum("rp").alias("subtree_cents"),
+    )
+    # keep only nodes that are real parts or the virtual root chain
+    return (
+        agg.join(
+            p.select(F.col("p_partkey").alias("node")).union(
+                spark.range(0, 200).select(F.col("id").alias("node"))
+            ).distinct(),
+            "node",
+        )
+        .select("node", "subtree_n", F.col("subtree_cents").cast("long"))
+        .repartition(1)
+        .sortWithinPartitions("node")
+    )
+
+
+def part_hierarchy_rollup_sql() -> str:
+    return f"""
+WITH p AS (
+  SELECT p_partkey, CAST(round(p_retailprice * 100) AS BIGINT) AS rp FROM part
+),
+anc AS (
+  SELECT p_partkey // CAST(power(10, g.e) AS BIGINT) AS node, rp
+  FROM p, generate_series(0, {BOM_LEVELS}) AS g(e)
+),
+agg AS (
+  SELECT node, COUNT(*) AS subtree_n, SUM(rp) AS subtree_cents
+  FROM anc GROUP BY node
+),
+keep AS (
+  SELECT p_partkey AS node FROM p
+  UNION SELECT CAST(r.range AS BIGINT) FROM range(0, 200) r
+)
+SELECT a.node, a.subtree_n, CAST(a.subtree_cents AS BIGINT) AS subtree_cents
+FROM agg a JOIN (SELECT DISTINCT node FROM keep) k ON k.node = a.node
+ORDER BY a.node
+"""

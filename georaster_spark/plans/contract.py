@@ -5207,6 +5207,7 @@ def spatial_queries() -> dict[str, QueryFn]:
         "allan_variance": rel.allan_variance,
         "attribution_position": rel.attribution_position,
         "revenue_drawdown": rel.revenue_drawdown,
+        "part_hierarchy": rel.part_hierarchy_rollup,
         "zone_min_width": q_zone_min_width,
         "frechet_pairs": q_frechet_pairs,
         "percolation_sweep": q_percolation_sweep,
@@ -5509,6 +5510,7 @@ def spatial_oracles(sf: str = "sf0.01") -> dict[str, str]:
         "allan_variance": rel.allan_variance_sql(),
         "attribution_position": rel.attribution_position_sql(),
         "revenue_drawdown": rel.revenue_drawdown_sql(),
+        "part_hierarchy": rel.part_hierarchy_rollup_sql(),
         "zone_min_width": _sql_zone_min_width(fx),
         "frechet_pairs": _sql_frechet_pairs(fx),
         "percolation_sweep": _sql_percolation_sweep(fx, w),
