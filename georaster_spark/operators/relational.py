@@ -5519,3 +5519,140 @@ SELECT a.node, a.subtree_n, CAST(a.subtree_cents AS BIGINT) AS subtree_cents
 FROM agg a JOIN (SELECT DISTINCT node FROM keep) k ON k.node = a.node
 ORDER BY a.node
 """
+
+
+def part_dominance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-part dominant-supplier census (TPC-H Q20 family): for every
+    part shipped by at least two suppliers, find the supplier who
+    shipped the most units (ties -> lowest suppkey), then roll the
+    per-part argmax slots up per supplier — how many parts each
+    supplier leads, the units behind those leads, and the supplier's
+    best market share in integer basis points (10000*q div total).
+    The share is integer floor-division so both engines agree exactly.
+
+    Scale shape: two key-local aggregations (part,supplier) -> part,
+    one window argmax partitioned by part, one supplier rollup — three
+    shuffles total, all on uniform keys; no driver collect, no UDF."""
+    li = _t(spark, sf_dir, "lineitem").select(
+        F.col("l_partkey").alias("pk"),
+        F.col("l_suppkey").alias("sk"),
+        F.col("l_quantity").cast("long").alias("q"),
+    )
+    sp = li.groupBy("pk", "sk").agg(F.sum("q").alias("q"))
+    pt = sp.groupBy("pk").agg(
+        F.sum("q").alias("tq"), F.count(F.lit(1)).alias("ns")
+    )
+    w = Window.partitionBy("pk").orderBy(F.col("q").desc(), F.col("sk"))
+    top = (
+        sp.join(pt, "pk")
+        .where(F.col("ns") >= 2)
+        .withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") == 1)
+        .withColumn("share_bp", (10000 * F.col("q") / F.col("tq")).cast("long"))
+    )
+    return (
+        top.groupBy("sk")
+        .agg(
+            F.count(F.lit(1)).alias("n_top_parts"),
+            F.sum("q").alias("lead_qty"),
+            F.max("share_bp").alias("best_share_bp"),
+        )
+        .select(
+            F.col("sk").alias("s_suppkey"),
+            "n_top_parts",
+            "lead_qty",
+            "best_share_bp",
+        )
+        .repartition(1)
+        .sortWithinPartitions("s_suppkey")
+    )
+
+
+def part_dominance_sql() -> str:
+    return """
+WITH sp AS (
+  SELECT l_partkey AS pk, l_suppkey AS sk,
+         SUM(CAST(l_quantity AS BIGINT)) AS q
+  FROM lineitem GROUP BY 1, 2
+),
+pt AS (
+  SELECT pk, SUM(q) AS tq, COUNT(*) AS ns FROM sp GROUP BY 1
+),
+top AS (
+  SELECT sp.sk, sp.q, 10000 * sp.q // pt.tq AS share_bp,
+         ROW_NUMBER() OVER (PARTITION BY sp.pk
+                            ORDER BY sp.q DESC, sp.sk) AS rn
+  FROM sp JOIN pt USING (pk) WHERE pt.ns >= 2
+)
+SELECT sk AS s_suppkey,
+       COUNT(*) AS n_top_parts,
+       CAST(SUM(q) AS BIGINT) AS lead_qty,
+       CAST(MAX(share_bp) AS BIGINT) AS best_share_bp
+FROM top WHERE rn = 1
+GROUP BY sk ORDER BY s_suppkey
+"""
+
+
+EDIT_PREFIX = 80  # compare a fixed prefix so pair cost is bounded per row
+
+
+def edit_distance_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Blocked Levenshtein near-duplicate candidates over documents:
+    block on (source, n_chars) — only same-provenance, same-length
+    texts can be cheap edits of each other — then score each candidate
+    pair with the exact Levenshtein distance of the first EDIT_PREFIX
+    chars (both engines implement standard unit-cost edit distance, so
+    the integer matches bit-for-bit).
+
+    Scale shape: the self-join is an equi-join on the block key, so
+    candidate count is sum of C(block,2), not C(n,2); the distance
+    runs only on survivors.  At 10^12 docs the same plan holds with a
+    salted block key for hot (source,len) buckets — the LSH family
+    (minhash/simhash) remains the recall path; this is the precision
+    verifier."""
+    d = _t(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.col("source").alias("src"),
+        F.col("n_chars").alias("nc"),
+        F.substring("text", 1, EDIT_PREFIX).alias("pfx"),
+    )
+    a = d.alias("a")
+    b = d.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.src") == F.col("b.src"))
+            & (F.col("a.nc") == F.col("b.nc"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(
+            F.col("a.doc_id").alias("doc1"),
+            F.col("b.doc_id").alias("doc2"),
+            F.levenshtein(F.col("a.pfx"), F.col("b.pfx")).alias("edit_dist"),
+            (
+                F.levenshtein(F.col("a.pfx"), F.col("b.pfx"))
+                <= F.floor(F.least(F.col("a.nc"), F.lit(EDIT_PREFIX)) / 4)
+            )
+            .cast("int")
+            .alias("near_dup"),
+        )
+        .repartition(1)
+        .sortWithinPartitions("doc1", "doc2")
+    )
+
+
+def edit_distance_pairs_sql() -> str:
+    return f"""
+WITH d AS (
+  SELECT doc_id, source AS src, n_chars AS nc,
+         substr(text, 1, {EDIT_PREFIX}) AS pfx
+  FROM documents
+)
+SELECT a.doc_id AS doc1, b.doc_id AS doc2,
+       levenshtein(a.pfx, b.pfx) AS edit_dist,
+       CAST(levenshtein(a.pfx, b.pfx)
+            <= least(a.nc, {EDIT_PREFIX}) // 4 AS INT) AS near_dup
+FROM d a JOIN d b
+  ON a.src = b.src AND a.nc = b.nc AND a.doc_id < b.doc_id
+ORDER BY doc1, doc2
+"""

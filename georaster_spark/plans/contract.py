@@ -5208,6 +5208,8 @@ def spatial_queries() -> dict[str, QueryFn]:
         "attribution_position": rel.attribution_position,
         "revenue_drawdown": rel.revenue_drawdown,
         "part_hierarchy": rel.part_hierarchy_rollup,
+        "part_dominance": rel.part_dominance,
+        "edit_distance_pairs": rel.edit_distance_pairs,
         "zone_min_width": q_zone_min_width,
         "frechet_pairs": q_frechet_pairs,
         "percolation_sweep": q_percolation_sweep,
@@ -5511,6 +5513,8 @@ def spatial_oracles(sf: str = "sf0.01") -> dict[str, str]:
         "attribution_position": rel.attribution_position_sql(),
         "revenue_drawdown": rel.revenue_drawdown_sql(),
         "part_hierarchy": rel.part_hierarchy_rollup_sql(),
+        "part_dominance": rel.part_dominance_sql(),
+        "edit_distance_pairs": rel.edit_distance_pairs_sql(),
         "zone_min_width": _sql_zone_min_width(fx),
         "frechet_pairs": _sql_frechet_pairs(fx),
         "percolation_sweep": _sql_percolation_sweep(fx, w),
