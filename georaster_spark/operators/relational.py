@@ -5656,3 +5656,160 @@ FROM d a JOIN d b
   ON a.src = b.src AND a.nc = b.nc AND a.doc_id < b.doc_id
 ORDER BY doc1, doc2
 """
+
+
+RS_WINDOWS = (8, 16, 32, 64)
+
+
+def rescaled_range(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rescaled-range ladder (the R of Hurst's R/S analysis) over the
+    daily-revenue series, integer-exact.  For each window size n the
+    series of complete n-day blocks is scanned; within a block with
+    sum S the cumulative deviation at step k is
+    D_k = n*cumsum_k - k*S (the usual cumsum-of-(x - mean) scaled by n
+    so it stays in BIGINT), and the block range is max(D)-min(D).
+    Long-memory series grow sum_range ~ n^(H+1); emitting the exact
+    integer ladder keeps the gate bit-for-bit while the float Hurst
+    slope remains a trivial client-side regression.
+
+    Scale shape: one date rollup, a constant-factor explode (4 window
+    sizes), and per-(n, block) window cumsums — all key-local, no
+    iteration, no UDF."""
+    days = (
+        _t(spark, sf_dir, "orders")
+        .groupBy("o_orderdate")
+        .agg(F.sum(cents(F.col("o_totalprice"))).alias("x"))
+        .select(
+            F.row_number()
+            .over(Window.orderBy("o_orderdate"))
+            .alias("d"),
+            "x",
+        )
+    )
+    lad = days.crossJoin(
+        spark.createDataFrame([(n,) for n in RS_WINDOWS], "n int")
+    ).withColumn("blk", ((F.col("d") - 1) / F.col("n")).cast("long"))
+    wb = (
+        Window.partitionBy("n", "blk")
+        .orderBy("d")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    wall = Window.partitionBy("n", "blk")
+    dev = (
+        lad.withColumn("k", F.row_number().over(Window.partitionBy("n", "blk").orderBy("d")))
+        .withColumn("cum", F.sum("x").over(wb))
+        .withColumn("s", F.sum("x").over(wall))
+        .withColumn("cnt", F.count(F.lit(1)).over(wall))
+        .where(F.col("cnt") == F.col("n"))
+        .withColumn("dk", F.col("n") * F.col("cum") - F.col("k") * F.col("s"))
+    )
+    blocks = dev.groupBy("n", "blk").agg(
+        (F.max("dk") - F.min("dk")).alias("r")
+    )
+    return (
+        blocks.groupBy("n")
+        .agg(
+            F.count(F.lit(1)).alias("n_blocks"),
+            F.sum("r").alias("sum_range"),
+            F.max("r").alias("max_range"),
+        )
+        .repartition(1)
+        .sortWithinPartitions("n")
+    )
+
+
+def rescaled_range_sql() -> str:
+    ns = ", ".join(f"({n})" for n in RS_WINDOWS)
+    return f"""
+WITH days AS (
+  SELECT ROW_NUMBER() OVER (ORDER BY o_orderdate) AS d,
+         CAST(SUM(round(o_totalprice * 100)) AS BIGINT) AS x
+  FROM orders GROUP BY o_orderdate
+),
+lad AS (
+  SELECT d, x, w.n, (d - 1) // w.n AS blk
+  FROM days, (VALUES {ns}) AS w(n)
+),
+dev AS (
+  SELECT n, blk,
+         ROW_NUMBER() OVER (PARTITION BY n, blk ORDER BY d) AS k,
+         SUM(x) OVER (PARTITION BY n, blk ORDER BY d
+                      ROWS UNBOUNDED PRECEDING) AS cum,
+         SUM(x) OVER (PARTITION BY n, blk) AS s,
+         COUNT(*) OVER (PARTITION BY n, blk) AS cnt
+  FROM lad
+),
+blocks AS (
+  SELECT n, blk, MAX(n*cum - k*s) - MIN(n*cum - k*s) AS r
+  FROM dev WHERE cnt = n GROUP BY n, blk
+)
+SELECT n, COUNT(*) AS n_blocks,
+       CAST(SUM(r) AS BIGINT) AS sum_range,
+       CAST(MAX(r) AS BIGINT) AS max_range
+FROM blocks GROUP BY n ORDER BY n
+"""
+
+
+def abc_classification(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ABC (Pareto 80/95) inventory classification: rank parts by
+    lineitem revenue, walk the cumulative share, and bucket A (first
+    80% of revenue), B (to 95%), C (tail).  Thresholds compare
+    integers cross-multiplied (5*cum <= 4*total, 20*cum <= 19*total)
+    so the class boundary is exact in both engines; ties broken by
+    partkey for a deterministic walk.
+
+    Scale shape: one rollup + one global-order cumulative window.  The
+    global sort is the honest cost — at 10^12 rows you'd range-
+    partition by revenue first (the engine's range partitioner) so the
+    cumsum is a per-range prefix plus broadcast offsets."""
+    rev = (
+        _t(spark, sf_dir, "lineitem")
+        .groupBy("l_partkey")
+        .agg(F.sum(cents(F.col("l_extendedprice"))).alias("c"))
+    )
+    w = Window.orderBy(F.col("c").desc(), F.col("l_partkey")).rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    classified = (
+        rev.withColumn("cum", F.sum("c").over(w))
+        .withColumn("tot", F.sum("c").over(Window.partitionBy()))
+        .withColumn(
+            "cls",
+            F.when(5 * F.col("cum") <= 4 * F.col("tot"), F.lit("A"))
+            .when(20 * F.col("cum") <= 19 * F.col("tot"), F.lit("B"))
+            .otherwise(F.lit("C")),
+        )
+    )
+    return (
+        classified.groupBy("cls")
+        .agg(
+            F.count(F.lit(1)).alias("n_parts"),
+            F.sum("c").alias("class_cents"),
+            F.min("l_partkey").alias("first_part"),
+        )
+        .repartition(1)
+        .sortWithinPartitions("cls")
+    )
+
+
+def abc_classification_sql() -> str:
+    return """
+WITH rev AS (
+  SELECT l_partkey, CAST(SUM(round(l_extendedprice * 100)) AS BIGINT) AS c
+  FROM lineitem GROUP BY l_partkey
+),
+walk AS (
+  SELECT l_partkey, c,
+         SUM(c) OVER (ORDER BY c DESC, l_partkey
+                      ROWS UNBOUNDED PRECEDING) AS cum,
+         SUM(c) OVER () AS tot
+  FROM rev
+)
+SELECT CASE WHEN 5*cum <= 4*tot THEN 'A'
+            WHEN 20*cum <= 19*tot THEN 'B'
+            ELSE 'C' END AS cls,
+       COUNT(*) AS n_parts,
+       CAST(SUM(c) AS BIGINT) AS class_cents,
+       MIN(l_partkey) AS first_part
+FROM walk GROUP BY 1 ORDER BY cls
+"""

@@ -5210,6 +5210,8 @@ def spatial_queries() -> dict[str, QueryFn]:
         "part_hierarchy": rel.part_hierarchy_rollup,
         "part_dominance": rel.part_dominance,
         "edit_distance_pairs": rel.edit_distance_pairs,
+        "rescaled_range": rel.rescaled_range,
+        "abc_classification": rel.abc_classification,
         "zone_min_width": q_zone_min_width,
         "frechet_pairs": q_frechet_pairs,
         "percolation_sweep": q_percolation_sweep,
@@ -5515,6 +5517,8 @@ def spatial_oracles(sf: str = "sf0.01") -> dict[str, str]:
         "part_hierarchy": rel.part_hierarchy_rollup_sql(),
         "part_dominance": rel.part_dominance_sql(),
         "edit_distance_pairs": rel.edit_distance_pairs_sql(),
+        "rescaled_range": rel.rescaled_range_sql(),
+        "abc_classification": rel.abc_classification_sql(),
         "zone_min_width": _sql_zone_min_width(fx),
         "frechet_pairs": _sql_frechet_pairs(fx),
         "percolation_sweep": _sql_percolation_sweep(fx, w),
