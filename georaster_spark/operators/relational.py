@@ -5813,3 +5813,76 @@ SELECT CASE WHEN 5*cum <= 4*tot THEN 'A'
        MIN(l_partkey) AS first_part
 FROM walk GROUP BY 1 ORDER BY cls
 """
+
+
+SLIDE_W = 3  # trailing window width in days
+
+
+def sliding_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact distinct users per trailing SLIDE_W-day window, per day —
+    the DAU/WAU-style rolling reach metric.  Spark cannot evaluate
+    COUNT(DISTINCT) over a window frame, so the engine uses the
+    contribute-explode rewrite: each (day, user) first collapses to one
+    row, then fans out to the SLIDE_W window end-days it participates
+    in, and a plain distinct-count per window end closes it.  Windows
+    whose start precedes the series are dropped (complete windows
+    only), so every engine sees the same frame.
+
+    Scale shape: dedup shuffle on (day, user), a x SLIDE_W constant
+    fan-out, one count-distinct shuffle on the window day — no window
+    function at all, which is exactly why it scales: the rewrite turns
+    an unsupported ordered frame into two hash aggregations."""
+    ev = (
+        _t(spark, sf_dir, "events")
+        .select(F.to_date("ts").alias("day"), "user_id")
+        .distinct()
+    )
+    bounds = ev.agg(
+        F.min("day").alias("d0"), F.max("day").alias("d1")
+    )
+    fan = (
+        ev.crossJoin(F.broadcast(bounds))
+        .select(
+            F.explode(
+                F.sequence(F.lit(0), F.lit(SLIDE_W - 1))
+            ).alias("off"),
+            "day",
+            "user_id",
+            "d0",
+            "d1",
+        )
+        .withColumn("wend", F.date_add(F.col("day"), F.col("off")))
+        .where(
+            (F.col("wend") <= F.col("d1"))
+            & (F.date_sub(F.col("wend"), SLIDE_W - 1) >= F.col("d0"))
+        )
+    )
+    return (
+        fan.groupBy("wend")
+        .agg(
+            F.countDistinct("user_id").alias("reach"),
+            F.count(F.lit(1)).alias("user_days"),
+        )
+        .select(F.col("wend").cast("string").alias("win_end"), "reach", "user_days")
+        .repartition(1)
+        .sortWithinPartitions("win_end")
+    )
+
+
+def sliding_distinct_sql() -> str:
+    return f"""
+WITH ev AS (
+  SELECT DISTINCT CAST(ts AS DATE) AS day, user_id FROM events
+),
+b AS (SELECT MIN(day) AS d0, MAX(day) AS d1 FROM ev),
+fan AS (
+  SELECT ev.day + CAST(g.o AS INT) AS wend, ev.user_id
+  FROM ev, generate_series(0, {SLIDE_W - 1}) AS g(o), b
+  WHERE ev.day + CAST(g.o AS INT) <= b.d1
+    AND ev.day + CAST(g.o AS INT) - {SLIDE_W - 1} >= b.d0
+)
+SELECT CAST(wend AS VARCHAR) AS win_end,
+       COUNT(DISTINCT user_id) AS reach,
+       COUNT(*) AS user_days
+FROM fan GROUP BY wend ORDER BY win_end
+"""

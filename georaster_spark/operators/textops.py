@@ -2197,6 +2197,7 @@ def text_queries():
         "rrf_fusion": rrf_fusion,
         "zipf_slope": zipf_slope,
         "dataset_split": dataset_split,
+        "lcs_pairs": lcs_pairs,
     }
 
 
@@ -2243,6 +2244,7 @@ def text_oracles() -> dict[str, str]:
         "rrf_fusion": rrf_fusion_sql(),
         "zipf_slope": zipf_slope_sql(),
         "dataset_split": dataset_split_sql(),
+        "lcs_pairs": lcs_pairs_sql(),
     }
 
 
@@ -3560,4 +3562,145 @@ WITH d AS (
 SELECT split, lang, COUNT(*) AS n_docs,
        CAST(SUM(n_chars) AS BIGINT) AS sum_chars
 FROM d GROUP BY split, lang ORDER BY split, lang
+"""
+
+
+# ---------------------------------------------------------------------------
+# D7 — longest-common-subsequence alignment between consecutive documents
+# ---------------------------------------------------------------------------
+
+LCS_N = 48  # character prefix per side entering the DP grid
+
+
+def lcs_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Longest-common-subsequence length between consecutive documents
+    (Wagner & Fischer 1974) — the order-preserving overlap measure
+    diff/plagiarism pipelines use where bag-of-words similarity can't
+    see reordering: L[i,j] = a_i==b_j ? L[i-1,j-1]+1 :
+    max(L[i-1,j], L[i,j-1]) over the first LCS_N chars of each side.
+    Evaluated anti-diagonal by anti-diagonal exactly like dtw_pairs
+    (multimodal.dtw_stats): diagonal d depends only on d-1 and d-2, so
+    the DP vectorizes across the whole pair batch in numpy and the
+    DuckDB twin replays it with two carried list columns.  Sides are
+    padded to LCS_N with distinct sentinels (-1 vs -2) that can never
+    match, leaving the LCS invariant.  Also emits the positional match
+    count (the Hamming-style diagonal), a cheap lower-bound cross-check.
+
+    Scale shape: one shifted self-equi-join on doc_id to form pairs,
+    then a map-only Arrow pass; 2N-1 numpy steps per batch."""
+    import numpy as np
+    import pandas as pd
+
+    n = LCS_N
+    d = _docs(spark, sf_dir).select(
+        "doc_id", F.substring("text", 1, n).alias("pfx")
+    )
+    a = d.where(F.col("doc_id") % 2 == 0).select(
+        F.col("doc_id").alias("pair_id"), F.col("pfx").alias("ta")
+    )
+    b = d.where(F.col("doc_id") % 2 == 1).select(
+        (F.col("doc_id") - 1).alias("pair_id"), F.col("pfx").alias("tb")
+    )
+    pairs = a.join(b, "pair_id")
+
+    def gen(batches):
+        for pdf in batches:
+            m = len(pdf)
+            if m == 0:
+                yield pd.DataFrame({"pair_id": [], "lcs": [], "eq_pos": []})
+                continue
+            def enc(col, pad):
+                return np.array(
+                    [[ord(c) for c in s[:n]] + [pad] * (n - min(len(s), n))
+                     for s in col],
+                    dtype=np.int64,
+                )
+            av = enc(pdf["ta"], -1)
+            bv = enc(pdf["tb"], -2)
+            prev = np.zeros((m, n), dtype=np.int64)   # diagonal d-2
+            cur = np.zeros((m, n), dtype=np.int64)    # diagonal d-1
+            cur[:, 0] = (av[:, 0] == bv[:, 0]).astype(np.int64)
+            i = np.arange(n)
+            for dd in range(1, 2 * n - 1):
+                j = dd - i
+                valid = (j >= 0) & (j <= n - 1)
+                bj = bv[:, np.clip(j, 0, n - 1)]
+                eq = (av == bj) & valid[None, :]
+                up = np.zeros((m, n), dtype=np.int64)
+                up[:, 1:] = cur[:, :-1]               # (i-1, j)  on d-1
+                left = cur                            # (i, j-1)  on d-1
+                diag = np.zeros((m, n), dtype=np.int64)
+                diag[:, 1:] = prev[:, :-1]            # (i-1,j-1) on d-2
+                new = np.maximum(up, left)
+                new = np.where(eq, np.maximum(new, diag + 1), new)
+                new = np.where(valid[None, :], new, 0)
+                prev, cur = cur, new
+            out = pd.DataFrame(
+                {
+                    "pair_id": pdf["pair_id"].to_numpy(dtype=np.int64),
+                    "lcs": cur[:, n - 1],
+                    "eq_pos": (av == bv).sum(axis=1),
+                }
+            )
+            yield out
+
+    res = pairs.mapInPandas(gen, schema="pair_id long, lcs long, eq_pos long")
+    return res.repartition(1).sortWithinPartitions("pair_id")
+
+
+def lcs_pairs_sql() -> str:
+    n = LCS_N
+    la = (
+        f"list_transform(range(0, {n}), t -> CASE WHEN t < length(ta) "
+        f"THEN CAST(unicode(substr(ta, CAST(t + 1 AS INT), 1)) AS BIGINT) "
+        f"ELSE -1 END)"
+    )
+    lb = (
+        f"list_transform(range(0, {n}), t -> CASE WHEN t < length(tb) "
+        f"THEN CAST(unicode(substr(tb, CAST(t + 1 AS INT), 1)) AS BIGINT) "
+        f"ELSE -2 END)"
+    )
+    return f"""
+WITH RECURSIVE d AS (
+  SELECT doc_id, substr(text, 1, {n}) AS pfx FROM documents
+),
+pairs AS (
+  SELECT a.doc_id AS pair_id, a.pfx AS ta, b.pfx AS tb
+  FROM d a JOIN d b ON b.doc_id = a.doc_id + 1
+  WHERE a.doc_id % 2 = 0
+),
+base AS MATERIALIZED (
+  SELECT pair_id, {la} AS la, {lb} AS lb FROM pairs
+),
+rec(pair_id, d, prev, cur) AS (
+  SELECT pair_id, 0,
+         list_transform(range(0, {n}), i -> CAST(0 AS BIGINT)),
+         list_transform(range(0, {n}), i ->
+           CASE WHEN i = 0 AND la[1] = lb[1] THEN CAST(1 AS BIGINT)
+                ELSE CAST(0 AS BIGINT) END)
+  FROM base
+  UNION ALL
+  SELECT r.pair_id, r.d + 1, r.cur,
+         list_transform(range(0, {n}), i ->
+           CASE WHEN r.d + 1 - i BETWEEN 0 AND {n - 1} THEN
+             GREATEST(
+               CASE WHEN i > 0 THEN r.cur[i] ELSE 0 END,
+               COALESCE(r.cur[i + 1], 0),
+               CASE WHEN b.la[i + 1] = b.lb[r.d + 2 - i]
+                    THEN (CASE WHEN i > 0 THEN r.prev[i] ELSE 0 END) + 1
+                    ELSE 0 END)
+           ELSE CAST(0 AS BIGINT) END)
+  FROM rec r JOIN base b USING (pair_id)
+  WHERE r.d < {2 * n - 2}
+),
+eqp AS (
+  SELECT pair_id,
+         CAST(list_sum(list_transform(range(0, {n}),
+              t -> CASE WHEN la[t + 1] = lb[t + 1] THEN 1 ELSE 0 END))
+              AS BIGINT) AS eq_pos
+  FROM base
+)
+SELECT r.pair_id, CAST(r.cur[{n}] AS BIGINT) AS lcs, eqp.eq_pos
+FROM rec r JOIN eqp USING (pair_id)
+WHERE r.d = {2 * n - 2} ORDER BY r.pair_id
 """

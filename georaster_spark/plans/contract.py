@@ -5212,6 +5212,7 @@ def spatial_queries() -> dict[str, QueryFn]:
         "edit_distance_pairs": rel.edit_distance_pairs,
         "rescaled_range": rel.rescaled_range,
         "abc_classification": rel.abc_classification,
+        "sliding_distinct": rel.sliding_distinct,
         "zone_min_width": q_zone_min_width,
         "frechet_pairs": q_frechet_pairs,
         "percolation_sweep": q_percolation_sweep,
@@ -5519,6 +5520,7 @@ def spatial_oracles(sf: str = "sf0.01") -> dict[str, str]:
         "edit_distance_pairs": rel.edit_distance_pairs_sql(),
         "rescaled_range": rel.rescaled_range_sql(),
         "abc_classification": rel.abc_classification_sql(),
+        "sliding_distinct": rel.sliding_distinct_sql(),
         "zone_min_width": _sql_zone_min_width(fx),
         "frechet_pairs": _sql_frechet_pairs(fx),
         "percolation_sweep": _sql_percolation_sweep(fx, w),
