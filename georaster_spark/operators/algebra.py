@@ -4203,3 +4203,77 @@ def homography_stats(tiles: DataFrame) -> DataFrame:
             " n_oob long, out_checksum long"
         ),
     )
+
+
+def edt_stats(tiles: DataFrame, thresh: int = CHAMFER_THRESH) -> DataFrame:
+    """EXACT squared-Euclidean distance transform census (Felzenszwalb
+    & Huttenlocher 2004, scipy distance_transform_edt**2 analog) — the
+    true-metric companion to chamfer_stats: per tile, for every pixel
+    the exact min over feature pixels (v < thresh) of
+    (di)^2 + (dj)^2, all integer so every engine agrees bit-for-bit.
+    Decomposes separably: phase 1 per column is the 1D nearest-feature
+    scan (min |di|, then squared — exact in 1D); phase 2 per row takes
+    min_c(g[., c] + (j - c)^2).  Emits the same census columns as
+    chamfer_stats, so the chamfer 3-4 approximation error is directly
+    auditable by diffing the two queries.
+
+    Scale shape: map-only fused Arrow pass; phase 1 is 2h vectorized
+    relaxation steps, phase 2 is w vectorized min-reductions — O(w^2 h)
+    per tile with batch-level SIMD, no shuffle, slim output."""
+    slim = tiles.select("image_id", "bytes", "w", "h", "fmt")
+    dt = {"raw": np.uint8, "qnt": np.uint8, "raw16": "<u2"}
+    BIG = np.int64(1) << 40
+
+    def _edt(batches):
+        for pdf in batches:
+            n = len(pdf)
+            out = {"image_id": pdf["image_id"].to_numpy(dtype=object)}
+            for c in ("n_feat", "sum_d2", "max_d2", "d2_checksum"):
+                out[c] = np.zeros(n, dtype=np.int64)
+            keep = np.zeros(n, dtype=bool)
+            groups: dict[tuple, list[int]] = {}
+            for r in range(n):
+                key = (int(pdf["w"].iat[r]), int(pdf["h"].iat[r]), pdf["fmt"].iat[r])
+                groups.setdefault(key, []).append(r)
+            for (w, h, fmt), idx in groups.items():
+                b = len(idx)
+                z = (
+                    np.frombuffer(
+                        b"".join(pdf["bytes"].iat[r] for r in idx), dtype=dt[fmt]
+                    )
+                    .reshape(b, h, w)
+                    .astype(np.int64)
+                )
+                feat = z < thresh
+                nf = feat.sum(axis=(1, 2))
+                # phase 1: per-column 1D city-block scan, then square
+                r1 = np.where(feat, np.int64(0), np.int64(h + 1))
+                for i in range(1, h):
+                    np.minimum(r1[:, i, :], r1[:, i - 1, :] + 1, out=r1[:, i, :])
+                for i in range(h - 2, -1, -1):
+                    np.minimum(r1[:, i, :], r1[:, i + 1, :] + 1, out=r1[:, i, :])
+                g = np.where(r1 > h, BIG, r1 * r1)
+                # phase 2: per-row min over columns of g + (j-c)^2
+                cc = np.arange(w, dtype=np.int64)
+                d2 = np.empty_like(g)
+                for j in range(w):
+                    d2[:, :, j] = (g + (j - cc)[None, None, :] ** 2).min(axis=2)
+                wt = np.arange(1, h * w + 1, dtype=np.int64).reshape(h, w)
+                rows = np.asarray(idx)
+                has = nf > 0
+                keep[rows] = has
+                d2[~has] = 0
+                out["n_feat"][rows] = nf
+                out["sum_d2"][rows] = d2.sum(axis=(1, 2))
+                out["max_d2"][rows] = d2.max(axis=(1, 2))
+                out["d2_checksum"][rows] = (d2 * wt).sum(axis=(1, 2))
+            pdf_out = pd.DataFrame(out)
+            yield pdf_out[keep]
+
+    return slim.mapInPandas(
+        _edt,
+        schema=(
+            "image_id string, n_feat long, sum_d2 long, "
+            "max_d2 long, d2_checksum long"
+        ),
+    )

@@ -5886,3 +5886,96 @@ SELECT CAST(wend AS VARCHAR) AS win_end,
        COUNT(*) AS user_days
 FROM fan GROUP BY wend ORDER BY win_end
 """
+
+
+SAX_PAA = 4   # days per PAA block
+SAX_WORD = 4  # blocks per SAX word
+SAX_ALPHA = "abcd"  # quartile alphabet
+
+
+def sax_words(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SAX symbolic words over the daily-revenue series (Lin, Keogh,
+    Lonardi & Chiu 2003 — Symbolic Aggregate approXimation, the
+    discretization behind time-series motif/anomaly indexing): PAA-sum
+    each complete SAX_PAA-day block (integer-exact), discretize blocks
+    into quartile symbols with NTILE(4) over the total order
+    (sum, block) — the empirical-quantile variant, no Gaussian
+    breakpoint table, so the cut is exact in both engines — and
+    assemble SAX_WORD-symbol words.  Emits the word census: each
+    distinct word, its frequency, and its first block position.
+
+    Scale shape: one date rollup, one global NTILE (range-partition at
+    scale), one word rollup; word assembly sorts inside a 4-element
+    array, not across rows."""
+    days = (
+        _t(spark, sf_dir, "orders")
+        .groupBy("o_orderdate")
+        .agg(F.sum(cents(F.col("o_totalprice"))).alias("x"))
+        .select(
+            F.row_number().over(Window.orderBy("o_orderdate")).alias("d"), "x"
+        )
+    )
+    blocks = (
+        days.withColumn("blk", ((F.col("d") - 1) / SAX_PAA).cast("long"))
+        .groupBy("blk")
+        .agg(F.sum("x").alias("s"), F.count(F.lit(1)).alias("cnt"))
+        .where(F.col("cnt") == SAX_PAA)
+    )
+    sym = blocks.withColumn(
+        "q", F.ntile(4).over(Window.orderBy(F.col("s"), F.col("blk")))
+    ).withColumn(
+        "sym", F.substring(F.lit(SAX_ALPHA), F.col("q"), 1)
+    )
+    words = (
+        sym.withColumn("wrd", (F.col("blk") / SAX_WORD).cast("long"))
+        .groupBy("wrd")
+        .agg(
+            F.array_join(
+                F.transform(
+                    F.array_sort(
+                        F.collect_list(F.struct("blk", "sym"))
+                    ),
+                    lambda st: st["sym"],
+                ),
+                "",
+            ).alias("word"),
+            F.count(F.lit(1)).alias("nblk"),
+        )
+        .where(F.col("nblk") == SAX_WORD)
+    )
+    return (
+        words.groupBy("word")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.min("wrd").alias("first_word_pos"),
+        )
+        .repartition(1)
+        .sortWithinPartitions("word")
+    )
+
+
+def sax_words_sql() -> str:
+    return f"""
+WITH days AS (
+  SELECT ROW_NUMBER() OVER (ORDER BY o_orderdate) AS d,
+         CAST(SUM(round(o_totalprice * 100)) AS BIGINT) AS x
+  FROM orders GROUP BY o_orderdate
+),
+blocks AS (
+  SELECT (d - 1) // {SAX_PAA} AS blk, SUM(x) AS s, COUNT(*) AS cnt
+  FROM days GROUP BY 1
+),
+sym AS (
+  SELECT blk, substr('{SAX_ALPHA}', NTILE(4) OVER (ORDER BY s, blk), 1) AS sy
+  FROM blocks WHERE cnt = {SAX_PAA}
+),
+words AS (
+  SELECT blk // {SAX_WORD} AS wrd,
+         string_agg(sy, '' ORDER BY blk) AS word,
+         COUNT(*) AS nblk
+  FROM sym GROUP BY 1
+)
+SELECT word, COUNT(*) AS n, MIN(wrd) AS first_word_pos
+FROM words WHERE nblk = {SAX_WORD}
+GROUP BY word ORDER BY word
+"""

@@ -5213,6 +5213,8 @@ def spatial_queries() -> dict[str, QueryFn]:
         "rescaled_range": rel.rescaled_range,
         "abc_classification": rel.abc_classification,
         "sliding_distinct": rel.sliding_distinct,
+        "sax_words": rel.sax_words,
+        "edt_exact": q_edt_exact,
         "zone_min_width": q_zone_min_width,
         "frechet_pairs": q_frechet_pairs,
         "percolation_sweep": q_percolation_sweep,
@@ -5521,6 +5523,8 @@ def spatial_oracles(sf: str = "sf0.01") -> dict[str, str]:
         "rescaled_range": rel.rescaled_range_sql(),
         "abc_classification": rel.abc_classification_sql(),
         "sliding_distinct": rel.sliding_distinct_sql(),
+        "sax_words": rel.sax_words_sql(),
+        "edt_exact": _sql_edt_exact(fx, w),
         "zone_min_width": _sql_zone_min_width(fx),
         "frechet_pairs": _sql_frechet_pairs(fx),
         "percolation_sweep": _sql_percolation_sweep(fx, w),
@@ -10812,6 +10816,61 @@ SELECT d.image_id,
        CAST(SUM(dd) AS BIGINT) AS sum_d,
        CAST(MAX(dd) AS BIGINT) AS max_d,
        CAST(SUM(dd * (i * {w} + j + 1)) AS BIGINT) AS d_checksum
+FROM d JOIN nf USING (image_id)
+GROUP BY d.image_id, nf.n_feat ORDER BY d.image_id
+"""
+
+
+_EDT_MOD = 33  # 3*11 — off the prime grid used elsewhere, distinct tile draw
+
+
+def q_edt_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT squared-Euclidean distance transform census
+    (algebra.edt_stats — scipy distance_transform_edt**2 analog,
+    Felzenszwalb & Huttenlocher 2004): true-metric companion to
+    chamfer_distance; oracle replays the closed-form min over features
+    of (di)^2+(dj)^2 as a pixel x feature MIN join."""
+    from ..operators import algebra
+
+    tiles = geo.georegister(_images(spark, sf_dir)).where(
+        geo.image_idx() % _EDT_MOD == 0
+    )
+    return (
+        algebra.edt_stats(tiles)
+        .repartition(1).sortWithinPartitions("image_id")
+    )
+
+
+def _sql_edt_exact(fx: Path, w: int) -> str:
+    from ..operators.algebra import CHAMFER_THRESH
+
+    hi = w - 1
+    return f"""
+WITH {osql.georegister_cte(str(fx / 'images.parquet'))},
+sel AS (SELECT * FROM tiles WHERE idx % {_EDT_MOD} = 0),
+feat AS MATERIALIZED (
+  SELECT image_id, gi.i AS fi, gj.j AS fj
+  FROM sel,
+       generate_series(0, {hi}) AS gi(i), generate_series(0, {hi}) AS gj(j)
+  WHERE {osql.ramp_value_expr('gi.i', 'gj.j')} < {CHAMFER_THRESH}
+),
+nf AS (SELECT image_id, COUNT(*) AS n_feat FROM feat GROUP BY image_id),
+d AS (
+  SELECT p.image_id, p.i, p.j,
+         MIN((p.i - f.fi) * (p.i - f.fi)
+             + (p.j - f.fj) * (p.j - f.fj)) AS dd
+  FROM (SELECT image_id, gi.i AS i, gj.j AS j
+        FROM sel,
+             generate_series(0, {hi}) AS gi(i),
+             generate_series(0, {hi}) AS gj(j)) p
+  JOIN feat f USING (image_id)
+  GROUP BY p.image_id, p.i, p.j
+)
+SELECT d.image_id,
+       CAST(nf.n_feat AS BIGINT) AS n_feat,
+       CAST(SUM(dd) AS BIGINT) AS sum_d2,
+       CAST(MAX(dd) AS BIGINT) AS max_d2,
+       CAST(SUM(dd * (i * {w} + j + 1)) AS BIGINT) AS d2_checksum
 FROM d JOIN nf USING (image_id)
 GROUP BY d.image_id, nf.n_feat ORDER BY d.image_id
 """
