@@ -4277,3 +4277,81 @@ def edt_stats(tiles: DataFrame, thresh: int = CHAMFER_THRESH) -> DataFrame:
             "max_d2 long, d2_checksum long"
         ),
     )
+
+
+# H.264/AVC 4x4 forward integer core transform (ITU-T H.264 8.5.10,
+# Malvar et al. 2003): C = T A T^T, exact in int64.
+_INT_T = np.array(
+    [[1, 1, 1, 1], [2, 1, -1, -2], [1, -1, -1, 1], [1, -2, 2, -1]],
+    dtype=np.int64,
+)
+
+
+def int_transform_stats(tiles: DataFrame) -> DataFrame:
+    """H.264-style 4x4 integer transform census — the DCT-approximant
+    block transform video codecs run in pure integer arithmetic
+    precisely so every decoder agrees bit-for-bit (the same property
+    this gate needs): per tile, apply C = T A T^T to every 4x4 block
+    and emit the coefficient census — block count, sum |DC|, sum |AC|,
+    max |AC|, and the (coefficient, block)-position-weighted checksum.
+    Complements wht_energy (Walsh-Hadamard): same family, but with the
+    1-2-1 frequency weighting of the real codec transform.
+
+    Scale shape: map-only fused Arrow pass; the transform is one
+    einsum over the whole batch, no shuffle, slim output."""
+    slim = tiles.select("image_id", "bytes", "w", "h", "fmt")
+    dt = {"raw": np.uint8, "qnt": np.uint8, "raw16": "<u2"}
+
+    def _tx(batches):
+        for pdf in batches:
+            n = len(pdf)
+            out = {"image_id": pdf["image_id"].to_numpy(dtype=object)}
+            cols = ("n_blocks", "sum_dc_abs", "sum_ac_abs", "max_ac_abs",
+                    "coef_checksum")
+            for c in cols:
+                out[c] = np.zeros(n, dtype=np.int64)
+            groups: dict[tuple, list[int]] = {}
+            for r in range(n):
+                key = (int(pdf["w"].iat[r]), int(pdf["h"].iat[r]), pdf["fmt"].iat[r])
+                groups.setdefault(key, []).append(r)
+            for (w, h, fmt), idx in groups.items():
+                b = len(idx)
+                z = (
+                    np.frombuffer(
+                        b"".join(pdf["bytes"].iat[r] for r in idx), dtype=dt[fmt]
+                    )
+                    .reshape(b, h, w)
+                    .astype(np.int64)
+                )
+                hb, wb = h // 4, w // 4
+                zc = z[:, : hb * 4, : wb * 4].reshape(b, hb, 4, wb, 4)
+                c = np.einsum("ui,bhiwj,vj->bhwuv", _INT_T, zc, _INT_T)
+                ac = np.abs(c)
+                dc = ac[..., 0, 0]
+                rows = np.asarray(idx)
+                out["n_blocks"][rows] = hb * wb
+                out["sum_dc_abs"][rows] = dc.sum(axis=(1, 2))
+                out["sum_ac_abs"][rows] = ac.sum(axis=(1, 2, 3, 4)) - dc.sum(
+                    axis=(1, 2)
+                )
+                acm = ac.copy()
+                acm[..., 0, 0] = 0
+                out["max_ac_abs"][rows] = acm.max(axis=(1, 2, 3, 4))
+                uvw = (
+                    np.arange(4)[:, None] * 4 + np.arange(4)[None, :] + 1
+                )  # (u,v) weight
+                blkw = (
+                    np.arange(hb)[:, None] * wb + np.arange(wb)[None, :] + 1
+                )
+                out["coef_checksum"][rows] = np.einsum(
+                    "bhwuv,uv,hw->b", ac, uvw, blkw
+                )
+            yield pd.DataFrame(out)
+
+    return slim.mapInPandas(
+        _tx,
+        schema=(
+            "image_id string, n_blocks long, sum_dc_abs long, "
+            "sum_ac_abs long, max_ac_abs long, coef_checksum long"
+        ),
+    )

@@ -819,3 +819,76 @@ def dtw_stats(pairs: DataFrame, n: int = DTW_N) -> DataFrame:
     return pairs.select("pair_id", "bytes_a", "bytes_b").mapInPandas(
         gen, schema="pair_id long, dtw long, diag_cost long"
     )
+
+
+BIQUAD_N = 256  # samples filtered per clip
+# fixed-point lowpass biquad, all coefficients scaled by 1024:
+# y_t = floor((B0 x_t + B1 x_{t-1} + B2 x_{t-2} - A1 y_{t-1} - A2 y_{t-2})/1024)
+BIQUAD_B = (115, 230, 115)
+BIQUAD_A = (-1600, 660)  # poles |z|^2 = 660/1024 < 1 -> stable
+
+
+def biquad_stats(df: DataFrame, n: int = BIQUAD_N) -> DataFrame:
+    """Fixed-point biquad IIR filter census (RBJ audio-EQ cookbook
+    form, the 2-pole/2-zero section every audio chain is built from):
+    the integer recurrence above runs over the first BIQUAD_N pcm16
+    samples with floor division by the power-of-two scale — exact in
+    both int64 and float64, so every engine agrees bit-for-bit (the
+    Goertzel precedent).  Emits per clip the filtered-signal census:
+    position-weighted checksum, sum/max of |y|, and the final sample.
+
+    Scale shape: map-only mapInPandas over the binary column; the
+    t-loop is vectorized across the whole Arrow batch of clips —
+    BIQUAD_N numpy steps per batch, no shuffle."""
+    b0, b1, b2 = BIQUAD_B
+    a1, a2 = BIQUAD_A
+
+    def gen(batches):
+        for pdf in batches:
+            m = len(pdf)
+            cols = ("y_checksum", "sum_abs", "max_abs", "y_last")
+            if m == 0:
+                yield pd.DataFrame(
+                    {"media_id": [], **{c: [] for c in cols}}
+                )
+                continue
+            x = np.stack(
+                [
+                    np.frombuffer(b, dtype="<i2")[:n].astype(np.int64)
+                    for b in pdf["bytes"]
+                ]
+            )  # (m, n)
+            y1 = np.zeros(m, dtype=np.int64)
+            y2 = np.zeros(m, dtype=np.int64)
+            cks = np.zeros(m, dtype=np.int64)
+            sab = np.zeros(m, dtype=np.int64)
+            mab = np.zeros(m, dtype=np.int64)
+            for t in range(n):
+                xt = x[:, t]
+                xm1 = x[:, t - 1] if t >= 1 else 0
+                xm2 = x[:, t - 2] if t >= 2 else 0
+                num = b0 * xt + b1 * xm1 + b2 * xm2 - a1 * y1 - a2 * y2
+                y = np.floor_divide(num, 1024)
+                cks += y * (t + 1)
+                ay = np.abs(y)
+                sab += ay
+                np.maximum(mab, ay, out=mab)
+                y2 = y1
+                y1 = y
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf["media_id"].to_numpy(dtype=object),
+                    "y_checksum": cks,
+                    "sum_abs": sab,
+                    "max_abs": mab,
+                    "y_last": y1,
+                }
+            )
+
+    return df.select("media_id", "bytes").mapInPandas(
+        gen,
+        schema=(
+            "media_id string, y_checksum long, sum_abs long, "
+            "max_abs long, y_last long"
+        ),
+    )

@@ -5215,6 +5215,8 @@ def spatial_queries() -> dict[str, QueryFn]:
         "sliding_distinct": rel.sliding_distinct,
         "sax_words": rel.sax_words,
         "edt_exact": q_edt_exact,
+        "biquad_filter": q_biquad_filter,
+        "int_transform": q_int_transform,
         "zone_min_width": q_zone_min_width,
         "frechet_pairs": q_frechet_pairs,
         "percolation_sweep": q_percolation_sweep,
@@ -5525,6 +5527,8 @@ def spatial_oracles(sf: str = "sf0.01") -> dict[str, str]:
         "sliding_distinct": rel.sliding_distinct_sql(),
         "sax_words": rel.sax_words_sql(),
         "edt_exact": _sql_edt_exact(fx, w),
+        "biquad_filter": _sql_biquad_filter(fx),
+        "int_transform": _sql_int_transform(fx, w),
         "zone_min_width": _sql_zone_min_width(fx),
         "frechet_pairs": _sql_frechet_pairs(fx),
         "percolation_sweep": _sql_percolation_sweep(fx, w),
@@ -11190,6 +11194,123 @@ rec(media_id, idx, t, {state}) AS (
 )
 SELECT media_id, {power}
 FROM rec WHERE t = {GOERTZEL_N - 1} ORDER BY media_id
+"""
+
+
+_BIQUAD_MOD = 77
+
+
+def q_biquad_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fixed-point biquad IIR filter census (multimodal.biquad_stats —
+    RBJ cookbook 2-pole section): integer recurrence with power-of-two
+    floor scaling, replayed by a recursive-CTE twin."""
+    from ..operators import multimodal as mm
+
+    clips = mm.synth_audio_media(
+        _images(spark, sf_dir).where(geo.image_idx() % _BIQUAD_MOD == 0)
+    )
+    return (
+        mm.biquad_stats(clips)
+        .repartition(1).sortWithinPartitions("media_id")
+    )
+
+
+def _sql_biquad_filter(fx: Path) -> str:
+    from ..operators.multimodal import BIQUAD_A, BIQUAD_B, BIQUAD_N
+
+    img = str(fx / "images.parquet")
+    b0, b1, b2 = BIQUAD_B
+    a1, a2 = BIQUAD_A
+
+    def x(s: str) -> str:
+        return (
+            f"CASE WHEN {s} >= 0 THEN ((idx * 31 + ({s}) * 17) % 65536)"
+            f" - 32768 ELSE 0 END"
+        )
+
+    num = (
+        f"{b0} * ({x('r.t + 1')}) + {b1} * ({x('r.t')})"
+        f" + {b2} * ({x('r.t - 1')}) - ({a1}) * r.y1 - ({a2}) * r.y2"
+    )
+    return f"""
+WITH RECURSIVE clips AS (
+  SELECT image_id AS media_id, CAST(substr(image_id, 4, 10) AS BIGINT) AS idx
+  FROM read_parquet('{img}')
+  WHERE CAST(substr(image_id, 4, 10) AS BIGINT) % {_BIQUAD_MOD} = 0
+),
+rec(media_id, idx, t, y1, y2, cks, sab, mab) AS (
+  SELECT media_id, idx, -1,
+         CAST(0 AS BIGINT), CAST(0 AS BIGINT),
+         CAST(0 AS BIGINT), CAST(0 AS BIGINT), CAST(0 AS BIGINT)
+  FROM clips
+  UNION ALL
+  SELECT media_id, idx, t + 1, y, y1,
+         cks + y * (t + 2), sab + ABS(y), GREATEST(mab, ABS(y))
+  FROM (SELECT r.*,
+               CAST(floor(({num}) / 1024.0) AS BIGINT) AS y
+        FROM rec r WHERE r.t < {BIQUAD_N - 1})
+)
+SELECT media_id,
+       cks AS y_checksum, sab AS sum_abs, mab AS max_abs, y1 AS y_last
+FROM rec WHERE t = {BIQUAD_N - 1} ORDER BY media_id
+"""
+
+
+_ITX_MOD = 85
+
+
+def q_int_transform(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """H.264-style 4x4 integer transform census
+    (algebra.int_transform_stats): C = T A T^T per block, coefficient
+    census; oracle expands the bilinear form as a T-lookup join."""
+    from ..operators import algebra
+
+    tiles = geo.georegister(_images(spark, sf_dir)).where(
+        geo.image_idx() % _ITX_MOD == 0
+    )
+    return (
+        algebra.int_transform_stats(tiles)
+        .repartition(1).sortWithinPartitions("image_id")
+    )
+
+
+def _sql_int_transform(fx: Path, w: int) -> str:
+    from ..operators.algebra import _INT_T
+
+    hi = w - 1
+    wb = w // 4
+    tvals = ", ".join(
+        f"({u}, {i}, {int(_INT_T[u, i])})" for u in range(4) for i in range(4)
+    )
+    return f"""
+WITH {osql.georegister_cte(str(fx / 'images.parquet'))},
+sel AS (SELECT * FROM tiles WHERE idx % {_ITX_MOD} = 0),
+tt(u, i, c) AS (VALUES {tvals}),
+px AS MATERIALIZED (
+  SELECT image_id, gi.i AS i, gj.j AS j,
+         CAST({osql.ramp_value_expr('gi.i', 'gj.j')} AS BIGINT) AS v
+  FROM sel,
+       generate_series(0, {hi}) AS gi(i), generate_series(0, {hi}) AS gj(j)
+),
+coef AS (
+  SELECT image_id, px.i // 4 AS bi, px.j // 4 AS bj, ta.u AS u, tb.u AS v,
+         SUM(ta.c * tb.c * px.v) AS cv
+  FROM px
+  JOIN tt ta ON ta.i = px.i % 4
+  JOIN tt tb ON tb.i = px.j % 4
+  GROUP BY image_id, px.i // 4, px.j // 4, ta.u, tb.u
+)
+SELECT image_id,
+       CAST(COUNT(*) // 16 AS BIGINT) AS n_blocks,
+       CAST(SUM(CASE WHEN u = 0 AND v = 0 THEN ABS(cv) ELSE 0 END) AS BIGINT)
+         AS sum_dc_abs,
+       CAST(SUM(CASE WHEN u = 0 AND v = 0 THEN 0 ELSE ABS(cv) END) AS BIGINT)
+         AS sum_ac_abs,
+       CAST(MAX(CASE WHEN u = 0 AND v = 0 THEN 0 ELSE ABS(cv) END) AS BIGINT)
+         AS max_ac_abs,
+       CAST(SUM(ABS(cv) * (u * 4 + v + 1) * (bi * {wb} + bj + 1)) AS BIGINT)
+         AS coef_checksum
+FROM coef GROUP BY image_id ORDER BY image_id
 """
 
 
