@@ -28,7 +28,7 @@ machinery mandated by BASELINE.json.north_rule.
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 from ..constants import DEFAULT_RES
@@ -394,4 +394,110 @@ def frechet_pairs(zones: DataFrame) -> DataFrame:
     return pairs.mapInPandas(
         _dp,
         schema="pair_id long, frechet_sq long, endpoint_sq long, na int, nb int",
+    )
+
+
+DP_EPS2 = 200 * 200  # squared simplification tolerance (distance units)
+DP_MAX_DEPTH = 4     # split rounds; rings here are <= 9 vertices
+
+
+def polyline_simplify(zones: DataFrame) -> DataFrame:
+    """Douglas-Peucker polyline simplification census (Douglas &
+    Peucker 1973) over the unit-snapped zone rings, integer-exact: the
+    farthest-point split test compares cross^2 > EPS2 * len2 — both
+    sides integers, and within a fixed chord the squared cross product
+    orders interior points exactly like perpendicular distance — so no
+    division or sqrt enters the gate surface.  Ties break to the
+    lowest vertex index.  Emits per zone the kept-vertex count, the
+    1-based squared-index checksum of kept vertices, and the terminal
+    segment count after at most DP_MAX_DEPTH split rounds.
+
+    Implementation is fully declarative (no UDF): a bounded seg table
+    — every (start, end) chord with interior points gets its argmax
+    interior vertex via one window — then DP_MAX_DEPTH rounds of
+    split-or-terminate joins, exactly the walk the DuckDB twin replays
+    as a recursive CTE over the same seg table.
+
+    Scale shape: the seg table is O(m^2) rows per ring with m bounded
+    (<= 9 here); each round is an equi-join on (zone, s, e); kept
+    vertices close with one rollup.  At 10^12 rings everything is
+    key-local per zone_id."""
+    ring_ints = F.expr(
+        "transform(slice(ring, 1, size(ring) - 1),"
+        " p -> struct(CAST(floor(p.x + 0.5) AS BIGINT) AS x,"
+        "             CAST(floor(p.y + 0.5) AS BIGINT) AS y))"
+    )
+    z = zones.select("zone_id", ring_ints.alias("r"))
+    pts = z.select(
+        "zone_id", F.posexplode("r").alias("k", "p")
+    ).select("zone_id", "k", F.col("p.x").alias("x"), F.col("p.y").alias("y"))
+    m = pts.groupBy("zone_id").agg(F.max("k").alias("last"))
+
+    s = pts.select("zone_id", F.col("k").alias("s"),
+                   F.col("x").alias("sx"), F.col("y").alias("sy"))
+    e = pts.select("zone_id", F.col("k").alias("e"),
+                   F.col("x").alias("ex"), F.col("y").alias("ey"))
+    p = pts.select("zone_id", F.col("k").alias("pk"),
+                   F.col("x").alias("px"), F.col("y").alias("py"))
+    cand = (
+        s.join(e, "zone_id")
+        .where(F.col("e") > F.col("s") + 1)
+        .join(p, "zone_id")
+        .where((F.col("pk") > F.col("s")) & (F.col("pk") < F.col("e")))
+        .withColumn(
+            "cross",
+            (F.col("px") - F.col("sx")) * (F.col("ey") - F.col("sy"))
+            - (F.col("py") - F.col("sy")) * (F.col("ex") - F.col("sx")),
+        )
+        .withColumn("score", F.col("cross") * F.col("cross"))
+        .withColumn(
+            "len2",
+            (F.col("ex") - F.col("sx")) * (F.col("ex") - F.col("sx"))
+            + (F.col("ey") - F.col("sy")) * (F.col("ey") - F.col("sy")),
+        )
+    )
+    wseg = Window.partitionBy("zone_id", "s", "e").orderBy(
+        F.col("score").desc(), F.col("pk").asc()
+    )
+    seg = (
+        cand.withColumn("rn", F.row_number().over(wseg))
+        .where(F.col("rn") == 1)
+        .select(
+            "zone_id", "s", "e", F.col("pk").alias("bp"),
+            (F.col("score") > F.lit(DP_EPS2) * F.col("len2")).alias("split"),
+        )
+    )
+
+    frontier = m.select("zone_id", F.lit(0).alias("s"), F.col("last").alias("e"))
+    terminals = []
+    for _ in range(DP_MAX_DEPTH):
+        j = frontier.join(seg, ["zone_id", "s", "e"], "left")
+        terminals.append(
+            j.where(~F.coalesce(F.col("split"), F.lit(False)))
+            .select("zone_id", "s", "e")
+        )
+        live = j.where(F.coalesce(F.col("split"), F.lit(False)))
+        left = live.select("zone_id", "s", F.col("bp").alias("e"))
+        right = live.select("zone_id", F.col("bp").alias("s"), "e")
+        frontier = left.union(right)
+    terminals.append(frontier)  # depth cap
+    term = terminals[0]
+    for t in terminals[1:]:
+        term = term.union(t)
+
+    kept = (
+        term.select("zone_id", F.col("s").alias("k"))
+        .union(term.select("zone_id", F.col("e").alias("k")))
+        .distinct()
+    )
+    nt = term.groupBy("zone_id").agg(F.count(F.lit(1)).alias("n_term"))
+    return (
+        kept.groupBy("zone_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_kept"),
+            F.sum((F.col("k") + 1) * (F.col("k") + 1)).alias("kept_checksum"),
+        )
+        .join(nt, "zone_id")
+        .repartition(1)
+        .sortWithinPartitions("zone_id")
     )

@@ -5219,6 +5219,7 @@ def spatial_queries() -> dict[str, QueryFn]:
         "int_transform": q_int_transform,
         "zone_min_width": q_zone_min_width,
         "frechet_pairs": q_frechet_pairs,
+        "polyline_simplify": q_polyline_simplify,
         "percolation_sweep": q_percolation_sweep,
         "noise_mad": q_noise_mad,
         "interarrival_census": rel.interarrival_census,
@@ -5531,6 +5532,7 @@ def spatial_oracles(sf: str = "sf0.01") -> dict[str, str]:
         "int_transform": _sql_int_transform(fx, w),
         "zone_min_width": _sql_zone_min_width(fx),
         "frechet_pairs": _sql_frechet_pairs(fx),
+        "polyline_simplify": _sql_polyline_simplify(fx),
         "percolation_sweep": _sql_percolation_sweep(fx, w),
         "noise_mad": _sql_noise_mad(fx, w),
         "interarrival_census": rel.interarrival_census_sql(),
@@ -11612,4 +11614,73 @@ SELECT r.pair_id,
        CAST(b.na AS INT) AS na, CAST(b.nb AS INT) AS nb
 FROM rec r JOIN base b USING (pair_id)
 WHERE r.d = b.na + b.nb - 2 ORDER BY r.pair_id
+"""
+
+
+def q_polyline_simplify(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Douglas-Peucker simplification census over zone rings
+    (pip.polyline_simplify): integer-exact split test cross^2 >
+    EPS2*len2, bounded split depth; per-zone kept-vertex count,
+    squared-index checksum, terminal segment count."""
+    from ..operators.pip import polyline_simplify
+
+    return polyline_simplify(_zones(spark, sf_dir))
+
+
+def _sql_polyline_simplify(fx: Path) -> str:
+    from ..operators.pip import DP_EPS2, DP_MAX_DEPTH
+
+    zs = str(fx / "zones.parquet")
+    cross = "((p.x - s.x) * (e.y - s.y) - (p.y - s.y) * (e.x - s.x))"
+    do_split = f"(COALESCE(g.split, FALSE) AND r.depth < {DP_MAX_DEPTH})"
+    return f"""
+WITH RECURSIVE pts AS (
+  SELECT zone_id, i - 1 AS k,
+         CAST(floor(ring[i].x + 0.5) AS BIGINT) AS x,
+         CAST(floor(ring[i].y + 0.5) AS BIGINT) AS y
+  FROM read_parquet('{zs}'), unnest(range(1, len(ring))) t(i)
+),
+m AS (SELECT zone_id, MAX(k) AS last FROM pts GROUP BY zone_id),
+seg AS MATERIALIZED (
+  SELECT zone_id, s, e, bp, split FROM (
+    SELECT s.zone_id, s.k AS s, e.k AS e, p.k AS bp,
+           {cross} * {cross}
+             > {DP_EPS2} * ((e.x - s.x) * (e.x - s.x)
+                            + (e.y - s.y) * (e.y - s.y)) AS split,
+           ROW_NUMBER() OVER (
+             PARTITION BY s.zone_id, s.k, e.k
+             ORDER BY {cross} * {cross} DESC, p.k ASC) AS rn
+    FROM pts s
+    JOIN pts e ON e.zone_id = s.zone_id AND e.k > s.k + 1
+    JOIN pts p ON p.zone_id = s.zone_id AND p.k > s.k AND p.k < e.k
+  ) WHERE rn = 1
+),
+rec(zone_id, s, e, depth, term) AS (
+  SELECT zone_id, 0, last, 0, FALSE FROM m
+  UNION ALL
+  SELECT r.zone_id,
+         CASE WHEN {do_split}
+              THEN CASE v.side WHEN 0 THEN r.s ELSE g.bp END ELSE r.s END,
+         CASE WHEN {do_split}
+              THEN CASE v.side WHEN 0 THEN g.bp ELSE r.e END ELSE r.e END,
+         r.depth + 1,
+         NOT {do_split}
+  FROM rec r
+  LEFT JOIN seg g ON g.zone_id = r.zone_id AND g.s = r.s AND g.e = r.e
+  CROSS JOIN (SELECT unnest([0, 1]) AS side) v
+  WHERE NOT r.term AND ({do_split} OR v.side = 0)
+),
+term AS (SELECT zone_id, s, e FROM rec WHERE term),
+kept AS (
+  SELECT DISTINCT zone_id, k FROM (
+    SELECT zone_id, s AS k FROM term
+    UNION ALL SELECT zone_id, e AS k FROM term)
+),
+nt AS (SELECT zone_id, COUNT(*) AS n_term FROM term GROUP BY zone_id)
+SELECT k.zone_id,
+       CAST(COUNT(*) AS BIGINT) AS n_kept,
+       CAST(SUM((k.k + 1) * (k.k + 1)) AS BIGINT) AS kept_checksum,
+       CAST(MAX(nt.n_term) AS BIGINT) AS n_term
+FROM kept k JOIN nt USING (zone_id)
+GROUP BY k.zone_id ORDER BY k.zone_id
 """
