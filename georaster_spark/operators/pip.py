@@ -501,3 +501,64 @@ def polyline_simplify(zones: DataFrame) -> DataFrame:
         .repartition(1)
         .sortWithinPartitions("zone_id")
     )
+
+
+def convex_hull_census(zones: DataFrame) -> DataFrame:
+    """Convex-hull vertex census over the unit-snapped zone rings,
+    integer-exact: vertex p is on the hull iff SOME directed edge
+    p->q leaves every other ring vertex STRICTLY to its left
+    (cross(p,q,r) > 0 for all r) — the O(n^3) definitional test, which
+    both engines replay identically so collinear/degenerate cases are
+    pinned by the predicate itself rather than by library geometry.
+    Emits per zone the hull vertex count, the 1-based squared-index
+    checksum of hull vertices, and the coordinate sum over hull
+    vertices.
+
+    Scale shape: rings are tiny (<= 9 vertices), so the cubic test is
+    a constant <= 512 rows per zone, all key-local equi-joins on
+    zone_id; one rollup closes.  At 10^12 rings nothing crosses keys."""
+    ring_ints = F.expr(
+        "transform(slice(ring, 1, size(ring) - 1),"
+        " p -> struct(CAST(floor(p.x + 0.5) AS BIGINT) AS x,"
+        "             CAST(floor(p.y + 0.5) AS BIGINT) AS y))"
+    )
+    pts = (
+        zones.select("zone_id", ring_ints.alias("r"))
+        .select("zone_id", F.posexplode("r").alias("k", "p"))
+        .select("zone_id", "k", F.col("p.x").alias("x"), F.col("p.y").alias("y"))
+    )
+    p = pts.select("zone_id", F.col("k").alias("pk"),
+                   F.col("x").alias("px"), F.col("y").alias("py"))
+    q = pts.select("zone_id", F.col("k").alias("qk"),
+                   F.col("x").alias("qx"), F.col("y").alias("qy"))
+    r = pts.select("zone_id", F.col("k").alias("rk"),
+                   F.col("x").alias("rx"), F.col("y").alias("ry"))
+    cross = (
+        (F.col("qx") - F.col("px")) * (F.col("ry") - F.col("py"))
+        - (F.col("qy") - F.col("py")) * (F.col("rx") - F.col("px"))
+    )
+    edges = (
+        p.join(q, "zone_id").where(F.col("qk") != F.col("pk"))
+        .join(r, "zone_id")
+        .where((F.col("rk") != F.col("pk")) & (F.col("rk") != F.col("qk")))
+        .groupBy("zone_id", "pk", "qk")
+        .agg(F.bool_and(cross > 0).alias("ok"))
+    )
+    hull = (
+        edges.groupBy("zone_id", "pk")
+        .agg(F.bool_or("ok").alias("is_hull"))
+        .where("is_hull")
+    )
+    return (
+        hull.join(
+            pts.withColumnRenamed("k", "pk"), ["zone_id", "pk"]
+        )
+        .groupBy("zone_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_hull"),
+            F.sum((F.col("pk") + 1) * (F.col("pk") + 1)).alias("hull_checksum"),
+            F.sum(F.col("x") + F.col("y")).alias("hull_xy_sum"),
+        )
+        .repartition(1)
+        .sortWithinPartitions("zone_id")
+    )

@@ -5979,3 +5979,103 @@ SELECT word, COUNT(*) AS n, MIN(wrd) AS first_word_pos
 FROM words WHERE nblk = {SAX_WORD}
 GROUP BY word ORDER BY word
 """
+
+
+Q2_TYPE = "STANDARD"
+Q2_REGION = "EUROPE"
+
+
+def min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q2 shape (Minimum Cost Supplier, adapted — the fixture has
+    no partsupp, so 'supply cost' = per-(part, supplier) average unit
+    price derived from lineitem, held exact as integer cost_ppk =
+    div(1e6 * disc_cents, qty)): for STANDARD parts, the EUROPE
+    supplier(s) achieving the per-part minimum cost, with the correlated
+    MIN subquery expressed as a per-part window minimum.
+
+    Scale shape: ONE shuffle builds the (partkey, suppkey) cost table
+    from lineitem with map-side partial aggregation; supplier and
+    nation/region are broadcast dims applied before the window so the
+    min runs over the already-filtered region; the per-part MIN is a
+    window over the partkey hash partitioning just produced (no extra
+    shuffle — partkey is a prefix of the agg key); part is a broadcast
+    dim joined last on the shrunken winner set.  All comparisons exact
+    integers; ties keep every min-cost supplier, as Q2 does."""
+    li = _t(spark, sf_dir, "lineitem").select(
+        "l_partkey",
+        "l_suppkey",
+        F.round(cents(F.col("l_extendedprice")) * (1.0 - F.col("l_discount")))
+        .cast("long")
+        .alias("disc_cents"),
+        F.round(F.col("l_quantity")).cast("long").alias("qty"),
+    )
+    ps = li.groupBy("l_partkey", "l_suppkey").agg(
+        F.sum("disc_cents").alias("sum_cents"),
+        F.sum("qty").alias("sum_qty"),
+    ).withColumn("cost_ppk", F.expr("div(1000000 * sum_cents, sum_qty)"))
+
+    n = _t(spark, sf_dir, "nation").select("n_nationkey", "n_name", "n_regionkey")
+    r = _t(spark, sf_dir, "region").where(F.col("r_name") == Q2_REGION)
+    nr = n.join(F.broadcast(r), n["n_regionkey"] == r["r_regionkey"]).select(
+        "n_nationkey", "n_name"
+    )
+    s = (
+        _t(spark, sf_dir, "supplier")
+        .join(F.broadcast(nr), F.col("s_nationkey") == F.col("n_nationkey"))
+        .select("s_suppkey", "s_name", "s_acctbal", "n_name")
+    )
+    eu = ps.join(F.broadcast(s), ps["l_suppkey"] == s["s_suppkey"])
+    w = Window.partitionBy("l_partkey")
+    win = eu.withColumn("min_cost", F.min("cost_ppk").over(w)).where(
+        F.col("cost_ppk") == F.col("min_cost")
+    )
+    p = (
+        _t(spark, sf_dir, "part")
+        .where(F.col("p_type") == Q2_TYPE)
+        .select("p_partkey", "p_brand", "p_size")
+    )
+    return (
+        win.join(F.broadcast(p), win["l_partkey"] == p["p_partkey"])
+        .select(
+            "p_partkey",
+            "p_brand",
+            F.col("p_size").cast("int").alias("p_size"),
+            F.col("s_suppkey").alias("suppkey"),
+            "s_name",
+            "n_name",
+            F.round(F.col("s_acctbal") * 100).cast("long").alias("acctbal_c"),
+            "cost_ppk",
+        )
+        .repartition(1)
+        .sortWithinPartitions("p_partkey", "suppkey")
+    )
+
+
+def min_cost_supplier_sql() -> str:
+    return f"""
+WITH ps AS (
+  SELECT l_partkey, l_suppkey,
+         SUM(CAST(round(round(l_extendedprice * 100) * (1 - l_discount)) AS BIGINT))
+           AS sum_cents,
+         SUM(CAST(round(l_quantity) AS BIGINT)) AS sum_qty
+  FROM lineitem GROUP BY l_partkey, l_suppkey
+),
+eu AS (
+  SELECT ps.l_partkey, ps.l_suppkey,
+         1000000 * sum_cents // sum_qty AS cost_ppk,
+         s_name, n_name, s_acctbal
+  FROM ps, supplier, nation, region
+  WHERE ps.l_suppkey = s_suppkey AND s_nationkey = n_nationkey
+    AND n_regionkey = r_regionkey AND r_name = '{Q2_REGION}'
+),
+win AS (
+  SELECT *, MIN(cost_ppk) OVER (PARTITION BY l_partkey) AS min_cost FROM eu
+)
+SELECT p_partkey, p_brand, CAST(p_size AS INT) AS p_size,
+       l_suppkey AS suppkey, s_name, n_name,
+       CAST(round(s_acctbal * 100) AS BIGINT) AS acctbal_c,
+       CAST(cost_ppk AS BIGINT) AS cost_ppk
+FROM win JOIN part ON l_partkey = p_partkey
+WHERE cost_ppk = min_cost AND p_type = '{Q2_TYPE}'
+ORDER BY p_partkey, suppkey
+"""

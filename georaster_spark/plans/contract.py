@@ -5220,6 +5220,8 @@ def spatial_queries() -> dict[str, QueryFn]:
         "zone_min_width": q_zone_min_width,
         "frechet_pairs": q_frechet_pairs,
         "polyline_simplify": q_polyline_simplify,
+        "convex_hull": q_convex_hull,
+        "min_cost_supplier": rel.min_cost_supplier,
         "percolation_sweep": q_percolation_sweep,
         "noise_mad": q_noise_mad,
         "interarrival_census": rel.interarrival_census,
@@ -5533,6 +5535,8 @@ def spatial_oracles(sf: str = "sf0.01") -> dict[str, str]:
         "zone_min_width": _sql_zone_min_width(fx),
         "frechet_pairs": _sql_frechet_pairs(fx),
         "polyline_simplify": _sql_polyline_simplify(fx),
+        "convex_hull": _sql_convex_hull(fx),
+        "min_cost_supplier": rel.min_cost_supplier_sql(),
         "percolation_sweep": _sql_percolation_sweep(fx, w),
         "noise_mad": _sql_noise_mad(fx, w),
         "interarrival_census": rel.interarrival_census_sql(),
@@ -11683,4 +11687,42 @@ SELECT k.zone_id,
        CAST(MAX(nt.n_term) AS BIGINT) AS n_term
 FROM kept k JOIN nt USING (zone_id)
 GROUP BY k.zone_id ORDER BY k.zone_id
+"""
+
+
+def q_convex_hull(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Convex-hull vertex census over zone rings
+    (pip.convex_hull_census): definitional O(n^3) strict-left test,
+    integer-exact, replayed identically by the DuckDB twin."""
+    from ..operators.pip import convex_hull_census
+
+    return convex_hull_census(_zones(spark, sf_dir))
+
+
+def _sql_convex_hull(fx: Path) -> str:
+    zs = str(fx / "zones.parquet")
+    return f"""
+WITH pts AS (
+  SELECT zone_id, i - 1 AS k,
+         CAST(floor(ring[i].x + 0.5) AS BIGINT) AS x,
+         CAST(floor(ring[i].y + 0.5) AS BIGINT) AS y
+  FROM read_parquet('{zs}'), unnest(range(1, len(ring))) t(i)
+),
+edges AS (
+  SELECT p.zone_id, p.k AS pk, q.k AS qk,
+         bool_and((q.x - p.x) * (r.y - p.y) - (q.y - p.y) * (r.x - p.x) > 0) AS ok
+  FROM pts p
+  JOIN pts q ON q.zone_id = p.zone_id AND q.k <> p.k
+  JOIN pts r ON r.zone_id = p.zone_id AND r.k <> p.k AND r.k <> q.k
+  GROUP BY p.zone_id, p.k, q.k
+),
+hull AS (
+  SELECT zone_id, pk FROM edges GROUP BY zone_id, pk HAVING bool_or(ok)
+)
+SELECT h.zone_id,
+       CAST(COUNT(*) AS BIGINT) AS n_hull,
+       CAST(SUM((h.pk + 1) * (h.pk + 1)) AS BIGINT) AS hull_checksum,
+       CAST(SUM(p.x + p.y) AS BIGINT) AS hull_xy_sum
+FROM hull h JOIN pts p ON p.zone_id = h.zone_id AND p.k = h.pk
+GROUP BY h.zone_id ORDER BY h.zone_id
 """
