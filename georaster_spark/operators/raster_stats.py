@@ -1081,3 +1081,80 @@ def randaugment_census(tiles: DataFrame) -> DataFrame:
 
     schema = "image_id string, op int, v_sum long, checksum long"
     return slim.mapInPandas(_census, schema=schema)
+
+
+JOIN_COUNT_THRESH = 128
+
+
+def join_count_stats(tiles: DataFrame) -> DataFrame:
+    """Cliff-Ord binary join-count statistics over the ingest lattice —
+    the categorical sibling of Moran's I (moran_lattice_moments): each
+    tile is colored Black iff its integer floor-mean pixel value is
+    >= JOIN_COUNT_THRESH, adjacency is rook on the pre-jitter lattice
+    (gx = idx % GRID_W, gy = idx // GRID_W), and the statistic is the
+    exact undirected count of BB / BW / WW joins plus the margins
+    (n_tiles, n_black, w_pairs) that parameterize the free-sampling
+    null — the surface from which the z-scores of esda.Join_Counts
+    derive as pure functions.
+
+    Scale shape: identical to the Moran family — ONE fused Arrow pass
+    computes the tile floor-mean, each site explodes into five slim
+    (b, grid-key) rows, and a single groupBy on the grid key recovers
+    per-site (b, k_nb, nb_black).  Directed counts fold per-site:
+    BB = Σ b·nb_black, WW = Σ (1-b)·(k_nb - nb_black), BW = the rest;
+    every count is even (joins are symmetric), so the undirected
+    statistic is the exact half.  No pair join, no pixel shuffle."""
+    from ..constants import GRID_W
+    from ..functions.codecs import pixel_mean
+    from .georegister import image_idx
+
+    idx = image_idx()
+    gx = (idx % GRID_W).cast("long")
+    gy = F.floor(idx / GRID_W).cast("long")
+    b = (
+        F.floor(pixel_mean(F.col("bytes"), F.col("w"), F.col("h"), F.col("fmt")))
+        >= JOIN_COUNT_THRESH
+    ).cast("long")
+
+    def _p(tag: int, x, y):
+        return F.struct(F.lit(tag).alias("tag"), x.alias("gx"), y.alias("gy"))
+
+    ex = tiles.select(
+        b.alias("b"),
+        F.explode(
+            F.array(
+                _p(0, gx, gy),
+                _p(1, gx + 1, gy),
+                _p(1, gx - 1, gy),
+                _p(1, gx, gy + 1),
+                _p(1, gx, gy - 1),
+            )
+        ).alias("p"),
+    ).select("b", "p.tag", "p.gx", "p.gy")
+
+    site = (
+        ex.groupBy("gx", "gy")
+        .agg(
+            F.max(F.when(F.col("tag") == 0, F.col("b"))).alias("b"),
+            F.sum(F.when(F.col("tag") == 1, 1).otherwise(0)).alias("k_all"),
+            F.sum(F.when(F.col("tag") == 1, F.col("b")).otherwise(0)).alias(
+                "nb_black_all"
+            ),
+        )
+        # cells with no site row are phantom neighbours; drop them, and
+        # k_all/nb_black_all already count only probes from real tiles
+        .where(F.col("b").isNotNull())
+    )
+    # k_all counts probes ARRIVING here from real neighbours == number of
+    # existing rook neighbours (the lattice is symmetric), so no second
+    # existence join is needed.
+    bb_dir = F.sum(F.col("b") * F.col("nb_black_all"))
+    ww_dir = F.sum((1 - F.col("b")) * (F.col("k_all") - F.col("nb_black_all")))
+    return site.agg(
+        F.count("*").alias("n_tiles"),
+        F.sum("b").alias("n_black"),
+        (F.sum("k_all") / 2).cast("long").alias("w_pairs"),
+        (bb_dir / 2).cast("long").alias("bb"),
+        (ww_dir / 2).cast("long").alias("ww"),
+        ((F.sum("k_all") - bb_dir - ww_dir) / 2).cast("long").alias("bw"),
+    )

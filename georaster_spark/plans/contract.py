@@ -5260,6 +5260,8 @@ def spatial_queries() -> dict[str, QueryFn]:
         "gap_fill": q_gap_fill,
         "laplacian_residual": q_laplacian,
         "k_core": q_k_core,
+        "mu_law_census": q_mu_law,
+        "join_counts": q_join_counts,
     })
 
 
@@ -5575,6 +5577,8 @@ def spatial_oracles(sf: str = "sf0.01") -> dict[str, str]:
         "gap_fill": _sql_gap_fill(),
         "laplacian_residual": _sql_laplacian(fx, w),
         "k_core": _sql_k_core(),
+        "mu_law_census": _sql_mu_law(fx),
+        "join_counts": _sql_join_counts(fx, w),
     })
 
 
@@ -11725,4 +11729,121 @@ SELECT h.zone_id,
        CAST(SUM(p.x + p.y) AS BIGINT) AS hull_xy_sum
 FROM hull h JOIN pts p ON p.zone_id = h.zone_id AND p.k = h.pk
 GROUP BY h.zone_id ORDER BY h.zone_id
+"""
+
+
+def q_mu_law(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """G.711 µ-law companding round-trip census
+    (multimodal.mu_law_census): segment/mantissa encode of the pcm16
+    clips, mid-riser decode, exact L1/L∞ round-trip error."""
+    from ..operators import multimodal as mm
+
+    clips = mm.synth_audio_media(_images(spark, sf_dir).where(geo.image_idx() < 1200))
+    return (
+        mm.mu_law_census(clips)
+        .repartition(1).sortWithinPartitions("media_id")
+    )
+
+
+def _sql_mu_law(fx: Path) -> str:
+    img = str(fx / "images.parquet")
+    return f"""
+WITH img AS (
+  SELECT image_id, CAST(substr(image_id, 4, 10) AS BIGINT) AS idx
+  FROM read_parquet('{img}')
+  WHERE CAST(substr(image_id, 4, 10) AS BIGINT) < 1200
+),
+samp AS (
+  SELECT image_id AS media_id, t.t AS t,
+         ((idx * 31 + t.t * 17) % 65536) - 32768 AS s
+  FROM img, generate_series(0, 3583) AS t(t)
+  WHERE t.t < 2048 + (idx % 7) * 256
+),
+enc AS (
+  SELECT media_id, t, s,
+         CASE WHEN s < 0 THEN 1 ELSE 0 END AS sign,
+         least(abs(s), 32635) + 132 AS m
+  FROM samp
+),
+seg AS (
+  SELECT *,
+         CASE WHEN m >= 16384 THEN 7 WHEN m >= 8192 THEN 6
+              WHEN m >= 4096 THEN 5 WHEN m >= 2048 THEN 4
+              WHEN m >= 1024 THEN 3 WHEN m >= 512 THEN 2
+              WHEN m >= 256 THEN 1 ELSE 0 END AS sg
+  FROM enc
+),
+cw AS (
+  SELECT media_id, t, s, sign, sg, (m >> (sg + 3)) & 15 AS mant
+  FROM seg
+),
+rt AS (
+  SELECT media_id, t, s,
+         sign * 128 + sg * 16 + mant AS code,
+         CASE WHEN sign = 1 THEN -(((mant + 16) << (sg + 3)) + (1 << (sg + 2)) - 132)
+              ELSE ((mant + 16) << (sg + 3)) + (1 << (sg + 2)) - 132 END AS shat
+  FROM cw
+)
+SELECT media_id,
+       CAST(COUNT(*) AS BIGINT) AS n,
+       CAST(SUM(code) AS BIGINT) AS code_sum,
+       CAST(SUM(code * (t + 1)) AS BIGINT) AS code_checksum,
+       CAST(SUM(abs(s - shat)) AS BIGINT) AS err_abs_sum,
+       CAST(MAX(abs(s - shat)) AS BIGINT) AS err_max
+FROM rt GROUP BY media_id ORDER BY media_id
+"""
+
+
+def q_join_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cliff-Ord binary join-count statistics over the ingest lattice
+    (raster_stats.join_count_stats): exact undirected BB/BW/WW counts
+    with the free-sampling margins, single-decode five-row explode."""
+    from ..operators import raster_stats as rs
+
+    return rs.join_count_stats(geo.georegister(_images(spark, sf_dir)))
+
+
+def _sql_join_counts(fx: Path, w: int) -> str:
+    from ..constants import GRID_W
+    from ..operators.raster_stats import JOIN_COUNT_THRESH
+
+    v = osql.ramp_value_expr("gi.i", "gj.j")
+    return f"""
+WITH img AS (
+  SELECT CAST(substr(image_id, 4, 10) AS BIGINT) AS idx, w, h, fmt
+  FROM read_parquet('{fx / 'images.parquet'}')
+),
+m AS MATERIALIZED (
+  SELECT idx, idx % {GRID_W} AS gx, idx // {GRID_W} AS gy,
+         SUM(CAST({v} AS BIGINT)) // (ANY_VALUE(w) * ANY_VALUE(h)) AS m
+  FROM img AS tiles_src,
+       generate_series(0, {w - 1}) AS gi(i), generate_series(0, {w - 1}) AS gj(j)
+  GROUP BY idx, gx, gy
+),
+tiles AS (
+  SELECT gx, gy, CASE WHEN m >= {JOIN_COUNT_THRESH} THEN 1 ELSE 0 END AS b FROM m
+),
+pairs AS (
+  SELECT a.b AS b_i, b.b AS b_j FROM tiles a JOIN tiles b
+    ON b.gx = a.gx + 1 AND b.gy = a.gy
+  UNION ALL
+  SELECT a.b, b.b FROM tiles a JOIN tiles b ON b.gx = a.gx - 1 AND b.gy = a.gy
+  UNION ALL
+  SELECT a.b, b.b FROM tiles a JOIN tiles b ON b.gx = a.gx AND b.gy = a.gy + 1
+  UNION ALL
+  SELECT a.b, b.b FROM tiles a JOIN tiles b ON b.gx = a.gx AND b.gy = a.gy - 1
+),
+base AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS n_tiles,
+         CAST(SUM(b) AS BIGINT) AS n_black
+  FROM tiles
+),
+pagg AS (
+  SELECT CAST(COUNT(*) // 2 AS BIGINT) AS w_pairs,
+         CAST(SUM(b_i * b_j) // 2 AS BIGINT) AS bb,
+         CAST(SUM((1 - b_i) * (1 - b_j)) // 2 AS BIGINT) AS ww,
+         CAST(SUM(b_i + b_j - 2 * b_i * b_j) // 2 AS BIGINT) AS bw
+  FROM pairs
+)
+SELECT * FROM base, pagg
 """
