@@ -6079,3 +6079,189 @@ FROM win JOIN part ON l_partkey = p_partkey
 WHERE cost_ppk = min_cost AND p_type = '{Q2_TYPE}'
 ORDER BY p_partkey, suppkey
 """
+
+
+# --- Gorilla timestamp compression census ----------------------------------------------------
+
+GORILLA_BUCKETS = (  # (|D| bound as closed interval [lo, hi], encoded bits) — Pelkonen 2015 §4.1.1
+    (0, 0, 1),          # '0'
+    (-63, 64, 9),       # '10'  + 7
+    (-255, 256, 12),    # '110' + 9
+    (-2047, 2048, 16),  # '1110'+ 12
+)
+GORILLA_ELSE_BITS = 36  # '1111' + 32
+
+
+def gorilla_size(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gorilla delta-of-delta timestamp compression census (Pelkonen et
+    al., VLDB 2015 §4.1.1 — the encoding behind every modern TSDB's
+    timestamp stream): per user, events ordered by (ts, event_id), the
+    microsecond delta-of-delta D = (t_n - t_{n-1}) - (t_{n-1} - t_{n-2})
+    classified into the paper's variable-length buckets
+    {1, 9, 12, 16, 36} bits, plus the exact total stream size with a
+    64-bit header per first/second timestamp.  Everything is int64
+    arithmetic on unix_micros — no float ever enters the plan.
+
+    Scale shape: ONE shuffle (window partitioned by user_id) + a
+    groupBy on the same key Catalyst collapses into the sorted
+    partition; all expressions whole-stage-codegen'd CASE ladders."""
+    ev = _t(spark, sf_dir, "events").select(
+        "user_id", F.unix_micros(F.col("ts").cast("timestamp")).alias("t"), "event_id"
+    )
+    w = Window.partitionBy("user_id").orderBy("t", "event_id")
+    d = ev.withColumn("dt", F.col("t") - F.lag("t", 1).over(w)).withColumn(
+        "dd", F.col("dt") - F.lag("dt", 1).over(w)
+    )
+    arms = F.when(F.col("dd").isNull(), F.lit(None).cast("long"))
+    for lo, hi, bits in GORILLA_BUCKETS:
+        arms = arms.when((F.col("dd") >= lo) & (F.col("dd") <= hi), bits)
+    d = d.withColumn("bits", arms.otherwise(GORILLA_ELSE_BITS))
+    return (
+        d.groupBy("user_id")
+        .agg(
+            F.count("*").alias("n_events"),
+            (
+                F.lit(64) * F.least(F.count("*"), F.lit(2))
+                + F.coalesce(F.sum("bits"), F.lit(0))
+            ).alias("bits_total"),
+            F.sum(F.when(F.col("bits") == 1, 1).otherwise(0)).alias("n_b1"),
+            F.sum(F.when(F.col("bits") == 9, 1).otherwise(0)).alias("n_b9"),
+            F.sum(F.when(F.col("bits") == 12, 1).otherwise(0)).alias("n_b12"),
+            F.sum(F.when(F.col("bits") == 16, 1).otherwise(0)).alias("n_b16"),
+            F.sum(F.when(F.col("bits") == 36, 1).otherwise(0)).alias("n_b36"),
+            F.coalesce(F.sum(F.abs("dd")), F.lit(0)).alias("abs_dd_sum"),
+        )
+        .repartition(1)
+        .sortWithinPartitions("user_id")
+    )
+
+
+def gorilla_size_sql() -> str:
+    arms = " ".join(
+        f"WHEN dd >= {lo} AND dd <= {hi} THEN {bits}"
+        for lo, hi, bits in GORILLA_BUCKETS
+    )
+    return f"""
+WITH d AS (
+  SELECT user_id, epoch_us(ts) AS t, event_id,
+         epoch_us(ts) - lag(epoch_us(ts))
+           OVER (PARTITION BY user_id ORDER BY epoch_us(ts), event_id) AS dt
+  FROM events
+),
+dd AS (
+  SELECT user_id,
+         dt - lag(dt) OVER (PARTITION BY user_id ORDER BY t, event_id) AS dd
+  FROM d
+),
+bits AS (
+  SELECT user_id, dd,
+         CASE WHEN dd IS NULL THEN NULL {arms}
+              ELSE {GORILLA_ELSE_BITS} END AS bits
+  FROM dd
+)
+SELECT user_id,
+       CAST(COUNT(*) AS BIGINT) AS n_events,
+       CAST(64 * least(COUNT(*), 2) + COALESCE(SUM(bits), 0) AS BIGINT) AS bits_total,
+       CAST(SUM(CASE WHEN bits = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_b1,
+       CAST(SUM(CASE WHEN bits = 9 THEN 1 ELSE 0 END) AS BIGINT) AS n_b9,
+       CAST(SUM(CASE WHEN bits = 12 THEN 1 ELSE 0 END) AS BIGINT) AS n_b12,
+       CAST(SUM(CASE WHEN bits = 16 THEN 1 ELSE 0 END) AS BIGINT) AS n_b16,
+       CAST(SUM(CASE WHEN bits = 36 THEN 1 ELSE 0 END) AS BIGINT) AS n_b36,
+       CAST(COALESCE(SUM(abs(dd)), 0) AS BIGINT) AS abs_dd_sum
+FROM bits GROUP BY user_id ORDER BY user_id
+"""
+
+
+# --- Bollinger band breakouts (integer-exact) -------------------------------------------------
+
+BOLL_WIN = 20    # trailing window length (days present in the series)
+BOLL_C2 = 4      # c^2 for the +/- 2 sigma band
+BOLL_UNIT = 10_000  # band-test series unit: $100 in cents (quantization floor)
+
+
+def bollinger_breakouts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bollinger-band breakout detection over the daily order-revenue
+    series, held integer-exact: with the trailing window's cent-exact
+    sums S = Σy, Q = Σy², the ±2σ breakout test
+
+        z² > c²  ⟺  (k·y − S)² > c² · (k·Q − S²)
+
+    never forms a float mean or stddev — the classification that a
+    quant backtest needs is decided in int64.  The test series is the
+    daily revenue quantized to BOLL_UNIT ($100) floors and centered on
+    its global integer-floor mean (the test is shift-invariant, and a
+    $100 quantum is noise against ~$1.5M daily levels): |y| stays
+    ≲3e4 at sf0.01, so k·Q and S² keep ~8 decimal orders of headroom
+    under 2^63 — ANSI mode overflowed on raw cents at sf0.01 already,
+    and exactness beats resolution here.  Emits per day the
+    revenue, the scaled deviation k·y − S, the variance numerator
+    k·Q − S², and the breakout state (+1 above, −1 below, 0 inside),
+    only for days with a full k = BOLL_WIN trailing window.
+
+    Scale shape: one groupBy(day) shuffle builds the series, a scalar
+    broadcast carries the global baseline, then a single rows-frame
+    window over the date order — at production scale the series is tiny
+    relative to the fact table, so the window runs on an
+    already-collapsed aggregate."""
+    o = _t(spark, sf_dir, "orders").select(
+        F.to_date("o_orderdate").alias("d"), cents(F.col("o_totalprice")).alias("c")
+    )
+    day = o.groupBy("d").agg(F.sum("c").alias("rev_c")).withColumn(
+        "rq", F.expr("div(rev_c, 10000)")
+    )
+    base = day.agg(
+        F.expr("div(sum(rq), count(*))").alias("b")
+    )
+    w = Window.orderBy("d").rowsBetween(-BOLL_WIN, -1)
+    t = (
+        day.join(F.broadcast(base))
+        .withColumn("y", F.col("rq") - F.col("b"))
+        .withColumn("k", F.count("y").over(w))
+        .withColumn("s", F.sum("y").over(w))
+        .withColumn("q", F.sum(F.col("y") * F.col("y")).over(w))
+        .where(F.col("k") == BOLL_WIN)
+    )
+    dev = F.col("k") * F.col("y") - F.col("s")
+    varn = F.col("k") * F.col("q") - F.col("s") * F.col("s")
+    return (
+        t.select(
+            F.date_format("d", "yyyy-MM-dd").alias("day"),
+            "rev_c",
+            dev.alias("dev_num"),
+            varn.alias("var_num"),
+            F.when((dev * dev > BOLL_C2 * varn) & (dev > 0), 1)
+            .when((dev * dev > BOLL_C2 * varn) & (dev < 0), -1)
+            .otherwise(0)
+            .alias("breakout"),
+        )
+        .repartition(1)
+        .sortWithinPartitions("day")
+    )
+
+
+def bollinger_breakouts_sql() -> str:
+    return f"""
+WITH day AS (
+  SELECT CAST(o_orderdate AS DATE) AS d,
+         SUM(CAST(round(o_totalprice * 100) AS BIGINT)) AS rev_c
+  FROM orders GROUP BY d
+),
+dayq AS (SELECT d, rev_c, rev_c // {BOLL_UNIT} AS rq FROM day),
+base AS (SELECT SUM(rq) // COUNT(*) AS b FROM dayq),
+t AS (
+  SELECT d, rev_c, rq - b AS y,
+         COUNT(rq) OVER w AS k,
+         SUM(rq - b) OVER w AS s,
+         SUM((rq - b) * (rq - b)) OVER w AS q
+  FROM dayq, base
+  WINDOW w AS (ORDER BY d ROWS BETWEEN {BOLL_WIN} PRECEDING AND 1 PRECEDING)
+)
+SELECT strftime(d, '%Y-%m-%d') AS day,
+       CAST(rev_c AS BIGINT) AS rev_c,
+       CAST(k * y - s AS BIGINT) AS dev_num,
+       CAST(k * q - s * s AS BIGINT) AS var_num,
+       CAST(CASE WHEN (k*y - s)*(k*y - s) > {BOLL_C2}*(k*q - s*s)
+                 THEN CASE WHEN k*y - s > 0 THEN 1 ELSE -1 END
+                 ELSE 0 END AS INT) AS breakout
+FROM t WHERE k = {BOLL_WIN} ORDER BY day
+"""

@@ -5262,6 +5262,8 @@ def spatial_queries() -> dict[str, QueryFn]:
         "k_core": q_k_core,
         "mu_law_census": q_mu_law,
         "join_counts": q_join_counts,
+        "gorilla_size": rel.gorilla_size,
+        "bollinger_breakouts": rel.bollinger_breakouts,
     })
 
 
@@ -5579,6 +5581,8 @@ def spatial_oracles(sf: str = "sf0.01") -> dict[str, str]:
         "k_core": _sql_k_core(),
         "mu_law_census": _sql_mu_law(fx),
         "join_counts": _sql_join_counts(fx, w),
+        "gorilla_size": rel.gorilla_size_sql(),
+        "bollinger_breakouts": rel.bollinger_breakouts_sql(),
     })
 
 
