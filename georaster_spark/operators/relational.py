@@ -6265,3 +6265,148 @@ SELECT strftime(d, '%Y-%m-%d') AS day,
                  ELSE 0 END AS INT) AS breakout
 FROM t WHERE k = {BOLL_WIN} ORDER BY day
 """
+
+
+# --- HyperLogLog register census --------------------------------------------------------------
+
+HLL_P = 6                    # 2^6 = 64 registers
+HLL_M = 1 << HLL_P
+HLL_WBITS = 40 - HLL_P       # 34-bit suffix feeds the rank
+
+
+def hll_registers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HyperLogLog register census (Flajolet et al. 2007 — the sketch
+    behind approx_count_distinct): every doc_id hashes to the shared
+    40-bit md5 prefix h40, the top HLL_P bits pick a register, and the
+    register value is the max rank (leading zeros of the 34-bit suffix
+    + 1; an all-zero suffix ranks 35).  Emitting the exact integer
+    REGISTERS — not the float harmonic-mean estimate — keeps the whole
+    surface int64; the estimate is a pure function of them, and
+    pow2_sum = Σ 2^(35−reg) is the estimate's denominator numerator
+    over the common 2^35 denominator, still exact.
+
+    Rank arithmetic is engine-portable: floor(log2(w)) =
+    length(bin(w)) − 1 in both Spark and DuckDB (bin() is unpadded in
+    both), so rank = 35 − length(bin(w)).
+
+    Scale shape: map-only hash + ONE 64-group partial+final agg — the
+    exact shape a distributed HLL union takes at 10¹² rows; no row
+    ever carries more than (bucket, rank)."""
+    from .textops import h40
+
+    d = _t(spark, sf_dir, "documents").select(
+        h40(F.col("doc_id").cast("string")).alias("hv")
+    )
+    w = F.col("hv") % (1 << HLL_WBITS)
+    rank = F.when(w == 0, HLL_WBITS + 1).otherwise(
+        F.lit(HLL_WBITS + 1) - F.length(F.bin(w))
+    )
+    reg = d.select(
+        F.shiftright(F.col("hv"), HLL_WBITS).alias("bucket"), rank.alias("rank")
+    )
+    return (
+        reg.groupBy("bucket")
+        .agg(
+            F.max("rank").cast("long").alias("register"),
+            F.count("*").alias("n_items"),
+        )
+        .select(
+            "bucket",
+            "register",
+            "n_items",
+            F.pow(F.lit(2.0), F.lit(HLL_WBITS + 1).cast("double") - F.col("register"))
+            .cast("long")
+            .alias("pow2_term"),
+        )
+        .repartition(1)
+        .sortWithinPartitions("bucket")
+    )
+
+
+def hll_registers_sql() -> str:
+    h = "CAST('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 10) AS BIGINT)"
+    return f"""
+WITH hs AS (SELECT {h} AS hv FROM documents),
+reg AS (
+  SELECT hv >> {HLL_WBITS} AS bucket,
+         CASE WHEN hv % {1 << HLL_WBITS} = 0 THEN {HLL_WBITS + 1}
+              ELSE {HLL_WBITS + 1} - length(bin(hv % {1 << HLL_WBITS})) END AS rank
+  FROM hs
+)
+SELECT CAST(bucket AS BIGINT) AS bucket,
+       CAST(MAX(rank) AS BIGINT) AS register,
+       CAST(COUNT(*) AS BIGINT) AS n_items,
+       CAST(pow(2, {HLL_WBITS + 1} - MAX(rank)) AS BIGINT) AS pow2_term
+FROM reg GROUP BY bucket ORDER BY bucket
+"""
+
+
+# --- Luhn check-digit audit --------------------------------------------------------------------
+
+LUHN_MULT = 982_451_653      # prime mixer for the synthetic account number
+LUHN_DIGITS = 12
+
+
+def luhn_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Luhn mod-10 check-digit audit (ISO/IEC 7812 — the validity scan
+    a payments/PII pipeline runs over card-shaped columns): each order
+    synthesizes the deterministic 12-digit account number
+    acct = (o_orderkey·LUHN_MULT + o_custkey) mod 10¹², and the audit
+    counts Luhn-valid numbers per order priority.  The doubled-digit
+    sum is a statically unrolled 12-term integer expression — fully
+    whole-stage-codegen'd, no UDF, no explode.
+
+    Scale shape: map-only digit arithmetic + one tiny groupBy(priority)
+    partial+final agg."""
+    o = _t(spark, sf_dir, "orders").select(
+        "o_orderpriority",
+        (
+            (F.col("o_orderkey") * LUHN_MULT + F.col("o_custkey"))
+            % (10 ** LUHN_DIGITS)
+        ).alias("acct"),
+    )
+    total = F.lit(0)
+    for i in range(LUHN_DIGITS):
+        d = F.expr(f"div(acct, {10 ** i})") % 10  # exact integer division
+        if i % 2 == 1:  # double every second digit from the rightmost
+            dd = d * 2
+            term = F.when(dd > 9, dd - 9).otherwise(dd)
+        else:
+            term = d
+        total = total + term
+    a = o.withColumn("luhn_ok", (total % 10 == 0).cast("long"))
+    return (
+        a.groupBy("o_orderpriority")
+        .agg(
+            F.count("*").alias("n"),
+            F.sum("luhn_ok").alias("n_valid"),
+            F.sum(F.col("acct") % 10).alias("check_digit_sum"),
+        )
+        .repartition(1)
+        .sortWithinPartitions("o_orderpriority")
+    )
+
+
+def luhn_audit_sql() -> str:
+    terms = []
+    for i in range(LUHN_DIGITS):
+        d = f"(acct // {10 ** i}) % 10"
+        if i % 2 == 1:
+            terms.append(
+                f"CASE WHEN ({d}) * 2 > 9 THEN ({d}) * 2 - 9 ELSE ({d}) * 2 END"
+            )
+        else:
+            terms.append(f"({d})")
+    s = " + ".join(terms)
+    return f"""
+WITH a AS (
+  SELECT o_orderpriority,
+         (o_orderkey * {LUHN_MULT} + o_custkey) % {10 ** LUHN_DIGITS} AS acct
+  FROM orders
+)
+SELECT o_orderpriority,
+       CAST(COUNT(*) AS BIGINT) AS n,
+       CAST(SUM(CASE WHEN ({s}) % 10 = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_valid,
+       CAST(SUM(acct % 10) AS BIGINT) AS check_digit_sum
+FROM a GROUP BY o_orderpriority ORDER BY o_orderpriority
+"""

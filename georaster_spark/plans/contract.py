@@ -5264,6 +5264,8 @@ def spatial_queries() -> dict[str, QueryFn]:
         "join_counts": q_join_counts,
         "gorilla_size": rel.gorilla_size,
         "bollinger_breakouts": rel.bollinger_breakouts,
+        "hll_registers": rel.hll_registers,
+        "luhn_audit": rel.luhn_audit,
     })
 
 
@@ -5583,6 +5585,8 @@ def spatial_oracles(sf: str = "sf0.01") -> dict[str, str]:
         "join_counts": _sql_join_counts(fx, w),
         "gorilla_size": rel.gorilla_size_sql(),
         "bollinger_breakouts": rel.bollinger_breakouts_sql(),
+        "hll_registers": rel.hll_registers_sql(),
+        "luhn_audit": rel.luhn_audit_sql(),
     })
 
 
