@@ -4355,3 +4355,82 @@ def int_transform_stats(tiles: DataFrame) -> DataFrame:
             "sum_ac_abs long, max_ac_abs long, coef_checksum long"
         ),
     )
+
+
+def cdf53_census(tiles: DataFrame) -> DataFrame:
+    """One-level 2D CDF 5/3 integer lifting wavelet census (the
+    reversible transform of JPEG 2000 lossless, ITU-T T.800 / Le Gall
+    5/3): per tile, the exact integer subband coefficients after
+    row-then-column lifting with whole-point symmetric extension
+    (x[-1] ≡ x[1], x[N] ≡ x[N-2]):
+
+        d[k] = x[2k+1] − ⌊(x[2k] + x[2k+2]) / 2⌋         (predict)
+        s[k] = x[2k]   + ⌊(d[k−1] + d[k] + 2) / 4⌋        (update)
+
+    Floors of negative values are arithmetic shifts (>>) in NumPy and
+    floor(x/2.0) in the DuckDB twin (DuckDB's integer // truncates —
+    the signed-division hazard SURVEY §7.6 catalogues).  Emits per tile and subband
+    (LL, LH, HL, HH — vertical smooth/detail of the horizontal
+    smooth/detail): coefficient count, exact sum, L1 energy, and the
+    position-weighted checksum.
+
+    Scale shape: map-only fused Arrow pass — decode + both lifting
+    directions vectorized across the whole tile batch; 16 slim rows
+    out per 4 tiles, pixels never shuffle."""
+    slim = tiles.select("image_id", "bytes", "w", "h", "fmt")
+    dt = {"raw": np.uint8, "qnt": np.uint8, "raw16": "<u2"}
+
+    def _lift_rows(t: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
+        """5/3 lifting along axis 1 of (b, n, m) int64 arrays."""
+        e, o = t[:, 0::2, :], t[:, 1::2, :]
+        en = np.concatenate([e[:, 1:, :], e[:, -1:, :]], axis=1)
+        d = o - ((e + en) >> 1)
+        dp = np.concatenate([d[:, :1, :], d[:, :-1, :]], axis=1)
+        s = e + ((dp + d + 2) >> 2)
+        return s, d
+
+    def gen(batches):
+        for pdf in batches:
+            ids, bands, ns, sums, l1s, cks = [], [], [], [], [], []
+            groups: dict[tuple, list[int]] = {}
+            for r in range(len(pdf)):
+                key = (int(pdf["w"].iat[r]), int(pdf["h"].iat[r]), pdf["fmt"].iat[r])
+                groups.setdefault(key, []).append(r)
+            for (w, h, fmt), idx in groups.items():
+                z = (
+                    np.frombuffer(
+                        b"".join(pdf["bytes"].iat[r] for r in idx), dtype=dt[fmt]
+                    )
+                    .reshape(len(idx), h, w)
+                    .astype(np.int64)
+                )
+                # horizontal lifting along j: transpose so axis 1 = j
+                s, d = _lift_rows(z.transpose(0, 2, 1))
+                s, d = s.transpose(0, 2, 1), d.transpose(0, 2, 1)  # (b, h, w/2)
+                ll, lh = _lift_rows(s)   # vertical smooth/detail of s
+                hl, hh = _lift_rows(d)   # vertical smooth/detail of d
+                for band, v in (("LL", ll), ("LH", lh), ("HL", hl), ("HH", hh)):
+                    b, m, k = v.shape
+                    t = (np.arange(m * k, dtype=np.int64) + 1).reshape(m, k)
+                    ids.extend(pdf["image_id"].iat[r] for r in idx)
+                    bands.extend([band] * b)
+                    ns.extend([m * k] * b)
+                    sums.extend(v.sum(axis=(1, 2)).tolist())
+                    l1s.extend(np.abs(v).sum(axis=(1, 2)).tolist())
+                    cks.extend(np.einsum("nij,ij->n", v, t).tolist())
+            yield pd.DataFrame(
+                {
+                    "image_id": ids,
+                    "band": bands,
+                    "n_coef": np.asarray(ns, dtype=np.int64),
+                    "coef_sum": np.asarray(sums, dtype=np.int64),
+                    "l1_energy": np.asarray(l1s, dtype=np.int64),
+                    "checksum": np.asarray(cks, dtype=np.int64),
+                }
+            )
+
+    schema = (
+        "image_id string, band string, n_coef long, coef_sum long, "
+        "l1_energy long, checksum long"
+    )
+    return slim.mapInPandas(gen, schema=schema)

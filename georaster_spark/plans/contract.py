@@ -5266,6 +5266,7 @@ def spatial_queries() -> dict[str, QueryFn]:
         "bollinger_breakouts": rel.bollinger_breakouts,
         "hll_registers": rel.hll_registers,
         "luhn_audit": rel.luhn_audit,
+        "cdf53_wavelet": q_cdf53,
     })
 
 
@@ -5587,6 +5588,7 @@ def spatial_oracles(sf: str = "sf0.01") -> dict[str, str]:
         "bollinger_breakouts": rel.bollinger_breakouts_sql(),
         "hll_registers": rel.hll_registers_sql(),
         "luhn_audit": rel.luhn_audit_sql(),
+        "cdf53_wavelet": _sql_cdf53(fx, w),
     })
 
 
@@ -11854,4 +11856,91 @@ pagg AS (
   FROM pairs
 )
 SELECT * FROM base, pagg
+"""
+
+
+_CDF53_MOD = 149
+
+
+def q_cdf53(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CDF 5/3 integer lifting wavelet census (algebra.cdf53_census —
+    the JPEG 2000 lossless transform): exact subband sums / L1 energy /
+    checksums; oracle replays both lifting directions as closed-form
+    joins over the ramp pixels."""
+    from ..operators import algebra
+
+    tiles = geo.georegister(_images(spark, sf_dir)).where(
+        geo.image_idx() % _CDF53_MOD == 0
+    )
+    return (
+        algebra.cdf53_census(tiles)
+        .repartition(1).sortWithinPartitions("image_id", "band")
+    )
+
+
+def _sql_cdf53(fx: Path, w: int) -> str:
+    h, K = w, w // 2
+    v_ek = osql.ramp_value_expr("gi.i", "2 * gk.k")        # x[i, 2k]
+    v_ok = osql.ramp_value_expr("gi.i", "2 * gk.k + 1")    # x[i, 2k+1]
+    v_en = osql.ramp_value_expr("gi.i", f"least(2 * gk.k + 2, {w - 2})")
+    return f"""
+WITH {osql.georegister_cte(str(fx / 'images.parquet'))},
+sel AS (SELECT image_id, idx, fmt FROM tiles WHERE idx % {_CDF53_MOD} = 0),
+rd AS (  -- horizontal detail d(i,k)
+  SELECT image_id, gi.i AS i, gk.k AS k,
+         CAST({v_ok} AS BIGINT)
+           - CAST(floor((CAST({v_ek} AS BIGINT) + CAST({v_en} AS BIGINT)) / 2.0) AS BIGINT) AS d,
+         CAST({v_ek} AS BIGINT) AS xe
+  FROM sel,
+       generate_series(0, {h - 1}) AS gi(i), generate_series(0, {K - 1}) AS gk(k)
+),
+rs AS (  -- horizontal smooth s(i,k)
+  SELECT a.image_id, a.i, a.k, a.xe + CAST(floor((p.d + a.d + 2) / 4.0) AS BIGINT) AS s
+  FROM rd a JOIN rd p ON p.image_id = a.image_id AND p.i = a.i
+                     AND p.k = greatest(a.k - 1, 0)
+),
+vds AS (  -- vertical detail of s -> LH
+  SELECT a.image_id, (a.i - 1) // 2 AS m, a.k, a.s - CAST(floor((b.s + c.s) / 2.0) AS BIGINT) AS v
+  FROM rs a
+  JOIN rs b ON b.image_id = a.image_id AND b.k = a.k AND b.i = a.i - 1
+  JOIN rs c ON c.image_id = a.image_id AND c.k = a.k
+           AND c.i = least(a.i + 1, {h - 2})
+  WHERE a.i % 2 = 1
+),
+vss AS (  -- vertical smooth of s -> LL
+  SELECT e.image_id, e.i // 2 AS m, e.k, e.s + CAST(floor((p.v + q.v + 2) / 4.0) AS BIGINT) AS v
+  FROM rs e
+  JOIN vds q ON q.image_id = e.image_id AND q.k = e.k AND q.m = e.i // 2
+  JOIN vds p ON p.image_id = e.image_id AND p.k = e.k
+            AND p.m = greatest(e.i // 2 - 1, 0)
+  WHERE e.i % 2 = 0
+),
+vdd AS (  -- vertical detail of d -> HH
+  SELECT a.image_id, (a.i - 1) // 2 AS m, a.k, a.d - CAST(floor((b.d + c.d) / 2.0) AS BIGINT) AS v
+  FROM rd a
+  JOIN rd b ON b.image_id = a.image_id AND b.k = a.k AND b.i = a.i - 1
+  JOIN rd c ON c.image_id = a.image_id AND c.k = a.k
+           AND c.i = least(a.i + 1, {h - 2})
+  WHERE a.i % 2 = 1
+),
+vsd AS (  -- vertical smooth of d -> HL
+  SELECT e.image_id, e.i // 2 AS m, e.k, e.d + CAST(floor((p.v + q.v + 2) / 4.0) AS BIGINT) AS v
+  FROM rd e
+  JOIN vdd q ON q.image_id = e.image_id AND q.k = e.k AND q.m = e.i // 2
+  JOIN vdd p ON p.image_id = e.image_id AND p.k = e.k
+            AND p.m = greatest(e.i // 2 - 1, 0)
+  WHERE e.i % 2 = 0
+),
+u AS (
+  SELECT image_id, 'LL' AS band, m, k, v FROM vss
+  UNION ALL SELECT image_id, 'LH', m, k, v FROM vds
+  UNION ALL SELECT image_id, 'HL', m, k, v FROM vsd
+  UNION ALL SELECT image_id, 'HH', m, k, v FROM vdd
+)
+SELECT image_id, band,
+       CAST(COUNT(*) AS BIGINT) AS n_coef,
+       CAST(SUM(v) AS BIGINT) AS coef_sum,
+       CAST(SUM(abs(v)) AS BIGINT) AS l1_energy,
+       CAST(SUM(v * (m * {K} + k + 1)) AS BIGINT) AS checksum
+FROM u GROUP BY image_id, band ORDER BY image_id, band
 """
