@@ -990,3 +990,73 @@ def harmonic_centrality(
             F.count(F.lit(1)).alias("n_reached"),
         )
     )
+
+
+def boruvka_msf(edges: DataFrame, max_rounds: int = 40) -> DataFrame:
+    """Minimum spanning forest via Borůvka rounds (Borůvka 1926; the
+    standard MST algorithm for bulk-parallel frameworks because every
+    round is a pair of groupBy reductions): ``edges`` is (u, v, w) with
+    u < v and GLOBALLY DISTINCT weights (callers build w with a
+    unique-id tiebreak in the low digits), which makes the MSF unique
+    and every round deterministic.
+
+    Each round: (1) drop intra-component edges, (2) every component
+    picks its minimum incident edge — ONE groupBy(component).min over
+    the lexicographic (w, u, v) struct, (3) contract by recomputing
+    min-label connected components over all chosen edges.  Components
+    at least halve per round, so rounds <= ceil(log2 V) — the classic
+    O(log V) Borůvka bound; the loop asserts it.
+
+    Scale shape: per round, one broadcast-or-shuffle join of edges
+    against the (slim) component labels + one groupBy(comp) partial+
+    final min — edges never amplify, no pair explosion.  The chosen-
+    edge set is bounded by V-1 for the whole run, so the contraction
+    CC runs on a forest (converges in O(log V) label-prop rounds).
+    At 10^12 edges the weight-struct min is exactly the shape a
+    Pregel-style MSF takes; labels stay a slim broadcastable dim until
+    V itself is huge, at which point the same joins hash-partition."""
+    slim = edges.select("u", "v", "w").localCheckpoint(eager=True)
+    verts = (
+        slim.select(F.col("u").alias("vid"))
+        .union(slim.select(F.col("v").alias("vid")))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    comp = verts.select("vid", F.col("vid").alias("component"))
+    chosen: DataFrame | None = None
+    for _ in range(max_rounds):
+        ca = comp.select(
+            F.col("vid").alias("u"), F.col("component").alias("cu")
+        )
+        cb = comp.select(
+            F.col("vid").alias("v"), F.col("component").alias("cv")
+        )
+        cross = (
+            slim.join(ca, "u").join(cb, "v").where(F.col("cu") != F.col("cv"))
+        )
+        ms = (
+            cross.select(F.col("cu").alias("c"), F.struct("w", "u", "v").alias("e"))
+            .union(
+                cross.select(F.col("cv").alias("c"), F.struct("w", "u", "v").alias("e"))
+            )
+            .groupBy("c")
+            .agg(F.min("e").alias("e"))
+            .select("e.u", "e.v", "e.w")
+            .distinct()
+        )
+        if ms.isEmpty():
+            break
+        chosen = ms if chosen is None else chosen.union(ms).distinct()
+        chosen = chosen.localCheckpoint(eager=True)
+        comp = connected_components(
+            chosen, verts, vertex_col="vid", src_col="u", dst_col="v"
+        ).localCheckpoint(eager=True)
+    else:
+        raise RuntimeError(f"boruvka_msf did not converge in {max_rounds} rounds")
+    if chosen is None:
+        return slim.where(F.lit(False)).select(
+            F.col("u").alias("za"), F.col("v").alias("zb"), F.col("w").alias("weight")
+        )
+    return chosen.select(
+        F.col("u").alias("za"), F.col("v").alias("zb"), F.col("w").alias("weight")
+    )

@@ -5267,6 +5267,7 @@ def spatial_queries() -> dict[str, QueryFn]:
         "hll_registers": rel.hll_registers,
         "luhn_audit": rel.luhn_audit,
         "cdf53_wavelet": q_cdf53,
+        "mst_boruvka": q_mst_boruvka,
     })
 
 
@@ -5589,6 +5590,7 @@ def spatial_oracles(sf: str = "sf0.01") -> dict[str, str]:
         "hll_registers": rel.hll_registers_sql(),
         "luhn_audit": rel.luhn_audit_sql(),
         "cdf53_wavelet": _sql_cdf53(fx, w),
+        "mst_boruvka": _sql_mst_boruvka(fx),
     })
 
 
@@ -11943,4 +11945,69 @@ SELECT image_id, band,
        CAST(SUM(abs(v)) AS BIGINT) AS l1_energy,
        CAST(SUM(v * (m * {K} + k + 1)) AS BIGINT) AS checksum
 FROM u GROUP BY image_id, band ORDER BY image_id, band
+"""
+
+
+MST_CUTOFF = 50_000  # L1 centroid-distance edge cutoff for the zone MSF graph
+
+
+def q_mst_boruvka(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Minimum spanning forest of the zone proximity graph
+    (graph.boruvka_msf): nodes = zones, edges = pairs with snapped-
+    centroid L1 distance <= MST_CUTOFF, weight = dist·10⁶ + za·10³ + zb
+    (globally distinct, so the MSF is unique).  The oracle decides each
+    edge by the definitional cycle property — u,v not connected through
+    strictly lighter edges — via one recursive closure over the
+    (edge, node) state space."""
+    z = _zones(spark, sf_dir).select(
+        "zone_id",
+        F.floor((F.col("xmin") + F.col("xmax")) / 2 + 0.5).cast("long").alias("cx"),
+        F.floor((F.col("ymin") + F.col("ymax")) / 2 + 0.5).cast("long").alias("cy"),
+    )
+    a = z.select(
+        F.col("zone_id").alias("u"), F.col("cx").alias("acx"), F.col("cy").alias("acy")
+    )
+    b = z.select(
+        F.col("zone_id").alias("v"), F.col("cx").alias("bcx"), F.col("cy").alias("bcy")
+    )
+    d = F.abs(F.col("acx") - F.col("bcx")) + F.abs(F.col("acy") - F.col("bcy"))
+    edges = (
+        a.join(b, F.col("v") > F.col("u"))
+        .where(d <= MST_CUTOFF)
+        .select(
+            "u", "v",
+            (d * 1_000_000 + F.col("u") * 1_000 + F.col("v")).alias("w"),
+        )
+    )
+    from ..operators.graph import boruvka_msf
+
+    return boruvka_msf(edges).repartition(1).sortWithinPartitions("za", "zb")
+
+
+def _sql_mst_boruvka(fx: Path) -> str:
+    zs = str(fx / "zones.parquet")
+    return f"""
+WITH RECURSIVE z AS (
+  SELECT zone_id,
+         CAST(floor((xmin + xmax) / 2 + 0.5) AS BIGINT) AS cx,
+         CAST(floor((ymin + ymax) / 2 + 0.5) AS BIGINT) AS cy
+  FROM read_parquet('{zs}')
+),
+e AS (
+  SELECT a.zone_id AS za, b.zone_id AS zb,
+         (abs(a.cx - b.cx) + abs(a.cy - b.cy)) * 1000000
+           + a.zone_id * 1000 + b.zone_id AS w
+  FROM z a JOIN z b ON b.zone_id > a.zone_id
+  WHERE abs(a.cx - b.cx) + abs(a.cy - b.cy) <= {MST_CUTOFF}
+),
+sym AS (SELECT za AS s, zb AS t, w FROM e UNION ALL SELECT zb, za, w FROM e),
+reach(eid, node, wcap) AS (
+  SELECT w, za, w FROM e
+  UNION
+  SELECT r.eid, s.t, r.wcap FROM reach r
+  JOIN sym s ON s.s = r.node AND s.w < r.wcap
+)
+SELECT e.za, e.zb, CAST(e.w AS BIGINT) AS weight FROM e
+WHERE NOT EXISTS (SELECT 1 FROM reach r WHERE r.eid = e.w AND r.node = e.zb)
+ORDER BY za, zb
 """
