@@ -1060,3 +1060,70 @@ def boruvka_msf(edges: DataFrame, max_rounds: int = 40) -> DataFrame:
     return chosen.select(
         F.col("u").alias("za"), F.col("v").alias("zb"), F.col("w").alias("weight")
     )
+
+
+def k_truss_rounds(edges: DataFrame, k: int, rounds: int) -> DataFrame:
+    """Bounded-round k-truss peeling (Cohen 2008 — the triangle-support
+    sibling of k-core, the standard cohesive-subgraph definition for
+    community cores): repeatedly drop edges in fewer than k-2
+    triangles.  `rounds` fixed peels make the plan a static DAG; the
+    census row per round pins the whole trajectory (n_edges, triangle
+    count before the peel, and an edge checksum), so convergence is
+    visible when a round removes nothing.
+
+    Triangles enumerate once each via the oriented triple join on
+    u<v edges — e1(a,b) ⋈ e2(b,c) ⋈ e3(a,c) — and each triangle
+    credits its three edges; support is ONE groupBy count over the
+    3x projected triangle table.
+
+    Scale shape: the oriented join bounds each wedge apex by its
+    out-degree; at 10^12 edges the degree-ordered orientation
+    (triangle_census) drops in as the same shape.  Per round: one
+    3-way self-join + one partial+final count + one semi filter,
+    all keyed on edge endpoints; frames localCheckpoint'd so lineage
+    stays round-deep."""
+    und = (
+        edges.select(F.col("u").cast("long").alias("u"), F.col("v").cast("long").alias("v"))
+        .where(F.col("u") != F.col("v"))
+        .select(F.least("u", "v").alias("u"), F.greatest("u", "v").alias("v"))
+        .distinct()
+        .localCheckpoint(eager=False)
+    )
+    out_rows = []
+    cur = und
+    for r in range(1, rounds + 1):
+        e1 = cur.select(F.col("u").alias("a"), F.col("v").alias("b"))
+        e2 = cur.select(F.col("u").alias("b"), F.col("v").alias("c"))
+        e3 = cur.select(F.col("u").alias("a"), F.col("v").alias("c"))
+        tri = e1.join(e2, "b").join(e3, ["a", "c"]).localCheckpoint(eager=False)
+        sup = (
+            tri.select(F.col("a").alias("u"), F.col("b").alias("v"))
+            .union(tri.select(F.col("b").alias("u"), F.col("c").alias("v")))
+            .union(tri.select(F.col("a").alias("u"), F.col("c").alias("v")))
+            .groupBy("u", "v")
+            .agg(F.count(F.lit(1)).alias("sup"))
+        )
+        cur = (
+            cur.join(sup, ["u", "v"])
+            .where(F.col("sup") >= k - 2)
+            .select("u", "v")
+            .localCheckpoint(eager=False)
+        )
+        census = cur.agg(
+            F.count(F.lit(1)).alias("n_edges"),
+            F.coalesce(F.sum(F.col("u") * 100_003 + F.col("v")), F.lit(0)).alias(
+                "edge_checksum"
+            ),
+        ).crossJoin(tri.agg(F.count(F.lit(1)).alias("n_tris_pre")))
+        out_rows.append(
+            census.select(
+                F.lit(r).cast("long").alias("round"),
+                "n_edges",
+                "n_tris_pre",
+                "edge_checksum",
+            )
+        )
+    res = out_rows[0]
+    for df in out_rows[1:]:
+        res = res.unionByName(df)
+    return res
