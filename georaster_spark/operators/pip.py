@@ -562,3 +562,108 @@ def convex_hull_census(zones: DataFrame) -> DataFrame:
         .repartition(1)
         .sortWithinPartitions("zone_id")
     )
+
+
+def star_ring_edges(zones: DataFrame) -> DataFrame:
+    """Directed edge table of the deterministic CONCAVE 'star' polygon
+    derived from each zone ring: unit-snapped vertices with every
+    odd-indexed vertex pulled halfway (integer floor) toward the
+    snapped bbox center.  The deflation keeps every star vertex inside
+    the original ring, so the original bbox remains a valid prefilter,
+    while the polygon itself is genuinely non-convex — the shape class
+    the half-plane test (convex_pip) cannot answer and the even-odd
+    ray cast (raycast_pip_star) exists for."""
+    verts = (
+        zones.select(
+            "zone_id",
+            F.floor((F.col("xmin") + F.col("xmax")) / 2 + 0.5)
+            .cast("long")
+            .alias("cx0"),
+            F.floor((F.col("ymin") + F.col("ymax")) / 2 + 0.5)
+            .cast("long")
+            .alias("cy0"),
+            F.expr(
+                "transform(slice(ring, 1, size(ring) - 1),"
+                " p -> struct(CAST(floor(p.x + 0.5) AS BIGINT) AS x,"
+                "             CAST(floor(p.y + 0.5) AS BIGINT) AS y))"
+            ).alias("r"),
+        )
+        .select(
+            "zone_id", "cx0", "cy0", F.size("r").alias("n"),
+            F.posexplode("r").alias("k", "p"),
+        )
+        .select(
+            "zone_id", "k", "n",
+            F.when(F.col("k") % 2 == 0, F.col("p.x"))
+            .otherwise(F.floor((F.col("p.x") + F.col("cx0")) / 2).cast("long"))
+            .alias("x"),
+            F.when(F.col("k") % 2 == 0, F.col("p.y"))
+            .otherwise(F.floor((F.col("p.y") + F.col("cy0")) / 2).cast("long"))
+            .alias("y"),
+        )
+    )
+    a = verts.select("zone_id", "k", "n", F.col("x").alias("x1"), F.col("y").alias("y1"))
+    b = verts.select(
+        "zone_id", F.col("k").alias("kb"), F.col("x").alias("x2"), F.col("y").alias("y2")
+    )
+    return (
+        a.join(b, "zone_id")
+        .where(F.col("kb") == (F.col("k") + 1) % F.col("n"))
+        .select("zone_id", "x1", "y1", "x2", "y2")
+    )
+
+
+def raycast_pip_star(tiles: DataFrame, zones: DataFrame) -> DataFrame:
+    """Even-odd (ray casting) point-in-polygon against the concave star
+    polygons of star_ring_edges — the general-polygon PIP rule
+    (Shimrat 1962 / Franklin's PNPOLY): a point is inside iff a ray to
+    +x crosses an odd number of edges.  The crossing test is held
+    integer-exact by cross-multiplying the intersection comparison:
+    with E = (px−x1)·(y2−y1) − (py−y1)·(x2−x1), the ray crosses edge
+    (1→2) iff (y1 > py) ≠ (y2 > py) and E·sign(y2−y1) < 0 — no
+    division, so both engines agree bit-for-bit on every degenerate
+    vertex-on-ray case by construction.
+
+    Emits the (image_id, zone_id) pairs whose snapped tile centroid
+    lies strictly inside the star polygon.
+
+    Scale shape: zones are a broadcast dim; the bbox prefilter bounds
+    candidates exactly like convex PIP (op E5), then a ≤9-edge
+    key-local explode + parity groupBy closes — centroids never carry
+    pixels, nothing shuffles on a hot key."""
+    cent = tiles.select(
+        "image_id",
+        F.floor(F.col("gt_x0") + F.col("w") * F.col("gt_xres") / 2 + 0.5)
+        .cast("long")
+        .alias("px"),
+        F.floor(F.col("gt_y0") - F.col("h") * F.col("gt_yres") / 2 + 0.5)
+        .cast("long")
+        .alias("py"),
+    )
+    zbox = zones.select("zone_id", "xmin", "ymin", "xmax", "ymax")
+    cand = cent.join(
+        F.broadcast(zbox),
+        (F.col("px") >= F.col("xmin"))
+        & (F.col("px") <= F.col("xmax"))
+        & (F.col("py") >= F.col("ymin"))
+        & (F.col("py") <= F.col("ymax")),
+    ).select("image_id", "zone_id", "px", "py")
+    edges = star_ring_edges(zones)
+    dy = F.col("y2") - F.col("y1")
+    e = (F.col("px") - F.col("x1")) * dy - (F.col("py") - F.col("y1")) * (
+        F.col("x2") - F.col("x1")
+    )
+    crossing = F.when(
+        ((F.col("y1") > F.col("py")) != (F.col("y2") > F.col("py")))
+        & (e * F.when(dy > 0, 1).otherwise(-1) < 0),
+        1,
+    ).otherwise(0)
+    return (
+        cand.join(F.broadcast(edges), "zone_id")
+        .groupBy("image_id", "zone_id")
+        .agg(F.sum(crossing).alias("ncross"))
+        .where(F.col("ncross") % 2 == 1)
+        .select("image_id", "zone_id")
+        .repartition(1)
+        .sortWithinPartitions("image_id", "zone_id")
+    )

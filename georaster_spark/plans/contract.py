@@ -5269,6 +5269,7 @@ def spatial_queries() -> dict[str, QueryFn]:
         "cdf53_wavelet": q_cdf53,
         "mst_boruvka": q_mst_boruvka,
         "k_truss": q_k_truss,
+        "pip_raycast": q_pip_raycast,
     })
 
 
@@ -5593,6 +5594,7 @@ def spatial_oracles(sf: str = "sf0.01") -> dict[str, str]:
         "cdf53_wavelet": _sql_cdf53(fx, w),
         "mst_boruvka": _sql_mst_boruvka(fx),
         "k_truss": _sql_k_truss(),
+        "pip_raycast": _sql_pip_raycast(fx),
     })
 
 
@@ -12081,4 +12083,65 @@ SELECT CAST(round AS BIGINT) AS round,
        CAST(n_tris_pre AS BIGINT) AS n_tris_pre,
        CAST(edge_checksum AS BIGINT) AS edge_checksum
 FROM ({unions}) ORDER BY round
+"""
+
+
+def q_pip_raycast(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Even-odd ray-cast PIP against concave star polygons
+    (pip.raycast_pip_star): the general-polygon membership rule the
+    half-plane convex test cannot express, integer-exact by
+    cross-multiplied crossing tests."""
+    from ..operators.pip import raycast_pip_star
+
+    tiles = geo.georegister(_images(spark, sf_dir))
+    return raycast_pip_star(tiles, _zones(spark, sf_dir))
+
+
+def _sql_pip_raycast(fx: Path) -> str:
+    zs = str(fx / "zones.parquet")
+    cr = (
+        "CASE WHEN ((y1 > py) != (y2 > py))"
+        " AND ((px - x1) * (y2 - y1) - (py - y1) * (x2 - x1))"
+        " * (CASE WHEN y2 > y1 THEN 1 ELSE -1 END) < 0"
+        " THEN 1 ELSE 0 END"
+    )
+    return f"""
+WITH {osql.georegister_cte(str(fx / 'images.parquet'))},
+cent AS (
+  SELECT image_id,
+         CAST(floor(gt_x0 + w * gt_xres / 2 + 0.5) AS BIGINT) AS px,
+         CAST(floor(gt_y0 - h * gt_yres / 2 + 0.5) AS BIGINT) AS py
+  FROM tiles
+),
+verts AS (
+  SELECT zone_id, i - 1 AS k, len(ring) - 1 AS n,
+         CAST(floor((xmin + xmax) / 2 + 0.5) AS BIGINT) AS cx0,
+         CAST(floor((ymin + ymax) / 2 + 0.5) AS BIGINT) AS cy0,
+         CAST(floor(ring[i].x + 0.5) AS BIGINT) AS x,
+         CAST(floor(ring[i].y + 0.5) AS BIGINT) AS y
+  FROM read_parquet('{zs}'), unnest(range(1, len(ring))) t(i)
+),
+star AS (
+  SELECT zone_id, k, n,
+         CASE WHEN k % 2 = 0 THEN x ELSE (x + cx0) // 2 END AS x,
+         CASE WHEN k % 2 = 0 THEN y ELSE (y + cy0) // 2 END AS y
+  FROM verts
+),
+edges AS (
+  SELECT a.zone_id, a.x AS x1, a.y AS y1, b.x AS x2, b.y AS y2
+  FROM star a JOIN star b
+    ON b.zone_id = a.zone_id AND b.k = (a.k + 1) % a.n
+),
+cand AS (
+  SELECT c.image_id, z.zone_id, c.px, c.py
+  FROM cent c JOIN read_parquet('{zs}') z
+    ON c.px >= z.xmin AND c.px <= z.xmax AND c.py >= z.ymin AND c.py <= z.ymax
+),
+par AS (
+  SELECT image_id, c.zone_id, SUM({cr}) AS ncross
+  FROM cand c JOIN edges e ON e.zone_id = c.zone_id
+  GROUP BY image_id, c.zone_id
+)
+SELECT image_id, zone_id FROM par WHERE ncross % 2 = 1
+ORDER BY image_id, zone_id
 """
