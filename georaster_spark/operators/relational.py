@@ -6410,3 +6410,117 @@ SELECT o_orderpriority,
        CAST(SUM(acct % 10) AS BIGINT) AS check_digit_sum
 FROM a GROUP BY o_orderpriority ORDER BY o_orderpriority
 """
+
+
+# --- Partial autocorrelation via Durbin-Levinson ----------------------------------------------
+
+PACF_LAGS = 4
+
+
+def pacf_durbin(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Partial autocorrelation function of the daily order-count series
+    via the Durbin-Levinson recursion (Box-Jenkins model-order
+    identification — the PACF cutoff picks the AR order): the
+    autocovariances are EXACT integers on the n-scaled centered series
+    z_t = n·x_t − S (γ_k = Σ z_t z_{t+k}, |z| ≲ n·σ so the products
+    stay far inside int64 at fixture scale), and only the final
+    4-level recursion divides — an identical textual float64 chain on
+    both engines, rounded to 6 decimals.
+
+    Scale shape: one groupBy(day) shuffle, one ordered window with 4
+    lead columns (no self-join), one scalar agg; the recursion is a
+    1-row select."""
+    o = _t(spark, sf_dir, "orders").select(F.to_date("o_orderdate").alias("d"))
+    day = o.groupBy("d").agg(F.count(F.lit(1)).alias("x"))
+    n_s = day.agg(
+        F.count(F.lit(1)).alias("n"), F.sum("x").alias("s")
+    )
+    w = Window.orderBy("d")
+    z = (
+        day.join(F.broadcast(n_s))
+        .withColumn("z", F.col("n") * F.col("x") - F.col("s"))
+        .select(
+            "z",
+            *[F.lead("z", k).over(w).alias(f"z{k}") for k in range(1, PACF_LAGS + 1)],
+        )
+    )
+    g = z.agg(
+        F.sum(F.col("z") * F.col("z")).alias("g0"),
+        *[
+            F.sum(F.col("z") * F.col(f"z{k}")).alias(f"g{k}")
+            for k in range(1, PACF_LAGS + 1)
+        ],
+    )
+    # Durbin-Levinson, textually identical to pacf_durbin_sql
+    rec = g.selectExpr(
+        "g0", "g1", "g2", "g3", "g4",
+        "CAST(g1 AS DOUBLE) / g0 AS r1",
+        "CAST(g2 AS DOUBLE) / g0 AS r2",
+        "CAST(g3 AS DOUBLE) / g0 AS r3",
+        "CAST(g4 AS DOUBLE) / g0 AS r4",
+    ).selectExpr(
+        "*", "r1 AS p11"
+    ).selectExpr(
+        "*", "1 - p11 * p11 AS v1"
+    ).selectExpr(
+        "*", "(r2 - p11 * r1) / v1 AS p22"
+    ).selectExpr(
+        "*", "p11 - p22 * p11 AS p21", "v1 * (1 - p22 * p22) AS v2"
+    ).selectExpr(
+        "*", "(r3 - p21 * r2 - p22 * r1) / v2 AS p33"
+    ).selectExpr(
+        "*", "p21 - p33 * p22 AS p31", "p22 - p33 * p21 AS p32",
+        "v2 * (1 - p33 * p33) AS v3"
+    ).selectExpr(
+        "*", "(r4 - p31 * r3 - p32 * r2 - p33 * r1) / v3 AS p44"
+    )
+    out = rec.selectExpr(
+        "stack(4, "
+        "1L, g1, round(p11, 6), "
+        "2L, g2, round(p22, 6), "
+        "3L, g3, round(p33, 6), "
+        "4L, g4, round(p44, 6)) AS (lag, gamma, pacf)"
+    )
+    return out.repartition(1).sortWithinPartitions("lag")
+
+
+def pacf_durbin_sql() -> str:
+    return """
+WITH day AS (
+  SELECT CAST(o_orderdate AS DATE) AS d, COUNT(*) AS x
+  FROM orders GROUP BY d
+),
+ns AS (SELECT COUNT(*) AS n, SUM(x) AS s FROM day),
+z AS (
+  SELECT n * x - s AS z,
+         lead(n * x - s, 1) OVER (ORDER BY d) AS z1,
+         lead(n * x - s, 2) OVER (ORDER BY d) AS z2,
+         lead(n * x - s, 3) OVER (ORDER BY d) AS z3,
+         lead(n * x - s, 4) OVER (ORDER BY d) AS z4
+  FROM day, ns
+),
+g AS (
+  SELECT SUM(z * z) AS g0, SUM(z * z1) AS g1, SUM(z * z2) AS g2,
+         SUM(z * z3) AS g3, SUM(z * z4) AS g4
+  FROM z
+),
+r AS (
+  SELECT *, CAST(g1 AS DOUBLE) / g0 AS r1, CAST(g2 AS DOUBLE) / g0 AS r2,
+         CAST(g3 AS DOUBLE) / g0 AS r3, CAST(g4 AS DOUBLE) / g0 AS r4
+  FROM g
+),
+s1 AS (SELECT *, r1 AS p11 FROM r),
+s1b AS (SELECT *, 1 - p11 * p11 AS v1 FROM s1),
+s2 AS (SELECT *, (r2 - p11 * r1) / v1 AS p22 FROM s1b),
+s2b AS (SELECT *, p11 - p22 * p11 AS p21, v1 * (1 - p22 * p22) AS v2 FROM s2),
+s3 AS (SELECT *, (r3 - p21 * r2 - p22 * r1) / v2 AS p33 FROM s2b),
+s3b AS (SELECT *, p21 - p33 * p22 AS p31, p22 - p33 * p21 AS p32,
+               v2 * (1 - p33 * p33) AS v3 FROM s3),
+s4 AS (SELECT *, (r4 - p31 * r3 - p32 * r2 - p33 * r1) / v3 AS p44 FROM s3b)
+SELECT lag, gamma, pacf FROM (
+  SELECT 1::BIGINT AS lag, CAST(g1 AS BIGINT) AS gamma, round(p11, 6) AS pacf FROM s4
+  UNION ALL SELECT 2, CAST(g2 AS BIGINT), round(p22, 6) FROM s4
+  UNION ALL SELECT 3, CAST(g3 AS BIGINT), round(p33, 6) FROM s4
+  UNION ALL SELECT 4, CAST(g4 AS BIGINT), round(p44, 6) FROM s4
+) ORDER BY lag
+"""

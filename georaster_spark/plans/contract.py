@@ -5270,6 +5270,7 @@ def spatial_queries() -> dict[str, QueryFn]:
         "mst_boruvka": q_mst_boruvka,
         "k_truss": q_k_truss,
         "pip_raycast": q_pip_raycast,
+        "pacf_durbin": rel.pacf_durbin,
     })
 
 
@@ -5595,6 +5596,7 @@ def spatial_oracles(sf: str = "sf0.01") -> dict[str, str]:
         "mst_boruvka": _sql_mst_boruvka(fx),
         "k_truss": _sql_k_truss(),
         "pip_raycast": _sql_pip_raycast(fx),
+        "pacf_durbin": rel.pacf_durbin_sql(),
     })
 
 
