@@ -1158,3 +1158,79 @@ def join_count_stats(tiles: DataFrame) -> DataFrame:
         (ww_dir / 2).cast("long").alias("ww"),
         ((F.sum("k_all") - bb_dir - ww_dir) / 2).cast("long").alias("bw"),
     )
+
+
+def projection_profiles(tiles: DataFrame) -> DataFrame:
+    """Integer projection profiles at the four lattice angles — the
+    discrete Radon signature (row sums 0°, column sums 90°, diagonal
+    i+j 45°, antidiagonal i−j 135°) that document-deskew and
+    coarse-alignment pipelines correlate instead of running a full
+    Radon transform: per tile and angle, the exact bin count, total
+    mass, the maximum bin, and the position-weighted profile checksum
+    Σ bin_value·(bin_index+1).
+
+    Scale shape: map-only fused Arrow pass — all four profiles are
+    vectorized reductions of the same decoded batch (sum over axes /
+    np.bincount on i±j), 4 slim rows out per tile; pixels cross the
+    Arrow boundary once and never shuffle."""
+    slim = tiles.select("image_id", "bytes", "w", "h", "fmt")
+    dt = {"raw": np.uint8, "qnt": np.uint8, "raw16": "<u2"}
+
+    def gen(batches):
+        for pdf in batches:
+            ids, angs, nb, tot, mx, cks = [], [], [], [], [], []
+            groups: dict[tuple, list[int]] = {}
+            for r in range(len(pdf)):
+                key = (int(pdf["w"].iat[r]), int(pdf["h"].iat[r]), pdf["fmt"].iat[r])
+                groups.setdefault(key, []).append(r)
+            for (w, h, fmt), idx in groups.items():
+                z = (
+                    np.frombuffer(
+                        b"".join(pdf["bytes"].iat[r] for r in idx), dtype=dt[fmt]
+                    )
+                    .reshape(len(idx), h, w)
+                    .astype(np.int64)
+                )
+                ii, jj = np.meshgrid(
+                    np.arange(h, dtype=np.int64),
+                    np.arange(w, dtype=np.int64),
+                    indexing="ij",
+                )
+                d_idx = (ii + jj).ravel()
+                a_idx = (ii - jj + w - 1).ravel()
+                zf = z.reshape(len(idx), -1)
+                profs = {
+                    "row": z.sum(axis=2),
+                    "col": z.sum(axis=1),
+                    "diag": np.stack(
+                        [np.bincount(d_idx, zr, minlength=h + w - 1) for zr in zf]
+                    ).astype(np.int64),
+                    "adiag": np.stack(
+                        [np.bincount(a_idx, zr, minlength=h + w - 1) for zr in zf]
+                    ).astype(np.int64),
+                }
+                for ang, p in profs.items():
+                    b, m = p.shape
+                    t = np.arange(1, m + 1, dtype=np.int64)
+                    ids.extend(pdf["image_id"].iat[r] for r in idx)
+                    angs.extend([ang] * b)
+                    nb.extend([m] * b)
+                    tot.extend(p.sum(axis=1).tolist())
+                    mx.extend(p.max(axis=1).tolist())
+                    cks.extend((p * t).sum(axis=1).tolist())
+            yield pd.DataFrame(
+                {
+                    "image_id": ids,
+                    "angle": angs,
+                    "n_bins": np.asarray(nb, dtype=np.int64),
+                    "mass": np.asarray(tot, dtype=np.int64),
+                    "max_bin": np.asarray(mx, dtype=np.int64),
+                    "checksum": np.asarray(cks, dtype=np.int64),
+                }
+            )
+
+    schema = (
+        "image_id string, angle string, n_bins long, mass long, "
+        "max_bin long, checksum long"
+    )
+    return slim.mapInPandas(gen, schema=schema)

@@ -5271,6 +5271,7 @@ def spatial_queries() -> dict[str, QueryFn]:
         "k_truss": q_k_truss,
         "pip_raycast": q_pip_raycast,
         "pacf_durbin": rel.pacf_durbin,
+        "projection_profiles": q_projection_profiles,
     })
 
 
@@ -5597,6 +5598,7 @@ def spatial_oracles(sf: str = "sf0.01") -> dict[str, str]:
         "k_truss": _sql_k_truss(),
         "pip_raycast": _sql_pip_raycast(fx),
         "pacf_durbin": rel.pacf_durbin_sql(),
+        "projection_profiles": _sql_projection_profiles(fx, w),
     })
 
 
@@ -12146,4 +12148,43 @@ par AS (
 )
 SELECT image_id, zone_id FROM par WHERE ncross % 2 = 1
 ORDER BY image_id, zone_id
+"""
+
+
+def q_projection_profiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Discrete Radon signature at the 4 lattice angles
+    (raster_stats.projection_profiles): exact row/col/diag/antidiag
+    profile censuses, one Arrow pass."""
+    from ..operators import raster_stats as rs
+
+    return (
+        rs.projection_profiles(geo.georegister(_images(spark, sf_dir)))
+        .repartition(1).sortWithinPartitions("image_id", "angle")
+    )
+
+
+def _sql_projection_profiles(fx: Path, w: int) -> str:
+    v = osql.ramp_value_expr("gi.i", "gj.j")
+    return f"""
+WITH {osql.georegister_cte(str(fx / 'images.parquet'))},
+px AS (
+  SELECT image_id, gi.i AS i, gj.j AS j, CAST({v} AS BIGINT) AS v
+  FROM tiles,
+       generate_series(0, {w - 1}) AS gi(i), generate_series(0, {w - 1}) AS gj(j)
+),
+prof AS (
+  SELECT image_id, 'row' AS angle, i AS b, SUM(v) AS s FROM px GROUP BY image_id, i
+  UNION ALL
+  SELECT image_id, 'col', j, SUM(v) FROM px GROUP BY image_id, j
+  UNION ALL
+  SELECT image_id, 'diag', i + j, SUM(v) FROM px GROUP BY image_id, i + j
+  UNION ALL
+  SELECT image_id, 'adiag', i - j + {w - 1}, SUM(v) FROM px GROUP BY image_id, i - j + {w - 1}
+)
+SELECT image_id, angle,
+       CAST(COUNT(*) AS BIGINT) AS n_bins,
+       CAST(SUM(s) AS BIGINT) AS mass,
+       CAST(MAX(s) AS BIGINT) AS max_bin,
+       CAST(SUM(s * (b + 1)) AS BIGINT) AS checksum
+FROM prof GROUP BY image_id, angle ORDER BY image_id, angle
 """
