@@ -5272,6 +5272,7 @@ def spatial_queries() -> dict[str, QueryFn]:
         "pip_raycast": q_pip_raycast,
         "pacf_durbin": rel.pacf_durbin,
         "projection_profiles": q_projection_profiles,
+        "ntt_census": q_ntt_census,
     })
 
 
@@ -5599,6 +5600,7 @@ def spatial_oracles(sf: str = "sf0.01") -> dict[str, str]:
         "pip_raycast": _sql_pip_raycast(fx),
         "pacf_durbin": rel.pacf_durbin_sql(),
         "projection_profiles": _sql_projection_profiles(fx, w),
+        "ntt_census": _sql_ntt_census(fx, w),
     })
 
 
@@ -12187,4 +12189,55 @@ SELECT image_id, angle,
        CAST(MAX(s) AS BIGINT) AS max_bin,
        CAST(SUM(s * (b + 1)) AS BIGINT) AS checksum
 FROM prof GROUP BY image_id, angle ORDER BY image_id, angle
+"""
+
+
+_NTT_MOD = 97
+
+
+def q_ntt_census(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Row-wise GF(257) number-theoretic transform census
+    (algebra.ntt_census): exact integer spectra, definitional O(n²)
+    twiddle matmul replayed by the oracle as a literal twiddle table
+    join."""
+    from ..operators import algebra
+
+    tiles = geo.georegister(_images(spark, sf_dir)).where(
+        geo.image_idx() % _NTT_MOD == 0
+    )
+    return (
+        algebra.ntt_census(tiles)
+        .repartition(1).sortWithinPartitions("image_id")
+    )
+
+
+def _sql_ntt_census(fx: Path, w: int) -> str:
+    from ..operators.algebra import NTT_G, NTT_P
+
+    base = pow(NTT_G, 256 // w, NTT_P)
+    tw_rows = ", ".join(
+        f"({j}, {k}, {pow(base, (j * k) % w, NTT_P)})"
+        for j in range(w)
+        for k in range(w)
+    )
+    v = osql.ramp_value_expr("gi.i", "gj.j")
+    return f"""
+WITH {osql.georegister_cte(str(fx / 'images.parquet'))},
+tw(j, k, t) AS (VALUES {tw_rows}),
+px AS (
+  SELECT image_id, gi.i AS i, gj.j AS j, CAST({v} AS BIGINT) AS v
+  FROM tiles,
+       generate_series(0, {w - 1}) AS gi(i), generate_series(0, {w - 1}) AS gj(j)
+  WHERE idx % {_NTT_MOD} = 0 AND w = {w}
+),
+coef AS (
+  SELECT image_id, i, k, SUM(v * t) % {NTT_P} AS c
+  FROM px JOIN tw ON tw.j = px.j
+  GROUP BY image_id, i, k
+)
+SELECT image_id,
+       CAST(SUM(CASE WHEN k = 0 THEN c ELSE 0 END) AS BIGINT) AS dc_sum,
+       CAST(SUM(c * c) AS BIGINT) AS energy,
+       CAST(SUM(c * (i * {w} + k + 1)) AS BIGINT) AS checksum
+FROM coef GROUP BY image_id ORDER BY image_id
 """
