@@ -30,6 +30,7 @@ from __future__ import annotations
 import numpy as np
 import pandas as pd
 from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
 from pyspark.sql.types import (
     BooleanType,
     DoubleType,
@@ -322,3 +323,81 @@ def curation_gates(tiles: DataFrame, distinct_min: int) -> DataFrame:
             )
 
     return slim.mapInPandas(_g, schema=_GATES_SCHEMA)
+
+
+MERKLE_PARENT_RES_DELTA = 2
+
+
+def merkle_cells(tiles: DataFrame, res: int | None = None) -> DataFrame:
+    """Two-level Merkle tree over the cell index (the content-addressed
+    integrity manifest an Iceberg-scale snapshot publisher signs: a
+    tamper-evident digest per spatial shard, then per shard-group):
+    leaf = md5(image_id ':' pixel_checksum) with the exact
+    position-weighted pixel checksum Σ v·(pos+1); level-1 digest =
+    md5(concat of child leaf digests sorted by image_id) per anchor
+    cell; level-0 digest = the same fold over level-1 digests sorted by
+    cell id, per resolution-(r−2) parent cell.  Sorted folds make every
+    digest order-free — any partitioning, same root.
+
+    Emits (level, cell_id, digest, n_children) rows for both levels.
+
+    Scale shape: ONE Arrow decode pass for leaf checksums (pixels never
+    shuffle); each level is a groupBy over the cell key with
+    sort_array(collect_list(...)) — a bounded-fanout fold (children per
+    cell are geometry-bounded), exactly how a distributed manifest
+    signer shards at 10^12 rows."""
+    from pyspark.sql.types import LongType
+
+    from ..constants import DEFAULT_RES
+    from ..functions.cells import cell_parent_chain
+
+    r = DEFAULT_RES if res is None else res
+    dt = {"raw": np.uint8, "qnt": np.uint8, "raw16": "<u2"}
+
+    @F.pandas_udf(LongType())
+    def _cksum(data: pd.Series, w: pd.Series, h: pd.Series, fmt: pd.Series) -> pd.Series:
+        out = np.zeros(len(data), dtype=np.int64)
+        for i in range(len(data)):
+            z = np.frombuffer(data.iat[i], dtype=dt[fmt.iat[i]]).astype(np.int64)
+            out[i] = int((z * (np.arange(len(z), dtype=np.int64) + 1)).sum())
+        return pd.Series(out)
+
+    leaves = tiles.select(
+        "image_id",
+        "cell_id",
+        F.md5(
+            F.concat_ws(":", F.col("image_id"),
+                        _cksum("bytes", "w", "h", "fmt").cast("string"))
+        ).alias("leaf"),
+    )
+    l1 = leaves.groupBy("cell_id").agg(
+        F.md5(
+            F.concat_ws(
+                "", F.sort_array(F.collect_list(F.struct("image_id", "leaf"))).leaf
+            )
+        ).alias("digest"),
+        F.count(F.lit(1)).alias("n_children"),
+    )
+    l0 = (
+        l1.select(
+            cell_parent_chain(
+                F.col("cell_id"), r, r - MERKLE_PARENT_RES_DELTA
+            ).alias("pcell"),
+            "cell_id",
+            "digest",
+        )
+        .groupBy("pcell")
+        .agg(
+            F.md5(
+                F.concat_ws(
+                    "", F.sort_array(F.collect_list(F.struct("cell_id", "digest"))).digest
+                )
+            ).alias("digest"),
+            F.count(F.lit(1)).alias("n_children"),
+        )
+        .select(F.lit(0).alias("level"), F.col("pcell").alias("cell_id"),
+                "digest", "n_children")
+    )
+    return l1.select(
+        F.lit(1).alias("level"), "cell_id", "digest", "n_children"
+    ).unionByName(l0)

@@ -5273,6 +5273,7 @@ def spatial_queries() -> dict[str, QueryFn]:
         "pacf_durbin": rel.pacf_durbin,
         "projection_profiles": q_projection_profiles,
         "ntt_census": q_ntt_census,
+        "merkle_cells": q_merkle_cells,
     })
 
 
@@ -5601,6 +5602,7 @@ def spatial_oracles(sf: str = "sf0.01") -> dict[str, str]:
         "pacf_durbin": rel.pacf_durbin_sql(),
         "projection_profiles": _sql_projection_profiles(fx, w),
         "ntt_census": _sql_ntt_census(fx, w),
+        "merkle_cells": _sql_merkle_cells(fx, w),
     })
 
 
@@ -12240,4 +12242,63 @@ SELECT image_id,
        CAST(SUM(c * c) AS BIGINT) AS energy,
        CAST(SUM(c * (i * {w} + k + 1)) AS BIGINT) AS checksum
 FROM coef GROUP BY image_id ORDER BY image_id
+"""
+
+
+def q_merkle_cells(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-level Merkle integrity manifest over the cell index
+    (quality.merkle_cells): order-free sorted md5 folds, every digest
+    replayed byte-identically by the oracle from the ramp checksums."""
+    from ..operators.quality import merkle_cells
+
+    return (
+        merkle_cells(geo.georegister(_images(spark, sf_dir)))
+        .repartition(1).sortWithinPartitions("level", "cell_id")
+    )
+
+
+def _sql_merkle_cells(fx: Path, w: int) -> str:
+    from ..operators.quality import MERKLE_PARENT_RES_DELTA
+
+    r = DEFAULT_RES
+    rp = r - MERKLE_PARENT_RES_DELTA
+    shift = 1 << MERKLE_PARENT_RES_DELTA
+    cell = osql.cell_expr("gt_x0", "gt_y0", r)
+    v = osql.ramp_value_expr("gi.i", "gj.j")
+    parent = (
+        f"({rp}::BIGINT << {RES_SHIFT}) + "
+        f"((cell_id - ({r}::BIGINT << {RES_SHIFT})) // {1 << r} // {shift}) * {1 << rp} + "
+        f"((cell_id - ({r}::BIGINT << {RES_SHIFT})) % {1 << r} // {shift})"
+    )
+    return f"""
+WITH {osql.georegister_cte(str(fx / 'images.parquet'))},
+ck AS (
+  SELECT image_id, {cell} AS cell_id,
+         SUM(CAST({v} AS BIGINT) * (gi.i * {w} + gj.j + 1)) AS cksum
+  FROM tiles,
+       generate_series(0, {w - 1}) AS gi(i), generate_series(0, {w - 1}) AS gj(j)
+  GROUP BY image_id, cell_id
+),
+leaves AS (
+  SELECT image_id, cell_id,
+         md5(image_id || ':' || CAST(cksum AS VARCHAR)) AS leaf
+  FROM ck
+),
+l1 AS (
+  SELECT cell_id,
+         md5(string_agg(leaf, '' ORDER BY image_id)) AS digest,
+         COUNT(*) AS n_children
+  FROM leaves GROUP BY cell_id
+),
+l0 AS (
+  SELECT {parent} AS pcell,
+         md5(string_agg(digest, '' ORDER BY cell_id)) AS digest,
+         COUNT(*) AS n_children
+  FROM l1 GROUP BY pcell
+)
+SELECT CAST(1 AS INT) AS level, cell_id, digest, CAST(n_children AS BIGINT) AS n_children
+FROM l1
+UNION ALL
+SELECT 0, pcell, digest, CAST(n_children AS BIGINT) FROM l0
+ORDER BY level, cell_id
 """
