@@ -5274,6 +5274,7 @@ def spatial_queries() -> dict[str, QueryFn]:
         "projection_profiles": q_projection_profiles,
         "ntt_census": q_ntt_census,
         "merkle_cells": q_merkle_cells,
+        "haversine_chain": q_haversine_chain,
     })
 
 
@@ -5603,6 +5604,7 @@ def spatial_oracles(sf: str = "sf0.01") -> dict[str, str]:
         "projection_profiles": _sql_projection_profiles(fx, w),
         "ntt_census": _sql_ntt_census(fx, w),
         "merkle_cells": _sql_merkle_cells(fx, w),
+        "haversine_chain": _sql_haversine_chain(fx),
     })
 
 
@@ -12301,4 +12303,67 @@ FROM l1
 UNION ALL
 SELECT 0, pcell, digest, CAST(n_children AS BIGINT) FROM l0
 ORDER BY level, cell_id
+"""
+
+
+def q_haversine_chain(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Great-circle distance chain (the WGS84 haversine every geodesy
+    stack ships — R8's inverse-Mercator composed with spherical
+    distance): zone centroids reprojected 3857 -> lat/lon, then the
+    haversine to the next zone id.  Identical float64 formula text on
+    both engines, rounded to 3 mm-insensitive decimals of a metre."""
+    z = _zones(spark, sf_dir).selectExpr(
+        "zone_id",
+        "(xmin + xmax) / 2 AS cx",
+        "(ymin + ymax) / 2 AS cy",
+    ).selectExpr(
+        "zone_id",
+        "cx / 6378137.0 AS lon",
+        "2.0 * atan(exp(cy / 6378137.0)) - pi() / 2.0 AS lat",
+    )
+    from pyspark.sql import Window
+    from pyspark.sql import functions as SF
+
+    w = Window.orderBy("zone_id")
+
+    p = z.select(
+        "zone_id",
+        "lon",
+        "lat",
+        SF.lead("zone_id").over(w).alias("zone_next"),
+        SF.lead("lon").over(w).alias("lon2"),
+        SF.lead("lat").over(w).alias("lat2"),
+    ).where(SF.col("zone_next").isNotNull())
+    return p.selectExpr(
+        "zone_id",
+        "zone_next",
+        "round(2.0 * 6378137.0 * asin(sqrt("
+        " sin((lat2 - lat) / 2) * sin((lat2 - lat) / 2)"
+        " + cos(lat) * cos(lat2) * sin((lon2 - lon) / 2) * sin((lon2 - lon) / 2)"
+        ")), 3) AS dist_m",
+    ).repartition(1).sortWithinPartitions("zone_id")
+
+
+def _sql_haversine_chain(fx: Path) -> str:
+    zs = str(fx / "zones.parquet")
+    return f"""
+WITH z AS (
+  SELECT zone_id,
+         ((xmin + xmax) / 2) / 6378137.0 AS lon,
+         2.0 * atan(exp(((ymin + ymax) / 2) / 6378137.0)) - pi() / 2.0 AS lat
+  FROM read_parquet('{zs}')
+),
+p AS (
+  SELECT zone_id, lon, lat,
+         lead(zone_id) OVER (ORDER BY zone_id) AS zone_next,
+         lead(lon) OVER (ORDER BY zone_id) AS lon2,
+         lead(lat) OVER (ORDER BY zone_id) AS lat2
+  FROM z
+)
+SELECT zone_id, zone_next,
+       round(2.0 * 6378137.0 * asin(sqrt(
+         sin((lat2 - lat) / 2) * sin((lat2 - lat) / 2)
+         + cos(lat) * cos(lat2) * sin((lon2 - lon) / 2) * sin((lon2 - lon) / 2)
+       )), 3) AS dist_m
+FROM p WHERE zone_next IS NOT NULL ORDER BY zone_id
 """
