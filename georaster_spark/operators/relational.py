@@ -6524,3 +6524,100 @@ SELECT lag, gamma, pacf FROM (
   UNION ALL SELECT 4, CAST(g4 AS BIGINT), round(p44, 6) FROM s4
 ) ORDER BY lag
 """
+
+
+# --- Consistent-hashing ring audit -----------------------------------------------------------
+
+RING_NODES = 8
+RING_VNODES = 16
+
+
+def hash_ring_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Consistent-hashing ring audit (Karger et al. 1997 — the
+    assignment scheme behind Dynamo/Cassandra-style sharding): 8
+    storage nodes each project RING_VNODES virtual points onto the
+    40-bit hash ring at h40('node<i>:<v>'); every document routes to
+    the first ring point clockwise of h40(doc_id) (wrapping to the
+    global minimum).  The audit emits per node: keys owned, the exact
+    Σdoc_id checksum, and the number of vnodes that own at least one
+    key — the balance surface a capacity planner reads.
+
+    Scale shape: the ring is a 128-row broadcast dim; routing is a
+    broadcast min-over-qualifying-points aggregation keyed by doc —
+    no shuffle wider than the final 8-group rollup."""
+    from .textops import h40
+
+    docs = _t(spark, sf_dir, "documents").select(
+        "doc_id", h40(F.col("doc_id").cast("string")).alias("hd")
+    )
+    ring = spark.createDataFrame(
+        [(n, v) for n in range(RING_NODES) for v in range(RING_VNODES)],
+        "node int, vnode int",
+    ).select(
+        "node", "vnode",
+        h40(F.concat_ws(":", F.concat(F.lit("node"), F.col("node")), F.col("vnode")))
+        .alias("pos"),
+    )
+    # clockwise successor: min pos >= hd, else global min (wrap)
+    cand = docs.join(F.broadcast(ring), F.col("pos") >= F.col("hd"), "left")
+    succ = cand.groupBy("doc_id", "hd").agg(
+        F.min(F.struct("pos", "node", "vnode")).alias("s")
+    )
+    wrap = ring.orderBy("pos", "node", "vnode").limit(1).select(
+        F.col("pos").alias("wpos"), F.col("node").alias("wnode"),
+        F.col("vnode").alias("wvnode"),
+    )
+    routed = succ.join(F.broadcast(wrap)).select(
+        "doc_id",
+        F.coalesce(F.col("s.node"), F.col("wnode")).alias("node"),
+        F.coalesce(F.col("s.vnode"), F.col("wvnode")).alias("vnode"),
+    )
+    return (
+        routed.groupBy("node")
+        .agg(
+            F.count(F.lit(1)).alias("n_keys"),
+            F.sum("doc_id").alias("key_checksum"),
+            F.countDistinct("vnode").alias("n_active_vnodes"),
+        )
+        .repartition(1)
+        .sortWithinPartitions("node")
+    )
+
+
+def hash_ring_assign_sql() -> str:
+    h = "CAST('0x' || substring(md5({c}), 1, 10) AS BIGINT)"
+    ring_rows = ", ".join(
+        f"({n}, {v})" for n in range(RING_NODES) for v in range(RING_VNODES)
+    )
+    return f"""
+WITH ring(node, vnode) AS (VALUES {ring_rows}),
+rp AS (
+  SELECT node, vnode,
+         {h.format(c="'node' || CAST(node AS VARCHAR) || ':' || CAST(vnode AS VARCHAR)")} AS pos
+  FROM ring
+),
+d AS (
+  SELECT doc_id, {h.format(c="CAST(doc_id AS VARCHAR)")} AS hd FROM documents
+),
+succ AS (
+  SELECT d.doc_id, d.hd,
+         MIN(struct_pack(pos := rp.pos, node := rp.node, vnode := rp.vnode)) AS s
+  FROM d LEFT JOIN rp ON rp.pos >= d.hd
+  GROUP BY d.doc_id, d.hd
+),
+wrap AS (
+  SELECT pos AS wpos, node AS wnode, vnode AS wvnode
+  FROM rp ORDER BY pos, node, vnode LIMIT 1
+),
+routed AS (
+  SELECT doc_id,
+         COALESCE(s.node, wnode) AS node,
+         COALESCE(s.vnode, wvnode) AS vnode
+  FROM succ, wrap
+)
+SELECT CAST(node AS INT) AS node,
+       CAST(COUNT(*) AS BIGINT) AS n_keys,
+       CAST(SUM(doc_id) AS BIGINT) AS key_checksum,
+       CAST(COUNT(DISTINCT vnode) AS BIGINT) AS n_active_vnodes
+FROM routed GROUP BY node ORDER BY node
+"""

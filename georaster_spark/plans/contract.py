@@ -5275,6 +5275,7 @@ def spatial_queries() -> dict[str, QueryFn]:
         "ntt_census": q_ntt_census,
         "merkle_cells": q_merkle_cells,
         "haversine_chain": q_haversine_chain,
+        "hash_ring_assign": rel.hash_ring_assign,
     })
 
 
@@ -5605,6 +5606,7 @@ def spatial_oracles(sf: str = "sf0.01") -> dict[str, str]:
         "ntt_census": _sql_ntt_census(fx, w),
         "merkle_cells": _sql_merkle_cells(fx, w),
         "haversine_chain": _sql_haversine_chain(fx),
+        "hash_ring_assign": rel.hash_ring_assign_sql(),
     })
 
 
