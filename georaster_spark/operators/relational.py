@@ -6621,3 +6621,116 @@ SELECT CAST(node AS INT) AS node,
        CAST(COUNT(DISTINCT vnode) AS BIGINT) AS n_active_vnodes
 FROM routed GROUP BY node ORDER BY node
 """
+
+
+# --- Bloom filter false-positive audit --------------------------------------------------------
+
+BLOOM_M = 1 << 18   # bits in the filter
+BLOOM_K = 3         # hash functions
+
+
+def bloom_fpr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bloom-filter false-positive audit (Bloom 1970, exact): build the
+    filter over the BUYER custkey set (customers with >= 1 order) with
+    k = 3 positions h40(key ':' i) mod m, then probe EVERY customer and
+    count, per market segment: members, true hits, and exact false
+    positives (all k bits set but not a buyer) — the measured FPR the
+    capacity formula (1 - e^(-kn/m))^k only predicts.
+
+    Scale shape: the filter is a distinct-(position) build — shuffle
+    volume bounded by m regardless of input size — and the probe is a
+    k-way position semi-join counted per key; exactly how a distributed
+    bloom build/probe pair shards at 10^12 keys, with the final rollup
+    a tiny per-segment agg."""
+    from .textops import h40
+
+    o = _t(spark, sf_dir, "orders").select("o_custkey").distinct()
+    pos = [
+        h40(F.concat_ws(":", F.col("o_custkey"), F.lit(i))) % BLOOM_M
+        for i in range(BLOOM_K)
+    ]
+    bits = (
+        o.select(F.explode(F.array(*pos)).alias("bit")).distinct()
+    )
+    c = _t(spark, sf_dir, "customer").select("c_custkey", "c_mktsegment")
+    cpos = c.select(
+        "c_custkey",
+        "c_mktsegment",
+        F.posexplode(
+            F.array(
+                *[
+                    h40(F.concat_ws(":", F.col("c_custkey"), F.lit(i))) % BLOOM_M
+                    for i in range(BLOOM_K)
+                ]
+            )
+        ).alias("i", "bit"),
+    )
+    hits = (
+        cpos.join(bits, "bit", "left_semi")
+        .groupBy("c_custkey", "c_mktsegment")
+        .agg(F.count(F.lit(1)).alias("k_hit"))
+    )
+    probe = (
+        c.join(hits.select("c_custkey", "k_hit"), "c_custkey", "left")
+        .withColumn("maybe", (F.coalesce("k_hit", F.lit(0)) == BLOOM_K).cast("long"))
+        .join(
+            o.select(F.col("o_custkey").alias("c_custkey")).withColumn(
+                "is_buyer", F.lit(1)
+            ),
+            "c_custkey",
+            "left",
+        )
+        .withColumn("is_buyer", F.coalesce("is_buyer", F.lit(0)))
+    )
+    return (
+        probe.groupBy("c_mktsegment")
+        .agg(
+            F.count(F.lit(1)).alias("n_keys"),
+            F.sum("is_buyer").alias("n_buyers"),
+            F.sum(F.col("maybe") * F.col("is_buyer")).alias("n_true_hits"),
+            F.sum(F.col("maybe") * (1 - F.col("is_buyer"))).alias("n_false_pos"),
+        )
+        .repartition(1)
+        .sortWithinPartitions("c_mktsegment")
+    )
+
+
+def bloom_fpr_sql() -> str:
+    def h(c: str, i: int) -> str:
+        return (
+            f"CAST('0x' || substring(md5(CAST({c} AS VARCHAR) || ':' || '{i}'), 1, 10)"
+            f" AS BIGINT) % {BLOOM_M}"
+        )
+
+    probe_pos = " UNION ALL ".join(
+        f"SELECT c_custkey, {h('c_custkey', i)} AS bit FROM customer"
+        for i in range(BLOOM_K)
+    )
+    build_pos = " UNION ".join(
+        f"SELECT {h('o_custkey', i)} AS bit FROM buyers"
+        for i in range(BLOOM_K)
+    )
+    return f"""
+WITH buyers AS (SELECT DISTINCT o_custkey FROM orders),
+bits AS ({build_pos}),
+cpos AS ({probe_pos}),
+hits AS (
+  SELECT c_custkey, COUNT(*) AS k_hit
+  FROM cpos WHERE EXISTS (SELECT 1 FROM bits b WHERE b.bit = cpos.bit)
+  GROUP BY c_custkey
+),
+probe AS (
+  SELECT c.c_custkey, c.c_mktsegment,
+         CASE WHEN COALESCE(h.k_hit, 0) = {BLOOM_K} THEN 1 ELSE 0 END AS maybe,
+         CASE WHEN b.o_custkey IS NOT NULL THEN 1 ELSE 0 END AS is_buyer
+  FROM customer c
+  LEFT JOIN hits h ON h.c_custkey = c.c_custkey
+  LEFT JOIN buyers b ON b.o_custkey = c.c_custkey
+)
+SELECT c_mktsegment,
+       CAST(COUNT(*) AS BIGINT) AS n_keys,
+       CAST(SUM(is_buyer) AS BIGINT) AS n_buyers,
+       CAST(SUM(maybe * is_buyer) AS BIGINT) AS n_true_hits,
+       CAST(SUM(maybe * (1 - is_buyer)) AS BIGINT) AS n_false_pos
+FROM probe GROUP BY c_mktsegment ORDER BY c_mktsegment
+"""

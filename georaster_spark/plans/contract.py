@@ -5276,6 +5276,7 @@ def spatial_queries() -> dict[str, QueryFn]:
         "merkle_cells": q_merkle_cells,
         "haversine_chain": q_haversine_chain,
         "hash_ring_assign": rel.hash_ring_assign,
+        "bloom_fpr": rel.bloom_fpr,
     })
 
 
@@ -5607,6 +5608,7 @@ def spatial_oracles(sf: str = "sf0.01") -> dict[str, str]:
         "merkle_cells": _sql_merkle_cells(fx, w),
         "haversine_chain": _sql_haversine_chain(fx),
         "hash_ring_assign": rel.hash_ring_assign_sql(),
+        "bloom_fpr": rel.bloom_fpr_sql(),
     })
 
 
