@@ -5277,6 +5277,7 @@ def spatial_queries() -> dict[str, QueryFn]:
         "haversine_chain": q_haversine_chain,
         "hash_ring_assign": rel.hash_ring_assign,
         "bloom_fpr": rel.bloom_fpr,
+        "circular_xcorr": q_circular_xcorr,
     })
 
 
@@ -5609,6 +5610,7 @@ def spatial_oracles(sf: str = "sf0.01") -> dict[str, str]:
         "haversine_chain": _sql_haversine_chain(fx),
         "hash_ring_assign": rel.hash_ring_assign_sql(),
         "bloom_fpr": rel.bloom_fpr_sql(),
+        "circular_xcorr": _sql_circular_xcorr(fx, w),
     })
 
 
@@ -12370,4 +12372,116 @@ SELECT zone_id, zone_next,
          + cos(lat) * cos(lat2) * sin((lon2 - lon) / 2) * sin((lon2 - lon) / 2)
        )), 3) AS dist_m
 FROM p WHERE zone_next IS NOT NULL ORDER BY zone_id
+"""
+
+
+_XCORR_MOD = 173
+
+
+def q_circular_xcorr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact circular cross-correlation registration probe: for each
+    selected tile pair (idx, idx+_XCORR_MOD) the best circular shift of
+    their first pixel rows — argmax_k Σ_j a[j]·b[(j+k) mod w] — with
+    ties broken by the smallest shift, plus the full-lag correlation
+    checksum.  The integer O(w²) direct form is the exact-arithmetic
+    stand-in for FFT phase correlation (the classic translation
+    estimator), so both engines agree bit-for-bit.
+
+    Scale shape: the row extraction is a slim map over two column
+    probes of the ramp (no decode needed on the oracle side; the engine
+    reads real bytes once); the lag table is a w²-term key-local
+    product — nothing shuffles beyond the pair join on idx."""
+    tiles = geo.georegister(_images(spark, sf_dir))
+    sel = tiles.where(geo.image_idx() % _XCORR_MOD == 0)
+    nxt = tiles.where((geo.image_idx() - 1) % _XCORR_MOD == 0)
+
+    def row0(df, tag):
+        import numpy as np
+        import pandas as pd
+
+        def gen(batches):
+            dt = {"raw": np.uint8, "qnt": np.uint8, "raw16": "<u2"}
+            for pdf in batches:
+                ids, rows = [], []
+                for i in range(len(pdf)):
+                    w0 = int(pdf["w"].iat[i])
+                    z = np.frombuffer(
+                        pdf["bytes"].iat[i], dtype=dt[pdf["fmt"].iat[i]]
+                    )[:w0].astype(np.int64)
+                    ids.append(int(pdf["idx"].iat[i]))
+                    rows.append(z.tolist())
+                yield pd.DataFrame({"pidx": ids, tag: rows})
+
+        return df.select(
+            geo.image_idx().alias("idx"), "bytes", "w", "fmt"
+        ).mapInPandas(gen, schema=f"pidx long, {tag} array<long>")
+
+    a = row0(sel, "ra")
+    b = row0(nxt, "rb").withColumn("pidx", F.col("pidx") - 1)
+    pair = a.join(b, "pidx")
+    lag = pair.select(
+        "pidx",
+        F.explode(F.sequence(F.lit(0), F.size("ra") - 1)).alias("k"),
+        "ra",
+        "rb",
+    ).select(
+        "pidx",
+        "k",
+        F.aggregate(
+            F.sequence(F.lit(0), F.size("ra") - 1),
+            F.lit(0).cast("long"),
+            lambda acc, j: acc
+            + F.element_at(F.col("ra"), j + 1)
+            * F.element_at(
+                F.col("rb"), (j + F.col("k")) % F.size("rb") + 1
+            ),
+        ).alias("score"),
+    )
+    best = lag.groupBy("pidx").agg(
+        F.max(F.struct("score", (-F.col("k")).alias("nk"))).alias("b"),
+        F.sum(F.col("score") * (F.col("k") + 1)).alias("lag_checksum"),
+    )
+    return (
+        best.select(
+            "pidx",
+            (-F.col("b.nk")).cast("long").alias("best_shift"),
+            F.col("b.score").alias("best_score"),
+            "lag_checksum",
+        )
+        .repartition(1)
+        .sortWithinPartitions("pidx")
+    )
+
+
+def _sql_circular_xcorr(fx: Path, w: int) -> str:
+    va = osql.ramp_value_expr("0", "gj.j")
+    vb = osql.ramp_value_expr("0", f"(gj.j + gk.k) % {w}", idx="idx + 1")
+    return f"""
+WITH img AS (
+  SELECT CAST(substr(image_id, 4, 10) AS BIGINT) AS idx, fmt
+  FROM read_parquet('{fx / 'images.parquet'}')
+),
+pairs AS (
+  SELECT a.idx, a.fmt AS fmt_a, b.fmt AS fmt_b
+  FROM img a JOIN img b ON b.idx = a.idx + 1
+  WHERE a.idx % {_XCORR_MOD} = 0
+),
+lag AS (
+  SELECT idx AS pidx, gk.k AS k,
+         SUM(CAST({va.replace('fmt', 'fmt_a')} AS BIGINT)
+             * CAST({vb.replace('fmt', 'fmt_b')} AS BIGINT)) AS score
+  FROM pairs,
+       generate_series(0, {w - 1}) AS gk(k), generate_series(0, {w - 1}) AS gj(j)
+  GROUP BY idx, gk.k
+),
+best AS (
+  SELECT pidx,
+         MAX(struct_pack(score := score, nk := -k)) AS b,
+         SUM(score * (k + 1)) AS lag_checksum
+  FROM lag GROUP BY pidx
+)
+SELECT pidx, CAST(-b.nk AS BIGINT) AS best_shift,
+       CAST(b.score AS BIGINT) AS best_score,
+       CAST(lag_checksum AS BIGINT) AS lag_checksum
+FROM best ORDER BY pidx
 """
