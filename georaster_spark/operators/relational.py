@@ -6734,3 +6734,92 @@ SELECT c_mktsegment,
        CAST(SUM(maybe * (1 - is_buyer)) AS BIGINT) AS n_false_pos
 FROM probe GROUP BY c_mktsegment ORDER BY c_mktsegment
 """
+
+
+# --- Longest-prefix-match routing audit -------------------------------------------------------
+
+LPM_PREFIXES: tuple[tuple[int, int], ...] = tuple(
+    sorted(
+        {
+            # (network, length) — deterministic /8../28 lab table
+            (0x0A000000, 8),          # 10.0.0.0/8
+            (0x0A140000, 16),         # 10.20.0.0/16
+            (0x0A142800, 24),         # 10.20.40.0/24
+            (0x0A1428F0, 28),         # 10.20.40.240/28
+            (0xAC100000, 12),         # 172.16.0.0/12
+            (0xAC1F8000, 17),         # 172.31.128.0/17
+            (0xC0A80000, 16),         # 192.168.0.0/16
+            (0xC0A86400, 24),         # 192.168.100.0/24
+            (0x08080000, 16),         # 8.8.0.0/16
+            (0x08080800, 24),         # 8.8.8.0/24
+            (0x00000000, 0),          # default route
+        }
+    )
+)
+
+
+def lpm_route(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Longest-prefix-match routing audit (the CIDR table lookup every
+    flow-log / clickstream geo-enrichment pipeline runs): each order
+    synthesizes the deterministic IPv4 ip = h40(o_orderkey) mod 2³²,
+    routes via the longest matching prefix of the 11-entry lab table
+    (ip >> (32−len) == net >> (32−len); /0 catches all), and the audit
+    counts per route: flows, distinct customers, and the Σip checksum.
+
+    Scale shape: the table is a literal broadcast dim; the theta-join
+    explodes each flow into its matching prefixes (≤ table size) and
+    ONE groupBy(flow).max(struct) picks the longest — then a tiny
+    per-route rollup.  At 10¹² flows this is the standard broadcast
+    LPM shape (real routers trie it; the relational plan need not)."""
+    from .textops import h40
+
+    o = _t(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        "o_custkey",
+        (h40(F.col("o_orderkey").cast("string")) % (1 << 32)).alias("ip"),
+    )
+    tbl = spark.createDataFrame(
+        [(int(n), int(l)) for n, l in LPM_PREFIXES], "net long, len int"
+    )
+    m = o.join(
+        F.broadcast(tbl),
+        F.expr("shiftright(ip, 32 - len) = shiftright(net, 32 - len)"),
+    )
+    best = m.groupBy("o_orderkey", "o_custkey", "ip").agg(
+        F.max(F.struct("len", "net")).alias("r")
+    )
+    return (
+        best.groupBy(F.col("r.net").alias("net"), F.col("r.len").alias("len"))
+        .agg(
+            F.count(F.lit(1)).alias("n_flows"),
+            F.countDistinct("o_custkey").alias("n_custs"),
+            F.sum("ip").alias("ip_checksum"),
+        )
+        .repartition(1)
+        .sortWithinPartitions("net", "len")
+    )
+
+
+def lpm_route_sql() -> str:
+    tbl_rows = ", ".join(f"({n}, {l})" for n, l in LPM_PREFIXES)
+    h = "CAST('0x' || substring(md5(CAST(o_orderkey AS VARCHAR)), 1, 10) AS BIGINT)"
+    return f"""
+WITH tbl(net, len) AS (VALUES {tbl_rows}),
+o AS (
+  SELECT o_orderkey, o_custkey, {h} % 4294967296 AS ip FROM orders
+),
+m AS (
+  SELECT o.o_orderkey, o.o_custkey, o.ip, t.net, t.len
+  FROM o JOIN tbl t ON (o.ip >> (32 - t.len)) = (t.net >> (32 - t.len))
+),
+best AS (
+  SELECT o_orderkey, o_custkey, ip,
+         MAX(struct_pack(len := len, net := net)) AS r
+  FROM m GROUP BY o_orderkey, o_custkey, ip
+)
+SELECT CAST(r.net AS BIGINT) AS net, CAST(r.len AS INT) AS len,
+       CAST(COUNT(*) AS BIGINT) AS n_flows,
+       CAST(COUNT(DISTINCT o_custkey) AS BIGINT) AS n_custs,
+       CAST(SUM(ip) AS BIGINT) AS ip_checksum
+FROM best GROUP BY r.net, r.len ORDER BY net, len
+"""

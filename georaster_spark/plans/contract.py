@@ -5278,6 +5278,7 @@ def spatial_queries() -> dict[str, QueryFn]:
         "hash_ring_assign": rel.hash_ring_assign,
         "bloom_fpr": rel.bloom_fpr,
         "circular_xcorr": q_circular_xcorr,
+        "lpm_route": rel.lpm_route,
     })
 
 
@@ -5611,6 +5612,7 @@ def spatial_oracles(sf: str = "sf0.01") -> dict[str, str]:
         "hash_ring_assign": rel.hash_ring_assign_sql(),
         "bloom_fpr": rel.bloom_fpr_sql(),
         "circular_xcorr": _sql_circular_xcorr(fx, w),
+        "lpm_route": rel.lpm_route_sql(),
     })
 
 
