@@ -667,3 +667,96 @@ def raycast_pip_star(tiles: DataFrame, zones: DataFrame) -> DataFrame:
         .repartition(1)
         .sortWithinPartitions("image_id", "zone_id")
     )
+
+
+DELAUNAY_SNAP = 1 << 11   # snap centroids to a <=256-grid (domain ~5e5): dets < 2^46
+DELAUNAY_MAX_ZONES = 64   # bound the definitional O(n^4) point set at every sf
+
+
+def delaunay_edges(zones: DataFrame) -> DataFrame:
+    """Delaunay edge census by the definitional empty-circumcircle test
+    (the dual of voronoi_assign; Guibas-Stolfi predicate held exact):
+    points are zone centroids snapped to the DELAUNAY_SNAP lattice
+    (coords 0..255, so the lifted 3x3 in-circle determinant is bounded
+    by ~2^46 — int64-exact; full-domain coords would need 104 bits),
+    and edge (a,b) is Delaunay iff SOME third point c gives a
+    circumcircle with NO point strictly inside — orientation-
+    normalized via the exact cross product.  Co-located snapped
+    centroids simply produce zero determinants (never strictly
+    inside), so the predicate stays total; both engines replay it
+    term-for-term, pinning every cocircular degeneracy.
+
+    Emits each Delaunay edge (za < zb) with the squared snapped length.
+
+    Scale shape: O(n³) candidate circles × O(n) emptiness — all
+    key-local equi-joins over a dim-sized point set; at production
+    scale the same predicate runs per spatial partition (Delaunay is
+    local under point-set partition with halo, the standard
+    distributed-DT shape)."""
+    z = zones.where(F.col("zone_id") < DELAUNAY_MAX_ZONES).select(
+        "zone_id",
+        (F.floor((F.col("xmin") + F.col("xmax")) / 2 + 0.5).cast("long")
+         / DELAUNAY_SNAP).cast("long").alias("x"),
+        (F.floor((F.col("ymin") + F.col("ymax")) / 2 + 0.5).cast("long")
+         / DELAUNAY_SNAP).cast("long").alias("y"),
+    )
+
+    def pt(tag):
+        return z.select(
+            F.col("zone_id").alias(f"{tag}id"),
+            F.col("x").alias(f"{tag}x"),
+            F.col("y").alias(f"{tag}y"),
+        )
+
+    a, b, c, d = pt("a"), pt("b"), pt("c"), pt("d")
+    # candidate circumcircles: unordered pair a<b, any NON-COLLINEAR third
+    # c (orient = 0 has no circumcircle; keeping it would admit every
+    # edge through the vacuous emptiness of an undefined circle)
+    ori = (F.col("bx") - F.col("ax")) * (F.col("cy") - F.col("ay")) - (
+        F.col("by") - F.col("ay")
+    ) * (F.col("cx") - F.col("ax"))
+    abc = (
+        a.join(b, F.col("bid") > F.col("aid"))
+        .join(c, (F.col("cid") != F.col("aid")) & (F.col("cid") != F.col("bid")))
+        .withColumn("ori", ori)
+        .where(F.col("ori") != 0)
+    )
+    tri = abc.join(
+        d,
+        (F.col("did") != F.col("aid"))
+        & (F.col("did") != F.col("bid"))
+        & (F.col("did") != F.col("cid")),
+        "left",
+    )
+    ax, ay = F.col("ax") - F.col("dx"), F.col("ay") - F.col("dy")
+    bx, by = F.col("bx") - F.col("dx"), F.col("by") - F.col("dy")
+    cx, cy = F.col("cx") - F.col("dx"), F.col("cy") - F.col("dy")
+    det = (
+        ax * (by * (cx * cx + cy * cy) - cy * (bx * bx + by * by))
+        - ay * (bx * (cx * cx + cy * cy) - cx * (bx * bx + by * by))
+        + (ax * ax + ay * ay) * (bx * cy - by * cx)
+    )
+    strictly_in = F.when(
+        F.col("did").isNull(), F.lit(False)
+    ).otherwise(
+        F.when(F.col("ori") > 0, det > 0).otherwise(det < 0)
+    )
+    empty = (
+        tri.groupBy("aid", "bid", "cid", "ax", "ay", "bx", "by")
+        .agg(F.bool_and(~strictly_in).alias("empty"))
+    )
+    edges = (
+        empty.groupBy("aid", "bid", "ax", "ay", "bx", "by")
+        .agg(F.bool_or("empty").alias("is_delaunay"))
+        .where("is_delaunay")
+    )
+    d2 = (F.col("bx") - F.col("ax")) * (F.col("bx") - F.col("ax")) + (
+        F.col("by") - F.col("ay")
+    ) * (F.col("by") - F.col("ay"))
+    return (
+        edges.select(
+            F.col("aid").alias("za"), F.col("bid").alias("zb"), d2.alias("len2")
+        )
+        .repartition(1)
+        .sortWithinPartitions("za", "zb")
+    )

@@ -5279,6 +5279,7 @@ def spatial_queries() -> dict[str, QueryFn]:
         "bloom_fpr": rel.bloom_fpr,
         "circular_xcorr": q_circular_xcorr,
         "lpm_route": rel.lpm_route,
+        "delaunay_edges": q_delaunay_edges,
     })
 
 
@@ -5613,6 +5614,7 @@ def spatial_oracles(sf: str = "sf0.01") -> dict[str, str]:
         "bloom_fpr": rel.bloom_fpr_sql(),
         "circular_xcorr": _sql_circular_xcorr(fx, w),
         "lpm_route": rel.lpm_route_sql(),
+        "delaunay_edges": _sql_delaunay_edges(fx),
     })
 
 
@@ -12486,4 +12488,63 @@ SELECT pidx, CAST(-b.nk AS BIGINT) AS best_shift,
        CAST(b.score AS BIGINT) AS best_score,
        CAST(lag_checksum AS BIGINT) AS lag_checksum
 FROM best ORDER BY pidx
+"""
+
+
+def q_delaunay_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Delaunay edge census via the exact empty-circumcircle predicate
+    (pip.delaunay_edges — the dual of voronoi_assign), definitional
+    O(n⁴) over snapped zone centroids, every cocircular degeneracy
+    pinned by the shared integer determinant."""
+    from ..operators.pip import delaunay_edges
+
+    return delaunay_edges(_zones(spark, sf_dir))
+
+
+def _sql_delaunay_edges(fx: Path) -> str:
+    from ..operators.pip import DELAUNAY_MAX_ZONES, DELAUNAY_SNAP
+
+    zs = str(fx / "zones.parquet")
+    det = (
+        "(ax - dx) * ((by - dy) * ((cx - dx)*(cx - dx) + (cy - dy)*(cy - dy))"
+        "            - (cy - dy) * ((bx - dx)*(bx - dx) + (by - dy)*(by - dy)))"
+        " - (ay - dy) * ((bx - dx) * ((cx - dx)*(cx - dx) + (cy - dy)*(cy - dy))"
+        "              - (cx - dx) * ((bx - dx)*(bx - dx) + (by - dy)*(by - dy)))"
+        " + ((ax - dx)*(ax - dx) + (ay - dy)*(ay - dy))"
+        "   * ((bx - dx)*(cy - dy) - (by - dy)*(cx - dx))"
+    )
+    return f"""
+WITH z AS (
+  SELECT zone_id,
+         CAST(floor((xmin + xmax) / 2 + 0.5) AS BIGINT) // {DELAUNAY_SNAP} AS x,
+         CAST(floor((ymin + ymax) / 2 + 0.5) AS BIGINT) // {DELAUNAY_SNAP} AS y
+  FROM read_parquet('{zs}') WHERE zone_id < {DELAUNAY_MAX_ZONES}
+),
+abc AS MATERIALIZED (
+  SELECT a.zone_id AS aid, a.x AS ax, a.y AS ay,
+         b.zone_id AS bid, b.x AS bx, b.y AS by,
+         c.zone_id AS cid, c.x AS cx, c.y AS cy,
+         (b.x - a.x) * (c.y - a.y) - (b.y - a.y) * (c.x - a.x) AS ori
+  FROM z a
+  JOIN z b ON b.zone_id > a.zone_id
+  JOIN z c ON c.zone_id <> a.zone_id AND c.zone_id <> b.zone_id
+  WHERE (b.x - a.x) * (c.y - a.y) - (b.y - a.y) * (c.x - a.x) <> 0
+),
+emp AS (
+  SELECT aid, bid, cid, ax, ay, bx, by,
+         bool_and(NOT (
+           d.zone_id IS NOT NULL AND
+           CASE WHEN ori > 0 THEN ({det}) > 0 ELSE ({det}) < 0 END
+         )) AS empty
+  FROM abc LEFT JOIN (SELECT zone_id, x AS dx, y AS dy FROM z) d
+    ON d.zone_id <> aid AND d.zone_id <> bid AND d.zone_id <> cid
+  GROUP BY aid, bid, cid, ax, ay, bx, by
+),
+edges AS (
+  SELECT aid, bid, ax, ay, bx, by
+  FROM emp GROUP BY aid, bid, ax, ay, bx, by HAVING bool_or(empty)
+)
+SELECT aid AS za, bid AS zb,
+       CAST((bx - ax)*(bx - ax) + (by - ay)*(by - ay) AS BIGINT) AS len2
+FROM edges ORDER BY za, zb
 """
