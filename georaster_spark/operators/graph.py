@@ -1127,3 +1127,64 @@ def k_truss_rounds(edges: DataFrame, k: int, rounds: int) -> DataFrame:
     for df in out_rows[1:]:
         res = res.unionByName(df)
     return res
+
+
+def apsp_path_counts(edges: DataFrame, max_rounds: int = 24) -> DataFrame:
+    """All-pairs shortest-path distances AND multiplicities (the σ_st
+    path-counting layer of Brandes' betweenness, run to all pairs on a
+    dim-scale graph): level-synchronous BFS from every source at once —
+    frontier rows (s, v, n) carry the number of distinct shortest
+    s→v paths, each round sums counts over the edge fan-out and
+    anti-joins everything already settled (first-reach = shortest on
+    an unweighted graph).
+
+    Returns (src, dst, dist, npaths) for every reachable ordered pair
+    (including dist 0 self-rows), deterministic for any partitioning —
+    counts are additive and order-free.
+
+    Scale shape: each round is ONE join against the symmetric edge
+    list + ONE (s,v) groupBy-sum + ONE anti-join, all keyed on the
+    vertex — the textbook Pregel BFS; rounds = graph diameter.  At
+    10^12 edges the same loop shards by source-partition batches; the
+    settled set stays keyed and localCheckpoint'd so lineage is
+    round-deep."""
+    sym = (
+        edges.select(F.col("u").alias("a"), F.col("v").alias("b"))
+        .union(edges.select(F.col("v").alias("a"), F.col("u").alias("b")))
+        .distinct()
+        .localCheckpoint(eager=False)
+    )
+    verts = sym.select(F.col("a").alias("s")).distinct()
+    frontier = verts.select(
+        "s", F.col("s").alias("v"), F.lit(1).cast("long").alias("n")
+    ).localCheckpoint(eager=True)
+    done = frontier.select("s", "v", F.lit(0).alias("dist"), "n")
+    for k in range(1, max_rounds + 1):
+        if frontier.isEmpty():
+            break
+        nxt = (
+            frontier.join(sym, frontier["v"] == sym["a"])
+            .groupBy("s", F.col("b").alias("v2"))
+            .agg(F.sum("n").alias("n"))
+            .withColumnRenamed("v2", "v")
+            .join(done.select("s", "v").withColumn("seen", F.lit(1)),
+                  ["s", "v"], "left_anti")
+            .localCheckpoint(eager=True)
+        )
+        if nxt.isEmpty():
+            frontier = nxt
+            break
+        done = done.unionByName(
+            nxt.select("s", "v", F.lit(k).alias("dist"), "n")
+        ).localCheckpoint(eager=True)
+        frontier = nxt
+    else:
+        raise RuntimeError(f"apsp_path_counts: diameter exceeds {max_rounds}")
+    return (
+        done.select(
+            F.col("s").alias("src"), F.col("v").alias("dst"),
+            F.col("dist").cast("long").alias("dist"), F.col("n").alias("npaths"),
+        )
+        .repartition(1)
+        .sortWithinPartitions("src", "dst")
+    )

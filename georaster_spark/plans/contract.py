@@ -5280,6 +5280,7 @@ def spatial_queries() -> dict[str, QueryFn]:
         "circular_xcorr": q_circular_xcorr,
         "lpm_route": rel.lpm_route,
         "delaunay_edges": q_delaunay_edges,
+        "apsp_paths": q_apsp_paths,
     })
 
 
@@ -5615,6 +5616,7 @@ def spatial_oracles(sf: str = "sf0.01") -> dict[str, str]:
         "circular_xcorr": _sql_circular_xcorr(fx, w),
         "lpm_route": rel.lpm_route_sql(),
         "delaunay_edges": _sql_delaunay_edges(fx),
+        "apsp_paths": _sql_apsp_paths(fx),
     })
 
 
@@ -12547,4 +12549,73 @@ edges AS (
 SELECT aid AS za, bid AS zb,
        CAST((bx - ax)*(bx - ax) + (by - ay)*(by - ay) AS BIGINT) AS len2
 FROM edges ORDER BY za, zb
+"""
+
+
+_APSP_ROUNDS = 20
+
+
+def q_apsp_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """All-pairs shortest-path distance + multiplicity census
+    (graph.apsp_path_counts — the σ_st layer of Brandes betweenness)
+    over the zone proximity graph; oracle replays the level-synchronous
+    expansion as unrolled materialized frontier CTEs."""
+    from ..operators.graph import apsp_path_counts
+
+    z = _zones(spark, sf_dir).select(
+        "zone_id",
+        F.floor((F.col("xmin") + F.col("xmax")) / 2 + 0.5).cast("long").alias("cx"),
+        F.floor((F.col("ymin") + F.col("ymax")) / 2 + 0.5).cast("long").alias("cy"),
+    )
+    a = z.select(F.col("zone_id").alias("u"), F.col("cx").alias("acx"),
+                 F.col("cy").alias("acy"))
+    b = z.select(F.col("zone_id").alias("v"), F.col("cx").alias("bcx"),
+                 F.col("cy").alias("bcy"))
+    d = F.abs(F.col("acx") - F.col("bcx")) + F.abs(F.col("acy") - F.col("bcy"))
+    edges = a.join(b, F.col("v") > F.col("u")).where(d <= MST_CUTOFF).select("u", "v")
+    return apsp_path_counts(edges, max_rounds=_APSP_ROUNDS)
+
+
+def _sql_apsp_paths(fx: Path) -> str:
+    zs = str(fx / "zones.parquet")
+    ctes = []
+    prev_f = "f0"
+    done_terms = ["SELECT s, v, 0 AS dist, n FROM f0"]
+    for k in range(1, _APSP_ROUNDS + 1):
+        seen = " UNION ALL ".join(
+            f"SELECT s, v FROM f{j}" for j in range(k)
+        )
+        ctes.append(f"""
+f{k} AS MATERIALIZED (
+  SELECT p.s, e.b AS v, SUM(p.n) AS n
+  FROM {prev_f} p JOIN sym e ON e.a = p.v
+  WHERE NOT EXISTS (
+    SELECT 1 FROM ({seen}) q WHERE q.s = p.s AND q.v = e.b
+  )
+  GROUP BY p.s, e.b
+)""")
+        done_terms.append(f"SELECT s, v, {k} AS dist, n FROM f{k}")
+        prev_f = f"f{k}"
+    return f"""
+WITH z AS (
+  SELECT zone_id,
+         CAST(floor((xmin + xmax) / 2 + 0.5) AS BIGINT) AS cx,
+         CAST(floor((ymin + ymax) / 2 + 0.5) AS BIGINT) AS cy
+  FROM read_parquet('{zs}')
+),
+e AS (
+  SELECT a.zone_id AS u, b.zone_id AS v
+  FROM z a JOIN z b ON b.zone_id > a.zone_id
+  WHERE abs(a.cx - b.cx) + abs(a.cy - b.cy) <= {MST_CUTOFF}
+),
+sym AS MATERIALIZED (
+  SELECT u AS a, v AS b FROM e UNION SELECT v, u FROM e
+),
+f0 AS MATERIALIZED (
+  SELECT DISTINCT a AS s, a AS v, 1::BIGINT AS n FROM sym
+),{",".join(ctes)}
+SELECT s AS src, v AS dst, CAST(dist AS BIGINT) AS dist,
+       CAST(n AS BIGINT) AS npaths
+FROM ({" UNION ALL ".join(done_terms)})
+ORDER BY src, dst
 """
