@@ -1048,7 +1048,11 @@ def boruvka_msf(edges: DataFrame, max_rounds: int = 40) -> DataFrame:
             break
         chosen = ms if chosen is None else chosen.union(ms).distinct()
         chosen = chosen.localCheckpoint(eager=True)
-        comp = connected_components(
+        # star contraction, not min-label: the chosen forest contains
+        # chains up to V-1 long, where label propagation needs diameter
+        # rounds (observed non-convergence at 256 zones); large/small-
+        # star converges in O(log V) on any topology.
+        comp = connected_components_star(
             chosen, verts, vertex_col="vid", src_col="u", dst_col="v"
         ).localCheckpoint(eager=True)
     else:
