@@ -1192,3 +1192,78 @@ def apsp_path_counts(edges: DataFrame, max_rounds: int = 24) -> DataFrame:
         .repartition(1)
         .sortWithinPartitions("src", "dst")
     )
+
+
+def bellman_ford_rounds(
+    edges: DataFrame, source: int, rounds: int
+) -> DataFrame:
+    """Single-source WEIGHTED shortest paths via bounded Bellman-Ford
+    relaxation rounds (the BSP shortest-path shape — Pregel's hello-
+    world — where Dijkstra's priority queue has no parallel analog):
+    ``edges`` is (u, v, w) undirected with positive integer weights;
+    each round relaxes every edge once, d_k(v) = min(d_{k-1}(v),
+    min_{(u,v)} d_{k-1}(u) + w).  ``rounds`` fixed relaxations make the
+    plan a static DAG; with rounds >= |V|-1 the fixpoint is exact, and
+    the emitted per-node round-of-last-improvement pins the whole
+    trajectory, not just the final distances.
+
+    Returns (node, dist, settled_round) for nodes reachable from
+    ``source`` within ``rounds`` relaxations.
+
+    Scale shape: per round ONE join of the frontier against the edge
+    list + ONE groupBy(v).min — both combiner-friendly; frames
+    localCheckpoint'd so lineage stays round-deep.  At 10^12 edges
+    this is delta-stepping's degenerate bucket, sharded on v."""
+    sym = (
+        edges.select("u", "v", "w")
+        .union(edges.select(F.col("v").alias("u"), F.col("u").alias("v"), "w"))
+        .distinct()
+        .localCheckpoint(eager=False)
+    )
+    dist = (
+        sym.select(F.col("u").alias("node")).distinct()
+        .select(
+            "node",
+            F.when(F.col("node") == source, F.lit(0).cast("long")).alias("dist"),
+            F.when(F.col("node") == source, F.lit(0).cast("long")).alias("settled"),
+        )
+        .localCheckpoint(eager=True)
+    )
+    for k in range(1, rounds + 1):
+        cand = (
+            dist.where(F.col("dist").isNotNull())
+            .join(sym, dist["node"] == sym["u"])
+            .groupBy(F.col("v").alias("node"))
+            .agg(F.min(F.col("dist") + F.col("w")).alias("cdist"))
+        )
+        new = (
+            dist.join(cand, "node", "left")
+            .select(
+                "node",
+                F.least(
+                    F.coalesce("dist", F.lit(None).cast("long")),
+                    F.coalesce("cdist", F.col("dist")),
+                ).alias("ndist"),
+                "dist",
+                "settled",
+            )
+            .select(
+                "node",
+                F.col("ndist").alias("dist_new"),
+                F.when(
+                    F.col("dist").isNull() & F.col("ndist").isNotNull(), F.lit(k)
+                )
+                .when(F.col("ndist") < F.col("dist"), F.lit(k))
+                .otherwise(F.col("settled"))
+                .alias("settled"),
+            )
+            .withColumnRenamed("dist_new", "dist")
+            .localCheckpoint(eager=True)
+        )
+        dist = new
+    return (
+        dist.where(F.col("dist").isNotNull())
+        .select("node", "dist", F.col("settled").cast("long").alias("settled_round"))
+        .repartition(1)
+        .sortWithinPartitions("node")
+    )

@@ -3704,3 +3704,192 @@ SELECT r.pair_id, CAST(r.cur[{n}] AS BIGINT) AS lcs, eqp.eq_pos
 FROM rec r JOIN eqp USING (pair_id)
 WHERE r.d = {2 * n - 2} ORDER BY r.pair_id
 """
+
+
+BWT_LEN = 16
+BWT_MOD = 7
+
+
+def bwt_census(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Burrows-Wheeler transform census (Burrows & Wheeler 1994 — the
+    reversible permutation behind bzip2 and FM-indexes): for every
+    BWT_MOD-th document, the BWT of the first BWT_LEN letters of its
+    lowercased a-z skeleton (all rotations sorted bytewise, last
+    column concatenated — equal rotations share their last character,
+    so ties cannot disagree), with the md5 digest, the count of
+    equal-adjacent symbol pairs (the run-coalescing the transform
+    exists to create), and the distinct-symbol count.
+
+    Everything is built-in column algebra: transform() builds the
+    rotation array, array_sort orders it, aggregate folds the last
+    column — no UDF; the oracle replays it with generate_series +
+    string_agg under DuckDB's bytewise default collation.
+
+    Scale shape: map-only per-doc expression work + nothing shuffled
+    but the slim output rows."""
+    docs = _docs(spark, sf_dir).where(F.col("doc_id") % BWT_MOD == 0)
+    s = F.substring(
+        F.regexp_replace(F.lower(F.col("text")), "[^a-z]", ""), 1, BWT_LEN
+    )
+    d = docs.select("doc_id", s.alias("s")).where(F.length("s") == BWT_LEN)
+    n = BWT_LEN
+    rot = F.transform(
+        F.sequence(F.lit(0), F.lit(n - 1)),
+        lambda k: F.concat(
+            F.col("s").substr(k + 1, F.lit(n) - k), F.col("s").substr(F.lit(1), k)
+        ),
+    )
+    srt = F.array_sort(rot)
+    bwt = F.aggregate(
+        srt, F.lit(""), lambda acc, r: F.concat(acc, F.substring(r, n, 1))
+    )
+    out = d.select("doc_id", bwt.alias("bwt"))
+    runs = F.size(
+        F.filter(
+            F.sequence(F.lit(1), F.lit(n - 1)),
+            lambda i: F.substring(F.col("bwt"), i, 1)
+            == F.substring(F.col("bwt"), i + 1, 1),
+        )
+    )
+    return (
+        out.select(
+            "doc_id",
+            F.md5(F.col("bwt")).alias("bwt_md5"),
+            runs.cast("long").alias("n_equal_adjacent"),
+            F.size(
+                F.array_distinct(
+                    F.transform(
+                        F.sequence(F.lit(1), F.lit(BWT_LEN)),
+                        lambda i: F.substring(F.col("bwt"), i, 1),
+                    )
+                )
+            ).cast("long").alias("n_symbols"),
+        )
+        .repartition(1)
+        .sortWithinPartitions("doc_id")
+    )
+
+
+def bwt_census_sql() -> str:
+    n = BWT_LEN
+    return f"""
+WITH d AS (
+  SELECT doc_id,
+         substring(regexp_replace(lower(text), '[^a-z]', '', 'g'), 1, {n}) AS s
+  FROM documents WHERE doc_id % {BWT_MOD} = 0
+),
+d2 AS (SELECT doc_id, s FROM d WHERE length(s) = {n}),
+rot AS (
+  SELECT doc_id, k.k AS k,
+         substring(s, k.k + 1, {n} - k.k) || substring(s, 1, k.k) AS r
+  FROM d2, generate_series(0, {n - 1}) AS k(k)
+),
+bwt AS (
+  SELECT doc_id, string_agg(substring(r, {n}, 1), '' ORDER BY r, k) AS bwt
+  FROM rot GROUP BY doc_id
+)
+SELECT doc_id,
+       md5(bwt) AS bwt_md5,
+       CAST((SELECT COUNT(*) FROM generate_series(1, {n - 1}) AS g(i)
+             WHERE substring(bwt, i, 1) = substring(bwt, i + 1, 1))
+            AS BIGINT) AS n_equal_adjacent,
+       CAST(length(list_distinct(list_transform(range(1, {n + 1}),
+             i -> substring(bwt, i, 1)))) AS BIGINT) AS n_symbols
+FROM bwt ORDER BY doc_id
+"""
+
+
+DEBRUIJN_K = 3  # edges are word 3-grams; nodes are word 2-grams
+
+
+def debruijn_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """De Bruijn graph census over word n-grams (the assembly-graph
+    framing of corpus redundancy — Pevzner's Eulerian path view, here
+    on tokens instead of nucleotides): nodes are distinct word
+    2-grams, a directed edge joins prefix 2-gram -> suffix 2-gram for
+    every DISTINCT word 3-gram, per language.  Emits per lang: node
+    and edge counts, the number of Eulerian-BALANCED nodes
+    (in-degree == out-degree — the walkability surface), max out-degree,
+    and the count of branching nodes (out-degree > 1, where assembly
+    ambiguity lives).
+
+    Scale shape: explode to distinct 3-grams (one doc-keyed dedup
+    shuffle), then two (lang, node) degree aggs joined FULL OUTER —
+    every shuffle keyed on (lang, 2-gram), no corpus-global hot key."""
+    ws = _clean_words()
+    docs = _docs(spark, sf_dir)
+    tri = F.when(
+        F.size(ws) >= 3,
+        F.transform(
+            F.sequence(F.lit(1), F.size(ws) - 2),
+            lambda i: F.concat_ws(
+                " ",
+                F.element_at(ws, i),
+                F.element_at(ws, i + 1),
+                F.element_at(ws, i + 2),
+            ),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    edges = (
+        docs.select("lang", F.explode(tri).alias("g"))
+        .select(
+            "lang",
+            F.concat_ws(" ", F.slice(F.split(F.col("g"), " "), 1, 2)).alias("pre"),
+            F.concat_ws(" ", F.slice(F.split(F.col("g"), " "), 2, 2)).alias("suf"),
+        )
+        .distinct()
+    )
+    outd = edges.groupBy("lang", F.col("pre").alias("node")).agg(
+        F.count(F.lit(1)).alias("outd")
+    )
+    ind = edges.groupBy("lang", F.col("suf").alias("node")).agg(
+        F.count(F.lit(1)).alias("ind")
+    )
+    deg = outd.join(ind, ["lang", "node"], "full_outer").select(
+        "lang",
+        "node",
+        F.coalesce("outd", F.lit(0)).alias("outd"),
+        F.coalesce("ind", F.lit(0)).alias("ind"),
+    )
+    return (
+        deg.groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_nodes"),
+            F.sum("outd").alias("n_edges"),
+            F.sum((F.col("outd") == F.col("ind")).cast("long")).alias("n_balanced"),
+            F.max("outd").alias("max_outd"),
+            F.sum((F.col("outd") > 1).cast("long")).alias("n_branching"),
+        )
+        .repartition(1)
+        .sortWithinPartitions("lang")
+    )
+
+
+def debruijn_stats_sql() -> str:
+    return f"""
+WITH w AS (
+  SELECT lang, list_filter({_SQL_WS}, t -> t <> '') AS ws FROM documents
+),
+tri AS (
+  SELECT DISTINCT lang,
+         ws[i] || ' ' || ws[i + 1] AS pre,
+         ws[i + 1] || ' ' || ws[i + 2] AS suf
+  FROM w, unnest(range(1, len(ws) - 1)) t(i)
+  WHERE len(ws) >= 3
+),
+outd AS (SELECT lang, pre AS node, COUNT(*) AS outd FROM tri GROUP BY lang, pre),
+ind  AS (SELECT lang, suf AS node, COUNT(*) AS ind FROM tri GROUP BY lang, suf),
+deg AS (
+  SELECT COALESCE(o.lang, i.lang) AS lang,
+         COALESCE(o.node, i.node) AS node,
+         COALESCE(o.outd, 0) AS outd, COALESCE(i.ind, 0) AS ind
+  FROM outd o FULL OUTER JOIN ind i ON i.lang = o.lang AND i.node = o.node
+)
+SELECT lang,
+       CAST(COUNT(*) AS BIGINT) AS n_nodes,
+       CAST(SUM(outd) AS BIGINT) AS n_edges,
+       CAST(SUM(CASE WHEN outd = ind THEN 1 ELSE 0 END) AS BIGINT) AS n_balanced,
+       CAST(MAX(outd) AS BIGINT) AS max_outd,
+       CAST(SUM(CASE WHEN outd > 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_branching
+FROM deg GROUP BY lang ORDER BY lang
+"""

@@ -5281,6 +5281,9 @@ def spatial_queries() -> dict[str, QueryFn]:
         "lpm_route": rel.lpm_route,
         "delaunay_edges": q_delaunay_edges,
         "apsp_paths": q_apsp_paths,
+        "bellman_ford": q_bellman_ford,
+        "bwt_census": textops.bwt_census,
+        "debruijn_stats": textops.debruijn_stats,
     })
 
 
@@ -5617,6 +5620,9 @@ def spatial_oracles(sf: str = "sf0.01") -> dict[str, str]:
         "lpm_route": rel.lpm_route_sql(),
         "delaunay_edges": _sql_delaunay_edges(fx),
         "apsp_paths": _sql_apsp_paths(fx),
+        "bellman_ford": _sql_bellman_ford(fx),
+        "bwt_census": textops.bwt_census_sql(),
+        "debruijn_stats": textops.debruijn_stats_sql(),
     })
 
 
@@ -12618,4 +12624,79 @@ SELECT s AS src, v AS dst, CAST(dist AS BIGINT) AS dist,
        CAST(n AS BIGINT) AS npaths
 FROM ({" UNION ALL ".join(done_terms)})
 ORDER BY src, dst
+"""
+
+
+_BF_ROUNDS = 24
+
+
+def q_bellman_ford(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weighted single-source shortest paths via bounded Bellman-Ford
+    relaxation (graph.bellman_ford_rounds) over the zone proximity
+    graph with L1 centroid weights; per-node settled-round pins the
+    trajectory.  Oracle replays the identical 24 unrolled
+    relaxations."""
+    from ..operators.graph import bellman_ford_rounds
+
+    z = _zones(spark, sf_dir).select(
+        "zone_id",
+        F.floor((F.col("xmin") + F.col("xmax")) / 2 + 0.5).cast("long").alias("cx"),
+        F.floor((F.col("ymin") + F.col("ymax")) / 2 + 0.5).cast("long").alias("cy"),
+    )
+    a = z.select(F.col("zone_id").alias("u"), F.col("cx").alias("acx"),
+                 F.col("cy").alias("acy"))
+    b = z.select(F.col("zone_id").alias("v"), F.col("cx").alias("bcx"),
+                 F.col("cy").alias("bcy"))
+    d = F.abs(F.col("acx") - F.col("bcx")) + F.abs(F.col("acy") - F.col("bcy"))
+    edges = (
+        a.join(b, F.col("v") > F.col("u"))
+        .where(d <= MST_CUTOFF)
+        .select("u", "v", d.alias("w"))
+    )
+    return bellman_ford_rounds(edges, source=0, rounds=_BF_ROUNDS)
+
+
+def _sql_bellman_ford(fx: Path) -> str:
+    zs = str(fx / "zones.parquet")
+    ctes = []
+    for k in range(1, _BF_ROUNDS + 1):
+        p = f"d{k - 1}"
+        ctes.append(f"""
+d{k} AS MATERIALIZED (
+  SELECT d.node,
+         CASE WHEN c.cdist IS NOT NULL AND (d.dist IS NULL OR c.cdist < d.dist)
+              THEN c.cdist ELSE d.dist END AS dist,
+         CASE WHEN c.cdist IS NOT NULL AND (d.dist IS NULL OR c.cdist < d.dist)
+              THEN {k} ELSE d.settled END AS settled
+  FROM {p} d LEFT JOIN (
+    SELECT e.b AS node, MIN(p.dist + e.w) AS cdist
+    FROM {p} p JOIN sym e ON e.a = p.node
+    WHERE p.dist IS NOT NULL GROUP BY e.b
+  ) c ON c.node = d.node
+)""")
+    return f"""
+WITH z AS (
+  SELECT zone_id,
+         CAST(floor((xmin + xmax) / 2 + 0.5) AS BIGINT) AS cx,
+         CAST(floor((ymin + ymax) / 2 + 0.5) AS BIGINT) AS cy
+  FROM read_parquet('{zs}')
+),
+e AS (
+  SELECT a.zone_id AS u, b.zone_id AS v,
+         abs(a.cx - b.cx) + abs(a.cy - b.cy) AS w
+  FROM z a JOIN z b ON b.zone_id > a.zone_id
+  WHERE abs(a.cx - b.cx) + abs(a.cy - b.cy) <= {MST_CUTOFF}
+),
+sym AS MATERIALIZED (
+  SELECT u AS a, v AS b, w FROM e UNION SELECT v, u, w FROM e
+),
+d0 AS MATERIALIZED (
+  SELECT node,
+         CASE WHEN node = 0 THEN 0::BIGINT END AS dist,
+         CASE WHEN node = 0 THEN 0::BIGINT END AS settled
+  FROM (SELECT DISTINCT a AS node FROM sym)
+),{",".join(ctes)}
+SELECT node, CAST(dist AS BIGINT) AS dist,
+       CAST(settled AS BIGINT) AS settled_round
+FROM d{_BF_ROUNDS} WHERE dist IS NOT NULL ORDER BY node
 """
