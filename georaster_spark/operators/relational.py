@@ -6823,3 +6823,176 @@ SELECT CAST(r.net AS BIGINT) AS net, CAST(r.len AS INT) AS len,
        CAST(SUM(ip) AS BIGINT) AS ip_checksum
 FROM best GROUP BY r.net, r.len ORDER BY net, len
 """
+
+
+# --- Jenks natural breaks (integer DP) --------------------------------------------------------
+
+JENKS_K = 4
+JENKS_BINS = 256
+JENKS_BIN_C = 2500_00  # cents per bin: o_totalprice 0..640k -> bins 0..255
+
+
+def jenks_breaks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Jenks natural-breaks classification (the GIS choropleth
+    classifier — Fisher's exact optimal-partition DP) over the 256-bin
+    order-value histogram, k = 4 classes, held integer-exact: segment
+    badness is the n-scaled squared-deviation numerator
+    (N·Q − S²) over the segment's prefix-sum differences (the float
+    SSE times the segment count — same argmin ordering within a fixed
+    segment, documented variant so no rational arithmetic is needed),
+    ties broken toward the smallest split.  Emits one row per DP layer
+    boundary: the class index, its argmin split bin, and the final
+    objective — the full backtrack, not just the last break.
+
+    Scale shape: the histogram build is the only data-sized pass (one
+    partial+final 256-group agg); the DP is three 256×256 key-local
+    joins over a broadcast-sized table — at any corpus scale the DP
+    cost is constant."""
+    o = _t(spark, sf_dir, "orders").select(
+        F.least(
+            F.lit(JENKS_BINS - 1),
+            F.expr(f"div(CAST(round(o_totalprice * 100) AS BIGINT), {JENKS_BIN_C})"),
+        ).alias("b")
+    )
+    hist = o.groupBy("b").agg(F.count(F.lit(1)).alias("n"))
+    grid = spark.range(JENKS_BINS).select(F.col("id").alias("b"))
+    h = (
+        grid.join(hist, "b", "left")
+        .select("b", F.coalesce("n", F.lit(0)).alias("n"))
+        .select("b", "n", (F.col("n") * F.col("b")).alias("s"),
+                (F.col("n") * F.col("b") * F.col("b")).alias("q"))
+    )
+    wnd = Window.orderBy("b").rowsBetween(Window.unboundedPreceding, 0)
+    pre = h.select(
+        "b",
+        F.sum("n").over(wnd).alias("N"),
+        F.sum("s").over(wnd).alias("S"),
+        F.sum("q").over(wnd).alias("Q"),
+    ).localCheckpoint(eager=True)
+    zero = spark.range(1).select(
+        F.lit(-1).alias("b"), F.lit(0).alias("N"), F.lit(0).alias("S"),
+        F.lit(0).alias("Q"),
+    )
+    pz = pre.unionByName(zero)
+
+    def cost(Ni, Qi, Si, Nj, Qj, Sj):
+        return (Ni - Nj) * (Qi - Qj) - (Si - Sj) * (Si - Sj)
+
+    # D1[i] = cost(0..i)
+    d = pre.join(F.broadcast(zero.select(
+        F.col("N").alias("N0"), F.col("S").alias("S0"), F.col("Q").alias("Q0"))),
+    ).select(
+        "b",
+        cost(F.col("N"), F.col("Q"), F.col("S"),
+             F.col("N0"), F.col("Q0"), F.col("S0")).alias("obj"),
+        F.lit(-1).cast("long").alias("j"),
+    )
+    layers = [d]
+    for _ in range(2, JENKS_K + 1):
+        dj = layers[-1].select(
+            F.col("b").alias("jb"), F.col("obj").alias("pobj")
+        )
+        cand = (
+            pre.join(F.broadcast(dj), F.col("jb") < F.col("b"))
+            .join(
+                F.broadcast(pz.select(
+                    F.col("b").alias("jb2"), F.col("N").alias("Nj"),
+                    F.col("S").alias("Sj"), F.col("Q").alias("Qj"))),
+                F.col("jb2") == F.col("jb"),
+            )
+            .select(
+                "b",
+                (F.col("pobj")
+                 + cost(F.col("N"), F.col("Q"), F.col("S"),
+                        F.col("Nj"), F.col("Qj"), F.col("Sj"))).alias("cobj"),
+                F.col("jb"),
+            )
+        )
+        nxt = (
+            cand.groupBy("b")
+            .agg(F.min(F.struct("cobj", "jb")).alias("m"))
+            .select("b", F.col("m.cobj").alias("obj"), F.col("m.jb").alias("j"))
+            .localCheckpoint(eager=True)
+        )
+        layers.append(nxt)
+    # backtrack from the last bin through each layer's argmin
+    rows = []
+    last_b = JENKS_BINS - 1
+    out = None
+    for k in range(JENKS_K, 0, -1):
+        lyr = layers[k - 1].where(F.col("b") == last_b).select(
+            F.lit(k).alias("class_k"),
+            F.col("b").cast("long").alias("seg_end"),
+            F.col("j").cast("long").alias("split_bin"),
+            F.col("obj").cast("long").alias("obj"),
+        )
+        r = lyr.first()
+        rows.append((k, int(r["seg_end"]), int(r["split_bin"]), int(r["obj"])))
+        last_b = int(r["split_bin"])
+    out = spark.createDataFrame(
+        rows, "class_k int, seg_end long, split_bin long, obj long"
+    )
+    return out.repartition(1).sortWithinPartitions("class_k")
+
+
+def jenks_breaks_sql() -> str:
+    cost = "((N_i - N_j) * (Q_i - Q_j) - (S_i - S_j) * (S_i - S_j))"
+    layer_ctes = []
+    for k in range(2, JENKS_K + 1):
+        layer_ctes.append(f"""
+d{k} AS MATERIALIZED (
+  SELECT b, MIN(struct_pack(cobj := cobj, jb := jb)) AS m
+  FROM (
+    SELECT p.b, d.obj + {cost
+        .replace('N_i', 'p.N').replace('Q_i', 'p.Q').replace('S_i', 'p.S')
+        .replace('N_j', 'z.N').replace('Q_j', 'z.Q').replace('S_j', 'z.S')} AS cobj,
+           d.b AS jb
+    FROM pre p
+    JOIN dd{k - 1} d ON d.b < p.b
+    JOIN pz z ON z.b = d.b
+  ) GROUP BY b
+),
+dd{k} AS MATERIALIZED (SELECT b, m.cobj AS obj, m.jb AS j FROM d{k})""")
+    back = []
+    for k in range(JENKS_K, 0, -1):
+        if k == JENKS_K:
+            back.append(
+                f"b{k} AS (SELECT {k} AS class_k, b AS seg_end, j AS split_bin, obj"
+                f" FROM dd{k} WHERE b = {JENKS_BINS - 1})"
+            )
+        else:
+            back.append(
+                f"b{k} AS (SELECT {k} AS class_k, d.b AS seg_end, d.j AS split_bin,"
+                f" d.obj FROM dd{k} d JOIN b{k + 1} nx ON d.b = nx.split_bin)"
+            )
+    union = " UNION ALL ".join(
+        f"SELECT class_k, seg_end, split_bin, obj FROM b{k}"
+        for k in range(1, JENKS_K + 1)
+    )
+    return f"""
+WITH o AS (
+  SELECT least({JENKS_BINS - 1},
+               CAST(round(o_totalprice * 100) AS BIGINT) // {JENKS_BIN_C}) AS b
+  FROM orders
+),
+hist AS (SELECT b, COUNT(*) AS n FROM o GROUP BY b),
+grid AS (SELECT unnest(range(0, {JENKS_BINS})) AS b),
+h AS (
+  SELECT g.b, COALESCE(hist.n, 0) AS n,
+         COALESCE(hist.n, 0) * g.b AS s,
+         COALESCE(hist.n, 0) * g.b * g.b AS q
+  FROM grid g LEFT JOIN hist ON hist.b = g.b
+),
+pre AS MATERIALIZED (
+  SELECT b, SUM(n) OVER w AS N, SUM(s) OVER w AS S, SUM(q) OVER w AS Q
+  FROM h WINDOW w AS (ORDER BY b ROWS UNBOUNDED PRECEDING)
+),
+pz AS (SELECT * FROM pre UNION ALL SELECT -1, 0, 0, 0),
+dd1 AS MATERIALIZED (
+  SELECT b, N * Q - S * S AS obj, -1::BIGINT AS j FROM pre
+),{",".join(layer_ctes)},
+{",".join(back)}
+SELECT CAST(class_k AS INT) AS class_k, CAST(seg_end AS BIGINT) AS seg_end,
+       CAST(split_bin AS BIGINT) AS split_bin, CAST(obj AS BIGINT) AS obj
+FROM ({union}) ORDER BY class_k
+"""

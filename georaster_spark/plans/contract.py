@@ -5284,6 +5284,7 @@ def spatial_queries() -> dict[str, QueryFn]:
         "bellman_ford": q_bellman_ford,
         "bwt_census": textops.bwt_census,
         "debruijn_stats": textops.debruijn_stats,
+        "jenks_breaks": rel.jenks_breaks,
     })
 
 
@@ -5623,6 +5624,7 @@ def spatial_oracles(sf: str = "sf0.01") -> dict[str, str]:
         "bellman_ford": _sql_bellman_ford(fx),
         "bwt_census": textops.bwt_census_sql(),
         "debruijn_stats": textops.debruijn_stats_sql(),
+        "jenks_breaks": rel.jenks_breaks_sql(),
     })
 
 
