@@ -5285,6 +5285,7 @@ def spatial_queries() -> dict[str, QueryFn]:
         "bwt_census": textops.bwt_census,
         "debruijn_stats": textops.debruijn_stats,
         "jenks_breaks": rel.jenks_breaks,
+        "pip_anti": q_pip_anti,
     })
 
 
@@ -5625,6 +5626,7 @@ def spatial_oracles(sf: str = "sf0.01") -> dict[str, str]:
         "bwt_census": textops.bwt_census_sql(),
         "debruijn_stats": textops.debruijn_stats_sql(),
         "jenks_breaks": rel.jenks_breaks_sql(),
+        "pip_anti": _sql_pip_anti(fx),
     })
 
 
@@ -12701,4 +12703,57 @@ d0 AS MATERIALIZED (
 SELECT node, CAST(dist AS BIGINT) AS dist,
        CAST(settled AS BIGINT) AS settled_round
 FROM d{_BF_ROUNDS} WHERE dist IS NOT NULL ORDER BY node
+"""
+
+
+def q_pip_anti(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spatial ANTI join (the missing quadrant of the PIP matrix —
+    customers_no_orders' geometric twin): images whose snapped centroid
+    lies in NO zone, via a broadcast anti join on the identical
+    bbox-prefilter + convex half-plane predicate op E5 uses.  Oracle is
+    the same predicate under NOT EXISTS."""
+    from ..operators.pip import convex_pip
+
+    tiles = geo.georegister(_images(spark, sf_dir))
+    cent = tiles.select(
+        "image_id",
+        (F.col("gt_x0") + F.col("w") * F.col("gt_xres") / 2).alias("pcx"),
+        (F.col("gt_y0") - F.col("h") * F.col("gt_yres") / 2).alias("pcy"),
+    )
+    z = _zones(spark, sf_dir)
+    cond = (
+        (F.col("pcx") >= F.col("xmin"))
+        & (F.col("pcx") <= F.col("xmax"))
+        & (F.col("pcy") >= F.col("ymin"))
+        & (F.col("pcy") <= F.col("ymax"))
+        & convex_pip(F.col("ring"), F.col("pcx"), F.col("pcy"))
+    )
+    return (
+        cent.join(F.broadcast(z), cond, "left_anti")
+        .select("image_id")
+        .repartition(1)
+        .sortWithinPartitions("image_id")
+    )
+
+
+def _sql_pip_anti(fx: Path) -> str:
+    zs = str(fx / "zones.parquet")
+    return f"""
+WITH {osql.georegister_cte(str(fx / 'images.parquet'))},
+cent AS (
+  SELECT image_id,
+         gt_x0 + w * gt_xres / 2 AS cx,
+         gt_y0 - h * gt_yres / 2 AS cy
+  FROM tiles
+),
+hits AS (
+  SELECT DISTINCT c.image_id
+  FROM cent c JOIN read_parquet('{zs}') z
+    ON c.cx >= z.xmin AND c.cx <= z.xmax
+   AND c.cy >= z.ymin AND c.cy <= z.ymax
+  WHERE {osql.pip_where('c.cx', 'c.cy')}
+)
+SELECT image_id FROM cent
+WHERE image_id NOT IN (SELECT image_id FROM hits)
+ORDER BY image_id
 """
