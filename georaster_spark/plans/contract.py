@@ -5286,6 +5286,7 @@ def spatial_queries() -> dict[str, QueryFn]:
         "debruijn_stats": textops.debruijn_stats,
         "jenks_breaks": rel.jenks_breaks,
         "pip_anti": q_pip_anti,
+        "seam_audit": q_seam_audit,
     })
 
 
@@ -5627,6 +5628,7 @@ def spatial_oracles(sf: str = "sf0.01") -> dict[str, str]:
         "debruijn_stats": textops.debruijn_stats_sql(),
         "jenks_breaks": rel.jenks_breaks_sql(),
         "pip_anti": _sql_pip_anti(fx),
+        "seam_audit": _sql_seam_audit(fx, w),
     })
 
 
@@ -12756,4 +12758,106 @@ hits AS (
 SELECT image_id FROM cent
 WHERE image_id NOT IN (SELECT image_id FROM hits)
 ORDER BY image_id
+"""
+
+
+_SEAM_MOD = 11
+
+
+def q_seam_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mosaic seam audit between lattice-adjacent tiles (the cross-tile
+    edge-consistency QA a tiling pipeline runs before publishing a
+    mosaic): for horizontally adjacent tiles on the ingest lattice
+    (idx, idx+1 in the same grid row), the exact L1 / max / checksum
+    difference between the left tile's rightmost pixel column and the
+    right tile's leftmost column.
+
+    Scale shape: two slim single-column probes per pair — each tile
+    contributes w pixels, extracted in ONE fused Arrow pass per side —
+    joined on the lattice key; pixels never shuffle (only the w-length
+    edge columns do)."""
+    import numpy as np
+    import pandas as pd
+
+    from ..constants import GRID_W
+
+    tiles = geo.georegister(_images(spark, sf_dir))
+
+    def edge_col(df, which: str, tag: str):
+        def gen(batches):
+            dt = {"raw": np.uint8, "qnt": np.uint8, "raw16": "<u2"}
+            for pdf in batches:
+                ids, cols = [], []
+                for i in range(len(pdf)):
+                    w0, h0 = int(pdf["w"].iat[i]), int(pdf["h"].iat[i])
+                    z = np.frombuffer(
+                        pdf["bytes"].iat[i], dtype=dt[pdf["fmt"].iat[i]]
+                    ).reshape(h0, w0).astype(np.int64)
+                    ids.append(int(pdf["idx"].iat[i]))
+                    cols.append((z[:, -1] if which == "right" else z[:, 0]).tolist())
+                yield pd.DataFrame({"pidx": ids, tag: cols})
+
+        return df.select(
+            geo.image_idx().alias("idx"), "bytes", "w", "h", "fmt"
+        ).mapInPandas(gen, schema=f"pidx long, {tag} array<long>")
+
+    left = tiles.where(
+        (geo.image_idx() % _SEAM_MOD == 0)
+        & ((geo.image_idx() % GRID_W) != GRID_W - 1)
+    )
+    right = tiles.where(((geo.image_idx() - 1) % _SEAM_MOD == 0)
+                        & ((geo.image_idx() % GRID_W) != 0))
+    a = edge_col(left, "right", "ra")
+    b = edge_col(right, "left", "rb").withColumn("pidx", F.col("pidx") - 1)
+    pair = a.join(b, "pidx")
+    diff = F.zip_with("ra", "rb", lambda x, y: F.abs(x - y))
+    return (
+        pair.select(
+            "pidx",
+            F.aggregate(diff, F.lit(0).cast("long"), lambda acc, d: acc + d)
+            .alias("seam_l1"),
+            F.array_max(diff).alias("seam_max"),
+            F.aggregate(
+                F.zip_with(
+                    diff,
+                    F.sequence(F.lit(1), F.size(diff)),
+                    lambda d, t: d * t,
+                ),
+                F.lit(0).cast("long"),
+                lambda acc, x: acc + x,
+            ).alias("seam_checksum"),
+        )
+        .repartition(1)
+        .sortWithinPartitions("pidx")
+    )
+
+
+def _sql_seam_audit(fx: Path, w: int) -> str:
+    from ..constants import GRID_W
+
+    va = osql.ramp_value_expr("gi.i", str(w - 1))
+    vb = osql.ramp_value_expr("gi.i", "0", idx="idx + 1")
+    return f"""
+WITH img AS (
+  SELECT CAST(substr(image_id, 4, 10) AS BIGINT) AS idx, fmt
+  FROM read_parquet('{fx / 'images.parquet'}')
+),
+pairs AS (
+  SELECT a.idx, a.fmt AS fmt_a, b.fmt AS fmt_b
+  FROM img a JOIN img b ON b.idx = a.idx + 1
+  WHERE a.idx % {_SEAM_MOD} = 0
+    AND a.idx % {GRID_W} <> {GRID_W - 1}
+    AND (a.idx + 1) % {GRID_W} <> 0
+),
+d AS (
+  SELECT idx AS pidx, gi.i AS i,
+         abs(CAST({va.replace('fmt', 'fmt_a')} AS BIGINT)
+             - CAST({vb.replace('fmt', 'fmt_b')} AS BIGINT)) AS dv
+  FROM pairs, generate_series(0, {w - 1}) AS gi(i)
+)
+SELECT pidx,
+       CAST(SUM(dv) AS BIGINT) AS seam_l1,
+       CAST(MAX(dv) AS BIGINT) AS seam_max,
+       CAST(SUM(dv * (i + 1)) AS BIGINT) AS seam_checksum
+FROM d GROUP BY pidx ORDER BY pidx
 """
