@@ -6996,3 +6996,80 @@ SELECT CAST(class_k AS INT) AS class_k, CAST(seg_end AS BIGINT) AS seg_end,
        CAST(split_bin AS BIGINT) AS split_bin, CAST(obj AS BIGINT) AS obj
 FROM ({union}) ORDER BY class_k
 """
+
+
+# --- Poisson bootstrap replicates -------------------------------------------------------------
+
+POISSON_REPS = 8
+# Poisson(1) CDF, exact float64 literals shared by both engines
+POISSON_CDF = (
+    0.36787944117144233, 0.7357588823428847, 0.9196986029286058,
+    0.9810118431238463, 0.9963401531726563, 0.9994058151824183,
+    0.999916758850712, 0.9999897508033253,
+)
+
+
+def poisson_bootstrap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Poisson bootstrap replicates (Chamandy et al., Google 2012 — the
+    streaming-friendly bootstrap: each row independently enters
+    replicate r with Poisson(1) multiplicity, so resampling needs no
+    global coordination): multiplicity k = inverse-CDF of the
+    deterministic hash-uniform u = h40(doc ':' r)/2^40 against the
+    literal Poisson(1) CDF (identical float64 constants and dyadic
+    division on both engines — comparisons are bit-reproducible).
+    Emits per replicate: effective row count Σk, the k-weighted
+    n_chars total (the bootstrapped statistic), and rows dropped
+    (k = 0) — the spread across replicates IS the uncertainty
+    estimate.
+
+    Scale shape: map-only multiplicity arithmetic + one 8-group
+    partial+final agg; exactly how a 10¹²-row pipeline bootstraps."""
+    from .textops import h40
+
+    d = _t(spark, sf_dir, "documents").select("doc_id", "n_chars")
+    reps = spark.range(POISSON_REPS).select(F.col("id").cast("int").alias("r"))
+    u = (
+        h40(F.concat_ws(":", F.col("doc_id"), F.col("r"))).cast("double")
+        / float(1 << 40)
+    )
+    k = F.lit(len(POISSON_CDF))
+    for i in range(len(POISSON_CDF) - 1, -1, -1):
+        k = F.when(u < POISSON_CDF[i], i).otherwise(k)
+    x = d.crossJoin(F.broadcast(reps)).select(
+        "r", "n_chars", k.cast("long").alias("k")
+    )
+    return (
+        x.groupBy("r")
+        .agg(
+            F.sum("k").alias("n_effective"),
+            F.sum(F.col("k") * F.col("n_chars")).alias("chars_total"),
+            F.sum((F.col("k") == 0).cast("long")).alias("n_dropped"),
+        )
+        .repartition(1)
+        .sortWithinPartitions("r")
+    )
+
+
+def poisson_bootstrap_sql() -> str:
+    h = ("CAST('0x' || substring(md5(CAST(doc_id AS VARCHAR) || ':' ||"
+         " CAST(r AS VARCHAR)), 1, 10) AS BIGINT)")
+    arms = " ".join(
+        f"WHEN u < {POISSON_CDF[i]!r} THEN {i}"
+        for i in range(len(POISSON_CDF))
+    )
+    return f"""
+WITH reps AS (SELECT unnest(range(0, {POISSON_REPS})) AS r),
+x AS (
+  SELECT r, n_chars,
+         CASE {arms} ELSE {len(POISSON_CDF)} END AS k
+  FROM (
+    SELECT r, n_chars, {h} / {float(1 << 40)!r} AS u
+    FROM documents, reps
+  )
+)
+SELECT CAST(r AS INT) AS r,
+       CAST(SUM(k) AS BIGINT) AS n_effective,
+       CAST(SUM(k * n_chars) AS BIGINT) AS chars_total,
+       CAST(SUM(CASE WHEN k = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_dropped
+FROM x GROUP BY r ORDER BY r
+"""

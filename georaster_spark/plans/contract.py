@@ -5287,6 +5287,8 @@ def spatial_queries() -> dict[str, QueryFn]:
         "jenks_breaks": rel.jenks_breaks,
         "pip_anti": q_pip_anti,
         "seam_audit": q_seam_audit,
+        "grid_crossings": q_grid_crossings,
+        "poisson_bootstrap": rel.poisson_bootstrap,
     })
 
 
@@ -5629,6 +5631,8 @@ def spatial_oracles(sf: str = "sf0.01") -> dict[str, str]:
         "jenks_breaks": rel.jenks_breaks_sql(),
         "pip_anti": _sql_pip_anti(fx),
         "seam_audit": _sql_seam_audit(fx, w),
+        "grid_crossings": _sql_grid_crossings(fx),
+        "poisson_bootstrap": rel.poisson_bootstrap_sql(),
     })
 
 
@@ -12860,4 +12864,97 @@ SELECT pidx,
        CAST(MAX(dv) AS BIGINT) AS seam_max,
        CAST(SUM(dv * (i + 1)) AS BIGINT) AS seam_checksum
 FROM d GROUP BY pidx ORDER BY pidx
+"""
+
+
+_GRID_CROSS_RES = 6  # cell lattice resolution for the crossing count
+
+
+def q_grid_crossings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Supercover line-crossing census (the Amanatides-Woo / DDA
+    planning question "how many cells does this route touch"): for the
+    segment between consecutive zone centroids snapped to the res-6
+    cell lattice, the exact crossed-cell count via the lattice identity
+    n = dx + dy − gcd(dx, dy) + 1 (segments between lattice corners).
+    gcd is 24 unrolled Euclid steps of pure Column algebra on the Spark
+    side (no UDF; 24 > log_φ(2^26) so it is exact for any in-domain
+    delta), DuckDB's builtin gcd on the oracle side."""
+    from ..constants import DOMAIN
+
+    s = DOMAIN >> _GRID_CROSS_RES
+    z = _zones(spark, sf_dir).select(
+        "zone_id",
+        F.floor(((F.col("xmin") + F.col("xmax")) / 2) / s).cast("long").alias("gx"),
+        F.floor(((F.col("ymin") + F.col("ymax")) / 2) / s).cast("long").alias("gy"),
+    )
+    from pyspark.sql import Window as W
+
+    w = W.orderBy("zone_id")
+    p = z.select(
+        "zone_id",
+        "gx",
+        "gy",
+        F.lead("zone_id").over(w).alias("zb"),
+        F.lead("gx").over(w).alias("gx2"),
+        F.lead("gy").over(w).alias("gy2"),
+    ).where(F.col("zb").isNotNull())
+    p = p.withColumn("dx", F.abs(F.col("gx2") - F.col("gx"))).withColumn(
+        "dy", F.abs(F.col("gy2") - F.col("gy"))
+    )
+    p = p.withColumn("g0", F.col("dx")).withColumn("g1", F.col("dy"))
+    for _ in range(24):  # Euclid: converges within 24 steps for 26-bit inputs
+        p = (
+            p.withColumn(
+                "t", F.when(F.col("g1") == 0, F.col("g0")).otherwise(F.col("g1"))
+            )
+            .withColumn(
+                "g1n",
+                F.when(F.col("g1") == 0, F.lit(0)).otherwise(F.col("g0") % F.col("g1")),
+            )
+            .select(
+                "zone_id", "zb", "dx", "dy",
+                F.col("t").alias("g0"), F.col("g1n").alias("g1"),
+            )
+        )
+    return (
+        p.select(
+            "zone_id",
+            "zb",
+            "dx",
+            "dy",
+            F.col("g0").alias("g"),
+            (F.col("dx") + F.col("dy") - F.col("g0") + 1).alias("n_cells"),
+        )
+        .repartition(1)
+        .sortWithinPartitions("zone_id")
+    )
+
+
+def _sql_grid_crossings(fx: Path) -> str:
+    from ..constants import DOMAIN
+
+    s = DOMAIN >> _GRID_CROSS_RES
+    zs = str(fx / "zones.parquet")
+    return f"""
+WITH z AS (
+  SELECT zone_id,
+         CAST(floor(((xmin + xmax) / 2) / {s}) AS BIGINT) AS gx,
+         CAST(floor(((ymin + ymax) / 2) / {s}) AS BIGINT) AS gy
+  FROM read_parquet('{zs}')
+),
+p AS (
+  SELECT zone_id, gx, gy,
+         lead(zone_id) OVER (ORDER BY zone_id) AS zb,
+         lead(gx) OVER (ORDER BY zone_id) AS gx2,
+         lead(gy) OVER (ORDER BY zone_id) AS gy2
+  FROM z
+),
+d AS (
+  SELECT zone_id, zb, abs(gx2 - gx) AS dx, abs(gy2 - gy) AS dy
+  FROM p WHERE zb IS NOT NULL
+)
+SELECT zone_id, zb, CAST(dx AS BIGINT) AS dx, CAST(dy AS BIGINT) AS dy,
+       CAST(gcd(dx, dy) AS BIGINT) AS g,
+       CAST(dx + dy - gcd(dx, dy) + 1 AS BIGINT) AS n_cells
+FROM d ORDER BY zone_id
 """
