@@ -5289,6 +5289,7 @@ def spatial_queries() -> dict[str, QueryFn]:
         "seam_audit": q_seam_audit,
         "grid_crossings": q_grid_crossings,
         "poisson_bootstrap": rel.poisson_bootstrap,
+        "snapshot_expire": q_snapshot_expire,
     })
 
 
@@ -5633,6 +5634,7 @@ def spatial_oracles(sf: str = "sf0.01") -> dict[str, str]:
         "seam_audit": _sql_seam_audit(fx, w),
         "grid_crossings": _sql_grid_crossings(fx),
         "poisson_bootstrap": rel.poisson_bootstrap_sql(),
+        "snapshot_expire": _sql_snapshot_expire(fx),
     })
 
 
@@ -12957,4 +12959,79 @@ SELECT zone_id, zb, CAST(dx AS BIGINT) AS dx, CAST(dy AS BIGINT) AS dy,
        CAST(gcd(dx, dy) AS BIGINT) AS g,
        CAST(dx + dy - gcd(dx, dy) + 1 AS BIGINT) AS n_cells
 FROM d ORDER BY zone_id
+"""
+
+
+def q_snapshot_expire(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Op E9/§7.5 snapshot EXPIRY planning (Iceberg's
+    expireSnapshots: after retention, which data files are orphaned?):
+    append v0 (idx < 1500), append v1 (1500 <= idx < 3000), OVERWRITE
+    v2 (idx < 1000) — retention keeps only the current snapshot, so
+    every file of v0/v1 becomes unreachable.  The plan reads each
+    expired version's ADDED-file set (the pinned-list diff against its
+    parent) and the retained snapshot's full readback, emitting the
+    content surface (rows / Σw / id horizon) per version+status — the
+    oracle re-derives all three horizons from the idx rules, proving
+    the diff loses nothing and the overwrite retains exactly v2."""
+    import tempfile
+
+    from ..sources import icelite
+
+    out_dir = Path(tempfile.mkdtemp(prefix="gs_exp_")) / "tbl"
+    tiles = geo.georegister(_images(spark, sf_dir)).select(
+        "image_id", "w", geo.image_idx().alias("idx")
+    )
+    v0 = icelite.write_snapshot(tiles.where(F.col("idx") < 1500), out_dir)
+    v1 = icelite.write_snapshot(
+        tiles.where((F.col("idx") >= 1500) & (F.col("idx") < 3000)), out_dir
+    )
+    v2 = icelite.write_snapshot(
+        tiles.where(F.col("idx") < 1000), out_dir, mode="overwrite"
+    )
+
+    def _files(v: int) -> set:
+        return {f["path"] for f in icelite.snapshot_info(out_dir, v)["files"]}
+
+    def _agg(df: DataFrame, version: int, status: str) -> DataFrame:
+        return df.agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.sum(F.col("w").cast("long")).alias("sum_w"),
+            F.min("image_id").alias("min_id"),
+            F.max("image_id").alias("max_id"),
+        ).select(
+            F.lit(version).alias("version"), F.lit(status).alias("status"),
+            "n_rows", "sum_w", "min_id", "max_id",
+        )
+
+    added0 = sorted(str(out_dir / p) for p in _files(v0))
+    added1 = sorted(str(out_dir / p) for p in (_files(v1) - _files(v0)))
+    out = (
+        _agg(spark.read.parquet(*added0), v0, "expired")
+        .union(_agg(spark.read.parquet(*added1), v1, "expired"))
+        .union(_agg(icelite.read_snapshot(spark, out_dir, v2), v2, "retained"))
+    )
+    return out.repartition(1).sortWithinPartitions("version")
+
+
+def _sql_snapshot_expire(fx: Path) -> str:
+    img = str(fx / "images.parquet")
+    arms = []
+    for version, status, lo, hi in (
+        (0, "expired", 0, 1500),
+        (1, "expired", 1500, 3000),
+        (2, "retained", 0, 1000),
+    ):
+        arms.append(f"""
+SELECT {version} AS version, '{status}' AS status,
+       CAST(COUNT(*) AS BIGINT) AS n_rows,
+       CAST(SUM(w) AS BIGINT) AS sum_w,
+       MIN(image_id) AS min_id, MAX(image_id) AS max_id
+FROM img WHERE idx >= {lo} AND idx < {hi}""")
+    return f"""
+WITH img AS (
+  SELECT image_id, w, CAST(substr(image_id, 4, 10) AS BIGINT) AS idx
+  FROM read_parquet('{img}')
+)
+{" UNION ALL ".join(arms)}
+ORDER BY version
 """

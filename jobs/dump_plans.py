@@ -58,6 +58,15 @@ DEFAULT = [
     "getis_ord",          # A104: co-located lattice join + 2-scalar bcast
     "hough_lines",        # A106: map-only composite-bincount vote pass
     "watershed",          # A107: map-only pointer-jumping pass
+    "gorilla_size",       # R3b: one window shuffle, codegen CASE ladder
+    "hll_registers",      # R3b: map-only hash + 64-group partial+final
+    "mst_boruvka",        # R3b: per-round min-struct agg + star contraction
+    "k_truss",            # R3b: oriented triangle join + support filter
+    "bellman_ford",       # R3b: per-round edge relax join + groupBy min
+    "merkle_cells",       # R3b: one Arrow decode + sorted md5 folds
+    "pip_raycast",        # R3b: broadcast edges + parity groupBy
+    "lpm_route",          # R3b: broadcast CIDR table + struct argmax
+    "poisson_bootstrap",  # R3b: map-only multiplicity + 8-group agg
     "route_burn",         # A108: broadcast waypoint join + codegen DDA
     "bm25_topk",          # A111: partial+final aggs + TakeOrdered
     "semdedup",           # A112: IVF-cell groupBy applyInPandas GEMM
