@@ -5290,6 +5290,7 @@ def spatial_queries() -> dict[str, QueryFn]:
         "grid_crossings": q_grid_crossings,
         "poisson_bootstrap": rel.poisson_bootstrap,
         "snapshot_expire": q_snapshot_expire,
+        "stream_quality": q_stream_quality,
     })
 
 
@@ -5635,6 +5636,7 @@ def spatial_oracles(sf: str = "sf0.01") -> dict[str, str]:
         "grid_crossings": _sql_grid_crossings(fx),
         "poisson_bootstrap": rel.poisson_bootstrap_sql(),
         "snapshot_expire": _sql_snapshot_expire(fx),
+        "stream_quality": _sql_stream_quality(fx, w),
     })
 
 
@@ -13034,4 +13036,65 @@ WITH img AS (
 )
 {" UNION ALL ".join(arms)}
 ORDER BY version
+"""
+
+
+_SQGATE_THRESH = 1000
+_SQGATE_LIMIT = 2000
+
+
+def q_stream_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Op S6 (streaming curation gate) surfaced to the oracle gate: the
+    variance-of-Laplacian blur filter running INSIDE a Structured
+    Streaming job (file source -> availableNow -> memory sink) —
+    stateless mapInPandas per micro-batch, append mode end to end.
+    The integer surface makes the streaming verdicts bit-identical to
+    batch, so the DuckDB twin is the batch Laplacian SQL with the same
+    threshold."""
+    import tempfile
+    import uuid
+
+    from ..streaming import tile_stream as ts
+
+    fx = _fx(sf_dir)
+    tmp = Path(tempfile.mkdtemp(prefix="gs_stream_"))
+    (tmp / "in").mkdir()
+    os.symlink(fx / "images.parquet", tmp / "in" / "images.parquet")
+    name = f"s6_{uuid.uuid4().hex[:8]}"
+    stream = ts.read_image_stream(spark, str(tmp / "in")).where(
+        geo.image_idx() < _SQGATE_LIMIT
+    )
+    gated = ts.stream_quality_gate(stream, var_threshold=_SQGATE_THRESH)
+    ts.run_to_memory(gated, name, str(tmp / "ckpt"), state_partitions=8)
+    return (
+        spark.table(name)
+        .select("image_id", "n_interior", "lap_var_num")
+        .repartition(1).sortWithinPartitions("image_id")
+    )
+
+
+def _sql_stream_quality(fx: Path, w: int) -> str:
+    def rv(di: int, dj: int) -> str:
+        return f"CAST({osql.ramp_value_expr(f'gi.i + {di}', f'gj.j + {dj}')} AS BIGINT)"
+
+    lap = f"({rv(-1, 0)} + {rv(1, 0)} + {rv(0, -1)} + {rv(0, 1)} - 4*{rv(0, 0)})"
+    npx = (w - 2) * (w - 2)
+    return f"""
+WITH {osql.georegister_cte(str(fx / 'images.parquet'))},
+px AS (
+  SELECT image_id, {lap} AS lap
+  FROM tiles,
+       generate_series(1, {w - 2}) AS gi(i), generate_series(1, {w - 2}) AS gj(j)
+  WHERE idx < {_SQGATE_LIMIT}
+),
+st AS (
+  SELECT image_id,
+         CAST(COUNT(*) AS BIGINT) AS n_interior,
+         CAST({npx} * SUM(lap * lap) - SUM(lap) * SUM(lap) AS BIGINT) AS lap_var_num
+  FROM px GROUP BY image_id
+)
+SELECT image_id, n_interior, lap_var_num
+FROM st
+WHERE lap_var_num > {_SQGATE_THRESH} * n_interior * n_interior
+ORDER BY image_id
 """
