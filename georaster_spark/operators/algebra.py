@@ -4503,3 +4503,85 @@ def ntt_census(tiles: DataFrame) -> DataFrame:
 
     schema = "image_id string, dc_sum long, energy long, checksum long"
     return slim.mapInPandas(gen, schema=schema)
+
+
+HAMMING_FLIP_MOD = 3
+
+
+def hamming_code_census(tiles: DataFrame) -> DataFrame:
+    """Hamming(7,4) ECC syndrome census (the single-error-correcting
+    code of ECC RAM and storage-scrub audits): each pixel's low nibble
+    encodes to the standard 7-bit codeword (parity bits at positions
+    1,2,4 covering {3,5,7}, {3,6,7}, {5,6,7}), a deterministic channel
+    flips one bit of every third word (position (i·7+j·5+idx) mod 7
+    + 1 when (i·31+j·17+idx) mod HAMMING_FLIP_MOD == 0), and the
+    decoder's recomputed syndrome must name exactly the flipped
+    position and 0 elsewhere.  Emits per tile: words, flipped words,
+    the syndrome sum (= Σ flipped positions — the scrub report), and
+    the position-weighted syndrome checksum.
+
+    Scale shape: map-only fused Arrow pass; XORs are vectorized
+    mod-2 sums over the whole batch; 1 slim row per tile."""
+    slim = tiles.select("image_id", "bytes", "w", "h", "fmt")
+    dt = {"raw": np.uint8, "qnt": np.uint8, "raw16": "<u2"}
+
+    def gen(batches):
+        for pdf in batches:
+            ids, nw, nf, ss, ck = [], [], [], [], []
+            groups: dict[tuple, list[int]] = {}
+            for r in range(len(pdf)):
+                key = (int(pdf["w"].iat[r]), int(pdf["h"].iat[r]), pdf["fmt"].iat[r])
+                groups.setdefault(key, []).append(r)
+            for (w, h, fmt), idxs in groups.items():
+                for r in idxs:
+                    import re as _re
+
+                    m = _re.search(r"(\d+)$", pdf["image_id"].iat[r])
+                    idx = int(m.group(1))
+                    z = (
+                        np.frombuffer(pdf["bytes"].iat[r], dtype=dt[fmt])
+                        .reshape(h, w)
+                        .astype(np.int64)
+                    )
+                    ii, jj = np.meshgrid(
+                        np.arange(h, dtype=np.int64),
+                        np.arange(w, dtype=np.int64),
+                        indexing="ij",
+                    )
+                    d0, d1 = z & 1, (z >> 1) & 1
+                    d2, d3 = (z >> 2) & 1, (z >> 3) & 1
+                    p1 = (d0 + d1 + d3) & 1
+                    p2 = (d0 + d2 + d3) & 1
+                    p4 = (d1 + d2 + d3) & 1
+                    # bits by position 1..7
+                    bits = np.stack([p1, p2, d0, p4, d1, d2, d3])  # (7,h,w)
+                    flip = ((ii * 31 + jj * 17 + idx) % HAMMING_FLIP_MOD) == 0
+                    pos = (ii * 7 + jj * 5 + idx) % 7  # 0..6 -> position-1
+                    for b in range(7):
+                        bits[b] = bits[b] ^ (flip & (pos == b))
+                    r1, r2, r3, r4, r5, r6, r7 = bits
+                    s1 = (r1 + r3 + r5 + r7) & 1
+                    s2 = (r2 + r3 + r6 + r7) & 1
+                    s4 = (r4 + r5 + r6 + r7) & 1
+                    syn = s1 + 2 * s2 + 4 * s4
+                    t = (np.arange(h * w, dtype=np.int64) + 1).reshape(h, w)
+                    ids.append(pdf["image_id"].iat[r])
+                    nw.append(h * w)
+                    nf.append(int(flip.sum()))
+                    ss.append(int(syn.sum()))
+                    ck.append(int((syn * t).sum()))
+            yield pd.DataFrame(
+                {
+                    "image_id": ids,
+                    "n_words": np.asarray(nw, dtype=np.int64),
+                    "n_flipped": np.asarray(nf, dtype=np.int64),
+                    "syndrome_sum": np.asarray(ss, dtype=np.int64),
+                    "syndrome_checksum": np.asarray(ck, dtype=np.int64),
+                }
+            )
+
+    schema = (
+        "image_id string, n_words long, n_flipped long, "
+        "syndrome_sum long, syndrome_checksum long"
+    )
+    return slim.mapInPandas(gen, schema=schema)

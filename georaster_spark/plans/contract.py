@@ -5291,6 +5291,7 @@ def spatial_queries() -> dict[str, QueryFn]:
         "poisson_bootstrap": rel.poisson_bootstrap,
         "snapshot_expire": q_snapshot_expire,
         "stream_quality": q_stream_quality,
+        "hamming_code": q_hamming_code,
     })
 
 
@@ -5637,6 +5638,7 @@ def spatial_oracles(sf: str = "sf0.01") -> dict[str, str]:
         "poisson_bootstrap": rel.poisson_bootstrap_sql(),
         "snapshot_expire": _sql_snapshot_expire(fx),
         "stream_quality": _sql_stream_quality(fx, w),
+        "hamming_code": _sql_hamming_code(fx, w),
     })
 
 
@@ -13097,4 +13099,73 @@ SELECT image_id, n_interior, lap_var_num
 FROM st
 WHERE lap_var_num > {_SQGATE_THRESH} * n_interior * n_interior
 ORDER BY image_id
+"""
+
+
+_HAMMING_MOD = 131
+
+
+def q_hamming_code(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hamming(7,4) ECC syndrome census (algebra.hamming_code_census):
+    deterministic single-bit channel + exact syndrome decode, the
+    storage-scrub audit; the oracle replays encode/flip/decode in
+    mod-2 arithmetic on the ramp pixels."""
+    from ..operators import algebra
+
+    tiles = geo.georegister(_images(spark, sf_dir)).where(
+        geo.image_idx() % _HAMMING_MOD == 0
+    )
+    return (
+        algebra.hamming_code_census(tiles)
+        .repartition(1).sortWithinPartitions("image_id")
+    )
+
+
+def _sql_hamming_code(fx: Path, w: int) -> str:
+    from ..operators.algebra import HAMMING_FLIP_MOD
+
+    v = f"CAST({osql.ramp_value_expr('gi.i', 'gj.j')} AS BIGINT)"
+    return f"""
+WITH {osql.georegister_cte(str(fx / 'images.parquet'))},
+px AS (
+  SELECT image_id, gi.i AS i, gj.j AS j,
+         ({v} >> 0) & 1 AS d0, ({v} >> 1) & 1 AS d1,
+         ({v} >> 2) & 1 AS d2, ({v} >> 3) & 1 AS d3,
+         CASE WHEN (gi.i * 31 + gj.j * 17 + idx) % {HAMMING_FLIP_MOD} = 0
+              THEN 1 ELSE 0 END AS flip,
+         (gi.i * 7 + gj.j * 5 + idx) % 7 AS pos
+  FROM tiles,
+       generate_series(0, {w - 1}) AS gi(i), generate_series(0, {w - 1}) AS gj(j)
+  WHERE idx % {_HAMMING_MOD} = 0
+),
+enc AS (
+  SELECT image_id, i, j, flip, pos,
+         (d0 + d1 + d3) % 2 AS b1, (d0 + d2 + d3) % 2 AS b2, d0 AS b3,
+         (d1 + d2 + d3) % 2 AS b4, d1 AS b5, d2 AS b6, d3 AS b7
+  FROM px
+),
+chan AS (
+  SELECT image_id, i, j, flip,
+         (b1 + CASE WHEN flip = 1 AND pos = 0 THEN 1 ELSE 0 END) % 2 AS r1,
+         (b2 + CASE WHEN flip = 1 AND pos = 1 THEN 1 ELSE 0 END) % 2 AS r2,
+         (b3 + CASE WHEN flip = 1 AND pos = 2 THEN 1 ELSE 0 END) % 2 AS r3,
+         (b4 + CASE WHEN flip = 1 AND pos = 3 THEN 1 ELSE 0 END) % 2 AS r4,
+         (b5 + CASE WHEN flip = 1 AND pos = 4 THEN 1 ELSE 0 END) % 2 AS r5,
+         (b6 + CASE WHEN flip = 1 AND pos = 5 THEN 1 ELSE 0 END) % 2 AS r6,
+         (b7 + CASE WHEN flip = 1 AND pos = 6 THEN 1 ELSE 0 END) % 2 AS r7
+  FROM enc
+),
+syn AS (
+  SELECT image_id, i, j, flip,
+         (r1 + r3 + r5 + r7) % 2
+         + 2 * ((r2 + r3 + r6 + r7) % 2)
+         + 4 * ((r4 + r5 + r6 + r7) % 2) AS s
+  FROM chan
+)
+SELECT image_id,
+       CAST(COUNT(*) AS BIGINT) AS n_words,
+       CAST(SUM(flip) AS BIGINT) AS n_flipped,
+       CAST(SUM(s) AS BIGINT) AS syndrome_sum,
+       CAST(SUM(s * (i * {w} + j + 1)) AS BIGINT) AS syndrome_checksum
+FROM syn GROUP BY image_id ORDER BY image_id
 """
