@@ -3893,3 +3893,73 @@ SELECT lang,
        CAST(SUM(CASE WHEN outd > 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_branching
 FROM deg GROUP BY lang ORDER BY lang
 """
+
+
+EXPORT_SHARDS = 16
+EXPORT_MIN_CHARS = 200
+
+
+def export_shards(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Training-shard export manifest — the terminal pipeline query a
+    dataset release runs (curate -> exact-dedup -> shard -> manifest),
+    composed from the same primitives the individual gate entries
+    verify: keep documents with n_chars >= EXPORT_MIN_CHARS, exact-
+    dedup on md5(text) electing the smallest doc_id per group, assign
+    survivors to EXPORT_SHARDS shards by the h40 doc hash, and emit
+    per shard the manifest a release signs: doc count, total chars,
+    Σdoc_id checksum, and the md5 over the sorted doc-id list (the
+    shard's content address).
+
+    Scale shape: one dedup shuffle on the text hash (the D1 shape),
+    one shard groupBy; the manifest fold is sort_array(collect_list)
+    per shard — bounded by shard size, the exact structure a 10¹²-row
+    export would write per output file."""
+    d = _docs(spark, sf_dir).select("doc_id", "text", "n_chars").where(
+        F.col("n_chars") >= EXPORT_MIN_CHARS
+    )
+    canon = (
+        d.withColumn("th", F.md5("text"))
+        .groupBy("th")
+        .agg(F.min("doc_id").alias("doc_id"), F.first("n_chars").alias("n_chars"))
+    )
+    shard = canon.select(
+        (h40(F.col("doc_id").cast("string")) % EXPORT_SHARDS).alias("shard"),
+        "doc_id",
+        "n_chars",
+    )
+    return (
+        shard.groupBy("shard")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_chars").alias("total_chars"),
+            F.sum("doc_id").alias("id_checksum"),
+            F.md5(
+                F.concat_ws(",", F.sort_array(F.collect_list(F.col("doc_id"))))
+            ).alias("content_md5"),
+        )
+        .repartition(1)
+        .sortWithinPartitions("shard")
+    )
+
+
+def export_shards_sql() -> str:
+    h = "CAST('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 10) AS BIGINT)"
+    return f"""
+WITH d AS (
+  SELECT doc_id, text, n_chars FROM documents WHERE n_chars >= {EXPORT_MIN_CHARS}
+),
+canon AS (
+  SELECT MIN(doc_id) AS doc_id, ANY_VALUE(n_chars) AS n_chars
+  FROM d GROUP BY md5(text)
+),
+shard AS (
+  SELECT {h} % {EXPORT_SHARDS} AS shard, doc_id, n_chars FROM canon
+)
+SELECT CAST(shard AS BIGINT) AS shard,
+       CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(SUM(n_chars) AS BIGINT) AS total_chars,
+       CAST(SUM(doc_id) AS BIGINT) AS id_checksum,
+       md5(string_agg(CAST(doc_id AS VARCHAR), ',' ORDER BY doc_id))
+         AS content_md5
+FROM shard GROUP BY shard ORDER BY shard
+"""

@@ -5292,6 +5292,7 @@ def spatial_queries() -> dict[str, QueryFn]:
         "snapshot_expire": q_snapshot_expire,
         "stream_quality": q_stream_quality,
         "hamming_code": q_hamming_code,
+        "export_shards": textops.export_shards,
     })
 
 
@@ -5639,6 +5640,7 @@ def spatial_oracles(sf: str = "sf0.01") -> dict[str, str]:
         "snapshot_expire": _sql_snapshot_expire(fx),
         "stream_quality": _sql_stream_quality(fx, w),
         "hamming_code": _sql_hamming_code(fx, w),
+        "export_shards": textops.export_shards_sql(),
     })
 
 
