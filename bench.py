@@ -506,8 +506,10 @@ def main() -> None:
     # timings (driver-gate queries first) as fit — and write the FULL
     # result to BENCH/QUERIES.json for humans/judges.
     full = dict(res)
-    (REPO / "BENCH").mkdir(exist_ok=True)
-    (REPO / "BENCH" / "QUERIES.json").write_text(json.dumps(full, indent=1))
+    if "queries" in res:  # headline-only runs (incl. the scaling
+        # protocol's subprocesses) must NOT clobber the full artifact
+        (REPO / "BENCH").mkdir(exist_ok=True)
+        (REPO / "BENCH" / "QUERIES.json").write_text(json.dumps(full, indent=1))
     if "queries" in res:
         try:
             from georaster_spark.plans.contract import GATE_FIRST
