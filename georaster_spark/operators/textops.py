@@ -3963,3 +3963,79 @@ SELECT CAST(shard AS BIGINT) AS shard,
          AS content_md5
 FROM shard GROUP BY shard ORDER BY shard
 """
+
+
+ADLER_MOD = 65521
+ADLER_PREFIX = 256
+
+
+def adler32_census(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Adler-32 checksum census (RFC 1950 — zlib's integrity check):
+    A = (1 + Σ bytes) mod 65521 and B = (n + Σ (n−i+1)·byte_i) mod
+    65521 over the first ADLER_PREFIX characters — both plain weighted
+    sums, so the 'rolling' checksum is order-free column algebra on
+    every engine (no scan dependency, unlike CRC's GF(2) fold).
+    Emits per doc the A and B halves and the packed 32-bit value.
+
+    Scale shape: map-only per-doc expression work (one transform +
+    aggregate over the char positions), nothing shuffled but the slim
+    output."""
+    d = _docs(spark, sf_dir).select(
+        "doc_id", F.substring("text", 1, ADLER_PREFIX).alias("s")
+    )
+    n = F.length("s")
+    codes = F.transform(
+        F.sequence(F.lit(1), n),
+        lambda i: F.ascii(F.substring(F.col("s"), i, 1)).cast("long"),
+    )
+    asum = F.aggregate(codes, F.lit(0).cast("long"), lambda a, c: a + c)
+    bsum = F.aggregate(
+        F.zip_with(
+            codes,
+            F.sequence(F.lit(1), n),
+            lambda c, i: c * (n - i + 1),
+        ),
+        F.lit(0).cast("long"),
+        lambda a, x: a + x,
+    )
+    a = (1 + asum) % ADLER_MOD
+    b = (n.cast("long") + bsum) % ADLER_MOD
+    return (
+        d.select(
+            "doc_id",
+            a.alias("adler_a"),
+            b.alias("adler_b"),
+            (b * 65536 + a).alias("adler32"),
+        )
+        .repartition(1)
+        .sortWithinPartitions("doc_id")
+    )
+
+
+def adler32_census_sql() -> str:
+    return f"""
+WITH d AS (
+  SELECT doc_id, substring(text, 1, {ADLER_PREFIX}) AS s FROM documents
+),
+c AS (
+  SELECT doc_id, length(s) AS n, i.i AS i,
+         ascii(substring(s, i.i, 1)) AS code
+  FROM d, generate_series(1, {ADLER_PREFIX}) AS i(i)
+  WHERE i.i <= length(s)
+),
+agg AS (
+  SELECT doc_id, ANY_VALUE(n) AS n,
+         SUM(code) AS asum,
+         SUM(code * i) AS wsum
+  FROM c GROUP BY doc_id
+),
+fin AS (
+  SELECT doc_id, n, asum, (n + 1) * asum - wsum AS bsum FROM agg
+)
+SELECT doc_id,
+       CAST((1 + asum) % {ADLER_MOD} AS BIGINT) AS adler_a,
+       CAST((n + bsum) % {ADLER_MOD} AS BIGINT) AS adler_b,
+       CAST(((n + bsum) % {ADLER_MOD}) * 65536 + (1 + asum) % {ADLER_MOD}
+            AS BIGINT) AS adler32
+FROM fin ORDER BY doc_id
+"""

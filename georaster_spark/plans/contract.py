@@ -5293,6 +5293,8 @@ def spatial_queries() -> dict[str, QueryFn]:
         "stream_quality": q_stream_quality,
         "hamming_code": q_hamming_code,
         "export_shards": textops.export_shards,
+        "adler32_census": textops.adler32_census,
+        "facility_location": q_facility_location,
     })
 
 
@@ -5641,6 +5643,8 @@ def spatial_oracles(sf: str = "sf0.01") -> dict[str, str]:
         "stream_quality": _sql_stream_quality(fx, w),
         "hamming_code": _sql_hamming_code(fx, w),
         "export_shards": textops.export_shards_sql(),
+        "adler32_census": textops.adler32_census_sql(),
+        "facility_location": _sql_facility_location(fx),
     })
 
 
@@ -13170,4 +13174,134 @@ SELECT image_id,
        CAST(SUM(s) AS BIGINT) AS syndrome_sum,
        CAST(SUM(s * (i * {w} + j + 1)) AS BIGINT) AS syndrome_checksum
 FROM syn GROUP BY image_id ORDER BY image_id
+"""
+
+
+_FL_ROUNDS = 4
+_FL_RADIUS = 100_000
+_FL_MAX_ZONES = 64
+
+
+def q_facility_location(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Greedy facility-location selection (the 1−1/e submodular
+    maximization of coreset / data-subset selection — Nemhauser 1978,
+    the CRAIG/coverage-selection shape): users and candidate
+    facilities are the first 64 zones, coverage is the clipped L1
+    kernel max(0, R − dist), and 4 greedy rounds each pick the
+    candidate with the largest exact marginal gain (ties to the
+    smaller id).  Emits per round the chosen facility, its marginal
+    gain, and the running total coverage — the full greedy
+    trajectory.
+
+    Scale shape: the coverage matrix is a dim-sized cross join; each
+    round is one groupBy(candidate).sum + one struct argmax + one
+    best-coverage update join — at 10¹² users the same rounds shard on
+    the user key with facility gains tree-reduced."""
+    z = (
+        _zones(spark, sf_dir)
+        .where(F.col("zone_id") < _FL_MAX_ZONES)
+        .select(
+            "zone_id",
+            F.floor((F.col("xmin") + F.col("xmax")) / 2 + 0.5).cast("long").alias("cx"),
+            F.floor((F.col("ymin") + F.col("ymax")) / 2 + 0.5).cast("long").alias("cy"),
+        )
+    )
+    u = z.select(F.col("zone_id").alias("u"), F.col("cx").alias("ux"),
+                 F.col("cy").alias("uy"))
+    c = z.select(F.col("zone_id").alias("c"), F.col("cx").alias("fx"),
+                 F.col("cy").alias("fy"))
+    cov = (
+        u.crossJoin(c)
+        .select(
+            "u", "c",
+            F.greatest(
+                F.lit(0).cast("long"),
+                F.lit(_FL_RADIUS)
+                - (F.abs(F.col("ux") - F.col("fx")) + F.abs(F.col("uy") - F.col("fy"))),
+            ).alias("cov"),
+        )
+        .localCheckpoint(eager=True)
+    )
+    best = u.select("u", F.lit(0).cast("long").alias("best"))
+    chosen: list[tuple[int, int, int, int]] = []
+    taken: list[int] = []
+    total = 0
+    for r in range(1, _FL_ROUNDS + 1):
+        g = (
+            cov.join(best, "u")
+            .where(~F.col("c").isin(taken) if taken else F.lit(True))
+            .groupBy("c")
+            .agg(
+                F.sum(
+                    F.greatest(F.col("cov") - F.col("best"), F.lit(0).cast("long"))
+                ).alias("gain")
+            )
+        )
+        top = g.agg(F.max(F.struct("gain", (-F.col("c")).alias("nc"))).alias("m")).first()
+        cstar, gain = int(-top["m"]["nc"]), int(top["m"]["gain"])
+        total += gain
+        chosen.append((r, cstar, gain, total))
+        taken.append(cstar)
+        cc = cov.where(F.col("c") == cstar).select("u", F.col("cov").alias("newcov"))
+        best = (
+            best.join(cc, "u")
+            .select("u", F.greatest("best", "newcov").alias("best"))
+            .localCheckpoint(eager=True)
+        )
+    return (
+        spark.createDataFrame(
+            chosen, "round int, chosen long, gain long, total_coverage long"
+        )
+        .repartition(1)
+        .sortWithinPartitions("round")
+    )
+
+
+def _sql_facility_location(fx: Path) -> str:
+    zs = str(fx / "zones.parquet")
+    ctes = []
+    prev_best = "best0"
+    prev_taken = None
+    for r in range(1, _FL_ROUNDS + 1):
+        not_taken = (
+            f"WHERE c NOT IN (SELECT c FROM taken{r - 1})" if prev_taken else ""
+        )
+        ctes.append(f"""
+g{r} AS MATERIALIZED (
+  SELECT cov.c, SUM(GREATEST(cov.cov - b.best, 0)) AS gain
+  FROM cov JOIN {prev_best} b ON b.u = cov.u
+  {f"WHERE cov.c NOT IN (SELECT c FROM taken{r - 1})" if prev_taken else ""}
+  GROUP BY cov.c
+),
+ch{r} AS (SELECT MAX(struct_pack(gain := gain, nc := -c)) AS m FROM g{r}),
+pick{r} AS (SELECT -(m.nc) AS c, m.gain AS gain FROM ch{r}),
+taken{r} AS ({f"SELECT c FROM taken{r - 1} UNION ALL " if prev_taken else ""}SELECT c FROM pick{r}),
+best{r} AS MATERIALIZED (
+  SELECT b.u, GREATEST(b.best, cov.cov) AS best
+  FROM {prev_best} b JOIN cov ON cov.u = b.u AND cov.c = (SELECT c FROM pick{r})
+)""")
+        prev_best = f"best{r}"
+        prev_taken = f"taken{r}"
+    sel = " UNION ALL ".join(
+        f"SELECT {r} AS round, (SELECT c FROM pick{r}) AS chosen,"
+        f" (SELECT gain FROM pick{r}) AS gain" for r in range(1, _FL_ROUNDS + 1)
+    )
+    return f"""
+WITH z AS (
+  SELECT zone_id,
+         CAST(floor((xmin + xmax) / 2 + 0.5) AS BIGINT) AS cx,
+         CAST(floor((ymin + ymax) / 2 + 0.5) AS BIGINT) AS cy
+  FROM read_parquet('{zs}') WHERE zone_id < {_FL_MAX_ZONES}
+),
+cov AS MATERIALIZED (
+  SELECT a.zone_id AS u, b.zone_id AS c,
+         GREATEST(0, {_FL_RADIUS} - (abs(a.cx - b.cx) + abs(a.cy - b.cy))) AS cov
+  FROM z a, z b
+),
+best0 AS (SELECT zone_id AS u, 0::BIGINT AS best FROM z),{",".join(ctes)},
+tr AS ({sel})
+SELECT CAST(round AS INT) AS round, CAST(chosen AS BIGINT) AS chosen,
+       CAST(gain AS BIGINT) AS gain,
+       CAST(SUM(gain) OVER (ORDER BY round) AS BIGINT) AS total_coverage
+FROM tr ORDER BY round
 """
