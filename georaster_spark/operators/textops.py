@@ -4039,3 +4039,102 @@ SELECT doc_id,
             AS BIGINT) AS adler32
 FROM fin ORDER BY doc_id
 """
+
+
+RSYNC_BLOCK = 8
+RSYNC_PREFIX = 128
+RSYNC_MOD = 13
+
+
+def rsync_matches(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rsync rolling-block match census (Tridgell's delta-sync: the
+    receiver hashes fixed blocks, the sender slides a rolling window
+    and looks each position up): doc d is the 'basis' split into 16
+    non-overlapping 8-char blocks of its first 128 chars, doc d+1 is
+    the 'new file' probed at every offset with its rolling 8-gram; the
+    census reports per pair how many offsets hit some basis block, how
+    many distinct basis blocks were hit, and the earliest hit offset —
+    the delta-encoding potential between adjacent documents.
+
+    Scale shape: block and window tables explode key-locally per pair
+    (≤ 16 + 121 slim rows each), join on (pair, hash) — the shape a
+    distributed delta-store dedup takes, with no corpus-global key."""
+    d = _docs(spark, sf_dir).where(F.col("doc_id") % RSYNC_MOD == 0).select(
+        "doc_id", F.substring("text", 1, RSYNC_PREFIX).alias("s")
+    )
+    nxt = _docs(spark, sf_dir).where((F.col("doc_id") - 1) % RSYNC_MOD == 0).select(
+        (F.col("doc_id") - 1).alias("doc_id"),
+        F.substring("text", 1, RSYNC_PREFIX).alias("t"),
+    )
+    nb = RSYNC_PREFIX // RSYNC_BLOCK
+    blocks = d.select(
+        "doc_id",
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(0), F.lit(nb - 1)),
+                lambda k: F.substring(
+                    F.col("s"), k * RSYNC_BLOCK + 1, RSYNC_BLOCK
+                ),
+            )
+        ).alias("blk"),
+    ).where(F.length("blk") == RSYNC_BLOCK).select(
+        "doc_id", h40(F.col("blk")).alias("bh")
+    ).distinct()
+    wins = nxt.select(
+        "doc_id",
+        F.posexplode(
+            F.transform(
+                F.sequence(F.lit(1), F.length("t") - RSYNC_BLOCK + 1),
+                lambda o: F.substring(F.col("t"), o, RSYNC_BLOCK),
+            )
+        ).alias("off0", "win"),
+    ).select("doc_id", (F.col("off0") + 1).alias("off"), h40(F.col("win")).alias("wh"))
+    hit = wins.join(
+        blocks, (wins["doc_id"] == blocks["doc_id"]) & (wins["wh"] == blocks["bh"])
+    ).select(wins["doc_id"].alias("doc_id"), "off", "bh")
+    return (
+        hit.groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_hits"),
+            F.countDistinct("bh").alias("n_blocks_hit"),
+            F.min("off").alias("first_hit_off"),
+        )
+        .repartition(1)
+        .sortWithinPartitions("doc_id")
+    )
+
+
+def rsync_matches_sql() -> str:
+    h = "CAST('0x' || substring(md5({c}), 1, 10) AS BIGINT)"
+    nb = RSYNC_PREFIX // RSYNC_BLOCK
+    return f"""
+WITH d AS (
+  SELECT doc_id, substring(text, 1, {RSYNC_PREFIX}) AS s
+  FROM documents WHERE doc_id % {RSYNC_MOD} = 0
+),
+nxt AS (
+  SELECT doc_id - 1 AS doc_id, substring(text, 1, {RSYNC_PREFIX}) AS t
+  FROM documents WHERE (doc_id - 1) % {RSYNC_MOD} = 0
+),
+blocks AS (
+  SELECT DISTINCT doc_id,
+         {h.format(c=f"substring(s, k.k * {RSYNC_BLOCK} + 1, {RSYNC_BLOCK})")} AS bh
+  FROM d, generate_series(0, {nb - 1}) AS k(k)
+  WHERE length(substring(s, k.k * {RSYNC_BLOCK} + 1, {RSYNC_BLOCK})) = {RSYNC_BLOCK}
+),
+wins AS (
+  SELECT doc_id, o.o AS off,
+         {h.format(c=f"substring(t, o.o, {RSYNC_BLOCK})")} AS wh
+  FROM nxt, generate_series(1, {RSYNC_PREFIX - RSYNC_BLOCK + 1}) AS o(o)
+  WHERE o.o <= length(t) - {RSYNC_BLOCK} + 1
+),
+hit AS (
+  SELECT w.doc_id, w.off, b.bh
+  FROM wins w JOIN blocks b ON b.doc_id = w.doc_id AND b.bh = w.wh
+)
+SELECT doc_id,
+       CAST(COUNT(*) AS BIGINT) AS n_hits,
+       CAST(COUNT(DISTINCT bh) AS BIGINT) AS n_blocks_hit,
+       CAST(MIN(off) AS BIGINT) AS first_hit_off
+FROM hit GROUP BY doc_id ORDER BY doc_id
+"""

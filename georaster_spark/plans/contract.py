@@ -5295,6 +5295,7 @@ def spatial_queries() -> dict[str, QueryFn]:
         "export_shards": textops.export_shards,
         "adler32_census": textops.adler32_census,
         "facility_location": q_facility_location,
+        "rsync_matches": textops.rsync_matches,
     })
 
 
@@ -5645,6 +5646,7 @@ def spatial_oracles(sf: str = "sf0.01") -> dict[str, str]:
         "export_shards": textops.export_shards_sql(),
         "adler32_census": textops.adler32_census_sql(),
         "facility_location": _sql_facility_location(fx),
+        "rsync_matches": textops.rsync_matches_sql(),
     })
 
 
