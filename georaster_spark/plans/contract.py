@@ -5296,6 +5296,7 @@ def spatial_queries() -> dict[str, QueryFn]:
         "adler32_census": textops.adler32_census,
         "facility_location": q_facility_location,
         "rsync_matches": textops.rsync_matches,
+        "sorted_neighborhood": textops.sorted_neighborhood,
     })
 
 
@@ -5647,6 +5648,7 @@ def spatial_oracles(sf: str = "sf0.01") -> dict[str, str]:
         "adler32_census": textops.adler32_census_sql(),
         "facility_location": _sql_facility_location(fx),
         "rsync_matches": textops.rsync_matches_sql(),
+        "sorted_neighborhood": textops.sorted_neighborhood_sql(),
     })
 
 
