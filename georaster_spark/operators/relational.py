@@ -7073,3 +7073,76 @@ SELECT CAST(r AS INT) AS r,
        CAST(SUM(CASE WHEN k = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_dropped
 FROM x GROUP BY r ORDER BY r
 """
+
+
+# --- Snowflake-id monotonicity audit ----------------------------------------------------------
+
+SNOW_WORKERS = 32
+
+
+def snowflake_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Snowflake-id audit (the Twitter snowflake layout every
+    distributed id generator inherits: timestamp<<22 | worker<<12 |
+    sequence): each event synthesizes the deterministic id
+    (epoch_ms << 22) | (worker << 12) | (event_id mod 4096) with
+    worker = user_id mod SNOW_WORKERS, and the audit checks the
+    invariant an id service must keep — ids strictly increase per
+    worker in (ts, event_id) order.  Emits per worker: ids issued,
+    monotonicity violations (id <= previous), max sequence field, and
+    the id checksum.
+
+    Scale shape: one worker-keyed window (lag) + one tiny per-worker
+    rollup — the exact shard-audit a 10¹²-id ledger runs."""
+    ev = _t(spark, sf_dir, "events").select(
+        (F.col("user_id") % SNOW_WORKERS).alias("worker"),
+        F.unix_millis(F.col("ts").cast("timestamp")).alias("ms"),
+        "event_id",
+    )
+    sid = (
+        F.shiftleft(F.col("ms"), 22)
+        + F.shiftleft(F.col("worker"), 12)
+        + F.col("event_id") % 4096
+    )
+    w = Window.partitionBy("worker").orderBy("ms", "event_id")
+    d = ev.select("worker", "ms", "event_id", sid.alias("sid")).withColumn(
+        "prev", F.lag("sid").over(w)
+    )
+    return (
+        d.groupBy("worker")
+        .agg(
+            F.count(F.lit(1)).alias("n_ids"),
+            F.sum(
+                F.when(
+                    F.col("prev").isNotNull() & (F.col("sid") <= F.col("prev")), 1
+                ).otherwise(0)
+            ).alias("n_violations"),
+            F.max(F.col("sid") % 4096).alias("max_seq"),
+            F.sum(F.col("sid") % 1_000_003).alias("id_checksum"),
+        )
+        .repartition(1)
+        .sortWithinPartitions("worker")
+    )
+
+
+def snowflake_audit_sql() -> str:
+    return f"""
+WITH ev AS (
+  SELECT user_id % {SNOW_WORKERS} AS worker,
+         epoch_ms(ts) AS ms, event_id
+  FROM events
+),
+d AS (
+  SELECT worker, ms, event_id,
+         (ms << 22) + (worker << 12) + event_id % 4096 AS sid,
+         lag((ms << 22) + (worker << 12) + event_id % 4096)
+           OVER (PARTITION BY worker ORDER BY ms, event_id) AS prev
+  FROM ev
+)
+SELECT worker,
+       CAST(COUNT(*) AS BIGINT) AS n_ids,
+       CAST(SUM(CASE WHEN prev IS NOT NULL AND sid <= prev THEN 1 ELSE 0 END)
+            AS BIGINT) AS n_violations,
+       CAST(MAX(sid % 4096) AS BIGINT) AS max_seq,
+       CAST(SUM(sid % 1000003) AS BIGINT) AS id_checksum
+FROM d GROUP BY worker ORDER BY worker
+"""

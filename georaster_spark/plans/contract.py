@@ -5297,6 +5297,7 @@ def spatial_queries() -> dict[str, QueryFn]:
         "facility_location": q_facility_location,
         "rsync_matches": textops.rsync_matches,
         "sorted_neighborhood": textops.sorted_neighborhood,
+        "snowflake_audit": rel.snowflake_audit,
     })
 
 
@@ -5649,6 +5650,7 @@ def spatial_oracles(sf: str = "sf0.01") -> dict[str, str]:
         "facility_location": _sql_facility_location(fx),
         "rsync_matches": textops.rsync_matches_sql(),
         "sorted_neighborhood": textops.sorted_neighborhood_sql(),
+        "snowflake_audit": rel.snowflake_audit_sql(),
     })
 
 
