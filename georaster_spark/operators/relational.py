@@ -7146,3 +7146,97 @@ SELECT worker,
        CAST(SUM(sid % 1000003) AS BIGINT) AS id_checksum
 FROM d GROUP BY worker ORDER BY worker
 """
+
+
+# --- Leaky-bucket rate-limiter audit ----------------------------------------------------------
+
+LB_COST = 1000       # milli-units added per event
+LB_LEAK_DIV = 2      # leak = dt_ms // 2  (0.5 unit/ms)
+LB_BURST = 5000      # violation when post-arrival level exceeds this
+
+
+def leaky_bucket(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Leaky-bucket rate-limiter audit (the token/leaky bucket of every
+    API quota layer), evaluated WITHOUT sequential state: the bucket
+    recursion level_n = max(0, level_{n-1} - leak_n) + cost is a
+    Lindley recursion, whose exact solution is the max-of-suffix-sums
+    transform — with X_n = cost - leak_n and prefix sums S_n,
+    level_n = S_n - min_{m<n} S_m (the running minimum including the
+    virtual S_0 = 0).  Two window functions replace the scan, so the
+    audit is one shuffle and stays whole-stage-codegen'd — no UDF, no
+    applyInPandas, no recursion on either engine.
+
+    Emits per user: events, violations (level > LB_BURST), the exact
+    max and final level in milli-units.
+
+    Scale shape: ONE user-keyed window (cumsum + running min) + a
+    per-user rollup — the shape a 10¹²-event quota audit takes."""
+    ev = _t(spark, sf_dir, "events").select(
+        "user_id",
+        F.unix_millis(F.col("ts").cast("timestamp")).alias("ms"),
+        "event_id",
+    )
+    w = Window.partitionBy("user_id").orderBy("ms", "event_id")
+    d = ev.withColumn("dt", F.col("ms") - F.lag("ms").over(w)).withColumn(
+        "x",
+        F.lit(LB_COST)
+        - F.coalesce(F.expr(f"div(dt, {LB_LEAK_DIV})"), F.lit(0)),
+    )
+    cum = Window.partitionBy("user_id").orderBy("ms", "event_id").rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    d = d.withColumn("s", F.sum("x").over(cum)).withColumn(
+        "runmin", F.least(F.lit(0).cast("long"), F.min(F.lag("s").over(w)).over(cum))
+    )
+    d = d.withColumn("level", F.col("s") - F.col("runmin"))
+    return (
+        d.groupBy("user_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum((F.col("level") > LB_BURST).cast("long")).alias("n_violations"),
+            F.max("level").alias("max_level"),
+            F.max_by("level", F.col("ms") * 1_000_000 + F.col("event_id")).alias(
+                "final_level"
+            ),
+        )
+        .repartition(1)
+        .sortWithinPartitions("user_id")
+    )
+
+
+def leaky_bucket_sql() -> str:
+    return f"""
+WITH ev AS (
+  SELECT user_id, epoch_ms(ts) AS ms, event_id FROM events
+),
+d AS (
+  SELECT user_id, ms, event_id,
+         {LB_COST} - COALESCE((ms - lag(ms) OVER w) // {LB_LEAK_DIV}, 0) AS x
+  FROM ev WINDOW w AS (PARTITION BY user_id ORDER BY ms, event_id)
+),
+c1 AS (
+  SELECT user_id, ms, event_id,
+         SUM(x) OVER (PARTITION BY user_id ORDER BY ms, event_id
+                      ROWS UNBOUNDED PRECEDING) AS s
+  FROM d
+),
+c2 AS (
+  SELECT user_id, ms, event_id, s,
+         lag(s) OVER (PARTITION BY user_id ORDER BY ms, event_id) AS lag_s
+  FROM c1
+),
+c3 AS (
+  SELECT user_id, ms, event_id, s,
+         LEAST(0, MIN(lag_s) OVER (PARTITION BY user_id ORDER BY ms, event_id
+                                   ROWS UNBOUNDED PRECEDING)) AS runmin
+  FROM c2
+),
+lv AS (SELECT user_id, ms, event_id, s - runmin AS level FROM c3)
+SELECT user_id,
+       CAST(COUNT(*) AS BIGINT) AS n_events,
+       CAST(SUM(CASE WHEN level > {LB_BURST} THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_violations,
+       CAST(MAX(level) AS BIGINT) AS max_level,
+       CAST(max_by(level, ms * 1000000 + event_id) AS BIGINT) AS final_level
+FROM lv GROUP BY user_id ORDER BY user_id
+"""

@@ -5298,6 +5298,7 @@ def spatial_queries() -> dict[str, QueryFn]:
         "rsync_matches": textops.rsync_matches,
         "sorted_neighborhood": textops.sorted_neighborhood,
         "snowflake_audit": rel.snowflake_audit,
+        "leaky_bucket": rel.leaky_bucket,
     })
 
 
@@ -5651,6 +5652,7 @@ def spatial_oracles(sf: str = "sf0.01") -> dict[str, str]:
         "rsync_matches": textops.rsync_matches_sql(),
         "sorted_neighborhood": textops.sorted_neighborhood_sql(),
         "snowflake_audit": rel.snowflake_audit_sql(),
+        "leaky_bucket": rel.leaky_bucket_sql(),
     })
 
 
