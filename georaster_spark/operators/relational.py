@@ -7240,3 +7240,86 @@ SELECT user_id,
        CAST(max_by(level, ms * 1000000 + event_id) AS BIGINT) AS final_level
 FROM lv GROUP BY user_id ORDER BY user_id
 """
+
+
+# --- Population stability index ---------------------------------------------------------------
+
+PSI_BINS = 16
+PSI_BIN_C = 4_000_000  # cents per bin over o_totalprice
+PSI_SPLIT_YEAR = 1996
+PSI_EPS = 1e-6
+
+
+def psi_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Population stability index (the model-monitoring drift metric
+    every production-ML scorecard tracks): the order-value distribution
+    before vs from PSI_SPLIT_YEAR, 16 fixed-width bins, with
+    psi = Σ (p_i − q_i)·ln(p_i/q_i) Laplace-smoothed by PSI_EPS.
+    Emits per bin the exact counts plus the bin's psi term (round-9);
+    the scalar PSI is the SUM of the column — kept per-bin so the
+    drift ATTRIBUTION (which bins moved) is part of the surface.
+
+    Scale shape: one 16-group partial+final agg per period — a single
+    scan of the fact table at any scale."""
+    o = _t(spark, sf_dir, "orders").select(
+        F.least(
+            F.lit(PSI_BINS - 1),
+            F.expr(f"div(CAST(round(o_totalprice * 100) AS BIGINT), {PSI_BIN_C})"),
+        ).alias("b"),
+        (F.year(F.col("o_orderdate").cast("timestamp")) >= PSI_SPLIT_YEAR)
+        .cast("int")
+        .alias("period"),
+    )
+    cnt = o.groupBy("b").agg(
+        F.sum(F.when(F.col("period") == 0, 1).otherwise(0)).alias("n_a"),
+        F.sum(F.when(F.col("period") == 1, 1).otherwise(0)).alias("n_b"),
+    )
+    grid = spark.range(PSI_BINS).select(F.col("id").alias("b"))
+    full = grid.join(cnt, "b", "left").select(
+        "b",
+        F.coalesce("n_a", F.lit(0)).alias("n_a"),
+        F.coalesce("n_b", F.lit(0)).alias("n_b"),
+    )
+    tot = full.agg(
+        F.sum("n_a").alias("ta"), F.sum("n_b").alias("tb")
+    )
+    j = full.join(F.broadcast(tot))
+    p = F.col("n_a") / F.col("ta") + PSI_EPS
+    q = F.col("n_b") / F.col("tb") + PSI_EPS
+    return (
+        j.select(
+            "b", "n_a", "n_b",
+            F.round((p - q) * F.log(p / q), 9).alias("psi_term"),
+        )
+        .repartition(1)
+        .sortWithinPartitions("b")
+    )
+
+
+def psi_drift_sql() -> str:
+    return f"""
+WITH o AS (
+  SELECT least({PSI_BINS - 1},
+               CAST(round(o_totalprice * 100) AS BIGINT) // {PSI_BIN_C}) AS b,
+         CASE WHEN year(o_orderdate) >= {PSI_SPLIT_YEAR} THEN 1 ELSE 0 END AS period
+  FROM orders
+),
+cnt AS (
+  SELECT b,
+         SUM(CASE WHEN period = 0 THEN 1 ELSE 0 END) AS n_a,
+         SUM(CASE WHEN period = 1 THEN 1 ELSE 0 END) AS n_b
+  FROM o GROUP BY b
+),
+grid AS (SELECT unnest(range(0, {PSI_BINS})) AS b),
+fl AS (
+  SELECT g.b, COALESCE(cnt.n_a, 0) AS n_a, COALESCE(cnt.n_b, 0) AS n_b
+  FROM grid g LEFT JOIN cnt ON cnt.b = g.b
+),
+tot AS (SELECT SUM(n_a) AS ta, SUM(n_b) AS tb FROM fl)
+SELECT CAST(b AS BIGINT) AS b,
+       CAST(n_a AS BIGINT) AS n_a, CAST(n_b AS BIGINT) AS n_b,
+       round((n_a / ta + {PSI_EPS!r} - (n_b / tb + {PSI_EPS!r}))
+             * ln((n_a / ta + {PSI_EPS!r}) / (n_b / tb + {PSI_EPS!r})), 9)
+         AS psi_term
+FROM fl, tot ORDER BY b
+"""

@@ -5299,6 +5299,7 @@ def spatial_queries() -> dict[str, QueryFn]:
         "sorted_neighborhood": textops.sorted_neighborhood,
         "snowflake_audit": rel.snowflake_audit,
         "leaky_bucket": rel.leaky_bucket,
+        "psi_drift": rel.psi_drift,
     })
 
 
@@ -5653,6 +5654,7 @@ def spatial_oracles(sf: str = "sf0.01") -> dict[str, str]:
         "sorted_neighborhood": textops.sorted_neighborhood_sql(),
         "snowflake_audit": rel.snowflake_audit_sql(),
         "leaky_bucket": rel.leaky_bucket_sql(),
+        "psi_drift": rel.psi_drift_sql(),
     })
 
 
