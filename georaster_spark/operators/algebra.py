@@ -4585,3 +4585,78 @@ def hamming_code_census(tiles: DataFrame) -> DataFrame:
         "syndrome_sum long, syndrome_checksum long"
     )
     return slim.mapInPandas(gen, schema=schema)
+
+
+def png_filter_census(tiles: DataFrame) -> DataFrame:
+    """PNG filter-selection census (the per-row predictor choice of
+    every PNG encoder — RFC 2083 filters None/Sub/Up/Average/Paeth
+    with the libpng minimum-sum-of-absolute-differences heuristic):
+    per tile row, each filter's residual r = (x − pred) mod 256 taken
+    as signed bytes, the row picks the filter with the smallest |r|
+    sum (ties to the lower filter id), and the census reports per tile
+    how many rows chose each filter plus the total chosen score — the
+    compressibility fingerprint an encoder would realize.
+
+    Average uses the PNG floor((a+b)/2); Paeth the exact
+    nearest-of-{a,b,c} to a+b−c with the a≤b≤c tie order.  All
+    integers; the oracle replays every predictor and the argmin from
+    the ramp closed form.
+
+    Scale shape: map-only fused Arrow pass, 1 slim row per tile."""
+    slim = tiles.select("image_id", "bytes", "w", "h", "fmt")
+    dt = {"raw": np.uint8, "qnt": np.uint8, "raw16": "<u2"}
+
+    def gen(batches):
+        for pdf in batches:
+            ids = []
+            cnts = [[] for _ in range(5)]
+            scores = []
+            groups: dict[tuple, list[int]] = {}
+            for r in range(len(pdf)):
+                key = (int(pdf["w"].iat[r]), int(pdf["h"].iat[r]), pdf["fmt"].iat[r])
+                groups.setdefault(key, []).append(r)
+            for (w, h, fmt), idxs in groups.items():
+                z = (
+                    np.frombuffer(
+                        b"".join(pdf["bytes"].iat[r] for r in idxs), dtype=dt[fmt]
+                    )
+                    .reshape(len(idxs), h, w)
+                    .astype(np.int64)
+                )
+                a = np.zeros_like(z); a[:, :, 1:] = z[:, :, :-1]
+                b = np.zeros_like(z); b[:, 1:, :] = z[:, :-1, :]
+                c = np.zeros_like(z); c[:, 1:, 1:] = z[:, :-1, :-1]
+                p = a + b - c
+                pa, pb, pc = np.abs(p - a), np.abs(p - b), np.abs(p - c)
+                paeth = np.where(
+                    (pa <= pb) & (pa <= pc), a, np.where(pb <= pc, b, c)
+                )
+                preds = [np.zeros_like(z), a, b, (a + b) >> 1, paeth]
+                rowscores = []
+                for pr in preds:
+                    res = (z - pr) % 256
+                    res = np.where(res > 127, res - 256, res)
+                    rowscores.append(np.abs(res).sum(axis=2))  # (n, h)
+                S = np.stack(rowscores)                        # (5, n, h)
+                choice = np.argmin(S, axis=0)                  # ties -> lowest id
+                chosen_score = np.take_along_axis(
+                    S, choice[None], axis=0
+                )[0]                                           # (n, h)
+                for bi, r in enumerate(idxs):
+                    ids.append(pdf["image_id"].iat[r])
+                    for f in range(5):
+                        cnts[f].append(int((choice[bi] == f).sum()))
+                    scores.append(int(chosen_score[bi].sum()))
+            yield pd.DataFrame(
+                {
+                    "image_id": ids,
+                    **{f"n_f{f}": np.asarray(cnts[f], dtype=np.int64) for f in range(5)},
+                    "chosen_score": np.asarray(scores, dtype=np.int64),
+                }
+            )
+
+    schema = (
+        "image_id string, n_f0 long, n_f1 long, n_f2 long, n_f3 long, "
+        "n_f4 long, chosen_score long"
+    )
+    return slim.mapInPandas(gen, schema=schema)

@@ -5300,6 +5300,7 @@ def spatial_queries() -> dict[str, QueryFn]:
         "snowflake_audit": rel.snowflake_audit,
         "leaky_bucket": rel.leaky_bucket,
         "psi_drift": rel.psi_drift,
+        "png_filters": q_png_filters,
     })
 
 
@@ -5655,6 +5656,7 @@ def spatial_oracles(sf: str = "sf0.01") -> dict[str, str]:
         "snowflake_audit": rel.snowflake_audit_sql(),
         "leaky_bucket": rel.leaky_bucket_sql(),
         "psi_drift": rel.psi_drift_sql(),
+        "png_filters": _sql_png_filters(fx, w),
     })
 
 
@@ -13314,4 +13316,77 @@ SELECT CAST(round AS INT) AS round, CAST(chosen AS BIGINT) AS chosen,
        CAST(gain AS BIGINT) AS gain,
        CAST(SUM(gain) OVER (ORDER BY round) AS BIGINT) AS total_coverage
 FROM tr ORDER BY round
+"""
+
+
+_PNGF_MOD = 113
+
+
+def q_png_filters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PNG per-row filter selection census (algebra.png_filter_census):
+    RFC 2083 predictors + libpng MSAD heuristic, integer-exact."""
+    from ..operators import algebra
+
+    tiles = geo.georegister(_images(spark, sf_dir)).where(
+        geo.image_idx() % _PNGF_MOD == 0
+    )
+    return (
+        algebra.png_filter_census(tiles)
+        .repartition(1).sortWithinPartitions("image_id")
+    )
+
+
+def _sql_png_filters(fx: Path, w: int) -> str:
+    x = f"CAST({osql.ramp_value_expr('gi.i', 'gj.j')} AS BIGINT)"
+    a = (f"CASE WHEN gj.j > 0 THEN CAST({osql.ramp_value_expr('gi.i', 'gj.j - 1')}"
+         f" AS BIGINT) ELSE 0 END")
+    b = (f"CASE WHEN gi.i > 0 THEN CAST({osql.ramp_value_expr('gi.i - 1', 'gj.j')}"
+         f" AS BIGINT) ELSE 0 END")
+    c = (f"CASE WHEN gi.i > 0 AND gj.j > 0 THEN"
+         f" CAST({osql.ramp_value_expr('gi.i - 1', 'gj.j - 1')} AS BIGINT)"
+         f" ELSE 0 END")
+    return f"""
+WITH {osql.georegister_cte(str(fx / 'images.parquet'))},
+px AS (
+  SELECT image_id, gi.i AS i, gj.j AS j,
+         {x} AS x, {a} AS a, {b} AS b, {c} AS c
+  FROM tiles,
+       generate_series(0, {w - 1}) AS gi(i), generate_series(0, {w - 1}) AS gj(j)
+  WHERE idx % {_PNGF_MOD} = 0
+),
+pp AS (
+  SELECT image_id, i, j, x, a, b, c,
+         CASE WHEN abs(a + b - c - a) <= abs(a + b - c - b)
+                   AND abs(a + b - c - a) <= abs(a + b - c - c) THEN a
+              WHEN abs(a + b - c - b) <= abs(a + b - c - c) THEN b
+              ELSE c END AS paeth
+  FROM px
+),
+res AS (
+  SELECT image_id, i, f.f AS f,
+         SUM(CASE WHEN ((x - CASE f.f WHEN 0 THEN 0 WHEN 1 THEN a WHEN 2 THEN b
+                                      WHEN 3 THEN (a + b) // 2 ELSE paeth END)
+                        % 256 + 256) % 256 > 127
+                  THEN abs(((x - CASE f.f WHEN 0 THEN 0 WHEN 1 THEN a WHEN 2 THEN b
+                                          WHEN 3 THEN (a + b) // 2 ELSE paeth END)
+                            % 256 + 256) % 256 - 256)
+                  ELSE ((x - CASE f.f WHEN 0 THEN 0 WHEN 1 THEN a WHEN 2 THEN b
+                                      WHEN 3 THEN (a + b) // 2 ELSE paeth END)
+                        % 256 + 256) % 256 END) AS score
+  FROM pp, generate_series(0, 4) AS f(f)
+  GROUP BY image_id, i, f.f
+),
+best AS (
+  SELECT image_id, i,
+         MIN(struct_pack(score := score, f := f)) AS m
+  FROM res GROUP BY image_id, i
+)
+SELECT image_id,
+       CAST(SUM(CASE WHEN m.f = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_f0,
+       CAST(SUM(CASE WHEN m.f = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_f1,
+       CAST(SUM(CASE WHEN m.f = 2 THEN 1 ELSE 0 END) AS BIGINT) AS n_f2,
+       CAST(SUM(CASE WHEN m.f = 3 THEN 1 ELSE 0 END) AS BIGINT) AS n_f3,
+       CAST(SUM(CASE WHEN m.f = 4 THEN 1 ELSE 0 END) AS BIGINT) AS n_f4,
+       CAST(SUM(m.score) AS BIGINT) AS chosen_score
+FROM best GROUP BY image_id ORDER BY image_id
 """
