@@ -5301,6 +5301,7 @@ def spatial_queries() -> dict[str, QueryFn]:
         "leaky_bucket": rel.leaky_bucket,
         "psi_drift": rel.psi_drift,
         "png_filters": q_png_filters,
+        "brief_descriptor": q_brief_descriptor,
     })
 
 
@@ -5657,6 +5658,7 @@ def spatial_oracles(sf: str = "sf0.01") -> dict[str, str]:
         "leaky_bucket": rel.leaky_bucket_sql(),
         "psi_drift": rel.psi_drift_sql(),
         "png_filters": _sql_png_filters(fx, w),
+        "brief_descriptor": _sql_brief_descriptor(fx, w),
     })
 
 
@@ -13389,4 +13391,114 @@ SELECT image_id,
        CAST(SUM(CASE WHEN m.f = 4 THEN 1 ELSE 0 END) AS BIGINT) AS n_f4,
        CAST(SUM(m.score) AS BIGINT) AS chosen_score
 FROM best GROUP BY image_id ORDER BY image_id
+"""
+
+
+_BRIEF_MOD = 167
+_BRIEF_BITS = 63  # stay inside the signed int64 code
+
+
+def _brief_pairs() -> list[tuple[int, int, int, int]]:
+    """Deterministic BRIEF sampling pattern: 63 pixel-pair offsets in a
+    15x15 patch around the tile center (Calonder 2010 uses a random
+    pattern frozen at training time; this one is frozen by formula)."""
+    out = []
+    for k in range(_BRIEF_BITS):
+        out.append((
+            (k * 37 + 3) % 15 - 7, (k * 53 + 5) % 15 - 7,
+            (k * 71 + 11) % 15 - 7, (k * 89 + 7) % 15 - 7,
+        ))
+    return out
+
+
+def q_brief_descriptor(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BRIEF binary descriptor census (Calonder et al. 2010 — the
+    intensity-comparison descriptor inside ORB): a 63-bit code per
+    tile from the frozen pixel-pair pattern at the tile center, plus
+    the Hamming distance to the next selected tile's code — the
+    matching surface of binary feature tracking.  Integer-exact; the
+    oracle replays all 63 comparisons from the ramp closed form."""
+    import numpy as np
+    import pandas as pd
+
+    pairs = _brief_pairs()
+    tiles = geo.georegister(_images(spark, sf_dir))
+    sel = tiles.where(geo.image_idx() % _BRIEF_MOD == 0)
+    nxt = tiles.where((geo.image_idx() - 1) % _BRIEF_MOD == 0)
+
+    def desc(df, tag):
+        def gen(batches):
+            dt = {"raw": np.uint8, "qnt": np.uint8, "raw16": "<u2"}
+            for pdf in batches:
+                ids, codes = [], []
+                for i in range(len(pdf)):
+                    w0, h0 = int(pdf["w"].iat[i]), int(pdf["h"].iat[i])
+                    z = np.frombuffer(
+                        pdf["bytes"].iat[i], dtype=dt[pdf["fmt"].iat[i]]
+                    ).reshape(h0, w0).astype(np.int64)
+                    ci, cj = h0 // 2, w0 // 2
+                    code = 0
+                    for b, (di1, dj1, di2, dj2) in enumerate(pairs):
+                        if z[ci + di1, cj + dj1] < z[ci + di2, cj + dj2]:
+                            code |= 1 << b
+                    ids.append(int(pdf["idx"].iat[i]))
+                    codes.append(code)
+                yield pd.DataFrame({"pidx": ids, tag: codes})
+
+        return df.select(
+            geo.image_idx().alias("idx"), "bytes", "w", "h", "fmt"
+        ).mapInPandas(gen, schema=f"pidx long, {tag} long")
+
+    a = desc(sel, "ca")
+    b = desc(nxt, "cb").withColumn("pidx", F.col("pidx") - 1)
+    j = a.join(b, "pidx")
+    return (
+        j.select(
+            "pidx",
+            "ca",
+            F.bit_count("ca").cast("long").alias("pop_a"),
+            F.bit_count(F.col("ca").bitwiseXOR(F.col("cb"))).cast("long")
+            .alias("hamming"),
+        )
+        .repartition(1)
+        .sortWithinPartitions("pidx")
+    )
+
+
+def _sql_brief_descriptor(fx: Path, w: int) -> str:
+    pairs = _brief_pairs()
+    c = w // 2
+
+    def code_expr(idx_expr: str, fmt_col: str) -> str:
+        terms = []
+        for b, (di1, dj1, di2, dj2) in enumerate(pairs):
+            v1 = osql.ramp_value_expr(str(c + di1), str(c + dj1), idx=idx_expr,
+                                      fmt=fmt_col)
+            v2 = osql.ramp_value_expr(str(c + di2), str(c + dj2), idx=idx_expr,
+                                      fmt=fmt_col)
+            terms.append(
+                f"CASE WHEN ({v1}) < ({v2}) THEN {1 << b}::BIGINT ELSE 0 END"
+            )
+        return "(" + " + ".join(terms) + ")"
+
+    return f"""
+WITH img AS (
+  SELECT CAST(substr(image_id, 4, 10) AS BIGINT) AS idx, fmt
+  FROM read_parquet('{fx / 'images.parquet'}')
+),
+pairs AS (
+  SELECT a.idx AS pidx, a.fmt AS fmt_a, b.fmt AS fmt_b
+  FROM img a JOIN img b ON b.idx = a.idx + 1
+  WHERE a.idx % {_BRIEF_MOD} = 0
+),
+codes AS (
+  SELECT pidx,
+         {code_expr('pidx', 'fmt_a')} AS ca,
+         {code_expr('pidx + 1', 'fmt_b')} AS cb
+  FROM pairs
+)
+SELECT pidx, ca,
+       CAST(bit_count(ca) AS BIGINT) AS pop_a,
+       CAST(bit_count(xor(ca, cb)) AS BIGINT) AS hamming
+FROM codes ORDER BY pidx
 """
