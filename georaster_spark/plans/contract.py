@@ -5302,6 +5302,7 @@ def spatial_queries() -> dict[str, QueryFn]:
         "psi_drift": rel.psi_drift,
         "png_filters": q_png_filters,
         "brief_descriptor": q_brief_descriptor,
+        "wasserstein_tiles": q_wasserstein_tiles,
     })
 
 
@@ -5659,6 +5660,7 @@ def spatial_oracles(sf: str = "sf0.01") -> dict[str, str]:
         "psi_drift": rel.psi_drift_sql(),
         "png_filters": _sql_png_filters(fx, w),
         "brief_descriptor": _sql_brief_descriptor(fx, w),
+        "wasserstein_tiles": _sql_wasserstein_tiles(fx, w),
     })
 
 
@@ -13501,4 +13503,110 @@ SELECT pidx, ca,
        CAST(bit_count(ca) AS BIGINT) AS pop_a,
        CAST(bit_count(xor(ca, cb)) AS BIGINT) AS hamming
 FROM codes ORDER BY pidx
+"""
+
+
+_EMD_MOD = 157
+
+
+def q_wasserstein_tiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """1-D Wasserstein (earth mover's) distance between consecutive
+    tiles' 256-bin histograms — the optimal-transport drift metric
+    (for 1-D the closed form is exact: EMD = Σ_bins |CDF_a − CDF_b|,
+    in pixel·bin units since both tiles hold equal mass).  Emits per
+    pair the exact EMD and the largest single-bin CDF gap.
+
+    Scale shape: per-tile histograms partial-aggregate map-side (256
+    slim rows/tile), the pair join is idx-keyed, and the CDF runs as
+    a window inside the (pair) key — no corpus-global state."""
+    import numpy as np
+    import pandas as pd
+
+    tiles = geo.georegister(_images(spark, sf_dir))
+    sel = tiles.where(geo.image_idx() % _EMD_MOD == 0)
+    nxt = tiles.where((geo.image_idx() - 1) % _EMD_MOD == 0)
+
+    def hist(df, tag):
+        def gen(batches):
+            dt = {"raw": np.uint8, "qnt": np.uint8, "raw16": "<u2"}
+            for pdf in batches:
+                ids, hs = [], []
+                for i in range(len(pdf)):
+                    z = np.frombuffer(pdf["bytes"].iat[i], dtype=dt[pdf["fmt"].iat[i]])
+                    ids.append(int(pdf["idx"].iat[i]))
+                    hs.append(np.bincount(
+                        z.astype(np.int64) % 256, minlength=256
+                    ).astype(np.int64).tolist())
+                yield pd.DataFrame({"pidx": ids, tag: hs})
+
+        return df.select(
+            geo.image_idx().alias("idx"), "bytes", "fmt"
+        ).mapInPandas(gen, schema=f"pidx long, {tag} array<long>")
+
+    a = hist(sel, "ha")
+    b = hist(nxt, "hb").withColumn("pidx", F.col("pidx") - 1)
+    j = a.join(b, "pidx")
+    ex = j.select(
+        "pidx",
+        F.posexplode(F.zip_with("ha", "hb", lambda x, y: x - y)).alias("bin", "d"),
+    )
+    from pyspark.sql import Window as W
+
+    wcum = W.partitionBy("pidx").orderBy("bin").rowsBetween(
+        W.unboundedPreceding, 0
+    )
+    cdf = ex.withColumn("cd", F.sum("d").over(wcum))
+    return (
+        cdf.groupBy("pidx")
+        .agg(
+            F.sum(F.abs("cd")).alias("emd"),
+            F.max(F.abs("cd")).alias("max_cdf_gap"),
+        )
+        .repartition(1)
+        .sortWithinPartitions("pidx")
+    )
+
+
+def _sql_wasserstein_tiles(fx: Path, w: int) -> str:
+    va = osql.ramp_value_expr("gi.i", "gj.j")
+    vb = osql.ramp_value_expr("gi.i", "gj.j", idx="idx + 1")
+    return f"""
+WITH img AS (
+  SELECT CAST(substr(image_id, 4, 10) AS BIGINT) AS idx, fmt
+  FROM read_parquet('{fx / 'images.parquet'}')
+),
+pairs AS (
+  SELECT a.idx, a.fmt AS fmt_a, b.fmt AS fmt_b
+  FROM img a JOIN img b ON b.idx = a.idx + 1
+  WHERE a.idx % {_EMD_MOD} = 0
+),
+pxa AS (
+  SELECT idx AS pidx, CAST({va.replace('fmt', 'fmt_a')} AS BIGINT) % 256 AS v
+  FROM pairs, generate_series(0, {w - 1}) AS gi(i), generate_series(0, {w - 1}) AS gj(j)
+),
+pxb AS (
+  SELECT idx AS pidx, CAST({vb.replace('fmt', 'fmt_b')} AS BIGINT) % 256 AS v
+  FROM pairs, generate_series(0, {w - 1}) AS gi(i), generate_series(0, {w - 1}) AS gj(j)
+),
+grid AS (
+  SELECT p.idx AS pidx, g.g AS bin FROM pairs p, generate_series(0, 255) AS g(g)
+),
+ha AS (SELECT pidx, v AS bin, COUNT(*) AS n FROM pxa GROUP BY pidx, v),
+hb AS (SELECT pidx, v AS bin, COUNT(*) AS n FROM pxb GROUP BY pidx, v),
+d AS (
+  SELECT g.pidx, g.bin,
+         COALESCE(ha.n, 0) - COALESCE(hb.n, 0) AS d
+  FROM grid g
+  LEFT JOIN ha ON ha.pidx = g.pidx AND ha.bin = g.bin
+  LEFT JOIN hb ON hb.pidx = g.pidx AND hb.bin = g.bin
+),
+cdf AS (
+  SELECT pidx, bin,
+         SUM(d) OVER (PARTITION BY pidx ORDER BY bin ROWS UNBOUNDED PRECEDING) AS cd
+  FROM d
+)
+SELECT pidx,
+       CAST(SUM(abs(cd)) AS BIGINT) AS emd,
+       CAST(MAX(abs(cd)) AS BIGINT) AS max_cdf_gap
+FROM cdf GROUP BY pidx ORDER BY pidx
 """
