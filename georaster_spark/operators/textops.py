@@ -4228,3 +4228,77 @@ led AS (
 SELECT a, b, same_key, jac_ppm FROM ({" UNION ALL ".join(arms)})
 ORDER BY a, b
 """
+
+
+POSTINGS_MIN_DF = 50
+
+
+def postings_gaps(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Inverted-index posting-list sizing census (the delta-gap +
+    varint arithmetic every search index runs when budgeting storage —
+    Zobel & Moffat 2006): for each term with df >= POSTINGS_MIN_DF,
+    the sorted doc-id posting list's gap sequence encoded as LEB128
+    varints — bytes(g) = 1 for g < 2^7, 2 for g < 2^14, 3 for g <
+    2^21, else 4 (the first entry stores the raw doc id).  Emits per
+    term: df, total encoded bytes, max gap, and the mean gap numerator
+    (sum of gaps) — the compression planning surface.
+
+    Scale shape: one (term, doc) distinct shuffle, one term-keyed
+    window lag, one term rollup — every key is the term, the classic
+    index-build shape."""
+    ws = _clean_words()
+    from pyspark.sql import Window as W
+
+    posting = (
+        _docs(spark, sf_dir)
+        .select("doc_id", F.explode(F.array_distinct(ws)).alias("term"))
+        .distinct()
+    )
+    w = W.partitionBy("term").orderBy("doc_id")
+    g = posting.withColumn("gap", F.col("doc_id") - F.lag("doc_id").over(w))
+    vb = (
+        F.when(F.col("gap").isNull(), 5)  # head entry: fixed 5-byte raw id slot
+        .when(F.col("gap") < 1 << 7, 1)
+        .when(F.col("gap") < 1 << 14, 2)
+        .when(F.col("gap") < 1 << 21, 3)
+        .otherwise(4)
+    )
+    agg = (
+        g.groupBy("term")
+        .agg(
+            F.count(F.lit(1)).alias("df"),
+            F.sum(vb).cast("long").alias("encoded_bytes"),
+            F.max("gap").alias("max_gap"),
+            F.coalesce(F.sum("gap"), F.lit(0)).alias("gap_sum"),
+        )
+        .where(F.col("df") >= POSTINGS_MIN_DF)
+    )
+    return agg.repartition(1).sortWithinPartitions("term")
+
+
+def postings_gaps_sql() -> str:
+    return f"""
+WITH w AS (SELECT doc_id, list_filter({_SQL_WS}, t -> t <> '') AS ws FROM documents),
+posting AS (SELECT DISTINCT doc_id, unnest(ws) AS term FROM w),
+g AS (
+  SELECT term, doc_id,
+         doc_id - lag(doc_id) OVER (PARTITION BY term ORDER BY doc_id) AS gap
+  FROM posting
+),
+vb AS (
+  SELECT term, gap,
+         CASE WHEN gap IS NULL THEN 5
+              WHEN gap < 128 THEN 1
+              WHEN gap < 16384 THEN 2
+              WHEN gap < 2097152 THEN 3
+              ELSE 4 END AS b
+  FROM g
+)
+SELECT term,
+       CAST(COUNT(*) AS BIGINT) AS df,
+       CAST(SUM(b) AS BIGINT) AS encoded_bytes,
+       CAST(MAX(gap) AS BIGINT) AS max_gap,
+       CAST(COALESCE(SUM(gap), 0) AS BIGINT) AS gap_sum
+FROM vb GROUP BY term HAVING COUNT(*) >= {POSTINGS_MIN_DF}
+ORDER BY term
+"""

@@ -5303,6 +5303,7 @@ def spatial_queries() -> dict[str, QueryFn]:
         "png_filters": q_png_filters,
         "brief_descriptor": q_brief_descriptor,
         "wasserstein_tiles": q_wasserstein_tiles,
+        "postings_gaps": textops.postings_gaps,
     })
 
 
@@ -5661,6 +5662,7 @@ def spatial_oracles(sf: str = "sf0.01") -> dict[str, str]:
         "png_filters": _sql_png_filters(fx, w),
         "brief_descriptor": _sql_brief_descriptor(fx, w),
         "wasserstein_tiles": _sql_wasserstein_tiles(fx, w),
+        "postings_gaps": textops.postings_gaps_sql(),
     })
 
 
