@@ -5304,6 +5304,7 @@ def spatial_queries() -> dict[str, QueryFn]:
         "brief_descriptor": q_brief_descriptor,
         "wasserstein_tiles": q_wasserstein_tiles,
         "postings_gaps": textops.postings_gaps,
+        "max_rectangle": q_max_rectangle,
     })
 
 
@@ -5663,6 +5664,7 @@ def spatial_oracles(sf: str = "sf0.01") -> dict[str, str]:
         "brief_descriptor": _sql_brief_descriptor(fx, w),
         "wasserstein_tiles": _sql_wasserstein_tiles(fx, w),
         "postings_gaps": textops.postings_gaps_sql(),
+        "max_rectangle": _sql_max_rectangle(fx, w),
     })
 
 
@@ -13611,4 +13613,100 @@ SELECT pidx,
        CAST(SUM(abs(cd)) AS BIGINT) AS emd,
        CAST(MAX(abs(cd)) AS BIGINT) AS max_cdf_gap
 FROM cdf GROUP BY pidx ORDER BY pidx
+"""
+
+
+_MAXRECT_MOD = 307
+_MAXRECT_THRESH = 128
+
+
+def q_max_rectangle(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Largest axis-aligned foreground rectangle per tile (the maximal
+    rectangle DP of table/panel detection, binarized at >= 128): the
+    engine computes column heights H(r,j) = consecutive foreground
+    above each cell and maximizes width × min-height over all row
+    spans — vectorized width-sweep over the Arrow batch; the oracle
+    replays the DEFINITIONAL max over (row, j1, j2) of
+    (j2−j1+1)·min H with a range join, so every tie is pinned by the
+    same arithmetic."""
+    import numpy as np
+    import pandas as pd
+
+    tiles = geo.georegister(_images(spark, sf_dir)).where(
+        geo.image_idx() % _MAXRECT_MOD == 0
+    )
+
+    def gen(batches):
+        dt = {"raw": np.uint8, "qnt": np.uint8, "raw16": "<u2"}
+        for pdf in batches:
+            ids, fgs, areas = [], [], []
+            for i in range(len(pdf)):
+                w0, h0 = int(pdf["w"].iat[i]), int(pdf["h"].iat[i])
+                z = np.frombuffer(
+                    pdf["bytes"].iat[i], dtype=dt[pdf["fmt"].iat[i]]
+                ).reshape(h0, w0).astype(np.int64)
+                b = (z >= _MAXRECT_THRESH).astype(np.int64)
+                H = np.zeros_like(b)
+                run = np.zeros(w0, dtype=np.int64)
+                for r in range(h0):
+                    run = (run + 1) * b[r]
+                    H[r] = run
+                best = 0
+                for width in range(1, w0 + 1):
+                    if width == 1:
+                        mw = H.copy()
+                    else:
+                        mw = np.minimum(mw[:, :-1], H[:, width - 1:])
+                    if mw.size:
+                        best = max(best, int(mw.max()) * width)
+                ids.append(pdf["image_id"].iat[i])
+                fgs.append(int(b.sum()))
+                areas.append(best)
+            yield pd.DataFrame(
+                {
+                    "image_id": ids,
+                    "n_fg": np.asarray(fgs, dtype=np.int64),
+                    "max_area": np.asarray(areas, dtype=np.int64),
+                }
+            )
+
+    out = tiles.select("image_id", "bytes", "w", "h", "fmt").mapInPandas(
+        gen, schema="image_id string, n_fg long, max_area long"
+    )
+    return out.repartition(1).sortWithinPartitions("image_id")
+
+
+def _sql_max_rectangle(fx: Path, w: int) -> str:
+    v = osql.ramp_value_expr("gi.i", "gj.j")
+    return f"""
+WITH {osql.georegister_cte(str(fx / 'images.parquet'))},
+b AS (
+  SELECT image_id, gi.i AS i, gj.j AS j,
+         CASE WHEN CAST({v} AS BIGINT) >= {_MAXRECT_THRESH} THEN 1 ELSE 0 END AS fg
+  FROM tiles,
+       generate_series(0, {w - 1}) AS gi(i), generate_series(0, {w - 1}) AS gj(j)
+  WHERE idx % {_MAXRECT_MOD} = 0
+),
+hh AS (
+  SELECT image_id, i, j,
+         CASE WHEN fg = 0 THEN 0
+              ELSE i - COALESCE(MAX(CASE WHEN fg = 0 THEN i END)
+                     OVER (PARTITION BY image_id, j ORDER BY i
+                           ROWS UNBOUNDED PRECEDING), -1) END AS h
+  FROM b
+),
+spans AS (
+  SELECT h1.image_id, h1.i, j1.j1 AS j1, j2.j2 AS j2,
+         MIN(h1.h) AS minh
+  FROM generate_series(0, {w - 1}) AS j1(j1)
+  JOIN generate_series(0, {w - 1}) AS j2(j2) ON j2.j2 >= j1.j1
+  JOIN hh h1 ON h1.j BETWEEN j1.j1 AND j2.j2
+  GROUP BY h1.image_id, h1.i, j1.j1, j2.j2
+),
+fg AS (SELECT image_id, SUM(fg) AS n_fg FROM b GROUP BY image_id)
+SELECT s.image_id,
+       CAST(MAX(f.n_fg) AS BIGINT) AS n_fg,
+       CAST(MAX((s.j2 - s.j1 + 1) * s.minh) AS BIGINT) AS max_area
+FROM spans s JOIN fg f ON f.image_id = s.image_id
+GROUP BY s.image_id ORDER BY s.image_id
 """
