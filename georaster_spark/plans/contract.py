@@ -5305,6 +5305,7 @@ def spatial_queries() -> dict[str, QueryFn]:
         "wasserstein_tiles": q_wasserstein_tiles,
         "postings_gaps": textops.postings_gaps,
         "max_rectangle": q_max_rectangle,
+        "lof_zones": q_lof_zones,
     })
 
 
@@ -5665,6 +5666,7 @@ def spatial_oracles(sf: str = "sf0.01") -> dict[str, str]:
         "wasserstein_tiles": _sql_wasserstein_tiles(fx, w),
         "postings_gaps": textops.postings_gaps_sql(),
         "max_rectangle": _sql_max_rectangle(fx, w),
+        "lof_zones": _sql_lof_zones(fx),
     })
 
 
@@ -13709,4 +13711,109 @@ SELECT s.image_id,
        CAST(MAX((s.j2 - s.j1 + 1) * s.minh) AS BIGINT) AS max_area
 FROM spans s JOIN fg f ON f.image_id = s.image_id
 GROUP BY s.image_id ORDER BY s.image_id
+"""
+
+
+_LOF_K = 3
+
+
+def q_lof_zones(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Local Outlier Factor (Breunig et al. 2000) over zone centroids,
+    k = 3, held integer by staged ppm floors: k-distance by L1 rank
+    (ties to smaller id), reachability reach(a,b) = max(kdist(b),
+    d(a,b)), local reachability density lrd = div(10⁶·k, Σreach), and
+    lof_ppm = div(10⁶·Σ lrd_nn, k·lrd_own).  Every division is an
+    integer floor both engines replay identically — the density-ratio
+    outlier surface without a single float.
+
+    Scale shape: zones are dim-sized here; at corpus scale the same
+    query runs on the cell-bucketed kNN join (op E6) with identical
+    downstream algebra."""
+    z = _zones(spark, sf_dir).select(
+        "zone_id",
+        F.floor((F.col("xmin") + F.col("xmax")) / 2 + 0.5).cast("long").alias("cx"),
+        F.floor((F.col("ymin") + F.col("ymax")) / 2 + 0.5).cast("long").alias("cy"),
+    )
+    a = z.select(F.col("zone_id").alias("za"), F.col("cx").alias("ax"),
+                 F.col("cy").alias("ay"))
+    b = z.select(F.col("zone_id").alias("zb"), F.col("cx").alias("bx"),
+                 F.col("cy").alias("by"))
+    d = F.abs(F.col("ax") - F.col("bx")) + F.abs(F.col("ay") - F.col("by"))
+    pairs = a.join(b, F.col("za") != F.col("zb")).select(
+        "za", "zb", d.alias("d")
+    )
+    from pyspark.sql import Window as W
+
+    w = W.partitionBy("za").orderBy("d", "zb")
+    knn = pairs.withColumn("rn", F.row_number().over(w)).where(
+        F.col("rn") <= _LOF_K
+    )
+    kd = knn.groupBy("za").agg(F.max("d").alias("kdist"))
+    reach = (
+        knn.join(kd.select(F.col("za").alias("zb"), F.col("kdist").alias("kd_b")),
+                 "zb")
+        .select("za", "zb", F.greatest("d", "kd_b").alias("reach"))
+    )
+    lrd = reach.groupBy("za").agg(
+        F.expr(f"div(1000000 * {_LOF_K}, sum(reach))").alias("lrd")
+    )
+    lof = (
+        knn.select("za", "zb")
+        .join(lrd.select(F.col("za").alias("zb"), F.col("lrd").alias("lrd_nn")), "zb")
+        .groupBy("za")
+        .agg(F.sum("lrd_nn").alias("sum_lrd_nn"))
+        .join(lrd, "za")
+        .select(
+            "za",
+            F.expr(f"div(1000000 * sum_lrd_nn, {_LOF_K} * lrd)").alias("lof_ppm"),
+        )
+    )
+    return (
+        kd.join(lof, "za")
+        .select(F.col("za").alias("zone_id"), "kdist", "lof_ppm")
+        .repartition(1)
+        .sortWithinPartitions("zone_id")
+    )
+
+
+def _sql_lof_zones(fx: Path) -> str:
+    zs = str(fx / "zones.parquet")
+    return f"""
+WITH z AS (
+  SELECT zone_id,
+         CAST(floor((xmin + xmax) / 2 + 0.5) AS BIGINT) AS cx,
+         CAST(floor((ymin + ymax) / 2 + 0.5) AS BIGINT) AS cy
+  FROM read_parquet('{zs}')
+),
+pairs AS (
+  SELECT a.zone_id AS za, b.zone_id AS zb,
+         abs(a.cx - b.cx) + abs(a.cy - b.cy) AS d
+  FROM z a JOIN z b ON b.zone_id <> a.zone_id
+),
+knn AS (
+  SELECT za, zb, d FROM (
+    SELECT *, row_number() OVER (PARTITION BY za ORDER BY d, zb) AS rn
+    FROM pairs
+  ) WHERE rn <= {_LOF_K}
+),
+kd AS (SELECT za, MAX(d) AS kdist FROM knn GROUP BY za),
+reach AS (
+  SELECT k.za, k.zb, GREATEST(k.d, kb.kdist) AS reach
+  FROM knn k JOIN kd kb ON kb.za = k.zb
+),
+lrd AS (
+  SELECT za, (1000000 * {_LOF_K}) // SUM(reach) AS lrd
+  FROM reach GROUP BY za
+),
+lof AS (
+  SELECT k.za, (1000000 * SUM(ln.lrd)) // ({_LOF_K} * MAX(lo.lrd)) AS lof_ppm
+  FROM knn k
+  JOIN lrd ln ON ln.za = k.zb
+  JOIN lrd lo ON lo.za = k.za
+  GROUP BY k.za
+)
+SELECT kd.za AS zone_id, CAST(kd.kdist AS BIGINT) AS kdist,
+       CAST(lof.lof_ppm AS BIGINT) AS lof_ppm
+FROM kd JOIN lof ON lof.za = kd.za
+ORDER BY zone_id
 """
