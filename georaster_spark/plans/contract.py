@@ -5306,6 +5306,7 @@ def spatial_queries() -> dict[str, QueryFn]:
         "postings_gaps": textops.postings_gaps,
         "max_rectangle": q_max_rectangle,
         "lof_zones": q_lof_zones,
+        "ransac_line": q_ransac_line,
     })
 
 
@@ -5667,6 +5668,7 @@ def spatial_oracles(sf: str = "sf0.01") -> dict[str, str]:
         "postings_gaps": textops.postings_gaps_sql(),
         "max_rectangle": _sql_max_rectangle(fx, w),
         "lof_zones": _sql_lof_zones(fx),
+        "ransac_line": _sql_ransac_line(fx),
     })
 
 
@@ -13816,4 +13818,106 @@ SELECT kd.za AS zone_id, CAST(kd.kdist AS BIGINT) AS kdist,
        CAST(lof.lof_ppm AS BIGINT) AS lof_ppm
 FROM kd JOIN lof ON lof.za = kd.za
 ORDER BY zone_id
+"""
+
+
+_RANSAC_SNAP = 1 << 11   # same <=256 lattice as delaunay: cross^2 stays < 2^35
+_RANSAC_T2 = 25          # inlier when point-line dist^2 <= 25 lattice units^2
+
+
+def q_ransac_line(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic exhaustive-candidate RANSAC line fit (the
+    consensus estimator of vision geometry with sampling replaced by
+    the full O(n²) candidate sweep — exact, so both engines agree on
+    every tie): zone centroids snap to the 2^11 lattice, every pair
+    (a < b) proposes the line through them, and a point c is an inlier
+    iff its squared point-line distance cross(a,b,c)²/|ab|² is at most
+    _RANSAC_T2 — tested in the cross-multiplied integer form
+    cross² <= T²·|ab|².  The winner has the most inliers (ties to the
+    smaller (a, b) pair).  Emits the winning pair, its inlier count,
+    and the candidate count."""
+    z = _zones(spark, sf_dir).select(
+        "zone_id",
+        (F.floor((F.col("xmin") + F.col("xmax")) / 2 + 0.5).cast("long")
+         / _RANSAC_SNAP).cast("long").alias("cx"),
+        (F.floor((F.col("ymin") + F.col("ymax")) / 2 + 0.5).cast("long")
+         / _RANSAC_SNAP).cast("long").alias("cy"),
+    )
+    a = z.select(F.col("zone_id").alias("za"), F.col("cx").alias("ax"),
+                 F.col("cy").alias("ay"))
+    b = z.select(F.col("zone_id").alias("zb"), F.col("cx").alias("bx"),
+                 F.col("cy").alias("by"))
+    c = z.select(F.col("zone_id").alias("zc"), F.col("cx").alias("px"),
+                 F.col("cy").alias("py"))
+    ab2 = (F.col("bx") - F.col("ax")) * (F.col("bx") - F.col("ax")) + (
+        F.col("by") - F.col("ay")
+    ) * (F.col("by") - F.col("ay"))
+    cand = a.join(b, F.col("zb") > F.col("za")).withColumn("ab2", ab2).where(
+        F.col("ab2") > 0
+    )
+    cross = (F.col("bx") - F.col("ax")) * (F.col("py") - F.col("ay")) - (
+        F.col("by") - F.col("ay")
+    ) * (F.col("px") - F.col("ax"))
+    tri = cand.join(c, F.lit(True)).withColumn("cr", cross)
+    inl = (
+        tri.withColumn(
+            "is_in",
+            (F.col("cr") * F.col("cr") <= F.lit(_RANSAC_T2) * F.col("ab2"))
+            .cast("long"),
+        )
+        .groupBy("za", "zb")
+        .agg(F.sum("is_in").alias("n_inliers"))
+    )
+    top = inl.agg(
+        F.max(
+            F.struct(
+                "n_inliers",
+                (-F.col("za")).alias("nza"),
+                (-F.col("zb")).alias("nzb"),
+            )
+        ).alias("m"),
+        F.count(F.lit(1)).alias("n_candidates"),
+    )
+    return top.select(
+        (-F.col("m.nza")).cast("long").alias("best_a"),
+        (-F.col("m.nzb")).cast("long").alias("best_b"),
+        F.col("m.n_inliers").alias("n_inliers"),
+        "n_candidates",
+    )
+
+
+def _sql_ransac_line(fx: Path) -> str:
+    zs = str(fx / "zones.parquet")
+    return f"""
+WITH z AS (
+  SELECT zone_id,
+         CAST(floor((xmin + xmax) / 2 + 0.5) AS BIGINT) // {_RANSAC_SNAP} AS cx,
+         CAST(floor((ymin + ymax) / 2 + 0.5) AS BIGINT) // {_RANSAC_SNAP} AS cy
+  FROM read_parquet('{zs}')
+),
+cand AS (
+  SELECT a.zone_id AS za, b.zone_id AS zb, a.cx AS ax, a.cy AS ay,
+         b.cx AS bx, b.cy AS by,
+         (b.cx - a.cx) * (b.cx - a.cx) + (b.cy - a.cy) * (b.cy - a.cy) AS ab2
+  FROM z a JOIN z b ON b.zone_id > a.zone_id
+  WHERE (b.cx - a.cx) * (b.cx - a.cx) + (b.cy - a.cy) * (b.cy - a.cy) > 0
+),
+inl AS (
+  SELECT za, zb,
+         SUM(CASE WHEN
+           ((bx - ax) * (c.cy - ay) - (by - ay) * (c.cx - ax))
+           * ((bx - ax) * (c.cy - ay) - (by - ay) * (c.cx - ax))
+           <= {_RANSAC_T2} * ab2 THEN 1 ELSE 0 END) AS n_inliers
+  FROM cand, z c
+  GROUP BY za, zb
+),
+top AS (
+  SELECT MAX(struct_pack(n_inliers := n_inliers, nza := -za, nzb := -zb)) AS m,
+         COUNT(*) AS n_candidates
+  FROM inl
+)
+SELECT CAST(-(m.nza) AS BIGINT) AS best_a, CAST(-(m.nzb) AS BIGINT) AS best_b,
+       CAST(m.n_inliers AS BIGINT) AS n_inliers,
+       CAST(n_candidates AS BIGINT) AS n_candidates
+FROM top
 """
