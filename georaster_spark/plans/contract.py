@@ -5307,6 +5307,7 @@ def spatial_queries() -> dict[str, QueryFn]:
         "max_rectangle": q_max_rectangle,
         "lof_zones": q_lof_zones,
         "ransac_line": q_ransac_line,
+        "walk_moments": q_walk_moments,
     })
 
 
@@ -5669,6 +5670,7 @@ def spatial_oracles(sf: str = "sf0.01") -> dict[str, str]:
         "max_rectangle": _sql_max_rectangle(fx, w),
         "lof_zones": _sql_lof_zones(fx),
         "ransac_line": _sql_ransac_line(fx),
+        "walk_moments": _sql_walk_moments(),
     })
 
 
@@ -13920,4 +13922,73 @@ SELECT CAST(-(m.nza) AS BIGINT) AS best_a, CAST(-(m.nzb) AS BIGINT) AS best_b,
        CAST(m.n_inliers AS BIGINT) AS n_inliers,
        CAST(n_candidates AS BIGINT) AS n_candidates
 FROM top
+"""
+
+
+def q_walk_moments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spectral walk moments of the part co-purchase graph — the first
+    adjacency-spectrum power sums (graph energy / expander checks read
+    these instead of eigensolvers): tr A² = 2m, tr A³ = 6·triangles,
+    tr A⁴ = Σ_{u,v} (A²)_{uv}² over ALL ordered pairs incl. u = v
+    (closed 4-walks, degenerate ones included by definition).  The
+    wedge-count table (A²) materializes once and serves both the cube
+    and fourth moments.
+
+    Scale shape: tr A⁴ is ONE groupBy over the wedge join + a scalar
+    sum of squares — the standard 2-path semiring shape; the oriented
+    triangle join bounds A³ exactly as triangle_census does."""
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet").select(
+        "l_orderkey", "l_partkey"
+    ).where(F.col("l_partkey") % 4 == 0)  # 4x node subsample: A^2 stays
+    # ~wedges/16 at every sf (full-graph tr A^4 measured 245 s at sf0.1)
+    a = li.select(F.col("l_orderkey").alias("k"), F.col("l_partkey").alias("u"))
+    b = li.select(F.col("l_orderkey").alias("k"), F.col("l_partkey").alias("v"))
+    und = (
+        a.join(b, "k").where(F.col("u") < F.col("v")).select("u", "v").distinct()
+        .localCheckpoint(eager=False)
+    )
+    m = und.count()
+    sym = und.union(und.select(F.col("v").alias("u"), F.col("u").alias("v")))
+    a2 = (
+        sym.alias("e1")
+        .join(sym.alias("e2"), F.col("e1.v") == F.col("e2.u"))
+        .groupBy(F.col("e1.u").alias("x"), F.col("e2.v").alias("y"))
+        .agg(F.count(F.lit(1)).alias("n2"))
+    )
+    tr4 = a2.agg(F.sum(F.col("n2") * F.col("n2")).alias("t4"))
+    e1 = und.select(F.col("u").alias("a"), F.col("v").alias("b"))
+    e2 = und.select(F.col("u").alias("b"), F.col("v").alias("c"))
+    e3 = und.select(F.col("u").alias("a"), F.col("v").alias("c"))
+    tris = e1.join(e2, "b").join(e3, ["a", "c"]).count()
+    t4 = tr4.first()["t4"]
+    return (
+        spark.createDataFrame(
+            [(2 * m, 6 * tris, int(t4))],
+            "tr_a2 long, tr_a3 long, tr_a4 long",
+        )
+    )
+
+
+def _sql_walk_moments() -> str:
+    return """
+WITH e0 AS MATERIALIZED (
+  SELECT DISTINCT a.l_partkey AS u, b.l_partkey AS v
+  FROM lineitem a JOIN lineitem b
+    ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+  WHERE a.l_partkey % 4 = 0 AND b.l_partkey % 4 = 0
+),
+sym AS MATERIALIZED (SELECT u, v FROM e0 UNION ALL SELECT v, u FROM e0),
+a2 AS MATERIALIZED (
+  SELECT e1.u AS x, e2.v AS y, COUNT(*) AS n2
+  FROM sym e1 JOIN sym e2 ON e2.u = e1.v
+  GROUP BY e1.u, e2.v
+),
+tri AS (
+  SELECT COUNT(*) AS t FROM e0 e1
+  JOIN e0 e2 ON e2.u = e1.v
+  JOIN e0 e3 ON e3.u = e1.u AND e3.v = e2.v
+)
+SELECT CAST(2 * (SELECT COUNT(*) FROM e0) AS BIGINT) AS tr_a2,
+       CAST(6 * (SELECT t FROM tri) AS BIGINT) AS tr_a3,
+       CAST((SELECT SUM(n2 * n2) FROM a2) AS BIGINT) AS tr_a4
 """
