@@ -7323,3 +7323,106 @@ SELECT CAST(b AS BIGINT) AS b,
          AS psi_term
 FROM fl, tot ORDER BY b
 """
+
+
+def ring_rebalance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Consistent-hashing rebalance audit (the MINIMAL-DISRUPTION
+    theorem of Karger rings: adding a node moves only the keys the new
+    node claims — nothing reshuffles between old nodes): route every
+    document on the RING_NODES-node ring and again with node 8 added,
+    then report per old node how many keys stayed and how many moved,
+    plus the violation count — keys that changed hands between two OLD
+    nodes, provably 0, pinned by the oracle rather than assumed.
+
+    Scale shape: two broadcast ring lookups + one doc-keyed equi-join
+    of the assignments + an 8-group rollup."""
+    from .textops import h40
+
+    def route(n_nodes: int, tag: str) -> DataFrame:
+        docs = _t(spark, sf_dir, "documents").select(
+            "doc_id", h40(F.col("doc_id").cast("string")).alias("hd")
+        )
+        ring = spark.createDataFrame(
+            [(n, v) for n in range(n_nodes) for v in range(RING_VNODES)],
+            "node int, vnode int",
+        ).select(
+            "node",
+            h40(
+                F.concat_ws(
+                    ":", F.concat(F.lit("node"), F.col("node")), F.col("vnode")
+                )
+            ).alias("pos"),
+        )
+        cand = docs.join(F.broadcast(ring), F.col("pos") >= F.col("hd"), "left")
+        succ = cand.groupBy("doc_id").agg(
+            F.min(F.struct("pos", "node")).alias("s")
+        )
+        wrap = ring.orderBy("pos", "node").limit(1).select(
+            F.col("node").alias("wnode")
+        )
+        return succ.join(F.broadcast(wrap)).select(
+            "doc_id", F.coalesce(F.col("s.node"), F.col("wnode")).alias(tag)
+        )
+
+    before = route(RING_NODES, "n_old")
+    after = route(RING_NODES + 1, "n_new")
+    j = before.join(after, "doc_id")
+    return (
+        j.groupBy("n_old")
+        .agg(
+            F.count(F.lit(1)).alias("n_keys"),
+            F.sum((F.col("n_new") == F.col("n_old")).cast("long")).alias("n_stayed"),
+            F.sum((F.col("n_new") == RING_NODES).cast("long")).alias("n_to_new"),
+            F.sum(
+                (
+                    (F.col("n_new") != F.col("n_old"))
+                    & (F.col("n_new") != RING_NODES)
+                ).cast("long")
+            ).alias("n_violations"),
+        )
+        .repartition(1)
+        .sortWithinPartitions("n_old")
+    )
+
+
+def ring_rebalance_sql() -> str:
+    h = "CAST('0x' || substring(md5({c}), 1, 10) AS BIGINT)"
+
+    def route(n_nodes: int, alias: str) -> str:
+        ring_rows = ", ".join(
+            f"({n}, {v})" for n in range(n_nodes) for v in range(RING_VNODES)
+        )
+        return f"""
+ring_{alias}(node, vnode) AS (VALUES {ring_rows}),
+rp_{alias} AS (
+  SELECT node,
+         {h.format(c="'node' || CAST(node AS VARCHAR) || ':' || CAST(vnode AS VARCHAR)")} AS pos
+  FROM ring_{alias}
+),
+succ_{alias} AS (
+  SELECT d.doc_id, MIN(struct_pack(pos := rp.pos, node := rp.node)) AS s
+  FROM d LEFT JOIN rp_{alias} rp ON rp.pos >= d.hd
+  GROUP BY d.doc_id
+),
+wrap_{alias} AS (
+  SELECT node AS wnode FROM rp_{alias} ORDER BY pos, node LIMIT 1
+),
+r_{alias} AS (
+  SELECT doc_id, COALESCE(s.node, wnode) AS node FROM succ_{alias}, wrap_{alias}
+)"""
+
+    return f"""
+WITH d AS (
+  SELECT doc_id, {h.format(c="CAST(doc_id AS VARCHAR)")} AS hd FROM documents
+),{route(RING_NODES, "a")},{route(RING_NODES + 1, "b")}
+SELECT CAST(ra.node AS INT) AS n_old,
+       CAST(COUNT(*) AS BIGINT) AS n_keys,
+       CAST(SUM(CASE WHEN rb.node = ra.node THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_stayed,
+       CAST(SUM(CASE WHEN rb.node = {RING_NODES} THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_to_new,
+       CAST(SUM(CASE WHEN rb.node <> ra.node AND rb.node <> {RING_NODES}
+                THEN 1 ELSE 0 END) AS BIGINT) AS n_violations
+FROM r_a ra JOIN r_b rb ON rb.doc_id = ra.doc_id
+GROUP BY ra.node ORDER BY n_old
+"""

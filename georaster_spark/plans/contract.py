@@ -5308,6 +5308,7 @@ def spatial_queries() -> dict[str, QueryFn]:
         "lof_zones": q_lof_zones,
         "ransac_line": q_ransac_line,
         "walk_moments": q_walk_moments,
+        "ring_rebalance": rel.ring_rebalance,
     })
 
 
@@ -5671,6 +5672,7 @@ def spatial_oracles(sf: str = "sf0.01") -> dict[str, str]:
         "lof_zones": _sql_lof_zones(fx),
         "ransac_line": _sql_ransac_line(fx),
         "walk_moments": _sql_walk_moments(),
+        "ring_rebalance": rel.ring_rebalance_sql(),
     })
 
 
