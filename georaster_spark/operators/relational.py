@@ -7426,3 +7426,106 @@ SELECT CAST(ra.node AS INT) AS n_old,
 FROM r_a ra JOIN r_b rb ON rb.doc_id = ra.doc_id
 GROUP BY ra.node ORDER BY n_old
 """
+
+
+# --- LRU reuse-distance miss-ratio curve ------------------------------------------------------
+
+MRC_SIZES = (4, 8, 16, 32, 64)
+
+
+def lru_mrc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LRU miss-ratio curve via exact reuse distances (Mattson et al.
+    1970 — the stack-distance analysis every cache-sizing exercise
+    runs): the event stream's user_id sequence is the access trace;
+    an access's reuse distance is the number of DISTINCT other keys
+    touched since its previous access, and under LRU it hits a cache
+    of size C iff distance < C.  Emits one row per candidate size:
+    hits, compulsory (first-touch) misses, capacity misses — the whole
+    curve from ONE distance computation.
+
+    Scale shape: one global position ordering, one per-key lag, and a
+    positions-range self-join bounded by the reuse gap (the classic
+    trace-analysis join); the curve rollup is constant-size."""
+    # constant-cost probe across sf (the gap x access range join is
+    # O(trace * working-set); the full sf0.1 trace measured 177 s)
+    ev = _t(spark, sf_dir, "events").where(F.col("event_id") < 30_000).select(
+        "user_id",
+        F.unix_micros(F.col("ts").cast("timestamp")).alias("us"),
+        "event_id",
+    )
+    w_all = Window.orderBy("us", "event_id")
+    w_key = Window.partitionBy("user_id").orderBy("pos")
+    p = ev.select(
+        "user_id", F.row_number().over(w_all).alias("pos")
+    ).withColumn("prev", F.lag("pos").over(w_key))
+    acc = p.select("user_id", "pos", "prev").localCheckpoint(eager=True)
+    between = (
+        acc.where(F.col("prev").isNotNull())
+        .alias("a")
+        .join(
+            acc.select(F.col("pos").alias("bpos"), F.col("user_id").alias("bu")),
+            (F.col("bpos") > F.col("prev")) & (F.col("bpos") < F.col("pos")),
+            "left",
+        )
+        .groupBy("a.user_id", "a.pos")
+        .agg(F.countDistinct("bu").alias("sd"))
+    )
+    n_total = acc.count()
+    n_compulsory = acc.where(F.col("prev").isNull()).count()
+    rows = []
+    dists = between.select("sd").groupBy("sd").agg(F.count(F.lit(1)).alias("n"))
+    dist_map = {int(r["sd"]): int(r["n"]) for r in dists.collect()}
+    n_reuse = sum(dist_map.values())
+    for cs in MRC_SIZES:
+        hits = sum(n for d, n in dist_map.items() if d < cs)
+        rows.append((cs, n_total, n_compulsory, hits, n_reuse - hits))
+    return (
+        spark.createDataFrame(
+            rows,
+            "cache_size int, n_accesses long, n_compulsory long, "
+            "n_hits long, n_capacity_miss long",
+        )
+        .repartition(1)
+        .sortWithinPartitions("cache_size")
+    )
+
+
+def lru_mrc_sql() -> str:
+    arms = " UNION ALL ".join(f"SELECT {c} AS cache_size" for c in MRC_SIZES)
+    return f"""
+WITH ev AS (
+  SELECT user_id, epoch_us(ts) AS us, event_id FROM events
+  WHERE event_id < 30000
+),
+p AS (
+  SELECT user_id,
+         row_number() OVER (ORDER BY us, event_id) AS pos
+  FROM ev
+),
+acc AS (
+  SELECT user_id, pos,
+         lag(pos) OVER (PARTITION BY user_id ORDER BY pos) AS prev
+  FROM p
+),
+sd AS (
+  SELECT a.user_id, a.pos, COUNT(DISTINCT b.user_id) AS sd
+  FROM acc a LEFT JOIN acc b ON b.pos > a.prev AND b.pos < a.pos
+  WHERE a.prev IS NOT NULL
+  GROUP BY a.user_id, a.pos
+),
+tot AS (
+  SELECT (SELECT COUNT(*) FROM acc) AS n_accesses,
+         (SELECT COUNT(*) FROM acc WHERE prev IS NULL) AS n_compulsory,
+         (SELECT COUNT(*) FROM sd) AS n_reuse
+),
+sizes AS ({arms})
+SELECT CAST(s.cache_size AS INT) AS cache_size,
+       CAST(t.n_accesses AS BIGINT) AS n_accesses,
+       CAST(t.n_compulsory AS BIGINT) AS n_compulsory,
+       CAST((SELECT COUNT(*) FROM sd WHERE sd.sd < s.cache_size) AS BIGINT)
+         AS n_hits,
+       CAST(t.n_reuse
+            - (SELECT COUNT(*) FROM sd WHERE sd.sd < s.cache_size) AS BIGINT)
+         AS n_capacity_miss
+FROM sizes s, tot t ORDER BY cache_size
+"""

@@ -5309,6 +5309,7 @@ def spatial_queries() -> dict[str, QueryFn]:
         "ransac_line": q_ransac_line,
         "walk_moments": q_walk_moments,
         "ring_rebalance": rel.ring_rebalance,
+        "lru_mrc": rel.lru_mrc,
     })
 
 
@@ -5673,6 +5674,7 @@ def spatial_oracles(sf: str = "sf0.01") -> dict[str, str]:
         "ransac_line": _sql_ransac_line(fx),
         "walk_moments": _sql_walk_moments(),
         "ring_rebalance": rel.ring_rebalance_sql(),
+        "lru_mrc": rel.lru_mrc_sql(),
     })
 
 
