@@ -5310,6 +5310,8 @@ def spatial_queries() -> dict[str, QueryFn]:
         "walk_moments": q_walk_moments,
         "ring_rebalance": rel.ring_rebalance,
         "lru_mrc": rel.lru_mrc,
+        "steiner_l1": q_steiner_l1,
+        "radix_balance": q_radix_balance,
     })
 
 
@@ -5675,6 +5677,8 @@ def spatial_oracles(sf: str = "sf0.01") -> dict[str, str]:
         "walk_moments": _sql_walk_moments(),
         "ring_rebalance": rel.ring_rebalance_sql(),
         "lru_mrc": rel.lru_mrc_sql(),
+        "steiner_l1": _sql_steiner_l1(fx),
+        "radix_balance": _sql_radix_balance(),
     })
 
 
@@ -13996,3 +14000,128 @@ SELECT CAST(2 * (SELECT COUNT(*) FROM e0) AS BIGINT) AS tr_a2,
        CAST(6 * (SELECT t FROM tri) AS BIGINT) AS tr_a3,
        CAST((SELECT SUM(n2 * n2) FROM a2) AS BIGINT) AS tr_a4
 """
+
+
+def q_steiner_l1(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """L1 geometric median (the 1-median facility point — under the
+    Manhattan metric it separates into per-axis medians, here the
+    lower median for even counts so everything stays integer): the
+    optimal depot location for the zone set, with the exact total L1
+    distance it achieves — the single-facility complement of
+    facility_location."""
+    z = _zones(spark, sf_dir).select(
+        "zone_id",
+        F.floor((F.col("xmin") + F.col("xmax")) / 2 + 0.5).cast("long").alias("cx"),
+        F.floor((F.col("ymin") + F.col("ymax")) / 2 + 0.5).cast("long").alias("cy"),
+    )
+    from pyspark.sql import Window as W
+
+    n = z.count()
+    k = (n - 1) // 2  # 0-based lower-median rank
+    mx = (
+        z.select(F.col("cx").alias("v"))
+        .withColumn("rn", F.row_number().over(W.orderBy("v")) - 1)
+        .where(F.col("rn") == k)
+        .select(F.col("v").alias("mx"))
+    )
+    my = (
+        z.select(F.col("cy").alias("v"))
+        .withColumn("rn", F.row_number().over(W.orderBy("v")) - 1)
+        .where(F.col("rn") == k)
+        .select(F.col("v").alias("my"))
+    )
+    tot = (
+        z.join(F.broadcast(mx)).join(F.broadcast(my))
+        .agg(
+            F.max("mx").alias("med_x"),
+            F.max("my").alias("med_y"),
+            F.sum(
+                F.abs(F.col("cx") - F.col("mx")) + F.abs(F.col("cy") - F.col("my"))
+            ).alias("total_l1"),
+            F.count(F.lit(1)).alias("n_zones"),
+        )
+    )
+    return tot.select("n_zones", "med_x", "med_y", "total_l1")
+
+
+def _sql_steiner_l1(fx: Path) -> str:
+    zs = str(fx / "zones.parquet")
+    return f"""
+WITH z AS (
+  SELECT zone_id,
+         CAST(floor((xmin + xmax) / 2 + 0.5) AS BIGINT) AS cx,
+         CAST(floor((ymin + ymax) / 2 + 0.5) AS BIGINT) AS cy
+  FROM read_parquet('{zs}')
+),
+n AS (SELECT COUNT(*) AS n FROM z),
+mx AS (
+  SELECT v AS mx FROM (
+    SELECT cx AS v, row_number() OVER (ORDER BY cx) - 1 AS rn FROM z), n
+  WHERE rn = (n - 1) // 2
+),
+my AS (
+  SELECT v AS my FROM (
+    SELECT cy AS v, row_number() OVER (ORDER BY cy) - 1 AS rn FROM z), n
+  WHERE rn = (n - 1) // 2
+)
+SELECT CAST((SELECT n FROM n) AS BIGINT) AS n_zones,
+       CAST(mx AS BIGINT) AS med_x, CAST(my AS BIGINT) AS med_y,
+       CAST((SELECT SUM(abs(cx - mx) + abs(cy - my)) FROM z, mx, my) AS BIGINT)
+         AS total_l1
+FROM mx, my
+"""
+
+
+_RADIX_DEPTHS = (4, 8, 12)
+
+
+def q_radix_balance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Radix-partition balance sweep (the planner question behind every
+    hash-partition count choice: how uniform are the buckets at depth
+    b?): documents bucket by the top b bits of the 40-bit hash for
+    b ∈ {{4, 8, 12}}, and each depth reports bucket count, min/max
+    bucket size, and the max/ideal skew in ppm — the imbalance curve
+    that decides shuffle partition counts at 10¹² rows."""
+    from ..operators.textops import h40
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
+        h40(F.col("doc_id").cast("string")).alias("hv")
+    )
+    outs = []
+    for bdepth in _RADIX_DEPTHS:
+        g = (
+            docs.select(F.shiftright("hv", 40 - bdepth).alias("bucket"))
+            .groupBy("bucket")
+            .agg(F.count(F.lit(1)).alias("n"))
+        )
+        s = g.agg(
+            F.lit(bdepth).alias("depth"),
+            F.count(F.lit(1)).alias("n_buckets"),
+            F.min("n").alias("min_bucket"),
+            F.max("n").alias("max_bucket"),
+            F.sum("n").alias("n_total"),
+        ).select(
+            "depth", "n_buckets", "min_bucket", "max_bucket",
+            F.expr(f"div(1000000 * max_bucket * {1 << bdepth}, n_total)")
+            .alias("skew_ppm"),
+        )
+        outs.append(s)
+    res = outs[0]
+    for o in outs[1:]:
+        res = res.unionByName(o)
+    return res.repartition(1).sortWithinPartitions("depth")
+
+
+def _sql_radix_balance() -> str:
+    h = "CAST('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 10) AS BIGINT)"
+    arms = []
+    for b in _RADIX_DEPTHS:
+        arms.append(f"""
+SELECT {b} AS depth,
+       CAST(COUNT(*) AS BIGINT) AS n_buckets,
+       CAST(MIN(n) AS BIGINT) AS min_bucket,
+       CAST(MAX(n) AS BIGINT) AS max_bucket,
+       CAST((1000000 * MAX(n) * {1 << b}) // SUM(n) AS BIGINT) AS skew_ppm
+FROM (SELECT ({h}) >> {40 - b} AS bucket, COUNT(*) AS n
+      FROM documents GROUP BY 1)""")
+    return f"SELECT * FROM ({' UNION ALL '.join(arms)}) ORDER BY depth"
