@@ -7529,3 +7529,81 @@ SELECT CAST(s.cache_size AS INT) AS cache_size,
          AS n_capacity_miss
 FROM sizes s, tot t ORDER BY cache_size
 """
+
+
+def simpsons_check(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Simpson's-paradox audit (the aggregation-reversal trap every
+    metrics review must check): the association between quantity and
+    discount on lineitem, measured by the EXACT integer covariance
+    numerator n·Σxy − Σx·Σy (its sign is the correlation sign), pooled
+    vs within each order priority (via the order join).  Emits one row
+    per group with its sign and the pooled sign, plus whether the
+    group disagrees — a reversal-count surface with zero floats.
+
+    Scale shape: one fact-dim join, one group agg + one scalar agg,
+    broadcast back — two scans, no wide shuffle."""
+    li = _t(spark, sf_dir, "lineitem").select(
+        "l_orderkey",
+        F.round(F.col("l_quantity")).cast("long").alias("x"),
+        F.round(F.col("l_discount") * 100).cast("long").alias("y"),
+    )
+    o = _t(spark, sf_dir, "orders").select("o_orderkey", "o_orderpriority")
+    j = li.join(o, li["l_orderkey"] == o["o_orderkey"]).select(
+        "o_orderpriority", "x", "y"
+    )
+
+    def moments(df, keys):
+        return df.groupBy(*keys).agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum("x").alias("sx"),
+            F.sum("y").alias("sy"),
+            F.sum(F.col("x") * F.col("y")).alias("sxy"),
+        )
+
+    grp = moments(j, ["o_orderpriority"]).withColumn(
+        "cov_num", F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")
+    )
+    pooled = moments(j, []).select(
+        (F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")).alias("pooled_num")
+    )
+    return (
+        grp.join(F.broadcast(pooled))
+        .select(
+            "o_orderpriority",
+            "n",
+            "cov_num",
+            F.signum("cov_num").cast("int").alias("group_sign"),
+            F.signum("pooled_num").cast("int").alias("pooled_sign"),
+            (F.signum("cov_num") != F.signum("pooled_num")).cast("int")
+            .alias("reversed"),
+        )
+        .repartition(1)
+        .sortWithinPartitions("o_orderpriority")
+    )
+
+
+def simpsons_check_sql() -> str:
+    return """
+WITH j AS (
+  SELECT o_orderpriority,
+         CAST(round(l_quantity) AS BIGINT) AS x,
+         CAST(round(l_discount * 100) AS BIGINT) AS y
+  FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+),
+grp AS (
+  SELECT o_orderpriority, COUNT(*) AS n, SUM(x) AS sx, SUM(y) AS sy,
+         SUM(x * y) AS sxy
+  FROM j GROUP BY o_orderpriority
+),
+pooled AS (
+  SELECT COUNT(*) * SUM(x * y) - SUM(x) * SUM(y) AS pooled_num FROM j
+)
+SELECT o_orderpriority,
+       CAST(n AS BIGINT) AS n,
+       CAST(n * sxy - sx * sy AS BIGINT) AS cov_num,
+       CAST(sign(n * sxy - sx * sy) AS INT) AS group_sign,
+       CAST(sign(pooled_num) AS INT) AS pooled_sign,
+       CAST(CASE WHEN sign(n * sxy - sx * sy) <> sign(pooled_num)
+                 THEN 1 ELSE 0 END AS INT) AS reversed
+FROM grp, pooled ORDER BY o_orderpriority
+"""

@@ -5312,6 +5312,7 @@ def spatial_queries() -> dict[str, QueryFn]:
         "lru_mrc": rel.lru_mrc,
         "steiner_l1": q_steiner_l1,
         "radix_balance": q_radix_balance,
+        "simpsons_check": rel.simpsons_check,
     })
 
 
@@ -5679,6 +5680,7 @@ def spatial_oracles(sf: str = "sf0.01") -> dict[str, str]:
         "lru_mrc": rel.lru_mrc_sql(),
         "steiner_l1": _sql_steiner_l1(fx),
         "radix_balance": _sql_radix_balance(),
+        "simpsons_check": rel.simpsons_check_sql(),
     })
 
 
