@@ -5313,6 +5313,7 @@ def spatial_queries() -> dict[str, QueryFn]:
         "steiner_l1": q_steiner_l1,
         "radix_balance": q_radix_balance,
         "simpsons_check": rel.simpsons_check,
+        "stream_sessions_custom": q_stream_sessions_custom,
     })
 
 
@@ -5681,6 +5682,7 @@ def spatial_oracles(sf: str = "sf0.01") -> dict[str, str]:
         "steiner_l1": _sql_steiner_l1(fx),
         "radix_balance": _sql_radix_balance(),
         "simpsons_check": rel.simpsons_check_sql(),
+        "stream_sessions_custom": _sql_stream_sessions_custom(fx),
     })
 
 
@@ -14127,3 +14129,73 @@ SELECT {b} AS depth,
 FROM (SELECT ({h}) >> {40 - b} AS bucket, COUNT(*) AS n
       FROM documents GROUP BY 1)""")
     return f"SELECT * FROM ({' UNION ALL '.join(arms)}) ORDER BY depth"
+
+
+def q_stream_sessions_custom(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Op S3b (custom stateful streaming sessionizer,
+    applyInPandasWithState) surfaced to the oracle gate: the
+    availableNow run emits every session that closes INLINE (a later
+    same-cell event exceeds the 200 s gap inside the single
+    micro-batch) PLUS every final session whose event-time timeout
+    (last_ts + gap, +1 ms guard) falls below the final watermark
+    (max_ts − 30 s) — availableNow runs one more trigger after the
+    data batch, so those timeouts DO flush.  The oracle is the batch
+    sessionization minus only the last-per-cell sessions still inside
+    the watermark horizon (end_s > 3600−1−30−200−1 = 3368)."""
+    import tempfile
+    import uuid
+
+    from ..streaming import tile_stream as ts
+
+    fx = _fx(sf_dir)
+    tmp = Path(tempfile.mkdtemp(prefix="gs_stream_"))
+    (tmp / "in").mkdir()
+    os.symlink(fx / "images.parquet", tmp / "in" / "images.parquet")
+    name = f"s3b_{uuid.uuid4().hex[:8]}"
+    stream = ts.read_image_stream(spark, str(tmp / "in")).where(
+        geo.image_idx() < 3600
+    )
+    out = ts.stream_sessionize(stream, gap_s=200)
+    ts.run_to_memory(out, name, str(tmp / "ckpt"), state_partitions=8)
+    t0 = F.to_timestamp(F.lit(ts.T0)).cast("long")
+    return (
+        spark.table(name)
+        .select(
+            "cell_id",
+            (F.col("session_start").cast("long") - t0).alias("start_s"),
+            (F.col("session_end").cast("long") - t0).alias("end_s"),
+            "n_images",
+        )
+        .repartition(1)
+        .sortWithinPartitions("cell_id", "start_s")
+    )
+
+
+def _sql_stream_sessions_custom(fx: Path) -> str:
+    cell = osql.cell_expr("gt_x0", "gt_y0", DEFAULT_RES)
+    return f"""
+WITH {osql.georegister_cte(str(fx / 'images.parquet'))},
+ev AS (SELECT idx, {cell} AS cell_id FROM tiles WHERE idx < 3600),
+lagged AS (
+  SELECT cell_id, idx,
+         CASE WHEN idx - lag(idx) OVER (PARTITION BY cell_id ORDER BY idx) > 200
+              THEN 1 ELSE 0 END AS new_sess
+  FROM ev
+),
+sess AS (
+  SELECT cell_id, idx,
+         SUM(new_sess) OVER (PARTITION BY cell_id ORDER BY idx
+                             ROWS UNBOUNDED PRECEDING) AS sno
+  FROM lagged
+),
+agg AS (
+  SELECT cell_id, sno, MIN(idx) AS start_s, MAX(idx) AS end_s,
+         COUNT(*) AS n_images,
+         MAX(sno) OVER (PARTITION BY cell_id) AS max_sno
+  FROM sess GROUP BY cell_id, sno
+)
+SELECT cell_id, CAST(start_s AS BIGINT) AS start_s,
+       CAST(end_s AS BIGINT) AS end_s, CAST(n_images AS BIGINT) AS n_images
+FROM agg WHERE sno < max_sno OR end_s <= {3600 - 1 - 30 - 200 - 1}
+ORDER BY cell_id, start_s
+"""
