@@ -7607,3 +7607,113 @@ SELECT o_orderpriority,
                  THEN 1 ELSE 0 END AS INT) AS reversed
 FROM grp, pooled ORDER BY o_orderpriority
 """
+
+
+# --- Columnar encoding selection --------------------------------------------------------------
+
+ENC_COLUMNS = ("lang", "source")
+
+
+def encoding_selector(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Columnar encoding selection census (the per-column decision a
+    Parquet/ORC writer makes): for each candidate string column, the
+    exact byte estimates of PLAIN (Σ len + 4n offsets), DICTIONARY
+    (Σ distinct len + 4·distinct + n·ceil(log2 distinct)/8 indices,
+    ceil in bits), and RLE over the doc_id order (runs·(4 + avg len
+    via Σ run-head len)), and the argmin choice — the storage-planner
+    surface, all integer arithmetic.
+
+    Scale shape: per column one distinct agg, one lag window for runs,
+    one scalar rollup — three scans of a slim projection."""
+    outs = []
+    for col in ENC_COLUMNS:
+        d = _t(spark, sf_dir, "documents").select(
+            "doc_id", F.col(col).cast("string").alias("v")
+        )
+        base = d.agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.length("v")).alias("plain_chars"),
+            F.countDistinct("v").alias("n_distinct"),
+        )
+        dic = d.groupBy("v").agg(F.count(F.lit(1)).alias("c")).agg(
+            F.sum(F.length("v")).alias("dict_chars")
+        )
+        w = Window.orderBy("doc_id")
+        runs = (
+            d.withColumn("pv", F.lag("v").over(w))
+            .withColumn(
+                "is_head",
+                (F.col("pv").isNull() | (F.col("v") != F.col("pv"))).cast("long"),
+            )
+            .agg(
+                F.sum("is_head").alias("n_runs"),
+                F.sum(F.when(F.col("is_head") == 1, F.length("v")).otherwise(0))
+                .alias("run_head_chars"),
+            )
+        )
+        j = base.join(F.broadcast(dic)).join(F.broadcast(runs))
+        bits = F.ceil(F.log2(F.col("n_distinct")))
+        enc = j.select(
+            F.lit(col).alias("column"),
+            "n",
+            "n_distinct",
+            (F.col("plain_chars") + 4 * F.col("n")).alias("plain_bytes"),
+            (
+                F.col("dict_chars")
+                + 4 * F.col("n_distinct")
+                + F.expr("div(n * CAST(ceil(log2(n_distinct)) AS BIGINT) + 7, 8)")
+            ).alias("dict_bytes"),
+            (F.col("run_head_chars") + 8 * F.col("n_runs")).alias("rle_bytes"),
+        )
+        pick = enc.select(
+            "*",
+            F.when(
+                (F.col("dict_bytes") <= F.col("plain_bytes"))
+                & (F.col("dict_bytes") <= F.col("rle_bytes")),
+                "dict",
+            )
+            .when(F.col("rle_bytes") <= F.col("plain_bytes"), "rle")
+            .otherwise("plain")
+            .alias("choice"),
+        )
+        outs.append(pick)
+    res = outs[0]
+    for o in outs[1:]:
+        res = res.unionByName(o)
+    return res.repartition(1).sortWithinPartitions("column")
+
+
+def encoding_selector_sql() -> str:
+    arms = []
+    for col in ENC_COLUMNS:
+        arms.append(f"""
+SELECT '{col}' AS "column",
+       b.n, b.n_distinct,
+       b.plain_chars + 4 * b.n AS plain_bytes,
+       dc.dict_chars + 4 * b.n_distinct
+         + (b.n * CAST(ceil(log2(b.n_distinct)) AS BIGINT) + 7) // 8 AS dict_bytes,
+       r.run_head_chars + 8 * r.n_runs AS rle_bytes
+FROM
+ (SELECT COUNT(*) AS n, SUM(length({col})) AS plain_chars,
+         COUNT(DISTINCT {col}) AS n_distinct FROM documents) b,
+ (SELECT SUM(length(v)) AS dict_chars
+  FROM (SELECT DISTINCT {col} AS v FROM documents)) dc,
+ (SELECT SUM(is_head) AS n_runs,
+         SUM(CASE WHEN is_head = 1 THEN length(v) ELSE 0 END) AS run_head_chars
+  FROM (SELECT {col} AS v,
+               CASE WHEN lag({col}) OVER (ORDER BY doc_id) IS NULL
+                         OR {col} <> lag({col}) OVER (ORDER BY doc_id)
+                    THEN 1 ELSE 0 END AS is_head
+        FROM documents)) r""")
+    return f"""
+SELECT "column", CAST(n AS BIGINT) AS n,
+       CAST(n_distinct AS BIGINT) AS n_distinct,
+       CAST(plain_bytes AS BIGINT) AS plain_bytes,
+       CAST(dict_bytes AS BIGINT) AS dict_bytes,
+       CAST(rle_bytes AS BIGINT) AS rle_bytes,
+       CASE WHEN dict_bytes <= plain_bytes AND dict_bytes <= rle_bytes THEN 'dict'
+            WHEN rle_bytes <= plain_bytes THEN 'rle'
+            ELSE 'plain' END AS choice
+FROM ({" UNION ALL ".join(arms)})
+ORDER BY "column"
+"""

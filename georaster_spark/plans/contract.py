@@ -5314,6 +5314,7 @@ def spatial_queries() -> dict[str, QueryFn]:
         "radix_balance": q_radix_balance,
         "simpsons_check": rel.simpsons_check,
         "stream_sessions_custom": q_stream_sessions_custom,
+        "encoding_selector": rel.encoding_selector,
     })
 
 
@@ -5683,6 +5684,7 @@ def spatial_oracles(sf: str = "sf0.01") -> dict[str, str]:
         "radix_balance": _sql_radix_balance(),
         "simpsons_check": rel.simpsons_check_sql(),
         "stream_sessions_custom": _sql_stream_sessions_custom(fx),
+        "encoding_selector": rel.encoding_selector_sql(),
     })
 
 
