@@ -7717,3 +7717,82 @@ SELECT "column", CAST(n AS BIGINT) AS n,
 FROM ({" UNION ALL ".join(arms)})
 ORDER BY "column"
 """
+
+
+# --- Kaplan-Meier survival table --------------------------------------------------------------
+
+KM_CENSOR_S = 7 * 86400  # right-censor users active within 7 days of trace end
+
+
+def kaplan_meier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Kaplan-Meier survival table (the churn/retention estimator of
+    subscription analytics, kept on its exact integer surface): a
+    user's observed lifetime is last−first event time in whole days;
+    users still active within KM_CENSOR_S of the trace end are
+    right-censored.  For every observed day d the table reports
+    n_risk = users with lifetime >= d, n_died = uncensored lifetimes
+    ending at d, n_censored = censored at d — the S(t) product is a
+    pure function of these columns, so the estimator itself never
+    leaves integers.
+
+    Scale shape: one user rollup, one duration-keyed count, and the
+    at-risk column as a reversed running sum over the (tiny) duration
+    axis."""
+    ev = _t(spark, sf_dir, "events").select(
+        "user_id", F.unix_micros(F.col("ts").cast("timestamp")).alias("us")
+    )
+    span = ev.agg(F.max("us").alias("max_us"))
+    u = (
+        ev.groupBy("user_id")
+        .agg(F.min("us").alias("first_us"), F.max("us").alias("last_us"))
+        .join(F.broadcast(span))
+        .select(
+            "user_id",
+            F.expr("div(last_us - first_us, 86400000000)").alias("dur_d"),
+            (F.col("last_us") > F.col("max_us") - KM_CENSOR_S * 1_000_000)
+            .cast("int")
+            .alias("censored"),
+        )
+    )
+    per_d = u.groupBy("dur_d").agg(
+        F.sum(1 - F.col("censored")).alias("n_died"),
+        F.sum("censored").alias("n_censored"),
+        F.count(F.lit(1)).alias("n_at"),
+    )
+    w = Window.orderBy(F.col("dur_d").desc()).rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    return (
+        per_d.withColumn("n_risk", F.sum("n_at").over(w))
+        .select("dur_d", "n_risk", "n_died", "n_censored")
+        .repartition(1)
+        .sortWithinPartitions("dur_d")
+    )
+
+
+def kaplan_meier_sql() -> str:
+    return f"""
+WITH ev AS (
+  SELECT user_id, epoch_us(ts) AS us FROM events
+),
+span AS (SELECT MAX(us) AS max_us FROM ev),
+u AS (
+  SELECT user_id,
+         (MAX(us) - MIN(us)) // 86400000000 AS dur_d,
+         CASE WHEN MAX(us) > (SELECT max_us FROM span)
+                              - {KM_CENSOR_S}::BIGINT * 1000000
+              THEN 1 ELSE 0 END AS censored
+  FROM ev GROUP BY user_id
+),
+per_d AS (
+  SELECT dur_d, SUM(1 - censored) AS n_died, SUM(censored) AS n_censored,
+         COUNT(*) AS n_at
+  FROM u GROUP BY dur_d
+)
+SELECT CAST(dur_d AS BIGINT) AS dur_d,
+       CAST(SUM(n_at) OVER (ORDER BY dur_d DESC ROWS UNBOUNDED PRECEDING)
+            AS BIGINT) AS n_risk,
+       CAST(n_died AS BIGINT) AS n_died,
+       CAST(n_censored AS BIGINT) AS n_censored
+FROM per_d ORDER BY dur_d
+"""

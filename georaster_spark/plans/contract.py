@@ -5315,6 +5315,7 @@ def spatial_queries() -> dict[str, QueryFn]:
         "simpsons_check": rel.simpsons_check,
         "stream_sessions_custom": q_stream_sessions_custom,
         "encoding_selector": rel.encoding_selector,
+        "kaplan_meier": rel.kaplan_meier,
     })
 
 
@@ -5685,6 +5686,7 @@ def spatial_oracles(sf: str = "sf0.01") -> dict[str, str]:
         "simpsons_check": rel.simpsons_check_sql(),
         "stream_sessions_custom": _sql_stream_sessions_custom(fx),
         "encoding_selector": rel.encoding_selector_sql(),
+        "kaplan_meier": rel.kaplan_meier_sql(),
     })
 
 
