@@ -5316,6 +5316,7 @@ def spatial_queries() -> dict[str, QueryFn]:
         "stream_sessions_custom": q_stream_sessions_custom,
         "encoding_selector": rel.encoding_selector,
         "kaplan_meier": rel.kaplan_meier,
+        "dedup_eval": q_dedup_eval,
     })
 
 
@@ -5687,6 +5688,7 @@ def spatial_oracles(sf: str = "sf0.01") -> dict[str, str]:
         "stream_sessions_custom": _sql_stream_sessions_custom(fx),
         "encoding_selector": rel.encoding_selector_sql(),
         "kaplan_meier": rel.kaplan_meier_sql(),
+        "dedup_eval": _sql_dedup_eval(fx),
     })
 
 
@@ -14202,4 +14204,80 @@ SELECT cell_id, CAST(start_s AS BIGINT) AS start_s,
        CAST(end_s AS BIGINT) AS end_s, CAST(n_images AS BIGINT) AS n_images
 FROM agg WHERE sno < max_sno OR end_s <= {3600 - 1 - 30 - 200 - 1}
 ORDER BY cell_id, start_s
+"""
+
+
+def q_dedup_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dedup detector evaluation against PLANTED ground truth (the
+    precision/recall scorecard an entity-resolution rollout publishes):
+    the fixture plants a hamming-3 near-duplicate pair (idx−1, idx) at
+    every idx ≡ 99 (mod 100) (sources/fixtures._phash), so truth is
+    closed-form; detections are op E11's banded-LSH hamming<=4 join.
+    Emits exact TP / FP / FN and ppm precision/recall — the detector
+    is evaluated, not assumed."""
+    from ..operators.phash import phash_near_dup
+
+    det = phash_near_dup(_images(spark, sf_dir), t=4).select(
+        F.regexp_extract("a_id", r"(\d+)$", 1).cast("long").alias("ia"),
+        F.regexp_extract("b_id", r"(\d+)$", 1).cast("long").alias("ib"),
+    )
+    n = _images(spark, sf_dir).count()
+    truth = (
+        spark.range(n)
+        .where((F.col("id") % 100 == 99) & (F.col("id") > 0))
+        .select((F.col("id") - 1).alias("ia"), F.col("id").alias("ib"))
+    )
+    tp = det.join(truth, ["ia", "ib"], "left_semi").count()
+    fp = det.join(truth, ["ia", "ib"], "left_anti").count()
+    fn = truth.join(det, ["ia", "ib"], "left_anti").count()
+    prec = 1_000_000 * tp // (tp + fp) if tp + fp else 0
+    rec = 1_000_000 * tp // (tp + fn) if tp + fn else 0
+    return spark.createDataFrame(
+        [(tp, fp, fn, prec, rec)],
+        "tp long, fp long, fn long, precision_ppm long, recall_ppm long",
+    )
+
+
+def _sql_dedup_eval(fx: Path) -> str:
+    from ..operators.phash import BANDS
+
+    bands_union = "\nUNION ALL\n".join(
+        f"SELECT image_id, phash, {i} AS band_id,"
+        f" (phash >> {sh}) & {(1 << wd) - 1} AS band_val FROM h"
+        for i, (sh, wd) in enumerate(BANDS)
+    )
+    return f"""
+WITH h AS (SELECT image_id, phash FROM read_parquet('{fx / 'images.parquet'}')),
+bands AS ({bands_union}),
+det AS (
+  SELECT DISTINCT CAST(substr(a.image_id, 4, 10) AS BIGINT) AS ia,
+                  CAST(substr(b.image_id, 4, 10) AS BIGINT) AS ib
+  FROM bands a JOIN bands b
+    ON a.band_id = b.band_id AND a.band_val = b.band_val
+   AND a.image_id < b.image_id
+  WHERE bit_count(xor(a.phash, b.phash)) <= 4
+),
+truth AS (
+  SELECT CAST(substr(image_id, 4, 10) AS BIGINT) - 1 AS ia,
+         CAST(substr(image_id, 4, 10) AS BIGINT) AS ib
+  FROM h
+  WHERE CAST(substr(image_id, 4, 10) AS BIGINT) % 100 = 99
+    AND CAST(substr(image_id, 4, 10) AS BIGINT) > 0
+),
+m AS (
+  SELECT
+    (SELECT COUNT(*) FROM det WHERE EXISTS
+       (SELECT 1 FROM truth t WHERE t.ia = det.ia AND t.ib = det.ib)) AS tp,
+    (SELECT COUNT(*) FROM det WHERE NOT EXISTS
+       (SELECT 1 FROM truth t WHERE t.ia = det.ia AND t.ib = det.ib)) AS fp,
+    (SELECT COUNT(*) FROM truth WHERE NOT EXISTS
+       (SELECT 1 FROM det d WHERE d.ia = truth.ia AND d.ib = truth.ib)) AS fn
+)
+SELECT CAST(tp AS BIGINT) AS tp, CAST(fp AS BIGINT) AS fp,
+       CAST(fn AS BIGINT) AS fn,
+       CAST(CASE WHEN tp + fp > 0 THEN 1000000 * tp // (tp + fp) ELSE 0 END
+            AS BIGINT) AS precision_ppm,
+       CAST(CASE WHEN tp + fn > 0 THEN 1000000 * tp // (tp + fn) ELSE 0 END
+            AS BIGINT) AS recall_ppm
+FROM m
 """
