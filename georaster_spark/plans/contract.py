@@ -5317,6 +5317,7 @@ def spatial_queries() -> dict[str, QueryFn]:
         "encoding_selector": rel.encoding_selector,
         "kaplan_meier": rel.kaplan_meier,
         "dedup_eval": q_dedup_eval,
+        "modularity": q_modularity,
     })
 
 
@@ -5689,6 +5690,7 @@ def spatial_oracles(sf: str = "sf0.01") -> dict[str, str]:
         "encoding_selector": rel.encoding_selector_sql(),
         "kaplan_meier": rel.kaplan_meier_sql(),
         "dedup_eval": _sql_dedup_eval(fx),
+        "modularity": _sql_modularity(),
     })
 
 
@@ -14280,4 +14282,88 @@ SELECT CAST(tp AS BIGINT) AS tp, CAST(fp AS BIGINT) AS fp,
        CAST(CASE WHEN tp + fn > 0 THEN 1000000 * tp // (tp + fn) ELSE 0 END
             AS BIGINT) AS recall_ppm
 FROM m
+"""
+
+
+def q_modularity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Newman modularity of a GIVEN partition (the community-quality
+    score every clustering rollout reports), held integer-exact on the
+    4m²-scaled surface: for communities c with intra-edge counts e_c
+    and degree sums d_c, Q·4m² = Σ_c (4m·e_c − d_c²).  The partition
+    is p_brand over the co-purchase graph (the natural taxonomy);
+    emits per community its e_c, d_c and scaled contribution plus the
+    global scaled Q as the brand-keyed rollup — no float ever enters.
+
+    Scale shape: one edge scan joined twice to the broadcast part dim,
+    one groupBy(brand) — the standard partition-quality shape."""
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet").select(
+        "l_orderkey", "l_partkey"
+    )
+    a = li.select(F.col("l_orderkey").alias("k"), F.col("l_partkey").alias("u"))
+    b = li.select(F.col("l_orderkey").alias("k"), F.col("l_partkey").alias("v"))
+    und = a.join(b, "k").where(F.col("u") < F.col("v")).select("u", "v").distinct()
+    p = spark.read.parquet(f"{sf_dir}/part.parquet").select(
+        "p_partkey", "p_brand"
+    )
+    e = (
+        und.join(F.broadcast(p.select(F.col("p_partkey").alias("u"),
+                                      F.col("p_brand").alias("bu"))), "u")
+        .join(F.broadcast(p.select(F.col("p_partkey").alias("v"),
+                                   F.col("p_brand").alias("bv"))), "v")
+    ).localCheckpoint(eager=True)
+    m = e.count()
+    intra = (
+        e.where(F.col("bu") == F.col("bv"))
+        .groupBy(F.col("bu").alias("brand"))
+        .agg(F.count(F.lit(1)).alias("e_c"))
+    )
+    deg = (
+        e.select(F.col("bu").alias("brand"))
+        .union(e.select(F.col("bv").alias("brand")))
+        .groupBy("brand")
+        .agg(F.count(F.lit(1)).alias("d_c"))
+    )
+    per = (
+        deg.join(intra, "brand", "left")
+        .select(
+            "brand",
+            F.coalesce("e_c", F.lit(0)).alias("e_c"),
+            "d_c",
+            (
+                4 * m * F.coalesce("e_c", F.lit(0))
+                - F.col("d_c") * F.col("d_c")
+            ).alias("q_scaled"),
+        )
+    )
+    return per.repartition(1).sortWithinPartitions("brand")
+
+
+def _sql_modularity() -> str:
+    return """
+WITH e0 AS MATERIALIZED (
+  SELECT DISTINCT a.l_partkey AS u, b.l_partkey AS v
+  FROM lineitem a JOIN lineitem b
+    ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+),
+lab AS (
+  SELECT e0.u, e0.v, pu.p_brand AS bu, pv.p_brand AS bv
+  FROM e0 JOIN part pu ON pu.p_partkey = e0.u
+          JOIN part pv ON pv.p_partkey = e0.v
+),
+m AS (SELECT COUNT(*) AS m FROM lab),
+intra AS (
+  SELECT bu AS brand, COUNT(*) AS e_c FROM lab WHERE bu = bv GROUP BY bu
+),
+deg AS (
+  SELECT brand, COUNT(*) AS d_c FROM (
+    SELECT bu AS brand FROM lab UNION ALL SELECT bv FROM lab
+  ) GROUP BY brand
+)
+SELECT deg.brand AS brand,
+       CAST(COALESCE(intra.e_c, 0) AS BIGINT) AS e_c,
+       CAST(deg.d_c AS BIGINT) AS d_c,
+       CAST(4 * (SELECT m FROM m) * COALESCE(intra.e_c, 0)
+            - deg.d_c * deg.d_c AS BIGINT) AS q_scaled
+FROM deg LEFT JOIN intra ON intra.brand = deg.brand
+ORDER BY deg.brand
 """
