@@ -5318,6 +5318,7 @@ def spatial_queries() -> dict[str, QueryFn]:
         "kaplan_meier": rel.kaplan_meier,
         "dedup_eval": q_dedup_eval,
         "modularity": q_modularity,
+        "rnn_census": q_rnn_census,
     })
 
 
@@ -5691,6 +5692,7 @@ def spatial_oracles(sf: str = "sf0.01") -> dict[str, str]:
         "kaplan_meier": rel.kaplan_meier_sql(),
         "dedup_eval": _sql_dedup_eval(fx),
         "modularity": _sql_modularity(),
+        "rnn_census": _sql_rnn_census(fx),
     })
 
 
@@ -14366,4 +14368,73 @@ SELECT deg.brand AS brand,
             - deg.d_c * deg.d_c AS BIGINT) AS q_scaled
 FROM deg LEFT JOIN intra ON intra.brand = deg.brand
 ORDER BY deg.brand
+"""
+
+
+def q_rnn_census(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Reverse-nearest-neighbor influence census (the RNN query of
+    facility influence analysis — who considers ME their closest?):
+    each zone's 1-NN by L1 centroid distance (ties to the smaller id),
+    grouped by the TARGET — zones with empty influence sets appear
+    with zero (the interesting rows).  Emits per zone its in-influence
+    count and the sum of influencing distances."""
+    z = _zones(spark, sf_dir).select(
+        "zone_id",
+        F.floor((F.col("xmin") + F.col("xmax")) / 2 + 0.5).cast("long").alias("cx"),
+        F.floor((F.col("ymin") + F.col("ymax")) / 2 + 0.5).cast("long").alias("cy"),
+    )
+    a = z.select(F.col("zone_id").alias("za"), F.col("cx").alias("ax"),
+                 F.col("cy").alias("ay"))
+    b = z.select(F.col("zone_id").alias("zb"), F.col("cx").alias("bx"),
+                 F.col("cy").alias("by"))
+    d = F.abs(F.col("ax") - F.col("bx")) + F.abs(F.col("ay") - F.col("by"))
+    pairs = a.join(b, F.col("za") != F.col("zb")).select("za", "zb", d.alias("d"))
+    nn = (
+        pairs.groupBy("za")
+        .agg(F.min(F.struct("d", "zb")).alias("m"))
+        .select("za", F.col("m.zb").alias("nn"), F.col("m.d").alias("d"))
+    )
+    infl = nn.groupBy(F.col("nn").alias("zone_id")).agg(
+        F.count(F.lit(1)).alias("n_influenced"),
+        F.sum("d").alias("influence_dist_sum"),
+    )
+    return (
+        z.select("zone_id")
+        .join(infl, "zone_id", "left")
+        .select(
+            "zone_id",
+            F.coalesce("n_influenced", F.lit(0)).alias("n_influenced"),
+            F.coalesce("influence_dist_sum", F.lit(0)).alias("influence_dist_sum"),
+        )
+        .repartition(1)
+        .sortWithinPartitions("zone_id")
+    )
+
+
+def _sql_rnn_census(fx: Path) -> str:
+    zs = str(fx / "zones.parquet")
+    return f"""
+WITH z AS (
+  SELECT zone_id,
+         CAST(floor((xmin + xmax) / 2 + 0.5) AS BIGINT) AS cx,
+         CAST(floor((ymin + ymax) / 2 + 0.5) AS BIGINT) AS cy
+  FROM read_parquet('{zs}')
+),
+pairs AS (
+  SELECT a.zone_id AS za, b.zone_id AS zb,
+         abs(a.cx - b.cx) + abs(a.cy - b.cy) AS d
+  FROM z a JOIN z b ON b.zone_id <> a.zone_id
+),
+nn AS (
+  SELECT za, MIN(struct_pack(d := d, zb := zb)) AS m FROM pairs GROUP BY za
+),
+infl AS (
+  SELECT m.zb AS zone_id, COUNT(*) AS n_influenced, SUM(m.d) AS s
+  FROM nn GROUP BY m.zb
+)
+SELECT z.zone_id,
+       CAST(COALESCE(infl.n_influenced, 0) AS BIGINT) AS n_influenced,
+       CAST(COALESCE(infl.s, 0) AS BIGINT) AS influence_dist_sum
+FROM z LEFT JOIN infl ON infl.zone_id = z.zone_id
+ORDER BY z.zone_id
 """
