@@ -7796,3 +7796,95 @@ SELECT CAST(dur_d AS BIGINT) AS dur_d,
        CAST(n_censored AS BIGINT) AS n_censored
 FROM per_d ORDER BY dur_d
 """
+
+
+# --- Iterative proportional fitting (raking) --------------------------------------------------
+
+IPF_ROUNDS = 3
+IPF_SCALE = 1_000_000
+
+
+def ipf_raking(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Survey raking / iterative proportional fitting (Deming-Stephan
+    1940 — the weight calibration behind every post-stratified
+    sample), run 3 unrolled rounds in ppm integers so both engines
+    floor identically: the (order priority × order-year-bucket) count
+    table is raked toward UNIFORM row and column margins; each round
+    scales rows by div(target_row·10⁶, row_sum) then columns
+    likewise, weights in ppm.  Emits the final per-cell ppm weight and
+    the raked cell mass after the 3 rounds.
+
+    Scale shape: the cell table aggregates once from the fact scan;
+    the raking rounds are O(cells) broadcast arithmetic."""
+    o = _t(spark, sf_dir, "orders").select(
+        F.col("o_orderpriority").alias("r"),
+        (F.year(F.col("o_orderdate").cast("timestamp")) % 2).alias("c"),
+    )
+    cells = o.groupBy("r", "c").agg(F.count(F.lit(1)).alias("n"))
+    cells = cells.withColumn("wppm", F.lit(IPF_SCALE).cast("long"))
+    tot = cells.agg(F.sum("n").alias("t")).first()["t"]
+    n_r = cells.select("r").distinct().count()
+    n_c = cells.select("c").distinct().count()
+    tr = tot // n_r  # uniform row target
+    tc = tot // n_c
+    for _ in range(IPF_ROUNDS):
+        rows = cells.groupBy("r").agg(
+            F.sum(F.expr(f"div(n * wppm, {IPF_SCALE})")).alias("rs")
+        )
+        cells = (
+            cells.join(rows, "r")
+            .withColumn("wppm", F.expr(f"div(wppm * {tr}, rs)"))
+            .drop("rs")
+        )
+        colsums = cells.groupBy("c").agg(
+            F.sum(F.expr(f"div(n * wppm, {IPF_SCALE})")).alias("cs")
+        )
+        cells = (
+            cells.join(colsums, "c")
+            .withColumn("wppm", F.expr(f"div(wppm * {tc}, cs)"))
+            .drop("cs")
+        )
+    out = cells.select(
+        "r", "c", "n", "wppm",
+        F.expr(f"div(n * wppm, {IPF_SCALE})").alias("raked_mass"),
+    )
+    return out.repartition(1).sortWithinPartitions("r", "c")
+
+
+def ipf_raking_sql() -> str:
+    # mirrors the unrolled rounds; targets recomputed identically
+    rounds = []
+    prev = "w0"
+    for k in range(1, IPF_ROUNDS + 1):
+        rounds.append(f"""
+r{k} AS MATERIALIZED (
+  SELECT w.r, w.c, w.n,
+         (w.wppm * (SELECT tr FROM t)) // rs.rs AS wppm
+  FROM {prev} w JOIN (
+    SELECT r, SUM((n * wppm) // {IPF_SCALE}) AS rs FROM {prev} GROUP BY r
+  ) rs ON rs.r = w.r
+),
+w{k} AS MATERIALIZED (
+  SELECT w.r, w.c, w.n,
+         (w.wppm * (SELECT tc FROM t)) // cs.cs AS wppm
+  FROM r{k} w JOIN (
+    SELECT c, SUM((n * wppm) // {IPF_SCALE}) AS cs FROM r{k} GROUP BY c
+  ) cs ON cs.c = w.c
+)""")
+        prev = f"w{k}"
+    return f"""
+WITH cells AS (
+  SELECT o_orderpriority AS r, year(o_orderdate) % 2 AS c, COUNT(*) AS n
+  FROM orders GROUP BY r, c
+),
+t AS (
+  SELECT SUM(n) // COUNT(DISTINCT r) AS tr,
+         SUM(n) // COUNT(DISTINCT c) AS tc
+  FROM cells
+),
+w0 AS (SELECT r, c, n, {IPF_SCALE}::BIGINT AS wppm FROM cells),{",".join(rounds)}
+SELECT r, CAST(c AS BIGINT) AS c, CAST(n AS BIGINT) AS n,
+       CAST(wppm AS BIGINT) AS wppm,
+       CAST((n * wppm) // {IPF_SCALE} AS BIGINT) AS raked_mass
+FROM w{IPF_ROUNDS} ORDER BY r, c
+"""

@@ -5319,6 +5319,7 @@ def spatial_queries() -> dict[str, QueryFn]:
         "dedup_eval": q_dedup_eval,
         "modularity": q_modularity,
         "rnn_census": q_rnn_census,
+        "ipf_raking": rel.ipf_raking,
     })
 
 
@@ -5693,6 +5694,7 @@ def spatial_oracles(sf: str = "sf0.01") -> dict[str, str]:
         "dedup_eval": _sql_dedup_eval(fx),
         "modularity": _sql_modularity(),
         "rnn_census": _sql_rnn_census(fx),
+        "ipf_raking": rel.ipf_raking_sql(),
     })
 
 
