@@ -5320,6 +5320,7 @@ def spatial_queries() -> dict[str, QueryFn]:
         "modularity": q_modularity,
         "rnn_census": q_rnn_census,
         "ipf_raking": rel.ipf_raking,
+        "motif_census": q_motif_census,
     })
 
 
@@ -5695,6 +5696,7 @@ def spatial_oracles(sf: str = "sf0.01") -> dict[str, str]:
         "modularity": _sql_modularity(),
         "rnn_census": _sql_rnn_census(fx),
         "ipf_raking": rel.ipf_raking_sql(),
+        "motif_census": _sql_motif_census(),
     })
 
 
@@ -14439,4 +14441,94 @@ SELECT z.zone_id,
        CAST(COALESCE(infl.s, 0) AS BIGINT) AS influence_dist_sum
 FROM z LEFT JOIN infl ON infl.zone_id = z.zone_id
 ORDER BY z.zone_id
+"""
+
+
+def q_motif_census(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Small-motif census via closed-form moment counting (the
+    graphlet sufficient statistics of network fingerprinting, never
+    enumerating 4-node subsets): on the 4x-subsampled co-purchase
+    graph — triangles by the oriented join; claws (K1,3) = Σ C(d,3);
+    3-edge paths P4 = Σ_{edges}(d_u−1)(d_v−1) − 3·triangles; 4-cycles
+    = (Σ_{u<v} C(codeg,2) − ... ) / 2 with codeg from the wedge table
+    restricted to non-adjacent AND adjacent pairs alike (each C4 is
+    counted by its two diagonal pairs).  All int64 binomial
+    arithmetic."""
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet").select(
+        "l_orderkey", "l_partkey"
+    ).where(F.col("l_partkey") % 4 == 0)
+    a = li.select(F.col("l_orderkey").alias("k"), F.col("l_partkey").alias("u"))
+    b = li.select(F.col("l_orderkey").alias("k"), F.col("l_partkey").alias("v"))
+    und = (
+        a.join(b, "k").where(F.col("u") < F.col("v")).select("u", "v").distinct()
+        .localCheckpoint(eager=True)
+    )
+    sym = und.union(und.select(F.col("v").alias("u"), F.col("u").alias("v")))
+    deg = sym.groupBy("u").agg(F.count(F.lit(1)).alias("d")).localCheckpoint(
+        eager=True
+    )
+    claws = deg.agg(
+        F.sum(
+            F.expr("div(d * (d - 1) * (d - 2), 6)")
+        ).alias("claws")
+    ).first()["claws"]
+    e1 = und.select(F.col("u").alias("a"), F.col("v").alias("b"))
+    e2 = und.select(F.col("u").alias("b"), F.col("v").alias("c"))
+    e3 = und.select(F.col("u").alias("a"), F.col("v").alias("c"))
+    tris = e1.join(e2, "b").join(e3, ["a", "c"]).count()
+    epath = (
+        und.join(deg.select(F.col("u"), F.col("d").alias("du")), "u")
+        .join(deg.select(F.col("u").alias("v"), F.col("d").alias("dv")), "v")
+        .agg(F.sum((F.col("du") - 1) * (F.col("dv") - 1)).alias("s"))
+        .first()["s"]
+    )
+    p4 = int(epath) - 3 * tris
+    codeg = (
+        sym.alias("x")
+        .join(sym.alias("y"), F.col("x.v") == F.col("y.u"))
+        .where(F.col("x.u") < F.col("y.v"))
+        .groupBy(F.col("x.u").alias("p"), F.col("y.v").alias("q"))
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    c4x2 = codeg.agg(
+        F.sum(F.expr("div(c * (c - 1), 2)")).alias("s")
+    ).first()["s"]
+    c4 = int(c4x2) // 2
+    return spark.createDataFrame(
+        [(tris, int(claws), p4, c4)],
+        "triangles long, claws long, p4_paths long, c4_cycles long",
+    )
+
+
+def _sql_motif_census() -> str:
+    return """
+WITH e0 AS MATERIALIZED (
+  SELECT DISTINCT a.l_partkey AS u, b.l_partkey AS v
+  FROM lineitem a JOIN lineitem b
+    ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+  WHERE a.l_partkey % 4 = 0 AND b.l_partkey % 4 = 0
+),
+sym AS MATERIALIZED (SELECT u, v FROM e0 UNION ALL SELECT v, u FROM e0),
+deg AS MATERIALIZED (SELECT u, COUNT(*) AS d FROM sym GROUP BY u),
+tri AS (
+  SELECT COUNT(*) AS t FROM e0 e1
+  JOIN e0 e2 ON e2.u = e1.v
+  JOIN e0 e3 ON e3.u = e1.u AND e3.v = e2.v
+),
+claws AS (SELECT SUM(d * (d - 1) * (d - 2) // 6) AS c FROM deg),
+ep AS (
+  SELECT SUM((du.d - 1) * (dv.d - 1)) AS s
+  FROM e0 JOIN deg du ON du.u = e0.u JOIN deg dv ON dv.u = e0.v
+),
+codeg AS MATERIALIZED (
+  SELECT x.u AS p, y.v AS q, COUNT(*) AS c
+  FROM sym x JOIN sym y ON y.u = x.v
+  WHERE x.u < y.v
+  GROUP BY x.u, y.v
+),
+c4 AS (SELECT SUM(c * (c - 1) // 2) AS s FROM codeg)
+SELECT CAST((SELECT t FROM tri) AS BIGINT) AS triangles,
+       CAST((SELECT c FROM claws) AS BIGINT) AS claws,
+       CAST((SELECT s FROM ep) - 3 * (SELECT t FROM tri) AS BIGINT) AS p4_paths,
+       CAST((SELECT s FROM c4) // 2 AS BIGINT) AS c4_cycles
 """
