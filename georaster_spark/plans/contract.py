@@ -5321,6 +5321,7 @@ def spatial_queries() -> dict[str, QueryFn]:
         "rnn_census": q_rnn_census,
         "ipf_raking": rel.ipf_raking,
         "motif_census": q_motif_census,
+        "single_linkage": q_single_linkage,
     })
 
 
@@ -5697,6 +5698,7 @@ def spatial_oracles(sf: str = "sf0.01") -> dict[str, str]:
         "rnn_census": _sql_rnn_census(fx),
         "ipf_raking": rel.ipf_raking_sql(),
         "motif_census": _sql_motif_census(),
+        "single_linkage": _sql_single_linkage(fx),
     })
 
 
@@ -14531,4 +14533,110 @@ SELECT CAST((SELECT t FROM tri) AS BIGINT) AS triangles,
        CAST((SELECT c FROM claws) AS BIGINT) AS claws,
        CAST((SELECT s FROM ep) - 3 * (SELECT t FROM tri) AS BIGINT) AS p4_paths,
        CAST((SELECT s FROM c4) // 2 AS BIGINT) AS c4_cycles
+"""
+
+
+_SLINK_CUTS = (10_000, 25_000, 40_000)
+
+
+def q_single_linkage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Single-linkage clustering via the minimum spanning forest (the
+    classic SLINK≡MST equivalence: cutting every MSF edge with weight
+    >= T yields exactly the single-link clusters at threshold T): the
+    Borůvka forest of the zone proximity graph is cut at three
+    thresholds, and each level reports cluster count, largest cluster,
+    and the min-id-labeled cluster checksum — the dendrogram's level
+    sets, distinct-weight deterministic.  Oracle replays each cut with
+    the recursive closure over the SAME cycle-property MSF edges."""
+    from ..operators.graph import boruvka_msf, connected_components_star
+
+    z = _zones(spark, sf_dir).select(
+        "zone_id",
+        F.floor((F.col("xmin") + F.col("xmax")) / 2 + 0.5).cast("long").alias("cx"),
+        F.floor((F.col("ymin") + F.col("ymax")) / 2 + 0.5).cast("long").alias("cy"),
+    )
+    a = z.select(F.col("zone_id").alias("u"), F.col("cx").alias("acx"),
+                 F.col("cy").alias("acy"))
+    b = z.select(F.col("zone_id").alias("v"), F.col("cx").alias("bcx"),
+                 F.col("cy").alias("bcy"))
+    d = F.abs(F.col("acx") - F.col("bcx")) + F.abs(F.col("acy") - F.col("bcy"))
+    edges = (
+        a.join(b, F.col("v") > F.col("u"))
+        .where(d <= MST_CUTOFF)
+        .select("u", "v", (d * 1_000_000 + F.col("u") * 1_000 + F.col("v")).alias("w"))
+    )
+    msf = boruvka_msf(edges).localCheckpoint(eager=True)
+    verts = z.select(F.col("zone_id").alias("vid"))
+    outs = []
+    for t in _SLINK_CUTS:
+        cut = msf.where(F.expr(f"div(weight, 1000000)") < t).select(
+            F.col("za").alias("u"), F.col("zb").alias("v")
+        )
+        comp = connected_components_star(cut, verts, vertex_col="vid",
+                                         src_col="u", dst_col="v")
+        cl = comp.groupBy("component").agg(F.count(F.lit(1)).alias("sz"))
+        outs.append(
+            cl.agg(
+                F.lit(t).cast("long").alias("cut"),
+                F.count(F.lit(1)).alias("n_clusters"),
+                F.max("sz").alias("max_cluster"),
+                F.sum(F.col("component") * F.col("sz")).alias("cluster_checksum"),
+            )
+        )
+    res = outs[0]
+    for o in outs[1:]:
+        res = res.unionByName(o)
+    return res.repartition(1).sortWithinPartitions("cut")
+
+
+def _sql_single_linkage(fx: Path) -> str:
+    zs = str(fx / "zones.parquet")
+    arms = []
+    for t in _SLINK_CUTS:
+        arms.append(f"""
+cut{t} AS (SELECT za AS u, zb AS v FROM msf WHERE weight // 1000000 < {t}),
+sym{t} AS (SELECT u, v FROM cut{t} UNION SELECT v, u FROM cut{t}),
+reach{t}(node, r) AS (
+  SELECT zone_id, zone_id FROM z
+  UNION
+  SELECT e.v, reach{t}.r FROM reach{t} JOIN sym{t} e ON e.u = reach{t}.node
+),
+lab{t} AS (SELECT node, MIN(r) AS comp FROM reach{t} GROUP BY node),
+cl{t} AS (SELECT comp, COUNT(*) AS sz FROM lab{t} GROUP BY comp),
+agg{t} AS (
+  SELECT {t} AS cut, COUNT(*) AS n_clusters, MAX(sz) AS max_cluster,
+         SUM(comp * sz) AS cluster_checksum
+  FROM cl{t}
+)""")
+    union = " UNION ALL ".join(f"SELECT * FROM agg{t}" for t in _SLINK_CUTS)
+    return f"""
+WITH RECURSIVE z AS (
+  SELECT zone_id,
+         CAST(floor((xmin + xmax) / 2 + 0.5) AS BIGINT) AS cx,
+         CAST(floor((ymin + ymax) / 2 + 0.5) AS BIGINT) AS cy
+  FROM read_parquet('{zs}')
+),
+e AS (
+  SELECT a.zone_id AS za, b.zone_id AS zb,
+         (abs(a.cx - b.cx) + abs(a.cy - b.cy)) * 1000000
+           + a.zone_id * 1000 + b.zone_id AS w
+  FROM z a JOIN z b ON b.zone_id > a.zone_id
+  WHERE abs(a.cx - b.cx) + abs(a.cy - b.cy) <= {MST_CUTOFF}
+),
+syme AS (SELECT za AS s, zb AS t, w FROM e UNION ALL SELECT zb, za, w FROM e),
+mreach(eid, node, wcap) AS (
+  SELECT w, za, w FROM e
+  UNION
+  SELECT r.eid, s.t, r.wcap FROM mreach r
+  JOIN syme s ON s.s = r.node AND s.w < r.wcap
+),
+msf AS (
+  SELECT e.za, e.zb, e.w AS weight FROM e
+  WHERE NOT EXISTS (SELECT 1 FROM mreach r WHERE r.eid = e.w AND r.node = e.zb)
+),{",".join(a.lstrip() for a in arms)},
+u AS ({union})
+SELECT CAST(cut AS BIGINT) AS cut, CAST(n_clusters AS BIGINT) AS n_clusters,
+       CAST(max_cluster AS BIGINT) AS max_cluster,
+       CAST(cluster_checksum AS BIGINT) AS cluster_checksum
+FROM u ORDER BY cut
 """
