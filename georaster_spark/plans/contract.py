@@ -5322,6 +5322,7 @@ def spatial_queries() -> dict[str, QueryFn]:
         "ipf_raking": rel.ipf_raking,
         "motif_census": q_motif_census,
         "single_linkage": q_single_linkage,
+        "farthest_first": q_farthest_first,
     })
 
 
@@ -5699,6 +5700,7 @@ def spatial_oracles(sf: str = "sf0.01") -> dict[str, str]:
         "ipf_raking": rel.ipf_raking_sql(),
         "motif_census": _sql_motif_census(),
         "single_linkage": _sql_single_linkage(fx),
+        "farthest_first": _sql_farthest_first(fx),
     })
 
 
@@ -14639,4 +14641,103 @@ SELECT CAST(cut AS BIGINT) AS cut, CAST(n_clusters AS BIGINT) AS n_clusters,
        CAST(max_cluster AS BIGINT) AS max_cluster,
        CAST(cluster_checksum AS BIGINT) AS cluster_checksum
 FROM u ORDER BY cut
+"""
+
+
+_FFT_ROUNDS = 4
+
+
+def q_farthest_first(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Farthest-first traversal (Gonzalez 1985 — the 2-approximation
+    k-center seeding and the k-means++ deterministic cousin): starting
+    from zone 0, each round picks the zone with the LARGEST L1
+    distance to its nearest already-chosen center (ties to the smaller
+    id).  Emits per round the chosen zone and its covering radius —
+    the k-center radius trajectory.
+
+    Scale shape: one broadcast of the (tiny, growing) center set per
+    round against the point set — the canonical coreset-construction
+    shape at any scale."""
+    z = _zones(spark, sf_dir).select(
+        "zone_id",
+        F.floor((F.col("xmin") + F.col("xmax")) / 2 + 0.5).cast("long").alias("cx"),
+        F.floor((F.col("ymin") + F.col("ymax")) / 2 + 0.5).cast("long").alias("cy"),
+    ).localCheckpoint(eager=True)
+    centers = [(0,)]
+    rows = []
+    mind = None
+    for r in range(1, _FFT_ROUNDS + 1):
+        last = centers[-1][0]
+        lc = z.where(F.col("zone_id") == last).select(
+            F.col("cx").alias("lx"), F.col("cy").alias("ly")
+        )
+        dlast = z.join(F.broadcast(lc)).select(
+            "zone_id",
+            (F.abs(F.col("cx") - F.col("lx")) + F.abs(F.col("cy") - F.col("ly")))
+            .alias("dl"),
+        )
+        if mind is None:
+            mind = dlast.withColumnRenamed("dl", "md")
+        else:
+            mind = (
+                mind.join(dlast, "zone_id")
+                .select("zone_id", F.least("md", "dl").alias("md"))
+            )
+        mind = mind.localCheckpoint(eager=True)
+        top = (
+            mind.where(~F.col("zone_id").isin([c[0] for c in centers]))
+            .agg(F.max(F.struct("md", (-F.col("zone_id")).alias("nz"))).alias("m"))
+            .first()
+        )
+        nxt, rad = int(-top["m"]["nz"]), int(top["m"]["md"])
+        rows.append((r, nxt, rad))
+        centers.append((nxt,))
+    return (
+        spark.createDataFrame(rows, "round int, chosen long, radius long")
+        .repartition(1)
+        .sortWithinPartitions("round")
+    )
+
+
+def _sql_farthest_first(fx: Path) -> str:
+    zs = str(fx / "zones.parquet")
+    ctes = []
+    chosen = ["0"]
+    for r in range(1, _FFT_ROUNDS + 1):
+        prev_md = (
+            f"""md{r} AS MATERIALIZED (
+  SELECT z.zone_id,
+         LEAST(md{r - 1}.md,
+               abs(z.cx - (SELECT cx FROM z WHERE zone_id = ch{r - 1}.c))
+               + abs(z.cy - (SELECT cy FROM z WHERE zone_id = ch{r - 1}.c))) AS md
+  FROM z JOIN md{r - 1} ON md{r - 1}.zone_id = z.zone_id, ch{r - 1}
+)""" if r > 1 else """md1 AS MATERIALIZED (
+  SELECT z.zone_id,
+         abs(z.cx - (SELECT cx FROM z WHERE zone_id = 0))
+         + abs(z.cy - (SELECT cy FROM z WHERE zone_id = 0)) AS md
+  FROM z
+)"""
+        )
+        not_in = " AND ".join(f"zone_id <> ({c})" for c in chosen)
+        ctes.append(f"""{prev_md},
+pick{r} AS (
+  SELECT MAX(struct_pack(md := md, nz := -zone_id)) AS m
+  FROM md{r} WHERE {not_in}
+),
+ch{r} AS (SELECT -(m.nz) AS c, m.md AS rad FROM pick{r})""")
+        chosen.append(f"SELECT c FROM ch{r}")
+    union = " UNION ALL ".join(
+        f"SELECT {r} AS round, (SELECT c FROM ch{r}) AS chosen,"
+        f" (SELECT rad FROM ch{r}) AS radius" for r in range(1, _FFT_ROUNDS + 1)
+    )
+    return f"""
+WITH z AS (
+  SELECT zone_id,
+         CAST(floor((xmin + xmax) / 2 + 0.5) AS BIGINT) AS cx,
+         CAST(floor((ymin + ymax) / 2 + 0.5) AS BIGINT) AS cy
+  FROM read_parquet('{zs}')
+),{",".join(ctes)}
+SELECT CAST(round AS INT) AS round, CAST(chosen AS BIGINT) AS chosen,
+       CAST(radius AS BIGINT) AS radius
+FROM ({union}) ORDER BY round
 """
