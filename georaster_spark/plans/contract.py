@@ -5323,6 +5323,7 @@ def spatial_queries() -> dict[str, QueryFn]:
         "motif_census": q_motif_census,
         "single_linkage": q_single_linkage,
         "farthest_first": q_farthest_first,
+        "selectivity_audit": q_selectivity_audit,
     })
 
 
@@ -5701,6 +5702,7 @@ def spatial_oracles(sf: str = "sf0.01") -> dict[str, str]:
         "motif_census": _sql_motif_census(),
         "single_linkage": _sql_single_linkage(fx),
         "farthest_first": _sql_farthest_first(fx),
+        "selectivity_audit": _sql_selectivity_audit(fx),
     })
 
 
@@ -14740,4 +14742,98 @@ WITH z AS (
 SELECT CAST(round AS INT) AS round, CAST(chosen AS BIGINT) AS chosen,
        CAST(radius AS BIGINT) AS radius
 FROM ({union}) ORDER BY round
+"""
+
+
+def q_selectivity_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spatial-join selectivity audit (the optimizer question behind
+    every join-order choice: how good is the cheap estimate?): the
+    bbox-area estimator — each zone contributes round(n_tiles ·
+    bbox_area / domain_area) expected centroid hits, domain taken as
+    the tile-centroid bounding box — against the EXACT convex-PIP
+    count (op E5), per zone: estimated, actual, and the signed error.
+    The estimator's bias (bbox ⊇ polygon) is part of the emitted
+    surface, not hidden.
+
+    Scale shape: the estimate is a broadcast-dim scalar expression;
+    the exact side is the same broadcast PIP join the flagship runs."""
+    tiles = geo.georegister(_images(spark, sf_dir))
+    cent = tiles.select(
+        "image_id",
+        (F.col("gt_x0") + F.col("w") * F.col("gt_xres") / 2).alias("pcx"),
+        (F.col("gt_y0") - F.col("h") * F.col("gt_yres") / 2).alias("pcy"),
+    ).localCheckpoint(eager=True)
+    dom = cent.agg(
+        F.min("pcx").alias("x0"), F.max("pcx").alias("x1"),
+        F.min("pcy").alias("y0"), F.max("pcy").alias("y1"),
+        F.count(F.lit(1)).alias("n"),
+    )
+    z = _zones(spark, sf_dir)
+    est = z.join(F.broadcast(dom)).select(
+        "zone_id",
+        F.round(
+            F.col("n")
+            * (F.col("xmax") - F.col("xmin")) * (F.col("ymax") - F.col("ymin"))
+            / ((F.col("x1") - F.col("x0")) * (F.col("y1") - F.col("y0")))
+        ).cast("long").alias("est_hits"),
+    )
+    from ..operators.pip import convex_pip
+
+    cond = (
+        (F.col("pcx") >= F.col("xmin")) & (F.col("pcx") <= F.col("xmax"))
+        & (F.col("pcy") >= F.col("ymin")) & (F.col("pcy") <= F.col("ymax"))
+        & convex_pip(F.col("ring"), F.col("pcx"), F.col("pcy"))
+    )
+    actual = (
+        cent.join(F.broadcast(z), cond)
+        .groupBy("zone_id")
+        .agg(F.count(F.lit(1)).alias("actual_hits"))
+    )
+    return (
+        est.join(actual, "zone_id", "left")
+        .select(
+            "zone_id", "est_hits",
+            F.coalesce("actual_hits", F.lit(0)).alias("actual_hits"),
+            (F.col("est_hits") - F.coalesce("actual_hits", F.lit(0)))
+            .alias("err"),
+        )
+        .repartition(1)
+        .sortWithinPartitions("zone_id")
+    )
+
+
+def _sql_selectivity_audit(fx: Path) -> str:
+    zs = str(fx / "zones.parquet")
+    return f"""
+WITH {osql.georegister_cte(str(fx / 'images.parquet'))},
+cent AS (
+  SELECT image_id,
+         gt_x0 + w * gt_xres / 2 AS cx,
+         gt_y0 - h * gt_yres / 2 AS cy
+  FROM tiles
+),
+dom AS (
+  SELECT MIN(cx) AS x0, MAX(cx) AS x1, MIN(cy) AS y0, MAX(cy) AS y1,
+         COUNT(*) AS n
+  FROM cent
+),
+est AS (
+  SELECT zone_id,
+         CAST(round(dom.n * (z.xmax - z.xmin) * (z.ymax - z.ymin)
+                    / ((dom.x1 - dom.x0) * (dom.y1 - dom.y0))) AS BIGINT)
+           AS est_hits
+  FROM read_parquet('{zs}') z, dom
+),
+act AS (
+  SELECT z.zone_id, COUNT(*) AS actual_hits
+  FROM cent c JOIN read_parquet('{zs}') z
+    ON c.cx >= z.xmin AND c.cx <= z.xmax AND c.cy >= z.ymin AND c.cy <= z.ymax
+  WHERE {osql.pip_where('c.cx', 'c.cy')}
+  GROUP BY z.zone_id
+)
+SELECT est.zone_id, est.est_hits,
+       CAST(COALESCE(act.actual_hits, 0) AS BIGINT) AS actual_hits,
+       CAST(est.est_hits - COALESCE(act.actual_hits, 0) AS BIGINT) AS err
+FROM est LEFT JOIN act ON act.zone_id = est.zone_id
+ORDER BY est.zone_id
 """
