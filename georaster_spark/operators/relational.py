@@ -7888,3 +7888,148 @@ SELECT r, CAST(c AS BIGINT) AS c, CAST(n AS BIGINT) AS n,
        CAST((n * wppm) // {IPF_SCALE} AS BIGINT) AS raked_mass
 FROM w{IPF_ROUNDS} ORDER BY r, c
 """
+
+
+# --- Join-cardinality histogram estimate audit ------------------------------------------------
+
+JCA_BUCKETS = 64
+
+
+def join_card_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Join-cardinality estimation audit (the equi-width histogram
+    estimator inside every cost-based optimizer, checked against
+    truth): |lineitem ⋈ orders on custkey-bucket| is estimated as
+    Σ_b cl_b·co_b over 64 equi-width key buckets assuming
+    intra-bucket uniformity — for bucket-equi joins the estimate is
+    EXACT when the join key IS the bucket, so the audit instead joins
+    on o_custkey with the histogram on custkey // width: per bucket
+    the estimated and exact contributions and the signed error, plus
+    uniformity assumed within the bucket.
+
+    Scale shape: two histogram aggs + one exact join count grouped by
+    bucket — three scans, optimizer-shaped."""
+    o = _t(spark, sf_dir, "orders").select("o_custkey")
+    c = _t(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    maxk = c.agg(F.max("c_custkey").alias("m")).first()["m"]
+    width = (maxk + JCA_BUCKETS) // JCA_BUCKETS
+    ob = o.select(F.expr(f"div(o_custkey, {width})").alias("b")).groupBy("b").agg(
+        F.count(F.lit(1)).alias("co")
+    )
+    cb = c.select(F.expr(f"div(c_custkey, {width})").alias("b")).groupBy("b").agg(
+        F.count(F.lit(1)).alias("cc")
+    )
+    est = ob.join(cb, "b").select(
+        "b",
+        F.expr(f"div(co * cc, {width})").alias("est_rows"),
+    )
+    exact = (
+        o.join(c, o["o_custkey"] == c["c_custkey"])
+        .select(F.expr(f"div(o_custkey, {width})").alias("b"))
+        .groupBy("b")
+        .agg(F.count(F.lit(1)).alias("actual_rows"))
+    )
+    return (
+        est.join(exact, "b", "full_outer")
+        .select(
+            F.col("b").cast("long").alias("bucket"),
+            F.coalesce("est_rows", F.lit(0)).alias("est_rows"),
+            F.coalesce("actual_rows", F.lit(0)).alias("actual_rows"),
+            (F.coalesce("est_rows", F.lit(0)) - F.coalesce("actual_rows", F.lit(0)))
+            .alias("err"),
+        )
+        .repartition(1)
+        .sortWithinPartitions("bucket")
+    )
+
+
+def join_card_audit_sql() -> str:
+    return f"""
+WITH mk AS (SELECT MAX(c_custkey) AS m FROM customer),
+w AS (SELECT (m + {JCA_BUCKETS}) // {JCA_BUCKETS} AS width FROM mk),
+ob AS (
+  SELECT o_custkey // (SELECT width FROM w) AS b, COUNT(*) AS co
+  FROM orders GROUP BY 1
+),
+cb AS (
+  SELECT c_custkey // (SELECT width FROM w) AS b, COUNT(*) AS cc
+  FROM customer GROUP BY 1
+),
+est AS (
+  SELECT ob.b, (ob.co * cb.cc) // (SELECT width FROM w) AS est_rows
+  FROM ob JOIN cb ON cb.b = ob.b
+),
+act AS (
+  SELECT o_custkey // (SELECT width FROM w) AS b, COUNT(*) AS actual_rows
+  FROM orders JOIN customer ON o_custkey = c_custkey
+  GROUP BY 1
+)
+SELECT CAST(COALESCE(est.b, act.b) AS BIGINT) AS bucket,
+       CAST(COALESCE(est.est_rows, 0) AS BIGINT) AS est_rows,
+       CAST(COALESCE(act.actual_rows, 0) AS BIGINT) AS actual_rows,
+       CAST(COALESCE(est.est_rows, 0) - COALESCE(act.actual_rows, 0) AS BIGINT)
+         AS err
+FROM est FULL OUTER JOIN act ON act.b = est.b
+ORDER BY bucket
+"""
+
+
+def hll_union_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HLL mergeability invariant (the property that makes the sketch
+    distributable at all: registers merge by MAX, and the merge of
+    per-shard sketches must equal the whole-corpus sketch): documents
+    sharded by source build per-shard registers; their MAX-merge is
+    compared bucket-by-bucket to the registers built over the whole
+    corpus.  Emits per bucket the merged and global registers plus the
+    equality flag — 64 TRUE rows is the proof, computed not assumed."""
+    from .textops import h40
+
+    d = _t(spark, sf_dir, "documents").select(
+        "source", h40(F.col("doc_id").cast("string")).alias("hv")
+    )
+    wv = F.col("hv") % (1 << HLL_WBITS)
+    rank = F.when(wv == 0, HLL_WBITS + 1).otherwise(
+        F.lit(HLL_WBITS + 1) - F.length(F.bin(wv))
+    )
+    reg = d.select(
+        "source", F.shiftright(F.col("hv"), HLL_WBITS).alias("bucket"),
+        rank.alias("rank"),
+    )
+    per_shard = reg.groupBy("source", "bucket").agg(F.max("rank").alias("r"))
+    merged = per_shard.groupBy("bucket").agg(F.max("r").alias("merged_register"))
+    globl = reg.groupBy("bucket").agg(F.max("rank").alias("global_register"))
+    return (
+        merged.join(globl, "bucket", "full_outer")
+        .select(
+            "bucket",
+            F.col("merged_register").cast("long").alias("merged_register"),
+            F.col("global_register").cast("long").alias("global_register"),
+            (F.col("merged_register") == F.col("global_register")).cast("int")
+            .alias("equal"),
+        )
+        .repartition(1)
+        .sortWithinPartitions("bucket")
+    )
+
+
+def hll_union_merge_sql() -> str:
+    h = "CAST('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 10) AS BIGINT)"
+    return f"""
+WITH d AS (SELECT source, {h} AS hv FROM documents),
+reg AS (
+  SELECT source, hv >> {HLL_WBITS} AS bucket,
+         CASE WHEN hv % {1 << HLL_WBITS} = 0 THEN {HLL_WBITS + 1}
+              ELSE {HLL_WBITS + 1} - length(bin(hv % {1 << HLL_WBITS})) END AS rank
+  FROM d
+),
+per_shard AS (
+  SELECT source, bucket, MAX(rank) AS r FROM reg GROUP BY source, bucket
+),
+merged AS (SELECT bucket, MAX(r) AS mr FROM per_shard GROUP BY bucket),
+gl AS (SELECT bucket, MAX(rank) AS gr FROM reg GROUP BY bucket)
+SELECT CAST(COALESCE(merged.bucket, gl.bucket) AS BIGINT) AS bucket,
+       CAST(merged.mr AS BIGINT) AS merged_register,
+       CAST(gl.gr AS BIGINT) AS global_register,
+       CAST(CASE WHEN merged.mr = gl.gr THEN 1 ELSE 0 END AS INT) AS equal
+FROM merged FULL OUTER JOIN gl ON gl.bucket = merged.bucket
+ORDER BY bucket
+"""

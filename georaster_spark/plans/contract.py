@@ -5324,6 +5324,8 @@ def spatial_queries() -> dict[str, QueryFn]:
         "single_linkage": q_single_linkage,
         "farthest_first": q_farthest_first,
         "selectivity_audit": q_selectivity_audit,
+        "join_card_audit": rel.join_card_audit,
+        "hll_union_merge": rel.hll_union_merge,
     })
 
 
@@ -5703,6 +5705,8 @@ def spatial_oracles(sf: str = "sf0.01") -> dict[str, str]:
         "single_linkage": _sql_single_linkage(fx),
         "farthest_first": _sql_farthest_first(fx),
         "selectivity_audit": _sql_selectivity_audit(fx),
+        "join_card_audit": rel.join_card_audit_sql(),
+        "hll_union_merge": rel.hll_union_merge_sql(),
     })
 
 
