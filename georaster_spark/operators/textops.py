@@ -4302,3 +4302,102 @@ SELECT term,
 FROM vb GROUP BY term HAVING COUNT(*) >= {POSTINGS_MIN_DF}
 ORDER BY term
 """
+
+
+SNIPPET_TERMS = ("data", "model", "system")
+SNIPPET_WIN = 16
+SNIPPET_MOD = 5
+
+
+def best_snippet(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Best-snippet selection (the search-results highlighter: the
+    token window covering the most distinct query terms, earliest such
+    window on ties): for the fixed 3-term query, every SNIPPET_MOD-th
+    document explodes to (position, token); per query term a ROWS
+    window max of its presence flag over the trailing SNIPPET_WIN
+    tokens, and the coverage at a position is the SUM of the three
+    maxima — no distinct-in-window needed.  Emits per doc the best
+    coverage, the earliest window end achieving it, and the doc's
+    total query-term hits.
+
+    Scale shape: one doc-keyed explode + per-doc windows — the
+    shuffle key is doc_id throughout."""
+    ws = _clean_words()
+    from pyspark.sql import Window as W
+
+    toks = (
+        _docs(spark, sf_dir)
+        .where(F.col("doc_id") % SNIPPET_MOD == 0)
+        .select("doc_id", F.posexplode(ws).alias("pos", "tok"))
+    )
+    flags = toks.select(
+        "doc_id", "pos",
+        *[
+            (F.col("tok") == t).cast("long").alias(f"f{i}")
+            for i, t in enumerate(SNIPPET_TERMS)
+        ],
+    )
+    w = W.partitionBy("doc_id").orderBy("pos").rowsBetween(-(SNIPPET_WIN - 1), 0)
+    cov = flags.select(
+        "doc_id", "pos",
+        sum(
+            [F.max(f"f{i}").over(w) for i in range(len(SNIPPET_TERMS))],
+            F.lit(0),
+        ).alias("cov"),
+        sum([F.col(f"f{i}") for i in range(len(SNIPPET_TERMS))], F.lit(0))
+        .alias("hit"),
+    )
+    return (
+        cov.groupBy("doc_id")
+        .agg(
+            F.max(F.struct(F.col("cov"), (-F.col("pos")).alias("np"))).alias("m"),
+            F.sum("hit").alias("total_hits"),
+        )
+        .where(F.col("m.cov") > 0)
+        .select(
+            "doc_id",
+            F.col("m.cov").cast("long").alias("best_cov"),
+            (-F.col("m.np")).cast("long").alias("best_end_pos"),
+            "total_hits",
+        )
+        .repartition(1)
+        .sortWithinPartitions("doc_id")
+    )
+
+
+def best_snippet_sql() -> str:
+    flags = ", ".join(
+        f"CASE WHEN tok = '{t}' THEN 1 ELSE 0 END AS f{i}"
+        for i, t in enumerate(SNIPPET_TERMS)
+    )
+    maxes = " + ".join(
+        f"MAX(f{i}) OVER (PARTITION BY doc_id ORDER BY pos"
+        f" ROWS BETWEEN {SNIPPET_WIN - 1} PRECEDING AND CURRENT ROW)"
+        for i in range(len(SNIPPET_TERMS))
+    )
+    hits = " + ".join(f"f{i}" for i in range(len(SNIPPET_TERMS)))
+    return f"""
+WITH d AS (
+  SELECT doc_id, list_filter({_SQL_WS}, t -> t <> '') AS ws
+  FROM documents WHERE doc_id % {SNIPPET_MOD} = 0
+),
+toks AS (
+  SELECT doc_id, i.i - 1 AS pos, ws[i.i] AS tok
+  FROM d, unnest(range(1, len(ws) + 1)) i(i)
+),
+flags AS (SELECT doc_id, pos, {flags} FROM toks),
+cov AS (
+  SELECT doc_id, pos, {maxes} AS cov, {hits} AS hit FROM flags
+),
+best AS (
+  SELECT doc_id,
+         MAX(struct_pack(cov := cov, np := -pos)) AS m,
+         SUM(hit) AS total_hits
+  FROM cov GROUP BY doc_id
+)
+SELECT doc_id,
+       CAST(m.cov AS BIGINT) AS best_cov,
+       CAST(-(m.np) AS BIGINT) AS best_end_pos,
+       CAST(total_hits AS BIGINT) AS total_hits
+FROM best WHERE m.cov > 0 ORDER BY doc_id
+"""

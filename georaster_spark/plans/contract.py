@@ -5326,6 +5326,8 @@ def spatial_queries() -> dict[str, QueryFn]:
         "selectivity_audit": q_selectivity_audit,
         "join_card_audit": rel.join_card_audit,
         "hll_union_merge": rel.hll_union_merge,
+        "best_snippet": textops.best_snippet,
+        "two_opt_census": q_two_opt_census,
     })
 
 
@@ -5707,6 +5709,8 @@ def spatial_oracles(sf: str = "sf0.01") -> dict[str, str]:
         "selectivity_audit": _sql_selectivity_audit(fx),
         "join_card_audit": rel.join_card_audit_sql(),
         "hll_union_merge": rel.hll_union_merge_sql(),
+        "best_snippet": textops.best_snippet_sql(),
+        "two_opt_census": _sql_two_opt_census(fx),
     })
 
 
@@ -14840,4 +14844,102 @@ SELECT est.zone_id, est.est_hits,
        CAST(est.est_hits - COALESCE(act.actual_hits, 0) AS BIGINT) AS err
 FROM est LEFT JOIN act ON act.zone_id = est.zone_id
 ORDER BY est.zone_id
+"""
+
+
+def q_two_opt_census(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """2-opt improvement census (the local-search neighborhood every
+    TSP heuristic scans): over the identity tour of zones (by id,
+    wrapping), every candidate 2-opt swap (i, j) is scored by the
+    exact L1 delta d(i,i+1)+d(j,j+1) − d(i,j) − d(i+1,j+1); the census
+    reports the tour length, the number of improving swaps, and the
+    best swap (max delta, ties to the smaller (i,j)) — the
+    local-optimality audit of a given route, all integer."""
+    z = _zones(spark, sf_dir).select(
+        "zone_id",
+        F.floor((F.col("xmin") + F.col("xmax")) / 2 + 0.5).cast("long").alias("cx"),
+        F.floor((F.col("ymin") + F.col("ymax")) / 2 + 0.5).cast("long").alias("cy"),
+    ).localCheckpoint(eager=True)
+    n = z.count()
+    a = z.select(
+        F.col("zone_id").alias("i"),
+        F.col("cx").alias("ix"), F.col("cy").alias("iy"),
+        ((F.col("zone_id") + 1) % n).alias("i1"),
+    ).join(
+        z.select(F.col("zone_id").alias("i1"), F.col("cx").alias("i1x"),
+                 F.col("cy").alias("i1y")),
+        "i1",
+    )
+    b = z.select(
+        F.col("zone_id").alias("j"),
+        F.col("cx").alias("jx"), F.col("cy").alias("jy"),
+        ((F.col("zone_id") + 1) % n).alias("j1"),
+    ).join(
+        z.select(F.col("zone_id").alias("j1"), F.col("cx").alias("j1x"),
+                 F.col("cy").alias("j1y")),
+        "j1",
+    )
+    def l1(x1, y1, x2, y2):
+        return F.abs(F.col(x1) - F.col(x2)) + F.abs(F.col(y1) - F.col(y2))
+    tour_len = a.agg(
+        F.sum(l1("ix", "iy", "i1x", "i1y")).alias("t")
+    ).first()["t"]
+    pairs = a.join(b, (F.col("j") > F.col("i") + 1) & ~((F.col("i") == 0) & (F.col("j") == n - 1)))
+    delta = (
+        l1("ix", "iy", "i1x", "i1y") + l1("jx", "jy", "j1x", "j1y")
+        - (l1("ix", "iy", "jx", "jy") + l1("i1x", "i1y", "j1x", "j1y"))
+    )
+    d = pairs.select("i", "j", delta.alias("delta"))
+    agg = d.agg(
+        F.sum((F.col("delta") > 0).cast("long")).alias("n_improving"),
+        F.max(
+            F.struct("delta", (-F.col("i")).alias("ni"), (-F.col("j")).alias("nj"))
+        ).alias("m"),
+        F.count(F.lit(1)).alias("n_swaps"),
+    )
+    return agg.select(
+        F.lit(int(tour_len)).alias("tour_len"),
+        "n_swaps",
+        "n_improving",
+        F.col("m.delta").alias("best_delta"),
+        (-F.col("m.ni")).cast("long").alias("best_i"),
+        (-F.col("m.nj")).cast("long").alias("best_j"),
+    )
+
+
+def _sql_two_opt_census(fx: Path) -> str:
+    zs = str(fx / "zones.parquet")
+    return f"""
+WITH z AS (
+  SELECT zone_id,
+         CAST(floor((xmin + xmax) / 2 + 0.5) AS BIGINT) AS cx,
+         CAST(floor((ymin + ymax) / 2 + 0.5) AS BIGINT) AS cy
+  FROM read_parquet('{zs}')
+),
+n AS (SELECT COUNT(*) AS n FROM z),
+t AS (
+  SELECT a.zone_id AS i, a.cx AS ix, a.cy AS iy,
+         b.cx AS i1x, b.cy AS i1y
+  FROM z a JOIN z b ON b.zone_id = (a.zone_id + 1) % (SELECT n FROM n)
+),
+tl AS (SELECT SUM(abs(ix - i1x) + abs(iy - i1y)) AS tour_len FROM t),
+pairs AS (
+  SELECT a.i, b.i AS j,
+         (abs(a.ix - a.i1x) + abs(a.iy - a.i1y)
+          + abs(b.ix - b.i1x) + abs(b.iy - b.i1y))
+         - (abs(a.ix - b.ix) + abs(a.iy - b.iy)
+            + abs(a.i1x - b.i1x) + abs(a.i1y - b.i1y)) AS delta
+  FROM t a JOIN t b
+    ON b.i > a.i + 1 AND NOT (a.i = 0 AND b.i = (SELECT n FROM n) - 1)
+)
+SELECT CAST((SELECT tour_len FROM tl) AS BIGINT) AS tour_len,
+       CAST(COUNT(*) AS BIGINT) AS n_swaps,
+       CAST(SUM(CASE WHEN delta > 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_improving,
+       CAST(MAX(struct_pack(delta := delta, ni := -i, nj := -j)).delta AS BIGINT)
+         AS best_delta,
+       CAST(-(MAX(struct_pack(delta := delta, ni := -i, nj := -j)).ni) AS BIGINT)
+         AS best_i,
+       CAST(-(MAX(struct_pack(delta := delta, ni := -i, nj := -j)).nj) AS BIGINT)
+         AS best_j
+FROM pairs
 """
