@@ -5328,6 +5328,7 @@ def spatial_queries() -> dict[str, QueryFn]:
         "hll_union_merge": rel.hll_union_merge,
         "best_snippet": textops.best_snippet,
         "two_opt_census": q_two_opt_census,
+        "compactness": q_compactness,
     })
 
 
@@ -5711,6 +5712,7 @@ def spatial_oracles(sf: str = "sf0.01") -> dict[str, str]:
         "hll_union_merge": rel.hll_union_merge_sql(),
         "best_snippet": textops.best_snippet_sql(),
         "two_opt_census": _sql_two_opt_census(fx),
+        "compactness": _sql_compactness(fx),
     })
 
 
@@ -14942,4 +14944,71 @@ SELECT CAST((SELECT tour_len FROM tl) AS BIGINT) AS tour_len,
        CAST(-(MAX(struct_pack(delta := delta, ni := -i, nj := -j)).nj) AS BIGINT)
          AS best_j
 FROM pairs
+"""
+
+
+def q_compactness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """District-compactness census (the Polsby-Popper family on an
+    integer surface): per zone ring the exact doubled shoelace area
+    |2A|, the L1 perimeter, and the scaled isoperimetric ratio
+    div(10⁶·|2A|, P²) — the gerrymandering-audit ranking without a
+    single float (the 4π constant cancels in any comparison)."""
+    ring_ints = F.expr(
+        "transform(slice(ring, 1, size(ring) - 1),"
+        " p -> struct(CAST(floor(p.x + 0.5) AS BIGINT) AS x,"
+        "             CAST(floor(p.y + 0.5) AS BIGINT) AS y))"
+    )
+    z = _zones(spark, sf_dir).select("zone_id", ring_ints.alias("r"))
+    pts = z.select(
+        "zone_id", F.size("r").alias("n"), F.posexplode("r").alias("k", "p")
+    ).select("zone_id", "n", "k", F.col("p.x").alias("x"), F.col("p.y").alias("y"))
+    nxt = pts.select(
+        "zone_id", F.col("k").alias("kn"),
+        F.col("x").alias("x2"), F.col("y").alias("y2"),
+    )
+    e = pts.join(
+        nxt,
+        (nxt["zone_id"] == pts["zone_id"])
+        & (F.col("kn") == (F.col("k") + 1) % F.col("n")),
+    ).drop(nxt["zone_id"])
+    agg = e.groupBy("zone_id").agg(
+        F.abs(F.sum(F.col("x") * F.col("y2") - F.col("x2") * F.col("y")))
+        .alias("area2"),
+        F.sum(F.abs(F.col("x2") - F.col("x")) + F.abs(F.col("y2") - F.col("y")))
+        .alias("perim_l1"),
+    )
+    return (
+        agg.select(
+            "zone_id", "area2", "perim_l1",
+            F.expr("div(1000000 * area2, perim_l1 * perim_l1)").alias("pp_ratio_ppm"),
+        )
+        .repartition(1)
+        .sortWithinPartitions("zone_id")
+    )
+
+
+def _sql_compactness(fx: Path) -> str:
+    zs = str(fx / "zones.parquet")
+    return f"""
+WITH pts AS (
+  SELECT zone_id, i - 1 AS k, len(ring) - 1 AS n,
+         CAST(floor(ring[i].x + 0.5) AS BIGINT) AS x,
+         CAST(floor(ring[i].y + 0.5) AS BIGINT) AS y
+  FROM read_parquet('{zs}'), unnest(range(1, len(ring))) t(i)
+),
+e AS (
+  SELECT a.zone_id, a.x, a.y, b.x AS x2, b.y AS y2
+  FROM pts a JOIN pts b
+    ON b.zone_id = a.zone_id AND b.k = (a.k + 1) % a.n
+),
+agg AS (
+  SELECT zone_id,
+         abs(SUM(x * y2 - x2 * y)) AS area2,
+         SUM(abs(x2 - x) + abs(y2 - y)) AS perim_l1
+  FROM e GROUP BY zone_id
+)
+SELECT zone_id, CAST(area2 AS BIGINT) AS area2,
+       CAST(perim_l1 AS BIGINT) AS perim_l1,
+       CAST((1000000 * area2) // (perim_l1 * perim_l1) AS BIGINT) AS pp_ratio_ppm
+FROM agg ORDER BY zone_id
 """
