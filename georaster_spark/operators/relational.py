@@ -13,6 +13,8 @@ the same trick the spatial aggregates use (SURVEY §7.3 hard-part 1).
 
 from __future__ import annotations
 
+from functools import reduce
+
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql import Window
@@ -8032,4 +8034,429 @@ SELECT CAST(COALESCE(merged.bucket, gl.bucket) AS BIGINT) AS bucket,
        CAST(CASE WHEN merged.mr = gl.gr THEN 1 ELSE 0 END AS INT) AS equal
 FROM merged FULL OUTER JOIN gl ON gl.bucket = merged.bucket
 ORDER BY bucket
+"""
+
+
+# --- running-record (secretary) census over customer order streams -------------
+
+
+def record_breaks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Running-record census (the classic 'records in a random
+    permutation' probe, upstream of secretary-problem analytics): per
+    customer an order is a *record* when its total strictly exceeds
+    every earlier order's total (time order, orderkey tie-break).
+    Census rolls customers up by their record count: how many
+    customers broke k records, their order volume, and an orderkey
+    checksum over exactly the record-breaking orders.
+
+    Scale shape: ONE customer-key window (running max over the
+    preceding frame) then two partial+final censuses; no self-join,
+    no driver state — records at 10^12 rows are the same one shuffle
+    as any per-key window."""
+    o = _t(spark, sf_dir, "orders").select(
+        "o_custkey", "o_orderkey", "o_orderdate", "o_totalprice"
+    )
+    w = (
+        Window.partitionBy("o_custkey")
+        .orderBy("o_orderdate", "o_orderkey")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    prev_max = F.max("o_totalprice").over(w)
+    rec = o.select(
+        "o_custkey",
+        "o_orderkey",
+        F.when(prev_max.isNull() | (F.col("o_totalprice") > prev_max), 1)
+        .otherwise(0)
+        .alias("is_rec"),
+    )
+    per_cust = rec.groupBy("o_custkey").agg(
+        F.count(F.lit(1)).alias("n_orders"),
+        F.sum("is_rec").alias("n_records"),
+        F.sum(F.when(F.col("is_rec") == 1, F.col("o_orderkey"))).alias("rec_ck"),
+    )
+    return (
+        per_cust.groupBy("n_records")
+        .agg(
+            F.count(F.lit(1)).alias("n_customers"),
+            F.sum("n_orders").alias("n_orders"),
+            F.sum("rec_ck").alias("record_checksum"),
+        )
+        .repartition(1)
+        .sortWithinPartitions("n_records")
+    )
+
+
+def record_breaks_sql() -> str:
+    return """
+WITH rec AS (
+  SELECT o_custkey, o_orderkey,
+         CASE WHEN max(o_totalprice) OVER (
+                PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+                ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) IS NULL
+              OR o_totalprice > max(o_totalprice) OVER (
+                PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+                ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+              THEN 1 ELSE 0 END AS is_rec
+  FROM orders
+),
+per_cust AS (
+  SELECT o_custkey, COUNT(*) AS n_orders, SUM(is_rec) AS n_records,
+         SUM(CASE WHEN is_rec = 1 THEN o_orderkey END) AS rec_ck
+  FROM rec GROUP BY o_custkey
+)
+SELECT CAST(n_records AS BIGINT) AS n_records,
+       COUNT(*) AS n_customers,
+       CAST(SUM(n_orders) AS BIGINT) AS n_orders,
+       CAST(SUM(rec_ck) AS BIGINT) AS record_checksum
+FROM per_cust GROUP BY n_records ORDER BY n_records
+"""
+
+
+# --- business-day (weekday) shipping latency via closed-form calendar math -----
+
+# Weekdays in [1970-01-01, 1970-01-01 + r] for r = 0..6; day 0 was a
+# Thursday, so the r-prefix pattern is Thu Fri Sat Sun Mon Tue Wed.
+_BDAY_PREFIX = (1, 2, 2, 2, 3, 4, 5)
+
+
+def business_latency(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Business-day shipping-latency census: weekday-only (Mon-Fri)
+    days between order date and ship date, by order priority — the SLA
+    metric ops teams actually track. No calendar dim table and no
+    per-day explode: W(d) = 5*div(n,7) + prefix[n % 7] counts weekdays
+    from the epoch in closed form (epoch day 0 = Thursday), and the
+    latency is W(ship) - W(order). Exact integers end-to-end.
+
+    Scale shape: map-only calendar math + one orderkey equi-join +
+    a 5-key census; the closed form replaces the usual 10^12-row ×
+    calendar-dim range join."""
+
+    pre = ",".join(str(v) for v in _BDAY_PREFIX)
+
+    def wdays(name: str):
+        return F.expr(
+            f"5 * div(datediff({name}, '1970-01-01'), 7)"
+            f" + element_at(array({pre}),"
+            f"   CAST(datediff({name}, '1970-01-01') % 7 AS INT) + 1)"
+        )
+
+    li = _t(spark, sf_dir, "lineitem").select("l_orderkey", "l_shipdate")
+    o = _t(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderdate", "o_orderpriority"
+    )
+    j = li.join(o, li["l_orderkey"] == o["o_orderkey"]).select(
+        "o_orderpriority",
+        (wdays("l_shipdate") - wdays("o_orderdate")).alias("bdays"),
+    )
+    return (
+        j.groupBy("o_orderpriority")
+        .agg(
+            F.count(F.lit(1)).alias("n_items"),
+            F.sum("bdays").alias("sum_bdays"),
+            F.max("bdays").alias("max_bdays"),
+            F.expr("div(1000000 * sum(bdays), count(1))").alias("mean_bdays_ppm"),
+        )
+        .repartition(1)
+        .sortWithinPartitions("o_orderpriority")
+    )
+
+
+def business_latency_sql() -> str:
+    pre = ", ".join(str(v) for v in _BDAY_PREFIX)
+    wd = (
+        "(5 * (date_diff('day', DATE '1970-01-01', {c}) // 7)"
+        f" + ([{pre}])[date_diff('day', DATE '1970-01-01', {{c}}) % 7 + 1])"
+    )
+    w_ship = wd.format(c="l_shipdate")
+    w_ord = wd.format(c="o_orderdate")
+    return f"""
+WITH j AS (
+  SELECT o_orderpriority, {w_ship} - {w_ord} AS bdays
+  FROM lineitem JOIN orders ON o_orderkey = l_orderkey
+)
+SELECT o_orderpriority,
+       COUNT(*) AS n_items,
+       CAST(SUM(bdays) AS BIGINT) AS sum_bdays,
+       CAST(MAX(bdays) AS BIGINT) AS max_bdays,
+       CAST((1000000 * SUM(bdays)) // COUNT(*) AS BIGINT) AS mean_bdays_ppm
+FROM j GROUP BY o_orderpriority ORDER BY o_orderpriority
+"""
+
+
+# --- exact Shapley-value conversion attribution ---------------------------------
+
+# Channel bits in sorted-name order; purchases carry no bit.
+_SHAP_CHANNELS = (("click", 1), ("error", 2), ("signup", 4), ("view", 8))
+# |S|!(n-|S|-1)! for n = 4 channels, |S| = 0..3 — Shapley weights
+# scaled by n! = 24 so every credit is an exact integer.
+_SHAP_W = (6, 2, 2, 6)
+
+
+def shapley_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT Shapley-value conversion attribution (Shapley 1953; the
+    marketing-science gold standard that last-touch and position-based
+    rules approximate): each purchase's journey is the SET of distinct
+    channel types the user touched before it; the characteristic
+    function v(S) counts purchases whose journey is contained in S,
+    and each channel's credit is its exact Shapley value scaled by
+    n! = 24 so everything stays integer (weights |S|!(n-|S|-1)!).
+    First-event purchases (empty journey) are excluded; with
+    v(empty) = 0 the 24-scaled credits sum to 24 * v(allchannels).
+
+    Scale shape: journey masks from 4 per-user window maxes (one
+    shuffle); everything after lives on a 16-row subset lattice × 4
+    channels — the 2^n enumeration is over CHANNELS, never rows, so
+    10^12 events cost one window + one 16-key census."""
+    ev = _t(spark, sf_dir, "events").select("user_id", "ts", "event_id", "event_type")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    mask = reduce(
+        lambda a, b: a + b,
+        [
+            F.lit(bit)
+            * F.coalesce(
+                F.max(F.when(F.col("event_type") == name, 1).otherwise(0)).over(w),
+                F.lit(0),
+            )
+            for name, bit in _SHAP_CHANNELS
+        ],
+    )
+    journeys = (
+        ev.select("event_type", mask.alias("jmask"))
+        .where((F.col("event_type") == "purchase") & (F.col("jmask") > 0))
+        .groupBy("jmask")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    subsets = spark.range(16).select(F.col("id").cast("int").alias("s"))
+    v = (
+        subsets.join(
+            journeys, F.expr("(s & jmask) = jmask"), "left"
+        )
+        .groupBy("s")
+        .agg(F.coalesce(F.sum("c"), F.lit(0)).alias("v"))
+    )
+    chan = spark.createDataFrame(list(_SHAP_CHANNELS), "channel string, bit int")
+    pairs = chan.join(subsets, F.expr("(s & bit) = 0"))
+    vS = v.select(F.col("s").alias("s1"), F.col("v").alias("v_s"))
+    vSb = v.select(F.col("s").alias("s2"), F.col("v").alias("v_sb"))
+    pc = F.expr(
+        "(s & 1) + (shiftright(s,1) & 1) + (shiftright(s,2) & 1) + (shiftright(s,3) & 1)"
+    )
+    marg = (
+        pairs.join(vS, F.expr("s1 = s"))
+        .join(vSb, F.expr("s2 = (s | bit)"))
+        .select(
+            "channel",
+            F.element_at(
+                F.array(*[F.lit(x) for x in _SHAP_W]), pc.cast("int") + 1
+            ).alias("wt"),
+            (F.col("v_sb") - F.col("v_s")).alias("dv"),
+        )
+    )
+    touched = (
+        chan.join(journeys, F.expr("(jmask & bit) != 0"), "left")
+        .groupBy("channel")
+        .agg(F.coalesce(F.sum("c"), F.lit(0)).alias("n_touched"))
+    )
+    out = (
+        marg.groupBy("channel")
+        .agg(F.sum(F.col("wt") * F.col("dv")).alias("credit24"))
+        .join(touched, "channel")
+    )
+    return out.repartition(1).sortWithinPartitions("channel")
+
+
+def shapley_attribution_sql() -> str:
+    chan_rows = ", ".join(f"('{n}', {b})" for n, b in _SHAP_CHANNELS)
+    wts = ", ".join(str(x) for x in _SHAP_W)
+    return f"""
+WITH ev AS (
+  SELECT user_id, ts, event_id, event_type,
+         1 * COALESCE(max(CASE WHEN event_type = 'click'  THEN 1 ELSE 0 END) OVER pre, 0)
+       + 2 * COALESCE(max(CASE WHEN event_type = 'error'  THEN 1 ELSE 0 END) OVER pre, 0)
+       + 4 * COALESCE(max(CASE WHEN event_type = 'signup' THEN 1 ELSE 0 END) OVER pre, 0)
+       + 8 * COALESCE(max(CASE WHEN event_type = 'view'   THEN 1 ELSE 0 END) OVER pre, 0)
+         AS jmask
+  FROM events
+  WINDOW pre AS (PARTITION BY user_id ORDER BY ts, event_id
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+),
+journeys AS (
+  SELECT jmask, COUNT(*) AS c FROM ev
+  WHERE event_type = 'purchase' AND jmask > 0 GROUP BY jmask
+),
+subsets AS (SELECT CAST(r AS INT) AS s FROM range(16) t(r)),
+v AS (
+  SELECT s, COALESCE(SUM(c), 0) AS v
+  FROM subsets LEFT JOIN journeys ON (s & jmask) = jmask
+  GROUP BY s
+),
+chan AS (SELECT * FROM (VALUES {chan_rows}) AS t(channel, bit)),
+marg AS (
+  SELECT channel,
+         ([{wts}])[((subsets.s & 1) + ((subsets.s >> 1) & 1) + ((subsets.s >> 2) & 1) + ((subsets.s >> 3) & 1)) + 1]
+           * (vb.v - va.v) AS contrib
+  FROM chan JOIN subsets ON (subsets.s & bit) = 0
+  JOIN v va ON va.s = subsets.s
+  JOIN v vb ON vb.s = (subsets.s | bit)
+),
+touched AS (
+  SELECT channel, COALESCE(SUM(c), 0) AS n_touched
+  FROM chan LEFT JOIN journeys ON (jmask & bit) != 0
+  GROUP BY channel
+)
+SELECT m.channel, CAST(SUM(contrib) AS BIGINT) AS credit24,
+       CAST(ANY_VALUE(n_touched) AS BIGINT) AS n_touched
+FROM marg m JOIN touched USING (channel)
+GROUP BY m.channel ORDER BY m.channel
+"""
+
+
+# --- absorbing Markov chain: expected steps to conversion (exact Cramer) -------
+
+_ABS_STATES = ("click", "error", "signup", "view")
+
+
+def _det3_str(m) -> str:
+    return (
+        f"({m[0][0]})*(({m[1][1]})*({m[2][2]}) - ({m[1][2]})*({m[2][1]}))"
+        f" - ({m[0][1]})*(({m[1][0]})*({m[2][2]}) - ({m[1][2]})*({m[2][0]}))"
+        f" + ({m[0][2]})*(({m[1][0]})*({m[2][1]}) - ({m[1][1]})*({m[2][0]}))"
+    )
+
+
+def _det4_str(m) -> str:
+    terms = []
+    for j in range(4):
+        minor = [[m[r][c] for c in range(4) if c != j] for r in range(1, 4)]
+        sign = "+" if j % 2 == 0 else "-"
+        terms.append(f"{sign} ({m[0][j]})*({_det3_str(minor)})")
+    return "(" + " ".join(terms) + ")"
+
+
+def _abs_chain_dets(cast: str):
+    """The shared arithmetic text for both engines: A = diag(n) - T on
+    the 4 transient states, b = n, detA plus the four Cramer column
+    replacements det(A_j). `cast` is the wide-integer type each engine
+    uses (DECIMAL(38,0) for Spark, HUGEINT for DuckDB)."""
+    a = [
+        [
+            f"CAST({f'n{i} - t{i}{j}' if i == j else f'0 - t{i}{j}'} AS {cast})"
+            for j in range(4)
+        ]
+        for i in range(4)
+    ]
+    b = [f"CAST(n{i} AS {cast})" for i in range(4)]
+    dets = {"detA": _det4_str(a)}
+    for j in range(4):
+        aj = [[b[i] if c == j else a[i][c] for c in range(4)] for i in range(4)]
+        dets[f"det{j}"] = _det4_str(aj)
+    return dets
+
+
+def absorbing_chain(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Expected steps to conversion from each funnel state, computed
+    EXACTLY on the absorbing Markov chain the event stream defines
+    (Kemeny-Snell fundamental matrix t = (I-Q)^-1 1): transitions are
+    consecutive per-user events, 'purchase' absorbs. Clearing each
+    row's denominator turns (I-Q)t = 1 into the INTEGER system
+    (diag(n) - T) t = n, solved by Cramer's rule with 4x4 integer
+    determinants in DECIMAL(38,0) — no floats, no iteration; t in ppm
+    by exact floor division (A is a nonsingular M-matrix, so det > 0,
+    pinned by the det_pos column).
+
+    Scale shape: one user-key lead() window + a 20-key census; the
+    linear algebra lives on a single 4x4 integer matrix regardless of
+    row count — the 10^12-row chain costs one window + one tiny agg."""
+    ev = _t(spark, sf_dir, "events").select("user_id", "ts", "event_id", "event_type")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    tr = ev.select(
+        F.col("event_type").alias("f"),
+        F.lead("event_type").over(w).alias("t"),
+    ).where((F.col("f") != "purchase") & F.col("t").isNotNull())
+    aggs = []
+    for i, si in enumerate(_ABS_STATES):
+        aggs.append(
+            F.sum(F.when(F.col("f") == si, 1).otherwise(0)).alias(f"n{i}")
+        )
+        aggs.append(
+            F.sum(
+                F.when((F.col("f") == si) & (F.col("t") == "purchase"), 1).otherwise(0)
+            ).alias(f"p{i}")
+        )
+        for j, sj in enumerate(_ABS_STATES):
+            aggs.append(
+                F.sum(
+                    F.when((F.col("f") == si) & (F.col("t") == sj), 1).otherwise(0)
+                ).alias(f"t{i}{j}")
+            )
+    mat = tr.agg(*aggs)
+    dets = _abs_chain_dets("DECIMAL(38,0)")
+    passthrough = [c for i in range(4) for c in (f"n{i}", f"p{i}")]
+    solved = mat.select(
+        *passthrough,
+        *[F.expr(sql).alias(name) for name, sql in dets.items()],
+    )
+    stack_args = ", ".join(
+        f"'{s}', n{i}, p{i}, det{i}" for i, s in enumerate(_ABS_STATES)
+    )
+    rows = solved.selectExpr(
+        "detA",
+        f"stack(4, {stack_args}) AS (state, n_out, n_to_purchase, detj)",
+    )
+    return (
+        rows.select(
+            "state",
+            F.col("n_out").cast("long").alias("n_out"),
+            F.col("n_to_purchase").cast("long").alias("n_to_purchase"),
+            F.expr(
+                "CAST((detj * CAST(1000000 AS DECIMAL(38,0))) div detA AS BIGINT)"
+            ).alias("t_ppm"),
+            F.when(F.col("detA") > 0, 1).otherwise(0).cast("int").alias("det_pos"),
+        )
+        .repartition(1)
+        .sortWithinPartitions("state")
+    )
+
+
+def absorbing_chain_sql() -> str:
+    dets = _abs_chain_dets("HUGEINT")
+    det_cols = ",\n         ".join(f"{sql} AS {name}" for name, sql in dets.items())
+    agg_cols = []
+    for i, si in enumerate(_ABS_STATES):
+        agg_cols.append(f"SUM(CASE WHEN f = '{si}' THEN 1 ELSE 0 END) AS n{i}")
+        agg_cols.append(
+            f"SUM(CASE WHEN f = '{si}' AND t = 'purchase' THEN 1 ELSE 0 END) AS p{i}"
+        )
+        for j, sj in enumerate(_ABS_STATES):
+            agg_cols.append(
+                f"SUM(CASE WHEN f = '{si}' AND t = '{sj}' THEN 1 ELSE 0 END) AS t{i}{j}"
+            )
+    outs = "\n  UNION ALL\n".join(
+        f"  SELECT '{s}' AS state, n{i} AS n_out, p{i} AS n_to_purchase,"
+        f" CAST((det{i} * CAST(1000000 AS HUGEINT)) // detA AS BIGINT) AS t_ppm,"
+        f" CAST(CASE WHEN detA > 0 THEN 1 ELSE 0 END AS INT) AS det_pos FROM dets"
+        for i, s in enumerate(_ABS_STATES)
+    )
+    return f"""
+WITH tr AS (
+  SELECT event_type AS f,
+         lead(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS t
+  FROM events
+  QUALIFY f != 'purchase' AND t IS NOT NULL
+),
+mat AS (
+  SELECT {", ".join(agg_cols)} FROM tr
+),
+dets AS (
+  SELECT n0, p0, n1, p1, n2, p2, n3, p3,
+         {det_cols}
+  FROM mat
+)
+SELECT * FROM (
+{outs}
+) ORDER BY state
 """

@@ -4401,3 +4401,170 @@ SELECT doc_id,
        CAST(total_hits AS BIGINT) AS total_hits
 FROM best WHERE m.cov > 0 ORDER BY doc_id
 """
+
+
+# --- smallest-period stringology census ----------------------------------------
+
+PERIOD_PREFIX_LEN = 48
+
+
+def string_period_census(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Smallest-period census (the combinatorics-on-words primitive
+    under KMP failure functions and Fine-Wilf: the least p with
+    s[i] = s[i+p] for all valid i; p = |s| means the prefix is
+    aperiodic/primitive): for each document's first 48 characters,
+    the smallest period found by the definitional overlap test
+    substr(s, 1, L-p) = substr(s, p+1, L-p) — one vectorized substring
+    comparison per candidate p, no per-character Python.
+
+    Output per doc: prefix length, smallest period, the periodicity
+    ratio in ppm (L/p scaled), and the primitivity flag.
+
+    Scale shape: map-only — a bounded 47-way explode per row with a
+    codegen'd substring equality; no shuffle except the final census
+    ordering."""
+    L = F.least(F.char_length(F.col("text")), F.lit(PERIOD_PREFIX_LEN))
+    d = _docs(spark, sf_dir).select(
+        "doc_id",
+        F.substring(F.col("text"), 1, PERIOD_PREFIX_LEN).alias("s"),
+        L.alias("len"),
+    )
+    cand = d.select(
+        "doc_id",
+        "len",
+        F.explode(F.expr("sequence(1, greatest(len - 1, 1))")).alias("p"),
+    ).where(
+        (F.col("p") < F.col("len"))
+        & (
+            F.expr("substring(s, 1, len - p)")
+            == F.expr("substring(s, p + 1, len - p)")
+        )
+    )
+    period = cand.groupBy("doc_id").agg(F.min("p").alias("minp"))
+    out = d.join(period, "doc_id", "left").select(
+        "doc_id",
+        F.col("len").cast("long").alias("prefix_len"),
+        F.coalesce(F.col("minp"), F.col("len")).cast("long").alias("period"),
+        F.expr(
+            "CAST(div(1000000 * len, coalesce(minp, len)) AS BIGINT)"
+        ).alias("rep_ratio_ppm"),
+        F.when(F.coalesce(F.col("minp"), F.col("len")) == F.col("len"), 1)
+        .otherwise(0)
+        .cast("int")
+        .alias("primitive"),
+    )
+    return out.repartition(1).sortWithinPartitions("doc_id")
+
+
+def string_period_census_sql() -> str:
+    n = PERIOD_PREFIX_LEN
+    return f"""
+WITH d AS (
+  SELECT doc_id, substring(text, 1, {n}) AS s,
+         least(length(text), {n}) AS len
+  FROM documents
+),
+cand AS (
+  SELECT doc_id, len, p
+  FROM d, unnest(range(1, greatest(len, 2))) t(p)
+  WHERE p < len
+    AND substring(s, 1, CAST(len - p AS INT)) = substring(s, CAST(p + 1 AS INT), CAST(len - p AS INT))
+),
+period AS (SELECT doc_id, MIN(p) AS minp FROM cand GROUP BY doc_id)
+SELECT d.doc_id,
+       CAST(len AS BIGINT) AS prefix_len,
+       CAST(COALESCE(minp, len) AS BIGINT) AS period,
+       CAST((1000000 * len) // COALESCE(minp, len) AS BIGINT) AS rep_ratio_ppm,
+       CAST(CASE WHEN COALESCE(minp, len) = len THEN 1 ELSE 0 END AS INT) AS primitive
+FROM d LEFT JOIN period USING (doc_id)
+ORDER BY doc_id
+"""
+
+
+# --- Elias-Fano posting-list sizing census --------------------------------------
+
+
+def elias_fano_size(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Elias-Fano posting-list sizing census (Vigna 2013, the
+    quasi-succinct index encoding every modern search engine budgets
+    against): for each term with df >= POSTINGS_MIN_DF over the same
+    inverted index as postings_gaps, the EXACT EF bit cost — low part
+    n*l with l = floor(log2(U/n)) (0 when U < 2n so the div is 0),
+    high part n ones + (U >> l) unary zeros — versus the plain 32-bit
+    array, with the savings in ppm. floor(log2 x) is length(bin(x))-1
+    on both engines: integer-exact, no log() float anywhere.
+
+    Scale shape: one (term, doc) distinct shuffle + one term census —
+    identical to the index-build shape; the sizing math is map-only
+    column arithmetic."""
+    ws = _clean_words()
+    posting = (
+        _docs(spark, sf_dir)
+        .select("doc_id", F.explode(F.array_distinct(ws)).alias("term"))
+        .distinct()
+    )
+    agg = (
+        posting.groupBy("term")
+        .agg(
+            F.count(F.lit(1)).alias("df"),
+            (F.max("doc_id") + 1).alias("universe"),
+        )
+        .where(F.col("df") >= POSTINGS_MIN_DF)
+    )
+    out = agg.select(
+        "term",
+        "df",
+        "universe",
+        F.expr(
+            "CASE WHEN div(universe, df) >= 1"
+            " THEN length(bin(div(universe, df))) - 1 ELSE 0 END"
+        ).alias("l"),
+    ).select(
+        "term",
+        "df",
+        "universe",
+        F.col("l").cast("long").alias("low_bits_per_doc"),
+        (F.col("df") * F.col("l") + F.col("df") + F.expr("shiftright(universe, CAST(l AS INT))"))
+        .cast("long")
+        .alias("ef_bits"),
+        (F.lit(32) * F.col("df")).cast("long").alias("plain_bits"),
+    )
+    return (
+        out.select(
+            "*",
+            F.expr("CAST(div(1000000 * ef_bits, plain_bits) AS BIGINT)").alias(
+                "ef_ratio_ppm"
+            ),
+        )
+        .repartition(1)
+        .sortWithinPartitions("term")
+    )
+
+
+def elias_fano_size_sql() -> str:
+    return f"""
+WITH w AS (SELECT doc_id, list_filter({_SQL_WS}, t -> t <> '') AS ws FROM documents),
+posting AS (SELECT DISTINCT doc_id, unnest(ws) AS term FROM w),
+agg AS (
+  SELECT term, COUNT(*) AS df, MAX(doc_id) + 1 AS universe
+  FROM posting GROUP BY term HAVING COUNT(*) >= {POSTINGS_MIN_DF}
+),
+lo AS (
+  SELECT term, df, universe,
+         CASE WHEN universe // df >= 1
+              THEN length(bin(universe // df)) - 1 ELSE 0 END AS l
+  FROM agg
+),
+sized AS (
+  SELECT term, df, universe, l,
+         df * l + df + (universe >> l) AS ef_bits,
+         32 * df AS plain_bits
+  FROM lo
+)
+SELECT term, CAST(df AS BIGINT) AS df, CAST(universe AS BIGINT) AS universe,
+       CAST(l AS BIGINT) AS low_bits_per_doc,
+       CAST(ef_bits AS BIGINT) AS ef_bits,
+       CAST(plain_bits AS BIGINT) AS plain_bits,
+       CAST((1000000 * ef_bits) // plain_bits AS BIGINT) AS ef_ratio_ppm
+FROM sized ORDER BY term
+"""

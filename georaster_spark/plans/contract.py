@@ -5329,6 +5329,12 @@ def spatial_queries() -> dict[str, QueryFn]:
         "best_snippet": textops.best_snippet,
         "two_opt_census": q_two_opt_census,
         "compactness": q_compactness,
+        "record_breaks": rel.record_breaks,
+        "business_latency": rel.business_latency,
+        "shapley_attribution": rel.shapley_attribution,
+        "absorbing_chain": rel.absorbing_chain,
+        "string_period_census": textops.string_period_census,
+        "elias_fano_size": textops.elias_fano_size,
     })
 
 
@@ -5713,6 +5719,12 @@ def spatial_oracles(sf: str = "sf0.01") -> dict[str, str]:
         "best_snippet": textops.best_snippet_sql(),
         "two_opt_census": _sql_two_opt_census(fx),
         "compactness": _sql_compactness(fx),
+        "record_breaks": rel.record_breaks_sql(),
+        "business_latency": rel.business_latency_sql(),
+        "shapley_attribution": rel.shapley_attribution_sql(),
+        "absorbing_chain": rel.absorbing_chain_sql(),
+        "string_period_census": textops.string_period_census_sql(),
+        "elias_fano_size": textops.elias_fano_size_sql(),
     })
 
 
