@@ -8460,3 +8460,218 @@ SELECT * FROM (
 {outs}
 ) ORDER BY state
 """
+
+
+# --- zone-map (row-group min/max) pruning effectiveness audit -------------------
+
+_RG_SPAN = 512  # orderkeys per simulated row group (ingestion-ordered files)
+_RG_PREDS = (
+    ("ship_1994", "l_shipdate >= TIMESTAMP '1994-01-01 00:00:00' AND l_shipdate < TIMESTAMP '1995-01-01 00:00:00'"),
+    ("qty_ge_45", "l_quantity >= 45"),
+    ("price_gt_50k", "l_extendedprice > 50000"),
+)
+
+
+def rowgroup_pruning(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Zone-map pruning effectiveness audit — the min/max row-group
+    statistics every Parquet/ORC scan planner consults, measured
+    exactly: lineitem is laid out in ingestion-ordered row groups
+    (orderkey div 512), each group publishes min/max for shipdate,
+    quantity and price, and for each of three canonical predicates the
+    audit reports groups kept by stats vs groups truly containing
+    matches — the false-positive pruning overhead and the scan-volume
+    ratio that decides whether a sort/cluster layout is worth it.
+
+    Scale shape: ONE pass builds per-group stats AND per-group exact
+    match counts (conditional aggs), then a 3-key census; the row-group
+    key is pure arithmetic on the storage key, so the audit is the
+    same two shuffles at any scale."""
+    li = _t(spark, sf_dir, "lineitem")
+    rg = li.select(
+        F.expr(f"div(l_orderkey, {_RG_SPAN})").alias("rg"),
+        "l_shipdate", "l_quantity", "l_extendedprice",
+    )
+    matches = [
+        F.sum(F.expr(f"CASE WHEN {cond} THEN 1 ELSE 0 END")).alias(f"m{i}")
+        for i, (_, cond) in enumerate(_RG_PREDS)
+    ]
+    stats = rg.groupBy("rg").agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.min("l_shipdate").alias("min_ship"),
+        F.max("l_shipdate").alias("max_ship"),
+        F.max("l_quantity").alias("max_qty"),
+        F.max("l_extendedprice").alias("max_price"),
+        *matches,
+    )
+    kept = [
+        "max_ship >= TIMESTAMP '1994-01-01 00:00:00' AND min_ship < TIMESTAMP '1995-01-01 00:00:00'",
+        "max_qty >= 45",
+        "max_price > 50000",
+    ]
+    stack_args = ", ".join(
+        f"'{name}', CASE WHEN {kept[i]} THEN 1 ELSE 0 END, m{i}"
+        for i, (name, _) in enumerate(_RG_PREDS)
+    )
+    per_pred = stats.selectExpr(
+        "rg", "n_rows", f"stack(3, {stack_args}) AS (pred, kept, n_match)"
+    )
+    return (
+        per_pred.groupBy("pred")
+        .agg(
+            F.count(F.lit(1)).alias("n_groups"),
+            F.sum("kept").alias("kept_groups"),
+            F.sum(F.when(F.col("n_match") > 0, 1).otherwise(0)).alias("hit_groups"),
+            F.sum(F.col("kept") * F.col("n_rows")).alias("rows_scanned"),
+            F.sum("n_match").alias("rows_matched"),
+            F.sum("n_rows").alias("rows_total"),
+        )
+        .select(
+            "pred", "n_groups", "kept_groups", "hit_groups",
+            (F.col("kept_groups") - F.col("hit_groups")).alias("false_pos_groups"),
+            "rows_scanned", "rows_matched",
+            F.expr("CAST(div(1000000 * rows_scanned, rows_total) AS BIGINT)").alias(
+                "scan_ratio_ppm"
+            ),
+        )
+        .repartition(1)
+        .sortWithinPartitions("pred")
+    )
+
+
+def rowgroup_pruning_sql() -> str:
+    m_cols = ",\n         ".join(
+        f"SUM(CASE WHEN {cond} THEN 1 ELSE 0 END) AS m{i}"
+        for i, (_, cond) in enumerate(_RG_PREDS)
+    )
+    kept = [
+        "max_ship >= TIMESTAMP '1994-01-01 00:00:00' AND min_ship < TIMESTAMP '1995-01-01 00:00:00'",
+        "max_qty >= 45",
+        "max_price > 50000",
+    ]
+    rows = "\n  UNION ALL\n".join(
+        f"  SELECT rg, n_rows, '{name}' AS pred,"
+        f" CASE WHEN {kept[i]} THEN 1 ELSE 0 END AS kept, m{i} AS n_match FROM stats"
+        for i, (name, _) in enumerate(_RG_PREDS)
+    )
+    return f"""
+WITH stats AS (
+  SELECT l_orderkey // {_RG_SPAN} AS rg,
+         COUNT(*) AS n_rows,
+         MIN(l_shipdate) AS min_ship, MAX(l_shipdate) AS max_ship,
+         MAX(l_quantity) AS max_qty, MAX(l_extendedprice) AS max_price,
+         {m_cols}
+  FROM lineitem GROUP BY 1
+),
+per_pred AS (
+{rows}
+)
+SELECT pred, COUNT(*) AS n_groups,
+       CAST(SUM(kept) AS BIGINT) AS kept_groups,
+       CAST(SUM(CASE WHEN n_match > 0 THEN 1 ELSE 0 END) AS BIGINT) AS hit_groups,
+       CAST(SUM(kept) - SUM(CASE WHEN n_match > 0 THEN 1 ELSE 0 END) AS BIGINT) AS false_pos_groups,
+       CAST(SUM(kept * n_rows) AS BIGINT) AS rows_scanned,
+       CAST(SUM(n_match) AS BIGINT) AS rows_matched,
+       CAST((1000000 * SUM(kept * n_rows)) // SUM(n_rows) AS BIGINT) AS scan_ratio_ppm
+FROM per_pred GROUP BY pred ORDER BY pred
+"""
+
+
+# --- exact-SAD matrix profile over the daily-revenue series ---------------------
+
+_MP_M = 7       # window length (days of the ranked trading-day series)
+_MP_EXCL = 3    # exclusion zone: |i - j| > m div 2 avoids trivial matches
+
+
+def sad_matrix_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Matrix profile over the daily-revenue series with the exact
+    integer SAD distance (the motif-discovery primitive of Yeh et al.
+    2016, computed definitionally rather than with floating MASS):
+    revenue per order date in exact cents, ranked into a gapless
+    trading-day index; every length-7 window is compared against every
+    other window outside the +-3 exclusion zone and the profile keeps
+    each window's minimum SAD and its earliest matching position.
+
+    Scale shape: the series is an AGGREGATE of the fact table (days,
+    not rows), so the quadratic pair join is over #days^2 windows —
+    bounded by the calendar, not by 10^12 rows; the heavy input pass
+    is one date-key census."""
+    o = _t(spark, sf_dir, "orders")
+    daily = o.groupBy("o_orderdate").agg(
+        F.sum(F.expr("CAST(round(o_totalprice * 100) AS BIGINT)")).alias("cents")
+    )
+    idx = daily.select(
+        F.row_number()
+        .over(Window.orderBy("o_orderdate"))
+        .alias("i"),
+        "o_orderdate",
+        "cents",
+    )
+    win = (
+        idx.select(
+            "i",
+            "o_orderdate",
+            F.collect_list("cents")
+            .over(Window.orderBy("i").rowsBetween(0, _MP_M - 1))
+            .alias("wv"),
+        )
+        .where(F.size("wv") == _MP_M)
+    )
+    a = win.select(F.col("i").alias("ia"), F.col("o_orderdate").alias("da"), F.col("wv").alias("va"))
+    b = win.select(F.col("i").alias("ib"), F.col("wv").alias("vb"))
+    pairs = a.join(b, F.abs(F.col("ia") - F.col("ib")) > _MP_EXCL).select(
+        "ia", "da", "ib",
+        F.aggregate(
+            F.zip_with("va", "vb", lambda x, y: F.abs(x - y)),
+            F.lit(0).cast("long"),
+            lambda acc, v: acc + v,
+        ).alias("sad"),
+    )
+    best = pairs.groupBy("ia", "da").agg(F.min("sad").alias("mp_sad"))
+    out = (
+        pairs.join(best, ["ia", "da"])
+        .where(F.col("sad") == F.col("mp_sad"))
+        .groupBy("ia", "da")
+        .agg(F.min("ib").alias("best_j"), F.min("sad").alias("mp_sad"))
+    )
+    return (
+        out.select(
+            F.col("ia").alias("i"),
+            F.col("da").alias("window_start"),
+            "best_j",
+            "mp_sad",
+        )
+        .repartition(1)
+        .sortWithinPartitions("i")
+    )
+
+
+def sad_matrix_profile_sql() -> str:
+    return f"""
+WITH daily AS (
+  SELECT o_orderdate, SUM(CAST(round(o_totalprice * 100) AS BIGINT)) AS cents
+  FROM orders GROUP BY o_orderdate
+),
+idx AS (
+  SELECT row_number() OVER (ORDER BY o_orderdate) AS i, o_orderdate, cents
+  FROM daily
+),
+win AS (
+  SELECT i, o_orderdate,
+         list(cents) OVER (ORDER BY i ROWS BETWEEN CURRENT ROW AND {_MP_M - 1} FOLLOWING) AS wv
+  FROM idx
+  QUALIFY len(wv) = {_MP_M}
+),
+pairs AS (
+  SELECT a.i AS ia, a.o_orderdate AS da, b.i AS ib,
+         abs(a.wv[1] - b.wv[1]) + abs(a.wv[2] - b.wv[2]) + abs(a.wv[3] - b.wv[3]) + abs(a.wv[4] - b.wv[4]) + abs(a.wv[5] - b.wv[5]) + abs(a.wv[6] - b.wv[6]) + abs(a.wv[7] - b.wv[7]) AS sad
+  FROM win a JOIN win b ON abs(a.i - b.i) > {_MP_EXCL}
+),
+best AS (
+  SELECT ia, da, MIN(sad) AS mp_sad FROM pairs GROUP BY ia, da
+)
+SELECT p.ia AS i, p.da AS window_start,
+       CAST(MIN(p.ib) AS BIGINT) AS best_j,
+       CAST(MIN(p.sad) AS BIGINT) AS mp_sad
+FROM pairs p JOIN best ON best.ia = p.ia AND p.sad = best.mp_sad
+GROUP BY p.ia, p.da ORDER BY i
+"""

@@ -4568,3 +4568,87 @@ SELECT term, CAST(df AS BIGINT) AS df, CAST(universe AS BIGINT) AS universe,
        CAST((1000000 * ef_bits) // plain_bits AS BIGINT) AS ef_ratio_ppm
 FROM sized ORDER BY term
 """
+
+
+# --- exact Adjusted Rand Index between two document partitions ------------------
+
+
+def ari_clusterings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Adjusted Rand Index between the language partition and the
+    source partition of the corpus, EXACT (Hubert & Arabie 1985): from
+    the (lang, source) contingency table, S = sum_ij C(n_ij,2),
+    A = sum_i C(a_i,2), B = sum_j C(b_j,2), and ARI's numerator /
+    denominator cleared of fractions — num2 = 2*(C(n,2)*S - A*B),
+    den2 = C(n,2)*(A+B) - 2*A*B — reported as exact integers (the
+    clustering-agreement yardstick dedup pipelines use to compare
+    detector partitions without floats; int64-safe to ~3e9 docs).
+
+    Scale shape: one (lang, source) census — partial+final agg on a
+    handful of keys — then single-row closed-form arithmetic."""
+    d = _docs(spark, sf_dir).select("lang", "source")
+    ct = d.groupBy("lang", "source").agg(F.count(F.lit(1)).alias("nij"))
+    S = ct.agg(
+        F.sum(F.expr("div(nij * (nij - 1), 2)")).alias("S"),
+        F.sum("nij").alias("n"),
+        F.count(F.lit(1)).alias("n_cells"),
+    )
+    A = (
+        ct.groupBy("lang")
+        .agg(F.sum("nij").alias("ai"))
+        .agg(
+            F.sum(F.expr("div(ai * (ai - 1), 2)")).alias("A"),
+            F.count(F.lit(1)).alias("n_lang"),
+        )
+    )
+    B = (
+        ct.groupBy("source")
+        .agg(F.sum("nij").alias("bj"))
+        .agg(
+            F.sum(F.expr("div(bj * (bj - 1), 2)")).alias("B"),
+            F.count(F.lit(1)).alias("n_source"),
+        )
+    )
+    joined = S.crossJoin(A).crossJoin(B).select(
+        "n", "n_lang", "n_source", "S", "A", "B",
+        F.expr("div(n * (n - 1), 2)").alias("pairs"),
+    )
+    return joined.select(
+        "n", "n_lang", "n_source",
+        F.col("S").cast("long").alias("sum_cells_c2"),
+        F.col("A").cast("long").alias("sum_rows_c2"),
+        F.col("B").cast("long").alias("sum_cols_c2"),
+        (F.lit(2) * (F.col("pairs") * F.col("S") - F.col("A") * F.col("B")))
+        .cast("long")
+        .alias("ari_num2"),
+        (F.col("pairs") * (F.col("A") + F.col("B")) - F.lit(2) * F.col("A") * F.col("B"))
+        .cast("long")
+        .alias("ari_den2"),
+    )
+
+
+def ari_clusterings_sql() -> str:
+    return """
+WITH ct AS (
+  SELECT lang, source, COUNT(*) AS nij FROM documents GROUP BY lang, source
+),
+s AS (
+  SELECT SUM(nij * (nij - 1) // 2) AS S, SUM(nij) AS n FROM ct
+),
+a AS (
+  SELECT SUM(ai * (ai - 1) // 2) AS A, COUNT(*) AS n_lang
+  FROM (SELECT lang, SUM(nij) AS ai FROM ct GROUP BY lang)
+),
+b AS (
+  SELECT SUM(bj * (bj - 1) // 2) AS B, COUNT(*) AS n_source
+  FROM (SELECT source, SUM(nij) AS bj FROM ct GROUP BY source)
+)
+SELECT CAST(n AS BIGINT) AS n,
+       CAST(n_lang AS BIGINT) AS n_lang,
+       CAST(n_source AS BIGINT) AS n_source,
+       CAST(S AS BIGINT) AS sum_cells_c2,
+       CAST(A AS BIGINT) AS sum_rows_c2,
+       CAST(B AS BIGINT) AS sum_cols_c2,
+       CAST(2 * ((n * (n - 1) // 2) * S - A * B) AS BIGINT) AS ari_num2,
+       CAST((n * (n - 1) // 2) * (A + B) - 2 * A * B AS BIGINT) AS ari_den2
+FROM s, a, b
+"""

@@ -5335,6 +5335,9 @@ def spatial_queries() -> dict[str, QueryFn]:
         "absorbing_chain": rel.absorbing_chain,
         "string_period_census": textops.string_period_census,
         "elias_fano_size": textops.elias_fano_size,
+        "rowgroup_pruning": rel.rowgroup_pruning,
+        "sad_matrix_profile": rel.sad_matrix_profile,
+        "ari_clusterings": textops.ari_clusterings,
     })
 
 
@@ -5725,6 +5728,9 @@ def spatial_oracles(sf: str = "sf0.01") -> dict[str, str]:
         "absorbing_chain": rel.absorbing_chain_sql(),
         "string_period_census": textops.string_period_census_sql(),
         "elias_fano_size": textops.elias_fano_size_sql(),
+        "rowgroup_pruning": rel.rowgroup_pruning_sql(),
+        "sad_matrix_profile": rel.sad_matrix_profile_sql(),
+        "ari_clusterings": textops.ari_clusterings_sql(),
     })
 
 
