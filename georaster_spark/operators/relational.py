@@ -8675,3 +8675,232 @@ SELECT p.ia AS i, p.da AS window_start,
 FROM pairs p JOIN best ON best.ia = p.ia AND p.sad = best.mp_sad
 GROUP BY p.ia, p.da ORDER BY i
 """
+
+
+# --- calibration audit (reliability diagram + exact integer ECE) ----------------
+
+
+def calibration_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Model-calibration audit with an exact integer ECE (the
+    reliability-diagram check every scored pipeline runs before
+    shipping a ranking model): users split train/test by user-id
+    parity; the 'model' is the train-side empirical purchase rate of
+    each activity bin (views capped into 10 bins), quoted in ppm; the
+    test side then reports, per bin, predicted-ppm vs observed
+    purchase counts — and each bin's |predicted - observed| gap
+    weighted by test mass is the Expected Calibration Error numerator,
+    all in exact integer arithmetic (ECE_ppm = sum(gap*n)/N).
+
+    Scale shape: two user-key censuses (train, test) joined on 10 bin
+    keys — partial+final aggs end-to-end, no window, no float."""
+    ev = _t(spark, sf_dir, "events")
+    per_user = ev.groupBy("user_id").agg(
+        F.sum(F.when(F.col("event_type") == "view", 1).otherwise(0)).alias("n_views"),
+        F.max(F.when(F.col("event_type") == "purchase", 1).otherwise(0)).alias("converted"),
+    )
+    binned = per_user.select(
+        "user_id", "converted",
+        F.least(F.expr("div(n_views, 2)"), F.lit(9)).alias("bin"),
+    )
+    train = (
+        binned.where(F.col("user_id") % 2 == 0)
+        .groupBy("bin")
+        .agg(
+            F.count(F.lit(1)).alias("n_train"),
+            F.sum("converted").alias("pos_train"),
+        )
+        .select(
+            "bin", "n_train",
+            F.expr("CAST(div(1000000 * pos_train, n_train) AS BIGINT)").alias(
+                "pred_ppm"
+            ),
+        )
+    )
+    test = (
+        binned.where(F.col("user_id") % 2 == 1)
+        .groupBy("bin")
+        .agg(
+            F.count(F.lit(1)).alias("n_test"),
+            F.sum("converted").alias("pos_test"),
+        )
+    )
+    j = train.join(test, "bin").select(
+        "bin", "n_train", "pred_ppm", "n_test", "pos_test",
+        F.expr("CAST(div(1000000 * pos_test, n_test) AS BIGINT)").alias("obs_ppm"),
+    )
+    return (
+        j.select(
+            "*",
+            (F.abs(F.col("pred_ppm") - F.col("obs_ppm")) * F.col("n_test")).alias(
+                "ece_contrib"
+            ),
+        )
+        .repartition(1)
+        .sortWithinPartitions("bin")
+    )
+
+
+def calibration_bins_sql() -> str:
+    return """
+WITH per_user AS (
+  SELECT user_id,
+         SUM(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END) AS n_views,
+         MAX(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS converted
+  FROM events GROUP BY user_id
+),
+binned AS (
+  SELECT user_id, converted, least(n_views // 2, 9) AS bin FROM per_user
+),
+train AS (
+  SELECT bin, COUNT(*) AS n_train,
+         (1000000 * SUM(converted)) // COUNT(*) AS pred_ppm
+  FROM binned WHERE user_id % 2 = 0 GROUP BY bin
+),
+test AS (
+  SELECT bin, COUNT(*) AS n_test, SUM(converted) AS pos_test
+  FROM binned WHERE user_id % 2 = 1 GROUP BY bin
+)
+SELECT CAST(bin AS BIGINT) AS bin,
+       CAST(n_train AS BIGINT) AS n_train,
+       CAST(pred_ppm AS BIGINT) AS pred_ppm,
+       CAST(n_test AS BIGINT) AS n_test,
+       CAST(pos_test AS BIGINT) AS pos_test,
+       CAST((1000000 * pos_test) // n_test AS BIGINT) AS obs_ppm,
+       CAST(abs(pred_ppm - (1000000 * pos_test) // n_test) * n_test AS BIGINT) AS ece_contrib
+FROM train JOIN test USING (bin)
+ORDER BY bin
+"""
+
+
+# --- l-diversity privacy audit --------------------------------------------------
+
+_LDIV_L = 3
+
+
+def l_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """l-diversity audit (Machanavajjhala et al. 2007, the follow-up
+    to k-anonymity): quasi-identifier groups are (market segment,
+    order priority, order year) after joining orders to customers;
+    the sensitive attribute is order status. Each group reports its
+    size, its count of DISTINCT sensitive values, the dominant
+    status's share in ppm, and whether it violates distinct
+    l-diversity at l = 3 — the release-gate table a privacy review
+    signs off on.
+
+    Scale shape: one fact-dim equi-join + one QI-key census with a
+    distinct-count and a max-share (two-level partial agg); QI keys
+    are low-cardinality, so the census is tiny at any scale."""
+    o = _t(spark, sf_dir, "orders")
+    c = _t(spark, sf_dir, "customer")
+    j = o.join(F.broadcast(c), o["o_custkey"] == c["c_custkey"]).select(
+        "c_mktsegment", "o_orderpriority",
+        F.year("o_orderdate").alias("o_year"),
+        "o_orderstatus",
+    )
+    per_status = j.groupBy(
+        "c_mktsegment", "o_orderpriority", "o_year", "o_orderstatus"
+    ).agg(F.count(F.lit(1)).alias("ns"))
+    g = per_status.groupBy("c_mktsegment", "o_orderpriority", "o_year").agg(
+        F.sum("ns").alias("group_size"),
+        F.count(F.lit(1)).alias("distinct_sensitive"),
+        F.max("ns").alias("max_status"),
+    )
+    return (
+        g.select(
+            "c_mktsegment", "o_orderpriority", "o_year",
+            "group_size", "distinct_sensitive",
+            F.expr("CAST(div(1000000 * max_status, group_size) AS BIGINT)").alias(
+                "dominant_share_ppm"
+            ),
+            F.when(F.col("distinct_sensitive") < _LDIV_L, 1)
+            .otherwise(0)
+            .cast("int")
+            .alias("violates_l3"),
+        )
+        .repartition(1)
+        .sortWithinPartitions("c_mktsegment", "o_orderpriority", "o_year")
+    )
+
+
+def l_diversity_sql() -> str:
+    return f"""
+WITH j AS (
+  SELECT c_mktsegment, o_orderpriority,
+         EXTRACT(year FROM o_orderdate) AS o_year, o_orderstatus
+  FROM orders JOIN customer ON c_custkey = o_custkey
+),
+per_status AS (
+  SELECT c_mktsegment, o_orderpriority, o_year, o_orderstatus, COUNT(*) AS ns
+  FROM j GROUP BY ALL
+),
+g AS (
+  SELECT c_mktsegment, o_orderpriority, o_year,
+         SUM(ns) AS group_size, COUNT(*) AS distinct_sensitive, MAX(ns) AS max_status
+  FROM per_status GROUP BY ALL
+)
+SELECT c_mktsegment, o_orderpriority, CAST(o_year AS INT) AS o_year,
+       CAST(group_size AS BIGINT) AS group_size,
+       CAST(distinct_sensitive AS BIGINT) AS distinct_sensitive,
+       CAST((1000000 * max_status) // group_size AS BIGINT) AS dominant_share_ppm,
+       CAST(CASE WHEN distinct_sensitive < {_LDIV_L} THEN 1 ELSE 0 END AS INT) AS violates_l3
+FROM g ORDER BY c_mktsegment, o_orderpriority, o_year
+"""
+
+
+# --- deterministic weighted sampling (integer A-ES priorities) ------------------
+
+_WSAMPLE_K = 100
+
+
+def weighted_sample_ares(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weighted sampling with deterministic integer priorities — the
+    exponential-clocks / A-ES family (Efraimidis & Spirakis 2006) made
+    reproducible: each order's pseudo-random draw is a 40-bit md5 hash
+    of its key, its priority the exact integer div(2^20 * h40, cents)
+    (monotone in h/w, the rank statistic A-ES orders by), and the
+    sample is the k = 100 smallest priorities (hash tie-break). Output
+    pins the selected set plus each row's priority — a weighted
+    reservoir any engine can replay bit-for-bit.
+
+    Scale shape: map-only hash + priority arithmetic, then a global
+    top-k (rank + filter) — the same single ordered shuffle as any
+    top-k; no per-row Python, no RNG state."""
+    o = _t(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        F.expr("CAST(round(o_totalprice * 100) AS BIGINT)").alias("cents"),
+        F.conv(F.substring(F.md5(F.col("o_orderkey").cast("string")), 1, 10), 16, 10)
+        .cast("long")
+        .alias("h40"),
+    )
+    pri = o.select(
+        "o_orderkey", "cents", "h40",
+        F.expr("div(1048576 * h40, cents)").alias("priority"),
+    )
+    w = Window.orderBy("priority", "h40", "o_orderkey")
+    return (
+        pri.select("*", F.row_number().over(w).alias("rk"))
+        .where(F.col("rk") <= _WSAMPLE_K)
+        .select("rk", "o_orderkey", "cents", "priority")
+        .repartition(1)
+        .sortWithinPartitions("rk")
+    )
+
+
+def weighted_sample_ares_sql() -> str:
+    return f"""
+WITH o AS (
+  SELECT o_orderkey,
+         CAST(round(o_totalprice * 100) AS BIGINT) AS cents,
+         CAST('0x' || substring(md5(CAST(o_orderkey AS VARCHAR)), 1, 10) AS BIGINT) AS h40
+  FROM orders
+),
+pri AS (
+  SELECT o_orderkey, cents, h40, (1048576 * h40) // cents AS priority FROM o
+),
+rk AS (
+  SELECT *, row_number() OVER (ORDER BY priority, h40, o_orderkey) AS rk FROM pri
+)
+SELECT CAST(rk AS BIGINT) AS rk, o_orderkey, cents,
+       CAST(priority AS BIGINT) AS priority
+FROM rk WHERE rk <= {_WSAMPLE_K} ORDER BY rk
+"""

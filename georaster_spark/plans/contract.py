@@ -5338,6 +5338,9 @@ def spatial_queries() -> dict[str, QueryFn]:
         "rowgroup_pruning": rel.rowgroup_pruning,
         "sad_matrix_profile": rel.sad_matrix_profile,
         "ari_clusterings": textops.ari_clusterings,
+        "calibration_bins": rel.calibration_bins,
+        "l_diversity": rel.l_diversity,
+        "weighted_sample_ares": rel.weighted_sample_ares,
     })
 
 
@@ -5731,6 +5734,9 @@ def spatial_oracles(sf: str = "sf0.01") -> dict[str, str]:
         "rowgroup_pruning": rel.rowgroup_pruning_sql(),
         "sad_matrix_profile": rel.sad_matrix_profile_sql(),
         "ari_clusterings": textops.ari_clusterings_sql(),
+        "calibration_bins": rel.calibration_bins_sql(),
+        "l_diversity": rel.l_diversity_sql(),
+        "weighted_sample_ares": rel.weighted_sample_ares_sql(),
     })
 
 
