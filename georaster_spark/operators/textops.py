@@ -33,6 +33,7 @@ from __future__ import annotations
 
 from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
+from pyspark.sql import Window
 from pyspark.sql import Window as W
 
 # ---------------------------------------------------------------------------
@@ -4651,4 +4652,348 @@ SELECT CAST(n AS BIGINT) AS n,
        CAST(2 * ((n * (n - 1) // 2) * S - A * B) AS BIGINT) AS ari_num2,
        CAST((n * (n - 1) // 2) * (A + B) - 2 * A * B AS BIGINT) AS ari_den2
 FROM s, a, b
+"""
+
+
+# --- dedup cascade: marginal removal per stage ----------------------------------
+
+
+def dedup_cascade(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dedup-cascade effectiveness census — the marginal-removal table
+    a training-data pipeline publishes for each dedup stage run IN
+    SEQUENCE (each stage sees only the previous stage's survivors):
+    stage 1 exact (md5 of raw text), stage 2 reorder-invariant (md5 of
+    the sorted distinct token set — catches shuffled boilerplate),
+    stage 3 fuzzy (MinHash band buckets, K=16 in 4x4 bands, star
+    canonicalization: a doc is removed when ANY of its band buckets
+    holds a smaller surviving doc id). Per stage: docs in, removed,
+    out, and the removed-id checksum pinning exactly which docs died.
+
+    Scale shape: stages 1-2 are one hash-key shuffle each; stage 3 is
+    the bounded 4-rows-per-doc band join of minhash_lsh_pairs — no
+    all-pairs anywhere, so the cascade is three bounded shuffles at
+    any corpus size."""
+    base = _docs(spark, sf_dir).select(
+        "doc_id", "text", F.md5("text").alias("k1")
+    )
+    w1 = Window.partitionBy("k1")
+    s1 = base.select("doc_id", "text", F.min("doc_id").over(w1).alias("c1"))
+    surv1 = s1.where(F.col("doc_id") == F.col("c1")).select("doc_id", "text")
+    key2 = F.md5(F.array_join(F.array_sort(F.array_distinct(_clean_words())), " "))
+    w2 = Window.partitionBy("k2")
+    s2 = surv1.select("doc_id", "text", key2.alias("k2")).select(
+        "doc_id", "text", F.min("doc_id").over(w2).alias("c2")
+    )
+    surv2 = s2.where(F.col("doc_id") == F.col("c2")).select("doc_id", "text")
+    sig = (
+        _with_shingles(surv2)
+        .select("doc_id", F.transform("sh", h40).alias("hs"))
+        .select("doc_id", *_minhash_cols(F.col("hs")))
+    )
+    rows_per_band = MH_K // MH_BANDS
+    keys = [
+        F.concat_ws(
+            ":",
+            F.lit(b),
+            *[F.col(f"m{b * rows_per_band + r}") for r in range(rows_per_band)],
+        )
+        for b in range(MH_BANDS)
+    ]
+    banded = sig.select("doc_id", F.explode(F.array(*keys)).alias("band_key"))
+    wb = Window.partitionBy("band_key")
+    c3 = (
+        banded.select("doc_id", F.min("doc_id").over(wb).alias("bmin"))
+        .groupBy("doc_id")
+        .agg(F.min("bmin").alias("c3"))
+    )
+    s3 = surv2.join(c3, "doc_id", "left").select(
+        "doc_id", F.coalesce(F.col("c3"), F.col("doc_id")).alias("c3")
+    )
+
+    def census(stage, df, canon):
+        agg = df.agg(
+            F.count(F.lit(1)).alias("n_in"),
+            F.sum(F.when(F.col("doc_id") != F.col(canon), 1).otherwise(0)).alias(
+                "n_removed"
+            ),
+            F.sum(F.when(F.col("doc_id") == F.col(canon), 1).otherwise(0)).alias(
+                "n_out"
+            ),
+            F.coalesce(
+                F.sum(F.when(F.col("doc_id") != F.col(canon), F.col("doc_id"))),
+                F.lit(0),
+            ).alias("removed_checksum"),
+        )
+        return agg.select(F.lit(stage).alias("stage"), "*")
+
+    out = (
+        census("1_exact", s1, "c1")
+        .unionByName(census("2_sorted_tokens", s2, "c2"))
+        .unionByName(census("3_minhash_band", s3, "c3"))
+    )
+    return out.repartition(1).sortWithinPartitions("stage")
+
+
+def dedup_cascade_sql() -> str:
+    rows_per_band = MH_K // MH_BANDS
+    mh = ",\n  ".join(
+        f"list_min(list_transform(hs, h -> ({MH_A[k]} * h + {MH_B[k]}) % {MH_P})) AS m{k}"
+        for k in range(MH_K)
+    )
+    band_sel = "\nUNION ALL\n".join(
+        "SELECT doc_id, '{b}:' || {key} AS band_key FROM sig".format(
+            b=b,
+            key=" || ':' || ".join(
+                f"m{b * rows_per_band + r}" for r in range(rows_per_band)
+            ),
+        )
+        for b in range(MH_BANDS)
+    )
+    return f"""
+WITH s1 AS (
+  SELECT doc_id, text,
+         MIN(doc_id) OVER (PARTITION BY md5(text)) AS c1
+  FROM documents
+),
+surv1 AS (SELECT doc_id, text FROM s1 WHERE doc_id = c1),
+s2 AS (
+  SELECT doc_id, text,
+         MIN(doc_id) OVER (PARTITION BY md5(array_to_string(
+           list_sort(list_distinct(list_filter({_SQL_WS}, t -> t <> ''))), ' '))) AS c2
+  FROM surv1
+),
+surv2 AS (SELECT doc_id, text FROM s2 WHERE doc_id = c2),
+w AS (SELECT doc_id, {_SQL_WS} AS ws FROM surv2),
+sh AS (SELECT doc_id, {_SQL_SHINGLES} AS sh FROM w WHERE len(ws) >= 3),
+hsx AS (SELECT doc_id, list_transform(sh, s -> {_SQL_H40.format(s='s')}) AS hs FROM sh),
+sig AS (SELECT doc_id, {mh} FROM hsx),
+bands AS ({band_sel}),
+bucket_min AS (
+  SELECT band_key, MIN(doc_id) AS bm FROM bands GROUP BY band_key
+),
+c3 AS (
+  SELECT bands.doc_id, MIN(bm) AS c3
+  FROM bands JOIN bucket_min USING (band_key) GROUP BY bands.doc_id
+),
+s3 AS (
+  SELECT surv2.doc_id, COALESCE(c3.c3, surv2.doc_id) AS c3
+  FROM surv2 LEFT JOIN c3 ON c3.doc_id = surv2.doc_id
+),
+census AS (
+  SELECT '1_exact' AS stage, COUNT(*) AS n_in,
+         SUM(CASE WHEN doc_id != c1 THEN 1 ELSE 0 END) AS n_removed,
+         SUM(CASE WHEN doc_id = c1 THEN 1 ELSE 0 END) AS n_out,
+         COALESCE(SUM(CASE WHEN doc_id != c1 THEN doc_id END), 0) AS removed_checksum
+  FROM s1
+  UNION ALL
+  SELECT '2_sorted_tokens', COUNT(*),
+         SUM(CASE WHEN doc_id != c2 THEN 1 ELSE 0 END),
+         SUM(CASE WHEN doc_id = c2 THEN 1 ELSE 0 END),
+         COALESCE(SUM(CASE WHEN doc_id != c2 THEN doc_id END), 0)
+  FROM s2
+  UNION ALL
+  SELECT '3_minhash_band', COUNT(*),
+         SUM(CASE WHEN doc_id != c3 THEN 1 ELSE 0 END),
+         SUM(CASE WHEN doc_id = c3 THEN 1 ELSE 0 END),
+         COALESCE(SUM(CASE WHEN doc_id != c3 THEN doc_id END), 0)
+  FROM s3
+)
+SELECT stage, CAST(n_in AS BIGINT) AS n_in,
+       CAST(n_removed AS BIGINT) AS n_removed,
+       CAST(n_out AS BIGINT) AS n_out,
+       CAST(removed_checksum AS BIGINT) AS removed_checksum
+FROM census ORDER BY stage
+"""
+
+
+# --- RAKE keyword extraction (integer-exact scores) -----------------------------
+
+
+def rake_keywords(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RAKE keyword extraction (Rose et al. 2010) with integer-exact
+    scoring: tokens split into candidate phrases at the STOPWORDS
+    boundary set, per-document word stats freq(w) = occurrences in
+    phrases and deg(w) = sum of lengths of phrases containing w, a
+    phrase's score the sum of div(10^6 * deg, freq) over its word
+    occurrences, and each document reports its best phrase (score
+    desc, phrase asc tie-break) — the keyword surface a corpus index
+    publishes, floats nowhere.
+
+    Scale shape: one bounded explode per doc (positions), phrase
+    grouping by a prefix-sum of stop flags (one doc-key window), two
+    doc-local censuses and a doc-key top-1 window — all keys are
+    doc-scoped, so no hot keys at corpus scale."""
+    toks = (
+        _docs(spark, sf_dir)
+        .select("doc_id", F.posexplode(_clean_words()).alias("pos", "w"))
+    )
+    wst = Window.partitionBy("doc_id").orderBy("pos")
+    ph = toks.select(
+        "doc_id", "pos", "w",
+        F.col("w").isin(*STOPWORDS).cast("int").alias("stop"),
+    ).select(
+        "doc_id", "pos", "w", "stop",
+        F.sum("stop").over(wst.rowsBetween(Window.unboundedPreceding, 0)).alias("pid"),
+    ).where(F.col("stop") == 0)
+    plen = ph.groupBy("doc_id", "pid").agg(
+        F.count(F.lit(1)).alias("plen"),
+        F.array_join(
+            F.transform(
+                F.sort_array(F.collect_list(F.struct("pos", "w"))), lambda s: s["w"]
+            ),
+            " ",
+        ).alias("phrase"),
+    )
+    words = ph.join(plen.select("doc_id", "pid", "plen"), ["doc_id", "pid"])
+    wstats = words.groupBy("doc_id", "w").agg(
+        F.count(F.lit(1)).alias("freq"),
+        F.sum("plen").alias("deg"),
+    )
+    scored = (
+        words.join(wstats, ["doc_id", "w"])
+        .groupBy("doc_id", "pid")
+        .agg(F.sum(F.expr("div(1000000 * deg, freq)")).alias("score_ppm"))
+        .join(plen, ["doc_id", "pid"])
+    )
+    wtop = Window.partitionBy("doc_id").orderBy(
+        F.col("score_ppm").desc(), F.col("phrase").asc()
+    )
+    nph = scored.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_phrases"))
+    best = (
+        scored.select("doc_id", "phrase", "score_ppm",
+                      F.row_number().over(wtop).alias("rn"))
+        .where(F.col("rn") == 1)
+        .drop("rn")
+        .join(nph, "doc_id")
+    )
+    return best.repartition(1).sortWithinPartitions("doc_id")
+
+
+def rake_keywords_sql() -> str:
+    stop = ", ".join(f"'{w}'" for w in STOPWORDS)
+    return f"""
+WITH toks AS (
+  SELECT doc_id, i - 1 AS pos, ws[i] AS w
+  FROM (SELECT doc_id, list_filter({_SQL_WS}, t -> t <> '') AS ws FROM documents),
+       unnest(range(1, len(ws) + 1)) t(i)
+),
+flagged AS (
+  SELECT doc_id, pos, w,
+         CASE WHEN w IN ({stop}) THEN 1 ELSE 0 END AS stop
+  FROM toks
+),
+ph AS (
+  SELECT doc_id, pos, w,
+         SUM(stop) OVER (PARTITION BY doc_id ORDER BY pos
+                         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS pid
+  FROM flagged QUALIFY stop = 0
+),
+plen AS (
+  SELECT doc_id, pid, COUNT(*) AS plen,
+         string_agg(w, ' ' ORDER BY pos) AS phrase
+  FROM ph GROUP BY doc_id, pid
+),
+words AS (
+  SELECT ph.doc_id, ph.pid, ph.w, plen.plen
+  FROM ph JOIN plen ON plen.doc_id = ph.doc_id AND plen.pid = ph.pid
+),
+wstats AS (
+  SELECT doc_id, w, COUNT(*) AS freq, SUM(plen) AS deg
+  FROM words GROUP BY doc_id, w
+),
+scored AS (
+  SELECT w2.doc_id, w2.pid,
+         SUM((1000000 * deg) // freq) AS score_ppm
+  FROM words w2 JOIN wstats ON wstats.doc_id = w2.doc_id AND wstats.w = w2.w
+  GROUP BY w2.doc_id, w2.pid
+),
+withp AS (
+  SELECT scored.doc_id, phrase, score_ppm
+  FROM scored JOIN plen ON plen.doc_id = scored.doc_id AND plen.pid = scored.pid
+),
+nph AS (SELECT doc_id, COUNT(*) AS n_phrases FROM scored GROUP BY doc_id),
+best AS (
+  SELECT doc_id, phrase, score_ppm,
+         row_number() OVER (PARTITION BY doc_id ORDER BY score_ppm DESC, phrase ASC) AS rn
+  FROM withp QUALIFY rn = 1
+)
+SELECT best.doc_id, phrase, CAST(score_ppm AS BIGINT) AS score_ppm,
+       CAST(n_phrases AS BIGINT) AS n_phrases
+FROM best JOIN nph ON nph.doc_id = best.doc_id
+ORDER BY best.doc_id
+"""
+
+
+# --- group-aware k-fold split audit ---------------------------------------------
+
+_KFOLD_K = 5
+
+
+def group_kfold(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Group-aware k-fold split audit (sklearn's GroupKFold contract,
+    the contamination guard for eval splits: correlated documents —
+    here a source, where near-duplicates concentrate — must land in
+    ONE fold): folds are assigned per GROUP by a 40-bit md5 hash of
+    the group key mod k, so the no-straddle invariant holds by
+    construction; the audit table reports per fold its group count,
+    doc count, corpus share, largest group, and how many of its
+    groups a naive doc_id % k split would have FRAGMENTED across
+    folds — the leakage the group-aware split prevented.
+
+    Scale shape: one group-key census (fold = pure hash arithmetic),
+    one fold census; deterministic, rerunnable, no RNG state."""
+    d = _docs(spark, sf_dir).select("doc_id", "source")
+    per_doc = d.select(
+        "doc_id", "source",
+        (h40(F.col("source")) % _KFOLD_K).alias("fold"),
+        (F.col("doc_id") % _KFOLD_K).alias("naive_fold"),
+    )
+    groups = per_doc.groupBy("source", "fold").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.countDistinct("naive_fold").alias("n_naive_folds"),
+    )
+    total = d.count()
+    out = groups.groupBy("fold").agg(
+        F.count(F.lit(1)).alias("n_groups"),
+        F.sum("n_docs").alias("n_docs"),
+        F.max("n_docs").alias("max_group_docs"),
+        F.sum(F.when(F.col("n_naive_folds") > 1, 1).otherwise(0)).alias(
+            "naive_frag_groups"
+        ),
+    )
+    return (
+        out.select(
+            F.col("fold").cast("long").alias("fold"),
+            "n_groups", "n_docs", "max_group_docs", "naive_frag_groups",
+            F.expr(f"CAST(div(1000000 * n_docs, {total}) AS BIGINT)").alias(
+                "share_ppm"
+            ),
+        )
+        .repartition(1)
+        .sortWithinPartitions("fold")
+    )
+
+
+def group_kfold_sql() -> str:
+    h = _SQL_H40.format(s="source")
+    return f"""
+WITH per_doc AS (
+  SELECT doc_id, source,
+         {h} % {_KFOLD_K} AS fold,
+         doc_id % {_KFOLD_K} AS naive_fold
+  FROM documents
+),
+groups AS (
+  SELECT source, fold, COUNT(*) AS n_docs,
+         COUNT(DISTINCT naive_fold) AS n_naive_folds
+  FROM per_doc GROUP BY source, fold
+),
+total AS (SELECT COUNT(*) AS n FROM documents)
+SELECT CAST(fold AS BIGINT) AS fold,
+       COUNT(*) AS n_groups,
+       CAST(SUM(n_docs) AS BIGINT) AS n_docs,
+       CAST(MAX(n_docs) AS BIGINT) AS max_group_docs,
+       CAST(SUM(CASE WHEN n_naive_folds > 1 THEN 1 ELSE 0 END) AS BIGINT) AS naive_frag_groups,
+       CAST((1000000 * SUM(n_docs)) // (SELECT n FROM total) AS BIGINT) AS share_ppm
+FROM groups GROUP BY fold ORDER BY fold
 """

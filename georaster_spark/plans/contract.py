@@ -5341,6 +5341,9 @@ def spatial_queries() -> dict[str, QueryFn]:
         "calibration_bins": rel.calibration_bins,
         "l_diversity": rel.l_diversity,
         "weighted_sample_ares": rel.weighted_sample_ares,
+        "dedup_cascade": textops.dedup_cascade,
+        "rake_keywords": textops.rake_keywords,
+        "group_kfold": textops.group_kfold,
     })
 
 
@@ -5737,6 +5740,9 @@ def spatial_oracles(sf: str = "sf0.01") -> dict[str, str]:
         "calibration_bins": rel.calibration_bins_sql(),
         "l_diversity": rel.l_diversity_sql(),
         "weighted_sample_ares": rel.weighted_sample_ares_sql(),
+        "dedup_cascade": textops.dedup_cascade_sql(),
+        "rake_keywords": textops.rake_keywords_sql(),
+        "group_kfold": textops.group_kfold_sql(),
     })
 
 
