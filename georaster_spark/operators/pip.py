@@ -760,3 +760,83 @@ def delaunay_edges(zones: DataFrame) -> DataFrame:
         .repartition(1)
         .sortWithinPartitions("za", "zb")
     )
+
+
+def convexity_defect(zones: DataFrame) -> DataFrame:
+    """Convexity-defect census over the unit-snapped zone rings,
+    integer-exact: the hull CYCLE falls out of the same definitional
+    strict-left edge test as convex_hull_census (edge p->q is on the
+    hull iff every other vertex is strictly left), and because those
+    directed edges close a cycle, the hull's doubled shoelace area is
+    just the sum of their cross terms — no angular sort, no float.
+    Against the ring's own doubled area this yields the defect and the
+    solidity ratio (ring/hull in ppm), the shape-quality gate GIS
+    pipelines run before trusting a digitized polygon.  Strictness
+    assumes no 3 collinear hull vertices; both engines replay the same
+    predicate, so degenerate rings are pinned identically.
+
+    Scale shape: same constant-bounded cubic-per-zone joins as
+    convex_hull_census — all zone_id-local, one rollup, no cross-key
+    traffic at any zone count."""
+    ring_ints = F.expr(
+        "transform(slice(ring, 1, size(ring) - 1),"
+        " p -> struct(CAST(floor(p.x + 0.5) AS BIGINT) AS x,"
+        "             CAST(floor(p.y + 0.5) AS BIGINT) AS y))"
+    )
+    base = zones.select("zone_id", ring_ints.alias("r"))
+    pts = (
+        base.select("zone_id", F.size("r").alias("n"), F.posexplode("r").alias("k", "p"))
+        .select("zone_id", "n", "k", F.col("p.x").alias("x"), F.col("p.y").alias("y"))
+    )
+    nxt = pts.select(
+        "zone_id", F.col("k").alias("kn"),
+        F.col("x").alias("x2"), F.col("y").alias("y2"),
+    )
+    ring_edges = pts.join(
+        nxt,
+        (nxt["zone_id"] == pts["zone_id"])
+        & (F.col("kn") == (F.col("k") + 1) % F.col("n")),
+    ).drop(nxt["zone_id"])
+    ring_area = ring_edges.groupBy("zone_id").agg(
+        F.abs(F.sum(F.col("x") * F.col("y2") - F.col("x2") * F.col("y")))
+        .alias("ring_area2")
+    )
+    p = pts.select("zone_id", F.col("k").alias("pk"),
+                   F.col("x").alias("px"), F.col("y").alias("py"))
+    q = pts.select("zone_id", F.col("k").alias("qk"),
+                   F.col("x").alias("qx"), F.col("y").alias("qy"))
+    r = pts.select("zone_id", F.col("k").alias("rk"),
+                   F.col("x").alias("rx"), F.col("y").alias("ry"))
+    cross = (
+        (F.col("qx") - F.col("px")) * (F.col("ry") - F.col("py"))
+        - (F.col("qy") - F.col("py")) * (F.col("rx") - F.col("px"))
+    )
+    hull_edges = (
+        p.join(q, "zone_id").where(F.col("qk") != F.col("pk"))
+        .join(r, "zone_id")
+        .where((F.col("rk") != F.col("pk")) & (F.col("rk") != F.col("qk")))
+        .groupBy("zone_id", "pk", "qk")
+        .agg(
+            F.bool_and(cross > 0).alias("ok"),
+            F.first(F.col("px") * F.col("qy") - F.col("qx") * F.col("py")).alias(
+                "edge_cross"
+            ),
+        )
+        .where("ok")
+    )
+    hull_area = hull_edges.groupBy("zone_id").agg(
+        F.count(F.lit(1)).alias("n_hull_edges"),
+        F.abs(F.sum("edge_cross")).alias("hull_area2"),
+    )
+    return (
+        ring_area.join(hull_area, "zone_id")
+        .select(
+            "zone_id", "n_hull_edges", "ring_area2", "hull_area2",
+            (F.col("hull_area2") - F.col("ring_area2")).alias("defect2"),
+            F.expr("CAST(div(1000000 * ring_area2, hull_area2) AS BIGINT)").alias(
+                "solidity_ppm"
+            ),
+        )
+        .repartition(1)
+        .sortWithinPartitions("zone_id")
+    )

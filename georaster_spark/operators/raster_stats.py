@@ -1234,3 +1234,36 @@ def projection_profiles(tiles: DataFrame) -> DataFrame:
         "max_bin long, checksum long"
     )
     return slim.mapInPandas(gen, schema=schema)
+
+
+def clip_histogram(hist: DataFrame, denom: int = 128) -> DataFrame:
+    """Contrast-limited (CLAHE-style, Zuiderveld 1994) histogram clip
+    with EXACT integer redistribution: per fmt the clip limit is
+    ``C = total DIV denom`` (denom=128 -> 2x the uniform 256-bin
+    share), every bin count is capped at C, and the clipped excess is
+    returned to the occupied bins uniformly — ``base = excess DIV n``
+    to every bin plus one extra unit to the first ``excess MOD n``
+    bins in bin order (the deterministic remainder rule; float CLAHE
+    implementations redistribute iteratively and never agree
+    bit-for-bit — this one does).
+
+    Window math over the <=256-row-per-fmt histogram; composes with
+    equalization_lut() so the clipped corpus equalizes exactly."""
+    w_tot = Window.partitionBy("fmt")
+    w_ord = Window.partitionBy("fmt").orderBy("bin")
+    c = (
+        hist.withColumn("total", F.sum("cnt").over(w_tot))
+        .withColumn("clip", F.expr(f"total DIV {denom}"))
+        .withColumn("capped", F.least(F.col("cnt"), F.col("clip")))
+    )
+    c = (
+        c.withColumn("excess", F.sum(F.col("cnt") - F.col("capped")).over(w_tot))
+        .withColumn("n_bins", F.count(F.lit(1)).over(w_tot))
+        .withColumn("rk", F.row_number().over(w_ord))
+    )
+    out_cnt = (
+        F.col("capped")
+        + F.expr("excess DIV n_bins")
+        + F.when(F.col("rk") <= F.col("excess") % F.col("n_bins"), 1).otherwise(0)
+    )
+    return c.select("fmt", "bin", out_cnt.cast("long").alias("cnt"))

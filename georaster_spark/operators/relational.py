@@ -8904,3 +8904,81 @@ SELECT CAST(rk AS BIGINT) AS rk, o_orderkey, cents,
        CAST(priority AS BIGINT) AS priority
 FROM rk WHERE rk <= {_WSAMPLE_K} ORDER BY rk
 """
+
+
+# --- keyed-watermark late-data census -------------------------------------------
+
+_WM_DELAY_S = 600
+
+
+def watermark_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Watermark late-data census — the batch-replayable audit of what
+    a streaming watermark policy WOULD drop (the sizing question every
+    withWatermark() delay answers): per user stream, events arrive in
+    event_id order, the keyed watermark is the running max event time
+    over earlier arrivals minus a 600 s allowed delay, and an arrival
+    is late when its event time falls behind that watermark. Census by
+    event type: arrivals, late drops, drop rate ppm, and the maximum
+    observed lateness in seconds — exactly the table that picks the
+    delay before the streaming job ships.
+
+    Scale shape: one user-key running-max window + a 5-key census —
+    the same keyed-state shape the streaming engine maintains, with
+    integer epoch seconds end-to-end."""
+    ev = _t(spark, sf_dir, "events").select("user_id", "ts", "event_id", "event_type")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("event_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    x = ev.select(
+        "event_type",
+        F.unix_timestamp("ts").alias("sec"),
+        (F.max(F.unix_timestamp("ts")).over(w) - F.lit(_WM_DELAY_S)).alias("wm"),
+    )
+    return (
+        x.groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(
+                F.when(F.col("wm").isNotNull() & (F.col("sec") < F.col("wm")), 1)
+                .otherwise(0)
+            ).alias("n_late"),
+            F.coalesce(
+                F.max(
+                    F.when(
+                        F.col("wm").isNotNull() & (F.col("sec") < F.col("wm")),
+                        F.col("wm") - F.col("sec"),
+                    )
+                ),
+                F.lit(0),
+            ).alias("max_lateness_s"),
+        )
+        .select(
+            "event_type", "n_events", "n_late", "max_lateness_s",
+            F.expr("CAST(div(1000000 * n_late, n_events) AS BIGINT)").alias(
+                "late_ppm"
+            ),
+        )
+        .repartition(1)
+        .sortWithinPartitions("event_type")
+    )
+
+
+def watermark_audit_sql() -> str:
+    return f"""
+WITH x AS (
+  SELECT event_type,
+         CAST(epoch(ts) AS BIGINT) AS sec,
+         MAX(CAST(epoch(ts) AS BIGINT)) OVER (
+           PARTITION BY user_id ORDER BY event_id
+           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) - {_WM_DELAY_S} AS wm
+  FROM events
+)
+SELECT event_type,
+       COUNT(*) AS n_events,
+       CAST(SUM(CASE WHEN wm IS NOT NULL AND sec < wm THEN 1 ELSE 0 END) AS BIGINT) AS n_late,
+       CAST(COALESCE(MAX(CASE WHEN wm IS NOT NULL AND sec < wm THEN wm - sec END), 0) AS BIGINT) AS max_lateness_s,
+       CAST((1000000 * SUM(CASE WHEN wm IS NOT NULL AND sec < wm THEN 1 ELSE 0 END)) // COUNT(*) AS BIGINT) AS late_ppm
+FROM x GROUP BY event_type ORDER BY event_type
+"""

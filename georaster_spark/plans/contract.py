@@ -5344,6 +5344,9 @@ def spatial_queries() -> dict[str, QueryFn]:
         "dedup_cascade": textops.dedup_cascade,
         "rake_keywords": textops.rake_keywords,
         "group_kfold": textops.group_kfold,
+        "clip_equalize": q_clip_equalize,
+        "convexity_defect": q_convexity_defect,
+        "watermark_audit": rel.watermark_audit,
     })
 
 
@@ -5743,6 +5746,9 @@ def spatial_oracles(sf: str = "sf0.01") -> dict[str, str]:
         "dedup_cascade": textops.dedup_cascade_sql(),
         "rake_keywords": textops.rake_keywords_sql(),
         "group_kfold": textops.group_kfold_sql(),
+        "clip_equalize": _sql_clip_equalize(fx, w),
+        "convexity_defect": _sql_convexity_defect(fx),
+        "watermark_audit": rel.watermark_audit_sql(),
     })
 
 
@@ -15041,4 +15047,134 @@ SELECT zone_id, CAST(area2 AS BIGINT) AS area2,
        CAST(perim_l1 AS BIGINT) AS perim_l1,
        CAST((1000000 * area2) // (perim_l1 * perim_l1) AS BIGINT) AS pp_ratio_ppm
 FROM agg ORDER BY zone_id
+"""
+
+
+# --- round-3 continuation: CLAHE-style clip-equalize ----------------------------
+
+
+def q_clip_equalize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Contrast-LIMITED equalization (raster_stats.clip_histogram +
+    equalization_lut): the corpus histogram is clipped at total DIV 128
+    with exact integer excess redistribution (deterministic remainder
+    rule), then equalized and remapped over the sampled tiles — the
+    CLAHE global variant photogrammetry pipelines use when plain
+    equalization over-amplifies sparse tails.  Same two-pass shape as
+    q_equalize: <=256-row histogram + broadcast LUT, pixels reduced
+    map-only in one fused Arrow hop."""
+    from ..operators import raster_stats
+
+    tiles = geo.georegister(_images(spark, sf_dir))
+    hist = raster_stats.clip_histogram(raster_stats.pixel_histogram(tiles))
+    lut = raster_stats.equalization_lut(hist)
+    sample = tiles.where(geo.image_idx() % _EQ_MOD == 0)
+    return (
+        raster_stats.equalize_checksum(sample, lut)
+        .repartition(1).sortWithinPartitions("image_id")
+    )
+
+
+def _sql_clip_equalize(fx: Path, w: int) -> str:
+    v = osql.ramp_value_expr("gi.i", "gj.j")
+    return f"""
+WITH {osql.georegister_cte(str(fx / 'images.parquet'))},
+px AS (
+  SELECT fmt, {v} AS v
+  FROM tiles,
+       generate_series(0, {w - 1}) AS gi(i), generate_series(0, {w - 1}) AS gj(j)
+),
+hist AS (SELECT fmt, v AS bin, COUNT(*) AS cnt FROM px GROUP BY fmt, v),
+clipped AS (
+  SELECT fmt, bin, cnt,
+         SUM(cnt) OVER (PARTITION BY fmt) AS total,
+         least(cnt, SUM(cnt) OVER (PARTITION BY fmt) // 128) AS capped,
+         row_number() OVER (PARTITION BY fmt ORDER BY bin) AS rk,
+         COUNT(*) OVER (PARTITION BY fmt) AS n_bins
+  FROM hist
+),
+chist AS (
+  SELECT fmt, bin,
+         capped
+         + (SUM(cnt - capped) OVER (PARTITION BY fmt)) // n_bins
+         + CASE WHEN rk <= (SUM(cnt - capped) OVER (PARTITION BY fmt)) % n_bins
+                THEN 1 ELSE 0 END AS cnt
+  FROM clipped
+),
+cum AS (
+  SELECT fmt, bin,
+         SUM(cnt) OVER (PARTITION BY fmt ORDER BY bin) AS cum,
+         SUM(cnt) OVER (PARTITION BY fmt) AS total
+  FROM chist
+),
+cdf AS (
+  SELECT *, MIN(cum) OVER (PARTITION BY fmt) AS cdf_min FROM cum
+),
+lut AS (
+  SELECT fmt, bin,
+         CASE WHEN total = cdf_min THEN 0
+              ELSE (255 * (cum - cdf_min)) // (total - cdf_min) END AS lut
+  FROM cdf
+),
+spx AS (
+  SELECT image_id, fmt, gi.i AS i, gj.j AS j, {v} AS v
+  FROM tiles,
+       generate_series(0, {w - 1}) AS gi(i), generate_series(0, {w - 1}) AS gj(j)
+  WHERE idx % {_EQ_MOD} = 0
+)
+SELECT s.image_id,
+       CAST(SUM(l.lut) AS BIGINT) AS eq_sum,
+       CAST(SUM(l.lut * (s.i * {w} + s.j + 1)) AS BIGINT) AS eq_checksum
+FROM spx s JOIN lut l ON l.fmt = s.fmt AND l.bin = s.v
+GROUP BY s.image_id ORDER BY s.image_id
+"""
+
+
+def q_convexity_defect(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Convexity-defect / solidity census (pip.convexity_defect):
+    hull area from the strict-left hull-edge cycle's cross terms —
+    no angular sort — vs the ring's own shoelace area, all integer."""
+    from ..operators.pip import convexity_defect
+
+    return convexity_defect(_zones(spark, sf_dir))
+
+
+def _sql_convexity_defect(fx: Path) -> str:
+    zs = str(fx / "zones.parquet")
+    return f"""
+WITH pts AS (
+  SELECT zone_id, i - 1 AS k, len(ring) - 1 AS n,
+         CAST(floor(ring[i].x + 0.5) AS BIGINT) AS x,
+         CAST(floor(ring[i].y + 0.5) AS BIGINT) AS y
+  FROM read_parquet('{zs}'), unnest(range(1, len(ring))) t(i)
+),
+ring_edges AS (
+  SELECT a.zone_id, a.x, a.y, b.x AS x2, b.y AS y2
+  FROM pts a JOIN pts b
+    ON b.zone_id = a.zone_id AND b.k = (a.k + 1) % a.n
+),
+ring_area AS (
+  SELECT zone_id, abs(SUM(x * y2 - x2 * y)) AS ring_area2
+  FROM ring_edges GROUP BY zone_id
+),
+hull_edges AS (
+  SELECT p.zone_id, p.k AS pk, q.k AS qk,
+         bool_and((q.x - p.x) * (r.y - p.y) - (q.y - p.y) * (r.x - p.x) > 0) AS ok,
+         any_value(p.x * q.y - q.x * p.y) AS edge_cross
+  FROM pts p
+  JOIN pts q ON q.zone_id = p.zone_id AND q.k <> p.k
+  JOIN pts r ON r.zone_id = p.zone_id AND r.k <> p.k AND r.k <> q.k
+  GROUP BY p.zone_id, p.k, q.k
+),
+hull_area AS (
+  SELECT zone_id, COUNT(*) AS n_hull_edges, abs(SUM(edge_cross)) AS hull_area2
+  FROM hull_edges WHERE ok GROUP BY zone_id
+)
+SELECT ra.zone_id,
+       CAST(n_hull_edges AS BIGINT) AS n_hull_edges,
+       CAST(ring_area2 AS BIGINT) AS ring_area2,
+       CAST(hull_area2 AS BIGINT) AS hull_area2,
+       CAST(hull_area2 - ring_area2 AS BIGINT) AS defect2,
+       CAST((1000000 * ring_area2) // hull_area2 AS BIGINT) AS solidity_ppm
+FROM ring_area ra JOIN hull_area ha ON ha.zone_id = ra.zone_id
+ORDER BY ra.zone_id
 """
