@@ -8969,8 +8969,8 @@ def watermark_audit_sql() -> str:
     return f"""
 WITH x AS (
   SELECT event_type,
-         CAST(epoch(ts) AS BIGINT) AS sec,
-         MAX(CAST(epoch(ts) AS BIGINT)) OVER (
+         CAST(floor(epoch(ts)) AS BIGINT) AS sec,
+         MAX(CAST(floor(epoch(ts)) AS BIGINT)) OVER (
            PARTITION BY user_id ORDER BY event_id
            ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) - {_WM_DELAY_S} AS wm
   FROM events
@@ -8981,4 +8981,187 @@ SELECT event_type,
        CAST(COALESCE(MAX(CASE WHEN wm IS NOT NULL AND sec < wm THEN wm - sec END), 0) AS BIGINT) AS max_lateness_s,
        CAST((1000000 * SUM(CASE WHEN wm IS NOT NULL AND sec < wm THEN 1 ELSE 0 END)) // COUNT(*) AS BIGINT) AS late_ppm
 FROM x GROUP BY event_type ORDER BY event_type
+"""
+
+
+# --- Roaring-bitmap container sizing census -------------------------------------
+
+# Down-scaled container geometry so fixture-scale universes exercise the
+# selector: 12-bit containers (4096 ids), array->bitmap threshold 256.
+_ROAR_BITS = 12
+_ROAR_THRESH = 256
+
+
+def roaring_size(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Roaring-bitmap sizing census (Chambi, Lemire et al. 2016 — the
+    container-per-2^k-range format every OLAP bitmap index ships):
+    per supplier the set of order keys it appears in is split into
+    12-bit containers; each container stores its cardinality, its
+    run count (consecutive-id runs), and the byte cost of the three
+    physical encodings — array (2B/id), bitmap (fixed 2^12/8 B), run
+    (4B/run) — and the census reports per supplier the container mix
+    the format's min-cost rule would pick and the exact total bytes
+    vs the plain 8B/id baseline. Container width is down-scaled from
+    Roaring's 16 bits so fixture-scale universes still split (the
+    selector logic is width-independent).
+
+    Scale shape: one (supplier, container) census with a run count
+    from a key-local lag window, then a supplier rollup — the
+    index-build shape, no hot keys."""
+    li = _t(spark, sf_dir, "lineitem").select("l_suppkey", "l_orderkey").distinct()
+    c = li.select(
+        "l_suppkey",
+        F.expr(f"CAST(shiftright(l_orderkey, {_ROAR_BITS}) AS BIGINT)").alias("container"),
+        (F.col("l_orderkey") % (1 << _ROAR_BITS)).alias("lo"),
+    )
+    w = Window.partitionBy("l_suppkey", "container").orderBy("lo")
+    runs = c.select(
+        "l_suppkey", "container", "lo",
+        F.when(
+            F.lag("lo").over(w).isNull() | (F.lag("lo").over(w) != F.col("lo") - 1), 1
+        ).otherwise(0).alias("run_start"),
+    )
+    per_cont = runs.groupBy("l_suppkey", "container").agg(
+        F.count(F.lit(1)).alias("card"),
+        F.sum("run_start").alias("n_runs"),
+    )
+    sized = per_cont.select(
+        "l_suppkey",
+        (F.lit(2) * F.col("card")).alias("array_b"),
+        F.lit((1 << _ROAR_BITS) // 8).alias("bitmap_b"),
+        (F.lit(4) * F.col("n_runs")).alias("run_b"),
+        "card",
+    ).select(
+        "l_suppkey", "card",
+        F.least("array_b", "bitmap_b", "run_b").alias("best_b"),
+        F.when(
+            (F.col("run_b") <= F.col("array_b")) & (F.col("run_b") <= F.col("bitmap_b")),
+            F.lit("run"),
+        )
+        .when(F.col("array_b") <= F.col("bitmap_b"), F.lit("array"))
+        .otherwise(F.lit("bitmap"))
+        .alias("kind"),
+    )
+    return (
+        sized.groupBy("l_suppkey")
+        .agg(
+            F.count(F.lit(1)).alias("n_containers"),
+            F.sum(F.when(F.col("kind") == "array", 1).otherwise(0)).alias("n_array"),
+            F.sum(F.when(F.col("kind") == "bitmap", 1).otherwise(0)).alias("n_bitmap"),
+            F.sum(F.when(F.col("kind") == "run", 1).otherwise(0)).alias("n_run"),
+            F.sum("best_b").alias("roaring_bytes"),
+            (F.lit(8) * F.sum("card")).alias("plain_bytes"),
+        )
+        .repartition(1)
+        .sortWithinPartitions("l_suppkey")
+    )
+
+
+def roaring_size_sql() -> str:
+    return f"""
+WITH li AS (SELECT DISTINCT l_suppkey, l_orderkey FROM lineitem),
+c AS (
+  SELECT l_suppkey, l_orderkey >> {_ROAR_BITS} AS container,
+         l_orderkey % {1 << _ROAR_BITS} AS lo
+  FROM li
+),
+runs AS (
+  SELECT l_suppkey, container, lo,
+         CASE WHEN lag(lo) OVER (PARTITION BY l_suppkey, container ORDER BY lo) IS NULL
+                OR lag(lo) OVER (PARTITION BY l_suppkey, container ORDER BY lo) != lo - 1
+              THEN 1 ELSE 0 END AS run_start
+  FROM c
+),
+per_cont AS (
+  SELECT l_suppkey, container, COUNT(*) AS card, SUM(run_start) AS n_runs
+  FROM runs GROUP BY l_suppkey, container
+),
+sized AS (
+  SELECT l_suppkey, card,
+         least(2 * card, {(1 << _ROAR_BITS) // 8}, 4 * n_runs) AS best_b,
+         CASE WHEN 4 * n_runs <= 2 * card AND 4 * n_runs <= {(1 << _ROAR_BITS) // 8} THEN 'run'
+              WHEN 2 * card <= {(1 << _ROAR_BITS) // 8} THEN 'array'
+              ELSE 'bitmap' END AS kind
+  FROM per_cont
+)
+SELECT l_suppkey,
+       COUNT(*) AS n_containers,
+       CAST(SUM(CASE WHEN kind = 'array' THEN 1 ELSE 0 END) AS BIGINT) AS n_array,
+       CAST(SUM(CASE WHEN kind = 'bitmap' THEN 1 ELSE 0 END) AS BIGINT) AS n_bitmap,
+       CAST(SUM(CASE WHEN kind = 'run' THEN 1 ELSE 0 END) AS BIGINT) AS n_run,
+       CAST(SUM(best_b) AS BIGINT) AS roaring_bytes,
+       CAST(8 * SUM(card) AS BIGINT) AS plain_bytes
+FROM sized GROUP BY l_suppkey ORDER BY l_suppkey
+"""
+
+
+# --- funnel time-to-convert log2 buckets ----------------------------------------
+
+
+def time_to_convert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-to-convert distribution in log2 buckets: per user the
+    seconds between the FIRST view and the first purchase AFTER it,
+    bucketed by floor(log2(s+1)) — computed as length(bin(s+1))-1,
+    integer-exact, no log() float — the latency histogram growth teams
+    read before resizing attribution windows (log buckets because
+    conversion lags span seconds to months).
+
+    Scale shape: two user-key min-aggregates (no window), one bucket
+    census; converts-only inner join keeps the census tiny."""
+    ev = _t(spark, sf_dir, "events")
+    first_view = (
+        ev.where(F.col("event_type") == "view")
+        .groupBy("user_id")
+        .agg(F.min(F.unix_timestamp("ts")).alias("t_view"))
+    )
+    purch = ev.where(F.col("event_type") == "purchase").select(
+        "user_id", F.unix_timestamp("ts").alias("t_p")
+    )
+    conv = (
+        purch.join(first_view, "user_id")
+        .where(F.col("t_p") >= F.col("t_view"))
+        .groupBy("user_id")
+        .agg(F.min(F.col("t_p") - F.col("t_view")).alias("lag_s"))
+    )
+    b = conv.select(
+        "user_id", "lag_s",
+        (F.length(F.expr("bin(lag_s + 1)")) - 1).alias("bucket"),
+    )
+    return (
+        b.groupBy("bucket")
+        .agg(
+            F.count(F.lit(1)).alias("n_users"),
+            F.min("lag_s").alias("min_s"),
+            F.max("lag_s").alias("max_s"),
+            F.sum("user_id").alias("user_checksum"),
+        )
+        .repartition(1)
+        .sortWithinPartitions("bucket")
+    )
+
+
+def time_to_convert_sql() -> str:
+    return """
+WITH first_view AS (
+  SELECT user_id, MIN(CAST(floor(epoch(ts)) AS BIGINT)) AS t_view
+  FROM events WHERE event_type = 'view' GROUP BY user_id
+),
+purch AS (
+  SELECT user_id, CAST(floor(epoch(ts)) AS BIGINT) AS t_p
+  FROM events WHERE event_type = 'purchase'
+),
+conv AS (
+  SELECT p.user_id, MIN(t_p - t_view) AS lag_s
+  FROM purch p JOIN first_view v ON v.user_id = p.user_id
+  WHERE t_p >= t_view GROUP BY p.user_id
+),
+b AS (
+  SELECT user_id, lag_s, length(bin(lag_s + 1)) - 1 AS bucket FROM conv
+)
+SELECT CAST(bucket AS BIGINT) AS bucket,
+       COUNT(*) AS n_users,
+       CAST(MIN(lag_s) AS BIGINT) AS min_s,
+       CAST(MAX(lag_s) AS BIGINT) AS max_s,
+       CAST(SUM(user_id) AS BIGINT) AS user_checksum
+FROM b GROUP BY bucket ORDER BY bucket
 """

@@ -4997,3 +4997,73 @@ SELECT CAST(fold AS BIGINT) AS fold,
        CAST((1000000 * SUM(n_docs)) // (SELECT n FROM total) AS BIGINT) AS share_ppm
 FROM groups GROUP BY fold ORDER BY fold
 """
+
+
+# --- readability census (integer-exact Flesch family) ---------------------------
+
+
+def readability_census(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Readability census with the Flesch reading-ease surface in
+    EXACT milli-units (Flesch 1948: 206.835 - 1.015 w/s - 84.6 sy/w,
+    here x1000 with floor division so no float ever rounds): sentences
+    are [.!?]+ runs, words the cleaned whitespace tokens, and
+    syllables the standard vowel-group heuristic (runs of [aeiouy]
+    per word, min 1) — counted with one regexp_count per column, the
+    content-quality signal C4-style corpus filters bucket on.
+
+    Scale shape: map-only regex counting + per-doc arithmetic; the
+    only shuffle is the final ordering."""
+    d = _docs(spark, sf_dir)
+    txt = F.lower(F.trim(F.col("text")))
+    n_sent = F.greatest(F.regexp_count(txt, F.lit("[.!?]+")), F.lit(1))
+    words = F.filter(
+        F.split(txt, r"\s+"), lambda t: t != ""
+    )
+    n_words = F.greatest(F.size(words), F.lit(1))
+    syl = F.aggregate(
+        words,
+        F.lit(0),
+        lambda acc, w: acc
+        + F.greatest(F.regexp_count(w, F.lit("[aeiouy]+")), F.lit(1)),
+    )
+    out = d.select(
+        "doc_id",
+        n_sent.alias("n_sentences"),
+        n_words.alias("n_words"),
+        syl.alias("n_syllables"),
+    ).select(
+        "doc_id",
+        F.col("n_sentences").cast("long").alias("n_sentences"),
+        F.col("n_words").cast("long").alias("n_words"),
+        F.col("n_syllables").cast("long").alias("n_syllables"),
+        F.expr(
+            "CAST(206835 - div(1015 * n_words, n_sentences)"
+            " - div(84600 * n_syllables, n_words) AS BIGINT)"
+        ).alias("flesch_milli"),
+    )
+    return out.repartition(1).sortWithinPartitions("doc_id")
+
+
+def readability_census_sql() -> str:
+    return """
+WITH d AS (
+  SELECT doc_id, lower(trim(text)) AS t,
+         list_filter(string_split_regex(lower(trim(text)), '\\s+'), x -> x <> '') AS ws
+  FROM documents
+),
+c AS (
+  SELECT doc_id,
+         greatest(len(regexp_extract_all(t, '[.!?]+')), 1) AS n_sentences,
+         greatest(len(ws), 1) AS n_words,
+         list_sum(list_transform(ws,
+           w -> greatest(len(regexp_extract_all(w, '[aeiouy]+')), 1))) AS n_syllables
+  FROM d
+)
+SELECT doc_id,
+       CAST(n_sentences AS BIGINT) AS n_sentences,
+       CAST(n_words AS BIGINT) AS n_words,
+       CAST(n_syllables AS BIGINT) AS n_syllables,
+       CAST(206835 - (1015 * n_words) // n_sentences
+                   - (84600 * n_syllables) // n_words AS BIGINT) AS flesch_milli
+FROM c ORDER BY doc_id
+"""

@@ -5347,6 +5347,9 @@ def spatial_queries() -> dict[str, QueryFn]:
         "clip_equalize": q_clip_equalize,
         "convexity_defect": q_convexity_defect,
         "watermark_audit": rel.watermark_audit,
+        "roaring_size": rel.roaring_size,
+        "time_to_convert": rel.time_to_convert,
+        "readability_census": textops.readability_census,
     })
 
 
@@ -5749,6 +5752,9 @@ def spatial_oracles(sf: str = "sf0.01") -> dict[str, str]:
         "clip_equalize": _sql_clip_equalize(fx, w),
         "convexity_defect": _sql_convexity_defect(fx),
         "watermark_audit": rel.watermark_audit_sql(),
+        "roaring_size": rel.roaring_size_sql(),
+        "time_to_convert": rel.time_to_convert_sql(),
+        "readability_census": textops.readability_census_sql(),
     })
 
 
