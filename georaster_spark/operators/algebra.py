@@ -4660,3 +4660,73 @@ def png_filter_census(tiles: DataFrame) -> DataFrame:
         "n_f4 long, chosen_score long"
     )
     return slim.mapInPandas(gen, schema=schema)
+
+
+# --- RLSA run-length smearing (document layout analysis) -----------------------
+
+_RLSA_C = 4
+_RLSA_SCHEMA = (
+    "image_id string, n_fg_before long, n_fg_after long,"
+    " n_flipped long, rlsa_checksum long"
+)
+
+
+def rlsa_smear(tiles: DataFrame) -> DataFrame:
+    """Horizontal Run-Length Smoothing Algorithm census (Wong, Casey &
+    Wahl 1982 — the document-layout-analysis primitive that merges
+    characters into words/lines): foreground = value >= 128; a
+    background pixel flips to foreground when the gap between its
+    bounding same-row foreground pixels is <= C = 4.  Surfaces per
+    tile: foreground before/after, flips, and the position checksum of
+    the smeared bitmap.
+
+    Scale shape: map-only fused mapInPandas — zero shuffle; prev/next
+    foreground positions are running max/min accumulations along the
+    row axis over the whole batch block."""
+    slim = tiles.select("image_id", "bytes", "w", "h", "fmt")
+
+    def _rlsa(batches):
+        dt = {"raw": np.uint8, "qnt": np.uint8, "raw16": "<u2"}
+        cols = ("n_fg_before", "n_fg_after", "n_flipped", "rlsa_checksum")
+        big = 1 << 30
+        for pdf in batches:
+            n = len(pdf)
+            out = {"image_id": pdf["image_id"].to_numpy(dtype=object)}
+            for c in cols:
+                out[c] = np.zeros(n, dtype=np.int64)
+            groups: dict[tuple, list[int]] = {}
+            for k in range(n):
+                key = (int(pdf["w"].iat[k]), int(pdf["h"].iat[k]), pdf["fmt"].iat[k])
+                groups.setdefault(key, []).append(k)
+            for (w, h, fmt), idx in groups.items():
+                z = (
+                    np.frombuffer(
+                        b"".join(pdf["bytes"].iat[k] for k in idx), dtype=dt[fmt]
+                    )
+                    .reshape(len(idx), h, w)
+                    .astype(np.int64)
+                )
+                fg = z >= 128
+                jj = np.arange(w, dtype=np.int64)[None, None, :]
+                last = np.maximum.accumulate(np.where(fg, jj, -big), axis=2)
+                nxt = np.minimum.accumulate(
+                    np.where(fg, jj, big)[:, :, ::-1], axis=2
+                )[:, :, ::-1]
+                gap = nxt - last - 1
+                flip = (~fg) & (last >= 0) & (nxt < big) & (gap <= _RLSA_C)
+                sm = fg | flip
+                wt = (
+                    np.arange(h, dtype=np.int64)[:, None] * w
+                    + np.arange(w, dtype=np.int64)[None, :]
+                    + 1
+                )
+                ii = np.asarray(idx)
+                out["n_fg_before"][ii] = fg.sum(axis=(1, 2))
+                out["n_fg_after"][ii] = sm.sum(axis=(1, 2))
+                out["n_flipped"][ii] = flip.sum(axis=(1, 2))
+                out["rlsa_checksum"][ii] = np.einsum(
+                    "bij,ij->b", sm.astype(np.int64), wt
+                )
+            yield pd.DataFrame(out)
+
+    return slim.mapInPandas(_rlsa, schema=_RLSA_SCHEMA)

@@ -9165,3 +9165,133 @@ SELECT CAST(bucket AS BIGINT) AS bucket,
        CAST(SUM(user_id) AS BIGINT) AS user_checksum
 FROM b GROUP BY bucket ORDER BY bucket
 """
+
+
+# --- System-R join-order enumeration audit --------------------------------------
+
+
+def join_order_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Join-order enumeration audit on the customer-orders-lineitem
+    chain (the System R / Selinger playbook, Selinger et al. 1979):
+    for each of the three pair-first plans the estimated intermediate
+    cardinality under the uniformity assumption |R JOIN S| =
+    |R|*|S| / max(ndv_R(k), ndv_S(k)) — including the Cartesian
+    (lineitem x customer) plan every optimizer must price and reject —
+    against the EXACT intermediate sizes from really running the
+    joins. Output ranks plans by estimate and by truth; agreement of
+    the two rank columns is the audit (estimates are exact integer
+    floor divisions, so both engines price identically).
+
+    Scale shape: stats are one aggregate per base table; exact pair
+    sizes are two equi-join counts (the cross size is arithmetic, not
+    executed); the plan lattice is 3 rows regardless of data size."""
+    li = _t(spark, sf_dir, "lineitem")
+    o = _t(spark, sf_dir, "orders")
+    c = _t(spark, sf_dir, "customer")
+    stats_l = li.agg(
+        F.count(F.lit(1)).alias("n_l"),
+        F.countDistinct("l_orderkey").alias("d_l_ok"),
+    )
+    stats_o = o.agg(
+        F.count(F.lit(1)).alias("n_o"),
+        F.countDistinct("o_orderkey").alias("d_o_ok"),
+        F.countDistinct("o_custkey").alias("d_o_ck"),
+    )
+    stats_c = c.agg(
+        F.count(F.lit(1)).alias("n_c"),
+        F.countDistinct("c_custkey").alias("d_c_ck"),
+    )
+    exact_lo = li.join(o, li["l_orderkey"] == o["o_orderkey"]).agg(
+        F.count(F.lit(1)).alias("x_lo")
+    )
+    exact_oc = o.join(c, o["o_custkey"] == c["c_custkey"]).agg(
+        F.count(F.lit(1)).alias("x_oc")
+    )
+    exact_loc = (
+        li.join(o, li["l_orderkey"] == o["o_orderkey"])
+        .join(c, o["o_custkey"] == c["c_custkey"])
+        .agg(F.count(F.lit(1)).alias("x_loc"))
+    )
+    one = (
+        stats_l.crossJoin(stats_o).crossJoin(stats_c)
+        .crossJoin(exact_lo).crossJoin(exact_oc).crossJoin(exact_loc)
+    )
+    est = one.selectExpr(
+        "*",
+        "div(n_l * n_o, greatest(d_l_ok, d_o_ok)) AS e_lo",
+        "div(n_o * n_c, greatest(d_o_ck, d_c_ck)) AS e_oc",
+        "n_l * n_c AS e_lc",
+    ).selectExpr(
+        "*",
+        "e_lo + div(e_lo * n_c, greatest(d_o_ck, d_c_ck)) AS cost_est_lo_c",
+        "e_oc + div(e_oc * n_l, greatest(d_o_ok, d_l_ok)) AS cost_est_oc_l",
+        "e_lc + div(div(e_lc * n_o, greatest(d_l_ok, d_o_ok)), greatest(d_c_ck, d_o_ck))"
+        " AS cost_est_lc_o",
+        "x_lo + x_loc AS cost_x_lo_c",
+        "x_oc + x_loc AS cost_x_oc_l",
+        "n_l * n_c + x_loc AS cost_x_lc_o",
+    )
+    plans = est.selectExpr(
+        "stack(3,"
+        " 'lineitem_orders_then_customer', e_lo, cost_est_lo_c, x_lo, cost_x_lo_c,"
+        " 'orders_customer_then_lineitem', e_oc, cost_est_oc_l, x_oc, cost_x_oc_l,"
+        " 'lineitem_x_customer_then_orders', e_lc, cost_est_lc_o, e_lc, cost_x_lc_o"
+        ") AS (plan, est_pair, est_cost, exact_pair, exact_cost)"
+    )
+    w_est = Window.orderBy("est_cost", "plan")
+    w_x = Window.orderBy("exact_cost", "plan")
+    return (
+        plans.select(
+            "plan", "est_pair", "est_cost", "exact_pair", "exact_cost",
+            F.row_number().over(w_est).cast("long").alias("rank_by_est"),
+            F.row_number().over(w_x).cast("long").alias("rank_by_exact"),
+        )
+        .repartition(1)
+        .sortWithinPartitions("plan")
+    )
+
+
+def join_order_audit_sql() -> str:
+    return """
+WITH sl AS (SELECT COUNT(*) AS n_l, COUNT(DISTINCT l_orderkey) AS d_l_ok FROM lineitem),
+so AS (SELECT COUNT(*) AS n_o, COUNT(DISTINCT o_orderkey) AS d_o_ok,
+              COUNT(DISTINCT o_custkey) AS d_o_ck FROM orders),
+sc AS (SELECT COUNT(*) AS n_c, COUNT(DISTINCT c_custkey) AS d_c_ck FROM customer),
+xlo AS (SELECT COUNT(*) AS x_lo FROM lineitem JOIN orders ON o_orderkey = l_orderkey),
+xoc AS (SELECT COUNT(*) AS x_oc FROM orders JOIN customer ON c_custkey = o_custkey),
+xloc AS (SELECT COUNT(*) AS x_loc FROM lineitem
+         JOIN orders ON o_orderkey = l_orderkey
+         JOIN customer ON c_custkey = o_custkey),
+one AS (SELECT * FROM sl, so, sc, xlo, xoc, xloc),
+est AS (
+  SELECT *,
+         (n_l * n_o) // greatest(d_l_ok, d_o_ok) AS e_lo,
+         (n_o * n_c) // greatest(d_o_ck, d_c_ck) AS e_oc,
+         n_l * n_c AS e_lc
+  FROM one
+),
+plans AS (
+  SELECT 'lineitem_orders_then_customer' AS plan, e_lo AS est_pair,
+         e_lo + (e_lo * n_c) // greatest(d_o_ck, d_c_ck) AS est_cost,
+         x_lo AS exact_pair, x_lo + x_loc AS exact_cost
+  FROM est
+  UNION ALL
+  SELECT 'orders_customer_then_lineitem', e_oc,
+         e_oc + (e_oc * n_l) // greatest(d_o_ok, d_l_ok),
+         x_oc, x_oc + x_loc
+  FROM est
+  UNION ALL
+  SELECT 'lineitem_x_customer_then_orders', e_lc,
+         e_lc + ((e_lc * n_o) // greatest(d_l_ok, d_o_ok)) // greatest(d_c_ck, d_o_ck),
+         e_lc, n_l * n_c + x_loc
+  FROM est
+)
+SELECT plan,
+       CAST(est_pair AS BIGINT) AS est_pair,
+       CAST(est_cost AS BIGINT) AS est_cost,
+       CAST(exact_pair AS BIGINT) AS exact_pair,
+       CAST(exact_cost AS BIGINT) AS exact_cost,
+       CAST(row_number() OVER (ORDER BY est_cost, plan) AS BIGINT) AS rank_by_est,
+       CAST(row_number() OVER (ORDER BY exact_cost, plan) AS BIGINT) AS rank_by_exact
+FROM plans ORDER BY plan
+"""

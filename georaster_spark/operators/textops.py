@@ -5067,3 +5067,69 @@ SELECT doc_id,
                    - (84600 * n_syllables) // n_words AS BIGINT) AS flesch_milli
 FROM c ORDER BY doc_id
 """
+
+
+# --- Good-Turing frequency-of-frequencies census --------------------------------
+
+
+def good_turing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Good-Turing count-of-counts census (Good 1953, the smoothing
+    table under Katz backoff and the SGT estimator): term frequencies
+    r over the whole corpus, the frequency-of-frequencies N_r, the
+    probability mass r*N_r at each count, and the raw Turing
+    adjusted count r* = (r+1) * N_{r+1} / N_r in exact ppm via floor
+    division (0 where N_{r+1} is absent — the gap the smoothed
+    variants interpolate).
+
+    Scale shape: one term census, one r census (both partial+final),
+    one lead() over the tiny r table — the classic two-level
+    vocabulary-statistics shape."""
+    ws = _clean_words()
+    tf = (
+        _docs(spark, sf_dir)
+        .select(F.explode(ws).alias("term"))
+        .groupBy("term")
+        .agg(F.count(F.lit(1)).alias("r"))
+    )
+    nr = tf.groupBy("r").agg(F.count(F.lit(1)).alias("n_r"))
+    w = Window.orderBy("r")
+    out = nr.select(
+        "r", "n_r",
+        (F.col("r") * F.col("n_r")).alias("mass"),
+        F.when(F.lead("r").over(w) == F.col("r") + 1, F.lead("n_r").over(w))
+        .otherwise(0)
+        .alias("n_r1"),
+    )
+    return (
+        out.select(
+            F.col("r").cast("long").alias("r"),
+            "n_r", "mass",
+            F.expr("CAST(div(1000000 * (r + 1) * n_r1, n_r) AS BIGINT)").alias(
+                "r_star_ppm"
+            ),
+        )
+        .repartition(1)
+        .sortWithinPartitions("r")
+    )
+
+
+def good_turing_sql() -> str:
+    return f"""
+WITH tf AS (
+  SELECT term, COUNT(*) AS r
+  FROM (SELECT unnest(list_filter({_SQL_WS}, t -> t <> '')) AS term FROM documents)
+  GROUP BY term
+),
+nr AS (SELECT r, COUNT(*) AS n_r FROM tf GROUP BY r),
+led AS (
+  SELECT r, n_r, r * n_r AS mass,
+         CASE WHEN lead(r) OVER (ORDER BY r) = r + 1
+              THEN lead(n_r) OVER (ORDER BY r) ELSE 0 END AS n_r1
+  FROM nr
+)
+SELECT CAST(r AS BIGINT) AS r,
+       CAST(n_r AS BIGINT) AS n_r,
+       CAST(mass AS BIGINT) AS mass,
+       CAST((1000000 * (r + 1) * n_r1) // n_r AS BIGINT) AS r_star_ppm
+FROM led ORDER BY r
+"""

@@ -5350,6 +5350,9 @@ def spatial_queries() -> dict[str, QueryFn]:
         "roaring_size": rel.roaring_size,
         "time_to_convert": rel.time_to_convert,
         "readability_census": textops.readability_census,
+        "join_order_audit": rel.join_order_audit,
+        "good_turing": textops.good_turing,
+        "rlsa_smear": q_rlsa_smear,
     })
 
 
@@ -5755,6 +5758,9 @@ def spatial_oracles(sf: str = "sf0.01") -> dict[str, str]:
         "roaring_size": rel.roaring_size_sql(),
         "time_to_convert": rel.time_to_convert_sql(),
         "readability_census": textops.readability_census_sql(),
+        "join_order_audit": rel.join_order_audit_sql(),
+        "good_turing": textops.good_turing_sql(),
+        "rlsa_smear": _sql_rlsa_smear(fx, w),
     })
 
 
@@ -15183,4 +15189,59 @@ SELECT ra.zone_id,
        CAST((1000000 * ring_area2) // hull_area2 AS BIGINT) AS solidity_ppm
 FROM ring_area ra JOIN hull_area ha ON ha.zone_id = ra.zone_id
 ORDER BY ra.zone_id
+"""
+
+
+_RLSA_MOD = 41
+
+
+def q_rlsa_smear(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Horizontal RLSA smearing census (algebra.rlsa_smear — Wong/
+    Casey/Wahl document layout analysis): gap <= 4 background runs
+    between foreground pixels flip, map-only fused Arrow pass."""
+    from ..operators import algebra
+
+    tiles = geo.georegister(_images(spark, sf_dir)).where(
+        geo.image_idx() % _RLSA_MOD == 0
+    )
+    return (
+        algebra.rlsa_smear(tiles)
+        .repartition(1).sortWithinPartitions("image_id")
+    )
+
+
+def _sql_rlsa_smear(fx: Path, w: int) -> str:
+    v = osql.ramp_value_expr("gi.i", "gj.j")
+    return f"""
+WITH {osql.georegister_cte(str(fx / 'images.parquet'))},
+px AS (
+  SELECT image_id, gi.i AS i, gj.j AS j,
+         CASE WHEN {v} >= 128 THEN 1 ELSE 0 END AS fg
+  FROM tiles,
+       generate_series(0, {w - 1}) AS gi(i), generate_series(0, {w - 1}) AS gj(j)
+  WHERE idx % {_RLSA_MOD} = 0
+),
+pos AS (
+  SELECT image_id, i, j, fg,
+         MAX(CASE WHEN fg = 1 THEN j END) OVER (
+           PARTITION BY image_id, i ORDER BY j
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS last_fg,
+         MIN(CASE WHEN fg = 1 THEN j END) OVER (
+           PARTITION BY image_id, i ORDER BY j
+           ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS next_fg
+  FROM px
+),
+sm AS (
+  SELECT image_id, i, j, fg,
+         CASE WHEN fg = 0 AND last_fg IS NOT NULL AND next_fg IS NOT NULL
+                   AND next_fg - last_fg - 1 <= 4
+              THEN 1 ELSE 0 END AS flip
+  FROM pos
+)
+SELECT image_id,
+       CAST(SUM(fg) AS BIGINT) AS n_fg_before,
+       CAST(SUM(fg + flip) AS BIGINT) AS n_fg_after,
+       CAST(SUM(flip) AS BIGINT) AS n_flipped,
+       CAST(SUM((fg + flip) * (i * {w} + j + 1)) AS BIGINT) AS rlsa_checksum
+FROM sm GROUP BY image_id ORDER BY image_id
 """
