@@ -9295,3 +9295,208 @@ SELECT plan,
        CAST(row_number() OVER (ORDER BY exact_cost, plan) AS BIGINT) AS rank_by_exact
 FROM plans ORDER BY plan
 """
+
+
+# --- FIFO lot allocation via prefix-sum interval join ---------------------------
+
+
+def fifo_allocation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FIFO cost-basis allocation (the accounting-engine primitive:
+    each sale consumes the oldest open purchase lots first), computed
+    WITHOUT sequential state: running-quantity prefix sums turn lots
+    and sales into half-open intervals on the cumulative-units axis,
+    and FIFO matching is exactly their interval overlap — a part-local
+    range join, alloc = min(hi,hi') - max(lo,lo').  Per part: lots,
+    sales, matched units, the exact cost basis in cents (allocated
+    units x lot unit price), and unmatched sale units.  Lots are the
+    odd line numbers of the part's lineitems, sales the even ones,
+    both in (shipdate, orderkey, linenumber) FIFO order.
+
+    Scale shape: two part-key cumsum windows + one part-local range
+    join — nothing crosses parts, so 10^12 rows shard cleanly by
+    part; the classic sequential scan becomes two shuffles."""
+    li = _t(spark, sf_dir, "lineitem").select(
+        "l_partkey", "l_orderkey", "l_linenumber", "l_shipdate",
+        F.expr("CAST(l_quantity AS BIGINT)").alias("q"),
+        F.expr(
+            "div(CAST(round(100 * l_extendedprice) AS BIGINT),"
+            " CAST(l_quantity AS BIGINT))"
+        ).alias("unit_cents"),
+    )
+    w = (
+        Window.partitionBy("l_partkey")
+        .orderBy("l_shipdate", "l_orderkey", "l_linenumber")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    lots = li.where(F.col("l_linenumber") % 2 == 1).select(
+        "l_partkey", "q", "unit_cents",
+        F.coalesce(F.sum("q").over(w), F.lit(0)).alias("lo"),
+    ).select(
+        "l_partkey", "unit_cents", "lo", (F.col("lo") + F.col("q")).alias("hi")
+    )
+    sales = li.where(F.col("l_linenumber") % 2 == 0).select(
+        "l_partkey", "q",
+        F.coalesce(F.sum("q").over(w), F.lit(0)).alias("slo"),
+    ).select("l_partkey", "slo", (F.col("slo") + F.col("q")).alias("shi"))
+    alloc = lots.join(
+        sales,
+        (lots["l_partkey"] == sales["l_partkey"])
+        & (F.col("hi") > F.col("slo"))
+        & (F.col("lo") < F.col("shi")),
+    ).drop(sales["l_partkey"]).select(
+        "l_partkey", "unit_cents",
+        (
+            F.least(F.col("hi"), F.col("shi"))
+            - F.greatest(F.col("lo"), F.col("slo"))
+        ).alias("a"),
+    )
+    lot_tot = lots.groupBy("l_partkey").agg(
+        F.count(F.lit(1)).alias("n_lots"), F.max("hi").alias("units_bought")
+    )
+    sale_tot = sales.groupBy("l_partkey").agg(
+        F.count(F.lit(1)).alias("n_sales"), F.max("shi").alias("units_sold")
+    )
+    am = alloc.groupBy("l_partkey").agg(
+        F.sum("a").alias("matched_units"),
+        F.sum(F.col("a") * F.col("unit_cents")).alias("cost_basis_cents"),
+    )
+    return (
+        lot_tot.join(sale_tot, "l_partkey")
+        .join(am, "l_partkey", "left")
+        .select(
+            "l_partkey", "n_lots", "n_sales", "units_bought", "units_sold",
+            F.coalesce(F.col("matched_units"), F.lit(0)).alias("matched_units"),
+            F.coalesce(F.col("cost_basis_cents"), F.lit(0)).alias("cost_basis_cents"),
+            F.greatest(
+                F.col("units_sold")
+                - F.coalesce(F.col("matched_units"), F.lit(0)),
+                F.lit(0),
+            ).alias("unmatched_units"),
+        )
+        .repartition(1)
+        .sortWithinPartitions("l_partkey")
+    )
+
+
+def fifo_allocation_sql() -> str:
+    return """
+WITH li AS (
+  SELECT l_partkey, l_orderkey, l_linenumber, l_shipdate,
+         CAST(l_quantity AS BIGINT) AS q,
+         CAST(round(100 * l_extendedprice) AS BIGINT) // CAST(l_quantity AS BIGINT) AS unit_cents
+  FROM lineitem
+),
+lots AS (
+  SELECT l_partkey, unit_cents,
+         COALESCE(SUM(q) OVER (PARTITION BY l_partkey
+            ORDER BY l_shipdate, l_orderkey, l_linenumber
+            ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS lo,
+         COALESCE(SUM(q) OVER (PARTITION BY l_partkey
+            ORDER BY l_shipdate, l_orderkey, l_linenumber
+            ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) + q AS hi
+  FROM li WHERE l_linenumber % 2 = 1
+),
+sales AS (
+  SELECT l_partkey,
+         COALESCE(SUM(q) OVER (PARTITION BY l_partkey
+            ORDER BY l_shipdate, l_orderkey, l_linenumber
+            ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS slo,
+         COALESCE(SUM(q) OVER (PARTITION BY l_partkey
+            ORDER BY l_shipdate, l_orderkey, l_linenumber
+            ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) + q AS shi
+  FROM li WHERE l_linenumber % 2 = 0
+),
+alloc AS (
+  SELECT lots.l_partkey, unit_cents,
+         least(hi, shi) - greatest(lo, slo) AS a
+  FROM lots JOIN sales
+    ON sales.l_partkey = lots.l_partkey AND hi > slo AND lo < shi
+),
+lot_tot AS (
+  SELECT l_partkey, COUNT(*) AS n_lots, MAX(hi) AS units_bought
+  FROM lots GROUP BY l_partkey
+),
+sale_tot AS (
+  SELECT l_partkey, COUNT(*) AS n_sales, MAX(shi) AS units_sold
+  FROM sales GROUP BY l_partkey
+),
+am AS (
+  SELECT l_partkey, SUM(a) AS matched_units,
+         SUM(a * unit_cents) AS cost_basis_cents
+  FROM alloc GROUP BY l_partkey
+)
+SELECT lot_tot.l_partkey,
+       CAST(n_lots AS BIGINT) AS n_lots,
+       CAST(n_sales AS BIGINT) AS n_sales,
+       CAST(units_bought AS BIGINT) AS units_bought,
+       CAST(units_sold AS BIGINT) AS units_sold,
+       CAST(COALESCE(matched_units, 0) AS BIGINT) AS matched_units,
+       CAST(COALESCE(cost_basis_cents, 0) AS BIGINT) AS cost_basis_cents,
+       CAST(greatest(units_sold - COALESCE(matched_units, 0), 0) AS BIGINT) AS unmatched_units
+FROM lot_tot
+JOIN sale_tot ON sale_tot.l_partkey = lot_tot.l_partkey
+LEFT JOIN am ON am.l_partkey = lot_tot.l_partkey
+ORDER BY lot_tot.l_partkey
+"""
+
+
+# --- Copeland tournament ranking over suppliers ---------------------------------
+
+
+def copeland_ranking(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Copeland tournament ranking (social-choice theory's pairwise
+    method, Copeland 1951): suppliers play one 'match' per calendar
+    month in which both shipped — won by the higher exact monthly
+    revenue in cents — and each supplier's Copeland score is wins
+    minus losses over all pairwise month-matches. The rank-aggregation
+    primitive leaderboards use when a single global sum would be
+    dominated by volume months.
+
+    Scale shape: one (supplier, month) census, then a month-keyed
+    self-join over supplier pairs — bounded by suppliers-per-month
+    squared, month-local; the final census is per supplier."""
+    li = _t(spark, sf_dir, "lineitem")
+    monthly = li.groupBy(
+        "l_suppkey", F.date_trunc("month", "l_shipdate").alias("m")
+    ).agg(
+        F.sum(F.expr("CAST(round(100 * l_extendedprice) AS BIGINT)")).alias("cents")
+    )
+    a = monthly.select(
+        F.col("l_suppkey").alias("sa"), "m", F.col("cents").alias("ca")
+    )
+    b = monthly.select(
+        F.col("l_suppkey").alias("sb"), F.col("m").alias("mb"),
+        F.col("cents").alias("cb"),
+    )
+    duels = a.join(b, (F.col("m") == F.col("mb")) & (F.col("sa") != F.col("sb")))
+    per = duels.groupBy("sa").agg(
+        F.sum(F.when(F.col("ca") > F.col("cb"), 1).otherwise(0)).alias("wins"),
+        F.sum(F.when(F.col("ca") < F.col("cb"), 1).otherwise(0)).alias("losses"),
+        F.sum(F.when(F.col("ca") == F.col("cb"), 1).otherwise(0)).alias("ties"),
+    )
+    return (
+        per.select(
+            F.col("sa").alias("l_suppkey"), "wins", "losses", "ties",
+            (F.col("wins") - F.col("losses")).alias("copeland"),
+        )
+        .repartition(1)
+        .sortWithinPartitions("l_suppkey")
+    )
+
+
+def copeland_ranking_sql() -> str:
+    return """
+WITH monthly AS (
+  SELECT l_suppkey, date_trunc('month', l_shipdate) AS m,
+         SUM(CAST(round(100 * l_extendedprice) AS BIGINT)) AS cents
+  FROM lineitem GROUP BY l_suppkey, m
+)
+SELECT a.l_suppkey,
+       CAST(SUM(CASE WHEN a.cents > b.cents THEN 1 ELSE 0 END) AS BIGINT) AS wins,
+       CAST(SUM(CASE WHEN a.cents < b.cents THEN 1 ELSE 0 END) AS BIGINT) AS losses,
+       CAST(SUM(CASE WHEN a.cents = b.cents THEN 1 ELSE 0 END) AS BIGINT) AS ties,
+       CAST(SUM(CASE WHEN a.cents > b.cents THEN 1 ELSE 0 END)
+          - SUM(CASE WHEN a.cents < b.cents THEN 1 ELSE 0 END) AS BIGINT) AS copeland
+FROM monthly a JOIN monthly b ON b.m = a.m AND b.l_suppkey != a.l_suppkey
+GROUP BY a.l_suppkey ORDER BY a.l_suppkey
+"""

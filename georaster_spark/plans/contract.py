@@ -5353,6 +5353,9 @@ def spatial_queries() -> dict[str, QueryFn]:
         "join_order_audit": rel.join_order_audit,
         "good_turing": textops.good_turing,
         "rlsa_smear": q_rlsa_smear,
+        "fifo_allocation": rel.fifo_allocation,
+        "ring_validity": q_ring_validity,
+        "copeland_ranking": rel.copeland_ranking,
     })
 
 
@@ -5761,6 +5764,9 @@ def spatial_oracles(sf: str = "sf0.01") -> dict[str, str]:
         "join_order_audit": rel.join_order_audit_sql(),
         "good_turing": textops.good_turing_sql(),
         "rlsa_smear": _sql_rlsa_smear(fx, w),
+        "fifo_allocation": rel.fifo_allocation_sql(),
+        "ring_validity": _sql_ring_validity(fx),
+        "copeland_ranking": rel.copeland_ranking_sql(),
     })
 
 
@@ -15244,4 +15250,134 @@ SELECT image_id,
        CAST(SUM(flip) AS BIGINT) AS n_flipped,
        CAST(SUM((fg + flip) * (i * {w} + j + 1)) AS BIGINT) AS rlsa_checksum
 FROM sm GROUP BY image_id ORDER BY image_id
+"""
+
+
+def q_ring_validity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """OGC-lite ring validity census: per zone ring (unit-snapped)
+    the orientation sign of the doubled shoelace area, duplicate-
+    vertex count, and the count of PROPER self-intersections between
+    non-adjacent edges — decided purely by the four strict orientation
+    tests (cross products), no division, no epsilon.  The validity
+    gate a geometry importer runs before trusting digitized polygons.
+
+    Scale shape: rings are constant-bounded, so the edge-pair test is
+    zone-local and O(n^2) per zone with n <= 9; one census closes."""
+    ring_ints = F.expr(
+        "transform(slice(ring, 1, size(ring) - 1),"
+        " p -> struct(CAST(floor(p.x + 0.5) AS BIGINT) AS x,"
+        "             CAST(floor(p.y + 0.5) AS BIGINT) AS y))"
+    )
+    base = _zones(spark, sf_dir).select("zone_id", ring_ints.alias("r"))
+    pts = base.select(
+        "zone_id", F.size("r").alias("n"), F.posexplode("r").alias("k", "p")
+    ).select("zone_id", "n", "k", F.col("p.x").alias("x"), F.col("p.y").alias("y"))
+    nxt = pts.select(
+        "zone_id", F.col("k").alias("kn"),
+        F.col("x").alias("x2"), F.col("y").alias("y2"),
+    )
+    edges = pts.join(
+        nxt,
+        (nxt["zone_id"] == pts["zone_id"])
+        & (F.col("kn") == (F.col("k") + 1) % F.col("n")),
+    ).drop(nxt["zone_id"])
+    area = edges.groupBy("zone_id").agg(
+        F.sum(F.col("x") * F.col("y2") - F.col("x2") * F.col("y")).alias("area2s"),
+        F.max("n").alias("n_verts"),
+    )
+    dupv = (
+        pts.groupBy("zone_id", "x", "y")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .groupBy("zone_id")
+        .agg(F.sum(F.col("c") - 1).alias("dup_vertices"))
+    )
+    e1 = edges.select(
+        "zone_id", F.col("k").alias("ka"), F.col("n").alias("n"),
+        F.col("x").alias("ax"), F.col("y").alias("ay"),
+        F.col("x2").alias("bx"), F.col("y2").alias("by"),
+    )
+    e2 = edges.select(
+        "zone_id", F.col("k").alias("kb"),
+        F.col("x").alias("cx"), F.col("y").alias("cy"),
+        F.col("x2").alias("dx"), F.col("y2").alias("dy"),
+    )
+    def orient(px, py, qx, qy, rx, ry):
+        return (
+            (F.col(qx) - F.col(px)) * (F.col(ry) - F.col(py))
+            - (F.col(qy) - F.col(py)) * (F.col(rx) - F.col(px))
+        )
+    o1 = orient("ax", "ay", "bx", "by", "cx", "cy")
+    o2 = orient("ax", "ay", "bx", "by", "dx", "dy")
+    o3 = orient("cx", "cy", "dx", "dy", "ax", "ay")
+    o4 = orient("cx", "cy", "dx", "dy", "bx", "by")
+    cross = (
+        e1.join(e2, "zone_id")
+        .where(
+            (F.col("kb") > F.col("ka") + 1)
+            & ~((F.col("ka") == 0) & (F.col("kb") == F.col("n") - 1))
+        )
+        .where((o1 * o2 < 0) & (o3 * o4 < 0))
+        .groupBy("zone_id")
+        .agg(F.count(F.lit(1)).alias("self_intersections"))
+    )
+    return (
+        area.join(dupv, "zone_id")
+        .join(cross, "zone_id", "left")
+        .select(
+            "zone_id", "n_verts",
+            F.signum("area2s").cast("long").alias("orientation"),
+            F.abs("area2s").alias("area2"),
+            "dup_vertices",
+            F.coalesce(F.col("self_intersections"), F.lit(0)).alias(
+                "self_intersections"
+            ),
+        )
+        .repartition(1)
+        .sortWithinPartitions("zone_id")
+    )
+
+
+def _sql_ring_validity(fx: Path) -> str:
+    zs = str(fx / "zones.parquet")
+    return f"""
+WITH pts AS (
+  SELECT zone_id, i - 1 AS k, len(ring) - 1 AS n,
+         CAST(floor(ring[i].x + 0.5) AS BIGINT) AS x,
+         CAST(floor(ring[i].y + 0.5) AS BIGINT) AS y
+  FROM read_parquet('{zs}'), unnest(range(1, len(ring))) t(i)
+),
+edges AS (
+  SELECT a.zone_id, a.k, a.n, a.x, a.y, b.x AS x2, b.y AS y2
+  FROM pts a JOIN pts b
+    ON b.zone_id = a.zone_id AND b.k = (a.k + 1) % a.n
+),
+area AS (
+  SELECT zone_id, SUM(x * y2 - x2 * y) AS area2s, MAX(n) AS n_verts
+  FROM edges GROUP BY zone_id
+),
+dupv AS (
+  SELECT zone_id, SUM(c - 1) AS dup_vertices
+  FROM (SELECT zone_id, x, y, COUNT(*) AS c FROM pts GROUP BY zone_id, x, y)
+  GROUP BY zone_id
+),
+cross_ AS (
+  SELECT a.zone_id, COUNT(*) AS self_intersections
+  FROM edges a JOIN edges b ON b.zone_id = a.zone_id
+   AND b.k > a.k + 1 AND NOT (a.k = 0 AND b.k = a.n - 1)
+  WHERE ((a.x2 - a.x) * (b.y - a.y) - (a.y2 - a.y) * (b.x - a.x))
+      * ((a.x2 - a.x) * (b.y2 - a.y) - (a.y2 - a.y) * (b.x2 - a.x)) < 0
+    AND ((b.x2 - b.x) * (a.y - b.y) - (b.y2 - b.y) * (a.x - b.x))
+      * ((b.x2 - b.x) * (a.y2 - b.y) - (b.y2 - b.y) * (a.x2 - b.x)) < 0
+  GROUP BY a.zone_id
+)
+SELECT area.zone_id,
+       CAST(n_verts AS BIGINT) AS n_verts,
+       CAST(sign(area2s) AS BIGINT) AS orientation,
+       CAST(abs(area2s) AS BIGINT) AS area2,
+       CAST(dup_vertices AS BIGINT) AS dup_vertices,
+       CAST(COALESCE(self_intersections, 0) AS BIGINT) AS self_intersections
+FROM area
+JOIN dupv ON dupv.zone_id = area.zone_id
+LEFT JOIN cross_ ON cross_.zone_id = area.zone_id
+ORDER BY area.zone_id
 """
