@@ -9500,3 +9500,121 @@ SELECT a.l_suppkey,
 FROM monthly a JOIN monthly b ON b.m = a.m AND b.l_suppkey != a.l_suppkey
 GROUP BY a.l_suppkey ORDER BY a.l_suppkey
 """
+
+
+# --- max-min fair water-filling allocation --------------------------------------
+
+
+def waterfill_fairshare(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Max-min fair water-filling (the progressive-filling allocation
+    of datacenter schedulers and congestion control, Bertsekas &
+    Gallager 1992 §6.5.2), computed in closed form — no iteration:
+    per month the suppliers' revenue demands (cents) share a budget
+    C = total DIV 2; sorting demands ascending with prefix sums, the
+    integer water level is L = (C - prefix_below) DIV remaining at
+    the FIRST position where the segment can absorb the rest. Per
+    month: suppliers, demand, budget, level, fully-satisfied count,
+    the exact allocated sum min(d_i, L), and the sub-L slack (< n,
+    the units a remainder rule would hand out).
+
+    Scale shape: one (supplier, month) census, one month-key sort
+    window for prefix sums, one month census — the sequential
+    progressive-filling loop becomes two shuffles."""
+    li = _t(spark, sf_dir, "lineitem")
+    monthly = li.groupBy(
+        "l_suppkey", F.date_trunc("month", "l_shipdate").alias("m")
+    ).agg(
+        F.sum(F.expr("CAST(round(100 * l_extendedprice) AS BIGINT)")).alias("d")
+    )
+    wm = Window.partitionBy("m").orderBy("d", "l_suppkey")
+    wall = Window.partitionBy("m")
+    x = monthly.select(
+        "m", "d",
+        F.row_number().over(wm).alias("k"),
+        F.coalesce(
+            F.sum("d").over(wm.rowsBetween(Window.unboundedPreceding, -1)), F.lit(0)
+        ).alias("pre"),
+        F.count(F.lit(1)).over(wall).alias("n"),
+        F.expr("div(sum(d) OVER (PARTITION BY m), 2)").alias("c"),
+    )
+    lvl = (
+        x.where(F.col("pre") + (F.col("n") - F.col("k") + 1) * F.col("d") >= F.col("c"))
+        .groupBy("m")
+        .agg(F.min("k").alias("k0"))
+    )
+    level = (
+        x.join(lvl, "m")
+        .where(F.col("k") == F.col("k0"))
+        .select(
+            "m", "n", "c",
+            F.expr("div(c - pre, n - k + 1)").alias("level"),
+        )
+    )
+    out = (
+        monthly.join(level, "m")
+        .groupBy("m")
+        .agg(
+            F.max("n").alias("n_suppliers"),
+            F.sum("d").alias("total_demand"),
+            F.max("c").alias("budget"),
+            F.max("level").alias("level"),
+            F.sum(F.when(F.col("d") <= F.col("level"), 1).otherwise(0)).alias(
+                "n_satisfied"
+            ),
+            F.sum(F.least(F.col("d"), F.col("level"))).alias("allocated"),
+        )
+        .select(
+            "*", (F.col("budget") - F.col("allocated")).alias("slack")
+        )
+    )
+    return (
+        out.withColumn("m", F.col("m").cast("date"))
+        .repartition(1)
+        .sortWithinPartitions("m")
+    )
+
+
+def waterfill_fairshare_sql() -> str:
+    return """
+WITH monthly AS (
+  SELECT l_suppkey, date_trunc('month', l_shipdate) AS m,
+         SUM(CAST(round(100 * l_extendedprice) AS BIGINT)) AS d
+  FROM lineitem GROUP BY l_suppkey, m
+),
+x AS (
+  SELECT m, d,
+         row_number() OVER (PARTITION BY m ORDER BY d, l_suppkey) AS k,
+         COALESCE(SUM(d) OVER (PARTITION BY m ORDER BY d, l_suppkey
+            ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS pre,
+         COUNT(*) OVER (PARTITION BY m) AS n,
+         SUM(d) OVER (PARTITION BY m) // 2 AS c
+  FROM monthly
+),
+lvl AS (
+  SELECT m, MIN(k) AS k0 FROM x
+  WHERE pre + (n - k + 1) * d >= c GROUP BY m
+),
+level AS (
+  SELECT x.m, n, c, (c - pre) // (n - k + 1) AS level
+  FROM x JOIN lvl ON lvl.m = x.m AND x.k = lvl.k0
+),
+out_ AS (
+  SELECT monthly.m,
+         MAX(n) AS n_suppliers,
+         SUM(d) AS total_demand,
+         MAX(c) AS budget,
+         MAX(level) AS level,
+         SUM(CASE WHEN d <= level THEN 1 ELSE 0 END) AS n_satisfied,
+         SUM(least(d, level)) AS allocated
+  FROM monthly JOIN level ON level.m = monthly.m
+  GROUP BY monthly.m
+)
+SELECT m, CAST(n_suppliers AS BIGINT) AS n_suppliers,
+       CAST(total_demand AS BIGINT) AS total_demand,
+       CAST(budget AS BIGINT) AS budget,
+       CAST(level AS BIGINT) AS level,
+       CAST(n_satisfied AS BIGINT) AS n_satisfied,
+       CAST(allocated AS BIGINT) AS allocated,
+       CAST(budget - allocated AS BIGINT) AS slack
+FROM out_ ORDER BY m
+"""

@@ -5133,3 +5133,162 @@ SELECT CAST(r AS BIGINT) AS r,
        CAST((1000000 * (r + 1) * n_r1) // n_r AS BIGINT) AS r_star_ppm
 FROM led ORDER BY r
 """
+
+
+# --- AMS F2 sketch accuracy audit -----------------------------------------------
+
+_AMS_K = 8
+
+
+def ams_f2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """AMS second-frequency-moment sketch audit (Alon, Matias &
+    Szegedy 1996 — the tug-of-war sketch): for each of 8 salted +-1
+    hash functions s_k(x) = 1 - 2*(h40(salt||x) & 1), the sketch is
+    the signed sum over the token stream, its square the F2 estimate,
+    and the audit reports each estimator against the EXACT
+    F2 = sum f_x^2 with the signed error in ppm — the
+    repetition-mass / self-join-size estimator every streaming
+    optimizer quotes, here pinned deterministically.
+
+    Scale shape: sketches are one map-only pass + an 8-value agg
+    (each salt one conditional sum); exact F2 is one term census —
+    the only shuffle."""
+    tf = (
+        _docs(spark, sf_dir)
+        .select(F.explode(_clean_words()).alias("term"))
+        .groupBy("term")
+        .agg(F.count(F.lit(1)).alias("f"))
+    )
+    signs = [
+        (F.lit(1) - F.lit(2) * (h40(F.concat(F.lit(f"ams{k}:"), F.col("term"))) % 2))
+        .alias(f"s{k}")
+        for k in range(_AMS_K)
+    ]
+    sk = tf.select("f", *signs).agg(
+        F.sum(F.expr("f * f")).alias("f2"),
+        *[F.sum(F.col(f"s{k}") * F.col("f")).alias(f"z{k}") for k in range(_AMS_K)],
+    )
+    stack = ", ".join(f"{k}, z{k}" for k in range(_AMS_K))
+    rows = sk.selectExpr("f2", f"stack({_AMS_K}, {stack}) AS (sketch_id, z)")
+    return (
+        rows.select(
+            F.col("sketch_id").cast("long").alias("sketch_id"),
+            F.col("z").cast("long").alias("sketch"),
+            (F.col("z") * F.col("z")).alias("f2_est"),
+            F.col("f2").cast("long").alias("f2_exact"),
+            F.expr("CAST(div(1000000 * (z * z - f2), f2) AS BIGINT)").alias(
+                "err_ppm"
+            ),
+        )
+        .repartition(1)
+        .sortWithinPartitions("sketch_id")
+    )
+
+
+def ams_f2_sql() -> str:
+    zsum = ",\n         ".join(
+        "SUM((1 - 2 * ({h} % 2)) * f) AS z{k}".format(
+            h=_SQL_H40.format(s=f"'ams{k}:' || term"), k=k
+        )
+        for k in range(_AMS_K)
+    )
+    rows = "\n  UNION ALL\n".join(
+        f"  SELECT {k} AS sketch_id, z{k} AS z, f2 FROM sk" for k in range(_AMS_K)
+    )
+    return f"""
+WITH tf AS (
+  SELECT term, COUNT(*) AS f
+  FROM (SELECT unnest(list_filter({_SQL_WS}, t -> t <> '')) AS term FROM documents)
+  GROUP BY term
+),
+sk AS (
+  SELECT SUM(f * f) AS f2,
+         {zsum}
+  FROM tf
+),
+rows_ AS (
+{rows}
+)
+SELECT CAST(sketch_id AS BIGINT) AS sketch_id,
+       CAST(z AS BIGINT) AS sketch,
+       CAST(z * z AS BIGINT) AS f2_est,
+       CAST(f2 AS BIGINT) AS f2_exact,
+       CAST((1000000 * (z * z - f2)) // f2 AS BIGINT) AS err_ppm
+FROM rows_ ORDER BY sketch_id
+"""
+
+
+# --- feature-hashing collision census -------------------------------------------
+
+_FHASH_BITS = 12
+
+
+def feature_hash_collisions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Feature-hashing (hashing-trick, Weinberger et al. 2009)
+    collision census at 2^12 buckets: vocabulary terms hash to
+    h40 % 4096 and the audit reports bucket occupancy, colliding
+    buckets and terms, the worst bucket, and the token MASS sitting in
+    collision buckets (the share of training signal that gets mixed) —
+    in ppm, the table that picks the hash width before a
+    hashed-features model ships.
+
+    Scale shape: one term census then one bucket census — two
+    bounded shuffles; the report is a single row."""
+    tf = (
+        _docs(spark, sf_dir)
+        .select(F.explode(_clean_words()).alias("term"))
+        .groupBy("term")
+        .agg(F.count(F.lit(1)).alias("f"))
+    )
+    b = tf.select(
+        (h40(F.col("term")) % (1 << _FHASH_BITS)).alias("bucket"), "f"
+    )
+    per_bucket = b.groupBy("bucket").agg(
+        F.count(F.lit(1)).alias("n_terms"), F.sum("f").alias("mass")
+    )
+    return per_bucket.agg(
+        F.sum("n_terms").alias("vocab"),
+        F.count(F.lit(1)).alias("buckets_used"),
+        F.sum(F.when(F.col("n_terms") > 1, 1).otherwise(0)).alias(
+            "collision_buckets"
+        ),
+        F.sum(F.when(F.col("n_terms") > 1, F.col("n_terms"))).alias(
+            "collided_terms"
+        ),
+        F.max("n_terms").alias("max_bucket_terms"),
+        F.sum("mass").alias("total_mass"),
+        F.sum(F.when(F.col("n_terms") > 1, F.col("mass"))).alias("collided_mass"),
+    ).select(
+        "vocab", "buckets_used", "collision_buckets",
+        F.coalesce(F.col("collided_terms"), F.lit(0)).alias("collided_terms"),
+        "max_bucket_terms", "total_mass",
+        F.coalesce(F.col("collided_mass"), F.lit(0)).alias("collided_mass"),
+        F.expr(
+            "CAST(div(1000000 * coalesce(collided_mass, 0), total_mass) AS BIGINT)"
+        ).alias("collided_mass_ppm"),
+    )
+
+
+def feature_hash_collisions_sql() -> str:
+    h = _SQL_H40.format(s="term")
+    return f"""
+WITH tf AS (
+  SELECT term, COUNT(*) AS f
+  FROM (SELECT unnest(list_filter({_SQL_WS}, t -> t <> '')) AS term FROM documents)
+  GROUP BY term
+),
+per_bucket AS (
+  SELECT {h} % {1 << _FHASH_BITS} AS bucket,
+         COUNT(*) AS n_terms, SUM(f) AS mass
+  FROM tf GROUP BY bucket
+)
+SELECT CAST(SUM(n_terms) AS BIGINT) AS vocab,
+       COUNT(*) AS buckets_used,
+       CAST(SUM(CASE WHEN n_terms > 1 THEN 1 ELSE 0 END) AS BIGINT) AS collision_buckets,
+       CAST(COALESCE(SUM(CASE WHEN n_terms > 1 THEN n_terms END), 0) AS BIGINT) AS collided_terms,
+       CAST(MAX(n_terms) AS BIGINT) AS max_bucket_terms,
+       CAST(SUM(mass) AS BIGINT) AS total_mass,
+       CAST(COALESCE(SUM(CASE WHEN n_terms > 1 THEN mass END), 0) AS BIGINT) AS collided_mass,
+       CAST((1000000 * COALESCE(SUM(CASE WHEN n_terms > 1 THEN mass END), 0)) // SUM(mass) AS BIGINT) AS collided_mass_ppm
+FROM per_bucket
+"""

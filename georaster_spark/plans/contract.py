@@ -5356,6 +5356,9 @@ def spatial_queries() -> dict[str, QueryFn]:
         "fifo_allocation": rel.fifo_allocation,
         "ring_validity": q_ring_validity,
         "copeland_ranking": rel.copeland_ranking,
+        "ams_f2": textops.ams_f2,
+        "feature_hash_collisions": textops.feature_hash_collisions,
+        "waterfill_fairshare": rel.waterfill_fairshare,
     })
 
 
@@ -5767,6 +5770,9 @@ def spatial_oracles(sf: str = "sf0.01") -> dict[str, str]:
         "fifo_allocation": rel.fifo_allocation_sql(),
         "ring_validity": _sql_ring_validity(fx),
         "copeland_ranking": rel.copeland_ranking_sql(),
+        "ams_f2": textops.ams_f2_sql(),
+        "feature_hash_collisions": textops.feature_hash_collisions_sql(),
+        "waterfill_fairshare": rel.waterfill_fairshare_sql(),
     })
 
 
