@@ -9618,3 +9618,115 @@ SELECT m, CAST(n_suppliers AS BIGINT) AS n_suppliers,
        CAST(budget - allocated AS BIGINT) AS slack
 FROM out_ ORDER BY m
 """
+
+
+# --- bullwhip variance-amplification census -------------------------------------
+
+
+def bullwhip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bullwhip-effect census (Lee, Padmanabhan & Whang 1997 — demand
+    variance amplification up the supply chain) in exact integers: per
+    part brand, monthly ordered units (by order date) vs monthly
+    shipped units (by ship date) on the SAME zero-filled calendar
+    grid, and the M-scaled variance numerators V = M*sum(x^2) -
+    (sum x)^2 for both series — the shift-invariant integer variance
+    surface — with the amplification ratio in ppm. Ratio > 1e6 means
+    shipments swing harder than demand: the bullwhip.
+
+    Scale shape: two (brand, month) censuses + a broadcast part dim
+    join + a zero-fill grid join on brand x month — all small keys;
+    the fact table is read twice, shuffled on tiny keys only."""
+    li = _t(spark, sf_dir, "lineitem")
+    o = _t(spark, sf_dir, "orders")
+    p = _t(spark, sf_dir, "part").select("p_partkey", "p_brand")
+    base = li.join(F.broadcast(p), li["l_partkey"] == p["p_partkey"]).join(
+        o, li["l_orderkey"] == o["o_orderkey"]
+    )
+    demand = base.groupBy(
+        "p_brand", F.date_trunc("month", "o_orderdate").alias("m")
+    ).agg(F.sum(F.expr("CAST(l_quantity AS BIGINT)")).alias("d"))
+    supply = base.groupBy(
+        "p_brand", F.date_trunc("month", "l_shipdate").alias("m")
+    ).agg(F.sum(F.expr("CAST(l_quantity AS BIGINT)")).alias("s"))
+    months = demand.select("m").union(supply.select("m")).distinct()
+    brands = p.select("p_brand").distinct()
+    grid = brands.crossJoin(months)
+    g = (
+        grid.join(demand, ["p_brand", "m"], "left")
+        .join(supply, ["p_brand", "m"], "left")
+        .select(
+            "p_brand", "m",
+            F.coalesce(F.col("d"), F.lit(0)).alias("d"),
+            F.coalesce(F.col("s"), F.lit(0)).alias("s"),
+        )
+    )
+    agg = g.groupBy("p_brand").agg(
+        F.count(F.lit(1)).alias("n_months"),
+        F.sum("d").alias("sum_demand"),
+        F.sum("s").alias("sum_supply"),
+        (
+            F.count(F.lit(1)) * F.sum(F.col("d") * F.col("d"))
+            - F.sum("d") * F.sum("d")
+        ).alias("v_demand"),
+        (
+            F.count(F.lit(1)) * F.sum(F.col("s") * F.col("s"))
+            - F.sum("s") * F.sum("s")
+        ).alias("v_supply"),
+    )
+    return (
+        agg.select(
+            "p_brand", "n_months", "sum_demand", "sum_supply",
+            "v_demand", "v_supply",
+            F.expr(
+                "CAST(CASE WHEN v_demand > 0 THEN div(1000000 * v_supply, v_demand)"
+                " ELSE 0 END AS BIGINT)"
+            ).alias("bullwhip_ppm"),
+        )
+        .repartition(1)
+        .sortWithinPartitions("p_brand")
+    )
+
+
+def bullwhip_sql() -> str:
+    return """
+WITH base AS (
+  SELECT p_brand, l_quantity, o_orderdate, l_shipdate
+  FROM lineitem
+  JOIN part ON p_partkey = l_partkey
+  JOIN orders ON o_orderkey = l_orderkey
+),
+demand AS (
+  SELECT p_brand, date_trunc('month', o_orderdate) AS m,
+         SUM(CAST(l_quantity AS BIGINT)) AS d
+  FROM base GROUP BY p_brand, m
+),
+supply AS (
+  SELECT p_brand, date_trunc('month', l_shipdate) AS m,
+         SUM(CAST(l_quantity AS BIGINT)) AS s
+  FROM base GROUP BY p_brand, m
+),
+months AS (SELECT m FROM demand UNION SELECT m FROM supply),
+brands AS (SELECT DISTINCT p_brand FROM part),
+g AS (
+  SELECT brands.p_brand, months.m,
+         COALESCE(d, 0) AS d, COALESCE(s, 0) AS s
+  FROM brands CROSS JOIN months
+  LEFT JOIN demand ON demand.p_brand = brands.p_brand AND demand.m = months.m
+  LEFT JOIN supply ON supply.p_brand = brands.p_brand AND supply.m = months.m
+),
+agg AS (
+  SELECT p_brand, COUNT(*) AS n_months,
+         SUM(d) AS sum_demand, SUM(s) AS sum_supply,
+         COUNT(*) * SUM(d * d) - SUM(d) * SUM(d) AS v_demand,
+         COUNT(*) * SUM(s * s) - SUM(s) * SUM(s) AS v_supply
+  FROM g GROUP BY p_brand
+)
+SELECT p_brand, CAST(n_months AS BIGINT) AS n_months,
+       CAST(sum_demand AS BIGINT) AS sum_demand,
+       CAST(sum_supply AS BIGINT) AS sum_supply,
+       CAST(v_demand AS BIGINT) AS v_demand,
+       CAST(v_supply AS BIGINT) AS v_supply,
+       CAST(CASE WHEN v_demand > 0 THEN (1000000 * v_supply) // v_demand
+                 ELSE 0 END AS BIGINT) AS bullwhip_ppm
+FROM agg ORDER BY p_brand
+"""

@@ -5359,6 +5359,9 @@ def spatial_queries() -> dict[str, QueryFn]:
         "ams_f2": textops.ams_f2,
         "feature_hash_collisions": textops.feature_hash_collisions,
         "waterfill_fairshare": rel.waterfill_fairshare,
+        "pr_curve_audit": q_pr_curve_audit,
+        "freivalds_verify": q_freivalds_verify,
+        "bullwhip": rel.bullwhip,
     })
 
 
@@ -5773,6 +5776,9 @@ def spatial_oracles(sf: str = "sf0.01") -> dict[str, str]:
         "ams_f2": textops.ams_f2_sql(),
         "feature_hash_collisions": textops.feature_hash_collisions_sql(),
         "waterfill_fairshare": rel.waterfill_fairshare_sql(),
+        "pr_curve_audit": _sql_pr_curve_audit(fx),
+        "freivalds_verify": _sql_freivalds_verify(fx),
+        "bullwhip": rel.bullwhip_sql(),
     })
 
 
@@ -15386,4 +15392,282 @@ FROM area
 JOIN dupv ON dupv.zone_id = area.zone_id
 LEFT JOIN cross_ ON cross_.zone_id = area.zone_id
 ORDER BY area.zone_id
+"""
+
+
+_PR_TMAX = 4
+
+
+def q_pr_curve_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Precision/recall CURVE over the detector's full operating range
+    (the threshold-sweep table behind every PR plot, reported as exact
+    integers instead of a figure): the E11 banded-LSH candidate pairs
+    carry their exact hamming distance, truth is the fixture's planted
+    pair (idx-1, idx) at idx ≡ 99 (mod 100), and each threshold
+    t = 0..4 (the lossless pigeonhole range) reports TP/FP/FN and ppm
+    precision/recall — dedup_eval generalized from one operating point
+    to the whole curve.
+
+    Scale shape: ONE bounded band join builds candidates once; the
+    5-threshold sweep is a tiny cross join over the slim pair table."""
+    from ..operators.phash import phash_near_dup
+
+    det = phash_near_dup(_images(spark, sf_dir), t=_PR_TMAX).select(
+        F.regexp_extract("a_id", r"(\d+)$", 1).cast("long").alias("ia"),
+        F.regexp_extract("b_id", r"(\d+)$", 1).cast("long").alias("ib"),
+        "hamming",
+    )
+    n = _images(spark, sf_dir).count()
+    truth = (
+        spark.range(n)
+        .where((F.col("id") % 100 == 99) & (F.col("id") > 0))
+        .select((F.col("id") - 1).alias("ia"), F.col("id").alias("ib"))
+    )
+    flagged = det.join(
+        truth.select("ia", "ib", F.lit(1).alias("is_truth")), ["ia", "ib"], "left"
+    ).select("hamming", F.coalesce(F.col("is_truth"), F.lit(0)).alias("is_truth"))
+    nt = truth.agg(F.count(F.lit(1)).alias("n_truth"))
+    th = spark.range(_PR_TMAX + 1).select(F.col("id").cast("long").alias("t"))
+    sweep = (
+        th.crossJoin(flagged)
+        .groupBy("t")
+        .agg(
+            F.sum(
+                F.when((F.col("hamming") <= F.col("t")) & (F.col("is_truth") == 1), 1)
+                .otherwise(0)
+            ).alias("tp"),
+            F.sum(
+                F.when((F.col("hamming") <= F.col("t")) & (F.col("is_truth") == 0), 1)
+                .otherwise(0)
+            ).alias("fp"),
+        )
+        .crossJoin(nt)
+    )
+    return (
+        sweep.select(
+            "t", "tp", "fp",
+            (F.col("n_truth") - F.col("tp")).alias("fn"),
+            F.expr(
+                "CAST(CASE WHEN tp + fp > 0 THEN div(1000000 * tp, tp + fp)"
+                " ELSE 0 END AS BIGINT)"
+            ).alias("precision_ppm"),
+            F.expr(
+                "CAST(CASE WHEN n_truth > 0 THEN div(1000000 * tp, n_truth)"
+                " ELSE 0 END AS BIGINT)"
+            ).alias("recall_ppm"),
+        )
+        .repartition(1)
+        .sortWithinPartitions("t")
+    )
+
+
+def _sql_pr_curve_audit(fx: Path) -> str:
+    from ..operators.phash import BANDS
+
+    bands_union = "\nUNION ALL\n".join(
+        f"SELECT image_id, phash, {i} AS band_id,"
+        f" (phash >> {sh}) & {(1 << wd) - 1} AS band_val FROM h"
+        for i, (sh, wd) in enumerate(BANDS)
+    )
+    return f"""
+WITH h AS (SELECT image_id, phash FROM read_parquet('{fx / 'images.parquet'}')),
+bands AS ({bands_union}),
+det AS (
+  SELECT DISTINCT CAST(substr(a.image_id, 4, 10) AS BIGINT) AS ia,
+                  CAST(substr(b.image_id, 4, 10) AS BIGINT) AS ib,
+                  bit_count(xor(a.phash, b.phash)) AS hamming
+  FROM bands a JOIN bands b
+    ON a.band_id = b.band_id AND a.band_val = b.band_val
+   AND a.image_id < b.image_id
+  WHERE bit_count(xor(a.phash, b.phash)) <= {_PR_TMAX}
+),
+n_img AS (SELECT COUNT(*) AS n FROM h),
+truth AS (
+  SELECT i - 1 AS ia, i AS ib
+  FROM (SELECT unnest(range((SELECT n FROM n_img))) AS i)
+  WHERE i % 100 = 99 AND i > 0
+),
+flagged AS (
+  SELECT hamming,
+         CASE WHEN EXISTS (SELECT 1 FROM truth t
+                           WHERE t.ia = det.ia AND t.ib = det.ib)
+              THEN 1 ELSE 0 END AS is_truth
+  FROM det
+),
+nt AS (SELECT COUNT(*) AS n_truth FROM truth),
+sweep AS (
+  SELECT t,
+         SUM(CASE WHEN hamming <= t AND is_truth = 1 THEN 1 ELSE 0 END) AS tp,
+         SUM(CASE WHEN hamming <= t AND is_truth = 0 THEN 1 ELSE 0 END) AS fp
+  FROM (SELECT unnest(range({_PR_TMAX + 1})) AS t), flagged
+  GROUP BY t
+)
+SELECT CAST(t AS BIGINT) AS t, CAST(tp AS BIGINT) AS tp, CAST(fp AS BIGINT) AS fp,
+       CAST((SELECT n_truth FROM nt) - tp AS BIGINT) AS fn,
+       CAST(CASE WHEN tp + fp > 0 THEN (1000000 * tp) // (tp + fp) ELSE 0 END AS BIGINT) AS precision_ppm,
+       CAST(CASE WHEN (SELECT n_truth FROM nt) > 0
+                 THEN (1000000 * tp) // (SELECT n_truth FROM nt) ELSE 0 END AS BIGINT) AS recall_ppm
+FROM sweep ORDER BY t
+"""
+
+
+# --- Freivalds' randomized matmul verification (deterministic salts) ------------
+
+_FV_D = 40000
+_FV_K = 4
+
+
+def q_freivalds_verify(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Freivalds' product verification (Freivalds 1977 — verify
+    C = A·A in O(n^2) instead of recomputing): A is the zone
+    centroid-proximity graph (L1 <= 40000 on snapped bbox centers),
+    C its real 2-path count matrix, and for 4 deterministic salted
+    probe vectors r (h40 % 7, so zeros occur and detection is honest)
+    the audit checks A(Ar) = Cr exactly, then plants a +1 error at
+    the (min-zone, max-zone) cell and reports whether each probe
+    catches it (it misses iff r[j0] = 0 — the 1/7 blind spot the
+    randomized analysis prices).
+
+    Scale shape: matrix-vector products are zone-key joins + censuses
+    on the slim edge table; nothing materializes beyond E and the
+    64-row vectors."""
+    z = _zones(spark, sf_dir).select(
+        "zone_id",
+        F.expr("CAST(floor((xmin + xmax) / 2 + 0.5) AS BIGINT)").alias("cx"),
+        F.expr("CAST(floor((ymin + ymax) / 2 + 0.5) AS BIGINT)").alias("cy"),
+    )
+    a1 = z.select(F.col("zone_id").alias("i"), F.col("cx").alias("ax"), F.col("cy").alias("ay"))
+    a2 = z.select(F.col("zone_id").alias("j"), F.col("cx").alias("bx"), F.col("cy").alias("by"))
+    A = a1.join(
+        a2,
+        (F.col("i") != F.col("j"))
+        & ((F.abs(F.col("ax") - F.col("bx")) + F.abs(F.col("ay") - F.col("by"))) <= _FV_D),
+    ).select("i", "j")
+    from ..operators.textops import h40
+
+    r = z.select(
+        F.col("zone_id").alias("j"),
+        *[
+            (h40(F.concat(F.lit(f"fv{k}:"), F.col("zone_id").cast("string"))) % 7)
+            .alias(f"r{k}")
+            for k in range(_FV_K)
+        ],
+    )
+    y = (
+        A.join(r, "j")
+        .groupBy("i")
+        .agg(*[F.sum(f"r{k}").alias(f"y{k}") for k in range(_FV_K)])
+    )
+    w = (
+        A.join(y.withColumnRenamed("i", "j"), "j")
+        .groupBy("i")
+        .agg(*[F.sum(f"y{k}").alias(f"w{k}") for k in range(_FV_K)])
+    )
+    C = (
+        A.select(F.col("i"), F.col("j").alias("m"))
+        .join(A.select(F.col("i").alias("m"), F.col("j")), "m")
+        .groupBy("i", "j")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    v = (
+        C.join(r, "j")
+        .groupBy("i")
+        .agg(*[F.sum(F.col("c") * F.col(f"r{k}")).alias(f"v{k}") for k in range(_FV_K)])
+    )
+    resid = (
+        w.join(v, "i", "full")
+        .select(
+            *[
+                F.abs(
+                    F.coalesce(F.col(f"w{k}"), F.lit(0))
+                    - F.coalesce(F.col(f"v{k}"), F.lit(0))
+                ).alias(f"d{k}")
+                for k in range(_FV_K)
+            ]
+        )
+        .agg(*[F.sum(f"d{k}").alias(f"resid{k}") for k in range(_FV_K)])
+    )
+    zids = z.agg(F.min("zone_id").alias("i0"), F.max("zone_id").alias("j0"))
+    pert = zids.join(r, F.col("j") == F.col("j0")).select(
+        *[F.col(f"r{k}").alias(f"p{k}") for k in range(_FV_K)]
+    )
+    one = resid.crossJoin(pert)
+    stack = ", ".join(f"{k}, resid{k}, p{k}" for k in range(_FV_K))
+    rows = one.selectExpr(
+        f"stack({_FV_K}, {stack}) AS (sketch_id, residual_l1, perturbed_residual_l1)"
+    )
+    return (
+        rows.select(
+            F.col("sketch_id").cast("long").alias("sketch_id"),
+            F.col("residual_l1").cast("long").alias("residual_l1"),
+            F.col("perturbed_residual_l1").cast("long").alias("perturbed_residual_l1"),
+            F.when(F.col("perturbed_residual_l1") > 0, 1).otherwise(0).cast("int").alias("detected"),
+        )
+        .repartition(1)
+        .sortWithinPartitions("sketch_id")
+    )
+
+
+def _sql_freivalds_verify(fx: Path) -> str:
+    zs = str(fx / "zones.parquet")
+    h = "CAST('0x' || substring(md5('fv{k}:' || CAST(zone_id AS VARCHAR)), 1, 10) AS BIGINT) % 7"
+    rcols = ",\n         ".join(h.format(k=k) + f" AS r{k}" for k in range(_FV_K))
+    ysum = ", ".join(f"SUM(r{k}) AS y{k}" for k in range(_FV_K))
+    wsum = ", ".join(f"SUM(y{k}) AS w{k}" for k in range(_FV_K))
+    vsum = ", ".join(f"SUM(c * r{k}) AS v{k}" for k in range(_FV_K))
+    dsum = ", ".join(
+        f"SUM(abs(COALESCE(w{k}, 0) - COALESCE(v{k}, 0))) AS resid{k}"
+        for k in range(_FV_K)
+    )
+    rows = "\n  UNION ALL\n".join(
+        f"  SELECT {k} AS sketch_id, resid{k} AS residual_l1, p{k} AS perturbed_residual_l1"
+        " FROM one" for k in range(_FV_K)
+    )
+    return f"""
+WITH z AS (
+  SELECT zone_id,
+         CAST(floor((xmin + xmax) / 2 + 0.5) AS BIGINT) AS cx,
+         CAST(floor((ymin + ymax) / 2 + 0.5) AS BIGINT) AS cy
+  FROM read_parquet('{zs}')
+),
+A AS (
+  SELECT a.zone_id AS i, b.zone_id AS j
+  FROM z a JOIN z b ON b.zone_id != a.zone_id
+   AND abs(a.cx - b.cx) + abs(a.cy - b.cy) <= {_FV_D}
+),
+r AS (
+  SELECT zone_id AS j,
+         {rcols}
+  FROM z
+),
+y AS (SELECT i, {ysum} FROM A JOIN r USING (j) GROUP BY i),
+w AS (
+  SELECT A.i, {wsum}
+  FROM A JOIN (SELECT i AS j, * EXCLUDE (i) FROM y) yy USING (j)
+  GROUP BY A.i
+),
+C AS (
+  SELECT a1.i, a2.j, COUNT(*) AS c
+  FROM A a1 JOIN A a2 ON a2.i = a1.j
+  GROUP BY a1.i, a2.j
+),
+v AS (SELECT i, {vsum} FROM C JOIN r USING (j) GROUP BY i),
+resid AS (
+  SELECT {dsum}
+  FROM w FULL OUTER JOIN v USING (i)
+),
+zids AS (SELECT MIN(zone_id) AS i0, MAX(zone_id) AS j0 FROM z),
+pert AS (
+  SELECT {", ".join(f"r{k} AS p{k}" for k in range(_FV_K))}
+  FROM zids JOIN r ON r.j = zids.j0
+),
+one AS (SELECT * FROM resid, pert),
+rows_ AS (
+{rows}
+)
+SELECT CAST(sketch_id AS BIGINT) AS sketch_id,
+       CAST(residual_l1 AS BIGINT) AS residual_l1,
+       CAST(perturbed_residual_l1 AS BIGINT) AS perturbed_residual_l1,
+       CAST(CASE WHEN perturbed_residual_l1 > 0 THEN 1 ELSE 0 END AS INT) AS detected
+FROM rows_ ORDER BY sketch_id
 """
