@@ -9730,3 +9730,236 @@ SELECT p_brand, CAST(n_months AS BIGINT) AS n_months,
                  ELSE 0 END AS BIGINT) AS bullwhip_ppm
 FROM agg ORDER BY p_brand
 """
+
+
+# --- bounded exhaustive 0/1 knapsack census -------------------------------------
+
+_KNAP_MAXN = 8
+
+
+def knapsack_census(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """0/1 knapsack solved EXHAUSTIVELY per customer (the
+    promotion-budget selection: which orders to discount under a
+    capacity cap), for customers with at most 8 orders so the 2^n
+    lattice is constant-bounded: weight = the order's total lineitem
+    units, value = order cents, budget = half the customer's total
+    units; the best feasible subset maximizes value with the smallest
+    bitmask breaking ties. The brute lattice IS the oracle here — the
+    DP would be sequential, the 2^n join is not.
+
+    Scale shape: orders ranked per customer (one window), masks
+    joined customer-locally (<= 256 x 8 rows per customer), two
+    key-local argmax censuses — embarrassingly parallel at any
+    customer count."""
+    li = _t(spark, sf_dir, "lineitem").groupBy("l_orderkey").agg(
+        F.sum(F.expr("CAST(l_quantity AS BIGINT)")).alias("wt")
+    )
+    o = (
+        _t(spark, sf_dir, "orders")
+        .join(li, F.col("o_orderkey") == F.col("l_orderkey"))
+        .select(
+            "o_custkey", "o_orderkey", "o_orderdate", "wt",
+            F.expr("CAST(round(o_totalprice * 100) AS BIGINT)").alias("v"),
+        )
+    )
+    wn = Window.partitionBy("o_custkey")
+    wo = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    ranked = o.select(
+        "o_custkey", "wt", "v",
+        (F.row_number().over(wo) - 1).alias("k"),
+        F.count(F.lit(1)).over(wn).alias("n"),
+        F.expr("div(sum(wt) OVER (PARTITION BY o_custkey), 2)").alias("budget"),
+    ).where(F.col("n") <= _KNAP_MAXN)
+    masks = spark.range(1, 1 << _KNAP_MAXN).select(
+        F.col("id").cast("long").alias("m")
+    )
+    cand = (
+        ranked.join(masks, F.expr("m < shiftleft(1, CAST(n AS INT))"))
+        .where(F.expr("(shiftright(m, CAST(k AS INT)) & 1) = 1"))
+        .groupBy("o_custkey", "m")
+        .agg(
+            F.sum("wt").alias("w_sum"),
+            F.sum("v").alias("v_sum"),
+            F.max("budget").alias("budget"),
+            F.max("n").alias("n"),
+        )
+        .where(F.col("w_sum") <= F.col("budget"))
+    )
+    base = ranked.groupBy("o_custkey").agg(
+        F.max("n").alias("n_orders"), F.max("budget").alias("budget")
+    )
+    best_v = cand.groupBy("o_custkey").agg(F.max("v_sum").alias("best_value"))
+    best = (
+        cand.join(best_v, "o_custkey")
+        .where(F.col("v_sum") == F.col("best_value"))
+        .groupBy("o_custkey")
+        .agg(F.min("m").alias("best_mask"), F.max("best_value").alias("bv"))
+    )
+    wsel = cand.select(
+        F.col("o_custkey").alias("ck2"), F.col("m").alias("m2"),
+        F.col("w_sum").alias("best_weight"),
+    )
+    joined = base.join(best, "o_custkey", "left")
+    return (
+        joined.join(
+            wsel,
+            (joined["o_custkey"] == wsel["ck2"]) & (joined["best_mask"] == wsel["m2"]),
+            "left",
+        )
+        .select(
+            "o_custkey", "n_orders", "budget",
+            F.coalesce(F.col("bv"), F.lit(0)).alias("best_value_cents"),
+            F.coalesce(F.col("best_weight"), F.lit(0)).alias("best_weight"),
+            F.coalesce(F.col("best_mask"), F.lit(0)).alias("best_mask"),
+        )
+        .repartition(1)
+        .sortWithinPartitions("o_custkey")
+    )
+
+
+def knapsack_census_sql() -> str:
+    return f"""
+WITH li AS (
+  SELECT l_orderkey, SUM(CAST(l_quantity AS BIGINT)) AS wt
+  FROM lineitem GROUP BY l_orderkey
+),
+o AS (
+  SELECT o_custkey, o_orderkey, o_orderdate, wt,
+         CAST(round(o_totalprice * 100) AS BIGINT) AS v
+  FROM orders JOIN li ON l_orderkey = o_orderkey
+),
+ranked AS (
+  SELECT o_custkey, wt, v,
+         row_number() OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey) - 1 AS k,
+         COUNT(*) OVER (PARTITION BY o_custkey) AS n,
+         SUM(wt) OVER (PARTITION BY o_custkey) // 2 AS budget
+  FROM o QUALIFY n <= {_KNAP_MAXN}
+),
+cand AS (
+  SELECT o_custkey, m,
+         SUM(wt) AS w_sum, SUM(v) AS v_sum,
+         MAX(budget) AS budget, MAX(n) AS n
+  FROM ranked, (SELECT unnest(range(1, {1 << _KNAP_MAXN})) AS m)
+  WHERE m < (1 << n) AND ((m >> k) & 1) = 1
+  GROUP BY o_custkey, m
+  HAVING SUM(wt) <= MAX(budget)
+),
+base AS (
+  SELECT o_custkey, MAX(n) AS n_orders, MAX(budget) AS budget
+  FROM ranked GROUP BY o_custkey
+),
+best_v AS (SELECT o_custkey, MAX(v_sum) AS best_value FROM cand GROUP BY o_custkey),
+best AS (
+  SELECT cand.o_custkey, MIN(m) AS best_mask, MAX(best_value) AS bv
+  FROM cand JOIN best_v ON best_v.o_custkey = cand.o_custkey
+   AND cand.v_sum = best_v.best_value
+  GROUP BY cand.o_custkey
+)
+SELECT base.o_custkey,
+       CAST(n_orders AS BIGINT) AS n_orders,
+       CAST(base.budget AS BIGINT) AS budget,
+       CAST(COALESCE(bv, 0) AS BIGINT) AS best_value_cents,
+       CAST(COALESCE(ws.w_sum, 0) AS BIGINT) AS best_weight,
+       CAST(COALESCE(best_mask, 0) AS BIGINT) AS best_mask
+FROM base
+LEFT JOIN best ON best.o_custkey = base.o_custkey
+LEFT JOIN cand ws ON ws.o_custkey = base.o_custkey AND ws.m = best.best_mask
+ORDER BY base.o_custkey
+"""
+
+
+# --- Wald-Wolfowitz runs test components ----------------------------------------
+
+
+def runs_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Wald-Wolfowitz runs-test components over the daily-revenue
+    series, exact: each day is above (+) or at-or-below (-) the exact
+    integer median-of-cents (lower median: the value at ceil(n/2) in
+    sort order — no float percentile); R = number of sign runs, n1/n2
+    the sign counts, and the expected-runs mean mu = 1 + 2*n1*n2/n in
+    exact ppm. The distribution-free randomness check a forecasting
+    pipeline runs on residual signs — everything integer so both
+    engines agree bit-for-bit.
+
+    Scale shape: the series is a date census; the median is one
+    ordered rank pick; runs are one lag() window — no float and no
+    global state beyond the tiny aggregated series."""
+    o = _t(spark, sf_dir, "orders")
+    daily = o.groupBy("o_orderdate").agg(
+        F.sum(F.expr("CAST(round(o_totalprice * 100) AS BIGINT)")).alias("cents")
+    )
+    wmed = Window.orderBy("cents", "o_orderdate")
+    wn = Window.partitionBy()
+    med = (
+        daily.select(
+            "cents",
+            F.row_number().over(wmed).alias("rk"),
+            F.count(F.lit(1)).over(wn).alias("n"),
+        )
+        .where(F.col("rk") == F.expr("CAST(ceil(n / 2.0) AS BIGINT)"))
+        .select(F.col("cents").alias("median_cents"))
+    )
+    signed = daily.crossJoin(med).select(
+        "o_orderdate",
+        F.when(F.col("cents") > F.col("median_cents"), 1).otherwise(0).alias("sgn"),
+        "median_cents",
+    )
+    wt = Window.orderBy("o_orderdate")
+    runs = signed.select(
+        "sgn", "median_cents",
+        F.when(
+            F.lag("sgn").over(wt).isNull() | (F.lag("sgn").over(wt) != F.col("sgn")),
+            1,
+        ).otherwise(0).alias("new_run"),
+    )
+    return runs.agg(
+        F.count(F.lit(1)).alias("n_days"),
+        F.sum("sgn").alias("n_above"),
+        F.sum(F.lit(1) - F.col("sgn")).alias("n_below"),
+        F.sum("new_run").alias("n_runs"),
+        F.max("median_cents").alias("median_cents"),
+    ).select(
+        "n_days", "n_above", "n_below", "n_runs", "median_cents",
+        F.expr(
+            "CAST(1000000 + div(2000000 * n_above * n_below, n_days) AS BIGINT)"
+        ).alias("expected_runs_ppm"),
+    )
+
+
+def runs_test_sql() -> str:
+    return """
+WITH daily AS (
+  SELECT o_orderdate, SUM(CAST(round(o_totalprice * 100) AS BIGINT)) AS cents
+  FROM orders GROUP BY o_orderdate
+),
+med AS (
+  SELECT cents AS median_cents
+  FROM (
+    SELECT cents,
+           row_number() OVER (ORDER BY cents, o_orderdate) AS rk,
+           COUNT(*) OVER () AS n
+    FROM daily
+  )
+  WHERE rk = CAST(ceil(n / 2.0) AS BIGINT)
+),
+signed_ AS (
+  SELECT o_orderdate,
+         CASE WHEN cents > median_cents THEN 1 ELSE 0 END AS sgn,
+         median_cents
+  FROM daily, med
+),
+runs AS (
+  SELECT sgn, median_cents,
+         CASE WHEN lag(sgn) OVER (ORDER BY o_orderdate) IS NULL
+                OR lag(sgn) OVER (ORDER BY o_orderdate) != sgn
+              THEN 1 ELSE 0 END AS new_run
+  FROM signed_
+)
+SELECT COUNT(*) AS n_days,
+       CAST(SUM(sgn) AS BIGINT) AS n_above,
+       CAST(SUM(1 - sgn) AS BIGINT) AS n_below,
+       CAST(SUM(new_run) AS BIGINT) AS n_runs,
+       CAST(MAX(median_cents) AS BIGINT) AS median_cents,
+       CAST(1000000 + (2000000 * SUM(sgn) * SUM(1 - sgn)) // COUNT(*) AS BIGINT) AS expected_runs_ppm
+FROM runs
+"""

@@ -5292,3 +5292,82 @@ SELECT CAST(SUM(n_terms) AS BIGINT) AS vocab,
        CAST((1000000 * COALESCE(SUM(CASE WHEN n_terms > 1 THEN mass END), 0)) // SUM(mass) AS BIGINT) AS collided_mass_ppm
 FROM per_bucket
 """
+
+
+# --- Cohen's kappa over the langid confusion matrix -----------------------------
+
+
+def cohens_kappa(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohen's kappa (Cohen 1960) between the planted language label
+    and the lang_id heuristic, EXACT: from the confusion matrix,
+    observed agreement D = sum of diagonal counts and chance agreement
+    S = sum over labels of row-marginal x column-marginal; kappa =
+    (N*D - S) / (N^2 - S) reported as integer numerator/denominator
+    plus a sign-aware ppm (sign * div(1e6*|num|, den), so both
+    engines floor the same positive quantity — 'div' truncates and
+    '//' floors, which disagree on negatives).
+
+    Scale shape: one |L|^2 confusion census + marginal rollups — all
+    tiny-key aggregates."""
+    d = _docs(spark, sf_dir).select("doc_id", "lang")
+    pred = lang_id(spark, sf_dir).select("doc_id", "pred_lang")
+    cm = pred.join(d, "doc_id").groupBy("lang", "pred_lang").agg(
+        F.count(F.lit(1)).alias("c")
+    )
+    tot = cm.agg(
+        F.sum("c").alias("n"),
+        F.sum(F.when(F.col("lang") == F.col("pred_lang"), F.col("c"))).alias("diag"),
+    )
+    rows = cm.groupBy("lang").agg(F.sum("c").alias("rn"))
+    colsm = cm.groupBy("pred_lang").agg(F.sum("c").alias("cn"))
+    S = (
+        rows.join(colsm, rows["lang"] == colsm["pred_lang"])
+        .agg(F.coalesce(F.sum(F.col("rn") * F.col("cn")), F.lit(0)).alias("s"))
+    )
+    one = tot.crossJoin(S)
+    return one.select(
+        F.col("n").cast("long").alias("n_docs"),
+        F.coalesce(F.col("diag"), F.lit(0)).cast("long").alias("sum_diag"),
+        F.col("s").cast("long").alias("chance_sum"),
+        (F.col("n") * F.coalesce(F.col("diag"), F.lit(0)) - F.col("s"))
+        .cast("long")
+        .alias("kappa_num"),
+        (F.col("n") * F.col("n") - F.col("s")).cast("long").alias("kappa_den"),
+        F.expr(
+            "CAST(CASE WHEN n * n - s = 0 THEN 0 ELSE"
+            " CAST(sign(n * coalesce(diag, 0) - s) AS BIGINT)"
+            " * div(1000000 * abs(n * coalesce(diag, 0) - s), n * n - s) END"
+            " AS BIGINT)"
+        ).alias("kappa_ppm"),
+    )
+
+
+def cohens_kappa_sql() -> str:
+    return f"""
+WITH pred AS ({lang_id_sql()}),
+cm AS (
+  SELECT d.lang, p.pred_lang, COUNT(*) AS c
+  FROM pred p JOIN documents d USING (doc_id)
+  GROUP BY d.lang, p.pred_lang
+),
+tot AS (
+  SELECT SUM(c) AS n,
+         COALESCE(SUM(CASE WHEN lang = pred_lang THEN c END), 0) AS diag
+  FROM cm
+),
+r AS (SELECT lang, SUM(c) AS rn FROM cm GROUP BY lang),
+cl AS (SELECT pred_lang, SUM(c) AS cn FROM cm GROUP BY pred_lang),
+sx AS (
+  SELECT COALESCE(SUM(rn * cn), 0) AS s
+  FROM r JOIN cl ON cl.pred_lang = r.lang
+)
+SELECT CAST(n AS BIGINT) AS n_docs,
+       CAST(diag AS BIGINT) AS sum_diag,
+       CAST(s AS BIGINT) AS chance_sum,
+       CAST(n * diag - s AS BIGINT) AS kappa_num,
+       CAST(n * n - s AS BIGINT) AS kappa_den,
+       CAST(CASE WHEN n * n - s = 0 THEN 0 ELSE
+            CAST(sign(n * diag - s) AS BIGINT)
+            * ((1000000 * abs(n * diag - s)) // (n * n - s)) END AS BIGINT) AS kappa_ppm
+FROM tot, sx
+"""

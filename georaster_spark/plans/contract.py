@@ -5362,6 +5362,9 @@ def spatial_queries() -> dict[str, QueryFn]:
         "pr_curve_audit": q_pr_curve_audit,
         "freivalds_verify": q_freivalds_verify,
         "bullwhip": rel.bullwhip,
+        "cohens_kappa": textops.cohens_kappa,
+        "knapsack_census": rel.knapsack_census,
+        "runs_test": rel.runs_test,
     })
 
 
@@ -5779,6 +5782,9 @@ def spatial_oracles(sf: str = "sf0.01") -> dict[str, str]:
         "pr_curve_audit": _sql_pr_curve_audit(fx),
         "freivalds_verify": _sql_freivalds_verify(fx),
         "bullwhip": rel.bullwhip_sql(),
+        "cohens_kappa": textops.cohens_kappa_sql(),
+        "knapsack_census": rel.knapsack_census_sql(),
+        "runs_test": rel.runs_test_sql(),
     })
 
 
