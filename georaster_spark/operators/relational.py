@@ -9963,3 +9963,188 @@ SELECT COUNT(*) AS n_days,
        CAST(1000000 + (2000000 * SUM(sgn) * SUM(1 - sgn)) // COUNT(*) AS BIGINT) AS expected_runs_ppm
 FROM runs
 """
+
+
+# --- as-of linear interpolation at grid timestamps ------------------------------
+
+_AI_STEP_DAYS = 30
+
+
+def asof_interp(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Linear interpolation at grid timestamps between as-of
+    neighbors, EXACT rational (the resample primitive under every
+    time-series alignment: y = (y0*(t1-tq) + y1*(tq-t0)) / (t1-t0),
+    held as integer numerator/denominator plus the floored ppm-free
+    cents value): daily revenue is sampled every 30 days from the
+    series start; each grid point takes its backward and forward
+    as-of neighbors (exact-hit grid points interpolate trivially).
+
+    Scale shape: the grid is a range over the aggregated date span;
+    neighbors come from two as-of window max/min passes over the
+    date census — no per-row state, both joins key-local on the grid
+    point."""
+    o = _t(spark, sf_dir, "orders")
+    daily = o.groupBy("o_orderdate").agg(
+        F.sum(F.expr("CAST(round(o_totalprice * 100) AS BIGINT)")).alias("cents")
+    ).select(F.expr("CAST(datediff(o_orderdate, '1970-01-01') AS BIGINT)").alias("d"), "cents")
+    span = daily.agg(F.min("d").alias("dmin"), F.max("d").alias("dmax"))
+    grid = span.select(
+        F.explode(
+            F.expr(f"sequence(dmin, dmax, {_AI_STEP_DAYS})")
+        ).alias("tq")
+    )
+    lo = (
+        grid.join(daily, F.col("d") <= F.col("tq"))
+        .groupBy("tq")
+        .agg(F.max("d").alias("t0"))
+        .join(daily.select(F.col("d").alias("t0"), F.col("cents").alias("y0")), "t0")
+    )
+    hi = (
+        grid.join(daily, F.col("d") >= F.col("tq"))
+        .groupBy("tq")
+        .agg(F.min("d").alias("t1"))
+        .join(daily.select(F.col("d").alias("t1"), F.col("cents").alias("y1")), "t1")
+    )
+    j = lo.join(hi, "tq")
+    return (
+        j.select(
+            "tq", "t0", "t1", "y0", "y1",
+            F.when(F.col("t1") == F.col("t0"), F.col("y0"))
+            .otherwise(
+                F.expr("div(y0 * (t1 - tq) + y1 * (tq - t0), t1 - t0)")
+            )
+            .alias("interp_cents"),
+        )
+        .repartition(1)
+        .sortWithinPartitions("tq")
+    )
+
+
+def asof_interp_sql() -> str:
+    return f"""
+WITH daily AS (
+  SELECT CAST(date_diff('day', DATE '1970-01-01', o_orderdate) AS BIGINT) AS d,
+         SUM(CAST(round(o_totalprice * 100) AS BIGINT)) AS cents
+  FROM orders GROUP BY o_orderdate
+),
+span AS (SELECT MIN(d) AS dmin, MAX(d) AS dmax FROM daily),
+grid AS (
+  SELECT unnest(range(dmin, dmax + 1, {_AI_STEP_DAYS})) AS tq FROM span
+),
+lo AS (
+  SELECT tq, MAX(d) AS t0 FROM grid JOIN daily ON d <= tq GROUP BY tq
+),
+lov AS (SELECT tq, t0, cents AS y0 FROM lo JOIN daily ON daily.d = lo.t0),
+hi AS (
+  SELECT tq, MIN(d) AS t1 FROM grid JOIN daily ON d >= tq GROUP BY tq
+),
+hiv AS (SELECT tq, t1, cents AS y1 FROM hi JOIN daily ON daily.d = hi.t1)
+SELECT lov.tq, t0, t1, y0, y1,
+       CAST(CASE WHEN t1 = t0 THEN y0
+                 ELSE (y0 * (t1 - lov.tq) + y1 * (lov.tq - t0)) // (t1 - t0)
+            END AS BIGINT) AS interp_cents
+FROM lov JOIN hiv ON hiv.tq = lov.tq
+ORDER BY lov.tq
+"""
+
+
+# --- Hamilton largest-remainder apportionment with Alabama-paradox audit --------
+
+_APP_SEATS = 100
+
+
+def apportionment_census(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hamilton largest-remainder apportionment (the proportional
+    allocation rule of electoral systems and pro-rata billing) with
+    an ALABAMA-PARADOX audit: per month each supplier's exact revenue
+    quota at 100 seats is floor(seats*rev/total) plus one bonus seat
+    for the largest remainders (remainder then supplier tie-break),
+    recomputed at 101 seats — and the audit flags any supplier whose
+    seat count DROPS when the house grows, Hamilton's famous
+    monotonicity failure, caught here exactly.
+
+    Scale shape: month-key censuses + two month-local rank windows;
+    the paradox check is a self-aligned join on (month, supplier) —
+    all small keys."""
+    li = _t(spark, sf_dir, "lineitem")
+    monthly = li.groupBy(
+        "l_suppkey", F.date_trunc("month", "l_shipdate").alias("m")
+    ).agg(
+        F.sum(F.expr("CAST(round(100 * l_extendedprice) AS BIGINT)")).alias("rev")
+    )
+    tot = monthly.groupBy("m").agg(
+        F.sum("rev").alias("total"), F.count(F.lit(1)).alias("n_sup")
+    )
+    base = monthly.join(tot, "m")
+
+    def seats(n_seats):
+        q = F.expr(f"div({n_seats} * rev, total)")
+        r = F.expr(f"({n_seats} * rev) % total")
+        x = base.select(
+            "m", "l_suppkey", q.alias("q"), r.alias("r"),
+            (F.lit(n_seats) - F.sum(q).over(Window.partitionBy("m"))).alias("bonus"),
+        )
+        wr = Window.partitionBy("m").orderBy(F.col("r").desc(), "l_suppkey")
+        return x.select(
+            "m", "l_suppkey",
+            (
+                F.col("q")
+                + F.when(F.row_number().over(wr) <= F.col("bonus"), 1).otherwise(0)
+            ).alias(f"seats{n_seats}"),
+        )
+    s100 = seats(_APP_SEATS)
+    s101 = seats(_APP_SEATS + 1)
+    j = s100.join(s101, ["m", "l_suppkey"])
+    return (
+        j.groupBy("l_suppkey")
+        .agg(
+            F.count(F.lit(1)).alias("n_months"),
+            F.sum(f"seats{_APP_SEATS}").alias("seats_total_100"),
+            F.sum(f"seats{_APP_SEATS + 1}").alias("seats_total_101"),
+            F.sum(
+                F.when(
+                    F.col(f"seats{_APP_SEATS + 1}") < F.col(f"seats{_APP_SEATS}"), 1
+                ).otherwise(0)
+            ).alias("alabama_months"),
+        )
+        .repartition(1)
+        .sortWithinPartitions("l_suppkey")
+    )
+
+
+def apportionment_census_sql() -> str:
+    def seats_cte(n_seats, name):
+        return f"""
+{name}_x AS (
+  SELECT m, l_suppkey,
+         ({n_seats} * rev) // total AS q,
+         ({n_seats} * rev) % total AS r,
+         {n_seats} - SUM(({n_seats} * rev) // total) OVER (PARTITION BY m) AS bonus
+  FROM base
+),
+{name} AS (
+  SELECT m, l_suppkey,
+         q + CASE WHEN row_number() OVER (PARTITION BY m ORDER BY r DESC, l_suppkey)
+                       <= bonus THEN 1 ELSE 0 END AS seats
+  FROM {name}_x
+)"""
+    return f"""
+WITH monthly AS (
+  SELECT l_suppkey, date_trunc('month', l_shipdate) AS m,
+         SUM(CAST(round(100 * l_extendedprice) AS BIGINT)) AS rev
+  FROM lineitem GROUP BY l_suppkey, m
+),
+tot AS (
+  SELECT m, SUM(rev) AS total, COUNT(*) AS n_sup FROM monthly GROUP BY m
+),
+base AS (SELECT monthly.*, total, n_sup FROM monthly JOIN tot USING (m)),
+{seats_cte(_APP_SEATS, 's100')},
+{seats_cte(_APP_SEATS + 1, 's101')}
+SELECT s100.l_suppkey,
+       COUNT(*) AS n_months,
+       CAST(SUM(s100.seats) AS BIGINT) AS seats_total_100,
+       CAST(SUM(s101.seats) AS BIGINT) AS seats_total_101,
+       CAST(SUM(CASE WHEN s101.seats < s100.seats THEN 1 ELSE 0 END) AS BIGINT) AS alabama_months
+FROM s100 JOIN s101 ON s101.m = s100.m AND s101.l_suppkey = s100.l_suppkey
+GROUP BY s100.l_suppkey ORDER BY s100.l_suppkey
+"""

@@ -5365,6 +5365,9 @@ def spatial_queries() -> dict[str, QueryFn]:
         "cohens_kappa": textops.cohens_kappa,
         "knapsack_census": rel.knapsack_census,
         "runs_test": rel.runs_test,
+        "asof_interp": rel.asof_interp,
+        "ring_centroid": q_ring_centroid,
+        "apportionment_census": rel.apportionment_census,
     })
 
 
@@ -5785,6 +5788,9 @@ def spatial_oracles(sf: str = "sf0.01") -> dict[str, str]:
         "cohens_kappa": textops.cohens_kappa_sql(),
         "knapsack_census": rel.knapsack_census_sql(),
         "runs_test": rel.runs_test_sql(),
+        "asof_interp": rel.asof_interp_sql(),
+        "ring_centroid": _sql_ring_centroid(fx),
+        "apportionment_census": rel.apportionment_census_sql(),
     })
 
 
@@ -15676,4 +15682,91 @@ SELECT CAST(sketch_id AS BIGINT) AS sketch_id,
        CAST(perturbed_residual_l1 AS BIGINT) AS perturbed_residual_l1,
        CAST(CASE WHEN perturbed_residual_l1 > 0 THEN 1 ELSE 0 END AS INT) AS detected
 FROM rows_ ORDER BY sketch_id
+"""
+
+
+def q_ring_centroid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact rational polygon centroid via shoelace moments: the
+    centroid of a simple polygon is (sum (x_i+x_{i+1})*c_i,
+    sum (y_i+y_{i+1})*c_i) / (3*area2) with c_i the edge cross term —
+    held as exact integer moment numerators plus area2, never divided
+    into a float; the snapped integer centroid uses sign-aware floor
+    division of positives (div truncates, // floors — they disagree
+    on negatives, so both engines divide |num| and reapply the sign).
+
+    Scale shape: the same zone-local consecutive-edge join as
+    compactness; one census, no cross-zone traffic."""
+    ring_ints = F.expr(
+        "transform(slice(ring, 1, size(ring) - 1),"
+        " p -> struct(CAST(floor(p.x + 0.5) AS BIGINT) AS x,"
+        "             CAST(floor(p.y + 0.5) AS BIGINT) AS y))"
+    )
+    base = _zones(spark, sf_dir).select("zone_id", ring_ints.alias("r"))
+    pts = base.select(
+        "zone_id", F.size("r").alias("n"), F.posexplode("r").alias("k", "p")
+    ).select("zone_id", "n", "k", F.col("p.x").alias("x"), F.col("p.y").alias("y"))
+    nxt = pts.select(
+        "zone_id", F.col("k").alias("kn"),
+        F.col("x").alias("x2"), F.col("y").alias("y2"),
+    )
+    e = pts.join(
+        nxt,
+        (nxt["zone_id"] == pts["zone_id"])
+        & (F.col("kn") == (F.col("k") + 1) % F.col("n")),
+    ).drop(nxt["zone_id"])
+    agg = e.groupBy("zone_id").agg(
+        F.sum(F.expr("x * y2 - x2 * y")).alias("area2s"),
+        F.sum(F.expr("(x + x2) * (x * y2 - x2 * y)")).alias("mx"),
+        F.sum(F.expr("(y + y2) * (x * y2 - x2 * y)")).alias("my"),
+    )
+    sdiv = (
+        "CAST(sign({num}) * sign(3 * area2s) AS BIGINT)"
+        " * div(abs({num}), abs(3 * area2s))"
+    )
+    return (
+        agg.select(
+            "zone_id",
+            F.abs("area2s").alias("area2"),
+            F.col("mx").alias("cx_num"),
+            F.col("my").alias("cy_num"),
+            F.expr(sdiv.format(num="mx")).alias("cx_floor"),
+            F.expr(sdiv.format(num="my")).alias("cy_floor"),
+        )
+        .repartition(1)
+        .sortWithinPartitions("zone_id")
+    )
+
+
+def _sql_ring_centroid(fx: Path) -> str:
+    zs = str(fx / "zones.parquet")
+    sdiv = (
+        "CAST(sign({num}) * sign(3 * area2s) AS BIGINT)"
+        " * (abs({num}) // abs(3 * area2s))"
+    )
+    return f"""
+WITH pts AS (
+  SELECT zone_id, i - 1 AS k, len(ring) - 1 AS n,
+         CAST(floor(ring[i].x + 0.5) AS BIGINT) AS x,
+         CAST(floor(ring[i].y + 0.5) AS BIGINT) AS y
+  FROM read_parquet('{zs}'), unnest(range(1, len(ring))) t(i)
+),
+e AS (
+  SELECT a.zone_id, a.x, a.y, b.x AS x2, b.y AS y2
+  FROM pts a JOIN pts b
+    ON b.zone_id = a.zone_id AND b.k = (a.k + 1) % a.n
+),
+agg AS (
+  SELECT zone_id,
+         SUM(x * y2 - x2 * y) AS area2s,
+         SUM((x + x2) * (x * y2 - x2 * y)) AS mx,
+         SUM((y + y2) * (x * y2 - x2 * y)) AS my
+  FROM e GROUP BY zone_id
+)
+SELECT zone_id,
+       CAST(abs(area2s) AS BIGINT) AS area2,
+       CAST(mx AS BIGINT) AS cx_num,
+       CAST(my AS BIGINT) AS cy_num,
+       CAST({sdiv.format(num="mx")} AS BIGINT) AS cx_floor,
+       CAST({sdiv.format(num="my")} AS BIGINT) AS cy_floor
+FROM agg ORDER BY zone_id
 """
