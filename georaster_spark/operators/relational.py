@@ -10148,3 +10148,108 @@ SELECT s100.l_suppkey,
 FROM s100 JOIN s101 ON s101.m = s100.m AND s101.l_suppkey = s100.l_suppkey
 GROUP BY s100.l_suppkey ORDER BY s100.l_suppkey
 """
+
+
+# --- Johnson's rule 2-machine flow-shop makespan --------------------------------
+
+
+def johnson_schedule(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Johnson's-rule flow-shop audit (Johnson 1954, the only
+    polynomially-optimal scheduling classic): each supplier's orders
+    are 2-machine jobs (machine 1 time = total units, machine 2 time
+    = cents div 1000), sequenced by Johnson's rule — p1 <= p2 jobs
+    first ascending p1, then the rest descending p2 — and the exact
+    makespan comes from the CLOSED FORM C_max = max over k of
+    (prefix_p1(k) + suffix_p2(k)): the sequential machine-2 recurrence
+    is a Lindley max, so prefix sums replace iteration.  Reported
+    against the FIFO (date-order) makespan with the saving in ppm.
+
+    Scale shape: two supplier-key sort windows (Johnson key, FIFO
+    key) + one census — the scheduling loop becomes two shuffles."""
+    li = _t(spark, sf_dir, "lineitem").groupBy("l_orderkey").agg(
+        F.sum(F.expr("CAST(l_quantity AS BIGINT)")).alias("p1")
+    )
+    o = (
+        _t(spark, sf_dir, "orders")
+        .join(li, F.col("o_orderkey") == F.col("l_orderkey"))
+        .select(
+            "o_custkey", "o_orderkey", "o_orderdate", "p1",
+            F.expr("div(CAST(round(o_totalprice * 100) AS BIGINT), 1000)").alias("p2"),
+        )
+        .select(
+            F.col("o_custkey").alias("g"), "o_orderkey", "o_orderdate", "p1", "p2",
+            F.when(F.col("p1") <= F.col("p2"), F.struct(F.lit(0).alias("grp"), F.col("p1").alias("a"), (-F.col("p2")).alias("b")))
+            .otherwise(F.struct(F.lit(1).alias("grp"), (-F.col("p2")).alias("a"), F.col("p1").alias("b")))
+            .alias("jkey"),
+        )
+    )
+
+    def makespan(df, order_cols, label):
+        w = Window.partitionBy("g").orderBy(*order_cols)
+        x = df.select(
+            "g", "p1", "p2",
+            F.sum("p1").over(w.rowsBetween(Window.unboundedPreceding, 0)).alias("pre1"),
+            F.sum("p2").over(w.rowsBetween(0, Window.unboundedFollowing)).alias("suf2"),
+        )
+        return x.groupBy("g").agg(
+            F.max(F.col("pre1") + F.col("suf2")).alias(label),
+            F.sum("p1").alias("sum_p1_" + label),
+        )
+    jm = makespan(o, [F.col("jkey.grp"), F.col("jkey.a"), F.col("jkey.b"), F.col("o_orderkey")], "johnson_makespan")
+    fm = makespan(o, [F.col("o_orderdate"), F.col("o_orderkey")], "fifo_makespan")
+    j = jm.join(fm, "g").select(
+        F.col("g").alias("o_custkey"),
+        "johnson_makespan", "fifo_makespan",
+        F.expr(
+            "CAST(div(1000000 * (fifo_makespan - johnson_makespan), fifo_makespan)"
+            " AS BIGINT)"
+        ).alias("saving_ppm"),
+    )
+    return j.repartition(1).sortWithinPartitions("o_custkey")
+
+
+def johnson_schedule_sql() -> str:
+    return """
+WITH li AS (
+  SELECT l_orderkey, SUM(CAST(l_quantity AS BIGINT)) AS p1
+  FROM lineitem GROUP BY l_orderkey
+),
+o AS (
+  SELECT o_custkey AS g, o_orderkey, o_orderdate, p1,
+         CAST(round(o_totalprice * 100) AS BIGINT) // 1000 AS p2,
+         CASE WHEN p1 <= CAST(round(o_totalprice * 100) AS BIGINT) // 1000 THEN 0 ELSE 1 END AS grp,
+         CASE WHEN p1 <= CAST(round(o_totalprice * 100) AS BIGINT) // 1000
+              THEN p1 ELSE -(CAST(round(o_totalprice * 100) AS BIGINT) // 1000) END AS ka,
+         CASE WHEN p1 <= CAST(round(o_totalprice * 100) AS BIGINT) // 1000
+              THEN -(CAST(round(o_totalprice * 100) AS BIGINT) // 1000) ELSE p1 END AS kb
+  FROM orders JOIN li ON l_orderkey = o_orderkey
+),
+jm AS (
+  SELECT g, MAX(pre1 + suf2) AS johnson_makespan
+  FROM (
+    SELECT g,
+           SUM(p1) OVER (PARTITION BY g ORDER BY grp, ka, kb, o_orderkey
+              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS pre1,
+           SUM(p2) OVER (PARTITION BY g ORDER BY grp, ka, kb, o_orderkey
+              ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS suf2
+    FROM o
+  ) GROUP BY g
+),
+fm AS (
+  SELECT g, MAX(pre1 + suf2) AS fifo_makespan
+  FROM (
+    SELECT g,
+           SUM(p1) OVER (PARTITION BY g ORDER BY o_orderdate, o_orderkey
+              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS pre1,
+           SUM(p2) OVER (PARTITION BY g ORDER BY o_orderdate, o_orderkey
+              ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS suf2
+    FROM o
+  ) GROUP BY g
+)
+SELECT jm.g AS o_custkey,
+       CAST(johnson_makespan AS BIGINT) AS johnson_makespan,
+       CAST(fifo_makespan AS BIGINT) AS fifo_makespan,
+       CAST((1000000 * (fifo_makespan - johnson_makespan)) // fifo_makespan AS BIGINT) AS saving_ppm
+FROM jm JOIN fm ON fm.g = jm.g
+ORDER BY o_custkey
+"""

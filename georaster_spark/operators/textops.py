@@ -5371,3 +5371,84 @@ SELECT CAST(n AS BIGINT) AS n_docs,
             * ((1000000 * abs(n * diag - s)) // (n * n - s)) END AS BIGINT) AS kappa_ppm
 FROM tot, sx
 """
+
+
+# --- front-coded dictionary sizing census ---------------------------------------
+
+
+def front_coding(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Front-coded term-dictionary sizing census (the prefix-omission
+    encoding of Lucene's term dictionary and every FST-backed
+    vocabulary): terms in sorted order, each term's longest common
+    prefix with its predecessor measured exactly (one vectorized
+    comparison per candidate length — no per-char Python), and the
+    dictionary cost modeled as 2 length bytes + the unshared suffix
+    vs the raw byte size.  Rolled up per first-letter bucket: terms,
+    raw bytes, shared prefix bytes, front-coded bytes, saving ppm.
+
+    Scale shape: one vocabulary census + one global sort window (the
+    dictionary build itself) + a 26-key rollup."""
+    vocab = (
+        _docs(spark, sf_dir)
+        .select(F.explode(_clean_words()).alias("term"))
+        .distinct()
+    )
+    w = Window.orderBy("term")
+    pairs = vocab.select(
+        "term", F.lag("term").over(w).alias("prev")
+    )
+    # prefix equality is monotone in length, so LCP = #matching prefixes
+    lcp = F.expr(
+        "CASE WHEN prev IS NULL THEN 0 ELSE"
+        " size(filter(sequence(1, least(length(term), length(prev))),"
+        " i -> substring(term, 1, CAST(i AS INT)) = substring(prev, 1, CAST(i AS INT))))"
+        " END"
+    )
+    x = pairs.select(
+        "term",
+        F.octet_length("term").alias("raw_b"),
+        lcp.cast("long").alias("lcp"),
+    )
+    return (
+        x.groupBy(F.substring("term", 1, 1).alias("bucket"))
+        .agg(
+            F.count(F.lit(1)).alias("n_terms"),
+            F.sum("raw_b").alias("raw_bytes"),
+            F.sum("lcp").alias("shared_bytes"),
+            F.sum(F.lit(2) + F.col("raw_b") - F.col("lcp")).alias("fc_bytes"),
+        )
+        .select(
+            "*",
+            F.expr("CAST(div(1000000 * fc_bytes, raw_bytes) AS BIGINT)").alias(
+                "fc_ratio_ppm"
+            ),
+        )
+        .repartition(1)
+        .sortWithinPartitions("bucket")
+    )
+
+
+def front_coding_sql() -> str:
+    return f"""
+WITH vocab AS (
+  SELECT DISTINCT unnest(list_filter({_SQL_WS}, t -> t <> '')) AS term FROM documents
+),
+pairs AS (
+  SELECT term, lag(term) OVER (ORDER BY term) AS prev FROM vocab
+),
+x AS (
+  SELECT term, CAST(strlen(term) AS BIGINT) AS raw_b,
+         CAST(CASE WHEN prev IS NULL THEN 0 ELSE
+           len(list_filter(range(1, least(length(term), length(prev)) + 1),
+               i -> substring(term, 1, CAST(i AS INT)) = substring(prev, 1, CAST(i AS INT))))
+         END AS BIGINT) AS lcp
+  FROM pairs
+)
+SELECT substring(term, 1, 1) AS bucket,
+       COUNT(*) AS n_terms,
+       CAST(SUM(raw_b) AS BIGINT) AS raw_bytes,
+       CAST(SUM(lcp) AS BIGINT) AS shared_bytes,
+       CAST(SUM(2 + raw_b - lcp) AS BIGINT) AS fc_bytes,
+       CAST((1000000 * SUM(2 + raw_b - lcp)) // SUM(raw_b) AS BIGINT) AS fc_ratio_ppm
+FROM x GROUP BY bucket ORDER BY bucket
+"""

@@ -5368,6 +5368,9 @@ def spatial_queries() -> dict[str, QueryFn]:
         "asof_interp": rel.asof_interp,
         "ring_centroid": q_ring_centroid,
         "apportionment_census": rel.apportionment_census,
+        "johnson_schedule": rel.johnson_schedule,
+        "front_coding": textops.front_coding,
+        "zone_diameter": q_zone_diameter,
     })
 
 
@@ -5791,6 +5794,9 @@ def spatial_oracles(sf: str = "sf0.01") -> dict[str, str]:
         "asof_interp": rel.asof_interp_sql(),
         "ring_centroid": _sql_ring_centroid(fx),
         "apportionment_census": rel.apportionment_census_sql(),
+        "johnson_schedule": rel.johnson_schedule_sql(),
+        "front_coding": textops.front_coding_sql(),
+        "zone_diameter": _sql_zone_diameter(fx),
     })
 
 
@@ -15769,4 +15775,100 @@ SELECT zone_id,
        CAST({sdiv.format(num="mx")} AS BIGINT) AS cx_floor,
        CAST({sdiv.format(num="my")} AS BIGINT) AS cy_floor
 FROM agg ORDER BY zone_id
+"""
+
+
+def q_zone_diameter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Farthest-pair (diameter) census over zone rings: the maximum
+    squared L2 distance between any two snapped vertices — exact
+    integers, O(n^2) per constant-size ring — with the earliest pair
+    (ka, kb) attaining it and the ratio of the squared diameter to the
+    squared bbox diagonal in ppm (how much of its bounding box the
+    shape actually spans).
+
+    Scale shape: zone-local vertex pair join + one census; bbox from
+    the same vertex table, no cross-zone traffic."""
+    ring_ints = F.expr(
+        "transform(slice(ring, 1, size(ring) - 1),"
+        " p -> struct(CAST(floor(p.x + 0.5) AS BIGINT) AS x,"
+        "             CAST(floor(p.y + 0.5) AS BIGINT) AS y))"
+    )
+    pts = (
+        _zones(spark, sf_dir)
+        .select("zone_id", ring_ints.alias("r"))
+        .select("zone_id", F.posexplode("r").alias("k", "p"))
+        .select("zone_id", "k", F.col("p.x").alias("x"), F.col("p.y").alias("y"))
+    )
+    b = pts.select(
+        "zone_id", F.col("k").alias("kb"),
+        F.col("x").alias("x2"), F.col("y").alias("y2"),
+    )
+    pairs = pts.join(b, "zone_id").where(F.col("kb") > F.col("k")).select(
+        "zone_id", "k", "kb",
+        (
+            (F.col("x2") - F.col("x")) * (F.col("x2") - F.col("x"))
+            + (F.col("y2") - F.col("y")) * (F.col("y2") - F.col("y"))
+        ).alias("d2"),
+    )
+    best = pairs.groupBy("zone_id").agg(F.max("d2").alias("diam2"))
+    arg = (
+        pairs.join(best, "zone_id")
+        .where(F.col("d2") == F.col("diam2"))
+        .groupBy("zone_id")
+        .agg(F.min(F.struct("k", "kb")).alias("pair"), F.max("diam2").alias("diam2"))
+        .select("zone_id", F.col("pair.k").alias("ka"), F.col("pair.kb").alias("kb"), "diam2")
+    )
+    bbox = pts.groupBy("zone_id").agg(
+        (
+            (F.max("x") - F.min("x")) * (F.max("x") - F.min("x"))
+            + (F.max("y") - F.min("y")) * (F.max("y") - F.min("y"))
+        ).alias("bbox_diag2")
+    )
+    return (
+        arg.join(bbox, "zone_id")
+        .select(
+            "zone_id", "ka", "kb", "diam2", "bbox_diag2",
+            F.expr("CAST(div(1000000 * diam2, bbox_diag2) AS BIGINT)").alias(
+                "span_ratio_ppm"
+            ),
+        )
+        .repartition(1)
+        .sortWithinPartitions("zone_id")
+    )
+
+
+def _sql_zone_diameter(fx: Path) -> str:
+    zs = str(fx / "zones.parquet")
+    return f"""
+WITH pts AS (
+  SELECT zone_id, i - 1 AS k,
+         CAST(floor(ring[i].x + 0.5) AS BIGINT) AS x,
+         CAST(floor(ring[i].y + 0.5) AS BIGINT) AS y
+  FROM read_parquet('{zs}'), unnest(range(1, len(ring))) t(i)
+),
+pairs AS (
+  SELECT a.zone_id, a.k, b.k AS kb,
+         (b.x - a.x) * (b.x - a.x) + (b.y - a.y) * (b.y - a.y) AS d2
+  FROM pts a JOIN pts b ON b.zone_id = a.zone_id AND b.k > a.k
+),
+best AS (SELECT zone_id, MAX(d2) AS diam2 FROM pairs GROUP BY zone_id),
+arg AS (
+  SELECT p.zone_id, MIN(struct_pack(ka := p.k, kb := p.kb)) AS pr, MAX(d2) AS diam2
+  FROM pairs p JOIN best ON best.zone_id = p.zone_id AND p.d2 = best.diam2
+  GROUP BY p.zone_id
+),
+bbox AS (
+  SELECT zone_id,
+         (MAX(x) - MIN(x)) * (MAX(x) - MIN(x))
+         + (MAX(y) - MIN(y)) * (MAX(y) - MIN(y)) AS bbox_diag2
+  FROM pts GROUP BY zone_id
+)
+SELECT arg.zone_id,
+       CAST(pr.ka AS BIGINT) AS ka,
+       CAST(pr.kb AS BIGINT) AS kb,
+       CAST(diam2 AS BIGINT) AS diam2,
+       CAST(bbox_diag2 AS BIGINT) AS bbox_diag2,
+       CAST((1000000 * diam2) // bbox_diag2 AS BIGINT) AS span_ratio_ppm
+FROM arg JOIN bbox ON bbox.zone_id = arg.zone_id
+ORDER BY arg.zone_id
 """
