@@ -10253,3 +10253,186 @@ SELECT jm.g AS o_custkey,
 FROM jm JOIN fm ON fm.g = jm.g
 ORDER BY o_custkey
 """
+
+
+# --- D'Hondt highest-averages apportionment vs Hamilton -------------------------
+
+
+def dhondt_seats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """D'Hondt highest-averages apportionment (the divisor method of
+    most parliamentary systems) against Hamilton largest-remainder on
+    the same monthly revenue: a supplier's D'Hondt seats are how many
+    of its quotients rev/1, rev/2, ... land in the month's top-100
+    quotients (IEEE-double quotient ordering with (supplier, divisor)
+    tie-break — both engines sort the identical doubles, so the rank
+    is reproducible bit-for-bit), and the audit counts months where
+    the two methods hand a supplier different seat counts — the
+    divisor-vs-remainder bias (D'Hondt favors large parties) made
+    exact.
+
+    Scale shape: a bounded 100-divisor explode per (supplier, month)
+    + one month-key rank window + the Hamilton windows — all
+    month-local."""
+    li = _t(spark, sf_dir, "lineitem")
+    monthly = li.groupBy(
+        "l_suppkey", F.date_trunc("month", "l_shipdate").alias("m")
+    ).agg(
+        F.sum(F.expr("CAST(round(100 * l_extendedprice) AS BIGINT)")).alias("rev")
+    )
+    quot = monthly.select(
+        "l_suppkey", "m", "rev",
+        F.explode(F.expr(f"sequence(1, {_APP_SEATS})")).alias("d"),
+    ).select(
+        "l_suppkey", "m", "d",
+        (F.col("rev").cast("double") / F.col("d")).alias("q"),
+    )
+    wq = Window.partitionBy("m").orderBy(
+        F.col("q").desc(), F.col("l_suppkey"), F.col("d")
+    )
+    dh = (
+        quot.select("l_suppkey", "m", F.row_number().over(wq).alias("rk"))
+        .where(F.col("rk") <= _APP_SEATS)
+        .groupBy("l_suppkey", "m")
+        .agg(F.count(F.lit(1)).alias("dhondt"))
+    )
+    tot = monthly.groupBy("m").agg(F.sum("rev").alias("total"))
+    base = monthly.join(tot, "m")
+    q = F.expr(f"div({_APP_SEATS} * rev, total)")
+    r = F.expr(f"({_APP_SEATS} * rev) % total")
+    hx = base.select(
+        "m", "l_suppkey", q.alias("q"), r.alias("r"),
+        (F.lit(_APP_SEATS) - F.sum(q).over(Window.partitionBy("m"))).alias("bonus"),
+    )
+    wr = Window.partitionBy("m").orderBy(F.col("r").desc(), "l_suppkey")
+    ham = hx.select(
+        "m", "l_suppkey",
+        (
+            F.col("q")
+            + F.when(F.row_number().over(wr) <= F.col("bonus"), 1).otherwise(0)
+        ).alias("hamilton"),
+    )
+    j = ham.join(dh, ["m", "l_suppkey"], "left").select(
+        "m", "l_suppkey", "hamilton",
+        F.coalesce(F.col("dhondt"), F.lit(0)).alias("dhondt"),
+    )
+    return (
+        j.groupBy("l_suppkey")
+        .agg(
+            F.count(F.lit(1)).alias("n_months"),
+            F.sum("hamilton").alias("hamilton_seats"),
+            F.sum("dhondt").alias("dhondt_seats"),
+            F.sum(
+                F.when(F.col("hamilton") != F.col("dhondt"), 1).otherwise(0)
+            ).alias("months_disagree"),
+        )
+        .repartition(1)
+        .sortWithinPartitions("l_suppkey")
+    )
+
+
+def dhondt_seats_sql() -> str:
+    return f"""
+WITH monthly AS (
+  SELECT l_suppkey, date_trunc('month', l_shipdate) AS m,
+         SUM(CAST(round(100 * l_extendedprice) AS BIGINT)) AS rev
+  FROM lineitem GROUP BY l_suppkey, m
+),
+quot AS (
+  SELECT l_suppkey, m, d, CAST(rev AS DOUBLE) / d AS q
+  FROM monthly, unnest(range(1, {_APP_SEATS + 1})) t(d)
+),
+dh AS (
+  SELECT l_suppkey, m, COUNT(*) AS dhondt
+  FROM (
+    SELECT l_suppkey, m,
+           row_number() OVER (PARTITION BY m ORDER BY q DESC, l_suppkey, d) AS rk
+    FROM quot
+  ) WHERE rk <= {_APP_SEATS}
+  GROUP BY l_suppkey, m
+),
+tot AS (SELECT m, SUM(rev) AS total FROM monthly GROUP BY m),
+base AS (SELECT monthly.*, total FROM monthly JOIN tot USING (m)),
+hx AS (
+  SELECT m, l_suppkey,
+         ({_APP_SEATS} * rev) // total AS q,
+         ({_APP_SEATS} * rev) % total AS r,
+         {_APP_SEATS} - SUM(({_APP_SEATS} * rev) // total) OVER (PARTITION BY m) AS bonus
+  FROM base
+),
+ham AS (
+  SELECT m, l_suppkey,
+         q + CASE WHEN row_number() OVER (PARTITION BY m ORDER BY r DESC, l_suppkey)
+                       <= bonus THEN 1 ELSE 0 END AS hamilton
+  FROM hx
+),
+j AS (
+  SELECT ham.m, ham.l_suppkey, hamilton, COALESCE(dhondt, 0) AS dhondt
+  FROM ham LEFT JOIN dh ON dh.m = ham.m AND dh.l_suppkey = ham.l_suppkey
+)
+SELECT l_suppkey,
+       COUNT(*) AS n_months,
+       CAST(SUM(hamilton) AS BIGINT) AS hamilton_seats,
+       CAST(SUM(dhondt) AS BIGINT) AS dhondt_seats,
+       CAST(SUM(CASE WHEN hamilton != dhondt THEN 1 ELSE 0 END) AS BIGINT) AS months_disagree
+FROM j GROUP BY l_suppkey ORDER BY l_suppkey
+"""
+
+
+# --- exact expected maximum of two draws (order statistics) ---------------------
+
+
+def max2_expectation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact expected maximum of two uniform draws from the empirical
+    order-value distribution (the order-statistics identity
+    E[max2] = sum v * (F(v)^2 - F(v-)^2) / n^2, with the difference
+    of squares expanded to c*(F + F_prev) so everything stays int64):
+    the auction/pricing primitive ('expected best of two quotes')
+    evaluated without sampling, plus the plain mean for contrast —
+    numerator/denominator exact, floored cents alongside.
+
+    Scale shape: one value census + one cumulative window over the
+    distinct-value table — distribution-sized, not row-sized."""
+    o = _t(spark, sf_dir, "orders")
+    dist = o.groupBy(
+        F.expr("CAST(round(o_totalprice * 100) AS BIGINT)").alias("v")
+    ).agg(F.count(F.lit(1)).alias("c"))
+    w = Window.orderBy("v")
+    x = dist.select(
+        "v", "c",
+        F.sum("c").over(w.rowsBetween(Window.unboundedPreceding, 0)).alias("cf"),
+    ).select(
+        "v", "c", "cf", (F.col("cf") - F.col("c")).alias("cf_prev")
+    )
+    return x.agg(
+        F.sum("c").alias("n"),
+        F.sum(F.col("v") * F.col("c")).alias("sum_v"),
+        F.sum(F.col("v") * F.col("c") * (F.col("cf") + F.col("cf_prev"))).alias(
+            "e2_num"
+        ),
+    ).select(
+        "n", "sum_v", "e2_num",
+        (F.col("n") * F.col("n")).alias("e2_den"),
+        F.expr("CAST(div(sum_v, n) AS BIGINT)").alias("mean_cents"),
+        F.expr("CAST(div(e2_num, n * n) AS BIGINT)").alias("emax2_cents"),
+    )
+
+
+def max2_expectation_sql() -> str:
+    return """
+WITH dist AS (
+  SELECT CAST(round(o_totalprice * 100) AS BIGINT) AS v, COUNT(*) AS c
+  FROM orders GROUP BY 1
+),
+x AS (
+  SELECT v, c,
+         SUM(c) OVER (ORDER BY v ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cf
+  FROM dist
+)
+SELECT CAST(SUM(c) AS BIGINT) AS n,
+       CAST(SUM(v * c) AS BIGINT) AS sum_v,
+       CAST(SUM(v * c * (cf + cf - c)) AS BIGINT) AS e2_num,
+       CAST(SUM(c) * SUM(c) AS BIGINT) AS e2_den,
+       CAST(SUM(v * c) // SUM(c) AS BIGINT) AS mean_cents,
+       CAST(SUM(v * c * (cf + cf - c)) // (SUM(c) * SUM(c)) AS BIGINT) AS emax2_cents
+FROM x
+"""

@@ -5371,6 +5371,9 @@ def spatial_queries() -> dict[str, QueryFn]:
         "johnson_schedule": rel.johnson_schedule,
         "front_coding": textops.front_coding,
         "zone_diameter": q_zone_diameter,
+        "btc_encode": q_btc_encode,
+        "dhondt_seats": rel.dhondt_seats,
+        "max2_expectation": rel.max2_expectation,
     })
 
 
@@ -5797,6 +5800,9 @@ def spatial_oracles(sf: str = "sf0.01") -> dict[str, str]:
         "johnson_schedule": rel.johnson_schedule_sql(),
         "front_coding": textops.front_coding_sql(),
         "zone_diameter": _sql_zone_diameter(fx),
+        "btc_encode": _sql_btc_encode(fx, w),
+        "dhondt_seats": rel.dhondt_seats_sql(),
+        "max2_expectation": rel.max2_expectation_sql(),
     })
 
 
@@ -15871,4 +15877,64 @@ SELECT arg.zone_id,
        CAST((1000000 * diam2) // bbox_diag2 AS BIGINT) AS span_ratio_ppm
 FROM arg JOIN bbox ON bbox.zone_id = arg.zone_id
 ORDER BY arg.zone_id
+"""
+
+
+_BTC_MOD = 53
+
+
+def q_btc_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Block Truncation Coding census (algebra.btc_encode — Delp &
+    Mitchell 1979): 4x4 two-level integer BTC, map-only Arrow pass."""
+    from ..operators import algebra
+
+    tiles = geo.georegister(_images(spark, sf_dir)).where(
+        geo.image_idx() % _BTC_MOD == 0
+    )
+    return (
+        algebra.btc_encode(tiles)
+        .repartition(1).sortWithinPartitions("image_id")
+    )
+
+
+def _sql_btc_encode(fx: Path, w: int) -> str:
+    v = osql.ramp_value_expr("gi.i", "gj.j")
+    return f"""
+WITH {osql.georegister_cte(str(fx / 'images.parquet'))},
+px AS (
+  SELECT image_id, gi.i AS i, gj.j AS j, gi.i // 4 AS bi, gj.j // 4 AS bj,
+         CAST({v} AS BIGINT) AS v
+  FROM tiles,
+       generate_series(0, {w - 1}) AS gi(i), generate_series(0, {w - 1}) AS gj(j)
+  WHERE idx % {_BTC_MOD} = 0
+),
+bs AS (
+  SELECT image_id, bi, bj, SUM(v) AS bsum FROM px GROUP BY image_id, bi, bj
+),
+flagged AS (
+  SELECT px.image_id, i, j, px.bi, px.bj, v,
+         CASE WHEN 16 * v >= bsum THEN 1 ELSE 0 END AS hi
+  FROM px JOIN bs ON bs.image_id = px.image_id AND bs.bi = px.bi AND bs.bj = px.bj
+),
+lv AS (
+  SELECT image_id, bi, bj,
+         SUM(hi) AS n_hi, 16 - SUM(hi) AS n_lo,
+         CASE WHEN SUM(hi) > 0
+              THEN SUM(CASE WHEN hi = 1 THEN v ELSE 0 END) // SUM(hi) ELSE 0 END AS hi_lvl,
+         CASE WHEN 16 - SUM(hi) > 0
+              THEN SUM(CASE WHEN hi = 0 THEN v ELSE 0 END) // (16 - SUM(hi)) ELSE 0 END AS lo_lvl
+  FROM flagged GROUP BY image_id, bi, bj
+),
+recon AS (
+  SELECT f.image_id, i, j,
+         CASE WHEN hi = 1 THEN hi_lvl ELSE lo_lvl END AS r
+  FROM flagged f JOIN lv ON lv.image_id = f.image_id AND lv.bi = f.bi AND lv.bj = f.bj
+)
+SELECT r0.image_id,
+       CAST((SELECT COUNT(*) FROM lv l WHERE l.image_id = r0.image_id) AS BIGINT) AS n_blocks,
+       CAST((SELECT SUM(n_hi) FROM lv l WHERE l.image_id = r0.image_id) AS BIGINT) AS bits_ones,
+       CAST((SELECT SUM(lo_lvl) FROM lv l WHERE l.image_id = r0.image_id) AS BIGINT) AS sum_lo,
+       CAST((SELECT SUM(hi_lvl) FROM lv l WHERE l.image_id = r0.image_id) AS BIGINT) AS sum_hi,
+       CAST(SUM(r * (i * {w} + j + 1)) AS BIGINT) AS btc_checksum
+FROM recon r0 GROUP BY r0.image_id ORDER BY r0.image_id
 """
