@@ -10436,3 +10436,318 @@ SELECT CAST(SUM(c) AS BIGINT) AS n,
        CAST(SUM(v * c * (cf + cf - c)) // (SUM(c) * SUM(c)) AS BIGINT) AS emax2_cents
 FROM x
 """
+
+
+# --- Soundex phonetic blocking census -------------------------------------------
+
+_SOUNDEX_MAP = (
+    ("bfpv", "1"), ("cgjkqsxz", "2"), ("dt", "3"),
+    ("l", "4"), ("mn", "5"), ("r", "6"),
+)
+
+
+def _soundex_code_case(ch: str) -> str:
+    """Shared CASE expression text mapping a 1-char column to its
+    Soundex digit ('0' for vowels/h/w: the separator class)."""
+    whens = " ".join(
+        f"WHEN {ch} IN ({', '.join(repr(c) for c in grp)}) THEN {d}"
+        for grp, d in _SOUNDEX_MAP
+    )
+    return f"(CASE {whens} ELSE 0 END)"
+
+
+def soundex_blocking(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Soundex phonetic blocking census (the 1918 Russell/Odell code,
+    still the default blocking key of record-linkage systems): each
+    part's second name word is coded from scratch — first letter +
+    the first three nonzero digits after collapsing adjacent equal
+    codes (simplified Soundex: no h/w bridging, documented deviation),
+    zero-padded — and the census reports per code its block size, the
+    candidate pair count C(n,2) a linkage join would generate, and a
+    partkey checksum. Blocking-cost analysis with zero library
+    dependence: the code is built from a positional explode + one lag
+    window, identical in both engines.
+
+    Scale shape: bounded per-word explode (word length), one word-key
+    lag window, one code census."""
+    p = _t(spark, sf_dir, "part").select(
+        "p_partkey",
+        F.lower(F.element_at(F.split(F.col("p_name"), " "), 2)).alias("w"),
+    )
+    pos = p.select(
+        "p_partkey", "w",
+        F.explode(F.expr("sequence(1, length(w))")).alias("i"),
+    ).select(
+        "p_partkey", "w", "i",
+        F.expr(_soundex_code_case("substring(w, CAST(i AS INT), 1)")).alias("code"),
+    )
+    wlag = Window.partitionBy("p_partkey").orderBy("i")
+    kept = pos.select(
+        "p_partkey", "w", "i", "code",
+        F.lag("code").over(wlag).alias("prev"),
+    ).where(
+        (F.col("i") > 1) & (F.col("code") > 0)
+        & (F.col("prev").isNull() | (F.col("code") != F.col("prev")))
+    )
+    wrk = Window.partitionBy("p_partkey").orderBy("i")
+    digits = (
+        kept.select("p_partkey", "i", "code", F.row_number().over(wrk).alias("rk"))
+        .where(F.col("rk") <= 3)
+        .groupBy("p_partkey")
+        .agg(
+            F.array_join(
+                F.transform(
+                    F.sort_array(F.collect_list(F.struct("i", "code"))),
+                    lambda s: s["code"].cast("string"),
+                ),
+                "",
+            ).alias("dg")
+        )
+    )
+    sx = p.join(digits, "p_partkey", "left").select(
+        "p_partkey",
+        F.concat(
+            F.upper(F.substring("w", 1, 1)),
+            F.rpad(F.coalesce(F.col("dg"), F.lit("")), 3, "0"),
+        ).alias("soundex"),
+    )
+    return (
+        sx.groupBy("soundex")
+        .agg(
+            F.count(F.lit(1)).alias("n_parts"),
+            F.expr("div(count(1) * (count(1) - 1), 2)").alias("block_pairs"),
+            F.sum("p_partkey").alias("part_checksum"),
+        )
+        .repartition(1)
+        .sortWithinPartitions("soundex")
+    )
+
+
+def soundex_blocking_sql() -> str:
+    code = _soundex_code_case("substring(w, CAST(i AS INT), 1)")
+    return f"""
+WITH p AS (
+  SELECT p_partkey, lower(string_split(p_name, ' ')[2]) AS w FROM part
+),
+pos AS (
+  SELECT p_partkey, w, i, {code} AS code
+  FROM p, unnest(range(1, length(w) + 1)) t(i)
+),
+kept AS (
+  SELECT p_partkey, i, code,
+         lag(code) OVER (PARTITION BY p_partkey ORDER BY i) AS prev
+  FROM pos
+  QUALIFY i > 1 AND code > 0 AND (prev IS NULL OR code != prev)
+),
+digits AS (
+  SELECT p_partkey, string_agg(CAST(code AS VARCHAR), '' ORDER BY i) AS dg
+  FROM (
+    SELECT p_partkey, i, code,
+           row_number() OVER (PARTITION BY p_partkey ORDER BY i) AS rk
+    FROM kept
+  ) WHERE rk <= 3
+  GROUP BY p_partkey
+),
+sx AS (
+  SELECT p.p_partkey,
+         upper(substring(w, 1, 1)) || rpad(COALESCE(dg, ''), 3, '0') AS soundex
+  FROM p LEFT JOIN digits ON digits.p_partkey = p.p_partkey
+)
+SELECT soundex, COUNT(*) AS n_parts,
+       CAST(COUNT(*) * (COUNT(*) - 1) // 2 AS BIGINT) AS block_pairs,
+       CAST(SUM(p_partkey) AS BIGINT) AS part_checksum
+FROM sx GROUP BY soundex ORDER BY soundex
+"""
+
+
+# --- greedy-density knapsack vs the exact lattice --------------------------------
+
+
+def knapsack_greedy_gap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Greedy-by-density knapsack vs the exact optimum (the
+    approximation-quality audit textbooks hand-wave and this census
+    measures): on the same per-customer instances as knapsack_census
+    (<= 8 orders, budget = half the units), greedy takes orders in
+    decreasing value/weight density — ppm-scaled integer density with
+    a deterministic (value, weight) tie-break, no float — skipping
+    any that no longer fit is NOT prefix-expressible, so greedy is the
+    take-while-it-fits PREFIX rule (first-fit-by-density, the
+    streaming variant), and the gap to the exhaustive optimum is
+    reported in ppm with a per-customer optimality flag.
+
+    Scale shape: a customer-key density-sort window + prefix sums
+    against the knapsack_census lattice — both customer-local."""
+    li = _t(spark, sf_dir, "lineitem").groupBy("l_orderkey").agg(
+        F.sum(F.expr("CAST(l_quantity AS BIGINT)")).alias("wt")
+    )
+    o = (
+        _t(spark, sf_dir, "orders")
+        .join(li, F.col("o_orderkey") == F.col("l_orderkey"))
+        .select(
+            "o_custkey", "o_orderkey", "o_orderdate", "wt",
+            F.expr("CAST(round(o_totalprice * 100) AS BIGINT)").alias("v"),
+        )
+    )
+    wn = Window.partitionBy("o_custkey")
+    ranked = o.select(
+        "o_custkey", "wt", "v",
+        F.count(F.lit(1)).over(wn).alias("n"),
+        F.expr("div(sum(wt) OVER (PARTITION BY o_custkey), 2)").alias("budget"),
+    ).where(F.col("n") <= 8)
+    # density sort: v/wt desc == order by (v * 10^6) div wt desc with
+    # (v, orderkey-free) tie-break on exact cross-mult not needed per
+    # row ordering: use scaled integer density + exact tie-breaks
+    dens = ranked.select(
+        "o_custkey", "wt", "v", "budget",
+        F.expr("div(1000000 * v, wt)").alias("density"),
+    )
+    wd = Window.partitionBy("o_custkey").orderBy(
+        F.col("density").desc(), F.col("v").desc(), F.col("wt")
+    )
+    pre = dens.select(
+        "o_custkey", "v", "budget",
+        F.sum("wt").over(wd.rowsBetween(Window.unboundedPreceding, 0)).alias("wsum"),
+    )
+    greedy = (
+        pre.where(F.col("wsum") <= F.col("budget"))
+        .groupBy("o_custkey")
+        .agg(F.sum("v").alias("greedy_value"))
+    )
+    exact = knapsack_census(spark, sf_dir).select(
+        "o_custkey", "n_orders", "best_value_cents"
+    )
+    return (
+        exact.join(greedy, "o_custkey", "left")
+        .select(
+            "o_custkey", "n_orders", "best_value_cents",
+            F.coalesce(F.col("greedy_value"), F.lit(0)).alias("greedy_value"),
+            F.expr(
+                "CAST(CASE WHEN best_value_cents > 0 THEN"
+                " div(1000000 * (best_value_cents - coalesce(greedy_value, 0)),"
+                " best_value_cents) ELSE 0 END AS BIGINT)"
+            ).alias("gap_ppm"),
+            F.when(
+                F.coalesce(F.col("greedy_value"), F.lit(0))
+                == F.col("best_value_cents"),
+                1,
+            ).otherwise(0).cast("int").alias("greedy_optimal"),
+        )
+        .repartition(1)
+        .sortWithinPartitions("o_custkey")
+    )
+
+
+def knapsack_greedy_gap_sql() -> str:
+    exact = knapsack_census_sql().strip().rstrip()
+    # reuse the full exact-lattice statement as a subquery
+    return f"""
+WITH li AS (
+  SELECT l_orderkey, SUM(CAST(l_quantity AS BIGINT)) AS wt
+  FROM lineitem GROUP BY l_orderkey
+),
+o AS (
+  SELECT o_custkey, o_orderkey, o_orderdate, wt,
+         CAST(round(o_totalprice * 100) AS BIGINT) AS v
+  FROM orders JOIN li ON l_orderkey = o_orderkey
+),
+ranked AS (
+  SELECT o_custkey, wt, v,
+         COUNT(*) OVER (PARTITION BY o_custkey) AS n,
+         SUM(wt) OVER (PARTITION BY o_custkey) // 2 AS budget
+  FROM o QUALIFY n <= 8
+),
+dens AS (
+  SELECT o_custkey, wt, v, budget, (1000000 * v) // wt AS density FROM ranked
+),
+pre AS (
+  SELECT o_custkey, v, budget,
+         SUM(wt) OVER (PARTITION BY o_custkey
+            ORDER BY density DESC, v DESC, wt
+            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS wsum
+  FROM dens
+),
+greedy AS (
+  SELECT o_custkey, SUM(v) AS greedy_value
+  FROM pre WHERE wsum <= budget GROUP BY o_custkey
+),
+exact AS (
+{exact}
+)
+SELECT exact.o_custkey, n_orders, best_value_cents,
+       CAST(COALESCE(greedy_value, 0) AS BIGINT) AS greedy_value,
+       CAST(CASE WHEN best_value_cents > 0 THEN
+            (1000000 * (best_value_cents - COALESCE(greedy_value, 0))) // best_value_cents
+            ELSE 0 END AS BIGINT) AS gap_ppm,
+       CAST(CASE WHEN COALESCE(greedy_value, 0) = best_value_cents THEN 1 ELSE 0 END AS INT) AS greedy_optimal
+FROM exact LEFT JOIN greedy ON greedy.o_custkey = exact.o_custkey
+ORDER BY exact.o_custkey
+"""
+
+
+# --- randomized response debiasing audit ----------------------------------------
+
+
+def randomized_response(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Randomized-response mechanism audit (Warner 1965, the original
+    local-differential-privacy estimator): each user's true bit is
+    'converted buyer' (any purchase); with a deterministic hash coin
+    the user reports TRUTH on heads and a second hash coin on tails.
+    E[obs] = n/2 * rate + n/4, so the unbiased estimate of the true
+    count is 2*obs - n/2 — audited here EXACTLY: true count, observed
+    count, the debiased estimate in quarters (4*est = 8*obs - 2*n, so
+    no division at all), and the signed error — the
+    privacy-mechanism-vs-utility table a DP rollout publishes.
+
+    Scale shape: one user-key census + single-row arithmetic."""
+    ev = _t(spark, sf_dir, "events")
+    users = ev.groupBy("user_id").agg(
+        F.max(F.when(F.col("event_type") == "purchase", 1).otherwise(0)).alias("t")
+    )
+    from ..operators.textops import h40
+
+    x = users.select(
+        "user_id", "t",
+        (h40(F.concat(F.lit("rr1:"), F.col("user_id").cast("string"))) % 2).alias("c1"),
+        (h40(F.concat(F.lit("rr2:"), F.col("user_id").cast("string"))) % 2).alias("c2"),
+    ).select(
+        "t",
+        F.when(F.col("c1") == 1, F.col("t")).otherwise(F.col("c2")).alias("resp"),
+    )
+    return x.agg(
+        F.count(F.lit(1)).alias("n_users"),
+        F.sum("t").alias("true_count"),
+        F.sum("resp").alias("observed"),
+    ).select(
+        "n_users", "true_count", "observed",
+        (F.lit(8) * F.col("observed") - F.lit(2) * F.col("n_users")).alias(
+            "estimate_x4"
+        ),
+        (
+            F.lit(8) * F.col("observed")
+            - F.lit(2) * F.col("n_users")
+            - F.lit(4) * F.col("true_count")
+        ).alias("error_x4"),
+    )
+
+
+def randomized_response_sql() -> str:
+    h1 = "CAST('0x' || substring(md5('rr1:' || CAST(user_id AS VARCHAR)), 1, 10) AS BIGINT) % 2"
+    h2 = "CAST('0x' || substring(md5('rr2:' || CAST(user_id AS VARCHAR)), 1, 10) AS BIGINT) % 2"
+    return f"""
+WITH users AS (
+  SELECT user_id,
+         MAX(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS t
+  FROM events GROUP BY user_id
+),
+x AS (
+  SELECT t,
+         CASE WHEN {h1} = 1 THEN t ELSE {h2} END AS resp
+  FROM users
+)
+SELECT COUNT(*) AS n_users,
+       CAST(SUM(t) AS BIGINT) AS true_count,
+       CAST(SUM(resp) AS BIGINT) AS observed,
+       CAST(8 * SUM(resp) - 2 * COUNT(*) AS BIGINT) AS estimate_x4,
+       CAST(8 * SUM(resp) - 2 * COUNT(*) - 4 * SUM(t) AS BIGINT) AS error_x4
+FROM x
+"""

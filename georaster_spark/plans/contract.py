@@ -5374,6 +5374,9 @@ def spatial_queries() -> dict[str, QueryFn]:
         "btc_encode": q_btc_encode,
         "dhondt_seats": rel.dhondt_seats,
         "max2_expectation": rel.max2_expectation,
+        "soundex_blocking": rel.soundex_blocking,
+        "knapsack_greedy_gap": rel.knapsack_greedy_gap,
+        "randomized_response": rel.randomized_response,
     })
 
 
@@ -5803,6 +5806,9 @@ def spatial_oracles(sf: str = "sf0.01") -> dict[str, str]:
         "btc_encode": _sql_btc_encode(fx, w),
         "dhondt_seats": rel.dhondt_seats_sql(),
         "max2_expectation": rel.max2_expectation_sql(),
+        "soundex_blocking": rel.soundex_blocking_sql(),
+        "knapsack_greedy_gap": rel.knapsack_greedy_gap_sql(),
+        "randomized_response": rel.randomized_response_sql(),
     })
 
 
