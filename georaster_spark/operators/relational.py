@@ -10751,3 +10751,127 @@ SELECT COUNT(*) AS n_users,
        CAST(8 * SUM(resp) - 2 * COUNT(*) - 4 * SUM(t) AS BIGINT) AS error_x4
 FROM x
 """
+
+
+# --- ABC-XYZ inventory classification matrix ------------------------------------
+
+
+def abc_xyz(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ABC-XYZ inventory matrix (the two-axis SKU segmentation of
+    operations planning): ABC by cumulative revenue share — exact
+    integer cross-multiplied thresholds at 80% / 95% of total cents,
+    rank order by (revenue desc, partkey) — crossed with XYZ demand
+    VARIABILITY classes from the zero-filled monthly quantity series:
+    the squared-CV proxy n*sum(q^2)*1e6 / (sum q)^2 - 1e6 in exact
+    ppm, X <= 250000 (cv <= 0.5), Y <= 1000000, else Z.  The 9-cell
+    census (parts, revenue, units per cell) is the stock-policy
+    planning table, floats nowhere.
+
+    Scale shape: one part census + one global revenue-rank window +
+    one month-grid zero-fill — the ABC window is the only global
+    sort, over the part dimension (not the fact rows)."""
+    li = _t(spark, sf_dir, "lineitem")
+    per_part = li.groupBy("l_partkey").agg(
+        F.sum(F.expr("CAST(round(100 * l_extendedprice) AS BIGINT)")).alias("rev"),
+        F.sum(F.expr("CAST(l_quantity AS BIGINT)")).alias("units"),
+    )
+    wcum = Window.orderBy(F.col("rev").desc(), "l_partkey")
+    tot = Window.partitionBy()
+    abc = per_part.select(
+        "l_partkey", "rev", "units",
+        F.sum("rev").over(wcum.rowsBetween(Window.unboundedPreceding, 0)).alias("cum"),
+        F.sum("rev").over(tot).alias("total"),
+    ).select(
+        "l_partkey", "rev", "units",
+        F.when(F.lit(100) * F.col("cum") <= F.lit(80) * F.col("total"), "A")
+        .when(F.lit(100) * F.col("cum") <= F.lit(95) * F.col("total"), "B")
+        .otherwise("C")
+        .alias("abc"),
+    )
+    monthly = li.groupBy(
+        "l_partkey", F.date_trunc("month", "l_shipdate").alias("m")
+    ).agg(F.sum(F.expr("CAST(l_quantity AS BIGINT)")).alias("q"))
+    months = monthly.select("m").distinct()
+    grid = per_part.select("l_partkey").crossJoin(months)
+    filled = grid.join(monthly, ["l_partkey", "m"], "left").select(
+        "l_partkey", F.coalesce(F.col("q"), F.lit(0)).alias("q")
+    )
+    vari = filled.groupBy("l_partkey").agg(
+        F.count(F.lit(1)).alias("nm"),
+        F.sum("q").alias("sq"),
+        F.sum(F.col("q") * F.col("q")).alias("sq2"),
+    ).select(
+        "l_partkey",
+        F.expr(
+            "CASE WHEN sq = 0 THEN 2000000"
+            " ELSE div(1000000 * nm * sq2, sq * sq) - 1000000 END"
+        ).alias("cv2_ppm"),
+    ).select(
+        "l_partkey",
+        F.when(F.col("cv2_ppm") <= 250000, "X")
+        .when(F.col("cv2_ppm") <= 1000000, "Y")
+        .otherwise("Z")
+        .alias("xyz"),
+    )
+    return (
+        abc.join(vari, "l_partkey")
+        .groupBy("abc", "xyz")
+        .agg(
+            F.count(F.lit(1)).alias("n_parts"),
+            F.sum("rev").alias("revenue_cents"),
+            F.sum("units").alias("units"),
+        )
+        .repartition(1)
+        .sortWithinPartitions("abc", "xyz")
+    )
+
+
+def abc_xyz_sql() -> str:
+    return """
+WITH per_part AS (
+  SELECT l_partkey,
+         SUM(CAST(round(100 * l_extendedprice) AS BIGINT)) AS rev,
+         SUM(CAST(l_quantity AS BIGINT)) AS units
+  FROM lineitem GROUP BY l_partkey
+),
+abc AS (
+  SELECT l_partkey, rev, units,
+         CASE WHEN 100 * SUM(rev) OVER (ORDER BY rev DESC, l_partkey
+                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                <= 80 * SUM(rev) OVER () THEN 'A'
+              WHEN 100 * SUM(rev) OVER (ORDER BY rev DESC, l_partkey
+                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                <= 95 * SUM(rev) OVER () THEN 'B'
+              ELSE 'C' END AS abc
+  FROM per_part
+),
+monthly AS (
+  SELECT l_partkey, date_trunc('month', l_shipdate) AS m,
+         SUM(CAST(l_quantity AS BIGINT)) AS q
+  FROM lineitem GROUP BY l_partkey, m
+),
+months AS (SELECT DISTINCT m FROM monthly),
+grid AS (SELECT l_partkey, m FROM per_part CROSS JOIN months),
+filled AS (
+  SELECT grid.l_partkey, COALESCE(q, 0) AS q
+  FROM grid LEFT JOIN monthly ON monthly.l_partkey = grid.l_partkey AND monthly.m = grid.m
+),
+vari AS (
+  SELECT l_partkey,
+         CASE WHEN SUM(q) = 0 THEN 2000000
+              ELSE (1000000 * COUNT(*) * SUM(q * q)) // (SUM(q) * SUM(q)) - 1000000
+         END AS cv2_ppm
+  FROM filled GROUP BY l_partkey
+),
+xyz AS (
+  SELECT l_partkey,
+         CASE WHEN cv2_ppm <= 250000 THEN 'X'
+              WHEN cv2_ppm <= 1000000 THEN 'Y' ELSE 'Z' END AS xyz
+  FROM vari
+)
+SELECT abc, xyz, COUNT(*) AS n_parts,
+       CAST(SUM(rev) AS BIGINT) AS revenue_cents,
+       CAST(SUM(units) AS BIGINT) AS units
+FROM abc JOIN xyz USING (l_partkey)
+GROUP BY abc, xyz ORDER BY abc, xyz
+"""

@@ -5452,3 +5452,195 @@ SELECT substring(term, 1, 1) AS bucket,
        CAST((1000000 * SUM(2 + raw_b - lcp)) // SUM(raw_b) AS BIGINT) AS fc_ratio_ppm
 FROM x GROUP BY bucket ORDER BY bucket
 """
+
+
+# --- prefix-filter (ppjoin) candidate reduction audit ---------------------------
+
+_PF_TAU_NUM, _PF_TAU_DEN = 7, 10  # Jaccard threshold 0.7 as an exact fraction
+
+
+def prefix_filter_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Prefix-filtering audit (the ppjoin/AllPairs principle, Xiao et
+    al. 2008 / Bayardo et al. 2007): for Jaccard >= 0.7, two token
+    SETS must share a token among the first |x| - ceil(0.7|x|) + 1
+    tokens of the global rarest-first ordering — so the candidate join
+    only touches prefixes.  The audit builds BOTH joins — full
+    inverted-index candidates and prefix-filtered candidates — counts
+    the true pairs by exact integer cross-multiplied Jaccard, and
+    proves losslessness (missed = 0) plus the candidate-reduction
+    ratio in ppm: the number that justifies the prefix filter at
+    10^12 rows.
+
+    Scale shape: the audit itself runs both joins (it must, to
+    compare); production keeps only the prefix join — bounded
+    fan-out on rare tokens instead of hot-key explosion."""
+    toks = (
+        _docs(spark, sf_dir)
+        .select("doc_id", F.explode(F.array_distinct(_clean_words())).alias("tok"))
+        .distinct()
+    )
+    df = toks.groupBy("tok").agg(F.count(F.lit(1)).alias("df"))
+    sz = toks.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
+    wtok = Window.partitionBy("doc_id").orderBy("df", "tok")
+    ranked = (
+        toks.join(df, "tok")
+        .select("doc_id", "tok", F.row_number().over(wtok).alias("r"))
+        .join(sz, "doc_id")
+    )
+    plen = F.col("n") - F.expr(
+        f"div({_PF_TAU_NUM} * n + {_PF_TAU_DEN} - 1, {_PF_TAU_DEN})"
+    ) + 1
+    prefix = ranked.where(F.col("r") <= plen).select("doc_id", "tok")
+
+    def pairs(rel):
+        a = rel.select(F.col("doc_id").alias("a"), "tok")
+        b = rel.select(F.col("doc_id").alias("b"), "tok")
+        return (
+            a.join(b, "tok").where(F.col("a") < F.col("b")).select("a", "b").distinct()
+        )
+    full_pairs = pairs(toks)
+    pref_pairs = pairs(prefix)
+    inter = (
+        toks.select(F.col("doc_id").alias("a"), "tok")
+        .join(toks.select(F.col("doc_id").alias("b"), "tok"), "tok")
+        .where(F.col("a") < F.col("b"))
+        .groupBy("a", "b")
+        .agg(F.count(F.lit(1)).alias("ni"))
+    )
+    sa = sz.select(F.col("doc_id").alias("a"), F.col("n").alias("na"))
+    sb = sz.select(F.col("doc_id").alias("b"), F.col("n").alias("nb"))
+    true_pairs = (
+        inter.join(sa, "a").join(sb, "b")
+        .where(
+            F.lit(_PF_TAU_DEN) * F.col("ni")
+            >= F.lit(_PF_TAU_NUM) * (F.col("na") + F.col("nb") - F.col("ni"))
+        )
+        .select("a", "b")
+    )
+    missed = true_pairs.join(pref_pairs, ["a", "b"], "left_anti")
+    c_full = full_pairs.agg(F.count(F.lit(1)).alias("n_full"))
+    c_pref = pref_pairs.agg(F.count(F.lit(1)).alias("n_prefix"))
+    c_true = true_pairs.agg(F.count(F.lit(1)).alias("n_true"))
+    c_miss = missed.agg(F.count(F.lit(1)).alias("n_missed"))
+    n_docs = sz.agg(F.count(F.lit(1)).alias("n_docs"))
+    one = n_docs.crossJoin(c_full).crossJoin(c_pref).crossJoin(c_true).crossJoin(c_miss)
+    return one.select(
+        "n_docs", "n_full", "n_prefix", "n_true", "n_missed",
+        F.expr("CAST(div(1000000 * n_prefix, n_full) AS BIGINT)").alias(
+            "candidate_ratio_ppm"
+        ),
+    )
+
+
+def prefix_filter_audit_sql() -> str:
+    return f"""
+WITH toks AS (
+  SELECT DISTINCT doc_id, unnest(list_distinct(list_filter({_SQL_WS}, t -> t <> ''))) AS tok
+  FROM documents
+),
+df AS (SELECT tok, COUNT(*) AS df FROM toks GROUP BY tok),
+sz AS (SELECT doc_id, COUNT(*) AS n FROM toks GROUP BY doc_id),
+ranked AS (
+  SELECT toks.doc_id, toks.tok, n,
+         row_number() OVER (PARTITION BY toks.doc_id ORDER BY df.df, toks.tok) AS r
+  FROM toks JOIN df ON df.tok = toks.tok JOIN sz ON sz.doc_id = toks.doc_id
+),
+prefix AS (
+  SELECT doc_id, tok FROM ranked
+  WHERE r <= n - ({_PF_TAU_NUM} * n + {_PF_TAU_DEN} - 1) // {_PF_TAU_DEN} + 1
+),
+full_pairs AS (
+  SELECT DISTINCT a.doc_id AS a, b.doc_id AS b
+  FROM toks a JOIN toks b ON b.tok = a.tok AND a.doc_id < b.doc_id
+),
+pref_pairs AS (
+  SELECT DISTINCT a.doc_id AS a, b.doc_id AS b
+  FROM prefix a JOIN prefix b ON b.tok = a.tok AND a.doc_id < b.doc_id
+),
+inter AS (
+  SELECT a.doc_id AS a, b.doc_id AS b, COUNT(*) AS ni
+  FROM toks a JOIN toks b ON b.tok = a.tok AND a.doc_id < b.doc_id
+  GROUP BY a.doc_id, b.doc_id
+),
+true_pairs AS (
+  SELECT inter.a, inter.b
+  FROM inter JOIN sz za ON za.doc_id = inter.a JOIN sz zb ON zb.doc_id = inter.b
+  WHERE {_PF_TAU_DEN} * ni >= {_PF_TAU_NUM} * (za.n + zb.n - ni)
+),
+missed AS (
+  SELECT * FROM true_pairs tp WHERE NOT EXISTS
+    (SELECT 1 FROM pref_pairs pp WHERE pp.a = tp.a AND pp.b = tp.b)
+)
+SELECT (SELECT COUNT(*) FROM sz) AS n_docs,
+       (SELECT COUNT(*) FROM full_pairs) AS n_full,
+       (SELECT COUNT(*) FROM pref_pairs) AS n_prefix,
+       (SELECT COUNT(*) FROM true_pairs) AS n_true,
+       (SELECT COUNT(*) FROM missed) AS n_missed,
+       CAST((1000000 * (SELECT COUNT(*) FROM pref_pairs))
+            // (SELECT COUNT(*) FROM full_pairs) AS BIGINT) AS candidate_ratio_ppm
+"""
+
+
+# --- case-folding collision census ----------------------------------------------
+
+
+def case_folding_census(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Case-folding collision census (the normalization audit a
+    tokenizer publishes before folding: how many RAW surface forms
+    collapse per folded form, and how much token mass rides on
+    collided forms): raw whitespace tokens (no lowercasing) fold via
+    lower(); per folded form the distinct raw variants; rolled up to
+    one row — vocabulary before/after, collided forms, worst class,
+    and collided token mass ppm.
+
+    Scale shape: two vocabulary censuses (raw, folded) — the
+    canonical normalization-planning shape."""
+    raw = _docs(spark, sf_dir).select(
+        F.explode(
+            F.filter(F.split(F.trim(F.col("text")), r"\s+"), lambda t: t != "")
+        ).alias("rawtok")
+    )
+    per_raw = raw.groupBy("rawtok").agg(F.count(F.lit(1)).alias("f"))
+    folded = per_raw.groupBy(F.lower("rawtok").alias("ftok")).agg(
+        F.count(F.lit(1)).alias("n_variants"),
+        F.sum("f").alias("mass"),
+    )
+    return folded.agg(
+        F.sum("n_variants").alias("raw_vocab"),
+        F.count(F.lit(1)).alias("folded_vocab"),
+        F.sum(F.when(F.col("n_variants") > 1, 1).otherwise(0)).alias(
+            "collided_forms"
+        ),
+        F.max("n_variants").alias("max_variants"),
+        F.sum("mass").alias("total_mass"),
+        F.coalesce(
+            F.sum(F.when(F.col("n_variants") > 1, F.col("mass"))), F.lit(0)
+        ).alias("collided_mass"),
+    ).select(
+        "*",
+        F.expr(
+            "CAST(div(1000000 * collided_mass, total_mass) AS BIGINT)"
+        ).alias("collided_mass_ppm"),
+    )
+
+
+def case_folding_census_sql() -> str:
+    return """
+WITH raw AS (
+  SELECT unnest(list_filter(string_split_regex(trim(text), '\\s+'), t -> t <> '')) AS rawtok
+  FROM documents
+),
+per_raw AS (SELECT rawtok, COUNT(*) AS f FROM raw GROUP BY rawtok),
+folded AS (
+  SELECT lower(rawtok) AS ftok, COUNT(*) AS n_variants, SUM(f) AS mass
+  FROM per_raw GROUP BY ftok
+)
+SELECT CAST(SUM(n_variants) AS BIGINT) AS raw_vocab,
+       COUNT(*) AS folded_vocab,
+       CAST(SUM(CASE WHEN n_variants > 1 THEN 1 ELSE 0 END) AS BIGINT) AS collided_forms,
+       CAST(MAX(n_variants) AS BIGINT) AS max_variants,
+       CAST(SUM(mass) AS BIGINT) AS total_mass,
+       CAST(COALESCE(SUM(CASE WHEN n_variants > 1 THEN mass END), 0) AS BIGINT) AS collided_mass,
+       CAST((1000000 * COALESCE(SUM(CASE WHEN n_variants > 1 THEN mass END), 0)) // SUM(mass) AS BIGINT) AS collided_mass_ppm
+FROM folded
+"""

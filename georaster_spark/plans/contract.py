@@ -5377,6 +5377,9 @@ def spatial_queries() -> dict[str, QueryFn]:
         "soundex_blocking": rel.soundex_blocking,
         "knapsack_greedy_gap": rel.knapsack_greedy_gap,
         "randomized_response": rel.randomized_response,
+        "prefix_filter_audit": textops.prefix_filter_audit,
+        "case_folding_census": textops.case_folding_census,
+        "abc_xyz": rel.abc_xyz,
     })
 
 
@@ -5809,6 +5812,9 @@ def spatial_oracles(sf: str = "sf0.01") -> dict[str, str]:
         "soundex_blocking": rel.soundex_blocking_sql(),
         "knapsack_greedy_gap": rel.knapsack_greedy_gap_sql(),
         "randomized_response": rel.randomized_response_sql(),
+        "prefix_filter_audit": textops.prefix_filter_audit_sql(),
+        "case_folding_census": textops.case_folding_census_sql(),
+        "abc_xyz": rel.abc_xyz_sql(),
     })
 
 
