@@ -10875,3 +10875,303 @@ SELECT abc, xyz, COUNT(*) AS n_parts,
 FROM abc JOIN xyz USING (l_partkey)
 GROUP BY abc, xyz ORDER BY abc, xyz
 """
+
+
+# --- t-closeness privacy audit (exact EMD) --------------------------------------
+
+
+def t_closeness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """t-closeness audit (Li, Li & Venkatasubramanian 2007 — the
+    third rung after k-anonymity and l-diversity): for each
+    quasi-identifier group (market segment, order year), the Earth
+    Mover's Distance between the group's order-status distribution
+    and the global one, over the ordered status alphabet, computed
+    EXACTLY: EMD = sum over statuses of |cumulative difference|, with
+    fractions cleared to the common denominator n_g * n_total — the
+    numerator sum(|cum_g * N - cum_N * n_g|) and denominator
+    (m-1) * n_g * N reported as integers plus their floor-divided
+    ppm. The release gate that catches groups whose sensitive-value
+    MIX leaks even when l-diversity passes.
+
+    Scale shape: one (QI, status) census + a status-ordered cumsum
+    window per group + the global census broadcast by join — all
+    small keys."""
+    o = _t(spark, sf_dir, "orders")
+    c = _t(spark, sf_dir, "customer")
+    j = o.join(F.broadcast(c), o["o_custkey"] == c["c_custkey"]).select(
+        "c_mktsegment",
+        F.year("o_orderdate").alias("o_year"),
+        "o_orderstatus",
+    )
+    per = j.groupBy("c_mktsegment", "o_year", "o_orderstatus").agg(
+        F.count(F.lit(1)).alias("cg")
+    )
+    glob = j.groupBy("o_orderstatus").agg(F.count(F.lit(1)).alias("cn"))
+    m = glob.agg(
+        F.count(F.lit(1)).alias("m"), F.sum("cn").alias("nn")
+    )
+    grp_tot = per.groupBy("c_mktsegment", "o_year").agg(F.sum("cg").alias("ng"))
+    # status grid per group (zero-fill absent statuses)
+    grid = grp_tot.crossJoin(glob.select("o_orderstatus", "cn"))
+    filled = grid.join(
+        per, ["c_mktsegment", "o_year", "o_orderstatus"], "left"
+    ).select(
+        "c_mktsegment", "o_year", "o_orderstatus", "ng", "cn",
+        F.coalesce(F.col("cg"), F.lit(0)).alias("cg"),
+    )
+    wcum = (
+        Window.partitionBy("c_mktsegment", "o_year")
+        .orderBy("o_orderstatus")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    cums = filled.select(
+        "c_mktsegment", "o_year", "ng",
+        F.sum("cg").over(wcum).alias("cum_g"),
+        F.sum("cn").over(wcum).alias("cum_n"),
+    )
+    agg = cums.crossJoin(m).groupBy("c_mktsegment", "o_year").agg(
+        F.max("ng").alias("group_size"),
+        F.sum(
+            F.abs(F.col("cum_g") * F.col("nn") - F.col("cum_n") * F.col("ng"))
+        ).alias("emd_num"),
+        (F.max(F.col("m") - 1) * F.max("ng") * F.max("nn")).alias("emd_den"),
+    )
+    return (
+        agg.select(
+            "c_mktsegment", "o_year", "group_size", "emd_num", "emd_den",
+            F.expr("CAST(div(1000000 * emd_num, emd_den) AS BIGINT)").alias(
+                "t_ppm"
+            ),
+        )
+        .repartition(1)
+        .sortWithinPartitions("c_mktsegment", "o_year")
+    )
+
+
+def t_closeness_sql() -> str:
+    return """
+WITH j AS (
+  SELECT c_mktsegment, EXTRACT(year FROM o_orderdate) AS o_year, o_orderstatus
+  FROM orders JOIN customer ON c_custkey = o_custkey
+),
+per AS (
+  SELECT c_mktsegment, o_year, o_orderstatus, COUNT(*) AS cg
+  FROM j GROUP BY ALL
+),
+gstat AS (SELECT o_orderstatus, COUNT(*) AS cn FROM j GROUP BY o_orderstatus),
+m AS (SELECT COUNT(*) AS m, SUM(cn) AS nn FROM gstat),
+grp_tot AS (
+  SELECT c_mktsegment, o_year, SUM(cg) AS ng FROM per GROUP BY ALL
+),
+filled AS (
+  SELECT g.c_mktsegment, g.o_year, s.o_orderstatus, g.ng, s.cn,
+         COALESCE(per.cg, 0) AS cg
+  FROM grp_tot g CROSS JOIN gstat s
+  LEFT JOIN per ON per.c_mktsegment = g.c_mktsegment
+   AND per.o_year = g.o_year AND per.o_orderstatus = s.o_orderstatus
+),
+cums AS (
+  SELECT c_mktsegment, o_year, ng,
+         SUM(cg) OVER (PARTITION BY c_mktsegment, o_year ORDER BY o_orderstatus
+            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum_g,
+         SUM(cn) OVER (PARTITION BY c_mktsegment, o_year ORDER BY o_orderstatus
+            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum_n
+  FROM filled
+)
+SELECT c_mktsegment, CAST(o_year AS INT) AS o_year,
+       CAST(MAX(ng) AS BIGINT) AS group_size,
+       CAST(SUM(abs(cum_g * nn - cum_n * ng)) AS BIGINT) AS emd_num,
+       CAST(MAX(m - 1) * MAX(ng) * MAX(nn) AS BIGINT) AS emd_den,
+       CAST((1000000 * SUM(abs(cum_g * nn - cum_n * ng)))
+            // (MAX(m - 1) * MAX(ng) * MAX(nn)) AS BIGINT) AS t_ppm
+FROM cums, m GROUP BY c_mktsegment, o_year
+ORDER BY c_mktsegment, o_year
+"""
+
+
+# --- sort-key layout what-if: pruning ROI of re-clustering ----------------------
+
+
+def layout_whatif(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sort-key layout what-if (the re-clustering ROI table behind
+    every OPTIMIZE ... ZORDER decision): the SAME shipdate-range
+    predicates are priced against zone maps of TWO physical layouts —
+    ingestion order (row groups by orderkey ranges) vs shipdate-sorted
+    (row groups by shipdate rank ranges) — reporting per predicate and
+    layout the groups kept and rows scanned, exactly.  The sorted
+    layout's scan fraction approaches predicate selectivity; the
+    ingestion layout scans nearly everything: that gap, in ppm, is
+    the re-clustering payoff quantified before anyone rewrites 100 TB.
+
+    Scale shape: one rank window (the simulated re-sort) + two
+    group-stats censuses + a tiny predicate sweep."""
+    li = _t(spark, sf_dir, "lineitem").select("l_orderkey", "l_shipdate")
+    both = li.select(
+        "l_shipdate",
+        F.expr("div(l_orderkey, 512)").alias("rg_ingest"),
+        F.expr("div(row_number() OVER (ORDER BY l_shipdate, l_orderkey) - 1, 2048)").alias(
+            "rg_sorted"
+        ),
+    )
+    preds = [
+        ("y1993", "1993-01-01", "1994-01-01"),
+        ("y1995h1", "1995-01-01", "1995-07-01"),
+        ("y1997q1", "1997-01-01", "1997-04-01"),
+    ]
+
+    def stats(col, layout):
+        g = both.groupBy(F.col(col).alias("rg")).agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.min("l_shipdate").alias("lo"),
+            F.max("l_shipdate").alias("hi"),
+        )
+        rows = []
+        for name, a, b in preds:
+            agg = g.agg(
+                    F.count(F.lit(1)).alias("n_groups"),
+                    F.sum(
+                        F.expr(
+                            f"CASE WHEN hi >= TIMESTAMP '{a} 00:00:00'"
+                            f" AND lo < TIMESTAMP '{b} 00:00:00' THEN 1 ELSE 0 END"
+                        )
+                    ).alias("kept_groups"),
+                    F.sum(
+                        F.expr(
+                            f"CASE WHEN hi >= TIMESTAMP '{a} 00:00:00'"
+                            f" AND lo < TIMESTAMP '{b} 00:00:00' THEN n_rows ELSE 0 END"
+                        )
+                    ).alias("rows_scanned"),
+                    F.sum("n_rows").alias("rows_total"),
+            )
+            rows.append(
+                agg.select(
+                    F.lit(layout).alias("layout"), F.lit(name).alias("pred"), "*"
+                )
+            )
+        out = rows[0]
+        for r in rows[1:]:
+            out = out.unionByName(r)
+        return out
+    u = stats("rg_ingest", "ingest").unionByName(stats("rg_sorted", "sorted"))
+    return (
+        u.select(
+            "layout", "pred", "n_groups", "kept_groups", "rows_scanned",
+            "rows_total",
+            F.expr("CAST(div(1000000 * rows_scanned, rows_total) AS BIGINT)").alias(
+                "scan_ppm"
+            ),
+        )
+        .repartition(1)
+        .sortWithinPartitions("layout", "pred")
+    )
+
+
+def layout_whatif_sql() -> str:
+    preds = [
+        ("y1993", "1993-01-01", "1994-01-01"),
+        ("y1995h1", "1995-01-01", "1995-07-01"),
+        ("y1997q1", "1997-01-01", "1997-04-01"),
+    ]
+
+    def block(col, layout):
+        parts = []
+        for name, a, b in preds:
+            parts.append(f"""
+  SELECT '{layout}' AS layout, '{name}' AS pred,
+         COUNT(*) AS n_groups,
+         SUM(CASE WHEN hi >= TIMESTAMP '{a} 00:00:00'
+                   AND lo < TIMESTAMP '{b} 00:00:00' THEN 1 ELSE 0 END) AS kept_groups,
+         SUM(CASE WHEN hi >= TIMESTAMP '{a} 00:00:00'
+                   AND lo < TIMESTAMP '{b} 00:00:00' THEN n_rows ELSE 0 END) AS rows_scanned,
+         SUM(n_rows) AS rows_total
+  FROM g_{col}""")
+        return "\n  UNION ALL\n".join(parts)
+    return f"""
+WITH both_ AS (
+  SELECT l_shipdate,
+         l_orderkey // 512 AS rg_ingest,
+         (row_number() OVER (ORDER BY l_shipdate, l_orderkey) - 1) // 2048 AS rg_sorted
+  FROM lineitem
+),
+g_rg_ingest AS (
+  SELECT rg_ingest AS rg, COUNT(*) AS n_rows,
+         MIN(l_shipdate) AS lo, MAX(l_shipdate) AS hi
+  FROM both_ GROUP BY rg_ingest
+),
+g_rg_sorted AS (
+  SELECT rg_sorted AS rg, COUNT(*) AS n_rows,
+         MIN(l_shipdate) AS lo, MAX(l_shipdate) AS hi
+  FROM both_ GROUP BY rg_sorted
+),
+u AS (
+{block('rg_ingest', 'ingest')}
+  UNION ALL
+{block('rg_sorted', 'sorted')}
+)
+SELECT layout, pred, CAST(n_groups AS BIGINT) AS n_groups,
+       CAST(kept_groups AS BIGINT) AS kept_groups,
+       CAST(rows_scanned AS BIGINT) AS rows_scanned,
+       CAST(rows_total AS BIGINT) AS rows_total,
+       CAST((1000000 * rows_scanned) // rows_total AS BIGINT) AS scan_ppm
+FROM u ORDER BY layout, pred
+"""
+
+
+# --- item-item squared-cosine similarity on the co-purchase graph ---------------
+
+_IC_MIN_CO = 3
+
+
+def item_cosine2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Item-item cosine similarity on co-purchase counts WITHOUT the
+    square root (the recsys neighborhood model of Sarwar et al. 2001,
+    ranked by the exact SQUARED cosine in ppm: cos^2 = 1e6*c_ij^2 /
+    (c_i*c_j) is monotone in cosine, so top-k and thresholds agree
+    bit-for-bit while staying integer): per part pair sharing >= 3
+    orders, the co-count, each part's order count, and cos2_ppm —
+    the 'customers also bought' table with exact arithmetic.
+
+    Scale shape: order-key self-join bounded by basket size, one
+    pair census, broadcast part-count joins — the classic item-item
+    shape with no floats."""
+    li = _t(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey").distinct()
+    cnt = li.groupBy("l_partkey").agg(F.count(F.lit(1)).alias("c"))
+    a = li.select(F.col("l_orderkey").alias("k"), F.col("l_partkey").alias("pa"))
+    b = li.select(F.col("l_orderkey").alias("k"), F.col("l_partkey").alias("pb"))
+    co = (
+        a.join(b, "k")
+        .where(F.col("pa") < F.col("pb"))
+        .groupBy("pa", "pb")
+        .agg(F.count(F.lit(1)).alias("cij"))
+        .where(F.col("cij") >= _IC_MIN_CO)
+    )
+    ca = cnt.select(F.col("l_partkey").alias("pa"), F.col("c").alias("ca"))
+    cb = cnt.select(F.col("l_partkey").alias("pb"), F.col("c").alias("cb"))
+    return (
+        co.join(ca, "pa").join(cb, "pb")
+        .select(
+            "pa", "pb", "cij", "ca", "cb",
+            F.expr("CAST(div(1000000 * cij * cij, ca * cb) AS BIGINT)").alias(
+                "cos2_ppm"
+            ),
+        )
+        .repartition(1)
+        .sortWithinPartitions("pa", "pb")
+    )
+
+
+def item_cosine2_sql() -> str:
+    return f"""
+WITH li AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+cnt AS (SELECT l_partkey, COUNT(*) AS c FROM li GROUP BY l_partkey),
+co AS (
+  SELECT a.l_partkey AS pa, b.l_partkey AS pb, COUNT(*) AS cij
+  FROM li a JOIN li b ON b.l_orderkey = a.l_orderkey AND a.l_partkey < b.l_partkey
+  GROUP BY pa, pb HAVING COUNT(*) >= {_IC_MIN_CO}
+)
+SELECT pa, pb, CAST(cij AS BIGINT) AS cij,
+       CAST(ca.c AS BIGINT) AS ca, CAST(cb.c AS BIGINT) AS cb,
+       CAST((1000000 * cij * cij) // (ca.c * cb.c) AS BIGINT) AS cos2_ppm
+FROM co JOIN cnt ca ON ca.l_partkey = pa JOIN cnt cb ON cb.l_partkey = pb
+ORDER BY pa, pb
+"""

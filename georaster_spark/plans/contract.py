@@ -5380,6 +5380,9 @@ def spatial_queries() -> dict[str, QueryFn]:
         "prefix_filter_audit": textops.prefix_filter_audit,
         "case_folding_census": textops.case_folding_census,
         "abc_xyz": rel.abc_xyz,
+        "t_closeness": rel.t_closeness,
+        "layout_whatif": rel.layout_whatif,
+        "item_cosine2": rel.item_cosine2,
     })
 
 
@@ -5815,6 +5818,9 @@ def spatial_oracles(sf: str = "sf0.01") -> dict[str, str]:
         "prefix_filter_audit": textops.prefix_filter_audit_sql(),
         "case_folding_census": textops.case_folding_census_sql(),
         "abc_xyz": rel.abc_xyz_sql(),
+        "t_closeness": rel.t_closeness_sql(),
+        "layout_whatif": rel.layout_whatif_sql(),
+        "item_cosine2": rel.item_cosine2_sql(),
     })
 
 
