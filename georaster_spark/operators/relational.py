@@ -11175,3 +11175,83 @@ SELECT pa, pb, CAST(cij AS BIGINT) AS cij,
 FROM co JOIN cnt ca ON ca.l_partkey = pa JOIN cnt cb ON cb.l_partkey = pb
 ORDER BY pa, pb
 """
+
+
+# --- NPV census with a shared integer discount table ----------------------------
+
+# Monthly discount factors at 1%/month in parts-per-billion, computed
+# once HERE by integer recurrence f_k = (f_{k-1} * 100) // 101 and
+# embedded verbatim in both engines' queries — no pow(), no float, no
+# cross-engine libm drift.
+_NPV_MONTHS = 96
+_NPV_PPB = [10**9]
+for _ in range(_NPV_MONTHS - 1):
+    _NPV_PPB.append(_NPV_PPB[-1] * 100 // 101)
+
+
+def npv_census(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Net-present-value census with an INTEGER discount table: every
+    order discounts at 1%/month from the corpus's first order month,
+    factors from the shared parts-per-billion recurrence table (same
+    constants in both engines, so libm pow() drift can't split them);
+    per customer the undiscounted cents, the NPV in cents (floored
+    per-order: div(cents * f_k, 1e9)), and the discount haircut in
+    ppm — the cohort-value table finance reads, exact.
+
+    Scale shape: month index is closed-form date math; the factor
+    table is a broadcast 96-row array lookup; one customer census."""
+    o = _t(spark, sf_dir, "orders")
+    t0 = o.agg(F.min(F.date_trunc("month", "o_orderdate")).alias("m0"))
+    arr = F.array(*[F.lit(v) for v in _NPV_PPB])
+    x = o.crossJoin(t0).select(
+        "o_custkey",
+        F.expr("CAST(round(o_totalprice * 100) AS BIGINT)").alias("cents"),
+        F.least(
+            F.expr(
+                "CAST(months_between(date_trunc('month', o_orderdate), m0) AS INT)"
+            ),
+            F.lit(_NPV_MONTHS - 1),
+        ).alias("k"),
+    ).select(
+        "o_custkey", "cents",
+        F.element_at(arr, F.col("k") + 1).alias("f"),
+    )
+    return (
+        x.groupBy("o_custkey")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.sum("cents").alias("cents"),
+            F.sum(F.expr("div(cents * f, 1000000000)")).alias("npv_cents"),
+        )
+        .select(
+            "o_custkey", "n_orders", "cents", "npv_cents",
+            F.expr(
+                "CAST(div(1000000 * (cents - npv_cents), cents) AS BIGINT)"
+            ).alias("haircut_ppm"),
+        )
+        .repartition(1)
+        .sortWithinPartitions("o_custkey")
+    )
+
+
+def npv_census_sql() -> str:
+    factors = ", ".join(str(v) for v in _NPV_PPB)
+    return f"""
+WITH t0 AS (SELECT MIN(date_trunc('month', o_orderdate)) AS m0 FROM orders),
+x AS (
+  SELECT o_custkey,
+         CAST(round(o_totalprice * 100) AS BIGINT) AS cents,
+         least(CAST(datediff('month', m0, date_trunc('month', o_orderdate)) AS INT),
+               {_NPV_MONTHS - 1}) AS k
+  FROM orders, t0
+),
+f AS (
+  SELECT o_custkey, cents, ([{factors}])[k + 1] AS f FROM x
+)
+SELECT o_custkey,
+       COUNT(*) AS n_orders,
+       CAST(SUM(cents) AS BIGINT) AS cents,
+       CAST(SUM((cents * f) // 1000000000) AS BIGINT) AS npv_cents,
+       CAST((1000000 * (SUM(cents) - SUM((cents * f) // 1000000000))) // SUM(cents) AS BIGINT) AS haircut_ppm
+FROM f GROUP BY o_custkey ORDER BY o_custkey
+"""

@@ -5644,3 +5644,198 @@ SELECT CAST(SUM(n_variants) AS BIGINT) AS raw_vocab,
        CAST((1000000 * COALESCE(SUM(CASE WHEN n_variants > 1 THEN mass END), 0)) // SUM(mass) AS BIGINT) AS collided_mass_ppm
 FROM folded
 """
+
+
+# --- SymSpell delete-1 neighborhood blocking ------------------------------------
+
+
+def symspell_block(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SymSpell delete-neighborhood blocking (Garbe's symmetric-delete
+    trick, the industry spell-correction index): every vocabulary term
+    emits itself plus its |w| delete-1 variants; two terms are
+    candidates when their variant sets intersect (covers all edit
+    distance <= 1 and the delete-delete half of distance 2 with only
+    O(|w|) keys per term — no alphabet-size fanout), then the exact
+    Levenshtein (both engines' native implementation) verifies <= 1.
+    Census: vocabulary, candidate pairs, verified pairs, all-pairs
+    baseline C(V,2), and the candidate-reduction ratio in ppm.
+
+    Scale shape: a bounded |w|+1-key explode per term + one key
+    equi-join — the all-pairs edit-distance join becomes linear
+    fan-out, the reason SymSpell exists."""
+    vocab = (
+        _docs(spark, sf_dir)
+        .select(F.explode(_clean_words()).alias("term"))
+        .distinct()
+        .where(F.length("term") >= 3)
+    )
+    variants = vocab.select(
+        "term",
+        F.explode(
+            F.expr(
+                "array_union(array(term),"
+                " transform(sequence(1, length(term)),"
+                "  i -> concat(substring(term, 1, CAST(i - 1 AS INT)),"
+                "              substring(term, CAST(i + 1 AS INT), length(term)))))"
+            )
+        ).alias("v"),
+    ).distinct()
+    a = variants.select(F.col("term").alias("ta"), "v")
+    b = variants.select(F.col("term").alias("tb"), "v")
+    cand = (
+        a.join(b, "v").where(F.col("ta") < F.col("tb")).select("ta", "tb").distinct()
+    )
+    ver = cand.where(F.expr("levenshtein(ta, tb) <= 1"))
+    nv = vocab.agg(F.count(F.lit(1)).alias("vocab"))
+    nc = cand.agg(F.count(F.lit(1)).alias("cand_pairs"))
+    nr = ver.agg(
+        F.count(F.lit(1)).alias("verified_pairs"),
+        F.coalesce(F.sum(F.length("ta") + F.length("tb")), F.lit(0)).alias(
+            "pair_len_checksum"
+        ),
+    )
+    one = nv.crossJoin(nc).crossJoin(nr)
+    return one.select(
+        "vocab", "cand_pairs", "verified_pairs", "pair_len_checksum",
+        F.expr("div(vocab * (vocab - 1), 2)").alias("all_pairs"),
+        F.expr(
+            "CAST(div(1000000 * cand_pairs, div(vocab * (vocab - 1), 2)) AS BIGINT)"
+        ).alias("cand_ratio_ppm"),
+    )
+
+
+def symspell_block_sql() -> str:
+    return f"""
+WITH vocab AS (
+  SELECT DISTINCT unnest(list_filter({_SQL_WS}, t -> t <> '')) AS term
+  FROM documents
+),
+v3 AS (SELECT term FROM vocab WHERE length(term) >= 3),
+variants AS (
+  SELECT DISTINCT term, v FROM (
+    SELECT term, unnest(list_concat([term],
+      list_transform(range(1, length(term) + 1),
+        i -> substring(term, 1, CAST(i - 1 AS INT))
+             || substring(term, CAST(i + 1 AS INT), length(term))))) AS v
+    FROM v3
+  )
+),
+cand AS (
+  SELECT DISTINCT a.term AS ta, b.term AS tb
+  FROM variants a JOIN variants b ON b.v = a.v AND a.term < b.term
+),
+ver AS (
+  SELECT * FROM cand WHERE levenshtein(ta, tb) <= 1
+),
+nv AS (SELECT COUNT(*) AS vocab FROM v3),
+nc AS (SELECT COUNT(*) AS cand_pairs FROM cand),
+nr AS (
+  SELECT COUNT(*) AS verified_pairs,
+         COALESCE(SUM(length(ta) + length(tb)), 0) AS pair_len_checksum
+  FROM ver
+)
+SELECT CAST(vocab AS BIGINT) AS vocab,
+       CAST(cand_pairs AS BIGINT) AS cand_pairs,
+       CAST(verified_pairs AS BIGINT) AS verified_pairs,
+       CAST(pair_len_checksum AS BIGINT) AS pair_len_checksum,
+       CAST(vocab * (vocab - 1) // 2 AS BIGINT) AS all_pairs,
+       CAST((1000000 * cand_pairs) // (vocab * (vocab - 1) // 2) AS BIGINT) AS cand_ratio_ppm
+FROM nv, nc, nr
+"""
+
+
+# --- palindromic-substring census -----------------------------------------------
+
+_PAL_PREFIX = 32
+
+
+def palindrome_census(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Palindromic-substring census over each document's first 32
+    characters (the stringology classic, computed definitionally: a
+    substring is a palindrome iff it equals its reverse — one
+    vectorized reverse+compare per (start, length) candidate, O(L^2)
+    bounded candidates per doc, no Manacher state): per doc the
+    longest palindrome length >= 2, its earliest start, and the count
+    of palindromic substrings of length >= 3.
+
+    Scale shape: bounded explode (L^2/2 candidates) + codegen'd
+    reverse/substring compares + one doc census."""
+    L = F.least(F.char_length(F.col("text")), F.lit(_PAL_PREFIX))
+    d = _docs(spark, sf_dir).select(
+        "doc_id",
+        F.lower(F.substring(F.col("text"), 1, _PAL_PREFIX)).alias("s"),
+        L.alias("len"),
+    )
+    cand = d.select(
+        "doc_id", "len", "s",
+        F.explode(F.expr("sequence(1, greatest(len, 1))")).alias("i"),
+    ).select(
+        "doc_id", "len", "s", "i",
+        F.explode(F.expr("sequence(2, greatest(len - i + 1, 2))")).alias("m"),
+    ).where(F.col("i") + F.col("m") - 1 <= F.col("len"))
+    pal = cand.where(
+        F.expr("substring(s, CAST(i AS INT), CAST(m AS INT))"
+               " = reverse(substring(s, CAST(i AS INT), CAST(m AS INT)))")
+    )
+    best = pal.groupBy("doc_id").agg(F.max("m").alias("max_pal"))
+    arg = (
+        pal.join(best, "doc_id")
+        .where(F.col("m") == F.col("max_pal"))
+        .groupBy("doc_id")
+        .agg(F.min("i").alias("best_start"), F.max("max_pal").alias("max_pal"))
+    )
+    n3 = pal.where(F.col("m") >= 3).groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_pal3")
+    )
+    out = (
+        d.select("doc_id", "len")
+        .join(arg, "doc_id", "left")
+        .join(n3, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.col("len").cast("long").alias("prefix_len"),
+            F.coalesce(F.col("max_pal"), F.lit(1)).cast("long").alias("max_pal"),
+            F.coalesce(F.col("best_start"), F.lit(0)).cast("long").alias("best_start"),
+            F.coalesce(F.col("n_pal3"), F.lit(0)).cast("long").alias("n_pal3"),
+        )
+    )
+    return out.repartition(1).sortWithinPartitions("doc_id")
+
+
+def palindrome_census_sql() -> str:
+    n = _PAL_PREFIX
+    return f"""
+WITH d AS (
+  SELECT doc_id, lower(substring(text, 1, {n})) AS s,
+         least(length(text), {n}) AS len
+  FROM documents
+),
+cand AS (
+  SELECT doc_id, len, s, i, m
+  FROM d,
+       unnest(range(1, greatest(len, 1) + 1)) t(i),
+       unnest(range(2, greatest(len, 2) + 1)) u(m)
+  WHERE i + m - 1 <= len
+),
+pal AS (
+  SELECT doc_id, i, m FROM cand
+  WHERE substring(s, CAST(i AS INT), CAST(m AS INT))
+        = reverse(substring(s, CAST(i AS INT), CAST(m AS INT)))
+),
+best AS (SELECT doc_id, MAX(m) AS max_pal FROM pal GROUP BY doc_id),
+arg AS (
+  SELECT p.doc_id, MIN(i) AS best_start, MAX(best.max_pal) AS max_pal
+  FROM pal p JOIN best ON best.doc_id = p.doc_id AND p.m = best.max_pal
+  GROUP BY p.doc_id
+),
+n3 AS (SELECT doc_id, COUNT(*) AS n_pal3 FROM pal WHERE m >= 3 GROUP BY doc_id)
+SELECT d.doc_id,
+       CAST(len AS BIGINT) AS prefix_len,
+       CAST(COALESCE(max_pal, 1) AS BIGINT) AS max_pal,
+       CAST(COALESCE(best_start, 0) AS BIGINT) AS best_start,
+       CAST(COALESCE(n_pal3, 0) AS BIGINT) AS n_pal3
+FROM d
+LEFT JOIN arg ON arg.doc_id = d.doc_id
+LEFT JOIN n3 ON n3.doc_id = d.doc_id
+ORDER BY d.doc_id
+"""

@@ -5383,6 +5383,9 @@ def spatial_queries() -> dict[str, QueryFn]:
         "t_closeness": rel.t_closeness,
         "layout_whatif": rel.layout_whatif,
         "item_cosine2": rel.item_cosine2,
+        "npv_census": rel.npv_census,
+        "symspell_block": textops.symspell_block,
+        "palindrome_census": textops.palindrome_census,
     })
 
 
@@ -5821,6 +5824,9 @@ def spatial_oracles(sf: str = "sf0.01") -> dict[str, str]:
         "t_closeness": rel.t_closeness_sql(),
         "layout_whatif": rel.layout_whatif_sql(),
         "item_cosine2": rel.item_cosine2_sql(),
+        "npv_census": rel.npv_census_sql(),
+        "symspell_block": textops.symspell_block_sql(),
+        "palindrome_census": textops.palindrome_census_sql(),
     })
 
 
