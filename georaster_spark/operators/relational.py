@@ -11255,3 +11255,300 @@ SELECT o_custkey,
        CAST((1000000 * (SUM(cents) - SUM((cents * f) // 1000000000))) // SUM(cents) AS BIGINT) AS haircut_ppm
 FROM f GROUP BY o_custkey ORDER BY o_custkey
 """
+
+
+# --- VAT rounding-strategy drift census -----------------------------------------
+
+_VAT_NUM, _VAT_DEN = 7, 100  # 7% tax as an exact fraction
+
+
+def vat_rounding(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """VAT rounding-strategy drift census (the accounting identity
+    every invoicing system must pick a side on: round tax per LINE or
+    per INVOICE?): 7% tax on exact line cents, per-line tax =
+    half-up-rounded per lineitem then summed, per-invoice tax =
+    half-up-rounded once on the order's cent total — both as pure
+    integer arithmetic div((7*c*2 + 100), 200) (half-up without any
+    float round()), and the census rolls orders up by their drift in
+    cents. Auditors read exactly this table.
+
+    Scale shape: one order-key census then one tiny drift census —
+    two shuffles, integer arithmetic only."""
+    li = _t(spark, sf_dir, "lineitem").select(
+        "l_orderkey",
+        F.expr("CAST(round(100 * l_extendedprice) AS BIGINT)").alias("c"),
+    )
+    hu = f"div({_VAT_NUM} * {{x}} * 2 + {_VAT_DEN}, {2 * _VAT_DEN})"
+    per_order = li.groupBy("l_orderkey").agg(
+        F.sum(F.expr(hu.format(x="c"))).alias("tax_by_line"),
+        F.sum("c").alias("total_c"),
+    ).select(
+        "l_orderkey", "tax_by_line",
+        F.expr(hu.format(x="total_c")).alias("tax_by_invoice"),
+    )
+    drift = per_order.select(
+        (F.col("tax_by_line") - F.col("tax_by_invoice")).alias("drift_cents"),
+        "l_orderkey",
+    )
+    return (
+        drift.groupBy("drift_cents")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.sum("l_orderkey").alias("order_checksum"),
+        )
+        .repartition(1)
+        .sortWithinPartitions("drift_cents")
+    )
+
+
+def vat_rounding_sql() -> str:
+    hu = f"(({_VAT_NUM} * {{x}} * 2 + {_VAT_DEN}) // {2 * _VAT_DEN})"
+    return f"""
+WITH li AS (
+  SELECT l_orderkey, CAST(round(100 * l_extendedprice) AS BIGINT) AS c
+  FROM lineitem
+),
+per_order AS (
+  SELECT l_orderkey,
+         SUM({hu.format(x='c')}) AS tax_by_line,
+         SUM(c) AS total_c
+  FROM li GROUP BY l_orderkey
+),
+drift AS (
+  SELECT l_orderkey,
+         tax_by_line - {hu.format(x='total_c')} AS drift_cents
+  FROM per_order
+)
+SELECT CAST(drift_cents AS BIGINT) AS drift_cents,
+       COUNT(*) AS n_orders,
+       CAST(SUM(l_orderkey) AS BIGINT) AS order_checksum
+FROM drift GROUP BY drift_cents ORDER BY drift_cents
+"""
+
+
+# --- inversion / presortedness census -------------------------------------------
+
+
+def inversions_census(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Presortedness census of the daily-revenue series (the
+    adaptive-sorting metrics: exact inversion count |{i<j: v_i>v_j}|,
+    its share of all pairs in ppm, and the longest strictly-
+    descending run): how far from sorted a time series is decides
+    whether a Timsort-style merge or a full sort is worth it; here
+    the metric surface is exact.
+
+    Scale shape: the series is a date census (bounded by calendar);
+    the inversion pair join is over days^2, not fact rows; the run
+    length is one lag window."""
+    o = _t(spark, sf_dir, "orders")
+    daily = o.groupBy("o_orderdate").agg(
+        F.sum(F.expr("CAST(round(o_totalprice * 100) AS BIGINT)")).alias("v")
+    )
+    idx = daily.select(
+        F.row_number().over(Window.orderBy("o_orderdate")).alias("i"), "v"
+    )
+    a = idx.select(F.col("i").alias("ia"), F.col("v").alias("va"))
+    b = idx.select(F.col("i").alias("ib"), F.col("v").alias("vb"))
+    inv = a.join(
+        b, (F.col("ia") < F.col("ib")) & (F.col("va") > F.col("vb"))
+    ).agg(F.count(F.lit(1)).alias("inversions"))
+    wrun = Window.orderBy("i")
+    runs = idx.select(
+        "i", "v",
+        F.when(
+            F.lag("v").over(wrun).isNull() | (F.lag("v").over(wrun) <= F.col("v")), 1
+        ).otherwise(0).alias("brk"),
+    ).select(
+        "*",
+        F.sum("brk").over(
+            wrun.rowsBetween(Window.unboundedPreceding, 0)
+        ).alias("run_id"),
+    )
+    longest = (
+        runs.groupBy("run_id").agg(F.count(F.lit(1)).alias("rl"))
+        .agg(F.max("rl").alias("longest_desc_run"))
+    )
+    n = idx.agg(F.count(F.lit(1)).alias("n_days"))
+    one = n.crossJoin(inv).crossJoin(longest)
+    return one.select(
+        "n_days", "inversions", "longest_desc_run",
+        F.expr(
+            "CAST(div(1000000 * inversions, div(n_days * (n_days - 1), 2))"
+            " AS BIGINT)"
+        ).alias("inversion_ppm"),
+    )
+
+
+def inversions_census_sql() -> str:
+    return """
+WITH daily AS (
+  SELECT o_orderdate, SUM(CAST(round(o_totalprice * 100) AS BIGINT)) AS v
+  FROM orders GROUP BY o_orderdate
+),
+idx AS (
+  SELECT row_number() OVER (ORDER BY o_orderdate) AS i, v FROM daily
+),
+inv AS (
+  SELECT COUNT(*) AS inversions
+  FROM idx a JOIN idx b ON a.i < b.i AND a.v > b.v
+),
+brk AS (
+  SELECT i, v,
+         CASE WHEN lag(v) OVER (ORDER BY i) IS NULL
+                OR lag(v) OVER (ORDER BY i) <= v THEN 1 ELSE 0 END AS b
+  FROM idx
+),
+runs AS (
+  SELECT i, v,
+         SUM(b) OVER (ORDER BY i ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS run_id
+  FROM brk
+),
+longest AS (
+  SELECT MAX(rl) AS longest_desc_run
+  FROM (SELECT run_id, COUNT(*) AS rl FROM runs GROUP BY run_id)
+),
+n AS (SELECT COUNT(*) AS n_days FROM idx)
+SELECT CAST(n_days AS BIGINT) AS n_days,
+       CAST(inversions AS BIGINT) AS inversions,
+       CAST(longest_desc_run AS BIGINT) AS longest_desc_run,
+       CAST((1000000 * inversions) // (n_days * (n_days - 1) // 2) AS BIGINT) AS inversion_ppm
+FROM n, inv, longest
+"""
+
+
+# --- stationary distribution of the full event-type chain (exact Cramer) --------
+
+_SD_STATES = ("click", "error", "purchase", "signup", "view")
+
+
+def _detn_str(m) -> str:
+    """Cofactor-expansion determinant expression for an NxN matrix of
+    SQL expression strings (shared text across engines)."""
+    n = len(m)
+    if n == 1:
+        return f"({m[0][0]})"
+    if n == 2:
+        return f"(({m[0][0]})*({m[1][1]}) - ({m[0][1]})*({m[1][0]}))"
+    terms = []
+    for j in range(n):
+        minor = [[m[r][c] for c in range(n) if c != j] for r in range(1, n)]
+        sign = "+" if j % 2 == 0 else "-"
+        terms.append(f"{sign} ({m[0][j]})*({_detn_str(minor)})")
+    return "(" + " ".join(terms) + ")"
+
+
+def _sd_dets(cast: str):
+    """Shared det expressions for the stationary system B q = e5:
+    B rows 0..3 from A = N^T - diag(n), row 4 the normalization
+    sum(n_j q_j) = 1; B_i replaces column i with (0,0,0,0,1)."""
+    k = len(_SD_STATES)
+    b = [
+        [
+            f"CAST({f't{j}{i}' + (f' - n{i}' if i == j else '')} AS {cast})"
+            for j in range(k)
+        ]
+        for i in range(k - 1)
+    ] + [[f"CAST(n{j} AS {cast})" for j in range(k)]]
+    dets = {"detB": _detn_str(b)}
+    rhs = ["0"] * (k - 1) + ["1"]
+    for i in range(k):
+        bi = [
+            [f"CAST({rhs[r]} AS {cast})" if c == i else b[r][c] for c in range(k)]
+            for r in range(k)
+        ]
+        dets[f"det{i}"] = _detn_str(bi)
+    return dets
+
+
+def stationary_dist(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stationary distribution of the full 5-state event-type Markov
+    chain, EXACT (the long-run state occupancy a funnel model quotes):
+    with q_i = pi_i / n_i the balance equations clear ALL denominators
+    into the integer system (N^T - diag(n)) q = 0 plus the
+    normalization sum(n_i q_i) = 1, solved by Cramer's rule with 5x5
+    integer determinants in DECIMAL(38,0); pi_i = n_i q_i lands in
+    sign-aware exact ppm. The companion of absorbing_chain for the
+    recurrent chain — no iteration, no floats, no spectral anything.
+
+    Scale shape: one user-key lead() window + a 25-key census; the
+    5x5 Cramer solve is constant-size single-row arithmetic."""
+    ev = _t(spark, sf_dir, "events").select("user_id", "ts", "event_id", "event_type")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    tr = ev.select(
+        F.col("event_type").alias("f"),
+        F.lead("event_type").over(w).alias("t"),
+    ).where(F.col("t").isNotNull())
+    aggs = []
+    for i, si in enumerate(_SD_STATES):
+        aggs.append(F.sum(F.when(F.col("f") == si, 1).otherwise(0)).alias(f"n{i}"))
+        for j, sj in enumerate(_SD_STATES):
+            aggs.append(
+                F.sum(
+                    F.when((F.col("f") == si) & (F.col("t") == sj), 1).otherwise(0)
+                ).alias(f"t{i}{j}")
+            )
+    mat = tr.agg(*aggs)
+    dets = _sd_dets("DECIMAL(38,0)")
+    passthrough = [f"n{i}" for i in range(len(_SD_STATES))]
+    solved = mat.select(
+        *passthrough,
+        *[F.expr(sql).alias(name) for name, sql in dets.items()],
+    )
+    stack_args = ", ".join(
+        f"'{s}', n{i}, det{i}" for i, s in enumerate(_SD_STATES)
+    )
+    rows = solved.selectExpr(
+        "detB", f"stack({len(_SD_STATES)}, {stack_args}) AS (state, n_out, deti)"
+    )
+    return (
+        rows.select(
+            "state",
+            F.col("n_out").cast("long").alias("n_out"),
+            F.expr(
+                "CAST(CAST(sign(deti) * sign(detB) AS BIGINT)"
+                " * (CAST(abs(deti * n_out * 1000000) AS DECIMAL(38,0))"
+                "    div CAST(abs(detB) AS DECIMAL(38,0))) AS BIGINT)"
+            ).alias("pi_ppm"),
+            F.when(F.col("detB") != 0, 1).otherwise(0).cast("int").alias("solvable"),
+        )
+        .repartition(1)
+        .sortWithinPartitions("state")
+    )
+
+
+def stationary_dist_sql() -> str:
+    dets = _sd_dets("HUGEINT")
+    det_cols = ",\n         ".join(f"{sql} AS {name}" for name, sql in dets.items())
+    agg_cols = []
+    for i, si in enumerate(_SD_STATES):
+        agg_cols.append(f"SUM(CASE WHEN f = '{si}' THEN 1 ELSE 0 END) AS n{i}")
+        for j, sj in enumerate(_SD_STATES):
+            agg_cols.append(
+                f"SUM(CASE WHEN f = '{si}' AND t = '{sj}' THEN 1 ELSE 0 END) AS t{i}{j}"
+            )
+    outs = "\n  UNION ALL\n".join(
+        f"  SELECT '{s}' AS state, n{i} AS n_out,"
+        f" CAST(CAST(sign(det{i}) * sign(detB) AS BIGINT)"
+        f" * (abs(det{i} * n{i} * 1000000) // abs(detB)) AS BIGINT) AS pi_ppm,"
+        f" CAST(CASE WHEN detB != 0 THEN 1 ELSE 0 END AS INT) AS solvable FROM dets"
+        for i, s in enumerate(_SD_STATES)
+    )
+    return f"""
+WITH tr AS (
+  SELECT event_type AS f,
+         lead(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS t
+  FROM events
+  QUALIFY t IS NOT NULL
+),
+mat AS (
+  SELECT {", ".join(agg_cols)} FROM tr
+),
+dets AS (
+  SELECT n0, n1, n2, n3, n4,
+         {det_cols}
+  FROM mat
+)
+SELECT * FROM (
+{outs}
+) ORDER BY state
+"""

@@ -5386,6 +5386,9 @@ def spatial_queries() -> dict[str, QueryFn]:
         "npv_census": rel.npv_census,
         "symspell_block": textops.symspell_block,
         "palindrome_census": textops.palindrome_census,
+        "vat_rounding": rel.vat_rounding,
+        "inversions_census": rel.inversions_census,
+        "stationary_dist": rel.stationary_dist,
     })
 
 
@@ -5827,6 +5830,9 @@ def spatial_oracles(sf: str = "sf0.01") -> dict[str, str]:
         "npv_census": rel.npv_census_sql(),
         "symspell_block": textops.symspell_block_sql(),
         "palindrome_census": textops.palindrome_census_sql(),
+        "vat_rounding": rel.vat_rounding_sql(),
+        "inversions_census": rel.inversions_census_sql(),
+        "stationary_dist": rel.stationary_dist_sql(),
     })
 
 
