@@ -11552,3 +11552,121 @@ SELECT * FROM (
 {outs}
 ) ORDER BY state
 """
+
+
+# --- interval stabbing census ---------------------------------------------------
+
+_STAB_DATES = tuple(f"199{y}-0{m}-01" for y in range(3, 8) for m in (1, 7))
+
+
+def interval_stabbing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Interval-stabbing census (the temporal-database point query:
+    how many order->ship intervals COVER instant t): for ten fixed
+    query dates, the count of lineitems whose [order date, ship date)
+    interval stabs the date, the distinct orders among them, and an
+    orderkey checksum — the open-orders-at-midnight table, computed
+    set-at-a-time rather than via an interval tree.
+
+    Scale shape: a 10-row broadcast date dim x fact comparisons —
+    map-side predicate per date, one tiny census; no index structure
+    to maintain."""
+    li = _t(spark, sf_dir, "lineitem").select("l_orderkey", "l_shipdate")
+    o = _t(spark, sf_dir, "orders").select("o_orderkey", "o_orderdate")
+    j = li.join(o, li["l_orderkey"] == o["o_orderkey"]).select(
+        "l_orderkey", "o_orderdate", "l_shipdate"
+    )
+    dates = spark.createDataFrame(
+        [(d,) for d in _STAB_DATES], "qd string"
+    ).select(F.to_timestamp("qd").alias("qd"))
+    stab = j.crossJoin(F.broadcast(dates)).where(
+        (F.col("o_orderdate") <= F.col("qd")) & (F.col("l_shipdate") > F.col("qd"))
+    )
+    return (
+        stab.groupBy("qd")
+        .agg(
+            F.count(F.lit(1)).alias("n_lineitems"),
+            F.countDistinct("l_orderkey").alias("n_orders"),
+            F.sum("l_orderkey").alias("order_checksum"),
+        )
+        .select(F.col("qd").cast("date").alias("qd"), "n_lineitems", "n_orders", "order_checksum")
+        .repartition(1)
+        .sortWithinPartitions("qd")
+    )
+
+
+def interval_stabbing_sql() -> str:
+    dates = ", ".join(f"(TIMESTAMP '{d} 00:00:00')" for d in _STAB_DATES)
+    return f"""
+WITH dates AS (SELECT * FROM (VALUES {dates}) AS t(qd)),
+j AS (
+  SELECT l_orderkey, o_orderdate, l_shipdate
+  FROM lineitem JOIN orders ON o_orderkey = l_orderkey
+),
+stab AS (
+  SELECT qd, l_orderkey FROM j, dates
+  WHERE o_orderdate <= qd AND l_shipdate > qd
+)
+SELECT CAST(qd AS DATE) AS qd,
+       COUNT(*) AS n_lineitems,
+       CAST(COUNT(DISTINCT l_orderkey) AS BIGINT) AS n_orders,
+       CAST(SUM(l_orderkey) AS BIGINT) AS order_checksum
+FROM stab GROUP BY qd ORDER BY qd
+"""
+
+
+# --- integer-sqrt kernel audit (unrolled Newton) --------------------------------
+
+
+def isqrt_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Integer-square-root kernel audit: floor(sqrt(n)) for each
+    month's revenue cents by SIX unrolled Newton steps from the
+    bit-length seed 2^ceil(bits/2) (monotone-decreasing from above,
+    quadratic convergence — 6 steps suffice for 63-bit inputs), then
+    the DEFINITIONAL verification q^2 <= n < (q+1)^2 as an output
+    column. This pins an exact isqrt kernel both engines agree on —
+    the prerequisite for any future stddev-style surface — with the
+    convergence proof in-band rather than assumed.
+
+    Scale shape: map-only arithmetic on a month census."""
+    o = _t(spark, sf_dir, "orders")
+    m = o.groupBy(F.date_trunc("month", "o_orderdate").alias("m")).agg(
+        F.sum(F.expr("CAST(round(o_totalprice * 100) AS BIGINT)")).alias("n")
+    )
+    seed = "CAST(shiftleft(CAST(1 AS BIGINT), CAST(div(length(bin(n)) + 1, 2) AS INT)) AS BIGINT)"
+    sel = m.select("m", "n", F.expr(seed).alias("x0"))
+    for k in range(6):
+        sel = sel.withColumn(
+            f"x{k + 1}", F.expr(f"least(x{k}, div(x{k} + div(n, x{k}), 2))")
+        )
+    return (
+        sel.select(
+            F.col("m").cast("date").alias("m"),
+            "n",
+            F.col("x6").alias("isqrt"),
+            F.expr(
+                "CAST(CASE WHEN x6 * x6 <= n AND (x6 + 1) * (x6 + 1) > n"
+                " THEN 1 ELSE 0 END AS INT)"
+            ).alias("verified"),
+        )
+        .repartition(1)
+        .sortWithinPartitions("m")
+    )
+
+
+def isqrt_audit_sql() -> str:
+    seed = "(1::BIGINT << CAST((length(bin(n)) + 1) // 2 AS INT))"
+    lines = [f"SELECT m, n, {seed} AS x0 FROM mo"]
+    sql = f"WITH mo AS (\n  SELECT date_trunc('month', o_orderdate) AS m,\n         SUM(CAST(round(o_totalprice * 100) AS BIGINT)) AS n\n  FROM orders GROUP BY 1\n),\ns0 AS ({lines[0]})"
+    for k in range(6):
+        sql += (
+            f",\ns{k + 1} AS (SELECT m, n, least(x{k}, (x{k} + n // x{k}) // 2) AS x{k + 1}"
+            f" FROM s{k})"
+        )
+    sql += """
+SELECT CAST(m AS DATE) AS m, CAST(n AS BIGINT) AS n,
+       CAST(x6 AS BIGINT) AS isqrt,
+       CAST(CASE WHEN x6 * x6 <= n AND (x6 + 1) * (x6 + 1) > n
+                 THEN 1 ELSE 0 END AS INT) AS verified
+FROM s6 ORDER BY m
+"""
+    return sql

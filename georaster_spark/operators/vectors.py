@@ -2309,3 +2309,88 @@ SELECT query_id, CAST(q_label AS INT) AS q_label,
        CAST(MAX(dot) AS BIGINT) AS neg_dot
 FROM dots GROUP BY query_id, q_label ORDER BY query_id
 """
+
+
+# ---------------------------------------------------------------------------
+# Hubness census — k-occurrence skew, the high-dim curse diagnostic
+# ---------------------------------------------------------------------------
+
+HUB_K = 5
+
+
+def hubness_census(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hubness census (Radovanovic et al. JMLR 2010): with EVERY
+    vector as a query, the k-occurrence N_k(x) = how many other
+    vectors list x in their exact cosine top-5 — whose distribution
+    skews into hubs and antihubs as dimension grows, silently biasing
+    ANN ground truth and dedup. Emits the k-occurrence histogram
+    (0-occurrence antihubs included via the zero-fill join) with a
+    vec_id checksum per bucket.
+
+    Scale shape: here the exact all-pairs rank (bounded corpus); at
+    10^12 rows the same census runs over the ANN graph instead — the
+    histogram shape is the shared diagnostic. Rank-only output keeps
+    the float cosine out of the comparison surface."""
+    e = _emb(spark, sf_dir).select("vec_id", "embedding")
+    a = e.select(F.col("vec_id").alias("qa"), F.col("embedding").alias("ea"))
+    b = e.select(F.col("vec_id").alias("qb"), F.col("embedding").alias("eb"))
+    dot = F.expr(
+        "aggregate(zip_with(ea, eb, (x, y) -> CAST(x AS DOUBLE) * CAST(y AS DOUBLE)),"
+        " CAST(0 AS DOUBLE), (acc, x) -> acc + x)"
+    )
+    na = F.expr(
+        "aggregate(transform(ea, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)),"
+        " CAST(0 AS DOUBLE), (acc, x) -> acc + x)"
+    )
+    nb = F.expr(
+        "aggregate(transform(eb, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)),"
+        " CAST(0 AS DOUBLE), (acc, x) -> acc + x)"
+    )
+    pairs = a.join(b, F.col("qa") != F.col("qb")).select(
+        "qa", "qb", (dot / F.sqrt(na * nb)).alias("cos")
+    )
+    w = Window.partitionBy("qa").orderBy(F.col("cos").desc(), F.col("qb").asc())
+    top = pairs.select("qa", "qb", F.row_number().over(w).alias("rk")).where(
+        F.col("rk") <= HUB_K
+    )
+    occ = top.groupBy("qb").agg(F.count(F.lit(1)).alias("n_occ"))
+    filled = e.select(F.col("vec_id").alias("qb")).join(occ, "qb", "left").select(
+        "qb", F.coalesce(F.col("n_occ"), F.lit(0)).alias("n_occ")
+    )
+    return (
+        filled.groupBy("n_occ")
+        .agg(
+            F.count(F.lit(1)).alias("n_vectors"),
+            F.sum("qb").alias("vec_checksum"),
+        )
+        .repartition(1)
+        .sortWithinPartitions("n_occ")
+    )
+
+
+def hubness_census_sql() -> str:
+    dot = _sql_dot("a.embedding", "b.embedding")
+    na = _sql_dot("a.embedding", "a.embedding")
+    nb = _sql_dot("b.embedding", "b.embedding")
+    return f"""
+WITH pairs AS (
+  SELECT a.vec_id AS qa, b.vec_id AS qb,
+         ({dot}) / sqrt(({na}) * ({nb})) AS cos
+  FROM embeddings a JOIN embeddings b ON b.vec_id != a.vec_id
+),
+top AS (
+  SELECT qa, qb FROM (
+    SELECT qa, qb, row_number() OVER (PARTITION BY qa ORDER BY cos DESC, qb ASC) AS rk
+    FROM pairs
+  ) WHERE rk <= {HUB_K}
+),
+occ AS (SELECT qb, COUNT(*) AS n_occ FROM top GROUP BY qb),
+filled AS (
+  SELECT e.vec_id AS qb, COALESCE(n_occ, 0) AS n_occ
+  FROM embeddings e LEFT JOIN occ ON occ.qb = e.vec_id
+)
+SELECT CAST(n_occ AS BIGINT) AS n_occ,
+       COUNT(*) AS n_vectors,
+       CAST(SUM(qb) AS BIGINT) AS vec_checksum
+FROM filled GROUP BY n_occ ORDER BY n_occ
+"""

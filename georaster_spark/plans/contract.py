@@ -5389,6 +5389,9 @@ def spatial_queries() -> dict[str, QueryFn]:
         "vat_rounding": rel.vat_rounding,
         "inversions_census": rel.inversions_census,
         "stationary_dist": rel.stationary_dist,
+        "hubness_census": vectors.hubness_census,
+        "interval_stabbing": rel.interval_stabbing,
+        "isqrt_audit": rel.isqrt_audit,
     })
 
 
@@ -5833,6 +5836,9 @@ def spatial_oracles(sf: str = "sf0.01") -> dict[str, str]:
         "vat_rounding": rel.vat_rounding_sql(),
         "inversions_census": rel.inversions_census_sql(),
         "stationary_dist": rel.stationary_dist_sql(),
+        "hubness_census": vectors.hubness_census_sql(),
+        "interval_stabbing": rel.interval_stabbing_sql(),
+        "isqrt_audit": rel.isqrt_audit_sql(),
     })
 
 
