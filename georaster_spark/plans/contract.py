@@ -17,6 +17,7 @@ from pathlib import Path
 
 import pandas as pd
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import Window
 from pyspark.sql import functions as F
 
 from .. import oracle_sql as osql
@@ -5392,6 +5393,7 @@ def spatial_queries() -> dict[str, QueryFn]:
         "hubness_census": vectors.hubness_census,
         "interval_stabbing": rel.interval_stabbing,
         "isqrt_audit": rel.isqrt_audit,
+        "stream_topn": q_stream_topn,
     })
 
 
@@ -5839,6 +5841,7 @@ def spatial_oracles(sf: str = "sf0.01") -> dict[str, str]:
         "hubness_census": vectors.hubness_census_sql(),
         "interval_stabbing": rel.interval_stabbing_sql(),
         "isqrt_audit": rel.isqrt_audit_sql(),
+        "stream_topn": _sql_stream_topn(fx),
     })
 
 
@@ -15973,4 +15976,68 @@ SELECT r0.image_id,
        CAST((SELECT SUM(hi_lvl) FROM lv l WHERE l.image_id = r0.image_id) AS BIGINT) AS sum_hi,
        CAST(SUM(r * (i * {w} + j + 1)) AS BIGINT) AS btc_checksum
 FROM recon r0 GROUP BY r0.image_id ORDER BY r0.image_id
+"""
+
+
+def q_stream_topn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Op S9 (streaming keyed leaderboard) surfaced to the gate:
+    tumbling 5-minute windows keyed by fmt under a 30 s watermark,
+    availableNow -> memory sink, then the batch top-2-per-window rank
+    over FINALIZED windows (win_end <= max(ts) - watermark) — the
+    standard streaming-topN composition."""
+    import tempfile
+    import uuid
+
+    from ..streaming import tile_stream as ts
+
+    fx = _fx(sf_dir)
+    tmp = Path(tempfile.mkdtemp(prefix="gs_stream_"))
+    (tmp / "in").mkdir()
+    os.symlink(fx / "images.parquet", tmp / "in" / "images.parquet")
+    name = f"s9_{uuid.uuid4().hex[:8]}"
+    stream = ts.read_image_stream(spark, str(tmp / "in")).where(geo.image_idx() < 3600)
+    agg = ts.stream_keyed_topn(stream)
+    ts.run_to_memory(agg, name, str(tmp / "ckpt"), state_partitions=8)
+    sunk = spark.table(name)
+    w = Window.partitionBy("win_start").orderBy(
+        F.col("n_images").desc(), F.col("fmt").asc()
+    )
+    return (
+        sunk.select(
+            "win_start", "fmt", "n_images", "idx_checksum",
+            F.row_number().over(w).alias("rank"),
+        )
+        .where(F.col("rank") <= 2)
+        .repartition(1)
+        .sortWithinPartitions("win_start", "rank")
+    )
+
+
+def _sql_stream_topn(fx: Path) -> str:
+    from ..streaming.tile_stream import T0
+
+    return f"""
+WITH img AS (
+  SELECT CAST(substr(image_id, 4, 10) AS BIGINT) AS idx, fmt
+  FROM read_parquet('{fx / 'images.parquet'}')
+  WHERE CAST(substr(image_id, 4, 10) AS BIGINT) < 3600
+),
+mx AS (SELECT MAX(idx) AS max_idx FROM img),
+agg AS (
+  SELECT (idx // 300) * 300 AS w, fmt,
+         COUNT(*) AS n_images, SUM(idx) AS idx_checksum
+  FROM img GROUP BY w, fmt
+),
+fin AS (
+  SELECT agg.* FROM agg, mx WHERE w + 300 <= max_idx - 30
+),
+rk AS (
+  SELECT TIMESTAMP '{T0}' + to_seconds(w) AS win_start, fmt,
+         n_images, idx_checksum,
+         row_number() OVER (PARTITION BY w ORDER BY n_images DESC, fmt ASC) AS rank
+  FROM fin
+)
+SELECT win_start, fmt, CAST(n_images AS BIGINT) AS n_images,
+       CAST(idx_checksum AS BIGINT) AS idx_checksum, CAST(rank AS BIGINT) AS rank
+FROM rk WHERE rank <= 2 ORDER BY win_start, rank
 """

@@ -465,3 +465,29 @@ def stream_ewma(events: DataFrame) -> DataFrame:
         outputMode="append",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
+
+
+def stream_keyed_topn(
+    images: DataFrame,
+    window: str = "5 minutes",
+    watermark: str = "30 seconds",
+) -> DataFrame:
+    """S9 — keyed tumbling-window leaderboard input: per (5-minute
+    window, fmt) the arrival count and idx checksum under a 30 s
+    watermark.  The top-N cut itself happens AFTER the sink on
+    finalized windows (rank-over-append-sink is the documented
+    streaming-topN pattern: the windowed AGG is the stateful part,
+    ranking a finalized window is batch work).
+
+    Scale shape: state is (windows x |fmt|)-sized; one windowed agg
+    shuffle, map-side partials first."""
+    ev = with_event_time(images)
+    return (
+        ev.withWatermark("ts", watermark)
+        .groupBy(F.window("ts", window).alias("win"), "fmt")
+        .agg(
+            F.count(F.lit(1)).alias("n_images"),
+            F.sum(geo.image_idx()).alias("idx_checksum"),
+        )
+        .select(F.col("win.start").alias("win_start"), "fmt", "n_images", "idx_checksum")
+    )
