@@ -11670,3 +11670,180 @@ SELECT CAST(m AS DATE) AS m, CAST(n AS BIGINT) AS n,
 FROM s6 ORDER BY m
 """
     return sql
+
+
+# --- Little's law exact accounting audit ----------------------------------------
+
+_LL_START = "1994-01-01"
+_LL_END = "1996-01-01"  # [start, end) audit window
+
+
+def littles_law(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Little's-law accounting audit (L = lambda * W), held as the
+    EXACT finite-window identity it really is: over [1994, 1996) the
+    time-integral of work-in-process equals the summed in-window
+    sojourn of all items — sum over days of open-order count =
+    sum over lineitems of overlap([order, ship), window) — two
+    completely different aggregations of the same integral, computed
+    WITHOUT a day explode (the overlap is closed-form date
+    arithmetic) and pinned equal. Queueing dashboards that report L,
+    lambda and W separately are audited by exactly this identity.
+
+    Scale shape: both sides are one map-only pass + one census; the
+    identity check is a single-row join."""
+    li = _t(spark, sf_dir, "lineitem").select("l_orderkey", "l_shipdate")
+    o = _t(spark, sf_dir, "orders").select("o_orderkey", "o_orderdate")
+    j = li.join(o, li["l_orderkey"] == o["o_orderkey"]).select(
+        F.expr("CAST(datediff(o_orderdate, '1970-01-01') AS BIGINT)").alias("a"),
+        F.expr("CAST(datediff(l_shipdate, '1970-01-01') AS BIGINT)").alias("b"),
+    )
+    s = f"CAST(datediff('{_LL_START}', '1970-01-01') AS BIGINT)"
+    e = f"CAST(datediff('{_LL_END}', '1970-01-01') AS BIGINT)"
+    ov = F.expr(f"greatest(0, least(b, {e}) - greatest(a, {s}))")
+    rhs = j.agg(
+        F.sum(ov).alias("sojourn_days"),
+        F.sum(F.expr(f"CASE WHEN a >= {s} AND a < {e} THEN 1 ELSE 0 END")).alias(
+            "arrivals"
+        ),
+    )
+    # LHS through the DAY dimension (a genuinely different path: each
+    # item explodes into its in-window days, the per-day open counts
+    # are materialized, and their sum is the WIP time-integral) — so
+    # the identity check exercises real day-level accounting rather
+    # than restating the overlap arithmetic.
+    ev = j.where((F.col("b") > F.expr(s)) & (F.col("a") < F.expr(e))).select(
+        F.expr(f"greatest(a, {s})").alias("d_in"),
+        F.expr(f"least(b, {e})").alias("d_out"),
+    )
+    per_day = (
+        ev.where(F.col("d_out") > F.col("d_in"))
+        .select(F.explode(F.expr("sequence(d_in, d_out - 1)")).alias("day"))
+        .groupBy("day")
+        .agg(F.count(F.lit(1)).alias("open_cnt"))
+    )
+    lhs = per_day.agg(F.sum("open_cnt").alias("wip_integral")).crossJoin(
+        ev.agg(F.count(F.lit(1)).alias("n_items_window"))
+    )
+    one = lhs.crossJoin(rhs)
+    return one.select(
+        "wip_integral", "sojourn_days", "n_items_window", "arrivals",
+        F.when(F.col("wip_integral") == F.col("sojourn_days"), 1)
+        .otherwise(0)
+        .cast("int")
+        .alias("identity_holds"),
+        F.expr(
+            "CAST(div(1000000 * sojourn_days, arrivals) AS BIGINT)"
+        ).alias("mean_sojourn_udays"),
+    )
+
+
+def littles_law_sql() -> str:
+    s = f"CAST(date_diff('day', DATE '1970-01-01', DATE '{_LL_START}') AS BIGINT)"
+    e = f"CAST(date_diff('day', DATE '1970-01-01', DATE '{_LL_END}') AS BIGINT)"
+    return f"""
+WITH j AS (
+  SELECT CAST(date_diff('day', DATE '1970-01-01', o_orderdate) AS BIGINT) AS a,
+         CAST(date_diff('day', DATE '1970-01-01', l_shipdate) AS BIGINT) AS b
+  FROM lineitem JOIN orders ON o_orderkey = l_orderkey
+),
+rhs AS (
+  SELECT SUM(greatest(0, least(b, {e}) - greatest(a, {s}))) AS sojourn_days,
+         SUM(CASE WHEN a >= {s} AND a < {e} THEN 1 ELSE 0 END) AS arrivals
+  FROM j
+),
+ev AS (
+  SELECT greatest(a, {s}) AS d_in, least(b, {e}) AS d_out
+  FROM j WHERE b > {s} AND a < {e}
+),
+per_day AS (
+  SELECT day, COUNT(*) AS open_cnt
+  FROM (SELECT unnest(range(d_in, d_out)) AS day FROM ev WHERE d_out > d_in)
+  GROUP BY day
+),
+lhs AS (
+  SELECT (SELECT SUM(open_cnt) FROM per_day) AS wip_integral,
+         COUNT(*) AS n_items_window
+  FROM ev
+)
+SELECT CAST(wip_integral AS BIGINT) AS wip_integral,
+       CAST(sojourn_days AS BIGINT) AS sojourn_days,
+       CAST(n_items_window AS BIGINT) AS n_items_window,
+       CAST(arrivals AS BIGINT) AS arrivals,
+       CAST(CASE WHEN wip_integral = sojourn_days THEN 1 ELSE 0 END AS INT) AS identity_holds,
+       CAST((1000000 * sojourn_days) // arrivals AS BIGINT) AS mean_sojourn_udays
+FROM lhs, rhs
+"""
+
+
+# --- Zeller congruence calendar-kernel differential audit -----------------------
+
+
+def zeller_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Zeller's congruence audit: day-of-week for every distinct order
+    date computed from scratch by Zeller's 1882 formula (pure integer
+    arithmetic on y/m/d with the Jan/Feb year shift) and cross-checked
+    against the engine's own dayofweek — a calendar-kernel
+    differential census (n_dates per weekday, disagreements must be
+    zero). The sort of independent cross-check a date-dimension build
+    ships with.
+
+    Scale shape: one distinct-date census + map-only arithmetic."""
+    o = _t(spark, sf_dir, "orders")
+    d = o.select(F.to_date("o_orderdate").alias("d")).distinct()
+    x = d.select(
+        "d",
+        F.expr("year(d)").alias("y0"),
+        F.expr("month(d)").alias("m0"),
+        F.expr("day(d)").alias("q"),
+    ).select(
+        "d", "q",
+        F.expr("CASE WHEN m0 <= 2 THEN m0 + 12 ELSE m0 END").alias("m"),
+        F.expr("CASE WHEN m0 <= 2 THEN y0 - 1 ELSE y0 END").alias("y"),
+    ).select(
+        "d",
+        # Zeller: h = (q + 13(m+1)/5 + K + K/4 + J/4 + 5J) mod 7,
+        # h: 0=Saturday ... 6=Friday
+        F.expr(
+            "pmod(q + div(13 * (m + 1), 5) + pmod(y, 100) + div(pmod(y, 100), 4)"
+            " + div(div(y, 100), 4) + 5 * div(y, 100), 7)"
+        ).alias("h"),
+        # engine: dayofweek() 1=Sunday ... 7=Saturday -> Zeller h
+        F.expr("pmod(dayofweek(d), 7)").alias("eng"),
+    )
+    return (
+        x.groupBy("h")
+        .agg(
+            F.count(F.lit(1)).alias("n_dates"),
+            F.sum(
+                F.when(F.col("eng") != F.col("h"), 1).otherwise(0)
+            ).alias("n_disagree"),
+        )
+        .repartition(1)
+        .sortWithinPartitions("h")
+    )
+
+
+def zeller_audit_sql() -> str:
+    return """
+WITH d AS (SELECT DISTINCT CAST(o_orderdate AS DATE) AS d FROM orders),
+x AS (
+  SELECT d, EXTRACT(day FROM d) AS q,
+         CASE WHEN EXTRACT(month FROM d) <= 2
+              THEN EXTRACT(month FROM d) + 12 ELSE EXTRACT(month FROM d) END AS m,
+         CASE WHEN EXTRACT(month FROM d) <= 2
+              THEN EXTRACT(year FROM d) - 1 ELSE EXTRACT(year FROM d) END AS y
+  FROM d
+),
+z AS (
+  SELECT d,
+         (q + (13 * (m + 1)) // 5 + (y % 100) + (y % 100) // 4
+            + (y // 100) // 4 + 5 * (y // 100)) % 7 AS h,
+         -- DuckDB dayofweek: 0=Sunday..6=Saturday; Zeller h: 0=Saturday..6=Friday
+         (dayofweek(d) + 1) % 7 AS eng
+  FROM x
+)
+SELECT CAST(h AS BIGINT) AS h,
+       COUNT(*) AS n_dates,
+       CAST(SUM(CASE WHEN eng != h THEN 1 ELSE 0 END) AS BIGINT) AS n_disagree
+FROM z GROUP BY h ORDER BY h
+"""

@@ -5839,3 +5839,110 @@ LEFT JOIN arg ON arg.doc_id = d.doc_id
 LEFT JOIN n3 ON n3.doc_id = d.doc_id
 ORDER BY d.doc_id
 """
+
+
+# --- evaluation learning curve: kappa at nested sample sizes --------------------
+
+_LC_SIZES = (50, 100, 200, 400)
+
+
+def learning_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Evaluation learning curve (how agreement stabilizes with eval
+    size — the power-analysis table an eval harness publishes before
+    anyone trusts a metric): Cohen's-kappa components between the
+    planted language label and the lang_id heuristic at NESTED sample
+    sizes 50/100/200/400, the nesting fixed by a 40-bit hash rank of
+    doc_id (rerunnable, order-free). Per size: n, observed diagonal,
+    chance sum, and sign-aware kappa ppm — same exact arithmetic as
+    cohens_kappa, resolved per size.
+
+    Scale shape: one hash-rank window + a (size x |L|^2) census via a
+    bounded size-explode — evaluation-sized, not corpus-sized."""
+    d = _docs(spark, sf_dir).select("doc_id", "lang")
+    pred = lang_id(spark, sf_dir).select("doc_id", "pred_lang")
+    base = pred.join(d, "doc_id").select(
+        "doc_id", "lang", "pred_lang",
+        F.row_number()
+        .over(Window.orderBy(h40(F.col("doc_id").cast("string")), "doc_id"))
+        .alias("rk"),
+    )
+    sizes = F.array(*[F.lit(x) for x in _LC_SIZES])
+    x = base.select(
+        "lang", "pred_lang", "rk", F.explode(sizes).alias("size")
+    ).where(F.col("rk") <= F.col("size"))
+    cm = x.groupBy("size", "lang", "pred_lang").agg(F.count(F.lit(1)).alias("c"))
+    tot = cm.groupBy("size").agg(
+        F.sum("c").alias("n"),
+        F.coalesce(
+            F.sum(F.when(F.col("lang") == F.col("pred_lang"), F.col("c"))), F.lit(0)
+        ).alias("diag"),
+    )
+    rows = cm.groupBy("size", "lang").agg(F.sum("c").alias("rn"))
+    cols = cm.groupBy("size", "pred_lang").agg(F.sum("c").alias("cn"))
+    S = (
+        rows.join(
+            cols,
+            (rows["size"] == cols["size"]) & (rows["lang"] == cols["pred_lang"]),
+        )
+        .drop(cols["size"])
+        .groupBy("size")
+        .agg(F.coalesce(F.sum(F.col("rn") * F.col("cn")), F.lit(0)).alias("s"))
+    )
+    one = tot.join(S, "size")
+    return (
+        one.select(
+            F.col("size").cast("long").alias("size"),
+            F.col("n").cast("long").alias("n_docs"),
+            F.col("diag").cast("long").alias("sum_diag"),
+            F.col("s").cast("long").alias("chance_sum"),
+            F.expr(
+                "CAST(CASE WHEN n * n - s = 0 THEN 0 ELSE"
+                " CAST(sign(n * diag - s) AS BIGINT)"
+                " * div(1000000 * abs(n * diag - s), n * n - s) END AS BIGINT)"
+            ).alias("kappa_ppm"),
+        )
+        .repartition(1)
+        .sortWithinPartitions("size")
+    )
+
+
+def learning_curve_sql() -> str:
+    h = _SQL_H40.format(s="CAST(doc_id AS VARCHAR)")
+    sizes = ", ".join(str(x) for x in _LC_SIZES)
+    return f"""
+WITH pred AS ({lang_id_sql()}),
+base AS (
+  SELECT d.doc_id, d.lang, p.pred_lang,
+         row_number() OVER (ORDER BY {h}, doc_id) AS rk
+  FROM pred p JOIN documents d USING (doc_id)
+),
+x AS (
+  SELECT lang, pred_lang, size
+  FROM base, unnest([{sizes}]) t(size)
+  WHERE rk <= size
+),
+cm AS (
+  SELECT size, lang, pred_lang, COUNT(*) AS c FROM x GROUP BY ALL
+),
+tot AS (
+  SELECT size, SUM(c) AS n,
+         COALESCE(SUM(CASE WHEN lang = pred_lang THEN c END), 0) AS diag
+  FROM cm GROUP BY size
+),
+r AS (SELECT size, lang, SUM(c) AS rn FROM cm GROUP BY size, lang),
+cl AS (SELECT size, pred_lang, SUM(c) AS cn FROM cm GROUP BY size, pred_lang),
+sx AS (
+  SELECT r.size, COALESCE(SUM(rn * cn), 0) AS s
+  FROM r JOIN cl ON cl.size = r.size AND cl.pred_lang = r.lang
+  GROUP BY r.size
+)
+SELECT CAST(tot.size AS BIGINT) AS size,
+       CAST(n AS BIGINT) AS n_docs,
+       CAST(diag AS BIGINT) AS sum_diag,
+       CAST(s AS BIGINT) AS chance_sum,
+       CAST(CASE WHEN n * n - s = 0 THEN 0 ELSE
+            CAST(sign(n * diag - s) AS BIGINT)
+            * ((1000000 * abs(n * diag - s)) // (n * n - s)) END AS BIGINT) AS kappa_ppm
+FROM tot JOIN sx ON sx.size = tot.size
+ORDER BY size
+"""

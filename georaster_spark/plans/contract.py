@@ -5394,6 +5394,9 @@ def spatial_queries() -> dict[str, QueryFn]:
         "interval_stabbing": rel.interval_stabbing,
         "isqrt_audit": rel.isqrt_audit,
         "stream_topn": q_stream_topn,
+        "littles_law": rel.littles_law,
+        "zeller_audit": rel.zeller_audit,
+        "learning_curve": textops.learning_curve,
     })
 
 
@@ -5842,6 +5845,9 @@ def spatial_oracles(sf: str = "sf0.01") -> dict[str, str]:
         "interval_stabbing": rel.interval_stabbing_sql(),
         "isqrt_audit": rel.isqrt_audit_sql(),
         "stream_topn": _sql_stream_topn(fx),
+        "littles_law": rel.littles_law_sql(),
+        "zeller_audit": rel.zeller_audit_sql(),
+        "learning_curve": textops.learning_curve_sql(),
     })
 
 
