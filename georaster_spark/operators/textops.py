@@ -31,6 +31,8 @@ Scale notes (10^12 rows — SURVEY §4 posture):
 
 from __future__ import annotations
 
+import math
+
 from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql import Window
@@ -5945,4 +5947,71 @@ SELECT CAST(tot.size AS BIGINT) AS size,
             * ((1000000 * abs(n * diag - s)) // (n * n - s)) END AS BIGINT) AS kappa_ppm
 FROM tot JOIN sx ON sx.size = tot.size
 ORDER BY size
+"""
+
+
+# --- ranking exposure-share fairness census -------------------------------------
+
+_EXP_TOP = 100
+# Position weights 1/log2(pos+1) in parts-per-billion, precomputed once
+# here and embedded in both engines — the DCG discount without libm.
+_EXP_PPB = [round(1e9 / math.log2(p + 1)) for p in range(1, _EXP_TOP + 1)]
+
+
+def exposure_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ranking exposure-share fairness census (Singh & Joachims 2018:
+    exposure ~ the DCG position discount, here the shared integer ppb
+    table so both engines weigh positions identically): documents
+    ranked by (n_chars desc, doc_id) — any deterministic relevance
+    proxy exercises the same surface — and each SOURCE's share of the
+    top-100 exposure mass is reported exactly: slots held, exposure
+    ppb, share ppm, and the uniform-share baseline for the
+    disparity read.
+
+    Scale shape: one global top-k window over the doc dim + a source
+    census; the weight table is a 100-element broadcast literal."""
+    d = _docs(spark, sf_dir).select("doc_id", "source", "n_chars")
+    w = Window.orderBy(F.col("n_chars").desc(), F.col("doc_id"))
+    arr = F.array(*[F.lit(v) for v in _EXP_PPB])
+    top = (
+        d.select("doc_id", "source", F.row_number().over(w).alias("pos"))
+        .where(F.col("pos") <= _EXP_TOP)
+        .select("source", F.element_at(arr, F.col("pos")).alias("wt"))
+    )
+    tot = top.agg(F.sum("wt").alias("total_ppb"))
+    return (
+        top.groupBy("source")
+        .agg(F.count(F.lit(1)).alias("slots"), F.sum("wt").alias("exposure_ppb"))
+        .crossJoin(tot)
+        .select(
+            "source", "slots", "exposure_ppb",
+            F.expr("CAST(div(1000000 * exposure_ppb, total_ppb) AS BIGINT)").alias(
+                "share_ppm"
+            ),
+            F.expr(f"CAST(div(1000000 * slots, {_EXP_TOP}) AS BIGINT)").alias(
+                "slot_share_ppm"
+            ),
+        )
+        .repartition(1)
+        .sortWithinPartitions("source")
+    )
+
+
+def exposure_share_sql() -> str:
+    weights = ", ".join(str(v) for v in _EXP_PPB)
+    return f"""
+WITH ranked AS (
+  SELECT source,
+         row_number() OVER (ORDER BY n_chars DESC, doc_id) AS pos
+  FROM documents
+),
+top AS (
+  SELECT source, ([{weights}])[pos] AS wt FROM ranked WHERE pos <= {_EXP_TOP}
+),
+tot AS (SELECT SUM(wt) AS total_ppb FROM top)
+SELECT source, COUNT(*) AS slots,
+       CAST(SUM(wt) AS BIGINT) AS exposure_ppb,
+       CAST((1000000 * SUM(wt)) // (SELECT total_ppb FROM tot) AS BIGINT) AS share_ppm,
+       CAST((1000000 * COUNT(*)) // {_EXP_TOP} AS BIGINT) AS slot_share_ppm
+FROM top GROUP BY source ORDER BY source
 """

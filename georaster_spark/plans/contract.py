@@ -5397,6 +5397,8 @@ def spatial_queries() -> dict[str, QueryFn]:
         "littles_law": rel.littles_law,
         "zeller_audit": rel.zeller_audit,
         "learning_curve": textops.learning_curve,
+        "exposure_share": textops.exposure_share,
+        "kdtree_balance": q_kdtree_balance,
     })
 
 
@@ -5848,6 +5850,8 @@ def spatial_oracles(sf: str = "sf0.01") -> dict[str, str]:
         "littles_law": rel.littles_law_sql(),
         "zeller_audit": rel.zeller_audit_sql(),
         "learning_curve": textops.learning_curve_sql(),
+        "exposure_share": textops.exposure_share_sql(),
+        "kdtree_balance": _sql_kdtree_balance(fx),
     })
 
 
@@ -16046,4 +16050,96 @@ rk AS (
 SELECT win_start, fmt, CAST(n_images AS BIGINT) AS n_images,
        CAST(idx_checksum AS BIGINT) AS idx_checksum, CAST(rank AS BIGINT) AS rank
 FROM rk WHERE rank <= 2 ORDER BY win_start, rank
+"""
+
+
+def q_kdtree_balance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """kd-tree build-balance audit: three unrolled median-split levels
+    (x, then y, then x) over zone bbox centers — the median is the
+    exact lower-median order statistic via rank <= ceil(n/2) within
+    each node, no float percentile — and the 8 depth-3 leaves report
+    their populations and bbox extents. The balance table that decides
+    whether a spatial index build needs re-sampling; unrolling
+    replaces recursion, so the whole build is three rank windows.
+
+    Scale shape: three node-keyed rank windows over the zone dim +
+    one leaf census — dimension-sized, not fact-sized."""
+    z = _zones(spark, sf_dir).select(
+        "zone_id",
+        F.expr("CAST(floor((xmin + xmax) / 2 + 0.5) AS BIGINT)").alias("cx"),
+        F.expr("CAST(floor((ymin + ymax) / 2 + 0.5) AS BIGINT)").alias("cy"),
+    )
+
+    def split(df, node_col, coord, bit_name):
+        w = Window.partitionBy(node_col).orderBy(coord, "zone_id")
+        wn = Window.partitionBy(node_col)
+        return df.select(
+            "*",
+            F.when(
+                F.row_number().over(w)
+                <= F.expr(f"CAST(ceil(count(1) OVER (PARTITION BY {node_col}) / 2.0) AS BIGINT)"),
+                0,
+            ).otherwise(1).alias(bit_name),
+        )
+    x0 = z.select("zone_id", "cx", "cy", F.lit(0).alias("n0"))
+    x1 = split(x0, "n0", "cx", "b0").select(
+        "zone_id", "cx", "cy", F.col("b0").alias("n1")
+    )
+    x2 = split(x1, "n1", "cy", "b1").select(
+        "zone_id", "cx", "cy", "n1", (F.col("n1") * 2 + F.col("b1")).alias("n2")
+    )
+    x3 = split(x2, "n2", "cx", "b2").select(
+        "zone_id", "cx", "cy", (F.col("n2") * 2 + F.col("b2")).alias("leaf")
+    )
+    return (
+        x3.groupBy("leaf")
+        .agg(
+            F.count(F.lit(1)).alias("n_zones"),
+            F.min("cx").alias("min_x"),
+            F.max("cx").alias("max_x"),
+            F.min("cy").alias("min_y"),
+            F.max("cy").alias("max_y"),
+            F.sum("zone_id").alias("zone_checksum"),
+        )
+        .repartition(1)
+        .sortWithinPartitions("leaf")
+    )
+
+
+def _sql_kdtree_balance(fx: Path) -> str:
+    zs = str(fx / "zones.parquet")
+    return f"""
+WITH z AS (
+  SELECT zone_id,
+         CAST(floor((xmin + xmax) / 2 + 0.5) AS BIGINT) AS cx,
+         CAST(floor((ymin + ymax) / 2 + 0.5) AS BIGINT) AS cy
+  FROM read_parquet('{zs}')
+),
+x1 AS (
+  SELECT zone_id, cx, cy,
+         CASE WHEN row_number() OVER (ORDER BY cx, zone_id)
+                   <= CAST(ceil(COUNT(*) OVER () / 2.0) AS BIGINT)
+              THEN 0 ELSE 1 END AS n1
+  FROM z
+),
+x2 AS (
+  SELECT zone_id, cx, cy, n1,
+         n1 * 2 + CASE WHEN row_number() OVER (PARTITION BY n1 ORDER BY cy, zone_id)
+                            <= CAST(ceil(COUNT(*) OVER (PARTITION BY n1) / 2.0) AS BIGINT)
+                       THEN 0 ELSE 1 END AS n2
+  FROM x1
+),
+x3 AS (
+  SELECT zone_id, cx, cy,
+         n2 * 2 + CASE WHEN row_number() OVER (PARTITION BY n2 ORDER BY cx, zone_id)
+                            <= CAST(ceil(COUNT(*) OVER (PARTITION BY n2) / 2.0) AS BIGINT)
+                       THEN 0 ELSE 1 END AS leaf
+  FROM x2
+)
+SELECT CAST(leaf AS BIGINT) AS leaf,
+       COUNT(*) AS n_zones,
+       CAST(MIN(cx) AS BIGINT) AS min_x, CAST(MAX(cx) AS BIGINT) AS max_x,
+       CAST(MIN(cy) AS BIGINT) AS min_y, CAST(MAX(cy) AS BIGINT) AS max_y,
+       CAST(SUM(zone_id) AS BIGINT) AS zone_checksum
+FROM x3 GROUP BY leaf ORDER BY leaf
 """
