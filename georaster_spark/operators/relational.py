@@ -8876,10 +8876,13 @@ def weighted_sample_ares(spark: SparkSession, sf_dir: str) -> DataFrame:
         "o_orderkey", "cents", "h40",
         F.expr("div(1048576 * h40, cents)").alias("priority"),
     )
+    # TakeOrderedAndProject (per-partition top-k + merge), NOT a global
+    # row_number window: the k-row cut never sorts the full table, so
+    # the plan survives 10^12 rows; ranks are assigned on the k rows.
+    topk = pri.orderBy("priority", "h40", "o_orderkey").limit(_WSAMPLE_K)
     w = Window.orderBy("priority", "h40", "o_orderkey")
     return (
-        pri.select("*", F.row_number().over(w).alias("rk"))
-        .where(F.col("rk") <= _WSAMPLE_K)
+        topk.select("*", F.row_number().over(w).alias("rk"))
         .select("rk", "o_orderkey", "cents", "priority")
         .repartition(1)
         .sortWithinPartitions("rk")

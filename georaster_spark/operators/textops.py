@@ -5971,11 +5971,15 @@ def exposure_share(spark: SparkSession, sf_dir: str) -> DataFrame:
     Scale shape: one global top-k window over the doc dim + a source
     census; the weight table is a 100-element broadcast literal."""
     d = _docs(spark, sf_dir).select("doc_id", "source", "n_chars")
-    w = Window.orderBy(F.col("n_chars").desc(), F.col("doc_id"))
     arr = F.array(*[F.lit(v) for v in _EXP_PPB])
+    # TakeOrderedAndProject top-k first (no global sort at corpus
+    # scale); positions are assigned on the k surviving rows only.
+    w = Window.orderBy(F.col("n_chars").desc(), F.col("doc_id"))
     top = (
-        d.select("doc_id", "source", F.row_number().over(w).alias("pos"))
-        .where(F.col("pos") <= _EXP_TOP)
+        d.orderBy(F.col("n_chars").desc(), F.col("doc_id"))
+        .limit(_EXP_TOP)
+        .select("doc_id", "source", "n_chars")
+        .select("source", F.row_number().over(w).alias("pos"))
         .select("source", F.element_at(arr, F.col("pos")).alias("wt"))
     )
     tot = top.agg(F.sum("wt").alias("total_ppb"))
