@@ -5476,8 +5476,14 @@ def prefix_filter_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     Scale shape: the audit itself runs both joins (it must, to
     compare); production keeps only the prefix join — bounded
     fan-out on rare tokens instead of hot-key explosion."""
+    # deterministic 500-doc audit slice: the reduction RATIO is the
+    # deliverable and is corpus-size-free; without the cap the full
+    # inverted-index side of the audit is Theta(sum df^2) on hot
+    # tokens — quadratic in corpus size, which only the prefix side
+    # avoids (that asymmetry is exactly what the audit demonstrates).
     toks = (
         _docs(spark, sf_dir)
+        .where(F.col("doc_id") < 500)
         .select("doc_id", F.explode(F.array_distinct(_clean_words())).alias("tok"))
         .distinct()
     )
@@ -5538,7 +5544,7 @@ def prefix_filter_audit_sql() -> str:
     return f"""
 WITH toks AS (
   SELECT DISTINCT doc_id, unnest(list_distinct(list_filter({_SQL_WS}, t -> t <> ''))) AS tok
-  FROM documents
+  FROM documents WHERE doc_id < 500
 ),
 df AS (SELECT tok, COUNT(*) AS df FROM toks GROUP BY tok),
 sz AS (SELECT doc_id, COUNT(*) AS n FROM toks GROUP BY doc_id),

@@ -2331,7 +2331,13 @@ def hubness_census(spark: SparkSession, sf_dir: str) -> DataFrame:
     10^12 rows the same census runs over the ANN graph instead — the
     histogram shape is the shared diagnostic. Rank-only output keeps
     the float cosine out of the comparison surface."""
-    e = _emb(spark, sf_dir).select("vec_id", "embedding")
+    # deterministic 500-vector audit slice: the k-occurrence histogram
+    # SHAPE is the diagnostic; the exact all-pairs rank behind it is
+    # quadratic, so the census pins a fixed slice at every sf (at
+    # production scale the same census runs over the ANN graph).
+    e = _emb(spark, sf_dir).where(F.col("vec_id") < 500).select(
+        "vec_id", "embedding"
+    )
     a = e.select(F.col("vec_id").alias("qa"), F.col("embedding").alias("ea"))
     b = e.select(F.col("vec_id").alias("qb"), F.col("embedding").alias("eb"))
     dot = F.expr(
@@ -2373,10 +2379,11 @@ def hubness_census_sql() -> str:
     na = _sql_dot("a.embedding", "a.embedding")
     nb = _sql_dot("b.embedding", "b.embedding")
     return f"""
-WITH pairs AS (
+WITH emb AS (SELECT * FROM embeddings WHERE vec_id < 500),
+pairs AS (
   SELECT a.vec_id AS qa, b.vec_id AS qb,
          ({dot}) / sqrt(({na}) * ({nb})) AS cos
-  FROM embeddings a JOIN embeddings b ON b.vec_id != a.vec_id
+  FROM emb a JOIN emb b ON b.vec_id != a.vec_id
 ),
 top AS (
   SELECT qa, qb FROM (
@@ -2387,7 +2394,7 @@ top AS (
 occ AS (SELECT qb, COUNT(*) AS n_occ FROM top GROUP BY qb),
 filled AS (
   SELECT e.vec_id AS qb, COALESCE(n_occ, 0) AS n_occ
-  FROM embeddings e LEFT JOIN occ ON occ.qb = e.vec_id
+  FROM emb e LEFT JOIN occ ON occ.qb = e.vec_id
 )
 SELECT CAST(n_occ AS BIGINT) AS n_occ,
        COUNT(*) AS n_vectors,
