@@ -4815,3 +4815,67 @@ def btc_encode(tiles: DataFrame) -> DataFrame:
             yield pd.DataFrame(out)
 
     return slim.mapInPandas(_btc, schema=_BTC_SCHEMA)
+
+
+# --- Schmitt-trigger hysteresis census -----------------------------------------
+
+_SCHMITT_LO = 96
+_SCHMITT_HI = 160
+_SCHMITT_SCHEMA = (
+    "image_id string, n_high long, n_transitions long, schmitt_checksum long"
+)
+
+
+def schmitt_census(tiles: DataFrame) -> DataFrame:
+    """Schmitt-trigger hysteresis census (the comparator-with-memory
+    of every debounced sensor pipeline, applied along tile rows):
+    state rises when v >= 160, falls when v < 96, and HOLDS between —
+    so the state at j is decided by the most recent crossing, which is
+    a running max over the encoded event stream 2*j + rise_bit (no
+    sequential scan: latest-event-wins is order-monotone).  Per tile:
+    pixels in the high state, state transitions (the debounced edge
+    count), and the position checksum of the state bitmap.
+
+    Scale shape: map-only fused mapInPandas; running maxima along the
+    row axis over the whole batch block."""
+    slim = tiles.select("image_id", "bytes", "w", "h", "fmt")
+
+    def _schmitt(batches):
+        dt = {"raw": np.uint8, "qnt": np.uint8, "raw16": "<u2"}
+        cols = ("n_high", "n_transitions", "schmitt_checksum")
+        for pdf in batches:
+            n = len(pdf)
+            out = {"image_id": pdf["image_id"].to_numpy(dtype=object)}
+            for c in cols:
+                out[c] = np.zeros(n, dtype=np.int64)
+            groups: dict[tuple, list[int]] = {}
+            for k in range(n):
+                key = (int(pdf["w"].iat[k]), int(pdf["h"].iat[k]), pdf["fmt"].iat[k])
+                groups.setdefault(key, []).append(k)
+            for (w, h, fmt), idx in groups.items():
+                z = (
+                    np.frombuffer(
+                        b"".join(pdf["bytes"].iat[k] for k in idx), dtype=dt[fmt]
+                    )
+                    .reshape(len(idx), h, w)
+                    .astype(np.int64)
+                )
+                ev = np.where(z >= _SCHMITT_HI, 1, np.where(z < _SCHMITT_LO, -1, 0))
+                jj = np.arange(w, dtype=np.int64)[None, None, :]
+                code = np.where(ev != 0, 2 * jj + (ev == 1), -1)
+                last = np.maximum.accumulate(code, axis=2)
+                state = np.where(last >= 0, last % 2, 0)
+                trans = (state[:, :, 1:] != state[:, :, :-1]).sum(axis=(1, 2))
+                trans = trans + (state[:, :, 0] == 1).sum(axis=1)
+                wt = (
+                    np.arange(h, dtype=np.int64)[:, None] * w
+                    + np.arange(w, dtype=np.int64)[None, :]
+                    + 1
+                )
+                ii = np.asarray(idx)
+                out["n_high"][ii] = state.sum(axis=(1, 2))
+                out["n_transitions"][ii] = trans
+                out["schmitt_checksum"][ii] = np.einsum("bij,ij->b", state, wt)
+            yield pd.DataFrame(out)
+
+    return slim.mapInPandas(_schmitt, schema=_SCHMITT_SCHEMA)

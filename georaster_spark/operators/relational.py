@@ -11850,3 +11850,180 @@ SELECT CAST(h AS BIGINT) AS h,
        CAST(SUM(CASE WHEN eng != h THEN 1 ELSE 0 END) AS BIGINT) AS n_disagree
 FROM z GROUP BY h ORDER BY h
 """
+
+
+# --- regression-to-the-mean decile transition census ----------------------------
+
+_MR_SPLIT = "1998-01-01"
+
+
+def mean_reversion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Regression-to-the-mean census (the winner's-curse table every
+    cohort review needs): customers are ranked into spend deciles in
+    period 1 (orders before 1998) and again in period 2 (1998 on,
+    customers active in both), and the decile->decile transition
+    matrix is emitted with exact counts and a custkey checksum. Top
+    deciles bleeding downward IS the mean-reversion signal, pinned
+    here without a single float.
+
+    Scale shape: two customer censuses + two global decile windows
+    over the customer DIM (not fact rows) + one 10x10 census."""
+    o = _t(spark, sf_dir, "orders")
+    cents = F.expr("CAST(round(o_totalprice * 100) AS BIGINT)")
+
+    def decile(df, alias):
+        return df.select(
+            "o_custkey",
+            F.expr(
+                "CAST(div(10 * (row_number() OVER (ORDER BY spend DESC, o_custkey) - 1),"
+                " count(1) OVER ()) AS BIGINT)"
+            ).alias(alias),
+        )
+    p1 = decile(
+        o.where(F.col("o_orderdate") < _MR_SPLIT)
+        .groupBy("o_custkey").agg(F.sum(cents).alias("spend")),
+        "d1",
+    )
+    p2 = decile(
+        o.where(F.col("o_orderdate") >= _MR_SPLIT)
+        .groupBy("o_custkey").agg(F.sum(cents).alias("spend")),
+        "d2",
+    )
+    return (
+        p1.join(p2, "o_custkey")
+        .groupBy("d1", "d2")
+        .agg(
+            F.count(F.lit(1)).alias("n_customers"),
+            F.sum("o_custkey").alias("cust_checksum"),
+        )
+        .repartition(1)
+        .sortWithinPartitions("d1", "d2")
+    )
+
+
+def mean_reversion_sql() -> str:
+    return f"""
+WITH p1 AS (
+  SELECT o_custkey,
+         (10 * (row_number() OVER (ORDER BY SUM(CAST(round(o_totalprice * 100) AS BIGINT)) DESC, o_custkey) - 1))
+           // COUNT(*) OVER () AS d1
+  FROM orders WHERE o_orderdate < TIMESTAMP '{_MR_SPLIT} 00:00:00'
+  GROUP BY o_custkey
+),
+p2 AS (
+  SELECT o_custkey,
+         (10 * (row_number() OVER (ORDER BY SUM(CAST(round(o_totalprice * 100) AS BIGINT)) DESC, o_custkey) - 1))
+           // COUNT(*) OVER () AS d2
+  FROM orders WHERE o_orderdate >= TIMESTAMP '{_MR_SPLIT} 00:00:00'
+  GROUP BY o_custkey
+)
+SELECT CAST(d1 AS BIGINT) AS d1, CAST(d2 AS BIGINT) AS d2,
+       COUNT(*) AS n_customers,
+       CAST(SUM(o_custkey) AS BIGINT) AS cust_checksum
+FROM p1 JOIN p2 USING (o_custkey)
+GROUP BY d1, d2 ORDER BY d1, d2
+"""
+
+
+# --- median-of-medians pivot-guarantee audit ------------------------------------
+
+
+def median_of_medians(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Median-of-medians pivot audit (Blum-Floyd-Pratt-Rivest-Tarjan
+    1973): the classic groups-of-5 pivot is built with THREE unrolled
+    levels (n -> n/5 -> n/25 medians, then the exact median of the
+    ~n/25 survivors) over the distinct daily-revenue values, and the
+    audit reports the chosen pivot's exact rank position in ppm of n
+    plus the textbook 30-70% guarantee flag — the selection-algorithm
+    invariant, demonstrated on real data instead of asserted.
+
+    Scale shape: two rank-window levels over value censuses (each 5x
+    smaller) + one exact median pick + one rank lookup."""
+    o = _t(spark, sf_dir, "orders")
+    vals = o.groupBy("o_orderdate").agg(
+        F.sum(F.expr("CAST(round(o_totalprice * 100) AS BIGINT)")).alias("v")
+    ).select("v")
+
+    def level(df):
+        w = Window.orderBy("v")
+        g = df.select(
+            "v", F.expr("div(row_number() OVER (ORDER BY v) - 1, 5)").alias("g")
+        )
+        wg = Window.partitionBy("g").orderBy("v")
+        return (
+            g.select(
+                "v", "g",
+                F.row_number().over(wg).alias("r"),
+                F.count(F.lit(1)).over(Window.partitionBy("g")).alias("gn"),
+            )
+            .where(F.col("r") == F.expr("CAST(ceil(gn / 2.0) AS BIGINT)"))
+            .select("v")
+        )
+    l1 = level(vals)
+    l2 = level(l1)
+    wmed = Window.orderBy("v")
+    pivot = (
+        l2.select(
+            "v",
+            F.row_number().over(wmed).alias("rk"),
+            F.count(F.lit(1)).over(Window.partitionBy()).alias("n2"),
+        )
+        .where(F.col("rk") == F.expr("CAST(ceil(n2 / 2.0) AS BIGINT)"))
+        .select(F.col("v").alias("pivot"))
+    )
+    n = vals.agg(F.count(F.lit(1)).alias("n"))
+    rank = (
+        vals.crossJoin(pivot)
+        .agg(
+            F.sum(F.when(F.col("v") < F.col("pivot"), 1).otherwise(0)).alias("n_below"),
+            F.max("pivot").alias("pivot"),
+        )
+    )
+    one = rank.crossJoin(n)
+    return one.select(
+        "n", "pivot", "n_below",
+        F.expr("CAST(div(1000000 * n_below, n) AS BIGINT)").alias("rank_ppm"),
+        F.expr(
+            "CAST(CASE WHEN 10 * n_below >= 3 * n - 30 AND 10 * n_below <= 7 * n + 30"
+            " THEN 1 ELSE 0 END AS INT)"
+        ).alias("within_guarantee"),
+    )
+
+
+def median_of_medians_sql() -> str:
+    def level(src):
+        return f"""
+  SELECT v FROM (
+    SELECT v, g, row_number() OVER (PARTITION BY g ORDER BY v) AS r,
+           COUNT(*) OVER (PARTITION BY g) AS gn
+    FROM (
+      SELECT v, (row_number() OVER (ORDER BY v) - 1) // 5 AS g FROM {src}
+    )
+  ) WHERE r = CAST(ceil(gn / 2.0) AS BIGINT)"""
+    return f"""
+WITH vals AS (
+  SELECT SUM(CAST(round(o_totalprice * 100) AS BIGINT)) AS v
+  FROM orders GROUP BY o_orderdate
+),
+l1 AS ({level('vals')}),
+l2 AS ({level('l1')}),
+pv AS (
+  SELECT v AS pval FROM (
+    SELECT v, row_number() OVER (ORDER BY v) AS rk, COUNT(*) OVER () AS n2
+    FROM l2
+  ) WHERE rk = CAST(ceil(n2 / 2.0) AS BIGINT)
+),
+n AS (SELECT COUNT(*) AS n FROM vals),
+rank_ AS (
+  SELECT SUM(CASE WHEN v < pval THEN 1 ELSE 0 END) AS n_below,
+         MAX(pval) AS pval
+  FROM vals, pv
+)
+SELECT CAST(n AS BIGINT) AS n,
+       CAST(pval AS BIGINT) AS pivot,
+       CAST(n_below AS BIGINT) AS n_below,
+       CAST((1000000 * n_below) // n AS BIGINT) AS rank_ppm,
+       CAST(CASE WHEN 10 * n_below >= 3 * n - 30 AND 10 * n_below <= 7 * n + 30
+                 THEN 1 ELSE 0 END AS INT) AS within_guarantee
+FROM rank_, n
+"""

@@ -5399,6 +5399,9 @@ def spatial_queries() -> dict[str, QueryFn]:
         "learning_curve": textops.learning_curve,
         "exposure_share": textops.exposure_share,
         "kdtree_balance": q_kdtree_balance,
+        "mean_reversion": rel.mean_reversion,
+        "median_of_medians": rel.median_of_medians,
+        "schmitt_census": q_schmitt_census,
     })
 
 
@@ -5852,6 +5855,9 @@ def spatial_oracles(sf: str = "sf0.01") -> dict[str, str]:
         "learning_curve": textops.learning_curve_sql(),
         "exposure_share": textops.exposure_share_sql(),
         "kdtree_balance": _sql_kdtree_balance(fx),
+        "mean_reversion": rel.mean_reversion_sql(),
+        "median_of_medians": rel.median_of_medians_sql(),
+        "schmitt_census": _sql_schmitt_census(fx, w),
     })
 
 
@@ -16142,4 +16148,62 @@ SELECT CAST(leaf AS BIGINT) AS leaf,
        CAST(MIN(cy) AS BIGINT) AS min_y, CAST(MAX(cy) AS BIGINT) AS max_y,
        CAST(SUM(zone_id) AS BIGINT) AS zone_checksum
 FROM x3 GROUP BY leaf ORDER BY leaf
+"""
+
+
+_SCHMITT_MOD = 47
+
+
+def q_schmitt_census(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Schmitt-trigger hysteresis census (algebra.schmitt_census):
+    rise at 160, fall below 96, hold between — running-last-crossing
+    state per row, map-only Arrow pass."""
+    from ..operators import algebra
+
+    tiles = geo.georegister(_images(spark, sf_dir)).where(
+        geo.image_idx() % _SCHMITT_MOD == 0
+    )
+    return (
+        algebra.schmitt_census(tiles)
+        .repartition(1).sortWithinPartitions("image_id")
+    )
+
+
+def _sql_schmitt_census(fx: Path, w: int) -> str:
+    v = osql.ramp_value_expr("gi.i", "gj.j")
+    return f"""
+WITH {osql.georegister_cte(str(fx / 'images.parquet'))},
+px AS (
+  SELECT image_id, gi.i AS i, gj.j AS j,
+         CASE WHEN {v} >= 160 THEN 1
+              WHEN {v} < 96 THEN -1 ELSE 0 END AS ev
+  FROM tiles,
+       generate_series(0, {w - 1}) AS gi(i), generate_series(0, {w - 1}) AS gj(j)
+  WHERE idx % {_SCHMITT_MOD} = 0
+),
+coded AS (
+  SELECT image_id, i, j,
+         MAX(CASE WHEN ev != 0 THEN 2 * j + CASE WHEN ev = 1 THEN 1 ELSE 0 END END)
+           OVER (PARTITION BY image_id, i ORDER BY j
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS last
+  FROM px
+),
+st AS (
+  SELECT image_id, i, j,
+         CASE WHEN last IS NOT NULL THEN last % 2 ELSE 0 END AS state
+  FROM coded
+),
+tr AS (
+  SELECT image_id, i, j, state,
+         CASE WHEN lag(state) OVER (PARTITION BY image_id, i ORDER BY j) IS NULL
+              THEN state
+              WHEN lag(state) OVER (PARTITION BY image_id, i ORDER BY j) != state
+              THEN 1 ELSE 0 END AS t
+  FROM st
+)
+SELECT image_id,
+       CAST(SUM(state) AS BIGINT) AS n_high,
+       CAST(SUM(t) AS BIGINT) AS n_transitions,
+       CAST(SUM(state * (i * {w} + j + 1)) AS BIGINT) AS schmitt_checksum
+FROM tr GROUP BY image_id ORDER BY image_id
 """
