@@ -12027,3 +12027,92 @@ SELECT CAST(n AS BIGINT) AS n,
                  THEN 1 ELSE 0 END AS INT) AS within_guarantee
 FROM rank_, n
 """
+
+
+# --- two-hop neighborhood census on the co-purchase graph -----------------------
+
+
+def two_hop_census(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-hop neighborhood census (the friend-of-friend reach that
+    drives recommendation candidate pools): on the distinct
+    co-purchase graph, each part's degree and its EXACT 2-hop
+    neighborhood size (distinct parts reachable in <= 2 edges, self
+    excluded) — the reach-vs-degree table that shows where the
+    candidate pool explodes, rolled up by degree bucket
+    (floor-log2) with exact counts.
+
+    Scale shape: one basket self-join (bounded by basket size) builds
+    edges; one edge-edge join builds 2-hop candidates; two distinct
+    censuses close — the standard candidate-generation shape."""
+    li = _t(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey").distinct()
+    a = li.select(F.col("l_orderkey").alias("k"), F.col("l_partkey").alias("u"))
+    b = li.select(F.col("l_orderkey").alias("k"), F.col("l_partkey").alias("v"))
+    # support-thresholded graph (>= 3 shared orders, as item_cosine2):
+    # the raw co-purchase graph's 2-hop join is sum-of-degrees-squared
+    # — quadratic in basket volume — while the support cut keeps the
+    # recommendation-relevant core and bounds the join at any sf.
+    edges = (
+        a.join(b, "k")
+        .where(F.col("u") != F.col("v"))
+        .groupBy("u", "v")
+        .agg(F.count(F.lit(1)).alias("cij"))
+        .where(F.col("cij") >= 3)
+        .select("u", "v")
+    )
+    deg = edges.groupBy("u").agg(F.count(F.lit(1)).alias("deg"))
+    e2 = edges.select(F.col("u").alias("m"), F.col("v").alias("w2"))
+    two = (
+        edges.join(e2, F.col("v") == F.col("m"))
+        .where(F.col("w2") != F.col("u"))
+        .select("u", "w2")
+        .union(edges.select("u", F.col("v").alias("w2")))
+        .distinct()
+        .groupBy("u")
+        .agg(F.count(F.lit(1)).alias("n2"))
+    )
+    x = deg.join(two, "u").select(
+        "u", "deg", "n2",
+        (F.length(F.expr("bin(deg)")) - 1).alias("deg_bucket"),
+    )
+    return (
+        x.groupBy("deg_bucket")
+        .agg(
+            F.count(F.lit(1)).alias("n_parts"),
+            F.sum("deg").alias("sum_deg"),
+            F.sum("n2").alias("sum_reach2"),
+            F.max("n2").alias("max_reach2"),
+        )
+        .repartition(1)
+        .sortWithinPartitions("deg_bucket")
+    )
+
+
+def two_hop_census_sql() -> str:
+    return """
+WITH li AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+edges AS (
+  SELECT a.l_partkey AS u, b.l_partkey AS v
+  FROM li a JOIN li b ON b.l_orderkey = a.l_orderkey
+   AND a.l_partkey != b.l_partkey
+  GROUP BY u, v HAVING COUNT(*) >= 3
+),
+deg AS (SELECT u, COUNT(*) AS deg FROM edges GROUP BY u),
+two AS (
+  SELECT u, COUNT(*) AS n2 FROM (
+    SELECT e1.u, e2.v AS w2
+    FROM edges e1 JOIN edges e2 ON e2.u = e1.v AND e2.v != e1.u
+    UNION
+    SELECT u, v AS w2 FROM edges
+  ) GROUP BY u
+),
+x AS (
+  SELECT deg.u, deg, n2, length(bin(deg)) - 1 AS deg_bucket
+  FROM deg JOIN two ON two.u = deg.u
+)
+SELECT CAST(deg_bucket AS BIGINT) AS deg_bucket,
+       COUNT(*) AS n_parts,
+       CAST(SUM(deg) AS BIGINT) AS sum_deg,
+       CAST(SUM(n2) AS BIGINT) AS sum_reach2,
+       CAST(MAX(n2) AS BIGINT) AS max_reach2
+FROM x GROUP BY deg_bucket ORDER BY deg_bucket
+"""

@@ -6025,3 +6025,206 @@ SELECT source, COUNT(*) AS slots,
        CAST((1000000 * COUNT(*)) // {_EXP_TOP} AS BIGINT) AS slot_share_ppm
 FROM top GROUP BY source ORDER BY source
 """
+
+
+# --- source-level Jaccard: MinHash estimate vs exact ----------------------------
+
+
+def source_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Source-level vocabulary similarity matrix, exact AND
+    MinHash-estimated on the same rows (the sketch-accuracy audit
+    lifted from documents to GROUPS — how a curation pipeline decides
+    which crawls duplicate each other without materializing vocab
+    sets): per source pair the exact vocabulary Jaccard (integer
+    num/den from a token join) next to the 16-permutation MinHash
+    match count (the estimator's numerator over 16) — the estimator
+    error is read directly off the two columns.
+
+    Scale shape: source vocabularies are token censuses; the exact
+    side joins distinct (source, token) pairs; the sketch side is 16
+    min-aggregates per source then a 20x20 signature compare."""
+    st = (
+        _docs(spark, sf_dir)
+        .select("source", F.explode(F.array_distinct(_clean_words())).alias("tok"))
+        .distinct()
+    )
+    sizes = st.groupBy("source").agg(F.count(F.lit(1)).alias("n"))
+    a = st.select(F.col("source").alias("sa"), "tok")
+    b = st.select(F.col("source").alias("sb"), "tok")
+    inter = (
+        a.join(b, "tok")
+        .where(F.col("sa") < F.col("sb"))
+        .groupBy("sa", "sb")
+        .agg(F.count(F.lit(1)).alias("ni"))
+    )
+    za = sizes.select(F.col("source").alias("sa"), F.col("n").alias("na"))
+    zb = sizes.select(F.col("source").alias("sb"), F.col("n").alias("nb"))
+    exact = inter.join(za, "sa").join(zb, "sb")
+    sig = st.select(
+        "source", h40(F.col("tok")).alias("h")
+    ).groupBy("source").agg(
+        *[
+            F.min((F.lit(MH_A[k]) * F.col("h") + F.lit(MH_B[k])) % F.lit(MH_P)).alias(
+                f"m{k}"
+            )
+            for k in range(MH_K)
+        ]
+    )
+    s1 = sig.select(F.col("source").alias("sa"), *[F.col(f"m{k}").alias(f"a{k}") for k in range(MH_K)])
+    s2 = sig.select(F.col("source").alias("sb"), *[F.col(f"m{k}").alias(f"b{k}") for k in range(MH_K)])
+    match = sum(
+        F.when(F.col(f"a{k}") == F.col(f"b{k}"), 1).otherwise(0) for k in range(MH_K)
+    )
+    est = s1.crossJoin(s2).where(F.col("sa") < F.col("sb")).select(
+        "sa", "sb", match.alias("mh_matches")
+    )
+    return (
+        exact.join(est, ["sa", "sb"])
+        .select(
+            "sa", "sb", "ni", "na", "nb",
+            F.expr("CAST(div(1000000 * ni, na + nb - ni) AS BIGINT)").alias(
+                "jaccard_ppm"
+            ),
+            F.col("mh_matches").cast("long").alias("mh_matches"),
+            F.expr(f"CAST(div(1000000 * mh_matches, {MH_K}) AS BIGINT)").alias(
+                "mh_est_ppm"
+            ),
+        )
+        .repartition(1)
+        .sortWithinPartitions("sa", "sb")
+    )
+
+
+def source_jaccard_sql() -> str:
+    h = _SQL_H40.format(s="tok")
+    mh = ",\n         ".join(
+        f"MIN(({MH_A[k]} * {h} + {MH_B[k]}) % {MH_P}) AS m{k}" for k in range(MH_K)
+    )
+    match = " + ".join(
+        f"CASE WHEN s1.m{k} = s2.m{k} THEN 1 ELSE 0 END" for k in range(MH_K)
+    )
+    return f"""
+WITH st AS (
+  SELECT DISTINCT source,
+         unnest(list_distinct(list_filter({_SQL_WS}, t -> t <> ''))) AS tok
+  FROM documents
+),
+sizes AS (SELECT source, COUNT(*) AS n FROM st GROUP BY source),
+inter AS (
+  SELECT a.source AS sa, b.source AS sb, COUNT(*) AS ni
+  FROM st a JOIN st b ON b.tok = a.tok AND a.source < b.source
+  GROUP BY sa, sb
+),
+sig AS (
+  SELECT source,
+         {mh}
+  FROM st GROUP BY source
+),
+est AS (
+  SELECT s1.source AS sa, s2.source AS sb, {match} AS mh_matches
+  FROM sig s1 JOIN sig s2 ON s1.source < s2.source
+)
+SELECT inter.sa, inter.sb,
+       CAST(ni AS BIGINT) AS ni,
+       CAST(za.n AS BIGINT) AS na,
+       CAST(zb.n AS BIGINT) AS nb,
+       CAST((1000000 * ni) // (za.n + zb.n - ni) AS BIGINT) AS jaccard_ppm,
+       CAST(mh_matches AS BIGINT) AS mh_matches,
+       CAST((1000000 * mh_matches) // {MH_K} AS BIGINT) AS mh_est_ppm
+FROM inter
+JOIN sizes za ON za.source = inter.sa
+JOIN sizes zb ON zb.source = inter.sb
+JOIN est ON est.sa = inter.sa AND est.sb = inter.sb
+ORDER BY inter.sa, inter.sb
+"""
+
+
+# --- n-gram release suppression audit -------------------------------------------
+
+_SUPP_KS = (2, 5, 10)
+
+
+def ngram_suppression(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """n-gram release suppression audit (the k-threshold rule of every
+    public n-gram corpus: drop types with count < k): bigram counts
+    over the corpus, and per threshold k in {2, 5, 10} the surviving
+    type count, surviving token mass, and both in ppm of the
+    unsuppressed totals — the privacy/utility frontier a language-model
+    data release publishes.
+
+    Scale shape: one bigram census + a 3-row threshold sweep over the
+    aggregated type table."""
+    ws = _clean_words()
+    bg = (
+        _docs(spark, sf_dir)
+        .select(ws.alias("ws"))
+        .where(F.size("ws") >= 2)
+        .select(
+            F.explode(
+                F.expr(
+                    "transform(sequence(1, size(ws) - 1),"
+                    " i -> concat(ws[i - 1], ' ', ws[i]))"
+                )
+            ).alias("bigram")
+        )
+        .groupBy("bigram")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    ks = spark.createDataFrame([(k,) for k in _SUPP_KS], "k long")
+    tot = bg.agg(
+        F.count(F.lit(1)).alias("types"), F.sum("c").alias("mass")
+    )
+    sweep = (
+        ks.crossJoin(bg)
+        .groupBy("k")
+        .agg(
+            F.sum(F.when(F.col("c") >= F.col("k"), 1).otherwise(0)).alias(
+                "kept_types"
+            ),
+            F.sum(F.when(F.col("c") >= F.col("k"), F.col("c"))).alias("kept_mass"),
+        )
+        .crossJoin(tot)
+    )
+    return (
+        sweep.select(
+            "k", "kept_types",
+            F.coalesce(F.col("kept_mass"), F.lit(0)).alias("kept_mass"),
+            "types", "mass",
+            F.expr("CAST(div(1000000 * kept_types, types) AS BIGINT)").alias(
+                "type_ppm"
+            ),
+            F.expr(
+                "CAST(div(1000000 * coalesce(kept_mass, 0), mass) AS BIGINT)"
+            ).alias("mass_ppm"),
+        )
+        .repartition(1)
+        .sortWithinPartitions("k")
+    )
+
+
+def ngram_suppression_sql() -> str:
+    ks = ", ".join(f"({k})" for k in _SUPP_KS)
+    return f"""
+WITH w AS (SELECT list_filter({_SQL_WS}, t -> t <> '') AS ws FROM documents),
+bg AS (
+  SELECT ws[i] || ' ' || ws[i + 1] AS bigram, COUNT(*) AS c
+  FROM w, unnest(range(1, len(ws))) t(i)
+  GROUP BY bigram
+),
+tot AS (SELECT COUNT(*) AS types, SUM(c) AS mass FROM bg),
+ks AS (SELECT * FROM (VALUES {ks}) AS t(k)),
+sweep AS (
+  SELECT k,
+         SUM(CASE WHEN c >= k THEN 1 ELSE 0 END) AS kept_types,
+         COALESCE(SUM(CASE WHEN c >= k THEN c END), 0) AS kept_mass
+  FROM ks, bg GROUP BY k
+)
+SELECT CAST(k AS BIGINT) AS k,
+       CAST(kept_types AS BIGINT) AS kept_types,
+       CAST(kept_mass AS BIGINT) AS kept_mass,
+       CAST(types AS BIGINT) AS types,
+       CAST(mass AS BIGINT) AS mass,
+       CAST((1000000 * kept_types) // types AS BIGINT) AS type_ppm,
+       CAST((1000000 * kept_mass) // mass AS BIGINT) AS mass_ppm
+FROM sweep, tot ORDER BY k
+"""

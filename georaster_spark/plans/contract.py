@@ -5402,6 +5402,9 @@ def spatial_queries() -> dict[str, QueryFn]:
         "mean_reversion": rel.mean_reversion,
         "median_of_medians": rel.median_of_medians,
         "schmitt_census": q_schmitt_census,
+        "two_hop_census": rel.two_hop_census,
+        "source_jaccard": textops.source_jaccard,
+        "ngram_suppression": textops.ngram_suppression,
     })
 
 
@@ -5858,6 +5861,9 @@ def spatial_oracles(sf: str = "sf0.01") -> dict[str, str]:
         "mean_reversion": rel.mean_reversion_sql(),
         "median_of_medians": rel.median_of_medians_sql(),
         "schmitt_census": _sql_schmitt_census(fx, w),
+        "two_hop_census": rel.two_hop_census_sql(),
+        "source_jaccard": textops.source_jaccard_sql(),
+        "ngram_suppression": textops.ngram_suppression_sql(),
     })
 
 
