@@ -6228,3 +6228,131 @@ SELECT CAST(k AS BIGINT) AS k,
        CAST((1000000 * kept_mass) // mass AS BIGINT) AS mass_ppm
 FROM sweep, tot ORDER BY k
 """
+
+
+# --- LIKE-pattern selectivity estimator audit -----------------------------------
+
+_LIKE_PATTERNS = ("val", "tab", "spark", "row sc")
+
+
+def like_selectivity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Substring (LIKE '%p%') selectivity estimator audit — the
+    q-gram independence model every optimizer without full-text
+    statistics falls back on: a pattern's estimated selectivity is
+    the PRODUCT of its character-trigrams' document frequencies over
+    N (independence assumption), audited against the exact match
+    count. Estimates stay integer: est_num = product of dfs, est_den
+    = N^k, est_ppm by exact floor division — the overestimate on
+    correlated trigrams (inside one word) is the textbook failure
+    mode, measured here.
+
+    Scale shape: one doc-trigram census per pattern trigram (a tiny
+    IN-list probe) + one exact LIKE census — both map-only scans."""
+    d = _docs(spark, sf_dir).select("doc_id", F.lower("text").alias("t"))
+    n_docs = d.agg(F.count(F.lit(1)).alias("n"))
+    rows = []
+    for pat in _LIKE_PATTERNS:
+        grams = [pat[i : i + 3] for i in range(len(pat) - 2)] or [pat]
+        df_cols = [
+            F.sum(
+                F.when(F.col("t").contains(g), 1).otherwise(0)
+            ).alias(f"df{i}")
+            for i, g in enumerate(grams)
+        ]
+        agg = d.agg(
+            F.sum(F.when(F.col("t").contains(pat), 1).otherwise(0)).alias("exact"),
+            *df_cols,
+        ).crossJoin(n_docs)
+        num = " * ".join(f"df{i}" for i in range(len(grams)))
+        den = " * ".join(["n"] * len(grams))
+        rows.append(
+            agg.select(
+                F.lit(pat).alias("pattern"),
+                F.lit(len(grams)).cast("long").alias("n_grams"),
+                F.col("exact").cast("long").alias("exact_matches"),
+                F.expr(f"CAST(div(1000000 * exact, n) AS BIGINT)").alias("exact_ppm"),
+                F.expr(f"CAST(div(1000000 * ({num}), {den}) AS BIGINT)").alias(
+                    "est_ppm"
+                ),
+            )
+        )
+    out = rows[0]
+    for r in rows[1:]:
+        out = out.unionByName(r)
+    return out.repartition(1).sortWithinPartitions("pattern")
+
+
+def like_selectivity_sql() -> str:
+    parts = []
+    for pat in _LIKE_PATTERNS:
+        grams = [pat[i : i + 3] for i in range(len(pat) - 2)] or [pat]
+        dfs = ",\n         ".join(
+            f"SUM(CASE WHEN t LIKE '%{g}%' THEN 1 ELSE 0 END) AS df{i}"
+            for i, g in enumerate(grams)
+        )
+        num = " * ".join(f"df{i}" for i in range(len(grams)))
+        den = " * ".join(["n"] * len(grams))
+        parts.append(f"""
+  SELECT '{pat}' AS pattern, CAST({len(grams)} AS BIGINT) AS n_grams,
+         CAST(exact AS BIGINT) AS exact_matches,
+         CAST((1000000 * exact) // n AS BIGINT) AS exact_ppm,
+         CAST((1000000 * ({num})) // ({den}) AS BIGINT) AS est_ppm
+  FROM (
+    SELECT SUM(CASE WHEN t LIKE '%{pat}%' THEN 1 ELSE 0 END) AS exact,
+           {dfs},
+           COUNT(*) AS n
+    FROM (SELECT lower(text) AS t FROM documents)
+  )""")
+    u = "\n  UNION ALL\n".join(parts)
+    return f"SELECT * FROM (\n{u}\n) ORDER BY pattern"
+
+
+# --- Yule's K lexical-richness census -------------------------------------------
+
+
+def yules_k(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Yule's characteristic K (Yule 1944, the repeat-rate lexical
+    richness constant), EXACT from the frequency-of-frequencies
+    table: K = 10^4 * (sum r^2 N_r - N) / N^2, reported with its
+    integer numerator and N^2 denominator plus the floor-divided
+    K x 100 (the conventional scale) — the vocabulary-richness gate a
+    corpus card quotes, no float entering.
+
+    Scale shape: the same two-level token census as good_turing,
+    closed by single-row arithmetic."""
+    tf = (
+        _docs(spark, sf_dir)
+        .select(F.explode(_clean_words()).alias("term"))
+        .groupBy("term")
+        .agg(F.count(F.lit(1)).alias("r"))
+    )
+    return tf.agg(
+        F.sum("r").alias("n_tokens"),
+        F.count(F.lit(1)).alias("vocab"),
+        F.sum(F.expr("r * r")).alias("sum_r2"),
+    ).select(
+        "n_tokens", "vocab", "sum_r2",
+        (F.col("sum_r2") - F.col("n_tokens")).alias("k_num"),
+        (F.col("n_tokens") * F.col("n_tokens")).alias("k_den"),
+        F.expr(
+            "CAST(div(1000000 * (sum_r2 - n_tokens), n_tokens * n_tokens)"
+            " AS BIGINT)"
+        ).alias("k_x100"),
+    )
+
+
+def yules_k_sql() -> str:
+    return f"""
+WITH tf AS (
+  SELECT term, COUNT(*) AS r
+  FROM (SELECT unnest(list_filter({_SQL_WS}, t -> t <> '')) AS term FROM documents)
+  GROUP BY term
+)
+SELECT CAST(SUM(r) AS BIGINT) AS n_tokens,
+       COUNT(*) AS vocab,
+       CAST(SUM(r * r) AS BIGINT) AS sum_r2,
+       CAST(SUM(r * r) - SUM(r) AS BIGINT) AS k_num,
+       CAST(SUM(r) * SUM(r) AS BIGINT) AS k_den,
+       CAST((1000000 * (SUM(r * r) - SUM(r))) // (SUM(r) * SUM(r)) AS BIGINT) AS k_x100
+FROM tf
+"""

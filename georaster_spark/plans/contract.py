@@ -5405,6 +5405,9 @@ def spatial_queries() -> dict[str, QueryFn]:
         "two_hop_census": rel.two_hop_census,
         "source_jaccard": textops.source_jaccard,
         "ngram_suppression": textops.ngram_suppression,
+        "structure_tensor": q_structure_tensor,
+        "like_selectivity": textops.like_selectivity,
+        "yules_k": textops.yules_k,
     })
 
 
@@ -5864,6 +5867,9 @@ def spatial_oracles(sf: str = "sf0.01") -> dict[str, str]:
         "two_hop_census": rel.two_hop_census_sql(),
         "source_jaccard": textops.source_jaccard_sql(),
         "ngram_suppression": textops.ngram_suppression_sql(),
+        "structure_tensor": _sql_structure_tensor(fx, w),
+        "like_selectivity": textops.like_selectivity_sql(),
+        "yules_k": textops.yules_k_sql(),
     })
 
 
@@ -16212,4 +16218,57 @@ SELECT image_id,
        CAST(SUM(t) AS BIGINT) AS n_transitions,
        CAST(SUM(state * (i * {w} + j + 1)) AS BIGINT) AS schmitt_checksum
 FROM tr GROUP BY image_id ORDER BY image_id
+"""
+
+
+_ST_MOD = 43
+
+
+def q_structure_tensor(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Structure-tensor moments + exact squared eigen-gap
+    (algebra.structure_tensor), map-only Arrow pass."""
+    from ..operators import algebra
+
+    tiles = geo.georegister(_images(spark, sf_dir)).where(
+        geo.image_idx() % _ST_MOD == 0
+    )
+    return (
+        algebra.structure_tensor(tiles)
+        .repartition(1).sortWithinPartitions("image_id")
+    )
+
+
+def _sql_structure_tensor(fx: Path, w: int) -> str:
+    vc = osql.ramp_value_expr("gi.i", "gj.j")
+    return f"""
+WITH {osql.georegister_cte(str(fx / 'images.parquet'))},
+px AS (
+  SELECT image_id, gi.i AS i, gj.j AS j, CAST({vc} AS BIGINT) AS v
+  FROM tiles,
+       generate_series(0, {w - 1}) AS gi(i), generate_series(0, {w - 1}) AS gj(j)
+  WHERE idx % {_ST_MOD} = 0
+),
+g AS (
+  SELECT c.image_id,
+         (r.v - l.v) AS gx, (d.v - u.v) AS gy
+  FROM px c
+  JOIN px l ON l.image_id = c.image_id AND l.i = c.i AND l.j = c.j - 1
+  JOIN px r ON r.image_id = c.image_id AND r.i = c.i AND r.j = c.j + 1
+  JOIN px u ON u.image_id = c.image_id AND u.i = c.i - 1 AND u.j = c.j
+  JOIN px d ON d.image_id = c.image_id AND d.i = c.i + 1 AND d.j = c.j
+  WHERE c.i BETWEEN 1 AND {w - 2} AND c.j BETWEEN 1 AND {w - 2}
+),
+agg AS (
+  SELECT image_id,
+         SUM(gx * gx) AS jxx, SUM(gy * gy) AS jyy, SUM(gx * gy) AS jxy,
+         COUNT(*) AS n_interior
+  FROM g GROUP BY image_id
+)
+SELECT image_id,
+       CAST(jxx AS BIGINT) AS jxx,
+       CAST(jyy AS BIGINT) AS jyy,
+       CAST(jxy AS BIGINT) AS jxy,
+       CAST((jxx - jyy) * (jxx - jyy) + 4 * jxy * jxy AS BIGINT) AS anisotropy2,
+       CAST(n_interior AS BIGINT) AS n_interior
+FROM agg ORDER BY image_id
 """
