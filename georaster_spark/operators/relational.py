@@ -12116,3 +12116,180 @@ SELECT CAST(deg_bucket AS BIGINT) AS deg_bucket,
        CAST(MAX(n2) AS BIGINT) AS max_reach2
 FROM x GROUP BY deg_bucket ORDER BY deg_bucket
 """
+
+
+# --- difference-in-differences cell table ---------------------------------------
+
+_DID_SPLIT = "1998-01-01"
+
+
+def diff_in_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Difference-in-differences cell table (the econometric workhorse
+    for promo evaluation), held exact: treatment = parts whose type
+    contains 'PROMO'-ish marker (here p_type's first word as the
+    deterministic arm), periods split at 1998; the four cells report
+    exact lineitem counts and cent sums, and the DiD estimator
+    (m11 - m10) - (m01 - m00) is emitted as an exact integer after
+    clearing the four denominators (milli-cents per item, floor by
+    the common denominator product — both engines divide the same
+    positives, sign carried separately).
+
+    Scale shape: one broadcast part-dim join + a 4-cell census +
+    single-row arithmetic."""
+    li = _t(spark, sf_dir, "lineitem")
+    p = _t(spark, sf_dir, "part").select(
+        "p_partkey",
+        F.when(F.split(F.col("p_type"), " ").getItem(0) == "PROMO", 1)
+        .otherwise(0)
+        .alias("treated"),
+    )
+    x = li.join(F.broadcast(p), li["l_partkey"] == p["p_partkey"]).select(
+        "treated",
+        F.when(F.col("l_shipdate") >= _DID_SPLIT, 1).otherwise(0).alias("post"),
+        F.expr("CAST(round(100 * l_extendedprice) AS BIGINT)").alias("cents"),
+    )
+    cells = x.groupBy("treated", "post").agg(
+        F.count(F.lit(1)).alias("n"), F.sum("cents").alias("cents")
+    )
+    piv = cells.agg(
+        *[
+            F.max(
+                F.when(
+                    (F.col("treated") == t) & (F.col("post") == q), F.col(c)
+                )
+            ).alias(f"{c}{t}{q}")
+            for t in (0, 1)
+            for q in (0, 1)
+            for c in ("n", "cents")
+        ]
+    )
+    did = (
+        "CAST(sign((CAST(cents11 AS DECIMAL(38,0)) * CAST(n10 AS DECIMAL(38,0)) - CAST(cents10 AS DECIMAL(38,0)) * CAST(n11 AS DECIMAL(38,0))) * CAST(n00 AS DECIMAL(38,0)) * CAST(n01 AS DECIMAL(38,0)) - (CAST(cents01 AS DECIMAL(38,0)) * CAST(n00 AS DECIMAL(38,0)) - CAST(cents00 AS DECIMAL(38,0)) * CAST(n01 AS DECIMAL(38,0))) * CAST(n10 AS DECIMAL(38,0)) * CAST(n11 AS DECIMAL(38,0))) AS BIGINT)"
+        " * (CAST(abs(((CAST(cents11 AS DECIMAL(38,0)) * CAST(n10 AS DECIMAL(38,0)) - CAST(cents10 AS DECIMAL(38,0)) * CAST(n11 AS DECIMAL(38,0))) * CAST(n00 AS DECIMAL(38,0)) * CAST(n01 AS DECIMAL(38,0)) - (CAST(cents01 AS DECIMAL(38,0)) * CAST(n00 AS DECIMAL(38,0)) - CAST(cents00 AS DECIMAL(38,0)) * CAST(n01 AS DECIMAL(38,0))) * CAST(n10 AS DECIMAL(38,0)) * CAST(n11 AS DECIMAL(38,0))) * 1000) AS DECIMAL(38,0))"
+        "    div CAST(CAST(n00 AS DECIMAL(38,0)) * CAST(n01 AS DECIMAL(38,0)) * CAST(n10 AS DECIMAL(38,0)) * CAST(n11 AS DECIMAL(38,0)) AS DECIMAL(38,0)))"
+    )
+    out = piv.select(
+        "n00", "cents00", "n01", "cents01", "n10", "cents10", "n11", "cents11",
+        F.expr(f"CAST({did} AS BIGINT)").alias("did_millicents"),
+    )
+    return out
+
+
+def diff_in_diff_sql() -> str:
+    did = (
+        "CAST(sign((CAST(cents11 AS HUGEINT) * CAST(n10 AS HUGEINT) - CAST(cents10 AS HUGEINT) * CAST(n11 AS HUGEINT)) * CAST(n00 AS HUGEINT) * CAST(n01 AS HUGEINT) - (CAST(cents01 AS HUGEINT) * CAST(n00 AS HUGEINT) - CAST(cents00 AS HUGEINT) * CAST(n01 AS HUGEINT)) * CAST(n10 AS HUGEINT) * CAST(n11 AS HUGEINT)) AS BIGINT)"
+        " * ((abs(((CAST(cents11 AS HUGEINT) * CAST(n10 AS HUGEINT) - CAST(cents10 AS HUGEINT) * CAST(n11 AS HUGEINT)) * CAST(n00 AS HUGEINT) * CAST(n01 AS HUGEINT) - (CAST(cents01 AS HUGEINT) * CAST(n00 AS HUGEINT) - CAST(cents00 AS HUGEINT) * CAST(n01 AS HUGEINT)) * CAST(n10 AS HUGEINT) * CAST(n11 AS HUGEINT)) * 1000))"
+        " // (CAST(n00 AS HUGEINT) * CAST(n01 AS HUGEINT) * CAST(n10 AS HUGEINT) * CAST(n11 AS HUGEINT)))"
+    )
+    return f"""
+WITH p AS (
+  SELECT p_partkey,
+         CASE WHEN string_split(p_type, ' ')[1] = 'PROMO'
+              THEN 1 ELSE 0 END AS treated
+  FROM part
+),
+x AS (
+  SELECT treated,
+         CASE WHEN l_shipdate >= TIMESTAMP '{_DID_SPLIT} 00:00:00' THEN 1 ELSE 0 END AS post,
+         CAST(round(100 * l_extendedprice) AS BIGINT) AS cents
+  FROM lineitem JOIN p ON p_partkey = l_partkey
+),
+cells AS (
+  SELECT treated, post, COUNT(*) AS n, SUM(cents) AS cents
+  FROM x GROUP BY treated, post
+),
+piv AS (
+  SELECT
+    MAX(CASE WHEN treated = 0 AND post = 0 THEN n END) AS n00,
+    MAX(CASE WHEN treated = 0 AND post = 0 THEN cents END) AS cents00,
+    MAX(CASE WHEN treated = 0 AND post = 1 THEN n END) AS n01,
+    MAX(CASE WHEN treated = 0 AND post = 1 THEN cents END) AS cents01,
+    MAX(CASE WHEN treated = 1 AND post = 0 THEN n END) AS n10,
+    MAX(CASE WHEN treated = 1 AND post = 0 THEN cents END) AS cents10,
+    MAX(CASE WHEN treated = 1 AND post = 1 THEN n END) AS n11,
+    MAX(CASE WHEN treated = 1 AND post = 1 THEN cents END) AS cents11
+  FROM cells
+)
+SELECT CAST(n00 AS BIGINT) AS n00, CAST(cents00 AS BIGINT) AS cents00,
+       CAST(n01 AS BIGINT) AS n01, CAST(cents01 AS BIGINT) AS cents01,
+       CAST(n10 AS BIGINT) AS n10, CAST(cents10 AS BIGINT) AS cents10,
+       CAST(n11 AS BIGINT) AS n11, CAST(cents11 AS BIGINT) AS cents11,
+       CAST({did} AS BIGINT) AS did_millicents
+FROM piv
+"""
+
+
+# --- classical seasonal index (ratio to centered moving average) ----------------
+
+
+def seasonal_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Classical seasonal index (the ratio-to-centered-moving-average
+    step of time-series decomposition): monthly revenue cents over the
+    2x12 centered MA (the textbook half-weight-endpoints window,
+    denominator 24), each month's ratio in exact ppm by integer cross
+    multiplication div(1e6 * 24 * v, ma24), then per calendar month
+    the mean ratio ppm over all full-window years — the seasonal
+    profile a demand planner reads, floats nowhere.
+
+    Scale shape: one month census + one 13-row sliding window + a
+    12-key rollup."""
+    o = _t(spark, sf_dir, "orders")
+    m = o.groupBy(F.date_trunc("month", "o_orderdate").alias("m")).agg(
+        F.sum(F.expr("CAST(round(o_totalprice * 100) AS BIGINT)")).alias("v")
+    )
+    w = Window.orderBy("m").rowsBetween(-6, 6)
+    wn = Window.orderBy("m")
+    x = m.select(
+        "m", "v",
+        F.count(F.lit(1)).over(w).alias("span"),
+        (
+            F.sum("v").over(w) * 2
+            - F.first("v").over(w)
+            - F.last("v").over(w)
+        ).alias("ma24"),
+    ).where(F.col("span") == 13)
+    ratios = x.select(
+        F.month("m").alias("cal_month"),
+        F.expr("CAST(div(1000000 * 24 * v, ma24) AS BIGINT)").alias("ratio_ppm"),
+    )
+    return (
+        ratios.groupBy("cal_month")
+        .agg(
+            F.count(F.lit(1)).alias("n_years"),
+            F.expr("CAST(div(sum(ratio_ppm), count(1)) AS BIGINT)").alias(
+                "seasonal_index_ppm"
+            ),
+            F.min("ratio_ppm").alias("min_ratio_ppm"),
+            F.max("ratio_ppm").alias("max_ratio_ppm"),
+        )
+        .repartition(1)
+        .sortWithinPartitions("cal_month")
+    )
+
+
+def seasonal_index_sql() -> str:
+    return """
+WITH m AS (
+  SELECT date_trunc('month', o_orderdate) AS m,
+         SUM(CAST(round(o_totalprice * 100) AS BIGINT)) AS v
+  FROM orders GROUP BY 1
+),
+x AS (
+  SELECT m, v,
+         COUNT(*) OVER win AS span,
+         SUM(v) OVER win * 2 - first_value(v) OVER win - last_value(v) OVER win AS ma24
+  FROM m
+  WINDOW win AS (ORDER BY m ROWS BETWEEN 6 PRECEDING AND 6 FOLLOWING)
+),
+ratios AS (
+  SELECT EXTRACT(month FROM m) AS cal_month,
+         (1000000 * 24 * v) // ma24 AS ratio_ppm
+  FROM x WHERE span = 13
+)
+SELECT CAST(cal_month AS BIGINT) AS cal_month,
+       COUNT(*) AS n_years,
+       CAST(SUM(ratio_ppm) // COUNT(*) AS BIGINT) AS seasonal_index_ppm,
+       CAST(MIN(ratio_ppm) AS BIGINT) AS min_ratio_ppm,
+       CAST(MAX(ratio_ppm) AS BIGINT) AS max_ratio_ppm
+FROM ratios GROUP BY cal_month ORDER BY cal_month
+"""

@@ -6356,3 +6356,72 @@ SELECT CAST(SUM(r) AS BIGINT) AS n_tokens,
        CAST((1000000 * (SUM(r * r) - SUM(r))) // (SUM(r) * SUM(r)) AS BIGINT) AS k_x100
 FROM tf
 """
+
+
+# --- term burstiness (Church adaptation) census ---------------------------------
+
+
+def term_burstiness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Term burstiness census (Church & Gale adaptation: having seen a
+    word once in a document, the chance of seeing it AGAIN far exceeds
+    the global rate): for every term with df >= POSTINGS_MIN_DF, the
+    document frequency, the count of documents where it repeats
+    (tf >= 2), the adaptation rate P(repeat | occurred) in exact ppm,
+    and the global per-document occurrence baseline — the gap between
+    the two columns IS the burstiness, the signal topical terms show
+    and function words don't.
+
+    Scale shape: one (doc, term) census with tf, one term rollup."""
+    dt = (
+        _docs(spark, sf_dir)
+        .select("doc_id", F.explode(_clean_words()).alias("term"))
+        .groupBy("doc_id", "term")
+        .agg(F.count(F.lit(1)).alias("tf"))
+    )
+    n_docs = dt.select("doc_id").distinct().count()
+    out = (
+        dt.groupBy("term")
+        .agg(
+            F.count(F.lit(1)).alias("df"),
+            F.sum(F.when(F.col("tf") >= 2, 1).otherwise(0)).alias("df_repeat"),
+            F.sum("tf").alias("cf"),
+        )
+        .where(F.col("df") >= POSTINGS_MIN_DF)
+    )
+    return (
+        out.select(
+            "term", "df", "df_repeat", "cf",
+            F.expr("CAST(div(1000000 * df_repeat, df) AS BIGINT)").alias(
+                "adaptation_ppm"
+            ),
+            F.expr(f"CAST(div(1000000 * df, {n_docs}) AS BIGINT)").alias(
+                "base_rate_ppm"
+            ),
+        )
+        .repartition(1)
+        .sortWithinPartitions("term")
+    )
+
+
+def term_burstiness_sql() -> str:
+    return f"""
+WITH dt AS (
+  SELECT doc_id, term, COUNT(*) AS tf
+  FROM (SELECT doc_id, unnest(list_filter({_SQL_WS}, t -> t <> '')) AS term
+        FROM documents)
+  GROUP BY doc_id, term
+),
+nd AS (SELECT COUNT(DISTINCT doc_id) AS n FROM dt),
+agg AS (
+  SELECT term, COUNT(*) AS df,
+         SUM(CASE WHEN tf >= 2 THEN 1 ELSE 0 END) AS df_repeat,
+         SUM(tf) AS cf
+  FROM dt GROUP BY term HAVING COUNT(*) >= {POSTINGS_MIN_DF}
+)
+SELECT term, CAST(df AS BIGINT) AS df,
+       CAST(df_repeat AS BIGINT) AS df_repeat,
+       CAST(cf AS BIGINT) AS cf,
+       CAST((1000000 * df_repeat) // df AS BIGINT) AS adaptation_ppm,
+       CAST((1000000 * df) // (SELECT n FROM nd) AS BIGINT) AS base_rate_ppm
+FROM agg ORDER BY term
+"""

@@ -5408,6 +5408,9 @@ def spatial_queries() -> dict[str, QueryFn]:
         "structure_tensor": q_structure_tensor,
         "like_selectivity": textops.like_selectivity,
         "yules_k": textops.yules_k,
+        "diff_in_diff": rel.diff_in_diff,
+        "term_burstiness": textops.term_burstiness,
+        "seasonal_index": rel.seasonal_index,
     })
 
 
@@ -5870,6 +5873,9 @@ def spatial_oracles(sf: str = "sf0.01") -> dict[str, str]:
         "structure_tensor": _sql_structure_tensor(fx, w),
         "like_selectivity": textops.like_selectivity_sql(),
         "yules_k": textops.yules_k_sql(),
+        "diff_in_diff": rel.diff_in_diff_sql(),
+        "term_burstiness": textops.term_burstiness_sql(),
+        "seasonal_index": rel.seasonal_index_sql(),
     })
 
 
