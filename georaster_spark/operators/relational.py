@@ -12293,3 +12293,61 @@ SELECT CAST(cal_month AS BIGINT) AS cal_month,
        CAST(MAX(ratio_ppm) AS BIGINT) AS max_ratio_ppm
 FROM ratios GROUP BY cal_month ORDER BY cal_month
 """
+
+
+# --- DAU/WAU/MAU stickiness census ----------------------------------------------
+
+
+def stickiness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Product-analytics stickiness census (the DAU/MAU ratio every
+    growth dashboard leads with), exact: per calendar month the
+    distinct monthly actives (MAU), the SUM of daily distinct actives
+    (so avg DAU = that sum over active days, kept as exact integers),
+    active days, and stickiness ppm = div(1e6 * dau_sum, days * mau).
+
+    Scale shape: two user-key distinct censuses (day grain, month
+    grain) + a month rollup — the standard engagement shape."""
+    ev = _t(spark, sf_dir, "events").select(
+        F.to_date("ts").alias("d"),
+        F.date_trunc("month", "ts").alias("m"),
+        "user_id",
+    )
+    dau = ev.groupBy("m", "d").agg(F.countDistinct("user_id").alias("dau"))
+    per_m = dau.groupBy("m").agg(
+        F.count(F.lit(1)).alias("active_days"),
+        F.sum("dau").alias("dau_sum"),
+    )
+    mau = ev.groupBy("m").agg(F.countDistinct("user_id").alias("mau"))
+    return (
+        per_m.join(mau, "m")
+        .select(
+            F.col("m").cast("date").alias("m"),
+            "active_days", "dau_sum", "mau",
+            F.expr(
+                "CAST(div(1000000 * dau_sum, active_days * mau) AS BIGINT)"
+            ).alias("stickiness_ppm"),
+        )
+        .repartition(1)
+        .sortWithinPartitions("m")
+    )
+
+
+def stickiness_sql() -> str:
+    return """
+WITH ev AS (
+  SELECT CAST(ts AS DATE) AS d, date_trunc('month', ts) AS m, user_id
+  FROM events
+),
+dau AS (SELECT m, d, COUNT(DISTINCT user_id) AS dau FROM ev GROUP BY m, d),
+per_m AS (
+  SELECT m, COUNT(*) AS active_days, SUM(dau) AS dau_sum FROM dau GROUP BY m
+),
+mau AS (SELECT m, COUNT(DISTINCT user_id) AS mau FROM ev GROUP BY m)
+SELECT CAST(per_m.m AS DATE) AS m,
+       CAST(active_days AS BIGINT) AS active_days,
+       CAST(dau_sum AS BIGINT) AS dau_sum,
+       CAST(mau AS BIGINT) AS mau,
+       CAST((1000000 * dau_sum) // (active_days * mau) AS BIGINT) AS stickiness_ppm
+FROM per_m JOIN mau ON mau.m = per_m.m
+ORDER BY m
+"""

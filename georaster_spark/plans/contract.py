@@ -5411,6 +5411,9 @@ def spatial_queries() -> dict[str, QueryFn]:
         "diff_in_diff": rel.diff_in_diff,
         "term_burstiness": textops.term_burstiness,
         "seasonal_index": rel.seasonal_index,
+        "caption_cell_audit": q_caption_cell_audit,
+        "phash_bit_bias": q_phash_bit_bias,
+        "stickiness": rel.stickiness,
     })
 
 
@@ -5876,6 +5879,9 @@ def spatial_oracles(sf: str = "sf0.01") -> dict[str, str]:
         "diff_in_diff": rel.diff_in_diff_sql(),
         "term_burstiness": textops.term_burstiness_sql(),
         "seasonal_index": rel.seasonal_index_sql(),
+        "caption_cell_audit": _sql_caption_cell_audit(fx),
+        "phash_bit_bias": _sql_phash_bit_bias(fx),
+        "stickiness": rel.stickiness_sql(),
     })
 
 
@@ -16277,4 +16283,115 @@ SELECT image_id,
        CAST((jxx - jyy) * (jxx - jyy) + 4 * jxy * jxy AS BIGINT) AS anisotropy2,
        CAST(n_interior AS BIGINT) AS n_interior
 FROM agg ORDER BY image_id
+"""
+
+
+def q_caption_cell_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Caption <-> cell-index cross-validation (the multimodal
+    integrity check of the north-rule image+caption table: the caption
+    TEXT embeds the tile's cell id, and the audit recomputes the
+    anchor INDEPENDENTLY through E1 georegister + E2 cell_encode and
+    compares): per fmt the image count, matches, mismatches (must be
+    0), and the idx checksum of any mismatching set — text-vs-index
+    agreement proven, not assumed.
+
+    Scale shape: map-only parse (regexp) + the map-only cell encode +
+    one tiny census; no shuffle carries pixels."""
+    im = _images(spark, sf_dir)
+    tiles = geo.georegister(im)
+    parsed = tiles.select(
+        "image_id", "fmt", F.col("cell_id").alias("cell_anchor"),
+        F.regexp_extract("caption", r"over cell (\d+)", 1).cast("long").alias(
+            "caption_cell"
+        ),
+        geo.image_idx().alias("idx"),
+    )
+    return (
+        parsed.groupBy("fmt")
+        .agg(
+            F.count(F.lit(1)).alias("n_images"),
+            F.sum(
+                F.when(F.col("cell_anchor") == F.col("caption_cell"), 1).otherwise(0)
+            ).alias("n_match"),
+            F.sum(
+                F.when(F.col("cell_anchor") != F.col("caption_cell"), 1).otherwise(0)
+            ).alias("n_mismatch"),
+            F.coalesce(
+                F.sum(
+                    F.when(
+                        F.col("cell_anchor") != F.col("caption_cell"), F.col("idx")
+                    )
+                ),
+                F.lit(0),
+            ).alias("mismatch_checksum"),
+        )
+        .repartition(1)
+        .sortWithinPartitions("fmt")
+    )
+
+
+def _sql_caption_cell_audit(fx: Path) -> str:
+    cell = osql.cell_expr("gt_x0", "gt_y0", DEFAULT_RES)
+    return f"""
+WITH {osql.georegister_cte(str(fx / 'images.parquet'))},
+parsed AS (
+  SELECT fmt, idx, {cell} AS cell_anchor,
+         CAST(regexp_extract(caption, 'over cell (\\d+)', 1) AS BIGINT) AS caption_cell
+  FROM tiles
+)
+SELECT fmt,
+       COUNT(*) AS n_images,
+       CAST(SUM(CASE WHEN cell_anchor = caption_cell THEN 1 ELSE 0 END) AS BIGINT) AS n_match,
+       CAST(SUM(CASE WHEN cell_anchor != caption_cell THEN 1 ELSE 0 END) AS BIGINT) AS n_mismatch,
+       CAST(COALESCE(SUM(CASE WHEN cell_anchor != caption_cell THEN idx END), 0) AS BIGINT) AS mismatch_checksum
+FROM parsed GROUP BY fmt ORDER BY fmt
+"""
+
+
+def q_phash_bit_bias(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """pHash bit-bias audit (LSH health: a biased bit weakens banding
+    guarantees — ideal is 500000 ppm per position): per bit position
+    0..63 the count of set bits over the corpus and its ppm rate,
+    plus the idx checksum of the set-bit population for position
+    pinning.
+
+    Scale shape: one bounded 64-way explode over the slim (idx,
+    phash) projection + a 64-key census; bytes never load."""
+    im = _images(spark, sf_dir).select(geo.image_idx().alias("idx"), "phash")
+    n = im.count()
+    bits = im.select(
+        "idx", "phash",
+        F.explode(F.expr("sequence(0, 63)")).alias("pos"),
+    ).select(
+        "idx", "pos",
+        F.expr("CAST(shiftright(phash, CAST(pos AS INT)) & 1 AS INT)").alias("b"),
+    )
+    return (
+        bits.groupBy("pos")
+        .agg(
+            F.sum("b").alias("n_set"),
+            F.expr(f"CAST(div(1000000 * sum(b), {n}) AS BIGINT)").alias("set_ppm"),
+            F.sum(F.when(F.col("b") == 1, F.col("idx"))).alias("set_checksum"),
+        )
+        .repartition(1)
+        .sortWithinPartitions("pos")
+    )
+
+
+def _sql_phash_bit_bias(fx: Path) -> str:
+    return f"""
+WITH img AS (
+  SELECT CAST(substr(image_id, 4, 10) AS BIGINT) AS idx, phash
+  FROM read_parquet('{fx / 'images.parquet'}')
+),
+n AS (SELECT COUNT(*) AS n FROM img),
+bits AS (
+  SELECT idx, pos, (phash >> CAST(pos AS INT)) & 1 AS b
+  FROM img, unnest(range(0, 64)) t(pos)
+)
+SELECT CAST(pos AS BIGINT) AS pos,
+       CAST(SUM(b) AS BIGINT) AS n_set,
+       CAST((1000000 * SUM(b)) // (SELECT n FROM n) AS BIGINT) AS set_ppm,
+       CAST(SUM(CASE WHEN b = 1 THEN idx END) AS BIGINT) AS set_checksum
+FROM bits GROUP BY pos ORDER BY pos
 """
