@@ -5414,6 +5414,7 @@ def spatial_queries() -> dict[str, QueryFn]:
         "caption_cell_audit": q_caption_cell_audit,
         "phash_bit_bias": q_phash_bit_bias,
         "stickiness": rel.stickiness,
+        "pip_snap_sensitivity": q_pip_snap_sensitivity,
     })
 
 
@@ -5882,6 +5883,7 @@ def spatial_oracles(sf: str = "sf0.01") -> dict[str, str]:
         "caption_cell_audit": _sql_caption_cell_audit(fx),
         "phash_bit_bias": _sql_phash_bit_bias(fx),
         "stickiness": rel.stickiness_sql(),
+        "pip_snap_sensitivity": _sql_pip_snap_sensitivity(fx),
     })
 
 
@@ -16394,4 +16396,97 @@ SELECT CAST(pos AS BIGINT) AS pos,
        CAST((1000000 * SUM(b)) // (SELECT n FROM n) AS BIGINT) AS set_ppm,
        CAST(SUM(CASE WHEN b = 1 THEN idx END) AS BIGINT) AS set_checksum
 FROM bits GROUP BY pos ORDER BY pos
+"""
+
+
+_SNAP_LEVELS = (64, 4096)
+
+
+def q_pip_snap_sensitivity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Coordinate-snap sensitivity audit for the PIP join (the
+    robustness question behind every grid-quantized geo pipeline: how
+    many point-zone memberships CHANGE when coordinates quantize to a
+    64- or 4096-unit grid cell center?): per snap level the pair
+    count, pairs added and pairs lost vs the raw-coordinate baseline,
+    and the churn in ppm of baseline pairs — membership stability
+    measured, not guessed.
+
+    Scale shape: the same broadcast filter-refine PIP join run per
+    level (snap is map-only arithmetic on the point coordinates);
+    diffs are slim anti-joins on (point_id, zone_id)."""
+    from ..operators.pip import pip_join
+
+    zones = _zones(spark, sf_dir).where(F.col("kind") == "convex")
+    pts = _points(spark, sf_dir)
+
+    def pairs(xe, ye):
+        return pip_join(pts, zones, x=xe, y=ye).select("point_id", "zone_id")
+    base = pairs(F.col("x"), F.col("y"))
+    rows = [
+        base.agg(F.count(F.lit(1)).alias("n_pairs")).select(
+            F.lit(0).cast("long").alias("snap"),
+            "n_pairs",
+            F.lit(0).cast("long").alias("added"),
+            F.lit(0).cast("long").alias("removed"),
+        )
+    ]
+    for s in _SNAP_LEVELS:
+        xe = F.expr(f"floor(x / {s}) * {s} + {s // 2}")
+        ye = F.expr(f"floor(y / {s}) * {s} + {s // 2}")
+        snapped = pairs(xe, ye)
+        added = snapped.join(base, ["point_id", "zone_id"], "left_anti").agg(
+            F.count(F.lit(1)).alias("added")
+        )
+        removed = base.join(snapped, ["point_id", "zone_id"], "left_anti").agg(
+            F.count(F.lit(1)).alias("removed")
+        )
+        rows.append(
+            snapped.agg(F.count(F.lit(1)).alias("n_pairs"))
+            .crossJoin(added)
+            .crossJoin(removed)
+            .select(
+                F.lit(s).cast("long").alias("snap"), "n_pairs", "added", "removed"
+            )
+        )
+    out = rows[0]
+    for r in rows[1:]:
+        out = out.unionByName(r)
+    return out.repartition(1).sortWithinPartitions("snap")
+
+
+def _sql_pip_snap_sensitivity(fx: Path) -> str:
+    p = fx / "points.parquet"
+    z = fx / "zones.parquet"
+
+    def pair_sel(px, py):
+        return f"""
+  SELECT p.point_id, z.zone_id
+  FROM read_parquet('{p}') p
+  JOIN read_parquet('{z}') z
+    ON z.kind = 'convex'
+   AND {px} >= z.xmin AND {px} <= z.xmax AND {py} >= z.ymin AND {py} <= z.ymax
+  WHERE {osql.pip_where(px, py)}"""
+    base = pair_sel("p.x", "p.y")
+    parts = [
+        f"SELECT 0 AS snap, (SELECT COUNT(*) FROM base) AS n_pairs,"
+        f" 0 AS added, 0 AS removed"
+    ]
+    ctes = [f"base AS ({base})"]
+    for s in _SNAP_LEVELS:
+        px = f"(floor(p.x / {s}) * {s} + {s // 2})"
+        py = f"(floor(p.y / {s}) * {s} + {s // 2})"
+        ctes.append(f"snap{s} AS ({pair_sel(px, py)})")
+        parts.append(f"""
+SELECT {s} AS snap,
+       (SELECT COUNT(*) FROM snap{s}) AS n_pairs,
+       (SELECT COUNT(*) FROM snap{s} sp WHERE NOT EXISTS
+          (SELECT 1 FROM base b WHERE b.point_id = sp.point_id AND b.zone_id = sp.zone_id)) AS added,
+       (SELECT COUNT(*) FROM base b WHERE NOT EXISTS
+          (SELECT 1 FROM snap{s} sp WHERE sp.point_id = b.point_id AND sp.zone_id = b.zone_id)) AS removed""")
+    u = "\nUNION ALL\n".join(parts)
+    return f"""
+WITH {", ".join(ctes)}
+SELECT CAST(snap AS BIGINT) AS snap, CAST(n_pairs AS BIGINT) AS n_pairs,
+       CAST(added AS BIGINT) AS added, CAST(removed AS BIGINT) AS removed
+FROM ({u}) ORDER BY snap
 """
