@@ -12351,3 +12351,69 @@ SELECT CAST(per_m.m AS DATE) AS m,
 FROM per_m JOIN mau ON mau.m = per_m.m
 ORDER BY m
 """
+
+
+# --- lifetime-value accumulation curve ------------------------------------------
+
+
+def ltv_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lifetime-value accumulation curve (the 'how much of a user's
+    value lands by their k-th purchase' table subscription businesses
+    plan around): per user, purchases in time order accumulate exact
+    cents; at each purchase index k the cumulative share of that
+    user's final total in ppm; the census reports per k the user
+    count still active and the mean share — monetization front-
+    loading, exact.
+
+    Scale shape: one user-key window (cumsum + total) + a k-key
+    census."""
+    ev = _t(spark, sf_dir, "events").where(F.col("event_type") == "purchase").select(
+        "user_id", "ts", "event_id",
+        F.expr("CAST(round(value * 100) AS BIGINT)").alias("cents"),
+    )
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    wt = Window.partitionBy("user_id")
+    x = ev.select(
+        "user_id",
+        F.row_number().over(w).alias("k"),
+        F.sum("cents").over(w.rowsBetween(Window.unboundedPreceding, 0)).alias("cum"),
+        F.sum("cents").over(wt).alias("total"),
+    ).where(F.col("total") > 0)
+    shares = x.select(
+        "k", F.expr("div(1000000 * cum, total)").alias("share_ppm")
+    )
+    return (
+        shares.groupBy("k")
+        .agg(
+            F.count(F.lit(1)).alias("n_users"),
+            F.expr("CAST(div(sum(share_ppm), count(1)) AS BIGINT)").alias(
+                "mean_share_ppm"
+            ),
+        )
+        .repartition(1)
+        .sortWithinPartitions("k")
+    )
+
+
+def ltv_curve_sql() -> str:
+    return """
+WITH ev AS (
+  SELECT user_id, ts, event_id, CAST(round(value * 100) AS BIGINT) AS cents
+  FROM events WHERE event_type = 'purchase'
+),
+x AS (
+  SELECT user_id,
+         row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS k,
+         SUM(cents) OVER (PARTITION BY user_id ORDER BY ts, event_id
+            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum,
+         SUM(cents) OVER (PARTITION BY user_id) AS total
+  FROM ev
+),
+shares AS (
+  SELECT k, (1000000 * cum) // total AS share_ppm FROM x WHERE total > 0
+)
+SELECT CAST(k AS BIGINT) AS k,
+       COUNT(*) AS n_users,
+       CAST(SUM(share_ppm) // COUNT(*) AS BIGINT) AS mean_share_ppm
+FROM shares GROUP BY k ORDER BY k
+"""

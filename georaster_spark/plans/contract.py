@@ -5415,6 +5415,8 @@ def spatial_queries() -> dict[str, QueryFn]:
         "phash_bit_bias": q_phash_bit_bias,
         "stickiness": rel.stickiness,
         "pip_snap_sensitivity": q_pip_snap_sensitivity,
+        "vector_raster_consistency": q_vector_raster_consistency,
+        "ltv_curve": rel.ltv_curve,
     })
 
 
@@ -5884,6 +5886,8 @@ def spatial_oracles(sf: str = "sf0.01") -> dict[str, str]:
         "phash_bit_bias": _sql_phash_bit_bias(fx),
         "stickiness": rel.stickiness_sql(),
         "pip_snap_sensitivity": _sql_pip_snap_sensitivity(fx),
+        "vector_raster_consistency": _sql_vector_raster_consistency(fx, w),
+        "ltv_curve": rel.ltv_curve_sql(),
     })
 
 
@@ -16489,4 +16493,103 @@ WITH {", ".join(ctes)}
 SELECT CAST(snap AS BIGINT) AS snap, CAST(n_pairs AS BIGINT) AS n_pairs,
        CAST(added AS BIGINT) AS added, CAST(removed AS BIGINT) AS removed
 FROM ({u}) ORDER BY snap
+"""
+
+
+def q_vector_raster_consistency(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Vector-raster consistency audit (the GIS QA identity: pixels
+    counted inside a polygon x pixel area should track the polygon's
+    own area): per zone the zonal pixel-center count (op E7's exact
+    machinery), the unit-snapped ring's doubled shoelace area, and
+    their ratio in exact ppm — 2 * pixel_area * w^2 = 2e6 for the
+    TILE_SPAN = 1000 grid, so ratio = div(1e6 * n_pixels * 2e6,
+    area2 * w^2) stays pure integer.  Ratios far from 1e6 flag rings
+    whose rasterization under- or over-covers (center-sampling bias
+    at this resolution), per zone.
+
+    Scale shape: one E7 zonal census + one zone-local shoelace + a
+    broadcast scalar w — no new shuffle beyond zonal_stats itself."""
+    from ..operators.zonal import zonal_stats
+
+    tiles = geo.georegister(_images(spark, sf_dir))
+    zones = _zones(spark, sf_dir)
+    zs = zonal_stats(tiles, zones).select("zone_id", "n_pixels")
+    ring_ints = F.expr(
+        "transform(slice(ring, 1, size(ring) - 1),"
+        " p -> struct(CAST(floor(p.x + 0.5) AS BIGINT) AS x,"
+        "             CAST(floor(p.y + 0.5) AS BIGINT) AS y))"
+    )
+    base = zones.select("zone_id", ring_ints.alias("r"))
+    pts = base.select(
+        "zone_id", F.size("r").alias("n"), F.posexplode("r").alias("k", "p")
+    ).select("zone_id", "n", "k", F.col("p.x").alias("x"), F.col("p.y").alias("y"))
+    nxt = pts.select(
+        "zone_id", F.col("k").alias("kn"),
+        F.col("x").alias("x2"), F.col("y").alias("y2"),
+    )
+    e = pts.join(
+        nxt,
+        (nxt["zone_id"] == pts["zone_id"])
+        & (F.col("kn") == (F.col("k") + 1) % F.col("n")),
+    ).drop(nxt["zone_id"])
+    area = e.groupBy("zone_id").agg(
+        F.abs(F.sum(F.col("x") * F.col("y2") - F.col("x2") * F.col("y")))
+        .alias("area2")
+    )
+    wv = tiles.agg(F.max("w").alias("tw"))
+    return (
+        zs.join(area, "zone_id")
+        .crossJoin(wv)
+        .select(
+            "zone_id", "n_pixels", "area2",
+            F.expr(
+                "CAST(div(1000000 * n_pixels * 2000000, area2 * tw * tw)"
+                " AS BIGINT)"
+            ).alias("coverage_ppm"),
+        )
+        .repartition(1)
+        .sortWithinPartitions("zone_id")
+    )
+
+
+def _sql_vector_raster_consistency(fx: Path, w: int) -> str:
+    return f"""
+WITH {osql.georegister_cte(str(fx / 'images.parquet'))},
+pairs AS (
+  SELECT t.idx, t.gt_x0, t.gt_y0, t.gt_xres, t.gt_yres, z.zone_id, z.ring
+  FROM tiles t JOIN read_parquet('{fx / 'zones.parquet'}') z
+    ON t.gt_x0 < z.xmax AND t.gt_x0 + t.w * t.gt_xres > z.xmin
+   AND t.gt_y0 - t.h * t.gt_yres < z.ymax AND t.gt_y0 > z.ymin
+),
+pix AS (
+  SELECT zone_id,
+         gt_x0 + (gj.j + 0.5) * gt_xres AS px,
+         gt_y0 - (gi.i + 0.5) * gt_yres AS py,
+         ring
+  FROM pairs, generate_series(0, {w - 1}) AS gi(i), generate_series(0, {w - 1}) AS gj(j)
+),
+zcount AS (
+  SELECT zone_id, COUNT(*) AS n_pixels
+  FROM pix z WHERE {osql.pip_where('z.px', 'z.py')}
+  GROUP BY zone_id
+),
+rp AS (
+  SELECT zone_id, i - 1 AS k, len(ring) - 1 AS n,
+         CAST(floor(ring[i].x + 0.5) AS BIGINT) AS x,
+         CAST(floor(ring[i].y + 0.5) AS BIGINT) AS y
+  FROM read_parquet('{fx / 'zones.parquet'}'), unnest(range(1, len(ring))) t(i)
+),
+e AS (
+  SELECT a.zone_id, a.x, a.y, b.x AS x2, b.y AS y2
+  FROM rp a JOIN rp b ON b.zone_id = a.zone_id AND b.k = (a.k + 1) % a.n
+),
+area AS (
+  SELECT zone_id, abs(SUM(x * y2 - x2 * y)) AS area2 FROM e GROUP BY zone_id
+)
+SELECT zcount.zone_id,
+       CAST(n_pixels AS BIGINT) AS n_pixels,
+       CAST(area2 AS BIGINT) AS area2,
+       CAST((1000000 * n_pixels * 2000000) // (area2 * {w} * {w}) AS BIGINT) AS coverage_ppm
+FROM zcount JOIN area ON area.zone_id = zcount.zone_id
+ORDER BY zcount.zone_id
 """
