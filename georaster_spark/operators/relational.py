@@ -12417,3 +12417,148 @@ SELECT CAST(k AS BIGINT) AS k,
        CAST(SUM(share_ppm) // COUNT(*) AS BIGINT) AS mean_share_ppm
 FROM shares GROUP BY k ORDER BY k
 """
+
+
+# --- k-anonymity suppression-cost what-if ---------------------------------------
+
+_SUPC_KS = (2, 5, 10)
+
+
+def suppression_cost(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """k-anonymity suppression-cost what-if (the release-planning
+    question after the audit says 'not k-anonymous': how many records
+    must be suppressed?): quasi-identifier groups are (market segment,
+    priority, order year); for each k in {2, 5, 10} the groups below
+    k, the records those groups hold (the minimal row-suppression
+    cost for group-level k-anonymity), and the cost share in ppm —
+    the utility price of each privacy level, exact.
+
+    Scale shape: one QI census + a 3-row threshold sweep over group
+    sizes."""
+    o = _t(spark, sf_dir, "orders")
+    c = _t(spark, sf_dir, "customer")
+    g = (
+        o.join(F.broadcast(c), o["o_custkey"] == c["c_custkey"])
+        .groupBy(
+            "c_mktsegment", "o_orderpriority", F.year("o_orderdate").alias("y")
+        )
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    ks = spark.createDataFrame([(k,) for k in _SUPC_KS], "k long")
+    tot = g.agg(F.sum("n").alias("total"), F.count(F.lit(1)).alias("n_groups"))
+    sweep = (
+        ks.crossJoin(g)
+        .groupBy("k")
+        .agg(
+            F.sum(F.when(F.col("n") < F.col("k"), 1).otherwise(0)).alias(
+                "groups_below"
+            ),
+            F.coalesce(
+                F.sum(F.when(F.col("n") < F.col("k"), F.col("n"))), F.lit(0)
+            ).alias("rows_suppressed"),
+        )
+        .crossJoin(tot)
+    )
+    return (
+        sweep.select(
+            "k", "n_groups", "groups_below", "rows_suppressed", "total",
+            F.expr(
+                "CAST(div(1000000 * rows_suppressed, total) AS BIGINT)"
+            ).alias("cost_ppm"),
+        )
+        .repartition(1)
+        .sortWithinPartitions("k")
+    )
+
+
+def suppression_cost_sql() -> str:
+    ks = ", ".join(f"({k})" for k in _SUPC_KS)
+    return f"""
+WITH g AS (
+  SELECT c_mktsegment, o_orderpriority, EXTRACT(year FROM o_orderdate) AS y,
+         COUNT(*) AS n
+  FROM orders JOIN customer ON c_custkey = o_custkey
+  GROUP BY ALL
+),
+tot AS (SELECT SUM(n) AS total, COUNT(*) AS n_groups FROM g),
+ks AS (SELECT * FROM (VALUES {ks}) AS t(k)),
+sweep AS (
+  SELECT k,
+         SUM(CASE WHEN n < k THEN 1 ELSE 0 END) AS groups_below,
+         COALESCE(SUM(CASE WHEN n < k THEN n END), 0) AS rows_suppressed
+  FROM ks, g GROUP BY k
+)
+SELECT CAST(k AS BIGINT) AS k,
+       CAST(n_groups AS BIGINT) AS n_groups,
+       CAST(groups_below AS BIGINT) AS groups_below,
+       CAST(rows_suppressed AS BIGINT) AS rows_suppressed,
+       CAST(total AS BIGINT) AS total,
+       CAST((1000000 * rows_suppressed) // total AS BIGINT) AS cost_ppm
+FROM sweep, tot ORDER BY k
+"""
+
+
+# --- open-order backlog age pyramid ---------------------------------------------
+
+_BACKLOG_DATES = ("1995-12-31", "1996-12-31", "1997-12-31", "1998-12-31")
+
+
+def backlog_age(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Backlog age pyramid (the ops-review table: of the lineitems
+    still open at each year-end, how OLD are they?): for four year-end
+    instants, open items (ordered on or before, shipped strictly
+    after) bucketed by floor-log2 of their age in days — exact via
+    length(bin(age)) — with counts and an orderkey checksum per
+    (date, bucket).
+
+    Scale shape: a 4-row broadcast date dim x one fact pass + a tiny
+    census — interval_stabbing's time axis crossed with an age
+    histogram."""
+    li = _t(spark, sf_dir, "lineitem").select("l_orderkey", "l_shipdate")
+    o = _t(spark, sf_dir, "orders").select("o_orderkey", "o_orderdate")
+    j = li.join(o, li["l_orderkey"] == o["o_orderkey"])
+    dates = spark.createDataFrame(
+        [(d,) for d in _BACKLOG_DATES], "qd string"
+    ).select(F.to_timestamp("qd").alias("qd"))
+    open_ = j.crossJoin(F.broadcast(dates)).where(
+        (F.col("o_orderdate") <= F.col("qd")) & (F.col("l_shipdate") > F.col("qd"))
+    ).select(
+        F.col("qd").cast("date").alias("qd"),
+        "l_orderkey",
+        F.expr("CAST(datediff(qd, o_orderdate) AS BIGINT) + 1").alias("age_days"),
+    )
+    return (
+        open_.select(
+            "qd", "l_orderkey",
+            (F.length(F.expr("bin(age_days)")) - 1).alias("age_bucket"),
+        )
+        .groupBy("qd", "age_bucket")
+        .agg(
+            F.count(F.lit(1)).alias("n_items"),
+            F.sum("l_orderkey").alias("order_checksum"),
+        )
+        .repartition(1)
+        .sortWithinPartitions("qd", "age_bucket")
+    )
+
+
+def backlog_age_sql() -> str:
+    dates = ", ".join(f"(TIMESTAMP '{d} 00:00:00')" for d in _BACKLOG_DATES)
+    return f"""
+WITH dates AS (SELECT * FROM (VALUES {dates}) AS t(qd)),
+j AS (
+  SELECT l_orderkey, o_orderdate, l_shipdate
+  FROM lineitem JOIN orders ON o_orderkey = l_orderkey
+),
+open_ AS (
+  SELECT CAST(qd AS DATE) AS qd, l_orderkey,
+         CAST(date_diff('day', o_orderdate, qd) AS BIGINT) + 1 AS age_days
+  FROM j, dates
+  WHERE o_orderdate <= qd AND l_shipdate > qd
+)
+SELECT qd,
+       CAST(length(bin(age_days)) - 1 AS BIGINT) AS age_bucket,
+       COUNT(*) AS n_items,
+       CAST(SUM(l_orderkey) AS BIGINT) AS order_checksum
+FROM open_ GROUP BY qd, age_bucket ORDER BY qd, age_bucket
+"""

@@ -5417,6 +5417,8 @@ def spatial_queries() -> dict[str, QueryFn]:
         "pip_snap_sensitivity": q_pip_snap_sensitivity,
         "vector_raster_consistency": q_vector_raster_consistency,
         "ltv_curve": rel.ltv_curve,
+        "suppression_cost": rel.suppression_cost,
+        "backlog_age": rel.backlog_age,
     })
 
 
@@ -5888,6 +5890,8 @@ def spatial_oracles(sf: str = "sf0.01") -> dict[str, str]:
         "pip_snap_sensitivity": _sql_pip_snap_sensitivity(fx),
         "vector_raster_consistency": _sql_vector_raster_consistency(fx, w),
         "ltv_curve": rel.ltv_curve_sql(),
+        "suppression_cost": rel.suppression_cost_sql(),
+        "backlog_age": rel.backlog_age_sql(),
     })
 
 
