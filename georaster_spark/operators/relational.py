@@ -12562,3 +12562,201 @@ SELECT qd,
        CAST(SUM(l_orderkey) AS BIGINT) AS order_checksum
 FROM open_ GROUP BY qd, age_bucket ORDER BY qd, age_bucket
 """
+
+
+# --- decimal-vs-integer money-path drift audit ----------------------------------
+
+
+def decimal_drift_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Money-path policy audit: the engine's canonical integer-cents
+    path (CAST(round(100 * x) AS BIGINT)) against the DECIMAL(18,2)
+    path (cast the double price to exact decimal, sum, scale) — per
+    order-year both totals and a drift column that MUST be zero while
+    prices carry two decimals (the audit that catches a source
+    switching to sub-cent pricing before it silently floors).  Both
+    engines' double->decimal casts round the same two-decimal values
+    exactly, so the identity is cross-engine-stable.
+
+    Scale shape: one year census, two summation paths in the same
+    agg."""
+    o = _t(spark, sf_dir, "orders")
+    return (
+        o.groupBy(F.year("o_orderdate").alias("y"))
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.sum(F.expr("CAST(round(100 * o_totalprice) AS BIGINT)")).alias(
+                "int_cents"
+            ),
+            F.expr(
+                "CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) * 100 AS BIGINT)"
+            ).alias("dec_cents"),
+        )
+        .select(
+            "y", "n_orders", "int_cents", "dec_cents",
+            (F.col("int_cents") - F.col("dec_cents")).alias("drift_cents"),
+        )
+        .repartition(1)
+        .sortWithinPartitions("y")
+    )
+
+
+def decimal_drift_audit_sql() -> str:
+    return """
+SELECT EXTRACT(year FROM o_orderdate) AS y,
+       COUNT(*) AS n_orders,
+       CAST(SUM(CAST(round(100 * o_totalprice) AS BIGINT)) AS BIGINT) AS int_cents,
+       CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) * 100 AS BIGINT) AS dec_cents,
+       CAST(SUM(CAST(round(100 * o_totalprice) AS BIGINT))
+            - CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) * 100 AS BIGINT) AS BIGINT) AS drift_cents
+FROM orders GROUP BY y ORDER BY y
+"""
+
+
+# --- turning-point randomness census --------------------------------------------
+
+
+def turning_points(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Turning-point test components (the second classic
+    distribution-free randomness check next to runs_test): over the
+    daily-revenue series, exact counts of strict local maxima and
+    minima (both neighbors strictly lower/higher), the interior day
+    count, and the expected turning-point rate 2/3 scaled —
+    observed_ppm vs 666666 is the read.
+
+    Scale shape: one date census + one lag/lead window + single-row
+    arithmetic."""
+    o = _t(spark, sf_dir, "orders")
+    daily = o.groupBy("o_orderdate").agg(
+        F.sum(F.expr("CAST(round(o_totalprice * 100) AS BIGINT)")).alias("v")
+    )
+    w = Window.orderBy("o_orderdate")
+    x = daily.select(
+        "v",
+        F.lag("v").over(w).alias("p"),
+        F.lead("v").over(w).alias("nx"),
+    ).where(F.col("p").isNotNull() & F.col("nx").isNotNull())
+    return x.agg(
+        F.count(F.lit(1)).alias("n_interior"),
+        F.sum(
+            F.when((F.col("v") > F.col("p")) & (F.col("v") > F.col("nx")), 1)
+            .otherwise(0)
+        ).alias("n_maxima"),
+        F.sum(
+            F.when((F.col("v") < F.col("p")) & (F.col("v") < F.col("nx")), 1)
+            .otherwise(0)
+        ).alias("n_minima"),
+    ).select(
+        "n_interior", "n_maxima", "n_minima",
+        F.expr(
+            "CAST(div(1000000 * (n_maxima + n_minima), n_interior) AS BIGINT)"
+        ).alias("observed_ppm"),
+        F.lit(666666).cast("long").alias("expected_ppm"),
+    )
+
+
+def turning_points_sql() -> str:
+    return """
+WITH daily AS (
+  SELECT o_orderdate, SUM(CAST(round(o_totalprice * 100) AS BIGINT)) AS v
+  FROM orders GROUP BY o_orderdate
+),
+x AS (
+  SELECT v,
+         lag(v) OVER (ORDER BY o_orderdate) AS p,
+         lead(v) OVER (ORDER BY o_orderdate) AS nx
+  FROM daily
+  QUALIFY p IS NOT NULL AND nx IS NOT NULL
+)
+SELECT COUNT(*) AS n_interior,
+       CAST(SUM(CASE WHEN v > p AND v > nx THEN 1 ELSE 0 END) AS BIGINT) AS n_maxima,
+       CAST(SUM(CASE WHEN v < p AND v < nx THEN 1 ELSE 0 END) AS BIGINT) AS n_minima,
+       CAST((1000000 * (SUM(CASE WHEN v > p AND v > nx THEN 1 ELSE 0 END)
+            + SUM(CASE WHEN v < p AND v < nx THEN 1 ELSE 0 END))) // COUNT(*) AS BIGINT) AS observed_ppm,
+       CAST(666666 AS BIGINT) AS expected_ppm
+FROM x
+"""
+
+
+# --- clustering spectrum c(k) on the thresholded co-purchase graph --------------
+
+
+def clustering_spectrum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Degree-resolved clustering spectrum c(k) (hierarchical-network
+    diagnostic, Ravasz & Barabási 2003): on the support >= 3
+    co-purchase graph, each node's local clustering coefficient as the
+    exact fraction 2*T / (d*(d-1)) — triangles T from one edge-edge-
+    edge join — averaged per degree with the mean in ppm via summed
+    exact per-node ppm (floor) — falling c(k) is the hierarchy
+    signature; flat is random.
+
+    Scale shape: the thresholded graph is small by construction (the
+    support cut); triangle counting is two key-local joins."""
+    li = _t(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey").distinct()
+    a = li.select(F.col("l_orderkey").alias("k"), F.col("l_partkey").alias("u"))
+    b = li.select(F.col("l_orderkey").alias("k"), F.col("l_partkey").alias("v"))
+    edges = (
+        a.join(b, "k")
+        .where(F.col("u") != F.col("v"))
+        .groupBy("u", "v")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .where(F.col("c") >= 3)
+        .select("u", "v")
+    )
+    deg = edges.groupBy("u").agg(F.count(F.lit(1)).alias("d"))
+    e2 = edges.select(F.col("u").alias("v"), F.col("v").alias("w2"))
+    e3 = edges.select(F.col("u").alias("tu"), F.col("v").alias("tw"))
+    tri = (
+        edges.join(e2, "v")
+        .join(e3, (F.col("u") == F.col("tu")) & (F.col("w2") == F.col("tw")))
+        .groupBy("u")
+        .agg((F.count(F.lit(1)) / 2).cast("long").alias("t"))
+    )
+    x = deg.join(tri, "u", "left").select(
+        "u", "d", F.coalesce(F.col("t"), F.lit(0)).alias("t")
+    ).where(F.col("d") >= 2)
+    per = x.select(
+        "d", F.expr("div(1000000 * 2 * t, d * (d - 1))").alias("cc_ppm")
+    )
+    return (
+        per.groupBy("d")
+        .agg(
+            F.count(F.lit(1)).alias("n_nodes"),
+            F.expr("CAST(div(sum(cc_ppm), count(1)) AS BIGINT)").alias(
+                "mean_cc_ppm"
+            ),
+        )
+        .repartition(1)
+        .sortWithinPartitions("d")
+    )
+
+
+def clustering_spectrum_sql() -> str:
+    return """
+WITH li AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+edges AS (
+  SELECT a.l_partkey AS u, b.l_partkey AS v
+  FROM li a JOIN li b ON b.l_orderkey = a.l_orderkey
+   AND a.l_partkey != b.l_partkey
+  GROUP BY u, v HAVING COUNT(*) >= 3
+),
+deg AS (SELECT u, COUNT(*) AS d FROM edges GROUP BY u),
+tri AS (
+  SELECT e1.u, CAST(COUNT(*) // 2 AS BIGINT) AS t
+  FROM edges e1
+  JOIN edges e2 ON e2.u = e1.v
+  JOIN edges e3 ON e3.u = e1.u AND e3.v = e2.v
+  GROUP BY e1.u
+),
+x AS (
+  SELECT deg.u, d, COALESCE(t, 0) AS t
+  FROM deg LEFT JOIN tri ON tri.u = deg.u
+  WHERE d >= 2
+),
+per AS (
+  SELECT d, (1000000 * 2 * t) // (d * (d - 1)) AS cc_ppm FROM x
+)
+SELECT CAST(d AS BIGINT) AS d,
+       COUNT(*) AS n_nodes,
+       CAST(SUM(cc_ppm) // COUNT(*) AS BIGINT) AS mean_cc_ppm
+FROM per GROUP BY d ORDER BY d
+"""

@@ -5419,6 +5419,9 @@ def spatial_queries() -> dict[str, QueryFn]:
         "ltv_curve": rel.ltv_curve,
         "suppression_cost": rel.suppression_cost,
         "backlog_age": rel.backlog_age,
+        "decimal_drift_audit": rel.decimal_drift_audit,
+        "turning_points": rel.turning_points,
+        "clustering_spectrum": rel.clustering_spectrum,
     })
 
 
@@ -5892,6 +5895,9 @@ def spatial_oracles(sf: str = "sf0.01") -> dict[str, str]:
         "ltv_curve": rel.ltv_curve_sql(),
         "suppression_cost": rel.suppression_cost_sql(),
         "backlog_age": rel.backlog_age_sql(),
+        "decimal_drift_audit": rel.decimal_drift_audit_sql(),
+        "turning_points": rel.turning_points_sql(),
+        "clustering_spectrum": rel.clustering_spectrum_sql(),
     })
 
 
