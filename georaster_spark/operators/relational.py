@@ -12760,3 +12760,118 @@ SELECT CAST(d AS BIGINT) AS d,
        CAST(SUM(cc_ppm) // COUNT(*) AS BIGINT) AS mean_cc_ppm
 FROM per GROUP BY d ORDER BY d
 """
+
+
+# --- triangle-counting orientation work audit -----------------------------------
+
+
+def triangle_orientation_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Triangle-counting orientation audit (the degree-ordering trick
+    that makes trillion-edge triangle counts feasible — Chiba-Nishizeki
+    / the 'forward' algorithm): on the support >= 3 co-purchase graph,
+    count triangles TWICE — via the naive undirected wedge join and
+    via edges oriented from lower (degree, id) to higher — prove the
+    counts equal, and report both strategies' EXACT intermediate wedge
+    sizes: the naive sum d*(d-1)/2 against the oriented sum
+    outdeg*(outdeg-1)/2, whose ratio is the work saved at any scale.
+
+    Scale shape: degree census + two bounded wedge joins on the
+    thresholded graph; the lesson (orientation caps out-degree) is
+    scale-free."""
+    li = _t(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey").distinct()
+    a = li.select(F.col("l_orderkey").alias("k"), F.col("l_partkey").alias("u"))
+    b = li.select(F.col("l_orderkey").alias("k"), F.col("l_partkey").alias("v"))
+    und = (
+        a.join(b, "k")
+        .where(F.col("u") != F.col("v"))
+        .groupBy("u", "v")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .where(F.col("c") >= 3)
+        .select("u", "v")
+    )
+    deg = und.groupBy("u").agg(F.count(F.lit(1)).alias("d"))
+    dv = deg.select(F.col("u").alias("v"), F.col("d").alias("dv"))
+    ori = (
+        und.join(deg, "u")
+        .join(dv, "v")
+        .where(
+            (F.col("d") < F.col("dv"))
+            | ((F.col("d") == F.col("dv")) & (F.col("u") < F.col("v")))
+        )
+        .select("u", "v")
+    )
+    # naive triangle count: sum over undirected wedges closed, / 6
+    w2 = und.select(F.col("u").alias("v"), F.col("v").alias("w2"))
+    w3 = und.select(F.col("u").alias("tu"), F.col("v").alias("tw"))
+    tri_naive = (
+        und.join(w2, "v")
+        .where(F.col("w2") != F.col("u"))
+        .join(w3, (F.col("tu") == F.col("u")) & (F.col("tw") == F.col("w2")))
+        .agg((F.count(F.lit(1)) / 6).cast("long").alias("tri_naive"))
+    )
+    o2 = ori.select(F.col("u").alias("ou"), F.col("v").alias("ov"))
+    o3 = ori.select(F.col("u").alias("pu"), F.col("v").alias("pv"))
+    tri_ori = (
+        ori.join(o2, F.col("v") == F.col("ou"))
+        .join(o3, (F.col("pu") == F.col("u")) & (F.col("pv") == F.col("ov")))
+        .agg(F.count(F.lit(1)).alias("tri_oriented"))
+    )
+    work_naive = deg.agg(
+        F.sum(F.expr("div(d * (d - 1), 2)")).alias("wedges_naive")
+    )
+    odeg = ori.groupBy("u").agg(F.count(F.lit(1)).alias("od"))
+    work_ori = odeg.agg(
+        F.sum(F.expr("div(od * (od - 1), 2)")).alias("wedges_oriented")
+    )
+    one = tri_naive.crossJoin(tri_ori).crossJoin(work_naive).crossJoin(work_ori)
+    return one.select(
+        "tri_naive", "tri_oriented",
+        F.when(F.col("tri_naive") == F.col("tri_oriented"), 1)
+        .otherwise(0).cast("int").alias("counts_agree"),
+        "wedges_naive", "wedges_oriented",
+        F.expr(
+            "CAST(CASE WHEN wedges_naive > 0 THEN"
+            " div(1000000 * wedges_oriented, wedges_naive) ELSE 0 END AS BIGINT)"
+        ).alias("work_ratio_ppm"),
+    )
+
+
+def triangle_orientation_audit_sql() -> str:
+    return """
+WITH li AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+und AS (
+  SELECT a.l_partkey AS u, b.l_partkey AS v
+  FROM li a JOIN li b ON b.l_orderkey = a.l_orderkey
+   AND a.l_partkey != b.l_partkey
+  GROUP BY u, v HAVING COUNT(*) >= 3
+),
+deg AS (SELECT u, COUNT(*) AS d FROM und GROUP BY u),
+ori AS (
+  SELECT und.u, und.v
+  FROM und JOIN deg du ON du.u = und.u JOIN deg dv ON dv.u = und.v
+  WHERE du.d < dv.d OR (du.d = dv.d AND und.u < und.v)
+),
+tri_naive AS (
+  SELECT CAST(COUNT(*) // 6 AS BIGINT) AS tri_naive
+  FROM und e1
+  JOIN und e2 ON e2.u = e1.v AND e2.v != e1.u
+  JOIN und e3 ON e3.u = e1.u AND e3.v = e2.v
+),
+tri_ori AS (
+  SELECT COUNT(*) AS tri_oriented
+  FROM ori e1
+  JOIN ori e2 ON e2.u = e1.v
+  JOIN ori e3 ON e3.u = e1.u AND e3.v = e2.v
+),
+wn AS (SELECT SUM(d * (d - 1) // 2) AS wedges_naive FROM deg),
+odeg AS (SELECT u, COUNT(*) AS od FROM ori GROUP BY u),
+wo AS (SELECT SUM(od * (od - 1) // 2) AS wedges_oriented FROM odeg)
+SELECT CAST(tri_naive AS BIGINT) AS tri_naive,
+       CAST(tri_oriented AS BIGINT) AS tri_oriented,
+       CAST(CASE WHEN tri_naive = tri_oriented THEN 1 ELSE 0 END AS INT) AS counts_agree,
+       CAST(wedges_naive AS BIGINT) AS wedges_naive,
+       CAST(wedges_oriented AS BIGINT) AS wedges_oriented,
+       CAST(CASE WHEN wedges_naive > 0
+                 THEN (1000000 * wedges_oriented) // wedges_naive ELSE 0 END AS BIGINT) AS work_ratio_ppm
+FROM tri_naive, tri_ori, wn, wo
+"""

@@ -6425,3 +6425,64 @@ SELECT term, CAST(df AS BIGINT) AS df,
        CAST((1000000 * df) // (SELECT n FROM nd) AS BIGINT) AS base_rate_ppm
 FROM agg ORDER BY term
 """
+
+
+# --- consonant-vowel phonotactic pattern census ---------------------------------
+
+
+def cv_patterns(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Phonotactic CV-pattern census (the consonant/vowel skeleton
+    linguists profile corpora with): each vocabulary term maps
+    letter-by-letter to c/v (aeiouy = v, other letters = c, anything
+    else = x) via one translate() call, and the census reports each
+    pattern's type count, token mass, and a term-length checksum —
+    the shape inventory of the corpus lexicon.
+
+    Scale shape: one vocabulary census + map-only translate + one
+    pattern census."""
+    tf = (
+        _docs(spark, sf_dir)
+        .select(F.explode(_clean_words()).alias("term"))
+        .groupBy("term")
+        .agg(F.count(F.lit(1)).alias("f"))
+    )
+    src = "abcdefghijklmnopqrstuvwxyz"
+    dst = "".join("v" if ch in "aeiouy" else "c" for ch in src)
+    pat = F.translate(F.col("term"), src, dst)
+    x = tf.select(
+        pat.alias("pattern"), "f", F.length("term").alias("ln")
+    ).where(~F.col("pattern").rlike("[^cv]"))
+    return (
+        x.groupBy("pattern")
+        .agg(
+            F.count(F.lit(1)).alias("n_types"),
+            F.sum("f").alias("token_mass"),
+            F.sum("ln").alias("len_checksum"),
+        )
+        .where(F.col("n_types") >= 2)
+        .repartition(1)
+        .sortWithinPartitions("pattern")
+    )
+
+
+def cv_patterns_sql() -> str:
+    src = "abcdefghijklmnopqrstuvwxyz"
+    dst = "".join("v" if ch in "aeiouy" else "c" for ch in src)
+    return f"""
+WITH tf AS (
+  SELECT term, COUNT(*) AS f
+  FROM (SELECT unnest(list_filter({_SQL_WS}, t -> t <> '')) AS term FROM documents)
+  GROUP BY term
+),
+x AS (
+  SELECT translate(term, '{src}', '{dst}') AS pattern, f, length(term) AS ln
+  FROM tf
+  WHERE NOT regexp_matches(translate(term, '{src}', '{dst}'), '[^cv]')
+)
+SELECT pattern,
+       COUNT(*) AS n_types,
+       CAST(SUM(f) AS BIGINT) AS token_mass,
+       CAST(SUM(ln) AS BIGINT) AS len_checksum
+FROM x GROUP BY pattern HAVING COUNT(*) >= 2
+ORDER BY pattern
+"""

@@ -5422,6 +5422,9 @@ def spatial_queries() -> dict[str, QueryFn]:
         "decimal_drift_audit": rel.decimal_drift_audit,
         "turning_points": rel.turning_points,
         "clustering_spectrum": rel.clustering_spectrum,
+        "otsu2_global": q_otsu2_global,
+        "cv_patterns": textops.cv_patterns,
+        "triangle_orientation_audit": rel.triangle_orientation_audit,
     })
 
 
@@ -5898,6 +5901,9 @@ def spatial_oracles(sf: str = "sf0.01") -> dict[str, str]:
         "decimal_drift_audit": rel.decimal_drift_audit_sql(),
         "turning_points": rel.turning_points_sql(),
         "clustering_spectrum": rel.clustering_spectrum_sql(),
+        "otsu2_global": _sql_otsu2_global(fx, w),
+        "cv_patterns": textops.cv_patterns_sql(),
+        "triangle_orientation_audit": rel.triangle_orientation_audit_sql(),
     })
 
 
@@ -16602,4 +16608,114 @@ SELECT zcount.zone_id,
        CAST((1000000 * n_pixels * 2000000) // (area2 * {w} * {w}) AS BIGINT) AS coverage_ppm
 FROM zcount JOIN area ON area.zone_id = zcount.zone_id
 ORDER BY zcount.zone_id
+"""
+
+
+def q_otsu2_global(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-level Otsu thresholding on the global per-fmt histogram,
+    EXHAUSTIVE and EXACT (the multi-Otsu of scikit-image
+    threshold_multiotsu, solved on the <=256-bin histogram where the
+    search space is a 32k pair lattice, not the pixel count): the
+    between-class criterion sum_k S_k^2/N_k is cleared to the common
+    denominator N1*N2*N3 and compared in DECIMAL(38,0)/HUGEINT — the
+    argmax (t1 < t2) is found by exact ordered selection with a
+    deterministic tie-break. Pixels are counted once; the search
+    touches only the histogram.
+
+    Scale shape: one histogram census (the same <=256-row-per-fmt
+    table equalize uses) + a bounded threshold-pair lattice join."""
+    from ..operators import raster_stats
+
+    tiles = geo.georegister(_images(spark, sf_dir))
+    hist = raster_stats.pixel_histogram(tiles)
+    # cumulative sums per fmt
+    wcum = Window.partitionBy("fmt").orderBy("bin").rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    wtot = Window.partitionBy("fmt")
+    cum = hist.select(
+        "fmt", "bin",
+        F.sum("cnt").over(wcum).alias("cn"),
+        F.sum(F.col("cnt") * F.col("bin")).over(wcum).alias("cs"),
+        F.sum("cnt").over(wtot).alias("n"),
+        F.sum(F.col("cnt") * F.col("bin")).over(wtot).alias("s"),
+    )
+    t1 = cum.select(
+        "fmt", F.col("bin").alias("t1"),
+        F.col("cn").alias("n1"), F.col("cs").alias("s1"), "n", "s",
+    )
+    t2 = cum.select(
+        F.col("fmt").alias("fmt2"), F.col("bin").alias("t2"),
+        F.col("cn").alias("cn2"), F.col("cs").alias("cs2"),
+    )
+    pairs = t1.join(
+        t2, (F.col("fmt") == F.col("fmt2")) & (F.col("t2") > F.col("t1"))
+    ).select(
+        "fmt", "t1", "t2", "n1", "s1",
+        (F.col("cn2") - F.col("n1")).alias("n2"),
+        (F.col("cs2") - F.col("s1")).alias("s2"),
+        (F.col("n") - F.col("cn2")).alias("n3"),
+        (F.col("s") - F.col("cs2")).alias("s3"),
+    ).where((F.col("n1") > 0) & (F.col("n2") > 0) & (F.col("n3") > 0))
+    val = (
+        "CAST(s1 AS DECIMAL(38,0)) * s1 * n2 * n3"
+        " + CAST(s2 AS DECIMAL(38,0)) * s2 * n1 * n3"
+        " + CAST(s3 AS DECIMAL(38,0)) * s3 * n1 * n2"
+    )
+    w = Window.partitionBy("fmt").orderBy(
+        F.expr(val).desc(), F.col("t1"), F.col("t2")
+    )
+    return (
+        pairs.select(
+            "fmt", "t1", "t2", "n1", "n2", "n3",
+            F.row_number().over(w).alias("rk"),
+        )
+        .where(F.col("rk") == 1)
+        .drop("rk")
+        .repartition(1)
+        .sortWithinPartitions("fmt")
+    )
+
+
+def _sql_otsu2_global(fx: Path, w: int) -> str:
+    v = osql.ramp_value_expr("gi.i", "gj.j")
+    val = (
+        "CAST(s1 AS HUGEINT) * s1 * n2 * n3"
+        " + CAST(s2 AS HUGEINT) * s2 * n1 * n3"
+        " + CAST(s3 AS HUGEINT) * s3 * n1 * n2"
+    )
+    return f"""
+WITH {osql.georegister_cte(str(fx / 'images.parquet'))},
+px AS (
+  SELECT fmt, {v} AS b
+  FROM tiles,
+       generate_series(0, {w - 1}) AS gi(i), generate_series(0, {w - 1}) AS gj(j)
+),
+hist AS (SELECT fmt, b AS bin, COUNT(*) AS cnt FROM px GROUP BY fmt, b),
+cum AS (
+  SELECT fmt, bin,
+         SUM(cnt) OVER (PARTITION BY fmt ORDER BY bin
+            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cn,
+         SUM(cnt * bin) OVER (PARTITION BY fmt ORDER BY bin
+            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cs,
+         SUM(cnt) OVER (PARTITION BY fmt) AS n,
+         SUM(cnt * bin) OVER (PARTITION BY fmt) AS s
+  FROM hist
+),
+pairs AS (
+  SELECT a.fmt, a.bin AS t1, b.bin AS t2,
+         a.cn AS n1, a.cs AS s1,
+         b.cn - a.cn AS n2, b.cs - a.cs AS s2,
+         a.n - b.cn AS n3, a.s - b.cs AS s3
+  FROM cum a JOIN cum b ON b.fmt = a.fmt AND b.bin > a.bin
+  WHERE a.cn > 0 AND b.cn - a.cn > 0 AND a.n - b.cn > 0
+),
+rk AS (
+  SELECT fmt, t1, t2, n1, n2, n3,
+         row_number() OVER (PARTITION BY fmt ORDER BY {val} DESC, t1, t2) AS rk
+  FROM pairs
+)
+SELECT fmt, CAST(t1 AS INT) AS t1, CAST(t2 AS INT) AS t2,
+       CAST(n1 AS BIGINT) AS n1, CAST(n2 AS BIGINT) AS n2, CAST(n3 AS BIGINT) AS n3
+FROM rk WHERE rk = 1 ORDER BY fmt
 """
