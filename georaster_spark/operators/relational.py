@@ -12875,3 +12875,161 @@ SELECT CAST(tri_naive AS BIGINT) AS tri_naive,
                  THEN (1000000 * wedges_oriented) // wedges_naive ELSE 0 END AS BIGINT) AS work_ratio_ppm
 FROM tri_naive, tri_ori, wn, wo
 """
+
+
+# --- deterministic birthday-collision census ------------------------------------
+
+_BDAY_DRAWS = (100, 500, 1000)
+_BDAY_N = 4096
+
+
+def birthday_census(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Birthday-collision census with deterministic hash draws (the
+    load-factor intuition behind every hash-table and shard-placement
+    sizing decision, demonstrated instead of quoted): for k in
+    {100, 500, 1000} deterministic draws h40('bd:'||i) % 4096, the
+    exact distinct-bucket count, collision count, and max bucket
+    occupancy — reproducible, no RNG state.
+
+    Scale shape: a bounded draw explode + three bucket censuses."""
+    mx = max(_BDAY_DRAWS)
+    draws = spark.range(mx).select(
+        F.col("id").alias("i"),
+        (
+            F.conv(
+                F.substring(F.md5(F.concat(F.lit("bd:"), F.col("id").cast("string"))), 1, 10),
+                16, 10,
+            ).cast("long")
+            % _BDAY_N
+        ).alias("b"),
+    )
+    ks = spark.createDataFrame([(k,) for k in _BDAY_DRAWS], "k long")
+    x = ks.crossJoin(draws).where(F.col("i") < F.col("k"))
+    per = x.groupBy("k", "b").agg(F.count(F.lit(1)).alias("c"))
+    return (
+        per.groupBy("k")
+        .agg(
+            F.count(F.lit(1)).alias("distinct_buckets"),
+            F.max("c").alias("max_bucket"),
+        )
+        .select(
+            "k", "distinct_buckets",
+            (F.col("k") - F.col("distinct_buckets")).alias("collisions"),
+            "max_bucket",
+        )
+        .repartition(1)
+        .sortWithinPartitions("k")
+    )
+
+
+def birthday_census_sql() -> str:
+    ks = ", ".join(f"({k})" for k in _BDAY_DRAWS)
+    mx = max(_BDAY_DRAWS)
+    return f"""
+WITH draws AS (
+  SELECT i,
+         CAST('0x' || substring(md5('bd:' || CAST(i AS VARCHAR)), 1, 10) AS BIGINT)
+           % {_BDAY_N} AS b
+  FROM (SELECT unnest(range({mx})) AS i)
+),
+ks AS (SELECT * FROM (VALUES {ks}) AS t(k)),
+per AS (
+  SELECT k, b, COUNT(*) AS c FROM ks, draws WHERE i < k GROUP BY k, b
+)
+SELECT CAST(k AS BIGINT) AS k,
+       COUNT(*) AS distinct_buckets,
+       CAST(k - COUNT(*) AS BIGINT) AS collisions,
+       CAST(MAX(c) AS BIGINT) AS max_bucket
+FROM per GROUP BY k ORDER BY k
+"""
+
+
+# --- Markov context-order predictability gain -----------------------------------
+
+
+def markov_order_gain(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Context-order predictability audit (the model-order question
+    every sequence model starts with, answered with counts instead of
+    entropy): predict each event's type from its 1-event and 2-event
+    context by the exact MAJORITY rule (ties broken lexicographically),
+    and report per order the context count, predictable events, and
+    accuracy in ppm — the order-2 lift over order-1 is the memory in
+    the stream, measured without a single logarithm.
+
+    Scale shape: two user-key lag windows + two context censuses +
+    one majority argmax per context (struct max) — all small keys."""
+    ev = _t(spark, sf_dir, "events").select("user_id", "ts", "event_id", "event_type")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    x = ev.select(
+        F.col("event_type").alias("y"),
+        F.lag("event_type", 1).over(w).alias("c1"),
+        F.lag("event_type", 2).over(w).alias("c2"),
+    )
+
+    def order_row(df, ctx_cols, label):
+        d = df
+        for c in ctx_cols:
+            d = d.where(F.col(c).isNotNull())
+        cnt = d.groupBy(*ctx_cols, "y").agg(F.count(F.lit(1)).alias("n"))
+        # majority with lexicographic tie-break, two-step (max n per
+        # context, then min y among the tied) — struct-extremum argmax
+        # orderings are a known cross-engine hazard
+        mx = cnt.groupBy(*ctx_cols).agg(F.max("n").alias("mx"))
+        pick = (
+            cnt.join(mx, ctx_cols)
+            .where(F.col("n") == F.col("mx"))
+            .groupBy(*ctx_cols)
+            .agg(F.min("y").alias("pred"), F.max("mx").alias("mx"))
+        )
+        tot = cnt.groupBy(*ctx_cols).agg(F.sum("n").alias("tot"))
+        agg = (
+            pick.join(tot, ctx_cols)
+            .agg(
+                F.count(F.lit(1)).alias("n_contexts"),
+                F.sum("mx").alias("correct"),
+                F.sum("tot").alias("events"),
+            )
+        )
+        return agg.select(
+            F.lit(label).cast("long").alias("order"),
+            "n_contexts", "correct", "events",
+            F.expr("CAST(div(1000000 * correct, events) AS BIGINT)").alias(
+                "accuracy_ppm"
+            ),
+        )
+    o1 = order_row(x, ["c1"], 1)
+    o2 = order_row(x, ["c1", "c2"], 2)
+    return o1.unionByName(o2).repartition(1).sortWithinPartitions("order")
+
+
+def markov_order_gain_sql() -> str:
+    def block(ctx, label):
+        cols = ", ".join(ctx)
+        notnull = " AND ".join(f"{c} IS NOT NULL" for c in ctx)
+        return f"""
+  SELECT {label} AS ord, COUNT(*) AS n_contexts,
+         SUM(mx) AS correct, SUM(tot) AS events,
+         (1000000 * SUM(mx)) // SUM(tot) AS accuracy_ppm
+  FROM (
+    SELECT {cols}, MAX(n) AS mx, SUM(n) AS tot
+    FROM (SELECT {cols}, y, COUNT(*) AS n FROM x WHERE {notnull} GROUP BY {cols}, y)
+    GROUP BY {cols}
+  )"""
+    return f"""
+WITH x AS (
+  SELECT event_type AS y,
+         lag(event_type, 1) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS c1,
+         lag(event_type, 2) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS c2
+  FROM events
+)
+SELECT CAST(ord AS BIGINT) AS "order",
+       CAST(n_contexts AS BIGINT) AS n_contexts,
+       CAST(correct AS BIGINT) AS correct,
+       CAST(events AS BIGINT) AS events,
+       CAST(accuracy_ppm AS BIGINT) AS accuracy_ppm
+FROM (
+{block(['c1'], 1)}
+  UNION ALL
+{block(['c1', 'c2'], 2)}
+) ORDER BY "order"
+"""

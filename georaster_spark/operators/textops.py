@@ -6486,3 +6486,129 @@ SELECT pattern,
 FROM x GROUP BY pattern HAVING COUNT(*) >= 2
 ORDER BY pattern
 """
+
+
+# --- b-bit MinHash accuracy tradeoff --------------------------------------------
+
+
+def bbit_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """b-bit MinHash audit (Li & Konig 2010: store only the lowest bit
+    of each minhash and debias): per source pair, the exact vocabulary
+    Jaccard, the full 16-permutation estimate, the RAW 1-bit match
+    rate, and the debiased 1-bit estimate 2*(rate - 1/2) clamped at 0
+    — all ppm integers on the same rows, so the storage/accuracy
+    frontier (16x compression vs added variance) is read directly.
+
+    Scale shape: same censuses as source_jaccard + a 16-term bit
+    compare; the audit is pairs-of-groups sized."""
+    st = (
+        _docs(spark, sf_dir)
+        .select("source", F.explode(F.array_distinct(_clean_words())).alias("tok"))
+        .distinct()
+    )
+    sizes = st.groupBy("source").agg(F.count(F.lit(1)).alias("n"))
+    a = st.select(F.col("source").alias("sa"), "tok")
+    b = st.select(F.col("source").alias("sb"), "tok")
+    inter = (
+        a.join(b, "tok")
+        .where(F.col("sa") < F.col("sb"))
+        .groupBy("sa", "sb")
+        .agg(F.count(F.lit(1)).alias("ni"))
+    )
+    za = sizes.select(F.col("source").alias("sa"), F.col("n").alias("na"))
+    zb = sizes.select(F.col("source").alias("sb"), F.col("n").alias("nb"))
+    sig = st.select("source", h40(F.col("tok")).alias("h")).groupBy("source").agg(
+        *[
+            F.min((F.lit(MH_A[k]) * F.col("h") + F.lit(MH_B[k])) % F.lit(MH_P)).alias(
+                f"m{k}"
+            )
+            for k in range(MH_K)
+        ]
+    )
+    s1 = sig.select(
+        F.col("source").alias("sa"),
+        *[F.col(f"m{k}").alias(f"a{k}") for k in range(MH_K)],
+    )
+    s2 = sig.select(
+        F.col("source").alias("sb"),
+        *[F.col(f"m{k}").alias(f"b{k}") for k in range(MH_K)],
+    )
+    full = sum(
+        F.when(F.col(f"a{k}") == F.col(f"b{k}"), 1).otherwise(0) for k in range(MH_K)
+    )
+    bit = sum(
+        F.when((F.col(f"a{k}") % 2) == (F.col(f"b{k}") % 2), 1).otherwise(0)
+        for k in range(MH_K)
+    )
+    est = s1.crossJoin(s2).where(F.col("sa") < F.col("sb")).select(
+        "sa", "sb", full.alias("full_matches"), bit.alias("bit_matches")
+    )
+    return (
+        inter.join(za, "sa").join(zb, "sb").join(est, ["sa", "sb"])
+        .select(
+            "sa", "sb",
+            F.expr("CAST(div(1000000 * ni, na + nb - ni) AS BIGINT)").alias(
+                "jaccard_ppm"
+            ),
+            F.expr(f"CAST(div(1000000 * full_matches, {MH_K}) AS BIGINT)").alias(
+                "full_est_ppm"
+            ),
+            F.expr(f"CAST(div(1000000 * bit_matches, {MH_K}) AS BIGINT)").alias(
+                "bit_rate_ppm"
+            ),
+            F.expr(
+                f"CAST(greatest(div(2000000 * bit_matches, {MH_K}) - 1000000, 0)"
+                " AS BIGINT)"
+            ).alias("bit_est_ppm"),
+        )
+        .repartition(1)
+        .sortWithinPartitions("sa", "sb")
+    )
+
+
+def bbit_minhash_sql() -> str:
+    h = _SQL_H40.format(s="tok")
+    mh = ",\n         ".join(
+        f"MIN(({MH_A[k]} * {h} + {MH_B[k]}) % {MH_P}) AS m{k}" for k in range(MH_K)
+    )
+    full = " + ".join(
+        f"CASE WHEN s1.m{k} = s2.m{k} THEN 1 ELSE 0 END" for k in range(MH_K)
+    )
+    bit = " + ".join(
+        f"CASE WHEN s1.m{k} % 2 = s2.m{k} % 2 THEN 1 ELSE 0 END"
+        for k in range(MH_K)
+    )
+    return f"""
+WITH st AS (
+  SELECT DISTINCT source,
+         unnest(list_distinct(list_filter({_SQL_WS}, t -> t <> ''))) AS tok
+  FROM documents
+),
+sizes AS (SELECT source, COUNT(*) AS n FROM st GROUP BY source),
+inter AS (
+  SELECT a.source AS sa, b.source AS sb, COUNT(*) AS ni
+  FROM st a JOIN st b ON b.tok = a.tok AND a.source < b.source
+  GROUP BY sa, sb
+),
+sig AS (
+  SELECT source,
+         {mh}
+  FROM st GROUP BY source
+),
+est AS (
+  SELECT s1.source AS sa, s2.source AS sb,
+         {full} AS full_matches,
+         {bit} AS bit_matches
+  FROM sig s1 JOIN sig s2 ON s1.source < s2.source
+)
+SELECT inter.sa, inter.sb,
+       CAST((1000000 * ni) // (za.n + zb.n - ni) AS BIGINT) AS jaccard_ppm,
+       CAST((1000000 * full_matches) // {MH_K} AS BIGINT) AS full_est_ppm,
+       CAST((1000000 * bit_matches) // {MH_K} AS BIGINT) AS bit_rate_ppm,
+       CAST(greatest((2000000 * bit_matches) // {MH_K} - 1000000, 0) AS BIGINT) AS bit_est_ppm
+FROM inter
+JOIN sizes za ON za.source = inter.sa
+JOIN sizes zb ON zb.source = inter.sb
+JOIN est ON est.sa = inter.sa AND est.sb = inter.sb
+ORDER BY inter.sa, inter.sb
+"""

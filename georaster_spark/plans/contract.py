@@ -5425,6 +5425,9 @@ def spatial_queries() -> dict[str, QueryFn]:
         "otsu2_global": q_otsu2_global,
         "cv_patterns": textops.cv_patterns,
         "triangle_orientation_audit": rel.triangle_orientation_audit,
+        "bbit_minhash": textops.bbit_minhash,
+        "birthday_census": rel.birthday_census,
+        "markov_order_gain": rel.markov_order_gain,
     })
 
 
@@ -5904,6 +5907,9 @@ def spatial_oracles(sf: str = "sf0.01") -> dict[str, str]:
         "otsu2_global": _sql_otsu2_global(fx, w),
         "cv_patterns": textops.cv_patterns_sql(),
         "triangle_orientation_audit": rel.triangle_orientation_audit_sql(),
+        "bbit_minhash": textops.bbit_minhash_sql(),
+        "birthday_census": rel.birthday_census_sql(),
+        "markov_order_gain": rel.markov_order_gain_sql(),
     })
 
 
