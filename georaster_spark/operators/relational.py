@@ -13033,3 +13033,193 @@ FROM (
 {block(['c1', 'c2'], 2)}
 ) ORDER BY "order"
 """
+
+
+# --- repeat-purchase rate by first-order size decile ----------------------------
+
+
+def repeat_by_first_size(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Repeat-purchase behavioral cohort (does a big first order
+    predict retention?): customers bucketed into deciles of their
+    FIRST order's value (order by date then key, decile by global
+    rank over the customer dim), each decile reporting customers,
+    repeaters (>= 2 orders), repeat rate ppm, and mean first-order
+    cents — the acquisition-quality table growth teams argue over,
+    exact.
+
+    Scale shape: one customer-key first-order pick (min struct), one
+    customer-dim decile window, one 10-key census."""
+    o = _t(spark, sf_dir, "orders")
+    per_cust = o.groupBy("o_custkey").agg(
+        F.count(F.lit(1)).alias("n_orders"),
+        F.min(
+            F.struct(
+                "o_orderdate", "o_orderkey",
+                F.expr("CAST(round(o_totalprice * 100) AS BIGINT)").alias("cents"),
+            )
+        ).alias("first"),
+    ).select(
+        "o_custkey", "n_orders", F.col("first.cents").alias("first_cents")
+    )
+    x = per_cust.select(
+        "o_custkey", "n_orders", "first_cents",
+        F.expr(
+            "CAST(div(10 * (row_number() OVER (ORDER BY first_cents DESC, o_custkey) - 1),"
+            " count(1) OVER ()) AS BIGINT)"
+        ).alias("decile"),
+    )
+    return (
+        x.groupBy("decile")
+        .agg(
+            F.count(F.lit(1)).alias("n_customers"),
+            F.sum(F.when(F.col("n_orders") >= 2, 1).otherwise(0)).alias("repeaters"),
+            F.sum("first_cents").alias("first_cents_sum"),
+        )
+        .select(
+            "decile", "n_customers", "repeaters",
+            F.expr("CAST(div(1000000 * repeaters, n_customers) AS BIGINT)").alias(
+                "repeat_ppm"
+            ),
+            F.expr("CAST(div(first_cents_sum, n_customers) AS BIGINT)").alias(
+                "mean_first_cents"
+            ),
+        )
+        .repartition(1)
+        .sortWithinPartitions("decile")
+    )
+
+
+def repeat_by_first_size_sql() -> str:
+    return """
+WITH per_cust AS (
+  SELECT o_custkey, COUNT(*) AS n_orders,
+         MIN(struct_pack(d := o_orderdate, k := o_orderkey,
+                         cents := CAST(round(o_totalprice * 100) AS BIGINT))) AS first
+  FROM orders GROUP BY o_custkey
+),
+x AS (
+  SELECT o_custkey, n_orders, first.cents AS first_cents,
+         (10 * (row_number() OVER (ORDER BY first.cents DESC, o_custkey) - 1))
+           // COUNT(*) OVER () AS decile
+  FROM per_cust
+)
+SELECT CAST(decile AS BIGINT) AS decile,
+       COUNT(*) AS n_customers,
+       CAST(SUM(CASE WHEN n_orders >= 2 THEN 1 ELSE 0 END) AS BIGINT) AS repeaters,
+       CAST((1000000 * SUM(CASE WHEN n_orders >= 2 THEN 1 ELSE 0 END)) // COUNT(*) AS BIGINT) AS repeat_ppm,
+       CAST(SUM(first_cents) // COUNT(*) AS BIGINT) AS mean_first_cents
+FROM x GROUP BY decile ORDER BY decile
+"""
+
+
+# --- year-end event-study day-offset profile ------------------------------------
+
+
+def event_study(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Event-study day-offset profile (the +-7-day revenue shape
+    around a recurring calendar event, here year-end): for each day
+    offset -7..+7 from any December 31, the exact summed order cents
+    across all years, order counts, and the offset's share of the
+    15-day window in ppm — the seasonality microscope zoomed to one
+    event, exact.
+
+    Scale shape: map-only offset computation (day-of-year arithmetic,
+    no calendar join) + a 15-key census."""
+    o = _t(spark, sf_dir, "orders")
+    doy = F.expr("dayofyear(o_orderdate)")
+    yl = F.expr(
+        "CASE WHEN (year(o_orderdate) % 4 = 0 AND year(o_orderdate) % 100 != 0)"
+        " OR year(o_orderdate) % 400 = 0 THEN 366 ELSE 365 END"
+    )
+    off = F.expr(
+        "CASE WHEN dayofyear(o_orderdate) <= 7 THEN dayofyear(o_orderdate)"
+        " ELSE dayofyear(o_orderdate) - (CASE WHEN (year(o_orderdate) % 4 = 0"
+        " AND year(o_orderdate) % 100 != 0) OR year(o_orderdate) % 400 = 0"
+        " THEN 366 ELSE 365 END) END"
+    )
+    x = o.select(
+        off.alias("offset"),
+        F.expr("CAST(round(o_totalprice * 100) AS BIGINT)").alias("cents"),
+    ).where((F.col("offset") >= -7) & (F.col("offset") <= 7))
+    tot = x.agg(F.sum("cents").alias("wtot"))
+    return (
+        x.groupBy("offset")
+        .agg(F.count(F.lit(1)).alias("n_orders"), F.sum("cents").alias("cents"))
+        .crossJoin(tot)
+        .select(
+            "offset", "n_orders", "cents",
+            F.expr("CAST(div(1000000 * cents, wtot) AS BIGINT)").alias("share_ppm"),
+        )
+        .repartition(1)
+        .sortWithinPartitions("offset")
+    )
+
+
+def event_study_sql() -> str:
+    leap = ("CASE WHEN (EXTRACT(year FROM o_orderdate) % 4 = 0 AND"
+            " EXTRACT(year FROM o_orderdate) % 100 != 0) OR"
+            " EXTRACT(year FROM o_orderdate) % 400 = 0 THEN 366 ELSE 365 END")
+    return f"""
+WITH x AS (
+  SELECT CASE WHEN dayofyear(o_orderdate) <= 7 THEN dayofyear(o_orderdate)
+              ELSE dayofyear(o_orderdate) - ({leap}) END AS offset_,
+         CAST(round(o_totalprice * 100) AS BIGINT) AS cents
+  FROM orders
+),
+f AS (SELECT * FROM x WHERE offset_ BETWEEN -7 AND 7),
+tot AS (SELECT SUM(cents) AS wtot FROM f)
+SELECT CAST(offset_ AS BIGINT) AS "offset",
+       COUNT(*) AS n_orders,
+       CAST(SUM(cents) AS BIGINT) AS cents,
+       CAST((1000000 * SUM(cents)) // (SELECT wtot FROM tot) AS BIGINT) AS share_ppm
+FROM f GROUP BY offset_ ORDER BY offset_
+"""
+
+
+# --- split-shipment span census -------------------------------------------------
+
+
+def shipment_span(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Split-shipment span census (the fulfillment-quality pyramid:
+    how many days separate an order's first and last shipment?): per
+    order the exact ship-date span, rolled up by floor-log2(span+1)
+    bucket with order counts, lineitem counts, and the span-days sum
+    — single-shipment orders land in bucket 0.
+
+    Scale shape: one order-key min/max census + a bucket rollup."""
+    li = _t(spark, sf_dir, "lineitem")
+    per = li.groupBy("l_orderkey").agg(
+        F.count(F.lit(1)).alias("n_items"),
+        F.expr(
+            "CAST(datediff(MAX(l_shipdate), MIN(l_shipdate)) AS BIGINT)"
+        ).alias("span_days"),
+    )
+    return (
+        per.select(
+            "l_orderkey", "n_items", "span_days",
+            (F.length(F.expr("bin(span_days + 1)")) - 1).alias("bucket"),
+        )
+        .groupBy("bucket")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.sum("n_items").alias("n_items"),
+            F.sum("span_days").alias("span_days_sum"),
+        )
+        .repartition(1)
+        .sortWithinPartitions("bucket")
+    )
+
+
+def shipment_span_sql() -> str:
+    return """
+WITH per AS (
+  SELECT l_orderkey, COUNT(*) AS n_items,
+         CAST(date_diff('day', MIN(l_shipdate), MAX(l_shipdate)) AS BIGINT) AS span_days
+  FROM lineitem GROUP BY l_orderkey
+)
+SELECT CAST(length(bin(span_days + 1)) - 1 AS BIGINT) AS bucket,
+       COUNT(*) AS n_orders,
+       CAST(SUM(n_items) AS BIGINT) AS n_items,
+       CAST(SUM(span_days) AS BIGINT) AS span_days_sum
+FROM per GROUP BY bucket ORDER BY bucket
+"""

@@ -5428,6 +5428,9 @@ def spatial_queries() -> dict[str, QueryFn]:
         "bbit_minhash": textops.bbit_minhash,
         "birthday_census": rel.birthday_census,
         "markov_order_gain": rel.markov_order_gain,
+        "repeat_by_first_size": rel.repeat_by_first_size,
+        "event_study": rel.event_study,
+        "shipment_span": rel.shipment_span,
     })
 
 
@@ -5910,6 +5913,9 @@ def spatial_oracles(sf: str = "sf0.01") -> dict[str, str]:
         "bbit_minhash": textops.bbit_minhash_sql(),
         "birthday_census": rel.birthday_census_sql(),
         "markov_order_gain": rel.markov_order_gain_sql(),
+        "repeat_by_first_size": rel.repeat_by_first_size_sql(),
+        "event_study": rel.event_study_sql(),
+        "shipment_span": rel.shipment_span_sql(),
     })
 
 
