@@ -13223,3 +13223,156 @@ SELECT CAST(length(bin(span_days + 1)) - 1 AS BIGINT) AS bucket,
        CAST(SUM(span_days) AS BIGINT) AS span_days_sum
 FROM per GROUP BY bucket ORDER BY bucket
 """
+
+
+# --- dormancy / reactivation census ---------------------------------------------
+
+_DORMANT_DAYS = 180
+
+
+def reactivation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dormancy-reactivation census (the winback table lifecycle
+    marketing plans against): per customer the LONGEST gap between
+    consecutive orders; customers bucket by floor-log2 of that gap in
+    days, with counts, how many came back after a 180+ day dormancy
+    (gap >= 180 with a later order — by construction every max gap
+    has one), and revenue after the longest gap's end in exact cents.
+
+    Scale shape: one customer-key lag window + one customer census +
+    a bucket rollup."""
+    o = _t(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    x = o.select(
+        "o_custkey", "o_orderdate", "o_orderkey",
+        F.expr("CAST(round(o_totalprice * 100) AS BIGINT)").alias("cents"),
+        F.expr(
+            "CAST(datediff(o_orderdate, lag(o_orderdate) OVER"
+            " (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)) AS BIGINT)"
+        ).alias("gap"),
+    )
+    per = x.where(F.col("gap").isNotNull()).groupBy("o_custkey").agg(
+        F.max("gap").alias("max_gap"),
+        F.sum(F.when(F.col("gap") >= _DORMANT_DAYS, F.col("cents"))).alias(
+            "reactivation_cents"
+        ),
+        F.sum(F.when(F.col("gap") >= _DORMANT_DAYS, 1).otherwise(0)).alias(
+            "n_reactivations"
+        ),
+    )
+    return (
+        per.select(
+            (F.length(F.expr("bin(max_gap + 1)")) - 1).alias("gap_bucket"),
+            "n_reactivations",
+            F.coalesce(F.col("reactivation_cents"), F.lit(0)).alias("rc"),
+        )
+        .groupBy("gap_bucket")
+        .agg(
+            F.count(F.lit(1)).alias("n_customers"),
+            F.sum("n_reactivations").alias("reactivations"),
+            F.sum("rc").alias("reactivation_cents"),
+        )
+        .repartition(1)
+        .sortWithinPartitions("gap_bucket")
+    )
+
+
+def reactivation_sql() -> str:
+    return f"""
+WITH x AS (
+  SELECT o_custkey,
+         CAST(round(o_totalprice * 100) AS BIGINT) AS cents,
+         CAST(date_diff('day',
+              lag(o_orderdate) OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey),
+              o_orderdate) AS BIGINT) AS gap
+  FROM orders
+),
+per AS (
+  SELECT o_custkey, MAX(gap) AS max_gap,
+         SUM(CASE WHEN gap >= {_DORMANT_DAYS} THEN cents END) AS reactivation_cents,
+         SUM(CASE WHEN gap >= {_DORMANT_DAYS} THEN 1 ELSE 0 END) AS n_reactivations
+  FROM x WHERE gap IS NOT NULL GROUP BY o_custkey
+)
+SELECT CAST(length(bin(max_gap + 1)) - 1 AS BIGINT) AS gap_bucket,
+       COUNT(*) AS n_customers,
+       CAST(SUM(n_reactivations) AS BIGINT) AS reactivations,
+       CAST(SUM(COALESCE(reactivation_cents, 0)) AS BIGINT) AS reactivation_cents
+FROM per GROUP BY gap_bucket ORDER BY gap_bucket
+"""
+
+
+# --- event-type streak census ---------------------------------------------------
+
+
+def event_streaks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Event-type streak census (the gaps-and-islands classic applied
+    to behavior: how long do users stay in one activity mode?): per
+    user stream, maximal runs of the same event type (run ids from a
+    prefix sum of type-change flags), then per type the run count,
+    longest run, and mean run length in ppm.
+
+    Scale shape: two user-key windows (change flag, run id) + one run
+    census + a 5-key rollup."""
+    ev = _t(spark, sf_dir, "events").select("user_id", "ts", "event_id", "event_type")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    flag = ev.select(
+        "user_id", "event_type",
+        F.when(
+            F.lag("event_type").over(w).isNull()
+            | (F.lag("event_type").over(w) != F.col("event_type")),
+            1,
+        ).otherwise(0).alias("brk"),
+        F.col("ts"), F.col("event_id"),
+    )
+    runs = flag.select(
+        "user_id", "event_type",
+        F.sum("brk").over(
+            w.rowsBetween(Window.unboundedPreceding, 0)
+        ).alias("run_id"),
+    )
+    per_run = runs.groupBy("user_id", "run_id", "event_type").agg(
+        F.count(F.lit(1)).alias("len")
+    )
+    return (
+        per_run.groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_runs"),
+            F.max("len").alias("max_len"),
+            F.sum("len").alias("total_events"),
+        )
+        .select(
+            "event_type", "n_runs", "max_len", "total_events",
+            F.expr("CAST(div(1000000 * total_events, n_runs) AS BIGINT)").alias(
+                "mean_len_ppm"
+            ),
+        )
+        .repartition(1)
+        .sortWithinPartitions("event_type")
+    )
+
+
+def event_streaks_sql() -> str:
+    return """
+WITH flag AS (
+  SELECT user_id, event_type, ts, event_id,
+         CASE WHEN lag(event_type) OVER w IS NULL
+                OR lag(event_type) OVER w != event_type THEN 1 ELSE 0 END AS brk
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+),
+runs AS (
+  SELECT user_id, event_type,
+         SUM(brk) OVER (PARTITION BY user_id ORDER BY ts, event_id
+            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS run_id
+  FROM flag
+),
+per_run AS (
+  SELECT user_id, run_id, event_type, COUNT(*) AS len
+  FROM runs GROUP BY user_id, run_id, event_type
+)
+SELECT event_type,
+       COUNT(*) AS n_runs,
+       CAST(MAX(len) AS BIGINT) AS max_len,
+       CAST(SUM(len) AS BIGINT) AS total_events,
+       CAST((1000000 * SUM(len)) // COUNT(*) AS BIGINT) AS mean_len_ppm
+FROM per_run GROUP BY event_type ORDER BY event_type
+"""

@@ -5431,6 +5431,9 @@ def spatial_queries() -> dict[str, QueryFn]:
         "repeat_by_first_size": rel.repeat_by_first_size,
         "event_study": rel.event_study,
         "shipment_span": rel.shipment_span,
+        "reactivation": rel.reactivation,
+        "event_streaks": rel.event_streaks,
+        "zone_area_gini": q_zone_area_gini,
     })
 
 
@@ -5916,6 +5919,9 @@ def spatial_oracles(sf: str = "sf0.01") -> dict[str, str]:
         "repeat_by_first_size": rel.repeat_by_first_size_sql(),
         "event_study": rel.event_study_sql(),
         "shipment_span": rel.shipment_span_sql(),
+        "reactivation": rel.reactivation_sql(),
+        "event_streaks": rel.event_streaks_sql(),
+        "zone_area_gini": _sql_zone_area_gini(fx),
     })
 
 
@@ -16730,4 +16736,86 @@ rk AS (
 SELECT fmt, CAST(t1 AS INT) AS t1, CAST(t2 AS INT) AS t2,
        CAST(n1 AS BIGINT) AS n1, CAST(n2 AS BIGINT) AS n2, CAST(n3 AS BIGINT) AS n3
 FROM rk WHERE rk = 1 ORDER BY fmt
+"""
+
+
+def q_zone_area_gini(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Zone-area inequality census: exact Gini numerator over the 64
+    snapped ring areas via the rank identity G*n^2*mean =
+    sum((2i - n - 1) * a_(i)) — sorted-rank weights on exact integer
+    area2 values, single-row output with the Gini in ppm by floor
+    division.  The size-imbalance gate a zone partitioning scheme is
+    judged by.
+
+    Scale shape: zone-local shoelace + one rank window over the zone
+    DIM + single-row arithmetic."""
+    ring_ints = F.expr(
+        "transform(slice(ring, 1, size(ring) - 1),"
+        " p -> struct(CAST(floor(p.x + 0.5) AS BIGINT) AS x,"
+        "             CAST(floor(p.y + 0.5) AS BIGINT) AS y))"
+    )
+    base = _zones(spark, sf_dir).select("zone_id", ring_ints.alias("r"))
+    pts = base.select(
+        "zone_id", F.size("r").alias("n"), F.posexplode("r").alias("k", "p")
+    ).select("zone_id", "n", "k", F.col("p.x").alias("x"), F.col("p.y").alias("y"))
+    nxt = pts.select(
+        "zone_id", F.col("k").alias("kn"),
+        F.col("x").alias("x2"), F.col("y").alias("y2"),
+    )
+    e = pts.join(
+        nxt,
+        (nxt["zone_id"] == pts["zone_id"])
+        & (F.col("kn") == (F.col("k") + 1) % F.col("n")),
+    ).drop(nxt["zone_id"])
+    area = e.groupBy("zone_id").agg(
+        F.abs(F.sum(F.col("x") * F.col("y2") - F.col("x2") * F.col("y")))
+        .alias("a")
+    )
+    w = Window.orderBy("a", "zone_id")
+    wn = Window.partitionBy()
+    x = area.select(
+        "a",
+        F.row_number().over(w).alias("i"),
+        F.count(F.lit(1)).over(wn).alias("nz"),
+    )
+    return x.agg(
+        F.max("nz").alias("n_zones"),
+        F.sum("a").alias("area2_sum"),
+        F.sum(F.expr("(2 * i - nz - 1) * a")).alias("gini_num"),
+    ).select(
+        "n_zones", "area2_sum", "gini_num",
+        F.expr(
+            "CAST(div(1000000 * gini_num, CAST(n_zones AS BIGINT) * area2_sum)"
+            " AS BIGINT)"
+        ).alias("gini_ppm"),
+    )
+
+
+def _sql_zone_area_gini(fx: Path) -> str:
+    zs = str(fx / "zones.parquet")
+    return f"""
+WITH pts AS (
+  SELECT zone_id, i - 1 AS k, len(ring) - 1 AS n,
+         CAST(floor(ring[i].x + 0.5) AS BIGINT) AS x,
+         CAST(floor(ring[i].y + 0.5) AS BIGINT) AS y
+  FROM read_parquet('{zs}'), unnest(range(1, len(ring))) t(i)
+),
+e AS (
+  SELECT a.zone_id, a.x, a.y, b.x AS x2, b.y AS y2
+  FROM pts a JOIN pts b
+    ON b.zone_id = a.zone_id AND b.k = (a.k + 1) % a.n
+),
+area AS (
+  SELECT zone_id, abs(SUM(x * y2 - x2 * y)) AS a FROM e GROUP BY zone_id
+),
+x AS (
+  SELECT a, row_number() OVER (ORDER BY a, zone_id) AS i,
+         COUNT(*) OVER () AS nz
+  FROM area
+)
+SELECT CAST(MAX(nz) AS BIGINT) AS n_zones,
+       CAST(SUM(a) AS BIGINT) AS area2_sum,
+       CAST(SUM((2 * i - nz - 1) * a) AS BIGINT) AS gini_num,
+       CAST((1000000 * SUM((2 * i - nz - 1) * a)) // (MAX(nz) * SUM(a)) AS BIGINT) AS gini_ppm
+FROM x
 """
