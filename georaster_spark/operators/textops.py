@@ -6263,17 +6263,18 @@ def like_selectivity(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum(F.when(F.col("t").contains(pat), 1).otherwise(0)).alias("exact"),
             *df_cols,
         ).crossJoin(n_docs)
-        num = " * ".join(f"df{i}" for i in range(len(grams)))
-        den = " * ".join(["n"] * len(grams))
+        num = " * ".join(f"CAST(df{i} AS DECIMAL(38,0))" for i in range(len(grams)))
+        den = " * ".join(["CAST(n AS DECIMAL(38,0))"] * len(grams))
         rows.append(
             agg.select(
                 F.lit(pat).alias("pattern"),
                 F.lit(len(grams)).cast("long").alias("n_grams"),
                 F.col("exact").cast("long").alias("exact_matches"),
                 F.expr(f"CAST(div(1000000 * exact, n) AS BIGINT)").alias("exact_ppm"),
-                F.expr(f"CAST(div(1000000 * ({num}), {den}) AS BIGINT)").alias(
-                    "est_ppm"
-                ),
+                F.expr(
+                    f"CAST((CAST(1000000 AS DECIMAL(38,0)) * ({num}))"
+                    f" div ({den}) AS BIGINT)"
+                ).alias("est_ppm"),
             )
         )
     out = rows[0]
@@ -6290,13 +6291,13 @@ def like_selectivity_sql() -> str:
             f"SUM(CASE WHEN t LIKE '%{g}%' THEN 1 ELSE 0 END) AS df{i}"
             for i, g in enumerate(grams)
         )
-        num = " * ".join(f"df{i}" for i in range(len(grams)))
-        den = " * ".join(["n"] * len(grams))
+        num = " * ".join(f"CAST(df{i} AS HUGEINT)" for i in range(len(grams)))
+        den = " * ".join(["CAST(n AS HUGEINT)"] * len(grams))
         parts.append(f"""
   SELECT '{pat}' AS pattern, CAST({len(grams)} AS BIGINT) AS n_grams,
          CAST(exact AS BIGINT) AS exact_matches,
          CAST((1000000 * exact) // n AS BIGINT) AS exact_ppm,
-         CAST((1000000 * ({num})) // ({den}) AS BIGINT) AS est_ppm
+         CAST((CAST(1000000 AS HUGEINT) * ({num})) // ({den}) AS BIGINT) AS est_ppm
   FROM (
     SELECT SUM(CASE WHEN t LIKE '%{pat}%' THEN 1 ELSE 0 END) AS exact,
            {dfs},

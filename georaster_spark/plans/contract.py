@@ -16577,8 +16577,8 @@ def q_vector_raster_consistency(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(
             "zone_id", "n_pixels", "area2",
             F.expr(
-                "CAST(div(1000000 * n_pixels * 2000000, area2 * tw * tw)"
-                " AS BIGINT)"
+                "CAST((CAST(1000000 AS DECIMAL(38,0)) * n_pixels * 2000000)"
+                " div (CAST(area2 AS DECIMAL(38,0)) * tw * tw) AS BIGINT)"
             ).alias("coverage_ppm"),
         )
         .repartition(1)
@@ -16623,7 +16623,7 @@ area AS (
 SELECT zcount.zone_id,
        CAST(n_pixels AS BIGINT) AS n_pixels,
        CAST(area2 AS BIGINT) AS area2,
-       CAST((1000000 * n_pixels * 2000000) // (area2 * {w} * {w}) AS BIGINT) AS coverage_ppm
+       CAST((CAST(1000000 AS HUGEINT) * n_pixels * 2000000) // (CAST(area2 AS HUGEINT) * {w} * {w}) AS BIGINT) AS coverage_ppm
 FROM zcount JOIN area ON area.zone_id = zcount.zone_id
 ORDER BY zcount.zone_id
 """
