@@ -13376,3 +13376,156 @@ SELECT event_type,
        CAST((1000000 * SUM(len)) // COUNT(*) AS BIGINT) AS mean_len_ppm
 FROM per_run GROUP BY event_type ORDER BY event_type
 """
+
+
+# --- monthly leaderboard churn --------------------------------------------------
+
+_LB_K = 20
+
+
+def leaderboard_churn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Leaderboard-churn census (how stable is a monthly top-20?): per
+    consecutive month pair, the exact overlap of the top-20 supplier
+    sets (revenue rank, supplier tie-break), the Jaccard in ppm, and
+    the count of new entrants — the ranking-volatility series an ops
+    report tracks; high churn means the leaderboard is noise.
+
+    Scale shape: one (supplier, month) census + a month-local rank
+    window + a self-join on adjacent months over k-sized sets."""
+    li = _t(spark, sf_dir, "lineitem")
+    monthly = li.groupBy(
+        "l_suppkey", F.date_trunc("month", "l_shipdate").alias("m")
+    ).agg(
+        F.sum(F.expr("CAST(round(100 * l_extendedprice) AS BIGINT)")).alias("rev")
+    )
+    w = Window.partitionBy("m").orderBy(F.col("rev").desc(), "l_suppkey")
+    top = monthly.select(
+        "m", "l_suppkey", F.row_number().over(w).alias("rk")
+    ).where(F.col("rk") <= _LB_K)
+    nxt = top.select(
+        F.expr("add_months(m, -1)").alias("m"), F.col("l_suppkey").alias("s2")
+    )
+    ov = (
+        top.join(nxt, (top["m"] == nxt["m"]) & (top["l_suppkey"] == nxt["s2"]))
+        .groupBy(top["m"].alias("m"))
+        .agg(F.count(F.lit(1)).alias("overlap"))
+    )
+    months = top.select("m").distinct()
+    pairs = months.join(
+        nxt.select("m").distinct(), "m"
+    )  # months that HAVE a successor month in the data
+    out = pairs.join(ov, "m", "left").select(
+        F.col("m").cast("date").alias("m"),
+        F.coalesce(F.col("overlap"), F.lit(0)).alias("overlap"),
+        F.expr(
+            f"CAST(div(1000000 * coalesce(overlap, 0), {2 * _LB_K} - coalesce(overlap, 0))"
+            " AS BIGINT)"
+        ).alias("jaccard_ppm"),
+        (F.lit(_LB_K) - F.coalesce(F.col("overlap"), F.lit(0))).alias("new_entrants"),
+    )
+    return out.repartition(1).sortWithinPartitions("m")
+
+
+def leaderboard_churn_sql() -> str:
+    return f"""
+WITH monthly AS (
+  SELECT l_suppkey, date_trunc('month', l_shipdate) AS m,
+         SUM(CAST(round(100 * l_extendedprice) AS BIGINT)) AS rev
+  FROM lineitem GROUP BY l_suppkey, m
+),
+top AS (
+  SELECT m, l_suppkey FROM (
+    SELECT m, l_suppkey,
+           row_number() OVER (PARTITION BY m ORDER BY rev DESC, l_suppkey) AS rk
+    FROM monthly
+  ) WHERE rk <= {_LB_K}
+),
+nxt AS (SELECT m - INTERVAL 1 MONTH AS m, l_suppkey AS s2 FROM top),
+ov AS (
+  SELECT top.m, COUNT(*) AS overlap
+  FROM top JOIN nxt ON nxt.m = top.m AND nxt.s2 = top.l_suppkey
+  GROUP BY top.m
+),
+pairs AS (
+  SELECT DISTINCT top.m FROM top JOIN (SELECT DISTINCT m FROM nxt) x ON x.m = top.m
+)
+SELECT CAST(pairs.m AS DATE) AS m,
+       CAST(COALESCE(overlap, 0) AS BIGINT) AS overlap,
+       CAST((1000000 * COALESCE(overlap, 0)) // ({2 * _LB_K} - COALESCE(overlap, 0)) AS BIGINT) AS jaccard_ppm,
+       CAST({_LB_K} - COALESCE(overlap, 0) AS BIGINT) AS new_entrants
+FROM pairs LEFT JOIN ov ON ov.m = pairs.m
+ORDER BY m
+"""
+
+
+# --- peak-hour census per event type --------------------------------------------
+
+
+def peak_hours(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Peak-hour census (the capacity-planning table: when does each
+    event type spike?): per event type the exact hour-of-day counts
+    reduced to the peak hour (max count, earliest hour tie-break),
+    its count, the quietest hour, and the peak-to-trough ratio in ppm.
+
+    Scale shape: one (type, hour) census + two key-local argmax
+    picks."""
+    ev = _t(spark, sf_dir, "events").select(
+        "event_type", F.hour("ts").alias("h")
+    )
+    cnt = ev.groupBy("event_type", "h").agg(F.count(F.lit(1)).alias("n"))
+    mx = cnt.groupBy("event_type").agg(
+        F.max("n").alias("mxn"), F.min("n").alias("mnn")
+    )
+    peak = (
+        cnt.join(mx, "event_type")
+        .where(F.col("n") == F.col("mxn"))
+        .groupBy("event_type")
+        .agg(F.min("h").alias("peak_hour"), F.max("mxn").alias("peak_n"))
+    )
+    trough = (
+        cnt.join(mx, "event_type")
+        .where(F.col("n") == F.col("mnn"))
+        .groupBy("event_type")
+        .agg(F.min("h").alias("trough_hour"), F.max("mnn").alias("trough_n"))
+    )
+    return (
+        peak.join(trough, "event_type")
+        .select(
+            "event_type", "peak_hour", "peak_n", "trough_hour", "trough_n",
+            F.expr("CAST(div(1000000 * peak_n, trough_n) AS BIGINT)").alias(
+                "ratio_ppm"
+            ),
+        )
+        .repartition(1)
+        .sortWithinPartitions("event_type")
+    )
+
+
+def peak_hours_sql() -> str:
+    return """
+WITH cnt AS (
+  SELECT event_type, EXTRACT(hour FROM ts) AS h, COUNT(*) AS n
+  FROM events GROUP BY event_type, h
+),
+mx AS (
+  SELECT event_type, MAX(n) AS mxn, MIN(n) AS mnn FROM cnt GROUP BY event_type
+),
+peak AS (
+  SELECT cnt.event_type, MIN(h) AS peak_hour, MAX(mxn) AS peak_n
+  FROM cnt JOIN mx ON mx.event_type = cnt.event_type AND cnt.n = mx.mxn
+  GROUP BY cnt.event_type
+),
+trough AS (
+  SELECT cnt.event_type, MIN(h) AS trough_hour, MAX(mnn) AS trough_n
+  FROM cnt JOIN mx ON mx.event_type = cnt.event_type AND cnt.n = mx.mnn
+  GROUP BY cnt.event_type
+)
+SELECT peak.event_type,
+       CAST(peak_hour AS BIGINT) AS peak_hour,
+       CAST(peak_n AS BIGINT) AS peak_n,
+       CAST(trough_hour AS BIGINT) AS trough_hour,
+       CAST(trough_n AS BIGINT) AS trough_n,
+       CAST((1000000 * peak_n) // trough_n AS BIGINT) AS ratio_ppm
+FROM peak JOIN trough ON trough.event_type = peak.event_type
+ORDER BY peak.event_type
+"""

@@ -6613,3 +6613,68 @@ JOIN sizes zb ON zb.source = inter.sb
 JOIN est ON est.sa = inter.sa AND est.sb = inter.sb
 ORDER BY inter.sa, inter.sb
 """
+
+
+# --- stopword-profile drift between sources -------------------------------------
+
+
+def stopword_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stopword-profile drift census (the cheap register/style
+    fingerprint: function-word frequencies are topic-free, so a
+    source whose stopword mix diverges from the corpus was crawled or
+    generated differently): per source, each STOPWORDS member's rate
+    in ppm of the source's tokens vs the corpus rate, reduced to the
+    L1 profile distance — the drift score in exact integers.
+
+    Scale shape: one (source, stopword) census + a broadcast corpus
+    profile join + a source rollup."""
+    toks = _docs(spark, sf_dir).select(
+        "source", F.explode(_clean_words()).alias("t")
+    )
+    tot_src = toks.groupBy("source").agg(F.count(F.lit(1)).alias("nt"))
+    sw = toks.where(F.col("t").isin(*STOPWORDS))
+    per = sw.groupBy("source", "t").agg(F.count(F.lit(1)).alias("c"))
+    corpus_tot = toks.agg(F.count(F.lit(1)).alias("gn"))
+    corpus_sw = sw.groupBy("t").agg(F.count(F.lit(1)).alias("gc"))
+    grid = tot_src.crossJoin(corpus_sw.crossJoin(corpus_tot))
+    filled = grid.join(per, ["source", "t"], "left").select(
+        "source", "t", "nt", "gn", "gc",
+        F.coalesce(F.col("c"), F.lit(0)).alias("c"),
+    )
+    x = filled.select(
+        "source",
+        F.abs(
+            F.expr("div(1000000 * c, nt) - div(1000000 * gc, gn)")
+        ).alias("d"),
+    )
+    return (
+        x.groupBy("source")
+        .agg(F.sum("d").alias("l1_drift_ppm"), F.count(F.lit(1)).alias("n_stopwords"))
+        .repartition(1)
+        .sortWithinPartitions("source")
+    )
+
+
+def stopword_drift_sql() -> str:
+    stop = ", ".join(f"'{w}'" for w in STOPWORDS)
+    return f"""
+WITH toks AS (
+  SELECT source, unnest(list_filter({_SQL_WS}, t -> t <> '')) AS t FROM documents
+),
+tot_src AS (SELECT source, COUNT(*) AS nt FROM toks GROUP BY source),
+sw AS (SELECT * FROM toks WHERE t IN ({stop})),
+per AS (SELECT source, t, COUNT(*) AS c FROM sw GROUP BY source, t),
+corpus_tot AS (SELECT COUNT(*) AS gn FROM toks),
+corpus_sw AS (SELECT t, COUNT(*) AS gc FROM sw GROUP BY t),
+grid AS (
+  SELECT source, nt, t, gc, gn FROM tot_src, corpus_sw, corpus_tot
+),
+filled AS (
+  SELECT grid.source, grid.t, nt, gn, gc, COALESCE(c, 0) AS c
+  FROM grid LEFT JOIN per ON per.source = grid.source AND per.t = grid.t
+)
+SELECT source,
+       CAST(SUM(abs((1000000 * c) // nt - (1000000 * gc) // gn)) AS BIGINT) AS l1_drift_ppm,
+       COUNT(*) AS n_stopwords
+FROM filled GROUP BY source ORDER BY source
+"""

@@ -5434,6 +5434,9 @@ def spatial_queries() -> dict[str, QueryFn]:
         "reactivation": rel.reactivation,
         "event_streaks": rel.event_streaks,
         "zone_area_gini": q_zone_area_gini,
+        "leaderboard_churn": rel.leaderboard_churn,
+        "peak_hours": rel.peak_hours,
+        "stopword_drift": textops.stopword_drift,
     })
 
 
@@ -5922,6 +5925,9 @@ def spatial_oracles(sf: str = "sf0.01") -> dict[str, str]:
         "reactivation": rel.reactivation_sql(),
         "event_streaks": rel.event_streaks_sql(),
         "zone_area_gini": _sql_zone_area_gini(fx),
+        "leaderboard_churn": rel.leaderboard_churn_sql(),
+        "peak_hours": rel.peak_hours_sql(),
+        "stopword_drift": textops.stopword_drift_sql(),
     })
 
 
