@@ -13529,3 +13529,62 @@ SELECT peak.event_type,
 FROM peak JOIN trough ON trough.event_type = peak.event_type
 ORDER BY peak.event_type
 """
+
+
+# --- acquisition-cohort LTV triangle --------------------------------------------
+
+
+def cohort_ltv(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Acquisition-cohort LTV triangle (the finance twin of the
+    retention triangle: revenue by WHO was acquired when x HOW old
+    the relationship was): customers cohort by first-order quarter;
+    every order lands in (cohort quarter, age in quarters) with exact
+    cents and order counts — the table LTV projections integrate.
+
+    Scale shape: one customer-key first-order census + a broadcast
+    cohort join + one (cohort, age) census."""
+    o = _t(spark, sf_dir, "orders")
+    first = o.groupBy("o_custkey").agg(
+        F.min(F.date_trunc("quarter", "o_orderdate")).alias("cohort_q")
+    )
+    x = o.join(first, "o_custkey").select(
+        F.col("cohort_q"),
+        F.expr(
+            "CAST(months_between(date_trunc('quarter', o_orderdate), cohort_q)"
+            " / 3 AS BIGINT)"
+        ).alias("age_q"),
+        F.expr("CAST(round(o_totalprice * 100) AS BIGINT)").alias("cents"),
+    )
+    return (
+        x.groupBy("cohort_q", "age_q")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.sum("cents").alias("cents"),
+        )
+        .select(
+            F.col("cohort_q").cast("date").alias("cohort_q"),
+            "age_q", "n_orders", "cents",
+        )
+        .repartition(1)
+        .sortWithinPartitions("cohort_q", "age_q")
+    )
+
+
+def cohort_ltv_sql() -> str:
+    return """
+WITH first AS (
+  SELECT o_custkey, MIN(date_trunc('quarter', o_orderdate)) AS cohort_q
+  FROM orders GROUP BY o_custkey
+),
+x AS (
+  SELECT cohort_q,
+         CAST(datediff('month', cohort_q, date_trunc('quarter', o_orderdate)) // 3 AS BIGINT) AS age_q,
+         CAST(round(o_totalprice * 100) AS BIGINT) AS cents
+  FROM orders JOIN first USING (o_custkey)
+)
+SELECT CAST(cohort_q AS DATE) AS cohort_q,
+       CAST(age_q AS BIGINT) AS age_q,
+       COUNT(*) AS n_orders,
+       CAST(SUM(cents) AS BIGINT) AS cents
+FROM x GROUP BY cohort_q, age_q ORDER BY cohort_q, age_q
+"""

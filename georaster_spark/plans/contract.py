@@ -5437,6 +5437,9 @@ def spatial_queries() -> dict[str, QueryFn]:
         "leaderboard_churn": rel.leaderboard_churn,
         "peak_hours": rel.peak_hours,
         "stopword_drift": textops.stopword_drift,
+        "quadrat_vmr": q_quadrat_vmr,
+        "ingest_drift": q_ingest_drift,
+        "cohort_ltv": rel.cohort_ltv,
     })
 
 
@@ -5928,6 +5931,9 @@ def spatial_oracles(sf: str = "sf0.01") -> dict[str, str]:
         "leaderboard_churn": rel.leaderboard_churn_sql(),
         "peak_hours": rel.peak_hours_sql(),
         "stopword_drift": textops.stopword_drift_sql(),
+        "quadrat_vmr": _sql_quadrat_vmr(fx),
+        "ingest_drift": _sql_ingest_drift(fx),
+        "cohort_ltv": rel.cohort_ltv_sql(),
     })
 
 
@@ -16824,4 +16830,135 @@ SELECT CAST(MAX(nz) AS BIGINT) AS n_zones,
        CAST(SUM((2 * i - nz - 1) * a) AS BIGINT) AS gini_num,
        CAST((1000000 * SUM((2 * i - nz - 1) * a)) // (MAX(nz) * SUM(a)) AS BIGINT) AS gini_ppm
 FROM x
+"""
+
+
+_QUADRAT_G = 8
+_QUADRAT_SPAN = 1 << 26  # engine domain width
+
+
+def q_quadrat_vmr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quadrat variance-to-mean test (the classic CSR check of spatial
+    statistics, Greig-Smith quadrat counts): the point set falls into
+    an 8x8 quadrat grid over the engine domain; the census reports
+    occupied quadrats, total points, the exact G^2-scaled variance
+    numerator V = Q * sum(c^2) - (sum c)^2 over ALL 64 quadrats
+    (zero-filled), and the VMR in ppm = div(1e6 * V, Q * sum c) —
+    VMR >> 1e6 is clustering, << 1e6 regularity, all integer.
+
+    Scale shape: map-only quadrat key (coordinate div) + one 64-key
+    census + single-row arithmetic."""
+    pts = _points(spark, sf_dir)
+    g = _QUADRAT_G
+    cell = _QUADRAT_SPAN // g
+    x = pts.select(
+        (
+            F.expr(f"least(greatest(CAST(floor(x / {cell}) AS BIGINT), 0), {g - 1})")
+            * g
+            + F.expr(f"least(greatest(CAST(floor(y / {cell}) AS BIGINT), 0), {g - 1})")
+        ).alias("q")
+    )
+    cnt = x.groupBy("q").agg(F.count(F.lit(1)).alias("c"))
+    grid = spark.range(g * g).select(F.col("id").alias("q"))
+    filled = grid.join(cnt, "q", "left").select(
+        "q", F.coalesce(F.col("c"), F.lit(0)).alias("c")
+    )
+    return filled.agg(
+        F.sum(F.when(F.col("c") > 0, 1).otherwise(0)).alias("occupied"),
+        F.sum("c").alias("n_points"),
+        (
+            F.lit(g * g) * F.sum(F.col("c") * F.col("c"))
+            - F.sum("c") * F.sum("c")
+        ).alias("v_num"),
+    ).select(
+        F.lit(g * g).cast("long").alias("n_quadrats"),
+        "occupied", "n_points", "v_num",
+        F.expr(
+            f"CAST(div(1000000 * v_num, {g * g} * n_points) AS BIGINT)"
+        ).alias("vmr_ppm"),
+    )
+
+
+def _sql_quadrat_vmr(fx: Path) -> str:
+    g = _QUADRAT_G
+    cell = _QUADRAT_SPAN // g
+    return f"""
+WITH x AS (
+  SELECT least(greatest(CAST(floor(x / {cell}) AS BIGINT), 0), {g - 1}) * {g}
+         + least(greatest(CAST(floor(y / {cell}) AS BIGINT), 0), {g - 1}) AS q
+  FROM read_parquet('{fx / 'points.parquet'}')
+),
+cnt AS (SELECT q, COUNT(*) AS c FROM x GROUP BY q),
+grid AS (SELECT unnest(range({g * g})) AS q),
+filled AS (
+  SELECT grid.q, COALESCE(c, 0) AS c FROM grid LEFT JOIN cnt ON cnt.q = grid.q
+)
+SELECT CAST({g * g} AS BIGINT) AS n_quadrats,
+       CAST(SUM(CASE WHEN c > 0 THEN 1 ELSE 0 END) AS BIGINT) AS occupied,
+       CAST(SUM(c) AS BIGINT) AS n_points,
+       CAST({g * g} * SUM(c * c) - SUM(c) * SUM(c) AS BIGINT) AS v_num,
+       CAST((1000000 * ({g * g} * SUM(c * c) - SUM(c) * SUM(c)))
+            // ({g * g} * SUM(c)) AS BIGINT) AS vmr_ppm
+FROM filled
+"""
+
+
+def q_ingest_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ingest-batch drift census (the data-contract monitor: does the
+    fmt mix shift across ingest batches?): images bucket by idx div
+    1000 (the arrival batch); per batch the fmt mix in ppm and the L1
+    distance to the corpus-wide mix — a drifting mix flags an
+    upstream producer change before it poisons training.
+
+    Scale shape: one (batch, fmt) census + a broadcast global mix
+    join + a batch rollup — metadata only, bytes never load."""
+    im = _images(spark, sf_dir).select(
+        F.expr("div(CAST(substr(image_id, 4, 10) AS BIGINT), 1000)").alias("b"),
+        "fmt",
+    )
+    per = im.groupBy("b", "fmt").agg(F.count(F.lit(1)).alias("c"))
+    btot = per.groupBy("b").agg(F.sum("c").alias("bn"))
+    gtot = per.groupBy("fmt").agg(F.sum("c").alias("gc"))
+    gn = per.agg(F.sum("c").alias("gn"))
+    grid = btot.crossJoin(gtot.crossJoin(gn))
+    filled = grid.join(per, ["b", "fmt"], "left").select(
+        "b", "fmt", "bn", "gc", "gn",
+        F.coalesce(F.col("c"), F.lit(0)).alias("c"),
+    )
+    x = filled.select(
+        "b", "bn",
+        F.abs(
+            F.expr("div(1000000 * c, bn) - div(1000000 * gc, gn)")
+        ).alias("d"),
+    )
+    return (
+        x.groupBy("b")
+        .agg(
+            F.max("bn").alias("n_images"),
+            F.sum("d").alias("l1_drift_ppm"),
+        )
+        .repartition(1)
+        .sortWithinPartitions("b")
+    )
+
+
+def _sql_ingest_drift(fx: Path) -> str:
+    return f"""
+WITH im AS (
+  SELECT CAST(substr(image_id, 4, 10) AS BIGINT) // 1000 AS b, fmt
+  FROM read_parquet('{fx / 'images.parquet'}')
+),
+per AS (SELECT b, fmt, COUNT(*) AS c FROM im GROUP BY b, fmt),
+btot AS (SELECT b, SUM(c) AS bn FROM per GROUP BY b),
+gtot AS (SELECT fmt, SUM(c) AS gc FROM per GROUP BY fmt),
+gn AS (SELECT SUM(c) AS gn FROM per),
+grid AS (SELECT b, bn, fmt, gc, gn FROM btot, gtot, gn),
+filled AS (
+  SELECT grid.b, grid.fmt, bn, gc, gn, COALESCE(c, 0) AS c
+  FROM grid LEFT JOIN per ON per.b = grid.b AND per.fmt = grid.fmt
+)
+SELECT CAST(b AS BIGINT) AS b,
+       CAST(MAX(bn) AS BIGINT) AS n_images,
+       CAST(SUM(abs((1000000 * c) // bn - (1000000 * gc) // gn)) AS BIGINT) AS l1_drift_ppm
+FROM filled GROUP BY b ORDER BY b
 """
