@@ -13588,3 +13588,72 @@ SELECT CAST(cohort_q AS DATE) AS cohort_q,
        CAST(SUM(cents) AS BIGINT) AS cents
 FROM x GROUP BY cohort_q, age_q ORDER BY cohort_q, age_q
 """
+
+
+# --- purchase-value tail ratios (exact order statistics) ------------------------
+
+
+def purchase_tails(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Purchase-value tail table by exact discrete order statistics
+    (P50 / P90 / P99 / max in cents, each the literal element at rank
+    ceil(q*n) — no interpolation, engine-identical): plus the
+    P99-to-P50 tail ratio in ppm, the concentration signal pricing
+    and fraud teams watch.
+
+    Scale shape: one global rank window over the purchase subset +
+    three rank picks — purchase-count sized."""
+    ev = _t(spark, sf_dir, "events").where(F.col("event_type") == "purchase").select(
+        F.expr("CAST(round(value * 100) AS BIGINT)").alias("cents"),
+        "event_id",
+    )
+    w = Window.orderBy("cents", "event_id")
+    wn = Window.partitionBy()
+    x = ev.select(
+        "cents",
+        F.row_number().over(w).alias("rk"),
+        F.count(F.lit(1)).over(wn).alias("n"),
+    )
+
+    def pick(qnum, qden, name):
+        return x.where(
+            F.col("rk") == F.expr(f"CAST(ceil({qnum} * n / {qden}.0) AS BIGINT)")
+        ).select(F.col("cents").alias(name), F.col("n").alias(f"n_{name}"))
+    p50 = pick(1, 2, "p50")
+    p90 = pick(9, 10, "p90")
+    p99 = pick(99, 100, "p99")
+    mx = ev.agg(F.max("cents").alias("max_cents"), F.count(F.lit(1)).alias("n"))
+    return (
+        p50.crossJoin(p90).crossJoin(p99).crossJoin(mx)
+        .select(
+            "n", F.col("p50").alias("p50_cents"), F.col("p90").alias("p90_cents"),
+            F.col("p99").alias("p99_cents"), "max_cents",
+            F.expr("CAST(div(1000000 * p99, p50) AS BIGINT)").alias(
+                "tail_ratio_ppm"
+            ),
+        )
+    )
+
+
+def purchase_tails_sql() -> str:
+    return """
+WITH ev AS (
+  SELECT CAST(round(value * 100) AS BIGINT) AS cents, event_id
+  FROM events WHERE event_type = 'purchase'
+),
+x AS (
+  SELECT cents, row_number() OVER (ORDER BY cents, event_id) AS rk,
+         COUNT(*) OVER () AS n
+  FROM ev
+),
+p50 AS (SELECT cents AS p50 FROM x WHERE rk = CAST(ceil(n / 2.0) AS BIGINT)),
+p90 AS (SELECT cents AS p90 FROM x WHERE rk = CAST(ceil(9 * n / 10.0) AS BIGINT)),
+p99 AS (SELECT cents AS p99 FROM x WHERE rk = CAST(ceil(99 * n / 100.0) AS BIGINT)),
+mx AS (SELECT MAX(cents) AS max_cents, COUNT(*) AS n FROM ev)
+SELECT CAST(n AS BIGINT) AS n,
+       CAST(p50 AS BIGINT) AS p50_cents,
+       CAST(p90 AS BIGINT) AS p90_cents,
+       CAST(p99 AS BIGINT) AS p99_cents,
+       CAST(max_cents AS BIGINT) AS max_cents,
+       CAST((1000000 * p99) // p50 AS BIGINT) AS tail_ratio_ppm
+FROM p50, p90, p99, mx
+"""

@@ -6678,3 +6678,68 @@ SELECT source,
        COUNT(*) AS n_stopwords
 FROM filled GROUP BY source ORDER BY source
 """
+
+
+# --- per-source document-length bands (exact order statistics) ------------------
+
+
+def length_bands(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source document-length bands by EXACT discrete order
+    statistics (the corpus-card table: how long are this source's
+    documents really?): for each source the count plus the lower
+    median and lower 90th percentile of n_chars — the value at rank
+    ceil(q * n), no interpolation, so both engines pick the identical
+    element.
+
+    Scale shape: one source-key rank window over the doc dim + two
+    rank picks per source."""
+    d = _docs(spark, sf_dir).select("source", "n_chars", "doc_id")
+    w = Window.partitionBy("source").orderBy("n_chars", "doc_id")
+    wn = Window.partitionBy("source")
+    x = d.select(
+        "source", "n_chars",
+        F.row_number().over(w).alias("rk"),
+        F.count(F.lit(1)).over(wn).alias("n"),
+    )
+    p50 = x.where(
+        F.col("rk") == F.expr("CAST(ceil(n / 2.0) AS BIGINT)")
+    ).select("source", F.col("n_chars").alias("p50_chars"), "n")
+    p90 = x.where(
+        F.col("rk") == F.expr("CAST(ceil(9 * n / 10.0) AS BIGINT)")
+    ).select(F.col("source").alias("s2"), F.col("n_chars").alias("p90_chars"))
+    return (
+        p50.join(p90, p50["source"] == p90["s2"])
+        .select(
+            "source", F.col("n").alias("n_docs"), "p50_chars", "p90_chars",
+            F.expr("CAST(div(1000000 * p90_chars, p50_chars) AS BIGINT)").alias(
+                "tail_ratio_ppm"
+            ),
+        )
+        .repartition(1)
+        .sortWithinPartitions("source")
+    )
+
+
+def length_bands_sql() -> str:
+    return """
+WITH x AS (
+  SELECT source, n_chars,
+         row_number() OVER (PARTITION BY source ORDER BY n_chars, doc_id) AS rk,
+         COUNT(*) OVER (PARTITION BY source) AS n
+  FROM documents
+),
+p50 AS (
+  SELECT source, n_chars AS p50_chars, n FROM x
+  WHERE rk = CAST(ceil(n / 2.0) AS BIGINT)
+),
+p90 AS (
+  SELECT source, n_chars AS p90_chars FROM x
+  WHERE rk = CAST(ceil(9 * n / 10.0) AS BIGINT)
+)
+SELECT p50.source, CAST(n AS BIGINT) AS n_docs,
+       CAST(p50_chars AS BIGINT) AS p50_chars,
+       CAST(p90_chars AS BIGINT) AS p90_chars,
+       CAST((1000000 * p90_chars) // p50_chars AS BIGINT) AS tail_ratio_ppm
+FROM p50 JOIN p90 ON p90.source = p50.source
+ORDER BY p50.source
+"""

@@ -5440,6 +5440,8 @@ def spatial_queries() -> dict[str, QueryFn]:
         "quadrat_vmr": q_quadrat_vmr,
         "ingest_drift": q_ingest_drift,
         "cohort_ltv": rel.cohort_ltv,
+        "length_bands": textops.length_bands,
+        "purchase_tails": rel.purchase_tails,
     })
 
 
@@ -5934,6 +5936,8 @@ def spatial_oracles(sf: str = "sf0.01") -> dict[str, str]:
         "quadrat_vmr": _sql_quadrat_vmr(fx),
         "ingest_drift": _sql_ingest_drift(fx),
         "cohort_ltv": rel.cohort_ltv_sql(),
+        "length_bands": textops.length_bands_sql(),
+        "purchase_tails": rel.purchase_tails_sql(),
     })
 
 
