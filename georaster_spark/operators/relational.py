@@ -7438,49 +7438,178 @@ MRC_SIZES = (4, 8, 16, 32, 64)
 def lru_mrc(spark: SparkSession, sf_dir: str) -> DataFrame:
     """LRU miss-ratio curve via exact reuse distances (Mattson et al.
     1970 — the stack-distance analysis every cache-sizing exercise
-    runs): the event stream's user_id sequence is the access trace;
-    an access's reuse distance is the number of DISTINCT other keys
-    touched since its previous access, and under LRU it hits a cache
-    of size C iff distance < C.  Emits one row per candidate size:
-    hits, compulsory (first-touch) misses, capacity misses — the whole
-    curve from ONE distance computation.
+    runs) over the FULL event trace: the stream's user_id sequence is
+    the access trace; an access's reuse distance is the number of
+    DISTINCT other keys touched since its previous access, and under
+    LRU it hits a cache of size C iff distance < C.  Emits one row per
+    candidate size: hits, compulsory (first-touch) misses, capacity
+    misses — the whole curve from ONE distance computation.
 
-    Scale shape: one global position ordering, one per-key lag, and a
-    positions-range self-join bounded by the reuse gap (the classic
-    trace-analysis join); the curve rollup is constant-size."""
-    # constant-cost probe across sf (the gap x access range join is
-    # O(trace * working-set); the full sf0.1 trace measured 177 s)
-    ev = _t(spark, sf_dir, "events").where(F.col("event_id") < 30_000).select(
+    Distributed-exact formulation (no range join, no global window):
+    for the access at position p with previous same-key access at a,
+        sd(p) = D(p) − C(p)
+    where D(p) = #distinct keys seen strictly before p (= #first-touch
+    accesses at positions < p, a distributed prefix sum), and
+    C(p) = #accesses J with pos(J) ≤ a AND next(J) ≥ p (next = the
+    same key's following access, N+1 if none) — exactly the keys seen
+    by time a that are NOT touched inside (a, p); each such key is
+    counted once, by its last access ≤ a.  C is a 2-D dominance count
+    (nested-interval containment) solved with a block grid: interior
+    blocks come from a dense (start-block × end-block) corner-sum
+    table (two partitioned window cumsums, every partition one block
+    row/column), and only the two boundary block lines are checked
+    point-level via EQUI-joins on the block id.  Positions come from
+    spatial_index.global_rank (repartitionByRange + per-partition
+    row_number + broadcast offsets) — no single-task sort anywhere.
+
+    Scale shape: with block size B ≈ n^(1/3), grid = (n/B)² cells and
+    boundary joins ≈ 2·n·B rows — both ~n^(2/3)·n^(1/3) = linear-ish;
+    at 10¹²-access scale the grid goes hierarchical (two block levels)
+    or drops to the SHARDS sampled estimator (Waldspurger FAST'15,
+    hash(key) rate-R sampling, distances scaled 1/R) — both keep this
+    same equi-join skeleton."""
+    from .spatial_index import global_rank
+
+    ev = _t(spark, sf_dir, "events").select(
         "user_id",
         F.unix_micros(F.col("ts").cast("timestamp")).alias("us"),
         "event_id",
     )
-    w_all = Window.orderBy("us", "event_id")
-    w_key = Window.partitionBy("user_id").orderBy("pos")
-    p = ev.select(
-        "user_id", F.row_number().over(w_all).alias("pos")
-    ).withColumn("prev", F.lag("pos").over(w_key))
-    acc = p.select("user_id", "pos", "prev").localCheckpoint(eager=True)
-    between = (
-        acc.where(F.col("prev").isNotNull())
-        .alias("a")
+    ranked, n = global_rank(ev, ["us", "event_id"])
+    wk = Window.partitionBy("user_id").orderBy("pos")
+    iv = (
+        ranked.select("user_id", F.col("rank").alias("pos"))
+        .withColumn("prev", F.lag("pos").over(wk))
+        .withColumn("nxt", F.coalesce(F.lead("pos").over(wk), F.lit(n + 1)))
+        .withColumn("isf", F.when(F.col("prev").isNull(), 1).otherwise(0))
+    )
+    blk = max(64, min(4096, round(n ** (1.0 / 3.0))))
+    nb = (n + 1 - 1) // blk + 1  # end positions reach n+1
+    iv = (
+        iv.withColumn("sblk", ((F.col("pos") - 1) / blk).cast("long"))
+        .withColumn("eblk", ((F.col("nxt") - 1) / blk).cast("long"))
+        .localCheckpoint(eager=True)
+    )
+    # D: exclusive prefix sum of first-touch flags in position order —
+    # per-block window cumsum + a broadcast cumulative block-offset map
+    # (the order_percentiles idiom; offsets are one row per block).
+    blk_counts = sorted(
+        (r["sblk"], r["c"])
+        for r in iv.groupBy("sblk").agg(F.sum("isf").alias("c")).collect()
+    )
+    offs, acc_first = [], 0
+    for b, c in blk_counts:
+        offs.append((b, acc_first))
+        acc_first += int(c)
+    n_compulsory = acc_first
+    off_df = F.broadcast(
+        spark.createDataFrame(offs, schema="sblk long, d_off long")
+    )
+    wd = Window.partitionBy("sblk").orderBy("pos")
+    with_d = (
+        iv.withColumn("d_loc", F.sum("isf").over(wd) - F.col("isf"))
+        .join(off_df, "sblk")
+        .withColumn("d_seen", F.col("d_off") + F.col("d_loc"))
+    )
+    q = with_d.where(F.col("prev").isNotNull()).select(
+        F.col("pos").alias("qpos"),
+        F.col("prev").alias("qa"),
+        F.col("d_seen"),
+        ((F.col("prev") - 1) / blk).cast("long").alias("qi"),
+        ((F.col("pos") - 1) / blk).cast("long").alias("qj"),
+    )
+    j = iv.select("pos", "nxt", "sblk", "eblk")
+    # interior term: corner(i, j) = #intervals with sblk < i AND eblk > j,
+    # from a dense nb×nb grid via two partitioned cumsum windows.
+    cc = j.groupBy("sblk", "eblk").agg(F.count(F.lit(1)).alias("cnt"))
+    grid = (
+        spark.range(nb * nb)
+        .select(
+            (F.col("id") / nb).cast("long").alias("i"),
+            (F.col("id") % nb).alias("j"),
+        )
         .join(
-            acc.select(F.col("pos").alias("bpos"), F.col("user_id").alias("bu")),
-            (F.col("bpos") > F.col("prev")) & (F.col("bpos") < F.col("pos")),
+            cc.select(
+                F.col("sblk").alias("i"), F.col("eblk").alias("j"), "cnt"
+            ),
+            ["i", "j"],
             "left",
         )
-        .groupBy("a.user_id", "a.pos")
-        .agg(F.countDistinct("bu").alias("sd"))
+        .withColumn("cnt", F.coalesce("cnt", F.lit(0)))
     )
-    n_total = acc.count()
-    n_compulsory = acc.where(F.col("prev").isNull()).count()
-    rows = []
-    dists = between.select("sd").groupBy("sd").agg(F.count(F.lit(1)).alias("n"))
+    w_suf = (
+        Window.partitionBy("i")
+        .orderBy(F.desc("j"))
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    w_cum = (
+        Window.partitionBy("j")
+        .orderBy("i")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    corner = (
+        grid.withColumn("suf", F.coalesce(F.sum("cnt").over(w_suf), F.lit(0)))
+        .withColumn("corner", F.coalesce(F.sum("suf").over(w_cum), F.lit(0)))
+        .select("i", "j", "corner")
+    )
+    c1 = q.join(
+        corner,
+        (q["qi"] == corner["i"]) & (q["qj"] == corner["j"]),
+    ).select("qpos", "qa", "d_seen", "qj", "qi", "corner")
+    # boundary lines, equi-joined on the block id (≤ blk starts per
+    # start-block since positions are unique; ends likewise + the n+1
+    # sentinel block):  start-line covers regions (sblk==qi, eblk>qj)
+    # and the shared corner cell (sblk==qi, eblk==qj); end-line covers
+    # (eblk==qj, sblk<qi).
+    c24 = (
+        q.join(j, j["sblk"] == q["qi"])
+        .groupBy("qpos")
+        .agg(
+            F.sum(
+                (
+                    (F.col("pos") <= F.col("qa"))
+                    & (
+                        (F.col("eblk") > F.col("qj"))
+                        | (
+                            (F.col("eblk") == F.col("qj"))
+                            & (F.col("nxt") >= F.col("qpos"))
+                        )
+                    )
+                ).cast("long")
+            ).alias("c24")
+        )
+    )
+    c3 = (
+        q.join(j, j["eblk"] == q["qj"])
+        .groupBy("qpos")
+        .agg(
+            F.sum(
+                (
+                    (F.col("sblk") < F.col("qi"))
+                    & (F.col("nxt") >= F.col("qpos"))
+                ).cast("long")
+            ).alias("c3")
+        )
+    )
+    sd_df = (
+        c1.join(c24, "qpos", "left")
+        .join(c3, "qpos", "left")
+        .select(
+            (
+                F.col("d_seen")
+                - F.col("corner")
+                - F.coalesce("c24", F.lit(0))
+                - F.coalesce("c3", F.lit(0))
+            ).alias("sd")
+        )
+    )
+    dists = sd_df.groupBy("sd").agg(F.count(F.lit(1)).alias("n"))
     dist_map = {int(r["sd"]): int(r["n"]) for r in dists.collect()}
     n_reuse = sum(dist_map.values())
+    rows = []
     for cs in MRC_SIZES:
-        hits = sum(n for d, n in dist_map.items() if d < cs)
-        rows.append((cs, n_total, n_compulsory, hits, n_reuse - hits))
+        hits = sum(cnt for d, cnt in dist_map.items() if d < cs)
+        rows.append((cs, n, n_compulsory, hits, n_reuse - hits))
     return (
         spark.createDataFrame(
             rows,
@@ -7497,7 +7626,6 @@ def lru_mrc_sql() -> str:
     return f"""
 WITH ev AS (
   SELECT user_id, epoch_us(ts) AS us, event_id FROM events
-  WHERE event_id < 30000
 ),
 p AS (
   SELECT user_id,
