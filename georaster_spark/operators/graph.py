@@ -223,6 +223,66 @@ def bfs_min_hops(
     return visited
 
 
+def forest_contract(edges: DataFrame, n_parts: int = 8) -> DataFrame:
+    """Local-contraction pre-pass for two-level distributed CC (the
+    shard-then-merge scheme of Rastogi et al. ICDE'13 / every MPC CC
+    paper's "local phase"): hash-partition the edge list, run an exact
+    union-find INSIDE each partition (Arrow-batched via mapInPandas —
+    a per-shard batch loop, not per-row SQL Python), and emit each
+    shard's spanning structure as star edges (node -> shard-local min
+    of its local component).
+
+    Connectivity is preserved exactly: every input edge (u,v) lands in
+    some shard whose forest connects u and v, so the union of shard
+    forests has the same components as the input.  Output size is at
+    most one edge per (node, shard) — and each shard-component is
+    already a STAR, so the global star-contraction loop that follows
+    converges in 1-3 round pairs instead of O(log n).
+
+    At 10^12 scale this is the standard shape: each executor contracts
+    its shard in memory (shard size is bounded by the partition count
+    you choose), and only the quotient graph enters the iterative
+    global phase."""
+    sym = edges.select(
+        F.col("u").cast("long").alias("u"), F.col("v").cast("long").alias("v")
+    )
+
+    def _uf(batches):
+        import pandas as pd
+
+        parent: dict = {}
+
+        def find(x):
+            r = x
+            while parent[r] != r:
+                r = parent[r]
+            while parent[x] != r:
+                parent[x], x = r, parent[x]
+            return r
+
+        for pdf in batches:
+            for u, v in zip(pdf["u"].to_numpy(), pdf["v"].to_numpy()):
+                u = int(u)
+                v = int(v)
+                if u not in parent:
+                    parent[u] = u
+                if v not in parent:
+                    parent[v] = v
+                ru, rv = find(u), find(v)
+                if ru != rv:
+                    parent[max(ru, rv)] = min(ru, rv)
+        if parent:
+            nodes = list(parent)
+            roots = [find(x) for x in nodes]
+            yield pd.DataFrame({"u": nodes, "v": roots})
+
+    return (
+        sym.repartition(n_parts, "u")
+        .mapInPandas(_uf, "u long, v long")
+        .where(F.col("u") != F.col("v"))
+    )
+
+
 def connected_components_star(
     edges: DataFrame,
     vertices: DataFrame,
@@ -230,6 +290,7 @@ def connected_components_star(
     src_col: str = "a_id",
     dst_col: str = "b_id",
     max_iter: int = 25,
+    pre_contract: int | None = None,
 ) -> DataFrame:
     """Connected components via alternating large-star / small-star
     contraction (Kiveris et al., "Connected Components in MapReduce and
@@ -261,9 +322,12 @@ def connected_components_star(
         edges.select(F.col(src_col).alias("u"), F.col(dst_col).alias("v"))
         .where(F.col("u") != F.col("v"))
         .select(F.greatest("u", "v").alias("u"), F.least("u", "v").alias("v"))
-        .distinct()
-        .localCheckpoint(eager=True)
     )
+    if pre_contract:
+        ecur = forest_contract(ecur, n_parts=pre_contract).select(
+            F.greatest("u", "v").alias("u"), F.least("u", "v").alias("v")
+        )
+    ecur = ecur.distinct().localCheckpoint(eager=True)
 
     def _witness(e: DataFrame):
         return e.agg(

@@ -1692,11 +1692,13 @@ def dbscan(
     Scale shape: neighbor pairs come from an eps-grid equi-join (one
     side exploded to its 3x3 neighbor cells — bounded 9x fan-out,
     shuffle on the grid key only, refine inside codegen); the CC runs
-    the shared min-label-propagation operator (graph.py) whose round
-    count is the cluster diameter, not the graph size.  Per-zone skew
-    = max points per eps-cell, the same knob the salting operator
-    (skew.py) handles when a cell runs hot."""
-    from .graph import connected_components
+    the alternating large/small-star contraction operator (graph.py,
+    Kiveris SoCC'14) — O(log n) rounds on ANY topology, where min-label
+    propagation needs diameter rounds (dense eps-graphs at sf0.1 made
+    that the 25 s query).  Per-zone skew = max points per eps-cell, the
+    same knob the salting operator (skew.py) handles when a cell runs
+    hot."""
+    from .graph import connected_components_star
 
     pt = points.select(
         "point_id",
@@ -1705,11 +1707,14 @@ def dbscan(
     ).withColumn("gx", F.floor(F.col("xi") / eps).cast("long")).withColumn(
         "gy", F.floor(F.col("yi") / eps).cast("long")
     )
+    # half-plane neighbor offsets: (0,0) with pa<pb plus the 4 forward
+    # directions generate each unordered within-eps pair exactly ONCE
+    # (5x probe fan-out instead of the naive 3x3 = 9x); the symmetric
+    # pair set is the union with its own mirror — narrow, no shuffle.
     offs = F.array(
         *[
             F.struct(F.lit(dx).alias("dx"), F.lit(dy).alias("dy"))
-            for dx in (-1, 0, 1)
-            for dy in (-1, 0, 1)
+            for dx, dy in ((0, 0), (1, 0), (0, 1), (1, 1), (1, -1))
         ]
     )
     a = (
@@ -1720,6 +1725,7 @@ def dbscan(
             F.col("yi").alias("ay"),
             (F.col("gx") + F.col("o.dx")).alias("cgx"),
             (F.col("gy") + F.col("o.dy")).alias("cgy"),
+            ((F.col("o.dx") == 0) & (F.col("o.dy") == 0)).alias("same"),
         )
     )
     b = pt.select(
@@ -1732,10 +1738,17 @@ def dbscan(
     d2 = (F.col("ax") - F.col("bx")) * (F.col("ax") - F.col("bx")) + (
         F.col("ay") - F.col("by")
     ) * (F.col("ay") - F.col("by"))
-    pairs = (
+    half = (
         a.join(b, ["cgx", "cgy"])
-        .where((F.col("pa") != F.col("pb")) & (d2 <= F.lit(eps * eps)))
+        .where(
+            (d2 <= F.lit(eps * eps))
+            & (F.col("pa") != F.col("pb"))
+            & (~F.col("same") | (F.col("pa") < F.col("pb")))
+        )
         .select("pa", "pb")
+    )
+    pairs = half.union(
+        half.select(F.col("pb").alias("pa"), F.col("pa").alias("pb"))
     )
     pairs.persist()
     core = (
@@ -1747,12 +1760,13 @@ def dbscan(
     core.persist()
     try:
         ce = (
-            pairs.join(core.select(F.col("p").alias("pa")), "pa")
-            .join(core.select(F.col("p").alias("pb")), "pb")
+            pairs.join(F.broadcast(core.select(F.col("p").alias("pa"))), "pa")
+            .join(F.broadcast(core.select(F.col("p").alias("pb"))), "pb")
             .select("pa", "pb")
         )
-        comp = connected_components(
-            ce, core, vertex_col="p", src_col="pa", dst_col="pb", max_iter=60
+        comp = connected_components_star(
+            ce, core, vertex_col="p", src_col="pa", dst_col="pb",
+            max_iter=25, pre_contract=8,
         )
         core_out = comp.select(
             F.col("p").alias("point_id"),
@@ -1760,8 +1774,8 @@ def dbscan(
             F.col("component").alias("cluster"),
         )
         border = (
-            pairs.join(core.select(F.col("p").alias("pb")), "pb")
-            .join(core.select(F.col("p").alias("pa")), "pa", "left_anti")
+            pairs.join(F.broadcast(core.select(F.col("p").alias("pb"))), "pb")
+            .join(F.broadcast(core.select(F.col("p").alias("pa"))), "pa", "left_anti")
             .join(comp.select(F.col("p").alias("pb"), "component"), "pb")
             .groupBy("pa")
             .agg(F.min("component").alias("cluster"))
