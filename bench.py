@@ -232,10 +232,19 @@ def run_once(cpus: int, sf_dir: str, with_queries: bool, warmup: int = 0, repl: 
             # (documented in BENCH/BASELINE.md).
             headline_job(spark, sf_dir, concurrent=concurrent)
         head = headline_job(spark, sf_dir, repl=repl, concurrent=concurrent)
+        # A second timed run makes the artifact self-describing: `value`
+        # is the FIRST timed run after `warmup_iters` warmups (cold JVM
+        # when warmup_iters == 0), `value_steady` the immediate re-run
+        # (steady state) — so prose quoting either number can be checked
+        # against this file without guessing which run it was.
+        steady = headline_job(spark, sf_dir, repl=repl, concurrent=concurrent)
         res = {
             "metric": "spatial-join + tile-assignment wall time (headline); "
             "throughput in images_per_sec",
             "value": round(head["sec"], 3),
+            "value_steady": round(steady["sec"], 3),
+            "warmup_iters": warmup,
+            "images_per_sec_steady": round(steady["images_per_sec"], 1),
             "unit": "sec",
             "sf": Path(sf_dir).name,
             "cpus": executors * exec_cores if executors else cpus,

@@ -103,7 +103,40 @@ def georegister(images: DataFrame, r: int = DEFAULT_RES) -> DataFrame:
 def with_cells(tiles: DataFrame, r: int = DEFAULT_RES) -> DataFrame:
     """Attach extent + cell columns to a table that already carries a
     geotransform (gt_x0/gt_y0/gt_xres/gt_yres, w, h) — the ingest path for
-    pre-georeferenced tiles (e.g. the landsat parity fixture)."""
+    pre-georeferenced tiles (e.g. the landsat parity fixture).
+
+    Rotated geotransforms (GDAL gt[2]/gt[4] != 0, columns gt_rot0/
+    gt_rot1 if the source carries them) are REJECTED loudly at ingest:
+    upstream georaster tolerates rotation because GDAL resolves it
+    (__Raster._load_ds ≈L150-180 ⚠, SURVEY §1.1 row 3), while this
+    engine's extent/cell algebra is north-up by data model — silently
+    ingesting a rotated tile would mis-register every downstream cell
+    id.  The check is an `assert_true` folded into gt_x0 so it runs
+    inside the projected plan (survives column pruning, costs one
+    codegen comparison per row, no action added)."""
+    if "gt_rot0" in tiles.columns or "gt_rot1" in tiles.columns:
+        rot0 = F.col("gt_rot0") if "gt_rot0" in tiles.columns else F.lit(0.0)
+        rot1 = F.col("gt_rot1") if "gt_rot1" in tiles.columns else F.lit(0.0)
+        ok = (F.coalesce(rot0, F.lit(0.0)) == 0.0) & (
+            F.coalesce(rot1, F.lit(0.0)) == 0.0
+        )
+        guard = F.assert_true(
+            ok,
+            F.concat(
+                F.lit(
+                    "georegister.with_cells: rotated geotransform unsupported "
+                    "(north-up only; SURVEY §1.1 row 3 deviation): rot0="
+                ),
+                rot0.cast("string"),
+                F.lit(" rot1="),
+                rot1.cast("string"),
+                F.lit(" image_id="),
+                F.col("image_id").cast("string"),
+            ),
+        )
+        tiles = tiles.withColumn(
+            "gt_x0", F.coalesce(guard.cast("double"), F.col("gt_x0"))
+        )
     df = (
         tiles.withColumn("xmin", F.col("gt_x0"))
         .withColumn("xmax", F.col("gt_x0") + F.col("w") * F.col("gt_xres"))

@@ -1073,9 +1073,16 @@ def boruvka_msf(edges: DataFrame, max_rounds: int = 40) -> DataFrame:
 
     Scale shape: per round, one broadcast-or-shuffle join of edges
     against the (slim) component labels + one groupBy(comp) partial+
-    final min — edges never amplify, no pair explosion.  The chosen-
-    edge set is bounded by V-1 for the whole run, so the contraction
-    CC runs on a forest (converges in O(log V) label-prop rounds).
+    final min — edges never amplify, no pair explosion.  Contraction
+    does NOT re-run a full CC over the cumulative forest each round
+    (that was the dominant fixed cost — a whole witness-checked star
+    loop per Borůvka round): the round's min-edge choices form a
+    PSEUDOFOREST over current component ids (each component points at
+    the other end of its min edge; with globally distinct weights
+    every cycle is a mutual-min 2-cycle), so contraction is the
+    classic hook + pointer-jumping: break 2-cycles toward the smaller
+    id, then square the parent map (one self-join per jump, on a
+    frame no larger than the component count) until idempotent.
     At 10^12 edges the weight-struct min is exactly the shape a
     Pregel-style MSF takes; labels stay a slim broadcastable dim until
     V itself is huge, at which point the same joins hash-partition."""
@@ -1099,26 +1106,67 @@ def boruvka_msf(edges: DataFrame, max_rounds: int = 40) -> DataFrame:
             slim.join(ca, "u").join(cb, "v").where(F.col("cu") != F.col("cv"))
         )
         ms = (
-            cross.select(F.col("cu").alias("c"), F.struct("w", "u", "v").alias("e"))
+            cross.select(
+                F.col("cu").alias("c"),
+                F.struct("w", "u", "v", F.col("cv").alias("oc")).alias("e"),
+            )
             .union(
-                cross.select(F.col("cv").alias("c"), F.struct("w", "u", "v").alias("e"))
+                cross.select(
+                    F.col("cv").alias("c"),
+                    F.struct("w", "u", "v", F.col("cu").alias("oc")).alias("e"),
+                )
             )
             .groupBy("c")
             .agg(F.min("e").alias("e"))
-            .select("e.u", "e.v", "e.w")
-            .distinct()
+            .localCheckpoint(eager=True)
         )
         if ms.isEmpty():
             break
-        chosen = ms if chosen is None else chosen.union(ms).distinct()
-        chosen = chosen.localCheckpoint(eager=True)
-        # star contraction, not min-label: the chosen forest contains
-        # chains up to V-1 long, where label propagation needs diameter
-        # rounds (observed non-convergence at 256 zones); large/small-
-        # star converges in O(log V) on any topology.
-        comp = connected_components_star(
-            chosen, verts, vertex_col="vid", src_col="u", dst_col="v"
-        ).localCheckpoint(eager=True)
+        chosen = (
+            ms.select("e.u", "e.v", "e.w")
+            if chosen is None
+            else chosen.union(ms.select("e.u", "e.v", "e.w"))
+        )
+        chosen = chosen.distinct().localCheckpoint(eager=True)
+        # hook: p(c) = other component of c's min edge; mutual-min
+        # 2-cycles root at the smaller id (p(c) = c), leaving in-trees.
+        p = ms.select("c", F.col("e.oc").alias("p"))
+        nbr = p.select(F.col("c").alias("p"), F.col("p").alias("pp"))
+        p = p.join(nbr, "p", "left").select(
+            "c",
+            F.when(
+                (F.col("pp") == F.col("c")) & (F.col("c") < F.col("p")),
+                F.col("c"),
+            )
+            .otherwise(F.col("p"))
+            .alias("p"),
+        )
+        # pointer jumping: p <- p∘p until idempotent (≤ log2(depth)
+        # self-joins, each over a ≤|components| frame).
+        for _ in range(40):
+            nxt = p.select(F.col("c").alias("p"), F.col("p").alias("pp"))
+            sq = (
+                p.join(nxt, "p")
+                .select(
+                    "c",
+                    F.col("pp").alias("p"),
+                    (F.col("pp") != F.col("p")).alias("moved"),
+                )
+                .localCheckpoint(eager=True)
+            )
+            moved = sq.where("moved").isEmpty()
+            p = sq.select("c", "p")
+            if moved:
+                break
+        else:
+            raise RuntimeError("boruvka_msf pointer jumping did not converge")
+        comp = (
+            comp.join(
+                p.select(F.col("c").alias("component"), "p"), "component", "left"
+            )
+            .select("vid", F.coalesce("p", F.col("component")).alias("component"))
+            .localCheckpoint(eager=True)
+        )
     else:
         raise RuntimeError(f"boruvka_msf did not converge in {max_rounds} rounds")
     if chosen is None:

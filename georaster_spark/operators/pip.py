@@ -828,14 +828,26 @@ def convexity_defect(zones: DataFrame) -> DataFrame:
         F.count(F.lit(1)).alias("n_hull_edges"),
         F.abs(F.sum("edge_cross")).alias("hull_area2"),
     )
+    # fully-degenerate rings (all-collinear / duplicate vertices) have
+    # zero strict-left hull edges: keep them as explicit sentinel rows
+    # (0 hull edges, NULL defect/solidity) instead of an implicit
+    # inner-join drop, and never divide by a zero hull area.
+    degen = F.col("hull_area2").isNull() | (F.col("hull_area2") == 0)
     return (
-        ring_area.join(hull_area, "zone_id")
+        ring_area.join(hull_area, "zone_id", "left")
         .select(
-            "zone_id", "n_hull_edges", "ring_area2", "hull_area2",
-            (F.col("hull_area2") - F.col("ring_area2")).alias("defect2"),
-            F.expr("CAST(div(1000000 * ring_area2, hull_area2) AS BIGINT)").alias(
-                "solidity_ppm"
-            ),
+            "zone_id",
+            F.coalesce("n_hull_edges", F.lit(0)).alias("n_hull_edges"),
+            "ring_area2",
+            F.coalesce("hull_area2", F.lit(0)).alias("hull_area2"),
+            F.when(degen, F.lit(None).cast("long"))
+            .otherwise(F.col("hull_area2") - F.col("ring_area2"))
+            .alias("defect2"),
+            F.when(degen, F.lit(None).cast("long"))
+            .otherwise(
+                F.expr("CAST(div(1000000 * ring_area2, hull_area2) AS BIGINT)")
+            )
+            .alias("solidity_ppm"),
         )
         .repartition(1)
         .sortWithinPartitions("zone_id")

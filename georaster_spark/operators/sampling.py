@@ -119,6 +119,11 @@ def _gather_fn(mode: str, window: int | None, reducer: str):
                         out[idx], masked[idx] = oracle.interp_bicubic(arr, xs, ys, *g, nodata=nd)
                     else:
                         out[idx] = oracle.interp_bicubic(arr, xs, ys, *g)
+                elif mode == "interp2":
+                    if nd is not None:
+                        out[idx], masked[idx] = oracle.interp_quadratic(arr, xs, ys, *g, nodata=nd)
+                    else:
+                        out[idx] = oracle.interp_quadratic(arr, xs, ys, *g)
                 elif window:
                     h, w = arr.shape
                     js, iis = oracle.coord_to_px(xs, ys, *g, w, h)
@@ -211,14 +216,19 @@ def interp(
     r: int = DEFAULT_RES,
     broadcast_points: bool = True,
 ) -> DataFrame:
-    """R14: nearest (order=0), bilinear (order=1) or bicubic Keys a=-0.5
-    (order=3) interpolated sample."""
+    """R14: nearest (order=0), bilinear (order=1), quadratic Dodgson r=1
+    (order=2) or bicubic Keys a=-0.5 (order=3) interpolated sample."""
     if order == 0:
         return value_at_coords(points, tiles, r=r, broadcast_points=broadcast_points)
+    if order == 2:
+        return _sample(points, tiles, "interp2", r=r, broadcast_points=broadcast_points)
     if order == 3:
         return _sample(points, tiles, "interp3", r=r, broadcast_points=broadcast_points)
     if order != 1:
-        raise NotImplementedError("only orders 0 (nearest), 1 (bilinear), 3 (bicubic) are supported")
+        raise NotImplementedError(
+            "only orders 0 (nearest), 1 (bilinear), 2 (quadratic), 3 (bicubic)"
+            " are supported"
+        )
     return _sample(points, tiles, "interp", r=r, broadcast_points=broadcast_points)
 
 

@@ -6241,10 +6241,14 @@ def like_selectivity(spark: SparkSession, sf_dir: str) -> DataFrame:
     statistics falls back on: a pattern's estimated selectivity is
     the PRODUCT of its character-trigrams' document frequencies over
     N (independence assumption), audited against the exact match
-    count. Estimates stay integer: est_num = product of dfs, est_den
-    = N^k, est_ppm by exact floor division — the overestimate on
-    correlated trigrams (inside one word) is the textbook failure
-    mode, measured here.
+    count. Estimates stay integer via INTERLEAVED floor division —
+    acc <- (acc * df_i) div N starting from acc = 10^6 — so every
+    intermediate is bounded by 10^6 * N and lives in int64 at any
+    gram count and any corpus size (a straight Π df / N^k overflows
+    DECIMAL(38)/HUGEINT once N^k passes ~1e38, and the two engines
+    overflow DIFFERENTLY: Spark nulls, DuckDB errors).  The
+    overestimate on correlated trigrams (inside one word) is the
+    textbook failure mode, measured here.
 
     Scale shape: one doc-trigram census per pattern trigram (a tiny
     IN-list probe) + one exact LIKE census — both map-only scans."""
@@ -6263,18 +6267,16 @@ def like_selectivity(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum(F.when(F.col("t").contains(pat), 1).otherwise(0)).alias("exact"),
             *df_cols,
         ).crossJoin(n_docs)
-        num = " * ".join(f"CAST(df{i} AS DECIMAL(38,0))" for i in range(len(grams)))
-        den = " * ".join(["CAST(n AS DECIMAL(38,0))"] * len(grams))
+        est = "CAST(1000000 AS BIGINT)"
+        for i in range(len(grams)):
+            est = f"div(({est}) * df{i}, n)"
         rows.append(
             agg.select(
                 F.lit(pat).alias("pattern"),
                 F.lit(len(grams)).cast("long").alias("n_grams"),
                 F.col("exact").cast("long").alias("exact_matches"),
                 F.expr(f"CAST(div(1000000 * exact, n) AS BIGINT)").alias("exact_ppm"),
-                F.expr(
-                    f"CAST((CAST(1000000 AS DECIMAL(38,0)) * ({num}))"
-                    f" div ({den}) AS BIGINT)"
-                ).alias("est_ppm"),
+                F.expr(f"CAST({est} AS BIGINT)").alias("est_ppm"),
             )
         )
     out = rows[0]
@@ -6291,13 +6293,14 @@ def like_selectivity_sql() -> str:
             f"SUM(CASE WHEN t LIKE '%{g}%' THEN 1 ELSE 0 END) AS df{i}"
             for i, g in enumerate(grams)
         )
-        num = " * ".join(f"CAST(df{i} AS HUGEINT)" for i in range(len(grams)))
-        den = " * ".join(["CAST(n AS HUGEINT)"] * len(grams))
+        est = "CAST(1000000 AS BIGINT)"
+        for i in range(len(grams)):
+            est = f"(({est}) * df{i}) // n"
         parts.append(f"""
   SELECT '{pat}' AS pattern, CAST({len(grams)} AS BIGINT) AS n_grams,
          CAST(exact AS BIGINT) AS exact_matches,
          CAST((1000000 * exact) // n AS BIGINT) AS exact_ppm,
-         CAST((CAST(1000000 AS HUGEINT) * ({num})) // ({den}) AS BIGINT) AS est_ppm
+         CAST({est} AS BIGINT) AS est_ppm
   FROM (
     SELECT SUM(CASE WHEN t LIKE '%{pat}%' THEN 1 ELSE 0 END) AS exact,
            {dfs},

@@ -2330,7 +2330,11 @@ def hubness_census(spark: SparkSession, sf_dir: str) -> DataFrame:
     Scale shape: here the exact all-pairs rank (bounded corpus); at
     10^12 rows the same census runs over the ANN graph instead — the
     histogram shape is the shared diagnostic. Rank-only output keeps
-    the float cosine out of the comparison surface."""
+    the float cosine out of the comparison surface, and the ranking
+    itself is computed from ppm-quantized INTEGER dot/norm sums
+    (integer addition is associative, so neither engine's fold order
+    matters; the final cos is one exactly-rounded double expression
+    of identical ints on both sides)."""
     # deterministic 500-vector audit slice: the k-occurrence histogram
     # SHAPE is the diagnostic; the exact all-pairs rank behind it is
     # quadratic, so the census pins a fixed slice at every sf (at
@@ -2338,22 +2342,24 @@ def hubness_census(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = _emb(spark, sf_dir).where(F.col("vec_id") < 500).select(
         "vec_id", "embedding"
     )
+    q6 = "CAST(floor(CAST({v} AS DOUBLE) * 1000000) AS BIGINT)"
+    qsum = (
+        "aggregate(zip_with({a}, {b},"
+        f" (x, y) -> {q6.format(v='x')} * {q6.format(v='y')}),"
+        " CAST(0 AS BIGINT), (acc, x) -> acc + x)"
+    )
     a = e.select(F.col("vec_id").alias("qa"), F.col("embedding").alias("ea"))
     b = e.select(F.col("vec_id").alias("qb"), F.col("embedding").alias("eb"))
-    dot = F.expr(
-        "aggregate(zip_with(ea, eb, (x, y) -> CAST(x AS DOUBLE) * CAST(y AS DOUBLE)),"
-        " CAST(0 AS DOUBLE), (acc, x) -> acc + x)"
-    )
-    na = F.expr(
-        "aggregate(transform(ea, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)),"
-        " CAST(0 AS DOUBLE), (acc, x) -> acc + x)"
-    )
-    nb = F.expr(
-        "aggregate(transform(eb, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)),"
-        " CAST(0 AS DOUBLE), (acc, x) -> acc + x)"
-    )
+    dot = F.expr(qsum.format(a="ea", b="eb"))
+    na = F.expr(qsum.format(a="ea", b="ea"))
+    nb = F.expr(qsum.format(a="eb", b="eb"))
     pairs = a.join(b, F.col("qa") != F.col("qb")).select(
-        "qa", "qb", (dot / F.sqrt(na * nb)).alias("cos")
+        "qa",
+        "qb",
+        (
+            dot.cast("double")
+            / F.sqrt(na.cast("double") * nb.cast("double"))
+        ).alias("cos"),
     )
     w = Window.partitionBy("qa").orderBy(F.col("cos").desc(), F.col("qb").asc())
     top = pairs.select("qa", "qb", F.row_number().over(w).alias("rk")).where(
@@ -2375,14 +2381,22 @@ def hubness_census(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def hubness_census_sql() -> str:
-    dot = _sql_dot("a.embedding", "b.embedding")
-    na = _sql_dot("a.embedding", "a.embedding")
-    nb = _sql_dot("b.embedding", "b.embedding")
+    def qsum(x: str, y: str) -> str:
+        q = "CAST(floor(CAST({v} AS DOUBLE) * 1000000) AS BIGINT)"
+        return (
+            f"list_sum(list_transform(range(1, len({x}) + 1),"
+            f" i -> {q.format(v=f'{x}[i]')} * {q.format(v=f'{y}[i]')}))"
+        )
+
+    dot = qsum("a.embedding", "b.embedding")
+    na = qsum("a.embedding", "a.embedding")
+    nb = qsum("b.embedding", "b.embedding")
     return f"""
 WITH emb AS (SELECT * FROM embeddings WHERE vec_id < 500),
 pairs AS (
   SELECT a.vec_id AS qa, b.vec_id AS qb,
-         ({dot}) / sqrt(({na}) * ({nb})) AS cos
+         CAST(({dot}) AS DOUBLE)
+           / sqrt(CAST(({na}) AS DOUBLE) * CAST(({nb}) AS DOUBLE)) AS cos
   FROM emb a JOIN emb b ON b.vec_id != a.vec_id
 ),
 top AS (

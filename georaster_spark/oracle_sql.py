@@ -241,6 +241,59 @@ FROM corners ORDER BY point_id
 """
 
 
+def interp_quadratic_sql(images_path: str, points_path: str) -> str:
+    """Oracle for operators/sampling.interp(order=2): pixel-center
+    quadratic convolution (Dodgson r=1 interpolating kernel), centered
+    on the nearest pixel, edge-clamped — weight expressions and the
+    left-associative 3x3 summation mirror oracle.interp_quadratic
+    verbatim so float64 results are bit-identical."""
+    # Dodgson weights, same literal arithmetic as oracle._quadratic_weights
+    def wts(s: str) -> list[str]:
+        return [
+            f"((({s} + 1.0) - 2.5) * ({s} + 1.0) + 1.5)",
+            f"(1.0 - 2.0 * ({s} * {s}))",
+            f"(((1.0 - {s}) - 2.5) * (1.0 - {s}) + 1.5)",
+        ]
+
+    offs = (-1, 0, 1)
+    jcols = ",\n         ".join(
+        f"least(greatest(CAST(floor(fx + 0.5) AS BIGINT) + {o}, 0), w - 1) AS j{k}"
+        for k, o in enumerate(offs)
+    )
+    icols = ",\n         ".join(
+        f"least(greatest(CAST(floor(fy + 0.5) AS BIGINT) + {o}, 0), h - 1) AS i{k}"
+        for k, o in enumerate(offs)
+    )
+    wx = wts("t")
+    wy = wts("u")
+    rows = [
+        "(" + " + ".join(
+            f"{wx[kj]} * ({ramp_value_expr(f'i{ki}', f'j{kj}')})" for kj in range(3)
+        ) + ")"
+        for ki in range(3)
+    ]
+    val = " + ".join(f"{wy[ki]} * {rows[ki]}" for ki in range(3))
+    return f"""
+WITH {georegister_cte(images_path)},
+{candidates_cte(points_path)},
+frac AS (
+  SELECT point_id, image_id, idx, fmt, w, h,
+         (x - gt_x0) / gt_xres - 0.5 AS fx,
+         (gt_y0 - y) / gt_yres - 0.5 AS fy
+  FROM best
+),
+corners AS (
+  SELECT point_id, image_id, idx, fmt,
+         fx - floor(fx + 0.5) AS t, fy - floor(fy + 0.5) AS u,
+         {jcols},
+         {icols}
+  FROM frac
+)
+SELECT point_id, image_id, round({val}, 6) AS val
+FROM corners ORDER BY point_id
+"""
+
+
 def psnr_gate_sql(images_path: str, w: int, h: int) -> str:
     """Oracle for the E10 PSNR verification aggregate: raw tiles
     re-quantized with the qnt codec; MSE is exact integer arithmetic."""

@@ -114,6 +114,17 @@ def q_interp_bicubic(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.withColumn("val", F.round("val", 6)).repartition(1).sortWithinPartitions("point_id")
 
 
+def q_interp_quadratic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Op R14 order=2: pixel-center quadratic (Dodgson r=1 interpolating
+    convolution), nearest-pixel centered, edge-clamped — closes the
+    upstream 0/1/2/3 common order set (VERDICT r3 item 8)."""
+    from ..operators import sampling
+
+    tiles = geo.georegister(_images(spark, sf_dir))
+    out = sampling.interp(_points(spark, sf_dir), tiles, order=2)
+    return out.withColumn("val", F.round("val", 6)).repartition(1).sortWithinPartitions("point_id")
+
+
 def q_coord_to_px(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Op R9: world -> integer pixel indices (floor + clamp)."""
     from ..operators import sampling
@@ -4965,6 +4976,7 @@ def spatial_queries() -> dict[str, QueryFn]:
         "value_window": q_value_window,
         "interp_bilinear": q_interp_bilinear,
         "interp_bicubic": q_interp_bicubic,
+        "interp_quadratic": q_interp_quadratic,
         "subset_checksum": q_subset_checksum,
         "pip_rect": _q_pip_kind("rect"),
         "pip_convex": _q_pip_kind("convex"),
@@ -5461,6 +5473,7 @@ def spatial_oracles(sf: str = "sf0.01") -> dict[str, str]:
         "value_window": _sql_value_window(fx),
         "interp_bilinear": osql.interp_sql(img, pts),
         "interp_bicubic": osql.interp_bicubic_sql(img, pts),
+        "interp_quadratic": osql.interp_quadratic_sql(img, pts),
         "subset_checksum": _sql_subset_checksum(fx),
         "pip_rect": _sql_pip_kind(fx, "rect"),
         "pip_convex": _sql_pip_kind(fx, "convex"),
@@ -12298,6 +12311,62 @@ FROM u GROUP BY image_id, band ORDER BY image_id, band
 MST_CUTOFF = 50_000  # L1 centroid-distance edge cutoff for the zone MSF graph
 
 
+def _zone_prox_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Zone proximity edges (u, v, d) with u < v and snapped-centroid
+    L1 distance d <= MST_CUTOFF, generated by the cell-bucketed
+    equi-join (the semivariogram/A101 pair plan, same as dbscan's):
+    centroids bucket into MST_CUTOFF-sized grid cells; |Δx|,|Δy| <=
+    cutoff confines a qualifying pair to adjacent cells, and the 4
+    forward offsets + same-cell-with-u<v generate each unordered pair
+    exactly once.  Replaces the zones×zones theta join — fine while
+    zones are a 256-row dim, but a BroadcastNestedLoopJoin in the
+    plan; this shape survives zones growing past dim scale."""
+    z = _zones(spark, sf_dir).select(
+        "zone_id",
+        F.floor((F.col("xmin") + F.col("xmax")) / 2 + 0.5).cast("long").alias("cx"),
+        F.floor((F.col("ymin") + F.col("ymax")) / 2 + 0.5).cast("long").alias("cy"),
+    ).withColumn("gx", F.floor(F.col("cx") / MST_CUTOFF).cast("long")).withColumn(
+        "gy", F.floor(F.col("cy") / MST_CUTOFF).cast("long")
+    )
+    offs = F.array(
+        *[
+            F.struct(F.lit(dx).alias("dx"), F.lit(dy).alias("dy"))
+            for dx, dy in ((0, 0), (1, 0), (0, 1), (1, 1), (1, -1))
+        ]
+    )
+    a = z.select(
+        "zone_id", "cx", "cy", "gx", "gy", F.explode(offs).alias("o")
+    ).select(
+        F.col("zone_id").alias("pa"),
+        F.col("cx").alias("acx"),
+        F.col("cy").alias("acy"),
+        (F.col("gx") + F.col("o.dx")).alias("jgx"),
+        (F.col("gy") + F.col("o.dy")).alias("jgy"),
+        ((F.col("o.dx") == 0) & (F.col("o.dy") == 0)).alias("same"),
+    )
+    b = z.select(
+        F.col("zone_id").alias("pb"),
+        F.col("cx").alias("bcx"),
+        F.col("cy").alias("bcy"),
+        F.col("gx").alias("jgx"),
+        F.col("gy").alias("jgy"),
+    )
+    d = F.abs(F.col("acx") - F.col("bcx")) + F.abs(F.col("acy") - F.col("bcy"))
+    return (
+        a.join(b, ["jgx", "jgy"])
+        .where(
+            (d <= MST_CUTOFF)
+            & (F.col("pa") != F.col("pb"))
+            & (~F.col("same") | (F.col("pa") < F.col("pb")))
+        )
+        .select(
+            F.least("pa", "pb").alias("u"),
+            F.greatest("pa", "pb").alias("v"),
+            d.alias("d"),
+        )
+    )
+
+
 def q_mst_boruvka(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Minimum spanning forest of the zone proximity graph
     (graph.boruvka_msf): nodes = zones, edges = pairs with snapped-
@@ -12306,25 +12375,9 @@ def q_mst_boruvka(spark: SparkSession, sf_dir: str) -> DataFrame:
     edge by the definitional cycle property — u,v not connected through
     strictly lighter edges — via one recursive closure over the
     (edge, node) state space."""
-    z = _zones(spark, sf_dir).select(
-        "zone_id",
-        F.floor((F.col("xmin") + F.col("xmax")) / 2 + 0.5).cast("long").alias("cx"),
-        F.floor((F.col("ymin") + F.col("ymax")) / 2 + 0.5).cast("long").alias("cy"),
-    )
-    a = z.select(
-        F.col("zone_id").alias("u"), F.col("cx").alias("acx"), F.col("cy").alias("acy")
-    )
-    b = z.select(
-        F.col("zone_id").alias("v"), F.col("cx").alias("bcx"), F.col("cy").alias("bcy")
-    )
-    d = F.abs(F.col("acx") - F.col("bcx")) + F.abs(F.col("acy") - F.col("bcy"))
-    edges = (
-        a.join(b, F.col("v") > F.col("u"))
-        .where(d <= MST_CUTOFF)
-        .select(
-            "u", "v",
-            (d * 1_000_000 + F.col("u") * 1_000 + F.col("v")).alias("w"),
-        )
+    edges = _zone_prox_edges(spark, sf_dir).select(
+        "u", "v",
+        (F.col("d") * 1_000_000 + F.col("u") * 1_000 + F.col("v")).alias("w"),
     )
     from ..operators.graph import boruvka_msf
 
@@ -12883,17 +12936,7 @@ def q_apsp_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
     expansion as unrolled materialized frontier CTEs."""
     from ..operators.graph import apsp_path_counts
 
-    z = _zones(spark, sf_dir).select(
-        "zone_id",
-        F.floor((F.col("xmin") + F.col("xmax")) / 2 + 0.5).cast("long").alias("cx"),
-        F.floor((F.col("ymin") + F.col("ymax")) / 2 + 0.5).cast("long").alias("cy"),
-    )
-    a = z.select(F.col("zone_id").alias("u"), F.col("cx").alias("acx"),
-                 F.col("cy").alias("acy"))
-    b = z.select(F.col("zone_id").alias("v"), F.col("cx").alias("bcx"),
-                 F.col("cy").alias("bcy"))
-    d = F.abs(F.col("acx") - F.col("bcx")) + F.abs(F.col("acy") - F.col("bcy"))
-    edges = a.join(b, F.col("v") > F.col("u")).where(d <= MST_CUTOFF).select("u", "v")
+    edges = _zone_prox_edges(spark, sf_dir).select("u", "v")
     return apsp_path_counts(edges, max_rounds=_APSP_ROUNDS)
 
 
@@ -12953,21 +12996,7 @@ def q_bellman_ford(spark: SparkSession, sf_dir: str) -> DataFrame:
     relaxations."""
     from ..operators.graph import bellman_ford_rounds
 
-    z = _zones(spark, sf_dir).select(
-        "zone_id",
-        F.floor((F.col("xmin") + F.col("xmax")) / 2 + 0.5).cast("long").alias("cx"),
-        F.floor((F.col("ymin") + F.col("ymax")) / 2 + 0.5).cast("long").alias("cy"),
-    )
-    a = z.select(F.col("zone_id").alias("u"), F.col("cx").alias("acx"),
-                 F.col("cy").alias("acy"))
-    b = z.select(F.col("zone_id").alias("v"), F.col("cx").alias("bcx"),
-                 F.col("cy").alias("bcy"))
-    d = F.abs(F.col("acx") - F.col("bcx")) + F.abs(F.col("acy") - F.col("bcy"))
-    edges = (
-        a.join(b, F.col("v") > F.col("u"))
-        .where(d <= MST_CUTOFF)
-        .select("u", "v", d.alias("w"))
-    )
+    edges = _zone_prox_edges(spark, sf_dir).select("u", "v", F.col("d").alias("w"))
     return bellman_ford_rounds(edges, source=0, rounds=_BF_ROUNDS)
 
 
@@ -14789,23 +14818,12 @@ def q_single_linkage(spark: SparkSession, sf_dir: str) -> DataFrame:
     the recursive closure over the SAME cycle-property MSF edges."""
     from ..operators.graph import boruvka_msf, connected_components_star
 
-    z = _zones(spark, sf_dir).select(
-        "zone_id",
-        F.floor((F.col("xmin") + F.col("xmax")) / 2 + 0.5).cast("long").alias("cx"),
-        F.floor((F.col("ymin") + F.col("ymax")) / 2 + 0.5).cast("long").alias("cy"),
-    )
-    a = z.select(F.col("zone_id").alias("u"), F.col("cx").alias("acx"),
-                 F.col("cy").alias("acy"))
-    b = z.select(F.col("zone_id").alias("v"), F.col("cx").alias("bcx"),
-                 F.col("cy").alias("bcy"))
-    d = F.abs(F.col("acx") - F.col("bcx")) + F.abs(F.col("acy") - F.col("bcy"))
-    edges = (
-        a.join(b, F.col("v") > F.col("u"))
-        .where(d <= MST_CUTOFF)
-        .select("u", "v", (d * 1_000_000 + F.col("u") * 1_000 + F.col("v")).alias("w"))
+    edges = _zone_prox_edges(spark, sf_dir).select(
+        "u", "v",
+        (F.col("d") * 1_000_000 + F.col("u") * 1_000 + F.col("v")).alias("w"),
     )
     msf = boruvka_msf(edges).localCheckpoint(eager=True)
-    verts = z.select(F.col("zone_id").alias("vid"))
+    verts = _zones(spark, sf_dir).select(F.col("zone_id").alias("vid"))
     outs = []
     for t in _SLINK_CUTS:
         cut = msf.where(F.expr(f"div(weight, 1000000)") < t).select(
@@ -15359,12 +15377,15 @@ hull_area AS (
   FROM hull_edges WHERE ok GROUP BY zone_id
 )
 SELECT ra.zone_id,
-       CAST(n_hull_edges AS BIGINT) AS n_hull_edges,
+       CAST(COALESCE(n_hull_edges, 0) AS BIGINT) AS n_hull_edges,
        CAST(ring_area2 AS BIGINT) AS ring_area2,
-       CAST(hull_area2 AS BIGINT) AS hull_area2,
-       CAST(hull_area2 - ring_area2 AS BIGINT) AS defect2,
-       CAST((1000000 * ring_area2) // hull_area2 AS BIGINT) AS solidity_ppm
-FROM ring_area ra JOIN hull_area ha ON ha.zone_id = ra.zone_id
+       CAST(COALESCE(hull_area2, 0) AS BIGINT) AS hull_area2,
+       CAST(CASE WHEN COALESCE(hull_area2, 0) = 0 THEN NULL
+                 ELSE hull_area2 - ring_area2 END AS BIGINT) AS defect2,
+       CAST(CASE WHEN COALESCE(hull_area2, 0) = 0 THEN NULL
+                 ELSE (1000000 * ring_area2) // hull_area2 END AS BIGINT)
+         AS solidity_ppm
+FROM ring_area ra LEFT JOIN hull_area ha ON ha.zone_id = ra.zone_id
 ORDER BY ra.zone_id
 """
 

@@ -3,8 +3,9 @@
 value hash — the determinism-across-parallelism evidence.
 
 Usage: python jobs/compare_gate_logs.py A.log B.log
-Prints per-query mismatches and a summary; exit code = #mismatches on
-the intersection of query names.
+Prints per-query mismatches and a summary; exit code 1 if any query
+mismatches, else 0 (the per-query count stays in stdout — a raw count
+as exit status would wrap mod 256 and read as success at exactly 256).
 """
 
 from __future__ import annotations
@@ -36,7 +37,7 @@ def main() -> int:
         f"shared={len(shared)} identical={len(shared) - bad} mismatched={bad}"
         f" only_a={len(set(a) - set(b))} only_b={len(set(b) - set(a))}"
     )
-    return bad
+    return 1 if bad else 0
 
 
 if __name__ == "__main__":
