@@ -35,6 +35,28 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 
+def _pin(df: DataFrame) -> DataFrame:
+    """Truncate lineage AND reset the size estimate for an iterative
+    round: localCheckpoint alone is NOT enough, because the LogicalRDD
+    it produces carries over the SOURCE plan's estimated sizeInBytes —
+    and join-size estimates are multiplicative, so round r's checkpoint
+    inherits a product of products: by round 4 the estimate is a
+    ~10^5-digit BigInteger and Catalyst's SizeInBytesOnlyStatsPlanVisitor
+    spends tens of seconds PER ROUND in Karatsuba multiplication (jstack
+    verified: 45 s of planning on a 2-component, 1.5k-edge graph).
+    Caching on top of the checkpoint and materializing replaces that
+    estimate with the EXACT in-memory size, so every round plans
+    against real (tiny) numbers and join strategies stay sane.
+
+    The cached blocks are round-sized (component labels / frontier
+    edges — KBs to MBs); superseded rounds' blocks are evicted LRU or
+    dropped with the session, the standard GraphX/GraphFrames per-round
+    persist posture."""
+    out = df.localCheckpoint(eager=False).cache()
+    out.count()
+    return out
+
+
 def connected_components(
     edges: DataFrame,
     vertices: DataFrame,
@@ -60,7 +82,7 @@ def connected_components(
     # a LogicalRDD so every round's plan is one-round deep, constant size.
     labels = vertices.select(
         F.col(vertex_col).alias("vid"), F.col(vertex_col).alias("label")
-    ).localCheckpoint(eager=True)
+    ).transform(_pin)
     try:
         # labels only ever DECREASE, so for numeric ids sum(label) is a
         # strictly decreasing convergence witness — one scalar aggregate
@@ -90,7 +112,9 @@ def connected_components(
                         "label"
                     ),
                 )
-                .localCheckpoint(eager=True)
+                # lazy ckpt+cache; the witness sum below materializes it
+                .localCheckpoint(eager=False)
+                .cache()
             )
             if numeric:
                 new_sum = _sum(new)
@@ -163,7 +187,7 @@ def pagerank_int(
     any synchronous PageRank round needs; convergence-free fixed
     ``iters`` keeps the job a static DAG."""
     deg = edges.groupBy("src").agg(F.count(F.lit(1)).alias("deg"))
-    e = edges.join(deg, "src").localCheckpoint(eager=False)
+    e = edges.join(deg, "src").transform(_pin)
     base = int((100 - damp_pct) * scale // 100)
     ranks = deg.select(
         F.col("src").alias("node"), F.lit(int(scale)).cast("long").alias("rank")
@@ -181,7 +205,7 @@ def pagerank_int(
                 .cast("long")
                 .alias("rank"),
             )
-            .localCheckpoint(eager=False)
+            .transform(_pin)
         )
     return ranks
 
@@ -207,14 +231,14 @@ def bfs_min_hops(
     same keys; frontiers shrink geometrically on expander-ish graphs."""
     frontier = seeds.select(F.col("node").cast("long").alias("node")).distinct()
     visited = frontier.withColumn("d", F.lit(0))
-    frontier = frontier.localCheckpoint(eager=True)
+    frontier = frontier.transform(_pin)
     for d in range(1, max_hops + 1):
         nxt = (
             frontier.join(edges, frontier["node"] == edges["src"])
             .select(F.col("dst").alias("node"))
             .distinct()
             .join(visited, "node", "left_anti")
-            .localCheckpoint(eager=True)
+            .transform(_pin)
         )
         if nxt.isEmpty():
             break
@@ -327,7 +351,10 @@ def connected_components_star(
         ecur = forest_contract(ecur, n_parts=pre_contract).select(
             F.greatest("u", "v").alias("u"), F.least("u", "v").alias("v")
         )
-    ecur = ecur.distinct().localCheckpoint(eager=True)
+    # lazy checkpoint + cache with the witness aggregate as the
+    # materializing action: one job per round pins lineage, resets the
+    # size stats (see _pin) AND measures convergence.
+    ecur = ecur.distinct().localCheckpoint(eager=False).cache()
 
     def _witness(e: DataFrame):
         return e.agg(
@@ -361,7 +388,8 @@ def connected_components_star(
             .where(F.col("u") != F.col("v"))
             .select(F.greatest("u", "v").alias("u"), F.least("u", "v").alias("v"))
             .distinct()
-            .localCheckpoint(eager=True)
+            .localCheckpoint(eager=False)
+            .cache()
         )
         cur = _witness(small)
         # witness equality is necessary-not-sufficient; confirm the
@@ -428,12 +456,12 @@ def triangle_census(edges: DataFrame) -> DataFrame:
             F.least("u", "v").alias("u"), F.greatest("u", "v").alias("v")
         )
         .distinct()
-        .localCheckpoint(eager=False)
+        .transform(_pin)
     )
     sym = und.union(und.select(F.col("v").alias("u"), F.col("u").alias("v")))
     deg = (
         sym.groupBy("u").agg(F.count(F.lit(1)).alias("deg"))
-        .localCheckpoint(eager=False)
+        .transform(_pin)
     )
 
     # Orient by (deg, id): a -> b iff (deg_a, a) < (deg_b, b).
@@ -448,7 +476,7 @@ def triangle_census(edges: DataFrame) -> DataFrame:
     oriented = keyed.select(
         F.when(fwd, F.col("u")).otherwise(F.col("v")).alias("a"),
         F.when(fwd, F.col("v")).otherwise(F.col("u")).alias("b"),
-    ).localCheckpoint(eager=False)
+    ).transform(_pin)
 
     w1 = oriented.select(F.col("a").alias("apex"), F.col("b").alias("p"))
     w2 = oriented.select(F.col("a").alias("apex"), F.col("b").alias("q"))
@@ -520,7 +548,7 @@ def sssp_rounds(
             dist.unionByName(relax)
             .groupBy("node")
             .agg(F.min("d").alias("d"))
-            .localCheckpoint(eager=False)
+            .transform(_pin)
         )
     return dist.select("node", F.col("d").alias("dist"))
 
@@ -545,14 +573,14 @@ def k_core_rounds(edges: DataFrame, k: int, rounds: int) -> DataFrame:
         .where(F.col("u") != F.col("v"))
         .select(F.least("u", "v").alias("u"), F.greatest("u", "v").alias("v"))
         .distinct()
-        .localCheckpoint(eager=False)
+        .transform(_pin)
     )
     out_rows = []
     cur = und
     for r in range(1, rounds + 1):
         sym = cur.union(cur.select(F.col("v").alias("u"), F.col("u").alias("v")))
         deg = sym.groupBy("u").agg(F.count(F.lit(1)).alias("deg"))
-        keep = deg.where(F.col("deg") >= k).select("u").localCheckpoint(eager=False)
+        keep = deg.where(F.col("deg") >= k).select("u").transform(_pin)
         cur = (
             cur.join(keep, "u", "left_semi")
             .join(keep.select(F.col("u").alias("v")), "v", "left_semi")
@@ -560,7 +588,7 @@ def k_core_rounds(edges: DataFrame, k: int, rounds: int) -> DataFrame:
             # join leaves columns ordered (v, u); the sym union below is
             # POSITIONAL — re-pin the order or every edge flips.
             .select("u", "v")
-            .localCheckpoint(eager=False)
+            .transform(_pin)
         )
         survivors = cur.select(F.col("u").alias("n")).union(
             cur.select(F.col("v").alias("n"))
@@ -601,12 +629,12 @@ def clustering_coefficients(edges: DataFrame, min_triangles: int = 1) -> DataFra
         .where(F.col("u") != F.col("v"))
         .select(F.least("u", "v").alias("u"), F.greatest("u", "v").alias("v"))
         .distinct()
-        .localCheckpoint(eager=False)
+        .transform(_pin)
     )
     sym = und.union(und.select(F.col("v").alias("u"), F.col("u").alias("v")))
     deg = (
         sym.groupBy("u").agg(F.count(F.lit(1)).alias("deg"))
-        .localCheckpoint(eager=False)
+        .transform(_pin)
     )
     du = deg.select(F.col("u").alias("_au"), F.col("deg").alias("_da"))
     dv = deg.select(F.col("u").alias("_bv"), F.col("deg").alias("_db"))
@@ -617,7 +645,7 @@ def clustering_coefficients(edges: DataFrame, min_triangles: int = 1) -> DataFra
     oriented = keyed.select(
         F.when(fwd, F.col("u")).otherwise(F.col("v")).alias("a"),
         F.when(fwd, F.col("v")).otherwise(F.col("u")).alias("b"),
-    ).localCheckpoint(eager=False)
+    ).transform(_pin)
     w1 = oriented.select(F.col("a").alias("apex"), F.col("b").alias("p"))
     w2 = oriented.select(F.col("a").alias("apex"), F.col("b").alias("q"))
     wedges = w1.join(w2, "apex").where(F.col("p") < F.col("q"))
@@ -667,11 +695,11 @@ def label_propagation_rounds(edges: DataFrame, rounds: int) -> DataFrame:
     )
     sym = und.union(
         und.select(F.col("v").alias("u"), F.col("u").alias("v"))
-    ).localCheckpoint(eager=False)
+    ).transform(_pin)
     labels = (
         sym.select(F.col("u").alias("node")).distinct()
         .select("node", F.col("node").alias("lbl"))
-        .localCheckpoint(eager=False)
+        .transform(_pin)
     )
     out_rows = []
     for r in range(1, rounds + 1):
@@ -684,7 +712,7 @@ def label_propagation_rounds(edges: DataFrame, rounds: int) -> DataFrame:
         )
         labels = best.select(
             F.col("u").alias("node"), (-F.col("m.neg")).alias("lbl")
-        ).localCheckpoint(eager=False)
+        ).transform(_pin)
         census = labels.agg(
             F.countDistinct("lbl").alias("n_labels"),
             F.sum(F.col("node") * F.col("lbl")).alias("label_checksum"),
@@ -723,10 +751,10 @@ def hits_rounds(edges: DataFrame, rounds: int) -> DataFrame:
     lineage stays round-deep."""
     e = edges.select(
         F.col("src").cast("long").alias("src"), F.col("dst").cast("long").alias("dst")
-    ).distinct().localCheckpoint(eager=False)
+    ).distinct().transform(_pin)
     hubs = e.select(F.col("src").alias("node")).distinct().select(
         "node", F.lit(1).cast("long").alias("h")
-    ).localCheckpoint(eager=False)
+    ).transform(_pin)
     out_rows = []
     for r in range(1, rounds + 1):
         auth = (
@@ -734,14 +762,14 @@ def hits_rounds(edges: DataFrame, rounds: int) -> DataFrame:
             .groupBy("dst")
             .agg(F.sum("h").alias("a"))
             .select(F.col("dst").alias("node"), "a")
-            .localCheckpoint(eager=False)
+            .transform(_pin)
         )
         hubs = (
             e.join(auth.select(F.col("node").alias("dst"), "a"), "dst")
             .groupBy("src")
             .agg(F.sum("a").alias("h"))
             .select(F.col("src").alias("node"), "h")
-            .localCheckpoint(eager=False)
+            .transform(_pin)
         )
         census = hubs.agg(
             F.sum("h").alias("sum_h"),
@@ -833,7 +861,7 @@ def rich_club(edges: DataFrame) -> DataFrame:
         .where(F.col("u") != F.col("v"))
         .select(F.least("u", "v").alias("u"), F.greatest("u", "v").alias("v"))
         .distinct()
-        .localCheckpoint(eager=False)
+        .transform(_pin)
     )
     sym = und.union(und.select(F.col("v").alias("u"), F.col("u").alias("v")))
     deg = sym.groupBy("u").agg(F.count(F.lit(1)).alias("deg")).localCheckpoint(
@@ -880,27 +908,27 @@ def dag_layer_census(edges: DataFrame, rounds: int) -> DataFrame:
     in-degree-0 as the peel rule; frames localCheckpoint'd."""
     e = edges.select(
         F.col("src").cast("long").alias("src"), F.col("dst").cast("long").alias("dst")
-    ).where(F.col("src") != F.col("dst")).distinct().localCheckpoint(eager=False)
+    ).where(F.col("src") != F.col("dst")).distinct().transform(_pin)
     nodes = (
         e.select(F.col("src").alias("n"))
         .union(e.select(F.col("dst").alias("n")))
         .distinct()
-        .localCheckpoint(eager=False)
+        .transform(_pin)
     )
     out_rows = []
     cur_e = e
     cur_n = nodes
     for r in range(1, rounds + 1):
         with_in = cur_e.select(F.col("dst").alias("n")).distinct()
-        layer = cur_n.join(with_in, "n", "left_anti").localCheckpoint(eager=False)
+        layer = cur_n.join(with_in, "n", "left_anti").transform(_pin)
         cen = layer.agg(
             F.count(F.lit(1)).alias("layer_size"),
             F.coalesce(F.sum("n"), F.lit(0)).alias("layer_checksum"),
         )
-        cur_n = cur_n.join(layer, "n", "left_anti").localCheckpoint(eager=False)
+        cur_n = cur_n.join(layer, "n", "left_anti").transform(_pin)
         cur_e = (
             cur_e.join(layer.select(F.col("n").alias("src")), "src", "left_anti")
-            .localCheckpoint(eager=False)
+            .transform(_pin)
         )
         ecen = cur_e.agg(F.count(F.lit(1)).alias("n_edges_left"))
         out_rows.append(
@@ -938,7 +966,7 @@ def fof_recommendations(edges: DataFrame) -> DataFrame:
         .where(F.col("u") != F.col("v"))
         .select(F.least("u", "v").alias("u"), F.greatest("u", "v").alias("v"))
         .distinct()
-        .localCheckpoint(eager=False)
+        .transform(_pin)
     )
     sym = und.union(und.select(F.col("v").alias("u"), F.col("u").alias("v")))
     a = sym.select(F.col("u").alias("apex"), F.col("v").alias("p"))
@@ -984,7 +1012,7 @@ def resource_allocation(edges: DataFrame) -> DataFrame:
         .where(F.col("u") != F.col("v"))
         .select(F.least("u", "v").alias("u"), F.greatest("u", "v").alias("v"))
         .distinct()
-        .localCheckpoint(eager=False)
+        .transform(_pin)
     )
     sym = und.union(und.select(F.col("v").alias("u"), F.col("u").alias("v")))
     deg = sym.groupBy("u").agg(F.count(F.lit(1)).alias("deg"))
@@ -1031,7 +1059,7 @@ def harmonic_centrality(
         seeds.select(F.col("node").cast("long").alias("seed"))
         .distinct()
         .select("seed", F.col("seed").alias("node"))
-        .localCheckpoint(eager=True)
+        .transform(_pin)
     )
     visited = frontier.withColumn("d", F.lit(0))
     for d in range(1, max_hops + 1):
@@ -1040,7 +1068,7 @@ def harmonic_centrality(
             .select("seed", F.col("dst").alias("node"))
             .distinct()
             .join(visited.select("seed", "node"), ["seed", "node"], "left_anti")
-            .localCheckpoint(eager=True)
+            .transform(_pin)
         )
         if nxt.isEmpty():
             break
@@ -1086,12 +1114,12 @@ def boruvka_msf(edges: DataFrame, max_rounds: int = 40) -> DataFrame:
     At 10^12 edges the weight-struct min is exactly the shape a
     Pregel-style MSF takes; labels stay a slim broadcastable dim until
     V itself is huge, at which point the same joins hash-partition."""
-    slim = edges.select("u", "v", "w").localCheckpoint(eager=True)
+    slim = edges.select("u", "v", "w").transform(_pin)
     verts = (
         slim.select(F.col("u").alias("vid"))
         .union(slim.select(F.col("v").alias("vid")))
         .distinct()
-        .localCheckpoint(eager=True)
+        .transform(_pin)
     )
     comp = verts.select("vid", F.col("vid").alias("component"))
     chosen: DataFrame | None = None
@@ -1118,7 +1146,7 @@ def boruvka_msf(edges: DataFrame, max_rounds: int = 40) -> DataFrame:
             )
             .groupBy("c")
             .agg(F.min("e").alias("e"))
-            .localCheckpoint(eager=True)
+            .transform(_pin)
         )
         if ms.isEmpty():
             break
@@ -1127,7 +1155,7 @@ def boruvka_msf(edges: DataFrame, max_rounds: int = 40) -> DataFrame:
             if chosen is None
             else chosen.union(ms.select("e.u", "e.v", "e.w"))
         )
-        chosen = chosen.distinct().localCheckpoint(eager=True)
+        chosen = chosen.distinct().transform(_pin)
         # hook: p(c) = other component of c's min edge; mutual-min
         # 2-cycles root at the smaller id (p(c) = c), leaving in-trees.
         p = ms.select("c", F.col("e.oc").alias("p"))
@@ -1152,7 +1180,7 @@ def boruvka_msf(edges: DataFrame, max_rounds: int = 40) -> DataFrame:
                     F.col("pp").alias("p"),
                     (F.col("pp") != F.col("p")).alias("moved"),
                 )
-                .localCheckpoint(eager=True)
+                .transform(_pin)
             )
             moved = sq.where("moved").isEmpty()
             p = sq.select("c", "p")
@@ -1165,7 +1193,7 @@ def boruvka_msf(edges: DataFrame, max_rounds: int = 40) -> DataFrame:
                 p.select(F.col("c").alias("component"), "p"), "component", "left"
             )
             .select("vid", F.coalesce("p", F.col("component")).alias("component"))
-            .localCheckpoint(eager=True)
+            .transform(_pin)
         )
     else:
         raise RuntimeError(f"boruvka_msf did not converge in {max_rounds} rounds")
@@ -1203,7 +1231,7 @@ def k_truss_rounds(edges: DataFrame, k: int, rounds: int) -> DataFrame:
         .where(F.col("u") != F.col("v"))
         .select(F.least("u", "v").alias("u"), F.greatest("u", "v").alias("v"))
         .distinct()
-        .localCheckpoint(eager=False)
+        .transform(_pin)
     )
     out_rows = []
     cur = und
@@ -1211,7 +1239,7 @@ def k_truss_rounds(edges: DataFrame, k: int, rounds: int) -> DataFrame:
         e1 = cur.select(F.col("u").alias("a"), F.col("v").alias("b"))
         e2 = cur.select(F.col("u").alias("b"), F.col("v").alias("c"))
         e3 = cur.select(F.col("u").alias("a"), F.col("v").alias("c"))
-        tri = e1.join(e2, "b").join(e3, ["a", "c"]).localCheckpoint(eager=False)
+        tri = e1.join(e2, "b").join(e3, ["a", "c"]).transform(_pin)
         sup = (
             tri.select(F.col("a").alias("u"), F.col("b").alias("v"))
             .union(tri.select(F.col("b").alias("u"), F.col("c").alias("v")))
@@ -1223,7 +1251,7 @@ def k_truss_rounds(edges: DataFrame, k: int, rounds: int) -> DataFrame:
             cur.join(sup, ["u", "v"])
             .where(F.col("sup") >= k - 2)
             .select("u", "v")
-            .localCheckpoint(eager=False)
+            .transform(_pin)
         )
         census = cur.agg(
             F.count(F.lit(1)).alias("n_edges"),
@@ -1268,12 +1296,12 @@ def apsp_path_counts(edges: DataFrame, max_rounds: int = 24) -> DataFrame:
         edges.select(F.col("u").alias("a"), F.col("v").alias("b"))
         .union(edges.select(F.col("v").alias("a"), F.col("u").alias("b")))
         .distinct()
-        .localCheckpoint(eager=False)
+        .transform(_pin)
     )
     verts = sym.select(F.col("a").alias("s")).distinct()
     frontier = verts.select(
         "s", F.col("s").alias("v"), F.lit(1).cast("long").alias("n")
-    ).localCheckpoint(eager=True)
+    ).transform(_pin)
     done = frontier.select("s", "v", F.lit(0).alias("dist"), "n")
     for k in range(1, max_rounds + 1):
         if frontier.isEmpty():
@@ -1285,14 +1313,14 @@ def apsp_path_counts(edges: DataFrame, max_rounds: int = 24) -> DataFrame:
             .withColumnRenamed("v2", "v")
             .join(done.select("s", "v").withColumn("seen", F.lit(1)),
                   ["s", "v"], "left_anti")
-            .localCheckpoint(eager=True)
+            .transform(_pin)
         )
         if nxt.isEmpty():
             frontier = nxt
             break
         done = done.unionByName(
             nxt.select("s", "v", F.lit(k).alias("dist"), "n")
-        ).localCheckpoint(eager=True)
+        ).transform(_pin)
         frontier = nxt
     else:
         raise RuntimeError(f"apsp_path_counts: diameter exceeds {max_rounds}")
@@ -1330,7 +1358,7 @@ def bellman_ford_rounds(
         edges.select("u", "v", "w")
         .union(edges.select(F.col("v").alias("u"), F.col("u").alias("v"), "w"))
         .distinct()
-        .localCheckpoint(eager=False)
+        .transform(_pin)
     )
     dist = (
         sym.select(F.col("u").alias("node")).distinct()
@@ -1339,7 +1367,7 @@ def bellman_ford_rounds(
             F.when(F.col("node") == source, F.lit(0).cast("long")).alias("dist"),
             F.when(F.col("node") == source, F.lit(0).cast("long")).alias("settled"),
         )
-        .localCheckpoint(eager=True)
+        .transform(_pin)
     )
     for k in range(1, rounds + 1):
         cand = (
@@ -1370,7 +1398,7 @@ def bellman_ford_rounds(
                 .alias("settled"),
             )
             .withColumnRenamed("dist_new", "dist")
-            .localCheckpoint(eager=True)
+            .transform(_pin)
         )
         dist = new
     return (

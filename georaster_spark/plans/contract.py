@@ -14824,22 +14824,30 @@ def q_single_linkage(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     msf = boruvka_msf(edges).localCheckpoint(eager=True)
     verts = _zones(spark, sf_dir).select(F.col("zone_id").alias("vid"))
-    outs = []
-    for t in _SLINK_CUTS:
-        cut = msf.where(F.expr(f"div(weight, 1000000)") < t).select(
+
+    def _level(t: int) -> DataFrame:
+        cut = msf.where(F.expr("div(weight, 1000000)") < t).select(
             F.col("za").alias("u"), F.col("zb").alias("v")
         )
         comp = connected_components_star(cut, verts, vertex_col="vid",
                                          src_col="u", dst_col="v")
         cl = comp.groupBy("component").agg(F.count(F.lit(1)).alias("sz"))
-        outs.append(
-            cl.agg(
-                F.lit(t).cast("long").alias("cut"),
-                F.count(F.lit(1)).alias("n_clusters"),
-                F.max("sz").alias("max_cluster"),
-                F.sum(F.col("component") * F.col("sz")).alias("cluster_checksum"),
-            )
+        return cl.agg(
+            F.lit(t).cast("long").alias("cut"),
+            F.count(F.lit(1)).alias("n_clusters"),
+            F.max("sz").alias("max_cluster"),
+            F.sum(F.col("component") * F.col("sz")).alias("cluster_checksum"),
         )
+
+    # the three dendrogram levels are independent CC runs whose rounds
+    # are driver-synchronized barriers over a near-idle cluster; driving
+    # them from three threads interleaves their tiny jobs instead of
+    # serializing three loops (Spark's scheduler is thread-safe; same
+    # posture as bench.py --concurrent).
+    from concurrent.futures import ThreadPoolExecutor
+
+    with ThreadPoolExecutor(len(_SLINK_CUTS)) as ex:
+        outs = list(ex.map(_level, _SLINK_CUTS))
     res = outs[0]
     for o in outs[1:]:
         res = res.unionByName(o)
