@@ -6914,8 +6914,11 @@ def jenks_breaks(spark: SparkSession, sf_dir: str) -> DataFrame:
             cand.groupBy("b")
             .agg(F.min(F.struct("cobj", "jb")).alias("m"))
             .select("b", F.col("m.cobj").alias("obj"), F.col("m.jb").alias("j"))
-            .localCheckpoint(eager=True)
+            # ckpt+cache: see graph._pin (join-stats compound per round)
+            .localCheckpoint(eager=False)
+            .cache()
         )
+        nxt.count()
         layers.append(nxt)
     # backtrack from the last bin through each layer's argmin
     rows = []

@@ -13568,8 +13568,11 @@ def q_facility_location(spark: SparkSession, sf_dir: str) -> DataFrame:
         best = (
             best.join(cc, "u")
             .select("u", F.greatest("best", "newcov").alias("best"))
-            .localCheckpoint(eager=True)
+            # ckpt+cache: see graph._pin (join-stats compound per round)
+            .localCheckpoint(eager=False)
+            .cache()
         )
+        best.count()
     return (
         spark.createDataFrame(
             chosen, "round int, chosen long, gain long, total_coverage long"
@@ -14946,7 +14949,9 @@ def q_farthest_first(spark: SparkSession, sf_dir: str) -> DataFrame:
                 mind.join(dlast, "zone_id")
                 .select("zone_id", F.least("md", "dl").alias("md"))
             )
-        mind = mind.localCheckpoint(eager=True)
+        # ckpt+cache: see graph._pin (join-stats compound per round)
+        mind = mind.localCheckpoint(eager=False).cache()
+        mind.count()
         top = (
             mind.where(~F.col("zone_id").isin([c[0] for c in centers]))
             .agg(F.max(F.struct("md", (-F.col("zone_id")).alias("nz"))).alias("m"))
