@@ -157,7 +157,7 @@ def headline_job(spark, sf_dir: str, repl: int = 1, concurrent: bool = False) ->
     }
 
 
-STEADY_RERUN_S = 5.0  # first-run times above this get a steady-state re-run
+STEADY_RERUN_S = 2.0  # first-run times above this get a steady-state re-run
 
 
 def bench_queries(spark, sf_dir: str) -> dict[str, float]:
@@ -191,7 +191,11 @@ def bench_queries(spark, sf_dir: str) -> dict[str, float]:
     skip = set()  # all queries run at sf0.1
     out: dict[str, float] = {}
     cold: dict[str, float] = {}
-    for name, fn in contract.spatial_queries().items():
+    # ALPHABETICAL order: run-order is deterministic across rounds, so a
+    # per-query regression is attributable to the query, not to which
+    # neighbor warmed the JVM before it (r3's avg_pool "regression" was
+    # exactly such an ordering artifact — 3.6 s first-run vs 1.1 s warm).
+    for name, fn in sorted(contract.spatial_queries().items()):
         if name in skip:
             continue
         try:

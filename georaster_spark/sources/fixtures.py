@@ -41,6 +41,9 @@ SCALES: dict[str, tuple[int, int, int, int]] = {
     "sf0.001": (1_000, 32, 16, 1_000),
     "sf0.01": (10_000, 32, 64, 10_000),
     "sf0.1": (100_000, 64, 256, 100_000),
+    # scale-certification decade (VERDICT r3 item 2): 1M images; the
+    # relational sf1 tables come from jobs/make_sf1.py (dist/sf1)
+    "sf1": (1_000_000, 64, 1024, 1_000_000),
 }
 
 _NEAR_DUP_MASK = (1 << 5) | (1 << 17) | (1 << 41)  # 3 bits -> hamming 3 <= 4
