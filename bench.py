@@ -199,6 +199,10 @@ def bench_queries(spark, sf_dir: str) -> dict[str, float]:
         if name in skip:
             continue
         try:
+            # caches pinned by the previous query's iterative rounds
+            # (graph._pin) must not squeeze this query's memory — the
+            # accumulation turned a 47 s sf1 wedge join into 181 s.
+            spark.catalog.clearCache()
             spark.sparkContext._jvm.System.gc()
         except Exception:
             pass

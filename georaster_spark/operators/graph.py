@@ -307,6 +307,12 @@ def forest_contract(edges: DataFrame, n_parts: int = 8) -> DataFrame:
     )
 
 
+# round count of the most recent connected_components_star run — the
+# O(log n) convergence claim is PINNED by tests/test_graph_rounds.py
+# against adversarial (long-chain) topologies via this census.
+last_star_rounds: int = 0
+
+
 def connected_components_star(
     edges: DataFrame,
     vertices: DataFrame,
@@ -363,7 +369,10 @@ def connected_components_star(
         ).first()
 
     prev = _witness(ecur)
-    for _ in range(max_iter):
+    global last_star_rounds
+    last_star_rounds = 0
+    for _round in range(max_iter):
+        last_star_rounds = _round + 1
         sym = ecur.union(ecur.select(F.col("v").alias("u"), F.col("u").alias("v")))
         # large-star: m(u) = min over closed neighborhood; (v, m) for v > u
         lmin = sym.groupBy("u").agg(

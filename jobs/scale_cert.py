@@ -40,6 +40,12 @@ DEFAULT_QUERIES = [
 
 
 def time_query(fn, spark, sf_dir: str, warm: bool = True) -> float:
+    # drop caches pinned by the PREVIOUS query: iterative ops cache
+    # per-round frames (graph._pin) which are correct to keep alive
+    # within an op but, accumulated over an 18-query session, squeeze
+    # the unified pool and turned one sf1 wedge join from 47 s into
+    # 181 s (measured) — exactly the avg_pool-style attribution trap.
+    spark.catalog.clearCache()
     if warm:
         fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
     t0 = time.perf_counter()
