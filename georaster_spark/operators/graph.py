@@ -300,8 +300,13 @@ def forest_contract(edges: DataFrame, n_parts: int = 8) -> DataFrame:
             roots = [find(x) for x in nodes]
             yield pd.DataFrame({"u": nodes, "v": roots})
 
+    # RANGE partitioning, not hash: a hash shard of a chain-like graph
+    # holds scattered singleton edges (nothing to contract); contiguous
+    # id ranges keep locally-connected structure together, so each
+    # shard's union-find actually collapses it (pinned by
+    # tests/test_graph_rounds.py::test_star_cc_pre_contract_cuts_rounds).
     return (
-        sym.repartition(n_parts, "u")
+        sym.repartitionByRange(n_parts, "u", "v")
         .mapInPandas(_uf, "u long, v long")
         .where(F.col("u") != F.col("v"))
     )
