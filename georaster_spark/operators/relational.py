@@ -7471,13 +7471,37 @@ def lru_mrc(spark: SparkSession, sf_dir: str) -> DataFrame:
     or drops to the SHARDS sampled estimator (Waldspurger FAST'15,
     hash(key) rate-R sampling, distances scaled 1/R) — both keep this
     same equi-join skeleton."""
-    from .spatial_index import global_rank
-
     ev = _t(spark, sf_dir, "events").select(
         "user_id",
         F.unix_micros(F.col("ts").cast("timestamp")).alias("us"),
         "event_id",
     )
+    dist_map, n, n_compulsory = _mrc_distances(spark, ev)
+    n_reuse = sum(dist_map.values())
+    rows = []
+    for cs in MRC_SIZES:
+        hits = sum(cnt for d, cnt in dist_map.items() if d < cs)
+        rows.append((cs, n, n_compulsory, hits, n_reuse - hits))
+    return (
+        spark.createDataFrame(
+            rows,
+            "cache_size int, n_accesses long, n_compulsory long, "
+            "n_hits long, n_capacity_miss long",
+        )
+        .repartition(1)
+        .sortWithinPartitions("cache_size")
+    )
+
+
+def _mrc_distances(
+    spark: SparkSession, ev: DataFrame
+) -> tuple[dict[int, int], int, int]:
+    """Exact reuse-distance histogram of an access trace
+    (user_id, us, event_id) — the distributed D−C machinery documented
+    on lru_mrc.  Returns (distance -> count, n_accesses, n_compulsory);
+    shared by the exact operator and the SHARDS sampled tier."""
+    from .spatial_index import global_rank
+
     ranked, n = global_rank(ev, ["us", "event_id"])
     wk = Window.partitionBy("user_id").orderBy("pos")
     iv = (
@@ -7608,20 +7632,100 @@ def lru_mrc(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     dists = sd_df.groupBy("sd").agg(F.count(F.lit(1)).alias("n"))
     dist_map = {int(r["sd"]): int(r["n"]) for r in dists.collect()}
+    return dist_map, n, n_compulsory
+
+
+MRC_SHARDS_MOD = 4  # SHARDS sampling rate R = 1/4 (key-space partition)
+
+
+def lru_mrc_shards(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SHARDS sampled miss-ratio curve (Waldspurger et al., FAST'15 —
+    "Efficient MRC Construction with SHARDS"): the documented 10^12
+    tier of lru_mrc, now a first-class gated operator.  Spatially
+    hash-sample the KEY space at rate R = 1/MRC_SHARDS_MOD (a key is
+    in or out for its whole lifetime — the property that makes sampled
+    reuse distances unbiased), compute EXACT distances on the sampled
+    trace with the same distributed D−C machinery, then rescale:
+    est_distance = d/R, est counts = n/R.  All integer arithmetic
+    (distances scale by the integer MOD), deterministic (key selection
+    is user_id % MOD — no RNG), so the DuckDB twin reproduces it
+    bit-for-bit and the estimator itself sits under the correctness
+    gate.
+
+    Scale shape: identical to lru_mrc but on an R-fraction of the
+    trace — the grid term shrinks by R^(4/3); at 10^12 accesses one
+    picks R ~ 0.001 (SHARDS' published accuracy holds to R = 0.0001)
+    and the whole curve costs less than 0.1% of the exact tier."""
+    ev = (
+        _t(spark, sf_dir, "events")
+        .where(F.col("user_id") % MRC_SHARDS_MOD == 0)
+        .select(
+            "user_id",
+            F.unix_micros(F.col("ts").cast("timestamp")).alias("us"),
+            "event_id",
+        )
+    )
+    dist_map, n, n_compulsory = _mrc_distances(spark, ev)
     n_reuse = sum(dist_map.values())
+    m = MRC_SHARDS_MOD
     rows = []
     for cs in MRC_SIZES:
-        hits = sum(cnt for d, cnt in dist_map.items() if d < cs)
-        rows.append((cs, n, n_compulsory, hits, n_reuse - hits))
+        # hit at size C iff est_distance = d*m < C
+        hits = sum(cnt for d, cnt in dist_map.items() if d * m < cs)
+        rows.append(
+            (cs, n * m, n_compulsory * m, hits * m, (n_reuse - hits) * m)
+        )
     return (
         spark.createDataFrame(
             rows,
-            "cache_size int, n_accesses long, n_compulsory long, "
-            "n_hits long, n_capacity_miss long",
+            "cache_size int, est_accesses long, est_compulsory long, "
+            "est_hits long, est_capacity_miss long",
         )
         .repartition(1)
         .sortWithinPartitions("cache_size")
     )
+
+
+def lru_mrc_shards_sql() -> str:
+    m = MRC_SHARDS_MOD
+    arms = " UNION ALL ".join(f"SELECT {c} AS cache_size" for c in MRC_SIZES)
+    return f"""
+WITH ev AS (
+  SELECT user_id, epoch_us(ts) AS us, event_id FROM events
+  WHERE user_id % {m} = 0
+),
+p AS (
+  SELECT user_id,
+         row_number() OVER (ORDER BY us, event_id) AS pos
+  FROM ev
+),
+acc AS (
+  SELECT user_id, pos,
+         lag(pos) OVER (PARTITION BY user_id ORDER BY pos) AS prev
+  FROM p
+),
+sd AS (
+  SELECT a.user_id, a.pos, COUNT(DISTINCT b.user_id) AS sd
+  FROM acc a LEFT JOIN acc b ON b.pos > a.prev AND b.pos < a.pos
+  WHERE a.prev IS NOT NULL
+  GROUP BY a.user_id, a.pos
+),
+tot AS (
+  SELECT (SELECT COUNT(*) FROM acc) AS n_accesses,
+         (SELECT COUNT(*) FROM acc WHERE prev IS NULL) AS n_compulsory,
+         (SELECT COUNT(*) FROM sd) AS n_reuse
+),
+sizes AS ({arms})
+SELECT CAST(s.cache_size AS INT) AS cache_size,
+       CAST(t.n_accesses * {m} AS BIGINT) AS est_accesses,
+       CAST(t.n_compulsory * {m} AS BIGINT) AS est_compulsory,
+       CAST((SELECT COUNT(*) FROM sd WHERE sd.sd * {m} < s.cache_size)
+            * {m} AS BIGINT) AS est_hits,
+       CAST((t.n_reuse
+             - (SELECT COUNT(*) FROM sd WHERE sd.sd * {m} < s.cache_size))
+            * {m} AS BIGINT) AS est_capacity_miss
+FROM sizes s, tot t ORDER BY cache_size
+"""
 
 
 def lru_mrc_sql() -> str:

@@ -5323,6 +5323,7 @@ def spatial_queries() -> dict[str, QueryFn]:
         "walk_moments": q_walk_moments,
         "ring_rebalance": rel.ring_rebalance,
         "lru_mrc": rel.lru_mrc,
+        "lru_mrc_shards": rel.lru_mrc_shards,
         "steiner_l1": q_steiner_l1,
         "radix_balance": q_radix_balance,
         "simpsons_check": rel.simpsons_check,
@@ -5820,6 +5821,7 @@ def spatial_oracles(sf: str = "sf0.01") -> dict[str, str]:
         "walk_moments": _sql_walk_moments(),
         "ring_rebalance": rel.ring_rebalance_sql(),
         "lru_mrc": rel.lru_mrc_sql(),
+        "lru_mrc_shards": rel.lru_mrc_shards_sql(),
         "steiner_l1": _sql_steiner_l1(fx),
         "radix_balance": _sql_radix_balance(),
         "simpsons_check": rel.simpsons_check_sql(),
