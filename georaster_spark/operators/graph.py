@@ -49,11 +49,33 @@ def _pin(df: DataFrame) -> DataFrame:
     against real (tiny) numbers and join strategies stay sane.
 
     The cached blocks are round-sized (component labels / frontier
-    edges — KBs to MBs); superseded rounds' blocks are evicted LRU or
-    dropped with the session, the standard GraphX/GraphFrames per-round
-    persist posture."""
-    out = df.localCheckpoint(eager=False).cache()
+    edges — KBs to MBs), but a long one-session suite (the 545-query
+    gate) runs HUNDREDS of iterative ops: without a bound the pinned
+    caches accumulate for the whole session and squeeze the box (a
+    545-query gate run OOM'd the sibling DuckDB process after ~400
+    queries).  A FIFO registry keeps the most recent _PIN_CAP pins
+    live and unpersists older ones — their localCheckpoint blocks
+    still hold the data, so correctness and lineage are untouched;
+    only the (no-longer-replanned) stats reset is dropped."""
+    out = _pin_lazy(df)
     out.count()
+    return out
+
+
+_PINNED: list[DataFrame] = []
+_PIN_CAP = 48
+
+
+def _pin_lazy(df: DataFrame) -> DataFrame:
+    """checkpoint+cache+register without forcing materialization — for
+    loop frames whose first action is the convergence witness."""
+    out = df.localCheckpoint(eager=False).cache()
+    _PINNED.append(out)
+    while len(_PINNED) > _PIN_CAP:
+        try:
+            _PINNED.pop(0).unpersist()
+        except Exception:
+            pass
     return out
 
 
@@ -113,8 +135,7 @@ def connected_components(
                     ),
                 )
                 # lazy ckpt+cache; the witness sum below materializes it
-                .localCheckpoint(eager=False)
-                .cache()
+                .transform(_pin_lazy)
             )
             if numeric:
                 new_sum = _sum(new)
@@ -365,7 +386,7 @@ def connected_components_star(
     # lazy checkpoint + cache with the witness aggregate as the
     # materializing action: one job per round pins lineage, resets the
     # size stats (see _pin) AND measures convergence.
-    ecur = ecur.distinct().localCheckpoint(eager=False).cache()
+    ecur = _pin_lazy(ecur.distinct())
 
     def _witness(e: DataFrame):
         return e.agg(
@@ -402,8 +423,7 @@ def connected_components_star(
             .where(F.col("u") != F.col("v"))
             .select(F.greatest("u", "v").alias("u"), F.least("u", "v").alias("v"))
             .distinct()
-            .localCheckpoint(eager=False)
-            .cache()
+            .transform(_pin_lazy)
         )
         cur = _witness(small)
         # witness equality is necessary-not-sufficient; confirm the

@@ -74,6 +74,17 @@ def main() -> int:
     for name, fn in qs.items():
         if only and name not in only:
             continue
+        # release the previous query's pinned caches and py4j refs:
+        # 545 queries in one JVM otherwise accumulate cache+checkpoint
+        # blocks until the OS squeezes the sibling DuckDB allocator
+        # (observed: OOM after ~400 queries).
+        try:
+            import gc
+
+            spark.catalog.clearCache()
+            gc.collect()
+        except Exception:
+            pass
         t0 = time.time()
         try:
             sdf = fn(spark, sf_dir)
