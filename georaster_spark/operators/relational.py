@@ -8853,20 +8853,26 @@ def sad_matrix_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     a = win.select(F.col("i").alias("ia"), F.col("o_orderdate").alias("da"), F.col("wv").alias("va"))
     b = win.select(F.col("i").alias("ib"), F.col("wv").alias("vb"))
-    pairs = a.join(b, F.abs(F.col("ia") - F.col("ib")) > _MP_EXCL).select(
-        "ia", "da", "ib",
-        F.aggregate(
-            F.zip_with("va", "vb", lambda x, y: F.abs(x - y)),
-            F.lit(0).cast("long"),
-            lambda acc, v: acc + v,
-        ).alias("sad"),
+    # SAD unrolled over the FIXED window length: element_at arithmetic
+    # stays inside whole-stage codegen, where the zip_with/aggregate
+    # lambda form is CodegenFallback — interpreted per pair, it was the
+    # whole cost of the #days² profile (5.8M pairs at sf0.1).
+    sad = sum(
+        (
+            F.abs(F.element_at("va", k) - F.element_at("vb", k))
+            for k in range(2, _MP_M + 1)
+        ),
+        F.abs(F.element_at("va", 1) - F.element_at("vb", 1)),
     )
-    best = pairs.groupBy("ia", "da").agg(F.min("sad").alias("mp_sad"))
+    pairs = a.join(b, F.abs(F.col("ia") - F.col("ib")) > _MP_EXCL).select(
+        "ia", "da", "ib", sad.alias("sad")
+    )
+    # one-pass argmin: min(struct(sad, ib)) = (min SAD, earliest ib at
+    # that SAD) — replaces the recompute-pairs-and-join-back two-pass.
     out = (
-        pairs.join(best, ["ia", "da"])
-        .where(F.col("sad") == F.col("mp_sad"))
-        .groupBy("ia", "da")
-        .agg(F.min("ib").alias("best_j"), F.min("sad").alias("mp_sad"))
+        pairs.groupBy("ia", "da")
+        .agg(F.min(F.struct("sad", "ib")).alias("m"))
+        .select("ia", "da", F.col("m.ib").alias("best_j"), F.col("m.sad").alias("mp_sad"))
     )
     return (
         out.select(

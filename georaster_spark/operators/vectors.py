@@ -2342,23 +2342,38 @@ def hubness_census(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = _emb(spark, sf_dir).where(F.col("vec_id") < 500).select(
         "vec_id", "embedding"
     )
-    q6 = "CAST(floor(CAST({v} AS DOUBLE) * 1000000) AS BIGINT)"
-    qsum = (
-        "aggregate(zip_with({a}, {b},"
-        f" (x, y) -> {q6.format(v='x')} * {q6.format(v='y')}),"
+    # quantize + self-norm ONCE PER VECTOR (n rows), not once per pair
+    # (n² rows): the higher-order-fn exprs are CodegenFallback, so the
+    # per-pair form paid ~3x interpreted array passes on 250k pairs.
+    qe = e.select(
+        "vec_id",
+        F.expr(
+            "transform(embedding,"
+            " x -> CAST(floor(CAST(x AS DOUBLE) * 1000000) AS BIGINT))"
+        ).alias("qv"),
+    ).withColumn(
+        "nrm",
+        F.expr(
+            "aggregate(transform(qv, x -> x * x),"
+            " CAST(0 AS BIGINT), (acc, x) -> acc + x)"
+        ),
+    )
+    a = qe.select(
+        F.col("vec_id").alias("qa"), F.col("qv").alias("va"), F.col("nrm").alias("na")
+    )
+    b = qe.select(
+        F.col("vec_id").alias("qb"), F.col("qv").alias("vb"), F.col("nrm").alias("nb")
+    )
+    dot = F.expr(
+        "aggregate(zip_with(va, vb, (x, y) -> x * y),"
         " CAST(0 AS BIGINT), (acc, x) -> acc + x)"
     )
-    a = e.select(F.col("vec_id").alias("qa"), F.col("embedding").alias("ea"))
-    b = e.select(F.col("vec_id").alias("qb"), F.col("embedding").alias("eb"))
-    dot = F.expr(qsum.format(a="ea", b="eb"))
-    na = F.expr(qsum.format(a="ea", b="ea"))
-    nb = F.expr(qsum.format(a="eb", b="eb"))
     pairs = a.join(b, F.col("qa") != F.col("qb")).select(
         "qa",
         "qb",
         (
             dot.cast("double")
-            / F.sqrt(na.cast("double") * nb.cast("double"))
+            / F.sqrt(F.col("na").cast("double") * F.col("nb").cast("double"))
         ).alias("cos"),
     )
     w = Window.partitionBy("qa").orderBy(F.col("cos").desc(), F.col("qb").asc())
