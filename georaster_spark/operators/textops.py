@@ -6746,3 +6746,166 @@ SELECT p50.source, CAST(n AS BIGINT) AS n_docs,
 FROM p50 JOIN p90 ON p90.source = p50.source
 ORDER BY p50.source
 """
+
+
+# --- weighted bottom-k corpus sample (Cohen-Kaplan sketch) ----------------------
+
+
+WBK_K = 200  # sample size
+
+
+def weighted_bottomk_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic weighted bottom-k corpus sample (Cohen & Kaplan
+    2007 "Summarizing data using bottom-k sketches" — the
+    coordinated-sampling analog of A-ES weighted reservoir sampling):
+    each doc's priority is the integer h40(doc_id) DIV weight (weight =
+    n_chars, so long documents sample proportionally more often); the
+    sample is the global bottom-k by (priority, doc_id).  Hash-based
+    priorities make the sample reshuffle-proof, reproducible across
+    engines, and COORDINATED: two corpora sampled with the same hash
+    share members in their overlap, which is what makes bottom-k
+    sketches unionable.  Emits the per-source census of the sample —
+    docs taken, weight mass taken, priority extremes, doc_id checksum.
+
+    Scale shape: the bottom-k is TakeOrdered (per-partition partial
+    top-k + driver merge of k·P candidates), never a global sort; the
+    census is a tiny groupBy.  At 10^12 docs this is the textbook
+    distributed sketch."""
+    d = _docs(spark, sf_dir).select("doc_id", "source", "n_chars")
+    # integer div (never float `/` + cast: the double quotient can round
+    # up across the integer boundary where DuckDB's `//` floors)
+    scored = d.select(
+        "doc_id",
+        "source",
+        "n_chars",
+        h40(F.col("doc_id").cast("string")).alias("hv"),
+        F.greatest(F.col("n_chars"), F.lit(1)).alias("wv"),
+    ).select(
+        "doc_id", "source", "n_chars", F.expr("div(hv, wv)").alias("prio")
+    )
+    sample = scored.orderBy("prio", "doc_id").limit(WBK_K)
+    return (
+        sample.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_sampled"),
+            F.sum("n_chars").alias("weight_taken"),
+            F.min("prio").alias("min_prio"),
+            F.max("prio").alias("max_prio"),
+            F.sum("doc_id").alias("doc_checksum"),
+        )
+        .repartition(1)
+        .sortWithinPartitions("source")
+    )
+
+
+def weighted_bottomk_sample_sql() -> str:
+    h = "CAST('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 10) AS BIGINT)"
+    return f"""
+WITH scored AS (
+  SELECT doc_id, source, n_chars,
+         {h} // greatest(n_chars, 1) AS prio
+  FROM documents
+),
+sample AS (
+  SELECT * FROM scored ORDER BY prio, doc_id LIMIT {WBK_K}
+)
+SELECT source,
+       CAST(COUNT(*) AS BIGINT) AS n_sampled,
+       CAST(SUM(n_chars) AS BIGINT) AS weight_taken,
+       CAST(MIN(prio) AS BIGINT) AS min_prio,
+       CAST(MAX(prio) AS BIGINT) AS max_prio,
+       CAST(SUM(doc_id) AS BIGINT) AS doc_checksum
+FROM sample GROUP BY source ORDER BY source
+"""
+
+
+# --- train/val/test split with exact-duplicate leakage audit --------------------
+
+
+def split_leakage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic train/val/test split + cross-split exact-duplicate
+    leakage audit — the eval-integrity gate every corpus release runs
+    (eval contamination via duplicated documents is the canonical
+    benchmark-inflation bug): docs split 80/10/10 by h40(doc_id) % 10
+    (hash split = reshuffle-proof, join-free, stable under appends);
+    docs sharing an IDENTICAL text (md5) that land in different splits
+    are leakage.  Emits one row per ordered split pair with the number
+    of leaking duplicate groups and the number of leaking PAIRS
+    (Σ cnt_a·cnt_b over groups), plus each split's doc census.
+
+    Scale shape: one md5 groupBy with per-split conditional counts
+    (combiner-friendly), then a 3-row constant rollup — one shuffle
+    over the corpus at any scale."""
+    d = _docs(spark, sf_dir).select(
+        "doc_id",
+        F.md5("text").alias("th"),
+        (h40(F.col("doc_id").cast("string")) % 10).alias("b"),
+    )
+    split = (
+        F.when(F.col("b") <= 7, F.lit("train"))
+        .when(F.col("b") == 8, F.lit("val"))
+        .otherwise(F.lit("test"))
+    )
+    g = d.withColumn("split", split).groupBy("th").agg(
+        F.sum((F.col("split") == "train").cast("long")).alias("ctr"),
+        F.sum((F.col("split") == "val").cast("long")).alias("cva"),
+        F.sum((F.col("split") == "test").cast("long")).alias("cte"),
+    )
+    pairs = [("train", "val", "ctr", "cva"), ("train", "test", "ctr", "cte"),
+             ("val", "test", "cva", "cte")]
+    outs = []
+    for sa, sb, ca, cb in pairs:
+        outs.append(
+            g.agg(
+                F.lit(sa).alias("split_a"),
+                F.lit(sb).alias("split_b"),
+                F.sum(((F.col(ca) > 0) & (F.col(cb) > 0)).cast("long")).alias(
+                    "leaking_groups"
+                ),
+                F.sum(F.col(ca) * F.col(cb)).alias("leaking_pairs"),
+                F.sum(F.col(ca)).alias("n_docs_a"),
+                F.sum(F.col(cb)).alias("n_docs_b"),
+            )
+        )
+    res = outs[0]
+    for o in outs[1:]:
+        res = res.unionByName(o)
+    return res.repartition(1).sortWithinPartitions("split_a", "split_b")
+
+
+def split_leakage_sql() -> str:
+    h = "CAST('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 10) AS BIGINT)"
+    return f"""
+WITH d AS (
+  SELECT doc_id, md5(text) AS th,
+         CASE WHEN ({h}) % 10 <= 7 THEN 'train'
+              WHEN ({h}) % 10 = 8 THEN 'val' ELSE 'test' END AS split
+  FROM documents
+),
+g AS (
+  SELECT th,
+         SUM(CASE WHEN split = 'train' THEN 1 ELSE 0 END) AS ctr,
+         SUM(CASE WHEN split = 'val' THEN 1 ELSE 0 END) AS cva,
+         SUM(CASE WHEN split = 'test' THEN 1 ELSE 0 END) AS cte
+  FROM d GROUP BY th
+)
+SELECT * FROM (
+  SELECT 'train' AS split_a, 'val' AS split_b,
+         CAST(SUM(CASE WHEN ctr > 0 AND cva > 0 THEN 1 ELSE 0 END) AS BIGINT) AS leaking_groups,
+         CAST(SUM(ctr * cva) AS BIGINT) AS leaking_pairs,
+         CAST(SUM(ctr) AS BIGINT) AS n_docs_a, CAST(SUM(cva) AS BIGINT) AS n_docs_b
+  FROM g
+  UNION ALL
+  SELECT 'train', 'test',
+         CAST(SUM(CASE WHEN ctr > 0 AND cte > 0 THEN 1 ELSE 0 END) AS BIGINT),
+         CAST(SUM(ctr * cte) AS BIGINT),
+         CAST(SUM(ctr) AS BIGINT), CAST(SUM(cte) AS BIGINT)
+  FROM g
+  UNION ALL
+  SELECT 'val', 'test',
+         CAST(SUM(CASE WHEN cva > 0 AND cte > 0 THEN 1 ELSE 0 END) AS BIGINT),
+         CAST(SUM(cva * cte) AS BIGINT),
+         CAST(SUM(cva) AS BIGINT), CAST(SUM(cte) AS BIGINT)
+  FROM g
+) ORDER BY split_a, split_b
+"""

@@ -5454,6 +5454,8 @@ def spatial_queries() -> dict[str, QueryFn]:
         "ingest_drift": q_ingest_drift,
         "cohort_ltv": rel.cohort_ltv,
         "length_bands": textops.length_bands,
+        "weighted_bottomk_sample": textops.weighted_bottomk_sample,
+        "split_leakage": textops.split_leakage,
         "purchase_tails": rel.purchase_tails,
     })
 
@@ -5952,6 +5954,8 @@ def spatial_oracles(sf: str = "sf0.01") -> dict[str, str]:
         "ingest_drift": _sql_ingest_drift(fx),
         "cohort_ltv": rel.cohort_ltv_sql(),
         "length_bands": textops.length_bands_sql(),
+        "weighted_bottomk_sample": textops.weighted_bottomk_sample_sql(),
+        "split_leakage": textops.split_leakage_sql(),
         "purchase_tails": rel.purchase_tails_sql(),
     })
 
